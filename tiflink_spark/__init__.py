@@ -1,0 +1,33 @@
+"""tiflink_spark — a PySpark-native materialized-view / analytics engine.
+
+Re-expresses the capabilities of the reference engine (TiFlink: a
+strongly-consistent Flink->TiKV materialized-view maintainer, see
+/root/reference/README.md:3-16) on top of Spark SQL + Structured
+Streaming:
+
+- ``catalog``   — name -> (path, schema, primary key) registry
+  (reference: TiFlinkCatalog.java:46).
+- ``changelog`` — upsert changelog conventions (``__op`` in +I/+U/-D,
+  no -U; reference: TikvDynamicSource.java:47-53).
+- ``store``     — hash-bucketed, versioned keyed parquet store with
+  MERGE-by-PK; the Spark-native stand-in for TiFlink's Percolator 2PC
+  sink (FlinkTikvProducer.java:39-258). Exactly-once comes from
+  idempotent, batch_id-versioned publishes instead of a transaction
+  coordinator (GrpcService.java:40-160).
+- ``mv``        — MaterializedView: batch bootstrap + incremental
+  maintenance via Structured Streaming ``foreachBatch``
+  (reference lifecycle: TiFlinkApp.java:70-116).
+- ``incremental`` — retraction-aware delta maintenance for aggregates
+  and joins.
+- ``operators`` — the beyond-reference LLM-data-pipeline pack: dedup
+  (exact / MinHash-LSH / SimHash / n-gram Jaccard), embedding
+  similarity search, text analysis, multimodal column plumbing.
+
+Everything here is public-knowledge PySpark; no code is copied from the
+reference (which is a Java/Flink codebase with a different execution
+model).
+"""
+
+from tiflink_spark.session import get_spark, load_tables
+
+__all__ = ["get_spark", "load_tables"]

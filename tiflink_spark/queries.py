@@ -1,0 +1,929 @@
+"""The engine's query surface — one entry per operator of SURVEY.md §2.
+
+Each :class:`QuerySpec` pairs an idiomatic-PySpark implementation with
+the ANSI-SQL oracle DuckDB runs on the same parquet tables. The driver
+compares them (row count + schema + order-insensitive value hash), so:
+
+- every computed column is aliased identically on both sides;
+- floating aggregates are rounded on both sides (double arithmetic is
+  not bit-reproducible across engines otherwise);
+- similarity-style operators output ids/ranks, not raw floats.
+
+The reference delegates this whole surface to Flink StreamSQL
+(TiFlinkApp.java:270, README.md:8); here it is expressed Spark-first:
+DataFrame API / Spark SQL, Catalyst does pushdown + join selection,
+AQE handles skew. The LLM-pipeline operators (dedup, similarity, text
+analysis, multimodal) have no reference counterpart and are designed
+for the 100 TB target from scratch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tiflink_spark.session import load_tables
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None -> driver does rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc, tags=tags)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the reference's canonical MV query shape — projection + scalar
+# correlated COUNT subquery (TiFlinkExample.java:10-16), transplanted onto
+# customer/orders. Catalyst decorrelates this to an outer join + aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flagship_correlated_count",
+    """
+    SELECT c_custkey, c_name,
+           (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS order_cnt
+    FROM customer c
+    """,
+    doc="Reference flagship query shape (TiFlinkExample.java:10-16): scalar correlated subquery.",
+    tags=("subquery", "flagship"),
+)
+def flagship_correlated_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS order_cnt
+        FROM customer c
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: wide multi-aggregate GROUP BY with arithmetic expressions.",
+    tags=("agg",),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    li = t["lineitem"].filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS orderdate,
+           o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
+      AND CAST(l_shipdate AS DATE) > DATE '1996-03-15'
+    GROUP BY l_orderkey, CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP), o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: 3-way join + agg + deterministic top-k.",
+    tags=("join", "agg", "topk"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].filter(F.col("o_orderdate").cast("date") < F.lit("1998-03-15").cast("date"))
+    li = t["lineitem"].filter(F.col("l_shipdate").cast("date") > F.lit("1996-03-15").cast("date"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").cast("timestamp").alias("orderdate"), "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape: 6-way star join with broadcast-able dims, grouped revenue.",
+    tags=("join", "agg"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    # dims (nation/region/supplier) broadcast; fact-fact join shuffles on orderkey.
+    joined = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+@register(
+    "agg_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS distinct_parts,
+           count(DISTINCT l_suppkey) AS distinct_supps,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="DISTINCT aggregates (multi-distinct in one GROUP BY).",
+    tags=("agg",),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_minmax",
+    """
+    SELECT o_orderpriority,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           CAST(min(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS first_date,
+           CAST(max(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS last_date
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="MIN/MAX aggregates over doubles and dates (the non-invertible aggs of SURVEY §7).",
+    tags=("agg",),
+)
+def agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    return t["orders"].groupBy("o_orderpriority").agg(
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min(F.col("o_orderdate").cast("date")).cast("timestamp").alias("first_date"),
+        F.max(F.col("o_orderdate").cast("date")).cast("timestamp").alias("last_date"),
+    )
+
+
+@register(
+    "rollup_agg",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="GROUP BY ROLLUP.",
+    tags=("agg", "grouping"),
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    return t["lineitem"].rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@register(
+    "cube_agg",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="GROUP BY CUBE.",
+    tags=("agg", "grouping"),
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    return t["orders"].cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    doc="GROUP BY GROUPING SETS.",
+    tags=("agg", "grouping"),
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@register(
+    "case_when_pivot",
+    """
+    SELECT o_custkey,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+           round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END), 2) AS urgent_total
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    doc="Conditional aggregation (manual pivot via CASE WHEN / FILTER).",
+    tags=("agg",),
+)
+def case_when_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    o = t["orders"]
+    return o.groupBy("o_custkey").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_o"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_p"),
+        F.round(
+            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")).otherwise(0.0)), 2
+        ).alias("urgent_total"),
+    )
+
+
+@register(
+    "approx_count_distinct",
+    None,  # HLL implementations differ across engines — rows-only check; exactness is tested in pytest.
+    doc="APPROX_COUNT_DISTINCT (HyperLogLog++). Oracle omitted: sketch values are engine-specific.",
+    tags=("agg", "approx"),
+)
+def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_inner",
+    """
+    SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="Equi inner join (broadcast-able dim) + agg.",
+    tags=("join",),
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+    )
+
+
+@register(
+    "join_left",
+    """
+    SELECT c_custkey, coalesce(cnt, 0) AS order_cnt
+    FROM customer LEFT JOIN (
+        SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+    ) o ON c_custkey = o_custkey
+    """,
+    doc="Left outer join against a pre-aggregated subquery (nulls coalesced).",
+    tags=("join",),
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    cnt = t["orders"].groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        t["customer"]
+        .join(cnt, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select("c_custkey", F.coalesce("cnt", F.lit(0)).alias("order_cnt"))
+    )
+
+
+@register(
+    "join_full_outer",
+    """
+    SELECT coalesce(c.k, s.k) AS nationkey,
+           coalesce(c.n_cust, 0) AS n_cust,
+           coalesce(s.n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+    FULL OUTER JOIN (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+      ON c.k = s.k
+    """,
+    doc="Full outer join between two aggregates.",
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    c = t["customer"].groupBy(F.col("c_nationkey").alias("ck")).agg(F.count(F.lit(1)).alias("n_cust"))
+    s = t["supplier"].groupBy(F.col("s_nationkey").alias("sk")).agg(F.count(F.lit(1)).alias("n_supp"))
+    return (
+        c.join(s, c.ck == s.sk, "full_outer")
+        .select(
+            F.coalesce("ck", "sk").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    """,
+    doc="Left semi join (IN subquery).",
+    tags=("join", "subquery"),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    big = t["orders"].filter(F.col("o_totalprice") > 400000)
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="Left anti join (NOT EXISTS).",
+    tags=("join", "subquery"),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "join_theta",
+    """
+    SELECT a.n_name AS nation_a, b.n_name AS nation_b
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+    doc="Theta (non-equi) join — mixed equi + range condition.",
+    tags=("join",),
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    a = t["nation"].select(F.col("n_nationkey").alias("ak"), F.col("n_regionkey").alias("ar"), F.col("n_name").alias("nation_a"))
+    b = t["nation"].select(F.col("n_nationkey").alias("bk"), F.col("n_regionkey").alias("br"), F.col("n_name").alias("nation_b"))
+    return a.join(b, (a.ar == b.br) & (a.ak < b.bk)).select("nation_a", "nation_b")
+
+
+@register(
+    "exists_subquery",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49
+    )
+    """,
+    doc="Correlated EXISTS subquery.",
+    tags=("subquery",),
+)
+def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49
+        )
+        """
+    )
+
+
+@register(
+    "scalar_subquery_uncorrelated",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+    doc="Uncorrelated scalar subquery in a predicate.",
+    tags=("subquery",),
+)
+def scalar_subquery_uncorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir)
+    return spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection / filter / sort / set ops / dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 2) AS net_price,
+           upper(l_returnflag) AS flag
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag <> 'N'
+    """,
+    doc="Stateless projection + filter; pushdown-eligible predicates.",
+    tags=("scan",),
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(F.col("l_quantity").between(10, 20) & (F.col("l_returnflag") != "N"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("net_price"),
+            F.upper("l_returnflag").alias("flag"),
+        )
+    )
+
+
+@register(
+    "orderby_limit",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    doc="Global top-k with deterministic tie-break.",
+    tags=("topk",),
+)
+def orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    return t["orders"].select("o_orderkey", "o_totalprice").orderBy(F.desc("o_totalprice"), "o_orderkey").limit(20)
+
+
+@register(
+    "set_union_all",
+    """
+    SELECT c_nationkey AS nationkey, 'customer' AS src FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey, 'supplier' AS src FROM supplier
+    """,
+    doc="UNION ALL.",
+    tags=("setop",),
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    a = t["customer"].select(F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("src"))
+    b = t["supplier"].select(F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("src"))
+    return a.unionAll(b)
+
+
+@register(
+    "set_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="INTERSECT (set semantics).",
+    tags=("setop",),
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    a = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    b = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="EXCEPT (set semantics).",
+    tags=("setop",),
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    a = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    b = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    return a.subtract(b)
+
+
+@register(
+    "dedup_distinct",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+    doc="DISTINCT dedup.",
+    tags=("dedup",),
+)
+def dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return t["lineitem"].select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "dedup_first_row_per_key",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+    doc="Deterministic keep-one-row-per-key dedup (ROW_NUMBER()=1 pattern).",
+    tags=("dedup", "window"),
+)
+def dedup_first_row_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        t["orders"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window (OVER) functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number()  OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+               rank()        OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+               dense_rank()  OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS drk
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="ROW_NUMBER / RANK / DENSE_RANK with per-group top-3 filter.",
+    tags=("window",),
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        t["orders"]
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey,
+           lag(o_totalprice)  OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_price,
+           lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS next_price
+    FROM orders
+    """,
+    doc="LAG / LEAD over a deterministic per-customer order timeline.",
+    tags=("window",),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").cast("date"), "o_orderkey")
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+@register(
+    "window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+    doc="Aggregate over a ROWS frame (running total).",
+    tags=("window",),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("date"), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t["orders"].select(
+        "o_custkey", "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running_total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function batteries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_funcs",
+    """
+    SELECT c_custkey,
+           upper(c_name)                          AS name_upper,
+           lower(c_mktsegment)                    AS seg_lower,
+           substring(c_name, 1, 8)                AS name_prefix,
+           length(c_name)                         AS name_len,
+           concat(c_name, '#', c_mktsegment)      AS name_seg,
+           trim(c_name)                           AS name_trim,
+           replace(c_name, 'Customer', 'Cust')    AS name_repl,
+           (c_name LIKE '%1%')                    AS has_one,
+           regexp_extract(c_name, '([0-9]+)', 1)  AS digits
+    FROM customer
+    """,
+    doc="String scalar functions (CONCAT/SUBSTRING/UPPER/LOWER/TRIM/LIKE/REGEXP/REPLACE/LENGTH).",
+    tags=("scalar",),
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    c = t["customer"]
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat(F.col("c_name"), F.lit("#"), F.col("c_mktsegment")).alias("name_seg"),
+        F.trim(F.col("c_name")).alias("name_trim"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_repl"),
+        F.col("c_name").like("%1%").alias("has_one"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+    )
+
+
+@register(
+    "date_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)     AS odate,
+           EXTRACT(year  FROM o_orderdate)                  AS oyear,
+           EXTRACT(month FROM o_orderdate)                  AS omonth,
+           EXTRACT(day   FROM o_orderdate)                  AS oday,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS omonth_start,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP) AS due_date
+    FROM orders
+    """,
+    doc="Date/time scalar functions (EXTRACT, DATE_TRUNC, date arithmetic).",
+    tags=("scalar",),
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    o = t["orders"]
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").cast("timestamp").alias("odate"),
+        F.year("o_orderdate").cast("long").alias("oyear"),
+        F.month("o_orderdate").cast("long").alias("omonth"),
+        F.dayofmonth("o_orderdate").cast("long").alias("oday"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("omonth_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).cast("timestamp").alias("due_date"),
+    )
+
+
+@register(
+    "math_funcs",
+    """
+    SELECT p_partkey,
+           abs(p_retailprice - 1000)            AS abs_diff,
+           round(p_retailprice, 1)              AS rounded,
+           ceil(p_retailprice)                  AS ceiled,
+           floor(p_retailprice)                 AS floored,
+           p_size % 7                           AS size_mod,
+           round(power(p_size, 2), 0)           AS size_sq,
+           round(sqrt(p_size), 4)               AS size_sqrt,
+           round(ln(p_retailprice), 4)          AS log_price
+    FROM part
+    """,
+    doc="Math scalar functions (ABS/ROUND/CEIL/FLOOR/MOD/POWER/SQRT/LN).",
+    tags=("scalar",),
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    p = t["part"]
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_retailprice") - 1000).alias("abs_diff"),
+        F.round("p_retailprice", 1).alias("rounded"),
+        F.ceil("p_retailprice").alias("ceiled"),
+        F.floor("p_retailprice").alias("floored"),
+        (F.col("p_size") % 7).alias("size_mod"),
+        F.round(F.pow("p_size", 2), 0).alias("size_sq"),
+        F.round(F.sqrt("p_size"), 4).alias("size_sqrt"),
+        F.round(F.log(F.col("p_retailprice")), 4).alias("log_price"),
+    )
+
+
+@register(
+    "json_funcs",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+    doc="JSON extraction from string columns (TiDB JSON arrives as STRING — TypeUtils.java:92-95).",
+    tags=("scalar", "json"),
+)
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    return t["events"].select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k_val")
+    )
+
+
+@register(
+    "array_funcs",
+    """
+    SELECT vec_id,
+           len(embedding)                                        AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6)                AS first_val,
+           round(list_sum(CAST(embedding AS DOUBLE[])), 4)       AS vec_sum
+    FROM embeddings
+    """,
+    doc="Array functions: size, element access, fold-sum (reference plumbing: TypeUtils.java:329-340).",
+    tags=("scalar", "array"),
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    e = t["embeddings"]
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(
+            F.aggregate(
+                F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            4,
+        ).alias("vec_sum"),
+    )
+
+
+def get_registry() -> dict[str, QuerySpec]:
+    # Import side-effect modules that register additional queries.
+    from tiflink_spark import queries_llm, queries_streaming  # noqa: F401
+
+    return REGISTRY

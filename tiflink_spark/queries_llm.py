@@ -1,0 +1,441 @@
+"""LLM-data-pipeline operators (beyond-reference charter: dedup,
+similarity search, text analysis, multimodal) exposed as oracle-checked
+queries.
+
+Design notes (100 TB stance):
+
+- All dedup operators are shuffle-on-key pipelines: shingle -> explode
+  -> groupBy(doc) for signatures, then a *bucket join* on band keys so
+  the candidate join never goes quadratic. The verify step (true
+  Jaccard) only runs on candidate pairs.
+- Hashing is md5-based so Spark and DuckDB produce bit-identical
+  signatures (xxhash64 and DuckDB's hash() are engine-specific).
+  Lexicographic MIN over md5 hex strings is a valid min-hash.
+- Similarity search keeps floats internal and outputs (query, neighbor,
+  rank) so cross-engine float jitter can't flip the value hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiflink_spark.queries import _t, register
+
+# Shared text helpers -------------------------------------------------------
+
+_WS = r"\s+"
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it")
+
+
+def _words(col):
+    return F.split(F.trim(col), _WS)
+
+
+def _doc_grams(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, gram)."""
+    w = _words(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    return (
+        docs.filter(F.size(w) >= n)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .distinct()
+    )
+
+
+_GRAMS_SQL = """
+    w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+          FROM documents),
+    grams AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+              FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+              WHERE len(ws) >= 3)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS dup_cnt
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup: hash-groupBy on content, keep min doc_id as canonical.",
+    tags=("llm", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("dup_cnt"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_GRAMS_SQL},
+    sz AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard
+    FROM pairs
+    JOIN sz sa ON pairs.doc_a = sa.doc_id
+    JOIN sz sb ON pairs.doc_b = sb.doc_id
+    WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5
+    """,
+    doc="Near-dup detection: exact word-3-gram Jaccard >= 0.5 via shingle self-join.",
+    tags=("llm", "dedup"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    grams = _doc_grams(t["documents"]).cache()
+    sz = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "gram")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "gram")
+    pairs = (
+        a.join(b, ["gram"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+_MINHASH_K = 16
+_MINHASH_BANDS = 4  # 4 bands x 4 rows
+
+
+def _minhash_sig(grams: DataFrame) -> DataFrame:
+    """(doc_id, h0..h15): per-doc min over md5('seed:' || gram).
+
+    Lexicographic min of the hex digest is a valid min-hash; md5 keeps
+    Spark and the DuckDB oracle bit-identical.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("gram")).cast("binary"))).alias(f"h{s}")
+        for s in range(_MINHASH_K)
+    ]
+    return grams.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_sig_sql() -> str:
+    aggs = ",\n          ".join(
+        f"min(md5('{s}:' || gram)) AS h{s}" for s in range(_MINHASH_K)
+    )
+    return f"sig AS (SELECT doc_id, {aggs} FROM grams GROUP BY doc_id)"
+
+
+def _band_keys_sql() -> str:
+    rows = _MINHASH_K // _MINHASH_BANDS
+    bands = ", ".join(
+        "md5(" + " || ".join(f"h{b * rows + r}" for r in range(rows)) + ")"
+        for b in range(_MINHASH_BANDS)
+    )
+    return f"bands AS (SELECT doc_id, unnest([{bands}]) AS band_key FROM sig)"
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_GRAMS_SQL},
+    {_minhash_sig_sql()},
+    {_band_keys_sql()}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+    doc=(
+        "MinHash+LSH near-dup candidates: 16 md5-minhash sigs, 4 bands x 4 rows, "
+        "bucket join on band key (never quadratic)."
+    ),
+    tags=("llm", "dedup"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    sig = _minhash_sig(_doc_grams(t["documents"]))
+    rows = _MINHASH_K // _MINHASH_BANDS
+    band_cols = [
+        F.md5(F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)]).cast("binary"))
+        for b in range(_MINHASH_BANDS)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_key")
+    return (
+        a.join(b, ["band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_count",
+    f"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+'))       AS ws_tokens,
+           len(regexp_extract_all(text, '{TOKEN_RE}'))          AS re_tokens,
+           length(text)                                         AS n_chars
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish regex tokens.",
+    tags=("llm", "text"),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        F.size(_words(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.regexp_count("text", F.lit(TOKEN_RE)).cast("long").alias("re_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+@register(
+    "text_quality_score",
+    f"""
+    WITH m AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+               length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+               len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                               w -> w IN ({_STOP_SQL}))) AS n_stop
+        FROM documents)
+    SELECT doc_id, n_chars, n_words, n_punct,
+           round(n_chars * 1.0 / n_words, 4)  AS chars_per_word,
+           round(n_stop * 1.0 / n_words, 4)   AS stopword_ratio,
+           round(n_punct * 1.0 / n_chars, 4)  AS punct_ratio
+    FROM m
+    """,
+    doc="Quality scoring: length / punctuation / stopword-ratio heuristics.",
+    tags=("llm", "text"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    w = _words(F.col("text"))
+    lw = _words(F.lower(F.trim(F.col("text"))))
+    n_chars = F.length("text")
+    n_words = F.size(w)
+    n_punct = F.length("text") - F.length(F.regexp_replace("text", r"\p{Punct}", ""))
+    n_stop = F.size(F.filter(lw, lambda x: x.isin(*STOPWORDS)))
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            n_chars.cast("long").alias("n_chars"),
+            n_words.cast("long").alias("n_words"),
+            n_punct.cast("long").alias("n_punct"),
+            n_stop.alias("n_stop"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_words",
+            "n_punct",
+            F.round(F.col("n_chars") / F.col("n_words"), 4).alias("chars_per_word"),
+            F.round(F.col("n_stop") / F.col("n_words"), 4).alias("stopword_ratio"),
+            F.round(F.col("n_punct") / F.col("n_chars"), 4).alias("punct_ratio"),
+        )
+    )
+
+
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "und", "das", "ist"),
+    "es": ("el", "los", "las", "es"),
+    "fr": ("le", "les", "et", "est"),
+}
+
+
+@register(
+    "text_lang_id",
+    (
+        "WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents),\n"
+        "scores AS (SELECT doc_id,\n"
+        + ",\n".join(
+            "    len(list_filter(ws, x -> x IN ("
+            + ", ".join(f"'{m}'" for m in marks)
+            + f"))) AS s_{lang}"
+            for lang, marks in _LANG_MARKERS.items()
+        )
+        + "\nFROM w)\n"
+        "SELECT doc_id, CASE\n"
+        "  WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'\n"
+        "  WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'\n"
+        "  WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'\n"
+        "  WHEN s_es >= s_fr THEN 'es'\n"
+        "  ELSE 'fr' END AS pred_lang\n"
+        "FROM scores"
+    ),
+    doc="Language-ID: stopword-marker n-gram heuristic with deterministic argmax.",
+    tags=("llm", "text"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    lw = _words(F.lower(F.trim(F.col("text"))))
+
+    def count_markers(marks):
+        # PySpark introspects the lambda's signature, so it must take
+        # exactly one parameter — bind `marks` via a factory closure.
+        return F.size(F.filter(lw, lambda x: x.isin(*marks)))
+
+    scored = t["documents"].select(
+        "doc_id",
+        *[count_markers(marks).alias(f"s_{lang}") for lang, marks in _LANG_MARKERS.items()],
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") == 0) & (F.col("s_de") == 0) & (F.col("s_es") == 0) & (F.col("s_fr") == 0),
+            F.lit("und"),
+        )
+        .when(
+            (F.col("s_en") >= F.col("s_de")) & (F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_fr")),
+            F.lit("en"),
+        )
+        .when((F.col("s_de") >= F.col("s_es")) & (F.col("s_de") >= F.col("s_fr")), F.lit("de"))
+        .when(F.col("s_es") >= F.col("s_fr"), F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return scored.select("doc_id", pred.alias("pred_lang"))
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    WITH {_GRAMS_SQL}
+    SELECT d.doc_id,
+           md5(d.text) AS exact_fp,
+           md5(array_to_string(list_sort(list_distinct(
+               regexp_split_to_array(lower(trim(d.text)), '\\s+'))), ' ')) AS bag_fp,
+           g.min_fp
+    FROM documents d
+    JOIN (SELECT doc_id, min(md5(gram)) AS min_fp FROM grams GROUP BY doc_id) g
+      ON d.doc_id = g.doc_id
+    """,
+    doc="Document fingerprinting: exact md5, sorted-bag-of-words md5, min-shingle-hash (winnowing-style).",
+    tags=("llm", "text"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    bag = F.concat_ws(" ", F.array_sort(F.array_distinct(_words(F.lower(F.trim(F.col("text")))))))
+    min_fp = _doc_grams(docs).groupBy("doc_id").agg(F.min(F.md5(F.col("gram").cast("binary"))).alias("min_fp"))
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(F.col("text").cast("binary")).alias("exact_fp"),
+            F.md5(bag.cast("binary")).alias("bag_fp"),
+        )
+        .join(min_fp, "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_QUERY_STRIDE = 50
+_TOPK = 10
+
+
+@register(
+    "embedding_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id % {_QUERY_STRIDE} = 0),
+    sims AS (SELECT qid, vec_id AS nid,
+                    list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) AS sim
+             FROM q, embeddings WHERE vec_id <> qid)
+    SELECT qid, nid, rank FROM (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        FROM sims)
+    WHERE rank <= {_TOPK}
+    """,
+    doc=(
+        "Brute-force cosine top-k ANN baseline: broadcast query matrix, mapInPandas "
+        "numpy matmul with per-batch partial top-k, global rank finish. Outputs ranks "
+        "(not floats) for cross-engine stability."
+    ),
+    tags=("llm", "similarity"),
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    qrows = emb.filter(F.col("vec_id") % _QUERY_STRIDE == 0).select("vec_id", "embedding").collect()
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, qnorm))
+
+    def topk_batches(batches):
+        bqids, bq = bc.value
+        for pdf in batches:
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = bq @ (mat / norms).T  # (nq, batch)
+            nids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            out_q, out_n, out_s = [], [], []
+            k = min(_TOPK + 1, sims.shape[1])  # +1: self may be in-batch
+            for qi in range(sims.shape[0]):
+                row = sims[qi]
+                # partial top-k: global top-k is a subset of per-batch top-k
+                idx = np.argpartition(-row, k - 1)[:k] if k < row.shape[0] else np.arange(row.shape[0])
+                out_q.append(np.full(idx.shape[0], bqids[qi]))
+                out_n.append(nids[idx])
+                out_s.append(row[idx])
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q),
+                    "nid": np.concatenate(out_n),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+    partial = emb.select("vec_id", "embedding").mapInPandas(
+        topk_batches, schema="qid long, nid long, sim double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "nid")
+    return (
+        partial.filter(F.col("nid") != F.col("qid"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select("qid", "nid", "rank")
+    )
+
+
+def get_llm_registry():  # imported for side effects by queries.get_registry
+    return None

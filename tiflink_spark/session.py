@@ -1,0 +1,106 @@
+"""SparkSession construction and test-table loading.
+
+Tuned for the harness (local[32], 128 GiB) but every setting is chosen
+for cluster scale first:
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join
+  splitting, and dynamic broadcast conversion — the knobs that keep a
+  100 TB plan healthy without hand-tuning per query.
+- ``spark.sql.shuffle.partitions`` defaults to 2x cores locally; on a
+  real cluster AQE's coalescing makes the initial number a ceiling,
+  not a target.
+- Arrow enabled for every pandas_udf / mapInPandas operator (the LLM
+  pack), batch size sized so a batch of 64-float embeddings stays in
+  L2-ish territory.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def get_spark(app_name: str = "tiflink_spark", *, extra_conf: dict | None = None) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str = DEFAULT_SF_DIR,
+    *,
+    register_views: bool = True,
+) -> dict[str, DataFrame]:
+    """Load the driver-generated parquet tables and register temp views.
+
+    The reference reflects source tables by name out of TiDB's catalog
+    (TiFlinkCatalog.java:92-198); here the same role is played by
+    registering each parquet table as a temp view so the full SQL
+    surface can name them.
+    """
+    # The driver's testdata stores some columns as TIMESTAMP(NANOS), which
+    # Spark's vectorized parquet reader rejects. Read them as long nanos and
+    # rebuild microsecond timestamps (lossless here: the data is micro-grain).
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # already set via builder, or not runtime-settable on this build
+
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        for f_ in _nano_ts_columns(path):
+            df = df.withColumn(f_, F.timestamp_micros((F.col(f_) / 1000).cast("long")))
+        out[name] = df
+        if register_views:
+            df.createOrReplaceTempView(name)
+    return out
+
+
+def _nano_ts_columns(path: str) -> list[str]:
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    return [
+        schema.field(i).name
+        for i in range(len(schema))
+        if str(schema.field(i).type) == "timestamp[ns]"
+    ]

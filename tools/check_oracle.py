@@ -1,0 +1,112 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every registry query on Spark and its oracle on DuckDB over the
+same parquet tables, then compares row count, column names, and values
+(columns sorted by name, rows sorted). Floats are compared exactly AND
+with tolerance so float-jitter risk is visible before the driver sees
+it.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from tiflink_spark.queries import get_registry  # noqa: E402
+from tiflink_spark.session import TABLES, get_spark  # noqa: E402
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+    return df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
+
+
+def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> tuple[bool, str]:
+    if len(spark_pdf) != len(duck_pdf):
+        return False, f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}"
+    scols, dcols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if scols != dcols:
+        return False, f"columns spark={scols} duck={dcols}"
+    s, d = canon(spark_pdf), canon(duck_pdf)
+    for c in s.columns:
+        sv, dv = s[c], d[c]
+        if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(dv.dtype, np.floating):
+            sv = pd.to_numeric(sv, errors="coerce").astype(float)
+            dv = pd.to_numeric(dv, errors="coerce").astype(float)
+            both_nan = sv.isna() & dv.isna()
+            exact = ((sv == dv) | both_nan).all()
+            if not exact:
+                close = (np.isclose(sv, dv, rtol=1e-9, atol=1e-9, equal_nan=True) | both_nan).all()
+                if close:
+                    return False, f"col {c}: FLOAT-JITTER (close but not exact)"
+                bad = (~((sv == dv) | both_nan)).idxmax()
+                return False, f"col {c}: value mismatch at row {bad}: {sv[bad]!r} vs {dv[bad]!r}"
+        else:
+            sv2 = sv.map(lambda v: None if v is None or (isinstance(v, float) and np.isnan(v)) else str(v))
+            dv2 = dv.map(lambda v: None if v is None or (isinstance(v, float) and np.isnan(v)) else str(v))
+            if not sv2.equals(dv2):
+                neq = (sv2.fillna("\0") != dv2.fillna("\0"))
+                bad = neq.idxmax()
+                return False, f"col {c}: value mismatch at row {bad}: {sv2[bad]!r} vs {dv2[bad]!r}"
+    return True, "ok"
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    reg = get_registry()
+    spark = get_spark("check_oracle")
+    con = duck_con(sf_dir)
+    n_pass = n_fail = n_skip = 0
+    for name, spec in reg.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL {name}: spark raised\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        if spec.oracle is None:
+            print(f"SKIP {name}: no oracle (rows={len(sdf)}) [{time.time()-t0:.1f}s]")
+            n_skip += 1
+            continue
+        try:
+            ddf = con.execute(spec.oracle).df()
+        except Exception:
+            print(f"FAIL {name}: duckdb raised\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        ok, msg = compare(sdf, ddf)
+        status = "PASS" if ok else "FAIL"
+        print(f"{status} {name}: {msg} (rows={len(sdf)}) [{time.time()-t0:.1f}s]")
+        n_pass += ok
+        n_fail += not ok
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
