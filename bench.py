@@ -1,0 +1,71 @@
+"""Headline benchmark.
+
+Runs one query per major operator family at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Materialization is ``df.write.format("noop")`` — full execution of the
+final plan on the executors with zero driver-side result pull, so the
+timing measures the query, not the collect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "flagship_correlated_count",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_inner",
+    "window_rank",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality_score",
+    "embedding_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from tiflink_spark.queries import get_registry
+    from tiflink_spark.session import get_spark
+
+    spark = get_spark("bench")
+    registry = get_registry()
+    names = [n for n in HEADLINE if n in registry]
+
+    # Warm the JVM + parquet footers once so timings measure the queries.
+    registry[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = registry[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
