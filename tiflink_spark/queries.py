@@ -538,25 +538,34 @@ def scalar_subquery_uncorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter_project",
     """
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice * (1 - l_discount), 2) AS net_price,
+           CAST(round(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS net_price,
            upper(l_returnflag) AS flag
     FROM lineitem
     WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag <> 'N'
     """,
-    doc="Stateless projection + filter; pushdown-eligible predicates.",
+    doc=(
+        "Stateless projection + filter; pushdown-eligible predicates. Per-row "
+        "rounding runs in DECIMAL domain on both engines: round(double) at an "
+        "exact .xx5 product diverges between Spark (HALF_UP on the shortest "
+        "decimal repr) and DuckDB (C-round on the binary double)."
+    ),
     tags=("scan",),
 )
 def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     t = _t(spark, sf_dir)
+    net = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    )
     return (
         t["lineitem"]
         .filter(F.col("l_quantity").between(10, 20) & (F.col("l_returnflag") != "N"))
         .select(
             "l_orderkey",
             "l_linenumber",
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("net_price"),
+            F.round(net, 2).cast("double").alias("net_price"),
             F.upper("l_returnflag").alias("flag"),
         )
     )
@@ -919,6 +928,36 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             4,
         ).alias("vec_sum"),
+    )
+
+
+@register(
+    "event_time_gaps",
+    """
+    SELECT event_id, user_id,
+           CAST(ts AS TIMESTAMP) AS ts_us,
+           epoch_us(CAST(ts AS TIMESTAMP))
+             - epoch_us(CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP)) AS gap_us
+    FROM events
+    """,
+    doc=(
+        "Timestamp-grain (microsecond) event-time query: per-user gap between "
+        "consecutive events. Exercises the ns->us parquet repair at full "
+        "precision (session.load_tables integer floor-division)."
+    ),
+    tags=("scalar", "event-time"),
+)
+def event_time_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return t["events"].select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("ts_us"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
     )
 
 

@@ -404,14 +404,21 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             mat = np.array(list(pdf["embedding"]), dtype=np.float64)
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0  # zero vectors get sim 0, not NaN
             sims = bq @ (mat / norms).T  # (nq, batch)
             nids = pdf["vec_id"].to_numpy(dtype=np.int64)
             out_q, out_n, out_s = [], [], []
             k = min(_TOPK + 1, sims.shape[1])  # +1: self may be in-batch
             for qi in range(sims.shape[0]):
                 row = sims[qi]
-                # partial top-k: global top-k is a subset of per-batch top-k
-                idx = np.argpartition(-row, k - 1)[:k] if k < row.shape[0] else np.arange(row.shape[0])
+                # Partial top-k under the TOTAL order (sim DESC, nid ASC) —
+                # the same order the global rank uses, so the global winners
+                # are always a subset of the per-batch selection even when
+                # sims tie at the k-boundary.
+                if k < row.shape[0]:
+                    idx = np.lexsort((nids, -row))[:k]
+                else:
+                    idx = np.arange(row.shape[0])
                 out_q.append(np.full(idx.shape[0], bqids[qi]))
                 out_n.append(nids[idx])
                 out_s.append(row[idx])

@@ -75,7 +75,9 @@ def load_tables(
     """
     # The driver's testdata stores some columns as TIMESTAMP(NANOS), which
     # Spark's vectorized parquet reader rejects. Read them as long nanos and
-    # rebuild microsecond timestamps (lossless here: the data is micro-grain).
+    # rebuild microsecond timestamps. The data carries sub-microsecond nanos,
+    # so the truncation to micros must be integer floor-division: `/ 1000`
+    # goes through double and loses integer precision above 2^53.
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
@@ -88,7 +90,7 @@ def load_tables(
             continue
         df = spark.read.parquet(path)
         for f_ in _nano_ts_columns(path):
-            df = df.withColumn(f_, F.timestamp_micros((F.col(f_) / 1000).cast("long")))
+            df = df.withColumn(f_, F.timestamp_micros(F.expr(f"`{f_}` div 1000")))
         out[name] = df
         if register_views:
             df.createOrReplaceTempView(name)
