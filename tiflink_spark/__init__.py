@@ -14,14 +14,17 @@ Streaming:
   sink (FlinkTikvProducer.java:39-258). Exactly-once comes from
   idempotent, batch_id-versioned publishes instead of a transaction
   coordinator (GrpcService.java:40-160).
-- ``mv``        — MaterializedView: batch bootstrap + incremental
-  maintenance via Structured Streaming ``foreachBatch``
+- ``mv``        — IncrementalAggMV / RecomputeMV: batch bootstrap +
+  per-micro-batch maintenance with idempotent MERGE publishes
   (reference lifecycle: TiFlinkApp.java:70-116).
 - ``incremental`` — retraction-aware delta maintenance for aggregates
-  and joins.
-- ``operators`` — the beyond-reference LLM-data-pipeline pack: dedup
-  (exact / MinHash-LSH / SimHash / n-gram Jaccard), embedding
-  similarity search, text analysis, multimodal column plumbing.
+  (COUNT/SUM/AVG delta-merged; MIN/MAX dirty-group recompute).
+- ``types``     — MySQL<->Spark type map + MV target DDL generation
+  (reference: TypeUtils.java:46-109, 364-406).
+- ``queries`` / ``queries_llm`` / ``queries_mv`` — the oracle-checked
+  query surface, including the beyond-reference LLM-data-pipeline pack
+  (dedup exact / n-gram Jaccard / MinHash-LSH, embedding similarity,
+  text analysis).
 
 Everything here is public-knowledge PySpark; no code is copied from the
 reference (which is a Java/Flink codebase with a different execution

@@ -1,0 +1,79 @@
+"""Catalog: name → (path, schema, primary key) registry.
+
+The reference reflects TiDB's catalog into Flink so source tables are
+queryable by name, with the PK taken from the primary index or
+primary-flagged columns (TiFlinkCatalog.java:92-198, 382-403). Here a
+table is a parquet path plus engine metadata — Spark doesn't enforce
+PKs, so the PK is catalog metadata the MV engine keys its stores by.
+
+MV schema inference mirrors TiFlinkApp.java:270-287: column names come
+from the resolved query plan (``df.schema``), the PK defaults to the
+**first output column** when the query doesn't carry one
+(TiFlinkApp.java:276-281).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+@dataclass
+class TableSpec:
+    name: str
+    path: str | None  # parquet location; None for view-only registrations
+    schema: StructType | None = None
+    pk: list[str] = field(default_factory=list)
+
+
+def default_pk(schema: StructType, declared: list[str] | None = None) -> list[str]:
+    """PK-defaulting rule: declared PK if valid, else the first column
+    (TiFlinkApp.java:276-281)."""
+    names = [f.name for f in schema.fields]
+    if declared:
+        missing = [c for c in declared if c not in names]
+        if missing:
+            raise ValueError(f"pk columns not in schema: {missing}")
+        return list(declared)
+    return names[:1]
+
+
+class Catalog:
+    """Registry of source tables and MV targets for one engine instance."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._tables: dict[str, TableSpec] = {}
+
+    def register_parquet(self, name: str, path: str, pk: list[str] | None = None) -> TableSpec:
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        df = self.spark.read.parquet(path)
+        spec = TableSpec(name=name, path=path, schema=df.schema, pk=default_pk(df.schema, pk))
+        self._tables[name] = spec
+        df.createOrReplaceTempView(name)
+        return spec
+
+    def register_dataframe(self, name: str, df: DataFrame, pk: list[str] | None = None) -> TableSpec:
+        spec = TableSpec(name=name, path=None, schema=df.schema, pk=default_pk(df.schema, pk))
+        self._tables[name] = spec
+        df.createOrReplaceTempView(name)
+        return spec
+
+    def get(self, name: str) -> TableSpec:
+        return self._tables[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._tables
+
+    def list_tables(self) -> list[str]:
+        return sorted(self._tables)
+
+    def table(self, name: str) -> DataFrame:
+        spec = self._tables[name]
+        if spec.path is not None:
+            return self.spark.read.parquet(spec.path)
+        return self.spark.table(name)

@@ -1,0 +1,205 @@
+"""Retraction-aware incremental aggregate maintenance (SURVEY M2).
+
+The reference delegates incremental computation to Flink's update-mode
+StreamSQL operators (TiFlinkApp.java:270); this module re-expresses the
+same maintenance math as per-micro-batch DataFrame algebra:
+
+- Every upsert-changelog batch is converted to a **retraction delta**:
+  weight +1 rows for new values, weight -1 rows for the displaced old
+  values (fetched from the versioned base store — Spark's analog of
+  Flink's operator state).
+- **Invertible aggregates** (COUNT/SUM/AVG) merge deltas into the old
+  per-group state with pure arithmetic — per-batch work ∝ changed
+  rows, never table size.
+- **Non-invertible aggregates** (MIN/MAX) recompute only the *dirty
+  groups* against the new base state — per-batch work ∝ rows of
+  touched groups (the value→count-multiset alternative keeps state
+  unbounded; dirty-group recompute is the scale-safe Spark form).
+
+At 100 TB the shuffles here are keyed by group key and bounded by the
+batch's touched keys; the base-store join is bucket-pruned by PK.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tiflink_spark.changelog import (
+    OP_COL,
+    OP_DELETE,
+    OP_UPDATE,
+    SEQ_COL,
+    last_change_per_key,
+)
+
+INVERTIBLE = ("count", "sum", "avg")
+NON_INVERTIBLE = ("min", "max")
+
+
+@dataclass(frozen=True)
+class Measure:
+    kind: str  # count | sum | avg | min | max
+    col: str | None  # None for count(*)
+    alias: str
+
+    def __post_init__(self):
+        if self.kind not in INVERTIBLE + NON_INVERTIBLE:
+            raise ValueError(f"unknown measure kind: {self.kind}")
+        if self.kind != "count" and self.col is None:
+            raise ValueError(f"{self.kind} needs a column")
+
+
+def compute_delta(changes: DataFrame, old_rows: DataFrame, pk: list[str]) -> DataFrame:
+    """Upsert changelog + displaced old rows → retraction delta (__w ±1).
+
+    ``old_rows`` must be the pre-batch base rows for (at least) the
+    changed keys. A +U/-D on an existing key retracts the old row; a
+    +I/+U adds the new one. The changelog contract has no UPDATE_BEFORE
+    (TikvDynamicSource.java:47-53) — the old value comes from state,
+    exactly as the reference's sink reads TiKV by key.
+    """
+    value_cols = [c for c in old_rows.columns]
+    final = last_change_per_key(changes, pk)
+    # retract: any final op on a key that exists in the base
+    retracts = (
+        old_rows.join(final.select(*pk), pk, "left_semi")
+        .select(*value_cols)
+        .withColumn("__w", F.lit(-1))
+    )
+    adds = (
+        final.filter(F.col(OP_COL) != OP_DELETE)
+        .select(*value_cols)
+        .withColumn("__w", F.lit(1))
+    )
+    return retracts.unionByName(adds)
+
+
+def _state_cols(measures: list[Measure]) -> list[str]:
+    """Internal state columns backing the measures."""
+    cols = ["__rows"]
+    for m in measures:
+        if m.kind in ("sum", "avg"):
+            cols.append(f"__sum_{m.alias}")
+        if m.kind == "avg":
+            cols.append(f"__cnt_{m.alias}")
+        if m.kind == "count" and m.col is not None:
+            cols.append(f"__cnt_{m.alias}")
+        if m.kind in NON_INVERTIBLE:
+            cols.append(f"__ext_{m.alias}")
+    return cols
+
+
+def aggregate_state(df: DataFrame, group_keys: list[str], measures: list[Measure]) -> DataFrame:
+    """Full aggregate of a base table into the internal state schema
+    (used at bootstrap and for dirty-group recompute)."""
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for m in measures:
+        if m.kind in ("sum", "avg"):
+            aggs.append(F.sum(F.col(m.col)).alias(f"__sum_{m.alias}"))
+        if m.kind == "avg":
+            aggs.append(F.count(F.col(m.col)).alias(f"__cnt_{m.alias}"))
+        if m.kind == "count" and m.col is not None:
+            aggs.append(F.count(F.col(m.col)).alias(f"__cnt_{m.alias}"))
+        if m.kind == "min":
+            aggs.append(F.min(F.col(m.col)).alias(f"__ext_{m.alias}"))
+        if m.kind == "max":
+            aggs.append(F.max(F.col(m.col)).alias(f"__ext_{m.alias}"))
+    return df.groupBy(*group_keys).agg(*aggs)
+
+
+def merge_delta_state(
+    old_state: DataFrame,
+    delta: DataFrame,
+    new_base: DataFrame,
+    group_keys: list[str],
+    measures: list[Measure],
+) -> DataFrame:
+    """New state for every dirty group.
+
+    Invertible measures: old ⊕ weighted-delta. Non-invertible: the
+    dirty groups are recomputed from ``new_base`` (pruned to those
+    groups with a semi-join before the shuffle).
+
+    Returns state rows for dirty groups only; ``__rows == 0`` means the
+    group vanished (caller deletes / emits zero, per query shape).
+    """
+    has_noninv = any(m.kind in NON_INVERTIBLE for m in measures)
+
+    # Weighted partial aggregate of the delta per group.
+    aggs = [F.sum("__w").alias("__d_rows")]
+    for m in measures:
+        if m.kind in ("sum", "avg"):
+            aggs.append(
+                F.sum(F.col("__w") * F.coalesce(F.col(m.col), F.lit(0))).alias(f"__d_sum_{m.alias}")
+            )
+        if m.kind == "avg" or (m.kind == "count" and m.col is not None):
+            aggs.append(
+                F.sum(F.when(F.col(m.col).isNotNull(), F.col("__w")).otherwise(0)).alias(
+                    f"__d_cnt_{m.alias}"
+                )
+            )
+    d = delta.groupBy(*group_keys).agg(*aggs)
+
+    dirty_keys = d.select(*group_keys)
+    old_dirty = old_state.join(dirty_keys, group_keys, "left_semi")
+    j = d.join(old_dirty, group_keys, "left")
+
+    out_cols = [*[F.col(c) for c in group_keys]]
+    out_cols.append((F.coalesce(F.col("__rows"), F.lit(0)) + F.col("__d_rows")).alias("__rows"))
+    for m in measures:
+        if m.kind in ("sum", "avg"):
+            out_cols.append(
+                (F.coalesce(F.col(f"__sum_{m.alias}"), F.lit(0)) + F.col(f"__d_sum_{m.alias}")).alias(
+                    f"__sum_{m.alias}"
+                )
+            )
+        if m.kind == "avg" or (m.kind == "count" and m.col is not None):
+            out_cols.append(
+                (F.coalesce(F.col(f"__cnt_{m.alias}"), F.lit(0)) + F.col(f"__d_cnt_{m.alias}")).alias(
+                    f"__cnt_{m.alias}"
+                )
+            )
+    inv_state = j.select(*out_cols)
+
+    if not has_noninv:
+        return inv_state
+
+    # Non-invertible: recompute dirty groups from the new base.
+    pruned = new_base.join(dirty_keys, group_keys, "left_semi")
+    recomputed = aggregate_state(pruned, group_keys, measures)
+    # Groups that vanished entirely produce no recomputed row — keep the
+    # invertible row (with __rows 0) so callers can see the vanish.
+    ext_cols = [f"__ext_{m.alias}" for m in measures if m.kind in NON_INVERTIBLE]
+    return inv_state.join(
+        recomputed.select(*group_keys, *ext_cols), group_keys, "left"
+    )
+
+
+def present_measures(state: DataFrame, measures: list[Measure]) -> DataFrame:
+    """Project internal state columns into the user-facing measure values."""
+    cols = list(state.columns)
+    out = []
+    for c in cols:
+        if not c.startswith("__"):
+            out.append(F.col(c))
+    for m in measures:
+        if m.kind == "count" and m.col is None:
+            out.append(F.col("__rows").alias(m.alias))
+        elif m.kind == "count":
+            out.append(F.col(f"__cnt_{m.alias}").alias(m.alias))
+        elif m.kind == "sum":
+            out.append(
+                F.when(F.col("__rows") > 0, F.col(f"__sum_{m.alias}")).alias(m.alias)
+            )
+        elif m.kind == "avg":
+            out.append(
+                (F.col(f"__sum_{m.alias}") / F.nullif(F.col(f"__cnt_{m.alias}"), F.lit(0))).alias(
+                    m.alias
+                )
+            )
+        else:  # min/max
+            out.append(F.col(f"__ext_{m.alias}").alias(m.alias))
+    return state.select(*out)

@@ -963,6 +963,6 @@ def event_time_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def get_registry() -> dict[str, QuerySpec]:
     # Import side-effect modules that register additional queries.
-    from tiflink_spark import queries_llm, queries_streaming  # noqa: F401
+    from tiflink_spark import queries_llm, queries_mv, queries_streaming  # noqa: F401
 
     return REGISTRY

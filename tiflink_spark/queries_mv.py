@@ -1,0 +1,209 @@
+"""Driver-checkable MV-engine queries: incremental ≡ batch, proven
+through the DuckDB oracle.
+
+Each query feeds a *deterministic scripted changelog* (inserts, deletes,
+key-changing updates — the full +I/-D/+U contract of
+TikvDynamicSource.java:47-53) through the MV engine in three
+micro-batches and returns the final MV state. The oracle expresses the
+same mutations as pure SQL over the original tables, so a green row is
+a machine-checked proof that incremental maintenance converges to the
+batch answer — the property the reference's consistency machinery
+exists to guarantee (README.md:18-22).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiflink_spark.changelog import OP_COL, OP_DELETE, OP_INSERT, OP_UPDATE, SEQ_COL
+from tiflink_spark.incremental import Measure
+from tiflink_spark.mv import IncrementalAggMV, RecomputeMV
+from tiflink_spark.queries import _t, register
+from tiflink_spark.store import KeyedParquetStore
+
+BIG = 20_000_000  # inserted keys live above this; delete/update scripts stay below
+
+
+def scripted_batches(orders: DataFrame) -> list[DataFrame]:
+    """The canonical 3-batch changelog script over ``orders``:
+
+    B1  +I: copy of every orderkey % 100 == 0 row at key+BIG
+    B2  -D: every original orderkey % 7 == 0
+    B3  +U: every original orderkey % 5 == 0 not deleted in B2,
+            with the GROUP KEY changed (o_custkey -> o_custkey%100+1) —
+            the retract-old-group / add-new-group case.
+    """
+    b1 = (
+        orders.filter(F.col("o_orderkey") % 100 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + BIG)
+        .withColumn(OP_COL, F.lit(OP_INSERT))
+        .withColumn(SEQ_COL, F.monotonically_increasing_id())
+    )
+    b2 = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn(OP_COL, F.lit(OP_DELETE))
+        .withColumn(SEQ_COL, F.monotonically_increasing_id())
+    )
+    b3 = (
+        orders.filter((F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 7 != 0))
+        .withColumn("o_custkey", F.col("o_custkey") % 100 + 1)
+        .withColumn(OP_COL, F.lit(OP_UPDATE))
+        .withColumn(SEQ_COL, F.monotonically_increasing_id())
+    )
+    return [b1, b2, b3]
+
+
+# The same final-orders state, as SQL for the DuckDB oracle.
+_FINAL_ORDERS_SQL = f"""
+    final_orders AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0 AND o_orderkey < {BIG}
+                    THEN o_custkey % 100 + 1 ELSE o_custkey END AS o_custkey,
+               o_totalprice
+        FROM (
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+            UNION ALL
+            SELECT o_orderkey + {BIG}, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 100 = 0
+        )
+    )
+"""
+
+
+@register(
+    "mv_flagship_incremental",
+    f"""
+    WITH {_FINAL_ORDERS_SQL}
+    SELECT c_custkey, c_name,
+           (SELECT count(*) FROM final_orders o WHERE o.o_custkey = c.c_custkey) AS order_cnt
+    FROM customer c
+    """,
+    doc=(
+        "Flagship MV (TiFlinkExample.java:10-16 shape) maintained INCREMENTALLY "
+        "through a scripted +I/-D/+U changelog; result is the final MV store "
+        "state. Green == incremental converged to the batch answer."
+    ),
+    tags=("mv", "incremental", "flagship"),
+)
+def mv_flagship_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mv_flag_")
+    try:
+        mv = IncrementalAggMV(
+            spark,
+            fact=t["orders"],
+            fact_pk=["o_orderkey"],
+            group_key="o_custkey",
+            measures=[Measure("count", None, "order_cnt")],
+            work_dir=work,
+            dim=t["customer"],
+            dim_key="c_custkey",
+            dim_cols=["c_name"],
+        )
+        mv.bootstrap()
+        for i, b in enumerate(scripted_batches(t["orders"]), start=1):
+            mv.refresh(b, batch_id=i)
+        # Materialize off the store before the workdir is removed.
+        out = mv.read().localCheckpoint(eager=True)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mv_groupagg_incremental",
+    f"""
+    WITH {_FINAL_ORDERS_SQL}
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM final_orders
+    GROUP BY o_custkey
+    """,
+    doc=(
+        "Pure GROUP-BY MV with invertible (COUNT/SUM) and non-invertible "
+        "(MIN/MAX via dirty-group recompute) aggregates, maintained through "
+        "the scripted changelog; deletes shrink groups, key-changing updates "
+        "move rows across groups, emptied groups leave the MV."
+    ),
+    tags=("mv", "incremental"),
+)
+def mv_groupagg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mv_agg_")
+    try:
+        mv = IncrementalAggMV(
+            spark,
+            fact=t["orders"],
+            fact_pk=["o_orderkey"],
+            group_key="o_custkey",
+            measures=[
+                Measure("count", None, "n_orders"),
+                Measure("sum", "o_totalprice", "total_price_raw"),
+                Measure("min", "o_totalprice", "min_price"),
+                Measure("max", "o_totalprice", "max_price"),
+            ],
+            work_dir=work,
+        )
+        mv.bootstrap()
+        for i, b in enumerate(scripted_batches(t["orders"]), start=1):
+            mv.refresh(b, batch_id=i)
+        out = (
+            mv.read()
+            .select(
+                "o_custkey",
+                "n_orders",
+                F.round("total_price_raw", 2).alias("total_price"),
+                "min_price",
+                "max_price",
+            )
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mv_flagship_recompute",
+    f"""
+    WITH {_FINAL_ORDERS_SQL}
+    SELECT c_custkey, c_name,
+           (SELECT count(*) FROM final_orders o WHERE o.o_custkey = c.c_custkey) AS order_cnt
+    FROM customer c
+    """,
+    doc=(
+        "Same flagship MV maintained by the RECOMPUTE fallback mode "
+        "(full re-run per batch, change-bounded MERGE sink via state diff) — "
+        "the maintenance mode for query shapes outside the incremental kit."
+    ),
+    tags=("mv", "recompute", "flagship"),
+)
+def mv_flagship_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mv_rec_")
+    try:
+        src = KeyedParquetStore(spark, f"{work}/orders", ["o_orderkey"])
+        src.bootstrap(t["orders"])
+        cust = KeyedParquetStore(spark, f"{work}/customer", ["c_custkey"])
+        cust.bootstrap(t["customer"])
+        rmv = RecomputeMV(
+            spark,
+            {"orders_live": src, "customer_live": cust},
+            """SELECT c_custkey, c_name,
+                      (SELECT count(*) FROM orders_live o
+                       WHERE o.o_custkey = c.c_custkey) AS order_cnt
+               FROM customer_live c""",
+            f"{work}/mv",
+        )
+        rmv.bootstrap()
+        for i, b in enumerate(scripted_batches(t["orders"]), start=1):
+            rmv.refresh({"orders_live": b}, batch_id=i)
+        return rmv.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -1,0 +1,208 @@
+"""Keyed, versioned parquet store — the engine's exactly-once upsert sink.
+
+The reference commits each checkpoint's upserts to TiKV with Percolator
+2PC, serialized by a coordinator so MV versions commit in checkpoint
+order (FlinkTikvProducer.java:96-198, GrpcService.java:110-121). On
+Spark those guarantees are reproduced with storage-level mechanisms:
+
+- **version manifest** (``_mv_commits``, JSON lines): each committed
+  batch appends one line carrying the complete bucket→file mapping.
+  The append IS the commit point (analog of committing the primary key
+  in 2PC); data files written before a crash are invisible until their
+  manifest line lands, and a retried batch simply overwrites them.
+- **idempotent publish**: a batch_id found in the manifest is a no-op,
+  so Structured Streaming's redelivery-after-restart converges
+  (reference analog: roll-forward of PREWRITE transactions,
+  FlinkTikvProducer.java:211-230).
+- **hash-bucketed layout**: rows live in ``num_buckets`` PK-hash
+  buckets. A MERGE only rewrites buckets containing changed keys, so
+  per-batch write work scales with the touched key range, not the
+  table (at 100 TB: 1024 buckets × bounded churn ≫ better than a
+  full-table rewrite; same pruning idea as Delta's file-level MERGE).
+
+Single-writer by design — the reference also serializes commits
+(maxConcurrentCheckpoints=1, TiFlinkApp.java:245).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiflink_spark.changelog import OP_COL, SEQ_COL, last_change_per_key, merge_changes
+
+COMMITS_FILE = "_mv_commits"
+BUCKET_COL = "__bucket"
+
+
+def _bucket_expr(pk: list[str], num_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(c) for c in pk]), F.lit(num_buckets))
+
+
+class KeyedParquetStore:
+    """A PK-keyed table with MERGE semantics and versioned commits."""
+
+    def __init__(self, spark: SparkSession, path: str, pk: list[str], num_buckets: int = 16):
+        self.spark = spark
+        self.path = path
+        self.pk = list(pk)
+        self.num_buckets = num_buckets
+        os.makedirs(path, exist_ok=True)
+
+    # -- manifest -----------------------------------------------------------
+
+    @property
+    def _commits_path(self) -> str:
+        return os.path.join(self.path, COMMITS_FILE)
+
+    def _commits(self) -> list[dict]:
+        if not os.path.exists(self._commits_path):
+            return []
+        with open(self._commits_path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def committed_batches(self) -> set:
+        return {c["batch_id"] for c in self._commits()}
+
+    def current_version(self) -> int | None:
+        commits = self._commits()
+        return commits[-1]["version"] if commits else None
+
+    def _commit(self, batch_id, version: int, buckets: dict[int, str], schema_json: str) -> None:
+        line = json.dumps(
+            {
+                "batch_id": batch_id,
+                "version": version,
+                "buckets": {str(k): v for k, v in buckets.items()},
+                "schema": schema_json,
+                "ts": time.time(),
+            }
+        )
+        # Single append = atomic-enough commit point for one writer.
+        with open(self._commits_path, "a") as f:
+            f.write(line + "\n")
+
+    # -- read ---------------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Current state, or time-travel to an earlier committed version —
+        the 'Stale Snapshot Isolation' read the reference's ordered
+        commits provide (README.md:18-22)."""
+        commits = self._commits()
+        if not commits:
+            raise FileNotFoundError(f"store at {self.path} has no committed version")
+        if version is None:
+            commit = commits[-1]
+        else:
+            matches = [c for c in commits if c["version"] == version]
+            if not matches:
+                raise KeyError(f"version {version} not in manifest")
+            commit = matches[-1]
+        buckets = commit["buckets"]
+        paths = sorted({os.path.join(self.path, rel) for rel in buckets.values()})
+        if not paths:  # every row deleted — empty state with the stored schema
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(commit["schema"]))
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*paths).drop(BUCKET_COL)
+
+    def version_before_batch(self, batch_id) -> int | None:
+        """Version committed immediately before ``batch_id``'s commit —
+        the snapshot a replay of that batch must diff against."""
+        commits = self._commits()
+        prev = None
+        for c in commits:
+            if c["batch_id"] == batch_id:
+                return prev
+            prev = c["version"]
+        return prev
+
+    # -- write --------------------------------------------------------------
+
+    def _write_buckets(self, df: DataFrame, version: int) -> str:
+        """Write df (with BUCKET_COL) partitioned by bucket under v{version}."""
+        rel = f"data/v{version}"
+        out = os.path.join(self.path, rel)
+        (
+            df.repartition(BUCKET_COL)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(out)
+        )
+        return rel
+
+    def bootstrap(self, df: DataFrame, batch_id=0) -> bool:
+        """Publish the initial full state (MV bootstrap, TiFlinkApp.java:105-116)."""
+        if batch_id in self.committed_batches():
+            return False
+        version = (self.current_version() or 0) + 1 if self._commits() else 0
+        bucketed = df.withColumn(BUCKET_COL, _bucket_expr(self.pk, self.num_buckets))
+        rel = self._write_buckets(bucketed, version)
+        buckets = {b: f"{rel}/{BUCKET_COL}={b}" for b in self._present_buckets(rel)}
+        self._commit(batch_id, version, buckets, df.schema.json())
+        return True
+
+    def _present_buckets(self, rel: str) -> list[int]:
+        base = os.path.join(self.path, rel)
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(base)
+            if d.startswith(f"{BUCKET_COL}=")
+        )
+
+    def merge(self, changes: DataFrame, batch_id) -> bool:
+        """MERGE an upsert-changelog batch (``__op``/``__seq`` columns)
+        into the store; rewrites only buckets containing changed keys.
+
+        Returns False (no-op) if batch_id already committed — the
+        idempotence that makes streaming redelivery exactly-once.
+        """
+        if batch_id in self.committed_batches():
+            return False
+        commits = self._commits()
+        if not commits:
+            raise RuntimeError("merge() before bootstrap()")
+        prev = commits[-1]["buckets"]
+
+        changes = changes.withColumn(BUCKET_COL, _bucket_expr(self.pk, self.num_buckets))
+        changed = sorted(
+            r[BUCKET_COL]
+            for r in changes.select(BUCKET_COL).distinct().collect()
+        )
+        schema_json = commits[-1]["schema"]
+        if not changed:
+            self._commit(batch_id, commits[-1]["version"] + 1, prev, schema_json)
+            return True
+
+        # Current state of ONLY the affected buckets.
+        touched_paths = [
+            os.path.join(self.path, prev[str(b)]) for b in changed if str(b) in prev
+        ]
+        if touched_paths:
+            base = self.spark.read.parquet(*touched_paths).drop(BUCKET_COL)
+        else:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(schema_json))
+            base = self.spark.createDataFrame([], schema)
+
+        merged = merge_changes(base, changes.drop(BUCKET_COL), self.pk)
+        version = commits[-1]["version"] + 1
+        bucketed = merged.withColumn(BUCKET_COL, _bucket_expr(self.pk, self.num_buckets))
+        rel = self._write_buckets(bucketed, version)
+
+        buckets = dict(prev)
+        written = set(self._present_buckets(rel))
+        for b in changed:
+            if b in written:
+                buckets[str(b)] = f"{rel}/{BUCKET_COL}={b}"
+            else:
+                # bucket emptied by deletes
+                buckets.pop(str(b), None)
+        self._commit(batch_id, version, buckets, schema_json)
+        return True
