@@ -1,0 +1,75 @@
+"""Unit tests for the changelog contract: MERGE-by-PK and state diff."""
+
+from pyspark.sql import functions as F
+
+from tiflink_spark.changelog import (
+    OP_COL,
+    OP_DELETE,
+    OP_INSERT,
+    OP_UPDATE,
+    SEQ_COL,
+    diff_states,
+    last_change_per_key,
+    merge_changes,
+    with_insert_ops,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(rows, f"k int, v string, {OP_COL} string, {SEQ_COL} long")
+
+
+def test_merge_upsert_delete_insert(spark):
+    base = _df(spark, [(1, "a"), (2, "b"), (3, "c")])
+    changes = _changes(
+        spark,
+        [
+            (2, "B", OP_UPDATE, 0),
+            (3, None, OP_DELETE, 1),
+            (4, "d", OP_INSERT, 2),
+        ],
+    )
+    got = {(r.k, r.v) for r in merge_changes(base, changes, ["k"]).collect()}
+    assert got == {(1, "a"), (2, "B"), (4, "d")}
+
+
+def test_merge_last_write_wins_within_batch(spark):
+    base = _df(spark, [(1, "a")])
+    changes = _changes(
+        spark,
+        [
+            (1, "x", OP_UPDATE, 0),
+            (1, None, OP_DELETE, 1),
+            (2, "y", OP_INSERT, 2),
+            (2, "z", OP_UPDATE, 3),
+        ],
+    )
+    got = {(r.k, r.v) for r in merge_changes(base, changes, ["k"]).collect()}
+    assert got == {(2, "z")}
+
+
+def test_last_change_per_key(spark):
+    changes = _changes(spark, [(1, "a", OP_INSERT, 0), (1, "b", OP_UPDATE, 5), (2, "c", OP_INSERT, 1)])
+    got = {(r.k, r.v) for r in last_change_per_key(changes, ["k"]).collect()}
+    assert got == {(1, "b"), (2, "c")}
+
+
+def test_diff_states_roundtrip(spark):
+    """Applying diff_states(old, new) onto old must yield new."""
+    old = _df(spark, [(1, "a"), (2, "b"), (3, "c")])
+    new = _df(spark, [(2, "B"), (3, "c"), (4, "d")])
+    delta = diff_states(old, new, ["k"])
+    ops = {(r.k, r[OP_COL]) for r in delta.collect()}
+    assert ops == {(1, OP_DELETE), (2, OP_UPDATE), (4, OP_INSERT)}
+    applied = {(r.k, r.v) for r in merge_changes(old, delta, ["k"]).collect()}
+    assert applied == {(2, "B"), (3, "c"), (4, "d")}
+
+
+def test_with_insert_ops_tags_snapshot(spark):
+    df = with_insert_ops(_df(spark, [(1, "a")]))
+    row = df.collect()[0]
+    assert row[OP_COL] == OP_INSERT and row[SEQ_COL] is not None

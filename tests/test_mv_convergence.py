@@ -1,0 +1,170 @@
+"""The engine's core property (SURVEY §5.3/§5.4): for randomized
+changelog permutations, the incrementally-maintained MV converges to
+the batch recompute after every batch, and replaying any batch
+(crash-recovery redelivery) changes nothing.
+
+Mirrors what the reference's consistency machinery guarantees
+(README.md:18-22; roll-forward recovery FlinkTikvProducer.java:211-230).
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiflink_spark.changelog import OP_COL, OP_DELETE, OP_INSERT, OP_UPDATE, SEQ_COL
+from tiflink_spark.incremental import Measure
+from tiflink_spark.mv import IncrementalAggMV
+
+N_KEYS = 60
+N_GROUPS = 7
+
+
+def _random_batches(rng: random.Random, n_batches: int = 4, per_batch: int = 25):
+    """Random insert/update/delete scripts over integer keys, tracking
+    the expected final table state in plain Python."""
+    state: dict[int, tuple[int, float]] = {}
+    batches = []
+    for _ in range(n_batches):
+        rows = []
+        for seq in range(per_batch):
+            k = rng.randrange(N_KEYS)
+            op = rng.choice([OP_INSERT, OP_UPDATE, OP_UPDATE, OP_DELETE])
+            g = rng.randrange(N_GROUPS)
+            v = round(rng.uniform(0, 100), 2)
+            if op == OP_DELETE:
+                rows.append((k, None, None, OP_DELETE, seq))
+            else:
+                rows.append((k, g, v, op, seq))
+        batches.append(rows)
+        for k, g, v, op, _seq in rows:
+            if op == OP_DELETE:
+                state.pop(k, None)
+            else:
+                state[k] = (g, v)
+    return batches, state
+
+
+def _expected_mv(state):
+    groups: dict[int, list[float]] = {}
+    for _k, (g, v) in state.items():
+        groups.setdefault(g, []).append(v)
+    return {
+        g: (len(vs), round(sum(vs), 2), min(vs), max(vs)) for g, vs in groups.items()
+    }
+
+
+@pytest.mark.parametrize("seed", [7, 42, 1234])
+def test_incremental_equals_batch_on_random_changelogs(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    batches, final_state = _random_batches(rng)
+
+    fact0 = spark.createDataFrame(
+        [(k, k % N_GROUPS, float(k)) for k in range(0, N_KEYS, 3)],
+        "k int, g int, v double",
+    )
+    # replay bootstrap rows through the tracker too
+    tracked = {k: (k % N_GROUPS, float(k)) for k in range(0, N_KEYS, 3)}
+    for rows in batches:
+        for k, g, v, op, _seq in rows:
+            if op == OP_DELETE:
+                tracked.pop(k, None)
+            else:
+                tracked[k] = (g, v)
+
+    mv = IncrementalAggMV(
+        spark,
+        fact=fact0,
+        fact_pk=["k"],
+        group_key="g",
+        measures=[
+            Measure("count", None, "n"),
+            Measure("sum", "v", "sv"),
+            Measure("min", "v", "mn"),
+            Measure("max", "v", "mx"),
+        ],
+        work_dir=str(tmp_path / "mv"),
+        num_buckets=4,
+    )
+    mv.bootstrap()
+
+    for i, rows in enumerate(batches, start=1):
+        changes = spark.createDataFrame(
+            rows, f"k int, g int, v double, {OP_COL} string, {SEQ_COL} long"
+        )
+        mv.refresh(changes, batch_id=i)
+        # after EVERY batch: MV == batch recompute over the live fact state
+        fact_now = mv.fact_store.read()
+        expected = {
+            (r.g, r.n, round(r.sv, 2), r.mn, r.mx)
+            for r in fact_now.groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("v").alias("sv"),
+                F.min("v").alias("mn"),
+                F.max("v").alias("mx"),
+            )
+            .collect()
+        }
+        got = {(r.g, r.n, round(r.sv, 2), r.mn, r.mx) for r in mv.read().collect()}
+        assert got == expected, f"divergence after batch {i} (seed {seed})"
+
+    # and the final fact state matches the python tracker
+    got_state = {(r.k, r.g, r.v) for r in mv.fact_store.read().collect()}
+    assert got_state == {(k, g, v) for k, (g, v) in tracked.items()}
+
+
+def test_replaying_a_batch_is_idempotent(spark, tmp_path):
+    rng = random.Random(99)
+    batches, _ = _random_batches(rng, n_batches=2)
+    fact0 = spark.createDataFrame([(k, 0, 1.0) for k in range(5)], "k int, g int, v double")
+    mv = IncrementalAggMV(
+        spark,
+        fact=fact0,
+        fact_pk=["k"],
+        group_key="g",
+        measures=[Measure("count", None, "n")],
+        work_dir=str(tmp_path / "mv"),
+        num_buckets=4,
+    )
+    mv.bootstrap()
+    dfs = [
+        spark.createDataFrame(rows, f"k int, g int, v double, {OP_COL} string, {SEQ_COL} long")
+        for rows in batches
+    ]
+    mv.refresh(dfs[0], batch_id=1)
+    snapshot = {(r.g, r.n) for r in mv.read().collect()}
+    assert mv.refresh(dfs[0], batch_id=1) is False  # full replay
+    assert {(r.g, r.n) for r in mv.read().collect()} == snapshot
+    mv.refresh(dfs[1], batch_id=2)
+
+
+def test_crash_between_fact_and_mv_commit_recovers(spark, tmp_path):
+    """Simulate the worst crash point: the fact store committed batch 1
+    but the MV/state stores did not. A replay of refresh(batch 1) must
+    still converge (time-travel to the pre-batch fact snapshot for
+    retractions — reference analog: roll-forward, FlinkTikvProducer.java:211-230)."""
+    fact0 = spark.createDataFrame(
+        [(1, 0, 10.0), (2, 1, 20.0), (3, 0, 30.0)], "k int, g int, v double"
+    )
+    mv = IncrementalAggMV(
+        spark,
+        fact=fact0,
+        fact_pk=["k"],
+        group_key="g",
+        measures=[Measure("count", None, "n"), Measure("sum", "v", "sv")],
+        work_dir=str(tmp_path / "mv"),
+        num_buckets=4,
+    )
+    mv.bootstrap()
+    changes = spark.createDataFrame(
+        [(1, 1, 11.0, OP_UPDATE, 0), (3, None, None, OP_DELETE, 1), (9, 1, 9.0, OP_INSERT, 2)],
+        f"k int, g int, v double, {OP_COL} string, {SEQ_COL} long",
+    )
+    # "crash": only the fact store saw the batch
+    mv.fact_store.merge(changes, batch_id=1)
+    # recovery: driver replays the whole refresh for batch 1
+    assert mv.refresh(changes, batch_id=1) is True
+    # g0 emptied (k1 moved to g1, k3 deleted) -> its MV row is deleted.
+    got = {(r.g, r.n, r.sv) for r in mv.read().collect()}
+    assert got == {(1, 3, 40.0)}
