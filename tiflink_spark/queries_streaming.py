@@ -1,12 +1,306 @@
-"""Streaming / materialized-view queries.
+"""Streaming surface: time windows (TUMBLE/HOP/SESSION), watermarked
+streaming aggregation, streaming dedup, and the full Structured-
+Streaming MV pipeline (readStream → foreachBatch MERGE).
 
-These run the actual incremental engine (Structured Streaming +
-foreachBatch MERGE) to a final state and return it as a DataFrame, so
-the driver's DuckDB oracle can verify that *incremental maintenance
-converges to the batch answer* — the property the reference's whole
-consistency machinery exists to guarantee (README.md:18-22).
-
-Populated once tiflink_spark.mv lands (registered via queries.register).
+The reference exposes Flink SQL 1.13's group windows by delegation
+(README.md:8); here they are Spark-native ``F.window`` /
+``F.session_window``. Every query is batch-checkable: window semantics
+are deterministic, so a DuckDB oracle can replicate them with
+date_trunc / generate-offsets / gaps-and-islands SQL. The two
+``streaming_*`` queries and the MV pipeline run a REAL ``readStream``
+(file source, availableNow-style bounded input) so the plan exercised
+is the streaming one, not a batch re-expression.
 """
 
 from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiflink_spark.changelog import SEQ_COL
+from tiflink_spark.incremental import Measure
+from tiflink_spark.mv import IncrementalAggMV
+from tiflink_spark.queries import _t, register
+
+# ---------------------------------------------------------------------------
+# Time windows (batch semantics of the streaming operators)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_tumble",
+    """
+    SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="TUMBLE window (1h) aggregate over event time — F.window fixed windows.",
+    tags=("streaming", "window-time"),
+)
+def window_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "window_hop",
+    """
+    SELECT window_start, count(*) AS n_events
+    FROM (
+        SELECT CAST(time_bucket(INTERVAL 30 minutes, CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                 - k * INTERVAL 30 minutes AS window_start
+        FROM events, UNNEST([0, 1]) AS t(k)
+    )
+    GROUP BY window_start
+    """,
+    doc=(
+        "HOP window (1h size, 30min slide): every event lands in size/slide = 2 "
+        "overlapping windows — F.window(ts, '1 hour', '30 minutes')."
+    ),
+    tags=("streaming", "window-time"),
+)
+def window_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+@register(
+    "window_session",
+    """
+    WITH gaps AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                         - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 10 minutes
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    sessions AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps)
+    SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc=(
+        "SESSION window (10min gap) per user — F.session_window; oracle uses the "
+        "classic gaps-and-islands construction."
+    ),
+    tags=("streaming", "window-time"),
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real Structured Streaming runs (bounded file-stream input)
+# ---------------------------------------------------------------------------
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
+    """events as an actual streaming DataFrame (file source).
+
+    The testdata table is a single parquet file; the file-stream source
+    requires a directory, so it is exposed through a symlink dir. The
+    nanosecond ``ts`` arrives as raw longs on this path (the batch-side
+    repair in load_tables doesn't apply to readStream) and is rebuilt
+    to a microsecond timestamp in-stream.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    schema = spark.read.parquet(path).schema
+    df = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    return df, stream_dir
+
+
+def _run_stream_to_df(spark: SparkSession, streaming_df: DataFrame, name: str) -> DataFrame:
+    """Execute a bounded streaming query to completion into a memory
+    sink and return the final result (complete output mode)."""
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # Materialize: the memory sink table is session-scoped and mutable.
+    return spark.table(name).localCheckpoint(eager=True)
+
+
+@register(
+    "streaming_tumble_agg",
+    """
+    SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc=(
+        "REAL Structured Streaming run: readStream(events) -> watermark(ts, 1h) "
+        "-> tumbling-window agg -> memory sink, bounded by availableNow. "
+        "Checked against the batch oracle: streaming == batch on bounded input."
+    ),
+    tags=("streaming", "window-time"),
+)
+def streaming_tumble_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev, stream_dir = _stream_events(spark, sf_dir)
+    try:
+        agg = (
+            ev.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+        )
+        return _run_stream_to_df(spark, agg, "streaming_tumble_agg_sink")
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
+
+
+@register(
+    "streaming_dedup",
+    """
+    SELECT user_id, event_type, count(*) AS n
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    GROUP BY user_id, event_type
+    """,
+    doc=(
+        "Streaming dropDuplicates (state-backed dedup) on a real readStream, "
+        "aggregated so the complete-mode memory sink stays bounded."
+    ),
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev, stream_dir = _stream_events(spark, sf_dir)
+    try:
+        dedup = ev.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
+        agg = dedup.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+        return _run_stream_to_df(spark, agg, "streaming_dedup_sink")
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# The full streaming MV pipeline: changelog file stream -> foreachBatch MERGE
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mv_flagship_streaming",
+    """
+    WITH final_orders AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0 AND o_orderkey < 20000000
+                    THEN o_custkey % 100 + 1 ELSE o_custkey END AS o_custkey
+        FROM (
+            SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 7 <> 0
+            UNION ALL
+            SELECT o_orderkey + 20000000, o_custkey FROM orders WHERE o_orderkey % 100 = 0
+        )
+    )
+    SELECT c_custkey, c_name,
+           (SELECT count(*) FROM final_orders o WHERE o.o_custkey = c.c_custkey) AS order_cnt
+    FROM customer c
+    """,
+    doc=(
+        "END-TO-END streaming MV: the scripted changelog is written to a "
+        "directory, consumed by spark.readStream (file source), and applied "
+        "through writeStream.foreachBatch -> IncrementalAggMV.refresh (MERGE "
+        "into the versioned keyed store) — the reference's full pipeline "
+        "(TiFlinkApp.java:70-116) on Spark-native mechanisms. The changelog "
+        "carries a globally monotonic __seq, so convergence is independent of "
+        "how the file source groups files into micro-batches."
+    ),
+    tags=("mv", "streaming", "flagship"),
+)
+def mv_flagship_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.queries_mv import scripted_batches
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mv_stream_")
+    chlog_dir = os.path.join(work, "changelog")
+    os.makedirs(chlog_dir)
+    try:
+        # Script the changelog to files with a globally monotonic __seq.
+        offset = 0
+        batches = scripted_batches(t["orders"])
+        for i, b in enumerate(batches, start=1):
+            n = b.count()
+            b = b.withColumn(SEQ_COL, F.lit(offset) + F.col(SEQ_COL))
+            b.coalesce(1).write.mode("overwrite").parquet(os.path.join(chlog_dir, f"batch_{i}"))
+            offset += n + 1_000_000  # keep per-batch seq ranges disjoint
+
+        mv = IncrementalAggMV(
+            spark,
+            fact=t["orders"],
+            fact_pk=["o_orderkey"],
+            group_key="o_custkey",
+            measures=[Measure("count", None, "order_cnt")],
+            work_dir=os.path.join(work, "mv"),
+            dim=t["customer"],
+            dim_key="c_custkey",
+            dim_cols=["c_name"],
+        )
+        mv.bootstrap()
+
+        schema = spark.read.parquet(os.path.join(chlog_dir, "batch_1")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(chlog_dir, "batch_*"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, epoch_id: mv.refresh(df, batch_id=f"stream-{epoch_id}")
+            )
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return mv.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
