@@ -81,14 +81,20 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DF_CAP = 100  # shingles in more docs than this are stop-phrases, not signal
+
+
 @register(
     "dedup_ngram_jaccard",
     f"""
     WITH {_GRAMS_SQL},
-    sz AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    cgrams AS (
+        SELECT doc_id, gram FROM grams
+        QUALIFY count(*) OVER (PARTITION BY gram) <= {_DF_CAP}),
+    sz AS (SELECT doc_id, count(*) AS n FROM cgrams GROUP BY doc_id),
     pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        FROM cgrams a JOIN cgrams b ON a.gram = b.gram AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
     SELECT doc_a, doc_b,
            round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard
@@ -97,12 +103,27 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sz sb ON pairs.doc_b = sb.doc_id
     WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5
     """,
-    doc="Near-dup detection: exact word-3-gram Jaccard >= 0.5 via shingle self-join.",
+    doc=(
+        "Near-dup detection: word-3-gram Jaccard >= 0.5 over shingles with a "
+        "document-frequency cap (the standard df-cut): grams appearing in > "
+        f"{_DF_CAP} docs are dropped BEFORE the self-join, so one hot stop-"
+        "phrase shingle can no longer create O(k^2) candidate pairs at scale. "
+        "Jaccard is computed over the capped shingle sets on both engines."
+    ),
     tags=("llm", "dedup"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     t = _t(spark, sf_dir)
-    grams = _doc_grams(t["documents"]).cache()
+    wdf = Window.partitionBy("gram")
+    grams = (
+        _doc_grams(t["documents"])
+        .withColumn("__df", F.count(F.lit(1)).over(wdf))
+        .filter(F.col("__df") <= _DF_CAP)
+        .drop("__df")
+        .cache()
+    )
     sz = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.select(F.col("doc_id").alias("doc_a"), "gram")
     b = grams.select(F.col("doc_id").alias("doc_b"), "gram")
@@ -161,18 +182,24 @@ def _band_keys_sql() -> str:
     f"""
     WITH {_GRAMS_SQL},
     {_minhash_sig_sql()},
-    {_band_keys_sql()}
+    {_band_keys_sql()},
+    cbands AS (
+        SELECT doc_id, band_key FROM bands
+        QUALIFY count(*) OVER (PARTITION BY band_key) <= 200)
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
+    FROM cbands a JOIN cbands b
       ON a.band_key = b.band_key AND a.doc_id < b.doc_id
     """,
     doc=(
         "MinHash+LSH near-dup candidates: 16 md5-minhash sigs, 4 bands x 4 rows, "
-        "bucket join on band key (never quadratic)."
+        "bucket join on band key (never quadratic); band buckets larger than "
+        "200 docs are skipped (degenerate-signature skew guard at scale)."
     ),
     tags=("llm", "dedup"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     t = _t(spark, sf_dir)
     sig = _minhash_sig(_doc_grams(t["documents"]))
     rows = _MINHASH_K // _MINHASH_BANDS
@@ -181,6 +208,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(_MINHASH_BANDS)
     ]
     bands = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
+    wcap = Window.partitionBy("band_key")
+    bands = (
+        bands.withColumn("__bsz", F.count(F.lit(1)).over(wcap))
+        .filter(F.col("__bsz") <= 200)
+        .drop("__bsz")
+    )
     a = bands.select(F.col("doc_id").alias("doc_a"), "band_key")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band_key")
     return (
@@ -384,60 +417,208 @@ _TOPK = 10
     WHERE rank <= {_TOPK}
     """,
     doc=(
-        "Brute-force cosine top-k ANN baseline: broadcast query matrix, mapInPandas "
-        "numpy matmul with per-batch partial top-k, global rank finish. Outputs ranks "
-        "(not floats) for cross-engine stability."
+        "Exact cosine top-k, fully distributed (no driver collect anywhere in "
+        "the lineage): data side hash-partitioned, query side replicated to "
+        "every partition via explode, cogroup+applyInPandas does a numpy "
+        "matmul with per-partition partial top-k under the global total order "
+        "(sim DESC, nid ASC), then a window rank finishes. Outputs ranks (not "
+        "floats) for cross-engine stability. Shuffle volume: N + Q*P in, "
+        "P*Q*(k+1) out — survives a 100x scale-up by raising P with the "
+        "cluster."
     ),
     tags=("llm", "similarity"),
 )
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     emb = t["embeddings"]
-    qrows = emb.filter(F.col("vec_id") % _QUERY_STRIDE == 0).select("vec_id", "embedding").collect()
-    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((qids, qnorm))
+    nparts = 16
+    data = emb.select("vec_id", "embedding").withColumn(
+        "pid", F.pmod(F.xxhash64("vec_id"), F.lit(nparts)).cast("int")
+    )
+    queries = (
+        emb.filter(F.col("vec_id") % _QUERY_STRIDE == 0)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"))
+        .withColumn("pid", F.explode(F.sequence(F.lit(0), F.lit(nparts - 1))))
+    )
 
-    def topk_batches(batches):
-        bqids, bq = bc.value
-        for pdf in batches:
-            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            norms = np.linalg.norm(mat, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0  # zero vectors get sim 0, not NaN
-            sims = bq @ (mat / norms).T  # (nq, batch)
-            nids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            out_q, out_n, out_s = [], [], []
-            k = min(_TOPK + 1, sims.shape[1])  # +1: self may be in-batch
-            for qi in range(sims.shape[0]):
-                row = sims[qi]
-                # Partial top-k under the TOTAL order (sim DESC, nid ASC) —
-                # the same order the global rank uses, so the global winners
-                # are always a subset of the per-batch selection even when
-                # sims tie at the k-boundary.
-                if k < row.shape[0]:
-                    idx = np.lexsort((nids, -row))[:k]
-                else:
-                    idx = np.arange(row.shape[0])
-                out_q.append(np.full(idx.shape[0], bqids[qi]))
-                out_n.append(nids[idx])
-                out_s.append(row[idx])
-            yield pd.DataFrame(
-                {
-                    "qid": np.concatenate(out_q),
-                    "nid": np.concatenate(out_n),
-                    "sim": np.concatenate(out_s),
-                }
+    def matmul(ddf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
+        if len(ddf) == 0 or len(qdf) == 0:
+            return pd.DataFrame({"qid": [], "nid": [], "sim": []}).astype(
+                {"qid": "int64", "nid": "int64", "sim": "float64"}
             )
+        mat = np.array(list(ddf["embedding"]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0  # zero vectors get sim 0, not NaN
+        qmat = np.array(list(qdf["qemb"]), dtype=np.float64)
+        qnorms = np.linalg.norm(qmat, axis=1, keepdims=True)
+        qnorms[qnorms == 0] = 1.0
+        sims = (qmat / qnorms) @ (mat / norms).T  # (nq, nd)
+        nids = ddf["vec_id"].to_numpy(dtype=np.int64)
+        qids = qdf["qid"].to_numpy(dtype=np.int64)
+        k = min(_TOPK + 1, sims.shape[1])  # +1: self may be in-partition
+        out_q, out_n, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            # Partial top-k under the TOTAL order (sim DESC, nid ASC) — the
+            # same order the global rank uses, so global winners are always
+            # a subset of the per-partition selection even on sim ties.
+            idx = np.lexsort((nids, -row))[:k]
+            out_q.append(np.full(idx.shape[0], qids[qi]))
+            out_n.append(nids[idx])
+            out_s.append(row[idx])
+        return pd.DataFrame(
+            {
+                "qid": np.concatenate(out_q),
+                "nid": np.concatenate(out_n),
+                "sim": np.concatenate(out_s),
+            }
+        )
 
-    partial = emb.select("vec_id", "embedding").mapInPandas(
-        topk_batches, schema="qid long, nid long, sim double"
+    partial = (
+        data.groupBy("pid")
+        .cogroup(queries.groupBy("pid"))
+        .applyInPandas(matmul, schema="qid long, nid long, sim double")
     )
     from pyspark.sql import Window
 
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), "nid")
     return (
         partial.filter(F.col("nid") != F.col("qid"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select("qid", "nid", "rank")
+    )
+
+
+# Random-hyperplane LSH: deterministic planes (seeded, rounded to 4dp) are
+# embedded as literals in BOTH the Spark plan and the DuckDB oracle, so the
+# bucketing — and therefore the candidate sets — are bit-identical across
+# engines. 2 bands x 4 planes: a candidate must match a query's full 4-bit
+# signature in at least one band.
+_N_PLANES = 8
+_ANN_BANDS = 2
+_PLANES = np.round(
+    np.random.default_rng(42).standard_normal((_N_PLANES, 64)), 4
+).tolist()
+_BUCKET_CAP = 200  # skip pathological hot buckets (skew guard at scale)
+
+
+def _plane_sql(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+def _band_sig_sql(band: int) -> str:
+    rows = _N_PLANES // _ANN_BANDS
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"{_plane_sql(_PLANES[band * rows + r])}) >= 0 THEN '1' ELSE '0' END)"
+        for r in range(rows)
+    )
+    return bits
+
+
+def _band_sig_col(band: int):
+    rows = _N_PLANES // _ANN_BANDS
+
+    def dot(plane):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        return F.aggregate(
+            F.zip_with(F.col("embedding"), arr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bits = [
+        F.when(dot(_PLANES[band * rows + r]) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for r in range(rows)
+    ]
+    return F.concat(*bits)
+
+
+@register(
+    "embedding_ann_lsh",
+    f"""
+    WITH sig AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+               {_band_sig_sql(0)} AS b0,
+               {_band_sig_sql(1)} AS b1
+        FROM embeddings),
+    buckets AS (
+        SELECT vec_id, e, band, sig FROM (
+            SELECT vec_id, e, 0 AS band, b0 AS sig FROM sig
+            UNION ALL
+            SELECT vec_id, e, 1 AS band, b1 AS sig FROM sig)
+        QUALIFY count(*) OVER (PARTITION BY band, sig) <= {_BUCKET_CAP}),
+    q AS (SELECT vec_id AS qid, e AS qe, band, sig FROM buckets
+          WHERE qid % {_QUERY_STRIDE} = 0),
+    cand AS (
+        SELECT DISTINCT q.qid, b.vec_id AS nid, q.qe, b.e
+        FROM q JOIN buckets b ON q.band = b.band AND q.sig = b.sig
+        WHERE b.vec_id <> q.qid)
+    SELECT qid, nid, rank FROM (
+        SELECT qid, nid,
+               row_number() OVER (
+                   PARTITION BY qid
+                   ORDER BY list_cosine_similarity(qe, e) DESC, nid) AS rank
+        FROM cand)
+    WHERE rank <= {_TOPK}
+    """,
+    doc=(
+        "Approximate NN via random-hyperplane LSH: 8 deterministic planes in "
+        "2 bands of 4 bits; candidates = same-bucket vectors in any band "
+        "(bucket join, never all-pairs), hot buckets above the cap skipped "
+        "(skew guard), exact cosine re-rank of candidates only. The scale "
+        "path for similarity search: per-query work ∝ bucket size, not N."
+    ),
+    tags=("llm", "similarity"),
+)
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"].select("vec_id", "embedding")
+    sig = emb.select(
+        "vec_id",
+        "embedding",
+        _band_sig_col(0).alias("b0"),
+        _band_sig_col(1).alias("b1"),
+    )
+    buckets = (
+        sig.select("vec_id", "embedding", F.lit(0).alias("band"), F.col("b0").alias("sig"))
+        .unionByName(
+            sig.select("vec_id", "embedding", F.lit(1).alias("band"), F.col("b1").alias("sig"))
+        )
+    )
+    wcap = Window.partitionBy("band", "sig")
+    buckets = (
+        buckets.withColumn("__bsz", F.count(F.lit(1)).over(wcap))
+        .filter(F.col("__bsz") <= _BUCKET_CAP)
+        .drop("__bsz")
+    )
+    q = buckets.filter(F.col("vec_id") % _QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"), "band", "sig"
+    )
+    cand = (
+        q.join(buckets, ["band", "sig"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nid"), "qemb", "embedding")
+        .distinct()
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    sim = dot(F.col("qemb"), F.col("embedding")) / (
+        F.sqrt(dot(F.col("qemb"), F.col("qemb")))
+        * F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "nid")
+    return (
+        cand.withColumn("sim", sim)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOPK)
         .select("qid", "nid", "rank")
