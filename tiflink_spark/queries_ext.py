@@ -1,0 +1,334 @@
+"""Extended operator coverage: SimHash dedup, interval/temporal join,
+map functions, the pandas-UDF surface, multimodal plumbing, and MV
+time-travel reads.
+
+SimHash is generated from a shared template into BOTH dialects (Spark
+SQL and DuckDB SQL) so the 64 bit-vote aggregates are literally the
+same computation; the fingerprints therefore match bit-for-bit and the
+oracle can verify banding + Hamming-distance blocking exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiflink_spark.queries import _t, register
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit, 4 bands x 16 bits)
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def _bit_expr(i: int, dialect: str) -> str:
+    """Bit i (MSB-first) of md5(word), as a dialect SQL expression."""
+    pos = 1 + i // 4  # 1-indexed hex digit
+    j = 3 - (i % 4)  # bit within the hex digit
+    nibble = f"(instr('{_HEX}', substr(h, {pos}, 1)) - 1)"
+    if dialect == "spark":
+        return f"(shiftright({nibble}, {j}) & 1)"
+    return f"(({nibble} >> {j}) & 1)"
+
+
+def _simhash_sql(dialect: str) -> str:
+    """Fingerprint query: doc_id, b0..b3 (16-bit band ints)."""
+    if dialect == "spark":
+        words = (
+            "SELECT DISTINCT doc_id, word FROM documents "
+            "LATERAL VIEW explode(split(lower(trim(text)), '\\\\s+')) t AS word"
+        )
+        md5 = "md5(cast(word AS binary))"
+        shl = "shiftleft({x}, {n})"
+    else:
+        words = (
+            "SELECT DISTINCT doc_id, "
+            "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word "
+            "FROM documents"
+        )
+        md5 = "md5(word)"
+        shl = "({x} << {n})"
+
+    votes = ",\n        ".join(
+        f"sum(CASE WHEN {_bit_expr(i, dialect)} = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(64)
+    )
+    bands = ",\n       ".join(
+        "("
+        + " + ".join(
+            shl.format(x=f"(CASE WHEN v{k * 16 + p} >= 0 THEN 1 ELSE 0 END)", n=p)
+            for p in range(16)
+        )
+        + f") AS b{k}"
+        for k in range(4)
+    )
+    return f"""
+    WITH words AS ({words}),
+    hashed AS (SELECT doc_id, {md5} AS h FROM words),
+    votes AS (
+        SELECT doc_id,
+        {votes}
+        FROM hashed GROUP BY doc_id)
+    SELECT doc_id,
+       {bands}
+    FROM votes
+    """
+
+
+@register(
+    "dedup_simhash_fingerprint",
+    _simhash_sql("duck"),
+    doc=(
+        "64-bit SimHash fingerprint per document (bit-votes over md5(word) "
+        "bits, 4x16-bit bands for Hamming blocking). Generated from one "
+        "template into both engines, so fingerprints match bit-for-bit."
+    ),
+    tags=("llm", "dedup", "simhash"),
+)
+def dedup_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir)
+    return spark.sql(_simhash_sql("spark"))
+
+
+def _simhash_pairs_sql(dialect: str) -> str:
+    fp = _simhash_sql(dialect)
+    if dialect == "spark":
+        ham = " + ".join(f"bit_count(a.b{k} ^ b.b{k})" for k in range(4))
+    else:
+        ham = " + ".join(f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(4))
+    band_match = " OR ".join(f"a.b{k} = b.b{k}" for k in range(4))
+    return f"""
+    WITH fp AS ({fp})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({ham} AS BIGINT) AS hamming
+    FROM fp a JOIN fp b
+      ON a.doc_id < b.doc_id AND ({band_match})
+    WHERE {ham} <= 3
+    """
+
+
+@register(
+    "dedup_simhash_neardup",
+    _simhash_pairs_sql("duck"),
+    doc=(
+        "SimHash near-dup pairs: band-equality blocking (a Hamming-<=3 pair "
+        "must share at least one of 4 bands — pigeonhole), exact Hamming "
+        "verify on candidates only. The standard web-dedup design; at scale "
+        "the band join is a bucket join, never all-pairs."
+    ),
+    tags=("llm", "dedup", "simhash"),
+)
+def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir)
+    return spark.sql(_simhash_pairs_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Interval / temporal join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interval_join_events",
+    """
+    SELECT e.event_id, count(c.event_id) AS n_recent_clicks
+    FROM events e LEFT JOIN events c
+      ON e.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND CAST(c.ts AS TIMESTAMP) > CAST(e.ts AS TIMESTAMP) - INTERVAL 5 minutes
+     AND CAST(c.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    """,
+    doc=(
+        "Interval (temporal range) join: for each error event, clicks by the "
+        "same user in the preceding 5 minutes. Equi key (user_id) carries the "
+        "shuffle; the range condition filters within the key group — the "
+        "Flink interval-join shape (SURVEY §2.2) in batch form."
+    ),
+    tags=("join", "interval", "event-time"),
+)
+def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    e = t["events"].filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"), F.col("user_id").alias("e_uid"), F.col("ts").alias("e_ts")
+    )
+    c = t["events"].filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("user_id").alias("c_uid"), F.col("ts").alias("c_ts")
+    )
+    cond = (
+        (F.col("e_uid") == F.col("c_uid"))
+        & (F.col("c_ts") > F.col("e_ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("c_ts") <= F.col("e_ts"))
+    )
+    return (
+        e.join(c, cond, "left")
+        .groupBy(F.col("e_id").alias("event_id"))
+        .agg(F.count("c_id").alias("n_recent_clicks"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Map functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "map_funcs",
+    """
+    SELECT event_id,
+           2 AS n_keys,
+           'etype,uid' AS keys_sorted,
+           event_type AS etype_val,
+           CAST(user_id AS VARCHAR) AS uid_val,
+           (user_id % 2 = 0) AS has_even_uid
+    FROM events
+    """,
+    doc=(
+        "Map functions (reference plumbing exists but TiDB can't produce "
+        "maps, TypeUtils.java:329-340): build map<string,string>, then "
+        "size / sorted keys / element_at / exists over values. Oracle checks "
+        "the computed values (DuckDB map ops differ in shape)."
+    ),
+    tags=("scalar", "map"),
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    m = F.create_map(
+        F.lit("etype"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    # exists() over map_values is always true here by construction; ANDing it
+    # with the parity test keeps the oracle trivial while exercising the op.
+    has_even = F.exists(
+        F.map_values(m), lambda v: v == F.col("user_id").cast("string")
+    ) & (F.col("user_id") % 2 == 0)
+    return t["events"].select(
+        "event_id",
+        F.size(m).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.element_at(m, "etype").alias("etype_val"),
+        F.element_at(m, "uid").alias("uid_val"),
+        has_even.alias("has_even_uid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pandas-UDF surface + multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pandas_udf_tokens",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens,
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+    doc=(
+        "The engine's UDF surface: Arrow-batched pandas UDFs "
+        "(functions.token_count / normalize_text) — never row-at-a-time "
+        "Python. Oracle mirrors the regex semantics in SQL."
+    ),
+    tags=("udf", "llm"),
+)
+def pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.functions import normalize_text, token_count
+
+    t = _t(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        normalize_text(F.col("text")).alias("norm_text"),
+    )
+
+
+@register(
+    "multimodal_decode",
+    """
+    SELECT doc_id AS id,
+           'image' AS kind,
+           CAST(64 + octet_length(encode(text)) % 577 AS INTEGER) AS width,
+           CAST(64 + octet_length(encode(text)) % 421 AS INTEGER) AS height,
+           CAST(1 + octet_length(encode(text)) % 3 AS INTEGER) AS n_channels,
+           md5(text) AS checksum
+    FROM documents
+    """,
+    doc=(
+        "Multimodal column plumbing: binary media column -> Arrow-batched "
+        "mapInPandas decode -> typed metadata. The decoder is the documented "
+        "deterministic stand-in (multimodal.fake_decode_meta; real decode "
+        "needs PIL, stubbed behind NotImplementedError) so the full Spark "
+        "pipeline — schema, batching, UDF signature — runs for real and the "
+        "oracle mirrors it byte-exactly."
+    ),
+    tags=("llm", "multimodal"),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.multimodal import decode_media
+
+    t = _t(spark, sf_dir)
+    media = t["documents"].select(
+        F.col("doc_id").alias("id"),
+        F.lit("image").alias("kind"),
+        F.col("text").cast("binary").alias("data"),
+    )
+    return decode_media(media)
+
+
+# ---------------------------------------------------------------------------
+# MV time travel (stale snapshot reads)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mv_time_travel",
+    """
+    WITH orders_v1 AS (
+        SELECT o_orderkey, o_custkey FROM orders
+        UNION ALL
+        SELECT o_orderkey + 20000000, o_custkey FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT c_custkey, c_name,
+           (SELECT count(*) FROM orders_v1 o WHERE o.o_custkey = c.c_custkey) AS order_cnt
+    FROM customer c
+    """,
+    doc=(
+        "Stale-snapshot read (the reference's 'Stale Snapshot Isolation' "
+        "contract, README.md:18-22): after 3 maintenance batches, read the "
+        "MV AS OF the version committed by batch 1 — i.e. inserts applied, "
+        "later deletes/updates invisible. Versioned store time travel."
+    ),
+    tags=("mv", "time-travel"),
+)
+def mv_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from tiflink_spark.incremental import Measure
+    from tiflink_spark.mv import IncrementalAggMV
+    from tiflink_spark.queries_mv import scripted_batches
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mv_tt_")
+    try:
+        mv = IncrementalAggMV(
+            spark,
+            fact=t["orders"],
+            fact_pk=["o_orderkey"],
+            group_key="o_custkey",
+            measures=[Measure("count", None, "order_cnt")],
+            work_dir=work,
+            dim=t["customer"],
+            dim_key="c_custkey",
+            dim_cols=["c_name"],
+        )
+        mv.bootstrap()
+        for i, b in enumerate(scripted_batches(t["orders"]), start=1):
+            mv.refresh(b, batch_id=i)
+        # versions: 0 = bootstrap, 1 = after batch 1, ... — read v1.
+        return mv.read(version=1).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
