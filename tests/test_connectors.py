@@ -1,0 +1,91 @@
+"""Connector registry + multimodal plumbing + pandas-UDF batteries."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiflink_spark.changelog import OP_COL, OP_INSERT, SEQ_COL
+from tiflink_spark.connectors import ConnectorOptions, get_connector
+
+
+def test_parquet_roundtrip_with_range_partitioning(spark, tmp_path):
+    conn = get_connector("parquet")
+    opts = ConnectorOptions(path=str(tmp_path / "t"), pk=["k"], range_partitions=4)
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "k int, v string")
+    conn.write(df, opts)
+    back = conn.read(spark, opts)
+    assert back.count() == 100
+    assert back.rdd.getNumPartitions() == 4  # range partitioning applied
+
+
+def test_changelog_connector_enforces_contract(spark, tmp_path):
+    conn = get_connector("changelog")
+    opts = ConnectorOptions(path=str(tmp_path / "c"))
+    plain = spark.createDataFrame([(1, "a")], "k int, v string")
+    plain.write.parquet(opts.path)
+    with pytest.raises(ValueError, match="__op"):
+        conn.read(spark, opts)
+
+    opts2 = ConnectorOptions(path=str(tmp_path / "c2"))
+    tagged = plain.withColumn(OP_COL, F.lit(OP_INSERT)).withColumn(SEQ_COL, F.lit(0))
+    tagged.write.parquet(opts2.path)
+    assert conn.read(spark, opts2).count() == 1
+
+
+def test_keyed_store_connector(spark, tmp_path):
+    conn = get_connector("keyed")
+    opts = ConnectorOptions(path=str(tmp_path / "ks"), pk=["k"], num_buckets=4)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    conn.write(df, opts)
+    assert {(r.k, r.v) for r in conn.read(spark, opts).collect()} == {(1, "a"), (2, "b")}
+
+
+def test_unknown_connector():
+    with pytest.raises(KeyError, match="unknown connector"):
+        get_connector("nope")
+
+
+def test_multimodal_decode_plumbing(spark):
+    from tiflink_spark.multimodal import decode_media, frame_sample_plan
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"x" * 100)), (2, "image", bytearray(b"y" * 700))],
+        "id long, kind string, data binary",
+    )
+    out = decode_media(media).collect()
+    assert len(out) == 2
+    by_id = {r.id: r for r in out}
+    assert by_id[1].width == 64 + 100 % 577
+    assert by_id[2].height == 64 + 700 % 421
+    assert len(by_id[1].checksum) == 32
+
+    frames = frame_sample_plan(media, every_n=30)
+    got = frames.groupBy("id").count().collect()
+    assert {r.id for r in got} == {1, 2}
+
+
+def test_real_decoder_is_stubbed():
+    from tiflink_spark.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(b"not-an-image")
+
+
+def test_pandas_udf_batteries(spark):
+    from tiflink_spark.functions import cosine_sim, normalize_text, token_count
+
+    df = spark.createDataFrame(
+        [(1, "  Hello   WORLD! ",), (2, "a b c",)], "id int, text string"
+    )
+    got = df.select(
+        "id", token_count("text").alias("n"), normalize_text("text").alias("t")
+    ).collect()
+    by_id = {r.id: r for r in got}
+    assert by_id[1].t == "hello world!"
+    assert by_id[2].n == 3
+
+    vdf = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])],
+        "a array<double>, b array<double>",
+    )
+    sims = [r.s for r in vdf.select(cosine_sim("a", "b").alias("s")).collect()]
+    assert sims == [1.0, 0.0]

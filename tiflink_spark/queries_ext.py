@@ -278,6 +278,41 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media)
 
 
+@register(
+    "udtf_split_words",
+    r"""
+    SELECT doc_id, i AS word_idx, ws[i + 1] AS word
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+          FROM documents),
+         UNNEST(range(least(5, len(ws)))) AS t(i)
+    """,
+    doc=(
+        "UDTF surface: a real Python UDTF (pyspark @udtf, lateral join) "
+        "exploding each document into its first 5 words with positions. The "
+        "reference exposes Flink's UDTF surface by delegation "
+        "(TiFlinkCatalog.java:286-300 registers none of its own)."
+    ),
+    tags=("udf", "udtf"),
+)
+def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, word_idx: bigint, word: string")
+    class SplitFirstWords:
+        def eval(self, doc_id: int, text: str):
+            for i, w in enumerate(text.strip().split()[:5]):
+                yield doc_id, i, w
+
+    spark.udtf.register("split_first_words", SplitFirstWords)
+    _t(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT f.doc_id, f.word_idx, f.word
+        FROM documents s, LATERAL split_first_words(s.doc_id, s.text) f
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # MV time travel (stale snapshot reads)
 # ---------------------------------------------------------------------------

@@ -35,18 +35,20 @@ def _words(col):
     return F.split(F.trim(col), _WS)
 
 
-def _doc_grams(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, gram)."""
+def _doc_grams(docs: DataFrame, n: int = 3, *, distinct: bool = True) -> DataFrame:
+    """Word n-gram shingles per doc: (doc_id, gram).
+
+    ``distinct=False`` skips the dedup shuffle for consumers whose
+    aggregation is duplicate-insensitive (MIN for minhash): same result,
+    one less full shuffle of the exploded shingle set.
+    """
     w = _words(F.col("text"))
     grams = F.transform(
         F.sequence(F.lit(1), F.size(w) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(w, i, n)),
     )
-    return (
-        docs.filter(F.size(w) >= n)
-        .select("doc_id", F.explode(grams).alias("gram"))
-        .distinct()
-    )
+    out = docs.filter(F.size(w) >= n).select("doc_id", F.explode(grams).alias("gram"))
+    return out.distinct() if distinct else out
 
 
 _GRAMS_SQL = """
@@ -201,7 +203,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     t = _t(spark, sf_dir)
-    sig = _minhash_sig(_doc_grams(t["documents"]))
+    # MIN is duplicate-insensitive -> skip the shingle-dedup shuffle.
+    sig = _minhash_sig(_doc_grams(t["documents"], distinct=False))
     rows = _MINHASH_K // _MINHASH_BANDS
     band_cols = [
         F.md5(F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)]).cast("binary"))
@@ -383,7 +386,12 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     docs = t["documents"]
     bag = F.concat_ws(" ", F.array_sort(F.array_distinct(_words(F.lower(F.trim(F.col("text")))))))
-    min_fp = _doc_grams(docs).groupBy("doc_id").agg(F.min(F.md5(F.col("gram").cast("binary"))).alias("min_fp"))
+    # MIN over shingle hashes is duplicate-insensitive -> skip dedup shuffle.
+    min_fp = (
+        _doc_grams(docs, distinct=False)
+        .groupBy("doc_id")
+        .agg(F.min(F.md5(F.col("gram").cast("binary"))).alias("min_fp"))
+    )
     return (
         docs.select(
             "doc_id",
