@@ -43,6 +43,20 @@ def cosine_sim(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series((am * bm).sum(axis=1) / denom)
 
 
+# Grouped-aggregate pandas UDFs (UDAF surface): Spark detects the
+# Series -> scalar signature and runs one Arrow batch per group.
+@F.pandas_udf(DoubleType())
+def median_udaf(v: pd.Series) -> float:
+    """Exact median per group (no built-in exact form in Spark)."""
+    return float(np.median(v))
+
+
+@F.pandas_udf(DoubleType())
+def p90_udaf(v: pd.Series) -> float:
+    """Exact p90 (linear interpolation, matches DuckDB quantile_cont)."""
+    return float(np.quantile(v, 0.9))
+
+
 @F.pandas_udf(ArrayType(DoubleType()))
 def l2_normalize(v: pd.Series) -> pd.Series:
     """L2-normalize an embedding column."""

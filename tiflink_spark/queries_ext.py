@@ -279,6 +279,33 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pandas_udaf_median",
+    """
+    SELECT o_orderpriority,
+           round(median(o_totalprice), 2) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "UDAF surface: grouped-aggregate pandas UDFs (Arrow batch per group) "
+        "computing exact median / p90 — aggregates Spark has no built-in "
+        "exact form for. numpy linear-interpolation quantiles match DuckDB's "
+        "quantile_cont."
+    ),
+    tags=("udf", "udaf", "agg"),
+)
+def pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.functions import median_udaf, p90_udaf
+
+    t = _t(spark, sf_dir)
+    return t["orders"].groupBy("o_orderpriority").agg(
+        F.round(median_udaf("o_totalprice"), 2).alias("median_price"),
+        F.round(p90_udaf("o_totalprice"), 2).alias("p90_price"),
+    )
+
+
+@register(
     "udtf_split_words",
     r"""
     SELECT doc_id, i AS word_idx, ws[i + 1] AS word
