@@ -110,6 +110,112 @@ class RecomputeMV:
         return self.target.read(version)
 
 
+class IncrementalJoinMV:
+    """Incremental MV for ``A ⋈ B ON A.k = B.k`` with changelogs on BOTH
+    sides (the stream-stream join of SURVEY §2.2, maintained per
+    micro-batch instead of with operator state).
+
+    Maintenance is **dirty-join-key recompute**: a batch's changed rows
+    (old and new versions) dirty their join-key values; the join is
+    recomputed only for those keys (both sides pruned by semi-join) and
+    diffed against the MV rows holding those keys. Work per batch ∝ the
+    row volume of touched join keys — never the full join. A pathological
+    hot key makes its own recompute expensive (same caveat as any skewed
+    join); AQE skew-split applies to the pruned join too.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        left: DataFrame,
+        left_pk: list[str],
+        right: DataFrame,
+        right_pk: list[str],
+        join_key: str,
+        out_cols: list[str],
+        work_dir: str,
+        num_buckets: int = 16,
+    ):
+        self.spark = spark
+        self.join_key = join_key
+        # join_key must be in the output: MV rows are located by it.
+        self.out_cols = out_cols if join_key in out_cols else [join_key, *out_cols]
+        self.left0, self.right0 = left, right
+        self.left_store = KeyedParquetStore(
+            spark, os.path.join(work_dir, "left"), left_pk, num_buckets
+        )
+        self.right_store = KeyedParquetStore(
+            spark, os.path.join(work_dir, "right"), right_pk, num_buckets
+        )
+        self.target = KeyedParquetStore(
+            spark, os.path.join(work_dir, "mv"), [*left_pk, *right_pk], num_buckets
+        )
+
+    def _join(self, a: DataFrame, b: DataFrame) -> DataFrame:
+        cols = list(dict.fromkeys([*self.target.pk, *self.out_cols]))
+        return a.join(b, self.join_key).select(*cols)
+
+    def bootstrap(self, batch_id=0) -> None:
+        self.left_store.bootstrap(self.left0, batch_id)
+        self.right_store.bootstrap(self.right0, batch_id)
+        self.target.bootstrap(
+            self._join(self.left_store.read(), self.right_store.read()), batch_id
+        )
+
+    def _dirty_keys(
+        self, store: KeyedParquetStore, changes: DataFrame | None, batch_id
+    ) -> DataFrame | None:
+        """Join-key values touched by a batch: keys of the NEW row
+        versions plus keys of the displaced OLD rows (a key-changing
+        update dirties both)."""
+        if changes is None:
+            return None
+        if batch_id in store.committed_batches():
+            old = store.read(store.version_before_batch(batch_id))
+        else:
+            old = store.read()
+        changed_pks = last_change_per_key(changes, store.pk).select(*store.pk)
+        old_keys = old.join(changed_pks, store.pk, "left_semi").select(self.join_key)
+        new_keys = changes.select(self.join_key).where(F.col(self.join_key).isNotNull())
+        return old_keys.unionByName(new_keys).distinct()
+
+    def refresh(
+        self,
+        left_changes: DataFrame | None,
+        right_changes: DataFrame | None,
+        batch_id,
+    ) -> bool:
+        if batch_id in self.target.committed_batches():
+            return False
+        dirty = [
+            d
+            for d in (
+                self._dirty_keys(self.left_store, left_changes, batch_id),
+                self._dirty_keys(self.right_store, right_changes, batch_id),
+            )
+            if d is not None
+        ]
+        if not dirty:
+            return False
+        dirty_k = dirty[0] if len(dirty) == 1 else dirty[0].unionByName(dirty[1]).distinct()
+
+        if left_changes is not None:
+            self.left_store.merge(left_changes, batch_id)
+        if right_changes is not None:
+            self.right_store.merge(right_changes, batch_id)
+
+        sub_a = self.left_store.read().join(dirty_k, self.join_key, "left_semi")
+        sub_b = self.right_store.read().join(dirty_k, self.join_key, "left_semi")
+        recomputed = self._join(sub_a, sub_b)
+        mv_dirty_old = self.target.read().join(dirty_k, self.join_key, "left_semi")
+        mv_changes = diff_states(mv_dirty_old, recomputed, self.target.pk)
+        self.target.merge(mv_changes, batch_id)
+        return True
+
+    def read(self, version: int | None = None) -> DataFrame:
+        return self.target.read(version)
+
+
 class IncrementalAggMV:
     """Incremental MV for `dim ⟕ (SELECT k, aggs FROM fact GROUP BY k)`.
 

@@ -170,6 +170,194 @@ def mv_groupagg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mv_join_incremental",
+    f"""
+    WITH final_orders AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 8 = 0 AND o_orderkey % 9 <> 0
+                    THEN o_custkey % 100 + 1 ELSE o_custkey END AS custkey,
+               CASE WHEN o_orderkey % 4 = 0 AND o_orderkey % 9 <> 0
+                    THEN o_totalprice + 10 ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 9 <> 0
+        UNION ALL
+        SELECT o_orderkey + {BIG}, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 50 = 0
+    ),
+    final_customer AS (
+        SELECT c_custkey AS custkey,
+               CASE WHEN c_custkey % 3 = 0 THEN c_name || '*' ELSE c_name END AS c_name
+        FROM customer WHERE c_custkey % 11 <> 0
+    )
+    SELECT o_orderkey, custkey, o_totalprice, c_name
+    FROM final_orders JOIN final_customer USING (custkey)
+    """,
+    doc=(
+        "Incremental two-sided JOIN MV (stream-stream join of SURVEY §2.2): "
+        "changelogs hit BOTH sides — order deletes/updates (incl. join-key-"
+        "moving updates), customer renames and deletes (orphaning their "
+        "orders out of the MV), late order inserts. Maintained by dirty-join-"
+        "key recompute: per batch only touched keys' join slices are "
+        "recomputed and diffed."
+    ),
+    tags=("mv", "incremental", "join"),
+)
+def mv_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.mv import IncrementalJoinMV
+
+    t = _t(spark, sf_dir)
+    left = t["orders"].select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    right = t["customer"].select(F.col("c_custkey").alias("custkey"), "c_name")
+    work = tempfile.mkdtemp(prefix="mv_join_")
+    try:
+        mv = IncrementalJoinMV(
+            spark,
+            left=left,
+            left_pk=["o_orderkey"],
+            right=right,
+            right_pk=["custkey"],
+            join_key="custkey",
+            out_cols=["o_orderkey", "custkey", "o_totalprice", "c_name"],
+            work_dir=work,
+        )
+        mv.bootstrap()
+
+        # B1 — orders: delete %9, update %4 (price +10; %8 also moves the
+        # JOIN KEY to another customer).
+        b1_del = (
+            left.filter(F.col("o_orderkey") % 9 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+        )
+        b1_upd = (
+            left.filter((F.col("o_orderkey") % 4 == 0) & (F.col("o_orderkey") % 9 != 0))
+            .withColumn(
+                "custkey",
+                F.when(F.col("o_orderkey") % 8 == 0, F.col("custkey") % 100 + 1).otherwise(
+                    F.col("custkey")
+                ),
+            )
+            .withColumn("o_totalprice", F.col("o_totalprice") + 10)
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+        )
+        b1 = b1_del.unionByName(b1_upd).withColumn(SEQ_COL, F.monotonically_increasing_id())
+        mv.refresh(b1, None, batch_id=1)
+
+        # B2 — customer: rename %3, delete %11 (their orders drop out).
+        b2_upd = (
+            right.filter(F.col("custkey") % 3 == 0)
+            .withColumn("c_name", F.concat(F.col("c_name"), F.lit("*")))
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+        )
+        b2_del = right.filter(F.col("custkey") % 11 == 0).withColumn(OP_COL, F.lit(OP_DELETE))
+        b2 = b2_upd.unionByName(b2_del).withColumn(SEQ_COL, F.monotonically_increasing_id())
+        mv.refresh(None, b2, batch_id=2)
+
+        # B3 — late order inserts (keys above BIG, original customers).
+        b3 = (
+            left.filter(F.col("o_orderkey") % 50 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + BIG)
+            .withColumn(OP_COL, F.lit(OP_INSERT))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        mv.refresh(b3, None, batch_id=3)
+
+        return mv.read().select(
+            "o_orderkey", "custkey", "o_totalprice", "c_name"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mv_window_incremental",
+    f"""
+    WITH final_events AS (
+        SELECT event_id,
+               CASE WHEN event_id % 7 = 0 AND event_id % 13 <> 0
+                    THEN value + 5 ELSE value END AS value,
+               CASE WHEN event_id % 14 = 0 AND event_id % 13 <> 0
+                    THEN CAST(ts AS TIMESTAMP) + INTERVAL 2 hours
+                    ELSE CAST(ts AS TIMESTAMP) END AS ts
+        FROM events WHERE event_id % 13 <> 0
+        UNION ALL
+        SELECT event_id + {BIG}, value, CAST(ts AS TIMESTAMP) + INTERVAL 2 hours
+        FROM events WHERE event_id % 40 = 0
+    )
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS wstart,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM final_events GROUP BY 1
+    """,
+    doc=(
+        "Incrementally-maintained TUMBLING-WINDOW aggregate MV: the group key "
+        "is the derived hour bucket, so late inserts, deletes, value updates "
+        "and window-moving timestamp updates each retract/add into the right "
+        "buckets. The composition the reference serves with Flink group "
+        "windows over a changelog (SURVEY §2.2 'time windows' + MV)."
+    ),
+    tags=("mv", "incremental", "window-time"),
+)
+def mv_window_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    ev = t["events"].select("event_id", "ts", "value")
+
+    def with_window(df: DataFrame) -> DataFrame:
+        return df.withColumn("wstart", F.date_trunc("hour", F.col("ts")))
+
+    fact = with_window(ev)
+    work = tempfile.mkdtemp(prefix="mv_win_")
+    try:
+        mv = IncrementalAggMV(
+            spark,
+            fact=fact,
+            fact_pk=["event_id"],
+            group_key="wstart",
+            measures=[
+                Measure("count", None, "n_events"),
+                Measure("sum", "value", "total_value_raw"),
+            ],
+            work_dir=work,
+        )
+        mv.bootstrap()
+
+        two_h = F.expr("INTERVAL 2 HOURS")
+        b1 = with_window(
+            ev.filter(F.col("event_id") % 40 == 0)
+            .withColumn("event_id", F.col("event_id") + BIG)
+            .withColumn("ts", F.col("ts") + two_h)
+        ).withColumn(OP_COL, F.lit(OP_INSERT))
+        b2 = with_window(ev.filter(F.col("event_id") % 13 == 0)).withColumn(
+            OP_COL, F.lit(OP_DELETE)
+        )
+        b3 = with_window(
+            ev.filter((F.col("event_id") % 7 == 0) & (F.col("event_id") % 13 != 0))
+            .withColumn("value", F.col("value") + 5)
+            .withColumn(
+                "ts",
+                F.when(F.col("event_id") % 14 == 0, F.col("ts") + two_h).otherwise(
+                    F.col("ts")
+                ),
+            )
+        ).withColumn(OP_COL, F.lit(OP_UPDATE))
+
+        for i, b in enumerate([b1, b2, b3], start=1):
+            mv.refresh(b.withColumn(SEQ_COL, F.monotonically_increasing_id()), batch_id=i)
+
+        return (
+            mv.read()
+            .select(
+                F.col("wstart"),
+                "n_events",
+                F.round("total_value_raw", 2).alias("total_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "mv_flagship_recompute",
     f"""
     WITH {_FINAL_ORDERS_SQL}
