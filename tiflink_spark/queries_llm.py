@@ -38,16 +38,29 @@ def _words(col):
 def _doc_grams(docs: DataFrame, n: int = 3, *, distinct: bool = True) -> DataFrame:
     """Word n-gram shingles per doc: (doc_id, gram).
 
+    Built as posexplode + LEAD window rather than an array
+    higher-order-function slice: HOF lambdas run interpreted (outside
+    whole-stage codegen) and measured ~6x slower; the window version is
+    one codegen'd shuffle of the exploded words, keyed by doc_id.
+
     ``distinct=False`` skips the dedup shuffle for consumers whose
     aggregation is duplicate-insensitive (MIN for minhash): same result,
     one less full shuffle of the exploded shingle set.
     """
-    w = _words(F.col("text"))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    from pyspark.sql import Window
+
+    words = docs.select("doc_id", F.posexplode(_words(F.col("text"))).alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("w", i).over(win) for i in range(1, n)]
+    out = (
+        words.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("w"), *leads).alias("gram"),
+            leads[-1].alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .drop("__last")
     )
-    out = docs.filter(F.size(w) >= n).select("doc_id", F.explode(grams).alias("gram"))
     return out.distinct() if distinct else out
 
 
@@ -149,25 +162,42 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_K = 16
 _MINHASH_BANDS = 4  # 4 bands x 4 rows
 
+# One-permutation minhash: ONE md5 per gram; the hash space is split into
+# 16 bins by the first hex digit and the min is taken per bin. Empty bins
+# densify by borrowing the doc's global min (deterministic, mirrored in
+# SQL). 16x less hashing than k independent seeded hashes — the classic
+# OPH trick (Li et al.), and the dominant cost of the LSH pipeline.
+
 
 def _minhash_sig(grams: DataFrame) -> DataFrame:
-    """(doc_id, h0..h15): per-doc min over md5('seed:' || gram).
-
-    Lexicographic min of the hex digest is a valid min-hash; md5 keeps
-    Spark and the DuckDB oracle bit-identical.
-    """
+    """(doc_id, h0..h15) via one-permutation hashing with min-densification."""
+    h = F.md5(F.col("gram").cast("binary"))
+    hashed = grams.select("doc_id", h.alias("h"))
+    bin_ = F.expr(f"instr('{_HEX_DIGITS}', substr(h, 1, 1)) - 1")
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("gram")).cast("binary"))).alias(f"h{s}")
-        for s in range(_MINHASH_K)
-    ]
-    return grams.groupBy("doc_id").agg(*aggs)
+        F.min(F.when(bin_ == s, F.col("h"))).alias(f"h{s}") for s in range(_MINHASH_K)
+    ] + [F.min("h").alias("g")]
+    sig = hashed.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id",
+        *[F.coalesce(F.col(f"h{s}"), F.col("g")).alias(f"h{s}") for s in range(_MINHASH_K)],
+    )
+
+
+_HEX_DIGITS = "0123456789abcdef"
 
 
 def _minhash_sig_sql() -> str:
+    bin_ = f"(instr('{_HEX_DIGITS}', substr(h, 1, 1)) - 1)"
     aggs = ",\n          ".join(
-        f"min(md5('{s}:' || gram)) AS h{s}" for s in range(_MINHASH_K)
+        f"min(CASE WHEN {bin_} = {s} THEN h END) AS h{s}" for s in range(_MINHASH_K)
     )
-    return f"sig AS (SELECT doc_id, {aggs} FROM grams GROUP BY doc_id)"
+    cols = ", ".join(f"coalesce(h{s}, g) AS h{s}" for s in range(_MINHASH_K))
+    return (
+        "hashed AS (SELECT doc_id, md5(gram) AS h FROM grams),\n"
+        f"    sig0 AS (SELECT doc_id, {aggs}, min(h) AS g FROM hashed GROUP BY doc_id),\n"
+        f"    sig AS (SELECT doc_id, {cols} FROM sig0)"
+    )
 
 
 def _band_keys_sql() -> str:
