@@ -124,6 +124,85 @@ def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_simhash_pairs_sql("spark"))
 
 
+@register(
+    "stats_aggs",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4) AS sd_price,
+           round(var_samp(l_quantity), 4)         AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6)      AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregates: STDDEV/VARIANCE/CORR/COVAR (skewness omitted: Spark uses the population estimator, DuckDB the bias-corrected sample one).",
+    tags=("agg", "stats"),
+)
+def stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
+    )
+
+
+@register(
+    "window_first_last_ntile",
+    """
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_ok,
+           last_value(o_orderkey) OVER (PARTITION BY o_custkey
+                                        ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND UNBOUNDED FOLLOWING) AS last_ok,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+    """,
+    doc="FIRST_VALUE / LAST_VALUE (full-frame) / NTILE window functions.",
+    tags=("window",),
+)
+def window_first_last_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir)
+    order = [F.col("o_orderdate").cast("date"), F.col("o_orderkey")]
+    w = Window.partitionBy("o_custkey").orderBy(*order)
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(wfull).alias("last_ok"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "percentile_exact",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 2)  AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 2) AS p95
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc=(
+        "Exact percentiles via Spark's percentile() aggregate (exact "
+        "interpolated form, matches DuckDB quantile_cont)."
+    ),
+    tags=("agg", "stats"),
+)
+def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return t["orders"].groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 2).alias("p95"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Interval / temporal join
 # ---------------------------------------------------------------------------
