@@ -197,7 +197,11 @@ class IncrementalJoinMV:
         ]
         if not dirty:
             return False
-        dirty_k = dirty[0] if len(dirty) == 1 else dirty[0].unionByName(dirty[1]).distinct()
+        # dirty_k prunes four downstream joins; cache so the old-version
+        # store reads behind it run once.
+        dirty_k = (
+            dirty[0] if len(dirty) == 1 else dirty[0].unionByName(dirty[1]).distinct()
+        ).cache()
 
         if left_changes is not None:
             self.left_store.merge(left_changes, batch_id)
@@ -210,6 +214,7 @@ class IncrementalJoinMV:
         mv_dirty_old = self.target.read().join(dirty_k, self.join_key, "left_semi")
         mv_changes = diff_states(mv_dirty_old, recomputed, self.target.pk)
         self.target.merge(mv_changes, batch_id)
+        dirty_k.unpersist()
         return True
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -308,13 +313,15 @@ class IncrementalAggMV:
         delta = compute_delta(fact_changes, old_rows, self.fact_store.pk)
         self.fact_store.merge(fact_changes, batch_id)
 
+        # new_state feeds both the state-store MERGE and the target MERGE;
+        # cache it so the delta/merge lineage executes once, not per action.
         new_state = merge_delta_state(
             self.state_store.read(),
             delta,
             self.fact_store.read(),
             [self.group_key],
             self.measures,
-        )
+        ).cache()
 
         # State store: vanished groups (__rows == 0) are deleted.
         state_changes = (
@@ -350,6 +357,7 @@ class IncrementalAggMV:
             )
         mv_changes = mv_changes.withColumn(SEQ_COL, F.monotonically_increasing_id())
         self.target.merge(mv_changes, batch_id)
+        new_state.unpersist()
         return True
 
     def read(self, version: int | None = None) -> DataFrame:
