@@ -248,6 +248,72 @@ def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pivot_status",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Relational PIVOT (df.groupBy().pivot().count() with explicit value list).",
+    tags=("agg", "pivot"),
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    out = (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return out.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("F", "O", "P")],
+    )
+
+
+@register(
+    "asof_last_click",
+    """
+    SELECT event_id,
+           last_value(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+    FROM events
+    QUALIFY event_type = 'error'
+    """,
+    doc=(
+        "AS-OF (point-in-time) join: for each error event, the most recent "
+        "prior click by the same user — the sorted-merge form (partition by "
+        "key, order by time, last_value IGNORE NULLS over the preceding "
+        "frame), which is how an as-of join stays a single shuffle at scale."
+    ),
+    tags=("join", "asof", "event-time"),
+)
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    return (
+        t["events"]
+        .select(
+            "event_id",
+            "event_type",
+            F.last(click_ts, ignorenulls=True).over(w).alias("last_click_ts"),
+        )
+        .filter(F.col("event_type") == "error")
+        .drop("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Map functions
 # ---------------------------------------------------------------------------

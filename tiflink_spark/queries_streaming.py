@@ -223,6 +223,75 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(stream_dir, ignore_errors=True)
 
 
+@register(
+    "streaming_stateful_counts",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           count(DISTINCT event_type) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+    doc=(
+        "Custom stateful streaming operator via applyInPandasWithState "
+        "(GroupState per user): the surface SURVEY §2.1 maps the reference's "
+        "transaction-buffering source state onto. Bounded availableNow input "
+        "-> final state equals the batch aggregate."
+    ),
+    tags=("streaming", "stateful"),
+)
+def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev, stream_dir = _stream_events(spark, sf_dir)
+    try:
+
+        def update(key, pdfs, state: GroupState):
+            (user_id,) = key
+            n, total, types = state.get if state.exists else (0, 0.0, "")
+            typeset = set(types.split("|")) - {""}
+            for pdf in pdfs:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                typeset |= set(pdf["event_type"])
+            state.update((n, total, "|".join(sorted(typeset))))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                    "n_types": [len(typeset)],
+                }
+            )
+
+        counts = (
+            ev.select("user_id", "event_type", "value")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType="user_id long, n_events long, total_value double, n_types long",
+                stateStructType="n long, total double, types string",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        # update-mode emits one row per user per trigger; availableNow over a
+        # single file yields exactly the final state per user.
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("streaming_stateful_sink")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table("streaming_stateful_sink").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # The full streaming MV pipeline: changelog file stream -> foreachBatch MERGE
 # ---------------------------------------------------------------------------
