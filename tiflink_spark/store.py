@@ -111,6 +111,44 @@ class KeyedParquetStore:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(*paths).drop(BUCKET_COL)
 
+    # -- maintenance ---------------------------------------------------------
+
+    def compact(self, batch_id="__compact__") -> int:
+        """Rewrite the current state as one fresh full version. A long-
+        running MV accumulates versions whose buckets point at many old
+        files; compaction collapses the live state into new files (the
+        OPTIMIZE of a Delta-style table). History stays readable until
+        vacuumed."""
+        current = self.read()
+        commits = self._commits()
+        version = commits[-1]["version"] + 1
+        bucketed = current.withColumn(BUCKET_COL, _bucket_expr(self.pk, self.num_buckets))
+        rel = self._write_buckets(bucketed, version)
+        buckets = {b: f"{rel}/{BUCKET_COL}={b}" for b in self._present_buckets(rel)}
+        self._commit(f"{batch_id}-{version}", version, buckets, commits[-1]["schema"])
+        return version
+
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Delete version data directories referenced only by manifest
+        entries older than the last ``keep_last`` versions. The manifest
+        itself is never pruned (it carries batch-id idempotence)."""
+        import shutil
+
+        commits = self._commits()
+        if len(commits) <= keep_last:
+            return []
+        keep = commits[-keep_last:]
+        live_dirs = {rel.split(f"/{BUCKET_COL}=")[0] for c in keep for rel in c["buckets"].values()}
+        data_root = os.path.join(self.path, "data")
+        removed = []
+        if os.path.isdir(data_root):
+            for d in sorted(os.listdir(data_root)):
+                rel = f"data/{d}"
+                if rel not in live_dirs:
+                    shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+                    removed.append(rel)
+        return removed
+
     def version_before_batch(self, batch_id) -> int | None:
         """Version committed immediately before ``batch_id``'s commit —
         the snapshot a replay of that batch must diff against."""
