@@ -1,0 +1,63 @@
+"""Plan-quality regression tests: the properties that make these
+queries survive a 100x scale-up, pinned so a refactor can't silently
+lose them."""
+
+import re
+
+from tiflink_spark.queries import get_registry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = get_registry()[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert re.search(r"PushedFilters: \[.*LessThan\(l_shipdate", plan), plan[:2000]
+
+
+def test_filter_project_pushes_range_predicate(spark):
+    # NB: the plan string truncates long filter lists with '…', so assert
+    # on prefixes that fit.
+    plan = _plan(spark, "filter_project")
+    assert "GreaterThanOrEqual(l_quantity" in plan
+    assert "PushedFilters: [IsNotNull(l_quantity)" in plan
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    # no row-at-a-time Python in the hot path
+    assert "BatchEvalPython" not in plan
+
+
+def test_flagship_decorrelates_to_join(spark):
+    """Catalyst must rewrite the scalar correlated subquery to an
+    aggregate + join, not a per-row subquery execution."""
+    plan = _plan(spark, "flagship_correlated_count")
+    assert "Join" in plan or "BroadcastHashJoin" in plan
+    assert "InSubquery" not in plan
+
+
+def test_no_cartesian_products_in_headline_queries(spark):
+    for name in [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "join_inner",
+        "dedup_minhash_lsh",
+    ]:
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_column_pruning_reaches_scan(spark):
+    """A 2-column projection must not read the full lineitem schema."""
+    plan = _plan(spark, "orderby_limit")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:2000]
+    cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert set(cols) == {"o_orderkey", "o_totalprice"}, cols

@@ -249,6 +249,110 @@ def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_max_by",
+    """
+    SELECT o_orderpriority,
+           max_by(o_orderkey, o_totalprice * 1e8 - o_orderkey) AS best_order,
+           max(o_totalprice) AS best_price,
+           min_by(o_orderkey, o_totalprice * 1e8 + o_orderkey) AS worst_order
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "MAX_BY / MIN_BY argmax aggregates. Tie-break folded into one double "
+        "ordering key (price*1e8 ∓ orderkey): the orderkey term exceeds the "
+        "multiply's rounding error, and both engines compute the identical "
+        "IEEE value, so the argmax is deterministic and mirrored."
+    ),
+    tags=("agg",),
+)
+def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    best_key = F.col("o_totalprice") * 1e8 - F.col("o_orderkey")
+    worst_key = F.col("o_totalprice") * 1e8 + F.col("o_orderkey")
+    return t["orders"].groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", best_key).alias("best_order"),
+        F.max("o_totalprice").alias("best_price"),
+        F.min_by("o_orderkey", worst_key).alias("worst_order"),
+    )
+
+
+@register(
+    "array_ops",
+    """
+    SELECT n_nationkey,
+           list_sort(list_intersect([0,1,2,3,4], [n_regionkey, 2, 4]))       AS common,
+           list_sort(list_distinct([0,1,2,3,4] || [n_regionkey]))            AS merged,
+           flatten([[n_nationkey], [n_regionkey, n_regionkey]])              AS flat,
+           range(0, n_regionkey + 1)                                         AS seq,
+           list_contains([1, 3], n_regionkey)                                AS in_13,
+           array_to_string(list_transform([1, 2, 3], x -> x * n_regionkey), ',') AS scaled
+    FROM nation
+    """,
+    doc=(
+        "Array battery beyond the basics: intersect/union-distinct/flatten/"
+        "sequence/contains/transform (reference plumbing: TypeUtils.java:329-340)."
+    ),
+    tags=("scalar", "array"),
+)
+def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    base = F.array(*[F.lit(i) for i in range(5)])
+    return t["nation"].select(
+        "n_nationkey",
+        F.array_sort(
+            F.array_intersect(base, F.array(F.col("n_regionkey"), F.lit(2), F.lit(4)))
+        ).alias("common"),
+        F.array_sort(F.array_union(base, F.array(F.col("n_regionkey")))).alias("merged"),
+        F.flatten(
+            F.array(
+                F.array(F.col("n_nationkey")),
+                F.array(F.col("n_regionkey"), F.col("n_regionkey")),
+            )
+        ).alias("flat"),
+        F.sequence(F.lit(0), F.col("n_regionkey")).alias("seq"),
+        F.array_contains(F.array(F.lit(1), F.lit(3)), F.col("n_regionkey")).alias("in_13"),
+        F.array_join(
+            F.transform(F.array(F.lit(1), F.lit(2), F.lit(3)), lambda x: x * F.col("n_regionkey")),
+            ",",
+        ).alias("scaled"),
+    )
+
+
+@register(
+    "string_funcs_ext",
+    """
+    SELECT c_custkey,
+           levenshtein(c_name, c_mktsegment)            AS lev_dist,
+           split_part(c_name, '0', 1)                   AS first_part,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0')     AS padded,
+           reverse(c_mktsegment)                        AS rev_seg,
+           translate(c_mktsegment, 'AEIOU', 'aeiou')    AS xlat,
+           left(c_name, 4)                              AS l4,
+           right(c_name, 3)                             AS r3,
+           repeat('ab', c_custkey % 3)                  AS reps
+    FROM customer
+    """,
+    doc="Extended string battery: LEVENSHTEIN/SPLIT_PART/LPAD/REVERSE/TRANSLATE/LEFT/RIGHT/REPEAT.",
+    tags=("scalar", "string"),
+)
+def string_funcs_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    c = t["customer"]
+    return c.select(
+        "c_custkey",
+        F.levenshtein("c_name", "c_mktsegment").alias("lev_dist"),
+        F.split_part(F.col("c_name"), F.lit("0"), F.lit(1)).alias("first_part"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.reverse(F.col("c_mktsegment")).alias("rev_seg"),
+        F.translate(F.col("c_mktsegment"), "AEIOU", "aeiou").alias("xlat"),
+        F.substring("c_name", 1, 4).alias("l4"),
+        F.col("c_name").substr(F.length("c_name") - 2, F.lit(3)).alias("r3"),
+        F.repeat(F.lit("ab"), (F.col("c_custkey") % 3).cast("int")).alias("reps"),
+    )
+
+
+@register(
     "pivot_status",
     """
     SELECT o_orderpriority,
