@@ -1,0 +1,158 @@
+"""MVApp — the engine's user entry point.
+
+Mirrors the reference's only public API, `TiFlinkApp.Builder` →
+`build()` → `start()` (TiFlinkApp.java:70-116, §3.1 of SURVEY.md):
+
+    app = (MVApp.builder(spark)
+           .source("orders", "/data/orders.parquet", pk=["o_orderkey"])
+           .source("customer", "/data/customer.parquet", pk=["c_custkey"])
+           .query("SELECT c_custkey, c_name, (SELECT count(*) FROM orders o "
+                  "WHERE o.o_custkey = c.c_custkey) AS order_cnt FROM customer c")
+           .target("/data/mv_author_counts")
+           .build())
+    app.bootstrap()                      # snapshot phase: batch run -> v0
+    app.start_streaming(changelog_dirs)  # CDC phase: readStream -> MERGE
+    app.read()                           # consistent MV state
+    app.read(version=2)                  # stale snapshot (README.md:18-22)
+
+Lifecycle parity with the reference:
+1. catalog registration  (TiFlinkApp.java:263-268)
+2. query resolution — Catalyst resolves the SQL, `df.schema` is the MV
+   schema, PK defaults to the first output column (TiFlinkApp.java:276-281)
+3. target DDL (generated; executed only if a JDBC hook is supplied —
+   TiJDBCHelper.java:111-140 analog)
+4. bootstrap: batch snapshot published as version 0
+5. maintenance: per-micro-batch refresh, exactly-once by batch_id
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tiflink_spark.catalog import Catalog, default_pk
+from tiflink_spark.mv import RecomputeMV
+from tiflink_spark.store import KeyedParquetStore
+from tiflink_spark.types import create_table_ddl
+
+
+class MVAppBuilder:
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+        self._sources: dict[str, tuple[str | DataFrame, list[str] | None]] = {}
+        self._query: str | None = None
+        self._target: str | None = None
+        self._pk: list[str] | None = None
+        self._num_buckets = 16
+
+    def source(self, name: str, path_or_df, pk: list[str] | None = None) -> "MVAppBuilder":
+        self._sources[name] = (path_or_df, pk)
+        return self
+
+    def query(self, sql: str) -> "MVAppBuilder":
+        self._query = sql
+        return self
+
+    def target(self, path: str, pk: list[str] | None = None) -> "MVAppBuilder":
+        self._target = path
+        self._pk = pk
+        return self
+
+    def num_buckets(self, n: int) -> "MVAppBuilder":
+        self._num_buckets = n
+        return self
+
+    def build(self) -> "MVApp":
+        if not self._sources or self._query is None or self._target is None:
+            raise ValueError("MVApp needs at least one source, a query, and a target")
+        return MVApp(
+            self._spark, self._sources, self._query, self._target, self._pk, self._num_buckets
+        )
+
+
+class MVApp:
+    @staticmethod
+    def builder(spark: SparkSession) -> MVAppBuilder:
+        return MVAppBuilder(spark)
+
+    def __init__(self, spark, sources, query, target, pk, num_buckets):
+        self.spark = spark
+        self.catalog = Catalog(spark)
+        self.query = query
+        self.target_path = target
+        self._stores: dict[str, KeyedParquetStore] = {}
+
+        for name, (src, spk) in sources.items():
+            if isinstance(src, str):
+                spec = self.catalog.register_parquet(name, src, spk)
+                df = self.spark.read.parquet(src)
+            else:
+                spec = self.catalog.register_dataframe(name, src, spk)
+                df = src
+            store = KeyedParquetStore(
+                spark, os.path.join(target, f"_src_{name}"), spec.pk, num_buckets
+            )
+            if not store.committed_batches():
+                store.bootstrap(df, batch_id="src-init")
+            self._stores[name] = store
+
+        # Resolve the query against the catalog: schema + PK inference.
+        resolved = spark.sql(query)
+        self.mv_schema = resolved.schema
+        self.mv_pk = default_pk(self.mv_schema, pk)
+        self.ddl = create_table_ddl(os.path.basename(target), self.mv_schema, self.mv_pk)
+
+        self._mv = RecomputeMV(
+            spark,
+            self._stores,
+            query,
+            os.path.join(target, "mv"),
+            pk=self.mv_pk,
+            num_buckets=num_buckets,
+        )
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def bootstrap(self, batch_id=0) -> "MVApp":
+        self._mv.bootstrap(batch_id)
+        return self
+
+    def refresh(self, changes: dict[str, DataFrame], batch_id) -> bool:
+        """Apply one changelog micro-batch (table name → __op/__seq rows)."""
+        return self._mv.refresh(changes, batch_id)
+
+    def start_streaming(
+        self, changelog_dirs: dict[str, str], checkpoint_dir: str, available_now: bool = True
+    ):
+        """CDC phase: consume changelog directories as file streams and
+        MERGE each micro-batch (FlinkTikvConsumer.java:92-106 handoff;
+        foreachBatch is the exactly-once txn boundary)."""
+        from pyspark.sql import functions as F  # noqa: F401
+
+        streams = []
+        for name, d in changelog_dirs.items():
+            schema = self.spark.read.parquet(d).schema
+
+            def make_batch_fn(table):
+                def fn(df, epoch_id):
+                    self.refresh({table: df}, batch_id=f"{table}-{epoch_id}")
+
+                return fn
+
+            q = (
+                self.spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(d)
+                .writeStream.foreachBatch(make_batch_fn(name))
+                .option("checkpointLocation", os.path.join(checkpoint_dir, name))
+                .trigger(availableNow=available_now)
+                .start()
+            )
+            streams.append(q)
+        for q in streams:
+            q.awaitTermination()
+        return self
+
+    def read(self, version: int | None = None) -> DataFrame:
+        return self._mv.read(version)

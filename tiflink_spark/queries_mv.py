@@ -270,6 +270,63 @@ def mv_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mvapp_lifecycle",
+    f"""
+    WITH orders_v1 AS (
+        SELECT o_orderkey, o_custkey FROM orders
+        UNION ALL
+        SELECT o_orderkey + {BIG}, o_custkey FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT c_custkey, c_name,
+           (SELECT count(*) FROM orders_v1 o WHERE o.o_custkey = c.c_custkey) AS order_cnt
+    FROM customer c
+    """,
+    doc=(
+        "The public MVApp API end-to-end (TiFlinkApp.Builder parity, SURVEY "
+        "§3.1): builder -> catalog registration -> PK/schema inference -> DDL "
+        "-> bootstrap -> changelog file stream via start_streaming "
+        "(foreachBatch MERGE) -> consistent read."
+    ),
+    tags=("mv", "app", "flagship"),
+)
+def mvapp_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from tiflink_spark.app import MVApp
+    from tiflink_spark.changelog import OP_INSERT
+
+    work = tempfile.mkdtemp(prefix="mvapp_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("orders_app", os.path.join(sf_dir, "orders.parquet"), pk=["o_orderkey"])
+            .source("customer_app", os.path.join(sf_dir, "customer.parquet"), pk=["c_custkey"])
+            .query(
+                """SELECT c_custkey, c_name,
+                          (SELECT count(*) FROM orders_app o
+                           WHERE o.o_custkey = c.c_custkey) AS order_cnt
+                   FROM customer_app c"""
+            )
+            .target(os.path.join(work, "mv"))
+            .build()
+        )
+        app.bootstrap()
+        orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        changes = (
+            orders.filter(F.col("o_orderkey") % 100 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + BIG)
+            .withColumn(OP_COL, F.lit(OP_INSERT))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        chlog = os.path.join(work, "chlog")
+        changes.coalesce(1).write.parquet(chlog)
+        app.start_streaming({"orders_app": chlog}, checkpoint_dir=os.path.join(work, "ckpt"))
+        return app.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "mv_window_incremental",
     f"""
     WITH final_events AS (
