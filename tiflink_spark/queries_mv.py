@@ -102,6 +102,7 @@ def mv_flagship_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             dim=t["customer"],
             dim_key="c_custkey",
             dim_cols=["c_name"],
+            num_buckets=4,  # deployment knob: small at gate SF, ~1024 at 100 TB
         )
         mv.bootstrap()
         for i, b in enumerate(scripted_batches(t["orders"]), start=1):
@@ -149,6 +150,7 @@ def mv_groupagg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Measure("max", "o_totalprice", "max_price"),
             ],
             work_dir=work,
+            num_buckets=4,
         )
         mv.bootstrap()
         for i, b in enumerate(scripted_batches(t["orders"]), start=1):
@@ -220,6 +222,7 @@ def mv_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             join_key="custkey",
             out_cols=["o_orderkey", "custkey", "o_totalprice", "c_name"],
             work_dir=work,
+            num_buckets=4,
         )
         mv.bootstrap()
 
@@ -308,6 +311,7 @@ def mvapp_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
                    FROM customer_app c"""
             )
             .target(os.path.join(work, "mv"))
+            .num_buckets(4)
             .build()
         )
         app.bootstrap()
@@ -375,6 +379,7 @@ def mv_window_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Measure("sum", "value", "total_value_raw"),
             ],
             work_dir=work,
+            num_buckets=4,
         )
         mv.bootstrap()
 
@@ -433,9 +438,9 @@ def mv_flagship_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="mv_rec_")
     try:
-        src = KeyedParquetStore(spark, f"{work}/orders", ["o_orderkey"])
+        src = KeyedParquetStore(spark, f"{work}/orders", ["o_orderkey"], num_buckets=4)
         src.bootstrap(t["orders"])
-        cust = KeyedParquetStore(spark, f"{work}/customer", ["c_custkey"])
+        cust = KeyedParquetStore(spark, f"{work}/customer", ["c_custkey"], num_buckets=4)
         cust.bootstrap(t["customer"])
         rmv = RecomputeMV(
             spark,
@@ -445,6 +450,7 @@ def mv_flagship_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
                        WHERE o.o_custkey = c.c_custkey) AS order_cnt
                FROM customer_live c""",
             f"{work}/mv",
+            num_buckets=4,
         )
         rmv.bootstrap()
         for i, b in enumerate(scripted_batches(t["orders"]), start=1):

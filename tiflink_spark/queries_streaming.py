@@ -352,6 +352,7 @@ def mv_flagship_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
             dim=t["customer"],
             dim_key="c_custkey",
             dim_cols=["c_name"],
+            num_buckets=4,
         )
         mv.bootstrap()
 
