@@ -31,9 +31,11 @@ class TableSpec:
 
 def default_pk(schema: StructType, declared: list[str] | None = None) -> list[str]:
     """PK-defaulting rule: declared PK if valid, else the first column
-    (TiFlinkApp.java:276-281)."""
+    (TiFlinkApp.java:276-281). An explicit empty list means the table is
+    keyless (append-only fact) — it can be scanned and joined but cannot
+    back a keyed MV store."""
     names = [f.name for f in schema.fields]
-    if declared:
+    if declared is not None:
         missing = [c for c in declared if c not in names]
         if missing:
             raise ValueError(f"pk columns not in schema: {missing}")

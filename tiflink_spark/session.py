@@ -36,6 +36,24 @@ TABLES = (
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+# Primary keys of the driver-generated tables — catalog metadata, the
+# role TiDB's PK index plays for the reference (TiFlinkCatalog.java:387-401).
+TABLE_PKS: dict[str, list[str]] = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    # The driver's synthetic lineitem has NO natural key — even
+    # (l_orderkey, l_linenumber[, l_partkey, l_suppkey]) collide. Declared
+    # keyless: scan/join only, cannot back a keyed MV store.
+    "lineitem": [],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
 
 def get_spark(app_name: str = "tiflink_spark", *, extra_conf: dict | None = None) -> SparkSession:
     """Build (or reuse) the engine's SparkSession."""
@@ -95,6 +113,19 @@ def load_tables(
         if register_views:
             df.createOrReplaceTempView(name)
     return out
+
+
+def load_catalog(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+    """Load the testdata tables into a PK-carrying Catalog — the engine's
+    analog of reflecting TiDB's schema (TiFlinkCatalog.java:92-198).
+    Registers the repaired DataFrames (ns->us timestamps fixed), so MV
+    stores keyed off catalog PKs see the same data every query sees."""
+    from tiflink_spark.catalog import Catalog
+
+    cat = Catalog(spark)
+    for name, df in load_tables(spark, sf_dir).items():
+        cat.register_dataframe(name, df, TABLE_PKS.get(name))
+    return cat
 
 
 def _nano_ts_columns(path: str) -> list[str]:
