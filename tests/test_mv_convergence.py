@@ -139,6 +139,60 @@ def test_replaying_a_batch_is_idempotent(spark, tmp_path):
     mv.refresh(dfs[1], batch_id=2)
 
 
+def test_dim_churn_updates_mv(spark, tmp_path):
+    """Dimension inserts/renames/deletes flow into the MV (work ∝
+    changed dim keys), including a batch that changes BOTH sides."""
+    fact0 = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 10, 2.0), (3, 20, 3.0)], "k int, g int, v double"
+    )
+    dim0 = spark.createDataFrame([(10, "ten"), (20, "twenty")], "g int, name string")
+    mv = IncrementalAggMV(
+        spark,
+        fact=fact0,
+        fact_pk=["k"],
+        group_key="g",
+        measures=[Measure("count", None, "n")],
+        work_dir=str(tmp_path / "mv"),
+        dim=dim0,
+        dim_key="g",
+        dim_cols=["name"],
+        num_buckets=4,
+    )
+    mv.bootstrap()
+    assert {(r.g, r.name, r.n) for r in mv.read().collect()} == {
+        (10, "ten", 2),
+        (20, "twenty", 1),
+    }
+
+    # batch 1: rename dim 10, delete dim 20, insert dim 30 (no facts yet)
+    dimc = spark.createDataFrame(
+        [
+            (10, "TEN", OP_UPDATE, 0),
+            (20, None, OP_DELETE, 1),
+            (30, "thirty", OP_INSERT, 2),
+        ],
+        f"g int, name string, {OP_COL} string, {SEQ_COL} long",
+    )
+    mv.refresh(None, batch_id=1, dim_changes=dimc)
+    assert {(r.g, r.name, r.n) for r in mv.read().collect()} == {
+        (10, "TEN", 2),
+        (30, "thirty", 0),
+    }
+
+    # batch 2: BOTH sides — fact moves into group 30, dim renames 30
+    factc = spark.createDataFrame(
+        [(3, 30, 3.5, OP_UPDATE, 0)], f"k int, g int, v double, {OP_COL} string, {SEQ_COL} long"
+    )
+    dimc2 = spark.createDataFrame(
+        [(30, "XXX", OP_UPDATE, 0)], f"g int, name string, {OP_COL} string, {SEQ_COL} long"
+    )
+    mv.refresh(factc, batch_id=2, dim_changes=dimc2)
+    assert {(r.g, r.name, r.n) for r in mv.read().collect()} == {
+        (10, "TEN", 2),
+        (30, "XXX", 1),
+    }
+
+
 def test_crash_between_fact_and_mv_commit_recovers(spark, tmp_path):
     """Simulate the worst crash point: the fact store committed batch 1
     but the MV/state stores did not. A replay of refresh(batch 1) must

@@ -225,14 +225,16 @@ class IncrementalAggMV:
     """Incremental MV for `dim ⟕ (SELECT k, aggs FROM fact GROUP BY k)`.
 
     This is the decorrelated form of the reference's flagship query
-    (TiFlinkExample.java:10-16). Changelogs apply to the fact table;
-    the dimension is treated as static for this MV (dimension churn →
-    RecomputeMV).
+    (TiFlinkExample.java:10-16). Changelogs apply to the fact table AND
+    (when a dimension is configured) to the dimension: dim inserts/
+    renames upsert their MV rows against the current agg state, dim
+    deletes remove them — per-batch work ∝ changed dim keys.
 
     Stores:
       fact store  — current fact state, keyed by fact PK (bucket-pruned
                     MERGE + old-row lookup for retractions)
       state store — internal agg state per group key
+      dim store   — current dimension state (when dim is configured)
       target      — user-facing MV rows, keyed by dim PK
     """
 
@@ -262,6 +264,11 @@ class IncrementalAggMV:
         self.state_store = KeyedParquetStore(
             spark, os.path.join(work_dir, "state"), [group_key], num_buckets
         )
+        self.dim_store = (
+            KeyedParquetStore(spark, os.path.join(work_dir, "dim"), [dim_key], num_buckets)
+            if dim is not None
+            else None
+        )
         mv_pk = [dim_key] if dim is not None else [group_key]
         self.target = KeyedParquetStore(
             spark, os.path.join(work_dir, "mv"), mv_pk, num_buckets
@@ -274,7 +281,7 @@ class IncrementalAggMV:
         vals = present_measures(state, self.measures)
         if self.dim is None:
             return vals
-        dim = dim_subset if dim_subset is not None else self.dim
+        dim = dim_subset if dim_subset is not None else self.dim_store.read()
         joined = dim.join(
             vals, dim[self.dim_key] == vals[self.group_key], "left"
         )
@@ -288,76 +295,118 @@ class IncrementalAggMV:
 
     def bootstrap(self, batch_id=0) -> None:
         self.fact_store.bootstrap(self.fact_df0, batch_id)
+        if self.dim_store is not None:
+            self.dim_store.bootstrap(self.dim, batch_id)
         state = aggregate_state(self.fact_store.read(), [self.group_key], self.measures)
         self.state_store.bootstrap(state, batch_id)
         self.target.bootstrap(self._mv_rows_for_state(self.state_store.read()), batch_id)
 
-    def refresh(self, fact_changes: DataFrame, batch_id) -> bool:
-        """One changelog micro-batch against the fact table."""
+    def refresh(
+        self,
+        fact_changes: DataFrame | None,
+        batch_id,
+        dim_changes: DataFrame | None = None,
+    ) -> bool:
+        """One changelog micro-batch against the fact table and/or the
+        dimension. Dim churn work ∝ changed dim keys: upserted dims
+        rebuild their MV row against the current agg state, deleted
+        dims drop theirs."""
         if batch_id in self.target.committed_batches():
             return False
+        parts: list[DataFrame] = []
 
-        # Old rows for retraction come from the snapshot BEFORE this
-        # batch's fact commit — correct even when replaying after a
-        # crash mid-refresh (versioned store time travel).
-        if batch_id in self.fact_store.committed_batches():
-            prev_v = self.fact_store.version_before_batch(batch_id)
-            old_fact = self.fact_store.read(prev_v)
-        else:
-            old_fact = self.fact_store.read()
-        changed_keys = last_change_per_key(fact_changes, self.fact_store.pk).select(
-            *self.fact_store.pk
-        )
-        old_rows = old_fact.join(changed_keys, self.fact_store.pk, "left_semi")
+        new_state = None
+        if fact_changes is not None:
+            # Old rows for retraction come from the snapshot BEFORE this
+            # batch's fact commit — correct even when replaying after a
+            # crash mid-refresh (versioned store time travel).
+            if batch_id in self.fact_store.committed_batches():
+                prev_v = self.fact_store.version_before_batch(batch_id)
+                old_fact = self.fact_store.read(prev_v)
+            else:
+                old_fact = self.fact_store.read()
+            changed_keys = last_change_per_key(fact_changes, self.fact_store.pk).select(
+                *self.fact_store.pk
+            )
+            old_rows = old_fact.join(changed_keys, self.fact_store.pk, "left_semi")
 
-        delta = compute_delta(fact_changes, old_rows, self.fact_store.pk)
-        self.fact_store.merge(fact_changes, batch_id)
+            delta = compute_delta(fact_changes, old_rows, self.fact_store.pk)
+            self.fact_store.merge(fact_changes, batch_id)
 
-        # new_state feeds both the state-store MERGE and the target MERGE;
-        # cache it so the delta/merge lineage executes once, not per action.
-        new_state = merge_delta_state(
-            self.state_store.read(),
-            delta,
-            self.fact_store.read(),
-            [self.group_key],
-            self.measures,
-        ).cache()
+            # new_state feeds both the state-store MERGE and the target
+            # MERGE; cache it so the delta lineage executes once.
+            new_state = merge_delta_state(
+                self.state_store.read(),
+                delta,
+                self.fact_store.read(),
+                [self.group_key],
+                self.measures,
+            ).cache()
 
-        # State store: vanished groups (__rows == 0) are deleted.
-        state_changes = (
-            new_state.withColumn(
-                OP_COL,
-                F.when(F.col("__rows") <= 0, F.lit(OP_DELETE)).otherwise(F.lit(OP_UPDATE)),
+            # State store: vanished groups (__rows == 0) are deleted.
+            state_changes = (
+                new_state.withColumn(
+                    OP_COL,
+                    F.when(F.col("__rows") <= 0, F.lit(OP_DELETE)).otherwise(
+                        F.lit(OP_UPDATE)
+                    ),
+                )
+                .withColumn(SEQ_COL, F.monotonically_increasing_id())
             )
-            .withColumn(SEQ_COL, F.monotonically_increasing_id())
-        )
-        self.state_store.merge(state_changes, batch_id)
+            self.state_store.merge(state_changes, batch_id)
 
-        # Target rows for dirty groups.
-        if self.dim is None:
-            live = new_state.filter(F.col("__rows") > 0)
-            gone = new_state.filter(F.col("__rows") <= 0)
-            upserts = present_measures(live, self.measures).withColumn(
-                OP_COL, F.lit(OP_UPDATE)
+            # Target rows for dirty groups.
+            if self.dim is None:
+                live = new_state.filter(F.col("__rows") > 0)
+                gone = new_state.filter(F.col("__rows") <= 0)
+                upserts = present_measures(live, self.measures).withColumn(
+                    OP_COL, F.lit(OP_UPDATE)
+                )
+                # -D rows only need the PK; measure values ride along typed.
+                deletes = present_measures(gone, self.measures).withColumn(
+                    OP_COL, F.lit(OP_DELETE)
+                )
+                parts.append(upserts.unionByName(deletes))
+            else:
+                dirty_dim = self.dim_store.read().join(
+                    new_state.select(F.col(self.group_key).alias(self.dim_key)).distinct(),
+                    [self.dim_key],
+                    "left_semi",
+                )
+                live_state = new_state.filter(F.col("__rows") > 0)
+                parts.append(
+                    self._mv_rows_for_state(live_state, dirty_dim).withColumn(
+                        OP_COL, F.lit(OP_UPDATE)
+                    )
+                )
+
+        if dim_changes is not None:
+            if self.dim_store is None:
+                raise ValueError("dim_changes on an MV without a dimension")
+            self.dim_store.merge(dim_changes, batch_id)
+            dim_now = self.dim_store.read()
+            dirty_dk = last_change_per_key(dim_changes, [self.dim_key]).select(self.dim_key)
+            # upserted/renamed dims: rebuild their rows from current state
+            live_dim = dim_now.join(dirty_dk, [self.dim_key], "left_semi")
+            parts.append(
+                self._mv_rows_for_state(self.state_store.read(), live_dim).withColumn(
+                    OP_COL, F.lit(OP_UPDATE)
+                )
             )
-            # -D rows only need the PK; measure values ride along typed.
-            deletes = present_measures(gone, self.measures).withColumn(
-                OP_COL, F.lit(OP_DELETE)
-            )
-            mv_changes = upserts.unionByName(deletes)
-        else:
-            dirty_dim = self.dim.join(
-                new_state.select(F.col(self.group_key).alias(self.dim_key)).distinct(),
-                [self.dim_key],
-                "left_semi",
-            )
-            live_state = new_state.filter(F.col("__rows") > 0)
-            mv_changes = self._mv_rows_for_state(live_state, dirty_dim).withColumn(
-                OP_COL, F.lit(OP_UPDATE)
-            )
+            # deleted dims: drop their MV rows (typed via existing target rows)
+            deleted = dirty_dk.join(dim_now, [self.dim_key], "left_anti")
+            gone_rows = self.target.read().join(deleted, [self.dim_key], "left_semi")
+            parts.append(gone_rows.withColumn(OP_COL, F.lit(OP_DELETE)))
+
+        if not parts:
+            return False
+        mv_changes = parts[0]
+        for p in parts[1:]:
+            mv_changes = mv_changes.unionByName(p)
         mv_changes = mv_changes.withColumn(SEQ_COL, F.monotonically_increasing_id())
         self.target.merge(mv_changes, batch_id)
-        new_state.unpersist()
+        if new_state is not None:
+            new_state.unpersist()
         return True
 
     def read(self, version: int | None = None) -> DataFrame:
