@@ -69,6 +69,18 @@ def test_diff_states_roundtrip(spark):
     assert applied == {(2, "B"), (3, "c"), (4, "d")}
 
 
+def test_diff_states_pk_only_relation(spark):
+    """Tables whose every column is the PK still diff correctly (the
+    presence marker must not be NULL)."""
+    old = spark.createDataFrame([(1,), (2,)], "k int")
+    new = spark.createDataFrame([(2,), (3,)], "k int")
+    delta = diff_states(old, new, ["k"])
+    ops = {(r.k, r[OP_COL]) for r in delta.collect()}
+    assert ops == {(1, OP_DELETE), (3, OP_INSERT)}
+    applied = {r.k for r in merge_changes(old, delta, ["k"]).collect()}
+    assert applied == {2, 3}
+
+
 def test_with_insert_ops_tags_snapshot(spark):
     df = with_insert_ops(_df(spark, [(1, "a")]))
     row = df.collect()[0]

@@ -139,6 +139,66 @@ def test_replaying_a_batch_is_idempotent(spark, tmp_path):
     mv.refresh(dfs[1], batch_id=2)
 
 
+def test_crash_between_state_and_mv_commit_recovers(spark, tmp_path):
+    """Crash point: fact AND state stores committed batch 1 but the
+    target did not. The replay must NOT apply the delta to the state a
+    second time (state-store time travel on replay)."""
+    fact0 = spark.createDataFrame(
+        [(1, 0, 10.0), (2, 0, 20.0)], "k int, g int, v double"
+    )
+    mv = IncrementalAggMV(
+        spark,
+        fact=fact0,
+        fact_pk=["k"],
+        group_key="g",
+        measures=[Measure("count", None, "n"), Measure("sum", "v", "sv")],
+        work_dir=str(tmp_path / "mv"),
+        num_buckets=4,
+    )
+    mv.bootstrap()
+    changes = spark.createDataFrame(
+        [(9, 0, 5.0, OP_INSERT, 0)],
+        f"k int, g int, v double, {OP_COL} string, {SEQ_COL} long",
+    )
+    # "crash": fact + state saw the batch, the target did not
+    mv.fact_store.merge(changes, batch_id=1)
+    from tiflink_spark.incremental import aggregate_state
+
+    state1 = aggregate_state(mv.fact_store.read(), ["g"], mv.measures)
+    from tiflink_spark.changelog import OP_UPDATE as _U
+
+    sc = state1.withColumn(OP_COL, F.lit(_U)).withColumn(
+        SEQ_COL, F.monotonically_increasing_id()
+    )
+    mv.state_store.merge(sc, batch_id=1)
+    # recovery replay of the whole batch
+    assert mv.refresh(changes, batch_id=1) is True
+    got = {(r.g, r.n, r.sv) for r in mv.read().collect()}
+    assert got == {(0, 3, 35.0)}  # NOT 4/40 (double-applied delta)
+
+
+def test_sum_of_all_null_group_stays_null(spark, tmp_path):
+    fact0 = spark.createDataFrame(
+        [(1, 0, None), (2, 0, None), (3, 1, 7.0)], "k int, g int, v double"
+    )
+    mv = IncrementalAggMV(
+        spark,
+        fact=fact0,
+        fact_pk=["k"],
+        group_key="g",
+        measures=[Measure("sum", "v", "sv")],
+        work_dir=str(tmp_path / "mv"),
+        num_buckets=4,
+    )
+    mv.bootstrap()
+    changes = spark.createDataFrame(
+        [(4, 0, None, OP_INSERT, 0)], f"k int, g int, v double, {OP_COL} string, {SEQ_COL} long"
+    )
+    mv.refresh(changes, batch_id=1)
+    got = {(r.g, r.sv) for r in mv.read().collect()}
+    assert got == {(0, None), (1, 7.0)}  # SUM of all-NULL group is NULL, not 0
+
+
 def test_dim_churn_updates_mv(spark, tmp_path):
     """Dimension inserts/renames/deletes flow into the MV (work ∝
     changed dim keys), including a batch that changes BOTH sides."""

@@ -127,10 +127,12 @@ class MVApp:
     ):
         """CDC phase: consume changelog directories as file streams and
         MERGE each micro-batch (FlinkTikvConsumer.java:92-106 handoff;
-        foreachBatch is the exactly-once txn boundary)."""
-        from pyspark.sql import functions as F  # noqa: F401
+        foreachBatch is the exactly-once txn boundary).
 
-        streams = []
+        Streams run ONE AT A TIME: the keyed stores are single-writer
+        (store.py), and concurrent foreachBatch callbacks would race on
+        the version manifest. The reference serializes commits the same
+        way (maxConcurrentCheckpoints=1, TiFlinkApp.java:245)."""
         for name, d in changelog_dirs.items():
             schema = self.spark.read.parquet(d).schema
 
@@ -149,8 +151,6 @@ class MVApp:
                 .trigger(availableNow=available_now)
                 .start()
             )
-            streams.append(q)
-        for q in streams:
             q.awaitTermination()
         return self
 

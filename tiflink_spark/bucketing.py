@@ -53,7 +53,17 @@ def salted_join(
 ) -> DataFrame:
     """Skew-safe equi-join: scatter `big` across n_salts sub-keys and
     replicate `small` to all of them. Output columns = big ∪ small
-    (join key once), same as a plain join."""
+    (join key once), same as a plain join.
+
+    Only join types where unmatched SMALL-side rows are dropped are
+    supported: a right/full outer join would surface each unmatched
+    small row once per salt replica.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, not {how!r} "
+            "(outer small-side rows would duplicate per salt)"
+        )
     big_s = big.withColumn("__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)))
     small_s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -87,11 +87,13 @@ def diff_states(old: DataFrame, new: DataFrame, pk: list[str]) -> DataFrame:
     change). Output carries ``__op``/``__seq``.
     """
     value_cols = [c for c in old.columns if c not in pk]
+    # PK-only relations: a TRUE literal is the presence marker (NULL would
+    # make every row look absent and the diff permanently empty).
     o = old.select(*pk, F.struct(*value_cols).alias("__old")) if value_cols else old.select(
-        *pk, F.lit(None).alias("__old")
+        *pk, F.lit(True).alias("__old")
     )
     n = new.select(*pk, F.struct(*value_cols).alias("__new")) if value_cols else new.select(
-        *pk, F.lit(None).alias("__new")
+        *pk, F.lit(True).alias("__new")
     )
     j = o.join(n, pk, "full_outer")
     inserted = j.filter(F.col("__old").isNull() & F.col("__new").isNotNull())

@@ -113,7 +113,11 @@ class KeyedStoreConnector(Connector):
         return self.open(spark, opts).read()
 
     def write(self, df: DataFrame, opts: ConnectorOptions) -> None:
-        self.open(df.sparkSession, opts).bootstrap(df)
+        """Each write publishes a NEW version (batch id derived from the
+        commit count — a fixed id would make every write after the first
+        a silent idempotent no-op)."""
+        store = self.open(df.sparkSession, opts)
+        store.bootstrap(df, batch_id=f"write-{len(store.committed_batches())}")
 
 
 _REGISTRY: dict[str, Connector] = {}

@@ -83,9 +83,9 @@ def _state_cols(measures: list[Measure]) -> list[str]:
     for m in measures:
         if m.kind in ("sum", "avg"):
             cols.append(f"__sum_{m.alias}")
-        if m.kind == "avg":
-            cols.append(f"__cnt_{m.alias}")
-        if m.kind == "count" and m.col is not None:
+        # sum ALSO keeps a non-null count: a group whose values are all
+        # NULL must present SUM as NULL, not 0, to match batch semantics.
+        if m.kind in ("sum", "avg") or (m.kind == "count" and m.col is not None):
             cols.append(f"__cnt_{m.alias}")
         if m.kind in NON_INVERTIBLE:
             cols.append(f"__ext_{m.alias}")
@@ -99,9 +99,7 @@ def aggregate_state(df: DataFrame, group_keys: list[str], measures: list[Measure
     for m in measures:
         if m.kind in ("sum", "avg"):
             aggs.append(F.sum(F.col(m.col)).alias(f"__sum_{m.alias}"))
-        if m.kind == "avg":
-            aggs.append(F.count(F.col(m.col)).alias(f"__cnt_{m.alias}"))
-        if m.kind == "count" and m.col is not None:
+        if m.kind in ("sum", "avg") or (m.kind == "count" and m.col is not None):
             aggs.append(F.count(F.col(m.col)).alias(f"__cnt_{m.alias}"))
         if m.kind == "min":
             aggs.append(F.min(F.col(m.col)).alias(f"__ext_{m.alias}"))
@@ -135,7 +133,7 @@ def merge_delta_state(
             aggs.append(
                 F.sum(F.col("__w") * F.coalesce(F.col(m.col), F.lit(0))).alias(f"__d_sum_{m.alias}")
             )
-        if m.kind == "avg" or (m.kind == "count" and m.col is not None):
+        if m.kind in ("sum", "avg") or (m.kind == "count" and m.col is not None):
             aggs.append(
                 F.sum(F.when(F.col(m.col).isNotNull(), F.col("__w")).otherwise(0)).alias(
                     f"__d_cnt_{m.alias}"
@@ -156,7 +154,7 @@ def merge_delta_state(
                     f"__sum_{m.alias}"
                 )
             )
-        if m.kind == "avg" or (m.kind == "count" and m.col is not None):
+        if m.kind in ("sum", "avg") or (m.kind == "count" and m.col is not None):
             out_cols.append(
                 (F.coalesce(F.col(f"__cnt_{m.alias}"), F.lit(0)) + F.col(f"__d_cnt_{m.alias}")).alias(
                     f"__cnt_{m.alias}"
@@ -191,8 +189,9 @@ def present_measures(state: DataFrame, measures: list[Measure]) -> DataFrame:
         elif m.kind == "count":
             out.append(F.col(f"__cnt_{m.alias}").alias(m.alias))
         elif m.kind == "sum":
+            # SUM over zero non-null values is NULL in SQL, not 0.
             out.append(
-                F.when(F.col("__rows") > 0, F.col(f"__sum_{m.alias}")).alias(m.alias)
+                F.when(F.col(f"__cnt_{m.alias}") > 0, F.col(f"__sum_{m.alias}")).alias(m.alias)
             )
         elif m.kind == "avg":
             out.append(

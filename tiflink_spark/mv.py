@@ -333,10 +333,21 @@ class IncrementalAggMV:
             delta = compute_delta(fact_changes, old_rows, self.fact_store.pk)
             self.fact_store.merge(fact_changes, batch_id)
 
+            # Same replay guard for the agg state: if this batch already
+            # committed there (crash between state commit and target
+            # commit), diff against the PRE-batch state or the delta
+            # would be applied twice.
+            if batch_id in self.state_store.committed_batches():
+                old_state = self.state_store.read(
+                    self.state_store.version_before_batch(batch_id)
+                )
+            else:
+                old_state = self.state_store.read()
+
             # new_state feeds both the state-store MERGE and the target
             # MERGE; cache it so the delta lineage executes once.
             new_state = merge_delta_state(
-                self.state_store.read(),
+                old_state,
                 delta,
                 self.fact_store.read(),
                 [self.group_key],
@@ -400,10 +411,15 @@ class IncrementalAggMV:
 
         if not parts:
             return False
-        mv_changes = parts[0]
-        for p in parts[1:]:
-            mv_changes = mv_changes.unionByName(p)
-        mv_changes = mv_changes.withColumn(SEQ_COL, F.monotonically_increasing_id())
+        # Later parts supersede earlier ones for the same key (the dim part
+        # carries fresher dim values than the fact part). The part index IS
+        # the sequence: explicit, rather than relying on
+        # monotonically_increasing_id growing across union legs.
+        mv_changes = parts[0].withColumn(SEQ_COL, F.lit(0).cast("long"))
+        for i, p in enumerate(parts[1:], start=1):
+            mv_changes = mv_changes.unionByName(
+                p.withColumn(SEQ_COL, F.lit(i).cast("long"))
+            )
         self.target.merge(mv_changes, batch_id)
         if new_state is not None:
             new_state.unpersist()

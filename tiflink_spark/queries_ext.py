@@ -92,11 +92,14 @@ def dedup_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_pairs_sql(dialect: str) -> str:
+    """DuckDB dialect only: the OR-of-band-equalities join is fine for the
+    oracle at sf0.01 (DuckDB handles it), and its semantics define the
+    expected result. The Spark side uses the scale shape instead — see
+    dedup_simhash_neardup: explode to (band, value) rows and EQUI-join,
+    because an OR join condition has no equi-key and Catalyst would fall
+    back to a nested-loop (all-pairs) plan."""
     fp = _simhash_sql(dialect)
-    if dialect == "spark":
-        ham = " + ".join(f"bit_count(a.b{k} ^ b.b{k})" for k in range(4))
-    else:
-        ham = " + ".join(f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(4))
+    ham = " + ".join(f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(4))
     band_match = " OR ".join(f"a.b{k} = b.b{k}" for k in range(4))
     return f"""
     WITH fp AS ({fp})
@@ -121,7 +124,34 @@ def _simhash_pairs_sql(dialect: str) -> str:
 )
 def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir)
-    return spark.sql(_simhash_pairs_sql("spark"))
+    # Materialize fingerprints once (64 bit-vote aggregates) — referenced
+    # by the band explode and twice by the hamming re-join.
+    fp = spark.sql(_simhash_sql("spark")).cache()
+    fp.createOrReplaceTempView("__simhash_fp")
+    ham = " + ".join(f"bit_count(fa.b{k} ^ fb.b{k})" for k in range(4))
+    # Scale shape: band-value EQUI-join (bucket join), never the OR-of-
+    # equalities form that plans as a nested loop over all pairs.
+    return spark.sql(
+        f"""
+        WITH bands AS (
+            SELECT doc_id, band, val
+            FROM __simhash_fp
+            LATERAL VIEW stack(4, 0, b0, 1, b1, 2, b2, 3, b3) s AS band, val
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, hamming FROM (
+            SELECT c.doc_a, c.doc_b, CAST({ham} AS BIGINT) AS hamming
+            FROM cand c
+            JOIN __simhash_fp fa ON fa.doc_id = c.doc_a
+            JOIN __simhash_fp fb ON fb.doc_id = c.doc_b
+        )
+        WHERE hamming <= 3
+        """
+    )
 
 
 @register(

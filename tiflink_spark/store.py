@@ -207,13 +207,19 @@ class KeyedParquetStore:
             raise RuntimeError("merge() before bootstrap()")
         prev = commits[-1]["buckets"]
 
-        changes = changes.withColumn(BUCKET_COL, _bucket_expr(self.pk, self.num_buckets))
+        # The changes lineage is often expensive (state diffs, dirty-group
+        # recomputes); cache it across the two actions below (bucket
+        # discovery + write) so it executes once.
+        changes = changes.withColumn(
+            BUCKET_COL, _bucket_expr(self.pk, self.num_buckets)
+        ).cache()
         changed = sorted(
             r[BUCKET_COL]
             for r in changes.select(BUCKET_COL).distinct().collect()
         )
         schema_json = commits[-1]["schema"]
         if not changed:
+            changes.unpersist()
             self._commit(batch_id, commits[-1]["version"] + 1, prev, schema_json)
             return True
 
@@ -242,5 +248,6 @@ class KeyedParquetStore:
             else:
                 # bucket emptied by deletes
                 buckets.pop(str(b), None)
+        changes.unpersist()
         self._commit(batch_id, version, buckets, schema_json)
         return True
