@@ -932,6 +932,82 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cross_join_small",
+    """
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    WHERE n.n_nationkey % 5 = r.r_regionkey
+    """,
+    doc="Explicit CROSS JOIN of two small dims with a post-filter (BNLJ is the right plan here).",
+    tags=("join", "cross"),
+)
+def cross_join_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    return (
+        t["region"]
+        .crossJoin(t["nation"])
+        .filter(F.col("n_nationkey") % 5 == F.col("r_regionkey"))
+        .select("r_name", "n_name")
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH partsupp_x AS (
+        SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               (l_partkey * 7 + l_suppkey * 13) % 1000 + 1.5 AS ps_supplycost
+        FROM lineitem)
+    SELECT s_name, n_name, p_partkey, ps_supplycost
+    FROM part, supplier, partsupp_x ps, nation
+    WHERE p_partkey = ps.ps_partkey
+      AND s_suppkey = ps.ps_suppkey
+      AND s_nationkey = n_nationkey
+      AND p_size = 15
+      AND ps_supplycost = (
+          SELECT min(ps2.ps_supplycost)
+          FROM partsupp_x ps2
+          WHERE ps2.ps_partkey = p_partkey)
+    """,
+    doc=(
+        "TPC-H Q2 shape: correlated MIN subquery selecting the cheapest "
+        "supplier per part. partsupp is synthesized deterministically from "
+        "lineitem (the driver testdata has no partsupp table); Catalyst "
+        "decorrelates the MIN into an aggregate + join."
+    ),
+    tags=("subquery", "join"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir)
+    # Deterministic partsupp stand-in shared with the oracle via a CTE-free
+    # temp view: distinct (part, supp) pairs from lineitem with a derived cost.
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW partsupp_x AS
+        SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               (l_partkey * 7 + l_suppkey * 13) % 1000 + 1.5 AS ps_supplycost
+        FROM lineitem
+        """
+    )
+    return spark.sql(
+        """
+        SELECT s_name, n_name, p_partkey, ps_supplycost
+        FROM part, supplier, partsupp_x ps, nation
+        WHERE p_partkey = ps.ps_partkey
+          AND s_suppkey = ps.ps_suppkey
+          AND s_nationkey = n_nationkey
+          AND p_size = 15
+          AND ps_supplycost = (
+              SELECT min(ps2.ps_supplycost)
+              FROM partsupp_x ps2
+              WHERE ps2.ps_partkey = p_partkey)
+        """
+    )
+
+
+@register(
     "event_time_gaps",
     """
     SELECT event_id, user_id,
