@@ -1040,6 +1040,7 @@ def event_time_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 def get_registry() -> dict[str, QuerySpec]:
     # Import side-effect modules that register additional queries.
     from tiflink_spark import (  # noqa: F401
+        queries_dataops,
         queries_ext,
         queries_llm,
         queries_mv,

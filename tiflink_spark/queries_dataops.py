@@ -1,0 +1,189 @@
+"""Data-ops pack: the selection/profiling operators a training-data
+pipeline runs constantly — deterministic sampling, dataset splits,
+stratified per-group selection, column profiling, funnel analysis.
+
+All sampling here is HASH-deterministic (md5 of the key), never RNG:
+at 100 TB a sample must be reproducible across reruns, engines, and
+partitionings — and the DuckDB oracle verifies exactly that property.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiflink_spark.queries import _t, register
+
+def _pct_expr(key_sql: str, dialect: str) -> str:
+    """Deterministic percentile bucket of a key, 0..99, same on both
+    engines: first 4 md5 hex digits -> 16-bit int (nibble math via
+    instr, which both dialects share) -> mod 100."""
+    md5 = (
+        f"md5(cast({key_sql} AS string))"
+        if dialect == "spark"
+        else f"md5(CAST({key_sql} AS VARCHAR))"
+    )
+    nibbles = " + ".join(
+        f"(instr('0123456789abcdef', substr({md5}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"(({nibbles}) % 100)"
+
+
+@register(
+    "sample_deterministic",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_pct_expr("doc_id", "duck")} < 10
+    """,
+    doc=(
+        "Deterministic 10% sample by key hash (md5 prefix mod 100) — "
+        "reproducible across reruns/engines/partitionings, unlike RNG "
+        "TABLESAMPLE. The selection primitive of a 100 TB data pipeline."
+    ),
+    tags=("llm", "dataops", "sample"),
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir)
+    return spark.sql(
+        f"SELECT doc_id, lang FROM documents WHERE {_pct_expr('doc_id', 'spark')} < 10"
+    )
+
+
+@register(
+    "dataset_split",
+    f"""
+    WITH tagged AS (
+        SELECT doc_id,
+               CASE WHEN {_pct_expr("doc_id", "duck")} < 80 THEN 'train'
+                    WHEN {_pct_expr("doc_id", "duck")} < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents)
+    SELECT split, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM tagged GROUP BY split
+    """,
+    doc=(
+        "Train/val/test split (80/10/10) by key hash: stable assignment — a "
+        "document never migrates between splits as the corpus grows."
+    ),
+    tags=("llm", "dataops", "sample"),
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir)
+    pct = _pct_expr("doc_id", "spark")
+    return spark.sql(
+        f"""
+        WITH tagged AS (
+            SELECT doc_id,
+                   CASE WHEN {pct} < 80 THEN 'train'
+                        WHEN {pct} < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents)
+        SELECT split, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM tagged GROUP BY split
+        """
+    )
+
+
+@register(
+    "sample_stratified",
+    """
+    SELECT lang, doc_id FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents)
+    WHERE rn <= 5
+    """,
+    doc=(
+        "Stratified sample: 5 docs per language, chosen by hash order "
+        "(deterministic, unbiased w.r.t. insertion order). Per-group "
+        "work is one window over the group — no global sort."
+    ),
+    tags=("llm", "dataops", "sample"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id")
+    return (
+        t["documents"]
+        .select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id")
+    )
+
+
+@register(
+    "profile_columns",
+    """
+    SELECT count(*) AS n_rows,
+           count(o_orderstatus) AS status_nonnull,
+           count(DISTINCT o_orderstatus) AS status_card,
+           count(DISTINCT o_orderpriority) AS prio_card,
+           round(min(o_totalprice), 2) AS price_min,
+           round(max(o_totalprice), 2) AS price_max,
+           round(avg(o_totalprice), 4) AS price_mean,
+           CAST(min(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS date_min,
+           CAST(max(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS date_max
+    FROM orders
+    """,
+    doc=(
+        "Column profiling (the data-quality scan run before any training "
+        "job): null counts, cardinalities, numeric and date ranges in ONE "
+        "pass over the table."
+    ),
+    tags=("llm", "dataops", "profile"),
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    o = t["orders"]
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderstatus").alias("status_nonnull"),
+        F.countDistinct("o_orderstatus").alias("status_card"),
+        F.countDistinct("o_orderpriority").alias("prio_card"),
+        F.round(F.min("o_totalprice"), 2).alias("price_min"),
+        F.round(F.max("o_totalprice"), 2).alias("price_max"),
+        F.round(F.avg("o_totalprice"), 4).alias("price_mean"),
+        F.min(F.col("o_orderdate").cast("date")).cast("timestamp").alias("date_min"),
+        F.max(F.col("o_orderdate").cast("date")).cast("timestamp").alias("date_max"),
+    )
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+    SELECT count(*) AS n_converted
+    FROM (
+        SELECT user_id
+        FROM events
+        GROUP BY user_id
+        HAVING min(CASE WHEN event_type = 'view' THEN ts END)
+               < max(CASE WHEN event_type = 'click' THEN ts END)
+           AND min(CASE WHEN event_type = 'click' THEN ts END)
+               < max(CASE WHEN event_type = 'purchase' THEN ts END)
+    )
+    """,
+    doc=(
+        "Funnel analysis: users whose first view precedes a later click "
+        "which precedes a later purchase — one grouped pass with "
+        "conditional min/max, no self-joins."
+    ),
+    tags=("dataops", "funnel", "event-time"),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    view_min = F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+    click_min = F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+    click_max = F.max(F.when(F.col("event_type") == "click", F.col("ts")))
+    buy_max = F.max(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    converted = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            view_min.alias("v"), click_min.alias("c1"), click_max.alias("c2"), buy_max.alias("p")
+        )
+        .filter((F.col("v") < F.col("c2")) & (F.col("c1") < F.col("p")))
+    )
+    return converted.agg(F.count(F.lit(1)).alias("n_converted"))
