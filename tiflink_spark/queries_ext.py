@@ -383,6 +383,79 @@ def string_funcs_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_string_concat",
+    """
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+    doc=(
+        "String aggregation (LISTAGG/STRING_AGG): deterministic via sorted "
+        "order — Spark form is array_join(array_sort(collect_list()))."
+    ),
+    tags=("agg", "string"),
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return t["nation"].groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+@register(
+    "window_pct_rank",
+    """
+    SELECT o_orderkey,
+           round(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
+           round(cume_dist()    OVER (ORDER BY o_totalprice, o_orderkey), 6) AS cume
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    """,
+    doc="PERCENT_RANK / CUME_DIST ranking windows (global order, filtered input).",
+    tags=("window",),
+)
+def window_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+    )
+
+
+@register(
+    "histogram_prices",
+    """
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1
+    """,
+    doc="Fixed-width histogram (the profiling companion: distribution in one shuffle).",
+    tags=("agg", "dataops", "profile"),
+)
+def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy(F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
     "pivot_status",
     """
     SELECT o_orderpriority,
