@@ -932,6 +932,100 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouping_id_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) AS g_flag,
+           grouping(l_linestatus) AS g_status,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="GROUPING() indicator columns distinguishing rollup levels from real NULLs.",
+    tags=("agg", "grouping"),
+)
+def grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    return t["lineitem"].rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n")
+
+
+@register(
+    "set_except_all",
+    """
+    SELECT l_suppkey AS k FROM lineitem WHERE l_orderkey % 2 = 0
+    EXCEPT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_orderkey % 4 = 0
+    """,
+    doc="EXCEPT ALL (bag semantics — multiplicities subtract, not vanish).",
+    tags=("setop",),
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    li = t["lineitem"]
+    a = li.filter(F.col("l_orderkey") % 2 == 0).select(F.col("l_suppkey").alias("k"))
+    b = li.filter(F.col("l_orderkey") % 4 == 0).select(F.col("l_suppkey").alias("k"))
+    return a.exceptAll(b)
+
+
+@register(
+    "set_intersect_all",
+    """
+    SELECT l_suppkey AS k FROM lineitem WHERE l_orderkey % 2 = 0
+    INTERSECT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_orderkey % 3 = 0
+    """,
+    doc="INTERSECT ALL (bag semantics — min of multiplicities).",
+    tags=("setop",),
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    li = t["lineitem"]
+    a = li.filter(F.col("l_orderkey") % 2 == 0).select(F.col("l_suppkey").alias("k"))
+    b = li.filter(F.col("l_orderkey") % 3 == 0).select(F.col("l_suppkey").alias("k"))
+    return a.intersectAll(b)
+
+
+@register(
+    "conditional_funcs",
+    """
+    SELECT o_orderkey,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN')        AS status_or_open,
+           greatest(o_totalprice, 100000.0)                    AS floor_price,
+           least(CAST(o_custkey AS DOUBLE), 500.0)             AS capped_cust,
+           CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS size_tag,
+           (o_orderstatus = 'F' AND o_totalprice > 100000)     AS flagged
+    FROM orders
+    """,
+    doc="Conditional/null scalar battery: COALESCE / NULLIF / GREATEST / LEAST / CASE / boolean exprs.",
+    tags=("scalar",),
+)
+def conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir)
+    return t["orders"].select(
+        "o_orderkey",
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_or_open"
+        ),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("floor_price"),
+        F.least(F.col("o_custkey").cast("double"), F.lit(500.0)).alias("capped_cust"),
+        F.when(F.col("o_totalprice") > 200000, "big").otherwise("small").alias("size_tag"),
+        ((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 100000)).alias("flagged"),
+    )
+
+
+@register(
     "cross_join_small",
     """
     SELECT r.r_name, n.n_name
