@@ -1139,6 +1139,7 @@ def get_registry() -> dict[str, QuerySpec]:
         queries_llm,
         queries_mv,
         queries_streaming,
+        queries_tpch,
     )
 
     return REGISTRY
