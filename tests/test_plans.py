@@ -61,3 +61,29 @@ def test_column_pruning_reaches_scan(spark):
     assert m, plan[:2000]
     cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
     assert set(cols) == {"o_orderkey", "o_totalprice"}, cols
+
+
+def test_tpch_battery_no_nested_loops(spark):
+    """Every Q4-Q22 shape must decorrelate to hash joins: a
+    BroadcastNestedLoopJoin or CartesianProduct in any of these plans
+    would be quadratic at scale (cross_join_small is the one deliberate
+    exception, not in this list)."""
+    names = [n for n in get_registry() if n.startswith("q") and n[1].isdigit()]
+    assert len(names) >= 20
+    for name in names:
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_q6_predicates_push_to_scan(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    assert re.search(r"PushedFilters: \[.*l_discount", plan) or re.search(
+        r"GreaterThanOrEqual\(l_discount", plan
+    ), plan[:2000]
+
+
+def test_q9_broadcasts_filtered_part_side(spark):
+    plan = _plan(spark, "q9_product_profit")
+    assert "BroadcastHashJoin" in plan
