@@ -45,6 +45,7 @@ class MVAppBuilder:
         self._target: str | None = None
         self._pk: list[str] | None = None
         self._num_buckets = 16
+        self._shuffle_partitions: int | None = None
 
     def source(self, name: str, path_or_df, pk: list[str] | None = None) -> "MVAppBuilder":
         self._sources[name] = (path_or_df, pk)
@@ -63,11 +64,23 @@ class MVAppBuilder:
         self._num_buckets = n
         return self
 
+    def shuffle_partitions(self, n: int) -> "MVAppBuilder":
+        """Maintenance-job parallelism: sized to per-batch delta volume
+        (the reference's explicit parallelism knob, TiFlinkApp.java:243-246)."""
+        self._shuffle_partitions = n
+        return self
+
     def build(self) -> "MVApp":
         if not self._sources or self._query is None or self._target is None:
             raise ValueError("MVApp needs at least one source, a query, and a target")
         return MVApp(
-            self._spark, self._sources, self._query, self._target, self._pk, self._num_buckets
+            self._spark,
+            self._sources,
+            self._query,
+            self._target,
+            self._pk,
+            self._num_buckets,
+            self._shuffle_partitions,
         )
 
 
@@ -76,7 +89,7 @@ class MVApp:
     def builder(spark: SparkSession) -> MVAppBuilder:
         return MVAppBuilder(spark)
 
-    def __init__(self, spark, sources, query, target, pk, num_buckets):
+    def __init__(self, spark, sources, query, target, pk, num_buckets, shuffle_partitions=None):
         self.spark = spark
         self.catalog = Catalog(spark)
         self.query = query
@@ -110,6 +123,7 @@ class MVApp:
             os.path.join(target, "mv"),
             pk=self.mv_pk,
             num_buckets=num_buckets,
+            shuffle_partitions=shuffle_partitions,
         )
 
     # -- lifecycle -----------------------------------------------------------

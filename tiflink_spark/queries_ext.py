@@ -739,6 +739,7 @@ def mv_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             dim_key="c_custkey",
             dim_cols=["c_name"],
             num_buckets=4,
+            shuffle_partitions=8,
         )
         mv.bootstrap()
         for i, b in enumerate(scripted_batches(t["orders"]), start=1):

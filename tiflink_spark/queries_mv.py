@@ -103,6 +103,7 @@ def mv_flagship_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             dim_key="c_custkey",
             dim_cols=["c_name"],
             num_buckets=4,  # deployment knob: small at gate SF, ~1024 at 100 TB
+            shuffle_partitions=8,  # sized to delta volume, not source volume
         )
         mv.bootstrap()
         for i, b in enumerate(scripted_batches(t["orders"]), start=1):
@@ -151,6 +152,7 @@ def mv_groupagg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
             work_dir=work,
             num_buckets=4,
+            shuffle_partitions=8,
         )
         mv.bootstrap()
         for i, b in enumerate(scripted_batches(t["orders"]), start=1):
@@ -223,6 +225,7 @@ def mv_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             out_cols=["o_orderkey", "custkey", "o_totalprice", "c_name"],
             work_dir=work,
             num_buckets=4,
+            shuffle_partitions=8,
         )
         mv.bootstrap()
 
@@ -312,6 +315,7 @@ def mvapp_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .target(os.path.join(work, "mv"))
             .num_buckets(4)
+            .shuffle_partitions(8)
             .build()
         )
         app.bootstrap()
@@ -380,6 +384,7 @@ def mv_window_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
             work_dir=work,
             num_buckets=4,
+            shuffle_partitions=8,
         )
         mv.bootstrap()
 
@@ -451,6 +456,7 @@ def mv_flagship_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM customer_live c""",
             f"{work}/mv",
             num_buckets=4,
+            shuffle_partitions=8,
         )
         rmv.bootstrap()
         for i, b in enumerate(scripted_batches(t["orders"]), start=1):

@@ -140,6 +140,12 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
     repair in load_tables doesn't apply to readStream) and is rebuilt
     to a microsecond timestamp in-stream.
     """
+    try:
+        # Self-contained: don't rely on a prior load_tables call having
+        # enabled the nanos-as-long parquet repair on this session.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     path = os.path.join(sf_dir, "events.parquet")
     stream_dir = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(path, os.path.join(stream_dir, "events.parquet"))
@@ -152,19 +158,38 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
     return df, stream_dir
 
 
-def _run_stream_to_df(spark: SparkSession, streaming_df: DataFrame, name: str) -> DataFrame:
+def _run_stream_to_df(
+    spark: SparkSession,
+    streaming_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+) -> DataFrame:
     """Execute a bounded streaming query to completion into a memory
-    sink and return the final result (complete output mode)."""
-    q = (
-        streaming_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # Materialize: the memory sink table is session-scoped and mutable.
-    return spark.table(name).localCheckpoint(eager=True)
+    sink and return the final result (stream-stream joins require
+    append mode; aggregations use complete).
+
+    The stateful-operator partition count is pinned low for these
+    bounded gate runs: each state partition carries per-batch store
+    init/commit overhead (a stream-stream join keeps 4 stores per
+    partition), which at 64 partitions costs minutes for kilobyte
+    state. On a real cluster this is the knob you size to executor
+    count x state volume — it is fixed at the first checkpoint.
+    """
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            streaming_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # Materialize: the memory sink table is session-scoped and mutable.
+        return spark.table(name).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @register(
@@ -279,15 +304,20 @@ def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # update-mode emits one row per user per trigger; availableNow over a
         # single file yields exactly the final state per user.
-        q = (
-            counts.writeStream.format("memory")
-            .queryName("streaming_stateful_sink")
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        return spark.table("streaming_stateful_sink").localCheckpoint(eager=True)
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                counts.writeStream.format("memory")
+                .queryName("streaming_stateful_sink")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return spark.table("streaming_stateful_sink").localCheckpoint(eager=True)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     finally:
         shutil.rmtree(stream_dir, ignore_errors=True)
 
@@ -353,6 +383,7 @@ def mv_flagship_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
             dim_key="c_custkey",
             dim_cols=["c_name"],
             num_buckets=4,
+            shuffle_partitions=8,
         )
         mv.bootstrap()
 
@@ -362,6 +393,8 @@ def mv_flagship_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(os.path.join(chlog_dir, "batch_*"))
         )
+        # Per-micro-batch MERGE parallelism comes from the MV's own
+        # shuffle_partitions knob (see mv._shuffle_scope).
         q = (
             stream.writeStream.foreachBatch(
                 lambda df, epoch_id: mv.refresh(df, batch_id=f"stream-{epoch_id}")
@@ -374,3 +407,58 @@ def mv_flagship_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         return mv.read().localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "streaming_interval_join",
+    """
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+    doc=(
+        "REAL stream-stream interval join (Flink SQL's interval join, the "
+        "reference's delegated surface): two watermarked readStreams of the "
+        "same source, inner-joined on user_id with a [0, 1h] event-time "
+        "range; append output. State on each side is bounded by the "
+        "watermark + range condition, so it survives unbounded input — "
+        "the 100 TB/day story is state TTL, not state growth."
+    ),
+    tags=("streaming", "join-interval"),
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views, dir1 = _stream_events(spark, sf_dir)
+    purchases, dir2 = _stream_events(spark, sf_dir)
+    try:
+        v = (
+            views.filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "2 hours")
+        )
+        p = (
+            purchases.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "2 hours")
+        )
+        joined = v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        ).select("view_id", "purchase_id", "user_id")
+        return _run_stream_to_df(
+            spark, joined, "streaming_interval_join_sink", output_mode="append"
+        )
+    finally:
+        shutil.rmtree(dir1, ignore_errors=True)
+        shutil.rmtree(dir2, ignore_errors=True)
