@@ -663,5 +663,111 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF (inverted-file) ANN: the cluster-routed scale path. Real deployments
+# train centroids with k-means; here centroid CHOICE is a deterministic
+# sample (vec_id % _IVF_STRIDE == 0) so the Spark plan and the DuckDB
+# oracle agree bit-for-bit, while the PLAN is the real IVF shape: assign
+# every vector to its nearest centroid once (map-side agg under a
+# broadcast of the centroid set), route each query to its _IVF_PROBE
+# nearest centroids, and search only those clusters — a join keyed on
+# cluster id instead of an all-pairs scan. At 100 TB the cluster-id join
+# is the whole point: per-query work is bounded by probed-cluster volume.
+_IVF_STRIDE = 100
+_IVF_PROBE = 2
+_IVF_TOPK = 5
+
+
+@register(
+    "embedding_ann_ivf",
+    f"""
+    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+               FROM embeddings WHERE vec_id % {_IVF_STRIDE} = 0),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    assign AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT v.vec_id, v.e, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cid) AS rn
+        FROM v, c) WHERE rn = 1),
+    probes AS (
+      SELECT qid, qe, cid FROM (
+        SELECT v.vec_id AS qid, v.e AS qe, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cid) AS rn
+        FROM v, c WHERE v.vec_id % {_QUERY_STRIDE} = 0) WHERE rn <= {_IVF_PROBE}),
+    cand AS (
+      SELECT p.qid, a.vec_id AS nid, list_cosine_similarity(p.qe, a.e) AS sim
+      FROM probes p JOIN assign a USING (cid)
+      WHERE a.vec_id <> p.qid)
+    SELECT qid, nid, rank FROM (
+      SELECT qid, nid,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      FROM cand)
+    WHERE rank <= {_IVF_TOPK}
+    """,
+    doc=(
+        "IVF ANN over the embedding column: nearest-centroid assignment via "
+        "broadcast + map-side max_by (shuffle volume N, never N x C), query "
+        "routing to the 2 nearest centroids, candidate search as a join on "
+        "cluster id, per-query top-k under the total order (sim DESC, nid)."
+    ),
+    tags=("llm", "similarity", "ann"),
+)
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cent = emb.filter(F.col("vec_id") % _IVF_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    def cos(a, b):
+        return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+    # Assignment: every (vector x centroid) pair exists only inside the
+    # broadcast-join partition, and max_by combines map-side — the shuffle
+    # carries ONE row per vector. Tie-break (sim DESC, cid ASC) is encoded
+    # as lexicographic max over struct(sim, -cid).
+    csim = cos(F.col("e"), F.col("ce"))
+    assign = (
+        emb.join(F.broadcast(cent))
+        .select("vec_id", "e", "cid", csim.alias("csim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cid", F.struct(F.col("csim"), (-F.col("cid")).alias("nc"))).alias("cid"),
+            F.first("e").alias("e"),
+        )
+    )
+    # Query routing: Q is tiny relative to N by construction; a window
+    # rank over Q x C rows is fine at any scale where Q stays bounded.
+    qw = Window.partitionBy("qid").orderBy(F.desc("csim"), "cid")
+    probes = (
+        emb.filter(F.col("vec_id") % _QUERY_STRIDE == 0)
+        .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
+        .join(F.broadcast(cent))
+        .select("qid", "qe", "cid", cos(F.col("qe"), F.col("ce")).alias("csim"))
+        .withColumn("rn", F.row_number().over(qw))
+        .filter(F.col("rn") <= _IVF_PROBE)
+        .select("qid", "qe", "cid")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "nid")
+    return (
+        probes.join(assign, "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nid"), cos(F.col("qe"), F.col("e")).alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _IVF_TOPK)
+        .select("qid", "nid", "rank")
+    )
+
+
 def get_llm_registry():  # imported for side effects by queries.get_registry
     return None
