@@ -82,6 +82,7 @@ def test_incremental_equals_batch_on_random_changelogs(spark, tmp_path, seed):
             Measure("sum", "v", "sv"),
             Measure("min", "v", "mn"),
             Measure("max", "v", "mx"),
+            Measure("count_distinct", "v", "nd"),
         ],
         work_dir=str(tmp_path / "mv"),
         num_buckets=4,
@@ -96,17 +97,18 @@ def test_incremental_equals_batch_on_random_changelogs(spark, tmp_path, seed):
         # after EVERY batch: MV == batch recompute over the live fact state
         fact_now = mv.fact_store.read()
         expected = {
-            (r.g, r.n, round(r.sv, 2), r.mn, r.mx)
+            (r.g, r.n, round(r.sv, 2), r.mn, r.mx, r.nd)
             for r in fact_now.groupBy("g")
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum("v").alias("sv"),
                 F.min("v").alias("mn"),
                 F.max("v").alias("mx"),
+                F.count_distinct("v").alias("nd"),
             )
             .collect()
         }
-        got = {(r.g, r.n, round(r.sv, 2), r.mn, r.mx) for r in mv.read().collect()}
+        got = {(r.g, r.n, round(r.sv, 2), r.mn, r.mx, r.nd) for r in mv.read().collect()}
         assert got == expected, f"divergence after batch {i} (seed {seed})"
 
     # and the final fact state matches the python tracker

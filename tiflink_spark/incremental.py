@@ -36,12 +36,19 @@ from tiflink_spark.changelog import (
 )
 
 INVERTIBLE = ("count", "sum", "avg")
-NON_INVERTIBLE = ("min", "max")
+# Non-invertible aggregates maintain correctness by dirty-group recompute.
+# COUNT DISTINCT sits here too: the alternative — a (group, value)->count
+# auxiliary state store — bounds per-batch work by delta size instead of
+# dirty-group volume, but its state is proportional to distinct values
+# (often ~ table size). Dirty-group recompute needs no extra state and
+# its shuffle is pruned to touched groups; at 100 TB that trade is right
+# unless a group's row volume is pathological (same caveat as MIN/MAX).
+NON_INVERTIBLE = ("min", "max", "count_distinct")
 
 
 @dataclass(frozen=True)
 class Measure:
-    kind: str  # count | sum | avg | min | max
+    kind: str  # count | sum | avg | min | max | count_distinct
     col: str | None  # None for count(*)
     alias: str
 
@@ -105,6 +112,8 @@ def aggregate_state(df: DataFrame, group_keys: list[str], measures: list[Measure
             aggs.append(F.min(F.col(m.col)).alias(f"__ext_{m.alias}"))
         if m.kind == "max":
             aggs.append(F.max(F.col(m.col)).alias(f"__ext_{m.alias}"))
+        if m.kind == "count_distinct":
+            aggs.append(F.count_distinct(F.col(m.col)).alias(f"__ext_{m.alias}"))
     return df.groupBy(*group_keys).agg(*aggs)
 
 
@@ -199,6 +208,10 @@ def present_measures(state: DataFrame, measures: list[Measure]) -> DataFrame:
                     m.alias
                 )
             )
+        elif m.kind == "count_distinct":
+            # batch COUNT(DISTINCT) of a dirty group that lost every row
+            # presents as 0, not NULL (recomputed row absent -> NULL ext).
+            out.append(F.coalesce(F.col(f"__ext_{m.alias}"), F.lit(0)).alias(m.alias))
         else:  # min/max
             out.append(F.col(f"__ext_{m.alias}").alias(m.alias))
     return state.select(*out)

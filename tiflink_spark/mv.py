@@ -334,7 +334,8 @@ class IncrementalAggMV:
         cols = [dim[self.dim_key], *[dim[c] for c in self.dim_cols]]
         for m in self.measures:
             v = joined[m.alias]
-            if m.kind == "count":  # LEFT JOIN: absent group counts as 0
+            if m.kind in ("count", "count_distinct"):
+                # LEFT JOIN: absent group counts as 0
                 v = F.coalesce(v, F.lit(0))
             cols.append(v.alias(m.alias))
         return joined.select(*cols)

@@ -464,3 +464,45 @@ def mv_flagship_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
         return rmv.read().localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mv_distinct_incremental",
+    f"""
+    WITH {_FINAL_ORDERS_SQL}
+    SELECT c_custkey, c_name,
+           (SELECT count(DISTINCT o_totalprice) FROM final_orders o
+            WHERE o.o_custkey = c.c_custkey) AS n_prices
+    FROM customer c
+    """,
+    doc=(
+        "COUNT DISTINCT MV maintained incrementally through the scripted "
+        "+I/-D/+U changelog (dirty-group recompute path — see "
+        "incremental.NON_INVERTIBLE for the state-vs-recompute trade). "
+        "Dim left join presents absent groups as 0 distinct values."
+    ),
+    tags=("mv", "incremental", "distinct"),
+)
+def mv_distinct_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mv_dist_")
+    try:
+        mv = IncrementalAggMV(
+            spark,
+            fact=t["orders"],
+            fact_pk=["o_orderkey"],
+            group_key="o_custkey",
+            measures=[Measure("count_distinct", "o_totalprice", "n_prices")],
+            work_dir=work,
+            dim=t["customer"],
+            dim_key="c_custkey",
+            dim_cols=["c_name"],
+            num_buckets=4,
+            shuffle_partitions=8,
+        )
+        mv.bootstrap()
+        for i, b in enumerate(scripted_batches(t["orders"]), start=1):
+            mv.refresh(b, batch_id=i)
+        return mv.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
