@@ -89,3 +89,42 @@ def test_pandas_udf_batteries(spark):
     )
     sims = [r.s for r in vdf.select(cosine_sim("a", "b").alias("s")).collect()]
     assert sims == [1.0, 0.0]
+
+
+def test_csv_and_json_connectors_roundtrip(spark, tmp_path):
+    from tiflink_spark.connectors import ConnectorOptions, get_connector
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "id int, name string"
+    )
+    for fmt in ("csv", "json"):
+        path = str(tmp_path / fmt)
+        conn = get_connector(fmt)
+        conn.write(df, ConnectorOptions(path=path))
+        back = conn.read(spark, ConnectorOptions(path=path, extra={"schema": df.schema}))
+        assert back.schema == df.schema
+        assert sorted((r.id, r.name) for r in back.collect()) == [
+            (1, "alpha"), (2, "beta"), (3, "gamma"),
+        ]
+
+
+def test_csv_connector_stream_read(spark, tmp_path):
+    from tiflink_spark.connectors import ConnectorOptions, get_connector
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id int, v string")
+    path = str(tmp_path / "csv_stream")
+    conn = get_connector("csv")
+    conn.write(df, ConnectorOptions(path=path))
+    stream = conn.read_stream(
+        spark, ConnectorOptions(path=path, extra={"schema": df.schema})
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("csv_stream_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table("csv_stream_sink").count() == 2

@@ -120,6 +120,63 @@ class KeyedStoreConnector(Connector):
         store.bootstrap(df, batch_id=f"write-{len(store.committed_batches())}")
 
 
+class CsvConnector(Connector):
+    """CSV source/sink. Schema comes from ``opts.extra['schema']`` when
+    given (a StructType or DDL string) — inference is a full extra pass
+    over the data, which at 100 TB is a job of its own; declared schemas
+    are the scale path. Header on, so files are self-describing."""
+
+    name = "csv"
+
+    def _reader(self, spark: SparkSession, opts: ConnectorOptions):
+        r = spark.read.option("header", "true")
+        schema = opts.extra.get("schema")
+        return r.schema(schema) if schema is not None else r.option("inferSchema", "true")
+
+    def read(self, spark: SparkSession, opts: ConnectorOptions) -> DataFrame:
+        return self._reader(spark, opts).csv(opts.path)
+
+    def read_stream(self, spark: SparkSession, opts: ConnectorOptions) -> DataFrame:
+        schema = opts.extra.get("schema")
+        if schema is None:
+            schema = spark.read.option("header", "true").option("inferSchema", "true").csv(
+                opts.path
+            ).schema
+        return (
+            spark.readStream.schema(schema)
+            .option("header", "true")
+            .option("maxFilesPerTrigger", opts.max_files_per_trigger)
+            .csv(opts.path)
+        )
+
+    def write(self, df: DataFrame, opts: ConnectorOptions) -> None:
+        df.write.mode("overwrite").option("header", "true").csv(opts.path)
+
+
+class JsonConnector(Connector):
+    """JSON-lines source/sink; same declared-schema rule as CSV."""
+
+    name = "json"
+
+    def read(self, spark: SparkSession, opts: ConnectorOptions) -> DataFrame:
+        schema = opts.extra.get("schema")
+        r = spark.read
+        return (r.schema(schema) if schema is not None else r).json(opts.path)
+
+    def read_stream(self, spark: SparkSession, opts: ConnectorOptions) -> DataFrame:
+        schema = opts.extra.get("schema")
+        if schema is None:
+            schema = spark.read.json(opts.path).schema
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", opts.max_files_per_trigger)
+            .json(opts.path)
+        )
+
+    def write(self, df: DataFrame, opts: ConnectorOptions) -> None:
+        df.write.mode("overwrite").json(opts.path)
+
+
 _REGISTRY: dict[str, Connector] = {}
 
 
@@ -133,5 +190,11 @@ def get_connector(name: str) -> Connector:
     return _REGISTRY[name]
 
 
-for _c in (ParquetConnector(), ChangelogConnector(), KeyedStoreConnector()):
+for _c in (
+    ParquetConnector(),
+    ChangelogConnector(),
+    KeyedStoreConnector(),
+    CsvConnector(),
+    JsonConnector(),
+):
     register_connector(_c)
