@@ -769,5 +769,91 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Embedding-cosine near-dup: the embedding-space member of the dedup
+# family (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding).
+# Same LSH blocking as embedding_ann_lsh — candidates share a band
+# signature — then an exact-cosine verify. The THRESHOLD is part of the
+# operator contract, so the oracle applies the identical blocking; a
+# pair the banding misses is (by definition) not a near-dup candidate.
+_NEARDUP_SIM = 0.3
+
+
+@register(
+    "dedup_embedding_neardup",
+    f"""
+    WITH sig AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+               {_band_sig_sql(0)} AS b0,
+               {_band_sig_sql(1)} AS b1
+        FROM embeddings),
+    buckets AS (
+        SELECT vec_id, e, band, sig FROM (
+            SELECT vec_id, e, 0 AS band, b0 AS sig FROM sig
+            UNION ALL
+            SELECT vec_id, e, 1 AS band, b1 AS sig FROM sig)
+        QUALIFY count(*) OVER (PARTITION BY band, sig) <= {_BUCKET_CAP}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.e AS ea, b.e AS eb
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b FROM cand
+    WHERE list_cosine_similarity(ea, eb) >= {_NEARDUP_SIM}
+    """,
+    doc=(
+        "Embedding-cosine near-duplicate pairs: LSH band blocking (bucket "
+        "equi-join, never all-pairs), exact cosine verify on candidates "
+        "only. Emits id pairs (a < b) — the dedup decision input."
+    ),
+    tags=("llm", "dedup", "similarity"),
+)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"].select("vec_id", "embedding")
+    sig = emb.select(
+        "vec_id",
+        "embedding",
+        _band_sig_col(0).alias("b0"),
+        _band_sig_col(1).alias("b1"),
+    )
+    buckets = sig.select(
+        "vec_id", "embedding", F.lit(0).alias("band"), F.col("b0").alias("sig")
+    ).unionByName(
+        sig.select("vec_id", "embedding", F.lit(1).alias("band"), F.col("b1").alias("sig"))
+    )
+    wcap = Window.partitionBy("band", "sig")
+    buckets = (
+        buckets.withColumn("__bsz", F.count(F.lit(1)).over(wcap))
+        .filter(F.col("__bsz") <= _BUCKET_CAP)
+        .drop("__bsz")
+    )
+    right = buckets.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "band", "sig"
+    )
+    cand = (
+        buckets.select(
+            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "band", "sig"
+        )
+        .join(right, ["band", "sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "emb_a", "emb_b")
+        .distinct()
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    sim = dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.sqrt(dot(F.col("emb_a"), F.col("emb_a")))
+        * F.sqrt(dot(F.col("emb_b"), F.col("emb_b")))
+    )
+    return cand.filter(sim >= _NEARDUP_SIM).select("vec_a", "vec_b")
+
+
 def get_llm_registry():  # imported for side effects by queries.get_registry
     return None
