@@ -819,3 +819,62 @@ def connector_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return back.select("r_regionkey", "r_name").localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "unpivot_measures",
+    """
+    SELECT measure, round(sum(value), 2) AS total
+    FROM (
+        SELECT 'quantity' AS measure, l_quantity AS value FROM lineitem
+        UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+        UNION ALL SELECT 'tax', l_tax FROM lineitem)
+    GROUP BY measure
+    """,
+    doc=(
+        "UNPIVOT (wide -> long): melt three measure columns into "
+        "(measure, value) rows with DataFrame.unpivot, then aggregate. "
+        "One scan — the UNION-ALL oracle form would scan three times."
+    ),
+    tags=("reshape",),
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    long = t["lineitem"].unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    name = (
+        F.when(F.col("measure") == "l_quantity", "quantity")
+        .when(F.col("measure") == "l_extendedprice", "extendedprice")
+        .otherwise("tax")
+    )
+    return (
+        long.select(name.alias("measure"), "value")
+        .groupBy("measure")
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+@register(
+    "regex_funcs",
+    """
+    SELECT doc_id,
+           regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+           length(regexp_replace(text, '[aeiou]', '', 'g')) AS novowel_len,
+           CASE WHEN regexp_matches(text, 'data') THEN 1 ELSE 0 END AS has_data
+    FROM documents
+    """,
+    doc="Regexp scalar battery: extract / global replace / match-test.",
+    tags=("scalar", "regex"),
+)
+def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        F.regexp_extract("text", r"([A-Za-z]+)", 1).alias("first_word"),
+        F.length(F.regexp_replace("text", r"[aeiou]", "")).alias("novowel_len"),
+        F.col("text").rlike("data").cast("int").alias("has_data"),
+    )
