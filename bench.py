@@ -23,6 +23,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q18_large_volume_customer",
     "join_inner",
     "window_rank",
     "dedup_exact",

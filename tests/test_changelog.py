@@ -85,3 +85,30 @@ def test_with_insert_ops_tags_snapshot(spark):
     df = with_insert_ops(_df(spark, [(1, "a")]))
     row = df.collect()[0]
     assert row[OP_COL] == OP_INSERT and row[SEQ_COL] is not None
+
+
+def test_resolve_transactions_commit_rollback_inflight(spark):
+    from tiflink_spark.changelog import (
+        TXN_COMMIT,
+        TXN_PREWRITE,
+        TXN_ROLLBACK,
+        resolve_transactions,
+    )
+
+    rows = [
+        # committed txn
+        (10, 1, "a", None, TXN_PREWRITE),
+        (10, None, None, 11, TXN_COMMIT),
+        # rolled back txn
+        (20, 2, "b", None, TXN_PREWRITE),
+        (20, None, None, None, TXN_ROLLBACK),
+        # still in flight (no commit): invisible
+        (30, 3, "c", None, TXN_PREWRITE),
+        # commit without prewrite (lost payload): nothing to emit
+        (40, None, None, 41, TXN_COMMIT),
+    ]
+    log = spark.createDataFrame(
+        rows, "start_ts long, k long, v string, commit_ts long, kind string"
+    )
+    got = resolve_transactions(log, ["k", "v"]).collect()
+    assert [(r.k, r.v, r.commit_ts) for r in got] == [(1, "a", 11)]

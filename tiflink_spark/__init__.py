@@ -21,10 +21,16 @@ Streaming:
   (COUNT/SUM/AVG delta-merged; MIN/MAX dirty-group recompute).
 - ``types``     — MySQL<->Spark type map + MV target DDL generation
   (reference: TypeUtils.java:46-109, 364-406).
-- ``queries`` / ``queries_llm`` / ``queries_mv`` — the oracle-checked
-  query surface, including the beyond-reference LLM-data-pipeline pack
-  (dedup exact / n-gram Jaccard / MinHash-LSH, embedding similarity,
-  text analysis).
+- ``app``       — MVApp builder: the user-facing continuous-MV API
+  (reference: TiFlinkApp.Builder).
+- ``connectors`` — source/sink factory registry (parquet / changelog /
+  keyed store / csv / json).
+- ``bucketing`` — bucketed co-located joins + salted skew joins.
+- ``queries*`` — the oracle-checked query surface: relational + TPC-H
+  Q1-Q22 shapes, MV convergence gates, streaming, and the
+  beyond-reference LLM-data-pipeline pack (dedup x5 incl. SimHash and
+  embedding-cosine, similarity search brute/LSH/IVF, text analysis,
+  multimodal plumbing).
 
 Everything here is public-knowledge PySpark; no code is copied from the
 reference (which is a Java/Flink codebase with a different execution

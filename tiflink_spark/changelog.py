@@ -114,3 +114,43 @@ def diff_states(old: DataFrame, new: DataFrame, pk: list[str]) -> DataFrame:
         .unionByName(unpack(deleted, "__old", OP_DELETE))
     )
     return out.withColumn(SEQ_COL, F.monotonically_increasing_id())
+
+
+# -- transaction-event resolution (SURVEY §2.1 op #3) -----------------------
+
+TXN_PREWRITE = "prewrite"
+TXN_COMMIT = "commit"
+TXN_ROLLBACK = "rollback"
+
+
+def resolve_transactions(log: DataFrame, payload_cols: list[str]) -> DataFrame:
+    """Resolve a raw transaction-event log into committed rows.
+
+    The reference's source consumes Percolator-style events: a PREWRITE
+    carries the row payload at ``start_ts``; a later COMMIT (matched by
+    ``start_ts``) makes it visible at ``commit_ts``; a ROLLBACK (or a
+    missing commit — the txn is still in flight or lost) discards it
+    (FlinkTikvConsumer.java:161-199 buffers prewrites and flushes them
+    on commit; GrpcService tracks the open-txn set).
+
+    Input schema: ``start_ts long`` on every event, payload columns on
+    PREWRITE rows, ``commit_ts long`` on COMMIT rows, ``kind string``.
+    Output: one row per committed prewrite — payload + ``commit_ts`` —
+    an insert-only changelog ordered by commit time.
+
+    The match is an equi-join on start_ts (hash join, keyed by txn);
+    at scale this is the same shuffle the commit-buffer flush performs,
+    with the open-txn set bounded by the uncommitted window, not history.
+    """
+    pre = log.filter(F.col("kind") == TXN_PREWRITE).select(
+        "start_ts", *payload_cols
+    )
+    commits = log.filter(F.col("kind") == TXN_COMMIT).select(
+        "start_ts", "commit_ts"
+    )
+    rollbacks = log.filter(F.col("kind") == TXN_ROLLBACK).select("start_ts")
+    return (
+        pre.join(rollbacks, "start_ts", "left_anti")
+        .join(commits, "start_ts")
+        .select(*payload_cols, "commit_ts")
+    )

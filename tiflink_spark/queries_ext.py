@@ -878,3 +878,116 @@ def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.regexp_replace("text", r"[aeiou]", "")).alias("novowel_len"),
         F.col("text").rlike("data").cast("int").alias("has_data"),
     )
+
+
+@register(
+    "lateral_topn_per_group",
+    """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2) o
+    """,
+    doc=(
+        "LATERAL correlated subquery: top-2 orders per customer. Spark "
+        "supports LATERAL joins natively (3.2+); same rows as the window "
+        "row_number<=2 form, expressed in the SQL shape users port from "
+        "other engines."
+    ),
+    tags=("join", "lateral", "topk"),
+)
+def lateral_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2) o
+        """
+    )
+
+
+@register(
+    "range_join_price_bands",
+    """
+    WITH bands AS (
+        SELECT 0 AS band_id, 0.0 AS lo, 20000.0 AS hi
+        UNION ALL SELECT 1, 20000.0, 40000.0
+        UNION ALL SELECT 2, 40000.0, 60000.0
+        UNION ALL SELECT 3, 60000.0, 1e9)
+    SELECT band_id, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+    FROM orders JOIN bands
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band_id
+    """,
+    doc=(
+        "Range (band) join: fact rows joined into value intervals. The "
+        "band side is tiny and broadcast, so the non-equi condition is a "
+        "broadcast nested-loop over N x 4 — the right plan when one side "
+        "is bounded; an unbounded-both-sides range join would need the "
+        "bucketed interval decomposition instead (interval_join_events)."
+    ),
+    tags=("join", "range"),
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [(0, 0.0, 20000.0), (1, 20000.0, 40000.0), (2, 40000.0, 60000.0), (3, 60000.0, 1e9)],
+        "band_id int, lo double, hi double",
+    )
+    return (
+        t["orders"]
+        .join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "rollup_time_grains",
+    """
+    SELECT grain, bucket, count(*) AS n_events, round(sum(value), 2) AS total
+    FROM (
+        SELECT 'hour' AS grain,
+               CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket,
+               value FROM events
+        UNION ALL
+        SELECT 'day', CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP), value
+        FROM events)
+    GROUP BY grain, bucket
+    """,
+    doc=(
+        "Hypertable-style multi-grain rollup: hour and day aggregates of "
+        "the event stream in ONE scan via GROUPING SETS over the two "
+        "truncations (the UNION-ALL oracle form scans twice)."
+    ),
+    tags=("agg", "window-time", "rollup"),
+)
+def rollup_time_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    ev = t["events"].select(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        "value",
+    )
+    ev.createOrReplaceTempView("__ev_grains")
+    return spark.sql(
+        """
+        SELECT CASE WHEN grouping(h) = 0 THEN 'hour' ELSE 'day' END AS grain,
+               CASE WHEN grouping(h) = 0 THEN h ELSE d END AS bucket,
+               count(*) AS n_events, round(sum(value), 2) AS total
+        FROM __ev_grains
+        GROUP BY GROUPING SETS ((h), (d))
+        """
+    )

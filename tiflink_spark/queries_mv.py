@@ -506,3 +506,56 @@ def mv_distinct_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         return mv.read().localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "txn_resolution",
+    """
+    SELECT o_orderkey, o_custkey, o_orderkey * 2 + 1 AS commit_ts
+    FROM orders WHERE o_orderkey % 3 = 0
+    """,
+    doc=(
+        "Transaction-event resolution (SURVEY §2.1 op #3): a scripted "
+        "Percolator-style log over orders — every order prewrites at "
+        "start_ts = 2*key; key%3==0 commits at start_ts+1, key%3==1 stays "
+        "in flight (never visible), key%3==2 rolls back. The resolver "
+        "must emit exactly the committed payloads with their commit_ts "
+        "(FlinkTikvConsumer.java:161-199 semantics)."
+    ),
+    tags=("mv", "changelog", "txn"),
+)
+def txn_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.changelog import (
+        TXN_COMMIT,
+        TXN_PREWRITE,
+        TXN_ROLLBACK,
+        resolve_transactions,
+    )
+
+    t = _t(spark, sf_dir)
+    orders = t["orders"].select("o_orderkey", "o_custkey")
+    start = (F.col("o_orderkey") * 2).alias("start_ts")
+    null_l = F.lit(None).cast("long")
+    pre = orders.select(
+        start,
+        "o_orderkey",
+        "o_custkey",
+        null_l.alias("commit_ts"),
+        F.lit(TXN_PREWRITE).alias("kind"),
+    )
+    commits = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        start,
+        null_l.alias("o_orderkey"),
+        null_l.alias("o_custkey"),
+        (F.col("o_orderkey") * 2 + 1).alias("commit_ts"),
+        F.lit(TXN_COMMIT).alias("kind"),
+    )
+    rollbacks = orders.filter(F.col("o_orderkey") % 3 == 2).select(
+        start,
+        null_l.alias("o_orderkey"),
+        null_l.alias("o_custkey"),
+        null_l.alias("commit_ts"),
+        F.lit(TXN_ROLLBACK).alias("kind"),
+    )
+    log = pre.unionByName(commits).unionByName(rollbacks)
+    return resolve_transactions(log, ["o_orderkey", "o_custkey"])
