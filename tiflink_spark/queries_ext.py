@@ -991,3 +991,37 @@ def rollup_time_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((h), (d))
         """
     )
+
+
+@register(
+    "salted_join_skew",
+    """
+    SELECT n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc=(
+        "Skew-safe salted join (bucketing.salted_join): the fact side is "
+        "scattered across 8 salt replicas of the dim side, so one hot key "
+        "cannot pin a single reducer — the manual fallback for skew beyond "
+        "what AQE skew-splitting handles. Result identical to the plain "
+        "join (oracle is the unsalted SQL)."
+    ),
+    tags=("join", "skew"),
+)
+def salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.bucketing import salted_join
+
+    t = _t(spark, sf_dir)
+    joined = salted_join(
+        t["customer"].select("c_nationkey", "c_acctbal"),
+        t["nation"].select("n_nationkey", "n_name").withColumnRenamed(
+            "n_nationkey", "c_nationkey"
+        ),
+        on="c_nationkey",
+        n_salts=8,
+    )
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
