@@ -1025,3 +1025,31 @@ def salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
     )
+
+
+@register(
+    "multimodal_framesample",
+    """
+    SELECT doc_id AS id, CAST(frame_idx AS BIGINT) AS frame_idx
+    FROM documents,
+         UNNEST(range(0, 1 + octet_length(encode(text)) % 300, 30)) AS t(frame_idx)
+    """,
+    doc=(
+        "Frame-sampling plan for video rows: each media row expands to "
+        "(id, frame_idx) rows — every 30th frame of a deterministic "
+        "stand-in frame count (real: ffprobe duration x fps) — the fan-out "
+        "stage ahead of per-frame decode (multimodal.frame_sample_plan)."
+    ),
+    tags=("llm", "multimodal"),
+)
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.multimodal import frame_sample_plan
+
+    t = _t(spark, sf_dir)
+    media = t["documents"].select(
+        F.col("doc_id").alias("id"),
+        F.col("text").cast("binary").alias("data"),
+    )
+    return frame_sample_plan(media, every_n=30).select(
+        "id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
