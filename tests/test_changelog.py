@@ -112,3 +112,45 @@ def test_resolve_transactions_commit_rollback_inflight(spark):
     )
     got = resolve_transactions(log, ["k", "v"]).collect()
     assert [(r.k, r.v, r.commit_ts) for r in got] == [(1, "a", 11)]
+
+
+def test_merge_changes_matches_dict_model_hypothesis(spark):
+    """Property: merge_changes over any op sequence == a python dict
+    replayed in __seq order (last write wins, -D removes)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tiflink_spark.changelog import OP_COL, SEQ_COL, merge_changes
+
+    ops = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),        # key
+            st.integers(min_value=0, max_value=99),       # value
+            st.sampled_from(["+I", "+U", "-D"]),
+        ),
+        min_size=0,
+        max_size=12,
+    )
+    base_rows = [(k, k * 10) for k in range(4)]
+
+    @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(ops)
+    def run(seq):
+        model = dict(base_rows)
+        for k, v, op in seq:
+            if op == "-D":
+                model.pop(k, None)
+            else:
+                model[k] = v
+        base = spark.createDataFrame(base_rows, "k int, v int")
+        if seq:
+            changes = spark.createDataFrame(
+                [(k, v, op, i) for i, (k, v, op) in enumerate(seq)],
+                f"k int, v int, {OP_COL} string, {SEQ_COL} long",
+            )
+            got = merge_changes(base, changes, ["k"])
+        else:
+            got = base
+        assert {(r.k, r.v) for r in got.collect()} == set(model.items())
+
+    run()

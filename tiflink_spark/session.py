@@ -78,6 +78,12 @@ def get_spark(app_name: str = "tiflink_spark", *, extra_conf: dict | None = None
     return builder.getOrCreate()
 
 
+# (session id, sf_dir) -> table dict. DataFrames are immutable plans, so
+# handing the same objects to every query is safe; this skips re-reading
+# 10 parquet footers + re-registering views on every registry call.
+_TABLE_CACHE: dict[tuple[int, str, bool], dict[str, DataFrame]] = {}
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str = DEFAULT_SF_DIR,
@@ -91,6 +97,14 @@ def load_tables(
     registering each parquet table as a temp view so the full SQL
     surface can name them.
     """
+    key = (id(spark), sf_dir, register_views)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        if register_views:
+            # Cheap re-register: another sf_dir may have claimed the names.
+            for name, df in cached.items():
+                df.createOrReplaceTempView(name)
+        return dict(cached)
     # The driver's testdata stores some columns as TIMESTAMP(NANOS), which
     # Spark's vectorized parquet reader rejects. Read them as long nanos and
     # rebuild microsecond timestamps. The data carries sub-microsecond nanos,
@@ -112,6 +126,7 @@ def load_tables(
         out[name] = df
         if register_views:
             df.createOrReplaceTempView(name)
+    _TABLE_CACHE[key] = dict(out)
     return out
 
 
