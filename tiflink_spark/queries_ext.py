@@ -1053,3 +1053,64 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(media, every_n=30).select(
         "id", F.col("frame_idx").cast("long").alias("frame_idx")
     )
+
+
+@register(
+    "keyed_sink_roundtrip",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    """,
+    doc=(
+        "Exactly-once upsert sink round-trip: customer written through the "
+        "keyed-store connector (hash-bucketed, versioned, MERGE-by-PK — the "
+        "FlinkTikvProducer.java:39-258 analog) and read back via the "
+        "registry. The §2.2 'sink' row as a checkable gate."
+    ),
+    tags=("connector", "sink", "store"),
+)
+def keyed_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from tiflink_spark.connectors import ConnectorOptions, get_connector
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="keyed_sink_")
+    try:
+        conn = get_connector("keyed")
+        opts = ConnectorOptions(path=work, pk=["c_custkey"], num_buckets=4)
+        conn.write(t["customer"].select("c_custkey", "c_name", "c_acctbal"), opts)
+        return conn.read(spark, opts).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "window_range_frame",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS DATE)
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_with_peers
+    FROM orders
+    """,
+    doc=(
+        "RANGE window frame: cumulative sum where same-order-date rows are "
+        "PEERS (all included at once) — distinct semantics from the ROWS "
+        "frame in window_running_sum when ties exist."
+    ),
+    tags=("window",),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST(o_orderdate AS DATE)
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_with_peers
+        FROM orders
+        """
+    )
