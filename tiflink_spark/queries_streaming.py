@@ -142,8 +142,10 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
     """
     try:
         # Self-contained: don't rely on a prior load_tables call having
-        # enabled the nanos-as-long parquet repair on this session.
+        # enabled the nanos-as-long parquet repair (or UTC semantics) on
+        # this session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
     path = os.path.join(sf_dir, "events.parquet")

@@ -112,6 +112,10 @@ def load_tables(
     # goes through double and loses integer precision above 2^53.
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Timestamp semantics must not depend on who built the session
+        # (the driver passes its own): the DuckDB oracle reads naive
+        # timestamps, which only match under UTC.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass  # already set via builder, or not runtime-settable on this build
 
