@@ -1114,3 +1114,55 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         """
     )
+
+
+@register(
+    "null_semantics",
+    """
+    SELECT o_orderkey,
+           coalesce(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_or_pending,
+           CASE WHEN o_orderstatus IS NOT DISTINCT FROM 'F' THEN 1 ELSE 0 END AS nullsafe_f,
+           CASE WHEN o_totalprice IS NULL THEN -1 ELSE 1 END AS null_flag
+    FROM orders
+    """,
+    doc="NULL-semantics battery: COALESCE / NULLIF / null-safe equality (<=>).",
+    tags=("scalar", "null"),
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return t["orders"].select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("PENDING")).alias(
+            "status_or_pending"
+        ),
+        F.col("o_orderstatus").eqNullSafe("F").cast("int").alias("nullsafe_f"),
+        F.when(F.col("o_totalprice").isNull(), -1).otherwise(1).alias("null_flag"),
+    )
+
+
+@register(
+    "cast_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+           TRY_CAST(o_orderstatus AS BIGINT) AS bad_cast_null,
+           CAST(o_totalprice > 30000 AS INTEGER) AS is_big
+    FROM orders
+    """,
+    doc=(
+        "Casting battery: explicit floor before int cast (bare double->int "
+        "casts are NOT portable: Spark truncates, DuckDB rounds), string "
+        "round-trip, TRY_CAST -> NULL, bool->int."
+    ),
+    tags=("scalar", "cast"),
+)
+def cast_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return t["orders"].select(
+        "o_orderkey",
+        F.floor("o_totalprice").cast("bigint").alias("price_int"),
+        F.col("o_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
+        F.expr("TRY_CAST(o_orderstatus AS BIGINT)").alias("bad_cast_null"),
+        (F.col("o_totalprice") > 30000).cast("int").alias("is_big"),
+    )

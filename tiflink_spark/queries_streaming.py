@@ -464,3 +464,80 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(dir1, ignore_errors=True)
         shutil.rmtree(dir2, ignore_errors=True)
+
+
+@register(
+    "streaming_hop_agg",
+    """
+    SELECT window_start, count(*) AS n_events
+    FROM (
+        SELECT CAST(time_bucket(INTERVAL 30 minutes, CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                 - k * INTERVAL 30 minutes AS window_start
+        FROM events, UNNEST([0, 1]) AS t(k)
+    )
+    GROUP BY window_start
+    """,
+    doc=(
+        "REAL streaming HOP window (1h size / 30min slide): watermarked "
+        "readStream -> sliding-window agg -> complete-mode memory sink. "
+        "Streaming == batch on bounded input (same oracle as window_hop)."
+    ),
+    tags=("streaming", "window-time"),
+)
+def streaming_hop_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev, stream_dir = _stream_events(spark, sf_dir)
+    try:
+        agg = (
+            ev.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "n_events")
+        )
+        return _run_stream_to_df(spark, agg, "streaming_hop_sink")
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
+
+
+@register(
+    "streaming_session_agg",
+    """
+    WITH gaps AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                         - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 10 minutes
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    sessions AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps)
+    SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc=(
+        "REAL streaming SESSION window (10min gap) per user: watermarked "
+        "readStream -> session_window agg (merging-window state) -> "
+        "complete-mode sink; oracle is the gaps-and-islands construction."
+    ),
+    tags=("streaming", "window-time"),
+)
+def streaming_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev, stream_dir = _stream_events(spark, sf_dir)
+    try:
+        agg = (
+            ev.withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                "n_events",
+            )
+        )
+        return _run_stream_to_df(spark, agg, "streaming_session_sink")
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
