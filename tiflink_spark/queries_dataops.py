@@ -187,3 +187,104 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("v") < F.col("c2")) & (F.col("c1") < F.col("p")))
     )
     return converted.agg(F.count(F.lit(1)).alias("n_converted"))
+
+
+def _shard_expr(key_sql: str, dialect: str, n: int = 16) -> str:
+    """Deterministic shard id 0..n-1 from the same md5-nibble recipe as
+    _pct_expr — stable across runs and engines, no RNG."""
+    md5 = (
+        f"md5(cast({key_sql} AS string))"
+        if dialect == "spark"
+        else f"md5(CAST({key_sql} AS VARCHAR))"
+    )
+    nibbles = " + ".join(
+        f"(instr('0123456789abcdef', substr({md5}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"(({nibbles}) % {n})"
+
+
+@register(
+    "dataset_shard_assignment",
+    f"""
+    SELECT doc_id, CAST({_shard_expr("doc_id", "duck")} AS BIGINT) AS shard
+    FROM documents
+    """,
+    doc=(
+        "Deterministic shard routing for training output: every document "
+        "maps to one of 16 shards by a key hash — stable across runs, no "
+        "RNG. At 100 TB this is the partition expression of the final "
+        "write (repartition('shard').write.partitionBy('shard'))."
+    ),
+    tags=("dataops", "sharding"),
+)
+def dataset_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return t["documents"].selectExpr(
+        "doc_id", f"CAST({_shard_expr('doc_id', 'spark')} AS BIGINT) AS shard"
+    )
+
+
+@register(
+    "pack_sequences",
+    """
+    WITH ordered AS (
+        SELECT doc_id, n_chars,
+               sum(n_chars) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum_chars
+        FROM documents)
+    SELECT doc_id, CAST(floor((cum_chars - n_chars) / 4096) AS BIGINT) AS pack_id
+    FROM ordered
+    """,
+    doc=(
+        "Sequence packing for training batches: documents greedily packed "
+        "into ~4096-char bins by cumulative length over a deterministic "
+        "order (bin = floor(preceding_chars / budget)). At scale the "
+        "cumulative sum runs per shard (partitionBy shard) so no global "
+        "single-partition window exists; the global form here matches the "
+        "gate's single-table scale."
+    ),
+    tags=("dataops", "packing"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir)
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return t["documents"].select(
+        "doc_id",
+        F.floor((F.sum("n_chars").over(w) - F.col("n_chars")) / 4096)
+        .cast("bigint")
+        .alias("pack_id"),
+    )
+
+
+@register(
+    "corpus_length_stats",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           round(avg(n_chars), 2) AS avg_chars,
+           round(quantile_cont(n_chars, 0.5), 1) AS median_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    doc=(
+        "Corpus length profile per language: the pre-training data audit "
+        "(doc counts, char-length min/max/mean/median) in one grouped pass; "
+        "median via percentile (exact at gate scale, approx_percentile at "
+        "100 TB)."
+    ),
+    tags=("dataops", "profiling"),
+)
+def corpus_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return t["documents"].groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 1).alias("median_chars"),
+    )
