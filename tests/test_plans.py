@@ -87,3 +87,18 @@ def test_q6_predicates_push_to_scan(spark):
 def test_q9_broadcasts_filtered_part_side(spark):
     plan = _plan(spark, "q9_product_profit")
     assert "BroadcastHashJoin" in plan
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """A partition predicate must prune the scan to one directory."""
+    from tiflink_spark.session import load_tables
+
+    t = load_tables(spark, SF_DIR)
+    out = str(tmp_path / "orders_part")
+    t["orders"].write.partitionBy("o_orderpriority").parquet(out)
+    df = spark.read.parquet(out).filter("o_orderpriority = '1-URGENT'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_orderpriority" in m.group(1), plan[:2000]

@@ -1166,3 +1166,40 @@ def cast_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("TRY_CAST(o_orderstatus AS BIGINT)").alias("bad_cast_null"),
         (F.col("o_totalprice") > 30000).cast("int").alias("is_big"),
     )
+
+
+@register(
+    "partition_pruning_roundtrip",
+    """
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+    doc=(
+        "Hive-style partition pruning: orders written partitionBy("
+        "o_orderpriority), read back with a partition predicate — the scan "
+        "touches ONE partition directory (asserted in tests/test_plans.py). "
+        "At 100 TB partition layout is the first-order scan reducer ahead "
+        "of row-group stats."
+    ),
+    tags=("scan", "partitioning"),
+)
+def partition_pruning_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="part_prune_")
+    try:
+        t["orders"].write.mode("overwrite").partitionBy("o_orderpriority").parquet(work)
+        back = spark.read.parquet(work).filter(F.col("o_orderpriority") == "1-URGENT")
+        return (
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
