@@ -287,7 +287,7 @@ class IncrementalAggMV:
         spark: SparkSession,
         fact: DataFrame,
         fact_pk: list[str],
-        group_key: str,
+        group_key: str | list[str],
         measures: list[Measure],
         work_dir: str,
         dim: DataFrame | None = None,
@@ -299,7 +299,12 @@ class IncrementalAggMV:
         self.spark = spark
         self.shuffle_partitions = shuffle_partitions
         self.fact_df0 = fact
-        self.group_key = group_key
+        # Composite GROUP BY keys are first-class; the dim-join form
+        # requires a single key (the dim's PK) by construction.
+        self.group_keys = [group_key] if isinstance(group_key, str) else list(group_key)
+        self.group_key = self.group_keys[0]
+        if dim is not None and len(self.group_keys) != 1:
+            raise ValueError("dim-joined MV requires a single group key (the dim PK)")
         self.measures = measures
         self.dim = dim
         self.dim_key = dim_key
@@ -308,14 +313,14 @@ class IncrementalAggMV:
             spark, os.path.join(work_dir, "fact"), fact_pk, num_buckets
         )
         self.state_store = KeyedParquetStore(
-            spark, os.path.join(work_dir, "state"), [group_key], num_buckets
+            spark, os.path.join(work_dir, "state"), self.group_keys, num_buckets
         )
         self.dim_store = (
             KeyedParquetStore(spark, os.path.join(work_dir, "dim"), [dim_key], num_buckets)
             if dim is not None
             else None
         )
-        mv_pk = [dim_key] if dim is not None else [group_key]
+        mv_pk = [dim_key] if dim is not None else self.group_keys
         self.target = KeyedParquetStore(
             spark, os.path.join(work_dir, "mv"), mv_pk, num_buckets
         )
@@ -345,7 +350,7 @@ class IncrementalAggMV:
         self.fact_store.bootstrap(self.fact_df0, batch_id)
         if self.dim_store is not None:
             self.dim_store.bootstrap(self.dim, batch_id)
-        state = aggregate_state(self.fact_store.read(), [self.group_key], self.measures)
+        state = aggregate_state(self.fact_store.read(), self.group_keys, self.measures)
         self.state_store.bootstrap(state, batch_id)
         self.target.bootstrap(self._mv_rows_for_state(self.state_store.read()), batch_id)
 
@@ -399,7 +404,7 @@ class IncrementalAggMV:
                 old_state,
                 delta,
                 self.fact_store.read(),
-                [self.group_key],
+                self.group_keys,
                 self.measures,
             ).cache()
 

@@ -559,3 +559,67 @@ def txn_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     log = pre.unionByName(commits).unionByName(rollbacks)
     return resolve_transactions(log, ["o_orderkey", "o_custkey"])
+
+
+@register(
+    "mv_multikey_incremental",
+    f"""
+    WITH final_orders2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0 AND o_orderkey < {BIG}
+                    THEN o_custkey % 100 + 1 ELSE o_custkey END AS o_custkey,
+               o_orderstatus, o_totalprice
+        FROM (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % 7 <> 0
+            UNION ALL
+            SELECT o_orderkey + {BIG}, o_custkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % 100 = 0
+        )
+    )
+    SELECT o_custkey, o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM final_orders2
+    GROUP BY o_custkey, o_orderstatus
+    """,
+    doc=(
+        "Composite-group-key MV: GROUP BY (o_custkey, o_orderstatus) "
+        "maintained incrementally through the scripted +I/-D/+U changelog — "
+        "the multi-column GROUP BY every real Flink SQL MV uses; state "
+        "store keyed by the full key tuple."
+    ),
+    tags=("mv", "incremental", "multikey"),
+)
+def mv_multikey_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mv_mk_")
+    try:
+        mv = IncrementalAggMV(
+            spark,
+            fact=t["orders"],
+            fact_pk=["o_orderkey"],
+            group_key=["o_custkey", "o_orderstatus"],
+            measures=[
+                Measure("count", None, "n_orders"),
+                Measure("sum", "o_totalprice", "total_price_raw"),
+            ],
+            work_dir=work,
+            num_buckets=4,
+            shuffle_partitions=8,
+        )
+        mv.bootstrap()
+        for i, b in enumerate(scripted_batches(t["orders"]), start=1):
+            mv.refresh(b, batch_id=i)
+        return (
+            mv.read()
+            .select(
+                "o_custkey",
+                "o_orderstatus",
+                "n_orders",
+                F.round("total_price_raw", 2).alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
