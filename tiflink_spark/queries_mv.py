@@ -623,3 +623,107 @@ def mv_multikey_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mv_cascade",
+    f"""
+    WITH final_orders3 AS (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT o_orderkey + {BIG}, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT c_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+    FROM final_orders3 JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+    doc=(
+        "MV CASCADE: an upstream join MV (orders x customer, dirty-key "
+        "incremental) feeds a downstream aggregate MV through "
+        "store.changes_between — the upstream target's version diff IS the "
+        "downstream changelog, exactly how the reference chains MVs "
+        "(every MV table is consumable as a source, README.md:8-16). "
+        "Scripted inserts + deletes flow through both stages incrementally."
+    ),
+    tags=("mv", "incremental", "cascade"),
+)
+def mv_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from tiflink_spark.mv import IncrementalJoinMV
+    from tiflink_spark.store import changes_between
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mv_cascade_")
+    try:
+        orders = t["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+        # IncrementalJoinMV joins on a shared column name; align them.
+        left = orders.withColumnRenamed("o_custkey", "custkey")
+        right = t["customer"].select(
+            F.col("c_custkey").alias("custkey"), "c_name"
+        )
+        join_mv = IncrementalJoinMV(
+            spark,
+            left=left,
+            left_pk=["o_orderkey"],
+            right=right,
+            right_pk=["custkey"],
+            join_key="custkey",
+            out_cols=["custkey", "o_orderkey", "o_totalprice"],
+            work_dir=os.path.join(work, "join"),
+            num_buckets=4,
+            shuffle_partitions=8,
+        )
+        join_mv.bootstrap(batch_id="b0")
+
+        # Downstream agg MV bootstraps from the upstream target state.
+        agg_mv = IncrementalAggMV(
+            spark,
+            fact=join_mv.read().select("o_orderkey", "custkey", "o_totalprice"),
+            fact_pk=["o_orderkey"],
+            group_key="custkey",
+            measures=[
+                Measure("count", None, "n_orders"),
+                Measure("sum", "o_totalprice", "total_price_raw"),
+            ],
+            work_dir=os.path.join(work, "agg"),
+            num_buckets=4,
+            shuffle_partitions=8,
+        )
+        agg_mv.bootstrap(batch_id="b0")
+
+        # Scripted upstream changelog: inserts then deletes on orders.
+        b1 = (
+            left.filter(F.col("o_orderkey") % 100 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + BIG)
+            .withColumn(OP_COL, F.lit(OP_INSERT))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        b2 = (
+            left.filter(F.col("o_orderkey") % 7 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        for bid, batch in (("b1", b1), ("b2", b2)):
+            v_before = join_mv.target.current_version()
+            join_mv.refresh(batch, None, batch_id=bid)
+            v_after = join_mv.target.current_version()
+            # The cascade edge: upstream target diff -> downstream changelog.
+            downstream = changes_between(join_mv.target, v_before, v_after).select(
+                "o_orderkey", "custkey", "o_totalprice", OP_COL, SEQ_COL
+            )
+            agg_mv.refresh(downstream, batch_id=bid)
+
+        return (
+            agg_mv.read()
+            .select(
+                F.col("custkey").alias("c_custkey"),
+                "n_orders",
+                F.round("total_price_raw", 2).alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -251,3 +251,25 @@ class KeyedParquetStore:
         changes.unpersist()
         self._commit(batch_id, version, buckets, schema_json)
         return True
+
+
+def changes_between(
+    store: KeyedParquetStore, from_version: int | None, to_version: int
+) -> DataFrame:
+    """The upsert changelog (+I/+U/-D with __seq) that transforms one
+    committed version into a later one — the store as a CDC SOURCE.
+
+    This is what lets MVs cascade: a downstream MV consumes the diff of
+    an upstream MV's target store exactly like any other changelog
+    (the reference chains MVs the same way — every MV table is itself a
+    TiKV table another TiFlinkApp can consume, README.md:8-16).
+    """
+    from tiflink_spark.changelog import diff_states
+
+    new = store.read(to_version)
+    if from_version is None:
+        from tiflink_spark.changelog import with_insert_ops
+
+        return with_insert_ops(new)
+    old = store.read(from_version)
+    return diff_states(old, new, store.pk)
