@@ -64,3 +64,31 @@ def test_bucket_pruned_merge_rewrites_only_touched_buckets(spark, store):
     after = dict(store._commits()[-1]["buckets"])
     unchanged = sum(1 for b, rel in after.items() if before.get(b) == rel)
     assert unchanged >= len(after) - 1  # at most one bucket rewritten
+
+
+def test_changes_between_versions_roundtrip(spark, tmp_path):
+    """store.changes_between(v1, v2) replayed onto the v1 state must
+    reproduce v2 exactly — the MV-cascade edge contract."""
+    from tiflink_spark.changelog import OP_COL, SEQ_COL, merge_changes
+    from tiflink_spark.store import KeyedParquetStore, changes_between
+
+    st = KeyedParquetStore(spark, str(tmp_path / "s"), ["k"], num_buckets=2)
+    st.bootstrap(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string"))
+    v1 = st.current_version()
+    st.merge(
+        spark.createDataFrame(
+            [(2, "B", "+U", 0), (3, None, "-D", 1), (4, "d", "+I", 2)],
+            f"k int, v string, {OP_COL} string, {SEQ_COL} long",
+        ),
+        batch_id=1,
+    )
+    v2 = st.current_version()
+
+    diff = changes_between(st, v1, v2)
+    replayed = merge_changes(st.read(v1), diff, ["k"])
+    assert {(r.k, r.v) for r in replayed.collect()} == {
+        (r.k, r.v) for r in st.read(v2).collect()
+    }
+    # bootstrap-diff form: from_version=None yields an all-insert changelog
+    full = changes_between(st, None, v2)
+    assert {r[0] for r in full.select(OP_COL).distinct().collect()} == {"+I"}
