@@ -44,7 +44,13 @@ def main() -> None:
     registry = get_registry()
     names = [n for n in HEADLINE if n in registry]
 
-    # Warm the JVM + parquet footers once so timings measure the queries.
+    # Warm the JVM, parquet footers, OS page cache, and codegen once so
+    # timings measure the queries, not first-touch I/O: materialize every
+    # table fully (all columns), then one representative query.
+    from tiflink_spark.session import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.write.format("noop").mode("overwrite").save()
     registry[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
