@@ -102,3 +102,49 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
 
     m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "o_orderpriority" in m.group(1), plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide anti-pattern audit: NO query may plan a cartesian
+# product, an unbounded nested-loop join, or row-at-a-time Python
+# eval — the three plans that do not survive a 100x scale-up — except
+# the explicitly-allowlisted shapes below.
+# ---------------------------------------------------------------------------
+
+# fn source markers that mean "building the DataFrame executes work"
+# (MV pipelines, streaming runs, connector round-trips, iterative
+# algorithms): their plans are exercised by their own oracle gates.
+_EAGER_MARKERS = ("localCheckpoint", "_run_stream_to_df", ".save(", ".start(", ".collect()", ".write")
+
+_ANTIPATTERN_ALLOWLIST = {
+    # dimension-sized cross joins, intentionally nested-loop:
+    "cross_join_small": {"BroadcastNestedLoopJoin", "CartesianProduct"},
+    "date_spine_gap_fill": {"BroadcastNestedLoopJoin"},  # spine x types, both tiny
+    "embedding_ann_ivf": {"BroadcastNestedLoopJoin"},  # vectors x broadcast centroids (k rows)
+    # non-equi predicates have no hash-join form; small side broadcast:
+    "join_theta": {"BroadcastNestedLoopJoin", "CartesianProduct"},
+    "range_join_price_bands": {"BroadcastNestedLoopJoin"},
+    # the UDTF surface demo IS Python eval by definition:
+    "udtf_split_words": {"BatchEvalPython"},
+}
+
+
+def test_registry_wide_plan_audit(spark):
+    import inspect
+
+    from tiflink_spark.queries import get_registry
+
+    audited = 0
+    failures = []
+    for name, spec in sorted(get_registry().items()):
+        if any(m in inspect.getsource(spec.fn) for m in _EAGER_MARKERS):
+            continue
+        df = spec.fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        audited += 1
+        allowed = _ANTIPATTERN_ALLOWLIST.get(name, set())
+        for pat in ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"):
+            if pat in plan and pat not in allowed:
+                failures.append((name, pat))
+    assert not failures, failures
+    assert audited > 100, f"audit unexpectedly small: {audited} queries"

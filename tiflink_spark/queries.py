@@ -1138,6 +1138,7 @@ def get_registry() -> dict[str, QuerySpec]:
         queries_ext,
         queries_llm,
         queries_mv,
+        queries_pipeline,
         queries_streaming,
         queries_tpch,
     )

@@ -541,3 +541,35 @@ def streaming_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _run_stream_to_df(spark, agg, "streaming_session_sink")
     finally:
         shutil.rmtree(stream_dir, ignore_errors=True)
+
+
+@register(
+    "streaming_static_join",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc=(
+        "REAL stream-static join: readStream(events) enriched by the "
+        "static customer dimension (explicit broadcast — the dim is "
+        "re-broadcast per micro-batch, never shuffled into stream "
+        "state), then a streaming aggregate. The canonical streaming "
+        "enrichment shape: fact stream x slowly-changing dim."
+    ),
+    tags=("streaming", "join"),
+)
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev, stream_dir = _stream_events(spark, sf_dir)
+    try:
+        cust = _t(spark, sf_dir)["customer"].select("c_custkey", "c_mktsegment")
+        joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        agg = joined.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        return _run_stream_to_df(spark, agg, "streaming_static_join_sink")
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
