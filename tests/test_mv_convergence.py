@@ -284,3 +284,66 @@ def test_crash_between_fact_and_mv_commit_recovers(spark, tmp_path):
     # g0 emptied (k1 moved to g1, k3 deleted) -> its MV row is deleted.
     got = {(r.g, r.n, r.sv) for r in mv.read().collect()}
     assert got == {(1, 3, 40.0)}
+
+
+@pytest.mark.parametrize("seed", [7, 1234])
+def test_topk_mv_converges_on_random_changelogs(spark, tmp_path, seed):
+    """Top-k is non-invertible: deletes inside the top-k must promote
+    successors, group-moves must re-rank both groups, and shrunk groups
+    must drop orphaned rank slots. Assert MV == batch re-rank after
+    EVERY random batch."""
+    from tiflink_spark.mv import IncrementalTopKMV
+
+    K = 3
+    rng = random.Random(seed)
+    batches, _ = _random_batches(rng)
+
+    fact0 = spark.createDataFrame(
+        [(k, k % N_GROUPS, float(k)) for k in range(0, N_KEYS, 3)],
+        "k int, g int, v double",
+    )
+    mv = IncrementalTopKMV(
+        spark,
+        fact=fact0,
+        fact_pk=["k"],
+        group_key="g",
+        order_col="v",
+        out_cols=["k", "v"],
+        k=K,
+        work_dir=str(tmp_path / "mv"),
+        num_buckets=4,
+    )
+    mv.bootstrap()
+
+    def expected_topk(state):
+        out = set()
+        groups: dict[int, list[tuple[float, int]]] = {}
+        for k, (g, v) in state.items():
+            groups.setdefault(g, []).append((v, k))
+        for g, rows in groups.items():
+            rows.sort(key=lambda t: (-t[0], t[1]))
+            for rank, (v, k) in enumerate(rows[:K], start=1):
+                out.add((g, rank, k, v))
+        return out
+
+    tracked = {k: (k % N_GROUPS, float(k)) for k in range(0, N_KEYS, 3)}
+    for i, rows in enumerate(batches, start=1):
+        changes = spark.createDataFrame(
+            rows, f"k int, g int, v double, {OP_COL} string, {SEQ_COL} long"
+        )
+        mv.refresh(changes, batch_id=i)
+        for k, g, v, op, _seq in rows:
+            if op == OP_DELETE:
+                tracked.pop(k, None)
+            else:
+                tracked[k] = (g, v)
+        got = {(r.g, r.rank, r.k, r.v) for r in mv.read().collect()}
+        assert got == expected_topk(tracked), f"divergence after batch {i} (seed {seed})"
+
+    # replaying the last batch (crash redelivery) changes nothing
+    last = spark.createDataFrame(
+        batches[-1], f"k int, g int, v double, {OP_COL} string, {SEQ_COL} long"
+    )
+    assert mv.refresh(last, batch_id=len(batches)) is False
+    got = {(r.g, r.rank, r.k, r.v) for r in mv.read().collect()}
+    assert got == expected_topk(tracked)

@@ -265,6 +265,105 @@ class IncrementalJoinMV:
         return self.target.read(version)
 
 
+class IncrementalTopKMV:
+    """Incremental MV for per-group top-k:
+
+        SELECT g, rank, ... FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY o DESC, pk) AS rank
+        ) WHERE rank <= k
+
+    Top-k is the canonical NON-invertible shape (SURVEY §7 hard part
+    (a)): one delete can promote an arbitrary row into the top-k, so no
+    per-row delta exists. The reference's delegated planner handles the
+    same case with full per-partition rank state (Flink RankOperator);
+    here the fact store *is* that state, and maintenance is
+    dirty-GROUP recompute: a batch's touched groups (new rows' groups
+    plus displaced old rows' groups) are re-ranked from the fact store
+    pruned by semi-join, diffed against the old MV slots, and MERGEd.
+    Per-batch work ∝ row volume of touched groups, never the full fact.
+
+    MV rows are keyed (group, rank) — rank slots. A shrinking group
+    leaves orphaned high-rank slots, which the diff emits as -D.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        fact: DataFrame,
+        fact_pk: list[str],
+        group_key: str,
+        order_col: str,
+        out_cols: list[str],
+        k: int,
+        work_dir: str,
+        descending: bool = True,
+        num_buckets: int = 16,
+        shuffle_partitions: int | None = None,
+    ):
+        self.spark = spark
+        self.shuffle_partitions = shuffle_partitions
+        self.fact0 = fact
+        self.fact_pk = fact_pk
+        self.group_key = group_key
+        self.order_col = order_col
+        self.out_cols = out_cols
+        self.k = k
+        self.descending = descending
+        self.fact_store = KeyedParquetStore(
+            spark, os.path.join(work_dir, "fact"), fact_pk, num_buckets
+        )
+        self.target = KeyedParquetStore(
+            spark, os.path.join(work_dir, "mv"), [group_key, "rank"], num_buckets
+        )
+
+    def _topk(self, rows: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        ordc = F.col(self.order_col).desc() if self.descending else F.col(self.order_col)
+        w = Window.partitionBy(self.group_key).orderBy(ordc, *self.fact_pk)
+        cols = list(dict.fromkeys([self.group_key, "rank", *self.out_cols]))
+        return (
+            rows.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= self.k)
+            .select(*cols)
+        )
+
+    @_maintenance
+    def bootstrap(self, batch_id=0) -> None:
+        self.fact_store.bootstrap(self.fact0, batch_id)
+        self.target.bootstrap(self._topk(self.fact_store.read()), batch_id)
+
+    def _dirty_groups(self, changes: DataFrame, batch_id) -> DataFrame:
+        """Groups touched by the batch: the new rows' groups plus the
+        groups of the displaced old row versions (a group-changing
+        update dirties both)."""
+        if batch_id in self.fact_store.committed_batches():
+            old = self.fact_store.read(self.fact_store.version_before_batch(batch_id))
+        else:
+            old = self.fact_store.read()
+        changed_pks = last_change_per_key(changes, self.fact_pk).select(*self.fact_pk)
+        old_groups = old.join(changed_pks, self.fact_pk, "left_semi").select(self.group_key)
+        new_groups = changes.select(self.group_key).where(F.col(self.group_key).isNotNull())
+        return old_groups.unionByName(new_groups).distinct()
+
+    @_maintenance
+    def refresh(self, changes: DataFrame | None, batch_id) -> bool:
+        if changes is None or batch_id in self.target.committed_batches():
+            return False
+        dirty = self._dirty_groups(changes, batch_id).cache()
+        self.fact_store.merge(changes, batch_id)
+        sub = self.fact_store.read().join(dirty, self.group_key, "left_semi")
+        recomputed = self._topk(sub)
+        mv_dirty_old = self.target.read().join(dirty, self.group_key, "left_semi")
+        mv_changes = diff_states(mv_dirty_old, recomputed, self.target.pk)
+        self.target.merge(mv_changes, batch_id)
+        dirty.unpersist()
+        return True
+
+    def read(self, version: int | None = None) -> DataFrame:
+        return self.target.read(version)
+
+
 class IncrementalAggMV:
     """Incremental MV for `dim ⟕ (SELECT k, aggs FROM fact GROUP BY k)`.
 

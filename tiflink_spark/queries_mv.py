@@ -727,3 +727,50 @@ def mv_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mv_topk_incremental",
+    f"""
+    WITH {_FINAL_ORDERS_SQL}
+    SELECT o_custkey, rank, o_orderkey, o_totalprice
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        FROM final_orders)
+    WHERE rank <= 3
+    """,
+    doc=(
+        "Per-group top-3 MV (non-invertible rank shape) maintained "
+        "INCREMENTALLY through the scripted +I/-D/+U changelog via "
+        "dirty-group re-rank (IncrementalTopKMV). Deletes inside the "
+        "top-k promote successor rows; group-changing updates re-rank "
+        "both groups; shrunk groups drop orphaned rank slots (-D)."
+    ),
+    tags=("mv", "incremental", "topk"),
+)
+def mv_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.mv import IncrementalTopKMV
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mv_topk_")
+    try:
+        mv = IncrementalTopKMV(
+            spark,
+            fact=t["orders"].select("o_orderkey", "o_custkey", "o_totalprice"),
+            fact_pk=["o_orderkey"],
+            group_key="o_custkey",
+            order_col="o_totalprice",
+            out_cols=["o_orderkey", "o_totalprice"],
+            k=3,
+            work_dir=work,
+            num_buckets=4,
+            shuffle_partitions=8,
+        )
+        mv.bootstrap()
+        for i, b in enumerate(scripted_batches(t["orders"]), start=1):
+            mv.refresh(b, batch_id=i)
+        return mv.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
