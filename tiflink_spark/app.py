@@ -98,8 +98,10 @@ class MVApp:
 
         for name, (src, spk) in sources.items():
             if isinstance(src, str):
+                from tiflink_spark.session import normalize_timestamps
+
                 spec = self.catalog.register_parquet(name, src, spk)
-                df = self.spark.read.parquet(src)
+                df = normalize_timestamps(self.spark.read.parquet(src))
             else:
                 spec = self.catalog.register_dataframe(name, src, spk)
                 df = src

@@ -51,9 +51,11 @@ class Catalog:
         self._tables: dict[str, TableSpec] = {}
 
     def register_parquet(self, name: str, path: str, pk: list[str] | None = None) -> TableSpec:
+        from tiflink_spark.session import normalize_timestamps
+
         if not os.path.exists(path):
             raise FileNotFoundError(path)
-        df = self.spark.read.parquet(path)
+        df = normalize_timestamps(self.spark.read.parquet(path))
         spec = TableSpec(name=name, path=path, schema=df.schema, pk=default_pk(df.schema, pk))
         self._tables[name] = spec
         df.createOrReplaceTempView(name)
@@ -75,7 +77,9 @@ class Catalog:
         return sorted(self._tables)
 
     def table(self, name: str) -> DataFrame:
+        from tiflink_spark.session import normalize_timestamps
+
         spec = self._tables[name]
         if spec.path is not None:
-            return self.spark.read.parquet(spec.path)
+            return normalize_timestamps(self.spark.read.parquet(spec.path))
         return self.spark.table(name)

@@ -152,11 +152,12 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
     stream_dir = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(path, os.path.join(stream_dir, "events.parquet"))
     schema = spark.read.parquet(path).schema
-    df = (
-        spark.readStream.schema(schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    df = spark.readStream.schema(schema).parquet(stream_dir)
+    ts_type = schema["ts"].dataType.typeName()
+    if ts_type == "long":  # legacy nanos-as-long layout
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df, stream_dir
 
 

@@ -105,11 +105,16 @@ def load_tables(
             for name, df in cached.items():
                 df.createOrReplaceTempView(name)
         return dict(cached)
-    # The driver's testdata stores some columns as TIMESTAMP(NANOS), which
-    # Spark's vectorized parquet reader rejects. Read them as long nanos and
-    # rebuild microsecond timestamps. The data carries sub-microsecond nanos,
-    # so the truncation to micros must be integer floor-division: `/ 1000`
-    # goes through double and loses integer precision above 2^53.
+    # Testdata timestamps have shipped in two physical forms:
+    #   - timestamp[ns] parquet (rejected by the vectorized reader) — read
+    #     as long nanos via the legacy conf and rebuilt to micros with
+    #     integer floor-division (`/ 1000` goes through double and loses
+    #     integer precision above 2^53);
+    #   - timestamp[us] naive parquet — Spark reads TIMESTAMP_NTZ, which
+    #     half the function surface (unix_micros, watermarks, windows)
+    #     rejects. Cast to session-local TIMESTAMP; under the forced UTC
+    #     session timezone the cast is value-preserving and matches the
+    #     DuckDB oracle's naive reads.
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Timestamp semantics must not depend on who built the session
@@ -124,14 +129,30 @@ def load_tables(
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
-        for f_ in _nano_ts_columns(path):
-            df = df.withColumn(f_, F.timestamp_micros(F.expr(f"`{f_}` div 1000")))
+        df = normalize_timestamps(spark.read.parquet(path), _nano_ts_columns(path))
         out[name] = df
         if register_views:
             df.createOrReplaceTempView(name)
     _TABLE_CACHE[key] = dict(out)
     return out
+
+
+def normalize_timestamps(df: DataFrame, nano_long_cols: list[str] | None = None) -> DataFrame:
+    """Bring every timestamp column to session-TZ TIMESTAMP (LTZ).
+
+    ``nano_long_cols`` are columns the legacy nanos-as-long conf read as
+    raw int64 nanoseconds; they are floor-divided to micros. TIMESTAMP_NTZ
+    columns are cast (identity under UTC). Everything else passes through.
+    """
+    nano_long_cols = nano_long_cols or []
+    dtypes = dict(df.dtypes)
+    for f_ in nano_long_cols:
+        if dtypes.get(f_) == "bigint":
+            df = df.withColumn(f_, F.timestamp_micros(F.expr(f"`{f_}` div 1000")))
+    for f_, t in dtypes.items():
+        if t == "timestamp_ntz":
+            df = df.withColumn(f_, F.col(f_).cast("timestamp"))
+    return df
 
 
 def load_catalog(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
