@@ -26,6 +26,9 @@ Streaming:
 - ``connectors`` — source/sink factory registry (parquet / changelog /
   keyed store / csv / json).
 - ``bucketing`` — bucketed co-located joins + salted skew joins.
+- ``multimodal`` — binary media columns with Arrow-batched decode /
+  resize / feature-extract / frame-sample stages (real libraries
+  stubbed; plumbing fully testable via deterministic stand-ins).
 - ``queries*`` — the oracle-checked query surface: relational + TPC-H
   Q1-Q22 shapes, MV convergence gates, streaming, and the
   beyond-reference LLM-data-pipeline pack (dedup x5 incl. SimHash and

@@ -93,6 +93,120 @@ def decode_media(
     return df.select(id_col, kind_col, data_col).mapInPandas(run, schema=DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "id long, width int, height int, target_w int, target_h int, "
+    "scale_pm int, checksum string"
+)
+
+
+def resize_image(data: bytes, target_w: int, target_h: int) -> dict:
+    """Real aspect-preserving resize (PIL). Raises NotImplementedError
+    here: the container has no imaging libraries; see fake_resize_meta."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "image resize requires PIL; use resizer=fake_resize_meta for plumbing tests"
+        ) from e
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(data))
+    scale = min(target_w / img.width, target_h / img.height)
+    out = img.resize((int(img.width * scale), int(img.height * scale)))
+    buf = io.BytesIO()
+    out.save(buf, format=img.format or "PNG")
+    return {
+        "width": img.width,
+        "height": img.height,
+        "scale_pm": int(scale * 10000),
+        "checksum": hashlib.md5(buf.getvalue()).hexdigest(),
+    }
+
+
+def fake_resize_meta(data: bytes, target_w: int, target_h: int) -> dict:
+    """Deterministic resize stand-in. The aspect-preserving scale is kept
+    in integer permyriad (floor of 10000*min(tw/w, th/h)) so the oracle
+    can mirror it with exact integer division — no float rounding to
+    diverge cross-engine. The resized checksum chains the source checksum
+    with the target box (a pure, SQL-expressible function)."""
+    m = fake_decode_meta(data)
+    w, h = m["width"], m["height"]
+    scale_pm = min(10000 * target_w // w, 10000 * target_h // h)
+    chained = f"{m['checksum']}x{target_w}x{target_h}"
+    return {
+        "width": w,
+        "height": h,
+        "scale_pm": scale_pm,
+        "checksum": hashlib.md5(chained.encode()).hexdigest(),
+    }
+
+
+def resize_media(
+    df: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    resizer: Callable[[bytes, int, int], dict] = fake_resize_meta,
+    id_col: str = "id",
+    data_col: str = "data",
+) -> DataFrame:
+    """Resize stage: binary media column -> resized metadata + checksum,
+    Arrow-batched executor-side (same plumbing stance as decode_media)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [resizer(bytes(b), target_w, target_h) for b in pdf[data_col]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "width": pd.Series([m["width"] for m in metas], dtype="int32"),
+                    "height": pd.Series([m["height"] for m in metas], dtype="int32"),
+                    "target_w": pd.Series([target_w] * len(metas), dtype="int32"),
+                    "target_h": pd.Series([target_h] * len(metas), dtype="int32"),
+                    "scale_pm": pd.Series([m["scale_pm"] for m in metas], dtype="int32"),
+                    "checksum": [m["checksum"] for m in metas],
+                }
+            )
+
+    return df.select(id_col, data_col).mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+# Deterministic byte-level feature extractor: 8 small-prime residues of
+# the byte length. Integer features keep the cross-engine compare exact
+# (float vectors would stringify differently in Spark vs DuckDB).
+FEATURE_PRIMES = (257, 263, 269, 271, 277, 281, 283, 293)
+FEATURES_SCHEMA = "id long, " + ", ".join(f"f{i} int" for i in range(len(FEATURE_PRIMES)))
+
+
+def fake_feature_extract(data: bytes) -> list[int]:
+    """Deterministic feature stand-in (pure function of the bytes): the
+    real stage would run an image/audio encoder on the decoded media."""
+    n = len(data)
+    return [n % p for p in FEATURE_PRIMES]
+
+
+def extract_features(
+    df: DataFrame,
+    extractor: Callable[[bytes], list[int]] = fake_feature_extract,
+    id_col: str = "id",
+    data_col: str = "data",
+) -> DataFrame:
+    """Feature-extraction stage: binary media column -> fixed-width
+    feature columns via Arrow-batched mapInPandas. The output feeds the
+    embedding/ANN operators (embedding_cosine_topk et al.) downstream."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [extractor(bytes(b)) for b in pdf[data_col]]
+            out = {"id": pdf[id_col].astype("int64")}
+            for i in range(len(FEATURE_PRIMES)):
+                out[f"f{i}"] = pd.Series([f[i] for f in feats], dtype="int32")
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, data_col).mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 30, id_col: str = "id") -> DataFrame:
     """Frame-sampling *plan* for video rows: expands each media row into
     (id, frame_idx) rows to be decoded downstream. The frame count here

@@ -630,6 +630,74 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media)
 
 
+_RESIZE_W = _RESIZE_H = 224
+
+
+@register(
+    "multimodal_resize",
+    f"""
+    WITH m AS (SELECT doc_id AS id,
+                      CAST(64 + octet_length(encode(text)) % 577 AS INTEGER) AS width,
+                      CAST(64 + octet_length(encode(text)) % 421 AS INTEGER) AS height,
+                      md5(text) AS src_sum
+               FROM documents)
+    SELECT id, width, height,
+           {_RESIZE_W} AS target_w, {_RESIZE_H} AS target_h,
+           CAST(least((10000 * {_RESIZE_W}) // width,
+                      (10000 * {_RESIZE_H}) // height) AS INTEGER) AS scale_pm,
+           md5(src_sum || 'x{_RESIZE_W}x{_RESIZE_H}') AS checksum
+    FROM m
+    """,
+    doc=(
+        "Multimodal resize stage: binary media -> aspect-preserving scale + "
+        "resized checksum through Arrow-batched mapInPandas "
+        "(multimodal.resize_media). Real resize needs PIL (stubbed behind "
+        "NotImplementedError); the deterministic stand-in keeps the scale in "
+        "integer permyriad so the oracle mirrors it with exact integer "
+        "division — no cross-engine float rounding."
+    ),
+    tags=("llm", "multimodal"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.multimodal import resize_media
+
+    t = _t(spark, sf_dir)
+    media = t["documents"].select(
+        F.col("doc_id").alias("id"), F.col("text").cast("binary").alias("data")
+    )
+    return resize_media(media, _RESIZE_W, _RESIZE_H)
+
+
+@register(
+    "multimodal_feature_extract",
+    (
+        "SELECT doc_id AS id,\n"
+        + ",\n".join(
+            f"       CAST(octet_length(encode(text)) % {p} AS INTEGER) AS f{i}"
+            for i, p in enumerate((257, 263, 269, 271, 277, 281, 283, 293))
+        )
+        + "\nFROM documents"
+    ),
+    doc=(
+        "Multimodal feature-extraction stage: binary media -> fixed-width "
+        "feature columns via Arrow-batched mapInPandas "
+        "(multimodal.extract_features) — the plumbing that feeds decoded "
+        "media into the embedding/ANN operators. Integer features (byte-"
+        "length residues) keep the cross-engine compare exact; the real "
+        "stage swaps in a media encoder via the extractor= override."
+    ),
+    tags=("llm", "multimodal"),
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.multimodal import extract_features
+
+    t = _t(spark, sf_dir)
+    media = t["documents"].select(
+        F.col("doc_id").alias("id"), F.col("text").cast("binary").alias("data")
+    )
+    return extract_features(media)
+
+
 @register(
     "pandas_udaf_median",
     """

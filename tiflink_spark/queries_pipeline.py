@@ -337,3 +337,46 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_id"),
         F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
     )
+
+
+@register(
+    "dedup_keep_canonical",
+    f"""
+    WITH RECURSIVE {_GRAMS_SQL},
+    {_minhash_sig_sql()},
+    {_band_keys_sql()},
+    cbands AS (
+        SELECT doc_id, band_key FROM bands
+        QUALIFY count(*) OVER (PARTITION BY band_key) <= 200),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM cbands a JOIN cbands b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    walk(node, reach) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+    cc AS (SELECT node, min(reach) AS cluster_id FROM walk GROUP BY node)
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)
+    ORDER BY d.doc_id
+    """,
+    doc=(
+        "The dedup pipeline's terminal stage: the corpus AFTER near-dup "
+        "removal. Each near-dup cluster (connected components over the "
+        "MinHash-LSH candidate pairs) keeps only its canonical survivor "
+        "(min doc_id); docs in no cluster survive untouched. One left-anti "
+        "join of the corpus against the non-canonical members — the shape "
+        "that scales: the drop list is cluster-members-only, orders of "
+        "magnitude smaller than the corpus."
+    ),
+    tags=("llm", "dedup"),
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    cc = dedup_connected_components(spark, sf_dir)
+    drop = cc.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return t["documents"].join(drop, "doc_id", "left_anti").select("doc_id")
