@@ -53,3 +53,109 @@ def test_mvapp_full_lifecycle(spark, tmp_path):
     # stale snapshot: version 0 still shows the pre-delete count
     stale = {(r.c_custkey, r.order_cnt) for r in app.read(version=0).collect()}
     assert stale == v0
+
+
+def test_planner_routes_agg_shape_to_incremental(spark, tmp_path):
+    """The canonical single-table GROUP BY routes to IncrementalAggMV
+    (per-batch work ∝ changed keys) and converges to the batch answer."""
+    app = (
+        MVApp.builder(spark)
+        .source("orders_p", f"{SF_DIR}/orders.parquet", pk=["o_orderkey"])
+        .query(
+            """SELECT o_orderpriority, count(*) AS n_orders,
+                      sum(o_totalprice) AS total, max(o_totalprice) AS top
+               FROM orders_p GROUP BY o_orderpriority"""
+        )
+        .target(str(tmp_path / "mv_agg"))
+        .num_buckets(4)
+        .shuffle_partitions(4)
+        .build()
+    )
+    assert app.maintenance_mode == "incremental"
+    # GROUP BY keys are the derived unique constraint -> the MV PK.
+    assert app.mv_pk == ["o_orderpriority"]
+    app.bootstrap()
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    some = orders.orderBy("o_orderkey").limit(20)
+    changes = (
+        some.limit(10)
+        .withColumn(OP_COL, F.lit(OP_DELETE))
+        .unionByName(
+            some.withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+            .withColumn(OP_COL, F.lit(OP_INSERT))
+        )
+        .withColumn(SEQ_COL, F.monotonically_increasing_id())
+    )
+    assert app.refresh({"orders_p": changes}, batch_id=1)
+
+    got = {
+        (r.o_orderpriority, r.n_orders, round(r.total, 2), round(r.top, 2))
+        for r in app.read().collect()
+    }
+    expect_df = (
+        app._stores["orders_p"]
+        .read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total"),
+            F.max("o_totalprice").alias("top"),
+        )
+    )
+    want = {
+        (r.o_orderpriority, r.n_orders, round(r.total, 2), round(r.top, 2))
+        for r in expect_df.collect()
+    }
+    assert got == want
+
+
+def test_planner_falls_back_on_complex_shapes(spark, tmp_path):
+    """Joins / subqueries / WHERE keep the explicit recompute mode."""
+    app = (
+        MVApp.builder(spark)
+        .source("orders_f", f"{SF_DIR}/orders.parquet", pk=["o_orderkey"])
+        .query(
+            "SELECT o_orderpriority, count(*) AS n FROM orders_f "
+            "WHERE o_totalprice > 1000 GROUP BY o_orderpriority"
+        )
+        .target(str(tmp_path / "mv_fallback"))
+        .num_buckets(4)
+        .build()
+    )
+    assert app.maintenance_mode == "recompute"
+
+
+def test_match_agg_shape_matcher():
+    from tiflink_spark.planner import match_agg_shape
+
+    shape = match_agg_shape(
+        "SELECT a, b, count(*) AS n, sum(x) AS sx, count(DISTINCT y) AS dy "
+        "FROM t GROUP BY a, b",
+        {"t"},
+    )
+    assert shape is not None
+    assert shape.group_keys == ("a", "b")
+    assert [(m.kind, m.col, m.alias) for m in shape.measures] == [
+        ("count", None, "n"),
+        ("sum", "x", "sx"),
+        ("count_distinct", "y", "dy"),
+    ]
+    # rejections: unknown table, WHERE, join, expression keys, no aggs
+    assert match_agg_shape("SELECT a, count(*) AS n FROM u GROUP BY a", {"t"}) is None
+    assert (
+        match_agg_shape(
+            "SELECT a, count(*) AS n FROM t WHERE a > 0 GROUP BY a", {"t"}
+        )
+        is None
+    )
+    assert (
+        match_agg_shape(
+            "SELECT a, count(*) AS n FROM t JOIN u ON t.a = u.a GROUP BY a", {"t", "u"}
+        )
+        is None
+    )
+    assert match_agg_shape("SELECT a + 1, count(*) AS n FROM t GROUP BY a", {"t"}) is None
+    assert match_agg_shape("SELECT a, b FROM t GROUP BY a, b", {"t"}) is None
+    assert match_agg_shape("SELECT a, sum(*) AS s FROM t GROUP BY a", {"t"}) is None

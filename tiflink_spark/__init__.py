@@ -23,6 +23,10 @@ Streaming:
   (reference: TypeUtils.java:46-109, 364-406).
 - ``app``       — MVApp builder: the user-facing continuous-MV API
   (reference: TiFlinkApp.Builder).
+- ``planner``   — maintenance-strategy planner: routes the canonical
+  GROUP-BY shape to true incremental maintenance, everything else to
+  the explicit recompute fallback (the API-layer analog of delegating
+  incremental planning to Flink, TiFlinkApp.java:270).
 - ``connectors`` — source/sink factory registry (parquet / changelog /
   keyed store / csv / json).
 - ``bucketing`` — bucketed co-located joins + salted skew joins.

@@ -32,7 +32,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from tiflink_spark.catalog import Catalog, default_pk
-from tiflink_spark.mv import RecomputeMV
+from tiflink_spark.mv import IncrementalAggMV, RecomputeMV
+from tiflink_spark.planner import match_agg_shape
 from tiflink_spark.store import KeyedParquetStore
 from tiflink_spark.types import create_table_ddl
 
@@ -96,6 +97,7 @@ class MVApp:
         self.target_path = target
         self._stores: dict[str, KeyedParquetStore] = {}
 
+        dfs: dict[str, tuple] = {}
         for name, (src, spk) in sources.items():
             if isinstance(src, str):
                 from tiflink_spark.session import normalize_timestamps
@@ -105,18 +107,55 @@ class MVApp:
             else:
                 spec = self.catalog.register_dataframe(name, src, spk)
                 df = src
-            store = KeyedParquetStore(
-                spark, os.path.join(target, f"_src_{name}"), spec.pk, num_buckets
-            )
-            if not store.committed_batches():
-                store.bootstrap(df, batch_id="src-init")
-            self._stores[name] = store
+            dfs[name] = (spec, df)
 
         # Resolve the query against the catalog: schema + PK inference.
         resolved = spark.sql(query)
         self.mv_schema = resolved.schema
         self.mv_pk = default_pk(self.mv_schema, pk)
         self.ddl = create_table_ddl(os.path.basename(target), self.mv_schema, self.mv_pk)
+
+        # Maintenance-strategy planning (planner.py): the canonical
+        # single-table aggregate shape gets true incremental maintenance
+        # (per-batch work ∝ changed keys); everything else falls back to
+        # recompute with a change-bounded sink. The incremental route
+        # needs a fact PK (retraction lookups) and an undeclared-or-
+        # matching MV PK (a GROUP BY's key set is the derived unique
+        # constraint, the reference's first PK-inference rule,
+        # TiFlinkApp.java:276-281).
+        shape = match_agg_shape(query, set(dfs))
+        spec = dfs[shape.fact][0] if shape is not None else None
+        if (
+            shape is not None
+            and spec.pk
+            and (pk is None or list(pk) == list(shape.group_keys))
+        ):
+            self.maintenance_mode = "incremental"
+            self._fact_name = shape.fact
+            self.mv_pk = list(shape.group_keys)
+            self._mv = IncrementalAggMV(
+                spark,
+                dfs[shape.fact][1],
+                spec.pk,
+                list(shape.group_keys),
+                list(shape.measures),
+                work_dir=target,
+                num_buckets=num_buckets,
+                shuffle_partitions=shuffle_partitions,
+            )
+            # The incremental MV's own fact store IS the source store.
+            self._stores = {shape.fact: self._mv.fact_store}
+            return
+
+        self.maintenance_mode = "recompute"
+        self._fact_name = None
+        for name, (spec_, df) in dfs.items():
+            store = KeyedParquetStore(
+                spark, os.path.join(target, f"_src_{name}"), spec_.pk, num_buckets
+            )
+            if not store.committed_batches():
+                store.bootstrap(df, batch_id="src-init")
+            self._stores[name] = store
 
         self._mv = RecomputeMV(
             spark,
@@ -136,6 +175,17 @@ class MVApp:
 
     def refresh(self, changes: dict[str, DataFrame], batch_id) -> bool:
         """Apply one changelog micro-batch (table name → __op/__seq rows)."""
+        if self.maintenance_mode == "incremental":
+            unknown = set(changes) - {self._fact_name}
+            if unknown:
+                raise ValueError(
+                    f"incremental MV maintains only {self._fact_name!r}; "
+                    f"got changes for {sorted(unknown)}"
+                )
+            delta = changes.get(self._fact_name)
+            if delta is None:
+                return False
+            return self._mv.refresh(delta, batch_id)
         return self._mv.refresh(changes, batch_id)
 
     def start_streaming(

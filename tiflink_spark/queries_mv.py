@@ -774,3 +774,67 @@ def mv_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         return mv.read().localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_incremental",
+    f"""
+    WITH {_FINAL_ORDERS_SQL}
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM final_orders
+    GROUP BY o_custkey
+    """,
+    doc=(
+        "MVApp with the maintenance-strategy planner (planner.py): the "
+        "canonical single-table GROUP BY is auto-routed to IncrementalAggMV "
+        "— the engine's analog of the reference delegating incremental "
+        "planning to Flink's update-mode planner (TiFlinkApp.java:270) — "
+        "and maintained through the scripted +I/-D/+U changelog. The fn "
+        "raises if the planner picked the recompute fallback, so a green "
+        "row proves both the routing and the convergence."
+    ),
+    tags=("mv", "incremental", "planner"),
+)
+def mvapp_auto_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_auto_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("orders_auto", t["orders"], pk=["o_orderkey"])
+            .query(
+                """SELECT o_custkey, count(*) AS n_orders,
+                          sum(o_totalprice) AS total_price_raw,
+                          min(o_totalprice) AS min_price,
+                          max(o_totalprice) AS max_price
+                   FROM orders_auto GROUP BY o_custkey"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_mode != "incremental":
+            raise AssertionError("planner failed to route the agg shape")
+        app.bootstrap()
+        for i, b in enumerate(scripted_batches(t["orders"]), start=1):
+            app.refresh({"orders_auto": b}, batch_id=i)
+        return (
+            app.read()
+            .select(
+                "o_custkey",
+                "n_orders",
+                F.round("total_price_raw", 2).alias("total_price"),
+                "min_price",
+                "max_price",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
