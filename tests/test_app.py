@@ -159,3 +159,69 @@ def test_match_agg_shape_matcher():
     assert match_agg_shape("SELECT a + 1, count(*) AS n FROM t GROUP BY a", {"t"}) is None
     assert match_agg_shape("SELECT a, b FROM t GROUP BY a, b", {"t"}) is None
     assert match_agg_shape("SELECT a, sum(*) AS s FROM t GROUP BY a", {"t"}) is None
+
+
+def test_planner_routes_flagship_to_incremental(spark, tmp_path):
+    """The reference's flagship correlated-COUNT shape auto-routes to the
+    dim-joined IncrementalAggMV; dim churn flows through MVApp.refresh."""
+    app = (
+        MVApp.builder(spark)
+        .source("orders_fx", f"{SF_DIR}/orders.parquet", pk=["o_orderkey"])
+        .source("customer_fx", f"{SF_DIR}/customer.parquet", pk=["c_custkey"])
+        .query(
+            """SELECT c_custkey, c_name,
+                      (SELECT count(*) FROM orders_fx o
+                       WHERE o.o_custkey = c.c_custkey) AS order_cnt
+               FROM customer_fx c"""
+        )
+        .target(str(tmp_path / "mv_flag"))
+        .num_buckets(4)
+        .shuffle_partitions(4)
+        .build()
+    )
+    assert app.maintenance_mode == "incremental"
+    assert app._dim_name == "customer_fx"
+    app.bootstrap()
+
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    two = customer.orderBy("c_custkey").limit(2).collect()
+    renamed, deleted = two[0], two[1]
+    from pyspark.sql import Row
+
+    dim_changes = spark.createDataFrame(
+        [
+            Row(**{**renamed.asDict(), "c_name": "RENAMED", OP_COL: "+U", SEQ_COL: 0}),
+            Row(**{**deleted.asDict(), OP_COL: OP_DELETE, SEQ_COL: 1}),
+        ]
+    )
+    assert app.refresh({"customer_fx": dim_changes}, batch_id=1)
+    after = {r.c_custkey: (r.c_name, r.order_cnt) for r in app.read().collect()}
+    assert after[renamed.c_custkey][0] == "RENAMED"
+    assert deleted.c_custkey not in after
+
+
+def test_match_correlated_count_shape_matcher():
+    from tiflink_spark.planner import match_correlated_count_shape
+
+    q = (
+        "SELECT c_custkey, c_name, (SELECT count(*) FROM orders o "
+        "WHERE o.o_custkey = c.c_custkey) AS order_cnt FROM customer c"
+    )
+    pks = {"customer": ["c_custkey"], "orders": ["o_orderkey"]}
+    shape = match_correlated_count_shape(q, {"customer", "orders"}, pks)
+    assert shape is not None
+    assert (shape.dim, shape.dim_key, shape.fact, shape.fact_key, shape.alias) == (
+        "customer", "c_custkey", "orders", "o_custkey", "order_cnt"
+    )
+    assert shape.dim_cols == ("c_name",)
+    # reversed correlation sides also match
+    q2 = q.replace("o.o_custkey = c.c_custkey", "c.c_custkey = o.o_custkey")
+    assert match_correlated_count_shape(q2, {"customer", "orders"}, pks) is not None
+    # rejections: composite dim PK, PK not in select list, unknown fact
+    assert (
+        match_correlated_count_shape(q, {"customer", "orders"}, {"customer": ["a", "b"], "orders": ["o"]})
+        is None
+    )
+    q3 = q.replace("SELECT c_custkey, c_name,", "SELECT c_name,")
+    assert match_correlated_count_shape(q3, {"customer", "orders"}, pks) is None
+    assert match_correlated_count_shape(q, {"customer"}, pks) is None

@@ -24,9 +24,10 @@ Streaming:
 - ``app``       — MVApp builder: the user-facing continuous-MV API
   (reference: TiFlinkApp.Builder).
 - ``planner``   — maintenance-strategy planner: routes the canonical
-  GROUP-BY shape to true incremental maintenance, everything else to
-  the explicit recompute fallback (the API-layer analog of delegating
-  incremental planning to Flink, TiFlinkApp.java:270).
+  GROUP-BY shape and the flagship correlated-COUNT shape to true
+  incremental maintenance, everything else to the explicit recompute
+  fallback (the API-layer analog of delegating incremental planning
+  to Flink, TiFlinkApp.java:270).
 - ``connectors`` — source/sink factory registry (parquet / changelog /
   keyed store / csv / json).
 - ``bucketing`` — bucketed co-located joins + salted skew joins.

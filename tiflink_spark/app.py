@@ -33,7 +33,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from tiflink_spark.catalog import Catalog, default_pk
 from tiflink_spark.mv import IncrementalAggMV, RecomputeMV
-from tiflink_spark.planner import match_agg_shape
+from tiflink_spark.incremental import Measure
+from tiflink_spark.planner import match_agg_shape, match_correlated_count_shape
 from tiflink_spark.store import KeyedParquetStore
 from tiflink_spark.types import create_table_ddl
 
@@ -131,7 +132,7 @@ class MVApp:
             and (pk is None or list(pk) == list(shape.group_keys))
         ):
             self.maintenance_mode = "incremental"
-            self._fact_name = shape.fact
+            self._fact_name, self._dim_name = shape.fact, None
             self.mv_pk = list(shape.group_keys)
             self._mv = IncrementalAggMV(
                 spark,
@@ -147,8 +148,42 @@ class MVApp:
             self._stores = {shape.fact: self._mv.fact_store}
             return
 
+        # The reference's flagship shape — correlated scalar COUNT over a
+        # dimension (TiFlinkExample.java:10-16) — decorrelates to the
+        # dim-joined IncrementalAggMV: changelogs on the fact AND the dim
+        # maintain the view with work ∝ changed keys.
+        corr = match_correlated_count_shape(
+            query, set(dfs), {n: d[0].pk for n, d in dfs.items()}
+        )
+        if (
+            corr is not None
+            and dfs[corr.fact][0].pk
+            and (pk is None or list(pk) == [corr.dim_key])
+        ):
+            self.maintenance_mode = "incremental"
+            self._fact_name, self._dim_name = corr.fact, corr.dim
+            self.mv_pk = [corr.dim_key]
+            self._mv = IncrementalAggMV(
+                spark,
+                dfs[corr.fact][1],
+                dfs[corr.fact][0].pk,
+                corr.fact_key,
+                [Measure("count", None, corr.alias)],
+                work_dir=target,
+                dim=dfs[corr.dim][1],
+                dim_key=corr.dim_key,
+                dim_cols=list(corr.dim_cols),
+                num_buckets=num_buckets,
+                shuffle_partitions=shuffle_partitions,
+            )
+            self._stores = {
+                corr.fact: self._mv.fact_store,
+                corr.dim: self._mv.dim_store,
+            }
+            return
+
         self.maintenance_mode = "recompute"
-        self._fact_name = None
+        self._fact_name = self._dim_name = None
         for name, (spec_, df) in dfs.items():
             store = KeyedParquetStore(
                 spark, os.path.join(target, f"_src_{name}"), spec_.pk, num_buckets
@@ -176,16 +211,18 @@ class MVApp:
     def refresh(self, changes: dict[str, DataFrame], batch_id) -> bool:
         """Apply one changelog micro-batch (table name → __op/__seq rows)."""
         if self.maintenance_mode == "incremental":
-            unknown = set(changes) - {self._fact_name}
+            known = {self._fact_name} | ({self._dim_name} if self._dim_name else set())
+            unknown = set(changes) - known
             if unknown:
                 raise ValueError(
-                    f"incremental MV maintains only {self._fact_name!r}; "
+                    f"incremental MV maintains only {sorted(known)}; "
                     f"got changes for {sorted(unknown)}"
                 )
-            delta = changes.get(self._fact_name)
-            if delta is None:
+            fact_delta = changes.get(self._fact_name)
+            dim_delta = changes.get(self._dim_name) if self._dim_name else None
+            if fact_delta is None and dim_delta is None:
                 return False
-            return self._mv.refresh(delta, batch_id)
+            return self._mv.refresh(fact_delta, batch_id, dim_changes=dim_delta)
         return self._mv.refresh(changes, batch_id)
 
     def start_streaming(

@@ -11,13 +11,20 @@ single-table aggregate
     GROUP BY g1[, g2 ...]
 
 with aggregates in COUNT(*) | COUNT(col) | COUNT(DISTINCT col) | SUM |
-AVG | MIN | MAX, and routes it to :class:`tiflink_spark.mv.IncrementalAggMV`
-(per-batch work ∝ changed keys). Anything else — joins, subqueries,
-WHERE/HAVING, expressions over group keys — falls back to
-:class:`tiflink_spark.mv.RecomputeMV`, the explicitly-marked recompute
-maintenance mode. A planner miss is never wrong, only slower: both
-strategies converge to the batch answer after every micro-batch
-(property-tested in tests/test_mv_convergence.py).
+AVG | MIN | MAX, and the reference's flagship correlated-COUNT shape
+
+    SELECT d.c1[, ...], (SELECT count(*) FROM fact f
+                         WHERE f.fk = d.dk) AS alias
+    FROM dim d
+
+(TiFlinkExample.java:10-16 — decorrelated to dim ⟕ COUNT-GROUP-BY-fk),
+routing both to :class:`tiflink_spark.mv.IncrementalAggMV` (per-batch
+work ∝ changed keys; the dim-joined form also takes dim changelogs).
+Anything else — other joins, subqueries, WHERE/HAVING, expressions over
+group keys — falls back to :class:`tiflink_spark.mv.RecomputeMV`, the
+explicitly-marked recompute maintenance mode. A planner miss is never
+wrong, only slower: both strategies converge to the batch answer after
+every micro-batch (property-tested in tests/test_mv_convergence.py).
 
 The GROUP BY keys double as the MV's primary key: a GROUP BY's key set
 IS the query's derived unique constraint, which is exactly the PK
@@ -56,6 +63,38 @@ class AggShape:
     measures: tuple[Measure, ...]
 
 
+@dataclass(frozen=True)
+class CorrelatedCountShape:
+    """The reference's flagship shape (TiFlinkExample.java:10-16):
+
+        SELECT d.c1[, d.c2 ...],
+               (SELECT count(*) FROM fact f WHERE f.fk = d.dk) AS alias
+        FROM dim d
+
+    Decorrelates to dim ⟕ (COUNT GROUP BY fk) — exactly the dim-joined
+    IncrementalAggMV, whose LEFT-JOIN count coalesces to 0 just as the
+    correlated subquery does for dims with no fact rows.
+    """
+
+    dim: str
+    dim_key: str
+    dim_cols: tuple[str, ...]  # non-key dim output columns
+    fact: str
+    fact_key: str  # the correlation column on the fact side
+    alias: str
+
+
+# SELECT d-col-list, (SELECT count(*) FROM fact f WHERE f.fk = d.dk) AS a FROM dim d
+_CORR_RE = re.compile(
+    rf"^\s*SELECT\s+(?P<select>(?:{_IDENT}\s*,\s*)*{_IDENT})\s*,\s*"
+    rf"\(\s*SELECT\s+count\s*\(\s*\*\s*\)\s+FROM\s+(?P<fact>{_IDENT})\s+(?P<fa>{_IDENT})\s+"
+    rf"WHERE\s+(?P<w1>{_IDENT})\s*\.\s*(?P<c1>{_IDENT})\s*=\s*"
+    rf"(?P<w2>{_IDENT})\s*\.\s*(?P<c2>{_IDENT})\s*\)\s+AS\s+(?P<alias>{_IDENT})\s+"
+    rf"FROM\s+(?P<dim>{_IDENT})\s+(?P<da>{_IDENT})\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
 def _split_select_list(select: str) -> list[str]:
     """Split a select list on top-level commas (commas inside parens —
     e.g. a future multi-arg function — stay within their item)."""
@@ -72,6 +111,37 @@ def _split_select_list(select: str) -> list[str]:
             cur.append(ch)
     items.append("".join(cur).strip())
     return items
+
+
+def match_correlated_count_shape(
+    query: str, source_names: set[str], dim_pk: dict[str, list[str]]
+) -> CorrelatedCountShape | None:
+    """Match the flagship correlated-COUNT shape, or None.
+
+    ``dim_pk`` maps source name → declared PK columns; the dim side must
+    have a single-column PK that appears in the select list (the MV is
+    keyed by it), and the correlation must equate a fact column with
+    that dim's PK across the two table aliases.
+    """
+    m = _CORR_RE.match(query)
+    if m is None:
+        return None
+    fact, dim = m.group("fact"), m.group("dim")
+    if fact not in source_names or dim not in source_names or fact == dim:
+        return None
+    fa, da = m.group("fa").lower(), m.group("da").lower()
+    sides = {m.group("w1").lower(): m.group("c1"), m.group("w2").lower(): m.group("c2")}
+    if set(sides) != {fa, da}:
+        return None
+    fact_key, dim_corr = sides[fa], sides[da]
+    pk = dim_pk.get(dim) or []
+    if len(pk) != 1 or pk[0].lower() != dim_corr.lower():
+        return None
+    sel = [c.strip() for c in m.group("select").split(",")]
+    if pk[0].lower() not in [c.lower() for c in sel]:
+        return None
+    dim_cols = tuple(c for c in sel if c.lower() != pk[0].lower())
+    return CorrelatedCountShape(dim, pk[0], dim_cols, fact, fact_key, m.group("alias"))
 
 
 def match_agg_shape(query: str, source_names: set[str]) -> AggShape | None:
