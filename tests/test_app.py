@@ -72,8 +72,10 @@ def test_planner_routes_agg_shape_to_incremental(spark, tmp_path):
         .build()
     )
     assert app.maintenance_mode == "incremental"
-    # GROUP BY keys are the derived unique constraint -> the MV PK.
+    # GROUP BY keys are the derived unique constraint -> the MV PK,
+    # and the DDL advertises the same constraint the store enforces.
     assert app.mv_pk == ["o_orderpriority"]
+    assert "PRIMARY KEY (`o_orderpriority`)" in app.ddl
     app.bootstrap()
 
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")

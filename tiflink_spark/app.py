@@ -134,6 +134,9 @@ class MVApp:
             self.maintenance_mode = "incremental"
             self._fact_name, self._dim_name = shape.fact, None
             self.mv_pk = list(shape.group_keys)
+            # The planner refined the PK (full group-key set); the DDL
+            # must advertise the same constraint the store enforces.
+            self.ddl = create_table_ddl(os.path.basename(target), self.mv_schema, self.mv_pk)
             self._mv = IncrementalAggMV(
                 spark,
                 dfs[shape.fact][1],
@@ -163,6 +166,8 @@ class MVApp:
             self.maintenance_mode = "incremental"
             self._fact_name, self._dim_name = corr.fact, corr.dim
             self.mv_pk = [corr.dim_key]
+            # PK refined to the dim key (the derived unique constraint).
+            self.ddl = create_table_ddl(os.path.basename(target), self.mv_schema, self.mv_pk)
             self._mv = IncrementalAggMV(
                 spark,
                 dfs[corr.fact][1],
