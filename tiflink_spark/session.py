@@ -78,10 +78,13 @@ def get_spark(app_name: str = "tiflink_spark", *, extra_conf: dict | None = None
     return builder.getOrCreate()
 
 
-# (session id, sf_dir) -> table dict. DataFrames are immutable plans, so
-# handing the same objects to every query is safe; this skips re-reading
-# 10 parquet footers + re-registering views on every registry call.
-_TABLE_CACHE: dict[tuple[int, str, bool], dict[str, DataFrame]] = {}
+# (session id, app id, sf_dir) -> table dict. DataFrames are immutable
+# plans, so handing the same objects to every query is safe; this skips
+# re-reading 10 parquet footers + re-registering views on every registry
+# call. The application id guards against id() reuse: a stopped session's
+# object can be GC'd and a new one allocated at the same address, and
+# serving it the dead session's DataFrames fails obscurely.
+_TABLE_CACHE: dict[tuple[int, str, str, bool], dict[str, DataFrame]] = {}
 
 
 def load_tables(
@@ -97,7 +100,7 @@ def load_tables(
     registering each parquet table as a temp view so the full SQL
     surface can name them.
     """
-    key = (id(spark), sf_dir, register_views)
+    key = (id(spark), spark.sparkContext.applicationId, sf_dir, register_views)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         if register_views:
