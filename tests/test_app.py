@@ -114,19 +114,64 @@ def test_planner_routes_agg_shape_to_incremental(spark, tmp_path):
 
 
 def test_planner_falls_back_on_complex_shapes(spark, tmp_path):
-    """Joins / subqueries / WHERE keep the explicit recompute mode."""
+    """Joins / subqueries / HAVING keep the explicit recompute mode."""
     app = (
         MVApp.builder(spark)
         .source("orders_f", f"{SF_DIR}/orders.parquet", pk=["o_orderkey"])
         .query(
             "SELECT o_orderpriority, count(*) AS n FROM orders_f "
-            "WHERE o_totalprice > 1000 GROUP BY o_orderpriority"
+            "GROUP BY o_orderpriority HAVING count(*) > 3"
         )
         .target(str(tmp_path / "mv_fallback"))
         .num_buckets(4)
         .build()
     )
     assert app.maintenance_mode == "recompute"
+
+
+def test_planner_routes_row_local_where_to_incremental(spark, tmp_path):
+    """A row-local WHERE stays incremental (stateless-filter rule);
+    rows crossing the predicate in either direction stay convergent."""
+    app = (
+        MVApp.builder(spark)
+        .source("orders_w", f"{SF_DIR}/orders.parquet", pk=["o_orderkey"])
+        .query(
+            "SELECT o_orderpriority, count(*) AS n FROM orders_w "
+            "WHERE o_totalprice > 250000 GROUP BY o_orderpriority"
+        )
+        .target(str(tmp_path / "mv_where"))
+        .num_buckets(4)
+        .shuffle_partitions(4)
+        .build()
+    )
+    assert app.maintenance_mode == "incremental"
+    app.bootstrap()
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    # push every third order's price down 100k: some leave the predicate
+    changes = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") - 100000)
+        .withColumn(OP_COL, F.lit("+U"))
+        .withColumn(SEQ_COL, F.monotonically_increasing_id())
+    )
+    assert app.refresh({"orders_w": changes}, batch_id=1)
+
+    got = {(r.o_orderpriority, r.n) for r in app.read().collect()}
+    final = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") - 100000
+        ).otherwise(F.col("o_totalprice")),
+    )
+    want = {
+        (r.o_orderpriority, r.n)
+        for r in final.filter("o_totalprice > 250000")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
 
 
 def test_match_agg_shape_matcher():
@@ -144,14 +189,19 @@ def test_match_agg_shape_matcher():
         ("sum", "x", "sx"),
         ("count_distinct", "y", "dy"),
     ]
-    # rejections: unknown table, WHERE, join, expression keys, no aggs
-    assert match_agg_shape("SELECT a, count(*) AS n FROM u GROUP BY a", {"t"}) is None
+    # row-local WHERE is carried on the shape
+    w = match_agg_shape("SELECT a, count(*) AS n FROM t WHERE a > 0 GROUP BY a", {"t"})
+    assert w is not None and w.where == "a > 0"
+    # ...but a subquery or aggregate in the predicate is not row-local
     assert (
         match_agg_shape(
-            "SELECT a, count(*) AS n FROM t WHERE a > 0 GROUP BY a", {"t"}
+            "SELECT a, count(*) AS n FROM t WHERE x > (SELECT min(x) FROM t) GROUP BY a",
+            {"t"},
         )
         is None
     )
+    # rejections: unknown table, join, expression keys, no aggs
+    assert match_agg_shape("SELECT a, count(*) AS n FROM u GROUP BY a", {"t"}) is None
     assert (
         match_agg_shape(
             "SELECT a, count(*) AS n FROM t JOIN u ON t.a = u.a GROUP BY a", {"t", "u"}

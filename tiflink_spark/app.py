@@ -133,13 +133,22 @@ class MVApp:
         ):
             self.maintenance_mode = "incremental"
             self._fact_name, self._dim_name = shape.fact, None
+            # A row-local WHERE stays incremental via the stateless-
+            # filter changelog rule: filtered bootstrap + apply_filter
+            # on every fact batch (rows leaving the predicate -> -D).
+            self._change_filter = shape.where
+            fact_df = dfs[shape.fact][1]
+            if shape.where is not None:
+                from pyspark.sql import functions as F
+
+                fact_df = fact_df.filter(F.expr(shape.where))
             self.mv_pk = list(shape.group_keys)
             # The planner refined the PK (full group-key set); the DDL
             # must advertise the same constraint the store enforces.
             self.ddl = create_table_ddl(os.path.basename(target), self.mv_schema, self.mv_pk)
             self._mv = IncrementalAggMV(
                 spark,
-                dfs[shape.fact][1],
+                fact_df,
                 spec.pk,
                 list(shape.group_keys),
                 list(shape.measures),
@@ -165,6 +174,7 @@ class MVApp:
         ):
             self.maintenance_mode = "incremental"
             self._fact_name, self._dim_name = corr.fact, corr.dim
+            self._change_filter = None
             self.mv_pk = [corr.dim_key]
             # PK refined to the dim key (the derived unique constraint).
             self.ddl = create_table_ddl(os.path.basename(target), self.mv_schema, self.mv_pk)
@@ -188,7 +198,7 @@ class MVApp:
             return
 
         self.maintenance_mode = "recompute"
-        self._fact_name = self._dim_name = None
+        self._fact_name = self._dim_name = self._change_filter = None
         for name, (spec_, df) in dfs.items():
             store = KeyedParquetStore(
                 spark, os.path.join(target, f"_src_{name}"), spec_.pk, num_buckets
@@ -227,6 +237,10 @@ class MVApp:
             dim_delta = changes.get(self._dim_name) if self._dim_name else None
             if fact_delta is None and dim_delta is None:
                 return False
+            if fact_delta is not None and self._change_filter is not None:
+                from tiflink_spark.changelog import apply_filter
+
+                fact_delta = apply_filter(fact_delta, self._change_filter)
             return self._mv.refresh(fact_delta, batch_id, dim_changes=dim_delta)
         return self._mv.refresh(changes, batch_id)
 

@@ -43,6 +43,23 @@ def with_insert_ops(df: DataFrame, start_seq: int = 0) -> DataFrame:
     )
 
 
+def apply_filter(changes: DataFrame, predicate_sql: str) -> DataFrame:
+    """The stateless-filter rule over a changelog (SURVEY §2.2): a row
+    leaving the predicate ⇒ emit -D.
+
+    +I/+U rows failing (or null under) the predicate demote to -D —
+    deleting by PK is always safe, even for rows the filtered view never
+    held (downstream delta algebra ignores deletes of absent keys). -D
+    rows pass through unchanged: their payload is the last-known value,
+    which may fail a predicate their stored version passed.
+    """
+    pred = F.expr(predicate_sql)
+    demoted = (F.col(OP_COL) != OP_DELETE) & ~F.coalesce(pred, F.lit(False))
+    return changes.withColumn(
+        OP_COL, F.when(demoted, F.lit(OP_DELETE)).otherwise(F.col(OP_COL))
+    )
+
+
 def last_change_per_key(changes: DataFrame, pk: list[str]) -> DataFrame:
     """Collapse a changelog batch to the final change per key.
 

@@ -43,8 +43,15 @@ _IDENT = r"[A-Za-z_]\w*"
 
 _SHAPE_RE = re.compile(
     rf"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<table>{_IDENT})"
+    rf"(?:\s+WHERE\s+(?P<where>.+?))?"
     rf"\s+GROUP\s+BY\s+(?P<keys>{_IDENT}(?:\s*,\s*{_IDENT})*)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+
+# A WHERE clause stays incremental only if it is row-local: no subquery,
+# no aggregate — those make the predicate depend on other rows.
+_NON_LOCAL_WHERE = re.compile(
+    r"\(\s*SELECT\b|\b(?:count|sum|avg|min|max)\s*\(", re.IGNORECASE
 )
 
 _AGG_RE = re.compile(
@@ -56,11 +63,18 @@ _AGG_RE = re.compile(
 
 @dataclass(frozen=True)
 class AggShape:
-    """A query matched to the incremental-aggregate maintenance shape."""
+    """A query matched to the incremental-aggregate maintenance shape.
+
+    ``where`` (row-local predicate or None) is maintained by the
+    stateless-filter changelog rule (changelog.apply_filter): the fact
+    bootstrap is filtered, and +I/+U change rows failing the predicate
+    demote to -D.
+    """
 
     fact: str
     group_keys: tuple[str, ...]
     measures: tuple[Measure, ...]
+    where: str | None = None
 
 
 @dataclass(frozen=True)
@@ -156,6 +170,9 @@ def match_agg_shape(query: str, source_names: set[str]) -> AggShape | None:
     m = _SHAPE_RE.match(query)
     if m is None or m.group("table") not in source_names:
         return None
+    where = m.group("where")
+    if where is not None and _NON_LOCAL_WHERE.search(where):
+        return None
     keys = [k.strip() for k in m.group("keys").split(",")]
     items = _split_select_list(m.group("select"))
     if len(items) <= len(keys):
@@ -179,4 +196,9 @@ def match_agg_shape(query: str, source_names: set[str]) -> AggShape | None:
         else:
             col = arg
         measures.append(Measure(kind, col, am.group("alias")))
-    return AggShape(m.group("table"), tuple(keys), tuple(measures))
+    return AggShape(
+        m.group("table"),
+        tuple(keys),
+        tuple(measures),
+        where.strip() if where is not None else None,
+    )

@@ -838,3 +838,92 @@ def mvapp_auto_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+_PRED = 250_000  # ~median o_totalprice: updates genuinely cross it both ways
+
+
+@register(
+    "mvapp_auto_filtered",
+    f"""
+    WITH final AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice - 100000
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 <> 0
+        UNION ALL
+        SELECT o_orderkey + {BIG}, o_custkey, o_totalprice * 2 FROM orders
+    )
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           max(o_totalprice) AS max_price
+    FROM final WHERE o_totalprice > {_PRED}
+    GROUP BY o_custkey
+    """,
+    doc=(
+        "Filtered incremental MV via the planner: WHERE over the fact is "
+        "maintained by the stateless-filter changelog rule (SURVEY §2.2 / "
+        "changelog.apply_filter) — price updates push rows across the "
+        "predicate in BOTH directions (leaving rows demote to -D, entering "
+        "rows upsert), deletes and inserts interleave, and the MV still "
+        "converges to the filtered batch answer."
+    ),
+    tags=("mv", "incremental", "planner", "filter"),
+)
+def mvapp_auto_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_filt_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("orders_filt", t["orders"], pk=["o_orderkey"])
+            .query(
+                f"""SELECT o_custkey, count(*) AS n_orders,
+                           sum(o_totalprice) AS total_price_raw,
+                           max(o_totalprice) AS max_price
+                    FROM orders_filt WHERE o_totalprice > {_PRED}
+                    GROUP BY o_custkey"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_mode != "incremental":
+            raise AssertionError("planner failed to route the filtered agg shape")
+        orders = t["orders"]
+        b1 = (
+            orders.withColumn("o_orderkey", F.col("o_orderkey") + BIG)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+            .withColumn(OP_COL, F.lit(OP_INSERT))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        b2 = (
+            orders.filter(F.col("o_orderkey") % 3 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") - 100000)
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        b3 = (
+            orders.filter(F.col("o_orderkey") % 10 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.bootstrap()
+        for i, b in enumerate((b1, b2, b3), start=1):
+            app.refresh({"orders_filt": b}, batch_id=i)
+        return (
+            app.read()
+            .select(
+                "o_custkey",
+                "n_orders",
+                F.round("total_price_raw", 2).alias("total_price"),
+                "max_price",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
