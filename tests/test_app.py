@@ -277,3 +277,28 @@ def test_match_correlated_count_shape_matcher():
     q3 = q.replace("SELECT c_custkey, c_name,", "SELECT c_name,")
     assert match_correlated_count_shape(q3, {"customer", "orders"}, pks) is None
     assert match_correlated_count_shape(q, {"customer"}, pks) is None
+
+
+def test_match_agg_shape_having():
+    from tiflink_spark.planner import match_agg_shape
+
+    # alias-form HAVING over output columns is carried on the shape
+    h = match_agg_shape(
+        "SELECT a, count(*) AS n FROM t GROUP BY a HAVING n >= 8 AND a IS NOT NULL",
+        {"t"},
+    )
+    assert h is not None and h.having == "n >= 8 AND a IS NOT NULL"
+    # aggregate-call or unknown-identifier HAVING is not a target-side
+    # row filter -> no match (falls back to recompute)
+    assert (
+        match_agg_shape(
+            "SELECT a, count(*) AS n FROM t GROUP BY a HAVING count(*) > 3", {"t"}
+        )
+        is None
+    )
+    assert (
+        match_agg_shape(
+            "SELECT a, count(*) AS n FROM t GROUP BY a HAVING x > 3", {"t"}
+        )
+        is None
+    )

@@ -155,6 +155,7 @@ class MVApp:
                 work_dir=target,
                 num_buckets=num_buckets,
                 shuffle_partitions=shuffle_partitions,
+                target_filter=shape.having,
             )
             # The incremental MV's own fact store IS the source store.
             self._stores = {shape.fact: self._mv.fact_store}

@@ -394,9 +394,16 @@ class IncrementalAggMV:
         dim_cols: list[str] | None = None,
         num_buckets: int = 16,
         shuffle_partitions: int | None = None,
+        target_filter: str | None = None,
     ):
         self.spark = spark
         self.shuffle_partitions = shuffle_partitions
+        # Row-local predicate over the MV's OUTPUT columns (HAVING
+        # analog): bootstrap rows failing it are excluded, and refresh
+        # upserts failing it demote to -D via the stateless-filter
+        # changelog rule (changelog.apply_filter) — a group leaving the
+        # predicate leaves the view.
+        self.target_filter = target_filter
         self.fact_df0 = fact
         # Composite GROUP BY keys are first-class; the dim-join form
         # requires a single key (the dim's PK) by construction.
@@ -451,7 +458,10 @@ class IncrementalAggMV:
             self.dim_store.bootstrap(self.dim, batch_id)
         state = aggregate_state(self.fact_store.read(), self.group_keys, self.measures)
         self.state_store.bootstrap(state, batch_id)
-        self.target.bootstrap(self._mv_rows_for_state(self.state_store.read()), batch_id)
+        rows = self._mv_rows_for_state(self.state_store.read())
+        if self.target_filter is not None:
+            rows = rows.filter(F.expr(self.target_filter))
+        self.target.bootstrap(rows, batch_id)
 
     @_maintenance
     def refresh(
@@ -564,6 +574,10 @@ class IncrementalAggMV:
 
         if not parts:
             return False
+        if self.target_filter is not None:
+            from tiflink_spark.changelog import apply_filter
+
+            parts = [apply_filter(p, self.target_filter) for p in parts]
         # Later parts supersede earlier ones for the same key (the dim part
         # carries fresher dim values than the fact part). The part index IS
         # the sequence: explicit, rather than relying on

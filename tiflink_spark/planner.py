@@ -44,8 +44,13 @@ _IDENT = r"[A-Za-z_]\w*"
 _SHAPE_RE = re.compile(
     rf"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<table>{_IDENT})"
     rf"(?:\s+WHERE\s+(?P<where>.+?))?"
-    rf"\s+GROUP\s+BY\s+(?P<keys>{_IDENT}(?:\s*,\s*{_IDENT})*)\s*;?\s*$",
+    rf"\s+GROUP\s+BY\s+(?P<keys>{_IDENT}(?:\s*,\s*{_IDENT})*)"
+    rf"(?:\s+HAVING\s+(?P<having>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+
+_SQL_KEYWORDS = frozenset(
+    "and or not null is in between like true false".split()
 )
 
 # A WHERE clause stays incremental only if it is row-local: no subquery,
@@ -68,13 +73,16 @@ class AggShape:
     ``where`` (row-local predicate or None) is maintained by the
     stateless-filter changelog rule (changelog.apply_filter): the fact
     bootstrap is filtered, and +I/+U change rows failing the predicate
-    demote to -D.
+    demote to -D. ``having`` (alias-form predicate over the OUTPUT
+    columns, or None) is the same rule applied on the target side: a
+    group leaving the predicate leaves the view.
     """
 
     fact: str
     group_keys: tuple[str, ...]
     measures: tuple[Measure, ...]
     where: str | None = None
+    having: str | None = None
 
 
 @dataclass(frozen=True)
@@ -196,9 +204,20 @@ def match_agg_shape(query: str, source_names: set[str]) -> AggShape | None:
         else:
             col = arg
         measures.append(Measure(kind, col, am.group("alias")))
+    having = m.group("having")
+    if having is not None:
+        # HAVING must be in alias form over the MV's output columns
+        # (aggregate calls or unknown identifiers -> not maintainable
+        # as a target-side row filter -> fall back).
+        out_cols = {k.lower() for k in keys} | {mm.alias.lower() for mm in measures}
+        idents = set(re.findall(_IDENT, having))
+        if any(i.lower() not in out_cols | _SQL_KEYWORDS for i in idents):
+            return None
+        having = having.strip()
     return AggShape(
         m.group("table"),
         tuple(keys),
         tuple(measures),
         where.strip() if where is not None else None,
+        having,
     )

@@ -927,3 +927,50 @@ def mvapp_auto_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_having",
+    f"""
+    WITH {_FINAL_ORDERS_SQL}
+    SELECT o_custkey, count(*) AS n_orders
+    FROM final_orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 8
+    """,
+    doc=(
+        "HAVING maintained incrementally: the same stateless-filter rule, "
+        "applied on the TARGET side (mv.IncrementalAggMV target_filter) — "
+        "a group whose count crosses the threshold enters or leaves the "
+        "view as the scripted changelog moves rows across groups. The fn "
+        "raises unless the planner routed incrementally."
+    ),
+    tags=("mv", "incremental", "planner", "filter"),
+)
+def mvapp_auto_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_hav_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("orders_hav", t["orders"], pk=["o_orderkey"])
+            .query(
+                """SELECT o_custkey, count(*) AS n_orders
+                   FROM orders_hav GROUP BY o_custkey
+                   HAVING n_orders >= 8"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_mode != "incremental":
+            raise AssertionError("planner failed to route the HAVING agg shape")
+        app.bootstrap()
+        for i, b in enumerate(scripted_batches(t["orders"]), start=1):
+            app.refresh({"orders_hav": b}, batch_id=i)
+        return app.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
