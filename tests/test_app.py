@@ -302,3 +302,25 @@ def test_match_agg_shape_having():
         )
         is None
     )
+
+
+def test_match_join_shape_matcher():
+    from tiflink_spark.planner import match_join_shape
+
+    j = match_join_shape(
+        "SELECT o_orderkey, custkey, o_totalprice, c_name "
+        "FROM orders_j JOIN customer_j USING (custkey)",
+        {"orders_j", "customer_j"},
+    )
+    assert j is not None
+    assert (j.left, j.right, j.join_key) == ("orders_j", "customer_j", "custkey")
+    assert j.out_cols == ("o_orderkey", "custkey", "o_totalprice", "c_name")
+    # rejections: ON form (ambiguous key naming), unknown table, self-join
+    assert (
+        match_join_shape(
+            "SELECT a, b FROM t JOIN u ON t.k = u.k", {"t", "u"}
+        )
+        is None
+    )
+    assert match_join_shape("SELECT a FROM t JOIN v USING (k)", {"t", "u"}) is None
+    assert match_join_shape("SELECT a FROM t JOIN t USING (k)", {"t"}) is None

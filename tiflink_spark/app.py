@@ -32,9 +32,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from tiflink_spark.catalog import Catalog, default_pk
-from tiflink_spark.mv import IncrementalAggMV, RecomputeMV
+from tiflink_spark.mv import IncrementalAggMV, IncrementalJoinMV, RecomputeMV
 from tiflink_spark.incremental import Measure
-from tiflink_spark.planner import match_agg_shape, match_correlated_count_shape
+from tiflink_spark.planner import (
+    match_agg_shape,
+    match_correlated_count_shape,
+    match_join_shape,
+)
 from tiflink_spark.store import KeyedParquetStore
 from tiflink_spark.types import create_table_ddl
 
@@ -133,6 +137,7 @@ class MVApp:
         ):
             self.maintenance_mode = "incremental"
             self._fact_name, self._dim_name = shape.fact, None
+            self._join_names = None
             # A row-local WHERE stays incremental via the stateless-
             # filter changelog rule: filtered bootstrap + apply_filter
             # on every fact batch (rows leaving the predicate -> -D).
@@ -175,7 +180,7 @@ class MVApp:
         ):
             self.maintenance_mode = "incremental"
             self._fact_name, self._dim_name = corr.fact, corr.dim
-            self._change_filter = None
+            self._change_filter = self._join_names = None
             self.mv_pk = [corr.dim_key]
             # PK refined to the dim key (the derived unique constraint).
             self.ddl = create_table_ddl(os.path.basename(target), self.mv_schema, self.mv_pk)
@@ -198,8 +203,46 @@ class MVApp:
             }
             return
 
+        # Bare two-sided equi-join (USING form): dirty-join-key recompute
+        # with changelogs on both sides (IncrementalJoinMV). The MV PK is
+        # the concatenated source PKs; they must all be in the select
+        # list so the MV schema matches the query's.
+        join = match_join_shape(query, set(dfs))
+        if join is not None:
+            (lspec, ldf), (rspec, rdf) = dfs[join.left], dfs[join.right]
+            target_pk = [*lspec.pk, *rspec.pk]
+            sel_lower = {c.lower() for c in join.out_cols}
+            if (
+                lspec.pk
+                and rspec.pk
+                and all(c.lower() in sel_lower for c in target_pk)
+                and (pk is None or list(pk) == target_pk)
+            ):
+                self.maintenance_mode = "incremental"
+                self._fact_name = self._dim_name = self._change_filter = None
+                self._join_names = (join.left, join.right)
+                self.mv_pk = target_pk
+                self.ddl = create_table_ddl(os.path.basename(target), self.mv_schema, self.mv_pk)
+                self._mv = IncrementalJoinMV(
+                    spark,
+                    left=ldf,
+                    left_pk=lspec.pk,
+                    right=rdf,
+                    right_pk=rspec.pk,
+                    join_key=join.join_key,
+                    out_cols=list(join.out_cols),
+                    work_dir=target,
+                    num_buckets=num_buckets,
+                    shuffle_partitions=shuffle_partitions,
+                )
+                self._stores = {
+                    join.left: self._mv.left_store,
+                    join.right: self._mv.right_store,
+                }
+                return
+
         self.maintenance_mode = "recompute"
-        self._fact_name = self._dim_name = self._change_filter = None
+        self._fact_name = self._dim_name = self._change_filter = self._join_names = None
         for name, (spec_, df) in dfs.items():
             store = KeyedParquetStore(
                 spark, os.path.join(target, f"_src_{name}"), spec_.pk, num_buckets
@@ -226,6 +269,18 @@ class MVApp:
 
     def refresh(self, changes: dict[str, DataFrame], batch_id) -> bool:
         """Apply one changelog micro-batch (table name → __op/__seq rows)."""
+        if self.maintenance_mode == "incremental" and self._join_names is not None:
+            l, r = self._join_names
+            unknown = set(changes) - {l, r}
+            if unknown:
+                raise ValueError(
+                    f"incremental join MV maintains only {[l, r]}; "
+                    f"got changes for {sorted(unknown)}"
+                )
+            ld, rd = changes.get(l), changes.get(r)
+            if ld is None and rd is None:
+                return False
+            return self._mv.refresh(ld, rd, batch_id)
         if self.maintenance_mode == "incremental":
             known = {self._fact_name} | ({self._dim_name} if self._dim_name else set())
             unknown = set(changes) - known

@@ -106,6 +106,45 @@ class CorrelatedCountShape:
     alias: str
 
 
+@dataclass(frozen=True)
+class JoinShape:
+    """A two-sided equi-join matched to IncrementalJoinMV maintenance:
+
+        SELECT c1[, c2 ...] FROM left JOIN right USING (k)
+
+    Changelogs on BOTH sides maintain the view by dirty-join-key
+    recompute (per-batch work ∝ row volume of touched join keys).
+    """
+
+    left: str
+    right: str
+    join_key: str
+    out_cols: tuple[str, ...]
+
+
+_JOIN_RE = re.compile(
+    rf"^\s*SELECT\s+(?P<select>(?:{_IDENT}\s*,\s*)*{_IDENT})\s+"
+    rf"FROM\s+(?P<left>{_IDENT})\s+JOIN\s+(?P<right>{_IDENT})\s+"
+    rf"USING\s*\(\s*(?P<key>{_IDENT})\s*\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def match_join_shape(query: str, source_names: set[str]) -> JoinShape | None:
+    """Match the bare inner equi-join (USING form, bare-identifier
+    select list), or None. The USING form guarantees the join key is
+    same-named on both sides — the contract IncrementalJoinMV keys its
+    dirty-key pruning on."""
+    m = _JOIN_RE.match(query)
+    if m is None:
+        return None
+    left, right = m.group("left"), m.group("right")
+    if left not in source_names or right not in source_names or left == right:
+        return None
+    cols = tuple(c.strip() for c in m.group("select").split(","))
+    return JoinShape(left, right, m.group("key"), cols)
+
+
 # SELECT d-col-list, (SELECT count(*) FROM fact f WHERE f.fk = d.dk) AS a FROM dim d
 _CORR_RE = re.compile(
     rf"^\s*SELECT\s+(?P<select>(?:{_IDENT}\s*,\s*)*{_IDENT})\s*,\s*"

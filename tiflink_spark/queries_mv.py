@@ -974,3 +974,103 @@ def mvapp_auto_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         return app.read().localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_join",
+    f"""
+    WITH final_orders AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 8 = 0 AND o_orderkey % 9 <> 0
+                    THEN o_custkey % 100 + 1 ELSE o_custkey END AS custkey,
+               CASE WHEN o_orderkey % 4 = 0 AND o_orderkey % 9 <> 0
+                    THEN o_totalprice + 10 ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 9 <> 0
+        UNION ALL
+        SELECT o_orderkey + {BIG}, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 50 = 0
+    ),
+    final_customer AS (
+        SELECT c_custkey AS custkey,
+               CASE WHEN c_custkey % 3 = 0 THEN c_name || '*' ELSE c_name END AS c_name
+        FROM customer WHERE c_custkey % 11 <> 0
+    )
+    SELECT o_orderkey, custkey, o_totalprice, c_name
+    FROM final_orders JOIN final_customer USING (custkey)
+    """,
+    doc=(
+        "Two-sided equi-join MV auto-routed by the planner (USING form -> "
+        "IncrementalJoinMV, dirty-join-key recompute): the same churn "
+        "script as mv_join_incremental — order deletes / join-key-moving "
+        "updates, customer renames and deletes, late inserts — driven "
+        "through the MVApp builder API. The fn raises unless the planner "
+        "routed incrementally."
+    ),
+    tags=("mv", "incremental", "planner", "join"),
+)
+def mvapp_auto_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    left = t["orders"].select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    right = t["customer"].select(F.col("c_custkey").alias("custkey"), "c_name")
+    work = tempfile.mkdtemp(prefix="mvapp_join_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("orders_j", left, pk=["o_orderkey"])
+            .source("customer_j", right, pk=["custkey"])
+            .query(
+                "SELECT o_orderkey, custkey, o_totalprice, c_name "
+                "FROM orders_j JOIN customer_j USING (custkey)"
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_mode != "incremental":
+            raise AssertionError("planner failed to route the join shape")
+        app.bootstrap()
+
+        b1_del = left.filter(F.col("o_orderkey") % 9 == 0).withColumn(
+            OP_COL, F.lit(OP_DELETE)
+        )
+        b1_upd = (
+            left.filter((F.col("o_orderkey") % 4 == 0) & (F.col("o_orderkey") % 9 != 0))
+            .withColumn(
+                "custkey",
+                F.when(F.col("o_orderkey") % 8 == 0, F.col("custkey") % 100 + 1).otherwise(
+                    F.col("custkey")
+                ),
+            )
+            .withColumn("o_totalprice", F.col("o_totalprice") + 10)
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+        )
+        b1 = b1_del.unionByName(b1_upd).withColumn(SEQ_COL, F.monotonically_increasing_id())
+        app.refresh({"orders_j": b1}, batch_id=1)
+
+        b2_upd = (
+            right.filter(F.col("custkey") % 3 == 0)
+            .withColumn("c_name", F.concat(F.col("c_name"), F.lit("*")))
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+        )
+        b2_del = right.filter(F.col("custkey") % 11 == 0).withColumn(OP_COL, F.lit(OP_DELETE))
+        b2 = b2_upd.unionByName(b2_del).withColumn(SEQ_COL, F.monotonically_increasing_id())
+        app.refresh({"customer_j": b2}, batch_id=2)
+
+        b3 = (
+            left.filter(F.col("o_orderkey") % 50 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + BIG)
+            .withColumn(OP_COL, F.lit(OP_INSERT))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"orders_j": b3}, batch_id=3)
+
+        return app.read().select(
+            "o_orderkey", "custkey", "o_totalprice", "c_name"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
