@@ -105,10 +105,10 @@ class MVApp:
         dfs: dict[str, tuple] = {}
         for name, (src, spk) in sources.items():
             if isinstance(src, str):
-                from tiflink_spark.session import normalize_timestamps
+                from tiflink_spark.session import read_parquet_normalized
 
                 spec = self.catalog.register_parquet(name, src, spk)
-                df = normalize_timestamps(self.spark.read.parquet(src))
+                df = read_parquet_normalized(self.spark, src)
             else:
                 spec = self.catalog.register_dataframe(name, src, spk)
                 df = src
@@ -333,4 +333,14 @@ class MVApp:
         return self
 
     def read(self, version: int | None = None) -> DataFrame:
-        return self._mv.read(version)
+        """Consistent MV state, in the query's SELECT column order.
+
+        The incremental maintenance routes store MV rows PK-first
+        internally; the user-facing contract (mv_schema, the generated
+        DDL, positional consumers) is the resolved query's column
+        order, so the read projects through it."""
+        out = self._mv.read(version)
+        ordered = [f.name for f in self.mv_schema.fields]
+        if set(ordered) == set(out.columns) and ordered != list(out.columns):
+            out = out.select(*ordered)
+        return out

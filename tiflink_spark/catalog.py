@@ -51,11 +51,11 @@ class Catalog:
         self._tables: dict[str, TableSpec] = {}
 
     def register_parquet(self, name: str, path: str, pk: list[str] | None = None) -> TableSpec:
-        from tiflink_spark.session import normalize_timestamps
+        from tiflink_spark.session import read_parquet_normalized
 
         if not os.path.exists(path):
             raise FileNotFoundError(path)
-        df = normalize_timestamps(self.spark.read.parquet(path))
+        df = read_parquet_normalized(self.spark, path)
         spec = TableSpec(name=name, path=path, schema=df.schema, pk=default_pk(df.schema, pk))
         self._tables[name] = spec
         df.createOrReplaceTempView(name)
@@ -77,9 +77,9 @@ class Catalog:
         return sorted(self._tables)
 
     def table(self, name: str) -> DataFrame:
-        from tiflink_spark.session import normalize_timestamps
+        from tiflink_spark.session import read_parquet_normalized
 
         spec = self._tables[name]
         if spec.path is not None:
-            return normalize_timestamps(self.spark.read.parquet(spec.path))
+            return read_parquet_normalized(self.spark, spec.path)
         return self.spark.table(name)

@@ -53,10 +53,17 @@ _SQL_KEYWORDS = frozenset(
     "and or not null is in between like true false".split()
 )
 
-# A WHERE clause stays incremental only if it is row-local: no subquery,
-# no aggregate — those make the predicate depend on other rows.
+# A WHERE clause stays incremental only if it is row-local AND
+# deterministic: no subquery, no aggregate (those make the predicate
+# depend on other rows), and no non-deterministic / clock functions —
+# the filtered bootstrap and the per-batch changelog filter evaluate
+# the predicate at different times, so rand()/now()-style predicates
+# would diverge from batch semantics.
 _NON_LOCAL_WHERE = re.compile(
-    r"\(\s*SELECT\b|\b(?:count|sum|avg|min|max)\s*\(", re.IGNORECASE
+    r"\(\s*SELECT\b|\b(?:count|sum|avg|min|max)\s*\("
+    r"|\b(?:rand|randn|random|uuid|shuffle|now|current_timestamp|"
+    r"current_date|current_time|localtimestamp|unix_timestamp)(?:\s*\(|\b)",
+    re.IGNORECASE,
 )
 
 _AGG_RE = re.compile(
@@ -243,11 +250,21 @@ def match_agg_shape(query: str, source_names: set[str]) -> AggShape | None:
         else:
             col = arg
         measures.append(Measure(kind, col, am.group("alias")))
+    # A measure alias shadowing a group key would make the output
+    # column set ambiguous (and any HAVING over it unresolvable as a
+    # target-side filter) — not this shape.
+    if {mm.alias.lower() for mm in measures} & {k.lower() for k in keys}:
+        return None
     having = m.group("having")
     if having is not None:
-        # HAVING must be in alias form over the MV's output columns
-        # (aggregate calls or unknown identifiers -> not maintainable
-        # as a target-side row filter -> fall back).
+        # HAVING must be in alias form over the MV's output columns.
+        # Reject aggregate calls FIRST: an alias shadowing a function
+        # name (count(*) AS count ... HAVING count(*) > 3) would pass
+        # the identifier whitelist but fail at bootstrap. Aggregate
+        # calls, non-deterministic functions, or unknown identifiers
+        # -> not maintainable as a target-side row filter -> fall back.
+        if _NON_LOCAL_WHERE.search(having):
+            return None
         out_cols = {k.lower() for k in keys} | {mm.alias.lower() for mm in measures}
         idents = set(re.findall(_IDENT, having))
         if any(i.lower() not in out_cols | _SQL_KEYWORDS for i in idents):

@@ -335,16 +335,43 @@ def case_when_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_count_distinct",
-    None,  # HLL implementations differ across engines — rows-only check; exactness is tested in pytest.
-    doc="APPROX_COUNT_DISTINCT (HyperLogLog++). Oracle omitted: sketch values are engine-specific.",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "APPROX_COUNT_DISTINCT (HyperLogLog++). HLL sketch values are "
+        "engine-specific, so the deterministic contract is the error bound: "
+        "Spark emits |approx-exact|/exact <= 0.05 as a boolean (plus the "
+        "exact side), and the oracle recomputes the exact side with a "
+        "constant-true bound column — a sketch drifting past 5% relative "
+        "error hash-mismatches."
+    ),
     tags=("agg", "approx"),
 )
 def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     t = _t(spark, sf_dir)
-    return t["lineitem"].groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts")
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+            F.count_distinct(F.col("l_partkey")).alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                <= F.lit(0.05)
+            ).alias("within_5pct"),
+        )
     )
 
 
@@ -853,8 +880,8 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey,
            abs(p_retailprice - 1000)            AS abs_diff,
            round(p_retailprice, 1)              AS rounded,
-           ceil(p_retailprice)                  AS ceiled,
-           floor(p_retailprice)                 AS floored,
+           CAST(ceil(p_retailprice) AS BIGINT)  AS ceiled,
+           CAST(floor(p_retailprice) AS BIGINT) AS floored,
            p_size % 7                           AS size_mod,
            round(power(p_size, 2), 0)           AS size_sq,
            round(sqrt(p_size), 4)               AS size_sqrt,

@@ -158,6 +158,17 @@ def normalize_timestamps(df: DataFrame, nano_long_cols: list[str] | None = None)
     return df
 
 
+def read_parquet_normalized(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet table with every timestamp layout repaired.
+
+    Detects legacy TIMESTAMP(NANOS) columns from the parquet footer and
+    threads them into :func:`normalize_timestamps`, so every reader —
+    catalog, MVApp sources, ad-hoc — gets the same repair `load_tables`
+    applies (a nanos-era file read without the column list would
+    otherwise pass through as raw bigint)."""
+    return normalize_timestamps(spark.read.parquet(path), _nano_ts_columns(path))
+
+
 def load_catalog(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
     """Load the testdata tables into a PK-carrying Catalog — the engine's
     analog of reflecting TiDB's schema (TiFlinkCatalog.java:92-198).
