@@ -1,0 +1,228 @@
+"""Join+agg incremental maintenance: planner matching + convergence.
+
+The canonical star-join aggregate (SELECT keys, aggs FROM fact JOIN dim
+ON fact.fk = dim.pk GROUP BY keys) is the shape the reference gets
+incrementally from Flink's update-mode planner (TiFlinkApp.java:270);
+these tests pin the matcher's accept/reject envelope and prove
+IncrementalJoinAggMV converges to the batch answer under two-sided
+churn, including replay idempotence.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiflink_spark.changelog import OP_COL, OP_DELETE, OP_INSERT, OP_UPDATE, SEQ_COL
+from tiflink_spark.planner import match_join_agg_shape
+
+COLS = {
+    "orders": ["o_orderkey", "o_custkey", "o_totalprice"],
+    "customer": ["c_custkey", "c_name", "c_nationkey"],
+}
+PKS = {"orders": ["o_orderkey"], "customer": ["c_custkey"]}
+
+
+class TestJoinAggMatcher:
+    def test_qualified_on_form(self):
+        s = match_join_agg_shape(
+            """SELECT c.c_nationkey, count(*) AS n, sum(o.o_totalprice) AS total
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+               GROUP BY c.c_nationkey""",
+            set(COLS),
+            COLS,
+            PKS,
+        )
+        assert s is not None
+        assert (s.fact, s.dim) == ("orders", "customer")
+        assert (s.fact_fk, s.dim_pk) == ("o_custkey", "c_custkey")
+        assert s.group_keys == ("c_nationkey",)
+
+    def test_bare_names_and_reversed_tables(self):
+        # dim listed first; bare column references resolve by schema.
+        s = match_join_agg_shape(
+            """SELECT c_nationkey, count(*) AS n
+               FROM customer JOIN orders ON c_custkey = o_custkey
+               GROUP BY c_nationkey""",
+            set(COLS),
+            COLS,
+            PKS,
+        )
+        assert s is not None and s.fact == "orders" and s.dim == "customer"
+
+    def test_expression_aggregate_and_where(self):
+        s = match_join_agg_shape(
+            """SELECT c_nationkey, sum(o_totalprice * 2) AS dbl
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               WHERE o_totalprice > 100
+               GROUP BY c_nationkey""",
+            set(COLS),
+            COLS,
+            PKS,
+        )
+        assert s is not None
+        assert s.measures[0].col == "o_totalprice * 2"
+        assert s.where == "o_totalprice > 100"
+        assert "o_totalprice" in s.fact_cols
+
+    @pytest.mark.parametrize(
+        "query",
+        [
+            # M:N join (neither side's column is its PK)
+            """SELECT c_nationkey, count(*) AS n FROM orders o
+               JOIN customer c ON o.o_totalprice = c.c_nationkey
+               GROUP BY c_nationkey""",
+            # non-deterministic WHERE
+            """SELECT c_nationkey, count(*) AS n
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               WHERE rand() < 0.5 GROUP BY c_nationkey""",
+            # unknown column in aggregate
+            """SELECT c_nationkey, sum(nope) AS s
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               GROUP BY c_nationkey""",
+            # subquery in WHERE
+            """SELECT c_nationkey, count(*) AS n
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               WHERE o_totalprice > (SELECT 1) GROUP BY c_nationkey""",
+            # measure alias collides with group key
+            """SELECT c_nationkey, count(*) AS c_nationkey
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               GROUP BY c_nationkey""",
+            # no aggregates
+            """SELECT c_nationkey FROM orders JOIN customer
+               ON o_custkey = c_custkey GROUP BY c_nationkey""",
+        ],
+    )
+    def test_rejects(self, query):
+        assert match_join_agg_shape(query, set(COLS), COLS, PKS) is None
+
+    def test_ambiguous_bare_column_rejected(self):
+        cols = {
+            "a": ["id", "k", "v"],
+            "b": ["bid", "k", "w"],  # 'k' lives in both tables
+        }
+        pks = {"a": ["id"], "b": ["bid"]}
+        q = """SELECT k, count(*) AS n FROM a JOIN b ON a.v = b.bid GROUP BY k"""
+        assert match_join_agg_shape(q, set(cols), cols, pks) is None
+        # ... and qualified references to an ambiguous-name key too
+        # (the joined relation stores bare names, provenance would be lost)
+        q2 = """SELECT a.k, count(*) AS n FROM a JOIN b ON a.v = b.bid GROUP BY a.k"""
+        assert match_join_agg_shape(q2, set(cols), cols, pks) is None
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    from tiflink_spark.session import load_tables
+
+    return load_tables(spark, "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def joinagg_app(spark, tables):
+    from tiflink_spark.app import MVApp
+
+    work = tempfile.mkdtemp(prefix="ja_test_")
+    app = (
+        MVApp.builder(spark)
+        .source("orders_jat", tables["orders"], pk=["o_orderkey"])
+        .source("customer_jat", tables["customer"], pk=["c_custkey"])
+        .query(
+            """SELECT c.c_nationkey, count(*) AS n_orders,
+                      sum(o.o_totalprice) AS total_raw,
+                      min(o.o_totalprice) AS min_price
+               FROM orders_jat o JOIN customer_jat c
+                 ON o.o_custkey = c.c_custkey
+               GROUP BY c.c_nationkey"""
+        )
+        .target(work)
+        .num_buckets(4)
+        .shuffle_partitions(8)
+        .build()
+    )
+    yield app, tables
+    shutil.rmtree(work, ignore_errors=True)
+
+
+BIG = 20_000_000
+
+
+class TestJoinAggConvergence:
+    def test_routed_and_converges_two_sided(self, joinagg_app, spark):
+        app, t = joinagg_app
+        assert app.maintenance_mode == "incremental"
+        assert app.maintenance_strategy == "IncrementalJoinAggMV"
+        app.bootstrap()
+
+        orders, cust = t["orders"], t["customer"]
+        b1 = (
+            orders.filter(F.col("o_orderkey") % 50 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + BIG)
+            .withColumn(OP_COL, F.lit(OP_INSERT))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        b2 = (
+            cust.filter(F.col("c_custkey") % 10 == 3)
+            .withColumn("c_nationkey", (F.col("c_nationkey") + 7) % 25)
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .unionByName(
+                cust.filter(F.col("c_custkey") % 10 == 4).withColumn(
+                    OP_COL, F.lit(OP_DELETE)
+                )
+            )
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        b3 = (
+            orders.filter(F.col("o_orderkey") % 9 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"orders_jat": b1}, batch_id=1)
+        app.refresh({"customer_jat": b2}, batch_id=2)
+        app.refresh({"orders_jat": b3}, batch_id=3)
+
+        # replay idempotence: an already-committed batch is a no-op
+        assert app.refresh({"orders_jat": b3}, batch_id=3) is False
+
+        final_orders = orders.filter(F.col("o_orderkey") % 9 != 0).unionByName(
+            orders.filter(F.col("o_orderkey") % 50 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + BIG
+            )
+        )
+        final_cust = cust.filter(F.col("c_custkey") % 10 != 4).withColumn(
+            "c_nationkey",
+            F.when(
+                F.col("c_custkey") % 10 == 3, (F.col("c_nationkey") + 7) % 25
+            ).otherwise(F.col("c_nationkey")),
+        )
+        exp = (
+            final_orders.alias("o")
+            .join(final_cust.alias("c"), F.col("o.o_custkey") == F.col("c.c_custkey"))
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("o_totalprice").alias("total_raw"),
+                F.min("o_totalprice").alias("min_price"),
+            )
+        )
+        got = {r["c_nationkey"]: r.asDict() for r in app.read().collect()}
+        want = {r["c_nationkey"]: r.asDict() for r in exp.collect()}
+        assert set(got) == set(want)
+        for k, w in want.items():
+            g = got[k]
+            assert g["n_orders"] == w["n_orders"], k
+            assert g["min_price"] == w["min_price"], k
+            assert abs(g["total_raw"] - w["total_raw"]) < 1e-6 * max(
+                1.0, abs(w["total_raw"])
+            ), k
+
+    def test_read_column_order_matches_query(self, joinagg_app):
+        app, _ = joinagg_app
+        assert app.read().columns == [
+            "c_nationkey",
+            "n_orders",
+            "total_raw",
+            "min_price",
+        ]

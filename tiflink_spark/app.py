@@ -32,11 +32,17 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from tiflink_spark.catalog import Catalog, default_pk
-from tiflink_spark.mv import IncrementalAggMV, IncrementalJoinMV, RecomputeMV
+from tiflink_spark.mv import (
+    IncrementalAggMV,
+    IncrementalJoinAggMV,
+    IncrementalJoinMV,
+    RecomputeMV,
+)
 from tiflink_spark.incremental import Measure
 from tiflink_spark.planner import (
     match_agg_shape,
     match_correlated_count_shape,
+    match_join_agg_shape,
     match_join_shape,
 )
 from tiflink_spark.store import KeyedParquetStore
@@ -101,6 +107,7 @@ class MVApp:
         self.query = query
         self.target_path = target
         self._stores: dict[str, KeyedParquetStore] = {}
+        self._join_agg = False
 
         dfs: dict[str, tuple] = {}
         for name, (src, spk) in sources.items():
@@ -128,7 +135,8 @@ class MVApp:
         # matching MV PK (a GROUP BY's key set is the derived unique
         # constraint, the reference's first PK-inference rule,
         # TiFlinkApp.java:276-281).
-        shape = match_agg_shape(query, set(dfs))
+        source_columns = {n: [f.name for f in d[1].schema.fields] for n, d in dfs.items()}
+        shape = match_agg_shape(query, set(dfs), source_columns)
         spec = dfs[shape.fact][0] if shape is not None else None
         if (
             shape is not None
@@ -164,6 +172,48 @@ class MVApp:
             )
             # The incremental MV's own fact store IS the source store.
             self._stores = {shape.fact: self._mv.fact_store}
+            return
+
+        # The canonical star-join aggregate (fact ⋈ dim GROUP BY) — the
+        # shape behind every TPC-H-like MV, which the reference gets
+        # incrementally from Flink's update-mode planner
+        # (TiFlinkApp.java:270). Dirty-join-key re-derivation of the
+        # joined relation feeds the aggregate state merge; changelogs on
+        # BOTH sides maintain the view with work ∝ touched keys.
+        ja = match_join_agg_shape(
+            query, set(dfs), source_columns, {n: d[0].pk for n, d in dfs.items()}
+        )
+        if (
+            ja is not None
+            and dfs[ja.fact][0].pk
+            and (pk is None or list(pk) == list(ja.group_keys))
+        ):
+            self.maintenance_mode = "incremental"
+            self._fact_name, self._dim_name = ja.fact, ja.dim
+            self._join_names = self._change_filter = None
+            self._join_agg = True
+            self.mv_pk = list(ja.group_keys)
+            self.ddl = create_table_ddl(os.path.basename(target), self.mv_schema, self.mv_pk)
+            self._mv = IncrementalJoinAggMV(
+                spark,
+                fact=dfs[ja.fact][1],
+                fact_pk=dfs[ja.fact][0].pk,
+                fact_fk=ja.fact_fk,
+                dim=dfs[ja.dim][1],
+                dim_pk=ja.dim_pk,
+                group_keys=list(ja.group_keys),
+                measures=list(ja.measures),
+                fact_cols=list(ja.fact_cols),
+                dim_cols=list(ja.dim_cols),
+                work_dir=target,
+                where=ja.where,
+                num_buckets=num_buckets,
+                shuffle_partitions=shuffle_partitions,
+            )
+            self._stores = {
+                ja.fact: self._mv.fact_store,
+                ja.dim: self._mv.dim_store,
+            }
             return
 
         # The reference's flagship shape — correlated scalar COUNT over a
@@ -263,6 +313,11 @@ class MVApp:
 
     # -- lifecycle -----------------------------------------------------------
 
+    @property
+    def maintenance_strategy(self) -> str:
+        """The concrete maintenance class the planner routed to."""
+        return type(self._mv).__name__
+
     def bootstrap(self, batch_id=0) -> "MVApp":
         self._mv.bootstrap(batch_id)
         return self
@@ -293,6 +348,8 @@ class MVApp:
             dim_delta = changes.get(self._dim_name) if self._dim_name else None
             if fact_delta is None and dim_delta is None:
                 return False
+            if self._join_agg:
+                return self._mv.refresh(fact_delta, dim_delta, batch_id)
             if fact_delta is not None and self._change_filter is not None:
                 from tiflink_spark.changelog import apply_filter
 

@@ -46,10 +46,18 @@ INVERTIBLE = ("count", "sum", "avg")
 NON_INVERTIBLE = ("min", "max", "count_distinct")
 
 
+def _mexpr(m: "Measure"):
+    """Measure input as a Column. ``col`` may be a bare column name or
+    any row-local SQL expression (e.g. ``o_totalprice * (1 - disc)``) —
+    the planner validates expressions against the source schema before
+    a Measure carrying one reaches maintenance."""
+    return F.expr(m.col)
+
+
 @dataclass(frozen=True)
 class Measure:
     kind: str  # count | sum | avg | min | max | count_distinct
-    col: str | None  # None for count(*)
+    col: str | None  # None for count(*); may be a row-local expression
     alias: str
 
     def __post_init__(self):
@@ -105,15 +113,15 @@ def aggregate_state(df: DataFrame, group_keys: list[str], measures: list[Measure
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for m in measures:
         if m.kind in ("sum", "avg"):
-            aggs.append(F.sum(F.col(m.col)).alias(f"__sum_{m.alias}"))
+            aggs.append(F.sum(_mexpr(m)).alias(f"__sum_{m.alias}"))
         if m.kind in ("sum", "avg") or (m.kind == "count" and m.col is not None):
-            aggs.append(F.count(F.col(m.col)).alias(f"__cnt_{m.alias}"))
+            aggs.append(F.count(_mexpr(m)).alias(f"__cnt_{m.alias}"))
         if m.kind == "min":
-            aggs.append(F.min(F.col(m.col)).alias(f"__ext_{m.alias}"))
+            aggs.append(F.min(_mexpr(m)).alias(f"__ext_{m.alias}"))
         if m.kind == "max":
-            aggs.append(F.max(F.col(m.col)).alias(f"__ext_{m.alias}"))
+            aggs.append(F.max(_mexpr(m)).alias(f"__ext_{m.alias}"))
         if m.kind == "count_distinct":
-            aggs.append(F.count_distinct(F.col(m.col)).alias(f"__ext_{m.alias}"))
+            aggs.append(F.count_distinct(_mexpr(m)).alias(f"__ext_{m.alias}"))
     return df.groupBy(*group_keys).agg(*aggs)
 
 
@@ -140,11 +148,11 @@ def merge_delta_state(
     for m in measures:
         if m.kind in ("sum", "avg"):
             aggs.append(
-                F.sum(F.col("__w") * F.coalesce(F.col(m.col), F.lit(0))).alias(f"__d_sum_{m.alias}")
+                F.sum(F.col("__w") * F.coalesce(_mexpr(m), F.lit(0))).alias(f"__d_sum_{m.alias}")
             )
         if m.kind in ("sum", "avg") or (m.kind == "count" and m.col is not None):
             aggs.append(
-                F.sum(F.when(F.col(m.col).isNotNull(), F.col("__w")).otherwise(0)).alias(
+                F.sum(F.when(_mexpr(m).isNotNull(), F.col("__w")).otherwise(0)).alias(
                     f"__d_cnt_{m.alias}"
                 )
             )

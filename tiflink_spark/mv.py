@@ -364,6 +364,198 @@ class IncrementalTopKMV:
         return self.target.read(version)
 
 
+class IncrementalJoinAggMV:
+    """Incremental MV for the canonical star-join aggregate
+
+        SELECT keys, aggs FROM fact JOIN dim ON fact.fk = dim.pk
+        [WHERE row-local] GROUP BY keys
+
+    — the shape the reference gets for free from Flink's update-mode
+    planner (TiFlinkApp.java:270). Composition: the joined relation
+    J = fact ⋈ dim (dim.pk side unique, so J stays keyed by the fact
+    PK) is maintained as an upsert changelog via dirty-join-key
+    re-derivation, and that J-changelog feeds an inner
+    :class:`IncrementalAggMV` state merge. Per-batch work ∝ changed
+    fact rows + fact rows of changed dim keys — never the full join —
+    and every aggregate kind the inner MV supports (COUNT/SUM/AVG by
+    delta arithmetic, MIN/MAX/COUNT DISTINCT by dirty-group recompute
+    against the J store) works unchanged.
+
+    Changelogs on BOTH sides maintain the view: fact +I/+U re-joins the
+    row against current dim state (unmatched → the row leaves J); dim
+    churn re-derives all J rows of the touched dim keys (a dim rename
+    moves whole groups; a dim delete drops its fact rows from J).
+
+    Storage note: the J store materializes the joined width (the
+    classic materialized-join trade — Flink's stream-stream join keeps
+    both sides' state too); it carries only the columns the query
+    needs (keys + measure/predicate inputs), not either table's full
+    width.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        fact: DataFrame,
+        fact_pk: list[str],
+        fact_fk: str,
+        dim: DataFrame,
+        dim_pk: str,
+        group_keys: list[str],
+        measures: list[Measure],
+        fact_cols: list[str],
+        dim_cols: list[str],
+        work_dir: str,
+        where: str | None = None,
+        num_buckets: int = 16,
+        shuffle_partitions: int | None = None,
+        target_filter: str | None = None,
+    ):
+        self.spark = spark
+        self.shuffle_partitions = shuffle_partitions
+        self.fact0, self.dim0 = fact, dim
+        self.fact_pk = list(fact_pk)
+        self.fact_fk, self.dim_pk = fact_fk, dim_pk
+        self.where = where
+        # J column provenance: PK + fk always ride on the fact side so
+        # changelog rows stay addressable; dim side never duplicates a
+        # fact-side name (the matcher rejects ambiguous references).
+        self._fact_side = list(dict.fromkeys([*fact_pk, fact_fk, *fact_cols]))
+        self._dim_side = [c for c in dim_cols if c not in self._fact_side]
+        self.fact_store = KeyedParquetStore(
+            spark, os.path.join(work_dir, "fact"), self.fact_pk, num_buckets
+        )
+        self.dim_store = KeyedParquetStore(
+            spark, os.path.join(work_dir, "dim"), [dim_pk], num_buckets
+        )
+        # Inner aggregate MV over the joined relation; its fact store IS
+        # the J store. Its bootstrap input is wired in bootstrap().
+        self._agg = IncrementalAggMV(
+            spark,
+            fact=None,
+            fact_pk=self.fact_pk,
+            group_key=list(group_keys),
+            measures=list(measures),
+            work_dir=os.path.join(work_dir, "agg"),
+            num_buckets=num_buckets,
+            shuffle_partitions=shuffle_partitions,
+            target_filter=target_filter,
+        )
+        self.target = self._agg.target
+
+    def _j_rows(self, fact_rows: DataFrame, dim_df: DataFrame) -> DataFrame:
+        """fact rows ⟕ dim on fk=pk, projected to bare J columns plus a
+        ``__matched`` flag. The dim side is pre-pruned to the fk values
+        present in ``fact_rows`` so the per-batch join never builds on
+        the full dimension."""
+        fk_vals = fact_rows.select(F.col(self.fact_fk).alias(self.dim_pk)).distinct()
+        dim_pruned = dim_df.join(fk_vals, [self.dim_pk], "left_semi")
+        f, d = fact_rows.alias("__f"), dim_pruned.alias("__d")
+        j = f.join(
+            d, F.col(f"__f.{self.fact_fk}") == F.col(f"__d.{self.dim_pk}"), "left"
+        )
+        cols = [F.col(f"__f.{c}").alias(c) for c in self._fact_side]
+        cols += [F.col(f"__d.{c}").alias(c) for c in self._dim_side]
+        cols.append(F.col(f"__d.{self.dim_pk}").isNotNull().alias("__matched"))
+        return j.select(*cols)
+
+    def _joined(self, fact_df: DataFrame, dim_df: DataFrame) -> DataFrame:
+        """The full (inner-join) J relation for bootstrap."""
+        out = self._j_rows(fact_df, dim_df).filter(F.col("__matched")).drop("__matched")
+        if self.where is not None:
+            out = out.filter(F.expr(self.where))
+        return out
+
+    @_maintenance
+    def bootstrap(self, batch_id=0) -> None:
+        self.fact_store.bootstrap(self.fact0, batch_id)
+        self.dim_store.bootstrap(self.dim0, batch_id)
+        self._agg.fact_df0 = self._joined(
+            self.fact_store.read(), self.dim_store.read()
+        )
+        self._agg.bootstrap(batch_id)
+
+    @_maintenance
+    def refresh(
+        self,
+        fact_changes: DataFrame | None,
+        dim_changes: DataFrame | None,
+        batch_id,
+    ) -> bool:
+        """One micro-batch on either or both sides → J-changelog →
+        inner aggregate refresh. Source merges commit first (idempotent
+        by batch_id); the J-changelog is derived from the post-batch
+        states, and old-row retraction happens inside the inner MV
+        against its own versioned J store — so a crash anywhere replays
+        to the same result."""
+        if batch_id in self.target.committed_batches():
+            return False
+        if fact_changes is None and dim_changes is None:
+            return False
+        if fact_changes is not None:
+            self.fact_store.merge(fact_changes, batch_id)
+        if dim_changes is not None:
+            self.dim_store.merge(dim_changes, batch_id)
+        dim_now = self.dim_store.read()
+
+        parts: list[DataFrame] = []
+        if fact_changes is not None:
+            final = last_change_per_key(fact_changes, self.fact_pk)
+            dels = final.filter(F.col(OP_COL) == OP_DELETE).select(
+                *[c for c in final.columns if c not in (OP_COL, SEQ_COL)]
+            )
+            ups = final.filter(F.col(OP_COL) != OP_DELETE).select(*dels.columns)
+            # Deleted fact rows leave J; upserts re-join against current
+            # dim — unmatched upserts also leave J (inner-join semantics).
+            parts.append(
+                self._j_rows(dels, dim_now)
+                .drop("__matched")
+                .withColumn(OP_COL, F.lit(OP_DELETE))
+            )
+            parts.append(
+                self._j_rows(ups, dim_now).withColumn(
+                    OP_COL,
+                    F.when(F.col("__matched"), F.lit(OP_UPDATE)).otherwise(
+                        F.lit(OP_DELETE)
+                    ),
+                ).drop("__matched")
+            )
+        if dim_changes is not None:
+            dirty_dk = last_change_per_key(dim_changes, [self.dim_pk]).select(
+                self.dim_pk
+            )
+            affected = self.fact_store.read().join(
+                dirty_dk.select(F.col(self.dim_pk).alias(self.fact_fk)),
+                [self.fact_fk],
+                "left_semi",
+            )
+            # Touched dim keys re-derive every J row they own: renamed
+            # dims rewrite their rows (+U), deleted dims drop them (-D).
+            parts.append(
+                self._j_rows(affected, dim_now).withColumn(
+                    OP_COL,
+                    F.when(F.col("__matched"), F.lit(OP_UPDATE)).otherwise(
+                        F.lit(OP_DELETE)
+                    ),
+                ).drop("__matched")
+            )
+
+        # Later parts supersede earlier ones per fact PK (the dim part
+        # carries the same post-batch values, but explicit sequencing
+        # keeps last_change_per_key deterministic).
+        j_changes = parts[0].withColumn(SEQ_COL, F.lit(0).cast("long"))
+        for i, p in enumerate(parts[1:], start=1):
+            j_changes = j_changes.unionByName(p.withColumn(SEQ_COL, F.lit(i).cast("long")))
+        if self.where is not None:
+            from tiflink_spark.changelog import apply_filter
+
+            j_changes = apply_filter(j_changes, self.where)
+        return self._agg.refresh(j_changes, batch_id)
+
+    def read(self, version: int | None = None) -> DataFrame:
+        return self._agg.read(version)
+
+
 class IncrementalAggMV:
     """Incremental MV for `dim ⟕ (SELECT k, aggs FROM fact GROUP BY k)`.
 

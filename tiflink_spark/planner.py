@@ -68,9 +68,59 @@ _NON_LOCAL_WHERE = re.compile(
 
 _AGG_RE = re.compile(
     rf"^(?P<kind>count|sum|avg|min|max)\s*\(\s*"
-    rf"(?P<arg>\*|(?:DISTINCT\s+)?{_IDENT})\s*\)\s+AS\s+(?P<alias>{_IDENT})$",
-    re.IGNORECASE,
+    rf"(?P<arg>.+?)\s*\)\s+AS\s+(?P<alias>{_IDENT})\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
+
+# Keywords permitted inside a row-local aggregate-argument expression
+# (CASE arithmetic etc.) on top of the generic SQL keyword set.
+_EXPR_KEYWORDS = _SQL_KEYWORDS | frozenset("case when then else end cast".split())
+
+
+def _parse_measures(
+    items: list[str], columns: set[str] | None
+) -> list[Measure] | None:
+    """Parse aggregate select items into Measures, or None on any miss.
+
+    ``columns`` is the set of row-local column names an expression
+    argument may reference (lower-cased). When None, only bare-identifier
+    arguments are accepted (callers without schema access).
+    """
+    measures = []
+    for item in items:
+        am = _AGG_RE.match(item)
+        if am is None:
+            return None
+        kind, arg = am.group("kind").lower(), am.group("arg").strip()
+        if arg == "*":
+            if kind != "count":
+                return None  # sum(*) etc. is not SQL
+            col = None
+        elif re.match(r"(?i)^DISTINCT\s", arg):
+            if kind != "count":
+                return None  # only COUNT(DISTINCT) is supported
+            col = arg.split()[-1]
+            if not re.fullmatch(_IDENT, col):
+                return None
+            if columns is not None and col.lower() not in columns:
+                return None
+            kind = "count_distinct"
+        elif re.fullmatch(_IDENT, arg):
+            if columns is not None and arg.lower() not in columns:
+                return None
+            col = arg
+        else:
+            # Row-local expression argument (e.g. SUM(a * (1 - b))):
+            # every identifier must be a known column, and nested
+            # aggregates / non-deterministic calls are rejected.
+            if columns is None or _NON_LOCAL_WHERE.search(arg):
+                return None
+            idents = set(re.findall(_IDENT, arg))
+            if any(i.lower() not in columns | _EXPR_KEYWORDS for i in idents):
+                return None
+            col = arg
+        measures.append(Measure(kind, col, am.group("alias")))
+    return measures
 
 
 @dataclass(frozen=True)
@@ -212,14 +262,21 @@ def match_correlated_count_shape(
     return CorrelatedCountShape(dim, pk[0], dim_cols, fact, fact_key, m.group("alias"))
 
 
-def match_agg_shape(query: str, source_names: set[str]) -> AggShape | None:
+def match_agg_shape(
+    query: str,
+    source_names: set[str],
+    source_columns: dict[str, list[str]] | None = None,
+) -> AggShape | None:
     """Return the matched aggregate shape, or None for the fallback.
 
     Conservative by construction: the FROM clause must be exactly one
-    registered source name directly followed by GROUP BY (so any WHERE,
-    JOIN, or derived table breaks the match), the leading select items
-    must be the bare group-key identifiers in order, and every remaining
-    item must be a single supported aggregate with an alias.
+    registered source name directly followed by GROUP BY (so any JOIN
+    or derived table breaks the match), the leading select items must
+    be the bare group-key identifiers in order, and every remaining
+    item must be a single supported aggregate with an alias. With
+    ``source_columns`` (name → column list), aggregate arguments may be
+    row-local expressions (e.g. ``SUM(a * (1 - b))``) — validated
+    against the fact's schema; without it only bare identifiers match.
     """
     m = _SHAPE_RE.match(query)
     if m is None or m.group("table") not in source_names:
@@ -233,23 +290,12 @@ def match_agg_shape(query: str, source_names: set[str]) -> AggShape | None:
         return None
     if [i.lower() for i in items[: len(keys)]] != [k.lower() for k in keys]:
         return None
-    measures = []
-    for item in items[len(keys) :]:
-        am = _AGG_RE.match(item)
-        if am is None:
-            return None
-        kind, arg = am.group("kind").lower(), am.group("arg")
-        if arg == "*":
-            if kind != "count":
-                return None  # sum(*) etc. is not SQL
-            col = None
-        elif re.match(r"(?i)^DISTINCT\s", arg):
-            if kind != "count":
-                return None  # only COUNT(DISTINCT) is supported
-            kind, col = "count_distinct", arg.split()[-1]
-        else:
-            col = arg
-        measures.append(Measure(kind, col, am.group("alias")))
+    cols = None
+    if source_columns is not None and m.group("table") in source_columns:
+        cols = {c.lower() for c in source_columns[m.group("table")]}
+    measures = _parse_measures(items[len(keys) :], cols)
+    if measures is None:
+        return None
     # A measure alias shadowing a group key would make the output
     # column set ambiguous (and any HAVING over it unresolvable as a
     # target-side filter) — not this shape.
@@ -276,4 +322,200 @@ def match_agg_shape(query: str, source_names: set[str]) -> AggShape | None:
         tuple(measures),
         where.strip() if where is not None else None,
         having,
+    )
+
+
+@dataclass(frozen=True)
+class JoinAggShape:
+    """The canonical star-join aggregate (every TPC-H-like MV):
+
+        SELECT k1[, k2 ...], agg(expr) AS a[, ...]
+        FROM fact [AS f] JOIN dim [AS d] ON f.fk = d.pk
+        [WHERE row-local-pred]
+        GROUP BY k1[, k2 ...]
+
+    The reference gets this incrementally for free from Flink's
+    update-mode planner (TiFlinkApp.java:270); here it routes to
+    :class:`tiflink_spark.mv.IncrementalJoinAggMV` — dirty-join-key
+    recompute of the joined relation feeding the aggregate state merge.
+    All column references are stored DEqualified (bare names); group
+    keys / measures / where reference only unambiguous columns.
+    ``fact_cols`` / ``dim_cols`` are the columns the joined relation
+    must carry (group keys, measure and predicate inputs) per side.
+    """
+
+    fact: str
+    fact_fk: str
+    dim: str
+    dim_pk: str
+    group_keys: tuple[str, ...]
+    measures: tuple[Measure, ...]
+    fact_cols: tuple[str, ...]
+    dim_cols: tuple[str, ...]
+    where: str | None = None
+
+
+_REF = rf"(?:{_IDENT}\s*\.\s*)?{_IDENT}"
+
+_JOIN_AGG_RE = re.compile(
+    rf"^\s*SELECT\s+(?P<select>.+?)\s+"
+    rf"FROM\s+(?P<t1>{_IDENT})(?:\s+(?:AS\s+)?(?P<a1>{_IDENT}))?\s+"
+    rf"(?:INNER\s+)?JOIN\s+(?P<t2>{_IDENT})(?:\s+(?:AS\s+)?(?P<a2>{_IDENT}))?\s+"
+    rf"ON\s+(?P<lref>{_REF})\s*=\s*(?P<rref>{_REF})"
+    rf"(?:\s+WHERE\s+(?P<where>.+?))?"
+    rf"\s+GROUP\s+BY\s+(?P<keys>{_REF}(?:\s*,\s*{_REF})*)"
+    rf"\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_QUAL_RE = re.compile(rf"\b({_IDENT})\s*\.\s*({_IDENT})")
+
+
+def match_join_agg_shape(
+    query: str,
+    source_names: set[str],
+    source_columns: dict[str, list[str]],
+    source_pks: dict[str, list[str]],
+) -> JoinAggShape | None:
+    """Match the fact-⋈-dim GROUP BY aggregate, or None for the fallback.
+
+    Sides are classified by the ON clause: the side whose join column is
+    its table's declared single-column PK is the dimension (each fact
+    row joins to ≤1 dim row, so the joined relation stays keyed by the
+    fact PK — the invariant IncrementalJoinAggMV maintains). Qualified
+    (``a.b``) and bare column references both match; bare names present
+    in both tables are rejected as ambiguous, mirroring SQL resolution.
+    """
+    m = _JOIN_AGG_RE.match(query)
+    if m is None:
+        return None
+    t1, t2 = m.group("t1"), m.group("t2")
+    if t1 not in source_names or t2 not in source_names or t1 == t2:
+        return None
+    # alias (or table name) → table; lower-cased lookup.
+    quals = {(m.group("a1") or t1).lower(): t1, (m.group("a2") or t2).lower(): t2}
+    if (m.group("a1") or t1).lower() in ("join", "on"):
+        return None
+    if len(quals) != 2:
+        return None
+    cols = {t: {c.lower(): c for c in source_columns.get(t, [])} for t in (t1, t2)}
+    ambiguous = set(cols[t1]) & set(cols[t2])
+
+    def resolve(ref: str) -> tuple[str, str] | None:
+        """'a.b' or bare 'b' → (table, column) or None."""
+        qm = _QUAL_RE.fullmatch(ref.strip())
+        if qm is not None:
+            qual, col = qm.group(1).lower(), qm.group(2)
+            table = quals.get(qual)
+            if table is None or col.lower() not in cols[table]:
+                return None
+            return table, cols[table][col.lower()]
+        name = ref.strip().lower()
+        if name in ambiguous:
+            return None
+        for t in (t1, t2):
+            if name in cols[t]:
+                return t, cols[t][name]
+        return None
+
+    on_l, on_r = resolve(m.group("lref")), resolve(m.group("rref"))
+    if on_l is None or on_r is None or on_l[0] == on_r[0]:
+        return None
+    # Classify sides: dim's join column is its single-column PK.
+    by_table = {on_l[0]: on_l[1], on_r[0]: on_r[1]}
+
+    def is_pk(table: str) -> bool:
+        pk = source_pks.get(table) or []
+        return len(pk) == 1 and pk[0].lower() == by_table[table].lower()
+
+    if is_pk(t2) and not is_pk(t1):
+        fact, dim = t1, t2
+    elif is_pk(t1) and not is_pk(t2):
+        fact, dim = t2, t1
+    elif is_pk(t1) and is_pk(t2):
+        fact, dim = t1, t2  # PK-PK join: either side works; keep order
+    else:
+        return None  # M:N join — joined relation has no single-side key
+    fact_fk, dim_pk = by_table[fact], by_table[dim]
+
+    def dequalify(s: str) -> str | None:
+        """Strip validated 'alias.col' qualifiers down to bare names."""
+        bad = False
+
+        def sub(qm: re.Match) -> str:
+            nonlocal bad
+            table = quals.get(qm.group(1).lower())
+            if table is None or qm.group(2).lower() not in cols[table]:
+                bad = True
+                return qm.group(0)
+            return cols[table][qm.group(2).lower()]
+
+        out = _QUAL_RE.sub(sub, s)
+        return None if bad else out
+
+    # Group keys: resolved per side, bare, in order.
+    key_refs = [k.strip() for k in m.group("keys").split(",")]
+    keys: list[tuple[str, str]] = []
+    for ref in key_refs:
+        r = resolve(ref)
+        # Ambiguous key names (present in both tables) are rejected even
+        # when qualified: the joined relation stores bare names, so
+        # provenance would be lost.
+        if r is None or r[1].lower() in ambiguous:
+            return None
+        keys.append(r)
+    items = _split_select_list(m.group("select"))
+    if len(items) <= len(keys):
+        return None
+    lead = [resolve(i) for i in items[: len(keys)]]
+    if lead != keys:
+        return None
+
+    # Measures: dequalify, then validate identifiers against the union
+    # of unambiguous columns (+ the join pair, resolvable on either side).
+    allowed = (set(cols[fact]) | set(cols[dim])) - ambiguous
+    meas_items = []
+    for item in items[len(keys) :]:
+        dq = dequalify(item)
+        if dq is None:
+            return None
+        meas_items.append(dq)
+    measures = _parse_measures(meas_items, allowed)
+    if measures is None:
+        return None
+    out_names = [c for _, c in keys] + [mm.alias for mm in measures]
+    if len({n.lower() for n in out_names}) != len(out_names):
+        return None  # alias collisions make the output ambiguous
+
+    where = m.group("where")
+    if where is not None:
+        if _NON_LOCAL_WHERE.search(where):
+            return None
+        where = dequalify(where)
+        if where is None:
+            return None
+        idents = set(re.findall(_IDENT, where))
+        if any(i.lower() not in allowed | _EXPR_KEYWORDS for i in idents):
+            return None
+        where = where.strip()
+
+    # Columns the joined relation must carry, per side.
+    need = {t1: set(), t2: set()}
+    for t, c in keys:
+        need[t].add(c)
+    for blob in [mm.col for mm in measures if mm.col] + ([where] if where else []):
+        for ident in set(re.findall(_IDENT, blob)):
+            for t in (fact, dim):
+                if ident.lower() in cols[t] and ident.lower() not in ambiguous:
+                    need[t].add(cols[t][ident.lower()])
+    return JoinAggShape(
+        fact=fact,
+        fact_fk=fact_fk,
+        dim=dim,
+        dim_pk=dim_pk,
+        group_keys=tuple(c for _, c in keys),
+        measures=tuple(measures),
+        fact_cols=tuple(sorted(need[fact])),
+        dim_cols=tuple(sorted(need[dim])),
+        where=where,
     )

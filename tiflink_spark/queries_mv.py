@@ -1074,3 +1074,95 @@ def mvapp_auto_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_join_agg",
+    f"""
+    WITH {_FINAL_ORDERS_SQL},
+    final_customer AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 3 THEN (c_nationkey + 7) % 25
+                    ELSE c_nationkey END AS c_nationkey
+        FROM customer WHERE c_custkey % 10 <> 4
+    )
+    SELECT c_nationkey,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           min(o_totalprice) AS min_price
+    FROM final_orders o JOIN final_customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_nationkey
+    """,
+    doc=(
+        "The canonical star-join aggregate (fact JOIN dim ON fk = pk "
+        "GROUP BY dim attr) auto-routed by the planner to "
+        "IncrementalJoinAggMV — dirty-join-key re-derivation of the "
+        "joined relation feeding the aggregate state merge, the shape "
+        "the reference gets from Flink's update-mode planner "
+        "(TiFlinkApp.java:270). Maintained through two-sided churn: the "
+        "scripted orders +I/-D/+U script PLUS dim churn that moves "
+        "customers across nations (whole groups shift) and deletes "
+        "customers (their orders leave the inner join). The fn raises "
+        "unless the planner routed to IncrementalJoinAggMV, so a green "
+        "row proves routing, qualified-column matching, and convergence."
+    ),
+    tags=("mv", "incremental", "planner", "join"),
+)
+def mvapp_auto_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_ja_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("orders_ja", t["orders"], pk=["o_orderkey"])
+            .source("customer_ja", t["customer"], pk=["c_custkey"])
+            .query(
+                """SELECT c.c_nationkey, count(*) AS n_orders,
+                          sum(o.o_totalprice) AS total_price_raw,
+                          min(o.o_totalprice) AS min_price
+                   FROM orders_ja o JOIN customer_ja c
+                     ON o.o_custkey = c.c_custkey
+                   GROUP BY c.c_nationkey"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalJoinAggMV":
+            raise AssertionError(
+                f"planner routed join+agg to {app.maintenance_strategy}, "
+                "not IncrementalJoinAggMV"
+            )
+        app.bootstrap()
+        cust = t["customer"]
+        dim_batch = (
+            cust.filter(F.col("c_custkey") % 10 == 3)
+            .withColumn("c_nationkey", (F.col("c_nationkey") + 7) % 25)
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .unionByName(
+                cust.filter(F.col("c_custkey") % 10 == 4).withColumn(
+                    OP_COL, F.lit(OP_DELETE)
+                )
+            )
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        batches = scripted_batches(t["orders"])
+        app.refresh({"orders_ja": batches[0]}, batch_id=1)
+        app.refresh({"customer_ja": dim_batch}, batch_id=2)
+        app.refresh({"orders_ja": batches[1]}, batch_id=3)
+        app.refresh({"orders_ja": batches[2]}, batch_id=4)
+        return (
+            app.read()
+            .select(
+                "c_nationkey",
+                "n_orders",
+                F.round("total_price_raw", 2).alias("total_price"),
+                "min_price",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
