@@ -58,6 +58,7 @@ class MVAppBuilder:
         self._pk: list[str] | None = None
         self._num_buckets = 16
         self._shuffle_partitions: int | None = None
+        self._ddl_hook = None
 
     def source(self, name: str, path_or_df, pk: list[str] | None = None) -> "MVAppBuilder":
         self._sources[name] = (path_or_df, pk)
@@ -82,6 +83,18 @@ class MVAppBuilder:
         self._shuffle_partitions = n
         return self
 
+    def ddl_hook(self, fn) -> "MVAppBuilder":
+        """Optional callable receiving the generated target DDL at
+        bootstrap — the reference executes its generated CREATE TABLE
+        against the target database the same way
+        (TiJDBCHelper.java:111-140). Pair with
+        ``connectors.jdbc_execute`` to run it over JDBC:
+
+            .ddl_hook(lambda ddl: jdbc_execute(spark, url, ddl))
+        """
+        self._ddl_hook = fn
+        return self
+
     def build(self) -> "MVApp":
         if not self._sources or self._query is None or self._target is None:
             raise ValueError("MVApp needs at least one source, a query, and a target")
@@ -93,6 +106,7 @@ class MVAppBuilder:
             self._pk,
             self._num_buckets,
             self._shuffle_partitions,
+            ddl_hook=getattr(self, "_ddl_hook", None),
         )
 
 
@@ -101,10 +115,14 @@ class MVApp:
     def builder(spark: SparkSession) -> MVAppBuilder:
         return MVAppBuilder(spark)
 
-    def __init__(self, spark, sources, query, target, pk, num_buckets, shuffle_partitions=None):
+    def __init__(
+        self, spark, sources, query, target, pk, num_buckets,
+        shuffle_partitions=None, ddl_hook=None,
+    ):
         self.spark = spark
         self.catalog = Catalog(spark)
         self.query = query
+        self._ddl_hook = ddl_hook
         self.target_path = target
         self._stores: dict[str, KeyedParquetStore] = {}
         self._join_agg = False
@@ -319,6 +337,10 @@ class MVApp:
         return type(self._mv).__name__
 
     def bootstrap(self, batch_id=0) -> "MVApp":
+        # Target DDL executes before the first publish — the reference's
+        # lifecycle step 3 (TiJDBCHelper.java:111-140).
+        if self._ddl_hook is not None:
+            self._ddl_hook(self.ddl)
         self._mv.bootstrap(batch_id)
         return self
 
