@@ -237,3 +237,32 @@ def test_mvapp_ddl_hook_executes_generated_ddl(spark, tmp_path):
         .count()
     )
     assert cnt == 0
+
+
+def test_rate_changelog_batch_dual_final_state(spark, tmp_path):
+    """The connector's batch dual applied through the keyed store must
+    land on the script's closed-form final state — the same state the
+    streamed run converges to (streaming_rate_changelog gate)."""
+    from tiflink_spark.connectors import ConnectorOptions, get_connector
+    from tiflink_spark.store import KeyedParquetStore
+
+    total, keys = 300, 50
+    changes = get_connector("rate-changelog").read(
+        spark, ConnectorOptions(path="", extra={"total": total, "num_keys": keys})
+    )
+    store = KeyedParquetStore(spark, str(tmp_path / "s"), ["key"], 2)
+    store.bootstrap(spark.createDataFrame([], "key long, amount double"), batch_id=0)
+    store.merge(changes, batch_id=1)
+    got = {r["key"]: r["amount"] for r in store.read().collect()}
+    want = {k: float(k + 250) for k in range(keys) if k % 3 != 0}
+    assert got == want
+
+
+def test_rate_changelog_stream_is_streaming(spark):
+    from tiflink_spark.connectors import ConnectorOptions, get_connector
+
+    df = get_connector("rate-changelog").read_stream(
+        spark, ConnectorOptions(path="", extra={"total": 300, "num_keys": 50})
+    )
+    assert df.isStreaming
+    assert set(df.columns) == {"key", "amount", "__op", "__seq"}

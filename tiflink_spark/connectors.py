@@ -22,8 +22,15 @@ import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from tiflink_spark.changelog import OP_COL, SEQ_COL
+from tiflink_spark.changelog import (
+    OP_COL,
+    OP_DELETE,
+    OP_INSERT,
+    OP_UPDATE,
+    SEQ_COL,
+)
 from tiflink_spark.store import KeyedParquetStore
 
 
@@ -177,6 +184,78 @@ class JsonConnector(Connector):
         df.write.mode("overwrite").json(opts.path)
 
 
+class RateChangelogConnector(Connector):
+    """Scripted CDC generator over Spark's ``rate-micro-batch`` source —
+    proof that the engine's ``read_stream`` contract is source-agnostic,
+    not a parquet-directory artifact (the reference consumes live TiKV
+    CDC the same way, FlinkTikvConsumer.java:92-131; swap this for a
+    Kafka reader by changing only the ``readStream.format`` line).
+
+    Emits the standard ``__op``/``__seq`` upsert-changelog contract
+    (+I/+U/-D, no UPDATE_BEFORE — TikvDynamicSource.java:47-53) with a
+    deterministic three-phase script over ``extra['total']`` sequence
+    numbers and ``extra['num_keys']`` keys:
+
+      phase 0  (+I)  every key inserted
+      phase 1  (+U)  every key's amount updated
+      phase 2  (-D)  keys ≡ 0 (mod 3) deleted; the rest updated again
+
+    The final state is a pure function of (total, num_keys) no matter
+    how the micro-batches split, because ``__seq`` is the global
+    sequence number — that determinism is what makes a live-source
+    stream oracle-checkable. ``read()`` is the batch dual (same rows
+    from ``spark.range``), so stream-vs-batch parity is testable.
+    """
+
+    name = "rate-changelog"
+
+    @staticmethod
+    def _script(df: DataFrame, total: int, num_keys: int) -> DataFrame:
+        third = total // 3
+        value = F.col("value")
+        key = (value % num_keys).alias("key")
+        phase = F.floor(value / F.lit(third))
+        op = (
+            F.when(phase == 0, F.lit(OP_INSERT))
+            .when(phase == 1, F.lit(OP_UPDATE))
+            .otherwise(
+                F.when((value % num_keys) % 3 == 0, F.lit(OP_DELETE)).otherwise(
+                    F.lit(OP_UPDATE)
+                )
+            )
+        )
+        return df.filter(value < total).select(
+            key,
+            value.cast("double").alias("amount"),
+            op.alias(OP_COL),
+            value.cast("long").alias(SEQ_COL),
+        )
+
+    def _params(self, opts: ConnectorOptions) -> tuple[int, int, int]:
+        return (
+            int(opts.extra.get("total", 3000)),
+            int(opts.extra.get("num_keys", 500)),
+            int(opts.extra.get("rows_per_batch", 600)),
+        )
+
+    def read(self, spark: SparkSession, opts: ConnectorOptions) -> DataFrame:
+        total, num_keys, _ = self._params(opts)
+        return self._script(
+            spark.range(total).select(F.col("id").alias("value")), total, num_keys
+        )
+
+    def read_stream(self, spark: SparkSession, opts: ConnectorOptions) -> DataFrame:
+        total, num_keys, rows_per_batch = self._params(opts)
+        src = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", rows_per_batch)
+            .option("startTimestamp", 0)
+            .option("numPartitions", int(opts.extra.get("num_partitions", 4)))
+            .load()
+        )
+        return self._script(src, total, num_keys)
+
+
 def jdbc_execute(spark: SparkSession, url: str, *statements: str) -> None:
     """Execute DDL/DML statements over JDBC through the driver JVM.
 
@@ -292,5 +371,6 @@ for _c in (
     CsvConnector(),
     JsonConnector(),
     JdbcConnector(),
+    RateChangelogConnector(),
 ):
     register_connector(_c)

@@ -574,3 +574,70 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _run_stream_to_df(spark, agg, "streaming_static_join_sink")
     finally:
         shutil.rmtree(stream_dir, ignore_errors=True)
+
+
+@register(
+    "streaming_rate_changelog",
+    """
+    SELECT r.range AS key, CAST(r.range + 2500 AS DOUBLE) AS amount
+    FROM range(500) r WHERE r.range % 3 <> 0
+    """,
+    doc=(
+        "REAL Structured-Streaming run over a NON-FILE source: the "
+        "rate-changelog connector synthesizes the +I/+U/-D contract from "
+        "Spark's rate-micro-batch source (live-CDC analog, "
+        "FlinkTikvConsumer.java:92-131) and foreachBatch MERGEs each "
+        "micro-batch into the exactly-once keyed store. The three-phase "
+        "script (insert all 500 keys, update all, then delete keys "
+        "divisible by 3 / update the rest) makes the final store state a "
+        "pure function of the script regardless of micro-batch "
+        "boundaries — which is what lets a DuckDB oracle check a live "
+        "stream."
+    ),
+    tags=("streaming", "connector", "real-stream"),
+)
+def streaming_rate_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time as _time
+
+    from tiflink_spark.connectors import ConnectorOptions, get_connector
+    from tiflink_spark.store import KeyedParquetStore
+
+    TOTAL, KEYS = 3000, 500
+    work = tempfile.mkdtemp(prefix="rate_cl_")
+    try:
+        stream = get_connector("rate-changelog").read_stream(
+            spark,
+            ConnectorOptions(
+                path="", extra={"total": TOTAL, "num_keys": KEYS, "rows_per_batch": 600}
+            ),
+        )
+        store = KeyedParquetStore(spark, os.path.join(work, "store"), ["key"], 4)
+        store.bootstrap(
+            spark.createDataFrame([], "key long, amount double"), batch_id="b0"
+        )
+        seen = {"n": 0}
+
+        def fb(df, epoch_id):
+            n = df.count()
+            if n:
+                store.merge(df, batch_id=f"rate-{epoch_id}")
+            seen["n"] += n
+
+        q = (
+            stream.writeStream.foreachBatch(fb)
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = _time.time() + 180
+        while seen["n"] < TOTAL and q.isActive and _time.time() < deadline:
+            _time.sleep(0.2)
+        q.stop()
+        q.awaitTermination()
+        if seen["n"] < TOTAL:
+            raise AssertionError(
+                f"rate stream delivered {seen['n']}/{TOTAL} scripted rows"
+            )
+        return store.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
