@@ -92,3 +92,46 @@ def test_changes_between_versions_roundtrip(spark, tmp_path):
     # bootstrap-diff form: from_version=None yields an all-insert changelog
     full = changes_between(st, None, v2)
     assert {r[0] for r in full.select(OP_COL).distinct().collect()} == {"+I"}
+
+
+def test_auto_num_buckets_scales_with_table_size():
+    from tiflink_spark.store import MAX_BUCKETS, MIN_BUCKETS, auto_num_buckets
+
+    assert auto_num_buckets(0) == MIN_BUCKETS
+    assert auto_num_buckets(1_000) == MIN_BUCKETS
+    assert auto_num_buckets(10_000_000) == 16
+    assert auto_num_buckets(1_000_000_000) == 1024
+    assert auto_num_buckets(10**14) == MAX_BUCKETS  # 100 TB-ish row counts clamp
+    # monotone non-decreasing
+    prev = 0
+    for n in (10**3, 10**6, 10**7, 10**9, 10**12):
+        cur = auto_num_buckets(n)
+        assert cur >= prev
+        prev = cur
+
+
+def test_store_auto_buckets_resolved_at_bootstrap_and_persisted(spark, tmp_path):
+    from tiflink_spark.store import KeyedParquetStore
+
+    st = KeyedParquetStore(spark, str(tmp_path / "auto"), ["k"])  # no count given
+    assert st.num_buckets is None
+    df = spark.createDataFrame([(i, i * 1.0) for i in range(100)], "k int, v double")
+    st.bootstrap(df, batch_id=0)
+    assert st.num_buckets == 4  # small table -> MIN_BUCKETS
+
+    # A later open (even with a DIFFERENT explicit argument) adopts the
+    # committed layout — changing bucket count mid-life would break
+    # bucket pruning.
+    st2 = KeyedParquetStore(spark, str(tmp_path / "auto"), ["k"], num_buckets=64)
+    assert st2.num_buckets == 4
+    assert st2.read().count() == 100
+
+
+def test_cosine_topk_nparts_derivation():
+    from tiflink_spark.queries_llm import cosine_topk_nparts
+
+    assert cosine_topk_nparts(0) == 1
+    assert cosine_topk_nparts(6_000) == 1
+    assert cosine_topk_nparts(60_000) == 8
+    assert cosine_topk_nparts(6_000_000) == 733
+    assert cosine_topk_nparts(10**9) == 1024  # capped: ANN is the crossover

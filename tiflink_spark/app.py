@@ -56,7 +56,7 @@ class MVAppBuilder:
         self._query: str | None = None
         self._target: str | None = None
         self._pk: list[str] | None = None
-        self._num_buckets = 16
+        self._num_buckets: int | None = None
         self._shuffle_partitions: int | None = None
         self._ddl_hook = None
 

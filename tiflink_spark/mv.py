@@ -102,7 +102,7 @@ class RecomputeMV:
         query: str,
         target_path: str,
         pk: list[str] | None = None,
-        num_buckets: int = 16,
+        num_buckets: int | None = None,
         shuffle_partitions: int | None = None,
     ):
         self.spark = spark
@@ -174,7 +174,7 @@ class IncrementalJoinMV:
         join_key: str,
         out_cols: list[str],
         work_dir: str,
-        num_buckets: int = 16,
+        num_buckets: int | None = None,
         shuffle_partitions: int | None = None,
     ):
         self.spark = spark
@@ -297,7 +297,7 @@ class IncrementalTopKMV:
         k: int,
         work_dir: str,
         descending: bool = True,
-        num_buckets: int = 16,
+        num_buckets: int | None = None,
         shuffle_partitions: int | None = None,
     ):
         self.spark = spark
@@ -407,7 +407,7 @@ class IncrementalJoinAggMV:
         dim_cols: list[str],
         work_dir: str,
         where: str | None = None,
-        num_buckets: int = 16,
+        num_buckets: int | None = None,
         shuffle_partitions: int | None = None,
         target_filter: str | None = None,
     ):
@@ -584,7 +584,7 @@ class IncrementalAggMV:
         dim: DataFrame | None = None,
         dim_key: str | None = None,
         dim_cols: list[str] | None = None,
-        num_buckets: int = 16,
+        num_buckets: int | None = None,
         shuffle_partitions: int | None = None,
         target_filter: str | None = None,
     ):

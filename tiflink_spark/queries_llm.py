@@ -450,6 +450,19 @@ _QUERY_STRIDE = 50
 _TOPK = 10
 
 
+def cosine_topk_nparts(n_rows: int, rows_per_part: int = 8192) -> int:
+    """Data-partition count for brute-force cosine top-k, derived from
+    input size instead of a fixed constant: ~rows_per_part vectors per
+    partition keeps each numpy matmul block cache-friendly (8192 x 64
+    doubles ≈ 4 MB) while bounding the query-replication factor (every
+    query row is shuffled to all P partitions, so P must grow with the
+    DATA, not the cluster). Capped at 1024: past that, brute force is
+    the wrong operator — the crossover is the LSH/IVF ANN gates
+    (embedding_ann_lsh / embedding_ann_ivf), whose candidate sets stay
+    bounded at any N."""
+    return max(1, min(1024, -(-n_rows // rows_per_part)))
+
+
 @register(
     "embedding_cosine_topk",
     f"""
@@ -479,7 +492,8 @@ _TOPK = 10
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     emb = t["embeddings"]
-    nparts = 16
+    # count() on a parquet scan is metadata-only — no full read.
+    nparts = cosine_topk_nparts(emb.count())
     data = emb.select("vec_id", "embedding").withColumn(
         "pid", F.pmod(F.xxhash64("vec_id"), F.lit(nparts)).cast("int")
     )

@@ -38,20 +38,51 @@ from tiflink_spark.changelog import OP_COL, SEQ_COL, last_change_per_key, merge_
 COMMITS_FILE = "_mv_commits"
 BUCKET_COL = "__bucket"
 
+# Auto-sizing target: one bucket holds ~this many rows, so a touched-
+# bucket rewrite stays a bounded quantum of work as the table grows
+# (16 fixed buckets would make every MERGE rewrite 1/16 of a 100 TB
+# table; ~1M-row buckets keep the rewrite ∝ churn instead).
+ROWS_PER_BUCKET = 1_000_000
+MIN_BUCKETS, MAX_BUCKETS = 4, 4096
+
+
+def auto_num_buckets(n_rows: int) -> int:
+    """Bucket count ∝ table size: next power of two of
+    rows/ROWS_PER_BUCKET, clamped to [MIN_BUCKETS, MAX_BUCKETS]."""
+    need = max(1, -(-n_rows // ROWS_PER_BUCKET))
+    p = 1
+    while p < need:
+        p *= 2
+    return max(MIN_BUCKETS, min(MAX_BUCKETS, p))
+
 
 def _bucket_expr(pk: list[str], num_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in pk]), F.lit(num_buckets))
 
 
 class KeyedParquetStore:
-    """A PK-keyed table with MERGE semantics and versioned commits."""
+    """A PK-keyed table with MERGE semantics and versioned commits.
 
-    def __init__(self, spark: SparkSession, path: str, pk: list[str], num_buckets: int = 16):
+    ``num_buckets=None`` (the default) auto-sizes from the bootstrap
+    row count via :func:`auto_num_buckets`; the resolved count persists
+    in the commit manifest, so every later open of the same store —
+    whatever the constructor argument — reuses the committed layout
+    (changing the bucket count mid-life would silently break pruning).
+    """
+
+    def __init__(
+        self, spark: SparkSession, path: str, pk: list[str], num_buckets: int | None = None
+    ):
         self.spark = spark
         self.path = path
         self.pk = list(pk)
-        self.num_buckets = num_buckets
         os.makedirs(path, exist_ok=True)
+        committed = self._commits()
+        if committed:
+            # manifests predating auto-sizing carry no count: legacy 16
+            self.num_buckets = committed[-1].get("num_buckets", 16)
+        else:
+            self.num_buckets = num_buckets  # None -> resolved at bootstrap
 
     # -- manifest -----------------------------------------------------------
 
@@ -79,6 +110,7 @@ class KeyedParquetStore:
                 "version": version,
                 "buckets": {str(k): v for k, v in buckets.items()},
                 "schema": schema_json,
+                "num_buckets": self.num_buckets,
                 "ts": time.time(),
             }
         )
@@ -178,6 +210,8 @@ class KeyedParquetStore:
         """Publish the initial full state (MV bootstrap, TiFlinkApp.java:105-116)."""
         if batch_id in self.committed_batches():
             return False
+        if self.num_buckets is None:
+            self.num_buckets = auto_num_buckets(df.count())
         version = (self.current_version() or 0) + 1 if self._commits() else 0
         bucketed = df.withColumn(BUCKET_COL, _bucket_expr(self.pk, self.num_buckets))
         rel = self._write_buckets(bucketed, version)
