@@ -37,8 +37,9 @@ class TestJoinAggMatcher:
             PKS,
         )
         assert s is not None
-        assert (s.fact, s.dim) == ("orders", "customer")
-        assert (s.fact_fk, s.dim_pk) == ("o_custkey", "c_custkey")
+        assert s.fact == "orders" and len(s.dims) == 1
+        assert s.dims[0].dim == "customer"
+        assert (s.dims[0].parent_col, s.dims[0].dim_pk) == ("o_custkey", "c_custkey")
         assert s.group_keys == ("c_nationkey",)
 
     def test_bare_names_and_reversed_tables(self):
@@ -51,7 +52,7 @@ class TestJoinAggMatcher:
             COLS,
             PKS,
         )
-        assert s is not None and s.fact == "orders" and s.dim == "customer"
+        assert s is not None and s.fact == "orders" and s.dims[0].dim == "customer"
 
     def test_expression_aggregate_and_where(self):
         s = match_join_agg_shape(
@@ -98,6 +99,102 @@ class TestJoinAggMatcher:
     )
     def test_rejects(self, query):
         assert match_join_agg_shape(query, set(COLS), COLS, PKS) is None
+
+    def test_snowflake_chain(self):
+        cols = {
+            "lineitem": ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
+            "orders": ["o_orderkey", "o_custkey", "o_totalprice"],
+            "customer": ["c_custkey", "c_name", "c_nationkey"],
+        }
+        pks = {
+            "lineitem": ["l_orderkey", "l_linenumber"],
+            "orders": ["o_orderkey"],
+            "customer": ["c_custkey"],
+        }
+        s = match_join_agg_shape(
+            """SELECT c.c_nationkey, sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+               FROM lineitem l
+                 JOIN orders o ON l.l_orderkey = o.o_orderkey
+                 JOIN customer c ON o.o_custkey = c.c_custkey
+               GROUP BY c.c_nationkey""",
+            set(cols),
+            cols,
+            pks,
+        )
+        assert s is not None and s.fact == "lineitem"
+        assert [(d.dim, d.parent, d.parent_col, d.dim_pk) for d in s.dims] == [
+            ("orders", "lineitem", "l_orderkey", "o_orderkey"),
+            ("customer", "orders", "o_custkey", "c_custkey"),
+        ]
+        # the snowflake parent carries its child-referencing column in J
+        assert "o_custkey" in s.dims[0].dim_cols
+
+    def test_star_two_dims(self):
+        cols = {
+            "lineitem": ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"],
+            "part": ["p_partkey", "p_brand"],
+            "supplier": ["s_suppkey", "s_name"],
+        }
+        pks = {
+            "lineitem": ["l_orderkey", "l_linenumber"],
+            "part": ["p_partkey"],
+            "supplier": ["s_suppkey"],
+        }
+        s = match_join_agg_shape(
+            """SELECT p_brand, s_name, sum(l_quantity) AS qty
+               FROM lineitem
+                 JOIN part ON l_partkey = p_partkey
+                 JOIN supplier ON l_suppkey = s_suppkey
+               GROUP BY p_brand, s_name""",
+            set(cols),
+            cols,
+            pks,
+        )
+        assert s is not None and s.fact == "lineitem"
+        assert {d.dim for d in s.dims} == {"part", "supplier"}
+        assert all(d.parent == "lineitem" for d in s.dims)
+
+    def test_having_alias_form(self):
+        s = match_join_agg_shape(
+            """SELECT c_nationkey, count(*) AS n
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               GROUP BY c_nationkey HAVING n > 5""",
+            set(COLS),
+            COLS,
+            PKS,
+        )
+        assert s is not None and s.having == "n > 5"
+        # aggregate-call HAVING is not a target-side row filter
+        assert (
+            match_join_agg_shape(
+                """SELECT c_nationkey, count(*) AS n
+                   FROM orders JOIN customer ON o_custkey = c_custkey
+                   GROUP BY c_nationkey HAVING count(*) > 5""",
+                set(COLS),
+                COLS,
+                PKS,
+            )
+            is None
+        )
+
+    def test_mn_edge_in_chain_rejected(self):
+        cols = {
+            "lineitem": ["l_orderkey", "l_linenumber", "l_quantity"],
+            "orders": ["o_orderkey", "o_custkey"],
+            "customer": ["c_custkey", "c_nationkey"],
+        }
+        pks = {
+            "lineitem": ["l_orderkey", "l_linenumber"],
+            "orders": ["o_orderkey"],
+            "customer": ["c_custkey"],
+        }
+        # customer joined on a NON-PK column → M:N edge → no orientation
+        q = """SELECT c_nationkey, sum(l_quantity) AS qty
+               FROM lineitem
+                 JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_nationkey
+               GROUP BY c_nationkey"""
+        assert match_join_agg_shape(q, set(cols), cols, pks) is None
 
     def test_ambiguous_bare_column_rejected(self):
         cols = {
@@ -226,3 +323,127 @@ class TestJoinAggConvergence:
             "total_raw",
             "min_price",
         ]
+
+
+class TestSnowflakeConvergence:
+    def test_three_table_chain_converges(self, spark, tables):
+        """orders → customer → nation: a true snowflake chain (the leaf
+        dim is two hops from the fact), churned on ALL THREE tables.
+        Leaf-dim dirt must propagate through the middle dim to reach
+        the fact rows it moves."""
+        from tiflink_spark.app import MVApp
+
+        t = tables
+        ords = t["orders"]
+        work = tempfile.mkdtemp(prefix="ja_snow_")
+        try:
+            app = (
+                MVApp.builder(spark)
+                .source("ord_sn", ords, pk=["o_orderkey"])
+                .source("cust_sn", t["customer"], pk=["c_custkey"])
+                .source("nat_sn", t["nation"], pk=["n_nationkey"])
+                .query(
+                    """SELECT n.n_name,
+                              count(*) AS n_orders,
+                              sum(o.o_totalprice) AS total
+                       FROM ord_sn o
+                         JOIN cust_sn c ON o.o_custkey = c.c_custkey
+                         JOIN nat_sn n ON c.c_nationkey = n.n_nationkey
+                       GROUP BY n.n_name"""
+                )
+                .target(work)
+                .num_buckets(4)
+                .shuffle_partitions(8)
+                .build()
+            )
+            assert app.maintenance_strategy == "IncrementalJoinAggMV"
+            app.bootstrap()
+
+            # b1: fact churn (deletes + price updates + custkey moves)
+            b1 = (
+                ords.filter(F.col("o_orderkey") % 9 == 0)
+                .withColumn(OP_COL, F.lit(OP_DELETE))
+                .unionByName(
+                    ords.filter(
+                        (F.col("o_orderkey") % 9 != 0) & (F.col("o_orderkey") % 4 == 0)
+                    )
+                    .withColumn("o_totalprice", F.col("o_totalprice") + 10)
+                    .withColumn(OP_COL, F.lit(OP_UPDATE))
+                )
+                .withColumn(SEQ_COL, F.monotonically_increasing_id())
+            )
+            app.refresh({"ord_sn": b1}, batch_id=1)
+
+            # b2: MIDDLE-dim churn — customers switch nations / disappear
+            b2 = (
+                t["customer"].filter(F.col("c_custkey") % 10 == 3)
+                .withColumn("c_nationkey", (F.col("c_nationkey") + 7) % 25)
+                .withColumn(OP_COL, F.lit(OP_UPDATE))
+                .unionByName(
+                    t["customer"].filter(F.col("c_custkey") % 10 == 4).withColumn(
+                        OP_COL, F.lit(OP_DELETE)
+                    )
+                )
+                .withColumn(SEQ_COL, F.monotonically_increasing_id())
+            )
+            app.refresh({"cust_sn": b2}, batch_id=2)
+
+            # b3: LEAF-dim churn — nation renames (whole groups re-key)
+            # plus one nation delete (its customers' orders leave J);
+            # dirt reaches the fact only through the customer hop
+            b3 = (
+                t["nation"].filter(F.col("n_nationkey") % 3 == 0)
+                .withColumn("n_name", F.concat(F.col("n_name"), F.lit("_X")))
+                .withColumn(OP_COL, F.lit(OP_UPDATE))
+                .unionByName(
+                    t["nation"].filter(F.col("n_nationkey") == 7).withColumn(
+                        OP_COL, F.lit(OP_DELETE)
+                    )
+                )
+                .withColumn(SEQ_COL, F.monotonically_increasing_id())
+            )
+            app.refresh({"nat_sn": b3}, batch_id=3)
+
+            final_ord = (
+                ords.filter(F.col("o_orderkey") % 9 != 0)
+                .withColumn(
+                    "o_totalprice",
+                    F.when(
+                        F.col("o_orderkey") % 4 == 0, F.col("o_totalprice") + 10
+                    ).otherwise(F.col("o_totalprice")),
+                )
+            )
+            final_cust = t["customer"].filter(F.col("c_custkey") % 10 != 4).withColumn(
+                "c_nationkey",
+                F.when(
+                    F.col("c_custkey") % 10 == 3, (F.col("c_nationkey") + 7) % 25
+                ).otherwise(F.col("c_nationkey")),
+            )
+            final_nat = t["nation"].filter(F.col("n_nationkey") != 7).withColumn(
+                "n_name",
+                F.when(
+                    F.col("n_nationkey") % 3 == 0,
+                    F.concat(F.col("n_name"), F.lit("_X")),
+                ).otherwise(F.col("n_name")),
+            )
+            exp = (
+                final_ord.join(
+                    final_cust, final_ord["o_custkey"] == final_cust["c_custkey"]
+                )
+                .join(final_nat, final_cust["c_nationkey"] == final_nat["n_nationkey"])
+                .groupBy("n_name")
+                .agg(
+                    F.count(F.lit(1)).alias("n_orders"),
+                    F.sum("o_totalprice").alias("total"),
+                )
+            )
+            got = {r["n_name"]: r.asDict() for r in app.read().collect()}
+            want = {r["n_name"]: r.asDict() for r in exp.collect()}
+            assert set(got) == set(want)
+            for k, w in want.items():
+                assert got[k]["n_orders"] == w["n_orders"], k
+                assert abs(got[k]["total"] - w["total"]) < 1e-6 * max(
+                    1.0, abs(w["total"])
+                ), k
+        finally:
+            shutil.rmtree(work, ignore_errors=True)

@@ -192,12 +192,12 @@ class MVApp:
             self._stores = {shape.fact: self._mv.fact_store}
             return
 
-        # The canonical star-join aggregate (fact ⋈ dim GROUP BY) — the
-        # shape behind every TPC-H-like MV, which the reference gets
-        # incrementally from Flink's update-mode planner
+        # The canonical star/snowflake-join aggregate (fact ⋈ dims
+        # GROUP BY) — the shape behind every TPC-H-like MV, which the
+        # reference gets incrementally from Flink's update-mode planner
         # (TiFlinkApp.java:270). Dirty-join-key re-derivation of the
         # joined relation feeds the aggregate state merge; changelogs on
-        # BOTH sides maintain the view with work ∝ touched keys.
+        # ALL sides maintain the view with work ∝ touched keys.
         ja = match_join_agg_shape(
             query, set(dfs), source_columns, {n: d[0].pk for n, d in dfs.items()}
         )
@@ -207,30 +207,31 @@ class MVApp:
             and (pk is None or list(pk) == list(ja.group_keys))
         ):
             self.maintenance_mode = "incremental"
-            self._fact_name, self._dim_name = ja.fact, ja.dim
+            self._fact_name, self._dim_name = ja.fact, None
             self._join_names = self._change_filter = None
             self._join_agg = True
+            self._ja_tables = {ja.fact, *(d.dim for d in ja.dims)}
             self.mv_pk = list(ja.group_keys)
             self.ddl = create_table_ddl(os.path.basename(target), self.mv_schema, self.mv_pk)
             self._mv = IncrementalJoinAggMV(
                 spark,
+                fact_name=ja.fact,
                 fact=dfs[ja.fact][1],
                 fact_pk=dfs[ja.fact][0].pk,
-                fact_fk=ja.fact_fk,
-                dim=dfs[ja.dim][1],
-                dim_pk=ja.dim_pk,
+                dims=list(ja.dims),
+                dim_dfs={d.dim: dfs[d.dim][1] for d in ja.dims},
                 group_keys=list(ja.group_keys),
                 measures=list(ja.measures),
                 fact_cols=list(ja.fact_cols),
-                dim_cols=list(ja.dim_cols),
                 work_dir=target,
                 where=ja.where,
                 num_buckets=num_buckets,
                 shuffle_partitions=shuffle_partitions,
+                target_filter=ja.having,
             )
             self._stores = {
                 ja.fact: self._mv.fact_store,
-                ja.dim: self._mv.dim_store,
+                **{d.dim: self._mv.dim_stores[d.dim] for d in ja.dims},
             }
             return
 
@@ -358,6 +359,14 @@ class MVApp:
             if ld is None and rd is None:
                 return False
             return self._mv.refresh(ld, rd, batch_id)
+        if self.maintenance_mode == "incremental" and self._join_agg:
+            unknown = set(changes) - self._ja_tables
+            if unknown:
+                raise ValueError(
+                    f"incremental MV maintains only {sorted(self._ja_tables)}; "
+                    f"got changes for {sorted(unknown)}"
+                )
+            return self._mv.refresh(changes, batch_id)
         if self.maintenance_mode == "incremental":
             known = {self._fact_name} | ({self._dim_name} if self._dim_name else set())
             unknown = set(changes) - known
@@ -370,8 +379,6 @@ class MVApp:
             dim_delta = changes.get(self._dim_name) if self._dim_name else None
             if fact_delta is None and dim_delta is None:
                 return False
-            if self._join_agg:
-                return self._mv.refresh(fact_delta, dim_delta, batch_id)
             if fact_delta is not None and self._change_filter is not None:
                 from tiflink_spark.changelog import apply_filter
 

@@ -365,46 +365,55 @@ class IncrementalTopKMV:
 
 
 class IncrementalJoinAggMV:
-    """Incremental MV for the canonical star-join aggregate
+    """Incremental MV for the canonical star/snowflake-join aggregate
 
-        SELECT keys, aggs FROM fact JOIN dim ON fact.fk = dim.pk
+        SELECT keys, aggs
+        FROM fact JOIN dim1 ON <ref1> = dim1.pk [JOIN dim2 ...]
         [WHERE row-local] GROUP BY keys
 
     — the shape the reference gets for free from Flink's update-mode
-    planner (TiFlinkApp.java:270). Composition: the joined relation
-    J = fact ⋈ dim (dim.pk side unique, so J stays keyed by the fact
-    PK) is maintained as an upsert changelog via dirty-join-key
-    re-derivation, and that J-changelog feeds an inner
-    :class:`IncrementalAggMV` state merge. Per-batch work ∝ changed
-    fact rows + fact rows of changed dim keys — never the full join —
-    and every aggregate kind the inner MV supports (COUNT/SUM/AVG by
-    delta arithmetic, MIN/MAX/COUNT DISTINCT by dirty-group recompute
-    against the J store) works unchanged.
+    planner (TiFlinkApp.java:270). Every dim enters the join through
+    its own single-column PK, referenced by a column of the fact or of
+    an earlier dim (the snowflake case), so the joined relation
+    J = fact ⋈ dims stays keyed by the fact PK. J is maintained as an
+    upsert changelog via dirty-join-key re-derivation, and that
+    J-changelog feeds an inner :class:`IncrementalAggMV` state merge.
+    Per-batch work ∝ changed fact rows + fact rows reachable from
+    changed dim keys — never the full join — and every aggregate kind
+    the inner MV supports (COUNT/SUM/AVG by delta arithmetic,
+    MIN/MAX/COUNT DISTINCT by dirty-group recompute against the J
+    store) works unchanged.
 
-    Changelogs on BOTH sides maintain the view: fact +I/+U re-joins the
-    row against current dim state (unmatched → the row leaves J); dim
-    churn re-derives all J rows of the touched dim keys (a dim rename
-    moves whole groups; a dim delete drops its fact rows from J).
+    Changelogs on ALL sides maintain the view: fact +I/+U re-joins the
+    row against current dim state (unmatched anywhere → the row leaves
+    J); dim churn propagates rootward through the join tree (a dirty
+    snowflake dim key dirties the parent-dim rows referencing it, and
+    so on up to the fact), and the reached fact rows are re-derived
+    (a dim rename moves whole groups; a dim delete drops its fact rows
+    from J).
 
     Storage note: the J store materializes the joined width (the
     classic materialized-join trade — Flink's stream-stream join keeps
     both sides' state too); it carries only the columns the query
-    needs (keys + measure/predicate inputs), not either table's full
+    needs (keys + measure/predicate inputs), not any table's full
     width.
+
+    ``dims`` is a list of :class:`tiflink_spark.planner.DimJoin` in
+    join order (parents before children); ``dim_dfs`` maps dim name →
+    its bootstrap DataFrame.
     """
 
     def __init__(
         self,
         spark: SparkSession,
+        fact_name: str,
         fact: DataFrame,
         fact_pk: list[str],
-        fact_fk: str,
-        dim: DataFrame,
-        dim_pk: str,
+        dims: list,
+        dim_dfs: dict[str, DataFrame],
         group_keys: list[str],
         measures: list[Measure],
         fact_cols: list[str],
-        dim_cols: list[str],
         work_dir: str,
         where: str | None = None,
         num_buckets: int | None = None,
@@ -413,21 +422,34 @@ class IncrementalJoinAggMV:
     ):
         self.spark = spark
         self.shuffle_partitions = shuffle_partitions
-        self.fact0, self.dim0 = fact, dim
+        self.fact_name = fact_name
+        self.fact0, self.dim0 = fact, dim_dfs
         self.fact_pk = list(fact_pk)
-        self.fact_fk, self.dim_pk = fact_fk, dim_pk
+        self.dims = list(dims)
+        self._by_name = {d.dim: d for d in self.dims}
         self.where = where
-        # J column provenance: PK + fk always ride on the fact side so
-        # changelog rows stay addressable; dim side never duplicates a
-        # fact-side name (the matcher rejects ambiguous references).
-        self._fact_side = list(dict.fromkeys([*fact_pk, fact_fk, *fact_cols]))
-        self._dim_side = [c for c in dim_cols if c not in self._fact_side]
+        # J column provenance: PK + every fact-side referencing column
+        # ride on the fact side so changelog rows stay addressable; dim
+        # columns never duplicate another table's carried name (the
+        # matcher rejects ambiguous references).
+        fact_fks = [d.parent_col for d in self.dims if d.parent == fact_name]
+        self._fact_side = list(dict.fromkeys([*fact_pk, *fact_fks, *fact_cols]))
+        self._dim_carry = {
+            d.dim: [c for c in d.dim_cols if c not in self._fact_side]
+            for d in self.dims
+        }
+        self._j_cols = [*self._fact_side]
+        for d in self.dims:
+            self._j_cols += [c for c in self._dim_carry[d.dim] if c not in self._j_cols]
         self.fact_store = KeyedParquetStore(
             spark, os.path.join(work_dir, "fact"), self.fact_pk, num_buckets
         )
-        self.dim_store = KeyedParquetStore(
-            spark, os.path.join(work_dir, "dim"), [dim_pk], num_buckets
-        )
+        self.dim_stores = {
+            d.dim: KeyedParquetStore(
+                spark, os.path.join(work_dir, f"dim_{d.dim}"), [d.dim_pk], num_buckets
+            )
+            for d in self.dims
+        }
         # Inner aggregate MV over the joined relation; its fact store IS
         # the J store. Its bootstrap input is wired in bootstrap().
         self._agg = IncrementalAggMV(
@@ -443,25 +465,44 @@ class IncrementalJoinAggMV:
         )
         self.target = self._agg.target
 
-    def _j_rows(self, fact_rows: DataFrame, dim_df: DataFrame) -> DataFrame:
-        """fact rows ⟕ dim on fk=pk, projected to bare J columns plus a
-        ``__matched`` flag. The dim side is pre-pruned to the fk values
-        present in ``fact_rows`` so the per-batch join never builds on
-        the full dimension."""
-        fk_vals = fact_rows.select(F.col(self.fact_fk).alias(self.dim_pk)).distinct()
-        dim_pruned = dim_df.join(fk_vals, [self.dim_pk], "left_semi")
-        f, d = fact_rows.alias("__f"), dim_pruned.alias("__d")
-        j = f.join(
-            d, F.col(f"__f.{self.fact_fk}") == F.col(f"__d.{self.dim_pk}"), "left"
-        )
-        cols = [F.col(f"__f.{c}").alias(c) for c in self._fact_side]
-        cols += [F.col(f"__d.{c}").alias(c) for c in self._dim_side]
-        cols.append(F.col(f"__d.{self.dim_pk}").isNotNull().alias("__matched"))
-        return j.select(*cols)
+    # single-dim compatibility for introspection/tests
+    @property
+    def dim_store(self) -> KeyedParquetStore:
+        assert len(self.dims) == 1
+        return self.dim_stores[self.dims[0].dim]
 
-    def _joined(self, fact_df: DataFrame, dim_df: DataFrame) -> DataFrame:
+    def _j_rows(self, fact_rows: DataFrame, dim_now: dict[str, DataFrame]) -> DataFrame:
+        """fact rows ⟕ every dim in join order, projected to bare J
+        columns plus a ``__matched`` flag (True iff ALL dims matched —
+        inner-join semantics). Each dim is pre-pruned by semi-join to
+        the referencing values present in the accumulated rows, so the
+        per-batch join never builds on a full dimension. Snowflake
+        chains compose naturally: an unmatched parent leaves the
+        child's join key NULL, which leaves the child unmatched too."""
+        acc = fact_rows.select(*self._fact_side)
+        flags = []
+        for i, d in enumerate(self.dims):
+            jk = f"__jk_{i}"
+            keys = (
+                acc.select(F.col(d.parent_col).alias(jk))
+                .where(F.col(jk).isNotNull())
+                .distinct()
+            )
+            dim_df = dim_now[d.dim]
+            pruned = dim_df.join(
+                keys, dim_df[d.dim_pk] == keys[jk], "left_semi"
+            ).select(
+                F.col(d.dim_pk).alias(jk),
+                *[F.col(c) for c in self._dim_carry[d.dim]],
+            )
+            acc = acc.join(pruned, F.col(d.parent_col) == F.col(jk), "left")
+            flags.append(F.col(jk).isNotNull())
+        matched = functools.reduce(lambda a, b: a & b, flags)
+        return acc.select(*self._j_cols, matched.alias("__matched"))
+
+    def _joined(self, fact_df: DataFrame, dim_now: dict[str, DataFrame]) -> DataFrame:
         """The full (inner-join) J relation for bootstrap."""
-        out = self._j_rows(fact_df, dim_df).filter(F.col("__matched")).drop("__matched")
+        out = self._j_rows(fact_df, dim_now).filter(F.col("__matched")).drop("__matched")
         if self.where is not None:
             out = out.filter(F.expr(self.where))
         return out
@@ -469,34 +510,65 @@ class IncrementalJoinAggMV:
     @_maintenance
     def bootstrap(self, batch_id=0) -> None:
         self.fact_store.bootstrap(self.fact0, batch_id)
-        self.dim_store.bootstrap(self.dim0, batch_id)
+        for d in self.dims:
+            self.dim_stores[d.dim].bootstrap(self.dim0[d.dim], batch_id)
         self._agg.fact_df0 = self._joined(
-            self.fact_store.read(), self.dim_store.read()
+            self.fact_store.read(),
+            {d.dim: self.dim_stores[d.dim].read() for d in self.dims},
         )
         self._agg.bootstrap(batch_id)
 
+    def _affected_fact_pks(
+        self, dim_name: str, dirty_keys: DataFrame, dim_now: dict[str, DataFrame]
+    ) -> DataFrame:
+        """Fact PKs reachable from dirty keys of ``dim_name``: walk the
+        join tree rootward — a dirty dim key dirties the parent rows
+        whose referencing column holds it, hop by hop to the fact. Each
+        hop is one semi-join pruned to the dirty key set."""
+        cur_name, cur_keys = dim_name, dirty_keys
+        cur_pk_col = self._by_name[dim_name].dim_pk
+        while True:
+            edge = self._by_name[cur_name]
+            ref_vals = cur_keys.select(
+                F.col(cur_pk_col).alias(edge.parent_col)
+            ).distinct()
+            if edge.parent == self.fact_name:
+                return (
+                    self.fact_store.read()
+                    .join(ref_vals, [edge.parent_col], "left_semi")
+                    .select(*self.fact_pk)
+                )
+            parent_edge = self._by_name[edge.parent]
+            cur_keys = (
+                dim_now[edge.parent]
+                .join(ref_vals, [edge.parent_col], "left_semi")
+                .select(parent_edge.dim_pk)
+            )
+            cur_name, cur_pk_col = edge.parent, parent_edge.dim_pk
+
     @_maintenance
-    def refresh(
-        self,
-        fact_changes: DataFrame | None,
-        dim_changes: DataFrame | None,
-        batch_id,
-    ) -> bool:
-        """One micro-batch on either or both sides → J-changelog →
-        inner aggregate refresh. Source merges commit first (idempotent
-        by batch_id); the J-changelog is derived from the post-batch
-        states, and old-row retraction happens inside the inner MV
-        against its own versioned J store — so a crash anywhere replays
-        to the same result."""
+    def refresh(self, changes: dict[str, DataFrame], batch_id) -> bool:
+        """One micro-batch of changelogs on any subset of tables →
+        J-changelog → inner aggregate refresh. Source merges commit
+        first (idempotent by batch_id); the J-changelog is derived from
+        the post-batch states, and old-row retraction happens inside
+        the inner MV against its own versioned J store — so a crash
+        anywhere replays to the same result."""
+        changes = {k: v for k, v in changes.items() if v is not None}
         if batch_id in self.target.committed_batches():
             return False
-        if fact_changes is None and dim_changes is None:
+        unknown = set(changes) - {self.fact_name, *self._by_name}
+        if unknown:
+            raise ValueError(f"unknown tables in changes: {sorted(unknown)}")
+        if not changes:
             return False
+        fact_changes = changes.get(self.fact_name)
         if fact_changes is not None:
             self.fact_store.merge(fact_changes, batch_id)
-        if dim_changes is not None:
-            self.dim_store.merge(dim_changes, batch_id)
-        dim_now = self.dim_store.read()
+        for name, ch in changes.items():
+            if name != self.fact_name:
+                self.dim_stores[name].merge(ch, batch_id)
+        dim_now = {d.dim: self.dim_stores[d.dim].read() for d in self.dims}
 
         parts: list[DataFrame] = []
         if fact_changes is not None:
@@ -506,7 +578,7 @@ class IncrementalJoinAggMV:
             )
             ups = final.filter(F.col(OP_COL) != OP_DELETE).select(*dels.columns)
             # Deleted fact rows leave J; upserts re-join against current
-            # dim — unmatched upserts also leave J (inner-join semantics).
+            # dims — unmatched upserts also leave J (inner-join semantics).
             parts.append(
                 self._j_rows(dels, dim_now)
                 .drop("__matched")
@@ -520,16 +592,24 @@ class IncrementalJoinAggMV:
                     ),
                 ).drop("__matched")
             )
-        if dim_changes is not None:
-            dirty_dk = last_change_per_key(dim_changes, [self.dim_pk]).select(
-                self.dim_pk
-            )
+        dim_changed = [n for n in changes if n != self.fact_name]
+        if dim_changed:
+            aff_parts = [
+                self._affected_fact_pks(
+                    name,
+                    last_change_per_key(changes[name], [self._by_name[name].dim_pk])
+                    .select(self._by_name[name].dim_pk),
+                    dim_now,
+                )
+                for name in dim_changed
+            ]
+            aff = aff_parts[0]
+            for p in aff_parts[1:]:
+                aff = aff.unionByName(p)
             affected = self.fact_store.read().join(
-                dirty_dk.select(F.col(self.dim_pk).alias(self.fact_fk)),
-                [self.fact_fk],
-                "left_semi",
+                aff.distinct(), self.fact_pk, "left_semi"
             )
-            # Touched dim keys re-derive every J row they own: renamed
+            # Touched dim keys re-derive every J row they reach: renamed
             # dims rewrite their rows (+U), deleted dims drop them (-D).
             parts.append(
                 self._j_rows(affected, dim_now).withColumn(
@@ -550,6 +630,13 @@ class IncrementalJoinAggMV:
             from tiflink_spark.changelog import apply_filter
 
             j_changes = apply_filter(j_changes, self.where)
+        # Materialize the delta-sized J-changelog once: the inner agg
+        # consumes it several times (delta computation, J-store merge,
+        # state diff), and the multi-join derivation lineage — which
+        # references the post-merge stores on both sides of its pruning
+        # joins — is both expensive to recompute and fragile under
+        # AQE+cache replanning. Bounded by batch size, never the join.
+        j_changes = j_changes.localCheckpoint(eager=True)
         return self._agg.refresh(j_changes, batch_id)
 
     def read(self, version: int | None = None) -> DataFrame:

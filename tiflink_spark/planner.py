@@ -326,47 +326,79 @@ def match_agg_shape(
 
 
 @dataclass(frozen=True)
+class DimJoin:
+    """One dimension edge of the join tree: ``dim`` enters the joined
+    relation through its single-column PK (``dim_pk``), referenced by
+    ``parent_col`` on ``parent`` (the fact or an earlier dim — the
+    latter is the snowflake case). ``dim_cols`` are the columns the
+    joined relation must carry from this dim (group keys, measure /
+    predicate inputs, plus referencing columns of child dims)."""
+
+    dim: str
+    dim_pk: str
+    parent: str
+    parent_col: str
+    dim_cols: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
 class JoinAggShape:
-    """The canonical star-join aggregate (every TPC-H-like MV):
+    """The canonical star/snowflake-join aggregate (every TPC-H-like MV):
 
         SELECT k1[, k2 ...], agg(expr) AS a[, ...]
-        FROM fact [AS f] JOIN dim [AS d] ON f.fk = d.pk
+        FROM fact [AS f]
+          JOIN dim1 [AS d1] ON <ref> = <ref>
+          [JOIN dim2 [AS d2] ON <ref> = <ref> ...]
         [WHERE row-local-pred]
         GROUP BY k1[, k2 ...]
+        [HAVING alias-form-pred]
 
-    The reference gets this incrementally for free from Flink's
+    where every non-fact table enters the join through its own
+    single-column PK (so the joined relation stays keyed by the fact
+    PK). The reference gets this incrementally for free from Flink's
     update-mode planner (TiFlinkApp.java:270); here it routes to
     :class:`tiflink_spark.mv.IncrementalJoinAggMV` — dirty-join-key
     recompute of the joined relation feeding the aggregate state merge.
     All column references are stored DEqualified (bare names); group
     keys / measures / where reference only unambiguous columns.
-    ``fact_cols`` / ``dim_cols`` are the columns the joined relation
-    must carry (group keys, measure and predicate inputs) per side.
+    ``fact_cols`` is the columns the joined relation must carry from
+    the fact side; ``dims`` is in join order (parents before children).
     """
 
     fact: str
-    fact_fk: str
-    dim: str
-    dim_pk: str
     group_keys: tuple[str, ...]
     measures: tuple[Measure, ...]
     fact_cols: tuple[str, ...]
-    dim_cols: tuple[str, ...]
+    dims: tuple[DimJoin, ...]
     where: str | None = None
+    having: str | None = None
 
 
 _REF = rf"(?:{_IDENT}\s*\.\s*)?{_IDENT}"
 
+_JOIN_CLAUSE = (
+    rf"(?:INNER\s+)?JOIN\s+{_IDENT}(?:\s+(?:AS\s+)?{_IDENT})?\s+"
+    rf"ON\s+{_REF}\s*=\s*{_REF}"
+)
+
 _JOIN_AGG_RE = re.compile(
     rf"^\s*SELECT\s+(?P<select>.+?)\s+"
-    rf"FROM\s+(?P<t1>{_IDENT})(?:\s+(?:AS\s+)?(?P<a1>{_IDENT}))?\s+"
-    rf"(?:INNER\s+)?JOIN\s+(?P<t2>{_IDENT})(?:\s+(?:AS\s+)?(?P<a2>{_IDENT}))?\s+"
-    rf"ON\s+(?P<lref>{_REF})\s*=\s*(?P<rref>{_REF})"
+    rf"FROM\s+(?P<t0>{_IDENT})(?:\s+(?:AS\s+)?(?P<a0>{_IDENT}))?\s+"
+    rf"(?P<joins>{_JOIN_CLAUSE}(?:\s+{_JOIN_CLAUSE})*)"
     rf"(?:\s+WHERE\s+(?P<where>.+?))?"
     rf"\s+GROUP\s+BY\s+(?P<keys>{_REF}(?:\s*,\s*{_REF})*)"
+    rf"(?:\s+HAVING\s+(?P<having>.+?))?"
     rf"\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+_JOIN_CLAUSE_RE = re.compile(
+    rf"(?:INNER\s+)?JOIN\s+(?P<t>{_IDENT})(?:\s+(?:AS\s+)?(?P<a>{_IDENT}))?\s+"
+    rf"ON\s+(?P<lref>{_REF})\s*=\s*(?P<rref>{_REF})",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_CLAUSE_KEYWORDS = frozenset("join inner on where group having as".split())
 
 _QUAL_RE = re.compile(rf"\b({_IDENT})\s*\.\s*({_IDENT})")
 
@@ -377,29 +409,41 @@ def match_join_agg_shape(
     source_columns: dict[str, list[str]],
     source_pks: dict[str, list[str]],
 ) -> JoinAggShape | None:
-    """Match the fact-⋈-dim GROUP BY aggregate, or None for the fallback.
+    """Match the fact-⋈-dims GROUP BY aggregate, or None for the fallback.
 
-    Sides are classified by the ON clause: the side whose join column is
-    its table's declared single-column PK is the dimension (each fact
-    row joins to ≤1 dim row, so the joined relation stays keyed by the
-    fact PK — the invariant IncrementalJoinAggMV maintains). Qualified
-    (``a.b``) and bare column references both match; bare names present
-    in both tables are rejected as ambiguous, mirroring SQL resolution.
+    The ON equations form a join graph; the match succeeds iff some
+    table (the fact) roots the graph as a tree in which every other
+    table enters through its own declared single-column PK (each fact
+    row then joins to ≤1 row per dim, so the joined relation stays
+    keyed by the fact PK — the invariant IncrementalJoinAggMV
+    maintains). Star (all dims reference the fact) and snowflake (a dim
+    references another dim) both orient. Qualified (``a.b``) and bare
+    column references both match; bare names present in more than one
+    table are rejected as ambiguous, mirroring SQL resolution.
     """
     m = _JOIN_AGG_RE.match(query)
     if m is None:
         return None
-    t1, t2 = m.group("t1"), m.group("t2")
-    if t1 not in source_names or t2 not in source_names or t1 == t2:
+    tables = [m.group("t0")]
+    quals = {(m.group("a0") or m.group("t0")).lower(): m.group("t0")}
+    edges: list[tuple[str, str]] = []  # raw (lref, rref) per ON clause
+    for jc in _JOIN_CLAUSE_RE.finditer(m.group("joins")):
+        tables.append(jc.group("t"))
+        quals[(jc.group("a") or jc.group("t")).lower()] = jc.group("t")
+        edges.append((jc.group("lref"), jc.group("rref")))
+    if (
+        len(set(tables)) != len(tables)
+        or any(t not in source_names for t in tables)
+        or len(quals) != len(tables)
+        or any(q in _CLAUSE_KEYWORDS for q in quals)
+    ):
         return None
-    # alias (or table name) → table; lower-cased lookup.
-    quals = {(m.group("a1") or t1).lower(): t1, (m.group("a2") or t2).lower(): t2}
-    if (m.group("a1") or t1).lower() in ("join", "on"):
-        return None
-    if len(quals) != 2:
-        return None
-    cols = {t: {c.lower(): c for c in source_columns.get(t, [])} for t in (t1, t2)}
-    ambiguous = set(cols[t1]) & set(cols[t2])
+    cols = {t: {c.lower(): c for c in source_columns.get(t, [])} for t in tables}
+    seen: dict[str, int] = {}
+    for t in tables:
+        for c in cols[t]:
+            seen[c] = seen.get(c, 0) + 1
+    ambiguous = {c for c, n in seen.items() if n > 1}
 
     def resolve(ref: str) -> tuple[str, str] | None:
         """'a.b' or bare 'b' → (table, column) or None."""
@@ -413,30 +457,51 @@ def match_join_agg_shape(
         name = ref.strip().lower()
         if name in ambiguous:
             return None
-        for t in (t1, t2):
+        for t in tables:
             if name in cols[t]:
                 return t, cols[t][name]
         return None
 
-    on_l, on_r = resolve(m.group("lref")), resolve(m.group("rref"))
-    if on_l is None or on_r is None or on_l[0] == on_r[0]:
-        return None
-    # Classify sides: dim's join column is its single-column PK.
-    by_table = {on_l[0]: on_l[1], on_r[0]: on_r[1]}
+    on_pairs: list[tuple[tuple[str, str], tuple[str, str]]] = []
+    for lref, rref in edges:
+        l, r = resolve(lref), resolve(rref)
+        if l is None or r is None or l[0] == r[0]:
+            return None
+        on_pairs.append((l, r))
 
-    def is_pk(table: str) -> bool:
+    def is_single_pk(table: str, col: str) -> bool:
         pk = source_pks.get(table) or []
-        return len(pk) == 1 and pk[0].lower() == by_table[table].lower()
+        return len(pk) == 1 and pk[0].lower() == col.lower()
 
-    if is_pk(t2) and not is_pk(t1):
-        fact, dim = t1, t2
-    elif is_pk(t1) and not is_pk(t2):
-        fact, dim = t2, t1
-    elif is_pk(t1) and is_pk(t2):
-        fact, dim = t1, t2  # PK-PK join: either side works; keep order
-    else:
-        return None  # M:N join — joined relation has no single-side key
-    fact_fk, dim_pk = by_table[fact], by_table[dim]
+    def orient(root: str) -> list[DimJoin] | None:
+        """Root the join graph at ``root``: every other table must
+        enter through its single-column PK, referenced by a column of
+        an already-joined table. Returns dims in join order."""
+        joined, dims, remaining = {root}, [], list(on_pairs)
+        while remaining:
+            for e in remaining:
+                hit = None
+                for (it, ic), (ot, oc) in (e, (e[1], e[0])):
+                    if it in joined and ot not in joined and is_single_pk(ot, oc):
+                        hit = DimJoin(dim=ot, dim_pk=oc, parent=it, parent_col=ic)
+                        break
+                if hit is not None:
+                    dims.append(hit)
+                    joined.add(hit.dim)
+                    remaining.remove(e)
+                    break
+            else:
+                return None
+        return dims
+
+    fact = dims = None
+    for root in tables:  # FROM-order preference (PK-PK joins tie-break)
+        dims = orient(root)
+        if dims is not None:
+            fact = root
+            break
+    if dims is None:
+        return None  # an M:N edge somewhere — no single-side key
 
     def dequalify(s: str) -> str | None:
         """Strip validated 'alias.col' qualifiers down to bare names."""
@@ -458,9 +523,9 @@ def match_join_agg_shape(
     keys: list[tuple[str, str]] = []
     for ref in key_refs:
         r = resolve(ref)
-        # Ambiguous key names (present in both tables) are rejected even
-        # when qualified: the joined relation stores bare names, so
-        # provenance would be lost.
+        # Ambiguous key names (present in several tables) are rejected
+        # even when qualified: the joined relation stores bare names,
+        # so provenance would be lost.
         if r is None or r[1].lower() in ambiguous:
             return None
         keys.append(r)
@@ -472,8 +537,8 @@ def match_join_agg_shape(
         return None
 
     # Measures: dequalify, then validate identifiers against the union
-    # of unambiguous columns (+ the join pair, resolvable on either side).
-    allowed = (set(cols[fact]) | set(cols[dim])) - ambiguous
+    # of unambiguous columns across all joined tables.
+    allowed = set().union(*(set(cols[t]) for t in tables)) - ambiguous
     meas_items = []
     for item in items[len(keys) :]:
         dq = dequalify(item)
@@ -499,23 +564,55 @@ def match_join_agg_shape(
             return None
         where = where.strip()
 
-    # Columns the joined relation must carry, per side.
-    need = {t1: set(), t2: set()}
+    having = m.group("having")
+    if having is not None:
+        # Alias form over the MV's OUTPUT columns only (same contract
+        # as the single-table shape): aggregate calls / clock functions
+        # reject first so an alias shadowing a function name can't slip
+        # through the identifier whitelist.
+        if _NON_LOCAL_WHERE.search(having):
+            return None
+        out_lower = {n.lower() for n in out_names}
+        idents = set(re.findall(_IDENT, having))
+        if any(i.lower() not in out_lower | _SQL_KEYWORDS for i in idents):
+            return None
+        having = having.strip()
+
+    # Columns the joined relation must carry, per table.
+    need: dict[str, set[str]] = {t: set() for t in tables}
     for t, c in keys:
         need[t].add(c)
     for blob in [mm.col for mm in measures if mm.col] + ([where] if where else []):
         for ident in set(re.findall(_IDENT, blob)):
-            for t in (fact, dim):
+            for t in tables:
                 if ident.lower() in cols[t] and ident.lower() not in ambiguous:
                     need[t].add(cols[t][ident.lower()])
+    # Referencing columns ride on their parent's side: the fact's fks
+    # are added to fact_cols by the MV's plumbing, but a snowflake
+    # parent dim must carry its child-referencing column in J — and
+    # that column must be unambiguous or the bare-named J relation
+    # would collide.
+    for d in dims:
+        if d.parent != fact:
+            if d.parent_col.lower() in ambiguous:
+                return None
+            need[d.parent].add(d.parent_col)
+    dims = [
+        DimJoin(
+            dim=d.dim,
+            dim_pk=d.dim_pk,
+            parent=d.parent,
+            parent_col=d.parent_col,
+            dim_cols=tuple(sorted(need[d.dim])),
+        )
+        for d in dims
+    ]
     return JoinAggShape(
         fact=fact,
-        fact_fk=fact_fk,
-        dim=dim,
-        dim_pk=dim_pk,
         group_keys=tuple(c for _, c in keys),
         measures=tuple(measures),
         fact_cols=tuple(sorted(need[fact])),
-        dim_cols=tuple(sorted(need[dim])),
+        dims=tuple(dims),
         where=where,
+        having=having,
     )

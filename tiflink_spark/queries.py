@@ -1224,6 +1224,7 @@ _PRIORITY = [
     "mvapp_auto_having",
     "mvapp_auto_join",
     "mvapp_auto_join_agg",
+    "mvapp_auto_star_agg",
 ]
 
 # Tier 2: everything else, most-valuable module first; the queries.py

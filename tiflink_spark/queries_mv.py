@@ -1166,3 +1166,126 @@ def mvapp_auto_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_star_agg",
+    """
+    WITH final_orders_sn AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 10
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 9 <> 0
+    ),
+    final_customer_sn AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 3 THEN (c_nationkey + 7) % 25
+                    ELSE c_nationkey END AS c_nationkey
+        FROM customer WHERE c_custkey % 10 <> 4
+    ),
+    final_nation_sn AS (
+        SELECT n_nationkey,
+               CASE WHEN n_nationkey % 3 = 0 THEN n_name || '_X'
+                    ELSE n_name END AS n_name
+        FROM nation WHERE n_nationkey <> 7
+    )
+    SELECT n_name,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM final_orders_sn o
+      JOIN final_customer_sn c ON o.o_custkey = c.c_custkey
+      JOIN final_nation_sn n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n_name
+    """,
+    doc=(
+        "Snowflake-join aggregate MV (orders -> customer -> nation, the "
+        "leaf dim TWO hops from the fact) auto-routed by the planner to "
+        "IncrementalJoinAggMV with a multi-dim join tree. Churned on "
+        "ALL THREE tables: fact deletes/price updates, middle-dim "
+        "nation moves and deletes, leaf-dim renames (whole groups "
+        "re-key) and a delete. Leaf-dim dirt reaches the fact only by "
+        "propagating through the customer hop — a green row proves "
+        "multi-hop dirty-key propagation, N-dim matching, and "
+        "convergence. Reference analog: Flink's update-mode planner "
+        "maintains arbitrary join trees the same way (TiFlinkApp.java:270)."
+    ),
+    tags=("mv", "incremental", "planner", "join", "snowflake"),
+)
+def mvapp_auto_star_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_snow_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("ord_sn", t["orders"], pk=["o_orderkey"])
+            .source("cust_sn", t["customer"], pk=["c_custkey"])
+            .source("nat_sn", t["nation"], pk=["n_nationkey"])
+            .query(
+                """SELECT n.n_name,
+                          count(*) AS n_orders,
+                          sum(o.o_totalprice) AS total_raw
+                   FROM ord_sn o
+                     JOIN cust_sn c ON o.o_custkey = c.c_custkey
+                     JOIN nat_sn n ON c.c_nationkey = n.n_nationkey
+                   GROUP BY n.n_name"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalJoinAggMV":
+            raise AssertionError(
+                f"planner routed snowflake join+agg to {app.maintenance_strategy}"
+            )
+        b1 = (
+            t["orders"].filter(F.col("o_orderkey") % 9 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .unionByName(
+                t["orders"].filter(
+                    (F.col("o_orderkey") % 9 != 0) & (F.col("o_orderkey") % 4 == 0)
+                )
+                .withColumn("o_totalprice", F.col("o_totalprice") + 10)
+                .withColumn(OP_COL, F.lit(OP_UPDATE))
+            )
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        b2 = (
+            t["customer"].filter(F.col("c_custkey") % 10 == 3)
+            .withColumn("c_nationkey", (F.col("c_nationkey") + 7) % 25)
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .unionByName(
+                t["customer"].filter(F.col("c_custkey") % 10 == 4).withColumn(
+                    OP_COL, F.lit(OP_DELETE)
+                )
+            )
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        b3 = (
+            t["nation"].filter(F.col("n_nationkey") % 3 == 0)
+            .withColumn("n_name", F.concat(F.col("n_name"), F.lit("_X")))
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .unionByName(
+                t["nation"].filter(F.col("n_nationkey") == 7).withColumn(
+                    OP_COL, F.lit(OP_DELETE)
+                )
+            )
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.bootstrap()
+        app.refresh({"ord_sn": b1}, batch_id=1)
+        app.refresh({"cust_sn": b2}, batch_id=2)
+        app.refresh({"nat_sn": b3}, batch_id=3)
+        return (
+            app.read()
+            .select(
+                "n_name",
+                "n_orders",
+                F.round("total_raw", 2).alias("total"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
