@@ -3,7 +3,7 @@
 from pyspark.sql import functions as F
 
 from tiflink_spark.app import MVApp
-from tiflink_spark.changelog import OP_COL, OP_DELETE, OP_INSERT, SEQ_COL
+from tiflink_spark.changelog import OP_COL, OP_DELETE, OP_INSERT, OP_UPDATE, SEQ_COL
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -324,3 +324,96 @@ def test_match_join_shape_matcher():
     )
     assert match_join_shape("SELECT a FROM t JOIN v USING (k)", {"t", "u"}) is None
     assert match_join_shape("SELECT a FROM t JOIN t USING (k)", {"t"}) is None
+
+
+def test_match_distinct_shape_matcher():
+    from tiflink_spark.planner import match_distinct_shape
+
+    cols = {"orders": ["o_orderkey", "o_custkey", "o_orderpriority"]}
+    s = match_distinct_shape(
+        "SELECT DISTINCT o_custkey, o_orderpriority FROM orders",
+        {"orders"},
+        cols,
+    )
+    assert s is not None
+    assert s.cols == ("o_custkey", "o_orderpriority") and s.where is None
+    s = match_distinct_shape(
+        "SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 0",
+        {"orders"},
+        cols,
+    )
+    assert s is not None and s.where == "o_orderkey % 2 = 0"
+    # rejects: unknown column, expression output, non-deterministic
+    # WHERE, subquery WHERE, plain (non-DISTINCT) projection
+    assert match_distinct_shape("SELECT DISTINCT nope FROM orders", {"orders"}, cols) is None
+    assert (
+        match_distinct_shape(
+            "SELECT DISTINCT o_custkey + 1 FROM orders", {"orders"}, cols
+        )
+        is None
+    )
+    assert (
+        match_distinct_shape(
+            "SELECT DISTINCT o_custkey FROM orders WHERE rand() < 0.5",
+            {"orders"},
+            cols,
+        )
+        is None
+    )
+    assert (
+        match_distinct_shape(
+            "SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey IN (SELECT 1)",
+            {"orders"},
+            cols,
+        )
+        is None
+    )
+    assert match_distinct_shape("SELECT o_custkey FROM orders", {"orders"}, cols) is None
+
+
+def test_planner_routes_distinct_to_incremental(spark, tmp_path):
+    """SELECT DISTINCT routes to the count-per-key IncrementalAggMV:
+    a key's first arrival inserts the MV row, its last departure
+    deletes it; the hidden count never leaks through read()."""
+    app = (
+        MVApp.builder(spark)
+        .source("orders_d", f"{SF_DIR}/orders.parquet", pk=["o_orderkey"])
+        .query("SELECT DISTINCT o_custkey, o_orderpriority FROM orders_d")
+        .target(str(tmp_path / "mv_distinct"))
+        .num_buckets(4)
+        .shuffle_partitions(4)
+        .build()
+    )
+    assert app.maintenance_mode == "incremental"
+    assert app.mv_pk == ["o_custkey", "o_orderpriority"]
+    app.bootstrap()
+    assert app.read().columns == ["o_custkey", "o_orderpriority"]
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    # move ALL orders of some customers to a brand-new priority (their
+    # old (custkey, prio) pairs vanish; new pairs appear), delete every
+    # order of others (all their pairs vanish)
+    movers = orders.filter(F.col("o_custkey") % 10 == 1)
+    changes = (
+        movers.withColumn("o_orderpriority", F.lit("9-SYNTH"))
+        .withColumn(OP_COL, F.lit(OP_UPDATE))
+        .unionByName(
+            orders.filter(F.col("o_custkey") % 10 == 2).withColumn(
+                OP_COL, F.lit(OP_DELETE)
+            )
+        )
+        .withColumn(SEQ_COL, F.monotonically_increasing_id())
+    )
+    assert app.refresh({"orders_d": changes}, batch_id=1)
+
+    got = {(r.o_custkey, r.o_orderpriority) for r in app.read().collect()}
+    want = {
+        (r.o_custkey, r.o_orderpriority)
+        for r in app._stores["orders_d"].read().select(
+            "o_custkey", "o_orderpriority"
+        ).distinct().collect()
+    }
+    assert got == want
+    # deleted customers' pairs are gone; movers' pairs re-keyed
+    assert not any(k % 10 == 2 for k, _ in got)
+    assert all(p == "9-SYNTH" for k, p in got if k % 10 == 1)

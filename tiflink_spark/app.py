@@ -42,6 +42,7 @@ from tiflink_spark.incremental import Measure
 from tiflink_spark.planner import (
     match_agg_shape,
     match_correlated_count_shape,
+    match_distinct_shape,
     match_join_agg_shape,
     match_join_shape,
 )
@@ -190,6 +191,42 @@ class MVApp:
             )
             # The incremental MV's own fact store IS the source store.
             self._stores = {shape.fact: self._mv.fact_store}
+            return
+
+        # SELECT DISTINCT — the dedup view, maintained as a hidden
+        # COUNT(*)-per-key aggregate: a key's first arrival inserts the
+        # MV row, its last departure deletes it (the count-based
+        # DISTINCT maintenance of every update-mode planner). read()
+        # projects the hidden count away via mv_schema.
+        ds = match_distinct_shape(query, set(dfs), source_columns)
+        spec = dfs[ds.fact][0] if ds is not None else None
+        if (
+            ds is not None
+            and spec.pk
+            and (pk is None or list(pk) == list(ds.cols))
+        ):
+            self.maintenance_mode = "incremental"
+            self._fact_name, self._dim_name = ds.fact, None
+            self._join_names = None
+            self._change_filter = ds.where
+            fact_df = dfs[ds.fact][1]
+            if ds.where is not None:
+                from pyspark.sql import functions as F
+
+                fact_df = fact_df.filter(F.expr(ds.where))
+            self.mv_pk = list(ds.cols)
+            self.ddl = create_table_ddl(os.path.basename(target), self.mv_schema, self.mv_pk)
+            self._mv = IncrementalAggMV(
+                spark,
+                fact_df,
+                spec.pk,
+                list(ds.cols),
+                [Measure("count", None, "__cnt")],
+                work_dir=target,
+                num_buckets=num_buckets,
+                shuffle_partitions=shuffle_partitions,
+            )
+            self._stores = {ds.fact: self._mv.fact_store}
             return
 
         # The canonical star/snowflake-join aggregate (fact ⋈ dims
@@ -427,6 +464,8 @@ class MVApp:
         order, so the read projects through it."""
         out = self._mv.read(version)
         ordered = [f.name for f in self.mv_schema.fields]
-        if set(ordered) == set(out.columns) and ordered != list(out.columns):
+        # Subset-select also drops engine-internal columns (e.g. the
+        # hidden DISTINCT count) that never belong to the query schema.
+        if set(ordered) <= set(out.columns) and ordered != list(out.columns):
             out = out.select(*ordered)
         return out

@@ -164,6 +164,56 @@ class CorrelatedCountShape:
 
 
 @dataclass(frozen=True)
+class DistinctShape:
+    """``SELECT DISTINCT c1[, c2 ...] FROM fact [WHERE row-local]`` —
+    the dedup view. Maintained as a hidden COUNT(*)-per-key aggregate
+    (IncrementalAggMV keyed by the distinct columns): a key's first
+    arrival inserts the row, its last departure deletes it — the
+    count-based distinct maintenance every incremental-view engine
+    uses (Flink's update-mode planner does the same under DISTINCT).
+    """
+
+    fact: str
+    cols: tuple[str, ...]
+    where: str | None = None
+
+
+_DISTINCT_RE = re.compile(
+    rf"^\s*SELECT\s+DISTINCT\s+(?P<select>{_IDENT}(?:\s*,\s*{_IDENT})*)\s+"
+    rf"FROM\s+(?P<table>{_IDENT})"
+    rf"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def match_distinct_shape(
+    query: str,
+    source_names: set[str],
+    source_columns: dict[str, list[str]] | None = None,
+) -> DistinctShape | None:
+    """Match the single-table DISTINCT projection, or None. Bare column
+    identifiers only (an expression output has no stable retraction
+    key); WHERE must be row-local and deterministic, maintained by the
+    stateless-filter changelog rule."""
+    m = _DISTINCT_RE.match(query)
+    if m is None or m.group("table") not in source_names:
+        return None
+    cols = [c.strip() for c in m.group("select").split(",")]
+    if len({c.lower() for c in cols}) != len(cols):
+        return None
+    if source_columns is not None:
+        known = {c.lower() for c in source_columns.get(m.group("table"), [])}
+        if any(c.lower() not in known for c in cols):
+            return None
+    where = m.group("where")
+    if where is not None:
+        if _NON_LOCAL_WHERE.search(where):
+            return None
+        where = where.strip()
+    return DistinctShape(m.group("table"), tuple(cols), where)
+
+
+@dataclass(frozen=True)
 class JoinShape:
     """A two-sided equi-join matched to IncrementalJoinMV maintenance:
 

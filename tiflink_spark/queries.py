@@ -1218,13 +1218,17 @@ _PRIORITY = [
     "txn_resolution",
     "mv_multikey_incremental",
     "mv_cascade",
-    "mv_topk_incremental",
     "mvapp_auto_incremental",
     "mvapp_auto_filtered",
     "mvapp_auto_having",
-    "mvapp_auto_join",
     "mvapp_auto_join_agg",
     "mvapp_auto_star_agg",
+    "mvapp_auto_distinct",
+    # past 50: the gates a strictly 50-count-capped driver window would
+    # drop — mvapp_auto_join's engine class is already proven in-window
+    # by mv_join_incremental, and mv_topk is pytest-property-covered
+    "mvapp_auto_join",
+    "mv_topk_incremental",
 ]
 
 # Tier 2: everything else, most-valuable module first; the queries.py

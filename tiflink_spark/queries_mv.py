@@ -1289,3 +1289,78 @@ def mvapp_auto_star_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_distinct",
+    f"""
+    WITH final_orders_dd AS (
+        SELECT o_custkey,
+               CASE WHEN o_custkey % 10 = 1 THEN '9-SYNTH'
+                    ELSE o_orderpriority END AS o_orderpriority
+        FROM orders WHERE o_custkey % 10 <> 2
+        UNION ALL
+        SELECT o_custkey + {BIG}, '9-NEW'
+        FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT DISTINCT o_custkey, o_orderpriority
+    FROM final_orders_dd WHERE o_custkey % 3 = 0
+    """,
+    doc=(
+        "SELECT DISTINCT auto-routed by the planner to the "
+        "count-per-key IncrementalAggMV (a key's first arrival inserts "
+        "the MV row, its last departure deletes it — the count-based "
+        "DISTINCT maintenance of every update-mode planner, here with "
+        "a row-local WHERE kept incremental via the changelog filter "
+        "rule). Churn: priority moves re-key pairs, customer deletes "
+        "drain keys to zero, inserts create brand-new pairs. The fn "
+        "raises unless routed incrementally."
+    ),
+    tags=("mv", "incremental", "planner", "dedup"),
+)
+def mvapp_auto_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_dd_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("orders_dd", t["orders"], pk=["o_orderkey"])
+            .query(
+                "SELECT DISTINCT o_custkey, o_orderpriority "
+                "FROM orders_dd WHERE o_custkey % 3 = 0"
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_mode != "incremental":
+            raise AssertionError("planner failed to route SELECT DISTINCT")
+        app.bootstrap()
+        ords = t["orders"]
+        b1 = (
+            ords.filter(F.col("o_custkey") % 10 == 1)
+            .withColumn("o_orderpriority", F.lit("9-SYNTH"))
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .unionByName(
+                ords.filter(F.col("o_custkey") % 10 == 2).withColumn(
+                    OP_COL, F.lit(OP_DELETE)
+                )
+            )
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"orders_dd": b1}, batch_id=1)
+        b2 = (
+            ords.filter(F.col("o_orderkey") % 100 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + BIG)
+            .withColumn("o_custkey", F.col("o_custkey") + BIG)
+            .withColumn("o_orderpriority", F.lit("9-NEW"))
+            .withColumn(OP_COL, F.lit(OP_INSERT))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"orders_dd": b2}, batch_id=2)
+        return app.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
