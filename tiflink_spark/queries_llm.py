@@ -881,3 +881,208 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def get_llm_registry():  # imported for side effects by queries.get_registry
     return None
+
+
+# ---------------------------------------------------------------------------
+# Training-data hygiene: PII redaction, benchmark contamination, chunking,
+# repetition scoring. All JVM-side (regexp/array built-ins, whole-stage
+# codegen) — no Python in the hot path.
+# ---------------------------------------------------------------------------
+
+# RE2-and-Java-compatible patterns (both engines): no backrefs, no
+# lookaround, explicit character classes.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+# The synthetic corpus carries no PII, so both engines plant the SAME
+# deterministic PII per doc before redacting — the gate then proves the
+# scrubber itself, not the corpus.
+_PII_SALT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17'"
+    " || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'"
+)
+
+
+@register(
+    "text_pii_redact",
+    f"""
+    WITH salted AS (SELECT doc_id, {_PII_SALT_SQL} AS raw FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(raw, '{_PII_IP}')) AS n_ips,
+           len(regexp_extract_all(raw, '{_PII_PHONE}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(raw,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IP}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_hash
+    FROM salted
+    """,
+    doc=(
+        "PII scrubbing for training corpora: emails, IPv4s, and phone "
+        "numbers detected + replaced with typed placeholder tokens, in "
+        "one codegen'd regexp pass per category (Java regex and RE2 "
+        "agree on these patterns, proven by the cross-engine hash of "
+        "the redacted text). Counts per category ride along for "
+        "redaction-rate monitoring. Stateless row-local map: scales "
+        "linearly, no shuffle."
+    ),
+    tags=("llm", "text", "hygiene"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    salted = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com"),
+            F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".17"),
+            F.lit(" call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-0199"),
+        ).alias("raw"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IP,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return salted.select(
+        "doc_id",
+        F.regexp_count(F.col("raw"), F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(F.col("raw"), F.lit(_PII_IP)).alias("n_ips"),
+        F.regexp_count(F.col("raw"), F.lit(_PII_PHONE)).alias("n_phones"),
+        F.md5(redacted).alias("redacted_hash"),
+    )
+
+
+_BENCH_MOD = 97  # doc_id % 97 == 0 plays the held-out benchmark set
+_CONTAM_N = 3    # gram width (a knob: real corpora use 8-13)
+_CONTAM_MIN = 3  # shared distinct grams to flag
+
+
+@register(
+    "text_contamination_ngram",
+    f"""
+    WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+               FROM documents),
+    g5 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+{_CONTAM_N - 1}], ' ') AS gram
+           FROM w, UNNEST(range(1, len(ws) - {_CONTAM_N - 2})) AS t(i)
+           WHERE len(ws) >= {_CONTAM_N}),
+    bench AS (SELECT DISTINCT gram FROM g5 WHERE doc_id % {_BENCH_MOD} = 0)
+    SELECT doc_id, count(*) AS n_shared,
+           count(*) >= {_CONTAM_MIN} AS contaminated
+    FROM g5 JOIN bench USING (gram)
+    WHERE doc_id % {_BENCH_MOD} <> 0
+    GROUP BY doc_id
+    """,
+    doc=(
+        "Benchmark-contamination check: corpus documents sharing word "
+        f"{_CONTAM_N}-grams with a held-out benchmark set (here doc_id % "
+        f"{_BENCH_MOD} = 0) are flagged when >= {_CONTAM_MIN} distinct "
+        "grams overlap — the standard n-gram decontamination pass run "
+        "before training. Shuffle-on-gram join; the benchmark gram set "
+        "is tiny relative to the corpus, so Spark broadcasts it and the "
+        "corpus side streams map-side — at 100 TB the pass stays one "
+        "scan plus a broadcast."
+    ),
+    tags=("llm", "text", "hygiene"),
+)
+def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    grams = _doc_grams(t["documents"], n=_CONTAM_N)
+    bench = (
+        grams.filter(F.col("doc_id") % _BENCH_MOD == 0).select("gram").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .select(
+            "doc_id",
+            "n_shared",
+            (F.col("n_shared") >= _CONTAM_MIN).alias("contaminated"),
+        )
+    )
+
+
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+
+
+@register(
+    "text_chunk_windows",
+    f"""
+    WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+               FROM documents)
+    SELECT doc_id,
+           CAST(s / {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           len(ws[s + 1:s + {_CHUNK_SIZE}]) AS n_words,
+           md5(array_to_string(ws[s + 1:s + {_CHUNK_SIZE}], ' ')) AS chunk_hash
+    FROM w, UNNEST(range(0, greatest(len(ws), 1), {_CHUNK_STRIDE})) AS t(s)
+    """,
+    doc=(
+        f"Context-window chunking: overlapping {_CHUNK_SIZE}-word windows "
+        f"with stride {_CHUNK_STRIDE} (the sliding-window split every "
+        "sequence-packing pipeline runs before tokenization). Pure "
+        "array built-ins (sequence/slice/posexplode) — codegen'd, "
+        "stateless, no shuffle; chunk text hashed for cross-engine "
+        "value stability."
+    ),
+    tags=("llm", "text"),
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    ws = _words(F.col("text"))
+    n = F.size(ws)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(_CHUNK_STRIDE))
+    chunk = F.slice(F.col("ws"), F.col("s") + 1, _CHUNK_SIZE)
+    return (
+        t["documents"]
+        .select("doc_id", ws.alias("ws"), F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (F.col("s") / _CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+            F.size(chunk).alias("n_words"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        )
+    )
+
+
+@register(
+    "text_repetition_score",
+    """
+    WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+               FROM documents),
+    g AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+          FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+          WHERE len(ws) >= 3)
+    SELECT doc_id, count(*) AS n_grams,
+           count(DISTINCT gram) AS n_distinct,
+           round(1 - count(DISTINCT gram) * 1.0 / count(*), 4) AS rep_ratio
+    FROM g GROUP BY doc_id
+    """,
+    doc=(
+        "Repetition scoring: 1 - (distinct 3-grams / total 3-grams) per "
+        "document — the duplicate-phrase quality signal used to drop "
+        "boilerplate/spam before training. One explode + one "
+        "grouBy(doc_id) shuffle; partial aggregation makes the shuffle "
+        "carry per-doc partial counts only."
+    ),
+    tags=("llm", "text", "quality"),
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    grams = _doc_grams(t["documents"], n=3, distinct=False)
+    ratio = 1 - F.countDistinct("gram") / F.count(F.lit(1))
+    return grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.countDistinct("gram").alias("n_distinct"),
+        F.round(ratio, 4).alias("rep_ratio"),
+    )
