@@ -53,6 +53,14 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
     registry[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Warm the Python worker pool + Arrow serialization path the same
+    # way (spark.python.worker.reuse keeps the workers alive): the
+    # pandas-backed operators otherwise pay ~1.5s of one-time worker
+    # fork/import inside their first measured run.
+    spark.range(1000).mapInPandas(
+        lambda batches: batches, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
