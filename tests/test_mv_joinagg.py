@@ -177,6 +177,44 @@ class TestJoinAggMatcher:
             is None
         )
 
+    def test_left_join_how_and_key_rules(self):
+        cols = {**COLS, "orders": COLS["orders"] + ["o_orderpriority"]}
+        s = match_join_agg_shape(
+            """SELECT o_orderpriority, count(*) AS n, count(c_name) AS matched
+               FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+               GROUP BY o_orderpriority""",
+            set(cols),
+            cols,
+            PKS,
+        )
+        assert s is not None and s.dims[0].how == "left"
+        # a LEFT JOIN can only orient with the joined table nullable:
+        # dim-first LEFT JOIN fact must NOT match (orders would have to
+        # become the dim, but the SQL makes orders the preserved side)
+        assert (
+            match_join_agg_shape(
+                """SELECT c_nationkey, count(*) AS n
+                   FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                   GROUP BY c_nationkey""",
+                set(COLS),
+                COLS,
+                PKS,
+            )
+            is None
+        )
+        # group key from a LEFT dim would put NULLs in the MV PK
+        assert (
+            match_join_agg_shape(
+                """SELECT c_nationkey, count(*) AS n
+                   FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+                   GROUP BY c_nationkey""",
+                set(COLS),
+                COLS,
+                PKS,
+            )
+            is None
+        )
+
     def test_mn_edge_in_chain_rejected(self):
         cols = {
             "lineitem": ["l_orderkey", "l_linenumber", "l_quantity"],
@@ -323,6 +361,81 @@ class TestJoinAggConvergence:
             "total_raw",
             "min_price",
         ]
+
+
+class TestLeftJoinAggConvergence:
+    def test_left_join_converges_under_dim_churn(self, spark, tables):
+        """fact LEFT JOIN dim: unmatched fact rows stay in the view
+        with NULL dim columns; dim deletes move rows from matched to
+        unmatched (count(c_name) drops, count(*) holds)."""
+        from tiflink_spark.app import MVApp
+
+        t = tables
+        work = tempfile.mkdtemp(prefix="ja_left_")
+        try:
+            app = (
+                MVApp.builder(spark)
+                .source("ord_lj", t["orders"], pk=["o_orderkey"])
+                .source("cust_lj", t["customer"], pk=["c_custkey"])
+                .query(
+                    """SELECT o_orderpriority, count(*) AS n_all,
+                              count(c_name) AS n_matched,
+                              sum(o_totalprice) AS total
+                       FROM ord_lj o LEFT JOIN cust_lj c
+                         ON o.o_custkey = c.c_custkey
+                       GROUP BY o_orderpriority"""
+                )
+                .target(work)
+                .num_buckets(4)
+                .shuffle_partitions(8)
+                .build()
+            )
+            assert app.maintenance_strategy == "IncrementalJoinAggMV"
+            app.bootstrap()
+
+            # delete a third of the customers: their orders must NOT
+            # leave the view, only lose their dim columns
+            b1 = (
+                t["customer"].filter(F.col("c_custkey") % 3 == 0)
+                .withColumn(OP_COL, F.lit(OP_DELETE))
+                .withColumn(SEQ_COL, F.monotonically_increasing_id())
+            )
+            app.refresh({"cust_lj": b1}, batch_id=1)
+            # fact churn on top
+            b2 = (
+                t["orders"].filter(F.col("o_orderkey") % 8 == 0)
+                .withColumn(OP_COL, F.lit(OP_DELETE))
+                .withColumn(SEQ_COL, F.monotonically_increasing_id())
+            )
+            app.refresh({"ord_lj": b2}, batch_id=2)
+
+            final_ord = t["orders"].filter(F.col("o_orderkey") % 8 != 0)
+            final_cust = t["customer"].filter(F.col("c_custkey") % 3 != 0)
+            exp = (
+                final_ord.join(
+                    final_cust,
+                    final_ord["o_custkey"] == final_cust["c_custkey"],
+                    "left",
+                )
+                .groupBy("o_orderpriority")
+                .agg(
+                    F.count(F.lit(1)).alias("n_all"),
+                    F.count("c_name").alias("n_matched"),
+                    F.sum("o_totalprice").alias("total"),
+                )
+            )
+            got = {r["o_orderpriority"]: r.asDict() for r in app.read().collect()}
+            want = {r["o_orderpriority"]: r.asDict() for r in exp.collect()}
+            assert set(got) == set(want)
+            for k, w in want.items():
+                assert got[k]["n_all"] == w["n_all"], k
+                assert got[k]["n_matched"] == w["n_matched"], k
+                assert got[k]["n_matched"] < got[k]["n_all"]  # some unmatched
+                assert abs(got[k]["total"] - w["total"]) < 1e-6 * max(
+                    1.0, abs(w["total"])
+                ), k
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
 
 
 class TestSnowflakeConvergence:

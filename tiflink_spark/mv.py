@@ -496,8 +496,13 @@ class IncrementalJoinAggMV:
                 *[F.col(c) for c in self._dim_carry[d.dim]],
             )
             acc = acc.join(pruned, F.col(d.parent_col) == F.col(jk), "left")
-            flags.append(F.col(jk).isNotNull())
-        matched = functools.reduce(lambda a, b: a & b, flags)
+            # LEFT dims never drop the fact row — only inner dims gate
+            # membership; their unmatched rows keep NULL dim columns.
+            if d.how != "left":
+                flags.append(F.col(jk).isNotNull())
+        matched = (
+            functools.reduce(lambda a, b: a & b, flags) if flags else F.lit(True)
+        )
         return acc.select(*self._j_cols, matched.alias("__matched"))
 
     def _joined(self, fact_df: DataFrame, dim_now: dict[str, DataFrame]) -> DataFrame:

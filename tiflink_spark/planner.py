@@ -382,13 +382,16 @@ class DimJoin:
     ``parent_col`` on ``parent`` (the fact or an earlier dim — the
     latter is the snowflake case). ``dim_cols`` are the columns the
     joined relation must carry from this dim (group keys, measure /
-    predicate inputs, plus referencing columns of child dims)."""
+    predicate inputs, plus referencing columns of child dims).
+    ``how`` is ``inner`` or ``left``: a left dim never drops the fact
+    row — unmatched rows keep NULL dim columns in J."""
 
     dim: str
     dim_pk: str
     parent: str
     parent_col: str
     dim_cols: tuple[str, ...] = ()
+    how: str = "inner"
 
 
 @dataclass(frozen=True)
@@ -427,7 +430,7 @@ class JoinAggShape:
 _REF = rf"(?:{_IDENT}\s*\.\s*)?{_IDENT}"
 
 _JOIN_CLAUSE = (
-    rf"(?:INNER\s+)?JOIN\s+{_IDENT}(?:\s+(?:AS\s+)?{_IDENT})?\s+"
+    rf"(?:(?:INNER|LEFT(?:\s+OUTER)?)\s+)?JOIN\s+{_IDENT}(?:\s+(?:AS\s+)?{_IDENT})?\s+"
     rf"ON\s+{_REF}\s*=\s*{_REF}"
 )
 
@@ -443,12 +446,15 @@ _JOIN_AGG_RE = re.compile(
 )
 
 _JOIN_CLAUSE_RE = re.compile(
-    rf"(?:INNER\s+)?JOIN\s+(?P<t>{_IDENT})(?:\s+(?:AS\s+)?(?P<a>{_IDENT}))?\s+"
+    rf"(?:(?P<how>INNER|LEFT(?:\s+OUTER)?)\s+)?"
+    rf"JOIN\s+(?P<t>{_IDENT})(?:\s+(?:AS\s+)?(?P<a>{_IDENT}))?\s+"
     rf"ON\s+(?P<lref>{_REF})\s*=\s*(?P<rref>{_REF})",
     re.IGNORECASE | re.DOTALL,
 )
 
-_CLAUSE_KEYWORDS = frozenset("join inner on where group having as".split())
+_CLAUSE_KEYWORDS = frozenset(
+    "join inner left outer on where group having as".split()
+)
 
 _QUAL_RE = re.compile(rf"\b({_IDENT})\s*\.\s*({_IDENT})")
 
@@ -476,11 +482,13 @@ def match_join_agg_shape(
         return None
     tables = [m.group("t0")]
     quals = {(m.group("a0") or m.group("t0")).lower(): m.group("t0")}
-    edges: list[tuple[str, str]] = []  # raw (lref, rref) per ON clause
+    # raw (lref, rref, how, joined-table) per ON clause
+    edges: list[tuple[str, str, str, str]] = []
     for jc in _JOIN_CLAUSE_RE.finditer(m.group("joins")):
         tables.append(jc.group("t"))
         quals[(jc.group("a") or jc.group("t")).lower()] = jc.group("t")
-        edges.append((jc.group("lref"), jc.group("rref")))
+        how = "left" if (jc.group("how") or "").lower().startswith("left") else "inner"
+        edges.append((jc.group("lref"), jc.group("rref"), how, jc.group("t")))
     if (
         len(set(tables)) != len(tables)
         or any(t not in source_names for t in tables)
@@ -512,12 +520,12 @@ def match_join_agg_shape(
                 return t, cols[t][name]
         return None
 
-    on_pairs: list[tuple[tuple[str, str], tuple[str, str]]] = []
-    for lref, rref in edges:
+    on_pairs: list[tuple[tuple[str, str], tuple[str, str], str, str]] = []
+    for lref, rref, how, jt in edges:
         l, r = resolve(lref), resolve(rref)
         if l is None or r is None or l[0] == r[0]:
             return None
-        on_pairs.append((l, r))
+        on_pairs.append((l, r, how, jt))
 
     def is_single_pk(table: str, col: str) -> bool:
         pk = source_pks.get(table) or []
@@ -526,14 +534,21 @@ def match_join_agg_shape(
     def orient(root: str) -> list[DimJoin] | None:
         """Root the join graph at ``root``: every other table must
         enter through its single-column PK, referenced by a column of
-        an already-joined table. Returns dims in join order."""
+        an already-joined table. A LEFT JOIN's nullable side is fixed
+        by the SQL (the joined table), so its edge only orients with
+        that table as the dim. Returns dims in join order."""
         joined, dims, remaining = {root}, [], list(on_pairs)
         while remaining:
             for e in remaining:
+                (l, r, how, jt) = e
                 hit = None
-                for (it, ic), (ot, oc) in (e, (e[1], e[0])):
+                for (it, ic), (ot, oc) in ((l, r), (r, l)):
                     if it in joined and ot not in joined and is_single_pk(ot, oc):
-                        hit = DimJoin(dim=ot, dim_pk=oc, parent=it, parent_col=ic)
+                        if how == "left" and ot != jt:
+                            continue
+                        hit = DimJoin(
+                            dim=ot, dim_pk=oc, parent=it, parent_col=ic, how=how
+                        )
                         break
                 if hit is not None:
                     dims.append(hit)
@@ -569,14 +584,17 @@ def match_join_agg_shape(
         return None if bad else out
 
     # Group keys: resolved per side, bare, in order.
+    left_dims = {d.dim for d in dims if d.how == "left"}
     key_refs = [k.strip() for k in m.group("keys").split(",")]
     keys: list[tuple[str, str]] = []
     for ref in key_refs:
         r = resolve(ref)
         # Ambiguous key names (present in several tables) are rejected
         # even when qualified: the joined relation stores bare names,
-        # so provenance would be lost.
-        if r is None or r[1].lower() in ambiguous:
+        # so provenance would be lost. Keys from a LEFT dim are
+        # rejected too: unmatched rows would put NULL in the MV's
+        # primary key, which the keyed store cannot address.
+        if r is None or r[1].lower() in ambiguous or r[0] in left_dims:
             return None
         keys.append(r)
     items = _split_select_list(m.group("select"))
@@ -654,6 +672,7 @@ def match_join_agg_shape(
             parent=d.parent,
             parent_col=d.parent_col,
             dim_cols=tuple(sorted(need[d.dim])),
+            how=d.how,
         )
         for d in dims
     ]

@@ -1364,3 +1364,86 @@ def mvapp_auto_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         return app.read().localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_left_join_agg",
+    """
+    WITH final_customer_lj AS (
+        SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 <> 0
+    ),
+    final_orders_lj AS (
+        SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey % 8 <> 0
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_all,
+           count(c_name) AS n_matched,
+           round(sum(o_totalprice), 2) AS total
+    FROM final_orders_lj o
+      LEFT JOIN final_customer_lj c ON o.o_custkey = c.c_custkey
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "LEFT-JOIN aggregate MV auto-routed to IncrementalJoinAggMV "
+        "with how=left: unmatched fact rows STAY in the view with NULL "
+        "dim columns instead of leaving the join, so count(*) holds "
+        "while count(dim_col) drops as the dim churns. Dim deletes move "
+        "whole groups of rows from matched to unmatched; fact deletes "
+        "retract. A green row proves the preserved-side semantics "
+        "survive incremental maintenance."
+    ),
+    tags=("mv", "incremental", "planner", "join"),
+)
+def mvapp_auto_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_lj_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("ord_lj", t["orders"], pk=["o_orderkey"])
+            .source("cust_lj", t["customer"], pk=["c_custkey"])
+            .query(
+                """SELECT o_orderpriority, count(*) AS n_all,
+                          count(c_name) AS n_matched,
+                          sum(o_totalprice) AS total_raw
+                   FROM ord_lj o LEFT JOIN cust_lj c
+                     ON o.o_custkey = c.c_custkey
+                   GROUP BY o_orderpriority"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalJoinAggMV":
+            raise AssertionError(
+                f"planner routed left join+agg to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        b1 = (
+            t["customer"].filter(F.col("c_custkey") % 3 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"cust_lj": b1}, batch_id=1)
+        b2 = (
+            t["orders"].filter(F.col("o_orderkey") % 8 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"ord_lj": b2}, batch_id=2)
+        return (
+            app.read()
+            .select(
+                "o_orderpriority",
+                "n_all",
+                "n_matched",
+                F.round("total_raw", 2).alias("total"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
