@@ -417,3 +417,75 @@ def test_planner_routes_distinct_to_incremental(spark, tmp_path):
     # deleted customers' pairs are gone; movers' pairs re-keyed
     assert not any(k % 10 == 2 for k, _ in got)
     assert all(p == "9-SYNTH" for k, p in got if k % 10 == 1)
+
+
+def test_match_topn_shape_matcher():
+    from tiflink_spark.planner import match_topn_shape
+
+    cols = {"orders": ["o_orderkey", "o_custkey", "o_totalprice"]}
+    q = """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             FROM orders) t WHERE rn <= 3"""
+    s = match_topn_shape(q, {"orders"}, cols)
+    assert s is not None
+    assert (s.fact, s.group_key, s.order_col) == ("orders", "o_custkey", "o_totalprice")
+    assert s.descending and s.k == 3 and s.rank_alias == "rn"
+    assert s.tie == ("o_orderkey",)
+    # rejects: rank alias shadowing a column; wrong WHERE ident; k < 1
+    assert (
+        match_topn_shape(
+            q.replace("AS rn", "AS o_custkey").replace("rn <=", "o_custkey <="),
+            {"orders"},
+            cols,
+        )
+        is None
+    )
+    assert match_topn_shape(q.replace("WHERE rn", "WHERE o_orderkey"), {"orders"}, cols) is None
+    assert match_topn_shape(q.replace("<= 3", "<= 0"), {"orders"}, cols) is None
+
+
+def test_planner_routes_topn_to_incremental(spark, tmp_path):
+    """The ROW_NUMBER <= k pattern routes to IncrementalTopKMV and
+    converges under deletes that promote lower-ranked rows."""
+    app = (
+        MVApp.builder(spark)
+        .source("orders_tn", f"{SF_DIR}/orders.parquet", pk=["o_orderkey"])
+        .query(
+            """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+                 SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                 FROM orders_tn) t WHERE rn <= 2"""
+        )
+        .target(str(tmp_path / "mv_topn"))
+        .num_buckets(4)
+        .shuffle_partitions(4)
+        .build()
+    )
+    assert app.maintenance_strategy == "IncrementalTopKMV"
+    assert app.mv_pk == ["o_custkey", "rn"]
+    app.bootstrap()
+    assert app.read().columns == ["o_custkey", "o_orderkey", "o_totalprice", "rn"]
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    # delete every current rank-1 candidate (top spender per customer):
+    # rank 2 must be promoted, and rank 2 slots refilled from below
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    top1 = orders.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    changes = top1.withColumn(OP_COL, F.lit(OP_DELETE)).withColumn(
+        SEQ_COL, F.monotonically_increasing_id()
+    )
+    assert app.refresh({"orders_tn": changes}, batch_id=1)
+
+    remaining = orders.join(top1.select("o_orderkey"), "o_orderkey", "left_anti")
+    exp = (
+        remaining.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+    got = {(r.o_custkey, r.rn): r.o_orderkey for r in app.read().collect()}
+    want = {(r.o_custkey, r.rn): r.o_orderkey for r in exp.collect()}
+    assert got == want

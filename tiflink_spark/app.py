@@ -36,6 +36,7 @@ from tiflink_spark.mv import (
     IncrementalAggMV,
     IncrementalJoinAggMV,
     IncrementalJoinMV,
+    IncrementalTopKMV,
     RecomputeMV,
 )
 from tiflink_spark.incremental import Measure
@@ -45,6 +46,7 @@ from tiflink_spark.planner import (
     match_distinct_shape,
     match_join_agg_shape,
     match_join_shape,
+    match_topn_shape,
 )
 from tiflink_spark.store import KeyedParquetStore
 from tiflink_spark.types import create_table_ddl
@@ -347,6 +349,45 @@ class MVApp:
                 }
                 return
 
+        # Per-group Top-N (the ROW_NUMBER <= k pattern Flink's
+        # update-mode planner special-cases as its Top-N operator) —
+        # routed to dirty-group re-ranking. The window's trailing ORDER
+        # BY columns must be exactly the fact PK: that is the
+        # deterministic total order IncrementalTopKMV maintains, and
+        # without it rank slots on ties are ambiguous.
+        tn = match_topn_shape(query, set(dfs), source_columns)
+        if tn is not None:
+            spec = dfs[tn.fact][0]
+            tie_ok = spec.pk and [c.lower() for c in tn.tie] == [
+                c.lower() for c in spec.pk
+            ]
+            if tie_ok and (
+                pk is None or list(pk) == [tn.group_key, tn.rank_alias]
+            ):
+                self.maintenance_mode = "incremental"
+                self._fact_name, self._dim_name = tn.fact, None
+                self._join_names = self._change_filter = None
+                self.mv_pk = [tn.group_key, tn.rank_alias]
+                self.ddl = create_table_ddl(
+                    os.path.basename(target), self.mv_schema, self.mv_pk
+                )
+                self._mv = IncrementalTopKMV(
+                    spark,
+                    fact=dfs[tn.fact][1],
+                    fact_pk=spec.pk,
+                    group_key=tn.group_key,
+                    order_col=tn.order_col,
+                    out_cols=[c for c in tn.out_cols if c.lower() != tn.rank_alias.lower()],
+                    k=tn.k,
+                    work_dir=target,
+                    descending=tn.descending,
+                    num_buckets=num_buckets,
+                    shuffle_partitions=shuffle_partitions,
+                    rank_col=tn.rank_alias,
+                )
+                self._stores = {tn.fact: self._mv.fact_store}
+                return
+
         self.maintenance_mode = "recompute"
         self._fact_name = self._dim_name = self._change_filter = self._join_names = None
         for name, (spec_, df) in dfs.items():
@@ -420,6 +461,10 @@ class MVApp:
                 from tiflink_spark.changelog import apply_filter
 
                 fact_delta = apply_filter(fact_delta, self._change_filter)
+            if dim_delta is None:
+                # fact-only MVs (agg without dim, distinct, top-k) share
+                # the (changes, batch_id) refresh signature
+                return self._mv.refresh(fact_delta, batch_id)
             return self._mv.refresh(fact_delta, batch_id, dim_changes=dim_delta)
         return self._mv.refresh(changes, batch_id)
 

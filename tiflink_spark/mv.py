@@ -299,6 +299,7 @@ class IncrementalTopKMV:
         descending: bool = True,
         num_buckets: int | None = None,
         shuffle_partitions: int | None = None,
+        rank_col: str = "rank",
     ):
         self.spark = spark
         self.shuffle_partitions = shuffle_partitions
@@ -309,11 +310,12 @@ class IncrementalTopKMV:
         self.out_cols = out_cols
         self.k = k
         self.descending = descending
+        self.rank_col = rank_col
         self.fact_store = KeyedParquetStore(
             spark, os.path.join(work_dir, "fact"), fact_pk, num_buckets
         )
         self.target = KeyedParquetStore(
-            spark, os.path.join(work_dir, "mv"), [group_key, "rank"], num_buckets
+            spark, os.path.join(work_dir, "mv"), [group_key, rank_col], num_buckets
         )
 
     def _topk(self, rows: DataFrame) -> DataFrame:
@@ -321,10 +323,10 @@ class IncrementalTopKMV:
 
         ordc = F.col(self.order_col).desc() if self.descending else F.col(self.order_col)
         w = Window.partitionBy(self.group_key).orderBy(ordc, *self.fact_pk)
-        cols = list(dict.fromkeys([self.group_key, "rank", *self.out_cols]))
+        cols = list(dict.fromkeys([self.group_key, self.rank_col, *self.out_cols]))
         return (
-            rows.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= self.k)
+            rows.withColumn(self.rank_col, F.row_number().over(w).cast("long"))
+            .filter(F.col(self.rank_col) <= self.k)
             .select(*cols)
         )
 

@@ -214,6 +214,93 @@ def match_distinct_shape(
 
 
 @dataclass(frozen=True)
+class TopNShape:
+    """The canonical per-group Top-N pattern (Flink's update-mode
+    planner special-cases exactly this SQL shape as its Top-N
+    operator):
+
+        SELECT c1[, c2 ...] FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY g ORDER BY o [ASC|DESC][, pk...]) AS rn
+            FROM fact
+        ) [t] WHERE rn <= k
+
+    Routed to :class:`tiflink_spark.mv.IncrementalTopKMV` (dirty-group
+    re-rank). ``tie`` holds the trailing ORDER BY columns; the caller
+    must verify they equal the fact's declared PK — without a
+    deterministic total order the rank slots are ambiguous, so the
+    incremental result could legitimately differ from a batch rerun.
+    """
+
+    fact: str
+    group_key: str
+    order_col: str
+    descending: bool
+    rank_alias: str
+    k: int
+    out_cols: tuple[str, ...]
+    tie: tuple[str, ...]
+
+
+_TOPN_RE = re.compile(
+    rf"^\s*SELECT\s+(?P<select>{_IDENT}(?:\s*,\s*{_IDENT})*)\s+FROM\s+\(\s*"
+    rf"SELECT\s+\*\s*,\s*ROW_NUMBER\s*\(\s*\)\s+OVER\s*\(\s*"
+    rf"PARTITION\s+BY\s+(?P<g>{_IDENT})\s+"
+    rf"ORDER\s+BY\s+(?P<o>{_IDENT})(?:\s+(?P<dir>ASC|DESC))?"
+    rf"(?P<tie>(?:\s*,\s*{_IDENT})*)\s*\)\s+AS\s+(?P<rn>{_IDENT})\s+"
+    rf"FROM\s+(?P<table>{_IDENT})\s*\)(?:\s+(?:AS\s+)?(?P<ta>{_IDENT}))?\s+"
+    rf"WHERE\s+(?P<rncond>{_IDENT})\s*<=\s*(?P<k>\d+)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def match_topn_shape(
+    query: str,
+    source_names: set[str],
+    source_columns: dict[str, list[str]] | None = None,
+) -> TopNShape | None:
+    """Match the per-group Top-N pattern, or None for the fallback."""
+    m = _TOPN_RE.match(query)
+    if m is None or m.group("table") not in source_names:
+        return None
+    if m.group("rncond").lower() != m.group("rn").lower():
+        return None
+    if m.group("ta") and m.group("ta").lower() in _CLAUSE_KEYWORDS:
+        return None
+    rn = m.group("rn")
+    sel = [c.strip() for c in m.group("select").split(",")]
+    cols_known = None
+    if source_columns is not None:
+        cols_known = {c.lower() for c in source_columns.get(m.group("table"), [])}
+        if rn.lower() in cols_known:
+            return None  # rank alias shadowing a real column is ambiguous
+        for c in sel:
+            if c.lower() != rn.lower() and c.lower() not in cols_known:
+                return None
+        if (
+            m.group("g").lower() not in cols_known
+            or m.group("o").lower() not in cols_known
+        ):
+            return None
+    tie = tuple(
+        c.strip() for c in m.group("tie").split(",") if c.strip()
+    )
+    k = int(m.group("k"))
+    if k < 1:
+        return None
+    return TopNShape(
+        fact=m.group("table"),
+        group_key=m.group("g"),
+        order_col=m.group("o"),
+        descending=(m.group("dir") or "asc").lower() == "desc",
+        rank_alias=rn,
+        k=k,
+        out_cols=tuple(c for c in sel),
+        tie=tie,
+    )
+
+
+@dataclass(frozen=True)
 class JoinShape:
     """A two-sided equi-join matched to IncrementalJoinMV maintenance:
 

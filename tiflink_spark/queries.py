@@ -1225,6 +1225,7 @@ _PRIORITY = [
     "mvapp_auto_star_agg",
     "mvapp_auto_distinct",
     "mvapp_auto_left_join_agg",
+    "mvapp_auto_topn",
     # past 50: the gates a strictly 50-count-capped driver window would
     # drop — mvapp_auto_join's engine class is already proven in-window
     # by mv_join_incremental, and mv_topk is pytest-property-covered

@@ -1447,3 +1447,57 @@ def mvapp_auto_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_topn",
+    f"""
+    WITH {_FINAL_ORDERS_SQL}
+    SELECT o_custkey, o_orderkey, rn FROM (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM final_orders) WHERE rn <= 2
+    """,
+    doc=(
+        "Per-group Top-N MV auto-routed by the planner: the ROW_NUMBER "
+        "<= k SQL pattern (the exact shape Flink's update-mode planner "
+        "special-cases as its Top-N operator) routes to "
+        "IncrementalTopKMV dirty-group re-ranking. The canonical "
+        "3-batch churn script moves orders across customers (groups "
+        "shrink below k, lower rows promote; groups grow, slots "
+        "displace). The fn raises unless routed incrementally."
+    ),
+    tags=("mv", "incremental", "planner", "topk"),
+)
+def mvapp_auto_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_tn_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("orders_tn", t["orders"], pk=["o_orderkey"])
+            .query(
+                """SELECT o_custkey, o_orderkey, rn FROM (
+                     SELECT *, ROW_NUMBER() OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                     FROM orders_tn) t WHERE rn <= 2"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalTopKMV":
+            raise AssertionError(
+                f"planner routed Top-N to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        for i, b in enumerate(scripted_batches(t["orders"]), start=1):
+            app.refresh({"orders_tn": b}, batch_id=i)
+        return app.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
