@@ -148,3 +148,28 @@ def test_registry_wide_plan_audit(spark):
                 failures.append((name, pat))
     assert not failures, failures
     assert audited > 100, f"audit unexpectedly small: {audited} queries"
+
+
+def test_text_hygiene_ops_stay_jvm_side(spark):
+    """The PII/chunking/repetition passes are regexp/array built-ins —
+    a refactor must not reintroduce Python into the hot path."""
+    for name in ("text_pii_redact", "text_chunk_windows", "text_repetition_score"):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_contamination_broadcasts_benchmark_grams(spark):
+    """The benchmark gram set is tiny relative to the corpus: the
+    decontamination join must broadcast it, not shuffle the corpus."""
+    plan = _plan(spark, "text_contamination_ngram")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_mixture_sampling_pushes_work_map_side(spark):
+    """Inclusion is decided per row before the shuffle; only per-source
+    partial aggregates move."""
+    plan = _plan(spark, "sample_mixture_weighted")
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan

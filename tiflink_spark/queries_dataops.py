@@ -288,3 +288,37 @@ def corpus_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_chars"), 2).alias("avg_chars"),
         F.round(F.expr("percentile(n_chars, 0.5)"), 1).alias("median_chars"),
     )
+
+
+_MIX_RATE_SQL = (
+    "CASE source WHEN 'src0' THEN 60 WHEN 'src1' THEN 25 ELSE 10 END"
+)
+
+
+@register(
+    "sample_mixture_weighted",
+    f"""
+    SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM documents
+    WHERE {_pct_expr("doc_id", "duck")} < {_MIX_RATE_SQL}
+    GROUP BY source
+    """,
+    doc=(
+        "Weighted mixture sampling: per-source inclusion rates (the "
+        "dataset-mixture knob of every pretraining pipeline — upsample "
+        "high-quality sources, downsample the crawl) applied via the "
+        "deterministic hash-percent primitive, so the mixture is "
+        "reproducible across reruns, engines, and partitionings. One "
+        "scan, filter evaluated map-side, partial-agg shuffle by "
+        "source only."
+    ),
+    tags=("llm", "dataops", "sample"),
+)
+def sample_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir)
+    return spark.sql(
+        f"""SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+            FROM documents
+            WHERE {_pct_expr("doc_id", "spark")} < {_MIX_RATE_SQL}
+            GROUP BY source"""
+    )
