@@ -380,3 +380,100 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = dedup_connected_components(spark, sf_dir)
     drop = cc.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return t["documents"].join(drop, "doc_id", "left_anti").select("doc_id")
+
+
+_PREP_MIN_CHARS = 150
+_PREP_MAX_REP = 0.7
+_PREP_SHARDS = 8
+_PREP_CHUNK, _PREP_STRIDE = 32, 24
+
+
+@register(
+    "pipeline_corpus_prep",
+    f"""
+    WITH canon AS (
+        SELECT md5(text) AS h, min(doc_id) AS doc_id
+        FROM documents GROUP BY md5(text)),
+    survivors AS (
+        SELECT d.doc_id, d.text, d.n_chars
+        FROM documents d JOIN canon c ON d.doc_id = c.doc_id
+        WHERE d.n_chars >= {_PREP_MIN_CHARS}),
+    w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+          FROM survivors),
+    g AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+          FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+          WHERE len(ws) >= 3),
+    rep AS (SELECT doc_id,
+                   1 - count(DISTINCT gram) * 1.0 / count(*) AS rep_ratio
+            FROM g GROUP BY doc_id),
+    clean AS (
+        SELECT w.doc_id, w.ws FROM w JOIN rep USING (doc_id)
+        WHERE rep.rep_ratio <= {_PREP_MAX_REP}),
+    chunks AS (
+        SELECT doc_id,
+               len(ws[s + 1:s + {_PREP_CHUNK}]) AS n_words
+        FROM clean, UNNEST(range(0, greatest(len(ws), 1), {_PREP_STRIDE})) AS t(s)),
+    sharded AS (
+        SELECT doc_id, n_words,
+               {_pct_expr("doc_id", "duck")} % {_PREP_SHARDS} AS shard
+        FROM chunks)
+    SELECT shard, count(*) AS n_chunks,
+           count(DISTINCT doc_id) AS n_docs,
+           sum(n_words) AS total_words
+    FROM sharded GROUP BY shard
+    """,
+    doc=(
+        "END-TO-END corpus preparation — the full preprocessing chain a "
+        "training run needs, composed from the engine's own stages in "
+        "one lazy plan: exact dedup (canonical min doc_id per content "
+        "hash) -> length filter -> repetition filter (duplicate-3-gram "
+        "ratio) -> sliding-window chunking -> deterministic shard "
+        "assignment -> per-shard stats. Proves the hygiene operators "
+        "compose without materialization barriers; every stage is the "
+        "same shuffle-on-key shape it has standalone, so the pipeline "
+        "scales exactly as its worst stage does."
+    ),
+    tags=("llm", "pipeline", "hygiene"),
+)
+def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.queries_llm import _doc_grams, _words
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    canon = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    survivors = (
+        docs.join(canon.select("doc_id"), "doc_id")
+        .filter(F.col("n_chars") >= _PREP_MIN_CHARS)
+        .select("doc_id", "text")
+    )
+    rep = (
+        _doc_grams(survivors, n=3, distinct=False)
+        .groupBy("doc_id")
+        .agg(
+            (1 - F.countDistinct("gram") / F.count(F.lit(1))).alias("rep_ratio")
+        )
+    )
+    clean = survivors.join(rep, "doc_id").filter(
+        F.col("rep_ratio") <= _PREP_MAX_REP
+    )
+    ws = _words(F.col("text"))
+    n = F.size(ws)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(_PREP_STRIDE))
+    chunks = clean.select(
+        "doc_id", ws.alias("ws"), F.explode(starts).alias("s")
+    ).select(
+        "doc_id",
+        F.size(F.slice(F.col("ws"), F.col("s") + 1, _PREP_CHUNK)).alias("n_words"),
+    )
+    shard = (F.expr(_pct_expr("doc_id", "spark")) % _PREP_SHARDS).alias("shard")
+    return (
+        chunks.select("doc_id", "n_words", shard)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+        )
+    )
