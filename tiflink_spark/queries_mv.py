@@ -1501,3 +1501,130 @@ def mvapp_auto_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         return app.read().localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_star_streaming",
+    """
+    WITH final_orders_sn AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 10
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 9 <> 0
+    ),
+    final_customer_sn AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 3 THEN (c_nationkey + 7) % 25
+                    ELSE c_nationkey END AS c_nationkey
+        FROM customer WHERE c_custkey % 10 <> 4
+    ),
+    final_nation_sn AS (
+        SELECT n_nationkey,
+               CASE WHEN n_nationkey % 3 = 0 THEN n_name || '_X'
+                    ELSE n_name END AS n_name
+        FROM nation WHERE n_nationkey <> 7
+    )
+    SELECT n_name,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM final_orders_sn o
+      JOIN final_customer_sn c ON o.o_custkey = c.c_custkey
+      JOIN final_nation_sn n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n_name
+    """,
+    doc=(
+        "END-TO-END streaming snowflake MV: the three-table churn "
+        "script (fact, middle dim, leaf dim) is written as changelog "
+        "directories, consumed by spark.readStream file sources through "
+        "MVApp.start_streaming, and applied via writeStream.foreachBatch "
+        "-> IncrementalJoinAggMV.refresh (MERGE into the versioned "
+        "keyed store) — the reference's full multi-source pipeline "
+        "(TiFlinkApp.java:70-116) on the multi-dim maintenance route, "
+        "proving the planner's join tree survives the real streaming "
+        "lifecycle, not just scripted refresh calls."
+    ),
+    tags=("mv", "streaming", "planner", "join", "snowflake"),
+)
+def mvapp_star_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_snowstream_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("ord_ss", t["orders"], pk=["o_orderkey"])
+            .source("cust_ss", t["customer"], pk=["c_custkey"])
+            .source("nat_ss", t["nation"], pk=["n_nationkey"])
+            .query(
+                """SELECT n.n_name,
+                          count(*) AS n_orders,
+                          sum(o.o_totalprice) AS total_raw
+                   FROM ord_ss o
+                     JOIN cust_ss c ON o.o_custkey = c.c_custkey
+                     JOIN nat_ss n ON c.c_nationkey = n.n_nationkey
+                   GROUP BY n.n_name"""
+            )
+            .target(os.path.join(work, "mv"))
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalJoinAggMV":
+            raise AssertionError(
+                f"planner routed snowflake join+agg to {app.maintenance_strategy}"
+            )
+        b_ord = (
+            t["orders"].filter(F.col("o_orderkey") % 9 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .unionByName(
+                t["orders"].filter(
+                    (F.col("o_orderkey") % 9 != 0) & (F.col("o_orderkey") % 4 == 0)
+                )
+                .withColumn("o_totalprice", F.col("o_totalprice") + 10)
+                .withColumn(OP_COL, F.lit(OP_UPDATE))
+            )
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        b_cust = (
+            t["customer"].filter(F.col("c_custkey") % 10 == 3)
+            .withColumn("c_nationkey", (F.col("c_nationkey") + 7) % 25)
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .unionByName(
+                t["customer"].filter(F.col("c_custkey") % 10 == 4).withColumn(
+                    OP_COL, F.lit(OP_DELETE)
+                )
+            )
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        b_nat = (
+            t["nation"].filter(F.col("n_nationkey") % 3 == 0)
+            .withColumn("n_name", F.concat(F.col("n_name"), F.lit("_X")))
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .unionByName(
+                t["nation"].filter(F.col("n_nationkey") == 7).withColumn(
+                    OP_COL, F.lit(OP_DELETE)
+                )
+            )
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        dirs = {}
+        for name, b in (("ord_ss", b_ord), ("cust_ss", b_cust), ("nat_ss", b_nat)):
+            d = os.path.join(work, f"chlog_{name}")
+            b.coalesce(1).write.mode("overwrite").parquet(d)
+            dirs[name] = d
+        app.bootstrap()
+        app.start_streaming(dirs, checkpoint_dir=os.path.join(work, "ckpt"))
+        return (
+            app.read()
+            .select(
+                "n_name",
+                "n_orders",
+                F.round("total_raw", 2).alias("total"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
