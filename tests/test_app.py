@@ -489,3 +489,23 @@ def test_planner_routes_topn_to_incremental(spark, tmp_path):
     got = {(r.o_custkey, r.rn): r.o_orderkey for r in app.read().collect()}
     want = {(r.o_custkey, r.rn): r.o_orderkey for r in exp.collect()}
     assert got == want
+
+
+def test_match_agg_shape_stats_kinds():
+    from tiflink_spark.planner import match_agg_shape
+
+    s = match_agg_shape(
+        "SELECT a, stddev(x) AS sd, variance(x) AS v, stddev_samp(x) AS sd2 "
+        "FROM t GROUP BY a",
+        {"t"},
+    )
+    assert s is not None
+    assert [m.kind for m in s.measures] == ["stddev_samp", "var_samp", "stddev_samp"]
+    # an aggregate call in HAVING still rejects (incl. the new kinds)
+    assert (
+        match_agg_shape(
+            "SELECT a, count(*) AS n FROM t GROUP BY a HAVING stddev(x) > 1",
+            {"t"},
+        )
+        is None
+    )

@@ -43,7 +43,11 @@ INVERTIBLE = ("count", "sum", "avg")
 # (often ~ table size). Dirty-group recompute needs no extra state and
 # its shuffle is pruned to touched groups; at 100 TB that trade is right
 # unless a group's row volume is pathological (same caveat as MIN/MAX).
-NON_INVERTIBLE = ("min", "max", "count_distinct")
+NON_INVERTIBLE = ("min", "max", "count_distinct", "stddev_samp", "var_samp")
+# stddev/variance COULD merge invertibly via (n, sum, sum-of-squares)
+# delta arithmetic, but catastrophic cancellation under heavy retraction
+# makes the running sumsq numerically unsafe; dirty-group recompute uses
+# Spark's stable single-pass estimator instead, same trade as MIN/MAX.
 
 
 def _mexpr(m: "Measure"):
@@ -56,7 +60,7 @@ def _mexpr(m: "Measure"):
 
 @dataclass(frozen=True)
 class Measure:
-    kind: str  # count | sum | avg | min | max | count_distinct
+    kind: str  # count | sum | avg | min | max | count_distinct | stddev_samp | var_samp
     col: str | None  # None for count(*); may be a row-local expression
     alias: str
 
@@ -122,6 +126,10 @@ def aggregate_state(df: DataFrame, group_keys: list[str], measures: list[Measure
             aggs.append(F.max(_mexpr(m)).alias(f"__ext_{m.alias}"))
         if m.kind == "count_distinct":
             aggs.append(F.count_distinct(_mexpr(m)).alias(f"__ext_{m.alias}"))
+        if m.kind == "stddev_samp":
+            aggs.append(F.stddev_samp(_mexpr(m)).alias(f"__ext_{m.alias}"))
+        if m.kind == "var_samp":
+            aggs.append(F.var_samp(_mexpr(m)).alias(f"__ext_{m.alias}"))
     return df.groupBy(*group_keys).agg(*aggs)
 
 

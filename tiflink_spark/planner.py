@@ -60,17 +60,20 @@ _SQL_KEYWORDS = frozenset(
 # the predicate at different times, so rand()/now()-style predicates
 # would diverge from batch semantics.
 _NON_LOCAL_WHERE = re.compile(
-    r"\(\s*SELECT\b|\b(?:count|sum|avg|min|max)\s*\("
+    r"\(\s*SELECT\b|\b(?:count|sum|avg|min|max|stddev_samp|stddev|var_samp|variance)\s*\("
     r"|\b(?:rand|randn|random|uuid|shuffle|now|current_timestamp|"
     r"current_date|current_time|localtimestamp|unix_timestamp)(?:\s*\(|\b)",
     re.IGNORECASE,
 )
 
 _AGG_RE = re.compile(
-    rf"^(?P<kind>count|sum|avg|min|max)\s*\(\s*"
+    rf"^(?P<kind>count|sum|avg|min|max|stddev_samp|stddev|var_samp|variance)\s*\(\s*"
     rf"(?P<arg>.+?)\s*\)\s+AS\s+(?P<alias>{_IDENT})\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+# SQL surface name → internal Measure kind.
+_AGG_KIND = {"stddev": "stddev_samp", "variance": "var_samp"}
 
 # Keywords permitted inside a row-local aggregate-argument expression
 # (CASE arithmetic etc.) on top of the generic SQL keyword set.
@@ -92,6 +95,7 @@ def _parse_measures(
         if am is None:
             return None
         kind, arg = am.group("kind").lower(), am.group("arg").strip()
+        kind = _AGG_KIND.get(kind, kind)
         if arg == "*":
             if kind != "count":
                 return None  # sum(*) etc. is not SQL

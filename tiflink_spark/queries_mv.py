@@ -1628,3 +1628,98 @@ def mvapp_star_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_stats_agg",
+    f"""
+    WITH final_orders_sa AS (
+        SELECT o_orderkey, o_orderpriority,
+               CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0 AND o_orderkey < {BIG}
+                    THEN o_totalprice + 100 ELSE o_totalprice END AS o_totalprice
+        FROM (
+            SELECT o_orderkey, o_orderpriority, o_totalprice
+            FROM orders WHERE o_orderkey % 7 <> 0
+            UNION ALL
+            SELECT o_orderkey + {BIG}, o_orderpriority, o_totalprice * 2
+            FROM orders WHERE o_orderkey % 100 = 0
+        )
+    )
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(stddev_samp(o_totalprice), 2) AS sd_price,
+           round(var_samp(o_totalprice) / 1000000, 2) AS var_price_m
+    FROM final_orders_sa GROUP BY o_orderpriority
+    """,
+    doc=(
+        "STDDEV/VARIANCE maintained incrementally (planner-routed "
+        "IncrementalAggMV): the estimators are non-invertible in "
+        "practice — (n, sum, sumsq) delta arithmetic suffers "
+        "catastrophic cancellation under heavy retraction — so they "
+        "ride the dirty-group recompute path (Spark's stable one-pass "
+        "estimator over touched groups only), composing freely with "
+        "invertible COUNT in the same view. Churn: deletes, price "
+        "updates, and doubled-price inserts across all groups."
+    ),
+    tags=("mv", "incremental", "planner", "stats"),
+)
+def mvapp_auto_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_sa_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("orders_sa", t["orders"], pk=["o_orderkey"])
+            .query(
+                """SELECT o_orderpriority, count(*) AS n,
+                          stddev(o_totalprice) AS sd_raw,
+                          variance(o_totalprice) AS var_raw
+                   FROM orders_sa GROUP BY o_orderpriority"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalAggMV":
+            raise AssertionError(
+                f"planner routed stats agg to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        ords = t["orders"]
+        b1 = (
+            ords.filter(F.col("o_orderkey") % 100 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + BIG)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+            .withColumn(OP_COL, F.lit(OP_INSERT))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        b2 = (
+            ords.filter(F.col("o_orderkey") % 7 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        b3 = (
+            ords.filter((F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 7 != 0))
+            .withColumn("o_totalprice", F.col("o_totalprice") + 100)
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        for i, b in enumerate((b1, b2, b3), start=1):
+            app.refresh({"orders_sa": b}, batch_id=i)
+        return (
+            app.read()
+            .select(
+                "o_orderpriority",
+                "n",
+                F.round("sd_raw", 2).alias("sd_price"),
+                # variance magnitude ~1e10: present in millions so the
+                # rounding grain sits far above cross-engine double ulp
+                F.round(F.col("var_raw") / 1_000_000, 2).alias("var_price_m"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
