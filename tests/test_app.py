@@ -509,3 +509,50 @@ def test_match_agg_shape_stats_kinds():
         )
         is None
     )
+
+
+def test_match_union_all_shape_matcher():
+    from tiflink_spark.planner import match_union_all_shape
+
+    cols = {
+        "a": ["id", "v", "w"],
+        "b": ["bid", "bv", "bw"],
+    }
+    pks = {"a": ["id"], "b": ["bid"]}
+    s = match_union_all_shape(
+        "SELECT id, v FROM a UNION ALL SELECT bid, bv FROM b", {"a", "b"}, cols, pks
+    )
+    assert s is not None and s.key_pos == 0 and s.out_cols == ("id", "v")
+    # PK missing from a branch's select list → not addressable
+    assert (
+        match_union_all_shape(
+            "SELECT v, w FROM a UNION ALL SELECT bid, bv FROM b", {"a", "b"}, cols, pks
+        )
+        is None
+    )
+    # PKs at different positions → no shared key column
+    assert (
+        match_union_all_shape(
+            "SELECT id, v FROM a UNION ALL SELECT bv, bid FROM b", {"a", "b"}, cols, pks
+        )
+        is None
+    )
+    # width mismatch, UNION (distinct), duplicate branch table
+    assert (
+        match_union_all_shape(
+            "SELECT id, v FROM a UNION ALL SELECT bid FROM b", {"a", "b"}, cols, pks
+        )
+        is None
+    )
+    assert (
+        match_union_all_shape(
+            "SELECT id, v FROM a UNION SELECT bid, bv FROM b", {"a", "b"}, cols, pks
+        )
+        is None
+    )
+    assert (
+        match_union_all_shape(
+            "SELECT id, v FROM a UNION ALL SELECT id, w FROM a", {"a", "b"}, cols, pks
+        )
+        is None
+    )

@@ -47,6 +47,7 @@ from tiflink_spark.planner import (
     match_join_agg_shape,
     match_join_shape,
     match_topn_shape,
+    match_union_all_shape,
 )
 from tiflink_spark.store import KeyedParquetStore
 from tiflink_spark.types import create_table_ddl
@@ -128,7 +129,9 @@ class MVApp:
         self._ddl_hook = ddl_hook
         self.target_path = target
         self._stores: dict[str, KeyedParquetStore] = {}
-        self._join_agg = False
+        # True when the MV class takes a {table: changes} dict refresh
+        # (multi-table maintenance: join-agg trees, union-all)
+        self._dict_refresh = False
 
         dfs: dict[str, tuple] = {}
         for name, (src, spk) in sources.items():
@@ -248,7 +251,7 @@ class MVApp:
             self.maintenance_mode = "incremental"
             self._fact_name, self._dim_name = ja.fact, None
             self._join_names = self._change_filter = None
-            self._join_agg = True
+            self._dict_refresh = True
             self._ja_tables = {ja.fact, *(d.dim for d in ja.dims)}
             self.mv_pk = list(ja.group_keys)
             self.ddl = create_table_ddl(os.path.basename(target), self.mv_schema, self.mv_pk)
@@ -349,6 +352,41 @@ class MVApp:
                 }
                 return
 
+        # Bare multi-branch UNION ALL — the multi-source ingestion
+        # view, stateless under changelogs: each branch's changes
+        # project straight into the target keyed by (branch tag, PK).
+        # The hidden tag is the real uniqueness carrier; the advertised
+        # MV PK is per-source.
+        ua = match_union_all_shape(
+            query, set(dfs), source_columns, {n: d[0].pk for n, d in dfs.items()}
+        )
+        if ua is not None and pk is None:
+            from tiflink_spark.mv import IncrementalUnionMV
+
+            self.maintenance_mode = "incremental"
+            self._fact_name = self._dim_name = None
+            self._join_names = self._change_filter = None
+            self._dict_refresh = True
+            self._ja_tables = {t for t, _ in ua.branches}
+            self.mv_pk = [ua.out_cols[ua.key_pos]]
+            self.ddl = create_table_ddl(
+                os.path.basename(target), self.mv_schema, self.mv_pk
+            )
+            self._mv = IncrementalUnionMV(
+                spark,
+                branches={
+                    t: (dfs[t][1], dfs[t][0].pk[0], list(cols))
+                    for t, cols in ua.branches
+                },
+                out_cols=list(ua.out_cols),
+                key_pos=ua.key_pos,
+                work_dir=target,
+                num_buckets=num_buckets,
+                shuffle_partitions=shuffle_partitions,
+            )
+            self._stores = {}
+            return
+
         # Per-group Top-N (the ROW_NUMBER <= k pattern Flink's
         # update-mode planner special-cases as its Top-N operator) —
         # routed to dirty-group re-ranking. The window's trailing ORDER
@@ -437,7 +475,7 @@ class MVApp:
             if ld is None and rd is None:
                 return False
             return self._mv.refresh(ld, rd, batch_id)
-        if self.maintenance_mode == "incremental" and self._join_agg:
+        if self.maintenance_mode == "incremental" and self._dict_refresh:
             unknown = set(changes) - self._ja_tables
             if unknown:
                 raise ValueError(

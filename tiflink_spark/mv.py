@@ -366,6 +366,85 @@ class IncrementalTopKMV:
         return self.target.read(version)
 
 
+class IncrementalUnionMV:
+    """Incremental MV for bare multi-branch ``UNION ALL`` — the
+    multi-source ingestion view, and the ONE set operation that is
+    stateless under changelogs (SURVEY §2.2): a branch's change rows
+    project straight into the target with no reference to any other
+    branch's state. The target is keyed by (``__src`` branch tag,
+    shared PK column), so same-valued rows from different sources
+    coexist exactly as UNION ALL semantics require; the hidden tag is
+    projected away by MVApp.read().
+
+    Per-batch work = the batch itself — no joins, no state reads. At
+    100 TB this is a pure map + bucket-pruned MERGE.
+
+    ``branches`` maps table name → (DataFrame, pk column, per-branch
+    column list); ``out_cols`` are the target's user-facing columns.
+    """
+
+    SRC_COL = "__src"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        branches: dict[str, tuple[DataFrame, str, list[str]]],
+        out_cols: list[str],
+        key_pos: int,
+        work_dir: str,
+        num_buckets: int | None = None,
+        shuffle_partitions: int | None = None,
+    ):
+        self.spark = spark
+        self.shuffle_partitions = shuffle_partitions
+        self.branches = branches
+        self.out_cols = list(out_cols)
+        self.key_col = self.out_cols[key_pos]
+        self.target = KeyedParquetStore(
+            spark,
+            os.path.join(work_dir, "mv"),
+            [self.SRC_COL, self.key_col],
+            num_buckets,
+        )
+
+    def _project(self, table: str, df: DataFrame) -> DataFrame:
+        """Branch rows → target schema (output names + branch tag)."""
+        _, _, cols = self.branches[table]
+        sel = [F.col(c).alias(o) for c, o in zip(cols, self.out_cols)]
+        extra = [c for c in (OP_COL, SEQ_COL) if c in df.columns]
+        return df.select(*sel, *[F.col(c) for c in extra]).withColumn(
+            self.SRC_COL, F.lit(table)
+        )
+
+    @_maintenance
+    def bootstrap(self, batch_id=0) -> None:
+        parts = [self._project(t, df) for t, (df, _, _) in self.branches.items()]
+        full = parts[0]
+        for p in parts[1:]:
+            full = full.unionByName(p)
+        self.target.bootstrap(full, batch_id)
+
+    @_maintenance
+    def refresh(self, changes: dict[str, DataFrame], batch_id) -> bool:
+        changes = {k: v for k, v in changes.items() if v is not None}
+        if batch_id in self.target.committed_batches():
+            return False
+        unknown = set(changes) - set(self.branches)
+        if unknown:
+            raise ValueError(f"unknown tables in changes: {sorted(unknown)}")
+        if not changes:
+            return False
+        parts = [self._project(t, df) for t, df in changes.items()]
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        self.target.merge(merged, batch_id)
+        return True
+
+    def read(self, version: int | None = None) -> DataFrame:
+        return self.target.read(version)
+
+
 class IncrementalJoinAggMV:
     """Incremental MV for the canonical star/snowflake-join aggregate
 

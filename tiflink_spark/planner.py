@@ -218,6 +218,74 @@ def match_distinct_shape(
 
 
 @dataclass(frozen=True)
+class UnionAllShape:
+    """``SELECT c... FROM t1 UNION ALL SELECT c... FROM t2 [UNION ALL
+    …]`` with bare column projections — the multi-source ingestion
+    view. UNION ALL is the one set operation that is stateless under
+    changelogs (SURVEY §2.2): each branch's changes project straight
+    into the target, keyed by (branch tag, branch PK). Every branch
+    must select its table's single-column PK at the same select-list
+    position (``key_pos``) so union rows stay addressable.
+
+    ``branches`` is ``(table, per-branch column list)`` in query order;
+    ``out_cols`` are the output names (first branch's, per SQL).
+    """
+
+    branches: tuple[tuple[str, tuple[str, ...]], ...]
+    out_cols: tuple[str, ...]
+    key_pos: int
+
+
+_UNION_BRANCH_RE = re.compile(
+    rf"^\s*SELECT\s+(?P<select>{_IDENT}(?:\s*,\s*{_IDENT})*)\s+"
+    rf"FROM\s+(?P<table>{_IDENT})\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def match_union_all_shape(
+    query: str,
+    source_names: set[str],
+    source_columns: dict[str, list[str]],
+    source_pks: dict[str, list[str]],
+) -> UnionAllShape | None:
+    """Match the bare multi-branch UNION ALL, or None for the fallback."""
+    parts = re.split(r"(?i)\bUNION\s+ALL\b", query.strip().rstrip(";"))
+    if len(parts) < 2:
+        return None
+    branches: list[tuple[str, tuple[str, ...]]] = []
+    for part in parts:
+        bm = _UNION_BRANCH_RE.match(part)
+        if bm is None or bm.group("table") not in source_names:
+            return None
+        table = bm.group("table")
+        cols = tuple(c.strip() for c in bm.group("select").split(","))
+        known = {c.lower(): c for c in source_columns.get(table, [])}
+        if any(c.lower() not in known for c in cols):
+            return None
+        branches.append((table, tuple(known[c.lower()] for c in cols)))
+    if len({t for t, _ in branches}) != len(branches):
+        return None  # duplicate branch tables would collide on the key
+    widths = {len(cols) for _, cols in branches}
+    if len(widths) != 1:
+        return None
+    key_pos = None
+    for t, cols in branches:
+        pk = source_pks.get(t) or []
+        if len(pk) != 1 or pk[0].lower() not in [c.lower() for c in cols]:
+            return None
+        pos = [c.lower() for c in cols].index(pk[0].lower())
+        if key_pos is None:
+            key_pos = pos
+        elif key_pos != pos:
+            return None  # PKs at different positions → no shared key column
+    out_cols = branches[0][1]
+    if len({c.lower() for c in out_cols}) != len(out_cols):
+        return None
+    return UnionAllShape(tuple(branches), out_cols, key_pos)
+
+
+@dataclass(frozen=True)
 class TopNShape:
     """The canonical per-group Top-N pattern (Flink's update-mode
     planner special-cases exactly this SQL shape as its Top-N

@@ -1723,3 +1723,101 @@ def mvapp_auto_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_union",
+    """
+    WITH final_east AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 8 = 2 THEN o_totalprice + 5
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 8 <> 0
+    ),
+    final_west AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 <> 0
+    )
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+    FROM (SELECT * FROM final_east UNION ALL SELECT * FROM final_west)
+    """,
+    doc=(
+        "Multi-source UNION ALL ingestion MV auto-routed to "
+        "IncrementalUnionMV — the one set operation that is stateless "
+        "under changelogs: each branch's changes project straight into "
+        "the target keyed by (branch tag, PK), no joins and no state "
+        "reads, per-batch work = the batch itself. Two disjoint 'region "
+        "shards' of orders churn independently (deletes + price "
+        "updates on each side). The fn raises unless routed "
+        "incrementally."
+    ),
+    tags=("mv", "incremental", "planner", "union"),
+)
+def mvapp_auto_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    east = t["orders"].filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    west = t["orders"].filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="mvapp_un_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("ord_east", east, pk=["o_orderkey"])
+            .source("ord_west", west, pk=["o_orderkey"])
+            .query(
+                "SELECT o_orderkey, o_custkey, o_totalprice FROM ord_east "
+                "UNION ALL "
+                "SELECT o_orderkey, o_custkey, o_totalprice FROM ord_west"
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalUnionMV":
+            raise AssertionError(
+                f"planner routed UNION ALL to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        b_east = (
+            east.filter(F.col("o_orderkey") % 8 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .unionByName(
+                east.filter(F.col("o_orderkey") % 8 == 2)
+                .withColumn("o_totalprice", F.col("o_totalprice") + 5)
+                .withColumn(OP_COL, F.lit(OP_UPDATE))
+            )
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        b_west = (
+            west.filter(F.col("o_orderkey") % 3 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .unionByName(
+                west.filter(
+                    (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 3 != 0)
+                )
+                .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+                .withColumn(OP_COL, F.lit(OP_UPDATE))
+            )
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"ord_east": b_east}, batch_id=1)
+        app.refresh({"ord_west": b_west}, batch_id=2)
+        return (
+            app.read()
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                F.round("o_totalprice", 2).alias("price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
