@@ -560,3 +560,116 @@ class TestSnowflakeConvergence:
                 ), k
         finally:
             shutil.rmtree(work, ignore_errors=True)
+
+
+class TestJoinAggRandomizedConvergence:
+    """Randomized two-sided changelogs + simulated crash replays:
+    the incremental join-aggregate must converge to the batch answer
+    of the final states regardless of interleaving — the property the
+    reference's consistency machinery exists to guarantee
+    (README.md:18-22, roll-forward FlinkTikvProducer.java:211-230)."""
+
+    @pytest.mark.parametrize("seed", [7, 23])
+    def test_two_sided_random_churn_with_crash_replay(self, spark, tmp_path, seed):
+        import random
+
+        from tiflink_spark.mv import IncrementalJoinAggMV
+        from tiflink_spark.incremental import Measure
+        from tiflink_spark.planner import DimJoin
+
+        rng = random.Random(seed)
+        N_FACT, N_DIM, N_ATTR = 50, 12, 5
+
+        fact_state = {
+            k: (rng.randrange(N_DIM), round(rng.uniform(0, 100), 2))
+            for k in range(N_FACT)
+        }
+        dim_state = {dk: rng.randrange(N_ATTR) for dk in range(N_DIM - 3)}
+
+        fact_df = spark.createDataFrame(
+            [(k, fk, v) for k, (fk, v) in fact_state.items()], "k long, fk long, v double"
+        )
+        dim_df = spark.createDataFrame(
+            [(dk, a) for dk, a in dim_state.items()], "dk long, attr long"
+        )
+        mv = IncrementalJoinAggMV(
+            spark,
+            fact_name="f",
+            fact=fact_df,
+            fact_pk=["k"],
+            dims=[
+                DimJoin(dim="d", dim_pk="dk", parent="f", parent_col="fk",
+                        dim_cols=("attr",))
+            ],
+            dim_dfs={"d": dim_df},
+            group_keys=["attr"],
+            measures=[
+                Measure("count", None, "n"),
+                Measure("sum", "v", "total"),
+                Measure("min", "v", "vmin"),
+            ],
+            fact_cols=["v"],
+            work_dir=str(tmp_path / "ja_rand"),
+            num_buckets=4,
+            shuffle_partitions=4,
+        )
+        mv.bootstrap()
+
+        for i in range(1, 5):
+            side = rng.choice(["f", "d", "both"])
+            changes = {}
+            if side in ("f", "both"):
+                rows = []
+                for seq in range(15):
+                    k = rng.randrange(N_FACT + 10)
+                    op = rng.choice([OP_INSERT, OP_UPDATE, OP_UPDATE, OP_DELETE])
+                    fk, v = rng.randrange(N_DIM), round(rng.uniform(0, 100), 2)
+                    if op == OP_DELETE:
+                        rows.append((k, None, None, OP_DELETE, seq))
+                        fact_state.pop(k, None)
+                    else:
+                        rows.append((k, fk, v, op, seq))
+                        fact_state[k] = (fk, v)
+                changes["f"] = spark.createDataFrame(
+                    rows, f"k long, fk long, v double, {OP_COL} string, {SEQ_COL} long"
+                )
+            if side in ("d", "both"):
+                rows = []
+                for seq in range(5):
+                    dk = rng.randrange(N_DIM)
+                    op = rng.choice([OP_UPDATE, OP_UPDATE, OP_DELETE])
+                    a = rng.randrange(N_ATTR)
+                    if op == OP_DELETE:
+                        rows.append((dk, None, OP_DELETE, seq))
+                        dim_state.pop(dk, None)
+                    else:
+                        rows.append((dk, a, op, seq))
+                        dim_state[dk] = a
+                changes["d"] = spark.createDataFrame(
+                    rows, f"dk long, attr long, {OP_COL} string, {SEQ_COL} long"
+                )
+            # every second batch simulates a crash AFTER the source-store
+            # merges committed but BEFORE the MV committed: pre-merge the
+            # stores under the same batch_id, then run the full refresh
+            # (replay) — idempotent merges + versioned retraction must
+            # land on the same state
+            if i % 2 == 0:
+                if "f" in changes:
+                    mv.fact_store.merge(changes["f"], batch_id=i)
+                if "d" in changes:
+                    mv.dim_stores["d"].merge(changes["d"], batch_id=i)
+            mv.refresh(changes, batch_id=i)
+
+        # expected: batch aggregate over the joined final states
+        groups: dict[int, list[float]] = {}
+        for k, (fk, v) in fact_state.items():
+            if fk in dim_state:
+                groups.setdefault(dim_state[fk], []).append(v)
+        want = {
+            a: (len(vs), round(sum(vs), 2), min(vs)) for a, vs in groups.items()
+        }
+        got = {
+            r["attr"]: (r["n"], round(r["total"], 2), r["vmin"])
+            for r in mv.read().collect()
+        }
+        assert got == want
