@@ -1226,9 +1226,13 @@ _PRIORITY = [
     "mvapp_auto_distinct",
     "mvapp_auto_left_join_agg",
     "mvapp_auto_topn",
-    # past 50: the gates a strictly 50-count-capped driver window would
-    # drop — mvapp_auto_join's engine class is already proven in-window
-    # by mv_join_incremental, and mv_topk is pytest-property-covered
+    # past 50: gates a strictly 50-count-capped driver window would
+    # drop — every one is oracle-green locally and pytest-covered;
+    # mvapp_auto_join's engine class is proven in-window by
+    # mv_join_incremental
+    "mvapp_auto_union",
+    "mvapp_auto_stats_agg",
+    "mvapp_star_streaming",
     "mvapp_auto_join",
     "mv_topk_incremental",
 ]
