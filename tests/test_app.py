@@ -556,3 +556,52 @@ def test_match_union_all_shape_matcher():
         )
         is None
     )
+
+
+def test_match_correlated_agg_generalization():
+    from tiflink_spark.planner import match_correlated_count_shape
+
+    cols = {"orders": ["o_orderkey", "o_custkey", "o_totalprice"]}
+    pks = {"orders": ["o_orderkey"], "customer": ["c_custkey"]}
+    s = match_correlated_count_shape(
+        """SELECT c_custkey, c_name,
+                  (SELECT sum(o.o_totalprice) FROM orders o
+                   WHERE o.o_custkey = c.c_custkey) AS total
+           FROM customer c""",
+        {"orders", "customer"},
+        pks,
+        cols,
+    )
+    assert s is not None and (s.agg_kind, s.agg_col) == ("sum", "o_totalprice")
+    # sum(*) is not SQL; unknown column rejects; qualified col must use
+    # the fact alias
+    assert (
+        match_correlated_count_shape(
+            """SELECT c_custkey, (SELECT sum(*) FROM orders o
+               WHERE o.o_custkey = c.c_custkey) AS t FROM customer c""",
+            {"orders", "customer"},
+            pks,
+            cols,
+        )
+        is None
+    )
+    assert (
+        match_correlated_count_shape(
+            """SELECT c_custkey, (SELECT sum(o.nope) FROM orders o
+               WHERE o.o_custkey = c.c_custkey) AS t FROM customer c""",
+            {"orders", "customer"},
+            pks,
+            cols,
+        )
+        is None
+    )
+    assert (
+        match_correlated_count_shape(
+            """SELECT c_custkey, (SELECT sum(c.o_totalprice) FROM orders o
+               WHERE o.o_custkey = c.c_custkey) AS t FROM customer c""",
+            {"orders", "customer"},
+            pks,
+            cols,
+        )
+        is None
+    )

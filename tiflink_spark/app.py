@@ -282,7 +282,7 @@ class MVApp:
         # dim-joined IncrementalAggMV: changelogs on the fact AND the dim
         # maintain the view with work ∝ changed keys.
         corr = match_correlated_count_shape(
-            query, set(dfs), {n: d[0].pk for n, d in dfs.items()}
+            query, set(dfs), {n: d[0].pk for n, d in dfs.items()}, source_columns
         )
         if (
             corr is not None
@@ -300,7 +300,7 @@ class MVApp:
                 dfs[corr.fact][1],
                 dfs[corr.fact][0].pk,
                 corr.fact_key,
-                [Measure("count", None, corr.alias)],
+                [Measure(corr.agg_kind, corr.agg_col, corr.alias)],
                 work_dir=target,
                 dim=dfs[corr.dim][1],
                 dim_key=corr.dim_key,

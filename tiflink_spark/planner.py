@@ -148,15 +148,18 @@ class AggShape:
 
 @dataclass(frozen=True)
 class CorrelatedCountShape:
-    """The reference's flagship shape (TiFlinkExample.java:10-16):
+    """The reference's flagship shape (TiFlinkExample.java:10-16),
+    generalized to any supported aggregate:
 
         SELECT d.c1[, d.c2 ...],
-               (SELECT count(*) FROM fact f WHERE f.fk = d.dk) AS alias
+               (SELECT agg(x|*) FROM fact f WHERE f.fk = d.dk) AS alias
         FROM dim d
 
-    Decorrelates to dim ⟕ (COUNT GROUP BY fk) — exactly the dim-joined
-    IncrementalAggMV, whose LEFT-JOIN count coalesces to 0 just as the
-    correlated subquery does for dims with no fact rows.
+    Decorrelates to dim ⟕ (agg GROUP BY fk) — exactly the dim-joined
+    IncrementalAggMV. COUNT coalesces to 0 on the LEFT JOIN just as
+    the correlated subquery does for dims with no fact rows; SUM / MIN
+    / MAX / AVG present NULL for them, which is also what the scalar
+    subquery yields over an empty set.
     """
 
     dim: str
@@ -165,6 +168,8 @@ class CorrelatedCountShape:
     fact: str
     fact_key: str  # the correlation column on the fact side
     alias: str
+    agg_kind: str = "count"  # Measure kind (count|sum|avg|min|max|...)
+    agg_col: str | None = None  # None for count(*)
 
 
 @dataclass(frozen=True)
@@ -411,10 +416,12 @@ def match_join_shape(query: str, source_names: set[str]) -> JoinShape | None:
     return JoinShape(left, right, m.group("key"), cols)
 
 
-# SELECT d-col-list, (SELECT count(*) FROM fact f WHERE f.fk = d.dk) AS a FROM dim d
+# SELECT d-col-list, (SELECT agg(x|*) FROM fact f WHERE f.fk = d.dk) AS a FROM dim d
 _CORR_RE = re.compile(
     rf"^\s*SELECT\s+(?P<select>(?:{_IDENT}\s*,\s*)*{_IDENT})\s*,\s*"
-    rf"\(\s*SELECT\s+count\s*\(\s*\*\s*\)\s+FROM\s+(?P<fact>{_IDENT})\s+(?P<fa>{_IDENT})\s+"
+    rf"\(\s*SELECT\s+(?P<akind>count|sum|avg|min|max)\s*\(\s*"
+    rf"(?P<acol>\*|(?:{_IDENT}\s*\.\s*)?{_IDENT})\s*\)\s+"
+    rf"FROM\s+(?P<fact>{_IDENT})\s+(?P<fa>{_IDENT})\s+"
     rf"WHERE\s+(?P<w1>{_IDENT})\s*\.\s*(?P<c1>{_IDENT})\s*=\s*"
     rf"(?P<w2>{_IDENT})\s*\.\s*(?P<c2>{_IDENT})\s*\)\s+AS\s+(?P<alias>{_IDENT})\s+"
     rf"FROM\s+(?P<dim>{_IDENT})\s+(?P<da>{_IDENT})\s*;?\s*$",
@@ -441,14 +448,20 @@ def _split_select_list(select: str) -> list[str]:
 
 
 def match_correlated_count_shape(
-    query: str, source_names: set[str], dim_pk: dict[str, list[str]]
+    query: str,
+    source_names: set[str],
+    dim_pk: dict[str, list[str]],
+    source_columns: dict[str, list[str]] | None = None,
 ) -> CorrelatedCountShape | None:
-    """Match the flagship correlated-COUNT shape, or None.
+    """Match the flagship correlated-aggregate shape, or None.
 
     ``dim_pk`` maps source name → declared PK columns; the dim side must
     have a single-column PK that appears in the select list (the MV is
     keyed by it), and the correlation must equate a fact column with
-    that dim's PK across the two table aliases.
+    that dim's PK across the two table aliases. The aggregate may be
+    count(*) or count/sum/avg/min/max over a fact column (validated
+    against ``source_columns`` when provided; a non-count aggregate
+    without schema access falls back).
     """
     m = _CORR_RE.match(query)
     if m is None:
@@ -464,11 +477,32 @@ def match_correlated_count_shape(
     pk = dim_pk.get(dim) or []
     if len(pk) != 1 or pk[0].lower() != dim_corr.lower():
         return None
+    akind, acol = m.group("akind").lower(), m.group("acol").strip()
+    if acol == "*":
+        if akind != "count":
+            return None
+        agg_col = None
+    else:
+        # qualified form must use the fact alias; bare form must name a
+        # fact column (checked against the schema when available)
+        qm = _QUAL_RE.fullmatch(acol)
+        if qm is not None:
+            if qm.group(1).lower() != fa:
+                return None
+            acol = qm.group(2)
+        if source_columns is None:
+            return None
+        known = {c.lower(): c for c in source_columns.get(fact, [])}
+        if acol.lower() not in known:
+            return None
+        agg_col = known[acol.lower()]
     sel = [c.strip() for c in m.group("select").split(",")]
     if pk[0].lower() not in [c.lower() for c in sel]:
         return None
     dim_cols = tuple(c for c in sel if c.lower() != pk[0].lower())
-    return CorrelatedCountShape(dim, pk[0], dim_cols, fact, fact_key, m.group("alias"))
+    return CorrelatedCountShape(
+        dim, pk[0], dim_cols, fact, fact_key, m.group("alias"), akind, agg_col
+    )
 
 
 def match_agg_shape(

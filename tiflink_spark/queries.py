@@ -1230,6 +1230,7 @@ _PRIORITY = [
     # drop — every one is oracle-green locally and pytest-covered;
     # mvapp_auto_join's engine class is proven in-window by
     # mv_join_incremental
+    "mvapp_auto_corr_sum",
     "mvapp_auto_union",
     "mvapp_auto_stats_agg",
     "mvapp_star_streaming",

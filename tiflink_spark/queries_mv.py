@@ -1821,3 +1821,65 @@ def mvapp_auto_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_corr_sum",
+    f"""
+    WITH {_FINAL_ORDERS_SQL}
+    SELECT c_custkey, c_name,
+           round(coalesce((SELECT sum(o.o_totalprice) FROM final_orders o
+                           WHERE o.o_custkey = c.c_custkey), 0), 2) AS total
+    FROM customer c
+    """,
+    doc=(
+        "The flagship correlated-scalar shape generalized beyond "
+        "COUNT(*): a correlated SUM over the fact decorrelates to the "
+        "dim-joined IncrementalAggMV exactly like the reference's "
+        "count view (TiFlinkExample.java:10-16), maintained through "
+        "the canonical churn script (inserts, deletes, customer-moving "
+        "updates). NULL-for-empty scalar-subquery semantics are "
+        "preserved by the LEFT JOIN (coalesced to 0 only in this "
+        "gate's presentation, identically on both engines)."
+    ),
+    tags=("mv", "incremental", "planner", "flagship"),
+)
+def mvapp_auto_corr_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_cs_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("orders_cs", t["orders"], pk=["o_orderkey"])
+            .source("customer_cs", t["customer"], pk=["c_custkey"])
+            .query(
+                """SELECT c_custkey, c_name,
+                          (SELECT sum(o.o_totalprice) FROM orders_cs o
+                           WHERE o.o_custkey = c.c_custkey) AS total_raw
+                   FROM customer_cs c"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalAggMV":
+            raise AssertionError(
+                f"planner routed correlated SUM to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        for i, b in enumerate(scripted_batches(t["orders"]), start=1):
+            app.refresh({"orders_cs": b}, batch_id=i)
+        return (
+            app.read()
+            .select(
+                "c_custkey",
+                "c_name",
+                F.round(F.coalesce(F.col("total_raw"), F.lit(0)), 2).alias("total"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
