@@ -605,3 +605,38 @@ def test_match_correlated_agg_generalization():
         )
         is None
     )
+
+
+def test_describe_compact_vacuum_lifecycle(spark, tmp_path):
+    app = (
+        MVApp.builder(spark)
+        .source("orders_dcv", f"{SF_DIR}/orders.parquet", pk=["o_orderkey"])
+        .query(
+            "SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS total "
+            "FROM orders_dcv GROUP BY o_orderpriority"
+        )
+        .target(str(tmp_path / "mv_dcv"))
+        .num_buckets(4)
+        .shuffle_partitions(4)
+        .build()
+    )
+    app.bootstrap()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    changes = (
+        orders.limit(20)
+        .withColumn(OP_COL, F.lit(OP_DELETE))
+        .withColumn(SEQ_COL, F.monotonically_increasing_id())
+    )
+    app.refresh({"orders_dcv": changes}, batch_id=1)
+
+    d = app.describe()
+    assert d["maintenance_strategy"] == "IncrementalAggMV"
+    assert d["mv_pk"] == ["o_orderpriority"]
+    assert d["target_version"] is not None and "1" in d["committed_batches"]
+
+    before = {r.o_orderpriority: r.n for r in app.read().collect()}
+    app.compact()
+    removed = app.vacuum(keep_last=1)
+    assert removed  # old versions actually dropped
+    after = {r.o_orderpriority: r.n for r in app.read().collect()}
+    assert after == before  # maintenance is invisible to readers

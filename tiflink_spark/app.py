@@ -453,6 +453,65 @@ class MVApp:
         """The concrete maintenance class the planner routed to."""
         return type(self._mv).__name__
 
+    def describe(self) -> dict:
+        """Introspection snapshot: how the view is maintained and where
+        it stands — the engine-side answer to the reference's
+        coordinator visibility (txn table, GrpcService.java:40-160)."""
+        target = getattr(self._mv, "target", None)
+        return {
+            "query": self.query,
+            "maintenance_mode": self.maintenance_mode,
+            "maintenance_strategy": self.maintenance_strategy,
+            "mv_pk": list(self.mv_pk),
+            "mv_columns": [f.name for f in self.mv_schema.fields],
+            "ddl": self.ddl,
+            "target_version": target.current_version() if target is not None else None,
+            "committed_batches": sorted(
+                map(str, target.committed_batches())
+            ) if target is not None else [],
+            "sources": sorted(self._stores),
+        }
+
+    def _all_stores(self) -> list[KeyedParquetStore]:
+        """Every KeyedParquetStore the maintenance object owns (source,
+        state, joined-relation, and target stores), deduped by id."""
+        seen: dict[int, KeyedParquetStore] = {}
+
+        def add(obj):
+            if isinstance(obj, KeyedParquetStore):
+                seen.setdefault(id(obj), obj)
+
+        for mv in (self._mv, getattr(self._mv, "_agg", None)):
+            if mv is None:
+                continue
+            for attr in ("fact_store", "state_store", "dim_store",
+                         "left_store", "right_store", "target"):
+                try:
+                    add(getattr(mv, attr, None))
+                except AssertionError:
+                    pass  # multi-dim dim_store accessor asserts single-dim
+            for s in getattr(mv, "dim_stores", {}).values():
+                add(s)
+        for s in self._stores.values():
+            add(s)
+        return list(seen.values())
+
+    def compact(self) -> "MVApp":
+        """Rewrite every store's current state into a single fresh
+        version (bounds manifest/bucket fragmentation on long-lived
+        views); reads see the same data before and after."""
+        for store in self._all_stores():
+            store.compact()
+        return self
+
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Drop unreferenced version directories older than the last
+        ``keep_last`` (the time-travel window shrinks accordingly)."""
+        removed: list[str] = []
+        for store in self._all_stores():
+            removed += store.vacuum(keep_last)
+        return removed
+
     def bootstrap(self, batch_id=0) -> "MVApp":
         # Target DDL executes before the first publish — the reference's
         # lifecycle step 3 (TiJDBCHelper.java:111-140).
