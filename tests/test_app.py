@@ -640,3 +640,53 @@ def test_describe_compact_vacuum_lifecycle(spark, tmp_path):
     assert removed  # old versions actually dropped
     after = {r.o_orderpriority: r.n for r in app.read().collect()}
     assert after == before  # maintenance is invisible to readers
+
+
+def test_match_agg_shape_expression_keys():
+    from tiflink_spark.planner import match_agg_shape
+
+    cols = {"orders": ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]}
+    for gb in ("date_trunc('day', o_orderdate)", "day"):
+        s = match_agg_shape(
+            "SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n "
+            f"FROM orders GROUP BY {gb}",
+            {"orders"},
+            cols,
+        )
+        assert s is not None and s.group_keys == ("day",)
+        assert s.key_exprs == (("day", "date_trunc('day', o_orderdate)"),)
+    # renamed bare key also derives
+    s = match_agg_shape(
+        "SELECT o_custkey AS ck, count(*) AS n FROM orders GROUP BY o_custkey",
+        {"orders"},
+        cols,
+    )
+    assert s is not None and s.group_keys == ("ck",) and s.key_exprs == (("ck", "o_custkey"),)
+    # rejects: alias shadowing a real column, non-deterministic
+    # expression, unknown identifier inside the expression
+    assert (
+        match_agg_shape(
+            "SELECT date_trunc('day', o_orderdate) AS o_custkey, count(*) AS n "
+            "FROM orders GROUP BY o_custkey",
+            {"orders"},
+            cols,
+        )
+        is None
+    )
+    assert (
+        match_agg_shape(
+            "SELECT concat(o_custkey, rand()) AS k, count(*) AS n "
+            "FROM orders GROUP BY k",
+            {"orders"},
+            cols,
+        )
+        is None
+    )
+    assert (
+        match_agg_shape(
+            "SELECT coalesce(nope, 0) AS k, count(*) AS n FROM orders GROUP BY k",
+            {"orders"},
+            cols,
+        )
+        is None
+    )

@@ -132,6 +132,9 @@ class MVApp:
         # True when the MV class takes a {table: changes} dict refresh
         # (multi-table maintenance: join-agg trees, union-all)
         self._dict_refresh = False
+        # (alias, expr) columns derived onto fact changelog batches
+        # (computed group keys); set by the agg route
+        self._derive: list[tuple[str, str]] = []
 
         dfs: dict[str, tuple] = {}
         for name, (src, spk) in sources.items():
@@ -173,11 +176,18 @@ class MVApp:
             # A row-local WHERE stays incremental via the stateless-
             # filter changelog rule: filtered bootstrap + apply_filter
             # on every fact batch (rows leaving the predicate -> -D).
+            # Computed group keys (GROUP BY date_trunc(...) AS day) are
+            # derived onto the fact rows the same way — bootstrap here,
+            # every changelog batch in refresh() — after which they
+            # behave exactly like stored columns.
             self._change_filter = shape.where
+            self._derive = list(shape.key_exprs)
             fact_df = dfs[shape.fact][1]
-            if shape.where is not None:
-                from pyspark.sql import functions as F
+            from pyspark.sql import functions as F
 
+            for alias, expr in self._derive:
+                fact_df = fact_df.withColumn(alias, F.expr(expr))
+            if shape.where is not None:
                 fact_df = fact_df.filter(F.expr(shape.where))
             self.mv_pk = list(shape.group_keys)
             # The planner refined the PK (full group-key set); the DDL
@@ -554,6 +564,11 @@ class MVApp:
             dim_delta = changes.get(self._dim_name) if self._dim_name else None
             if fact_delta is None and dim_delta is None:
                 return False
+            if fact_delta is not None and self._derive:
+                from pyspark.sql import functions as F
+
+                for alias, expr in self._derive:
+                    fact_delta = fact_delta.withColumn(alias, F.expr(expr))
             if fact_delta is not None and self._change_filter is not None:
                 from tiflink_spark.changelog import apply_filter
 

@@ -44,10 +44,18 @@ _IDENT = r"[A-Za-z_]\w*"
 _SHAPE_RE = re.compile(
     rf"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<table>{_IDENT})"
     rf"(?:\s+WHERE\s+(?P<where>.+?))?"
-    rf"\s+GROUP\s+BY\s+(?P<keys>{_IDENT}(?:\s*,\s*{_IDENT})*)"
+    rf"\s+GROUP\s+BY\s+(?P<keys>.+?)"
     rf"(?:\s+HAVING\s+(?P<having>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+_KEY_ALIAS_RE = re.compile(
+    rf"^(?P<expr>.+?)\s+AS\s+(?P<alias>{_IDENT})\s*$", re.IGNORECASE | re.DOTALL
+)
+
+
+def _norm_sql(s: str) -> str:
+    return re.sub(r"\s+", " ", s.strip()).lower()
 
 _SQL_KEYWORDS = frozenset(
     "and or not null is in between like true false".split()
@@ -62,7 +70,8 @@ _SQL_KEYWORDS = frozenset(
 _NON_LOCAL_WHERE = re.compile(
     r"\(\s*SELECT\b|\b(?:count|sum|avg|min|max|stddev_samp|stddev|var_samp|variance)\s*\("
     r"|\b(?:rand|randn|random|uuid|shuffle|now|current_timestamp|"
-    r"current_date|current_time|localtimestamp|unix_timestamp)(?:\s*\(|\b)",
+    r"current_date|current_time|localtimestamp|unix_timestamp|"
+    r"monotonically_increasing_id|spark_partition_id|input_file_name)(?:\s*\(|\b)",
     re.IGNORECASE,
 )
 
@@ -144,6 +153,12 @@ class AggShape:
     measures: tuple[Measure, ...]
     where: str | None = None
     having: str | None = None
+    # computed group keys, as (alias, row-local expression) in select
+    # order: the maintenance layer derives them onto the fact rows
+    # (bootstrap AND every changelog batch), after which they behave
+    # exactly like stored columns — this is the auto-time-rollup shape
+    # (GROUP BY date_trunc('day', ts) AS day, ...)
+    key_exprs: tuple[tuple[str, str], ...] = ()
 
 
 @dataclass(frozen=True)
@@ -527,16 +542,69 @@ def match_agg_shape(
     where = m.group("where")
     if where is not None and _NON_LOCAL_WHERE.search(where):
         return None
-    keys = [k.strip() for k in m.group("keys").split(",")]
+    key_terms = _split_select_list(m.group("keys"))
     items = _split_select_list(m.group("select"))
-    if len(items) <= len(keys):
-        return None
-    if [i.lower() for i in items[: len(keys)]] != [k.lower() for k in keys]:
+    if len(items) <= len(key_terms):
         return None
     cols = None
     if source_columns is not None and m.group("table") in source_columns:
         cols = {c.lower() for c in source_columns[m.group("table")]}
-    measures = _parse_measures(items[len(keys) :], cols)
+
+    # Leading select items pair with GROUP BY terms in order. A term is
+    # either the bare column itself, or (expression-key form) the
+    # select item's expression text or its alias — the standard SQL
+    # spellings of GROUP BY over a computed key.
+    keys: list[str] = []
+    key_exprs: list[tuple[str, str]] = []
+    for term, item in zip(key_terms, items):
+        term_n = _norm_sql(term)
+        am = _KEY_ALIAS_RE.match(item)
+        if am is None:
+            # bare column key
+            if not re.fullmatch(_IDENT, item) or term_n != item.lower():
+                return None
+            if cols is not None and item.lower() not in cols:
+                return None
+            keys.append(item)
+            continue
+        expr, alias = am.group("expr").strip(), am.group("alias")
+        if re.fullmatch(_IDENT, expr):
+            # "col AS alias" renamed key: GROUP BY col or GROUP BY alias
+            if term_n not in (expr.lower(), alias.lower()):
+                return None
+            if cols is not None and expr.lower() not in cols:
+                return None
+            keys.append(alias)
+            key_exprs.append((alias, expr))
+            continue
+        # computed key: row-local, deterministic, known identifiers
+        # (function names — already resolved by Catalyst upstream —
+        # are excluded from the column check by their call syntax)
+        if term_n not in (_norm_sql(expr), alias.lower()):
+            return None
+        if cols is None or _NON_LOCAL_WHERE.search(expr):
+            return None
+        # string literals ('day' in date_trunc('day', ts)) are not
+        # identifiers — blank them before the column check
+        bare = re.sub(r"'[^']*'", " ", expr)
+        fn_names = {f.lower() for f in re.findall(rf"({_IDENT})\s*\(", bare)}
+        idents = {i.lower() for i in re.findall(_IDENT, bare)}
+        if any(i not in cols | _EXPR_KEYWORDS | fn_names for i in idents):
+            return None
+        keys.append(alias)
+        key_exprs.append((alias, expr))
+
+    # A derived-key alias shadowing a real fact column would corrupt
+    # the derive step (withColumn overwrite); duplicate key names make
+    # the output ambiguous.
+    if len({k.lower() for k in keys}) != len(keys):
+        return None
+    if cols is not None and any(
+        a.lower() in cols for a, _ in key_exprs
+    ):
+        return None
+
+    measures = _parse_measures(items[len(key_terms) :], cols)
     if measures is None:
         return None
     # A measure alias shadowing a group key would make the output
@@ -565,6 +633,7 @@ def match_agg_shape(
         tuple(measures),
         where.strip() if where is not None else None,
         having,
+        tuple(key_exprs),
     )
 
 

@@ -1231,6 +1231,7 @@ _PRIORITY = [
     # mvapp_auto_join's engine class is proven in-window by
     # mv_join_incremental
     "mvapp_auto_corr_sum",
+    "mvapp_auto_time_rollup",
     "mvapp_auto_union",
     "mvapp_auto_stats_agg",
     "mvapp_star_streaming",

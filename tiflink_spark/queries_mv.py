@@ -1883,3 +1883,91 @@ def mvapp_auto_corr_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_time_rollup",
+    f"""
+    WITH final_orders_tr AS (
+        SELECT o_orderkey, o_orderdate,
+               CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0 AND o_orderkey < {BIG}
+                    THEN o_totalprice + 50 ELSE o_totalprice END AS o_totalprice
+        FROM (
+            SELECT o_orderkey, o_orderdate, o_totalprice
+            FROM orders WHERE o_orderkey % 7 <> 0
+            UNION ALL
+            SELECT o_orderkey + {BIG}, o_orderdate, o_totalprice
+            FROM orders WHERE o_orderkey % 100 = 0
+        )
+    )
+    SELECT date_trunc('day', o_orderdate) AS day,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM final_orders_tr
+    GROUP BY date_trunc('day', o_orderdate)
+    """,
+    doc=(
+        "Time-grain rollup MV with a COMPUTED group key: GROUP BY "
+        "date_trunc('day', ts) auto-routes to IncrementalAggMV — the "
+        "planner derives the expression onto the fact rows (bootstrap "
+        "and every changelog batch), after which the day column "
+        "behaves exactly like a stored key. The canonical churn script "
+        "(inserts, deletes, price updates) moves per-day counts and "
+        "sums. This is the hypertable-style continuous-aggregate shape "
+        "every metrics pipeline maintains."
+    ),
+    tags=("mv", "incremental", "planner", "time"),
+)
+def mvapp_auto_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_tr_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("orders_tr", t["orders"], pk=["o_orderkey"])
+            .query(
+                """SELECT date_trunc('day', o_orderdate) AS day,
+                          count(*) AS n,
+                          sum(o_totalprice) AS total_raw
+                   FROM orders_tr
+                   GROUP BY date_trunc('day', o_orderdate)"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalAggMV":
+            raise AssertionError(
+                f"planner routed time rollup to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        ords = t["orders"]
+        b1 = (
+            ords.filter(F.col("o_orderkey") % 100 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + BIG)
+            .withColumn(OP_COL, F.lit(OP_INSERT))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        b2 = (
+            ords.filter(F.col("o_orderkey") % 7 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        b3 = (
+            ords.filter((F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 7 != 0))
+            .withColumn("o_totalprice", F.col("o_totalprice") + 50)
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        for i, b in enumerate((b1, b2, b3), start=1):
+            app.refresh({"orders_tr": b}, batch_id=i)
+        return (
+            app.read()
+            .select("day", "n", F.round("total_raw", 2).alias("total"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
