@@ -1329,3 +1329,43 @@ def jdbc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "approx_percentile_bounded",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+           TRUE AS within_1pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc=(
+        "APPROX_PERCENTILE (t-digest/GK sketch). Sketch outputs are "
+        "engine-specific, so the deterministic contract mirrors "
+        "approx_count_distinct: Spark emits |approx-exact|/exact <= 1% "
+        "as a boolean next to the exact continuous median, the oracle "
+        "recomputes the exact side with a constant-true bound — a "
+        "sketch drifting past 1% relative error hash-mismatches. The "
+        "approx path is the 100 TB operator (mergeable partial "
+        "sketches, one shuffle); the exact side exists for the gate."
+    ),
+    tags=("agg", "approx"),
+)
+def approx_percentile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    exact = F.expr("percentile(l_extendedprice, 0.5)")
+    approx = F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(exact.alias("__exact"), approx.alias("__approx"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("__exact"), 2).alias("exact_p50"),
+            (
+                F.abs(F.col("__approx") - F.col("__exact"))
+                / F.abs(F.col("__exact"))
+                <= F.lit(0.01)
+            ).alias("within_1pct"),
+        )
+    )
