@@ -1369,3 +1369,94 @@ def approx_percentile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_1pct"),
         )
     )
+
+
+@register(
+    "jdbc_mv_publish",
+    """
+    WITH final_orders_jp AS (
+        SELECT o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM final_orders_jp GROUP BY o_orderpriority
+    """,
+    doc=(
+        "The reference's COMPLETE write-back loop: a continuously "
+        "maintained MV is PUBLISHED INTO the database over JDBC and "
+        "read back out (TiFlink's entire purpose — the Flink-maintained "
+        "view lands in a TiDB table, TiFlinkApp.java:70-116 + "
+        "FlinkTikvProducer). Here: planner-routed incremental agg MV "
+        "over orders -> one churn batch -> rows written to an embedded "
+        "Derby table through the jdbc connector -> re-read through the "
+        "JDBC catalog. A green row proves maintain -> publish -> "
+        "re-scan round-trip parity."
+    ),
+    tags=("connector", "jdbc", "mv", "sink"),
+)
+def jdbc_mv_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from tiflink_spark.app import MVApp
+    from tiflink_spark.catalog import Catalog
+    from tiflink_spark.changelog import OP_COL, OP_DELETE, SEQ_COL
+    from tiflink_spark.connectors import ConnectorOptions, get_connector, jdbc_execute
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="jdbc_pub_")
+    spark._jvm.java.lang.System.setProperty("derby.system.home", work)
+    url = f"jdbc:derby:{work}/db;create=true"
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("orders_jp", t["orders"], pk=["o_orderkey"])
+            .query(
+                "SELECT o_orderpriority, count(*) AS n_orders, "
+                "sum(o_totalprice) AS total_raw "
+                "FROM orders_jp GROUP BY o_orderpriority"
+            )
+            .target(work + "/mv")
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_mode != "incremental":
+            raise AssertionError("planner failed to route the publish MV")
+        app.bootstrap()
+        churn = (
+            t["orders"].filter(F.col("o_orderkey") % 7 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"orders_jp": churn}, batch_id=1)
+
+        jdbc_execute(
+            spark,
+            url,
+            "CREATE TABLE mv_publish ("
+            "o_orderpriority VARCHAR(32) NOT NULL PRIMARY KEY, "
+            "n_orders BIGINT, total DOUBLE)",
+        )
+        rows = app.read().select(
+            "o_orderpriority",
+            "n_orders",
+            F.round("total_raw", 2).alias("total"),
+        )
+        get_connector("jdbc").write(
+            rows, ConnectorOptions(path=url, extra={"table": "mv_publish"})
+        )
+        cat = Catalog(spark)
+        spec = cat.register_jdbc("mv_publish", url)
+        if [c.lower() for c in spec.pk] != ["o_orderpriority"]:
+            raise AssertionError(f"published-MV PK reflection failed: {spec.pk}")
+        back = cat.table("mv_publish")
+        return back.select(
+            F.col("O_ORDERPRIORITY").alias("o_orderpriority"),
+            F.col("N_ORDERS").alias("n_orders"),
+            F.col("TOTAL").alias("total"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
