@@ -306,6 +306,27 @@ def jdbc_primary_key(spark: SparkSession, url: str, table: str) -> list[str]:
         conn.close()
 
 
+def jdbc_poll_changes(
+    spark: SparkSession, url: str, table: str, since_seq: int
+) -> DataFrame:
+    """Poll a database OUTBOX table for committed change rows — the
+    JDBC-only analog of consuming the reference's live CDC event stream
+    (FlinkTikvConsumer.java:92-131): when the only access to the source
+    database is a JDBC session, changes are captured by a transactional
+    outbox carrying the row payload plus the changelog contract columns
+    (``__op`` VARCHAR, ``__seq`` BIGINT monotone — the resolved-ts
+    analog). Each poll reads rows with ``__seq > since_seq`` — the
+    predicate ships inside the JDBC subquery, so the database does the
+    filtering; the caller applies the batch and records the max
+    ``__seq`` it consumed, exactly the consumer's resolvedTs bookkeeping
+    (FlinkTikvConsumer.java:108-131). Quoted lower-case column names
+    keep the contract identical across case-folding databases."""
+    sub = f'(SELECT * FROM {table} WHERE "__seq" > {int(since_seq)}) chg'
+    return (
+        spark.read.format("jdbc").option("url", url).option("dbtable", sub).load()
+    )
+
+
 class JdbcConnector(Connector):
     """JDBC source/sink — the engine's analog of the reference's sole
     entry point, a live database session (TiJDBCHelper.java:47-140).

@@ -1235,6 +1235,8 @@ _PRIORITY = [
     "mvapp_auto_union",
     "mvapp_auto_stats_agg",
     "mvapp_star_streaming",
+    "jdbc_mv_publish",
+    "jdbc_outbox_cdc",
     "mvapp_auto_join",
     "mv_topk_incremental",
 ]

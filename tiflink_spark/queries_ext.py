@@ -1460,3 +1460,106 @@ def jdbc_mv_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "jdbc_outbox_cdc",
+    """
+    WITH final_orders_ob AS (
+        SELECT o_orderpriority,
+               CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+                    THEN o_totalprice + 25 ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 100 < 40
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM final_orders_ob GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Poll-based CDC from a database outbox over JDBC — the CDC "
+        "analog when the only source access is a JDBC session "
+        "(FlinkTikvConsumer.java:92-131): change rows land in a "
+        "transactional outbox table with the __op/__seq contract, each "
+        "poll reads rows past the last consumed __seq (predicate pushed "
+        "into the database), and the consumer's max-__seq bookkeeping "
+        "plays resolvedTs. Two polled phases (deletes, then price "
+        "updates) maintain the MV; a green row proves the outbox "
+        "contract, predicate-pushed polling, and convergence."
+    ),
+    tags=("connector", "jdbc", "cdc", "mv"),
+)
+def jdbc_outbox_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from tiflink_spark.app import MVApp
+    from tiflink_spark.changelog import OP_COL, OP_DELETE, OP_UPDATE, SEQ_COL
+    from tiflink_spark.connectors import (
+        ConnectorOptions,
+        get_connector,
+        jdbc_execute,
+        jdbc_poll_changes,
+    )
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="jdbc_ob_")
+    spark._jvm.java.lang.System.setProperty("derby.system.home", work)
+    url = f"jdbc:derby:{work}/db;create=true"
+    # a bounded slice keeps the outbox small
+    snap = t["orders"].filter(F.col("o_orderkey") % 100 < 40).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    try:
+        jdbc_execute(
+            spark,
+            url,
+            'CREATE TABLE outbox ('
+            '"o_orderkey" BIGINT, "o_orderpriority" VARCHAR(32), '
+            '"o_totalprice" DOUBLE, "__op" VARCHAR(4), "__seq" BIGINT)',
+        )
+        app = (
+            MVApp.builder(spark)
+            .source("orders_ob", snap, pk=["o_orderkey"])
+            .query(
+                "SELECT o_orderpriority, count(*) AS n_orders, "
+                "sum(o_totalprice) AS total_raw "
+                "FROM orders_ob GROUP BY o_orderpriority"
+            )
+            .target(work + "/mv")
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        app.bootstrap()
+
+        w = F.monotonically_increasing_id()
+        phase1 = (
+            snap.filter(F.col("o_orderkey") % 7 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, w % 1000)
+        )
+        phase2 = (
+            snap.filter((F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 7 != 0))
+            .withColumn("o_totalprice", F.col("o_totalprice") + 25)
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .withColumn(SEQ_COL, w % 1000 + 10_000)
+        )
+        jdbc = get_connector("jdbc")
+        resolved = -1  # nothing consumed yet; seqs start at 0
+        for phase in (phase1, phase2):
+            jdbc.write(phase, ConnectorOptions(path=url, extra={"table": "outbox"}))
+            batch = jdbc_poll_changes(spark, url, "outbox", since_seq=resolved)
+            resolved = batch.agg(F.max(SEQ_COL)).collect()[0][0] or resolved
+            app.refresh({"orders_ob": batch}, batch_id=f"outbox-{resolved}")
+        return (
+            app.read()
+            .select(
+                "o_orderpriority",
+                "n_orders",
+                F.round("total_raw", 2).alias("total"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
