@@ -36,3 +36,85 @@ def test_fake_features_are_length_residues():
     feats = fake_feature_extract(data)
     assert feats == [12345 % p for p in FEATURE_PRIMES]
     assert len(feats) == len(FEATURE_PRIMES)
+
+
+class TestStdlibCodecs:
+    def test_png_roundtrip_gray_and_rgb(self):
+        from tiflink_spark.multimodal import decode_png, encode_png
+
+        px = bytes((x + 3 * y) % 256 for y in range(6) for x in range(5))
+        d = decode_png(encode_png(5, 6, px, 1))
+        assert (d["width"], d["height"], d["n_channels"]) == (5, 6, 1)
+        assert d["pixel_sum"] == sum(px)
+        rgb = bytes((x * 7 + c) % 256 for y in range(4) for x in range(3) for c in range(3))
+        d2 = decode_png(encode_png(3, 4, rgb, 3))
+        assert d2["n_channels"] == 3 and d2["pixel_sum"] == sum(rgb)
+
+    def test_png_unfilters_all_filter_types(self):
+        """Hand-build a PNG whose rows use filters 1-4 (the encoder only
+        writes 0): the decoder must invert Sub/Up/Average/Paeth exactly."""
+        import struct
+        import zlib
+
+        from tiflink_spark.multimodal import decode_png
+
+        w, h = 4, 5
+        rows = [[(x * 11 + y * 29) % 256 for x in range(w)] for y in range(h)]
+
+        def filt(ftype, cur, prev):
+            out = []
+            for x in range(w):
+                a = cur[x - 1] if x >= 1 else 0
+                b = prev[x]
+                c = prev[x - 1] if x >= 1 else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                out.append((cur[x] - pred) & 0xFF)
+            return out
+
+        raw = b""
+        prev = [0] * w
+        for y, ftype in zip(range(h), (0, 1, 2, 3, 4)):
+            raw += bytes([ftype]) + bytes(filt(ftype, rows[y], prev))
+            prev = rows[y]
+
+        def chunk(ctype, payload):
+            crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+            return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
+
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        d = decode_png(png)
+        assert d["pixel_sum"] == sum(sum(r) for r in rows)
+
+    def test_wav_roundtrip_and_auto_dispatch(self):
+        from tiflink_spark.multimodal import decode_media_auto, decode_wav, encode_wav
+
+        samples = [((i * 13) % 200 - 100) * 50 for i in range(100)]
+        data = encode_wav(samples, 16000)
+        d = decode_wav(data)
+        assert (d["sample_rate"], d["n_frames"], d["n_channels"]) == (16000, 100, 1)
+        assert d["sample_abs_sum"] == sum(abs(s) for s in samples)
+        assert decode_media_auto(data)["n_frames"] == 100
+
+    def test_auto_dispatch_unknown_format_keeps_contract(self):
+        import pytest as _pytest
+
+        from tiflink_spark.multimodal import decode_media_auto
+
+        with _pytest.raises(NotImplementedError):
+            decode_media_auto(b"\xff\xd8\xff\xe0 not actually decodable jpeg")

@@ -7,13 +7,15 @@ beyond-reference charter surface for a 100 TB training-data pipeline:
 - Convention: a media table carries ``(id, kind, uri, data BINARY,
   meta)`` — bytes travel as opaque BinaryType, decode happens
   executor-side in Arrow batches, never on the driver.
-- The real decode needs PIL/librosa/ffmpeg, which this container does
-  not ship. ``decode_image``/``decode_audio`` try the real library and
-  otherwise raise NotImplementedError; the pipeline entry points accept
-  ``decoder=`` overrides, and :func:`fake_decode_meta` is the
-  documented deterministic stand-in (pure function of the bytes) so
-  the Spark-side plumbing — schema, batching, partitioning, UDF
-  signatures — is fully real and testable.
+- Decode is REAL for the stdlib-decodable formats: :func:`decode_png`
+  (chunk walk, IDAT inflate, full scanline unfiltering — struct+zlib
+  only) and :func:`decode_wav` (16-bit PCM via the ``wave`` module),
+  dispatched by :func:`decode_media_auto`. Formats that genuinely need
+  PIL/librosa/ffmpeg (JPEG, MP3, video) raise NotImplementedError in
+  this container; the pipeline entry points accept ``decoder=``
+  overrides, and :func:`fake_decode_meta` remains the documented
+  deterministic stand-in so every downstream stage stays testable for
+  those formats too.
 - Partitioning stance at scale: media rows are large and skewed;
   repartition by byte-size budget (``target_batch_bytes``) before the
   decode stage so one Arrow batch never blows executor memory.
@@ -51,6 +53,157 @@ def decode_image(data: bytes) -> dict:
         "n_channels": len(img.getbands()),
         "checksum": hashlib.md5(data).hexdigest(),
     }
+
+
+def decode_png(data: bytes) -> dict:
+    """REAL PNG decode, stdlib-only (struct + zlib): chunk walk, IHDR
+    parse, IDAT inflate, and full scanline unfiltering (filter types
+    0-4), for 8-bit non-interlaced images — no imaging library needed.
+    Returns dimensions, channel count, bit depth, and the sum of all
+    decoded samples (``pixel_sum``), which proves the pixels round-trip
+    (a wrong unfilter changes the sum)."""
+    import struct
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, idat, header = 8, b"", None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            header = struct.unpack(">IIBBBBB", chunk)
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+    if header is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, bit_depth, color_type, _comp, _filt, interlace = header
+    if bit_depth != 8 or interlace != 0:
+        raise NotImplementedError("only 8-bit non-interlaced PNG")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    bpp = channels  # bytes per pixel at bit depth 8
+    stride = w * bpp
+    raw = zlib.decompress(idat)
+    out = bytearray()
+    prev = bytearray(stride)
+    i = 0
+    for _row in range(h):
+        ftype = raw[i]
+        line = bytearray(raw[i + 1 : i + 1 + stride])
+        i += 1 + stride
+        if ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + (a + prev[x]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[x] = (line[x] + pr) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter {ftype}")
+        out += line
+        prev = line
+    return {
+        "width": w,
+        "height": h,
+        "n_channels": channels,
+        "bit_depth": bit_depth,
+        "pixel_sum": sum(out),
+        "checksum": hashlib.md5(data).hexdigest(),
+    }
+
+
+def encode_png(width: int, height: int, pixels: bytes, channels: int = 1) -> bytes:
+    """Minimal PNG encoder (filter 0 rows; 8-bit gray or RGB) — the
+    fixture-side inverse of :func:`decode_png` for tests/gates."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 3: 2}[channels]
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + pixels[r * stride : (r + 1) * stride] for r in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_wav(data: bytes) -> dict:
+    """REAL WAV/PCM decode via the stdlib ``wave`` module: channel
+    count, sample rate, frame count, plus the sum of absolute 16-bit
+    sample values (``sample_abs_sum``) proving the samples round-trip."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(data)) as wf:
+        n_channels = wf.getnchannels()
+        rate = wf.getframerate()
+        n_frames = wf.getnframes()
+        sampwidth = wf.getsampwidth()
+        frames = wf.readframes(n_frames)
+    if sampwidth != 2:
+        raise NotImplementedError("only 16-bit PCM WAV")
+    vals = struct.unpack(f"<{len(frames) // 2}h", frames)
+    return {
+        "n_channels": n_channels,
+        "sample_rate": rate,
+        "n_frames": n_frames,
+        "sample_abs_sum": sum(abs(v) for v in vals),
+        "checksum": hashlib.md5(data).hexdigest(),
+    }
+
+
+def encode_wav(samples: list[int], rate: int, n_channels: int = 1) -> bytes:
+    """Minimal 16-bit PCM WAV encoder (fixture-side inverse of
+    :func:`decode_wav`)."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(n_channels)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def decode_media_auto(data: bytes) -> dict:
+    """Sniff-and-decode: REAL decode for the stdlib-decodable formats
+    (PNG, 16-bit PCM WAV); PIL-dependent formats keep the documented
+    NotImplementedError/fake-decoder contract."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return decode_wav(data)
+    return decode_image(data)
 
 
 def fake_decode_meta(data: bytes) -> dict:

@@ -1237,6 +1237,7 @@ _PRIORITY = [
     "mvapp_star_streaming",
     "jdbc_mv_publish",
     "jdbc_outbox_cdc",
+    "multimodal_real_decode",
     "mvapp_auto_join",
     "mv_topk_incremental",
 ]

@@ -1563,3 +1563,81 @@ def jdbc_outbox_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "multimodal_real_decode",
+    """
+    WITH ids AS (SELECT unnest(range(0, 24)) AS id),
+    png AS (
+      SELECT ids.id, 'png' AS kind,
+             4 + ids.id % 5 AS a, 3 + ids.id % 4 AS b, 1 AS c,
+             CAST(sum((x + 3*y + 7*ids.id) % 256) AS BIGINT) AS d
+      FROM ids, range(0, 8) tx(x), range(0, 6) ty(y)
+      WHERE ids.id % 2 = 0 AND x < 4 + ids.id % 5 AND y < 3 + ids.id % 4
+      GROUP BY ids.id),
+    wav AS (
+      SELECT ids.id, 'wav' AS kind,
+             8000 + 100 * (ids.id % 3) AS a, 64 + ids.id AS b, 1 AS c,
+             CAST(sum(abs(((i * (ids.id + 1)) % 200 - 100) * 50)) AS BIGINT) AS d
+      FROM ids, range(0, 87) t(i)
+      WHERE ids.id % 2 = 1 AND i < 64 + ids.id
+      GROUP BY ids.id)
+    SELECT id, kind, a, b, c, d FROM png
+    UNION ALL SELECT id, kind, a, b, c, d FROM wav
+    """,
+    doc=(
+        "REAL media decode, stdlib-only: PNG bytes (chunk walk + IDAT "
+        "inflate + scanline unfiltering via struct/zlib) and 16-bit PCM "
+        "WAV bytes (wave module) are ENCODED from formulas, shipped as "
+        "opaque binary rows, and decoded executor-side through the "
+        "Arrow-batched mapInPandas path (multimodal.decode_media_auto). "
+        "The oracle recomputes the encoded dimensions, rates, pixel "
+        "sums, and sample sums from the same formulas — so a green row "
+        "proves the decoder actually recovered what was encoded (a "
+        "wrong unfilter or endianness flips the sums). PIL-dependent "
+        "formats (JPEG/MP3/video) remain behind the documented "
+        "NotImplementedError contract."
+    ),
+    tags=("llm", "multimodal"),
+)
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from tiflink_spark.multimodal import decode_media_auto, encode_png, encode_wav
+
+    rows = []
+    for i in range(24):
+        if i % 2 == 0:
+            w, h = 4 + i % 5, 3 + i % 4
+            px = bytes((x + 3 * y + 7 * i) % 256 for y in range(h) for x in range(w))
+            rows.append((i, "png", bytearray(encode_png(w, h, px, 1))))
+        else:
+            samples = [((j * (i + 1)) % 200 - 100) * 50 for j in range(64 + i)]
+            rows.append(
+                (i, "wav", bytearray(encode_wav(samples, 8000 + 100 * (i % 3))))
+            )
+    media = spark.createDataFrame(rows, "id long, kind string, data binary")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"id": [], "kind": [], "a": [], "b": [], "c": [], "d": []}
+            for _, r in pdf.iterrows():
+                m = decode_media_auto(bytes(r["data"]))
+                out["id"].append(int(r["id"]))
+                out["kind"].append(r["kind"])
+                if r["kind"] == "png":
+                    out["a"].append(m["width"])
+                    out["b"].append(m["height"])
+                    out["c"].append(m["n_channels"])
+                    out["d"].append(m["pixel_sum"])
+                else:
+                    out["a"].append(m["sample_rate"])
+                    out["b"].append(m["n_frames"])
+                    out["c"].append(m["n_channels"])
+                    out["d"].append(m["sample_abs_sum"])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema="id long, kind string, a long, b long, c long, d long")
