@@ -118,3 +118,17 @@ class TestStdlibCodecs:
 
         with _pytest.raises(NotImplementedError):
             decode_media_auto(b"\xff\xd8\xff\xe0 not actually decodable jpeg")
+
+    def test_resize_png_nearest_neighbor(self):
+        from tiflink_spark.multimodal import decode_png, encode_png, resize_png
+
+        w, h = 6, 4
+        px = bytes((x * 10 + y) % 256 for y in range(h) for x in range(w))
+        m = resize_png(encode_png(w, h, px, 1), 3, 2)
+        assert (m["width"], m["height"]) == (3, 2)
+        expect = sum(
+            px[(ty * h // 2) * w + (tx * w // 3)] for ty in range(2) for tx in range(3)
+        )
+        assert m["pixel_sum"] == expect
+        # re-encoded bytes decode back to the same pixels
+        assert decode_png(m["data"])["pixel_sum"] == expect

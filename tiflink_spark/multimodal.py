@@ -125,6 +125,33 @@ def decode_png(data: bytes) -> dict:
         "bit_depth": bit_depth,
         "pixel_sum": sum(out),
         "checksum": hashlib.md5(data).hexdigest(),
+        "pixels": bytes(out),
+    }
+
+
+def resize_png(data: bytes, target_w: int, target_h: int) -> dict:
+    """REAL PNG resize, stdlib-only: decode (full unfilter), sample the
+    pixel grid nearest-neighbor (src = floor(dst * src_dim /
+    dst_dim) — pure integer math, so an oracle can mirror it exactly),
+    re-encode. Returns the resized image's bytes and pixel sum."""
+    m = decode_png(data)
+    w, h, ch = m["width"], m["height"], m["n_channels"]
+    src = m["pixels"]
+    out = bytearray()
+    for ty in range(target_h):
+        sy = ty * h // target_h
+        for tx in range(target_w):
+            sx = tx * w // target_w
+            base = (sy * w + sx) * ch
+            out += src[base : base + ch]
+    resized = encode_png(target_w, target_h, bytes(out), ch)
+    return {
+        "width": target_w,
+        "height": target_h,
+        "n_channels": ch,
+        "pixel_sum": sum(out),
+        "data": resized,
+        "checksum": hashlib.md5(resized).hexdigest(),
     }
 
 

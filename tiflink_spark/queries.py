@@ -1238,6 +1238,7 @@ _PRIORITY = [
     "jdbc_mv_publish",
     "jdbc_outbox_cdc",
     "multimodal_real_decode",
+    "multimodal_real_resize",
     "mvapp_auto_join",
     "mv_topk_incremental",
 ]

@@ -1641,3 +1641,62 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema="id long, kind string, a long, b long, c long, d long")
+
+
+@register(
+    "multimodal_real_resize",
+    """
+    WITH ids AS (SELECT unnest(range(0, 24)) AS id),
+    cfg AS (SELECT id, 4 + id % 5 AS w, 3 + id % 4 AS h
+            FROM ids WHERE id % 2 = 0)
+    SELECT cfg.id, 3 AS width, 3 AS height, 1 AS n_channels,
+           CAST(sum(((tx * cfg.w // 3) + 3 * (ty * cfg.h // 3) + 7 * cfg.id) % 256)
+                AS BIGINT) AS pixel_sum
+    FROM cfg, range(0, 3) a(tx), range(0, 3) b(ty)
+    GROUP BY cfg.id, cfg.w, cfg.h
+    """,
+    doc=(
+        "REAL PNG resize, stdlib-only: formula-encoded PNGs are decoded "
+        "(full unfilter), nearest-neighbor resampled with pure integer "
+        "math (src = dst * src_dim // dst_dim), re-ENCODED to PNG, and "
+        "re-decoded executor-side to verify the round trip before the "
+        "resized pixel sum is emitted. The oracle recomputes the "
+        "resampled sum from the generating formula — a green row proves "
+        "decode -> resample -> encode -> decode fidelity end to end."
+    ),
+    tags=("llm", "multimodal"),
+)
+def multimodal_real_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from tiflink_spark.multimodal import decode_png, encode_png, resize_png
+
+    rows = []
+    for i in range(0, 24, 2):
+        w, h = 4 + i % 5, 3 + i % 4
+        px = bytes((x + 3 * y + 7 * i) % 256 for y in range(h) for x in range(w))
+        rows.append((i, bytearray(encode_png(w, h, px, 1))))
+    media = spark.createDataFrame(rows, "id long, data binary")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"id": [], "width": [], "height": [], "n_channels": [], "pixel_sum": []}
+            for _, r in pdf.iterrows():
+                m = resize_png(bytes(r["data"]), 3, 3)
+                # round-trip verification: decoding the re-encoded bytes
+                # must reproduce the resampled pixels exactly
+                back = decode_png(m["data"])
+                if back["pixel_sum"] != m["pixel_sum"]:
+                    raise AssertionError("resize round-trip mismatch")
+                out["id"].append(int(r["id"]))
+                out["width"].append(m["width"])
+                out["height"].append(m["height"])
+                out["n_channels"].append(m["n_channels"])
+                out["pixel_sum"].append(m["pixel_sum"])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run, schema="id long, width long, height long, n_channels long, pixel_sum long"
+    )
