@@ -322,3 +322,44 @@ def sample_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE {_pct_expr("doc_id", "spark")} < {_MIX_RATE_SQL}
             GROUP BY source"""
     )
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH firsts AS (
+        SELECT user_id, min(date_trunc('week', ts)) AS cohort
+        FROM events GROUP BY user_id),
+    active AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+    SELECT f.cohort,
+           CAST((epoch(a.wk) - epoch(f.cohort)) / 604800 AS BIGINT) AS week_offset,
+           count(*) AS n_users
+    FROM active a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY f.cohort, week_offset
+    """,
+    doc=(
+        "Retention cohort analysis over the event stream: users grouped "
+        "by first-seen week (the cohort), counted in every later week "
+        "they stay active — the classic growth-analytics triangle. Week "
+        "offsets computed as integer epoch arithmetic so both engines "
+        "agree exactly. Two shuffles (per-user min, then "
+        "cohort x offset rollup), both keyed and partial-aggregated — "
+        "the shape scales to any event volume."
+    ),
+    tags=("analytics", "events"),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    ev = t["events"]
+    wk = F.date_trunc("week", F.col("ts"))
+    firsts = ev.groupBy("user_id").agg(F.min(wk).alias("cohort"))
+    active = ev.select("user_id", wk.alias("wk")).distinct()
+    offset = (
+        (F.unix_timestamp("wk") - F.unix_timestamp("cohort")) / 604800
+    ).cast("long")
+    return (
+        active.join(firsts, "user_id")
+        .groupBy("cohort", offset.alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
