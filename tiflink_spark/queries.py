@@ -1223,6 +1223,7 @@ _PRIORITY = [
     "mvapp_auto_having",
     "mvapp_auto_join_agg",
     "mvapp_auto_star_agg",
+    "mvapp_auto_deep_chain",
     "mvapp_auto_distinct",
     "mvapp_auto_left_join_agg",
     "mvapp_auto_topn",

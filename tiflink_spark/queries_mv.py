@@ -1971,3 +1971,109 @@ def mvapp_auto_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_deep_chain",
+    """
+    WITH final_orders_dc AS (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 6 <> 0
+    ),
+    final_customer_dc AS (
+        SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 12 <> 5
+    ),
+    final_region_dc AS (
+        SELECT r_regionkey,
+               CASE WHEN r_regionkey % 2 = 0 THEN r_name || '_R'
+                    ELSE r_name END AS r_name
+        FROM region WHERE r_regionkey <> 3
+    )
+    SELECT r_name,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM final_orders_dc o
+      JOIN final_customer_dc c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN final_region_dc r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r_name
+    """,
+    doc=(
+        "FOUR-table, THREE-hop snowflake chain (orders -> customer -> "
+        "nation -> region) auto-routed to IncrementalJoinAggMV. The "
+        "leaf dim (region) sits three joins from the fact: its churn "
+        "(renames re-keying whole groups, one delete emptying a "
+        "region) must propagate through nation AND customer to reach "
+        "the orders that move — a green row proves arbitrary-depth "
+        "dirty-key propagation, not just the 2-hop case."
+    ),
+    tags=("mv", "incremental", "planner", "join", "snowflake"),
+)
+def mvapp_auto_deep_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_dc_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("ord_dc", t["orders"], pk=["o_orderkey"])
+            .source("cust_dc", t["customer"], pk=["c_custkey"])
+            .source("nat_dc", t["nation"], pk=["n_nationkey"])
+            .source("reg_dc", t["region"], pk=["r_regionkey"])
+            .query(
+                """SELECT r.r_name,
+                          count(*) AS n_orders,
+                          sum(o.o_totalprice) AS total_raw
+                   FROM ord_dc o
+                     JOIN cust_dc c ON o.o_custkey = c.c_custkey
+                     JOIN nat_dc n ON c.c_nationkey = n.n_nationkey
+                     JOIN reg_dc r ON n.n_regionkey = r.r_regionkey
+                   GROUP BY r.r_name"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalJoinAggMV":
+            raise AssertionError(
+                f"planner routed deep chain to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        b1 = (
+            t["orders"].filter(F.col("o_orderkey") % 6 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"ord_dc": b1}, batch_id=1)
+        b2 = (
+            t["customer"].filter(F.col("c_custkey") % 12 == 5)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"cust_dc": b2}, batch_id=2)
+        # leaf churn, three hops from the fact
+        b3 = (
+            t["region"].filter(F.col("r_regionkey") % 2 == 0)
+            .withColumn("r_name", F.concat(F.col("r_name"), F.lit("_R")))
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .unionByName(
+                t["region"].filter(F.col("r_regionkey") == 3).withColumn(
+                    OP_COL, F.lit(OP_DELETE)
+                )
+            )
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"reg_dc": b3}, batch_id=3)
+        return (
+            app.read()
+            .select(
+                "r_name",
+                "n_orders",
+                F.round("total_raw", 2).alias("total"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
