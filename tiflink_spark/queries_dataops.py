@@ -363,3 +363,75 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", offset.alias("week_offset"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+_HIST_BUCKETS = 16
+
+
+@register(
+    "numeric_histogram",
+    f"""
+    WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+               FROM lineitem)
+    SELECT LEAST(CAST(FLOOR((l_extendedprice - lo) * {_HIST_BUCKETS} / (hi - lo))
+                      AS BIGINT), {_HIST_BUCKETS - 1}) AS bucket,
+           count(*) AS n
+    FROM lineitem, b
+    GROUP BY 1
+    """,
+    doc=(
+        "Equi-width numeric histogram (distribution profiling for "
+        "pipeline health dashboards): bucket index from pure integer "
+        "floor arithmetic over the global min/max, computed in one "
+        "pre-pass (a 2-row broadcast), then a map-side bucket "
+        "assignment and one partial-aggregated shuffle — the classic "
+        "two-scan histogram that holds at any scale."
+    ),
+    tags=("dataops", "profile"),
+)
+def numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    li = t["lineitem"]
+    b = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("l_extendedprice") - F.col("lo"))
+            * _HIST_BUCKETS
+            / (F.col("hi") - F.col("lo"))
+        ).cast("long"),
+        F.lit(_HIST_BUCKETS - 1),
+    )
+    return (
+        li.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "heavy_hitters_custkey",
+    """
+    SELECT o_custkey, count(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    ORDER BY n_orders DESC, o_custkey
+    LIMIT 20
+    """,
+    doc=(
+        "Exact heavy-hitter report (skew diagnosis before a big join: "
+        "the keys that would need salting): per-key counts, "
+        "deterministic top-20 under (count DESC, key) total order. One "
+        "partial-aggregated shuffle + a driver-side k-row limit."
+    ),
+    tags=("dataops", "profile", "skew"),
+)
+def heavy_hitters_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "o_custkey")
+        .limit(20)
+    )
