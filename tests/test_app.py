@@ -690,3 +690,104 @@ def test_match_agg_shape_expression_keys():
         )
         is None
     )
+
+
+def test_match_setop_shape_matcher():
+    from tiflink_spark.planner import match_setop_shape
+
+    cols = {"a": ["id", "v"], "b": ["bid", "bv"]}
+    pks = {"a": ["id"], "b": ["bid"]}
+    s = match_setop_shape(
+        "SELECT v FROM a INTERSECT SELECT bv FROM b", {"a", "b"}, cols, pks
+    )
+    assert s is not None and s.op == "intersect" and s.out_cols == ("v",)
+    s2 = match_setop_shape(
+        "SELECT v FROM a EXCEPT SELECT bv FROM b", {"a", "b"}, cols, pks
+    )
+    assert s2 is not None and s2.op == "except"
+    # ALL variants, missing pk, width mismatch, 3-branch all reject
+    assert (
+        match_setop_shape(
+            "SELECT v FROM a EXCEPT ALL SELECT bv FROM b", {"a", "b"}, cols, pks
+        )
+        is None
+    )
+    assert (
+        match_setop_shape(
+            "SELECT v FROM a INTERSECT SELECT bv FROM b", {"a", "b"}, cols, {"a": ["id"], "b": []}
+        )
+        is None
+    )
+    assert (
+        match_setop_shape(
+            "SELECT id, v FROM a INTERSECT SELECT bv FROM b", {"a", "b"}, cols, pks
+        )
+        is None
+    )
+    assert (
+        match_setop_shape(
+            "SELECT v FROM a INTERSECT SELECT bv FROM b INTERSECT SELECT v FROM a",
+            {"a", "b"},
+            cols,
+            pks,
+        )
+        is None
+    )
+
+
+def test_planner_routes_setops_to_incremental(spark, tmp_path):
+    """INTERSECT/EXCEPT route to dual-count incremental maintenance and
+    converge as side churn moves tuples in and out of membership."""
+    east = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_custkey")
+    )
+    west = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_custkey")
+    )
+    apps = {}
+    for op in ("INTERSECT", "EXCEPT"):
+        app = (
+            MVApp.builder(spark)
+            .source(f"east_{op}", east, pk=["o_orderkey"])
+            .source(f"west_{op}", west, pk=["o_orderkey"])
+            .query(
+                f"SELECT o_custkey FROM east_{op} {op} "
+                f"SELECT o_custkey FROM west_{op}"
+            )
+            .target(str(tmp_path / f"mv_{op}"))
+            .num_buckets(4)
+            .shuffle_partitions(4)
+            .build()
+        )
+        assert app.maintenance_strategy == "IncrementalSetOpMV", op
+        app.bootstrap()
+        apps[op] = app
+
+    # churn: delete ALL west orders of half the customers (their keys
+    # leave the intersect / enter the except), and delete some east
+    # orders too
+    w_del = west.filter(F.col("o_custkey") % 2 == 0).withColumn(
+        OP_COL, F.lit(OP_DELETE)
+    ).withColumn(SEQ_COL, F.monotonically_increasing_id())
+    e_del = east.filter(F.col("o_custkey") % 5 == 0).withColumn(
+        OP_COL, F.lit(OP_DELETE)
+    ).withColumn(SEQ_COL, F.monotonically_increasing_id())
+    final_east = east.filter(F.col("o_custkey") % 5 != 0)
+    final_west = west.filter(F.col("o_custkey") % 2 != 0)
+
+    for op, app in apps.items():
+        app.refresh({f"west_{op}": w_del}, batch_id=1)
+        app.refresh({f"east_{op}": e_del}, batch_id=2)
+        a = final_east.select("o_custkey")
+        b = final_west.select("o_custkey")
+        exp = a.intersect(b) if op == "INTERSECT" else a.exceptAll(b.distinct()).distinct()
+        want = {r.o_custkey for r in exp.collect()}
+        # EXCEPT set semantics: distinct(a) - b
+        if op == "EXCEPT":
+            want = {r.o_custkey for r in a.distinct().subtract(b.distinct()).collect()}
+        got = {r.o_custkey for r in app.read().collect()}
+        assert got == want, op

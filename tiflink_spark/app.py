@@ -46,6 +46,7 @@ from tiflink_spark.planner import (
     match_distinct_shape,
     match_join_agg_shape,
     match_join_shape,
+    match_setop_shape,
     match_topn_shape,
     match_union_all_shape,
 )
@@ -395,6 +396,45 @@ class MVApp:
                 shuffle_partitions=shuffle_partitions,
             )
             self._stores = {}
+            return
+
+        # Two-branch INTERSECT/EXCEPT (set semantics): dual hidden
+        # count-per-tuple state, membership re-evaluated only for the
+        # tuples a batch touches.
+        so = match_setop_shape(
+            query, set(dfs), source_columns, {n: d[0].pk for n, d in dfs.items()}
+        )
+        if so is not None and (pk is None or list(pk) == list(so.out_cols)):
+            from tiflink_spark.mv import IncrementalSetOpMV
+
+            self.maintenance_mode = "incremental"
+            self._fact_name = self._dim_name = None
+            self._join_names = self._change_filter = None
+            self._dict_refresh = True
+            self._ja_tables = {so.left, so.right}
+            self.mv_pk = list(so.out_cols)
+            self.ddl = create_table_ddl(
+                os.path.basename(target), self.mv_schema, self.mv_pk
+            )
+            self._mv = IncrementalSetOpMV(
+                spark,
+                op=so.op,
+                left=dfs[so.left][1],
+                left_pk=dfs[so.left][0].pk,
+                right=dfs[so.right][1],
+                right_pk=dfs[so.right][0].pk,
+                left_cols=list(so.left_cols),
+                right_cols=list(so.right_cols),
+                out_cols=list(so.out_cols),
+                work_dir=target,
+                num_buckets=num_buckets,
+                shuffle_partitions=shuffle_partitions,
+                side_names=(so.left, so.right),
+            )
+            self._stores = {
+                so.left: self._mv._sides["a"].fact_store,
+                so.right: self._mv._sides["b"].fact_store,
+            }
             return
 
         # Per-group Top-N (the ROW_NUMBER <= k pattern Flink's

@@ -445,6 +445,150 @@ class IncrementalUnionMV:
         return self.target.read(version)
 
 
+class IncrementalSetOpMV:
+    """Incremental MV for ``SELECT cols FROM a INTERSECT|EXCEPT SELECT
+    cols FROM b`` (set semantics, as in SQL). Each side maintains a
+    hidden count-per-tuple aggregate (an inner :class:`IncrementalAggMV`
+    keyed by the projected tuple — the same machinery as the DISTINCT
+    route); membership then follows from presence: a tuple is in the
+    view iff it is live on side A and (INTERSECT) live / (EXCEPT) dead
+    on side B. Per batch, only the TUPLES TOUCHED by the changelog
+    (new values plus displaced old values) have their membership
+    re-evaluated against the two presence sets — work ∝ batch size,
+    with the two presence probes pruned by semi-joins.
+
+    Flink's update-mode planner maintains INTERSECT/EXCEPT with the
+    same dual-count state; the reference gets it by delegation
+    (TiFlinkApp.java:270).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        op: str,  # "intersect" | "except"
+        left: DataFrame,
+        left_pk: list[str],
+        right: DataFrame,
+        right_pk: list[str],
+        left_cols: list[str],
+        right_cols: list[str],
+        out_cols: list[str],
+        work_dir: str,
+        num_buckets: int | None = None,
+        shuffle_partitions: int | None = None,
+        side_names: tuple[str, str] = ("a", "b"),
+    ):
+        if op not in ("intersect", "except"):
+            raise ValueError(f"unsupported set op: {op}")
+        self.spark = spark
+        self.shuffle_partitions = shuffle_partitions
+        self.op = op
+        self._name_to_tag = {side_names[0]: "a", side_names[1]: "b"}
+        self.out_cols = list(out_cols)
+        self._side_cols = {"a": list(left_cols), "b": list(right_cols)}
+        self._side_pks = {"a": list(left_pk), "b": list(right_pk)}
+        # Each side's rows projected to the OUTPUT tuple names; the
+        # source PK rides along (renamed __pk_i) for retraction lookups.
+        self._sides = {}
+        for tag, df in (("a", left), ("b", right)):
+            self._sides[tag] = IncrementalAggMV(
+                spark,
+                fact=self._project(tag, df),
+                fact_pk=[f"__pk_{i}" for i in range(len(self._side_pks[tag]))],
+                group_key=list(out_cols),
+                measures=[Measure("count", None, "__cnt")],
+                work_dir=os.path.join(work_dir, tag),
+                num_buckets=num_buckets,
+                shuffle_partitions=shuffle_partitions,
+            )
+        self.target = KeyedParquetStore(
+            spark, os.path.join(work_dir, "mv"), list(out_cols), num_buckets
+        )
+
+    def _project(self, tag: str, df: DataFrame) -> DataFrame:
+        """Side rows (or a side's source-schema changelog) → the shared
+        output-tuple schema, PK renamed positionally."""
+        sel = [
+            F.col(c).alias(o) for c, o in zip(self._side_cols[tag], self.out_cols)
+        ]
+        sel += [
+            F.col(k).alias(f"__pk_{i}") for i, k in enumerate(self._side_pks[tag])
+        ]
+        sel += [F.col(c) for c in (OP_COL, SEQ_COL) if c in df.columns]
+        return df.select(*sel)
+
+    def _membership(self, dirty: DataFrame) -> DataFrame:
+        """Current membership rows for the dirty tuples."""
+        in_a = dirty.join(
+            self._sides["a"].read().select(*self.out_cols), self.out_cols, "left_semi"
+        )
+        b_live = self._sides["b"].read().select(*self.out_cols)
+        if self.op == "intersect":
+            return in_a.join(b_live, self.out_cols, "left_semi")
+        return in_a.join(b_live, self.out_cols, "left_anti")
+
+    @_maintenance
+    def bootstrap(self, batch_id=0) -> None:
+        for side in self._sides.values():
+            side.bootstrap(batch_id)
+        a = self._sides["a"].read().select(*self.out_cols)
+        b = self._sides["b"].read().select(*self.out_cols)
+        rows = (
+            a.join(b, self.out_cols, "left_semi")
+            if self.op == "intersect"
+            else a.join(b, self.out_cols, "left_anti")
+        )
+        self.target.bootstrap(rows, batch_id)
+
+    def _dirty_tuples(self, tag: str, changes: DataFrame, batch_id) -> DataFrame:
+        """Output tuples touched by a side's batch: the new values plus
+        the displaced old values (pre-batch store version — the side's
+        inner MV has already merged when this runs)."""
+        side = self._sides[tag]
+        store = side.fact_store
+        if batch_id in store.committed_batches():
+            old = store.read(store.version_before_batch(batch_id))
+        else:
+            old = store.read()
+        changed_pks = last_change_per_key(changes, store.pk).select(*store.pk)
+        old_tuples = old.join(changed_pks, store.pk, "left_semi").select(*self.out_cols)
+        new_tuples = changes.select(*self.out_cols)
+        return old_tuples.unionByName(new_tuples).distinct()
+
+    @_maintenance
+    def refresh(self, changes: dict[str, DataFrame], batch_id) -> bool:
+        """``changes`` maps side tag ('a' = left, 'b' = right) → a
+        changelog in the side's SOURCE schema (projected to the shared
+        tuple schema internally)."""
+        changes = {k: v for k, v in changes.items() if v is not None}
+        if batch_id in self.target.committed_batches():
+            return False
+        if not changes:
+            return False
+        unknown = set(changes) - set(self._name_to_tag)
+        if unknown:
+            raise ValueError(f"unknown tables in changes: {sorted(unknown)}")
+        dirty_parts = []
+        for name, raw in changes.items():
+            tag = self._name_to_tag[name]
+            ch = self._project(tag, raw)
+            self._sides[tag].refresh(ch, batch_id)
+            dirty_parts.append(self._dirty_tuples(tag, ch, batch_id))
+        dirty = dirty_parts[0]
+        for p in dirty_parts[1:]:
+            dirty = dirty.unionByName(p)
+        dirty = dirty.distinct().localCheckpoint(eager=True)
+
+        live = self._membership(dirty)
+        old_rows = self.target.read().join(dirty, self.out_cols, "left_semi")
+        mv_changes = diff_states(old_rows, live, self.target.pk)
+        self.target.merge(mv_changes, batch_id)
+        return True
+
+    def read(self, version: int | None = None) -> DataFrame:
+        return self.target.read(version)
+
+
 class IncrementalJoinAggMV:
     """Incremental MV for the canonical star/snowflake-join aggregate
 

@@ -306,6 +306,64 @@ def match_union_all_shape(
 
 
 @dataclass(frozen=True)
+class SetOpShape:
+    """``SELECT cols FROM a INTERSECT|EXCEPT SELECT cols FROM b`` (set
+    semantics; the ALL variants are not this shape). Maintained by
+    :class:`tiflink_spark.mv.IncrementalSetOpMV` — hidden
+    count-per-tuple state on each side, membership re-evaluated for
+    the tuples each batch touches. Flink's update-mode planner uses
+    the same dual-count state; the reference gets it by delegation
+    (TiFlinkApp.java:270)."""
+
+    op: str  # "intersect" | "except"
+    left: str
+    left_cols: tuple[str, ...]
+    right: str
+    right_cols: tuple[str, ...]
+    out_cols: tuple[str, ...]
+
+
+_SETOP_SPLIT = re.compile(r"(?i)\b(INTERSECT|EXCEPT)\b(\s+ALL\b)?")
+
+
+def match_setop_shape(
+    query: str,
+    source_names: set[str],
+    source_columns: dict[str, list[str]],
+    source_pks: dict[str, list[str]],
+) -> SetOpShape | None:
+    """Match the two-branch INTERSECT/EXCEPT, or None. Both sides must
+    be bare projections of registered sources with declared PKs (the
+    per-side count state needs retraction lookups); the ALL variants
+    keep the recompute fallback (bag semantics need signed
+    multiplicities in the view itself)."""
+    parts = _SETOP_SPLIT.split(query.strip().rstrip(";"))
+    # split yields [left, OP, ALL?, right] for a single operator
+    if len(parts) != 4 or parts[2] is not None:
+        return None
+    left_sql, op, _, right_sql = parts
+    branches = []
+    for part in (left_sql, right_sql):
+        bm = _UNION_BRANCH_RE.match(part)
+        if bm is None or bm.group("table") not in source_names:
+            return None
+        table = bm.group("table")
+        known = {c.lower(): c for c in source_columns.get(table, [])}
+        cols = tuple(c.strip() for c in bm.group("select").split(","))
+        if any(c.lower() not in known for c in cols):
+            return None
+        if not source_pks.get(table):
+            return None
+        branches.append((table, tuple(known[c.lower()] for c in cols)))
+    (lt, lc), (rt, rc) = branches
+    if lt == rt or len(lc) != len(rc):
+        return None
+    if len({c.lower() for c in lc}) != len(lc):
+        return None
+    return SetOpShape(op.lower(), lt, lc, rt, rc, lc)
+
+
+@dataclass(frozen=True)
 class TopNShape:
     """The canonical per-group Top-N pattern (Flink's update-mode
     planner special-cases exactly this SQL shape as its Top-N

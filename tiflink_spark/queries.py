@@ -1234,6 +1234,7 @@ _PRIORITY = [
     "mvapp_auto_corr_sum",
     "mvapp_auto_time_rollup",
     "mvapp_auto_union",
+    "mvapp_auto_setops",
     "mvapp_auto_stats_agg",
     "mvapp_star_streaming",
     "jdbc_mv_publish",

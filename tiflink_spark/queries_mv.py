@@ -2077,3 +2077,83 @@ def mvapp_auto_deep_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_setops",
+    """
+    WITH east_f AS (
+        SELECT o_custkey FROM orders
+        WHERE o_orderkey % 2 = 0 AND o_custkey % 5 <> 0),
+    west_f AS (
+        SELECT o_custkey FROM orders
+        WHERE o_orderkey % 2 = 1 AND o_custkey % 2 <> 0)
+    SELECT 'intersect' AS op, o_custkey
+    FROM (SELECT o_custkey FROM east_f INTERSECT SELECT o_custkey FROM west_f)
+    UNION ALL
+    SELECT 'except' AS op, o_custkey
+    FROM (SELECT o_custkey FROM east_f EXCEPT SELECT o_custkey FROM west_f)
+    """,
+    doc=(
+        "INTERSECT and EXCEPT (set semantics) auto-routed to "
+        "IncrementalSetOpMV: dual hidden count-per-tuple state per "
+        "side, membership re-evaluated only for tuples a batch touches "
+        "— the dual-count maintenance Flink's update-mode planner uses "
+        "for the same ops. Churn deletes ALL of one side's rows for "
+        "half the key space, draining tuples out of the intersect and "
+        "into the except. Both ops' final states returned under an op "
+        "tag; the fns raise unless routed incrementally."
+    ),
+    tags=("mv", "incremental", "planner", "setop"),
+)
+def mvapp_auto_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    east = t["orders"].filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey"
+    )
+    west = t["orders"].filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey"
+    )
+    out = None
+    for op in ("INTERSECT", "EXCEPT"):
+        work = tempfile.mkdtemp(prefix=f"mvapp_so_{op}_")
+        try:
+            app = (
+                MVApp.builder(spark)
+                .source(f"east_{op}", east, pk=["o_orderkey"])
+                .source(f"west_{op}", west, pk=["o_orderkey"])
+                .query(
+                    f"SELECT o_custkey FROM east_{op} {op} "
+                    f"SELECT o_custkey FROM west_{op}"
+                )
+                .target(work)
+                .num_buckets(4)
+                .shuffle_partitions(8)
+                .build()
+            )
+            if app.maintenance_strategy != "IncrementalSetOpMV":
+                raise AssertionError(
+                    f"planner routed {op} to {app.maintenance_strategy}"
+                )
+            app.bootstrap()
+            w_del = (
+                west.filter(F.col("o_custkey") % 2 == 0)
+                .withColumn(OP_COL, F.lit(OP_DELETE))
+                .withColumn(SEQ_COL, F.monotonically_increasing_id())
+            )
+            e_del = (
+                east.filter(F.col("o_custkey") % 5 == 0)
+                .withColumn(OP_COL, F.lit(OP_DELETE))
+                .withColumn(SEQ_COL, F.monotonically_increasing_id())
+            )
+            app.refresh({f"west_{op}": w_del}, batch_id=1)
+            app.refresh({f"east_{op}": e_del}, batch_id=2)
+            part = app.read().select(
+                F.lit(op.lower()).alias("op"), "o_custkey"
+            ).localCheckpoint(eager=True)
+            out = part if out is None else out.unionByName(part)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    return out
