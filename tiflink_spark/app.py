@@ -531,7 +531,9 @@ class MVApp:
             if isinstance(obj, KeyedParquetStore):
                 seen.setdefault(id(obj), obj)
 
-        for mv in (self._mv, getattr(self._mv, "_agg", None)):
+        nested = [self._mv, getattr(self._mv, "_agg", None)]
+        nested += list(getattr(self._mv, "_sides", {}).values())
+        for mv in nested:
             if mv is None:
                 continue
             for attr in ("fact_store", "state_store", "dim_store",
