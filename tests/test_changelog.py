@@ -154,3 +154,35 @@ def test_merge_changes_matches_dict_model_hypothesis(spark):
         assert {(r.k, r.v) for r in got.collect()} == set(model.items())
 
     run()
+
+
+def test_op_contract_guard(spark, tmp_path):
+    """An op outside {+I,+U,-D} must FAIL the merge, not silently
+    upsert (-U / UPDATE_BEFORE would double-count): the guard rides the
+    lineage through the keyed store."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from tiflink_spark.store import KeyedParquetStore
+
+    store = KeyedParquetStore(spark, str(tmp_path / "guard"), ["k"], 2)
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    store.bootstrap(base, batch_id=0)
+
+    bad = spark.createDataFrame(
+        [(1, "a", "-U", 0)], f"k long, v string, {OP_COL} string, {SEQ_COL} long"
+    )
+    with pytest.raises(Exception) as ei:
+        store.merge(bad, batch_id=1)
+    assert "outside contract" in str(ei.value)
+
+    # missing contract columns fail fast, schema-side
+    with pytest.raises(ValueError, match="missing columns"):
+        store.merge(base, batch_id=2)
+
+    # a valid batch still merges
+    ok = spark.createDataFrame(
+        [(2, "b2", "+U", 0)], f"k long, v string, {OP_COL} string, {SEQ_COL} long"
+    )
+    assert store.merge(ok, batch_id=3)
+    assert {(r.k, r.v) for r in store.read().collect()} == {(1, "a"), (2, "b2")}

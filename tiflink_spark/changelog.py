@@ -34,6 +34,24 @@ OP_DELETE = "-D"
 VALID_OPS = (OP_INSERT, OP_UPDATE, OP_DELETE)
 
 
+def assert_valid_ops(changes: DataFrame) -> DataFrame:
+    """Embed a contract guard in the lineage: any op outside
+    {+I, +U, -D} fails the job instead of being silently treated as an
+    upsert. ``-U`` (UPDATE_BEFORE) in particular is explicitly NOT part
+    of the contract (TikvDynamicSource.java:47-53) — a producer emitting
+    it would double-count if merged as an upsert. Costs nothing: the
+    check is a codegen'd conditional on a column the merge reads anyway.
+    """
+    guard = F.when(F.col(OP_COL).isin(*VALID_OPS), F.col(OP_COL)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"changelog op outside contract {VALID_OPS}: "), F.col(OP_COL)
+            )
+        )
+    )
+    return changes.withColumn(OP_COL, guard)
+
+
 def with_insert_ops(df: DataFrame, start_seq: int = 0) -> DataFrame:
     """Tag a batch snapshot as an all-INSERT changelog (the bootstrap
     phase of the reference's snapshot-then-CDC source,

@@ -33,7 +33,13 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tiflink_spark.changelog import OP_COL, SEQ_COL, last_change_per_key, merge_changes
+from tiflink_spark.changelog import (
+    OP_COL,
+    SEQ_COL,
+    assert_valid_ops,
+    last_change_per_key,
+    merge_changes,
+)
 
 COMMITS_FILE = "_mv_commits"
 BUCKET_COL = "__bucket"
@@ -239,6 +245,12 @@ class KeyedParquetStore:
         commits = self._commits()
         if not commits:
             raise RuntimeError("merge() before bootstrap()")
+        missing = {OP_COL, SEQ_COL, *self.pk} - set(changes.columns)
+        if missing:
+            raise ValueError(f"changelog batch missing columns {sorted(missing)}")
+        # Contract guard rides the lineage (fails the job on an op
+        # outside +I/+U/-D instead of silently upserting it).
+        changes = assert_valid_ops(changes)
         prev = commits[-1]["buckets"]
 
         # The changes lineage is often expensive (state diffs, dirty-group
