@@ -121,6 +121,7 @@ _ANTIPATTERN_ALLOWLIST = {
     "cross_join_small": {"BroadcastNestedLoopJoin", "CartesianProduct"},
     "date_spine_gap_fill": {"BroadcastNestedLoopJoin"},  # spine x types, both tiny
     "embedding_ann_ivf": {"BroadcastNestedLoopJoin"},  # vectors x broadcast centroids (k rows)
+    "numeric_histogram": {"BroadcastNestedLoopJoin"},  # rows x ONE broadcast min/max row
     # non-equi predicates have no hash-join form; small side broadcast:
     "join_theta": {"BroadcastNestedLoopJoin", "CartesianProduct"},
     "range_join_price_bands": {"BroadcastNestedLoopJoin"},
