@@ -1086,3 +1086,46 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("gram").alias("n_distinct"),
         F.round(ratio, 4).alias("rep_ratio"),
     )
+
+
+@register(
+    "dedup_incremental_batch",
+    """
+    WITH corpus AS (
+        SELECT md5(text) AS h FROM documents WHERE doc_id % 10 < 8),
+    incoming AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 >= 8),
+    fresh AS (
+        SELECT i.doc_id, i.h FROM incoming i
+        WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = i.h))
+    SELECT doc_id, h AS text_hash,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1 AS keep
+    FROM fresh
+    """,
+    doc=(
+        "INCREMENTAL ingestion dedup — the form production pipelines "
+        "actually run: the incoming batch (here the last 20% of doc_ids) "
+        "is deduped against the established corpus by content hash "
+        "(anti-join; at 100 TB the corpus side is a bucketed hash index "
+        "or bloom probe, the batch side streams), then within itself "
+        "(first-arrival wins under a deterministic order). Batch-sized "
+        "work against corpus-sized state — never a full-corpus self-join."
+    ),
+    tags=("llm", "dedup", "incremental"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    corpus = docs.filter(F.col("doc_id") % 10 < 8).select(F.md5("text").alias("h"))
+    incoming = docs.filter(F.col("doc_id") % 10 >= 8).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    fresh = incoming.join(corpus, "h", "left_anti")
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return fresh.select(
+        "doc_id",
+        F.col("h").alias("text_hash"),
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
