@@ -791,3 +791,42 @@ def test_planner_routes_setops_to_incremental(spark, tmp_path):
             want = {r.o_custkey for r in a.distinct().subtract(b.distinct()).collect()}
         got = {r.o_custkey for r in app.read().collect()}
         assert got == want, op
+
+
+def test_topn_requires_key_and_rank_in_select():
+    from tiflink_spark.planner import match_topn_shape
+
+    cols = {"orders": ["o_orderkey", "o_custkey", "o_totalprice"]}
+    base = (
+        "SELECT {sel} FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t "
+        "WHERE rn <= 2"
+    )
+    assert match_topn_shape(base.format(sel="o_custkey, o_orderkey, rn"), {"orders"}, cols)
+    # missing rank alias or partition key -> the MV PK would reference
+    # columns the view does not expose -> reject
+    assert match_topn_shape(base.format(sel="o_custkey, o_orderkey"), {"orders"}, cols) is None
+    assert match_topn_shape(base.format(sel="o_orderkey, rn"), {"orders"}, cols) is None
+
+
+def test_null_group_key_fails_loudly(spark, tmp_path):
+    """PRIMARY KEY implies NOT NULL: a NULL group value under the
+    DISTINCT route must fail the job (unretractable row) instead of
+    silently diverging from batch semantics."""
+    import pytest
+
+    src = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, "x")], "id long, v string"
+    )
+    app = (
+        MVApp.builder(spark)
+        .source("s_nk", src, pk=["id"])
+        .query("SELECT DISTINCT v FROM s_nk")
+        .target(str(tmp_path / "mv_nk"))
+        .num_buckets(2)
+        .build()
+    )
+    assert app.maintenance_mode == "incremental"
+    with pytest.raises(Exception, match="NULL primary-key"):
+        app.bootstrap()

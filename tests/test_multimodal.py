@@ -132,3 +132,25 @@ class TestStdlibCodecs:
         assert m["pixel_sum"] == expect
         # re-encoded bytes decode back to the same pixels
         assert decode_png(m["data"])["pixel_sum"] == expect
+
+    def test_paletted_png_rejected(self):
+        import struct
+        import zlib
+
+        import pytest as _pytest
+
+        from tiflink_spark.multimodal import decode_png
+
+        def chunk(ctype, payload):
+            crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+            return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
+
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+            + chunk(b"PLTE", b"\xff\x00\x00\x00\xff\x00")
+            + chunk(b"IDAT", zlib.compress(b"\x00\x00\x01"))
+            + chunk(b"IEND", b"")
+        )
+        with _pytest.raises(NotImplementedError, match="paletted"):
+            decode_png(png)

@@ -367,7 +367,11 @@ class MVApp:
         # view, stateless under changelogs: each branch's changes
         # project straight into the target keyed by (branch tag, PK).
         # The hidden tag is the real uniqueness carrier; the advertised
-        # MV PK is per-source.
+        # MV PK (the shared key column) is unique only per branch — the
+        # same first-column PK overclaim the reference makes for
+        # non-unique query outputs (TiFlinkApp.java:276-281). Publish
+        # targets whose branches can collide on the key need their own
+        # DDL without the PK constraint.
         ua = match_union_all_shape(
             query, set(dfs), source_columns, {n: d[0].pk for n, d in dfs.items()}
         )

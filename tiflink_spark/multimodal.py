@@ -84,7 +84,11 @@ def decode_png(data: bytes) -> dict:
     w, h, bit_depth, color_type, _comp, _filt, interlace = header
     if bit_depth != 8 or interlace != 0:
         raise NotImplementedError("only 8-bit non-interlaced PNG")
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    if color_type == 3:
+        # palette indices are NOT pixel values; decoding them as gray
+        # would silently break the pixels-round-trip contract
+        raise NotImplementedError("paletted PNG (PLTE) not supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
     bpp = channels  # bytes per pixel at bit depth 8
     stride = w * bpp
     raw = zlib.decompress(idat)

@@ -30,6 +30,16 @@ The GROUP BY keys double as the MV's primary key: a GROUP BY's key set
 IS the query's derived unique constraint, which is exactly the PK
 inference rule the reference applies before falling back to
 first-output-column (TiFlinkApp.java:276-281).
+
+NULL-key contract: every incremental route keys its target by the
+derived constraint, and PRIMARY KEY implies NOT NULL (as in SQL, and
+as in the reference's integer handle, FlinkTikvProducer.java:77-79).
+Data that produces a NULL key — a NULL group value under DISTINCT /
+GROUP BY, a NULL tuple under INTERSECT/EXCEPT, a computed key over
+NULL inputs — fails the maintenance job loudly (the keyed store embeds
+a raise_error guard) rather than silently leaving unretractable rows;
+such views belong on the recompute fallback after filtering or
+coalescing the NULLs.
 """
 
 from __future__ import annotations
@@ -419,6 +429,12 @@ def match_topn_shape(
         return None
     rn = m.group("rn")
     sel = [c.strip() for c in m.group("select").split(",")]
+    sel_lower = {c.lower() for c in sel}
+    # The MV is keyed (partition key, rank): both must appear in the
+    # outer select or the advertised PK/DDL would reference columns
+    # the view does not expose.
+    if m.group("g").lower() not in sel_lower or rn.lower() not in sel_lower:
+        return None
     cols_known = None
     if source_columns is not None:
         cols_known = {c.lower() for c in source_columns.get(m.group("table"), [])}

@@ -1550,7 +1550,9 @@ def jdbc_outbox_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         for phase in (phase1, phase2):
             jdbc.write(phase, ConnectorOptions(path=url, extra={"table": "outbox"}))
             batch = jdbc_poll_changes(spark, url, "outbox", since_seq=resolved)
-            resolved = batch.agg(F.max(SEQ_COL)).collect()[0][0] or resolved
+            mx = batch.agg(F.max(SEQ_COL)).collect()[0][0]
+            if mx is not None:  # 0 is a legitimate max seq
+                resolved = mx
             app.refresh({"orders_ob": batch}, batch_id=f"outbox-{resolved}")
         return (
             app.read()

@@ -66,6 +66,24 @@ def _bucket_expr(pk: list[str], num_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in pk]), F.lit(num_buckets))
 
 
+def _assert_pk_not_null(df: DataFrame, pk: list[str]) -> DataFrame:
+    """PRIMARY KEY implies NOT NULL (as in SQL, and as in the
+    reference's integer handle, FlinkTikvProducer.java:77-79): a
+    NULL-keyed row could never be addressed for retraction — the PK
+    joins across the engine are null-unsafe by design — so it fails
+    the job loudly here instead of silently becoming an immortal row.
+    Lineage-embedded (codegen'd conditional); costs nothing."""
+    guard = df
+    for c in pk:
+        guard = guard.withColumn(
+            c,
+            F.when(F.col(c).isNotNull(), F.col(c)).otherwise(
+                F.raise_error(F.lit(f"NULL primary-key column '{c}' in keyed store"))
+            ),
+        )
+    return guard
+
+
 class KeyedParquetStore:
     """A PK-keyed table with MERGE semantics and versioned commits.
 
@@ -219,6 +237,7 @@ class KeyedParquetStore:
         if self.num_buckets is None:
             self.num_buckets = auto_num_buckets(df.count())
         version = (self.current_version() or 0) + 1 if self._commits() else 0
+        df = _assert_pk_not_null(df, self.pk)
         bucketed = df.withColumn(BUCKET_COL, _bucket_expr(self.pk, self.num_buckets))
         rel = self._write_buckets(bucketed, version)
         buckets = {b: f"{rel}/{BUCKET_COL}={b}" for b in self._present_buckets(rel)}
@@ -248,9 +267,10 @@ class KeyedParquetStore:
         missing = {OP_COL, SEQ_COL, *self.pk} - set(changes.columns)
         if missing:
             raise ValueError(f"changelog batch missing columns {sorted(missing)}")
-        # Contract guard rides the lineage (fails the job on an op
-        # outside +I/+U/-D instead of silently upserting it).
-        changes = assert_valid_ops(changes)
+        # Contract guards ride the lineage (fail the job on an op
+        # outside +I/+U/-D, or a NULL PK — an unaddressable row —
+        # instead of silently corrupting the view).
+        changes = assert_valid_ops(_assert_pk_not_null(changes, self.pk))
         prev = commits[-1]["buckets"]
 
         # The changes lineage is often expensive (state diffs, dirty-group
