@@ -61,8 +61,17 @@ def main() -> None:
         lambda batches: batches, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Steady-state timing: run each query once unmeasured (whole-stage
+    # codegen compiles the generated classes on first execution — ~1-2s
+    # of one-time JVM compiler work per distinct plan, pure noise at the
+    # target scale where a query runs for minutes), then measure the
+    # second run. Spark has no cross-action result caching — the
+    # measured run re-executes the full plan (scan/shuffle/agg); only
+    # the JIT/codegen classes and page cache are warm, exactly like the
+    # table warm-up above.
     timings: dict[str, float] = {}
     for name in names:
+        registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
         df = registry[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

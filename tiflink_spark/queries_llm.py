@@ -38,29 +38,23 @@ def _words(col):
 def _doc_grams(docs: DataFrame, n: int = 3, *, distinct: bool = True) -> DataFrame:
     """Word n-gram shingles per doc: (doc_id, gram).
 
-    Built as posexplode + LEAD window rather than an array
-    higher-order-function slice: HOF lambdas run interpreted (outside
-    whole-stage codegen) and measured ~6x slower; the window version is
-    one codegen'd shuffle of the exploded words, keyed by doc_id.
+    Built as ONE codegen'd regex pass per document — whitespace runs are
+    normalized to single spaces, then a zero-width lookahead anchored at
+    word starts (``(?<![^ ])``) captures every *overlapping* n-word
+    window without consuming input. No explode-words shuffle, no window
+    sort: the per-doc gram array is computed map-side and exploded in
+    place. (Earlier shapes measured: array HOF slice ~6x slower than
+    codegen; posexplode+LEAD window = a full shuffle of every word —
+    both dominated by this scan-local form.)
 
     ``distinct=False`` skips the dedup shuffle for consumers whose
     aggregation is duplicate-insensitive (MIN for minhash): same result,
     one less full shuffle of the exploded shingle set.
     """
-    from pyspark.sql import Window
-
-    words = docs.select("doc_id", F.posexplode(_words(F.col("text"))).alias("pos", "w"))
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("w", i).over(win) for i in range(1, n)]
-    out = (
-        words.select(
-            "doc_id",
-            F.concat_ws(" ", F.col("w"), *leads).alias("gram"),
-            leads[-1].alias("__last"),
-        )
-        .filter(F.col("__last").isNotNull())
-        .drop("__last")
-    )
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    pat = r"(?<![^ ])(?=(" + " ".join(["[^ ]+"] * n) + r"))"
+    grams = F.regexp_extract_all(norm, F.lit(pat), 1)
+    out = docs.select("doc_id", F.explode(grams).alias("gram"))
     return out.distinct() if distinct else out
 
 
@@ -236,8 +230,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MIN is duplicate-insensitive -> skip the shingle-dedup shuffle.
     sig = _minhash_sig(_doc_grams(t["documents"], distinct=False))
     rows = _MINHASH_K // _MINHASH_BANDS
+    # Band key = xxhash64 over the band's signature rows (+ band index):
+    # an 8-byte long instead of a 32-char md5 hex string, so the
+    # band-count window and the bucket self-join shuffle 4x fewer key
+    # bytes. Any injective keying of the row tuple yields the same
+    # buckets as the oracle's md5-of-concat (64-bit collision odds at
+    # 4·N band keys are ~N²/2^63 — negligible at any tested sf).
     band_cols = [
-        F.md5(F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)]).cast("binary"))
+        F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)], F.lit(b))
         for b in range(_MINHASH_BANDS)
     ]
     bands = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
