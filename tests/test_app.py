@@ -114,13 +114,15 @@ def test_planner_routes_agg_shape_to_incremental(spark, tmp_path):
 
 
 def test_planner_falls_back_on_complex_shapes(spark, tmp_path):
-    """Joins / subqueries / HAVING keep the explicit recompute mode."""
+    """Unsupported aggregates / subqueries keep the explicit recompute
+    mode (plain aggregate-call HAVING now routes incrementally via
+    hidden measures — see test_match_agg_shape_having)."""
     app = (
         MVApp.builder(spark)
         .source("orders_f", f"{SF_DIR}/orders.parquet", pk=["o_orderkey"])
         .query(
             "SELECT o_orderpriority, count(*) AS n FROM orders_f "
-            "GROUP BY o_orderpriority HAVING count(*) > 3"
+            "GROUP BY o_orderpriority HAVING median(o_totalprice) > 3"
         )
         .target(str(tmp_path / "mv_fallback"))
         .num_buckets(4)
@@ -288,11 +290,31 @@ def test_match_agg_shape_having():
         {"t"},
     )
     assert h is not None and h.having == "n >= 8 AND a IS NOT NULL"
-    # aggregate-call or unknown-identifier HAVING is not a target-side
-    # row filter -> no match (falls back to recompute)
+    # aggregate-call HAVING rewrites to measure aliases: a call matching
+    # a visible measure reuses it (this is also the alias-shadowing case
+    # — count(*) AS n … HAVING count(*) resolves to n, never to a
+    # broken identifier); a novel call becomes a HIDDEN measure of the
+    # same state, projected away by read().
+    h = match_agg_shape(
+        "SELECT a, count(*) AS n FROM t GROUP BY a HAVING count(*) > 3", {"t"}
+    )
+    assert h is not None and h.having == "n > 3"
+    assert [mm.alias for mm in h.measures] == ["n"]
+    h = match_agg_shape(
+        "SELECT a, sum(b) AS total FROM t GROUP BY a "
+        "HAVING count(*) > 3 AND sum(b) > 10",
+        {"t"},
+        {"t": ["a", "b"]},
+    )
+    assert h is not None and h.having == "__hav0 > 3 AND total > 10"
+    assert [mm.alias for mm in h.measures] == ["total", "__hav0"]
+    assert h.measures[1].kind == "count" and h.measures[1].col is None
+    # non-deterministic / unknown-identifier HAVING still falls back
     assert (
         match_agg_shape(
-            "SELECT a, count(*) AS n FROM t GROUP BY a HAVING count(*) > 3", {"t"}
+            "SELECT a, count(*) AS n FROM t GROUP BY a HAVING max(rand()) > 0.5",
+            {"t"},
+            {"t": ["a"]},
         )
         is None
     )
@@ -501,14 +523,14 @@ def test_match_agg_shape_stats_kinds():
     )
     assert s is not None
     assert [m.kind for m in s.measures] == ["stddev_samp", "var_samp", "stddev_samp"]
-    # an aggregate call in HAVING still rejects (incl. the new kinds)
-    assert (
-        match_agg_shape(
-            "SELECT a, count(*) AS n FROM t GROUP BY a HAVING stddev(x) > 1",
-            {"t"},
-        )
-        is None
+    # the stats kinds also work as hidden HAVING measures (dirty-group
+    # recompute path, same as when they are select-list measures)
+    s = match_agg_shape(
+        "SELECT a, count(*) AS n FROM t GROUP BY a HAVING stddev(x) > 1",
+        {"t"},
     )
+    assert s is not None and s.having == "__hav0 > 1"
+    assert s.measures[1].kind == "stddev_samp"
 
 
 def test_match_union_all_shape_matcher():

@@ -164,12 +164,37 @@ class TestJoinAggMatcher:
             PKS,
         )
         assert s is not None and s.having == "n > 5"
-        # aggregate-call HAVING is not a target-side row filter
+        # aggregate-call HAVING rewrites to measure aliases: reuse of a
+        # visible measure, plus a HIDDEN measure for a novel aggregate
+        # (its argument column must ride into the joined relation).
+        s = match_join_agg_shape(
+            """SELECT c_nationkey, count(*) AS n
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               GROUP BY c_nationkey
+               HAVING count(*) > 5 AND sum(o_totalprice) > 100""",
+            set(COLS),
+            COLS,
+            PKS,
+        )
+        assert s is not None and s.having == "n > 5 AND __hav0 > 100"
+        assert [mm.alias for mm in s.measures] == ["n", "__hav0"]
+        assert "o_totalprice" in s.fact_cols
+        # qualified aggregate arguments dequalify like select measures
+        s = match_join_agg_shape(
+            """SELECT c_nationkey, count(*) AS n
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               GROUP BY c_nationkey HAVING max(orders.o_totalprice) > 9""",
+            set(COLS),
+            COLS,
+            PKS,
+        )
+        assert s is not None and s.having == "__hav0 > 9"
+        # non-deterministic aggregate arguments still fall back
         assert (
             match_join_agg_shape(
                 """SELECT c_nationkey, count(*) AS n
                    FROM orders JOIN customer ON o_custkey = c_custkey
-                   GROUP BY c_nationkey HAVING count(*) > 5""",
+                   GROUP BY c_nationkey HAVING max(rand()) > 0.5""",
                 set(COLS),
                 COLS,
                 PKS,

@@ -146,6 +146,65 @@ def _parse_measures(
     return measures
 
 
+_AGG_CALL_RE = re.compile(
+    r"(?i)\b(?P<kind>count|sum|avg|min|max|stddev_samp|stddev|var_samp|variance)"
+    r"\s*\((?P<arg>(?:[^()]|\([^()]*\))*)\)"
+)
+
+
+def _rewrite_having_aggs(
+    having: str, measures: list[Measure], columns: set[str] | None
+) -> tuple[str, list[Measure]] | None:
+    """Rewrite aggregate calls in a HAVING clause to measure aliases.
+
+    ``HAVING count(*) > 3`` is maintainable: the aggregate is just
+    another measure over the same GROUP BY state (Flink's update-mode
+    planner treats it exactly so). Each aggregate call is parsed like a
+    select-list measure; a call matching a visible measure reuses its
+    alias, anything else becomes a HIDDEN measure (``__hav{i}``)
+    maintained in state and the target store but projected away by
+    read() (the resolved query schema never sees it). Returns the
+    rewritten alias-form clause plus the hidden measures, or None when
+    a call doesn't parse as a maintainable measure (→ recompute).
+
+    This also makes the alias-shadowing case safe rather than rejected:
+    ``count(*) AS count … HAVING count(*) > 3`` rewrites to
+    ``count > 3`` against the real measure.
+    """
+    taken = {mm.alias.lower() for mm in measures}
+    by_sig: dict[tuple[str, str | None], str] = {}
+    for mm in measures:
+        sig = (mm.kind, _norm_sql(mm.col) if mm.col else None)
+        by_sig.setdefault(sig, mm.alias)
+    # Matches inside string literals are not calls — skip them.
+    lit_spans = [sm.span() for sm in re.finditer(r"'[^']*'", having)]
+    hidden: list[Measure] = []
+    out: list[str] = []
+    last = 0
+    for cm in _AGG_CALL_RE.finditer(having):
+        if any(a <= cm.start() < b for a, b in lit_spans):
+            continue
+        i = len(hidden)
+        while f"__hav{i}" in taken:  # user alias collision guard
+            i += 1
+        parsed = _parse_measures([f"{cm.group(0)} AS __hav{i}"], columns)
+        if parsed is None:
+            return None
+        (mm,) = parsed
+        sig = (mm.kind, _norm_sql(mm.col) if mm.col else None)
+        alias = by_sig.get(sig)
+        if alias is None:
+            alias = mm.alias
+            by_sig[sig] = alias
+            taken.add(alias.lower())
+            hidden.append(mm)
+        out.append(having[last : cm.start()])
+        out.append(alias)
+        last = cm.end()
+    out.append(having[last:])
+    return "".join(out), hidden
+
+
 @dataclass(frozen=True)
 class AggShape:
     """A query matched to the incremental-aggregate maintenance shape.
@@ -687,24 +746,32 @@ def match_agg_shape(
     if {mm.alias.lower() for mm in measures} & {k.lower() for k in keys}:
         return None
     having = m.group("having")
+    hidden: list[Measure] = []
     if having is not None:
-        # HAVING must be in alias form over the MV's output columns.
-        # Reject aggregate calls FIRST: an alias shadowing a function
-        # name (count(*) AS count ... HAVING count(*) > 3) would pass
-        # the identifier whitelist but fail at bootstrap. Aggregate
-        # calls, non-deterministic functions, or unknown identifiers
-        # -> not maintainable as a target-side row filter -> fall back.
+        # HAVING over the MV's output: aggregate calls rewrite to
+        # (possibly hidden) measures of the same GROUP BY state —
+        # count(*) > 3 is just another aggregate to maintain. After
+        # the rewrite the clause must be alias-form: any remaining
+        # aggregate/clock call or unknown identifier is not
+        # maintainable as a target-side row filter -> fall back.
+        rw = _rewrite_having_aggs(having.strip(), list(measures), cols)
+        if rw is None:
+            return None
+        having, hidden = rw
         if _NON_LOCAL_WHERE.search(having):
             return None
-        out_cols = {k.lower() for k in keys} | {mm.alias.lower() for mm in measures}
+        out_cols = (
+            {k.lower() for k in keys}
+            | {mm.alias.lower() for mm in measures}
+            | {mm.alias.lower() for mm in hidden}
+        )
         idents = set(re.findall(_IDENT, having))
         if any(i.lower() not in out_cols | _SQL_KEYWORDS for i in idents):
             return None
-        having = having.strip()
     return AggShape(
         m.group("table"),
         tuple(keys),
-        tuple(measures),
+        tuple(measures) + tuple(hidden),
         where.strip() if where is not None else None,
         having,
         tuple(key_exprs),
@@ -970,17 +1037,29 @@ def match_join_agg_shape(
 
     having = m.group("having")
     if having is not None:
-        # Alias form over the MV's OUTPUT columns only (same contract
-        # as the single-table shape): aggregate calls / clock functions
-        # reject first so an alias shadowing a function name can't slip
-        # through the identifier whitelist.
+        # Same contract as the single-table shape: aggregate calls
+        # rewrite to (hidden) measures of the joined relation's GROUP
+        # BY state; qualified argument columns dequalify first. After
+        # the rewrite only output aliases may remain.
+        having = dequalify(having)
+        if having is None:
+            return None
+        rw = _rewrite_having_aggs(having.strip(), list(measures), allowed)
+        if rw is None:
+            return None
+        having, hav_hidden = rw
         if _NON_LOCAL_WHERE.search(having):
             return None
-        out_lower = {n.lower() for n in out_names}
+        out_lower = {n.lower() for n in out_names} | {
+            mm.alias.lower() for mm in hav_hidden
+        }
         idents = set(re.findall(_IDENT, having))
         if any(i.lower() not in out_lower | _SQL_KEYWORDS for i in idents):
             return None
-        having = having.strip()
+        # Hidden measures join the maintained set BEFORE the needed-
+        # column sweep below, so their argument columns ride into the
+        # joined relation J.
+        measures = list(measures) + hav_hidden
 
     # Columns the joined relation must carry, per table.
     need: dict[str, set[str]] = {t: set() for t in tables}

@@ -933,17 +933,20 @@ def mvapp_auto_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mvapp_auto_having",
     f"""
     WITH {_FINAL_ORDERS_SQL}
-    SELECT o_custkey, count(*) AS n_orders
+    SELECT o_custkey, round(sum(o_totalprice), 2) AS total_price
     FROM final_orders
     GROUP BY o_custkey
     HAVING count(*) >= 8
     """,
     doc=(
-        "HAVING maintained incrementally: the same stateless-filter rule, "
-        "applied on the TARGET side (mv.IncrementalAggMV target_filter) — "
-        "a group whose count crosses the threshold enters or leaves the "
-        "view as the scripted changelog moves rows across groups. The fn "
-        "raises unless the planner routed incrementally."
+        "HAVING maintained incrementally — including AGGREGATE-CALL form: "
+        "count(*) >= 8 is not in the select list, so the planner adds it "
+        "as a HIDDEN measure of the same GROUP BY state and filters the "
+        "target side on it (mv.IncrementalAggMV target_filter); read() "
+        "projects the hidden column away. A group whose count crosses the "
+        "threshold enters or leaves the view as the scripted changelog "
+        "moves rows across groups. The fn raises unless the planner "
+        "routed incrementally with the hidden measure."
     ),
     tags=("mv", "incremental", "planner", "filter"),
 )
@@ -957,9 +960,9 @@ def mvapp_auto_having(spark: SparkSession, sf_dir: str) -> DataFrame:
             MVApp.builder(spark)
             .source("orders_hav", t["orders"], pk=["o_orderkey"])
             .query(
-                """SELECT o_custkey, count(*) AS n_orders
+                """SELECT o_custkey, sum(o_totalprice) AS total_price_raw
                    FROM orders_hav GROUP BY o_custkey
-                   HAVING n_orders >= 8"""
+                   HAVING count(*) >= 8"""
             )
             .target(work)
             .num_buckets(4)
@@ -968,10 +971,16 @@ def mvapp_auto_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if app.maintenance_mode != "incremental":
             raise AssertionError("planner failed to route the HAVING agg shape")
+        if "__hav0" not in {mm.alias for mm in app._mv.measures}:
+            raise AssertionError("HAVING count(*) was not routed as a hidden measure")
         app.bootstrap()
         for i, b in enumerate(scripted_batches(t["orders"]), start=1):
             app.refresh({"orders_hav": b}, batch_id=i)
-        return app.read().localCheckpoint(eager=True)
+        return (
+            app.read()
+            .select("o_custkey", F.round("total_price_raw", 2).alias("total_price"))
+            .localCheckpoint(eager=True)
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
