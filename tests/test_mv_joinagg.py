@@ -698,3 +698,203 @@ class TestJoinAggRandomizedConvergence:
             for r in mv.read().collect()
         }
         assert got == want
+
+
+class TestComputedKeyAndFilterMatcher:
+    """Planner-only: derived (expression) group keys and FILTER-clause
+    measures in the join-agg shape (plus FILTER in the single-table
+    shape), added in round 3."""
+
+    COLS_TS = {
+        "orders": ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderstatus"],
+        "customer": ["c_custkey", "c_name", "c_nationkey"],
+    }
+    PKS_TS = {"orders": ["o_orderkey"], "customer": ["c_custkey"]}
+
+    def test_derived_key_alias_form(self):
+        s = match_join_agg_shape(
+            """SELECT c_nationkey, date_trunc('month', o_orderdate) AS month,
+                      count(*) AS n
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+               GROUP BY c_nationkey, month""",
+            set(self.COLS_TS), self.COLS_TS, self.PKS_TS,
+        )
+        assert s is not None
+        assert s.group_keys == ("c_nationkey", "month")
+        assert s.key_exprs == (("month", "date_trunc('month', o_orderdate)"),)
+        assert "o_orderdate" in s.fact_cols  # expression input rides in J
+
+    def test_derived_key_expression_text_form(self):
+        s = match_join_agg_shape(
+            """SELECT date_trunc('month', o.o_orderdate) AS month, count(*) AS n
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+               GROUP BY date_trunc('month', o.o_orderdate)""",
+            set(self.COLS_TS), self.COLS_TS, self.PKS_TS,
+        )
+        assert s is not None and s.key_exprs[0][0] == "month"
+
+    def test_derived_key_rejections(self):
+        # alias shadowing a real column would corrupt the J relation
+        assert match_join_agg_shape(
+            """SELECT date_trunc('month', o_orderdate) AS o_orderstatus, count(*) AS n
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+               GROUP BY o_orderstatus""",
+            set(self.COLS_TS), self.COLS_TS, self.PKS_TS,
+        ) is None
+        # non-deterministic key expression
+        assert match_join_agg_shape(
+            """SELECT round(rand() * 10) AS bucket, count(*) AS n
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+               GROUP BY bucket""",
+            set(self.COLS_TS), self.COLS_TS, self.PKS_TS,
+        ) is None
+        # expression input owned by a LEFT dim -> NULL-able key, reject
+        assert match_join_agg_shape(
+            """SELECT upper(c_name) AS cn, count(*) AS n
+               FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+               GROUP BY cn""",
+            set(self.COLS_TS), self.COLS_TS, self.PKS_TS,
+        ) is None
+
+    def test_filter_measure_join_agg(self):
+        s = match_join_agg_shape(
+            """SELECT c_nationkey, count(*) AS n,
+                      sum(o.o_totalprice) FILTER (WHERE o.o_orderstatus = 'F') AS rev_f
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+               GROUP BY c_nationkey""",
+            set(self.COLS_TS), self.COLS_TS, self.PKS_TS,
+        )
+        assert s is not None
+        m = dict((mm.alias, mm) for mm in s.measures)["rev_f"]
+        assert m.kind == "sum" and "CASE WHEN" in m.col
+        assert "o_orderstatus" in s.fact_cols  # predicate input rides in J
+
+    def test_filter_measure_single_table(self):
+        from tiflink_spark.planner import match_agg_shape
+
+        cols = {"orders": self.COLS_TS["orders"]}
+        s = match_agg_shape(
+            """SELECT o_custkey,
+                      count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+                      avg(o_totalprice) FILTER (WHERE o_totalprice > 10) AS big_avg
+               FROM orders GROUP BY o_custkey""",
+            {"orders"}, cols,
+        )
+        assert s is not None
+        kinds = {mm.alias: mm.kind for mm in s.measures}
+        assert kinds == {"n_f": "count", "big_avg": "avg"}
+        # DISTINCT + FILTER and non-row-local predicates fall back
+        assert match_agg_shape(
+            """SELECT o_custkey, count(*) FILTER (WHERE rand() < 0.5) AS x
+               FROM orders GROUP BY o_custkey""",
+            {"orders"}, cols,
+        ) is None
+
+    def test_distinct_expression_and_filter_forms(self):
+        from tiflink_spark.planner import match_agg_shape
+
+        cols = {"orders": self.COLS_TS["orders"]}
+        # COUNT(DISTINCT expr)
+        s = match_agg_shape(
+            """SELECT o_custkey, count(DISTINCT upper(o_orderstatus)) AS ds
+               FROM orders GROUP BY o_custkey""",
+            {"orders"}, cols,
+        )
+        assert s is not None and s.measures[0].kind == "count_distinct"
+        # COUNT(DISTINCT x) FILTER (WHERE p) -> distinct over CASE form
+        s2 = match_agg_shape(
+            """SELECT o_custkey,
+                      count(DISTINCT o_orderstatus) FILTER (WHERE o_totalprice > 1) AS x
+               FROM orders GROUP BY o_custkey""",
+            {"orders"}, cols,
+        )
+        assert s2 is not None and "CASE WHEN" in s2.measures[0].col
+        # SUM(DISTINCT) stays on the recompute fallback
+        assert match_agg_shape(
+            """SELECT o_custkey, sum(DISTINCT o_totalprice) AS x
+               FROM orders GROUP BY o_custkey""",
+            {"orders"}, cols,
+        ) is None
+
+    def test_having_with_filter_aggregate(self):
+        from tiflink_spark.planner import match_agg_shape
+
+        cols = {"orders": self.COLS_TS["orders"]}
+        s = match_agg_shape(
+            """SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+               HAVING count(*) FILTER (WHERE o_orderstatus = 'F') > 2""",
+            {"orders"}, cols,
+        )
+        assert s is not None
+        assert s.having == "__hav0 > 2"
+        hidden = [m for m in s.measures if m.alias == "__hav0"]
+        assert hidden and "CASE WHEN" in hidden[0].col
+
+
+class TestComputedKeyConvergence:
+    def test_join_rollup_converges(self, spark, tables):
+        """Star-join rollup with a derived month key converges to the
+        batch answer under fact churn + dim churn (nation moves)."""
+        from tiflink_spark.app import MVApp
+
+        t = tables
+        work = tempfile.mkdtemp(prefix="jr_test_")
+        try:
+            app = (
+                MVApp.builder(spark)
+                .source("orders_jrt", t["orders"], pk=["o_orderkey"])
+                .source("customer_jrt", t["customer"], pk=["c_custkey"])
+                .query(
+                    """SELECT c.c_nationkey,
+                              date_trunc('month', o.o_orderdate) AS month,
+                              count(*) AS n,
+                              sum(o.o_totalprice) AS rev
+                       FROM orders_jrt o JOIN customer_jrt c
+                         ON o.o_custkey = c.c_custkey
+                       GROUP BY c.c_nationkey, month"""
+                )
+                .target(work)
+                .num_buckets(4)
+                .shuffle_partitions(8)
+                .build()
+            )
+            assert app.maintenance_strategy == "IncrementalJoinAggMV"
+            app.bootstrap()
+            orders, cust = t["orders"], t["customer"]
+            b1 = (
+                orders.filter(F.col("o_orderkey") % 9 == 0)
+                .withColumn(OP_COL, F.lit(OP_DELETE))
+                .withColumn(SEQ_COL, F.monotonically_increasing_id())
+            )
+            b2 = (
+                cust.filter(F.col("c_custkey") % 10 == 3)
+                .withColumn("c_nationkey", (F.col("c_nationkey") + 7) % 25)
+                .withColumn(OP_COL, F.lit(OP_UPDATE))
+                .withColumn(SEQ_COL, F.monotonically_increasing_id())
+            )
+            app.refresh({"orders_jrt": b1}, batch_id=1)
+            app.refresh({"customer_jrt": b2}, batch_id=2)
+
+            final_orders = orders.filter(F.col("o_orderkey") % 9 != 0)
+            final_cust = cust.withColumn(
+                "c_nationkey",
+                F.when(
+                    F.col("c_custkey") % 10 == 3, (F.col("c_nationkey") + 7) % 25
+                ).otherwise(F.col("c_nationkey")),
+            )
+            exp = (
+                final_orders.join(
+                    final_cust, final_orders.o_custkey == final_cust.c_custkey
+                )
+                .groupBy("c_nationkey", F.date_trunc("month", "o_orderdate").alias("month"))
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("rev"))
+            )
+            got = {(r["c_nationkey"], r["month"]): r.asDict() for r in app.read().collect()}
+            want = {(r["c_nationkey"], r["month"]): r.asDict() for r in exp.collect()}
+            assert set(got) == set(want)
+            for k, w in want.items():
+                assert got[k]["n"] == w["n"], k
+                assert abs(got[k]["rev"] - w["rev"]) < 1e-6 * max(1.0, abs(w["rev"])), k
+            assert app.read().columns == ["c_nationkey", "month", "n", "rev"]
+        finally:
+            shutil.rmtree(work, ignore_errors=True)

@@ -281,6 +281,7 @@ class MVApp:
                 num_buckets=num_buckets,
                 shuffle_partitions=shuffle_partitions,
                 target_filter=ja.having,
+                key_exprs=list(ja.key_exprs),
             )
             self._stores = {
                 ja.fact: self._mv.fact_store,

@@ -644,6 +644,7 @@ class IncrementalJoinAggMV:
         num_buckets: int | None = None,
         shuffle_partitions: int | None = None,
         target_filter: str | None = None,
+        key_exprs: list | None = None,
     ):
         self.spark = spark
         self.shuffle_partitions = shuffle_partitions
@@ -653,6 +654,12 @@ class IncrementalJoinAggMV:
         self.dims = list(dims)
         self._by_name = {d.dim: d for d in self.dims}
         self.where = where
+        # (alias, row-local expression) group keys derived onto every J
+        # row — bootstrap and per-batch alike — after the dims join, so
+        # a time-grain rollup key behaves exactly like a stored column
+        # (planner.JoinAggShape.key_exprs; inputs ride in fact_cols /
+        # dim_cols via the matcher's needed-column sweep).
+        self._key_exprs = [tuple(e) for e in (key_exprs or [])]
         # J column provenance: PK + every fact-side referencing column
         # ride on the fact side so changelog rows stay addressable; dim
         # columns never duplicate another table's carried name (the
@@ -666,6 +673,7 @@ class IncrementalJoinAggMV:
         self._j_cols = [*self._fact_side]
         for d in self.dims:
             self._j_cols += [c for c in self._dim_carry[d.dim] if c not in self._j_cols]
+        self._j_cols += [a for a, _ in self._key_exprs if a not in self._j_cols]
         self.fact_store = KeyedParquetStore(
             spark, os.path.join(work_dir, "fact"), self.fact_pk, num_buckets
         )
@@ -728,6 +736,8 @@ class IncrementalJoinAggMV:
         matched = (
             functools.reduce(lambda a, b: a & b, flags) if flags else F.lit(True)
         )
+        for alias, expr in self._key_exprs:
+            acc = acc.withColumn(alias, F.expr(expr))
         return acc.select(*self._j_cols, matched.alias("__matched"))
 
     def _joined(self, fact_df: DataFrame, dim_now: dict[str, DataFrame]) -> DataFrame:

@@ -91,6 +91,65 @@ _AGG_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+# Conditional aggregate: agg(arg) FILTER (WHERE pred) AS alias — the
+# SQL:2003 filtered-aggregate form. Maintainable whenever pred is
+# row-local and deterministic: the measure rewrites to the equivalent
+# CASE form (count(*) -> count(CASE WHEN pred THEN 1 END), agg(x) ->
+# agg(CASE WHEN pred THEN x END)), which the existing expression-
+# argument machinery maintains unchanged. NULL-when-no-qualifying-row
+# semantics of SUM/AVG/MIN/MAX FILTER fall out of the CASE form's NULLs.
+_FILTER_AGG_RE = re.compile(
+    rf"^(?P<kind>count|sum|avg|min|max|stddev_samp|stddev|var_samp|variance)\s*\(\s*"
+    rf"(?P<arg>.+?)\s*\)\s*FILTER\s*\(\s*WHERE\s+(?P<pred>.+?)\s*\)\s+"
+    rf"AS\s+(?P<alias>{_IDENT})\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _row_local_expr_ok(expr: str, columns: set[str]) -> bool:
+    """True iff ``expr`` is a row-local deterministic expression over
+    known ``columns`` (lower-cased). String literals are blanked before
+    the identifier sweep; function-call names are admitted by their call
+    syntax (Catalyst resolves them; _NON_LOCAL_WHERE already rejected
+    aggregate/clock/random calls)."""
+    if _NON_LOCAL_WHERE.search(expr):
+        return False
+    bare = re.sub(r"'[^']*'", " ", expr)
+    fn_names = {f.lower() for f in re.findall(rf"({_IDENT})\s*\(", bare)}
+    idents = {i.lower() for i in re.findall(_IDENT, bare)}
+    return all(i in columns | _EXPR_KEYWORDS | fn_names for i in idents)
+
+
+def _rewrite_filter_measure(item: str, columns: set[str] | None) -> str | None:
+    """Rewrite ``agg(arg) FILTER (WHERE pred) AS a`` to its CASE form,
+    or None when the item is not a maintainable filtered aggregate
+    (no FILTER present, DISTINCT arg, or a non-row-local predicate)."""
+    fm = _FILTER_AGG_RE.match(item)
+    if fm is None or columns is None:
+        return None
+    kind, arg = fm.group("kind"), fm.group("arg").strip()
+    pred = fm.group("pred").strip()
+    if not _row_local_expr_ok(pred, columns):
+        return None
+    distinct = ""
+    dm = re.match(r"(?i)^DISTINCT\s+", arg)
+    if dm is not None:
+        # COUNT(DISTINCT x) FILTER (WHERE p) ≡ distinct non-NULL values
+        # of CASE WHEN p THEN x END — the CASE form is exact here too.
+        if kind.lower() != "count":
+            return None
+        distinct, arg = "DISTINCT ", arg[dm.end() :].strip()
+    if arg == "*":
+        if kind.lower() != "count" or distinct:
+            return None
+        inner = "1"
+    else:
+        inner = f"({arg})"
+    return (
+        f"{kind}({distinct}CASE WHEN ({pred}) THEN {inner} END)"
+        f" AS {fm.group('alias')}"
+    )
+
 # SQL surface name → internal Measure kind.
 _AGG_KIND = {"stddev": "stddev_samp", "variance": "var_samp"}
 
@@ -110,6 +169,13 @@ def _parse_measures(
     """
     measures = []
     for item in items:
+        if _FILTER_AGG_RE.match(item) is not None:
+            # FILTER (WHERE …) rewrites to the CASE form; a FILTER item
+            # that doesn't rewrite (DISTINCT arg, non-row-local pred)
+            # fails the whole shape -> recompute, never wrong.
+            item = _rewrite_filter_measure(item, columns)
+            if item is None:
+                return None
         am = _AGG_RE.match(item)
         if am is None:
             return None
@@ -122,24 +188,25 @@ def _parse_measures(
         elif re.match(r"(?i)^DISTINCT\s", arg):
             if kind != "count":
                 return None  # only COUNT(DISTINCT) is supported
-            col = arg.split()[-1]
-            if not re.fullmatch(_IDENT, col):
-                return None
-            if columns is not None and col.lower() not in columns:
-                return None
+            darg = re.sub(r"(?i)^DISTINCT\s+", "", arg).strip()
+            if re.fullmatch(_IDENT, darg):
+                if columns is not None and darg.lower() not in columns:
+                    return None
+            elif columns is None or not _row_local_expr_ok(darg, columns):
+                return None  # expression arg: same row-local contract
+            col = darg
             kind = "count_distinct"
         elif re.fullmatch(_IDENT, arg):
             if columns is not None and arg.lower() not in columns:
                 return None
             col = arg
         else:
-            # Row-local expression argument (e.g. SUM(a * (1 - b))):
-            # every identifier must be a known column, and nested
-            # aggregates / non-deterministic calls are rejected.
-            if columns is None or _NON_LOCAL_WHERE.search(arg):
-                return None
-            idents = set(re.findall(_IDENT, arg))
-            if any(i.lower() not in columns | _EXPR_KEYWORDS for i in idents):
+            # Row-local expression argument (e.g. SUM(a * (1 - b)),
+            # CASE WHEN p THEN x END): every identifier must be a known
+            # column (string literals blanked, function names admitted
+            # by call syntax), and nested aggregates / non-deterministic
+            # calls are rejected.
+            if columns is None or not _row_local_expr_ok(arg, columns):
                 return None
             col = arg
         measures.append(Measure(kind, col, am.group("alias")))
@@ -149,6 +216,9 @@ def _parse_measures(
 _AGG_CALL_RE = re.compile(
     r"(?i)\b(?P<kind>count|sum|avg|min|max|stddev_samp|stddev|var_samp|variance)"
     r"\s*\((?P<arg>(?:[^()]|\([^()]*\))*)\)"
+    # optional SQL:2003 FILTER clause — the whole call (incl. filter)
+    # parses through _parse_measures' CASE rewrite
+    r"(?P<filter>\s*FILTER\s*\(\s*WHERE\s+(?:[^()]|\([^()]*\))*\))?"
 )
 
 
@@ -828,6 +898,12 @@ class JoinAggShape:
     dims: tuple[DimJoin, ...]
     where: str | None = None
     having: str | None = None
+    # (alias, row-local expression) group keys derived onto the joined
+    # relation (GROUP BY date_trunc('month', o_orderdate) AS month — the
+    # time-grain rollup over a star join). Inputs are validated
+    # unambiguous non-LEFT columns; the expression is evaluated on J at
+    # bootstrap and on every per-batch J-changelog row.
+    key_exprs: tuple[tuple[str, str], ...] = ()
 
 
 _REF = rf"(?:{_IDENT}\s*\.\s*)?{_IDENT}"
@@ -842,7 +918,7 @@ _JOIN_AGG_RE = re.compile(
     rf"FROM\s+(?P<t0>{_IDENT})(?:\s+(?:AS\s+)?(?P<a0>{_IDENT}))?\s+"
     rf"(?P<joins>{_JOIN_CLAUSE}(?:\s+{_JOIN_CLAUSE})*)"
     rf"(?:\s+WHERE\s+(?P<where>.+?))?"
-    rf"\s+GROUP\s+BY\s+(?P<keys>{_REF}(?:\s*,\s*{_REF})*)"
+    rf"\s+GROUP\s+BY\s+(?P<keys>.+?)"
     rf"(?:\s+HAVING\s+(?P<having>.+?))?"
     rf"\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -986,30 +1062,57 @@ def match_join_agg_shape(
         out = _QUAL_RE.sub(sub, s)
         return None if bad else out
 
-    # Group keys: resolved per side, bare, in order.
+    # Group keys: leading select items pair with GROUP BY terms in
+    # order. A key is a bare (possibly qualified) column — resolved per
+    # side — or an ``expr AS alias`` derived key (time-grain rollups),
+    # whose GROUP BY term spells either the expression or the alias.
     left_dims = {d.dim for d in dims if d.how == "left"}
-    key_refs = [k.strip() for k in m.group("keys").split(",")]
-    keys: list[tuple[str, str]] = []
-    for ref in key_refs:
-        r = resolve(ref)
-        # Ambiguous key names (present in several tables) are rejected
-        # even when qualified: the joined relation stores bare names,
-        # so provenance would be lost. Keys from a LEFT dim are
-        # rejected too: unmatched rows would put NULL in the MV's
-        # primary key, which the keyed store cannot address.
-        if r is None or r[1].lower() in ambiguous or r[0] in left_dims:
-            return None
-        keys.append(r)
+    key_terms = _split_select_list(m.group("keys"))
     items = _split_select_list(m.group("select"))
-    if len(items) <= len(keys):
+    if len(items) <= len(key_terms):
         return None
-    lead = [resolve(i) for i in items[: len(keys)]]
-    if lead != keys:
-        return None
+    allowed = set().union(*(set(cols[t]) for t in tables)) - ambiguous
+    keys: list[tuple[str | None, str]] = []  # (source table | None, out name)
+    key_exprs: list[tuple[str, str]] = []
+    for term, item in zip(key_terms, items):
+        am = _KEY_ALIAS_RE.match(item)
+        if am is None:
+            r, tr = resolve(item), resolve(term)
+            # Ambiguous key names (present in several tables) are
+            # rejected even when qualified: the joined relation stores
+            # bare names, so provenance would be lost. Keys from a LEFT
+            # dim are rejected too: unmatched rows would put NULL in
+            # the MV's primary key, which the keyed store cannot
+            # address.
+            if r is None or tr != r or r[1].lower() in ambiguous or r[0] in left_dims:
+                return None
+            keys.append(r)
+            continue
+        expr, alias = am.group("expr").strip(), am.group("alias")
+        dq, term_dq = dequalify(expr), dequalify(term)
+        if dq is None or term_dq is None:
+            return None
+        if _norm_sql(term_dq) not in (_norm_sql(dq), alias.lower()):
+            return None
+        # Derived key: row-local, deterministic, over unambiguous
+        # columns. Any input owned by a LEFT dim is rejected (unmatched
+        # rows would derive a NULL key); an alias shadowing any table's
+        # column would corrupt the J relation's carried names.
+        if not _row_local_expr_ok(dq, allowed):
+            return None
+        if alias.lower() in seen:
+            return None
+        bare_txt = re.sub(r"'[^']*'", " ", dq)
+        fnames = {f.lower() for f in re.findall(rf"({_IDENT})\s*\(", bare_txt)}
+        for ident in {i.lower() for i in re.findall(_IDENT, bare_txt)}:
+            if ident in allowed and ident not in fnames:
+                if any(ident in cols[d] for d in left_dims):
+                    return None
+        keys.append((None, alias))
+        key_exprs.append((alias, dq))
 
     # Measures: dequalify, then validate identifiers against the union
-    # of unambiguous columns across all joined tables.
-    allowed = set().union(*(set(cols[t]) for t in tables)) - ambiguous
+    # of unambiguous columns across all joined tables (``allowed``).
     meas_items = []
     for item in items[len(keys) :]:
         dq = dequalify(item)
@@ -1061,11 +1164,18 @@ def match_join_agg_shape(
         # joined relation J.
         measures = list(measures) + hav_hidden
 
-    # Columns the joined relation must carry, per table.
+    # Columns the joined relation must carry, per table. Derived keys
+    # ((None, alias) entries) carry their *input* columns instead — the
+    # expression text joins the identifier sweep below.
     need: dict[str, set[str]] = {t: set() for t in tables}
     for t, c in keys:
-        need[t].add(c)
-    for blob in [mm.col for mm in measures if mm.col] + ([where] if where else []):
+        if t is not None:
+            need[t].add(c)
+    for blob in (
+        [mm.col for mm in measures if mm.col]
+        + ([where] if where else [])
+        + [e for _, e in key_exprs]
+    ):
         for ident in set(re.findall(_IDENT, blob)):
             for t in tables:
                 if ident.lower() in cols[t] and ident.lower() not in ambiguous:
@@ -1099,4 +1209,5 @@ def match_join_agg_shape(
         dims=tuple(dims),
         where=where,
         having=having,
+        key_exprs=tuple(key_exprs),
     )

@@ -1233,6 +1233,8 @@ _PRIORITY = [
     # mv_join_incremental
     "mvapp_auto_corr_sum",
     "mvapp_auto_time_rollup",
+    "mvapp_auto_filter_agg",
+    "mvapp_auto_join_rollup",
     "mvapp_auto_union",
     "mvapp_auto_setops",
     "mvapp_auto_stats_agg",

@@ -2166,3 +2166,202 @@ def mvapp_auto_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "mvapp_auto_filter_agg",
+    f"""
+    WITH final_orders_fa AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0 AND o_orderkey < {BIG}
+                    THEN o_custkey % 100 + 1 ELSE o_custkey END AS o_custkey,
+               o_totalprice, o_orderstatus, o_orderpriority
+        FROM (
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, o_orderpriority
+            FROM orders WHERE o_orderkey % 7 <> 0
+            UNION ALL
+            SELECT o_orderkey + {BIG}, o_custkey, o_totalprice, o_orderstatus, o_orderpriority
+            FROM orders WHERE o_orderkey % 100 = 0
+        )
+    )
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), -1), 2) AS urgent_rev,
+           coalesce(max(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), -1) AS max_open
+    FROM final_orders_fa
+    GROUP BY o_custkey
+    """,
+    doc=(
+        "Conditional (FILTER-clause) aggregates maintained incrementally: "
+        "the planner rewrites agg(x) FILTER (WHERE row-local-pred) to its "
+        "CASE form (count(CASE WHEN p THEN 1 END) / agg(CASE WHEN p THEN "
+        "x END)) and routes to IncrementalAggMV — invertible kinds merge "
+        "by delta arithmetic, MAX FILTER rides the dirty-group recompute. "
+        "The fn raises unless the planner routed incrementally; the "
+        "scripted +I/-D/+U churn moves group keys, so a green row proves "
+        "FILTER semantics (NULL when no qualifying row — surfaced via "
+        "coalesce so the hash pins it) converge to the batch answer."
+    ),
+    tags=("mv", "incremental", "planner", "filter"),
+)
+def mvapp_auto_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_fa_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("orders_fa", t["orders"], pk=["o_orderkey"])
+            .query(
+                """SELECT o_custkey,
+                          count(*) AS n_orders,
+                          count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+                          sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent_rev_raw,
+                          max(o_totalprice) FILTER (WHERE o_orderstatus = 'O') AS max_open_raw
+                   FROM orders_fa
+                   GROUP BY o_custkey"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalAggMV":
+            raise AssertionError(
+                f"planner routed FILTER aggregates to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        for i, b in enumerate(scripted_batches(t["orders"]), start=1):
+            app.refresh({"orders_fa": b}, batch_id=i)
+        return (
+            app.read()
+            .select(
+                "o_custkey",
+                "n_orders",
+                "n_finished",
+                F.round(F.coalesce("urgent_rev_raw", F.lit(-1)), 2).alias("urgent_rev"),
+                F.coalesce("max_open_raw", F.lit(-1)).alias("max_open"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_join_rollup",
+    f"""
+    WITH final_orders_jr AS (
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0 AND o_orderkey < {BIG}
+                    THEN o_totalprice + 50 ELSE o_totalprice END AS o_totalprice
+        FROM (
+            SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+            FROM orders WHERE o_orderkey % 7 <> 0
+            UNION ALL
+            SELECT o_orderkey + {BIG}, o_custkey, o_orderdate, o_totalprice
+            FROM orders WHERE o_orderkey % 100 = 0
+        )
+    ),
+    final_customer_jr AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 3 THEN (c_nationkey + 7) % 25
+                    ELSE c_nationkey END AS c_nationkey
+        FROM customer WHERE c_custkey % 10 <> 4
+    )
+    SELECT c_nationkey,
+           date_trunc('month', o_orderdate) AS month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM final_orders_jr o JOIN final_customer_jr c ON o.o_custkey = c.c_custkey
+    GROUP BY c_nationkey, month
+    """,
+    doc=(
+        "Star-join time-grain rollup: a COMPUTED group key "
+        "(date_trunc('month', fact ts)) over fact JOIN dim auto-routes "
+        "to IncrementalJoinAggMV — the planner derives the expression "
+        "onto every joined-relation row (bootstrap and each per-batch "
+        "J-changelog), so the month key behaves like a stored column "
+        "while dim churn (customers moving nations, deletes) still "
+        "re-derives only reachable fact rows. The canonical "
+        "revenue-by-month-by-region MV every reporting pipeline "
+        "maintains; the fn raises unless routed incrementally."
+    ),
+    tags=("mv", "incremental", "planner", "join", "time"),
+)
+def mvapp_auto_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_jr_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("orders_jr", t["orders"], pk=["o_orderkey"])
+            .source("customer_jr", t["customer"], pk=["c_custkey"])
+            .query(
+                """SELECT c.c_nationkey,
+                          date_trunc('month', o.o_orderdate) AS month,
+                          count(*) AS n_orders,
+                          sum(o.o_totalprice) AS revenue_raw
+                   FROM orders_jr o JOIN customer_jr c
+                     ON o.o_custkey = c.c_custkey
+                   GROUP BY c.c_nationkey, month"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalJoinAggMV":
+            raise AssertionError(
+                f"planner routed join rollup to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        ords, cust = t["orders"], t["customer"]
+        b1 = (
+            ords.filter(F.col("o_orderkey") % 100 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + BIG)
+            .withColumn(OP_COL, F.lit(OP_INSERT))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        b2 = (
+            ords.filter(F.col("o_orderkey") % 7 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        b3 = (
+            ords.filter((F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 7 != 0))
+            .withColumn("o_totalprice", F.col("o_totalprice") + 50)
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        dim_batch = (
+            cust.filter(F.col("c_custkey") % 10 == 3)
+            .withColumn("c_nationkey", (F.col("c_nationkey") + 7) % 25)
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .unionByName(
+                cust.filter(F.col("c_custkey") % 10 == 4).withColumn(
+                    OP_COL, F.lit(OP_DELETE)
+                )
+            )
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"orders_jr": b1}, batch_id=1)
+        app.refresh({"customer_jr": dim_batch}, batch_id=2)
+        app.refresh({"orders_jr": b2}, batch_id=3)
+        app.refresh({"orders_jr": b3}, batch_id=4)
+        return (
+            app.read()
+            .select(
+                "c_nationkey",
+                "month",
+                "n_orders",
+                F.round("revenue_raw", 2).alias("revenue"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
