@@ -852,3 +852,177 @@ def test_null_group_key_fails_loudly(spark, tmp_path):
     assert app.maintenance_mode == "incremental"
     with pytest.raises(Exception, match="NULL primary-key"):
         app.bootstrap()
+
+
+def test_match_global_agg_shape_matcher():
+    from tiflink_spark.planner import match_global_agg_shape
+
+    cols = {"orders": ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]}
+    s = match_global_agg_shape(
+        """SELECT count(*) AS n, sum(o_totalprice) AS rev,
+                  count(DISTINCT o_orderstatus) AS sts
+           FROM orders WHERE o_totalprice > 500""",
+        {"orders"},
+        cols,
+    )
+    assert s is not None
+    assert s.fact == "orders" and s.where == "o_totalprice > 500"
+    assert [m.kind for m in s.measures] == ["count", "sum", "count_distinct"]
+    # plain projections, GROUP BY leakage into WHERE, and trailing
+    # clauses all fall back
+    assert match_global_agg_shape("SELECT o_custkey FROM orders", {"orders"}, cols) is None
+    assert match_global_agg_shape(
+        "SELECT count(*) AS n FROM orders WHERE o_totalprice > 1 GROUP BY o_custkey",
+        {"orders"}, cols,
+    ) is None
+    assert match_global_agg_shape(
+        "SELECT count(*) AS n FROM orders ORDER BY n", {"orders"}, cols
+    ) is None
+    assert match_global_agg_shape(
+        "SELECT count(*) AS n FROM orders WHERE rand() < 0.5", {"orders"}, cols
+    ) is None
+
+
+def test_planner_routes_global_agg_and_survives_empty(spark, tmp_path):
+    """The no-GROUP-BY dashboard-total MV routes incrementally, and the
+    single row survives full table emptiness at its zero state (COUNT 0,
+    SUM/MIN NULL — SQL's empty-input global aggregate)."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    app = (
+        MVApp.builder(spark)
+        .source("orders_gat", orders, pk=["o_orderkey"])
+        .query(
+            """SELECT count(*) AS n, sum(o_totalprice) AS rev,
+                      min(o_totalprice) AS mn
+               FROM orders_gat WHERE o_totalprice > 500"""
+        )
+        .target(str(tmp_path / "mv_ga"))
+        .num_buckets(4)
+        .shuffle_partitions(8)
+        .build()
+    )
+    assert app.maintenance_strategy == "IncrementalAggMV"
+    assert app._mv.global_group is True
+    app.bootstrap()
+
+    b1 = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn(OP_COL, F.lit(OP_DELETE))
+        .withColumn(SEQ_COL, F.monotonically_increasing_id())
+    )
+    app.refresh({"orders_gat": b1}, batch_id=1)
+    exp = (
+        orders.filter((F.col("o_orderkey") % 7 != 0) & (F.col("o_totalprice") > 500))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("rev"),
+            F.min("o_totalprice").alias("mn"),
+        )
+        .collect()[0]
+    )
+    got = app.read().collect()
+    assert len(got) == 1 and app.read().columns == ["n", "rev", "mn"]
+    assert got[0]["n"] == exp["n"] and got[0]["mn"] == exp["mn"]
+    assert abs(got[0]["rev"] - exp["rev"]) < 1e-6 * abs(exp["rev"])
+
+    # empty the table: still one row, at the zero state
+    b2 = orders.withColumn(OP_COL, F.lit(OP_DELETE)).withColumn(
+        SEQ_COL, F.monotonically_increasing_id()
+    )
+    app.refresh({"orders_gat": b2}, batch_id=2)
+    empty = app.read().collect()
+    assert len(empty) == 1
+    assert empty[0]["n"] == 0 and empty[0]["rev"] is None and empty[0]["mn"] is None
+
+
+def test_match_join_shape_on_form():
+    from tiflink_spark.planner import match_join_shape
+
+    cols = {
+        "orders": ["o_orderkey", "o_custkey", "o_totalprice"],
+        "customer": ["c_custkey", "c_name", "c_nationkey"],
+    }
+    s = match_join_shape(
+        """SELECT o.o_orderkey, c.c_custkey, c_name, o_totalprice
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+        set(cols),
+        cols,
+    )
+    assert s is not None
+    assert (s.join_key, s.right_key) == ("o_custkey", "c_custkey")
+    assert s.out_cols == ("o_orderkey", "c_custkey", "c_name", "o_totalprice")
+    # ON written right-side-first still orients
+    s2 = match_join_shape(
+        """SELECT o_orderkey, c_custkey, c_name
+           FROM orders JOIN customer ON c_custkey = o_custkey""",
+        set(cols),
+        cols,
+    )
+    assert s2 is not None and s2.join_key == "o_custkey"
+    # ambiguous bare output name rejected
+    cols2 = {"a": ["id", "k", "v"], "b": ["bid", "k", "w"]}
+    assert (
+        match_join_shape(
+            "SELECT id, bid, k FROM a JOIN b ON a.v = b.bid", set(cols2), cols2
+        )
+        is None
+    )
+    # neither join-key column selected -> no pruning handle -> reject
+    assert (
+        match_join_shape(
+            """SELECT o_orderkey, c_name
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+            set(cols),
+            cols,
+        )
+        is None
+    )
+
+
+def test_planner_routes_on_form_join(spark, tmp_path):
+    """ON-form bare equi-join routes to IncrementalJoinMV and converges
+    under churn on both sides (fact deletes + dim renames)."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    app = (
+        MVApp.builder(spark)
+        .source("orders_jot", orders, pk=["o_orderkey"])
+        .source("customer_jot", cust, pk=["c_custkey"])
+        .query(
+            """SELECT o.o_orderkey, c.c_custkey, c.c_name, o.o_totalprice
+               FROM orders_jot o JOIN customer_jot c
+                 ON o.o_custkey = c.c_custkey"""
+        )
+        .target(str(tmp_path / "mv_jo"))
+        .num_buckets(4)
+        .shuffle_partitions(8)
+        .build()
+    )
+    assert app.maintenance_strategy == "IncrementalJoinMV"
+    app.bootstrap()
+    b1 = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn(OP_COL, F.lit(OP_DELETE))
+        .withColumn(SEQ_COL, F.monotonically_increasing_id())
+    )
+    b2 = (
+        cust.filter(F.col("c_custkey") % 10 == 3)
+        .withColumn("c_name", F.concat(F.col("c_name"), F.lit("_X")))
+        .withColumn(OP_COL, F.lit(OP_UPDATE))
+        .withColumn(SEQ_COL, F.monotonically_increasing_id())
+    )
+    app.refresh({"orders_jot": b1}, batch_id=1)
+    app.refresh({"customer_jot": b2}, batch_id=2)
+    fo = orders.filter(F.col("o_orderkey") % 7 != 0)
+    fc = cust.withColumn(
+        "c_name",
+        F.when(
+            F.col("c_custkey") % 10 == 3, F.concat(F.col("c_name"), F.lit("_X"))
+        ).otherwise(F.col("c_name")),
+    )
+    exp = fo.join(fc, fo.o_custkey == fc.c_custkey).select(
+        "o_orderkey", "c_custkey", "c_name", "o_totalprice"
+    )
+    got = {tuple(r) for r in app.read().collect()}
+    want = {tuple(r) for r in exp.collect()}
+    assert got == want

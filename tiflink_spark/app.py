@@ -44,6 +44,7 @@ from tiflink_spark.planner import (
     match_agg_shape,
     match_correlated_count_shape,
     match_distinct_shape,
+    match_global_agg_shape,
     match_join_agg_shape,
     match_join_shape,
     match_setop_shape,
@@ -209,6 +210,40 @@ class MVApp:
             self._stores = {shape.fact: self._mv.fact_store}
             return
 
+        # Global (no GROUP BY) aggregate — the dashboard-total MV.
+        # Routed to IncrementalAggMV keyed by a derived constant; the
+        # one row survives table emptiness at its zero state (COUNT 0,
+        # SUM/MIN/MAX NULL — SQL's empty-input global aggregate). The
+        # advertised MV PK stays the first-output-column fallback (the
+        # reference's rule for keyless outputs, TiFlinkApp.java:276-281);
+        # the hidden "__g" key is the real store address and never
+        # reaches the query schema.
+        ga = match_global_agg_shape(query, set(dfs), source_columns)
+        if ga is not None and dfs[ga.fact][0].pk and pk is None:
+            from pyspark.sql import functions as F
+
+            self.maintenance_mode = "incremental"
+            self._fact_name, self._dim_name = ga.fact, None
+            self._join_names = None
+            self._change_filter = ga.where
+            self._derive = [("__g", "0")]
+            fact_df = dfs[ga.fact][1].withColumn("__g", F.lit(0))
+            if ga.where is not None:
+                fact_df = fact_df.filter(F.expr(ga.where))
+            self._mv = IncrementalAggMV(
+                spark,
+                fact_df,
+                dfs[ga.fact][0].pk,
+                ["__g"],
+                list(ga.measures),
+                work_dir=target,
+                num_buckets=num_buckets,
+                shuffle_partitions=shuffle_partitions,
+                global_group=True,
+            )
+            self._stores = {ga.fact: self._mv.fact_store}
+            return
+
         # SELECT DISTINCT — the dedup view, maintained as a hidden
         # COUNT(*)-per-key aggregate: a key's first arrival inserts the
         # MV row, its last departure deletes it (the count-based
@@ -326,11 +361,11 @@ class MVApp:
             }
             return
 
-        # Bare two-sided equi-join (USING form): dirty-join-key recompute
-        # with changelogs on both sides (IncrementalJoinMV). The MV PK is
-        # the concatenated source PKs; they must all be in the select
-        # list so the MV schema matches the query's.
-        join = match_join_shape(query, set(dfs))
+        # Bare two-sided equi-join (USING or ON form): dirty-join-key
+        # recompute with changelogs on both sides (IncrementalJoinMV).
+        # The MV PK is the concatenated source PKs; they must all be in
+        # the select list so the MV schema matches the query's.
+        join = match_join_shape(query, set(dfs), source_columns)
         if join is not None:
             (lspec, ldf), (rspec, rdf) = dfs[join.left], dfs[join.right]
             target_pk = [*lspec.pk, *rspec.pk]
@@ -352,7 +387,11 @@ class MVApp:
                     left_pk=lspec.pk,
                     right=rdf,
                     right_pk=rspec.pk,
-                    join_key=join.join_key,
+                    join_key=(
+                        (join.join_key, join.right_key)
+                        if join.right_key is not None
+                        else join.join_key
+                    ),
                     out_cols=list(join.out_cols),
                     work_dir=target,
                     num_buckets=num_buckets,

@@ -111,9 +111,8 @@ def _state_cols(measures: list[Measure]) -> list[str]:
     return cols
 
 
-def aggregate_state(df: DataFrame, group_keys: list[str], measures: list[Measure]) -> DataFrame:
-    """Full aggregate of a base table into the internal state schema
-    (used at bootstrap and for dirty-group recompute)."""
+def _state_aggs(measures: list[Measure]) -> list:
+    """Aggregate expressions filling the internal state schema."""
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for m in measures:
         if m.kind in ("sum", "avg"):
@@ -130,7 +129,27 @@ def aggregate_state(df: DataFrame, group_keys: list[str], measures: list[Measure
             aggs.append(F.stddev_samp(_mexpr(m)).alias(f"__ext_{m.alias}"))
         if m.kind == "var_samp":
             aggs.append(F.var_samp(_mexpr(m)).alias(f"__ext_{m.alias}"))
-    return df.groupBy(*group_keys).agg(*aggs)
+    return aggs
+
+
+def aggregate_state(df: DataFrame, group_keys: list[str], measures: list[Measure]) -> DataFrame:
+    """Full aggregate of a base table into the internal state schema
+    (used at bootstrap and for dirty-group recompute)."""
+    return df.groupBy(*group_keys).agg(*_state_aggs(measures))
+
+
+def aggregate_global_state(
+    df: DataFrame, measures: list[Measure], key_name: str = "__g"
+) -> DataFrame:
+    """Global (no GROUP BY) aggregate into the internal state schema.
+
+    ``df.groupBy().agg(...)`` yields exactly one row even over an empty
+    input — SQL's global-aggregate semantics (COUNT 0, SUM/MIN/MAX
+    NULL) — tagged with the constant hidden key the keyed stores
+    address. The key leads the column order, matching the grouped
+    state layout."""
+    out = df.groupBy().agg(*_state_aggs(measures)).withColumn(key_name, F.lit(0))
+    return out.select(key_name, *[c for c in out.columns if c != key_name])
 
 
 def merge_delta_state(
@@ -201,12 +220,18 @@ def merge_delta_state(
     )
 
 
-def present_measures(state: DataFrame, measures: list[Measure]) -> DataFrame:
-    """Project internal state columns into the user-facing measure values."""
+def present_measures(
+    state: DataFrame, measures: list[Measure], keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """Project internal state columns into the user-facing measure values.
+
+    ``keep`` names engine-internal (``__``-prefixed) columns that must
+    survive the projection — e.g. the global shape's hidden constant
+    group key, which addresses the target store."""
     cols = list(state.columns)
     out = []
     for c in cols:
-        if not c.startswith("__"):
+        if not c.startswith("__") or c in keep:
             out.append(F.col(c))
     for m in measures:
         if m.kind == "count" and m.col is None:

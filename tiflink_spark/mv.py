@@ -43,6 +43,7 @@ from tiflink_spark.changelog import (
     last_change_per_key,
 )
 from tiflink_spark.incremental import (
+    aggregate_global_state,
     Measure,
     aggregate_state,
     compute_delta,
@@ -171,7 +172,7 @@ class IncrementalJoinMV:
         left_pk: list[str],
         right: DataFrame,
         right_pk: list[str],
-        join_key: str,
+        join_key,
         out_cols: list[str],
         work_dir: str,
         num_buckets: int | None = None,
@@ -179,9 +180,26 @@ class IncrementalJoinMV:
     ):
         self.spark = spark
         self.shuffle_partitions = shuffle_partitions
-        self.join_key = join_key
-        # join_key must be in the output: MV rows are located by it.
-        self.out_cols = out_cols if join_key in out_cols else [join_key, *out_cols]
+        # USING form passes one shared name; ON form passes a
+        # (left_key, right_key) pair — e.g. ``ON o_custkey = c_custkey``.
+        if isinstance(join_key, (tuple, list)):
+            self.left_key, self.right_key = join_key
+        else:
+            self.left_key = self.right_key = join_key
+        self.join_key = self.left_key  # USING-form compat accessor
+        same = self.left_key == self.right_key
+        # A join-key column must be in the output: MV rows are located
+        # by it when pruning dirty keys. For ON form the select list
+        # must already carry one (the matcher guarantees it — a fk=pk
+        # join always selects the pk side, which IS the right key).
+        if same and self.left_key not in out_cols:
+            out_cols = [self.left_key, *out_cols]
+        self.out_cols = out_cols
+        self._mv_key = (
+            self.left_key if self.left_key in out_cols else self.right_key
+        )
+        if self._mv_key not in out_cols:
+            raise ValueError("ON-form join MV must select a join-key column")
         self.left0, self.right0 = left, right
         self.left_store = KeyedParquetStore(
             spark, os.path.join(work_dir, "left"), left_pk, num_buckets
@@ -195,7 +213,9 @@ class IncrementalJoinMV:
 
     def _join(self, a: DataFrame, b: DataFrame) -> DataFrame:
         cols = list(dict.fromkeys([*self.target.pk, *self.out_cols]))
-        return a.join(b, self.join_key).select(*cols)
+        if self.left_key == self.right_key:
+            return a.join(b, self.left_key).select(*cols)
+        return a.join(b, a[self.left_key] == b[self.right_key]).select(*cols)
 
     @_maintenance
     def bootstrap(self, batch_id=0) -> None:
@@ -206,11 +226,16 @@ class IncrementalJoinMV:
         )
 
     def _dirty_keys(
-        self, store: KeyedParquetStore, changes: DataFrame | None, batch_id
+        self,
+        store: KeyedParquetStore,
+        changes: DataFrame | None,
+        batch_id,
+        side_key: str,
     ) -> DataFrame | None:
         """Join-key values touched by a batch: keys of the NEW row
         versions plus keys of the displaced OLD rows (a key-changing
-        update dirties both)."""
+        update dirties both). ``side_key`` is this side's join column;
+        values normalize to the shared ``__jk`` name."""
         if changes is None:
             return None
         if batch_id in store.committed_batches():
@@ -218,8 +243,12 @@ class IncrementalJoinMV:
         else:
             old = store.read()
         changed_pks = last_change_per_key(changes, store.pk).select(*store.pk)
-        old_keys = old.join(changed_pks, store.pk, "left_semi").select(self.join_key)
-        new_keys = changes.select(self.join_key).where(F.col(self.join_key).isNotNull())
+        old_keys = old.join(changed_pks, store.pk, "left_semi").select(
+            F.col(side_key).alias("__jk")
+        )
+        new_keys = changes.select(F.col(side_key).alias("__jk")).where(
+            F.col("__jk").isNotNull()
+        )
         return old_keys.unionByName(new_keys).distinct()
 
     @_maintenance
@@ -234,8 +263,10 @@ class IncrementalJoinMV:
         dirty = [
             d
             for d in (
-                self._dirty_keys(self.left_store, left_changes, batch_id),
-                self._dirty_keys(self.right_store, right_changes, batch_id),
+                self._dirty_keys(self.left_store, left_changes, batch_id, self.left_key),
+                self._dirty_keys(
+                    self.right_store, right_changes, batch_id, self.right_key
+                ),
             )
             if d is not None
         ]
@@ -252,10 +283,18 @@ class IncrementalJoinMV:
         if right_changes is not None:
             self.right_store.merge(right_changes, batch_id)
 
-        sub_a = self.left_store.read().join(dirty_k, self.join_key, "left_semi")
-        sub_b = self.right_store.read().join(dirty_k, self.join_key, "left_semi")
+        left_now, right_now = self.left_store.read(), self.right_store.read()
+        sub_a = left_now.join(
+            dirty_k, left_now[self.left_key] == dirty_k["__jk"], "left_semi"
+        )
+        sub_b = right_now.join(
+            dirty_k, right_now[self.right_key] == dirty_k["__jk"], "left_semi"
+        )
         recomputed = self._join(sub_a, sub_b)
-        mv_dirty_old = self.target.read().join(dirty_k, self.join_key, "left_semi")
+        mv_now = self.target.read()
+        mv_dirty_old = mv_now.join(
+            dirty_k, mv_now[self._mv_key] == dirty_k["__jk"], "left_semi"
+        )
         mv_changes = diff_states(mv_dirty_old, recomputed, self.target.pk)
         self.target.merge(mv_changes, batch_id)
         dirty_k.unpersist()
@@ -914,6 +953,7 @@ class IncrementalAggMV:
         num_buckets: int | None = None,
         shuffle_partitions: int | None = None,
         target_filter: str | None = None,
+        global_group: bool = False,
     ):
         self.spark = spark
         self.shuffle_partitions = shuffle_partitions
@@ -923,6 +963,15 @@ class IncrementalAggMV:
         # changelog rule (changelog.apply_filter) — a group leaving the
         # predicate leaves the view.
         self.target_filter = target_filter
+        # Global (no GROUP BY) aggregate: the single group key is a
+        # derived constant ("__g"), and the MV keeps its one row alive
+        # even when the fact empties — SQL's global aggregate over an
+        # empty input is one row (COUNT 0, SUM/MIN/MAX NULL), not zero
+        # rows, so vanished state upserts the zero row instead of
+        # deleting it.
+        self.global_group = global_group
+        if global_group and dim is not None:
+            raise ValueError("global aggregate MV cannot take a dimension")
         self.fact_df0 = fact
         # Composite GROUP BY keys are first-class; the dim-join form
         # requires a single key (the dim's PK) by construction.
@@ -954,7 +1003,8 @@ class IncrementalAggMV:
 
     def _mv_rows_for_state(self, state: DataFrame, dim_subset: DataFrame | None = None) -> DataFrame:
         """User-facing MV rows from (a subset of) agg state."""
-        vals = present_measures(state, self.measures)
+        keep = (self.group_key,) if self.global_group else ()
+        vals = present_measures(state, self.measures, keep=keep)
         if self.dim is None:
             return vals
         dim = dim_subset if dim_subset is not None else self.dim_store.read()
@@ -975,7 +1025,15 @@ class IncrementalAggMV:
         self.fact_store.bootstrap(self.fact_df0, batch_id)
         if self.dim_store is not None:
             self.dim_store.bootstrap(self.dim, batch_id)
-        state = aggregate_state(self.fact_store.read(), self.group_keys, self.measures)
+        if self.global_group:
+            # one state row even over an empty bootstrap table
+            state = aggregate_global_state(
+                self.fact_store.read().drop(self.group_key),
+                self.measures,
+                self.group_key,
+            )
+        else:
+            state = aggregate_state(self.fact_store.read(), self.group_keys, self.measures)
         self.state_store.bootstrap(state, batch_id)
         rows = self._mv_rows_for_state(self.state_store.read())
         if self.target_filter is not None:
@@ -1036,30 +1094,41 @@ class IncrementalAggMV:
                 self.measures,
             ).cache()
 
-            # State store: vanished groups (__rows == 0) are deleted.
-            state_changes = (
-                new_state.withColumn(
-                    OP_COL,
-                    F.when(F.col("__rows") <= 0, F.lit(OP_DELETE)).otherwise(
-                        F.lit(OP_UPDATE)
-                    ),
+            # State store: vanished groups (__rows == 0) are deleted —
+            # except under the global shape, whose single row stays
+            # alive at the zero state (empty-input aggregate is one
+            # row, not zero rows).
+            vanish_op = (
+                F.lit(OP_UPDATE)
+                if self.global_group
+                else F.when(F.col("__rows") <= 0, F.lit(OP_DELETE)).otherwise(
+                    F.lit(OP_UPDATE)
                 )
-                .withColumn(SEQ_COL, F.monotonically_increasing_id())
+            )
+            state_changes = new_state.withColumn(OP_COL, vanish_op).withColumn(
+                SEQ_COL, F.monotonically_increasing_id()
             )
             self.state_store.merge(state_changes, batch_id)
 
             # Target rows for dirty groups.
             if self.dim is None:
-                live = new_state.filter(F.col("__rows") > 0)
-                gone = new_state.filter(F.col("__rows") <= 0)
-                upserts = present_measures(live, self.measures).withColumn(
-                    OP_COL, F.lit(OP_UPDATE)
-                )
-                # -D rows only need the PK; measure values ride along typed.
-                deletes = present_measures(gone, self.measures).withColumn(
-                    OP_COL, F.lit(OP_DELETE)
-                )
-                parts.append(upserts.unionByName(deletes))
+                if self.global_group:
+                    parts.append(
+                        present_measures(
+                            new_state, self.measures, keep=(self.group_key,)
+                        ).withColumn(OP_COL, F.lit(OP_UPDATE))
+                    )
+                else:
+                    live = new_state.filter(F.col("__rows") > 0)
+                    gone = new_state.filter(F.col("__rows") <= 0)
+                    upserts = present_measures(live, self.measures).withColumn(
+                        OP_COL, F.lit(OP_UPDATE)
+                    )
+                    # -D rows only need the PK; measure values ride along typed.
+                    deletes = present_measures(gone, self.measures).withColumn(
+                        OP_COL, F.lit(OP_DELETE)
+                    )
+                    parts.append(upserts.unionByName(deletes))
             else:
                 dirty_dim = self.dim_store.read().join(
                     new_state.select(F.col(self.group_key).alias(self.dim_key)).distinct(),

@@ -600,15 +600,19 @@ class JoinShape:
     """A two-sided equi-join matched to IncrementalJoinMV maintenance:
 
         SELECT c1[, c2 ...] FROM left JOIN right USING (k)
+        SELECT c1[, c2 ...] FROM left [l] JOIN right [r] ON <ref> = <ref>
 
     Changelogs on BOTH sides maintain the view by dirty-join-key
     recompute (per-batch work ∝ row volume of touched join keys).
+    ``right_key`` is None for the USING form (same-named key on both
+    sides); the ON form carries each side's own column, dequalified.
     """
 
     left: str
     right: str
     join_key: str
     out_cols: tuple[str, ...]
+    right_key: str | None = None
 
 
 _JOIN_RE = re.compile(
@@ -618,20 +622,94 @@ _JOIN_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+_JOIN_ON_RE = re.compile(
+    rf"^\s*SELECT\s+(?P<select>.+?)\s+"
+    rf"FROM\s+(?P<left>{_IDENT})(?:\s+(?:AS\s+)?(?P<la>{_IDENT}))?\s+"
+    rf"(?:INNER\s+)?JOIN\s+(?P<right>{_IDENT})(?:\s+(?:AS\s+)?(?P<ra>{_IDENT}))?\s+"
+    rf"ON\s+(?P<lref>(?:{_IDENT}\s*\.\s*)?{_IDENT})\s*=\s*"
+    rf"(?P<rref>(?:{_IDENT}\s*\.\s*)?{_IDENT})\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
-def match_join_shape(query: str, source_names: set[str]) -> JoinShape | None:
-    """Match the bare inner equi-join (USING form, bare-identifier
-    select list), or None. The USING form guarantees the join key is
-    same-named on both sides — the contract IncrementalJoinMV keys its
-    dirty-key pruning on."""
+
+def match_join_shape(
+    query: str,
+    source_names: set[str],
+    source_columns: dict[str, list[str]] | None = None,
+) -> JoinShape | None:
+    """Match the bare inner equi-join, or None.
+
+    USING form: the shared key name IS the dirty-key pruning contract;
+    select items are bare identifiers. ON form (requires
+    ``source_columns``): table aliases and qualified references resolve
+    per side; every output column must be unambiguous across the two
+    tables (the MV stores bare names), and a join-key column must be in
+    the select list (MV rows are located by it)."""
     m = _JOIN_RE.match(query)
-    if m is None:
+    if m is not None:
+        left, right = m.group("left"), m.group("right")
+        if left not in source_names or right not in source_names or left == right:
+            return None
+        cols = tuple(c.strip() for c in m.group("select").split(","))
+        return JoinShape(left, right, m.group("key"), cols)
+
+    mo = _JOIN_ON_RE.match(query)
+    if mo is None or source_columns is None:
         return None
-    left, right = m.group("left"), m.group("right")
-    if left not in source_names or right not in source_names or left == right:
+    left, right = mo.group("left"), mo.group("right")
+    if (
+        left not in source_names
+        or right not in source_names
+        or left == right
+        or left not in source_columns
+        or right not in source_columns
+    ):
         return None
-    cols = tuple(c.strip() for c in m.group("select").split(","))
-    return JoinShape(left, right, m.group("key"), cols)
+    la = (mo.group("la") or left).lower()
+    ra = (mo.group("ra") or right).lower()
+    if la == ra or {la, ra} & _CLAUSE_KEYWORDS:
+        return None
+    cols = {
+        left: {c.lower(): c for c in source_columns[left]},
+        right: {c.lower(): c for c in source_columns[right]},
+    }
+    ambiguous = set(cols[left]) & set(cols[right])
+    quals = {la: left, ra: right}
+
+    def resolve(ref: str) -> tuple[str, str] | None:
+        qm = _QUAL_RE.fullmatch(ref.strip())
+        if qm is not None:
+            t = quals.get(qm.group(1).lower())
+            if t is None or qm.group(2).lower() not in cols[t]:
+                return None
+            return t, cols[t][qm.group(2).lower()]
+        name = ref.strip().lower()
+        if name in ambiguous:
+            return None
+        for t in (left, right):
+            if name in cols[t]:
+                return t, cols[t][name]
+        return None
+
+    l, r = resolve(mo.group("lref")), resolve(mo.group("rref"))
+    if l is None or r is None or l[0] == r[0]:
+        return None
+    if l[0] == right:  # ON written right-side-first
+        l, r = r, l
+    left_key, right_key = l[1], r[1]
+    out: list[str] = []
+    for item in _split_select_list(mo.group("select")):
+        ri = resolve(item)
+        # every output column must be unambiguous as a bare name —
+        # the MV relation stores bare names
+        if ri is None or ri[1].lower() in ambiguous:
+            return None
+        out.append(ri[1])
+    if len({c.lower() for c in out}) != len(out):
+        return None
+    if left_key not in out and right_key not in out:
+        return None  # MV rows are pruned by a held join-key column
+    return JoinShape(left, right, left_key, tuple(out), right_key=right_key)
 
 
 # SELECT d-col-list, (SELECT agg(x|*) FROM fact f WHERE f.fk = d.dk) AS a FROM dim d
@@ -720,6 +798,69 @@ def match_correlated_count_shape(
     dim_cols = tuple(c for c in sel if c.lower() != pk[0].lower())
     return CorrelatedCountShape(
         dim, pk[0], dim_cols, fact, fact_key, m.group("alias"), akind, agg_col
+    )
+
+
+@dataclass(frozen=True)
+class GlobalAggShape:
+    """The global (no GROUP BY) aggregate over one table:
+
+        SELECT agg(expr) AS a[, ...] FROM fact [WHERE row-local-pred]
+
+    — the dashboard-total MV. Routes to IncrementalAggMV keyed by a
+    derived constant ("__g"); the single row stays alive at the zero
+    state when the table empties (SQL's empty-input global aggregate is
+    one row, not zero rows)."""
+
+    fact: str
+    measures: tuple[Measure, ...]
+    where: str | None = None
+
+
+_GLOBAL_AGG_RE = re.compile(
+    rf"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<table>{_IDENT})"
+    rf"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def match_global_agg_shape(
+    query: str,
+    source_names: set[str],
+    source_columns: dict[str, list[str]] | None = None,
+) -> GlobalAggShape | None:
+    """Match the no-GROUP-BY single-table aggregate, or None.
+
+    Every select item must parse as a maintainable measure (which also
+    rejects plain projections), and the WHERE must be row-local and
+    deterministic. The regex's optional WHERE is greedy across clause
+    keywords, so any trailing GROUP BY / ORDER BY / LIMIT swallowed
+    into it is rejected explicitly."""
+    m = _GLOBAL_AGG_RE.match(query)
+    if m is None or m.group("table") not in source_names:
+        return None
+    where = m.group("where")
+    if where is not None:
+        if re.search(
+            r"(?i)\b(group\s+by|having|order\s+by|limit|qualify|window)\b", where
+        ):
+            return None
+        if _NON_LOCAL_WHERE.search(where):
+            return None
+    cols = None
+    if source_columns is not None and m.group("table") in source_columns:
+        cols = {c.lower() for c in source_columns[m.group("table")]}
+    if where is not None and (cols is None or not _row_local_expr_ok(where, cols)):
+        return None
+    measures = _parse_measures(_split_select_list(m.group("select")), cols)
+    if not measures:
+        return None
+    if len({mm.alias.lower() for mm in measures}) != len(measures):
+        return None
+    return GlobalAggShape(
+        m.group("table"),
+        tuple(measures),
+        where.strip() if where is not None else None,
     )
 
 

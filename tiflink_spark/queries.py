@@ -1235,6 +1235,8 @@ _PRIORITY = [
     "mvapp_auto_time_rollup",
     "mvapp_auto_filter_agg",
     "mvapp_auto_join_rollup",
+    "mvapp_auto_global_agg",
+    "mvapp_auto_join_on",
     "mvapp_auto_union",
     "mvapp_auto_setops",
     "mvapp_auto_stats_agg",

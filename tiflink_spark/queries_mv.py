@@ -2365,3 +2365,149 @@ def mvapp_auto_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_global_agg",
+    f"""
+    WITH {_FINAL_ORDERS_SQL}
+    SELECT count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           round(min(o_totalprice), 2) AS min_price,
+           count(DISTINCT o_custkey) AS n_custs
+    FROM final_orders
+    WHERE o_totalprice > 500
+    """,
+    doc=(
+        "Global (no GROUP BY) aggregate MV — the dashboard-total view — "
+        "auto-routed to IncrementalAggMV keyed by a derived constant. "
+        "COUNT/SUM merge by delta arithmetic, MIN and COUNT DISTINCT by "
+        "dirty-group recompute; the row-local WHERE stays incremental "
+        "via the changelog filter rule, and the single row would survive "
+        "table emptiness at its zero state (COUNT 0, SUM/MIN NULL — "
+        "SQL's empty-input global aggregate). The fn raises unless "
+        "routed incrementally; the scripted +I/-D/+U churn proves "
+        "convergence to the batch answer."
+    ),
+    tags=("mv", "incremental", "planner", "global"),
+)
+def mvapp_auto_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_ga_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("orders_ga", t["orders"], pk=["o_orderkey"])
+            .query(
+                """SELECT count(*) AS n_orders,
+                          sum(o_totalprice) AS revenue_raw,
+                          min(o_totalprice) AS min_price_raw,
+                          count(DISTINCT o_custkey) AS n_custs
+                   FROM orders_ga
+                   WHERE o_totalprice > 500"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalAggMV" or not getattr(
+            app._mv, "global_group", False
+        ):
+            raise AssertionError(
+                f"planner routed the global aggregate to {app.maintenance_strategy} "
+                f"(global_group={getattr(app._mv, 'global_group', None)})"
+            )
+        app.bootstrap()
+        for i, b in enumerate(scripted_batches(t["orders"]), start=1):
+            app.refresh({"orders_ga": b}, batch_id=i)
+        return (
+            app.read()
+            .select(
+                "n_orders",
+                F.round("revenue_raw", 2).alias("revenue"),
+                F.round("min_price_raw", 2).alias("min_price"),
+                "n_custs",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_join_on",
+    f"""
+    WITH final_orders_jo AS (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    final_customer_jo AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 3 THEN c_name || '_X' ELSE c_name END AS c_name
+        FROM customer WHERE c_custkey % 10 <> 4
+    )
+    SELECT o_orderkey, c_custkey, c_name, o_totalprice
+    FROM final_orders_jo o JOIN final_customer_jo c ON o.o_custkey = c.c_custkey
+    """,
+    doc=(
+        "Bare ON-form equi-join MV (no aggregate): table aliases and "
+        "qualified references resolve per side and route to "
+        "IncrementalJoinMV dirty-join-key recompute with changelogs on "
+        "BOTH sides — the differently-named key pair (o_custkey = "
+        "c_custkey) is the case the USING-form route could not express. "
+        "Churn: fact deletes, dim renames, and dim deletes (their "
+        "orders leave the join). The fn raises unless routed "
+        "incrementally."
+    ),
+    tags=("mv", "incremental", "planner", "join"),
+)
+def mvapp_auto_join_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_jo_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("orders_jo", t["orders"], pk=["o_orderkey"])
+            .source("customer_jo", t["customer"], pk=["c_custkey"])
+            .query(
+                """SELECT o.o_orderkey, c.c_custkey, c.c_name, o.o_totalprice
+                   FROM orders_jo o JOIN customer_jo c
+                     ON o.o_custkey = c.c_custkey"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalJoinMV":
+            raise AssertionError(
+                f"planner routed the ON-form join to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        ords, cust = t["orders"], t["customer"]
+        b1 = (
+            ords.filter(F.col("o_orderkey") % 7 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        b2 = (
+            cust.filter(F.col("c_custkey") % 10 == 3)
+            .withColumn("c_name", F.concat(F.col("c_name"), F.lit("_X")))
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .unionByName(
+                cust.filter(F.col("c_custkey") % 10 == 4).withColumn(
+                    OP_COL, F.lit(OP_DELETE)
+                )
+            )
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"orders_jo": b1}, batch_id=1)
+        app.refresh({"customer_jo": b2}, batch_id=2)
+        return app.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
