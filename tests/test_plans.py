@@ -122,6 +122,8 @@ _ANTIPATTERN_ALLOWLIST = {
     "date_spine_gap_fill": {"BroadcastNestedLoopJoin"},  # spine x types, both tiny
     "embedding_ann_ivf": {"BroadcastNestedLoopJoin"},  # vectors x broadcast centroids (k rows)
     "numeric_histogram": {"BroadcastNestedLoopJoin"},  # rows x ONE broadcast min/max row
+    "text_unigram_logprob": {"BroadcastNestedLoopJoin"},  # tokens x ONE broadcast total row
+    "text_tfidf_topterms": {"BroadcastNestedLoopJoin"},  # doc-terms x ONE broadcast n_docs row
     # non-equi predicates have no hash-join form; small side broadcast:
     "join_theta": {"BroadcastNestedLoopJoin", "CartesianProduct"},
     "range_join_price_bands": {"BroadcastNestedLoopJoin"},

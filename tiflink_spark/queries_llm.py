@@ -1129,3 +1129,112 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("h").alias("text_hash"),
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+@register(
+    "text_unigram_logprob",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+        FROM documents),
+    vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT sum(cnt) AS total FROM vocab)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(sum(ln(cnt * 1.0 / total)) / count(*), 4) AS avg_logprob
+    FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    doc=(
+        "Unigram language-model scoring: each document's mean token "
+        "log-probability under the corpus's own unigram distribution — "
+        "the classic cheap perplexity proxy for quality filtering "
+        "(low avg_logprob = rare-token soup, boilerplate, or noise). "
+        "Two shuffle-on-token passes at scale: one aggregate builds the "
+        "vocabulary (|V| rows, far smaller than the corpus), one join "
+        "scores exploded tokens against it (hot stop-words are "
+        "pre-aggregated counts, AQE skew-split covers the join), then a "
+        "per-doc aggregate. The 1-row corpus total is a broadcast; no "
+        "driver-side state."
+    ),
+    tags=("llm", "text"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id", F.explode(_words(F.lower(F.col("text")))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("total"))
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.log(F.col("cnt") / F.col("total"))) / F.count(F.lit(1)), 4
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+@register(
+    "text_tfidf_topterms",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+        FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, tok, tf.tf, df.df,
+               round(tf.tf * ln(n_docs * 1.0 / df.df), 4) AS tfidf,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tf.tf DESC, df.df ASC, tok ASC
+               ) AS rnk
+        FROM tf JOIN df USING (tok) CROSS JOIN nd)
+    SELECT doc_id, rnk, tok, tf, df, tfidf
+    FROM scored WHERE rnk <= 3
+    """,
+    doc=(
+        "Per-document keyword extraction: top-3 terms ranked by "
+        "(term frequency DESC, document frequency ASC, term ASC) — an "
+        "integer-only ordering, so ranks are bit-identical across "
+        "engines while the familiar TF-IDF score (tf x ln(N/df)) rides "
+        "along as a value column. Scale: one shuffle per aggregation "
+        "level (doc-term, term, doc window); the 1-row corpus size is "
+        "a broadcast."
+    ),
+    tags=("llm", "text"),
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id", F.explode(_words(F.lower(F.col("text")))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    nd = t["documents"].agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("tok")
+    )
+    return (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "rnk",
+            "tok",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias(
+                "tfidf"
+            ),
+        )
+    )
