@@ -347,3 +347,72 @@ def test_topk_mv_converges_on_random_changelogs(spark, tmp_path, seed):
     assert mv.refresh(last, batch_id=len(batches)) is False
     got = {(r.g, r.rank, r.k, r.v) for r in mv.read().collect()}
     assert got == expected_topk(tracked)
+
+
+@pytest.mark.parametrize("seed", [7, 1234])
+def test_global_agg_converges_on_random_changelogs(spark, tmp_path, seed):
+    """The no-GROUP-BY route (hidden constant key, keep-alive vanish
+    rule): after every random batch the single MV row equals the batch
+    global aggregate — including filtered (CASE-form) measures — and an
+    emptying final batch leaves the zero-state row, not zero rows."""
+    from tiflink_spark.mv import IncrementalAggMV
+
+    rng = random.Random(seed)
+    batches, _ = _random_batches(rng)
+
+    fact0 = spark.createDataFrame(
+        [(k, k % N_GROUPS, float(k), 0) for k in range(0, N_KEYS, 3)],
+        "k int, g int, v double, __g int",
+    )
+    mv = IncrementalAggMV(
+        spark,
+        fact=fact0,
+        fact_pk=["k"],
+        group_key="__g",
+        measures=[
+            Measure("count", None, "n"),
+            Measure("sum", "v", "sv"),
+            Measure("min", "v", "mn"),
+            # filtered aggregate in CASE form — what the planner's
+            # FILTER rewrite produces
+            Measure("count", "CASE WHEN v > 50 THEN 1 END", "n_big"),
+        ],
+        work_dir=str(tmp_path / "mv_g"),
+        num_buckets=4,
+        global_group=True,
+    )
+    mv.bootstrap()
+
+    for i, rows in enumerate(batches, start=1):
+        changes = spark.createDataFrame(
+            rows, f"k int, g int, v double, {OP_COL} string, {SEQ_COL} long"
+        ).withColumn("__g", F.lit(0))
+        mv.refresh(changes, batch_id=i)
+        fact_now = mv.fact_store.read()
+        exp = fact_now.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sv"),
+            F.min("v").alias("mn"),
+            F.count(F.expr("CASE WHEN v > 50 THEN 1 END")).alias("n_big"),
+        ).collect()[0]
+        got = mv.read().collect()
+        assert len(got) == 1, f"row count after batch {i}"
+        g = got[0]
+        assert g["n"] == exp["n"] and g["mn"] == exp["mn"] and g["n_big"] == exp["n_big"]
+        if exp["sv"] is None:
+            assert g["sv"] is None
+        else:
+            assert abs(g["sv"] - exp["sv"]) < 1e-9 * max(1.0, abs(exp["sv"]))
+
+    # emptying batch: delete every live key -> one zero-state row
+    live = [r.k for r in mv.fact_store.read().select("k").collect()]
+    if live:
+        wipe = spark.createDataFrame(
+            [(k, None, None, OP_DELETE, i) for i, k in enumerate(live)],
+            f"k int, g int, v double, {OP_COL} string, {SEQ_COL} long",
+        ).withColumn("__g", F.lit(0))
+        mv.refresh(wipe, batch_id=99)
+    final = mv.read().collect()
+    assert len(final) == 1
+    assert final[0]["n"] == 0 and final[0]["sv"] is None and final[0]["mn"] is None
+    assert final[0]["n_big"] == 0
