@@ -1026,3 +1026,80 @@ def test_planner_routes_on_form_join(spark, tmp_path):
     got = {tuple(r) for r in app.read().collect()}
     want = {tuple(r) for r in exp.collect()}
     assert got == want
+
+
+def test_on_form_join_with_row_local_where(spark, tmp_path):
+    """A row-local WHERE over the joined relation stays incremental:
+    dirty-key recompute applies the same filter as bootstrap, so the
+    diff is exact. Non-row-local predicates still fall back."""
+    from tiflink_spark.planner import match_join_shape
+
+    cols = {
+        "orders": ["o_orderkey", "o_custkey", "o_totalprice"],
+        "customer": ["c_custkey", "c_name", "c_nationkey"],
+    }
+    s = match_join_shape(
+        """SELECT o.o_orderkey, c.c_custkey, c_name
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           WHERE o.o_totalprice > 1000""",
+        set(cols),
+        cols,
+    )
+    assert s is not None and s.where == "o_totalprice > 1000"
+    assert match_join_shape(
+        """SELECT o_orderkey, c_custkey, c_name
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           WHERE rand() < 0.5""",
+        set(cols),
+        cols,
+    ) is None
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    app = (
+        MVApp.builder(spark)
+        .source("orders_jw", orders, pk=["o_orderkey"])
+        .source("customer_jw", cust, pk=["c_custkey"])
+        .query(
+            """SELECT o.o_orderkey, c.c_custkey, c.c_name
+               FROM orders_jw o JOIN customer_jw c
+                 ON o.o_custkey = c.c_custkey
+               WHERE o.o_totalprice > 100000"""
+        )
+        .target(str(tmp_path / "mv_jw"))
+        .num_buckets(4)
+        .shuffle_partitions(8)
+        .build()
+    )
+    assert app.maintenance_strategy == "IncrementalJoinMV"
+    app.bootstrap()
+    # price updates move rows across the predicate in both directions
+    b1 = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_totalprice") > 100000, F.lit(50.0)).otherwise(
+                F.lit(200000.0)
+            ),
+        )
+        .withColumn(OP_COL, F.lit(OP_UPDATE))
+        .withColumn(SEQ_COL, F.monotonically_increasing_id())
+    )
+    app.refresh({"orders_jw": b1}, batch_id=1)
+    flipped = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.when(F.col("o_totalprice") > 100000, F.lit(50.0)).otherwise(
+                F.lit(200000.0)
+            ),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    exp = (
+        flipped.filter(F.col("o_totalprice") > 100000)
+        .join(cust, flipped.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "c_custkey", "c_name")
+    )
+    got = {tuple(r) for r in app.read().collect()}
+    want = {tuple(r) for r in exp.collect()}
+    assert got == want

@@ -396,6 +396,7 @@ class MVApp:
                     work_dir=target,
                     num_buckets=num_buckets,
                     shuffle_partitions=shuffle_partitions,
+                    where=join.where,
                 )
                 self._stores = {
                     join.left: self._mv.left_store,

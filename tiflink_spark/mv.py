@@ -177,9 +177,15 @@ class IncrementalJoinMV:
         work_dir: str,
         num_buckets: int | None = None,
         shuffle_partitions: int | None = None,
+        where: str | None = None,
     ):
         self.spark = spark
         self.shuffle_partitions = shuffle_partitions
+        # Row-local deterministic predicate over the joined relation.
+        # Dirty-key maintenance is recompute+diff, so applying it after
+        # the join (bootstrap AND per-batch recompute) is exact — no
+        # per-side changelog filtering needed.
+        self.where = where
         # USING form passes one shared name; ON form passes a
         # (left_key, right_key) pair — e.g. ``ON o_custkey = c_custkey``.
         if isinstance(join_key, (tuple, list)):
@@ -214,8 +220,12 @@ class IncrementalJoinMV:
     def _join(self, a: DataFrame, b: DataFrame) -> DataFrame:
         cols = list(dict.fromkeys([*self.target.pk, *self.out_cols]))
         if self.left_key == self.right_key:
-            return a.join(b, self.left_key).select(*cols)
-        return a.join(b, a[self.left_key] == b[self.right_key]).select(*cols)
+            joined = a.join(b, self.left_key)
+        else:
+            joined = a.join(b, a[self.left_key] == b[self.right_key])
+        if self.where is not None:
+            joined = joined.filter(F.expr(self.where))
+        return joined.select(*cols)
 
     @_maintenance
     def bootstrap(self, batch_id=0) -> None:

@@ -613,6 +613,10 @@ class JoinShape:
     join_key: str
     out_cols: tuple[str, ...]
     right_key: str | None = None
+    # Row-local deterministic predicate over the JOINED relation
+    # (either side's columns, dequalified). Applied after the join in
+    # both bootstrap and dirty-key recompute, so maintenance is exact.
+    where: str | None = None
 
 
 _JOIN_RE = re.compile(
@@ -627,7 +631,8 @@ _JOIN_ON_RE = re.compile(
     rf"FROM\s+(?P<left>{_IDENT})(?:\s+(?:AS\s+)?(?P<la>{_IDENT}))?\s+"
     rf"(?:INNER\s+)?JOIN\s+(?P<right>{_IDENT})(?:\s+(?:AS\s+)?(?P<ra>{_IDENT}))?\s+"
     rf"ON\s+(?P<lref>(?:{_IDENT}\s*\.\s*)?{_IDENT})\s*=\s*"
-    rf"(?P<rref>(?:{_IDENT}\s*\.\s*)?{_IDENT})\s*;?\s*$",
+    rf"(?P<rref>(?:{_IDENT}\s*\.\s*)?{_IDENT})"
+    rf"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -709,7 +714,35 @@ def match_join_shape(
         return None
     if left_key not in out and right_key not in out:
         return None  # MV rows are pruned by a held join-key column
-    return JoinShape(left, right, left_key, tuple(out), right_key=right_key)
+    where = mo.group("where")
+    if where is not None:
+        if _NON_LOCAL_WHERE.search(where):
+            return None
+        # dequalify and validate over both tables' unambiguous columns
+        def dq_where(s: str) -> str | None:
+            bad = False
+
+            def sub(qm: re.Match) -> str:
+                nonlocal bad
+                t = quals.get(qm.group(1).lower())
+                if t is None or qm.group(2).lower() not in cols[t]:
+                    bad = True
+                    return qm.group(0)
+                return cols[t][qm.group(2).lower()]
+
+            o = _QUAL_RE.sub(sub, s)
+            return None if bad else o
+
+        where = dq_where(where)
+        if where is None:
+            return None
+        allowed = (set(cols[left]) | set(cols[right])) - ambiguous
+        if not _row_local_expr_ok(where, allowed):
+            return None
+        where = where.strip()
+    return JoinShape(
+        left, right, left_key, tuple(out), right_key=right_key, where=where
+    )
 
 
 # SELECT d-col-list, (SELECT agg(x|*) FROM fact f WHERE f.fk = d.dk) AS a FROM dim d
