@@ -1103,3 +1103,85 @@ def test_on_form_join_with_row_local_where(spark, tmp_path):
     got = {tuple(r) for r in app.read().collect()}
     want = {tuple(r) for r in exp.collect()}
     assert got == want
+
+
+def test_topn_with_row_local_where(spark, tmp_path):
+    """WHERE inside the ranked subquery (filter-then-rank) stays
+    incremental via the changelog filter rule; rows crossing the
+    predicate re-rank their group."""
+    from tiflink_spark.planner import match_topn_shape
+
+    cols = {"orders": ["o_orderkey", "o_custkey", "o_totalprice"]}
+    s = match_topn_shape(
+        """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+               SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+               FROM orders WHERE o_totalprice > 1000
+           ) t WHERE rn <= 2""",
+        {"orders"},
+        cols,
+    )
+    assert s is not None and s.where == "o_totalprice > 1000"
+    assert match_topn_shape(
+        """SELECT o_custkey, o_orderkey, rn FROM (
+               SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+               FROM orders WHERE rand() < 0.5
+           ) t WHERE rn <= 2""",
+        {"orders"},
+        cols,
+    ) is None
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    app = (
+        MVApp.builder(spark)
+        .source("orders_tw", orders, pk=["o_orderkey"])
+        .query(
+            """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+                   SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                   FROM orders_tw WHERE o_totalprice > 100000
+               ) t WHERE rn <= 2"""
+        )
+        .target(str(tmp_path / "mv_tw"))
+        .num_buckets(4)
+        .shuffle_partitions(8)
+        .build()
+    )
+    assert app.maintenance_strategy == "IncrementalTopKMV"
+    app.bootstrap()
+    # move some rows across the predicate in both directions
+    b1 = (
+        orders.filter(F.col("o_orderkey") % 4 == 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_totalprice") > 100000, F.lit(10.0)).otherwise(
+                F.lit(500000.0)
+            ),
+        )
+        .withColumn(OP_COL, F.lit(OP_UPDATE))
+        .withColumn(SEQ_COL, F.monotonically_increasing_id())
+    )
+    app.refresh({"orders_tw": b1}, batch_id=1)
+    from pyspark.sql import Window
+
+    flipped = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 4 == 0,
+            F.when(F.col("o_totalprice") > 100000, F.lit(10.0)).otherwise(
+                F.lit(500000.0)
+            ),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    exp = (
+        flipped.filter(F.col("o_totalprice") > 100000)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+    got = {tuple(r) for r in app.read().collect()}
+    want = {tuple(r) for r in exp.collect()}
+    assert got == want

@@ -499,14 +499,22 @@ class MVApp:
             ):
                 self.maintenance_mode = "incremental"
                 self._fact_name, self._dim_name = tn.fact, None
-                self._join_names = self._change_filter = None
+                self._join_names = None
+                # rows filtered before ranking: filtered bootstrap +
+                # the stateless changelog filter rule per batch
+                self._change_filter = tn.where
+                fact_df = dfs[tn.fact][1]
+                if tn.where is not None:
+                    from pyspark.sql import functions as F
+
+                    fact_df = fact_df.filter(F.expr(tn.where))
                 self.mv_pk = [tn.group_key, tn.rank_alias]
                 self.ddl = create_table_ddl(
                     os.path.basename(target), self.mv_schema, self.mv_pk
                 )
                 self._mv = IncrementalTopKMV(
                     spark,
-                    fact=dfs[tn.fact][1],
+                    fact=fact_df,
                     fact_pk=spec.pk,
                     group_key=tn.group_key,
                     order_col=tn.order_col,

@@ -529,6 +529,10 @@ class TopNShape:
     k: int
     out_cols: tuple[str, ...]
     tie: tuple[str, ...]
+    # Row-local deterministic predicate INSIDE the ranked subquery
+    # (rows filtered before ranking) — maintained via the stateless
+    # changelog filter rule, exactly like the aggregate shapes.
+    where: str | None = None
 
 
 _TOPN_RE = re.compile(
@@ -537,7 +541,8 @@ _TOPN_RE = re.compile(
     rf"PARTITION\s+BY\s+(?P<g>{_IDENT})\s+"
     rf"ORDER\s+BY\s+(?P<o>{_IDENT})(?:\s+(?P<dir>ASC|DESC))?"
     rf"(?P<tie>(?:\s*,\s*{_IDENT})*)\s*\)\s+AS\s+(?P<rn>{_IDENT})\s+"
-    rf"FROM\s+(?P<table>{_IDENT})\s*\)(?:\s+(?:AS\s+)?(?P<ta>{_IDENT}))?\s+"
+    rf"FROM\s+(?P<table>{_IDENT})(?:\s+WHERE\s+(?P<where>.+?))?\s*\)"
+    rf"(?:\s+(?:AS\s+)?(?P<ta>{_IDENT}))?\s+"
     rf"WHERE\s+(?P<rncond>{_IDENT})\s*<=\s*(?P<k>\d+)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -583,6 +588,13 @@ def match_topn_shape(
     k = int(m.group("k"))
     if k < 1:
         return None
+    where = m.group("where")
+    if where is not None:
+        if _NON_LOCAL_WHERE.search(where):
+            return None
+        if cols_known is None or not _row_local_expr_ok(where, cols_known):
+            return None
+        where = where.strip()
     return TopNShape(
         fact=m.group("table"),
         group_key=m.group("g"),
@@ -592,6 +604,7 @@ def match_topn_shape(
         k=k,
         out_cols=tuple(c for c in sel),
         tie=tie,
+        where=where,
     )
 
 
