@@ -1185,3 +1185,91 @@ def test_topn_with_row_local_where(spark, tmp_path):
     got = {tuple(r) for r in app.read().collect()}
     want = {tuple(r) for r in exp.collect()}
     assert got == want
+
+
+def test_union_and_setop_with_branch_wheres(spark, tmp_path):
+    """Per-branch row-local WHEREs ride the UNION ALL and INTERSECT
+    routes: filtered bootstrap plus the stateless changelog filter rule
+    per branch; updates crossing a branch predicate enter/leave the
+    view."""
+    from tiflink_spark.planner import match_setop_shape, match_union_all_shape
+
+    cols = {
+        "west": ["o_orderkey", "o_custkey", "o_totalprice"],
+        "east": ["o_orderkey", "o_custkey", "o_totalprice"],
+    }
+    pks = {"west": ["o_orderkey"], "east": ["o_orderkey"]}
+    ua = match_union_all_shape(
+        """SELECT o_orderkey, o_custkey FROM west WHERE o_totalprice > 1000
+           UNION ALL
+           SELECT o_orderkey, o_custkey FROM east""",
+        set(cols), cols, pks,
+    )
+    assert ua is not None and ua.wheres == ("o_totalprice > 1000", None)
+    assert match_union_all_shape(
+        """SELECT o_orderkey, o_custkey FROM west WHERE rand() < 0.5
+           UNION ALL
+           SELECT o_orderkey, o_custkey FROM east""",
+        set(cols), cols, pks,
+    ) is None
+    so = match_setop_shape(
+        """SELECT o_custkey FROM west WHERE o_totalprice > 1000
+           INTERSECT
+           SELECT o_custkey FROM east WHERE o_totalprice > 2000""",
+        set(cols), cols, pks,
+    )
+    assert so is not None
+    assert (so.left_where, so.right_where) == (
+        "o_totalprice > 1000",
+        "o_totalprice > 2000",
+    )
+
+    # end-to-end: filtered UNION ALL under churn that crosses the predicate
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    west = orders.filter(F.col("o_orderkey") % 2 == 0)
+    east = orders.filter(F.col("o_orderkey") % 2 == 1)
+    app = (
+        MVApp.builder(spark)
+        .source("west_u", west, pk=["o_orderkey"])
+        .source("east_u", east, pk=["o_orderkey"])
+        .query(
+            """SELECT o_orderkey, o_custkey FROM west_u WHERE o_totalprice > 100000
+               UNION ALL
+               SELECT o_orderkey, o_custkey FROM east_u"""
+        )
+        .target(str(tmp_path / "mv_uw"))
+        .num_buckets(4)
+        .shuffle_partitions(8)
+        .build()
+    )
+    assert app.maintenance_strategy == "IncrementalUnionMV"
+    app.bootstrap()
+    b1 = (
+        west.filter(F.col("o_orderkey") % 4 == 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_totalprice") > 100000, F.lit(10.0)).otherwise(
+                F.lit(500000.0)
+            ),
+        )
+        .withColumn(OP_COL, F.lit(OP_UPDATE))
+        .withColumn(SEQ_COL, F.monotonically_increasing_id())
+    )
+    app.refresh({"west_u": b1}, batch_id=1)
+    west_now = west.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 4 == 0,
+            F.when(F.col("o_totalprice") > 100000, F.lit(10.0)).otherwise(
+                F.lit(500000.0)
+            ),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    exp = (
+        west_now.filter(F.col("o_totalprice") > 100000)
+        .select("o_orderkey", "o_custkey")
+        .unionByName(east.select("o_orderkey", "o_custkey"))
+    )
+    got = sorted(tuple(r) for r in app.read().collect())
+    want = sorted(tuple(r) for r in exp.collect())
+    assert got == want

@@ -428,6 +428,7 @@ class MVApp:
             self.ddl = create_table_ddl(
                 os.path.basename(target), self.mv_schema, self.mv_pk
             )
+            wheres = dict(zip([t for t, _ in ua.branches], ua.wheres or ()))
             self._mv = IncrementalUnionMV(
                 spark,
                 branches={
@@ -439,6 +440,7 @@ class MVApp:
                 work_dir=target,
                 num_buckets=num_buckets,
                 shuffle_partitions=shuffle_partitions,
+                wheres=wheres,
             )
             self._stores = {}
             return
@@ -475,6 +477,7 @@ class MVApp:
                 num_buckets=num_buckets,
                 shuffle_partitions=shuffle_partitions,
                 side_names=(so.left, so.right),
+                wheres=(so.left_where, so.right_where),
             )
             self._stores = {
                 so.left: self._mv._sides["a"].fact_store,

@@ -443,10 +443,15 @@ class IncrementalUnionMV:
         work_dir: str,
         num_buckets: int | None = None,
         shuffle_partitions: int | None = None,
+        wheres: dict[str, str] | None = None,
     ):
         self.spark = spark
         self.shuffle_partitions = shuffle_partitions
         self.branches = branches
+        # per-branch row-local WHERE (source-schema predicate): filters
+        # the bootstrap rows, and demotes changelog upserts failing it
+        # to deletes (the stateless filter rule)
+        self.wheres = {t: w for t, w in (wheres or {}).items() if w is not None}
         self.out_cols = list(out_cols)
         self.key_col = self.out_cols[key_pos]
         self.target = KeyedParquetStore(
@@ -467,7 +472,11 @@ class IncrementalUnionMV:
 
     @_maintenance
     def bootstrap(self, batch_id=0) -> None:
-        parts = [self._project(t, df) for t, (df, _, _) in self.branches.items()]
+        parts = []
+        for t, (df, _, _) in self.branches.items():
+            if t in self.wheres:
+                df = df.filter(F.expr(self.wheres[t]))
+            parts.append(self._project(t, df))
         full = parts[0]
         for p in parts[1:]:
             full = full.unionByName(p)
@@ -483,7 +492,13 @@ class IncrementalUnionMV:
             raise ValueError(f"unknown tables in changes: {sorted(unknown)}")
         if not changes:
             return False
-        parts = [self._project(t, df) for t, df in changes.items()]
+        parts = []
+        for t, df in changes.items():
+            if t in self.wheres:
+                from tiflink_spark.changelog import apply_filter
+
+                df = apply_filter(df, self.wheres[t])
+            parts.append(self._project(t, df))
         merged = parts[0]
         for p in parts[1:]:
             merged = merged.unionByName(p)
@@ -526,6 +541,7 @@ class IncrementalSetOpMV:
         num_buckets: int | None = None,
         shuffle_partitions: int | None = None,
         side_names: tuple[str, str] = ("a", "b"),
+        wheres: tuple[str | None, str | None] = (None, None),
     ):
         if op not in ("intersect", "except"):
             raise ValueError(f"unsupported set op: {op}")
@@ -536,6 +552,13 @@ class IncrementalSetOpMV:
         self.out_cols = list(out_cols)
         self._side_cols = {"a": list(left_cols), "b": list(right_cols)}
         self._side_pks = {"a": list(left_pk), "b": list(right_pk)}
+        # per-side row-local WHERE (source schema): filtered bootstrap
+        # + the stateless changelog filter rule per side batch
+        self._wheres = {"a": wheres[0], "b": wheres[1]}
+        if self._wheres["a"] is not None:
+            left = left.filter(F.expr(self._wheres["a"]))
+        if self._wheres["b"] is not None:
+            right = right.filter(F.expr(self._wheres["b"]))
         # Each side's rows projected to the OUTPUT tuple names; the
         # source PK rides along (renamed __pk_i) for retraction lookups.
         self._sides = {}
@@ -620,6 +643,10 @@ class IncrementalSetOpMV:
         dirty_parts = []
         for name, raw in changes.items():
             tag = self._name_to_tag[name]
+            if self._wheres[tag] is not None:
+                from tiflink_spark.changelog import apply_filter
+
+                raw = apply_filter(raw, self._wheres[tag])
             ch = self._project(tag, raw)
             self._sides[tag].refresh(ch, batch_id)
             dirty_parts.append(self._dirty_tuples(tag, ch, batch_id))

@@ -393,13 +393,30 @@ class UnionAllShape:
     branches: tuple[tuple[str, tuple[str, ...]], ...]
     out_cols: tuple[str, ...]
     key_pos: int
+    # per-branch row-local WHERE (aligned with ``branches``; None =
+    # unfiltered) — applied to the branch's bootstrap AND its changelog
+    # batches via the stateless filter rule
+    wheres: tuple[str | None, ...] = ()
 
 
 _UNION_BRANCH_RE = re.compile(
     rf"^\s*SELECT\s+(?P<select>{_IDENT}(?:\s*,\s*{_IDENT})*)\s+"
-    rf"FROM\s+(?P<table>{_IDENT})\s*$",
+    rf"FROM\s+(?P<table>{_IDENT})(?:\s+WHERE\s+(?P<where>.+?))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _branch_where(
+    bm: re.Match, source_columns: dict[str, list[str]]
+) -> tuple[str | None, bool]:
+    """(validated where, ok) for a union/set-op branch match."""
+    where = bm.group("where")
+    if where is None:
+        return None, True
+    cols = {c.lower() for c in source_columns.get(bm.group("table"), [])}
+    if _NON_LOCAL_WHERE.search(where) or not _row_local_expr_ok(where, cols):
+        return None, False
+    return where.strip(), True
 
 
 def match_union_all_shape(
@@ -413,6 +430,7 @@ def match_union_all_shape(
     if len(parts) < 2:
         return None
     branches: list[tuple[str, tuple[str, ...]]] = []
+    wheres: list[str | None] = []
     for part in parts:
         bm = _UNION_BRANCH_RE.match(part)
         if bm is None or bm.group("table") not in source_names:
@@ -422,7 +440,11 @@ def match_union_all_shape(
         known = {c.lower(): c for c in source_columns.get(table, [])}
         if any(c.lower() not in known for c in cols):
             return None
+        where, ok = _branch_where(bm, source_columns)
+        if not ok:
+            return None
         branches.append((table, tuple(known[c.lower()] for c in cols)))
+        wheres.append(where)
     if len({t for t, _ in branches}) != len(branches):
         return None  # duplicate branch tables would collide on the key
     widths = {len(cols) for _, cols in branches}
@@ -441,7 +463,7 @@ def match_union_all_shape(
     out_cols = branches[0][1]
     if len({c.lower() for c in out_cols}) != len(out_cols):
         return None
-    return UnionAllShape(tuple(branches), out_cols, key_pos)
+    return UnionAllShape(tuple(branches), out_cols, key_pos, tuple(wheres))
 
 
 @dataclass(frozen=True)
@@ -460,6 +482,10 @@ class SetOpShape:
     right: str
     right_cols: tuple[str, ...]
     out_cols: tuple[str, ...]
+    # per-side row-local WHERE (None = unfiltered), same filter rule
+    # as the union branches
+    left_where: str | None = None
+    right_where: str | None = None
 
 
 _SETOP_SPLIT = re.compile(r"(?i)\b(INTERSECT|EXCEPT)\b(\s+ALL\b)?")
@@ -482,6 +508,7 @@ def match_setop_shape(
         return None
     left_sql, op, _, right_sql = parts
     branches = []
+    wheres: list[str | None] = []
     for part in (left_sql, right_sql):
         bm = _UNION_BRANCH_RE.match(part)
         if bm is None or bm.group("table") not in source_names:
@@ -493,13 +520,19 @@ def match_setop_shape(
             return None
         if not source_pks.get(table):
             return None
+        where, ok = _branch_where(bm, source_columns)
+        if not ok:
+            return None
         branches.append((table, tuple(known[c.lower()] for c in cols)))
+        wheres.append(where)
     (lt, lc), (rt, rc) = branches
     if lt == rt or len(lc) != len(rc):
         return None
     if len({c.lower() for c in lc}) != len(lc):
         return None
-    return SetOpShape(op.lower(), lt, lc, rt, rc, lc)
+    return SetOpShape(
+        op.lower(), lt, lc, rt, rc, lc, left_where=wheres[0], right_where=wheres[1]
+    )
 
 
 @dataclass(frozen=True)
