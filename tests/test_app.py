@@ -1273,3 +1273,86 @@ def test_union_and_setop_with_branch_wheres(spark, tmp_path):
     got = sorted(tuple(r) for r in app.read().collect())
     want = sorted(tuple(r) for r in exp.collect())
     assert got == want
+
+
+def test_order_limit_routes_and_converges(spark, tmp_path):
+    """Global ORDER BY + LIMIT routes to IncrementalGlobalTopKMV; the
+    candidate-merge fast path and the member-touched re-rank both
+    converge, and replaying a batch is a no-op."""
+    from tiflink_spark.planner import match_order_limit_shape
+
+    cols = {"orders": ["o_orderkey", "o_custkey", "o_totalprice"]}
+    s = match_order_limit_shape(
+        """SELECT o_orderkey, o_custkey FROM orders
+           WHERE o_totalprice > 10
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 5""",
+        {"orders"},
+        cols,
+    )
+    assert s is not None and s.k == 5 and s.tie == ("o_orderkey",)
+    assert s.where == "o_totalprice > 10" and s.descending
+    # missing deterministic tie column: matched shape, but the app must
+    # reject it (tie != pk) — checked below via strategy fallback
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    app_bad = (
+        MVApp.builder(spark)
+        .source("orders_olb", orders, pk=["o_orderkey"])
+        .query(
+            """SELECT o_orderkey, o_totalprice FROM orders_olb
+               ORDER BY o_totalprice DESC LIMIT 5"""
+        )
+        .target(str(tmp_path / "mv_olb"))
+        .num_buckets(4)
+        .build()
+    )
+    assert app_bad.maintenance_strategy == "RecomputeMV"
+
+    app = (
+        MVApp.builder(spark)
+        .source("orders_olt", orders, pk=["o_orderkey"])
+        .query(
+            """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_olt
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""
+        )
+        .target(str(tmp_path / "mv_olt"))
+        .num_buckets(4)
+        .shuffle_partitions(8)
+        .build()
+    )
+    assert app.maintenance_strategy == "IncrementalGlobalTopKMV"
+    app.bootstrap()
+    top0 = app.read().orderBy(F.desc("o_totalprice"), "o_orderkey").collect()
+    assert len(top0) == 10
+
+    # fast path: boost two non-members into the view
+    b1 = (
+        orders.filter(F.col("o_orderkey").isin([3, 5]))
+        .withColumn("o_totalprice", F.lit(8e9) + F.col("o_orderkey"))
+        .withColumn(OP_COL, F.lit(OP_UPDATE))
+        .withColumn(SEQ_COL, F.monotonically_increasing_id())
+    )
+    app.refresh({"orders_olt": b1}, batch_id=1)
+    # slow path: delete the current best (member touched -> re-rank)
+    best = app.read().orderBy(F.desc("o_totalprice"), "o_orderkey").first()
+    b2 = (
+        orders.filter(F.col("o_orderkey") == best["o_orderkey"])
+        .withColumn(OP_COL, F.lit(OP_DELETE))
+        .withColumn(SEQ_COL, F.monotonically_increasing_id())
+    )
+    app.refresh({"orders_olt": b2}, batch_id=2)
+    assert app.refresh({"orders_olt": b2}, batch_id=2) is False  # replay no-op
+
+    final = orders.filter(F.col("o_orderkey") != best["o_orderkey"]).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey").isin([3, 5]), F.lit(8e9) + F.col("o_orderkey")
+        ).otherwise(F.col("o_totalprice")),
+    )
+    exp = (
+        final.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    got = {tuple(r) for r in app.read().collect()}
+    want = {tuple(r) for r in exp.collect()}
+    assert got == want

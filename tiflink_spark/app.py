@@ -46,6 +46,7 @@ from tiflink_spark.planner import (
     match_distinct_shape,
     match_global_agg_shape,
     match_join_agg_shape,
+    match_order_limit_shape,
     match_join_shape,
     match_setop_shape,
     match_topn_shape,
@@ -530,6 +531,51 @@ class MVApp:
                     rank_col=tn.rank_alias,
                 )
                 self._stores = {tn.fact: self._mv.fact_store}
+                return
+
+        # Global ORDER BY + LIMIT (top-k without PARTITION BY) — keyed
+        # by the fact PK, which must be selected and must be the
+        # trailing ORDER BY columns (deterministic total order).
+        ol = match_order_limit_shape(query, set(dfs), source_columns)
+        if ol is not None:
+            spec = dfs[ol.fact][0]
+            sel_lower = {c.lower() for c in ol.out_cols}
+            tie_ok = spec.pk and [c.lower() for c in ol.tie] == [
+                c.lower() for c in spec.pk
+            ]
+            if (
+                tie_ok
+                and all(p.lower() in sel_lower for p in spec.pk)
+                and (pk is None or list(pk) == list(spec.pk))
+            ):
+                from tiflink_spark.mv import IncrementalGlobalTopKMV
+
+                self.maintenance_mode = "incremental"
+                self._fact_name, self._dim_name = ol.fact, None
+                self._join_names = None
+                self._change_filter = ol.where
+                fact_df = dfs[ol.fact][1]
+                if ol.where is not None:
+                    from pyspark.sql import functions as F
+
+                    fact_df = fact_df.filter(F.expr(ol.where))
+                self.mv_pk = list(spec.pk)
+                self.ddl = create_table_ddl(
+                    os.path.basename(target), self.mv_schema, self.mv_pk
+                )
+                self._mv = IncrementalGlobalTopKMV(
+                    spark,
+                    fact=fact_df,
+                    fact_pk=spec.pk,
+                    order_col=ol.order_col,
+                    out_cols=list(ol.out_cols),
+                    k=ol.k,
+                    work_dir=target,
+                    descending=ol.descending,
+                    num_buckets=num_buckets,
+                    shuffle_partitions=shuffle_partitions,
+                )
+                self._stores = {ol.fact: self._mv.fact_store}
                 return
 
         self.maintenance_mode = "recompute"

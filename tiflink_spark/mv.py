@@ -415,6 +415,91 @@ class IncrementalTopKMV:
         return self.target.read(version)
 
 
+class IncrementalGlobalTopKMV:
+    """Incremental MV for the GLOBAL ``SELECT cols FROM fact [WHERE …]
+    ORDER BY o [DESC], pk LIMIT k`` — the dashboard top-k without a
+    PARTITION BY, keyed by the fact PK.
+
+    The bound argument makes maintenance cheap in the common case: the
+    current k-th row's sort value is a lower bound that only MOVES UP
+    while every current member is untouched, so when a batch touches no
+    member, the new top-k is ``topk(old members ∪ changed rows)`` — a
+    candidate set of k + batch rows, no table scan. Only when a member
+    is deleted or updated (the bound may drop, promoting an arbitrary
+    row) does the view re-rank from the full fact store — one
+    TakeOrdered scan (no sort shuffle), the same work Flink's global
+    Rank operator pays to refill its state after retraction. The
+    member-touched probe is a driver scalar bounded by k rows.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        fact: DataFrame,
+        fact_pk: list[str],
+        order_col: str,
+        out_cols: list[str],
+        k: int,
+        work_dir: str,
+        descending: bool = False,
+        num_buckets: int | None = None,
+        shuffle_partitions: int | None = None,
+    ):
+        self.spark = spark
+        self.shuffle_partitions = shuffle_partitions
+        self.fact0 = fact
+        self.fact_pk = list(fact_pk)
+        self.order_col = order_col
+        self.out_cols = list(out_cols)  # must include the fact PK
+        self.k = k
+        self.descending = descending
+        self.fact_store = KeyedParquetStore(
+            spark, os.path.join(work_dir, "fact"), self.fact_pk, num_buckets
+        )
+        self.target = KeyedParquetStore(
+            spark, os.path.join(work_dir, "mv"), self.fact_pk, num_buckets
+        )
+
+    def _sort_cols(self):
+        ordc = F.col(self.order_col).desc() if self.descending else F.col(self.order_col)
+        return [ordc, *[F.col(c) for c in self.fact_pk]]
+
+    def _topk(self, rows: DataFrame) -> DataFrame:
+        # orderBy().limit() plans as TakeOrdered — per-partition heaps,
+        # no global sort shuffle.
+        return rows.orderBy(*self._sort_cols()).limit(self.k).select(*self.out_cols)
+
+    @_maintenance
+    def bootstrap(self, batch_id=0) -> None:
+        self.fact_store.bootstrap(self.fact0, batch_id)
+        self.target.bootstrap(self._topk(self.fact_store.read()), batch_id)
+
+    @_maintenance
+    def refresh(self, changes: DataFrame | None, batch_id) -> bool:
+        if changes is None or batch_id in self.target.committed_batches():
+            return False
+        changed_pks = last_change_per_key(changes, self.fact_pk).select(*self.fact_pk)
+        old_top = self.target.read()
+        # bounded probe: ≤ k rows semi-joined against the batch's keys
+        member_touched = (
+            old_top.join(changed_pks, self.fact_pk, "left_semi").limit(1).count() > 0
+        )
+        self.fact_store.merge(changes, batch_id)
+        fact_now = self.fact_store.read()
+        if member_touched:
+            new_top = self._topk(fact_now)
+        else:
+            # bound can only rise: candidates = old members ∪ changed rows
+            cand_pks = old_top.select(*self.fact_pk).unionByName(changed_pks).distinct()
+            new_top = self._topk(fact_now.join(cand_pks, self.fact_pk, "left_semi"))
+        mv_changes = diff_states(old_top, new_top, self.target.pk)
+        self.target.merge(mv_changes, batch_id)
+        return True
+
+    def read(self, version: int | None = None) -> DataFrame:
+        return self.target.read(version)
+
+
 class IncrementalUnionMV:
     """Incremental MV for bare multi-branch ``UNION ALL`` — the
     multi-source ingestion view, and the ONE set operation that is

@@ -642,6 +642,75 @@ def match_topn_shape(
 
 
 @dataclass(frozen=True)
+class OrderLimitShape:
+    """The global top-k view: ``SELECT c1[, …] FROM fact [WHERE
+    row-local] ORDER BY o [ASC|DESC][, pk…] LIMIT k`` — keyed by the
+    fact PK (which must be selected, and must be the trailing ORDER BY
+    columns so the total order is deterministic). Routed to
+    :class:`tiflink_spark.mv.IncrementalGlobalTopKMV` (bound-aware
+    candidate merge; full TakeOrdered re-rank only when a current
+    member is touched)."""
+
+    fact: str
+    order_col: str
+    descending: bool
+    k: int
+    out_cols: tuple[str, ...]
+    tie: tuple[str, ...]
+    where: str | None = None
+
+
+_ORDER_LIMIT_RE = re.compile(
+    rf"^\s*SELECT\s+(?P<select>{_IDENT}(?:\s*,\s*{_IDENT})*)\s+"
+    rf"FROM\s+(?P<table>{_IDENT})"
+    rf"(?:\s+WHERE\s+(?P<where>.+?))?"
+    rf"\s+ORDER\s+BY\s+(?P<o>{_IDENT})(?:\s+(?P<dir>ASC|DESC))?"
+    rf"(?P<tie>(?:\s*,\s*{_IDENT})*)\s+LIMIT\s+(?P<k>\d+)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def match_order_limit_shape(
+    query: str,
+    source_names: set[str],
+    source_columns: dict[str, list[str]] | None = None,
+) -> OrderLimitShape | None:
+    """Match the global ORDER BY + LIMIT view, or None."""
+    m = _ORDER_LIMIT_RE.match(query)
+    if m is None or m.group("table") not in source_names:
+        return None
+    sel = [c.strip() for c in m.group("select").split(",")]
+    if len({c.lower() for c in sel}) != len(sel):
+        return None
+    cols_known = None
+    if source_columns is not None:
+        cols_known = {c.lower() for c in source_columns.get(m.group("table"), [])}
+        if any(c.lower() not in cols_known for c in sel):
+            return None
+        if m.group("o").lower() not in cols_known:
+            return None
+    k = int(m.group("k"))
+    if k < 1:
+        return None
+    where = m.group("where")
+    if where is not None:
+        if _NON_LOCAL_WHERE.search(where):
+            return None
+        if cols_known is None or not _row_local_expr_ok(where, cols_known):
+            return None
+        where = where.strip()
+    return OrderLimitShape(
+        fact=m.group("table"),
+        order_col=m.group("o"),
+        descending=(m.group("dir") or "asc").lower() == "desc",
+        k=k,
+        out_cols=tuple(sel),
+        tie=tuple(c.strip() for c in m.group("tie").split(",") if c.strip()),
+        where=where,
+    )
+
+
+@dataclass(frozen=True)
 class JoinShape:
     """A two-sided equi-join matched to IncrementalJoinMV maintenance:
 

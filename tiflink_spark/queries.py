@@ -1237,6 +1237,7 @@ _PRIORITY = [
     "mvapp_auto_join_rollup",
     "mvapp_auto_global_agg",
     "mvapp_auto_join_on",
+    "mvapp_auto_order_limit",
     "mvapp_auto_union",
     "mvapp_auto_setops",
     "mvapp_auto_stats_agg",

@@ -2511,3 +2511,88 @@ def mvapp_auto_join_on(spark: SparkSession, sf_dir: str) -> DataFrame:
         return app.read().localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_order_limit",
+    f"""
+    WITH final_orders_ol AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0 AND o_orderkey < {BIG}
+                    THEN o_totalprice + 500000 ELSE o_totalprice END AS o_totalprice
+        FROM (
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders WHERE o_orderkey % 7 <> 0
+            UNION ALL
+            SELECT o_orderkey + {BIG}, o_custkey, o_totalprice
+            FROM orders WHERE o_orderkey % 100 = 0
+        )
+    )
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+    FROM final_orders_ol
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+    doc=(
+        "Global ORDER BY + LIMIT MV (top-k without PARTITION BY) "
+        "auto-routed to IncrementalGlobalTopKMV: while a batch touches "
+        "no current member the k-th sort value is a rising bound, so "
+        "the new top-k is topk(old members + changed rows) — a "
+        "k+batch-sized candidate set; member deletes/updates trigger "
+        "one TakeOrdered re-rank of the fact store (no sort shuffle). "
+        "The scripted churn exercises both paths: inserts and +500k "
+        "price boosts push rows in via the candidate merge, and the "
+        "deletes of o_orderkey % 7 rows remove current members. The fn "
+        "raises unless routed incrementally."
+    ),
+    tags=("mv", "incremental", "planner", "topk"),
+)
+def mvapp_auto_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_ol_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("orders_ol", t["orders"], pk=["o_orderkey"])
+            .query(
+                """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_ol
+                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 25"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalGlobalTopKMV":
+            raise AssertionError(
+                f"planner routed ORDER BY+LIMIT to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        ords = t["orders"]
+        b1 = (
+            ords.filter(F.col("o_orderkey") % 100 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + BIG)
+            .withColumn(OP_COL, F.lit(OP_INSERT))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        b2 = (
+            ords.filter(F.col("o_orderkey") % 7 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        b3 = (
+            ords.filter((F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 7 != 0))
+            .withColumn("o_totalprice", F.col("o_totalprice") + 500000)
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        for i, b in enumerate((b1, b2, b3), start=1):
+            app.refresh({"orders_ol": b}, batch_id=i)
+        return (
+            app.read()
+            .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
