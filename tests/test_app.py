@@ -1356,3 +1356,160 @@ def test_order_limit_routes_and_converges(spark, tmp_path):
     got = {tuple(r) for r in app.read().collect()}
     want = {tuple(r) for r in exp.collect()}
     assert got == want
+
+
+def test_match_semijoin_shape_matcher():
+    from tiflink_spark.planner import match_semijoin_shape
+
+    names = {"customer", "orders"}
+    cols = {
+        "customer": ["c_custkey", "c_name", "c_acctbal"],
+        "orders": ["o_orderkey", "o_custkey", "o_totalprice"],
+    }
+    s = match_semijoin_shape(
+        "SELECT c_custkey, c_name FROM customer c WHERE EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+        names,
+        cols,
+    )
+    assert s is not None and not s.anti
+    assert (s.fact, s.fact_key, s.other, s.other_key) == (
+        "customer",
+        "c_custkey",
+        "orders",
+        "o_custkey",
+    )
+    # NOT EXISTS with a leading row-local conjunct
+    s = match_semijoin_shape(
+        "SELECT c_custkey, c_acctbal FROM customer c WHERE c_acctbal > 0 AND NOT "
+        "EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+        names,
+        cols,
+    )
+    assert s is not None and s.anti and s.where == "c_acctbal > 0"
+    # IN form: bare unambiguous columns resolve without aliases
+    s = match_semijoin_shape(
+        "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN "
+        "(SELECT o_custkey FROM orders)",
+        names,
+        cols,
+    )
+    assert s is not None and not s.anti
+    assert (s.fact_key, s.other_key) == ("c_custkey", "o_custkey")
+    # NOT IN is NOT this shape (null-aware anti-join semantics)
+    assert (
+        match_semijoin_shape(
+            "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders)",
+            names,
+            cols,
+        )
+        is None
+    )
+    # correlation not spanning both tables -> no match
+    assert (
+        match_semijoin_shape(
+            "SELECT c_custkey FROM customer c WHERE EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = o.o_orderkey)",
+            names,
+            cols,
+        )
+        is None
+    )
+    # non-row-local leading conjunct -> no match
+    assert (
+        match_semijoin_shape(
+            "SELECT c_custkey FROM customer c WHERE rand() < 0.5 AND EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+            names,
+            cols,
+        )
+        is None
+    )
+    # unknown select column -> no match
+    assert (
+        match_semijoin_shape(
+            "SELECT nope FROM customer c WHERE EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+            names,
+            cols,
+        )
+        is None
+    )
+
+
+def test_planner_routes_semijoin_and_converges(spark, tmp_path):
+    cust = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", -5.0), (3, "c", 7.0), (4, "d", 1.0)],
+        "c_custkey int, c_name string, c_acctbal double",
+    )
+    orders = spark.createDataFrame(
+        [(100, 1), (101, 1), (102, 3), (103, None)],
+        "o_orderkey int, o_custkey int",
+    )
+    app = (
+        MVApp.builder(spark)
+        .source("cust_t", cust, pk=["c_custkey"])
+        .source("ord_t", orders, pk=["o_orderkey"])
+        .query(
+            "SELECT c_custkey, c_name FROM cust_t c WHERE EXISTS "
+            "(SELECT 1 FROM ord_t o WHERE o.o_custkey = c.c_custkey)"
+        )
+        .target(str(tmp_path / "sj"))
+        .num_buckets(2)
+        .build()
+    )
+    assert app.maintenance_strategy == "IncrementalSemiJoinMV"
+    app.bootstrap()
+    assert {r.c_custkey for r in app.read().collect()} == {1, 3}
+
+    # customer 1 loses one of two orders (stays), 3 loses its only
+    # order (leaves), 4 gains one (enters)
+    b1 = spark.createDataFrame(
+        [(101, 1, "-D", 0), (102, 3, "-D", 1), (104, 4, "+I", 2)],
+        "o_orderkey int, o_custkey int, __op string, __seq long",
+    )
+    app.refresh({"ord_t": b1}, batch_id=1)
+    assert {r.c_custkey for r in app.read().collect()} == {1, 4}
+    # replay is a no-op
+    assert app.refresh({"ord_t": b1}, batch_id=1) is False
+
+    # fact-side churn: delete customer 1, insert customer 5 (no orders)
+    b2 = spark.createDataFrame(
+        [(1, "a", 10.0, "-D", 0), (5, "e", 2.0, "+I", 1)],
+        "c_custkey int, c_name string, c_acctbal double, __op string, __seq long",
+    )
+    app.refresh({"cust_t": b2}, batch_id=2)
+    assert {r.c_custkey for r in app.read().collect()} == {4}
+
+
+def test_planner_routes_antijoin_null_semantics(spark, tmp_path):
+    # A NULL fact key matches nothing: excluded from EXISTS, kept by
+    # NOT EXISTS — the SQL semantics the anti route must reproduce.
+    cust = spark.createDataFrame(
+        [(1, 1, "a"), (2, None, "b"), (3, 9, "c")],
+        "c_custkey int, c_ref int, c_name string",
+    )
+    orders = spark.createDataFrame([(100, 1)], "o_orderkey int, o_custkey int")
+    app = (
+        MVApp.builder(spark)
+        .source("cust_n", cust, pk=["c_custkey"])
+        .source("ord_n", orders, pk=["o_orderkey"])
+        .query(
+            "SELECT c_custkey, c_name FROM cust_n c WHERE NOT EXISTS "
+            "(SELECT 1 FROM ord_n o WHERE o.o_custkey = c.c_ref)"
+        )
+        .target(str(tmp_path / "aj"))
+        .num_buckets(2)
+        .build()
+    )
+    assert app.maintenance_strategy == "IncrementalSemiJoinMV"
+    app.bootstrap()
+    assert {r.c_custkey for r in app.read().collect()} == {2, 3}
+    # order for ref 9 appears -> customer 3 leaves the anti view;
+    # NULL-ref customer 2 is untouched by any order churn
+    b1 = spark.createDataFrame(
+        [(101, 9, "+I", 0)], "o_orderkey int, o_custkey int, __op string, __seq long"
+    )
+    app.refresh({"ord_n": b1}, batch_id=1)
+    assert {r.c_custkey for r in app.read().collect()} == {2}

@@ -47,6 +47,7 @@ from tiflink_spark.planner import (
     match_global_agg_shape,
     match_join_agg_shape,
     match_order_limit_shape,
+    match_semijoin_shape,
     match_join_shape,
     match_setop_shape,
     match_topn_shape,
@@ -361,6 +362,52 @@ class MVApp:
                 corr.dim: self._mv.dim_store,
             }
             return
+
+        # Correlated-existence filter — EXISTS / NOT EXISTS / IN
+        # subquery — the streaming semi/anti join Flink's update-mode
+        # planner maintains with presence state per key. Fact-side
+        # changes re-evaluate exactly the changed PKs; other-side
+        # changes re-evaluate only the fact rows holding the dirty key
+        # values. The fact PK must be selected (the MV is keyed by it).
+        sj = match_semijoin_shape(query, set(dfs), source_columns)
+        if sj is not None:
+            fspec, ospec = dfs[sj.fact][0], dfs[sj.other][0]
+            sel_lower = {c.lower() for c in sj.out_cols}
+            if (
+                fspec.pk
+                and ospec.pk
+                and all(p.lower() in sel_lower for p in fspec.pk)
+                and (pk is None or list(pk) == list(fspec.pk))
+            ):
+                from tiflink_spark.mv import IncrementalSemiJoinMV
+
+                self.maintenance_mode = "incremental"
+                self._fact_name = self._dim_name = self._change_filter = None
+                self._join_names = (sj.fact, sj.other)
+                self.mv_pk = list(fspec.pk)
+                self.ddl = create_table_ddl(
+                    os.path.basename(target), self.mv_schema, self.mv_pk
+                )
+                self._mv = IncrementalSemiJoinMV(
+                    spark,
+                    fact=dfs[sj.fact][1],
+                    fact_pk=fspec.pk,
+                    other=dfs[sj.other][1],
+                    other_pk=ospec.pk,
+                    fact_key=sj.fact_key,
+                    other_key=sj.other_key,
+                    out_cols=list(sj.out_cols),
+                    work_dir=target,
+                    anti=sj.anti,
+                    num_buckets=num_buckets,
+                    shuffle_partitions=shuffle_partitions,
+                    where=sj.where,
+                )
+                self._stores = {
+                    sj.fact: self._mv.fact_store,
+                    sj.other: self._mv.other_store,
+                }
+                return
 
         # Bare two-sided equi-join (USING or ON form): dirty-join-key
         # recompute with changelogs on both sides (IncrementalJoinMV).

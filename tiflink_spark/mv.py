@@ -314,6 +314,184 @@ class IncrementalJoinMV:
         return self.target.read(version)
 
 
+class IncrementalSemiJoinMV:
+    """Incremental MV for the correlated-existence filter
+
+        SELECT fact-cols FROM fact
+        WHERE [row-local AND] [NOT] EXISTS (
+            SELECT 1 FROM other WHERE other.k = fact.fk)
+
+    (and the ``IN (SELECT k FROM other)`` spelling). Flink's update-mode
+    planner compiles this to a streaming semi/anti join keeping presence
+    state per join key; here the ``other`` store IS that state and
+    maintenance is membership re-evaluation, pruned two ways:
+
+    - fact-side changes re-evaluate membership for exactly the changed
+      PKs (deleted fact rows leave the view; upserts probe the current
+      ``other`` key set);
+    - other-side changes dirty their key values (new plus displaced old
+      versions) and re-evaluate only the fact rows HOLDING those values
+      — one semi-join against the fact store, never a full scan.
+
+    NULL semantics match SQL exactly because membership is an equality
+    probe: a NULL fact key matches nothing, so it is excluded from the
+    semi view and included in the anti view — the same rows Spark's
+    left_semi/left_anti produce. The target is keyed by the fact PK.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        fact: DataFrame,
+        fact_pk: list[str],
+        other: DataFrame,
+        other_pk: list[str],
+        fact_key: str,
+        other_key: str,
+        out_cols: list[str],
+        work_dir: str,
+        anti: bool = False,
+        num_buckets: int | None = None,
+        shuffle_partitions: int | None = None,
+        where: str | None = None,
+    ):
+        self.spark = spark
+        self.shuffle_partitions = shuffle_partitions
+        self.anti = anti
+        self.fact_key = fact_key
+        self.other_key = other_key
+        self.out_cols = list(out_cols)
+        # Row-local fact-side conjunct: filtered bootstrap + the
+        # stateless changelog filter rule per fact batch.
+        self.where = where
+        self.fact0 = fact.filter(F.expr(where)) if where is not None else fact
+        self.other0 = other
+        self.fact_store = KeyedParquetStore(
+            spark, os.path.join(work_dir, "fact"), fact_pk, num_buckets
+        )
+        self.other_store = KeyedParquetStore(
+            spark, os.path.join(work_dir, "other"), other_pk, num_buckets
+        )
+        self.target = KeyedParquetStore(
+            spark, os.path.join(work_dir, "mv"), list(fact_pk), num_buckets
+        )
+
+    def _member_rows(self, rows: DataFrame, other_now: DataFrame) -> DataFrame:
+        """``rows`` with a ``__member`` flag: True iff the row belongs
+        to the view under the current ``other`` key set."""
+        keys = (
+            other_now.select(F.col(self.other_key).alias("__ok"))
+            .where(F.col("__ok").isNotNull())
+            .distinct()
+        )
+        flagged = rows.join(keys, rows[self.fact_key] == keys["__ok"], "left")
+        present = F.col("__ok").isNotNull()
+        member = ~present if self.anti else present
+        return flagged.withColumn("__member", member).drop("__ok")
+
+    def _view(self, fact_rows: DataFrame, other_now: DataFrame) -> DataFrame:
+        how = "left_anti" if self.anti else "left_semi"
+        keys = (
+            other_now.select(F.col(self.other_key).alias("__ok"))
+            .where(F.col("__ok").isNotNull())
+            .distinct()
+        )
+        return fact_rows.join(
+            keys, fact_rows[self.fact_key] == keys["__ok"], how
+        ).select(*self.out_cols)
+
+    @_maintenance
+    def bootstrap(self, batch_id=0) -> None:
+        self.fact_store.bootstrap(self.fact0, batch_id)
+        self.other_store.bootstrap(self.other0, batch_id)
+        self.target.bootstrap(
+            self._view(self.fact_store.read(), self.other_store.read()), batch_id
+        )
+
+    def _dirty_other_keys(self, changes: DataFrame, batch_id) -> DataFrame:
+        """Key values touched by an ``other`` batch: the new rows'
+        values plus the displaced old versions' values."""
+        store = self.other_store
+        if batch_id in store.committed_batches():
+            old = store.read(store.version_before_batch(batch_id))
+        else:
+            old = store.read()
+        changed_pks = last_change_per_key(changes, store.pk).select(*store.pk)
+        old_keys = old.join(changed_pks, store.pk, "left_semi").select(
+            F.col(self.other_key).alias("__dk")
+        )
+        new_keys = changes.select(F.col(self.other_key).alias("__dk"))
+        return (
+            old_keys.unionByName(new_keys)
+            .where(F.col("__dk").isNotNull())
+            .distinct()
+        )
+
+    @_maintenance
+    def refresh(
+        self,
+        fact_changes: DataFrame | None,
+        other_changes: DataFrame | None,
+        batch_id,
+    ) -> bool:
+        if batch_id in self.target.committed_batches():
+            return False
+        if fact_changes is None and other_changes is None:
+            return False
+        if fact_changes is not None and self.where is not None:
+            from tiflink_spark.changelog import apply_filter
+
+            fact_changes = apply_filter(fact_changes, self.where)
+        dirty_ok = (
+            self._dirty_other_keys(other_changes, batch_id)
+            if other_changes is not None
+            else None
+        )
+        if fact_changes is not None:
+            self.fact_store.merge(fact_changes, batch_id)
+        if other_changes is not None:
+            self.other_store.merge(other_changes, batch_id)
+        other_now = self.other_store.read()
+
+        def upserts(rows: DataFrame) -> DataFrame:
+            """Changed fact rows → +U when in the view, -D when not."""
+            flagged = self._member_rows(rows, other_now)
+            return flagged.select(
+                *self.out_cols,
+                F.when(F.col("__member"), F.lit(OP_UPDATE))
+                .otherwise(F.lit(OP_DELETE))
+                .alias(OP_COL),
+            )
+
+        parts: list[DataFrame] = []
+        if fact_changes is not None:
+            final = last_change_per_key(fact_changes, self.fact_store.pk)
+            dels = final.filter(F.col(OP_COL) == OP_DELETE)
+            parts.append(
+                dels.select(*self.out_cols).withColumn(OP_COL, F.lit(OP_DELETE))
+            )
+            ups = final.filter(F.col(OP_COL) != OP_DELETE).drop(OP_COL, SEQ_COL)
+            parts.append(upserts(ups))
+        if dirty_ok is not None:
+            fact_now = self.fact_store.read()
+            affected = fact_now.join(
+                dirty_ok, fact_now[self.fact_key] == dirty_ok["__dk"], "left_semi"
+            )
+            parts.append(upserts(affected))
+        # Later parts supersede earlier ones per fact PK (the other-side
+        # part sees the post-batch fact state, so it is freshest).
+        mv_changes = parts[0].withColumn(SEQ_COL, F.lit(0).cast("long"))
+        for i, p in enumerate(parts[1:], start=1):
+            mv_changes = mv_changes.unionByName(
+                p.withColumn(SEQ_COL, F.lit(i).cast("long"))
+            )
+        self.target.merge(mv_changes, batch_id)
+        return True
+
+    def read(self, version: int | None = None) -> DataFrame:
+        return self.target.read(version)
+
+
 class IncrementalTopKMV:
     """Incremental MV for per-group top-k:
 

@@ -950,6 +950,137 @@ def match_correlated_count_shape(
 
 
 @dataclass(frozen=True)
+class SemiJoinShape:
+    """The correlated-existence filter view:
+
+        SELECT f1[, f2 ...] FROM fact [AS f]
+        WHERE [row-local AND] [NOT] EXISTS (
+            SELECT 1 FROM other [AS o] WHERE <ref> = <ref>)
+
+    and the equivalent ``fk IN (SELECT k FROM other)`` spelling — the
+    semi/anti-join the reference maintains through Flink's update-mode
+    planner (which compiles EXISTS to a streaming semi/anti join with
+    presence state per key). Routed to
+    :class:`tiflink_spark.mv.IncrementalSemiJoinMV`: fact-side changes
+    re-evaluate membership for exactly the changed PKs; other-side
+    changes dirty their key values and re-evaluate only the fact rows
+    holding those values. ``NOT IN`` is NOT this shape (its NULL
+    semantics are not a plain anti-join) and stays on recompute.
+    """
+
+    fact: str
+    fact_key: str
+    other: str
+    other_key: str
+    out_cols: tuple[str, ...]
+    anti: bool
+    where: str | None = None
+
+
+_SEMI_EXISTS_RE = re.compile(
+    rf"^\s*SELECT\s+(?P<select>{_IDENT}(?:\s*,\s*{_IDENT})*)\s+"
+    rf"FROM\s+(?P<fact>{_IDENT})(?:\s+(?:AS\s+)?(?P<fa>{_IDENT}))?\s+"
+    rf"WHERE\s+(?:(?P<pre>.+?)\s+AND\s+)?(?P<neg>NOT\s+)?EXISTS\s*\(\s*"
+    rf"SELECT\s+(?:1|\*)\s+FROM\s+(?P<other>{_IDENT})(?:\s+(?:AS\s+)?(?P<oa>{_IDENT}))?\s+"
+    rf"WHERE\s+(?P<lref>(?:{_IDENT}\s*\.\s*)?{_IDENT})\s*=\s*"
+    rf"(?P<rref>(?:{_IDENT}\s*\.\s*)?{_IDENT})\s*\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_SEMI_IN_RE = re.compile(
+    rf"^\s*SELECT\s+(?P<select>{_IDENT}(?:\s*,\s*{_IDENT})*)\s+"
+    rf"FROM\s+(?P<fact>{_IDENT})(?:\s+(?:AS\s+)?(?P<fa>{_IDENT}))?\s+"
+    rf"WHERE\s+(?:(?P<pre>.+?)\s+AND\s+)?(?P<fcol>{_IDENT})\s+IN\s*\(\s*"
+    rf"SELECT\s+(?P<ocol>{_IDENT})\s+FROM\s+(?P<other>{_IDENT})\s*\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def match_semijoin_shape(
+    query: str,
+    source_names: set[str],
+    source_columns: dict[str, list[str]],
+) -> SemiJoinShape | None:
+    """Match the EXISTS/NOT EXISTS/IN existence-filter view, or None.
+
+    The select list is bare fact columns; the correlation equates one
+    fact column with one column of the inner table (qualified or
+    unambiguous-bare, mirroring SQL resolution); an optional leading
+    WHERE conjunct must be row-local and deterministic over the fact's
+    columns. NULL semantics line up exactly with Spark's
+    left_semi/left_anti: a NULL fact key never matches (excluded from
+    EXISTS/IN, kept by NOT EXISTS).
+    """
+    m = _SEMI_EXISTS_RE.match(query)
+    in_form = False
+    if m is None:
+        m = _SEMI_IN_RE.match(query)
+        in_form = m is not None
+        if m is None:
+            return None
+    fact, other = m.group("fact"), m.group("other")
+    if (
+        fact not in source_names
+        or other not in source_names
+        or fact == other
+        or fact not in source_columns
+        or other not in source_columns
+    ):
+        return None
+    fcols = {c.lower(): c for c in source_columns[fact]}
+    ocols = {c.lower(): c for c in source_columns[other]}
+    if in_form:
+        fk, ok = m.group("fcol").lower(), m.group("ocol").lower()
+        if fk not in fcols or ok not in ocols:
+            return None
+        fact_key, other_key, anti = fcols[fk], ocols[ok], False
+    else:
+        fa = (m.group("fa") or fact).lower()
+        oa = (m.group("oa") or other).lower()
+        if fa == oa or {fa, oa} & _CLAUSE_KEYWORDS:
+            return None
+        quals = {fa: fact, oa: other}
+        cols = {fact: fcols, other: ocols}
+        ambiguous = set(fcols) & set(ocols)
+
+        def resolve(ref: str) -> tuple[str, str] | None:
+            qm = _QUAL_RE.fullmatch(ref.strip())
+            if qm is not None:
+                t = quals.get(qm.group(1).lower())
+                if t is None or qm.group(2).lower() not in cols[t]:
+                    return None
+                return t, cols[t][qm.group(2).lower()]
+            name = ref.strip().lower()
+            if name in ambiguous:
+                return None
+            for t in (fact, other):
+                if name in cols[t]:
+                    return t, cols[t][name]
+            return None
+
+        l, r = resolve(m.group("lref")), resolve(m.group("rref"))
+        if l is None or r is None or {l[0], r[0]} != {fact, other}:
+            return None
+        fact_key = l[1] if l[0] == fact else r[1]
+        other_key = l[1] if l[0] == other else r[1]
+        anti = m.group("neg") is not None
+    sel = tuple(c.strip() for c in m.group("select").split(","))
+    if len({c.lower() for c in sel}) != len(sel):
+        return None
+    if any(c.lower() not in fcols for c in sel):
+        return None
+    sel = tuple(fcols[c.lower()] for c in sel)
+    pre = m.group("pre")
+    if pre is not None:
+        # the conjunct sees only the outer (fact) scope here — EXISTS
+        # terms inside it would have been consumed by the main regex
+        if _NON_LOCAL_WHERE.search(pre) or not _row_local_expr_ok(pre, set(fcols)):
+            return None
+        pre = pre.strip()
+    return SemiJoinShape(fact, fact_key, other, other_key, sel, anti, pre)
+
+
+@dataclass(frozen=True)
 class GlobalAggShape:
     """The global (no GROUP BY) aggregate over one table:
 

@@ -2596,3 +2596,144 @@ def mvapp_auto_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _semijoin_churn(spark: SparkSession, sf_dir: str, query: str, select_fn):
+    """Shared lifecycle for the EXISTS/NOT EXISTS gates: build, assert
+    the semi-join route, churn both sides, return the final MV state.
+
+    Script: B1 deletes every order of customers ≡ 0 (mod 25) — those
+    customers lose their last order (membership flips); B2 deletes
+    customers ≡ 4 (mod 10) and renames ≡ 3 (mod 10); B3 inserts new
+    orders at key+BIG routed to customers 25 and 50 — previously
+    orderless customers regain membership.
+    """
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_sj_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("cust_sj", t["customer"], pk=["c_custkey"])
+            .source("ord_sj", t["orders"], pk=["o_orderkey"])
+            .query(query)
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalSemiJoinMV":
+            raise AssertionError(
+                f"planner routed the existence filter to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        cust, ords = t["customer"], t["orders"]
+        b1 = (
+            ords.filter(F.col("o_custkey") % 25 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        b2 = (
+            cust.filter(F.col("c_custkey") % 10 == 4)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .unionByName(
+                cust.filter(F.col("c_custkey") % 10 == 3)
+                .withColumn("c_name", F.concat(F.col("c_name"), F.lit("_X")))
+                .withColumn(OP_COL, F.lit(OP_UPDATE))
+            )
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        b3 = (
+            ords.filter(F.col("o_orderkey") % 100 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + BIG)
+            .withColumn(
+                "o_custkey",
+                F.when(F.col("o_orderkey") % 200 == 0, F.lit(25)).otherwise(F.lit(50)),
+            )
+            .withColumn(OP_COL, F.lit(OP_INSERT))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"ord_sj": b1}, batch_id=1)
+        app.refresh({"cust_sj": b2}, batch_id=2)
+        app.refresh({"ord_sj": b3}, batch_id=3)
+        return select_fn(app.read()).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_FINAL_SJ_SQL = f"""
+    final_orders_sj AS (
+        SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey % 25 <> 0
+        UNION ALL
+        SELECT o_orderkey + {BIG},
+               CASE WHEN (o_orderkey + {BIG}) % 200 = 0 THEN 25 ELSE 50 END AS o_custkey
+        FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    final_customer_sj AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 3 THEN c_name || '_X' ELSE c_name END AS c_name,
+               c_acctbal
+        FROM customer WHERE c_custkey % 10 <> 4
+    )
+"""
+
+
+@register(
+    "mvapp_auto_semijoin",
+    f"""
+    WITH {_FINAL_SJ_SQL}
+    SELECT c_custkey, c_name FROM final_customer_sj c
+    WHERE EXISTS (SELECT 1 FROM final_orders_sj o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc=(
+        "Correlated EXISTS MV (customers with at least one order) "
+        "auto-routed to IncrementalSemiJoinMV — the streaming semi-join "
+        "Flink's update-mode planner maintains with presence state per "
+        "key (TiFlinkApp.java:270 delegation). Fact-side changes "
+        "re-evaluate exactly the changed PKs; order-side churn dirties "
+        "its key values and re-probes only the customers holding them. "
+        "The script flips membership both ways: customers lose their "
+        "last order (leave) and orderless customers gain one (re-enter), "
+        "under concurrent renames and deletes of the fact rows "
+        "themselves. The fn raises unless routed incrementally."
+    ),
+    tags=("mv", "incremental", "planner", "semijoin"),
+)
+def mvapp_auto_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _semijoin_churn(
+        spark,
+        sf_dir,
+        """SELECT c_custkey, c_name FROM cust_sj c WHERE EXISTS
+           (SELECT 1 FROM ord_sj o WHERE o.o_custkey = c.c_custkey)""",
+        lambda df: df.select("c_custkey", "c_name"),
+    )
+
+
+@register(
+    "mvapp_auto_antijoin",
+    f"""
+    WITH {_FINAL_SJ_SQL}
+    SELECT c_custkey, c_acctbal FROM final_customer_sj c
+    WHERE c_acctbal > 0 AND NOT EXISTS (
+        SELECT 1 FROM final_orders_sj o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc=(
+        "Correlated NOT EXISTS MV (q22's customers-without-orders "
+        "pattern) with an extra row-local conjunct, auto-routed to the "
+        "anti side of IncrementalSemiJoinMV. NULL-key semantics follow "
+        "SQL: a NULL fact key matches nothing, so it stays in the anti "
+        "view. Same two-sided churn script as the semi gate; the fn "
+        "raises unless routed incrementally."
+    ),
+    tags=("mv", "incremental", "planner", "semijoin"),
+)
+def mvapp_auto_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _semijoin_churn(
+        spark,
+        sf_dir,
+        """SELECT c_custkey, c_acctbal FROM cust_sj c
+           WHERE c_acctbal > 0 AND NOT EXISTS
+           (SELECT 1 FROM ord_sj o WHERE o.o_custkey = c.c_custkey)""",
+        lambda df: df.select("c_custkey", "c_acctbal"),
+    )
