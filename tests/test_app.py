@@ -1513,3 +1513,121 @@ def test_planner_routes_antijoin_null_semantics(spark, tmp_path):
     )
     app.refresh({"ord_n": b1}, batch_id=1)
     assert {r.c_custkey for r in app.read().collect()} == {2}
+
+
+def test_match_window_shape_matcher():
+    from tiflink_spark.planner import match_window_shape
+
+    names = {"orders"}
+    cols = {"orders": ["o_orderkey", "o_custkey", "o_totalprice"]}
+    pks = {"orders": ["o_orderkey"]}
+    s = match_window_shape(
+        "SELECT o_orderkey, o_custkey, "
+        "sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS rs, "
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+        "FROM orders WHERE o_totalprice > 0",
+        names,
+        cols,
+        pks,
+    )
+    assert s is not None
+    assert s.group_key == "o_custkey" and s.where == "o_totalprice > 0"
+    assert [a for a, _ in s.win_items] == ["rs", "rn"]
+    # row_number without the PK tie-breaker is ambiguous -> no match
+    assert (
+        match_window_shape(
+            "SELECT o_orderkey, o_custkey, "
+            "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS rn "
+            "FROM orders",
+            names,
+            cols,
+            pks,
+        )
+        is None
+    )
+    # rank is peer-uniform -> no tie-breaker needed
+    assert (
+        match_window_shape(
+            "SELECT o_orderkey, o_custkey, "
+            "rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS r "
+            "FROM orders",
+            names,
+            cols,
+            pks,
+        )
+        is not None
+    )
+    # mixed partition keys -> no single dirty domain -> no match
+    assert (
+        match_window_shape(
+            "SELECT o_orderkey, o_custkey, "
+            "rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS r1, "
+            "rank() OVER (PARTITION BY o_orderkey ORDER BY o_totalprice) AS r2 "
+            "FROM orders",
+            names,
+            cols,
+            pks,
+        )
+        is None
+    )
+    # partition key not selected -> MV rows cannot be pruned -> no match
+    assert (
+        match_window_shape(
+            "SELECT o_orderkey, "
+            "rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS r "
+            "FROM orders",
+            names,
+            cols,
+            pks,
+        )
+        is None
+    )
+    # plain projection (no window item) is not this shape
+    assert (
+        match_window_shape(
+            "SELECT o_orderkey, o_custkey FROM orders", names, cols, pks
+        )
+        is None
+    )
+
+
+def test_planner_routes_window_and_handles_null_groups(spark, tmp_path):
+    fact = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, 3.0), (3, None, 2.0), (4, None, 7.0), (5, 20, 1.0)],
+        "id int, grp int, v double",
+    )
+    app = (
+        MVApp.builder(spark)
+        .source("fact_w", fact, pk=["id"])
+        .query(
+            "SELECT id, grp, sum(v) OVER (PARTITION BY grp ORDER BY v) AS rs, "
+            "row_number() OVER (PARTITION BY grp ORDER BY v DESC, id) AS rn "
+            "FROM fact_w"
+        )
+        .target(str(tmp_path / "w"))
+        .num_buckets(2)
+        .build()
+    )
+    assert app.maintenance_strategy == "IncrementalWindowMV"
+    app.bootstrap()
+    got = {(r.id): (r.rs, r.rn) for r in app.read().collect()}
+    assert got[3] == (2.0, 2) and got[4] == (9.0, 1)  # NULL partition windows
+
+    # churn the NULL partition and a real one; group-moving update
+    b1 = spark.createDataFrame(
+        [(6, None, 1.0, "+I", 0), (1, 20, 5.0, "+U", 1), (2, 10, 3.0, "-D", 2)],
+        "id int, grp int, v double, __op string, __seq long",
+    )
+    app.refresh({"fact_w": b1}, batch_id=1)
+    fact_now = spark.createDataFrame(
+        [(1, 20, 5.0), (3, None, 2.0), (4, None, 7.0), (5, 20, 1.0), (6, None, 1.0)],
+        "id int, grp int, v double",
+    )
+    fact_now.createOrReplaceTempView("fact_now")
+    exp = spark.sql(
+        "SELECT id, grp, sum(v) OVER (PARTITION BY grp ORDER BY v) AS rs, "
+        "row_number() OVER (PARTITION BY grp ORDER BY v DESC, id) AS rn FROM fact_now"
+    )
+    assert {tuple(r) for r in app.read().collect()} == {tuple(r) for r in exp.collect()}
+    # replay no-op
+    assert app.refresh({"fact_w": b1}, batch_id=1) is False

@@ -52,6 +52,7 @@ from tiflink_spark.planner import (
     match_setop_shape,
     match_topn_shape,
     match_union_all_shape,
+    match_window_shape,
 )
 from tiflink_spark.store import KeyedParquetStore
 from tiflink_spark.types import create_table_ddl
@@ -578,6 +579,47 @@ class MVApp:
                     rank_col=tn.rank_alias,
                 )
                 self._stores = {tn.fact: self._mv.fact_store}
+                return
+
+        # Partitioned OVER-window view (running sums, per-group ranks,
+        # lag/lead) — dirty-partition recompute: a batch's touched
+        # groups are re-windowed from the fact store and diffed. Keyed
+        # by the fact PK; NULL partitions are first-class.
+        ws = match_window_shape(
+            query, set(dfs), source_columns, {n: d[0].pk for n, d in dfs.items()}
+        )
+        if ws is not None:
+            spec = dfs[ws.fact][0]
+            if pk is None or list(pk) == list(spec.pk):
+                from tiflink_spark.mv import IncrementalWindowMV
+
+                self.maintenance_mode = "incremental"
+                self._fact_name, self._dim_name = ws.fact, None
+                self._join_names = None
+                self._change_filter = ws.where
+                fact_df = dfs[ws.fact][1]
+                if ws.where is not None:
+                    from pyspark.sql import functions as F
+
+                    fact_df = fact_df.filter(F.expr(ws.where))
+                self.mv_pk = list(spec.pk)
+                self.ddl = create_table_ddl(
+                    os.path.basename(target), self.mv_schema, self.mv_pk
+                )
+                items = list(ws.plain_cols) + [
+                    f"{expr} AS {alias}" for alias, expr in ws.win_items
+                ]
+                self._mv = IncrementalWindowMV(
+                    spark,
+                    fact=fact_df,
+                    fact_pk=spec.pk,
+                    group_key=ws.group_key,
+                    select_items=items,
+                    work_dir=target,
+                    num_buckets=num_buckets,
+                    shuffle_partitions=shuffle_partitions,
+                )
+                self._stores = {ws.fact: self._mv.fact_store}
                 return
 
         # Global ORDER BY + LIMIT (top-k without PARTITION BY) — keyed

@@ -593,6 +593,101 @@ class IncrementalTopKMV:
         return self.target.read(version)
 
 
+class IncrementalWindowMV:
+    """Incremental MV for the partitioned OVER-window view
+
+        SELECT cols..., fn(args) OVER (PARTITION BY g ORDER BY o ...) AS a
+        FROM fact [WHERE row-local]
+
+    — running sums, per-group ranks, lag/lead neighbors. A window value
+    depends on its whole partition, so no per-row delta exists; Flink's
+    update-mode planner keeps full per-partition OverWindow state for
+    the same reason. Here the fact store IS that state and maintenance
+    is dirty-PARTITION recompute: the groups a batch touches (new rows'
+    groups plus displaced old rows' groups — a group-moving update
+    dirties both) are re-windowed from the semi-join-pruned fact store
+    and diffed against the old MV rows of those groups. Per-batch work
+    ∝ row volume of touched partitions, never the full fact.
+
+    Unlike the Top-N route (keyed by rank slot), the target is keyed by
+    the fact PK, and NULL partition keys are first-class: SQL windows
+    put all NULLs in one partition, so dirty-group pruning uses
+    null-safe equality throughout.
+
+    ``select_items`` is the full select list (bare columns and
+    ``... OVER ... AS alias`` items) applied verbatim via selectExpr —
+    the window semantics are exactly Spark SQL's.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        fact: DataFrame,
+        fact_pk: list[str],
+        group_key: str,
+        select_items: list[str],
+        work_dir: str,
+        num_buckets: int | None = None,
+        shuffle_partitions: int | None = None,
+    ):
+        self.spark = spark
+        self.shuffle_partitions = shuffle_partitions
+        self.fact0 = fact
+        self.fact_pk = list(fact_pk)
+        self.group_key = group_key
+        self.select_items = list(select_items)
+        self.fact_store = KeyedParquetStore(
+            spark, os.path.join(work_dir, "fact"), self.fact_pk, num_buckets
+        )
+        self.target = KeyedParquetStore(
+            spark, os.path.join(work_dir, "mv"), self.fact_pk, num_buckets
+        )
+
+    def _windowed(self, rows: DataFrame) -> DataFrame:
+        return rows.selectExpr(*self.select_items)
+
+    @_maintenance
+    def bootstrap(self, batch_id=0) -> None:
+        self.fact_store.bootstrap(self.fact0, batch_id)
+        self.target.bootstrap(self._windowed(self.fact_store.read()), batch_id)
+
+    def _dirty_groups(self, changes: DataFrame, batch_id) -> DataFrame:
+        """Partitions touched by the batch, NULL group included (SQL
+        windows treat NULL as a regular partition)."""
+        if batch_id in self.fact_store.committed_batches():
+            old = self.fact_store.read(self.fact_store.version_before_batch(batch_id))
+        else:
+            old = self.fact_store.read()
+        changed_pks = last_change_per_key(changes, self.fact_pk).select(*self.fact_pk)
+        old_groups = old.join(changed_pks, self.fact_pk, "left_semi").select(
+            self.group_key
+        )
+        new_groups = changes.select(self.group_key)
+        return old_groups.unionByName(new_groups).distinct()
+
+    def _prune(self, rows: DataFrame, dirty: DataFrame) -> DataFrame:
+        """rows of the dirty partitions (null-safe group equality)."""
+        d = dirty.select(F.col(self.group_key).alias("__dg"))
+        return rows.join(
+            d, rows[self.group_key].eqNullSafe(d["__dg"]), "left_semi"
+        )
+
+    @_maintenance
+    def refresh(self, changes: DataFrame | None, batch_id) -> bool:
+        if changes is None or batch_id in self.target.committed_batches():
+            return False
+        dirty = self._dirty_groups(changes, batch_id).localCheckpoint(eager=True)
+        self.fact_store.merge(changes, batch_id)
+        recomputed = self._windowed(self._prune(self.fact_store.read(), dirty))
+        mv_dirty_old = self._prune(self.target.read(), dirty)
+        mv_changes = diff_states(mv_dirty_old, recomputed, self.target.pk)
+        self.target.merge(mv_changes, batch_id)
+        return True
+
+    def read(self, version: int | None = None) -> DataFrame:
+        return self.target.read(version)
+
+
 class IncrementalGlobalTopKMV:
     """Incremental MV for the GLOBAL ``SELECT cols FROM fact [WHERE …]
     ORDER BY o [DESC], pk LIMIT k`` — the dashboard top-k without a

@@ -642,6 +642,156 @@ def match_topn_shape(
 
 
 @dataclass(frozen=True)
+class WindowShape:
+    """The partitioned OVER-window view:
+
+        SELECT c1[, c2 ...],
+               fn(args) OVER (PARTITION BY g ORDER BY o [ASC|DESC][, pk...])
+                   AS a [, ...]
+        FROM fact [WHERE row-local]
+
+    — running sums, per-group ranks, lag/lead neighbors: the window
+    views Flink's update-mode planner maintains with per-partition
+    OverWindow state. Routed to
+    :class:`tiflink_spark.mv.IncrementalWindowMV` — dirty-PARTITION
+    recompute: a batch's touched groups are re-windowed from the fact
+    store (semi-join pruned, NULL groups included) and diffed.
+
+    Every window item must share the same single PARTITION BY column
+    (one dirty-group domain). Rank-like and value-offset functions
+    (row_number/lag/lead) additionally require the ORDER BY's trailing
+    tie columns to be exactly the fact PK — without a deterministic
+    total order their output on ties is ambiguous, so the incremental
+    result could legitimately differ from a batch rerun. Peer-uniform
+    functions (rank/dense_rank and running aggregates, whose default
+    RANGE frame gives every peer the same value) carry no such
+    requirement.
+    """
+
+    fact: str
+    group_key: str
+    plain_cols: tuple[str, ...]  # bare pass-through columns, select order
+    # (alias, full window expression SQL without the AS) in select order
+    win_items: tuple[tuple[str, str], ...]
+    out_cols: tuple[str, ...]  # full output name list, select order
+    where: str | None = None
+
+
+# Functions whose value is identical across ORDER BY peers under the
+# default frame (RANGE UNBOUNDED PRECEDING..CURRENT ROW in both Spark
+# and ANSI SQL) — deterministic without a total order.
+_WIN_PEER_FNS = frozenset("rank dense_rank percent_rank cume_dist sum count avg min max".split())
+# Functions that assign per-ROW values — need the PK as tie-breaker.
+_WIN_ROW_FNS = frozenset("row_number lag lead first_value last_value ntile".split())
+
+_WIN_ITEM_RE = re.compile(
+    rf"^(?P<fn>{_IDENT})\s*\(\s*(?P<args>(?:[^()]*))\s*\)\s+OVER\s*\(\s*"
+    rf"PARTITION\s+BY\s+(?P<g>{_IDENT})\s+"
+    rf"ORDER\s+BY\s+(?P<o>{_IDENT})(?:\s+(?P<dir>ASC|DESC))?"
+    rf"(?P<tie>(?:\s*,\s*{_IDENT})*)\s*\)\s+AS\s+(?P<alias>{_IDENT})$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_WINDOW_Q_RE = re.compile(
+    rf"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<table>{_IDENT})"
+    rf"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def match_window_shape(
+    query: str,
+    source_names: set[str],
+    source_columns: dict[str, list[str]],
+    source_pks: dict[str, list[str]],
+) -> WindowShape | None:
+    """Match the partitioned OVER-window view, or None for the fallback."""
+    m = _WINDOW_Q_RE.match(query)
+    if m is None or m.group("table") not in source_names:
+        return None
+    table = m.group("table")
+    cols = {c.lower(): c for c in source_columns.get(table, [])}
+    pk = source_pks.get(table) or []
+    if not cols or not pk:
+        return None
+    where = m.group("where")
+    if where is not None:
+        if re.search(
+            r"(?i)\b(group\s+by|having|order\s+by|limit|qualify|window)\b", where
+        ):
+            return None
+        if _NON_LOCAL_WHERE.search(where) or not _row_local_expr_ok(
+            where, set(cols)
+        ):
+            return None
+        where = where.strip()
+
+    plain: list[str] = []
+    wins: list[tuple[str, str]] = []
+    out: list[str] = []
+    group_key: str | None = None
+    for item in _split_select_list(m.group("select")):
+        if re.fullmatch(_IDENT, item):
+            if item.lower() not in cols:
+                return None
+            plain.append(cols[item.lower()])
+            out.append(cols[item.lower()])
+            continue
+        wm = _WIN_ITEM_RE.match(item)
+        if wm is None:
+            return None
+        fn = wm.group("fn").lower()
+        g, o = wm.group("g"), wm.group("o")
+        if g.lower() not in cols or o.lower() not in cols:
+            return None
+        if group_key is None:
+            group_key = cols[g.lower()]
+        elif cols[g.lower()] != group_key:
+            return None  # mixed partition keys → no single dirty domain
+        tie = [c.strip() for c in wm.group("tie").split(",") if c.strip()]
+        if fn in _WIN_ROW_FNS:
+            if [c.lower() for c in tie] != [c.lower() for c in pk]:
+                return None
+        elif fn in _WIN_PEER_FNS:
+            if any(c.lower() not in cols for c in tie):
+                return None
+        else:
+            return None  # unknown window function → recompute
+        args = wm.group("args").strip()
+        if args not in ("", "*"):
+            for i, a in enumerate(arg_list := [x.strip() for x in args.split(",")]):
+                if i == 0:
+                    if not re.fullmatch(_IDENT, a) or a.lower() not in cols:
+                        return None
+                elif not re.fullmatch(r"-?\d+(?:\.\d+)?", a):
+                    return None  # offsets/defaults: numeric literals only
+        elif args == "*" and fn != "count":
+            return None
+        alias = wm.group("alias")
+        if alias.lower() in cols:
+            return None  # alias shadowing a stored column is ambiguous
+        wins.append((alias, item[: item.upper().rfind(" AS ")].strip()))
+        out.append(alias)
+    if not wins or group_key is None:
+        return None
+    if len({c.lower() for c in out}) != len(out):
+        return None
+    sel_lower = {c.lower() for c in plain}
+    if any(p.lower() not in sel_lower for p in pk):
+        return None  # the MV is keyed by the fact PK — it must be selected
+    if group_key.lower() not in sel_lower:
+        return None  # dirty-partition pruning reads the group from MV rows
+    return WindowShape(
+        fact=table,
+        group_key=group_key,
+        plain_cols=tuple(plain),
+        win_items=tuple(wins),
+        out_cols=tuple(out),
+        where=where,
+    )
+
+
+@dataclass(frozen=True)
 class OrderLimitShape:
     """The global top-k view: ``SELECT c1[, …] FROM fact [WHERE
     row-local] ORDER BY o [ASC|DESC][, pk…] LIMIT k`` — keyed by the

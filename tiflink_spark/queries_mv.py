@@ -2737,3 +2737,79 @@ def mvapp_auto_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT 1 FROM ord_sj o WHERE o.o_custkey = c.c_custkey)""",
         lambda df: df.select("c_custkey", "c_acctbal"),
     )
+
+
+@register(
+    "mvapp_auto_window",
+    f"""
+    WITH {_FINAL_ORDERS_SQL}
+    SELECT o_orderkey, o_custkey, round(run_sum, 2) AS run_sum, rnk, rn
+    FROM (
+        SELECT o_orderkey, o_custkey,
+               sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS run_sum,
+               rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM final_orders WHERE o_totalprice > 1000
+    )
+    """,
+    doc=(
+        "Partitioned OVER-window MV (running sum + rank + row_number "
+        "per customer) auto-routed to IncrementalWindowMV — the window "
+        "views Flink's update-mode planner maintains with per-partition "
+        "OverWindow state. Maintenance is dirty-PARTITION recompute: "
+        "the canonical 3-batch script's touched customers (including "
+        "both sides of the group-moving B3 updates) are re-windowed "
+        "from the semi-join-pruned fact store and diffed; untouched "
+        "partitions are never read. row_number's window carries the "
+        "fact PK as the trailing ORDER BY (the deterministic total "
+        "order the route requires for per-ROW functions); rank and the "
+        "running sum are peer-uniform and need none. The fn raises "
+        "unless routed incrementally."
+    ),
+    tags=("mv", "incremental", "planner", "window"),
+)
+def mvapp_auto_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_w_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("ord_w", t["orders"], pk=["o_orderkey"])
+            .query(
+                """SELECT o_orderkey, o_custkey,
+                          sum(o_totalprice) OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice) AS run_sum,
+                          rank() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC) AS rnk,
+                          row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                   FROM ord_w WHERE o_totalprice > 1000"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalWindowMV":
+            raise AssertionError(
+                f"planner routed the OVER-window view to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        for i, b in enumerate(scripted_batches(t["orders"]), start=1):
+            app.refresh({"ord_w": b}, batch_id=i)
+        return (
+            app.read()
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                F.round("run_sum", 2).alias("run_sum"),
+                "rnk",
+                "rn",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
