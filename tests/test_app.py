@@ -1631,3 +1631,75 @@ def test_planner_routes_window_and_handles_null_groups(spark, tmp_path):
     assert {tuple(r) for r in app.read().collect()} == {tuple(r) for r in exp.collect()}
     # replay no-op
     assert app.refresh({"fact_w": b1}, batch_id=1) is False
+
+
+def test_split_nested_query():
+    from tiflink_spark.planner import split_nested_query
+
+    r = split_nested_query(
+        "SELECT n, count(*) AS c FROM (SELECT k, count(*) AS n FROM t GROUP BY k) d GROUP BY n"
+    )
+    assert r is not None
+    inner, name, outer = r
+    assert inner == "SELECT k, count(*) AS n FROM t GROUP BY k"
+    assert name == "d"
+    assert outer == "SELECT n, count(*) AS c FROM d GROUP BY n"
+    # no alias -> synthesized name
+    r = split_nested_query("SELECT n FROM (SELECT k AS n FROM t) WHERE n > 1")
+    assert r is not None and r[1] == "__inner_cascade"
+    assert r[2] == "SELECT n FROM __inner_cascade WHERE n > 1"
+    # nested parens inside the subquery stay within it
+    r = split_nested_query(
+        "SELECT n FROM (SELECT k, count(CASE WHEN (v > 1) THEN 1 END) AS n "
+        "FROM t GROUP BY k) x"
+    )
+    assert r is not None and "CASE WHEN (v > 1)" in r[0]
+    # a joined derived table is not this shape
+    assert (
+        split_nested_query("SELECT a FROM (SELECT a FROM t) x JOIN u ON x.a = u.a")
+        is None
+    )
+    # plain FROM table is not nested
+    assert split_nested_query("SELECT a FROM t WHERE a > 1") is None
+    # parenthesized non-SELECT is not this shape
+    assert split_nested_query("SELECT a FROM (VALUES (1)) v") is None
+
+
+def test_cascade_routes_and_survives_crash_replay(spark, tmp_path):
+    fact = spark.createDataFrame(
+        [(i, i % 4) for i in range(12)], "k int, cust int"
+    )
+    app = (
+        MVApp.builder(spark)
+        .source("f_casc", fact, pk=["k"])
+        .query(
+            "SELECT n, count(*) AS c FROM "
+            "(SELECT cust, count(*) AS n FROM f_casc GROUP BY cust) d GROUP BY n"
+        )
+        .target(str(tmp_path / "casc"))
+        .num_buckets(2)
+        .build()
+    )
+    assert app.maintenance_strategy == "CascadeMV"
+    app.bootstrap()
+    assert {(r.n, r.c) for r in app.read().collect()} == {(3, 4)}
+
+    # batch 1: delete two rows of cust 0 -> counts {0:1,1:3,2:3,3:3}
+    b1 = spark.createDataFrame(
+        [(0, 0, "-D", 0), (4, 0, "-D", 1)],
+        "k int, cust int, __op string, __seq long",
+    )
+    # simulate a crash AFTER the inner MV committed but BEFORE the
+    # outer one: run the inner level alone, then replay the full batch
+    app._mv.inner.refresh({"f_casc": b1}, batch_id=1)
+    app.refresh({"f_casc": b1}, batch_id=1)
+    assert {(r.n, r.c) for r in app.read().collect()} == {(1, 1), (3, 3)}
+    # full replay of a fully-committed batch is a no-op
+    assert app.refresh({"f_casc": b1}, batch_id=1) is False
+
+    # batch 2: group-moving update (cust 1 -> cust 2 for one row)
+    b2 = spark.createDataFrame(
+        [(1, 2, "+U", 0)], "k int, cust int, __op string, __seq long"
+    )
+    app.refresh({"f_casc": b2}, batch_id=2)
+    assert {(r.n, r.c) for r in app.read().collect()} == {(1, 1), (2, 1), (4, 1), (3, 1)}

@@ -53,6 +53,7 @@ from tiflink_spark.planner import (
     match_topn_shape,
     match_union_all_shape,
     match_window_shape,
+    split_nested_query,
 )
 from tiflink_spark.store import KeyedParquetStore
 from tiflink_spark.types import create_table_ddl
@@ -117,6 +118,56 @@ class MVAppBuilder:
             self._shuffle_partitions,
             ddl_hook=getattr(self, "_ddl_hook", None),
         )
+
+
+class CascadeMV:
+    """Two-level maintenance for ``SELECT … FROM ( <inner> ) …``: the
+    inner query is maintained as its own MV, and the outer query
+    consumes the inner target's version diff as a changelog
+    (store.changes_between — the store as a CDC source). This is the
+    single-SQL form of MV cascading (the reference chains MVs the same
+    way: every MV table is itself a TiKV table another TiFlinkApp can
+    consume, README.md:8-16; Flink's update-mode planner nests
+    update-producing operators directly).
+
+    Both levels must have routed incrementally (the planner bails to
+    plain recompute otherwise), so per-batch work is the inner route's
+    cost plus the outer route's cost over the DELTA the inner emitted —
+    never a full recompute at either level.
+    """
+
+    def __init__(self, inner: "MVApp", outer: "MVApp", alias: str):
+        self.inner, self.outer, self.alias = inner, outer, alias
+        self.target = outer._mv.target
+
+    def bootstrap(self, batch_id=0) -> None:
+        self.inner.bootstrap(batch_id)
+        self.outer.bootstrap(batch_id)
+
+    def refresh(self, changes, batch_id) -> bool:
+        from tiflink_spark.changelog import OP_COL, SEQ_COL
+        from tiflink_spark.store import changes_between
+
+        tgt = self.inner._mv.target
+        if batch_id in tgt.committed_batches():
+            # crash replay: the inner committed but (possibly) the outer
+            # did not — recover this batch's delta from the version log
+            v_from = tgt.version_before_batch(batch_id)
+        else:
+            v_from = tgt.current_version()
+            self.inner.refresh(changes, batch_id)
+        v_to = tgt.current_version()
+        if v_to == v_from:
+            return False
+        # Project through the inner query's schema: the store may carry
+        # engine-internal columns (hidden DISTINCT counts etc.) that the
+        # outer plan must never see.
+        cols = [f.name for f in self.inner.mv_schema.fields]
+        delta = changes_between(tgt, v_from, v_to).select(*cols, OP_COL, SEQ_COL)
+        return self.outer.refresh({self.alias: delta}, batch_id)
+
+    def read(self, version: int | None = None):
+        return self.outer.read(version)
 
 
 class MVApp:
@@ -667,14 +718,66 @@ class MVApp:
                 self._stores = {ol.fact: self._mv.fact_store}
                 return
 
+        # Two-level nesting: SELECT … FROM ( <inner> ) … — decompose
+        # into an inner MV feeding an outer MV through the store's
+        # version-diff changelog (CascadeMV). Only taken when BOTH
+        # levels route incrementally; a planner bail here is never
+        # wrong, only slower (plain recompute below).
+        ns = split_nested_query(query)
+        if ns is not None:
+            import shutil
+
+            inner_sql, alias, outer_sql = ns
+            inner_dir = os.path.join(target, "inner")
+            inner_app = MVApp(
+                spark, sources, inner_sql, inner_dir, None,
+                num_buckets, shuffle_partitions,
+            )
+            outer_app = None
+            if inner_app.maintenance_mode == "incremental":
+                placeholder = spark.sql(inner_sql)
+                outer_app = MVApp(
+                    spark,
+                    {alias: (placeholder, inner_app.mv_pk)},
+                    outer_sql,
+                    os.path.join(target, "outer"),
+                    pk,
+                    num_buckets,
+                    shuffle_partitions,
+                )
+            if (
+                outer_app is not None
+                and outer_app.maintenance_mode == "incremental"
+                and not isinstance(outer_app._mv, CascadeMV)
+            ):
+                self.maintenance_mode = "incremental"
+                self._fact_name = self._dim_name = None
+                self._join_names = self._change_filter = None
+                self._dict_refresh = True
+                self._ja_tables = set(sources)
+                self.mv_pk = list(outer_app.mv_pk)
+                self.ddl = create_table_ddl(
+                    os.path.basename(target), self.mv_schema, self.mv_pk
+                )
+                self._mv = CascadeMV(inner_app, outer_app, alias)
+                self._stores = dict(inner_app._stores)
+                return
+            # a level fell back → abandon the probe dirs (a recompute
+            # inner may have bootstrapped source stores already)
+            shutil.rmtree(inner_dir, ignore_errors=True)
+            shutil.rmtree(os.path.join(target, "outer"), ignore_errors=True)
+
         self.maintenance_mode = "recompute"
         self._fact_name = self._dim_name = self._change_filter = self._join_names = None
+        # Source-store bootstraps are deferred to bootstrap(): building
+        # an MVApp plans, it does not write (the cascade probe above
+        # constructs and discards fallback apps).
+        self._recompute_inits: list[tuple[KeyedParquetStore, DataFrame]] = []
         for name, (spec_, df) in dfs.items():
             store = KeyedParquetStore(
                 spark, os.path.join(target, f"_src_{name}"), spec_.pk, num_buckets
             )
-            if not store.committed_batches():
-                store.bootstrap(df, batch_id="src-init")
+            self._recompute_inits.append((store, df))
             self._stores[name] = store
 
         self._mv = RecomputeMV(
@@ -718,6 +821,12 @@ class MVApp:
         state, joined-relation, and target stores), deduped by id."""
         seen: dict[int, KeyedParquetStore] = {}
 
+        if isinstance(self._mv, CascadeMV):
+            stores = self._mv.inner._all_stores() + self._mv.outer._all_stores()
+            for s in stores:
+                seen.setdefault(id(s), s)
+            return list(seen.values())
+
         def add(obj):
             if isinstance(obj, KeyedParquetStore):
                 seen.setdefault(id(obj), obj)
@@ -760,6 +869,9 @@ class MVApp:
         # lifecycle step 3 (TiJDBCHelper.java:111-140).
         if self._ddl_hook is not None:
             self._ddl_hook(self.ddl)
+        for store, df in getattr(self, "_recompute_inits", []):
+            if not store.committed_batches():
+                store.bootstrap(df, batch_id="src-init")
         self._mv.bootstrap(batch_id)
         return self
 

@@ -1418,6 +1418,53 @@ def match_agg_shape(
     )
 
 
+_NESTED_HEAD_RE = re.compile(r"(?is)^\s*(?P<head>SELECT\s+.+?\s+FROM)\s*\(")
+
+_POST_ALIAS_KEYWORDS = frozenset(
+    "where group having order limit union intersect except qualify window".split()
+)
+
+
+def split_nested_query(query: str) -> tuple[str, str, str] | None:
+    """Split ``SELECT … FROM ( <inner> ) [alias] <rest>`` into
+    (inner_sql, derived_name, outer_sql) — the two-level nesting the
+    cascade route decomposes into an inner MV feeding an outer MV via
+    the store's version-diff changelog. Returns None when the query is
+    not of this form (no derived table, the derived table is joined or
+    comma-listed with others, or the parenthesized block is not a
+    SELECT)."""
+    m = _NESTED_HEAD_RE.match(query)
+    if m is None:
+        return None
+    i = m.end() - 1  # the '('
+    depth = 0
+    j = i
+    for j in range(i, len(query)):
+        if query[j] == "(":
+            depth += 1
+        elif query[j] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+    else:
+        return None
+    inner = query[i + 1 : j].strip()
+    if not re.match(r"(?is)^SELECT\b", inner):
+        return None
+    rest = query[j + 1 :].rstrip().rstrip(";")
+    alias = None
+    am = re.match(rf"(?is)^\s+(?:AS\s+)?(?P<a>{_IDENT})\b", rest)
+    if am is not None and am.group("a").lower() not in (
+        _CLAUSE_KEYWORDS | _POST_ALIAS_KEYWORDS
+    ):
+        alias = am.group("a")
+        rest = rest[am.end() :]
+    if re.match(r"(?is)^\s*(,|JOIN\b|INNER\b|LEFT\b|RIGHT\b|FULL\b|CROSS\b|NATURAL\b)", rest):
+        return None  # the derived table must be the only FROM relation
+    name = alias or "__inner_cascade"
+    return inner, name, f"{m.group('head')} {name}{rest}"
+
+
 @dataclass(frozen=True)
 class DimJoin:
     """One dimension edge of the join tree: ``dim`` enters the joined

@@ -2813,3 +2813,62 @@ def mvapp_auto_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_cascade",
+    f"""
+    WITH {_FINAL_ORDERS_SQL}
+    SELECT n_orders, count(*) AS n_custs
+    FROM (SELECT o_custkey, count(*) AS n_orders
+          FROM final_orders GROUP BY o_custkey) d
+    GROUP BY n_orders
+    """,
+    doc=(
+        "Two-level nested aggregate (the Q13-flavor distribution of "
+        "per-customer order counts) auto-routed to CascadeMV: the inner "
+        "GROUP BY maintains as its own IncrementalAggMV, and the outer "
+        "GROUP BY consumes the inner target's version diff as a "
+        "changelog (store.changes_between — the store as a CDC source). "
+        "Per-batch work is the inner delta plus the outer's state merge "
+        "over THAT delta; neither level ever recomputes. A customer "
+        "whose count moves n -> n' retracts from bucket n and adds to "
+        "bucket n' through the diff's +U rows. The fn raises unless "
+        "both levels routed incrementally."
+    ),
+    tags=("mv", "incremental", "planner", "cascade"),
+)
+def mvapp_auto_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_casc_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("ord_casc", t["orders"], pk=["o_orderkey"])
+            .query(
+                """SELECT n_orders, count(*) AS n_custs FROM (
+                       SELECT o_custkey, count(*) AS n_orders
+                       FROM ord_casc GROUP BY o_custkey) d
+                   GROUP BY n_orders"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "CascadeMV":
+            raise AssertionError(
+                f"planner routed the nested aggregate to {app.maintenance_strategy}"
+            )
+        inner = app._mv.inner.maintenance_strategy
+        outer = app._mv.outer.maintenance_strategy
+        if inner != "IncrementalAggMV" or outer != "IncrementalAggMV":
+            raise AssertionError(f"cascade levels not incremental: {inner}/{outer}")
+        app.bootstrap()
+        for i, b in enumerate(scripted_batches(t["orders"]), start=1):
+            app.refresh({"ord_casc": b}, batch_id=i)
+        return app.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
