@@ -1703,3 +1703,62 @@ def test_cascade_routes_and_survives_crash_replay(spark, tmp_path):
     )
     app.refresh({"f_casc": b2}, batch_id=2)
     assert {(r.n, r.c) for r in app.read().collect()} == {(1, 1), (2, 1), (4, 1), (3, 1)}
+
+
+def test_split_group_order_limit():
+    from tiflink_spark.planner import split_group_order_limit
+
+    r = split_group_order_limit(
+        "SELECT k, count(*) AS n FROM t GROUP BY k ORDER BY n DESC, k LIMIT 5"
+    )
+    assert r == (
+        "SELECT k, count(*) AS n FROM t GROUP BY k",
+        "ORDER BY n DESC, k LIMIT 5",
+    )
+    # ORDER BY inside an OVER clause is not the top-level tail
+    assert (
+        split_group_order_limit(
+            "SELECT k, rank() OVER (PARTITION BY k ORDER BY v) AS r FROM t"
+        )
+        is None
+    )
+    # no LIMIT -> not this shape
+    assert (
+        split_group_order_limit("SELECT k, count(*) AS n FROM t GROUP BY k ORDER BY n")
+        is None
+    )
+    # no GROUP BY body -> the plain order-limit route owns it
+    assert (
+        split_group_order_limit("SELECT k FROM t ORDER BY k LIMIT 5") is None
+    )
+
+
+def test_group_order_limit_routes_and_converges(spark, tmp_path):
+    fact = spark.createDataFrame(
+        [(i, i % 5) for i in range(20)], "k int, cust int"
+    )
+    app = (
+        MVApp.builder(spark)
+        .source("f_gol", fact, pk=["k"])
+        .query(
+            "SELECT cust, count(*) AS n FROM f_gol GROUP BY cust "
+            "ORDER BY n DESC, cust LIMIT 3"
+        )
+        .target(str(tmp_path / "gol"))
+        .num_buckets(2)
+        .build()
+    )
+    assert app.maintenance_strategy == "CascadeMV"
+    assert app._mv.inner.maintenance_strategy == "IncrementalAggMV"
+    assert app._mv.outer.maintenance_strategy == "IncrementalGlobalTopKMV"
+    app.bootstrap()
+    # all groups tie at 4 -> top-3 by cust tie-break
+    assert {(r.cust, r.n) for r in app.read().collect()} == {(0, 4), (1, 4), (2, 4)}
+
+    # boost cust 4 above everyone; drop cust 0 below the bar
+    b1 = spark.createDataFrame(
+        [(100, 4, "+I", 0), (101, 4, "+I", 1), (0, 0, "-D", 2), (5, 0, "-D", 3)],
+        "k int, cust int, __op string, __seq long",
+    )
+    app.refresh({"f_gol": b1}, batch_id=1)
+    assert {(r.cust, r.n) for r in app.read().collect()} == {(4, 6), (1, 4), (2, 4)}

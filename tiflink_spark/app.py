@@ -53,6 +53,7 @@ from tiflink_spark.planner import (
     match_topn_shape,
     match_union_all_shape,
     match_window_shape,
+    split_group_order_limit,
     split_nested_query,
 )
 from tiflink_spark.store import KeyedParquetStore
@@ -723,7 +724,22 @@ class MVApp:
         # version-diff changelog (CascadeMV). Only taken when BOTH
         # levels route incrementally; a planner bail here is never
         # wrong, only slower (plain recompute below).
-        ns = split_nested_query(query)
+        # Top-group reporting shape — GROUP BY … ORDER BY agg LIMIT n —
+        # rewrites to the nested form so the cascade machinery maintains
+        # it (inner aggregate MV + outer global top-k over its delta).
+        nested_query = query
+        gol = split_group_order_limit(query)
+        if gol is not None:
+            body, tail = gol
+            try:
+                body_cols = [f.name for f in spark.sql(body).schema.fields]
+                nested_query = (
+                    f"SELECT {', '.join(body_cols)} FROM ( {body} ) __agg {tail}"
+                )
+            except Exception:
+                nested_query = query
+
+        ns = split_nested_query(nested_query)
         if ns is not None:
             import shutil
 

@@ -1465,6 +1465,42 @@ def split_nested_query(query: str) -> tuple[str, str, str] | None:
     return inner, name, f"{m.group('head')} {name}{rest}"
 
 
+_ORDER_TAIL_RE = re.compile(
+    rf"(?is)^ORDER\s+BY\s+{_IDENT}(?:\s+(?:ASC|DESC))?(?:\s*,\s*{_IDENT})*"
+    rf"\s+LIMIT\s+\d+\s*;?\s*$"
+)
+
+
+def split_group_order_limit(query: str) -> tuple[str, str] | None:
+    """Split ``<agg query with GROUP BY> ORDER BY o [dir][, keys] LIMIT
+    n`` into (body, order_limit_tail) — the top-group reporting shape
+    ("top 10 segments by revenue"). The caller rewrites it to the
+    nested form ``SELECT cols FROM ( body ) __agg <tail>`` so the
+    cascade route maintains it: inner aggregate MV + outer global
+    top-k over the aggregate's delta. Returns None when there is no
+    top-level ORDER BY + LIMIT tail or no GROUP BY body."""
+    depth = 0
+    idx = None
+    for i, ch in enumerate(query):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and query[i : i + 5].upper() == "ORDER":
+            if re.match(r"(?is)^ORDER\s+BY\b", query[i:]):
+                idx = i
+    if idx is None:
+        return None
+    body, tail = query[:idx].strip(), query[idx:].strip()
+    if _ORDER_TAIL_RE.match(tail) is None:
+        return None
+    if not re.search(r"(?is)\bGROUP\s+BY\b", body):
+        return None
+    if not re.match(r"(?is)^\s*SELECT\b", body):
+        return None
+    return body, tail.rstrip(";").strip()
+
+
 @dataclass(frozen=True)
 class DimJoin:
     """One dimension edge of the join tree: ``dim`` enters the joined

@@ -2872,3 +2872,69 @@ def mvapp_auto_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         return app.read().localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_group_order_limit",
+    f"""
+    WITH {_FINAL_ORDERS_SQL}
+    SELECT o_custkey, n_orders, round(total, 2) AS total_r FROM (
+        SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS total
+        FROM final_orders GROUP BY o_custkey
+        ORDER BY n_orders DESC, o_custkey LIMIT 10
+    )
+    """,
+    doc=(
+        "Top-groups reporting MV — GROUP BY … ORDER BY agg LIMIT n "
+        "('top 10 customers by order count') — internally rewritten to "
+        "the nested form and routed through CascadeMV: inner "
+        "IncrementalAggMV maintains the per-customer aggregate, outer "
+        "IncrementalGlobalTopKMV maintains the top-k over the inner's "
+        "version-diff changelog (rising-bound candidate merges; full "
+        "re-rank only when a current member's aggregate changes). The "
+        "ORDER BY ranks on the exact integer count (float aggregates "
+        "rank on incrementally-summed values, which can differ from a "
+        "batch sum in the last ulp) with the group key as the "
+        "deterministic tie-breaker. The fn raises unless both levels "
+        "routed incrementally."
+    ),
+    tags=("mv", "incremental", "planner", "cascade", "topk"),
+)
+def mvapp_auto_group_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_gol_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("ord_gol", t["orders"], pk=["o_orderkey"])
+            .query(
+                """SELECT o_custkey, count(*) AS n_orders,
+                          sum(o_totalprice) AS total
+                   FROM ord_gol GROUP BY o_custkey
+                   ORDER BY n_orders DESC, o_custkey LIMIT 10"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "CascadeMV":
+            raise AssertionError(
+                f"planner routed GROUP BY+ORDER BY+LIMIT to {app.maintenance_strategy}"
+            )
+        if app._mv.outer.maintenance_strategy != "IncrementalGlobalTopKMV":
+            raise AssertionError(
+                f"outer level is {app._mv.outer.maintenance_strategy}"
+            )
+        app.bootstrap()
+        for i, b in enumerate(scripted_batches(t["orders"]), start=1):
+            app.refresh({"ord_gol": b}, batch_id=i)
+        return (
+            app.read()
+            .select("o_custkey", "n_orders", F.round("total", 2).alias("total_r"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
