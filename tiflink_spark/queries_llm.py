@@ -1238,3 +1238,69 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "quality_decile_binning",
+    """
+    WITH w AS (
+        SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_words
+        FROM documents),
+    r AS (
+        SELECT doc_id, n_words,
+               row_number() OVER (ORDER BY n_words, doc_id) AS rn,
+               count(*) OVER () AS n_total
+        FROM w)
+    SELECT doc_id, n_words,
+           1 + CAST(floor(10 * (rn - 1) / n_total) AS BIGINT) AS decile
+    FROM r
+    """,
+    doc=(
+        "Curriculum/quality binning: exact corpus-wide deciles of the "
+        "per-document word count, computed WITHOUT a global "
+        "single-partition sort (the naive row_number() OVER (ORDER BY "
+        "…) is a scale-killer at 100 TB). Two-pass rank: (1) per-value "
+        "counts -> cumulative offsets via a window over the DISTINCT "
+        "value domain (bounded, tiny); (2) intra-value ranks "
+        "partitioned by the value (fully distributed). rank = offset + "
+        "intra-rank reproduces row_number() OVER (ORDER BY n_words, "
+        "doc_id) exactly — integer math end to end, so the DuckDB "
+        "oracle hash-matches bit for bit."
+    ),
+    tags=("llm", "text", "quality"),
+)
+def quality_decile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id", F.size(_words(F.col("text"))).cast("long").alias("n_words")
+    )
+    # Pass 1: cumulative row counts over the distinct word-count domain
+    # (bounded — document lengths, not documents). The single-partition
+    # window runs over that tiny table only.
+    counts = docs.groupBy("n_words").agg(F.count(F.lit(1)).alias("__c"))
+    wv = Window.orderBy("n_words").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "n_words",
+        F.coalesce(F.sum("__c").over(wv), F.lit(0)).alias("__offset"),
+    )
+    n_total = docs.agg(F.count(F.lit(1)).alias("__n"))
+    # Pass 2: intra-value rank partitioned by the value — distributed.
+    wi = Window.partitionBy("n_words").orderBy("doc_id")
+    return (
+        docs.join(F.broadcast(offsets), "n_words")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            "n_words",
+            (
+                1
+                + F.floor(
+                    10
+                    * (F.col("__offset") + F.row_number().over(wi) - 1)
+                    / F.col("__n")
+                )
+            ).alias("decile"),
+        )
+    )
