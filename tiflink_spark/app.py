@@ -818,10 +818,16 @@ class MVApp:
         it stands — the engine-side answer to the reference's
         coordinator visibility (txn table, GrpcService.java:40-160)."""
         target = getattr(self._mv, "target", None)
+        strategy = self.maintenance_strategy
+        if isinstance(self._mv, CascadeMV):
+            strategy = (
+                f"CascadeMV[{self._mv.inner.maintenance_strategy}"
+                f" -> {self._mv.outer.maintenance_strategy}]"
+            )
         return {
             "query": self.query,
             "maintenance_mode": self.maintenance_mode,
-            "maintenance_strategy": self.maintenance_strategy,
+            "maintenance_strategy": strategy,
             "mv_pk": list(self.mv_pk),
             "mv_columns": [f.name for f in self.mv_schema.fields],
             "ddl": self.ddl,

@@ -2938,3 +2938,182 @@ def mvapp_auto_group_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_semijoin_streaming",
+    f"""
+    WITH {_FINAL_SJ_SQL}
+    SELECT c_custkey, c_name FROM final_customer_sj c
+    WHERE EXISTS (SELECT 1 FROM final_orders_sj o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc=(
+        "END-TO-END streaming EXISTS MV: the two-sided churn script is "
+        "written as changelog directories, consumed by spark.readStream "
+        "file sources through MVApp.start_streaming, and applied via "
+        "writeStream.foreachBatch -> IncrementalSemiJoinMV.refresh — "
+        "the semi-join route through the reference's real streaming "
+        "lifecycle (TiFlinkApp.java:70-116), not just scripted refresh "
+        "calls. Membership flips arrive on both sides: customers lose "
+        "their last order through the order stream and regain one from "
+        "the insert batch, while the customer stream renames/deletes "
+        "the fact rows themselves."
+    ),
+    tags=("mv", "streaming", "planner", "semijoin"),
+)
+def mvapp_semijoin_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_sjstream_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("cust_sj", t["customer"], pk=["c_custkey"])
+            .source("ord_sj", t["orders"], pk=["o_orderkey"])
+            .query(
+                """SELECT c_custkey, c_name FROM cust_sj c WHERE EXISTS
+                   (SELECT 1 FROM ord_sj o WHERE o.o_custkey = c.c_custkey)"""
+            )
+            .target(os.path.join(work, "mv"))
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalSemiJoinMV":
+            raise AssertionError(
+                f"planner routed the existence filter to {app.maintenance_strategy}"
+            )
+        cust, ords = t["customer"], t["orders"]
+        b_ord = (
+            ords.filter(F.col("o_custkey") % 25 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .unionByName(
+                ords.filter(F.col("o_orderkey") % 100 == 0)
+                .withColumn("o_orderkey", F.col("o_orderkey") + BIG)
+                .withColumn(
+                    "o_custkey",
+                    F.when(F.col("o_orderkey") % 200 == 0, F.lit(25)).otherwise(
+                        F.lit(50)
+                    ),
+                )
+                .withColumn(OP_COL, F.lit(OP_INSERT))
+            )
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        b_cust = (
+            cust.filter(F.col("c_custkey") % 10 == 4)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .unionByName(
+                cust.filter(F.col("c_custkey") % 10 == 3)
+                .withColumn("c_name", F.concat(F.col("c_name"), F.lit("_X")))
+                .withColumn(OP_COL, F.lit(OP_UPDATE))
+            )
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        dirs = {}
+        for name, b in (("ord_sj", b_ord), ("cust_sj", b_cust)):
+            d = os.path.join(work, f"chlog_{name}")
+            b.coalesce(1).write.mode("overwrite").parquet(d)
+            dirs[name] = d
+        app.bootstrap()
+        app.start_streaming(dirs, checkpoint_dir=os.path.join(work, "ckpt"))
+        return app.read().select("c_custkey", "c_name").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_join_top_groups",
+    """
+    WITH final_orders_jt AS (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    final_customer_jt AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 5 = 0 THEN (c_nationkey + 3) % 25
+                    ELSE c_nationkey END AS c_nationkey
+        FROM customer
+    )
+    SELECT n_name, n_orders, total_r FROM (
+        SELECT n.n_name, count(*) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS total_r
+        FROM final_orders_jt o
+          JOIN final_customer_jt c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        ORDER BY n_orders DESC, n_name LIMIT 5
+    )
+    """,
+    doc=(
+        "The classic dashboard MV — top 5 nations by order count over a "
+        "snowflake join — auto-routed to CascadeMV[IncrementalJoinAggMV "
+        "-> IncrementalGlobalTopKMV]: the GROUP BY + ORDER BY agg LIMIT "
+        "rewrite composes with the join-tree matcher, so the inner "
+        "level maintains the joined aggregate by dirty-join-key "
+        "re-derivation and the outer level maintains the top-k over the "
+        "aggregate's version-diff changelog. Ranking is on the exact "
+        "integer count with the group key tie-break; the float revenue "
+        "rides along (rounded for the cross-engine hash). Churn: fact "
+        "deletes + dim group-moves that reshuffle the ranking. The fn "
+        "raises unless both levels routed incrementally."
+    ),
+    tags=("mv", "incremental", "planner", "cascade", "join", "topk"),
+)
+def mvapp_auto_join_top_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_jtg_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("ord_jt", t["orders"], pk=["o_orderkey"])
+            .source("cust_jt", t["customer"], pk=["c_custkey"])
+            .source("nat_jt", t["nation"], pk=["n_nationkey"])
+            .query(
+                """SELECT n.n_name, count(*) AS n_orders,
+                          sum(o.o_totalprice) AS total
+                   FROM ord_jt o
+                     JOIN cust_jt c ON o.o_custkey = c.c_custkey
+                     JOIN nat_jt n ON c.c_nationkey = n.n_nationkey
+                   GROUP BY n.n_name
+                   ORDER BY n_orders DESC, n_name LIMIT 5"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "CascadeMV":
+            raise AssertionError(
+                f"planner routed the top-groups join to {app.maintenance_strategy}"
+            )
+        inner = app._mv.inner.maintenance_strategy
+        outer = app._mv.outer.maintenance_strategy
+        if inner != "IncrementalJoinAggMV" or outer != "IncrementalGlobalTopKMV":
+            raise AssertionError(f"cascade levels: {inner} -> {outer}")
+        app.bootstrap()
+        b1 = (
+            t["orders"].filter(F.col("o_orderkey") % 3 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        b2 = (
+            t["customer"].filter(F.col("c_custkey") % 5 == 0)
+            .withColumn("c_nationkey", (F.col("c_nationkey") + 3) % 25)
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"ord_jt": b1}, batch_id=1)
+        app.refresh({"cust_jt": b2}, batch_id=2)
+        return (
+            app.read()
+            .select("n_name", "n_orders", F.round("total", 2).alias("total_r"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
