@@ -116,13 +116,15 @@ def test_planner_routes_agg_shape_to_incremental(spark, tmp_path):
 def test_planner_falls_back_on_complex_shapes(spark, tmp_path):
     """Unsupported aggregates / subqueries keep the explicit recompute
     mode (plain aggregate-call HAVING now routes incrementally via
-    hidden measures — see test_match_agg_shape_having)."""
+    hidden measures — see test_match_agg_shape_having; median joined
+    the measure catalog in round 3, so mode() is the unsupported
+    stand-in here)."""
     app = (
         MVApp.builder(spark)
         .source("orders_f", f"{SF_DIR}/orders.parquet", pk=["o_orderkey"])
         .query(
             "SELECT o_orderpriority, count(*) AS n FROM orders_f "
-            "GROUP BY o_orderpriority HAVING median(o_totalprice) > 3"
+            "GROUP BY o_orderpriority HAVING mode(o_totalprice) > 3"
         )
         .target(str(tmp_path / "mv_fallback"))
         .num_buckets(4)
@@ -1762,3 +1764,37 @@ def test_group_order_limit_routes_and_converges(spark, tmp_path):
     )
     app.refresh({"f_gol": b1}, batch_id=1)
     assert {(r.cust, r.n) for r in app.read().collect()} == {(4, 6), (1, 4), (2, 4)}
+
+
+def test_median_measure_routes_and_converges(spark, tmp_path):
+    from tiflink_spark.planner import match_agg_shape
+
+    s = match_agg_shape(
+        "SELECT g, median(v) AS med FROM t GROUP BY g",
+        {"t"},
+        {"t": ["k", "g", "v"]},
+    )
+    assert s is not None and s.measures[0].kind == "median"
+
+    fact = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "a", 9.0), (4, "b", 5.0)],
+        "k int, g string, v double",
+    )
+    app = (
+        MVApp.builder(spark)
+        .source("f_med", fact, pk=["k"])
+        .query("SELECT g, median(v) AS med FROM f_med GROUP BY g")
+        .target(str(tmp_path / "med"))
+        .num_buckets(2)
+        .build()
+    )
+    assert app.maintenance_strategy == "IncrementalAggMV"
+    app.bootstrap()
+    assert {(r.g, r.med) for r in app.read().collect()} == {("a", 2.0), ("b", 5.0)}
+    # delete the middle value -> interpolated median; group b vanishes
+    b1 = spark.createDataFrame(
+        [(2, "a", 2.0, "-D", 0), (4, "b", 5.0, "-D", 1)],
+        "k int, g string, v double, __op string, __seq long",
+    )
+    app.refresh({"f_med": b1}, batch_id=1)
+    assert {(r.g, r.med) for r in app.read().collect()} == {("a", 5.0)}

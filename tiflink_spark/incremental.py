@@ -43,7 +43,7 @@ INVERTIBLE = ("count", "sum", "avg")
 # (often ~ table size). Dirty-group recompute needs no extra state and
 # its shuffle is pruned to touched groups; at 100 TB that trade is right
 # unless a group's row volume is pathological (same caveat as MIN/MAX).
-NON_INVERTIBLE = ("min", "max", "count_distinct", "stddev_samp", "var_samp")
+NON_INVERTIBLE = ("min", "max", "count_distinct", "stddev_samp", "var_samp", "median")
 # stddev/variance COULD merge invertibly via (n, sum, sum-of-squares)
 # delta arithmetic, but catastrophic cancellation under heavy retraction
 # makes the running sumsq numerically unsafe; dirty-group recompute uses
@@ -129,6 +129,11 @@ def _state_aggs(measures: list[Measure]) -> list:
             aggs.append(F.stddev_samp(_mexpr(m)).alias(f"__ext_{m.alias}"))
         if m.kind == "var_samp":
             aggs.append(F.var_samp(_mexpr(m)).alias(f"__ext_{m.alias}"))
+        if m.kind == "median":
+            # exact interpolated median (percentile 0.5) — order-based,
+            # so the only scale-safe maintenance is dirty-group
+            # recompute, same as MIN/MAX
+            aggs.append(F.median(_mexpr(m)).alias(f"__ext_{m.alias}"))
     return aggs
 
 

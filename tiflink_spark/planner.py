@@ -78,7 +78,7 @@ _SQL_KEYWORDS = frozenset(
 # the predicate at different times, so rand()/now()-style predicates
 # would diverge from batch semantics.
 _NON_LOCAL_WHERE = re.compile(
-    r"\(\s*SELECT\b|\b(?:count|sum|avg|min|max|stddev_samp|stddev|var_samp|variance)\s*\("
+    r"\(\s*SELECT\b|\b(?:count|sum|avg|min|max|stddev_samp|stddev|var_samp|variance|median)\s*\("
     r"|\b(?:rand|randn|random|uuid|shuffle|now|current_timestamp|"
     r"current_date|current_time|localtimestamp|unix_timestamp|"
     r"monotonically_increasing_id|spark_partition_id|input_file_name)(?:\s*\(|\b)",
@@ -86,7 +86,7 @@ _NON_LOCAL_WHERE = re.compile(
 )
 
 _AGG_RE = re.compile(
-    rf"^(?P<kind>count|sum|avg|min|max|stddev_samp|stddev|var_samp|variance)\s*\(\s*"
+    rf"^(?P<kind>count|sum|avg|min|max|stddev_samp|stddev|var_samp|variance|median)\s*\(\s*"
     rf"(?P<arg>.+?)\s*\)\s+AS\s+(?P<alias>{_IDENT})\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -99,7 +99,7 @@ _AGG_RE = re.compile(
 # argument machinery maintains unchanged. NULL-when-no-qualifying-row
 # semantics of SUM/AVG/MIN/MAX FILTER fall out of the CASE form's NULLs.
 _FILTER_AGG_RE = re.compile(
-    rf"^(?P<kind>count|sum|avg|min|max|stddev_samp|stddev|var_samp|variance)\s*\(\s*"
+    rf"^(?P<kind>count|sum|avg|min|max|stddev_samp|stddev|var_samp|variance|median)\s*\(\s*"
     rf"(?P<arg>.+?)\s*\)\s*FILTER\s*\(\s*WHERE\s+(?P<pred>.+?)\s*\)\s+"
     rf"AS\s+(?P<alias>{_IDENT})\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -214,7 +214,7 @@ def _parse_measures(
 
 
 _AGG_CALL_RE = re.compile(
-    r"(?i)\b(?P<kind>count|sum|avg|min|max|stddev_samp|stddev|var_samp|variance)"
+    r"(?i)\b(?P<kind>count|sum|avg|min|max|stddev_samp|stddev|var_samp|variance|median)"
     r"\s*\((?P<arg>(?:[^()]|\([^()]*\))*)\)"
     # optional SQL:2003 FILTER clause — the whole call (incl. filter)
     # parses through _parse_measures' CASE rewrite

@@ -3117,3 +3117,67 @@ def mvapp_auto_join_top_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_median",
+    f"""
+    WITH {_FINAL_ORDERS_SQL}
+    SELECT o_custkey, n_orders,
+           CAST(floor(med * 100) AS BIGINT) AS median_cents
+    FROM (SELECT o_custkey, count(*) AS n_orders,
+                 median(o_totalprice) AS med
+          FROM final_orders GROUP BY o_custkey) m
+    """,
+    doc=(
+        "Per-group MEDIAN MV: median joins the measure catalog as a "
+        "non-invertible aggregate — order-based, so no per-row delta "
+        "exists and the scale-safe maintenance is dirty-group recompute "
+        "against the fact store (exactly the MIN/MAX path; Flink's "
+        "update-mode planner cannot maintain exact percentiles at all). "
+        "The canonical 3-batch script churns group membership; only "
+        "touched customers re-sort. The fn raises unless routed "
+        "incrementally."
+    ),
+    tags=("mv", "incremental", "planner", "agg"),
+)
+def mvapp_auto_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_med_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("ord_med", t["orders"], pk=["o_orderkey"])
+            .query(
+                """SELECT o_custkey, count(*) AS n_orders,
+                          median(o_totalprice) AS med
+                   FROM ord_med GROUP BY o_custkey"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalAggMV":
+            raise AssertionError(
+                f"planner routed the median aggregate to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        for i, b in enumerate(scripted_batches(t["orders"]), start=1):
+            app.refresh({"ord_med": b}, batch_id=i)
+        return (
+            app.read()
+            .select(
+                "o_custkey",
+                "n_orders",
+                # floor-in-cents instead of round: ROUND on raw doubles
+                # diverges across engines at .xx5 boundaries, floor of
+                # the identical IEEE product does not
+                F.floor(F.col("med") * 100).alias("median_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
