@@ -1798,3 +1798,48 @@ def test_median_measure_routes_and_converges(spark, tmp_path):
     )
     app.refresh({"f_med": b1}, batch_id=1)
     assert {(r.g, r.med) for r in app.read().collect()} == {("a", 5.0)}
+
+
+def test_review_hardening_probes():
+    """Round-3 review fixes pinned: OR-precedence in the semi-join
+    conjunct, string literals in the nested/paren scanners."""
+    from tiflink_spark.planner import (
+        match_semijoin_shape,
+        split_group_order_limit,
+        split_nested_query,
+    )
+
+    names = {"customer", "orders"}
+    cols = {
+        "customer": ["c_custkey", "flag_a", "flag_b"],
+        "orders": ["o_orderkey", "o_custkey"],
+    }
+    # 'a OR b AND EXISTS' means 'a OR (b AND EXISTS)' — splitting the
+    # conjunct would change the view, so the shape must not match...
+    assert (
+        match_semijoin_shape(
+            "SELECT c_custkey FROM customer c WHERE flag_a OR flag_b AND EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+            names,
+            cols,
+        )
+        is None
+    )
+    # ...while the parenthesized spelling is a true conjunct and does.
+    s = match_semijoin_shape(
+        "SELECT c_custkey FROM customer c WHERE (flag_a OR flag_b) AND EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+        names,
+        cols,
+    )
+    assert s is not None and s.where == "(flag_a OR flag_b)"
+    # a quoted ')' inside the derived table must not truncate it
+    r = split_nested_query("SELECT a FROM (SELECT a FROM t WHERE note = ':-)') d")
+    assert r is not None and r[0] == "SELECT a FROM t WHERE note = ':-)'"
+    # ORDER BY inside a string literal is not a top-level tail
+    assert (
+        split_group_order_limit(
+            "SELECT k, count(*) AS n FROM t WHERE s = 'ORDER BY x LIMIT 1' GROUP BY k"
+        )
+        is None
+    )

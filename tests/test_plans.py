@@ -190,7 +190,13 @@ def test_decile_binning_avoids_global_sort_of_docs(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan  # offsets join
-    # the doc-level window is partitioned (grep its partition spec)
-    assert "windowspecdefinition(n_words" in plan.replace(" ", "").lower() or (
-        "partitionBy" not in plan
-    )
+    # The doc-level row_number window must be PARTITIONED by n_words —
+    # its spec lists the partition column then the doc_id sort column.
+    norm = plan.replace(" ", "").lower()
+    assert re.search(r"windowspecdefinition\(n_words#\d+l?,doc_id#", norm), plan[:3000]
+    # And every Window node in the plan with doc_id in its sort spec
+    # must carry that partition column (no global sort over documents).
+    for wm in re.finditer(r"windowspecdefinition\(([^)]*)\)", norm):
+        spec = wm.group(1)
+        if "doc_id#" in spec:
+            assert spec.startswith("n_words#"), spec

@@ -741,8 +741,6 @@ class MVApp:
 
         ns = split_nested_query(nested_query)
         if ns is not None:
-            import shutil
-
             inner_sql, alias, outer_sql = ns
             inner_dir = os.path.join(target, "inner")
             inner_app = MVApp(
@@ -778,10 +776,17 @@ class MVApp:
                 self._mv = CascadeMV(inner_app, outer_app, alias)
                 self._stores = dict(inner_app._stores)
                 return
-            # a level fell back → abandon the probe dirs (a recompute
-            # inner may have bootstrapped source stores already)
-            shutil.rmtree(inner_dir, ignore_errors=True)
-            shutil.rmtree(os.path.join(target, "outer"), ignore_errors=True)
+            # A level fell back: remove the probe's directory skeletons,
+            # but ONLY if they hold no data — a rebuild of a previously
+            # committed cascade target whose planning now falls back
+            # must never destroy committed MV state.
+            for d in (inner_dir, os.path.join(target, "outer")):
+                if os.path.isdir(d) and not any(
+                    files for _, _, files in os.walk(d)
+                ):
+                    import shutil
+
+                    shutil.rmtree(d, ignore_errors=True)
 
         self.maintenance_mode = "recompute"
         self._fact_name = self._dim_name = self._change_filter = self._join_names = None

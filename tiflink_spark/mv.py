@@ -376,14 +376,17 @@ class IncrementalSemiJoinMV:
             spark, os.path.join(work_dir, "mv"), list(fact_pk), num_buckets
         )
 
-    def _member_rows(self, rows: DataFrame, other_now: DataFrame) -> DataFrame:
-        """``rows`` with a ``__member`` flag: True iff the row belongs
-        to the view under the current ``other`` key set."""
-        keys = (
+    def _other_keys(self, other_now: DataFrame) -> DataFrame:
+        """The current presence-key set (distinct, non-null)."""
+        return (
             other_now.select(F.col(self.other_key).alias("__ok"))
             .where(F.col("__ok").isNotNull())
             .distinct()
         )
+
+    def _member_rows(self, rows: DataFrame, keys: DataFrame) -> DataFrame:
+        """``rows`` with a ``__member`` flag: True iff the row belongs
+        to the view under the given presence-key set."""
         flagged = rows.join(keys, rows[self.fact_key] == keys["__ok"], "left")
         present = F.col("__ok").isNotNull()
         member = ~present if self.anti else present
@@ -391,11 +394,7 @@ class IncrementalSemiJoinMV:
 
     def _view(self, fact_rows: DataFrame, other_now: DataFrame) -> DataFrame:
         how = "left_anti" if self.anti else "left_semi"
-        keys = (
-            other_now.select(F.col(self.other_key).alias("__ok"))
-            .where(F.col("__ok").isNotNull())
-            .distinct()
-        )
+        keys = self._other_keys(other_now)
         return fact_rows.join(
             keys, fact_rows[self.fact_key] == keys["__ok"], how
         ).select(*self.out_cols)
@@ -451,11 +450,13 @@ class IncrementalSemiJoinMV:
             self.fact_store.merge(fact_changes, batch_id)
         if other_changes is not None:
             self.other_store.merge(other_changes, batch_id)
-        other_now = self.other_store.read()
+        # One distinct key-set build shared by every membership probe in
+        # this batch (a two-sided batch probes twice).
+        other_keys = self._other_keys(self.other_store.read())
 
         def upserts(rows: DataFrame) -> DataFrame:
             """Changed fact rows → +U when in the view, -D when not."""
-            flagged = self._member_rows(rows, other_now)
+            flagged = self._member_rows(rows, other_keys)
             return flagged.select(
                 *self.out_cols,
                 F.when(F.col("__member"), F.lit(OP_UPDATE))

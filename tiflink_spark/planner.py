@@ -685,10 +685,10 @@ _WIN_PEER_FNS = frozenset("rank dense_rank percent_rank cume_dist sum count avg 
 _WIN_ROW_FNS = frozenset("row_number lag lead first_value last_value ntile".split())
 
 _WIN_ITEM_RE = re.compile(
-    rf"^(?P<fn>{_IDENT})\s*\(\s*(?P<args>(?:[^()]*))\s*\)\s+OVER\s*\(\s*"
+    rf"^(?P<expr>(?P<fn>{_IDENT})\s*\(\s*(?P<args>(?:[^()]*))\s*\)\s+OVER\s*\(\s*"
     rf"PARTITION\s+BY\s+(?P<g>{_IDENT})\s+"
     rf"ORDER\s+BY\s+(?P<o>{_IDENT})(?:\s+(?P<dir>ASC|DESC))?"
-    rf"(?P<tie>(?:\s*,\s*{_IDENT})*)\s*\)\s+AS\s+(?P<alias>{_IDENT})$",
+    rf"(?P<tie>(?:\s*,\s*{_IDENT})*)\s*\))\s+AS\s+(?P<alias>{_IDENT})$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -770,7 +770,7 @@ def match_window_shape(
         alias = wm.group("alias")
         if alias.lower() in cols:
             return None  # alias shadowing a stored column is ambiguous
-        wins.append((alias, item[: item.upper().rfind(" AS ")].strip()))
+        wins.append((alias, wm.group("expr").strip()))
         out.append(alias)
     if not wins or group_key is None:
         return None
@@ -1226,8 +1226,25 @@ def match_semijoin_shape(
         # terms inside it would have been consumed by the main regex
         if _NON_LOCAL_WHERE.search(pre) or not _row_local_expr_ok(pre, set(fcols)):
             return None
+        # A top-level OR breaks the split: 'a OR b AND EXISTS(...)'
+        # parses as 'a OR (b AND EXISTS)', not '(a OR b) AND EXISTS' —
+        # treating pre as an independent conjunct would silently change
+        # the view. Parenthesized ORs are fine ('(a OR b) AND EXISTS').
+        if _has_top_level_or(pre):
+            return None
         pre = pre.strip()
     return SemiJoinShape(fact, fact_key, other, other_key, sel, anti, pre)
+
+
+def _has_top_level_or(expr: str) -> bool:
+    """True when ``expr`` contains an OR outside parentheses/strings."""
+    bare = re.sub(r"'[^']*'", " ", expr)
+    while True:
+        reduced = re.sub(r"\([^()]*\)", " ", bare)
+        if reduced == bare:
+            break
+        bare = reduced
+    return re.search(r"(?i)\bor\b", bare) is not None
 
 
 @dataclass(frozen=True)
@@ -1438,11 +1455,20 @@ def split_nested_query(query: str) -> tuple[str, str, str] | None:
         return None
     i = m.end() - 1  # the '('
     depth = 0
+    in_str = False
     j = i
     for j in range(i, len(query)):
-        if query[j] == "(":
+        ch = query[j]
+        if in_str:
+            # '' is SQL's escaped quote; it toggles twice, netting out
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
             depth += 1
-        elif query[j] == ")":
+        elif ch == ")":
             depth -= 1
             if depth == 0:
                 break
@@ -1480,9 +1506,16 @@ def split_group_order_limit(query: str) -> tuple[str, str] | None:
     top-k over the aggregate's delta. Returns None when there is no
     top-level ORDER BY + LIMIT tail or no GROUP BY body."""
     depth = 0
+    in_str = False
     idx = None
     for i, ch in enumerate(query):
-        if ch == "(":
+        if in_str:
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
