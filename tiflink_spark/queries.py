@@ -1219,18 +1219,29 @@ _PRIORITY = [
     "mv_multikey_incremental",
     "mv_cascade",
     "mvapp_auto_incremental",
-    "mvapp_auto_filtered",
-    "mvapp_auto_having",
+    # one gate per NEW round-3 maintenance class inside the window
+    # (semi/anti join, OVER-window, nested cascade); their sibling
+    # variants (filtered/having/deep-chain) follow just past it
+    "mvapp_auto_semijoin",
+    "mvapp_auto_window",
     "mvapp_auto_join_agg",
     "mvapp_auto_star_agg",
-    "mvapp_auto_deep_chain",
-    "mvapp_auto_distinct",
-    "mvapp_auto_left_join_agg",
-    "mvapp_auto_topn",
+    "mvapp_auto_cascade",
     # past 50: gates a strictly 50-count-capped driver window would
     # drop — every one is oracle-green locally and pytest-covered;
     # mvapp_auto_join's engine class is proven in-window by
     # mv_join_incremental
+    "mvapp_auto_filtered",
+    "mvapp_auto_having",
+    "mvapp_auto_deep_chain",
+    "mvapp_auto_distinct",
+    "mvapp_auto_left_join_agg",
+    "mvapp_auto_topn",
+    "mvapp_auto_antijoin",
+    "mvapp_auto_median",
+    "mvapp_auto_group_order_limit",
+    "mvapp_auto_join_top_groups",
+    "mvapp_semijoin_streaming",
     "mvapp_auto_corr_sum",
     "mvapp_auto_time_rollup",
     "mvapp_auto_filter_agg",
