@@ -69,6 +69,24 @@ class TestJoinAggMatcher:
         assert s.where == "o_totalprice > 100"
         assert "o_totalprice" in s.fact_cols
 
+    def test_where_string_literal_and_function(self):
+        # String literals must not register as unknown identifiers, and
+        # function calls are admitted by their call syntax — the TPC-H
+        # Q3/Q5 dim-selection pattern (WHERE c_mktsegment = 'BUILDING').
+        cols = {**COLS, "customer": COLS["customer"] + ["c_mktsegment"]}
+        s = match_join_agg_shape(
+            """SELECT c_nationkey, sum(o_totalprice) AS s
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+               WHERE c.c_mktsegment = 'BUILDING' AND substr(c.c_name, 1, 3) <> 'xyz'
+               GROUP BY c_nationkey""",
+            set(cols),
+            cols,
+            PKS,
+        )
+        assert s is not None
+        assert "c_mktsegment = 'BUILDING'" in s.where
+        assert "c_mktsegment" in s.dims[0].dim_cols
+
     @pytest.mark.parametrize(
         "query",
         [

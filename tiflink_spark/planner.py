@@ -1819,8 +1819,7 @@ def match_join_agg_shape(
         where = dequalify(where)
         if where is None:
             return None
-        idents = set(re.findall(_IDENT, where))
-        if any(i.lower() not in allowed | _EXPR_KEYWORDS for i in idents):
+        if not _row_local_expr_ok(where, allowed):
             return None
         where = where.strip()
 

@@ -1241,6 +1241,7 @@ _PRIORITY = [
     "mvapp_auto_median",
     "mvapp_auto_group_order_limit",
     "mvapp_auto_join_top_groups",
+    "mvapp_auto_dim_where",
     "mvapp_semijoin_streaming",
     "mvapp_auto_corr_sum",
     "mvapp_auto_time_rollup",

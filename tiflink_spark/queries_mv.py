@@ -3181,3 +3181,99 @@ def mvapp_auto_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_dim_where",
+    f"""
+    WITH {_FINAL_ORDERS_SQL},
+    final_customer_dw AS (
+        SELECT c_custkey, c_nationkey,
+               CASE WHEN c_custkey % 10 = 3
+                    THEN (CASE WHEN c_mktsegment = 'BUILDING'
+                               THEN 'AUTOMOBILE' ELSE 'BUILDING' END)
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer WHERE c_custkey % 10 <> 4
+    )
+    SELECT c_nationkey,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM final_orders o JOIN final_customer_dw c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_totalprice > 1000
+    GROUP BY c_nationkey
+    """,
+    doc=(
+        "Join-aggregate with a row-local WHERE spanning BOTH sides of "
+        "the join — a dim-attribute literal predicate (c_mktsegment = "
+        "'BUILDING', the TPC-H Q3/Q5 selection pattern) AND a fact "
+        "measure bound — auto-routed to IncrementalJoinAggMV. The WHERE "
+        "filters the joined relation J (SQL's post-join semantics), so "
+        "dim churn that flips a customer's segment across the predicate "
+        "boundary retracts or admits every order of that customer. The "
+        "fn raises unless routed incrementally; a green row proves the "
+        "planner admits string literals and dim columns in join-agg "
+        "WHERE clauses and that predicate-boundary dim churn converges."
+    ),
+    tags=("mv", "incremental", "planner", "join"),
+)
+def mvapp_auto_dim_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_dw_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("orders_dw", t["orders"], pk=["o_orderkey"])
+            .source("customer_dw", t["customer"], pk=["c_custkey"])
+            .query(
+                """SELECT c.c_nationkey, count(*) AS n_orders,
+                          sum(o.o_totalprice) AS total_price_raw
+                   FROM orders_dw o JOIN customer_dw c
+                     ON o.o_custkey = c.c_custkey
+                   WHERE c.c_mktsegment = 'BUILDING' AND o.o_totalprice > 1000
+                   GROUP BY c.c_nationkey"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalJoinAggMV":
+            raise AssertionError(
+                f"planner routed dim-WHERE join+agg to {app.maintenance_strategy}, "
+                "not IncrementalJoinAggMV"
+            )
+        app.bootstrap()
+        cust = t["customer"]
+        dim_batch = (
+            cust.filter(F.col("c_custkey") % 10 == 3)
+            .withColumn(
+                "c_mktsegment",
+                F.when(F.col("c_mktsegment") == "BUILDING", "AUTOMOBILE")
+                .otherwise("BUILDING"),
+            )
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .unionByName(
+                cust.filter(F.col("c_custkey") % 10 == 4).withColumn(
+                    OP_COL, F.lit(OP_DELETE)
+                )
+            )
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        batches = scripted_batches(t["orders"])
+        app.refresh({"orders_dw": batches[0]}, batch_id=1)
+        app.refresh({"customer_dw": dim_batch}, batch_id=2)
+        app.refresh({"orders_dw": batches[1]}, batch_id=3)
+        app.refresh({"orders_dw": batches[2]}, batch_id=4)
+        return (
+            app.read()
+            .select(
+                "c_nationkey",
+                "n_orders",
+                F.round("total_price_raw", 2).alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
