@@ -729,6 +729,16 @@ def test_match_setop_shape_matcher():
         "SELECT v FROM a EXCEPT SELECT bv FROM b", {"a", "b"}, cols, pks
     )
     assert s2 is not None and s2.op == "except"
+    s3 = match_setop_shape(
+        "SELECT v FROM a UNION SELECT bv FROM b", {"a", "b"}, cols, pks
+    )
+    assert s3 is not None and s3.op == "union"
+    assert (
+        match_setop_shape(
+            "SELECT v FROM a UNION ALL SELECT bv FROM b", {"a", "b"}, cols, pks
+        )
+        is None
+    )
     # ALL variants, missing pk, width mismatch, 3-branch all reject
     assert (
         match_setop_shape(
@@ -773,7 +783,7 @@ def test_planner_routes_setops_to_incremental(spark, tmp_path):
         .select("o_orderkey", "o_custkey")
     )
     apps = {}
-    for op in ("INTERSECT", "EXCEPT"):
+    for op in ("INTERSECT", "EXCEPT", "UNION"):
         app = (
             MVApp.builder(spark)
             .source(f"east_{op}", east, pk=["o_orderkey"])
@@ -808,11 +818,13 @@ def test_planner_routes_setops_to_incremental(spark, tmp_path):
         app.refresh({f"east_{op}": e_del}, batch_id=2)
         a = final_east.select("o_custkey")
         b = final_west.select("o_custkey")
-        exp = a.intersect(b) if op == "INTERSECT" else a.exceptAll(b.distinct()).distinct()
-        want = {r.o_custkey for r in exp.collect()}
-        # EXCEPT set semantics: distinct(a) - b
-        if op == "EXCEPT":
+        if op == "INTERSECT":
+            want = {r.o_custkey for r in a.intersect(b).collect()}
+        elif op == "EXCEPT":
+            # EXCEPT set semantics: distinct(a) - b
             want = {r.o_custkey for r in a.distinct().subtract(b.distinct()).collect()}
+        else:  # UNION set semantics: distinct(a ∪ b)
+            want = {r.o_custkey for r in a.union(b).distinct().collect()}
         got = {r.o_custkey for r in app.read().collect()}
         assert got == want, op
 

@@ -1,0 +1,266 @@
+"""The stateless projection route and the query-normalization pass.
+
+The projection/filter view is Flink's stateless Calc node — the
+simplest shape the reference maintains by delegation
+(TiFlinkApp.java:270). These tests pin the matcher's accept/reject
+envelope, prove IncrementalProjectionMV converges to the batch answer
+under churn that crosses the filter boundary (with replay idempotence),
+and pin the semantics-preserving rewrites in planner.normalize_query
+(CTE inlining, GROUP BY ordinals, RIGHT→LEFT join, bare ORDER BY).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiflink_spark.changelog import OP_COL, OP_DELETE, OP_INSERT, OP_UPDATE, SEQ_COL
+from tiflink_spark.planner import (
+    match_projection_shape,
+    normalize_query,
+)
+
+COLS = {"orders": ["o_orderkey", "o_custkey", "o_totalprice", "o_status"]}
+PKS = {"orders": ["o_orderkey"]}
+
+
+class TestProjectionMatcher:
+    def test_star_and_where(self):
+        s = match_projection_shape(
+            "SELECT * FROM orders WHERE o_totalprice > 100",
+            set(COLS), COLS, PKS,
+        )
+        assert s is not None
+        assert [o for o, _ in s.items] == COLS["orders"]
+        assert s.pk_out == ("o_orderkey",)
+        assert s.where == "o_totalprice > 100"
+
+    def test_expressions_and_renamed_pk(self):
+        s = match_projection_shape(
+            """SELECT o.o_orderkey AS id, upper(o.o_status) AS st,
+                      o_totalprice * 1.1 AS gross
+               FROM orders o""",
+            set(COLS), COLS, PKS,
+        )
+        assert s is not None
+        assert s.pk_out == ("id",)
+        assert dict(s.items)["st"] == "upper(o_status)"
+
+    @pytest.mark.parametrize(
+        "query",
+        [
+            "SELECT DISTINCT o_custkey FROM orders",
+            "SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey",
+            "SELECT o_custkey FROM orders",  # PK not selected
+            "SELECT rank() OVER (ORDER BY o_totalprice) AS r, o_orderkey FROM orders",
+            "SELECT o_orderkey FROM orders WHERE rand() < 0.5",
+            "SELECT o_orderkey FROM orders ORDER BY o_totalprice LIMIT 5",
+            "SELECT o_orderkey, nope FROM orders",
+            "SELECT o_orderkey AS a, o_custkey AS a FROM orders",  # dup out
+            "SELECT max(o_totalprice) AS m, o_orderkey FROM orders",
+            "SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT 1)",
+        ],
+    )
+    def test_rejects(self, query):
+        assert match_projection_shape(query, set(COLS), COLS, PKS) is None
+
+
+class TestNormalizeQuery:
+    def test_strip_bare_order_by(self):
+        q = "SELECT a, count(*) AS n FROM t GROUP BY a ORDER BY n DESC"
+        assert normalize_query(q).rstrip() == "SELECT a, count(*) AS n FROM t GROUP BY a"
+
+    def test_order_by_with_limit_kept(self):
+        q = "SELECT a FROM t ORDER BY a LIMIT 5"
+        assert normalize_query(q) == q
+
+    def test_nested_order_by_untouched(self):
+        q = "SELECT a, (SELECT max(x) FROM u ORDER BY x) AS m FROM t"
+        assert normalize_query(q) == q
+
+    def test_order_by_in_string_untouched(self):
+        q = "SELECT a FROM t WHERE b = 'ORDER BY x'"
+        assert normalize_query(q) == q
+
+    def test_groupby_ordinals(self):
+        q = "SELECT coalesce(a, 'X') AS k, b, count(*) AS n FROM t GROUP BY 1, 2"
+        assert "GROUP BY k, b" in normalize_query(q)
+
+    def test_rollup_ordinals_untouched(self):
+        q = "SELECT a, count(*) AS n FROM t GROUP BY ROLLUP(a)"
+        assert normalize_query(q) == q
+
+    def test_right_join_swap(self):
+        q = ("SELECT o.o_orderkey, c.c_name FROM customer c "
+             "RIGHT JOIN orders o ON o.o_custkey = c.c_custkey "
+             "WHERE c.c_name IS NOT NULL")
+        n = normalize_query(q)
+        assert "LEFT JOIN customer c" in n and "FROM orders o" in n
+        assert n.endswith("WHERE c.c_name IS NOT NULL")
+
+    def test_single_cte_inlined(self):
+        q = ("WITH big AS (SELECT * FROM orders WHERE o_totalprice > 100) "
+             "SELECT o_custkey, count(*) AS n FROM big GROUP BY o_custkey")
+        n = normalize_query(q)
+        assert n.startswith("SELECT o_custkey")
+        assert "FROM ( SELECT * FROM orders WHERE o_totalprice > 100 ) big" in n
+
+    def test_cte_list_untouched(self):
+        q = ("WITH a AS (SELECT 1 AS x), b AS (SELECT 2 AS y) "
+             "SELECT x FROM a")
+        assert normalize_query(q) == q
+
+    def test_cte_joined_untouched(self):
+        q = ("WITH a AS (SELECT * FROM t) "
+             "SELECT * FROM a JOIN u ON a.k = u.k")
+        assert normalize_query(q) == q
+
+
+def _batch(spark, rows, op_col=True):
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, o_status string, __op string"
+    )
+    return df.withColumn(SEQ_COL, F.monotonically_increasing_id())
+
+
+class TestProjectionConvergence:
+    def test_filter_boundary_churn_with_replay(self, spark, tmp_path):
+        from tiflink_spark.app import MVApp
+
+        rng = random.Random(7)
+        state = {
+            k: (k % 5 + 1, float(rng.randrange(50, 300)), rng.choice("OFP"))
+            for k in range(40)
+        }
+        fact = spark.createDataFrame(
+            [(k, c, p, s) for k, (c, p, s) in state.items()],
+            "o_orderkey long, o_custkey long, o_totalprice double, o_status string",
+        )
+        app = (
+            MVApp.builder(spark)
+            .source("orders_pj", fact, pk=["o_orderkey"])
+            .query(
+                """SELECT o_orderkey AS id, o_custkey,
+                          round(o_totalprice * 1.1, 2) AS gross
+                   FROM orders_pj WHERE o_totalprice >= 100 AND o_status <> 'P'"""
+            )
+            .target(str(tmp_path / "proj"))
+            .num_buckets(4)
+            .shuffle_partitions(4)
+            .build()
+        )
+        assert app.maintenance_strategy == "IncrementalProjectionMV"
+        assert app.maintenance_mode == "incremental"
+        assert app.mv_pk == ["id"]
+        app.bootstrap()
+
+        for i in range(1, 5):
+            rows = []
+            for _ in range(12):
+                k = rng.randrange(50)
+                if k in state and rng.random() < 0.3:
+                    del state[k]
+                    rows.append((k, 0, 0.0, "O", OP_DELETE))
+                else:
+                    # updates crossing the price/status boundary in both
+                    # directions — the stateless filter rule's demote path
+                    v = (k % 5 + 1, float(rng.randrange(50, 300)), rng.choice("OFP"))
+                    op = OP_UPDATE if k in state else OP_INSERT
+                    state[k] = v
+                    rows.append((k, *v, op))
+            app.refresh({"orders_pj": _batch(spark, rows)}, batch_id=i)
+            if i == 2:  # crash replay: the same batch twice must be a no-op
+                app.refresh({"orders_pj": _batch(spark, rows)}, batch_id=i)
+
+        expect = sorted(
+            (k, c, round(p * 1.1, 2))
+            for k, (c, p, s) in state.items()
+            if p >= 100 and s != "P"
+        )
+        got = sorted(tuple(r) for r in app.read().collect())
+        assert got == expect
+
+    def test_cte_filter_agg_cascades(self, spark, tmp_path):
+        """WITH x AS (filter) SELECT agg FROM x — normalize_query
+        inlines the CTE, the cascade pairs a projection inner with an
+        aggregate outer, and the result converges under churn."""
+        from tiflink_spark.app import MVApp
+
+        fact = spark.createDataFrame(
+            [(k, k % 3 + 1, float(100 + k)) for k in range(30)],
+            "o_orderkey long, o_custkey long, o_totalprice double",
+        ).withColumn("o_status", F.lit("O"))
+        app = (
+            MVApp.builder(spark)
+            .source("orders_ct", fact, pk=["o_orderkey"])
+            .query(
+                """WITH paid AS (
+                       SELECT * FROM orders_ct WHERE o_totalprice >= 110
+                   )
+                   SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS total
+                   FROM paid GROUP BY o_custkey"""
+            )
+            .target(str(tmp_path / "cte"))
+            .num_buckets(4)
+            .shuffle_partitions(4)
+            .build()
+        )
+        assert app.maintenance_strategy.startswith("CascadeMV")
+        app.bootstrap()
+        # push some rows across the filter boundary and delete others
+        ch = _batch(
+            spark,
+            [(5, 2, 90.0, "O", OP_UPDATE),   # leaves the filter
+             (3, 1, 500.0, "O", OP_UPDATE),  # stays, new value
+             (29, 3, 0.0, "O", OP_DELETE),
+             (100, 1, 250.0, "O", OP_INSERT)],
+        )
+        app.refresh({"orders_ct": ch}, batch_id=1)
+        rows = {k: (c, p) for k, c, p in
+                [(k, k % 3 + 1, float(100 + k)) for k in range(30)]}
+        rows[3] = (1, 500.0)
+        del rows[5], rows[29]
+        rows[100] = (1, 250.0)
+        expect = {}
+        for k, (c, p) in rows.items():
+            if p >= 110:
+                n, t = expect.get(c, (0, 0.0))
+                expect[c] = (n + 1, t + p)
+        got = {r["o_custkey"]: (r["n"], r["total"]) for r in app.read().collect()}
+        assert got == expect
+
+    def test_union_inner_never_cascades(self, spark, tmp_path):
+        """A UNION ALL inner advertises an overclaimed PK (unique per
+        branch only); an outer trusting it would collapse cross-branch
+        duplicates under churn. The cascade must refuse and fall back
+        to recompute — and stay correct when a duplicated key churns."""
+        from tiflink_spark.app import MVApp
+
+        t1 = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
+        t2 = spark.createDataFrame([(2, "y"), (3, "y")], "k long, v string")
+        app = (
+            MVApp.builder(spark)
+            .source("t1", t1, pk=["k"])
+            .source("t2", t2, pk=["k"])
+            .query(
+                """SELECT v, count(*) AS n FROM (
+                     SELECT k, v FROM t1 UNION ALL SELECT k, v FROM t2
+                   ) u GROUP BY v"""
+            )
+            .target(str(tmp_path / "uc"))
+            .num_buckets(4)
+            .shuffle_partitions(4)
+            .build()
+        )
+        assert app.maintenance_strategy == "RecomputeMV"
+        app.bootstrap()
+        ch = (
+            spark.createDataFrame([(2, "z")], "k long, v string")
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .withColumn(SEQ_COL, F.lit(0))
+        )
+        app.refresh({"t1": ch}, batch_id=1)
+        got = sorted(tuple(r) for r in app.read().collect())
+        assert got == [("x", 1), ("y", 2), ("z", 1)]

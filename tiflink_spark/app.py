@@ -42,6 +42,8 @@ from tiflink_spark.mv import (
 from tiflink_spark.incremental import Measure
 from tiflink_spark.planner import (
     match_agg_shape,
+    match_projection_shape,
+    normalize_query,
     match_correlated_count_shape,
     match_distinct_shape,
     match_global_agg_shape,
@@ -204,6 +206,23 @@ class MVApp:
                 spec = self.catalog.register_dataframe(name, src, spk)
                 df = src
             dfs[name] = (spec, df)
+
+        # Whether the advertised MV PK is a TRUE unique constraint of
+        # the result. Every incremental route derives a real key (group
+        # keys, fact PK, …) EXCEPT union-all, whose per-branch key can
+        # repeat across branches (the hidden __src tag is the real
+        # carrier). A cascade must not build on an overclaimed inner
+        # key: the outer's retraction state would collapse distinct
+        # rows that share it (see the cascade probe below).
+        self.pk_is_unique = True
+
+        # Normalize before planning: semantics-preserving rewrites
+        # (CTE inlining, GROUP BY ordinals, RIGHT->LEFT join, bare
+        # ORDER BY removal) widen every matcher's reach; the rewritten
+        # text is what the recompute fallback executes too, so a
+        # rewrite is never a correctness risk (planner.normalize_query).
+        query = normalize_query(query)
+        self.query = query
 
         # Resolve the query against the catalog: schema + PK inference.
         resolved = spark.sql(query)
@@ -525,6 +544,8 @@ class MVApp:
             self._join_names = self._change_filter = None
             self._dict_refresh = True
             self._ja_tables = {t for t, _ in ua.branches}
+            # first-column-style PK overclaim: unique per branch only
+            self.pk_is_unique = False
             self.mv_pk = [ua.out_cols[ua.key_pos]]
             self.ddl = create_table_ddl(
                 os.path.basename(target), self.mv_schema, self.mv_pk
@@ -719,6 +740,46 @@ class MVApp:
                 self._stores = {ol.fact: self._mv.fact_store}
                 return
 
+        # Stateless projection/filter view — SELECT row-local items
+        # FROM t [WHERE row-local] — the simplest maintainable shape
+        # (a stateless Calc node in Flink's planner; the reference gets
+        # it by delegation, TiFlinkApp.java:270). Matched LAST among
+        # the single-table routes: every richer shape (agg, distinct,
+        # top-k, window, order-limit) has already claimed its syntax.
+        # The changelog maps 1:1 onto the target, keyed by the
+        # projected fact PK; a row-local WHERE follows the stateless
+        # filter rule via the shared _change_filter path.
+        ps = match_projection_shape(
+            query, set(dfs), source_columns, {n: d[0].pk for n, d in dfs.items()}
+        )
+        if ps is not None and (pk is None or list(pk) == list(ps.pk_out)):
+            from pyspark.sql import functions as F
+
+            from tiflink_spark.mv import IncrementalProjectionMV
+
+            self.maintenance_mode = "incremental"
+            self._fact_name, self._dim_name = ps.fact, None
+            self._join_names = None
+            self._change_filter = ps.where
+            fact_df = dfs[ps.fact][1]
+            if ps.where is not None:
+                fact_df = fact_df.filter(F.expr(ps.where))
+            self.mv_pk = list(ps.pk_out)
+            self.ddl = create_table_ddl(
+                os.path.basename(target), self.mv_schema, self.mv_pk
+            )
+            self._mv = IncrementalProjectionMV(
+                spark,
+                fact=fact_df,
+                items=list(ps.items),
+                pk_out=list(ps.pk_out),
+                work_dir=target,
+                num_buckets=num_buckets,
+                shuffle_partitions=shuffle_partitions,
+            )
+            self._stores = {}
+            return
+
         # Two-level nesting: SELECT … FROM ( <inner> ) … — decompose
         # into an inner MV feeding an outer MV through the store's
         # version-diff changelog (CascadeMV). Only taken when BOTH
@@ -748,7 +809,14 @@ class MVApp:
                 num_buckets, shuffle_partitions,
             )
             outer_app = None
-            if inner_app.maintenance_mode == "incremental":
+            # The inner's advertised PK must be a TRUE unique key: the
+            # outer's stores address rows by it, so an overclaimed key
+            # (union-all's per-branch PK) would collapse distinct rows
+            # under churn — wrong results, not just slow ones.
+            if (
+                inner_app.maintenance_mode == "incremental"
+                and inner_app.pk_is_unique
+            ):
                 placeholder = spark.sql(inner_sql)
                 outer_app = MVApp(
                     spark,

@@ -868,6 +868,66 @@ class IncrementalUnionMV:
         return self.target.read(version)
 
 
+class IncrementalProjectionMV:
+    """Incremental MV for the stateless projection/filter view —
+    ``SELECT row-local items FROM fact [WHERE row-local]`` — the
+    simplest maintainable shape (Flink's stateless Calc node; the
+    reference gets it by delegation, TiFlinkApp.java:270). Each
+    changelog row maps 1:1 onto a target row: MVApp has already applied
+    the stateless filter rule (upserts failing the predicate demote to
+    deletes), so this class only evaluates the projection per row and
+    MERGEs by the projected fact PK. Per-batch work = the batch itself;
+    the ONLY state is the target — no source store at all, which at
+    100 TB means maintaining a projection view costs churn × projection,
+    never a table scan.
+
+    ``items`` are (out_name, row-local SQL expr) in select order;
+    ``pk_out`` the projected fact-PK names keying the target. Deletes
+    ride through the projection too — their PK columns are what the
+    MERGE keys on; expression columns over a delete's payload are
+    irrelevant and may be NULL.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        fact: DataFrame,
+        items: list[tuple[str, str]],
+        pk_out: list[str],
+        work_dir: str,
+        num_buckets: int | None = None,
+        shuffle_partitions: int | None = None,
+    ):
+        self.spark = spark
+        self.shuffle_partitions = shuffle_partitions
+        self.fact0 = fact
+        self.items = list(items)
+        self.target = KeyedParquetStore(
+            spark, os.path.join(work_dir, "mv"), list(pk_out), num_buckets
+        )
+
+    def _project(self, df: DataFrame) -> DataFrame:
+        sel = [F.expr(e).alias(o) for o, e in self.items]
+        extra = [F.col(c) for c in (OP_COL, SEQ_COL) if c in df.columns]
+        return df.select(*sel, *extra)
+
+    @_maintenance
+    def bootstrap(self, batch_id=0) -> None:
+        self.target.bootstrap(self._project(self.fact0), batch_id)
+
+    @_maintenance
+    def refresh(self, changes: DataFrame, batch_id) -> bool:
+        if changes is None:
+            return False
+        if batch_id in self.target.committed_batches():
+            return False
+        self.target.merge(self._project(changes), batch_id)
+        return True
+
+    def read(self, version: int | None = None) -> DataFrame:
+        return self.target.read(version)
+
+
 class IncrementalSetOpMV:
     """Incremental MV for ``SELECT cols FROM a INTERSECT|EXCEPT SELECT
     cols FROM b`` (set semantics, as in SQL). Each side maintains a
@@ -902,7 +962,7 @@ class IncrementalSetOpMV:
         side_names: tuple[str, str] = ("a", "b"),
         wheres: tuple[str | None, str | None] = (None, None),
     ):
-        if op not in ("intersect", "except"):
+        if op not in ("intersect", "except", "union"):
             raise ValueError(f"unsupported set op: {op}")
         self.spark = spark
         self.shuffle_partitions = shuffle_partitions
@@ -950,10 +1010,14 @@ class IncrementalSetOpMV:
 
     def _membership(self, dirty: DataFrame) -> DataFrame:
         """Current membership rows for the dirty tuples."""
-        in_a = dirty.join(
-            self._sides["a"].read().select(*self.out_cols), self.out_cols, "left_semi"
-        )
+        a_live = self._sides["a"].read().select(*self.out_cols)
         b_live = self._sides["b"].read().select(*self.out_cols)
+        if self.op == "union":
+            # set-semantics UNION: present on EITHER side
+            return dirty.join(
+                a_live.unionByName(b_live), self.out_cols, "left_semi"
+            )
+        in_a = dirty.join(a_live, self.out_cols, "left_semi")
         if self.op == "intersect":
             return in_a.join(b_live, self.out_cols, "left_semi")
         return in_a.join(b_live, self.out_cols, "left_anti")
@@ -964,11 +1028,12 @@ class IncrementalSetOpMV:
             side.bootstrap(batch_id)
         a = self._sides["a"].read().select(*self.out_cols)
         b = self._sides["b"].read().select(*self.out_cols)
-        rows = (
-            a.join(b, self.out_cols, "left_semi")
-            if self.op == "intersect"
-            else a.join(b, self.out_cols, "left_anti")
-        )
+        if self.op == "union":
+            rows = a.unionByName(b).distinct()
+        elif self.op == "intersect":
+            rows = a.join(b, self.out_cols, "left_semi")
+        else:
+            rows = a.join(b, self.out_cols, "left_anti")
         self.target.bootstrap(rows, batch_id)
 
     def _dirty_tuples(self, tag: str, changes: DataFrame, batch_id) -> DataFrame:

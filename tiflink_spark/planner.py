@@ -488,7 +488,7 @@ class SetOpShape:
     right_where: str | None = None
 
 
-_SETOP_SPLIT = re.compile(r"(?i)\b(INTERSECT|EXCEPT)\b(\s+ALL\b)?")
+_SETOP_SPLIT = re.compile(r"(?i)\b(INTERSECT|EXCEPT|UNION)\b(\s+ALL\b)?")
 
 
 def match_setop_shape(
@@ -497,11 +497,15 @@ def match_setop_shape(
     source_columns: dict[str, list[str]],
     source_pks: dict[str, list[str]],
 ) -> SetOpShape | None:
-    """Match the two-branch INTERSECT/EXCEPT, or None. Both sides must
-    be bare projections of registered sources with declared PKs (the
-    per-side count state needs retraction lookups); the ALL variants
-    keep the recompute fallback (bag semantics need signed
-    multiplicities in the view itself)."""
+    """Match the two-branch INTERSECT/EXCEPT/UNION (set semantics), or
+    None. Both sides must be bare projections of registered sources
+    with declared PKs (the per-side count state needs retraction
+    lookups); the ALL variants keep their own routes (UNION ALL is the
+    stateless union matcher) or the recompute fallback (INTERSECT/
+    EXCEPT ALL bag semantics need signed multiplicities in the view).
+    UNION's membership rule is presence on EITHER side, so its output
+    tuples are genuinely unique — a sound cascade inner, unlike
+    UNION ALL's per-branch key."""
     parts = _SETOP_SPLIT.split(query.strip().rstrip(";"))
     # split yields [left, OP, ALL?, right] for a single operator
     if len(parts) != 4 or parts[2] is not None:
@@ -1433,6 +1437,319 @@ def match_agg_shape(
         having,
         tuple(key_exprs),
     )
+
+
+def _scan_top_level(query: str, keyword: str) -> list[int]:
+    """Offsets of ``keyword`` occurrences at paren depth 0, outside
+    string literals (case-insensitive, word-bounded)."""
+    hits, depth, in_str = [], 0, False
+    kw, n = keyword.upper(), len(keyword)
+    for i, ch in enumerate(query):
+        if in_str:
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and query[i : i + n].upper() == kw:
+            before = query[i - 1] if i > 0 else " "
+            after = query[i + n] if i + n < len(query) else " "
+            if not (before.isalnum() or before == "_") and not (
+                after.isalnum() or after == "_"
+            ):
+                hits.append(i)
+    return hits
+
+
+def _strip_bare_order_by(query: str) -> str:
+    """Drop a top-level trailing ORDER BY that has no LIMIT after it.
+
+    A materialized target is an unordered keyed table — the reference's
+    MV is a TiKV table (FlinkTikvProducer.java), ours a keyed parquet
+    store — so a final ORDER BY with no LIMIT contributes nothing to
+    the maintained result set. Stripping it lets the ordered form of
+    every maintainable shape route incrementally. ORDER BY + LIMIT is
+    left intact: that pair IS a top-k shape with its own routes."""
+    obs = _scan_top_level(query, "ORDER")
+    for i in obs:
+        if not re.match(r"(?is)^ORDER\s+BY\b", query[i:]):
+            continue
+        tail = query[i:]
+        if _scan_top_level(tail, "LIMIT"):
+            return query
+        if re.fullmatch(r"(?is)ORDER\s+BY\s+[^;]+;?\s*", tail):
+            return query[:i].rstrip()
+    return query
+
+
+def _resolve_groupby_ordinals(query: str) -> str:
+    """Rewrite ``GROUP BY 1, 2`` ordinals to the select items they
+    denote (the alias when the item has one, else the item text) —
+    SQL's positional GROUP BY, which every matcher otherwise misses.
+    ROLLUP/CUBE/GROUPING SETS groupings are left untouched."""
+    gbs = [
+        i
+        for i in _scan_top_level(query, "GROUP")
+        if re.match(r"(?is)^GROUP\s+BY\b", query[i:])
+    ]
+    sels = _scan_top_level(query, "SELECT")
+    froms = _scan_top_level(query, "FROM")
+    if len(gbs) != 1 or not sels or not froms:
+        return query
+    select_txt = query[sels[0] + 6 : froms[0]].strip()
+    if re.match(r"(?is)^DISTINCT\b", select_txt):
+        return query
+    items = _split_select_list(select_txt)
+    g = gbs[0]
+    m = re.match(r"(?is)^GROUP\s+BY\s+", query[g:])
+    body_start = g + m.end()
+    stop = len(query)
+    for kw in ("HAVING", "ORDER", "LIMIT"):
+        for j in _scan_top_level(query[body_start:], kw):
+            stop = min(stop, body_start + j)
+    body = query[body_start:stop]
+    if re.search(r"(?is)\b(ROLLUP|CUBE|GROUPING)\b", body):
+        return query
+    terms = _split_select_list(body)
+    out_terms = []
+    for t in terms:
+        if re.fullmatch(r"\d+", t):
+            n = int(t)
+            if not (1 <= n <= len(items)):
+                return query
+            item = items[n - 1]
+            am = _KEY_ALIAS_RE.match(item)
+            out_terms.append(am.group("alias") if am is not None else item)
+        else:
+            out_terms.append(t)
+    return query[:body_start] + ", ".join(out_terms) + " " + query[stop:].lstrip()
+
+
+_RIGHT_JOIN_RE = re.compile(
+    rf"(?is)^(?P<head>\s*SELECT\s+.+?\s+)"
+    rf"FROM\s+(?P<t1>{_IDENT})(?:\s+(?:AS\s+)?(?P<a1>{_IDENT}))?\s+"
+    rf"RIGHT\s+(?:OUTER\s+)?JOIN\s+"
+    rf"(?P<t2>{_IDENT})(?:\s+(?:AS\s+)?(?P<a2>{_IDENT}))?\s+"
+    rf"ON\s+(?P<cond>.+?)"
+    rf"(?P<rest>\s+(?:WHERE|GROUP|HAVING|ORDER|LIMIT)\b.*)?\s*;?\s*$"
+)
+
+
+def _swap_right_join(query: str) -> str:
+    """``A RIGHT JOIN B ON e`` ≡ ``B LEFT JOIN A ON e`` — normalize the
+    two-table form so the LEFT-join matchers see it. Aliases ride with
+    their tables; the select list is untouched (join order does not
+    affect output schema)."""
+    m = _RIGHT_JOIN_RE.match(query)
+    if m is None:
+        return query
+    a1 = f" {m.group('a1')}" if m.group("a1") else ""
+    a2 = f" {m.group('a2')}" if m.group("a2") else ""
+    bad = (m.group("a1") or "").lower() in _CLAUSE_KEYWORDS or (
+        m.group("a2") or ""
+    ).lower() in _CLAUSE_KEYWORDS
+    if bad or re.search(r"(?is)\bJOIN\b", m.group("cond")):
+        return query
+    return (
+        f"{m.group('head')}FROM {m.group('t2')}{a2} LEFT JOIN "
+        f"{m.group('t1')}{a1} ON {m.group('cond')}{m.group('rest') or ''}"
+    )
+
+
+_CTE_HEAD_RE = re.compile(rf"(?is)^\s*WITH\s+(?P<name>{_IDENT})\s+AS\s*\(")
+
+
+def _inline_single_cte(query: str) -> str:
+    """``WITH x AS ( inner ) SELECT … FROM x rest`` → ``SELECT … FROM
+    ( inner ) x rest`` — the nested form the cascade route decomposes.
+    Only the single-CTE, sole-FROM-relation case rewrites; anything
+    else (CTE lists, a CTE joined with other tables, extra references
+    to the CTE name) is left for the recompute fallback."""
+    m = _CTE_HEAD_RE.match(query)
+    if m is None:
+        return query
+    name = m.group("name")
+    i = m.end() - 1
+    depth, in_str = 0, False
+    for j in range(i, len(query)):
+        ch = query[j]
+        if in_str:
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                break
+    else:
+        return query
+    inner = query[i + 1 : j].strip()
+    main = query[j + 1 :].strip()
+    if not re.match(r"(?is)^SELECT\b", inner) or main[:1] == ",":
+        return query  # CTE list — not the single-CTE form
+    if not re.match(r"(?is)^SELECT\b", main):
+        return query
+    # the CTE name must appear exactly once in the main query, as the
+    # sole FROM relation
+    if len(re.findall(rf"(?i)\b{re.escape(name)}\b", main)) != 1:
+        return query
+    fm = re.search(rf"(?is)\bFROM\s+{re.escape(name)}\b", main)
+    if fm is None:
+        return query
+    after = main[fm.end() :]
+    if re.match(r"(?is)^\s*(,|JOIN\b|INNER\b|LEFT\b|RIGHT\b|FULL\b|CROSS\b|NATURAL\b)", after):
+        return query
+    head = main[: fm.start()]
+    return f"{head}FROM ( {inner} ) {name}{after}"
+
+
+@dataclass(frozen=True)
+class ProjectionShape:
+    """The stateless projection/filter view:
+
+        SELECT item[, item ...] FROM fact [WHERE row-local-pred]
+
+    with each item ``*``, a (possibly qualified) column, or a row-local
+    deterministic ``expr AS alias``. The simplest maintainable shape of
+    all — the changelog maps 1:1 onto the target (the stateless filter
+    rule + per-row projection), so per-batch work is the batch itself
+    and the only state is the target. Flink's planner treats this as a
+    stateless Calc node; the reference gets it by delegation
+    (TiFlinkApp.java:270). The fact PK must survive the projection
+    (possibly renamed) — it keys the target.
+    ``items`` are (out_name, row-local expr) in select order;
+    ``pk_out`` the projected fact-PK output names, in PK order."""
+
+    fact: str
+    items: tuple[tuple[str, str], ...]
+    pk_out: tuple[str, ...]
+    where: str | None = None
+
+
+_PROJ_RE = re.compile(
+    rf"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<table>{_IDENT})"
+    rf"(?:\s+(?:AS\s+)?(?P<alias>{_IDENT}))?"
+    rf"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def match_projection_shape(
+    query: str,
+    source_names: set[str],
+    source_columns: dict[str, list[str]],
+    source_pks: dict[str, list[str]],
+) -> ProjectionShape | None:
+    """Match the single-table projection/filter view, or None.
+
+    Anything with DISTINCT, GROUP BY, set ops, window functions,
+    aggregates, subqueries, or a non-row-local WHERE bails to the
+    other matchers / the recompute fallback."""
+    m = _PROJ_RE.match(query)
+    if m is None:
+        return None
+    table = m.group("table")
+    alias = m.group("alias")
+    if table not in source_names:
+        return None
+    if alias is not None and alias.lower() in (
+        _CLAUSE_KEYWORDS | _POST_ALIAS_KEYWORDS | {"union", "intersect", "except", "order", "limit"}
+    ):
+        return None
+    select = m.group("select")
+    if re.match(r"(?is)^DISTINCT\b", select):
+        return None
+    if re.search(r"(?is)\bOVER\s*\(", select):
+        return None
+    cols = {c.lower(): c for c in source_columns.get(table, [])}
+    allowed = set(cols)
+    quals = {q.lower() for q in (table, alias) if q}
+
+    def dequalify(s: str) -> str | None:
+        bad = False
+
+        def sub(qm: re.Match) -> str:
+            nonlocal bad
+            if qm.group(1).lower() not in quals or qm.group(2).lower() not in cols:
+                bad = True
+                return qm.group(0)
+            return cols[qm.group(2).lower()]
+
+        out = _QUAL_RE.sub(sub, s)
+        return None if bad else out
+
+    items: list[tuple[str, str]] = []
+    for item in _split_select_list(select):
+        if item == "*":
+            items.extend((c, c) for c in source_columns[table])
+            continue
+        am = _KEY_ALIAS_RE.match(item)
+        if am is not None:
+            expr, out = am.group("expr").strip(), am.group("alias")
+            dq = dequalify(expr)
+            if dq is None or not _row_local_expr_ok(dq, allowed):
+                return None
+            items.append((out, dq))
+            continue
+        dq = dequalify(item)
+        if dq is None:
+            return None
+        bare = dq.strip()
+        if bare.lower() not in cols:
+            return None  # unaliased non-column expression
+        items.append((cols[bare.lower()], cols[bare.lower()]))
+    out_names = [o for o, _ in items]
+    if len({o.lower() for o in out_names}) != len(out_names):
+        return None
+
+    # The fact PK must survive projection as bare columns (aliased ok).
+    pk = source_pks.get(table) or []
+    if not pk:
+        return None
+    pk_out = []
+    for p in pk:
+        hit = next(
+            (o for o, e in items if _norm_sql(e) == p.lower()), None
+        )
+        if hit is None:
+            return None
+        pk_out.append(hit)
+
+    where = m.group("where")
+    if where is not None:
+        where = dequalify(where)
+        if where is None or not _row_local_expr_ok(where, allowed):
+            return None
+        where = where.strip()
+    return ProjectionShape(
+        fact=table,
+        items=tuple(items),
+        pk_out=tuple(pk_out),
+        where=where,
+    )
+
+
+def normalize_query(query: str) -> str:
+    """Semantics-preserving textual rewrites applied before shape
+    matching, widening the incremental planner's reach without touching
+    the matchers: single-CTE inlining (→ the cascade's nested form),
+    GROUP BY ordinal resolution, RIGHT→LEFT join normalization, and
+    bare trailing ORDER BY removal (a keyed MV target is unordered).
+    Every rewrite preserves the resolved schema and result SET, so the
+    recompute fallback is equally correct on the rewritten text."""
+    q = _inline_single_cte(query)
+    q = _swap_right_join(q)
+    q = _resolve_groupby_ordinals(q)
+    q = _strip_bare_order_by(q)
+    return q
 
 
 _NESTED_HEAD_RE = re.compile(r"(?is)^\s*(?P<head>SELECT\s+.+?\s+FROM)\s*\(")

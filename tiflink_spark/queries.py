@@ -1242,6 +1242,8 @@ _PRIORITY = [
     "mvapp_auto_group_order_limit",
     "mvapp_auto_join_top_groups",
     "mvapp_auto_dim_where",
+    "mvapp_auto_projection",
+    "mvapp_auto_cte",
     "mvapp_semijoin_streaming",
     "mvapp_auto_corr_sum",
     "mvapp_auto_time_rollup",

@@ -2102,16 +2102,21 @@ def mvapp_auto_deep_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'except' AS op, o_custkey
     FROM (SELECT o_custkey FROM east_f EXCEPT SELECT o_custkey FROM west_f)
+    UNION ALL
+    SELECT 'union' AS op, o_custkey
+    FROM (SELECT o_custkey FROM east_f UNION SELECT o_custkey FROM west_f)
     """,
     doc=(
-        "INTERSECT and EXCEPT (set semantics) auto-routed to "
+        "INTERSECT, EXCEPT, and UNION (set semantics) auto-routed to "
         "IncrementalSetOpMV: dual hidden count-per-tuple state per "
         "side, membership re-evaluated only for tuples a batch touches "
         "— the dual-count maintenance Flink's update-mode planner uses "
-        "for the same ops. Churn deletes ALL of one side's rows for "
-        "half the key space, draining tuples out of the intersect and "
-        "into the except. Both ops' final states returned under an op "
-        "tag; the fns raise unless routed incrementally."
+        "for the same ops (UNION's rule is presence on EITHER side, so "
+        "a tuple survives one side's total departure). Churn deletes "
+        "ALL of one side's rows for half the key space, draining tuples "
+        "out of the intersect and into the except. All ops' final "
+        "states returned under an op tag; the fns raise unless routed "
+        "incrementally."
     ),
     tags=("mv", "incremental", "planner", "setop"),
 )
@@ -2126,7 +2131,7 @@ def mvapp_auto_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey"
     )
     out = None
-    for op in ("INTERSECT", "EXCEPT"):
+    for op in ("INTERSECT", "EXCEPT", "UNION"):
         work = tempfile.mkdtemp(prefix=f"mvapp_so_{op}_")
         try:
             app = (
@@ -3272,6 +3277,122 @@ def mvapp_auto_dim_where(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "c_nationkey",
                 "n_orders",
                 F.round("total_price_raw", 2).alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_projection",
+    f"""
+    WITH {_FINAL_ORDERS_SQL}
+    SELECT o_orderkey AS id, o_custkey,
+           CAST(floor(o_totalprice * 1.1 * 100) AS BIGINT) AS gross_cents
+    FROM final_orders WHERE o_totalprice > 1000
+    """,
+    doc=(
+        "The stateless projection/filter view (SELECT row-local exprs "
+        "FROM t WHERE row-local) auto-routed to IncrementalProjectionMV "
+        "— Flink's stateless Calc node, the simplest maintainable shape: "
+        "per-batch work is the batch itself and the ONLY state is the "
+        "target (no source store). Maintained through the scripted "
+        "+I/-D/+U changelog whose updates cross the price predicate in "
+        "both directions (the stateless filter rule's demote path). The "
+        "fn raises unless routed to IncrementalProjectionMV."
+    ),
+    tags=("mv", "incremental", "planner"),
+)
+def mvapp_auto_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_pj_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("orders_pj", t["orders"], pk=["o_orderkey"])
+            .query(
+                """SELECT o_orderkey AS id, o_custkey,
+                          floor(o_totalprice * 1.1 * 100) AS gross_cents
+                   FROM orders_pj WHERE o_totalprice > 1000"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalProjectionMV":
+            raise AssertionError(
+                f"planner routed the projection view to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        for i, b in enumerate(scripted_batches(t["orders"]), start=1):
+            app.refresh({"orders_pj": b}, batch_id=i)
+        return app.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_cte",
+    f"""
+    WITH {_FINAL_ORDERS_SQL}
+    SELECT o_custkey, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM final_orders WHERE o_totalprice > 1000
+    GROUP BY o_custkey
+    """,
+    doc=(
+        "A WITH-CTE filter feeding an aggregate — normalize_query "
+        "inlines the single CTE into the nested form, the cascade pairs "
+        "a stateless projection inner MV with an aggregate outer MV "
+        "(inner store version-diffs become the outer's changelog), and "
+        "the whole chain stays incremental. The fn raises unless routed "
+        "to CascadeMV[IncrementalProjectionMV -> IncrementalAggMV]."
+    ),
+    tags=("mv", "incremental", "planner", "cascade"),
+)
+def mvapp_auto_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_cte_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("orders_ct", t["orders"], pk=["o_orderkey"])
+            .query(
+                """WITH paid AS (
+                       SELECT * FROM orders_ct WHERE o_totalprice > 1000
+                   )
+                   SELECT o_custkey, count(*) AS n_orders,
+                          sum(o_totalprice) AS total_raw
+                   FROM paid GROUP BY o_custkey"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "CascadeMV":
+            raise AssertionError(
+                f"planner routed the CTE chain to {app.maintenance_strategy}"
+            )
+        if "IncrementalProjectionMV" not in str(app.describe()):
+            raise AssertionError(
+                f"cascade inner is not the projection route: {app.describe()}"
+            )
+        app.bootstrap()
+        for i, b in enumerate(scripted_batches(t["orders"]), start=1):
+            app.refresh({"orders_ct": b}, batch_id=i)
+        return (
+            app.read()
+            .select(
+                "o_custkey",
+                "n_orders",
+                F.round("total_raw", 2).alias("total_price"),
             )
             .localCheckpoint(eager=True)
         )
