@@ -107,10 +107,18 @@ class TestNormalizeQuery:
         assert n.startswith("SELECT o_custkey")
         assert "FROM ( SELECT * FROM orders WHERE o_totalprice > 100 ) big" in n
 
-    def test_cte_list_untouched(self):
+    def test_cte_pipeline_inlined(self):
+        q = ("WITH p AS (SELECT * FROM orders WHERE o_totalprice > 100), "
+             "a AS (SELECT o_custkey, count(*) AS n FROM p GROUP BY o_custkey) "
+             "SELECT o_custkey, n FROM a WHERE n > 2")
+        n = normalize_query(q)
+        assert n.startswith("SELECT o_custkey, n FROM ( SELECT o_custkey")
+        assert "FROM ( SELECT * FROM orders WHERE o_totalprice > 100 ) p" in n
+
+    def test_cte_list_with_unreferenced_member_untouched(self):
         q = ("WITH a AS (SELECT 1 AS x), b AS (SELECT 2 AS y) "
              "SELECT x FROM a")
-        assert normalize_query(q) == q
+        assert normalize_query(q) == q  # b unreferenced — bail
 
     def test_cte_joined_untouched(self):
         q = ("WITH a AS (SELECT * FROM t) "
@@ -229,6 +237,62 @@ class TestProjectionConvergence:
                 n, t = expect.get(c, (0, 0.0))
                 expect[c] = (n + 1, t + p)
         got = {r["o_custkey"]: (r["n"], r["total"]) for r in app.read().collect()}
+        assert got == expect
+
+    def test_multi_cte_pipeline_cascades(self, spark, tmp_path):
+        """WITH filter, WITH agg, SELECT filtered-agg — a 3-level
+        pipeline: projection inner, aggregate middle, projection outer,
+        all incremental, converging under filter-boundary churn."""
+        from tiflink_spark.app import MVApp
+
+        fact = spark.createDataFrame(
+            [(k, k % 4 + 1, float(50 + 10 * k)) for k in range(40)],
+            "o_orderkey long, o_custkey long, o_totalprice double",
+        )
+        app = (
+            MVApp.builder(spark)
+            .source("orders_mc", fact, pk=["o_orderkey"])
+            .query(
+                """WITH paid AS (
+                       SELECT * FROM orders_mc WHERE o_totalprice > 100
+                   ),
+                   agg AS (
+                       SELECT o_custkey, count(*) AS n FROM paid
+                       GROUP BY o_custkey
+                   )
+                   SELECT o_custkey, n FROM agg WHERE n > 3"""
+            )
+            .target(str(tmp_path / "mcte"))
+            .num_buckets(4)
+            .shuffle_partitions(4)
+            .build()
+        )
+        assert app.maintenance_strategy == "CascadeMV"
+        assert "IncrementalProjectionMV" in str(app.describe())
+        app.bootstrap()
+        # deletes shrink groups below the n>3 bound; price-rises pull
+        # previously-filtered rows into the paid view
+        ch = (
+            fact.filter(F.col("o_orderkey") % 4 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .unionByName(
+                fact.filter(F.col("o_orderkey") % 4 == 1)
+                .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+                .withColumn(OP_COL, F.lit(OP_UPDATE))
+            )
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"orders_mc": ch}, batch_id=1)
+        final = {}
+        for k in range(40):
+            if k % 4 == 0:
+                continue
+            p = 50.0 + 10 * k + (1000 if k % 4 == 1 else 0)
+            if p > 100:
+                c = k % 4 + 1
+                final[c] = final.get(c, 0) + 1
+        expect = sorted((c, n) for c, n in final.items() if n > 3)
+        got = sorted(tuple(r) for r in app.read().collect())
         assert got == expect
 
     def test_union_inner_never_cascades(self, spark, tmp_path):

@@ -1563,17 +1563,12 @@ def _swap_right_join(query: str) -> str:
 _CTE_HEAD_RE = re.compile(rf"(?is)^\s*WITH\s+(?P<name>{_IDENT})\s+AS\s*\(")
 
 
-def _inline_single_cte(query: str) -> str:
-    """``WITH x AS ( inner ) SELECT … FROM x rest`` → ``SELECT … FROM
-    ( inner ) x rest`` — the nested form the cascade route decomposes.
-    Only the single-CTE, sole-FROM-relation case rewrites; anything
-    else (CTE lists, a CTE joined with other tables, extra references
-    to the CTE name) is left for the recompute fallback."""
-    m = _CTE_HEAD_RE.match(query)
-    if m is None:
-        return query
-    name = m.group("name")
-    i = m.end() - 1
+_CTE_NEXT_RE = re.compile(rf"(?is)^\s*,\s*(?P<name>{_IDENT})\s+AS\s*\(")
+
+
+def _match_paren_end(query: str, i: int) -> int | None:
+    """Index of the ')' closing the '(' at ``query[i]`` (string-literal
+    aware), or None when unbalanced."""
     depth, in_str = 0, False
     for j in range(i, len(query)):
         ch = query[j]
@@ -1588,27 +1583,68 @@ def _inline_single_cte(query: str) -> str:
         elif ch == ")":
             depth -= 1
             if depth == 0:
-                break
-    else:
-        return query
-    inner = query[i + 1 : j].strip()
-    main = query[j + 1 :].strip()
-    if not re.match(r"(?is)^SELECT\b", inner) or main[:1] == ",":
-        return query  # CTE list — not the single-CTE form
-    if not re.match(r"(?is)^SELECT\b", main):
-        return query
-    # the CTE name must appear exactly once in the main query, as the
-    # sole FROM relation
-    if len(re.findall(rf"(?i)\b{re.escape(name)}\b", main)) != 1:
-        return query
-    fm = re.search(rf"(?is)\bFROM\s+{re.escape(name)}\b", main)
+                return j
+    return None
+
+
+def _inline_cte_into(text: str, name: str, sql: str) -> str | None:
+    """Replace the sole ``FROM name`` reference in ``text`` with the
+    derived-table form ``FROM ( sql ) name``. None when the name is
+    referenced other than exactly once as a sole FROM relation."""
+    if len(re.findall(rf"(?i)\b{re.escape(name)}\b", text)) != 1:
+        return None
+    fm = re.search(rf"(?is)\bFROM\s+{re.escape(name)}\b", text)
     if fm is None:
+        return None
+    after = text[fm.end() :]
+    if re.match(
+        r"(?is)^\s*(,|JOIN\b|INNER\b|LEFT\b|RIGHT\b|FULL\b|CROSS\b|NATURAL\b)", after
+    ):
+        return None
+    return f"{text[: fm.start()]}FROM ( {sql} ) {name}{after}"
+
+
+def _inline_single_cte(query: str) -> str:
+    """``WITH x AS (q1)[, y AS (q2) ...] SELECT … FROM <last> rest`` →
+    the fully-nested derived-table form the cascade route decomposes
+    level by level. Each CTE must be referenced exactly once, as the
+    sole FROM relation of the next CTE or of the main query (the linear
+    pipeline every staged transformation view is). Anything else — a
+    CTE joined with other tables, referenced twice, or unreferenced —
+    is left for the recompute fallback."""
+    m = _CTE_HEAD_RE.match(query)
+    if m is None:
         return query
-    after = main[fm.end() :]
-    if re.match(r"(?is)^\s*(,|JOIN\b|INNER\b|LEFT\b|RIGHT\b|FULL\b|CROSS\b|NATURAL\b)", after):
+    ctes: list[tuple[str, str]] = []
+    pos = 0
+    while True:
+        head = _CTE_HEAD_RE.match(query[pos:]) if not ctes else _CTE_NEXT_RE.match(
+            query[pos:]
+        )
+        if head is None:
+            break
+        i = pos + head.end() - 1
+        j = _match_paren_end(query, i)
+        if j is None:
+            return query
+        sql = query[i + 1 : j].strip()
+        if not re.match(r"(?is)^SELECT\b", sql):
+            return query
+        ctes.append((head.group("name"), sql))
+        pos = j + 1
+    main = query[pos:].strip()
+    if not ctes or not re.match(r"(?is)^SELECT\b", main):
         return query
-    head = main[: fm.start()]
-    return f"{head}FROM ( {inner} ) {name}{after}"
+    # Inline back to front: the last CTE's sole reference sits in the
+    # main query; once embedded, the previous CTE's sole reference sits
+    # inside the accumulated text, and so on down the pipeline.
+    text = main
+    for name, sql in reversed(ctes):
+        nxt = _inline_cte_into(text, name, sql)
+        if nxt is None:
+            return query
+        text = nxt
+    return text
 
 
 @dataclass(frozen=True)
