@@ -1812,6 +1812,59 @@ def test_median_measure_routes_and_converges(spark, tmp_path):
     assert {(r.g, r.med) for r in app.read().collect()} == {("a", 5.0)}
 
 
+def test_distinct_sum_avg_route_and_converge(spark, tmp_path):
+    """SUM(DISTINCT)/AVG(DISTINCT) ride the dirty-group recompute like
+    MIN/MAX — DISTINCT strips the multiplicities delta arithmetic
+    relies on, so invertible merging is off the table."""
+    from tiflink_spark.planner import match_agg_shape
+
+    s = match_agg_shape(
+        "SELECT g, sum(DISTINCT v) AS sd, avg(DISTINCT v) AS ad FROM t GROUP BY g",
+        {"t"},
+        {"t": ["k", "g", "v"]},
+    )
+    assert s is not None
+    assert [m.kind for m in s.measures] == ["sum_distinct", "avg_distinct"]
+    # MIN(DISTINCT) ≡ MIN but the spelled form keeps the fallback
+    assert (
+        match_agg_shape(
+            "SELECT g, min(DISTINCT v) AS m FROM t GROUP BY g",
+            {"t"},
+            {"t": ["k", "g", "v"]},
+        )
+        is None
+    )
+
+    fact = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 1.0), (3, "a", 4.0), (4, "b", 5.0)],
+        "k int, g string, v double",
+    )
+    app = (
+        MVApp.builder(spark)
+        .source("f_dst", fact, pk=["k"])
+        .query(
+            "SELECT g, sum(DISTINCT v) AS sd, avg(DISTINCT v) AS ad "
+            "FROM f_dst GROUP BY g"
+        )
+        .target(str(tmp_path / "dst"))
+        .num_buckets(2)
+        .build()
+    )
+    assert app.maintenance_strategy == "IncrementalAggMV"
+    app.bootstrap()
+    assert {(r.g, r.sd, r.ad) for r in app.read().collect()} == {
+        ("a", 5.0, 2.5),
+        ("b", 5.0, 5.0),
+    }
+    # dedup collapse: row 3 moves to the duplicated value; group b leaves
+    b1 = spark.createDataFrame(
+        [(3, "a", 1.0, "+U", 0), (4, "b", 5.0, "-D", 1)],
+        "k int, g string, v double, __op string, __seq long",
+    )
+    app.refresh({"f_dst": b1}, batch_id=1)
+    assert {(r.g, r.sd, r.ad) for r in app.read().collect()} == {("a", 1.0, 1.0)}
+
+
 def test_review_hardening_probes():
     """Round-3 review fixes pinned: OR-precedence in the semi-join
     conjunct, string literals in the nested/paren scanners."""

@@ -92,6 +92,15 @@ class TestNormalizeQuery:
         q = "SELECT a, count(*) AS n FROM t GROUP BY ROLLUP(a)"
         assert normalize_query(q) == q
 
+    def test_orderby_ordinals(self):
+        q = "SELECT a, b FROM t ORDER BY 2 DESC LIMIT 5"
+        assert normalize_query(q) == "SELECT a, b FROM t ORDER BY b DESC LIMIT 5"
+        q2 = "SELECT a, sum(x) AS s FROM t GROUP BY 1 ORDER BY 2 DESC LIMIT 3"
+        assert normalize_query(q2).endswith("GROUP BY a ORDER BY s DESC LIMIT 3")
+        # out-of-range ordinal: leave the query to the fallback
+        q3 = "SELECT a FROM t ORDER BY 9 LIMIT 2"
+        assert normalize_query(q3) == q3
+
     def test_right_join_swap(self):
         q = ("SELECT o.o_orderkey, c.c_name FROM customer c "
              "RIGHT JOIN orders o ON o.o_custkey = c.c_custkey "

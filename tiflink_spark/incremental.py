@@ -43,7 +43,16 @@ INVERTIBLE = ("count", "sum", "avg")
 # (often ~ table size). Dirty-group recompute needs no extra state and
 # its shuffle is pruned to touched groups; at 100 TB that trade is right
 # unless a group's row volume is pathological (same caveat as MIN/MAX).
-NON_INVERTIBLE = ("min", "max", "count_distinct", "stddev_samp", "var_samp", "median")
+NON_INVERTIBLE = (
+    "min",
+    "max",
+    "count_distinct",
+    "sum_distinct",
+    "avg_distinct",
+    "stddev_samp",
+    "var_samp",
+    "median",
+)
 # stddev/variance COULD merge invertibly via (n, sum, sum-of-squares)
 # delta arithmetic, but catastrophic cancellation under heavy retraction
 # makes the running sumsq numerically unsafe; dirty-group recompute uses
@@ -125,6 +134,17 @@ def _state_aggs(measures: list[Measure]) -> list:
             aggs.append(F.max(_mexpr(m)).alias(f"__ext_{m.alias}"))
         if m.kind == "count_distinct":
             aggs.append(F.count_distinct(_mexpr(m)).alias(f"__ext_{m.alias}"))
+        if m.kind == "sum_distinct":
+            # DISTINCT strips the multiplicities delta arithmetic relies
+            # on, so these ride the dirty-group recompute like MIN/MAX
+            aggs.append(F.sum_distinct(_mexpr(m)).alias(f"__ext_{m.alias}"))
+        if m.kind == "avg_distinct":
+            aggs.append(
+                F.when(
+                    F.count_distinct(_mexpr(m)) > 0,
+                    F.sum_distinct(_mexpr(m)) / F.count_distinct(_mexpr(m)),
+                ).alias(f"__ext_{m.alias}")
+            )
         if m.kind == "stddev_samp":
             aggs.append(F.stddev_samp(_mexpr(m)).alias(f"__ext_{m.alias}"))
         if m.kind == "var_samp":

@@ -186,8 +186,8 @@ def _parse_measures(
                 return None  # sum(*) etc. is not SQL
             col = None
         elif re.match(r"(?i)^DISTINCT\s", arg):
-            if kind != "count":
-                return None  # only COUNT(DISTINCT) is supported
+            if kind not in ("count", "sum", "avg"):
+                return None  # MIN/MAX DISTINCT ≡ MIN/MAX; stddev etc. bail
             darg = re.sub(r"(?i)^DISTINCT\s+", "", arg).strip()
             if re.fullmatch(_IDENT, darg):
                 if columns is not None and darg.lower() not in columns:
@@ -195,7 +195,7 @@ def _parse_measures(
             elif columns is None or not _row_local_expr_ok(darg, columns):
                 return None  # expression arg: same row-local contract
             col = darg
-            kind = "count_distinct"
+            kind = f"{kind}_distinct"
         elif re.fullmatch(_IDENT, arg):
             if columns is not None and arg.lower() not in columns:
                 return None
@@ -1539,6 +1539,45 @@ _RIGHT_JOIN_RE = re.compile(
 )
 
 
+def _resolve_orderby_ordinals(query: str) -> str:
+    """Rewrite ``ORDER BY 2 DESC`` ordinals to the select items they
+    denote (alias when present, else the item text), so the top-k
+    routes — which key on named order columns — see the named form."""
+    obs = [
+        i
+        for i in _scan_top_level(query, "ORDER")
+        if re.match(r"(?is)^ORDER\s+BY\b", query[i:])
+    ]
+    sels = _scan_top_level(query, "SELECT")
+    froms = _scan_top_level(query, "FROM")
+    if len(obs) != 1 or not sels or not froms:
+        return query
+    select_txt = query[sels[0] + 6 : froms[0]].strip()
+    if re.match(r"(?is)^DISTINCT\b", select_txt):
+        return query
+    items = _split_select_list(select_txt)
+    m = re.match(r"(?is)^ORDER\s+BY\s+", query[obs[0] :])
+    body_start = obs[0] + m.end()
+    stop = len(query)
+    for j in _scan_top_level(query[body_start:], "LIMIT"):
+        stop = min(stop, body_start + j)
+    body = query[body_start:stop]
+    out_terms = []
+    for t in _split_select_list(body):
+        tm = re.fullmatch(r"(?is)(\d+)(\s+(?:ASC|DESC))?", t.strip())
+        if tm is not None:
+            n = int(tm.group(1))
+            if not (1 <= n <= len(items)):
+                return query
+            item = items[n - 1]
+            am = _KEY_ALIAS_RE.match(item)
+            named = am.group("alias") if am is not None else item
+            out_terms.append(f"{named}{tm.group(2) or ''}")
+        else:
+            out_terms.append(t.strip())
+    return query[:body_start] + ", ".join(out_terms) + " " + query[stop:].lstrip()
+
+
 def _swap_right_join(query: str) -> str:
     """``A RIGHT JOIN B ON e`` ≡ ``B LEFT JOIN A ON e`` — normalize the
     two-table form so the LEFT-join matchers see it. Aliases ride with
@@ -1784,6 +1823,7 @@ def normalize_query(query: str) -> str:
     q = _inline_single_cte(query)
     q = _swap_right_join(q)
     q = _resolve_groupby_ordinals(q)
+    q = _resolve_orderby_ordinals(q)
     q = _strip_bare_order_by(q)
     return q
 

@@ -1657,18 +1657,20 @@ def mvapp_star_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            count(*) AS n,
            round(stddev_samp(o_totalprice), 2) AS sd_price,
-           round(var_samp(o_totalprice) / 1000000, 2) AS var_price_m
+           round(var_samp(o_totalprice) / 1000000, 2) AS var_price_m,
+           round(sum(DISTINCT o_totalprice), 2) AS sdist,
+           round(avg(DISTINCT o_totalprice), 2) AS adist
     FROM final_orders_sa GROUP BY o_orderpriority
     """,
     doc=(
-        "STDDEV/VARIANCE maintained incrementally (planner-routed "
-        "IncrementalAggMV): the estimators are non-invertible in "
-        "practice — (n, sum, sumsq) delta arithmetic suffers "
-        "catastrophic cancellation under heavy retraction — so they "
-        "ride the dirty-group recompute path (Spark's stable one-pass "
-        "estimator over touched groups only), composing freely with "
-        "invertible COUNT in the same view. Churn: deletes, price "
-        "updates, and doubled-price inserts across all groups."
+        "STDDEV/VARIANCE and SUM/AVG(DISTINCT) maintained incrementally "
+        "(planner-routed IncrementalAggMV): all four are non-invertible "
+        "— the estimators suffer catastrophic cancellation under heavy "
+        "retraction, and DISTINCT strips the multiplicities delta "
+        "arithmetic relies on — so they ride the dirty-group recompute "
+        "path (one stable pass over touched groups only), composing "
+        "freely with invertible COUNT in the same view. Churn: deletes, "
+        "price updates, and doubled-price inserts across all groups."
     ),
     tags=("mv", "incremental", "planner", "stats"),
 )
@@ -1684,7 +1686,9 @@ def mvapp_auto_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .query(
                 """SELECT o_orderpriority, count(*) AS n,
                           stddev(o_totalprice) AS sd_raw,
-                          variance(o_totalprice) AS var_raw
+                          variance(o_totalprice) AS var_raw,
+                          sum(DISTINCT o_totalprice) AS sdist_raw,
+                          avg(DISTINCT o_totalprice) AS adist_raw
                    FROM orders_sa GROUP BY o_orderpriority"""
             )
             .target(work)
@@ -1727,6 +1731,8 @@ def mvapp_auto_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # variance magnitude ~1e10: present in millions so the
                 # rounding grain sits far above cross-engine double ulp
                 F.round(F.col("var_raw") / 1_000_000, 2).alias("var_price_m"),
+                F.round("sdist_raw", 2).alias("sdist"),
+                F.round("adist_raw", 2).alias("adist"),
             )
             .localCheckpoint(eager=True)
         )
