@@ -827,9 +827,16 @@ class TestComputedKeyAndFilterMatcher:
             {"orders"}, cols,
         )
         assert s2 is not None and "CASE WHEN" in s2.measures[0].col
-        # SUM(DISTINCT) stays on the recompute fallback
-        assert match_agg_shape(
+        # SUM(DISTINCT) now rides the dirty-group recompute path
+        s3 = match_agg_shape(
             """SELECT o_custkey, sum(DISTINCT o_totalprice) AS x
+               FROM orders GROUP BY o_custkey""",
+            {"orders"}, cols,
+        )
+        assert s3 is not None and s3.measures[0].kind == "sum_distinct"
+        # stddev(DISTINCT) has no maintenance story — fallback
+        assert match_agg_shape(
+            """SELECT o_custkey, stddev(DISTINCT o_totalprice) AS x
                FROM orders GROUP BY o_custkey""",
             {"orders"}, cols,
         ) is None
@@ -916,3 +923,94 @@ class TestComputedKeyConvergence:
             assert app.read().columns == ["c_nationkey", "month", "n", "rev"]
         finally:
             shutil.rmtree(work, ignore_errors=True)
+
+
+class TestCompositeKeyDims:
+    def test_matcher_accepts_composite_pk_edge(self):
+        cols = {
+            "lineitem": ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"],
+            "partsupp": ["ps_partkey", "ps_suppkey", "ps_supplycost"],
+        }
+        pks = {"lineitem": ["l_orderkey", "l_linenumber"], "partsupp": ["ps_partkey", "ps_suppkey"]}
+        s = match_join_agg_shape(
+            """SELECT ps.ps_suppkey, sum(l.l_quantity * ps.ps_supplycost) AS cost
+               FROM lineitem l JOIN partsupp ps
+                 ON l.l_partkey = ps.ps_partkey AND l.l_suppkey = ps.ps_suppkey
+               GROUP BY ps.ps_suppkey""",
+            set(cols), cols, pks,
+        )
+        assert s is not None and s.fact == "lineitem"
+        assert s.dims[0].pk_cols == ("ps_partkey", "ps_suppkey")
+        assert s.dims[0].ref_cols == ("l_partkey", "l_suppkey")
+        # a PARTIAL composite key (one of two PK columns) must not orient
+        assert match_join_agg_shape(
+            """SELECT ps_suppkey, count(*) AS n
+               FROM lineitem JOIN partsupp ON l_partkey = ps_partkey
+               GROUP BY ps_suppkey""",
+            set(cols), cols, pks,
+        ) is None
+
+    def test_composite_dim_converges_two_sided(self, spark, tmp_path):
+        """fact ⋈ composite-PK dim under fact churn AND dim churn that
+        renames/deletes composite keys — J re-derivation must prune and
+        propagate on the full key pair."""
+        from tiflink_spark.app import MVApp
+
+        fact = spark.createDataFrame(
+            [(k, k % 5 + 1, k % 3 + 1, float(k + 1)) for k in range(40)],
+            "fid long, pk1 long, pk2 long, qty double",
+        )
+        dim = spark.createDataFrame(
+            [(p, s, float(p * 10 + s)) for p in range(1, 6) for s in range(1, 4)],
+            "dp long, ds long, cost double",
+        )
+        app = (
+            MVApp.builder(spark)
+            .source("fct", fact, pk=["fid"])
+            .source("dm", dim, pk=["dp", "ds"])
+            .query(
+                """SELECT dm.ds, count(*) AS n, sum(fct.qty * dm.cost) AS total
+                   FROM fct JOIN dm ON fct.pk1 = dm.dp AND fct.pk2 = dm.ds
+                   GROUP BY dm.ds"""
+            )
+            .target(str(tmp_path / "ck"))
+            .num_buckets(4)
+            .shuffle_partitions(4)
+            .build()
+        )
+        assert app.maintenance_strategy == "IncrementalJoinAggMV"
+        app.bootstrap()
+
+        # dim churn: re-cost (1,1); delete (2,2) entirely (its fact rows
+        # leave the inner join); fact churn: new rows + deletes
+        dch = (
+            spark.createDataFrame(
+                [(1, 1, 999.0, OP_UPDATE), (2, 2, 0.0, OP_DELETE)],
+                "dp long, ds long, cost double, __op string",
+            ).withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        fch = (
+            spark.createDataFrame(
+                [(100, 1, 1, 50.0, OP_INSERT), (0, 0, 0, 0.0, OP_DELETE),
+                 (7, 2, 2, 3.0, OP_UPDATE)],
+                "fid long, pk1 long, pk2 long, qty double, __op string",
+            ).withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"dm": dch}, batch_id=1)
+        app.refresh({"fct": fch}, batch_id=2)
+
+        # batch truth
+        frows = {k: (k % 5 + 1, k % 3 + 1, float(k + 1)) for k in range(40)}
+        del frows[0]
+        frows[100] = (1, 1, 50.0)
+        frows[7] = (2, 2, 3.0)
+        drows = {(p, s): float(p * 10 + s) for p in range(1, 6) for s in range(1, 4)}
+        drows[(1, 1)] = 999.0
+        del drows[(2, 2)]
+        expect = {}
+        for p1, p2, q in frows.values():
+            if (p1, p2) in drows:
+                n, tot = expect.get(p2, (0, 0.0))
+                expect[p2] = (n + 1, tot + q * drows[(p1, p2)])
+        got = {r.ds: (r.n, round(r.total, 6)) for r in app.read().collect()}
+        assert got == {k: (n, round(t, 6)) for k, (n, t) in expect.items()}

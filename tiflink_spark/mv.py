@@ -1164,7 +1164,9 @@ class IncrementalJoinAggMV:
         # ride on the fact side so changelog rows stay addressable; dim
         # columns never duplicate another table's carried name (the
         # matcher rejects ambiguous references).
-        fact_fks = [d.parent_col for d in self.dims if d.parent == fact_name]
+        fact_fks = [
+            c for d in self.dims if d.parent == fact_name for c in d.ref_cols
+        ]
         self._fact_side = list(dict.fromkeys([*fact_pk, *fact_fks, *fact_cols]))
         self._dim_carry = {
             d.dim: [c for c in d.dim_cols if c not in self._fact_side]
@@ -1179,7 +1181,10 @@ class IncrementalJoinAggMV:
         )
         self.dim_stores = {
             d.dim: KeyedParquetStore(
-                spark, os.path.join(work_dir, f"dim_{d.dim}"), [d.dim_pk], num_buckets
+                spark,
+                os.path.join(work_dir, f"dim_{d.dim}"),
+                list(d.pk_cols),
+                num_buckets,
             )
             for d in self.dims
         }
@@ -1215,24 +1220,36 @@ class IncrementalJoinAggMV:
         acc = fact_rows.select(*self._fact_side)
         flags = []
         for i, d in enumerate(self.dims):
-            jk = f"__jk_{i}"
+            jks = [f"__jk_{i}_{n}" for n in range(len(d.pk_cols))]
             keys = (
-                acc.select(F.col(d.parent_col).alias(jk))
-                .where(F.col(jk).isNotNull())
+                acc.select(
+                    *[F.col(rc).alias(jk) for rc, jk in zip(d.ref_cols, jks)]
+                )
+                .where(
+                    functools.reduce(
+                        lambda a, b: a & b, [F.col(jk).isNotNull() for jk in jks]
+                    )
+                )
                 .distinct()
             )
             dim_df = dim_now[d.dim]
-            pruned = dim_df.join(
-                keys, dim_df[d.dim_pk] == keys[jk], "left_semi"
-            ).select(
-                F.col(d.dim_pk).alias(jk),
+            semi_cond = functools.reduce(
+                lambda a, b: a & b,
+                [dim_df[pc] == keys[jk] for pc, jk in zip(d.pk_cols, jks)],
+            )
+            pruned = dim_df.join(keys, semi_cond, "left_semi").select(
+                *[F.col(pc).alias(jk) for pc, jk in zip(d.pk_cols, jks)],
                 *[F.col(c) for c in self._dim_carry[d.dim]],
             )
-            acc = acc.join(pruned, F.col(d.parent_col) == F.col(jk), "left")
+            join_cond = functools.reduce(
+                lambda a, b: a & b,
+                [F.col(rc) == F.col(jk) for rc, jk in zip(d.ref_cols, jks)],
+            )
+            acc = acc.join(pruned, join_cond, "left")
             # LEFT dims never drop the fact row — only inner dims gate
             # membership; their unmatched rows keep NULL dim columns.
             if d.how != "left":
-                flags.append(F.col(jk).isNotNull())
+                flags.append(F.col(jks[0]).isNotNull())
         matched = (
             functools.reduce(lambda a, b: a & b, flags) if flags else F.lit(True)
         )
@@ -1266,25 +1283,28 @@ class IncrementalJoinAggMV:
         whose referencing column holds it, hop by hop to the fact. Each
         hop is one semi-join pruned to the dirty key set."""
         cur_name, cur_keys = dim_name, dirty_keys
-        cur_pk_col = self._by_name[dim_name].dim_pk
+        cur_pk_cols = self._by_name[dim_name].pk_cols
         while True:
             edge = self._by_name[cur_name]
             ref_vals = cur_keys.select(
-                F.col(cur_pk_col).alias(edge.parent_col)
+                *[
+                    F.col(pc).alias(rc)
+                    for pc, rc in zip(cur_pk_cols, edge.ref_cols)
+                ]
             ).distinct()
             if edge.parent == self.fact_name:
                 return (
                     self.fact_store.read()
-                    .join(ref_vals, [edge.parent_col], "left_semi")
+                    .join(ref_vals, list(edge.ref_cols), "left_semi")
                     .select(*self.fact_pk)
                 )
             parent_edge = self._by_name[edge.parent]
             cur_keys = (
                 dim_now[edge.parent]
-                .join(ref_vals, [edge.parent_col], "left_semi")
-                .select(parent_edge.dim_pk)
+                .join(ref_vals, list(edge.ref_cols), "left_semi")
+                .select(*parent_edge.pk_cols)
             )
-            cur_name, cur_pk_col = edge.parent, parent_edge.dim_pk
+            cur_name, cur_pk_cols = edge.parent, parent_edge.pk_cols
 
     @_maintenance
     def refresh(self, changes: dict[str, DataFrame], batch_id) -> bool:
@@ -1337,8 +1357,9 @@ class IncrementalJoinAggMV:
             aff_parts = [
                 self._affected_fact_pks(
                     name,
-                    last_change_per_key(changes[name], [self._by_name[name].dim_pk])
-                    .select(self._by_name[name].dim_pk),
+                    last_change_per_key(
+                        changes[name], list(self._by_name[name].pk_cols)
+                    ).select(*self._by_name[name].pk_cols),
                     dim_now,
                 )
                 for name in dim_changed

@@ -1930,20 +1930,35 @@ def split_group_order_limit(query: str) -> tuple[str, str] | None:
 @dataclass(frozen=True)
 class DimJoin:
     """One dimension edge of the join tree: ``dim`` enters the joined
-    relation through its single-column PK (``dim_pk``), referenced by
+    relation through its declared PK (``dim_pk``), referenced by
     ``parent_col`` on ``parent`` (the fact or an earlier dim — the
-    latter is the snowflake case). ``dim_cols`` are the columns the
-    joined relation must carry from this dim (group keys, measure /
-    predicate inputs, plus referencing columns of child dims).
-    ``how`` is ``inner`` or ``left``: a left dim never drops the fact
-    row — unmatched rows keep NULL dim columns in J."""
+    latter is the snowflake case). Single-column PKs keep the plain
+    string form; composite PKs (``ON f.a = d.x AND f.b = d.y`` — the
+    partsupp pattern) carry aligned tuples in ``dim_pk``/``parent_col``
+    (PK-declared order). ``dim_cols`` are the columns the joined
+    relation must carry from this dim (group keys, measure / predicate
+    inputs, plus referencing columns of child dims). ``how`` is
+    ``inner`` or ``left``: a left dim never drops the fact row —
+    unmatched rows keep NULL dim columns in J."""
 
     dim: str
-    dim_pk: str
+    dim_pk: str | tuple[str, ...]
     parent: str
-    parent_col: str
+    parent_col: str | tuple[str, ...]
     dim_cols: tuple[str, ...] = ()
     how: str = "inner"
+
+    @property
+    def pk_cols(self) -> tuple[str, ...]:
+        return (self.dim_pk,) if isinstance(self.dim_pk, str) else tuple(self.dim_pk)
+
+    @property
+    def ref_cols(self) -> tuple[str, ...]:
+        return (
+            (self.parent_col,)
+            if isinstance(self.parent_col, str)
+            else tuple(self.parent_col)
+        )
 
 
 @dataclass(frozen=True)
@@ -1987,9 +2002,11 @@ class JoinAggShape:
 
 _REF = rf"(?:{_IDENT}\s*\.\s*)?{_IDENT}"
 
+_ON_EQ = rf"{_REF}\s*=\s*{_REF}"
+
 _JOIN_CLAUSE = (
     rf"(?:(?:INNER|LEFT(?:\s+OUTER)?)\s+)?JOIN\s+{_IDENT}(?:\s+(?:AS\s+)?{_IDENT})?\s+"
-    rf"ON\s+{_REF}\s*=\s*{_REF}"
+    rf"ON\s+{_ON_EQ}(?:\s+AND\s+{_ON_EQ})*"
 )
 
 _JOIN_AGG_RE = re.compile(
@@ -2006,9 +2023,11 @@ _JOIN_AGG_RE = re.compile(
 _JOIN_CLAUSE_RE = re.compile(
     rf"(?:(?P<how>INNER|LEFT(?:\s+OUTER)?)\s+)?"
     rf"JOIN\s+(?P<t>{_IDENT})(?:\s+(?:AS\s+)?(?P<a>{_IDENT}))?\s+"
-    rf"ON\s+(?P<lref>{_REF})\s*=\s*(?P<rref>{_REF})",
+    rf"ON\s+(?P<on>{_ON_EQ}(?:\s+AND\s+{_ON_EQ})*)",
     re.IGNORECASE | re.DOTALL,
 )
+
+_ON_EQ_RE = re.compile(rf"(?P<lref>{_REF})\s*=\s*(?P<rref>{_REF})", re.DOTALL)
 
 _CLAUSE_KEYWORDS = frozenset(
     "join inner left outer on where group having as".split()
@@ -2040,13 +2059,18 @@ def match_join_agg_shape(
         return None
     tables = [m.group("t0")]
     quals = {(m.group("a0") or m.group("t0")).lower(): m.group("t0")}
-    # raw (lref, rref, how, joined-table) per ON clause
-    edges: list[tuple[str, str, str, str]] = []
+    # raw ([(lref, rref), ...], how, joined-table) per ON clause — a
+    # conjunction of equalities is one edge (the composite-PK form)
+    edges: list[tuple[list[tuple[str, str]], str, str]] = []
     for jc in _JOIN_CLAUSE_RE.finditer(m.group("joins")):
         tables.append(jc.group("t"))
         quals[(jc.group("a") or jc.group("t")).lower()] = jc.group("t")
         how = "left" if (jc.group("how") or "").lower().startswith("left") else "inner"
-        edges.append((jc.group("lref"), jc.group("rref"), how, jc.group("t")))
+        pairs = [
+            (em.group("lref"), em.group("rref"))
+            for em in _ON_EQ_RE.finditer(jc.group("on"))
+        ]
+        edges.append((pairs, how, jc.group("t")))
     if (
         len(set(tables)) != len(tables)
         or any(t not in source_names for t in tables)
@@ -2078,36 +2102,76 @@ def match_join_agg_shape(
                 return t, cols[t][name]
         return None
 
-    on_pairs: list[tuple[tuple[str, str], tuple[str, str], str, str]] = []
-    for lref, rref, how, jt in edges:
-        l, r = resolve(lref), resolve(rref)
-        if l is None or r is None or l[0] == r[0]:
+    # Each edge resolves to exactly two tables; its equality pairs map
+    # one table's columns onto the other's, positionally consistent.
+    on_edges: list[tuple[str, str, dict[str, str], str, str]] = []
+    for pairs, how, jt in edges:
+        rp = [(resolve(lr), resolve(rr)) for lr, rr in pairs]
+        if any(l is None or r is None or l[0] == r[0] for l, r in rp):
             return None
-        on_pairs.append((l, r, how, jt))
+        ta, tb = rp[0][0][0], rp[0][1][0]
+        a_to_b: dict[str, str] = {}
+        for l, r in rp:
+            if (l[0], r[0]) == (ta, tb):
+                a_to_b[l[1].lower()] = r[1]
+            elif (l[0], r[0]) == (tb, ta):
+                a_to_b.setdefault(r[1].lower(), l[1])
+                a_to_b[r[1].lower()] = l[1]
+            else:
+                return None  # a third table inside one ON conjunction
+        if len(a_to_b) != len(rp):
+            return None  # duplicate column on the A side
+        on_edges.append((ta, tb, a_to_b, how, jt))
 
-    def is_single_pk(table: str, col: str) -> bool:
+    def pk_entry(table: str, a_to_b: dict[str, str], b_side: bool):
+        """If ``table``'s side of the edge is exactly its declared PK,
+        return (pk tuple in declared order, aligned other-side tuple);
+        else None. ``b_side`` says whether ``table``'s columns are the
+        VALUES of a_to_b (True) or its keys (False)."""
         pk = source_pks.get(table) or []
-        return len(pk) == 1 and pk[0].lower() == col.lower()
+        if not pk:
+            return None
+        if b_side:
+            own = {v.lower(): k for k, v in a_to_b.items()}
+        else:
+            own = {k.lower(): v for k, v in a_to_b.items()}
+        if len(own) != len(a_to_b):
+            return None
+        if set(own) != {p.lower() for p in pk}:
+            return None
+        pk_t = tuple(cols[table][p.lower()] for p in pk)
+        other_t = tuple(own[p.lower()] for p in pk)
+        return pk_t, other_t
 
     def orient(root: str) -> list[DimJoin] | None:
         """Root the join graph at ``root``: every other table must
-        enter through its single-column PK, referenced by a column of
-        an already-joined table. A LEFT JOIN's nullable side is fixed
-        by the SQL (the joined table), so its edge only orients with
-        that table as the dim. Returns dims in join order."""
-        joined, dims, remaining = {root}, [], list(on_pairs)
+        enter through its declared PK — single-column or composite —
+        referenced by columns of an already-joined table. A LEFT JOIN's
+        nullable side is fixed by the SQL (the joined table), so its
+        edge only orients with that table as the dim. Returns dims in
+        join order."""
+        joined, dims, remaining = {root}, [], list(on_edges)
         while remaining:
             for e in remaining:
-                (l, r, how, jt) = e
+                (ta, tb, a_to_b, how, jt) = e
                 hit = None
-                for (it, ic), (ot, oc) in ((l, r), (r, l)):
-                    if it in joined and ot not in joined and is_single_pk(ot, oc):
-                        if how == "left" and ot != jt:
-                            continue
-                        hit = DimJoin(
-                            dim=ot, dim_pk=oc, parent=it, parent_col=ic, how=how
-                        )
-                        break
+                for it, ot, b_side in ((ta, tb, True), (tb, ta, False)):
+                    if it not in joined or ot in joined:
+                        continue
+                    ent = pk_entry(ot, a_to_b, b_side)
+                    if ent is None:
+                        continue
+                    if how == "left" and ot != jt:
+                        continue
+                    pk_t, ref_t = ent
+                    hit = DimJoin(
+                        dim=ot,
+                        dim_pk=pk_t[0] if len(pk_t) == 1 else pk_t,
+                        parent=it,
+                        parent_col=ref_t[0] if len(ref_t) == 1 else ref_t,
+                        how=how,
+                    )
+                    break
                 if hit is not None:
                     dims.append(hit)
                     joined.add(hit.dim)
@@ -2265,9 +2329,9 @@ def match_join_agg_shape(
     # would collide.
     for d in dims:
         if d.parent != fact:
-            if d.parent_col.lower() in ambiguous:
+            if any(c.lower() in ambiguous for c in d.ref_cols):
                 return None
-            need[d.parent].add(d.parent_col)
+            need[d.parent].update(d.ref_cols)
     dims = [
         DimJoin(
             dim=d.dim,

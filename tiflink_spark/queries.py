@@ -1244,6 +1244,7 @@ _PRIORITY = [
     "mvapp_auto_dim_where",
     "mvapp_auto_projection",
     "mvapp_auto_cte",
+    "mvapp_auto_composite_key",
     "mvapp_semijoin_streaming",
     "mvapp_auto_corr_sum",
     "mvapp_auto_time_rollup",

@@ -3404,3 +3404,124 @@ def mvapp_auto_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_composite_key",
+    """
+    WITH dim0 AS (
+        SELECT l_partkey AS dp, l_suppkey AS ds, min(l_extendedprice) AS cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    final_dim AS (
+        SELECT dp, ds,
+               CASE WHEN (dp + ds) % 3 = 0 THEN cost + 1000 ELSE cost END AS cost
+        FROM dim0 WHERE (dp + ds) % 5 <> 0
+    ),
+    fact0 AS (
+        -- the raw table is not unique on (orderkey, linenumber); the
+        -- 4-tuple grouping builds a fact that IS unique by construction
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               sum(l_quantity) AS l_quantity
+        FROM lineitem
+        GROUP BY l_orderkey, l_linenumber, l_partkey, l_suppkey
+    ),
+    final_li AS (
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               CASE WHEN l_orderkey % 5 = 0 THEN l_quantity + 5
+                    ELSE l_quantity END AS l_quantity
+        FROM fact0 WHERE l_orderkey % 7 <> 0
+    )
+    SELECT ds, count(*) AS n_lines, round(sum(l_quantity * cost), 2) AS total
+    FROM final_li l JOIN final_dim d
+      ON l.l_partkey = d.dp AND l.l_suppkey = d.ds
+    GROUP BY ds
+    """,
+    doc=(
+        "Join-aggregate whose dimension enters through a COMPOSITE "
+        "primary key (ON l_partkey = dp AND l_suppkey = ds — the "
+        "TPC-H partsupp pattern) auto-routed to IncrementalJoinAggMV: "
+        "the ON conjunction of equalities orients as one edge iff one "
+        "side's columns are exactly the other table's declared PK, and "
+        "J re-derivation prunes and propagates on the full key pair. "
+        "Churned on BOTH sides: composite-key dim re-costs and "
+        "deletes (their fact rows leave the inner join) plus fact "
+        "deletes and quantity updates. The fn raises unless routed "
+        "incrementally."
+    ),
+    tags=("mv", "incremental", "planner", "join"),
+)
+def mvapp_auto_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    li = (
+        t["lineitem"]
+        .groupBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("l_quantity"))
+    )
+    dim = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("dp"), F.col("l_suppkey").alias("ds"))
+        .agg(F.min("l_extendedprice").alias("cost"))
+    )
+    work = tempfile.mkdtemp(prefix="mvapp_ck_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("li_ck", li, pk=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"])
+            .source("dim_ck", dim, pk=["dp", "ds"])
+            .query(
+                """SELECT dim_ck.ds, count(*) AS n_lines,
+                          sum(li_ck.l_quantity * dim_ck.cost) AS total_raw
+                   FROM li_ck JOIN dim_ck
+                     ON li_ck.l_partkey = dim_ck.dp
+                    AND li_ck.l_suppkey = dim_ck.ds
+                   GROUP BY dim_ck.ds"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalJoinAggMV":
+            raise AssertionError(
+                f"planner routed the composite-key join+agg to "
+                f"{app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        key = F.col("dp") + F.col("ds")
+        dch = (
+            dim.filter((key % 3 == 0) & (key % 5 != 0))
+            .withColumn("cost", F.col("cost") + 1000)
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .unionByName(
+                dim.filter(key % 5 == 0).withColumn(OP_COL, F.lit(OP_DELETE))
+            )
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        fch = (
+            li.filter(F.col("l_orderkey") % 7 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .unionByName(
+                li.filter(
+                    (F.col("l_orderkey") % 5 == 0) & (F.col("l_orderkey") % 7 != 0)
+                )
+                .withColumn("l_quantity", F.col("l_quantity") + 5)
+                .withColumn(OP_COL, F.lit(OP_UPDATE))
+            )
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"dim_ck": dch}, batch_id=1)
+        app.refresh({"li_ck": fch}, batch_id=2)
+        return (
+            app.read()
+            .select(
+                "ds",
+                "n_lines",
+                F.round("total_raw", 2).alias("total"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
