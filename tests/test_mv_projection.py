@@ -101,6 +101,30 @@ class TestNormalizeQuery:
         q3 = "SELECT a FROM t ORDER BY 9 LIMIT 2"
         assert normalize_query(q3) == q3
 
+    def test_comma_join_rewrite(self):
+        sc = {
+            "customer": ["c_custkey", "c_name", "c_mktsegment", "c_nationkey"],
+            "orders": ["o_orderkey", "o_custkey", "o_totalprice"],
+            "lineitem": ["l_orderkey", "l_linenumber", "l_extendedprice"],
+        }
+        q = ("SELECT o.o_orderkey, sum(l.l_extendedprice) AS rev "
+             "FROM customer c, orders o, lineitem l "
+             "WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey "
+             "AND l.l_orderkey = o.o_orderkey GROUP BY o.o_orderkey")
+        n = normalize_query(q, sc)
+        assert "JOIN orders o ON c.c_custkey = o.o_custkey" in n
+        assert "JOIN lineitem l ON l.l_orderkey = o.o_orderkey" in n
+        assert "WHERE c.c_mktsegment = 'BUILDING'" in n
+        # no predicate between the pair -> true cross join -> untouched
+        q2 = "SELECT c_custkey FROM customer, orders WHERE c_custkey > 5"
+        assert normalize_query(q2, sc) == q2
+        # top-level OR must not be torn into conjuncts
+        q3 = ("SELECT c_custkey FROM customer, orders "
+              "WHERE c_custkey = o_custkey OR c_custkey = 1")
+        assert normalize_query(q3, sc) == q3
+        # without schemas the rewrite is skipped entirely
+        assert normalize_query(q) == q
+
     def test_right_join_swap(self):
         q = ("SELECT o.o_orderkey, c.c_name FROM customer c "
              "RIGHT JOIN orders o ON o.o_custkey = c.c_custkey "

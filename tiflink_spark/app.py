@@ -217,11 +217,14 @@ class MVApp:
         self.pk_is_unique = True
 
         # Normalize before planning: semantics-preserving rewrites
-        # (CTE inlining, GROUP BY ordinals, RIGHT->LEFT join, bare
-        # ORDER BY removal) widen every matcher's reach; the rewritten
-        # text is what the recompute fallback executes too, so a
-        # rewrite is never a correctness risk (planner.normalize_query).
-        query = normalize_query(query)
+        # (CTE inlining, comma-join -> JOIN ON, GROUP BY / ORDER BY
+        # ordinals, RIGHT->LEFT join, bare ORDER BY removal) widen
+        # every matcher's reach; the rewritten text is what the
+        # recompute fallback executes too, so a rewrite is never a
+        # correctness risk (planner.normalize_query).
+        query = normalize_query(
+            query, {n: [f.name for f in d[1].schema.fields] for n, d in dfs.items()}
+        )
         self.query = query
 
         # Resolve the query against the catalog: schema + PK inference.

@@ -155,7 +155,13 @@ _AGG_KIND = {"stddev": "stddev_samp", "variance": "var_samp"}
 
 # Keywords permitted inside a row-local aggregate-argument expression
 # (CASE arithmetic etc.) on top of the generic SQL keyword set.
-_EXPR_KEYWORDS = _SQL_KEYWORDS | frozenset("case when then else end cast".split())
+_EXPR_KEYWORDS = _SQL_KEYWORDS | frozenset(
+    # typed-literal prefixes (DATE '...', TIMESTAMP '...', INTERVAL 1
+    # DAY) are row-local constants; their idents are admitted — any
+    # misuse still fails loudly at Spark analysis before planning
+    "case when then else end cast date timestamp interval day month year "
+    "hour minute second week quarter".split()
+)
 
 
 def _parse_measures(
@@ -1812,20 +1818,155 @@ def match_projection_shape(
     )
 
 
-def normalize_query(query: str) -> str:
+def _split_conjuncts(expr: str) -> list[str] | None:
+    """Split ``expr`` on top-level ANDs (string-literal and paren
+    aware). Returns None when a top-level OR is present — the whole
+    expression is then one disjunction and must not be torn apart."""
+    parts, depth, in_str = [], 0, False
+    start = 0
+    i = 0
+    ors = False
+    while i < len(expr):
+        ch = expr[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = re.match(r"(?i)\bAND\b", expr[i:])
+            if m and not (expr[i - 1].isalnum() or expr[i - 1] == "_"):
+                parts.append(expr[start:i].strip())
+                i += m.end()
+                start = i
+                continue
+            mo = re.match(r"(?i)\bOR\b", expr[i:])
+            if mo and not (expr[i - 1].isalnum() or expr[i - 1] == "_"):
+                ors = True
+        i += 1
+    parts.append(expr[start:].strip())
+    if ors:
+        return None
+    return [p for p in parts if p]
+
+
+_COMMA_FROM_RE = re.compile(
+    rf"(?is)^(?P<head>\s*SELECT\s+.+?\s+)"
+    rf"FROM\s+(?P<tables>{_IDENT}(?:\s+(?:AS\s+)?{_IDENT})?"
+    rf"(?:\s*,\s*{_IDENT}(?:\s+(?:AS\s+)?{_IDENT})?)+)\s+"
+    rf"WHERE\s+(?P<where>.+?)"
+    rf"(?P<rest>\s+(?:GROUP|HAVING|ORDER|LIMIT)\b.*)?\s*;?\s*$"
+)
+
+_FROM_ITEM_RE = re.compile(rf"(?is)^({_IDENT})(?:\s+(?:AS\s+)?({_IDENT}))?$")
+
+
+def _rewrite_comma_joins(query: str, source_columns: dict[str, list[str]]) -> str:
+    """``FROM t1, t2[, t3 …] WHERE equi-conjuncts AND rest`` → explicit
+    ``JOIN … ON`` form (the classic TPC-H spelling). Each top-level
+    ``a = b`` conjunct whose two sides resolve to different tables
+    attaches to the JOIN clause where its later table arrives; the
+    remaining conjuncts stay in WHERE. Bails (returns the query
+    unchanged) on a top-level OR, a clause pair that cannot be
+    attributed, or a table pair left with no join predicate (a true
+    cross join)."""
+    m = _COMMA_FROM_RE.match(query)
+    if m is None:
+        return query
+    items = []
+    for raw in m.group("tables").split(","):
+        fm = _FROM_ITEM_RE.match(raw.strip())
+        if fm is None:
+            return query
+        t, a = fm.group(1), fm.group(2)
+        if a is not None and a.lower() in (_CLAUSE_KEYWORDS | _POST_ALIAS_KEYWORDS):
+            return query
+        items.append((t, a))
+    tables = [t for t, _ in items]
+    if len(set(t.lower() for t in tables)) != len(tables):
+        return query  # self-join — alias scoping beyond this rewrite
+    if any(t not in source_columns for t in tables):
+        return query
+    quals = {(a or t).lower(): t for t, a in items}
+    if len(quals) != len(items):
+        return query
+    cols = {t: {c.lower() for c in source_columns[t]} for t in tables}
+    seen: dict[str, int] = {}
+    for t in tables:
+        for c in cols[t]:
+            seen[c] = seen.get(c, 0) + 1
+
+    def table_of(ref: str) -> str | None:
+        qm = _QUAL_RE.fullmatch(ref.strip())
+        if qm is not None:
+            t = quals.get(qm.group(1).lower())
+            if t is None or qm.group(2).lower() not in cols[t]:
+                return None
+            return t
+        name = ref.strip().lower()
+        if seen.get(name, 0) != 1:
+            return None
+        for t in tables:
+            if name in cols[t]:
+                return t
+        return None
+
+    conjs = _split_conjuncts(m.group("where"))
+    if conjs is None:
+        return query
+    order = {t: i for i, (t, _) in enumerate(items)}
+    on_for: dict[int, list[str]] = {i: [] for i in range(1, len(items))}
+    leftover: list[str] = []
+    eq_re = re.compile(rf"(?s)^({_REF})\s*=\s*({_REF})$")
+    for c in conjs:
+        em = eq_re.match(c.strip())
+        attached = False
+        if em is not None:
+            ta, tb = table_of(em.group(1)), table_of(em.group(2))
+            if ta is not None and tb is not None and ta != tb:
+                on_for[max(order[ta], order[tb])].append(c.strip())
+                attached = True
+        if not attached:
+            leftover.append(c.strip())
+    if any(not v for v in on_for.values()):
+        return query  # some table pair has no join predicate
+    parts = []
+    for i, (t, a) in enumerate(items):
+        alias = f" {a}" if a else ""
+        if i == 0:
+            parts.append(f"FROM {t}{alias}")
+        else:
+            parts.append(f"JOIN {t}{alias} ON {' AND '.join(on_for[i])}")
+    where = f" WHERE {' AND '.join(leftover)}" if leftover else ""
+    return f"{m.group('head')}{' '.join(parts)}{where}{m.group('rest') or ''}"
+
+
+def normalize_query(
+    query: str, source_columns: dict[str, list[str]] | None = None
+) -> str:
     """Semantics-preserving textual rewrites applied before shape
     matching, widening the incremental planner's reach without touching
-    the matchers: single-CTE inlining (→ the cascade's nested form),
-    GROUP BY ordinal resolution, RIGHT→LEFT join normalization, and
+    the matchers: CTE-pipeline inlining (→ the cascade's nested form),
+    comma-join → JOIN ON rewriting (needs ``source_columns`` to
+    attribute bare column names; skipped without them), GROUP BY /
+    ORDER BY ordinal resolution, RIGHT→LEFT join normalization, and
     bare trailing ORDER BY removal (a keyed MV target is unordered).
     Every rewrite preserves the resolved schema and result SET, so the
     recompute fallback is equally correct on the rewritten text."""
     q = _inline_single_cte(query)
+    if source_columns:
+        q = _rewrite_comma_joins(q, source_columns)
     q = _swap_right_join(q)
     q = _resolve_groupby_ordinals(q)
     q = _resolve_orderby_ordinals(q)
     q = _strip_bare_order_by(q)
-    return q
+    return q.strip()
 
 
 _NESTED_HEAD_RE = re.compile(r"(?is)^\s*(?P<head>SELECT\s+.+?\s+FROM)\s*\(")

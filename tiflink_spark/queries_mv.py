@@ -3525,3 +3525,82 @@ def mvapp_auto_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_comma_join",
+    f"""
+    WITH {_FINAL_ORDERS_SQL},
+    final_customer_cj AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment
+        FROM customer WHERE c_custkey % 10 <> 4
+    )
+    SELECT c_nationkey, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM final_orders o, final_customer_cj c
+    WHERE o.o_custkey = c.c_custkey
+      AND c.c_mktsegment = 'BUILDING' AND o.o_totalprice > 1000
+    GROUP BY c_nationkey
+    """,
+    doc=(
+        "The classic comma-join spelling (FROM fact, dim WHERE fk = pk "
+        "AND filters — how TPC-H queries are written) normalized into "
+        "explicit JOIN ON form by the pre-matching rewrite and routed "
+        "to IncrementalJoinAggMV: each top-level equality conjunct "
+        "whose sides resolve to different tables becomes an ON "
+        "predicate on the clause where its later table arrives, the "
+        "rest stays row-local WHERE. The fn raises unless routed "
+        "incrementally; churned on both sides including dim deletes."
+    ),
+    tags=("mv", "incremental", "planner", "join"),
+)
+def mvapp_auto_comma_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_cj_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("orders_cj", t["orders"], pk=["o_orderkey"])
+            .source("customer_cj", t["customer"], pk=["c_custkey"])
+            .query(
+                """SELECT c_nationkey, count(*) AS n_orders,
+                          sum(o_totalprice) AS total_price_raw
+                   FROM orders_cj o, customer_cj c
+                   WHERE o.o_custkey = c.c_custkey
+                     AND c.c_mktsegment = 'BUILDING' AND o.o_totalprice > 1000
+                   GROUP BY c_nationkey"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalJoinAggMV":
+            raise AssertionError(
+                f"planner routed the comma join to {app.maintenance_strategy}"
+            )
+        cust = t["customer"]
+        app.bootstrap()
+        dim_batch = (
+            cust.filter(F.col("c_custkey") % 10 == 4)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        batches = scripted_batches(t["orders"])
+        app.refresh({"orders_cj": batches[0]}, batch_id=1)
+        app.refresh({"customer_cj": dim_batch}, batch_id=2)
+        app.refresh({"orders_cj": batches[1]}, batch_id=3)
+        app.refresh({"orders_cj": batches[2]}, batch_id=4)
+        return (
+            app.read()
+            .select(
+                "c_nationkey",
+                "n_orders",
+                F.round("total_price_raw", 2).alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
