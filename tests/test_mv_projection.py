@@ -328,6 +328,53 @@ class TestProjectionConvergence:
         got = sorted(tuple(r) for r in app.read().collect())
         assert got == expect
 
+    def test_validate_pks_catches_false_keys(self, spark, tmp_path):
+        """validate_pks() fails bootstrap loudly on a duplicate or NULL
+        declared PK — the silent-corruption hazard a database's own
+        constraint would have prevented (the composite-key gate's
+        original bug was exactly this, in the raw testdata)."""
+        from tiflink_spark.app import MVApp
+
+        dup = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k long, v string")
+        app = (
+            MVApp.builder(spark)
+            .source("dup_t", dup, pk=["k"])
+            .query("SELECT k, v FROM dup_t")
+            .target(str(tmp_path / "vd"))
+            .num_buckets(2)
+            .validate_pks()
+            .build()
+        )
+        with pytest.raises(ValueError, match="not unique on declared PK"):
+            app.bootstrap()
+
+        nulls = spark.createDataFrame([(None, "a"), (2, "b")], "k long, v string")
+        app2 = (
+            MVApp.builder(spark)
+            .source("null_t", nulls, pk=["k"])
+            .query("SELECT k, v FROM null_t")
+            .target(str(tmp_path / "vn"))
+            .num_buckets(2)
+            .validate_pks()
+            .build()
+        )
+        with pytest.raises(ValueError, match="NULL in"):
+            app2.bootstrap()
+
+        # a clean source passes and bootstraps normally
+        ok = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        app3 = (
+            MVApp.builder(spark)
+            .source("ok_t", ok, pk=["k"])
+            .query("SELECT k, v FROM ok_t")
+            .target(str(tmp_path / "vo"))
+            .num_buckets(2)
+            .validate_pks()
+            .build()
+        )
+        app3.bootstrap()
+        assert app3.read().count() == 2
+
     def test_union_inner_never_cascades(self, spark, tmp_path):
         """A UNION ALL inner advertises an overclaimed PK (unique per
         branch only); an outer trusting it would collapse cross-branch

@@ -108,6 +108,19 @@ class MVAppBuilder:
         self._ddl_hook = fn
         return self
 
+    def validate_pks(self, enabled: bool = True) -> "MVAppBuilder":
+        """Assert at bootstrap that every source really is unique on its
+        declared PK (one COUNT vs COUNT-DISTINCT aggregate per source —
+        a full pass, so opt-in; run it once when onboarding a dataset).
+        A falsely-declared PK silently corrupts maintenance: the keyed
+        stores MERGE by PK, so duplicate keys collapse into one row and
+        every downstream delta is wrong. The reference never faces this
+        — it reflects true PKs from the database's own constraints
+        (TiJDBCHelper.java:85-109); declared PKs deserve the check the
+        database would have enforced."""
+        self._validate_pks = enabled
+        return self
+
     def build(self) -> "MVApp":
         if not self._sources or self._query is None or self._target is None:
             raise ValueError("MVApp needs at least one source, a query, and a target")
@@ -120,6 +133,7 @@ class MVAppBuilder:
             self._num_buckets,
             self._shuffle_partitions,
             ddl_hook=getattr(self, "_ddl_hook", None),
+            validate_pks=getattr(self, "_validate_pks", False),
         )
 
 
@@ -180,12 +194,13 @@ class MVApp:
 
     def __init__(
         self, spark, sources, query, target, pk, num_buckets,
-        shuffle_partitions=None, ddl_hook=None,
+        shuffle_partitions=None, ddl_hook=None, validate_pks=False,
     ):
         self.spark = spark
         self.catalog = Catalog(spark)
         self.query = query
         self._ddl_hook = ddl_hook
+        self._validate_pks = validate_pks
         self.target_path = target
         self._stores: dict[str, KeyedParquetStore] = {}
         # True when the MV class takes a {table: changes} dict refresh
@@ -206,6 +221,8 @@ class MVApp:
                 spec = self.catalog.register_dataframe(name, src, spk)
                 df = src
             dfs[name] = (spec, df)
+        # kept for bootstrap-time PK validation (validate_pks)
+        self._source_frames = {n: (d[0].pk, d[1]) for n, d in dfs.items()}
 
         # Whether the advertised MV PK is a TRUE unique constraint of
         # the result. Every incremental route derives a real key (group
@@ -963,6 +980,38 @@ class MVApp:
         return removed
 
     def bootstrap(self, batch_id=0) -> "MVApp":
+        # Opt-in source-PK audit: a falsely-declared PK (duplicate or
+        # NULL keys) corrupts MERGE-by-PK maintenance silently; fail
+        # loudly here instead. One aggregate pass per source.
+        if self._validate_pks:
+            from pyspark.sql import functions as F
+
+            for name, (pk_cols, df) in self._source_frames.items():
+                if not pk_cols:
+                    continue
+                null_any = None
+                for c in pk_cols:
+                    cond = F.col(c).isNull()
+                    null_any = cond if null_any is None else (null_any | cond)
+                r = df.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count_distinct(*[F.col(c) for c in pk_cols]).alias("d"),
+                    F.sum(F.when(null_any, 1).otherwise(0)).alias("nulls"),
+                ).head()
+                if r["nulls"]:
+                    raise ValueError(
+                        f"source '{name}': {r['nulls']} rows have NULL in "
+                        f"declared PK {list(pk_cols)} (PRIMARY KEY implies "
+                        f"NOT NULL)"
+                    )
+                if r["n"] != r["d"]:
+                    raise ValueError(
+                        f"source '{name}' is not unique on declared PK "
+                        f"{list(pk_cols)}: {r['n']} rows vs {r['d']} "
+                        f"distinct keys — maintenance would silently "
+                        f"collapse duplicates"
+                    )
+
         # Target DDL executes before the first publish — the reference's
         # lifecycle step 3 (TiJDBCHelper.java:111-140).
         if self._ddl_hook is not None:
