@@ -124,6 +124,22 @@ class TestNormalizeQuery:
         assert normalize_query(q3, sc) == q3
         # without schemas the rewrite is skipped entirely
         assert normalize_query(q) == q
+        # a subquery whose body holds GROUP BY must not be torn apart
+        q4 = ("SELECT c_custkey FROM customer, orders "
+              "WHERE c_custkey = o_custkey AND c_custkey IN "
+              "(SELECT o_custkey FROM orders GROUP BY o_custkey)")
+        assert normalize_query(q4, sc) == q4
+        # string literal containing a comma/keyword stays inert
+        q5 = ("SELECT c_custkey, o_orderkey FROM customer, orders "
+              "WHERE c_custkey = o_custkey AND c_name <> 'GROUP, BY'")
+        n5 = normalize_query(q5, sc)
+        assert "JOIN orders ON c_custkey = o_custkey" in n5
+        assert "'GROUP, BY'" in n5
+        # a literal with interior whitespace+keyword WOULD tear the
+        # where-slice mid-string — the balance guard must bail
+        q6 = ("SELECT c_custkey FROM customer, orders "
+              "WHERE c_custkey = o_custkey AND c_name <> 'a GROUP b'")
+        assert normalize_query(q6, sc) == q6
 
     def test_right_join_swap(self):
         q = ("SELECT o.o_orderkey, c.c_name FROM customer c "

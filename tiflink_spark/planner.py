@@ -1917,6 +1917,21 @@ def _rewrite_comma_joins(query: str, source_columns: dict[str, list[str]]) -> st
                 return t
         return None
 
+    # The head regex can tear the WHERE at a GROUP/ORDER/LIMIT keyword
+    # that sits INSIDE a subquery's parens; an unbalanced where-slice
+    # means exactly that — bail rather than reason about fragments.
+    depth, in_str = 0, False
+    for ch in m.group("where"):
+        if in_str:
+            in_str = ch != "'"
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+    if depth != 0 or in_str:
+        return query
     conjs = _split_conjuncts(m.group("where"))
     if conjs is None:
         return query
