@@ -3604,3 +3604,64 @@ def mvapp_auto_comma_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_projection_streaming",
+    f"""
+    WITH {_FINAL_ORDERS_SQL}
+    SELECT o_orderkey AS id, o_custkey,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM final_orders WHERE o_totalprice > 1000
+    """,
+    doc=(
+        "The stateless projection route driven through REAL Structured "
+        "Streaming: the scripted changelog batches are written as "
+        "parquet changelog directories, consumed via readStream with "
+        "maxFilesPerTrigger=1, and each micro-batch MERGEs through "
+        "foreachBatch with per-table checkpoints — the reference's "
+        "snapshot-then-CDC lifecycle (FlinkTikvConsumer.java:92-106) "
+        "over the cheapest maintenance class. The fn raises unless "
+        "routed to IncrementalProjectionMV."
+    ),
+    tags=("mv", "incremental", "planner", "streaming"),
+)
+def mvapp_projection_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_pjstream_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("orders_pjs", t["orders"], pk=["o_orderkey"])
+            .query(
+                """SELECT o_orderkey AS id, o_custkey,
+                          floor(o_totalprice * 100) AS price_cents
+                   FROM orders_pjs WHERE o_totalprice > 1000"""
+            )
+            .target(os.path.join(work, "mv"))
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalProjectionMV":
+            raise AssertionError(
+                f"planner routed the projection view to {app.maintenance_strategy}"
+            )
+        batches = scripted_batches(t["orders"])
+        d = os.path.join(work, "chlog_orders")
+        # one file per scripted batch -> three real micro-batches; the
+        # three scripts touch DISJOINT key sets, so any file pickup
+        # order converges to the same state
+        for b in batches:
+            b.coalesce(1).write.mode("append").parquet(d)
+        app.bootstrap()
+        app.start_streaming(
+            {"orders_pjs": d}, checkpoint_dir=os.path.join(work, "ckpt")
+        )
+        return app.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
