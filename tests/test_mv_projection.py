@@ -164,6 +164,32 @@ class TestNormalizeQuery:
         assert n.startswith("SELECT o_custkey, n FROM ( SELECT o_custkey")
         assert "FROM ( SELECT * FROM orders WHERE o_totalprice > 100 ) p" in n
 
+    def test_cte_with_user_alias(self):
+        # FROM paid p — the user alias replaces the CTE name as the
+        # derived-table alias so p.* references keep resolving
+        q = ("WITH paid AS (SELECT * FROM orders WHERE o_totalprice > 1000) "
+             "SELECT p.o_custkey FROM paid p WHERE p.o_custkey > 5")
+        n = normalize_query(q)
+        assert ") p WHERE p.o_custkey > 5" in n
+        assert "paid p" not in n
+
+    def test_setop_ordinals_untouched(self):
+        # two top-level SELECTs: an ordinal would resolve against the
+        # wrong branch's select list — both passes must bail
+        q = ("SELECT a, n FROM t1 INTERSECT "
+             "SELECT x, count(*) AS n2 FROM t2 GROUP BY 1")
+        assert normalize_query(q) == q
+        q2 = "SELECT a, b FROM t1 UNION SELECT c, d FROM t2 ORDER BY 2 LIMIT 5"
+        assert normalize_query(q2) == q2
+
+    def test_right_join_star_untouched(self):
+        # SELECT * expands in join order; swapping would reorder the
+        # output schema — bail. Multiplication stars are not stars.
+        q = "SELECT * FROM a RIGHT JOIN b ON a.k = b.k"
+        assert normalize_query(q) == q
+        q2 = "SELECT a.k, b.v * 2 AS d FROM a RIGHT JOIN b ON a.k = b.k"
+        assert "LEFT JOIN" in normalize_query(q2)
+
     def test_cte_list_with_unreferenced_member_untouched(self):
         q = ("WITH a AS (SELECT 1 AS x), b AS (SELECT 2 AS y) "
              "SELECT x FROM a")

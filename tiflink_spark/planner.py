@@ -1504,7 +1504,9 @@ def _resolve_groupby_ordinals(query: str) -> str:
     ]
     sels = _scan_top_level(query, "SELECT")
     froms = _scan_top_level(query, "FROM")
-    if len(gbs) != 1 or not sels or not froms:
+    # exactly one top-level SELECT: in a set-op query the ordinal would
+    # otherwise resolve against the WRONG branch's select list
+    if len(gbs) != 1 or len(sels) != 1 or len(froms) != 1:
         return query
     select_txt = query[sels[0] + 6 : froms[0]].strip()
     if re.match(r"(?is)^DISTINCT\b", select_txt):
@@ -1556,7 +1558,9 @@ def _resolve_orderby_ordinals(query: str) -> str:
     ]
     sels = _scan_top_level(query, "SELECT")
     froms = _scan_top_level(query, "FROM")
-    if len(obs) != 1 or not sels or not froms:
+    # single-branch only: over a set-op the first branch's item text is
+    # not a valid output column of the union
+    if len(obs) != 1 or len(sels) != 1 or len(froms) != 1:
         return query
     select_txt = query[sels[0] + 6 : froms[0]].strip()
     if re.match(r"(?is)^DISTINCT\b", select_txt):
@@ -1599,6 +1603,15 @@ def _swap_right_join(query: str) -> str:
     ).lower() in _CLAUSE_KEYWORDS
     if bad or re.search(r"(?is)\bJOIN\b", m.group("cond")):
         return query
+    # SELECT * / t.* expands in join order — swapping sides would
+    # reorder the output schema (DDL, positional consumers), so leave
+    # star projections alone
+    select_txt = re.sub(r"(?is)^\s*SELECT\s+", "", m.group("head")).strip()
+    if any(
+        it.strip() == "*" or it.strip().endswith(".*")
+        for it in _split_select_list(select_txt)
+    ):
+        return query
     return (
         f"{m.group('head')}FROM {m.group('t2')}{a2} LEFT JOIN "
         f"{m.group('t1')}{a1} ON {m.group('cond')}{m.group('rest') or ''}"
@@ -1634,8 +1647,11 @@ def _match_paren_end(query: str, i: int) -> int | None:
 
 def _inline_cte_into(text: str, name: str, sql: str) -> str | None:
     """Replace the sole ``FROM name`` reference in ``text`` with the
-    derived-table form ``FROM ( sql ) name``. None when the name is
-    referenced other than exactly once as a sole FROM relation."""
+    derived-table form ``FROM ( sql ) name``. A user alias after the
+    reference (``FROM name n``) replaces the CTE name as the derived
+    table's alias — column references go through it. None when the
+    name is referenced other than exactly once as a sole FROM
+    relation."""
     if len(re.findall(rf"(?i)\b{re.escape(name)}\b", text)) != 1:
         return None
     fm = re.search(rf"(?is)\bFROM\s+{re.escape(name)}\b", text)
@@ -1646,7 +1662,14 @@ def _inline_cte_into(text: str, name: str, sql: str) -> str | None:
         r"(?is)^\s*(,|JOIN\b|INNER\b|LEFT\b|RIGHT\b|FULL\b|CROSS\b|NATURAL\b)", after
     ):
         return None
-    return f"{text[: fm.start()]}FROM ( {sql} ) {name}{after}"
+    out_name = name
+    am = re.match(rf"(?is)^\s+(?:AS\s+)?(?P<a>{_IDENT})\b", after)
+    if am is not None and am.group("a").lower() not in (
+        _CLAUSE_KEYWORDS | _POST_ALIAS_KEYWORDS
+    ):
+        out_name = am.group("a")
+        after = after[am.end() :]
+    return f"{text[: fm.start()]}FROM ( {sql} ) {out_name}{after}"
 
 
 def _inline_single_cte(query: str) -> str:
@@ -2271,7 +2294,6 @@ def match_join_agg_shape(
             if (l[0], r[0]) == (ta, tb):
                 a_to_b[l[1].lower()] = r[1]
             elif (l[0], r[0]) == (tb, ta):
-                a_to_b.setdefault(r[1].lower(), l[1])
                 a_to_b[r[1].lower()] = l[1]
             else:
                 return None  # a third table inside one ON conjunction
