@@ -141,6 +141,24 @@ class TestNormalizeQuery:
               "WHERE c_custkey = o_custkey AND c_name <> 'a GROUP b'")
         assert normalize_query(q6, sc) == q6
 
+    def test_on_predicate_hoist(self):
+        # constant/filter conjuncts leave an INNER ON for WHERE (the
+        # two commute on inner joins); LEFT ONs stay untouched
+        q = ("SELECT c_nationkey, count(*) AS n FROM orders o JOIN customer c "
+             "ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING' "
+             "GROUP BY c_nationkey")
+        n = normalize_query(q)
+        assert "ON o.o_custkey = c.c_custkey WHERE (c.c_mktsegment = 'BUILDING')" in n
+        q2 = ("SELECT o.o_orderkey FROM orders o LEFT JOIN customer c "
+              "ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'AUTO'")
+        assert normalize_query(q2) == q2
+        # an existing WHERE receives the hoisted conjunct up front
+        q3 = ("SELECT a FROM t JOIN u ON t.k = u.k AND u.v > 5 WHERE t.x > 1")
+        assert "WHERE (u.v > 5) AND t.x > 1" in normalize_query(q3)
+        # an ON that is ONLY a filter (no equality) must not be emptied
+        q4 = "SELECT a FROM t JOIN u ON u.v > 5"
+        assert normalize_query(q4) == q4
+
     def test_right_join_swap(self):
         q = ("SELECT o.o_orderkey, c.c_name FROM customer c "
              "RIGHT JOIN orders o ON o.o_custkey = c.c_custkey "

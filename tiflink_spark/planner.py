@@ -1985,6 +1985,81 @@ def _rewrite_comma_joins(query: str, source_columns: dict[str, list[str]]) -> st
     return f"{m.group('head')}{' '.join(parts)}{where}{m.group('rest') or ''}"
 
 
+_ON_BOUNDARY = (
+    "JOIN INNER LEFT RIGHT FULL CROSS NATURAL WHERE GROUP HAVING "
+    "ORDER LIMIT UNION INTERSECT EXCEPT"
+).split()
+
+
+def _hoist_on_predicates(query: str) -> str:
+    """Move non-equality conjuncts out of INNER-join ON clauses into
+    WHERE: ``JOIN d ON f.k = d.pk AND d.type = 'X'`` ≡ ``JOIN d ON
+    f.k = d.pk WHERE d.type = 'X'`` for inner joins (ON and WHERE
+    filters commute), which is the form the join matchers read. LEFT
+    joins keep their ON untouched (the predicate's placement changes
+    which rows survive). Bails on an ON with no remaining equality."""
+    ons = [
+        i
+        for i in _scan_top_level(query, "ON")
+        if re.match(r"(?is)^ON\b", query[i:])
+    ]
+    if not ons:
+        return query
+    eq_re = re.compile(rf"(?s)^{_REF}\s*=\s*{_REF}$")
+    hoisted: list[str] = []
+    spans: list[tuple[int, int, str]] = []  # (start, end, new ON text)
+    for i in ons:
+        # the owning JOIN must be INNER: scan the text just before for
+        # a LEFT/RIGHT/FULL qualifier on the same clause
+        head = query[:i]
+        jm = re.search(
+            rf"(?is)((?:INNER|LEFT(?:\s+OUTER)?|RIGHT(?:\s+OUTER)?|"
+            rf"FULL(?:\s+OUTER)?|CROSS)\s+)?JOIN\s+{_IDENT}"
+            rf"(?:\s+(?:AS\s+)?{_IDENT})?\s*$",
+            head,
+        )
+        if jm is None:
+            return query  # ON without a parseable JOIN head — bail all
+        how = (jm.group(1) or "inner").strip().lower()
+        body_start = i + 2
+        stop = len(query)
+        for kw in _ON_BOUNDARY:
+            for j in _scan_top_level(query[body_start:], kw):
+                stop = min(stop, body_start + j)
+        body = query[body_start:stop]
+        conjs = _split_conjuncts(body)
+        if conjs is None:
+            continue  # top-level OR: leave this ON alone
+        keep = [c for c in conjs if eq_re.match(c.strip())]
+        move = [c for c in conjs if not eq_re.match(c.strip())]
+        if not move:
+            continue
+        if not keep or not how.startswith("inner"):
+            continue  # nothing joinable left, or an outer join
+        hoisted.extend(move)
+        spans.append((body_start, stop, " " + " AND ".join(keep) + " "))
+    if not hoisted:
+        return query
+    out = query
+    for start, stop, txt in sorted(spans, reverse=True):
+        out = out[:start] + txt + out[stop:]
+    wh = [
+        i
+        for i in _scan_top_level(out, "WHERE")
+        if re.match(r"(?is)^WHERE\b", out[i:])
+    ]
+    pred = " AND ".join(f"({p.strip()})" for p in hoisted)
+    if wh:
+        j = wh[0] + 5
+        return f"{out[:j]} {pred} AND {out[j:].lstrip()}"
+    # no WHERE yet: insert before the first trailing clause keyword
+    stop = len(out.rstrip().rstrip(";"))
+    for kw in ("GROUP", "HAVING", "ORDER", "LIMIT"):
+        for j in _scan_top_level(out, kw):
+            stop = min(stop, j)
+    return f"{out[:stop].rstrip()} WHERE {pred} {out[stop:]}".rstrip()
+
+
 def normalize_query(
     query: str, source_columns: dict[str, list[str]] | None = None
 ) -> str:
@@ -2001,6 +2076,7 @@ def normalize_query(
     if source_columns:
         q = _rewrite_comma_joins(q, source_columns)
     q = _swap_right_join(q)
+    q = _hoist_on_predicates(q)
     q = _resolve_groupby_ordinals(q)
     q = _resolve_orderby_ordinals(q)
     q = _strip_bare_order_by(q)
