@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from tiflink_spark.changelog import OP_COL, OP_DELETE, OP_INSERT, OP_UPDATE, SEQ_COL
 
 
@@ -171,3 +173,88 @@ class TestWindowRandomizedConvergence:
         want = {tuple(r) for r in final.selectExpr(*items).collect()}
         got = {tuple(r) for r in mv.read().collect()}
         assert got == want
+
+
+class TestNullAwareNotIn:
+    def test_matcher_and_dispatch_guard(self, spark, tmp_path):
+        from tiflink_spark.planner import match_semijoin_shape
+
+        cols = {"f": ["id", "fk"], "o": ["ok", "nm"]}
+        s = match_semijoin_shape(
+            "SELECT id, fk FROM f WHERE fk NOT IN (SELECT ok FROM o)",
+            {"f", "o"}, cols,
+        )
+        assert s is not None and s.anti and s.null_aware
+        # NOT EXISTS keeps the plain (non-null-aware) anti semantics
+        s2 = match_semijoin_shape(
+            "SELECT id, fk FROM f WHERE NOT EXISTS "
+            "(SELECT 1 FROM o WHERE o.ok = f.fk)",
+            {"f", "o"}, cols,
+        )
+        assert s2 is not None and s2.anti and not s2.null_aware
+        # dispatch guard: inner column NOT the other PK -> recompute
+        from tiflink_spark.app import MVApp
+
+        f = spark.createDataFrame([(1, "a")], "id long, nm string")
+        o = spark.createDataFrame([(1, "a")], "ok long, nm2 string")
+        app = (
+            MVApp.builder(spark)
+            .source("f_g", f, pk=["id"])
+            .source("o_g", o, pk=["ok"])
+            .query("SELECT id, nm FROM f_g WHERE nm NOT IN (SELECT nm2 FROM o_g)")
+            .target(str(tmp_path / "g"))
+            .num_buckets(2)
+            .build()
+        )
+        assert app.maintenance_strategy == "RecomputeMV"
+
+    def test_not_in_converges_with_empty_set_flips(self, spark, tmp_path):
+        """NOT IN's null-aware rules under churn: a NULL outer key is
+        in the view ONLY while the inner set is empty; the flip in
+        either direction re-evaluates the NULL-key rows; replaying the
+        flip batch is a no-op."""
+        from tiflink_spark.app import MVApp
+
+        fact = spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 10), (4, None), (5, 30)], "id long, fk long"
+        )
+        other = spark.createDataFrame([(10, "a"), (20, "b")], "ok long, nm string")
+        app = (
+            MVApp.builder(spark)
+            .source("f_ni", fact, pk=["id"])
+            .source("o_ni", other, pk=["ok"])
+            .query("SELECT id, fk FROM f_ni WHERE fk NOT IN (SELECT ok FROM o_ni)")
+            .target(str(tmp_path / "ni"))
+            .num_buckets(2)
+            .shuffle_partitions(2)
+            .build()
+        )
+        assert app.maintenance_strategy == "IncrementalSemiJoinMV"
+        app.bootstrap()
+
+        def ids():
+            return sorted(r.id for r in app.read().collect())
+
+        assert ids() == [5]  # NULL fk excluded while inner non-empty
+        d10 = spark.createDataFrame([(10, "a")], "ok long, nm string").withColumn(
+            OP_COL, F.lit(OP_DELETE)
+        ).withColumn(SEQ_COL, F.lit(0))
+        app.refresh({"o_ni": d10}, batch_id=1)
+        assert ids() == [1, 3, 5]
+        d20 = spark.createDataFrame([(20, "b")], "ok long, nm string").withColumn(
+            OP_COL, F.lit(OP_DELETE)
+        ).withColumn(SEQ_COL, F.lit(0))
+        app.refresh({"o_ni": d20}, batch_id=2)
+        assert ids() == [1, 2, 3, 4, 5]  # empty inner admits NULL fk
+        app.refresh({"o_ni": d20}, batch_id=2)  # crash replay: no-op
+        assert ids() == [1, 2, 3, 4, 5]
+        i30 = spark.createDataFrame([(30, "c")], "ok long, nm string").withColumn(
+            OP_COL, F.lit(OP_INSERT)
+        ).withColumn(SEQ_COL, F.lit(0))
+        app.refresh({"o_ni": i30}, batch_id=3)
+        assert ids() == [1, 2, 3]  # 5 matches again, NULL leaves too
+        newnull = spark.createDataFrame([(6, None)], "id long, fk long").withColumn(
+            OP_COL, F.lit(OP_INSERT)
+        ).withColumn(SEQ_COL, F.lit(0))
+        app.refresh({"f_ni": newnull}, batch_id=4)
+        assert ids() == [1, 2, 3]  # NULL insert stays out while non-empty

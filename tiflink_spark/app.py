@@ -465,9 +465,19 @@ class MVApp:
         if sj is not None:
             fspec, ospec = dfs[sj.fact][0], dfs[sj.other][0]
             sel_lower = {c.lower() for c in sj.out_cols}
+            # NOT IN (null_aware) additionally requires the inner
+            # column to BE the other table's single-column PK: PRIMARY
+            # KEY implies NOT NULL, so the inner-NULL case (which
+            # empties the whole view) cannot arise, and the empty-set
+            # flip for NULL outer keys is the only extra rule.
+            null_ok = not sj.null_aware or (
+                len(ospec.pk) == 1
+                and ospec.pk[0].lower() == sj.other_key.lower()
+            )
             if (
                 fspec.pk
                 and ospec.pk
+                and null_ok
                 and all(p.lower() in sel_lower for p in fspec.pk)
                 and (pk is None or list(pk) == list(fspec.pk))
             ):
@@ -494,6 +504,7 @@ class MVApp:
                     num_buckets=num_buckets,
                     shuffle_partitions=shuffle_partitions,
                     where=sj.where,
+                    null_aware=sj.null_aware,
                 )
                 self._stores = {
                     sj.fact: self._mv.fact_store,

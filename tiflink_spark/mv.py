@@ -354,10 +354,17 @@ class IncrementalSemiJoinMV:
         num_buckets: int | None = None,
         shuffle_partitions: int | None = None,
         where: str | None = None,
+        null_aware: bool = False,
     ):
         self.spark = spark
         self.shuffle_partitions = shuffle_partitions
         self.anti = anti
+        # NOT IN semantics: a NULL fact key is in the anti view only
+        # while the other side is EMPTY (NULL NOT IN () is vacuously
+        # true; any non-empty set makes the comparison UNKNOWN). The
+        # caller guarantees the other side's key column is NOT NULL
+        # (its PK), so the inner-NULL case cannot arise.
+        self.null_aware = null_aware
         self.fact_key = fact_key
         self.other_key = other_key
         self.out_cols = list(out_cols)
@@ -384,20 +391,31 @@ class IncrementalSemiJoinMV:
             .distinct()
         )
 
-    def _member_rows(self, rows: DataFrame, keys: DataFrame) -> DataFrame:
+    def _member_rows(
+        self, rows: DataFrame, keys: DataFrame, other_empty: bool = False
+    ) -> DataFrame:
         """``rows`` with a ``__member`` flag: True iff the row belongs
         to the view under the given presence-key set."""
         flagged = rows.join(keys, rows[self.fact_key] == keys["__ok"], "left")
         present = F.col("__ok").isNotNull()
         member = ~present if self.anti else present
+        if self.anti and self.null_aware:
+            member = member & (
+                F.col(self.fact_key).isNotNull() | F.lit(other_empty)
+            )
         return flagged.withColumn("__member", member).drop("__ok")
 
     def _view(self, fact_rows: DataFrame, other_now: DataFrame) -> DataFrame:
         how = "left_anti" if self.anti else "left_semi"
         keys = self._other_keys(other_now)
-        return fact_rows.join(
+        out = fact_rows.join(
             keys, fact_rows[self.fact_key] == keys["__ok"], how
-        ).select(*self.out_cols)
+        )
+        if self.anti and self.null_aware and not keys.isEmpty():
+            # left_anti keeps NULL-key rows; NOT IN admits them only
+            # against an empty inner set
+            out = out.where(F.col(self.fact_key).isNotNull())
+        return out.select(*self.out_cols)
 
     @_maintenance
     def bootstrap(self, batch_id=0) -> None:
@@ -453,10 +471,13 @@ class IncrementalSemiJoinMV:
         # One distinct key-set build shared by every membership probe in
         # this batch (a two-sided batch probes twice).
         other_keys = self._other_keys(self.other_store.read())
+        post_empty = (
+            other_keys.isEmpty() if (self.anti and self.null_aware) else False
+        )
 
         def upserts(rows: DataFrame) -> DataFrame:
             """Changed fact rows → +U when in the view, -D when not."""
-            flagged = self._member_rows(rows, other_keys)
+            flagged = self._member_rows(rows, other_keys, other_empty=post_empty)
             return flagged.select(
                 *self.out_cols,
                 F.when(F.col("__member"), F.lit(OP_UPDATE))
@@ -479,6 +500,20 @@ class IncrementalSemiJoinMV:
                 dirty_ok, fact_now[self.fact_key] == dirty_ok["__dk"], "left_semi"
             )
             parts.append(upserts(affected))
+            if self.anti and self.null_aware:
+                # NULL-key fact rows hold no dirty VALUE, but their
+                # membership flips with the other side's emptiness —
+                # re-evaluate them whenever that flips across the batch
+                store = self.other_store
+                if batch_id in store.committed_batches():
+                    pre = store.read(store.version_before_batch(batch_id))
+                else:
+                    pre = store.read()
+                pre_empty = self._other_keys(pre).isEmpty()
+                if pre_empty != post_empty:
+                    parts.append(
+                        upserts(fact_now.where(F.col(self.fact_key).isNull()))
+                    )
         # Later parts supersede earlier ones per fact PK (the other-side
         # part sees the post-batch fact state, so it is freshest).
         mv_changes = parts[0].withColumn(SEQ_COL, F.lit(0).cast("long"))

@@ -1124,8 +1124,11 @@ class SemiJoinShape:
     :class:`tiflink_spark.mv.IncrementalSemiJoinMV`: fact-side changes
     re-evaluate membership for exactly the changed PKs; other-side
     changes dirty their key values and re-evaluate only the fact rows
-    holding those values. ``NOT IN`` is NOT this shape (its NULL
-    semantics are not a plain anti-join) and stays on recompute.
+    holding those values. ``NOT IN`` matches with ``null_aware=True``:
+    its NULL semantics differ from a plain anti-join (a NULL outer key
+    belongs to the view only while the inner set is empty; a NULL inner
+    value would empty the view entirely, which the dispatch rules out
+    by requiring the inner column to be the other table's NOT-NULL PK).
     """
 
     fact: str
@@ -1135,6 +1138,11 @@ class SemiJoinShape:
     out_cols: tuple[str, ...]
     anti: bool
     where: str | None = None
+    # True for the NOT IN spelling: NULL outer keys belong to the view
+    # only while the inner set is empty (the maintenance class tracks
+    # the empty-set flip); requires the inner column to be the other
+    # table's NOT-NULL PK (enforced at dispatch).
+    null_aware: bool = False
 
 
 _SEMI_EXISTS_RE = re.compile(
@@ -1150,7 +1158,8 @@ _SEMI_EXISTS_RE = re.compile(
 _SEMI_IN_RE = re.compile(
     rf"^\s*SELECT\s+(?P<select>{_IDENT}(?:\s*,\s*{_IDENT})*)\s+"
     rf"FROM\s+(?P<fact>{_IDENT})(?:\s+(?:AS\s+)?(?P<fa>{_IDENT}))?\s+"
-    rf"WHERE\s+(?:(?P<pre>.+?)\s+AND\s+)?(?P<fcol>{_IDENT})\s+IN\s*\(\s*"
+    rf"WHERE\s+(?:(?P<pre>.+?)\s+AND\s+)?(?P<fcol>{_IDENT})\s+"
+    rf"(?P<neg>NOT\s+)?IN\s*\(\s*"
     rf"SELECT\s+(?P<ocol>{_IDENT})\s+FROM\s+(?P<other>{_IDENT})\s*\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -1193,7 +1202,16 @@ def match_semijoin_shape(
         fk, ok = m.group("fcol").lower(), m.group("ocol").lower()
         if fk not in fcols or ok not in ocols:
             return None
-        fact_key, other_key, anti = fcols[fk], ocols[ok], False
+        # NOT IN is null-AWARE: a NULL inner value empties the view, a
+        # NULL outer key appears only while the inner set is empty. The
+        # route is taken only when the inner column is the other
+        # table's NOT-NULL PK (checked at dispatch); the maintenance
+        # class handles the empty-set flip for NULL outer keys.
+        fact_key, other_key, anti = (
+            fcols[fk],
+            ocols[ok],
+            m.group("neg") is not None,
+        )
     else:
         fa = (m.group("fa") or fact).lower()
         oa = (m.group("oa") or other).lower()
@@ -1243,7 +1261,16 @@ def match_semijoin_shape(
         if _has_top_level_or(pre):
             return None
         pre = pre.strip()
-    return SemiJoinShape(fact, fact_key, other, other_key, sel, anti, pre)
+    return SemiJoinShape(
+        fact,
+        fact_key,
+        other,
+        other_key,
+        sel,
+        anti,
+        pre,
+        null_aware=in_form and anti,
+    )
 
 
 def _has_top_level_or(expr: str) -> bool:

@@ -1247,6 +1247,7 @@ _PRIORITY = [
     "mvapp_auto_composite_key",
     "mvapp_auto_comma_join",
     "mvapp_projection_streaming",
+    "mvapp_auto_not_in",
     "mvapp_semijoin_streaming",
     "mvapp_auto_corr_sum",
     "mvapp_auto_time_rollup",

@@ -3665,3 +3665,83 @@ def mvapp_projection_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         return app.read().localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_not_in",
+    f"""
+    WITH {_FINAL_SJ_SQL}
+    SELECT o_orderkey, o_custkey FROM final_orders_sj
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM final_customer_sj)
+    """,
+    doc=(
+        "Null-aware NOT IN (the orphaned-orders audit: orders whose "
+        "customer key is absent) auto-routed to IncrementalSemiJoinMV "
+        "in null-aware anti mode. NOT IN differs from NOT EXISTS: a "
+        "NULL outer key belongs to the view only while the inner set "
+        "is empty, and a NULL inner value would empty the view — the "
+        "planner therefore takes the route only when the inner column "
+        "is the other table's NOT-NULL PK (c_custkey here), and the "
+        "maintenance class re-evaluates NULL-key rows whenever the "
+        "inner set's emptiness flips. Churned on both sides via the "
+        "shared semi-join script; the fn raises unless routed "
+        "incrementally."
+    ),
+    tags=("mv", "incremental", "planner", "semijoin"),
+)
+def mvapp_auto_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_nin_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("cust_sj", t["customer"], pk=["c_custkey"])
+            .source("ord_sj", t["orders"], pk=["o_orderkey"])
+            .query(
+                """SELECT o_orderkey, o_custkey FROM ord_sj
+                   WHERE o_custkey NOT IN (SELECT c_custkey FROM cust_sj)"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalSemiJoinMV":
+            raise AssertionError(
+                f"planner routed NOT IN to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        cust, ords = t["customer"], t["orders"]
+        b1 = (
+            ords.filter(F.col("o_custkey") % 25 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        b2 = (
+            cust.filter(F.col("c_custkey") % 10 == 4)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .unionByName(
+                cust.filter(F.col("c_custkey") % 10 == 3)
+                .withColumn("c_name", F.concat(F.col("c_name"), F.lit("_X")))
+                .withColumn(OP_COL, F.lit(OP_UPDATE))
+            )
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        b3 = (
+            ords.filter(F.col("o_orderkey") % 100 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + BIG)
+            .withColumn(
+                "o_custkey",
+                F.when(F.col("o_orderkey") % 200 == 0, F.lit(25)).otherwise(F.lit(50)),
+            )
+            .withColumn(OP_COL, F.lit(OP_INSERT))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"ord_sj": b1}, batch_id=1)
+        app.refresh({"cust_sj": b2}, batch_id=2)
+        app.refresh({"ord_sj": b3}, batch_id=3)
+        return app.read().select("o_orderkey", "o_custkey").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
