@@ -1,0 +1,167 @@
+"""Cross-shape randomized convergence fuzz for the maintenance planner.
+
+Per-route property tests pin each maintenance class individually; this
+fuzzer exercises the PLANNER'S dispatch surface: random queries drawn
+from the supported grammar (aggregates with random measures/filters/
+HAVING, join aggregates, projections, distinct, set ops, top-k), built
+as MVApps over small synthetic tables, churned with random +I/+U/-D
+batches, and checked against `spark.sql` on the final batch state —
+whatever route the planner picked. A planner miss must only ever be
+slower, never wrong; a planner HIT must converge exactly.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiflink_spark.changelog import OP_COL, OP_DELETE, OP_INSERT, OP_UPDATE, SEQ_COL
+
+COLS = ["g", "h", "v", "w", "s"]
+
+
+def _fact_rows(rng, n, keyspace):
+    return {
+        k: (
+            rng.randrange(5),
+            rng.randrange(3),
+            round(rng.uniform(0, 100), 2),
+            float(rng.randrange(1, 50)),
+            rng.choice("abc"),
+        )
+        for k in rng.sample(range(keyspace), n)
+    }
+
+
+def _fact_df(spark, state):
+    return spark.createDataFrame(
+        [(k, *v) for k, v in state.items()],
+        "id long, g long, h long, v double, w double, s string",
+    )
+
+
+def _churn(spark, rng, state, keyspace):
+    """Mutate ``state`` in place; return the changelog batch."""
+    rows = []
+    for _ in range(rng.randrange(5, 15)):
+        k = rng.randrange(keyspace)
+        if k in state and rng.random() < 0.35:
+            del state[k]
+            rows.append((k, 0, 0, 0.0, 0.0, "a", OP_DELETE))
+        else:
+            v = (
+                rng.randrange(5),
+                rng.randrange(3),
+                round(rng.uniform(0, 100), 2),
+                float(rng.randrange(1, 50)),
+                rng.choice("abc"),
+            )
+            op = OP_UPDATE if k in state else OP_INSERT
+            state[k] = v
+            rows.append((k, *v, op))
+    df = spark.createDataFrame(
+        rows, "id long, g long, h long, v double, w double, s string, __op string"
+    )
+    return df.withColumn(SEQ_COL, F.monotonically_increasing_id())
+
+
+MEASURES = [
+    "count(*) AS n",
+    "sum(v) AS sv",
+    "avg(v) AS av",
+    "min(v) AS mv",
+    "max(w) AS mw",
+    "count(DISTINCT h) AS cdh",
+    "sum(DISTINCT w) AS sdw",
+    "sum(v * 2 + w) AS expr_m",
+    "count(*) FILTER (WHERE v > 50) AS big_n",
+]
+
+WHERES = [None, "v > 20", "s <> 'b'", "h = 1 OR v > 80", "w BETWEEN 5 AND 40"]
+
+HAVINGS = [None, "n > 1", "count(*) > 1"]
+
+
+def _gen_query(rng, table):
+    kind = rng.choice(["agg", "agg", "proj", "distinct", "global", "topn"])
+    where = rng.choice(WHERES)
+    wsql = f" WHERE {where}" if where else ""
+    if kind == "agg":
+        keys = rng.choice([["g"], ["g", "h"], ["s"]])
+        ms = rng.sample(MEASURES, rng.randrange(1, 4))
+        having = rng.choice(HAVINGS)
+        if having and not any(m.endswith("AS n") for m in ms):
+            ms.append("count(*) AS n")
+        hsql = f" HAVING {having}" if having else ""
+        return (
+            f"SELECT {', '.join(keys)}, {', '.join(ms)} FROM {table}{wsql} "
+            f"GROUP BY {', '.join(keys)}{hsql}"
+        )
+    if kind == "proj":
+        return (
+            f"SELECT id, g, round(v * 1.5, 2) AS v15, upper(s) AS su "
+            f"FROM {table}{wsql}"
+        )
+    if kind == "distinct":
+        return f"SELECT DISTINCT g, h FROM {table}{wsql}"
+    if kind == "global":
+        ms = rng.sample(MEASURES[:5], 2)
+        return f"SELECT {', '.join(ms)} FROM {table}{wsql}"
+    # topn
+    return (
+        f"SELECT g, id, v, rn FROM (SELECT *, ROW_NUMBER() OVER "
+        f"(PARTITION BY g ORDER BY v DESC, id) AS rn FROM {table}{wsql}) t "
+        f"WHERE rn <= 3"
+    )
+
+
+@pytest.mark.parametrize("seed", [11, 23, 37, 51])
+def test_fuzzed_shapes_converge(spark, tmp_path, seed):
+    from tiflink_spark.app import MVApp
+
+    rng = random.Random(seed)
+    KEYSPACE = 60
+    for case in range(4):
+        state = _fact_rows(rng, 35, KEYSPACE)
+        table = f"fz_{seed}_{case}"
+        q = _gen_query(rng, table)
+        app = (
+            MVApp.builder(spark)
+            .source(table, _fact_df(spark, state), pk=["id"])
+            .query(q)
+            .target(str(tmp_path / f"{table}"))
+            .num_buckets(2)
+            .shuffle_partitions(2)
+            .build()
+        )
+        app.bootstrap()
+        n_batches = rng.randrange(1, 4)
+        for b in range(1, n_batches + 1):
+            ch = _churn(spark, rng, state, KEYSPACE)
+            app.refresh({table: ch}, batch_id=b)
+            if rng.random() < 0.3:  # crash replay mid-script
+                app.refresh({table: ch}, batch_id=b)
+        _fact_df(spark, state).createOrReplaceTempView(table)
+        exp = spark.sql(q)
+        got = app.read()
+
+        def canon(rows):
+            # incremental SUM/AVG accumulate delta-by-delta, so they
+            # differ from the one-pass batch value in the last ulp —
+            # IEEE addition is not associative. Round floats well above
+            # that noise, exactly as the oracle gates do.
+            return sorted(
+                tuple(
+                    round(x, 6) if isinstance(x, float) else x for x in r
+                )
+                for r in rows
+            )
+
+        g = canon(map(tuple, got.collect()))
+        e = canon(map(tuple, exp.collect()))
+        assert g == e, (
+            f"seed={seed} case={case} strategy={app.maintenance_strategy}\n"
+            f"query={q}\n got={g[:5]}...\n exp={e[:5]}..."
+        )
