@@ -165,3 +165,117 @@ def test_fuzzed_shapes_converge(spark, tmp_path, seed):
             f"seed={seed} case={case} strategy={app.maintenance_strategy}\n"
             f"query={q}\n got={g[:5]}...\n exp={e[:5]}..."
         )
+
+
+def _dim_rows(rng, n, keyspace):
+    return {
+        k: (rng.randrange(4), round(rng.uniform(0, 10), 2))
+        for k in rng.sample(range(keyspace), n)
+    }
+
+
+def _dim_df(spark, state):
+    return spark.createDataFrame(
+        [(k, *v) for k, v in state.items()], "dk long, attr long, u double"
+    )
+
+
+def _dim_churn(spark, rng, state, keyspace):
+    rows = []
+    for _ in range(rng.randrange(2, 7)):
+        k = rng.randrange(keyspace)
+        if k in state and rng.random() < 0.4:
+            del state[k]
+            rows.append((k, 0, 0.0, OP_DELETE))
+        else:
+            v = (rng.randrange(4), round(rng.uniform(0, 10), 2))
+            op = OP_UPDATE if k in state else OP_INSERT
+            state[k] = v
+            rows.append((k, *v, op))
+    return spark.createDataFrame(
+        rows, "dk long, attr long, u double, __op string"
+    ).withColumn(SEQ_COL, F.monotonically_increasing_id())
+
+
+def _gen_two_table_query(rng, fact, dim):
+    kind = rng.choice(["joinagg", "joinagg", "join", "semi", "notin", "setop", "unionall"])
+    where = rng.choice([None, "v > 30", "s <> 'c'"])
+    wsql = f" WHERE {where}" if where else ""
+    if kind == "joinagg":
+        ms = rng.sample(
+            ["count(*) AS n", "sum(v) AS sv", "min(v) AS mv", "sum(v * u) AS svu"],
+            rng.randrange(1, 3),
+        )
+        return (
+            f"SELECT attr, {', '.join(ms)} FROM {fact} "
+            f"JOIN {dim} ON g = dk{wsql} GROUP BY attr"
+        )
+    if kind == "join":
+        return (
+            f"SELECT id, dk, v, attr FROM {fact} JOIN {dim} ON g = dk{wsql}"
+        )
+    if kind == "semi":
+        neg = rng.choice(["", "NOT "])
+        pre = f"{where} AND " if where else ""
+        return (
+            f"SELECT id, g FROM {fact} WHERE {pre}{neg}EXISTS "
+            f"(SELECT 1 FROM {dim} WHERE dk = g)"
+        )
+    if kind == "notin":
+        return f"SELECT id, g FROM {fact} WHERE g NOT IN (SELECT dk FROM {dim})"
+    if kind == "setop":
+        op = rng.choice(["INTERSECT", "EXCEPT", "UNION"])
+        return f"SELECT g FROM {fact} {op} SELECT attr FROM {dim}"
+    return f"SELECT id, v FROM {fact} UNION ALL SELECT dk, u FROM {dim}"
+
+
+@pytest.mark.parametrize("seed", [7, 19, 43])
+def test_fuzzed_two_table_shapes_converge(spark, tmp_path, seed):
+    from tiflink_spark.app import MVApp
+
+    rng = random.Random(seed)
+    KEYSPACE = 60
+    DIMSPACE = 8  # small: dim deletes hit fact rows often
+    for case in range(4):
+        fstate = _fact_rows(rng, 30, KEYSPACE)
+        # fact.g doubles as the join key into dim.dk
+        dstate = _dim_rows(rng, 4, DIMSPACE)
+        fact, dim = f"ff_{seed}_{case}", f"dd_{seed}_{case}"
+        q = _gen_two_table_query(rng, fact, dim)
+        app = (
+            MVApp.builder(spark)
+            .source(fact, _fact_df(spark, fstate), pk=["id"])
+            .source(dim, _dim_df(spark, dstate), pk=["dk"])
+            .query(q)
+            .target(str(tmp_path / f"{fact}"))
+            .num_buckets(2)
+            .shuffle_partitions(2)
+            .build()
+        )
+        app.bootstrap()
+        for b in range(1, rng.randrange(2, 4) + 1):
+            changes = {}
+            if rng.random() < 0.8:
+                changes[fact] = _churn(spark, rng, fstate, KEYSPACE)
+            if rng.random() < 0.6 or not changes:
+                changes[dim] = _dim_churn(spark, rng, dstate, DIMSPACE)
+            app.refresh(changes, batch_id=b)
+            if rng.random() < 0.3:
+                app.refresh(changes, batch_id=b)
+        _fact_df(spark, fstate).createOrReplaceTempView(fact)
+        _dim_df(spark, dstate).createOrReplaceTempView(dim)
+        exp = spark.sql(q)
+        got = app.read()
+
+        def canon(rows):
+            return sorted(
+                tuple(round(x, 6) if isinstance(x, float) else x for x in r)
+                for r in rows
+            )
+
+        g = canon(map(tuple, got.collect()))
+        e = canon(map(tuple, exp.collect()))
+        assert g == e, (
+            f"seed={seed} case={case} strategy={app.maintenance_strategy}\n"
+            f"query={q}\n got={g[:6]}\n exp={e[:6]}"
+        )
