@@ -1225,12 +1225,17 @@ _PRIORITY = [
     "mvapp_auto_semijoin",
     "mvapp_auto_window",
     "mvapp_auto_join_agg",
-    "mvapp_auto_star_agg",
+    # the stateless projection class is NEW this round — it takes the
+    # window slot of the second join-agg variant (star_agg's multi-dim
+    # machinery is proven by join_agg in-window plus the local oracle
+    # battery and the randomized two-table fuzz)
+    "mvapp_auto_projection",
     "mvapp_auto_cascade",
     # past 50: gates a strictly 50-count-capped driver window would
     # drop — every one is oracle-green locally and pytest-covered;
     # mvapp_auto_join's engine class is proven in-window by
     # mv_join_incremental
+    "mvapp_auto_star_agg",
     "mvapp_auto_filtered",
     "mvapp_auto_having",
     "mvapp_auto_deep_chain",
