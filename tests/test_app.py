@@ -1410,16 +1410,17 @@ def test_match_semijoin_shape_matcher():
     )
     assert s is not None and not s.anti
     assert (s.fact_key, s.other_key) == ("c_custkey", "o_custkey")
-    # NOT IN is NOT this shape (null-aware anti-join semantics)
-    assert (
-        match_semijoin_shape(
-            "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
-            "(SELECT o_custkey FROM orders)",
-            names,
-            cols,
-        )
-        is None
+    # NOT IN now matches with null_aware=True; the dispatch layer
+    # refuses it unless the inner column is the other table's NOT-NULL
+    # PK (o_custkey is not orders' PK, so this query stays on
+    # recompute at dispatch — see TestNullAwareNotIn)
+    s_ni = match_semijoin_shape(
+        "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+        "(SELECT o_custkey FROM orders)",
+        names,
+        cols,
     )
+    assert s_ni is not None and s_ni.anti and s_ni.null_aware
     # correlation not spanning both tables -> no match
     assert (
         match_semijoin_shape(
