@@ -1014,3 +1014,106 @@ class TestCompositeKeyDims:
                 expect[p2] = (n + 1, tot + q * drows[(p1, p2)])
         got = {r.ds: (r.n, round(r.total, 6)) for r in app.read().collect()}
         assert got == {k: (n, round(t, 6)) for k, (n, t) in expect.items()}
+
+
+class TestJoinProjection:
+    def test_matcher_envelope(self):
+        from tiflink_spark.planner import match_join_projection_shape
+
+        cols = {
+            "orders": ["o_orderkey", "o_custkey", "o_totalprice"],
+            "customer": ["c_custkey", "c_name", "c_nationkey"],
+        }
+        pks = {"orders": ["o_orderkey"], "customer": ["c_custkey"]}
+        s = match_join_projection_shape(
+            """SELECT o.o_orderkey, o.o_totalprice, c.c_name,
+                      upper(c.c_name) AS cu
+               FROM orders o LEFT JOIN customer c
+                 ON o.o_custkey = c.c_custkey""",
+            set(cols), cols, pks,
+        )
+        assert s is not None and s.fact == "orders"
+        assert s.dims[0].how == "left"
+        assert s.out_cols == ("o_orderkey", "o_totalprice", "c_name", "cu")
+        assert dict(s.key_exprs)["cu"] == "upper(c_name)"
+        # fact PK absent from the select -> no target key -> reject
+        assert match_join_projection_shape(
+            "SELECT c_name FROM orders JOIN customer ON o_custkey = c_custkey",
+            set(cols), cols, pks,
+        ) is None
+        # aggregates / GROUP BY are the other shape
+        assert match_join_projection_shape(
+            """SELECT o_orderkey, count(*) AS n FROM orders
+               JOIN customer ON o_custkey = c_custkey GROUP BY o_orderkey""",
+            set(cols), cols, pks,
+        ) is None
+
+    def test_enrichment_converges_three_sided(self, spark, tmp_path):
+        """orders ⟕ customer ⟕ nation (snowflake, LEFT both hops) under
+        churn on all three tables: customer deletes NULL out their
+        orders' name columns (LEFT semantics), nation renames rewrite
+        reachable rows two hops away, order churn flows through."""
+        from tiflink_spark.app import MVApp
+
+        orders = spark.createDataFrame(
+            [(k, k % 7 + 1, float(k * 10)) for k in range(30)],
+            "o_id long, o_ck long, o_price double",
+        )
+        cust = spark.createDataFrame(
+            [(c, f"c{c}", c % 3 + 1) for c in range(1, 8)],
+            "c_ck long, c_name string, c_nk long",
+        )
+        nat = spark.createDataFrame(
+            [(n, f"n{n}") for n in range(1, 4)], "n_nk long, n_name string"
+        )
+        q = """SELECT o.o_id, o.o_price, c.c_name, n.n_name
+               FROM ord_en o
+               LEFT JOIN cust_en c ON o.o_ck = c.c_ck
+               LEFT JOIN nat_en n ON c.c_nk = n.n_nk
+               WHERE o.o_price > 20"""
+        app = (
+            MVApp.builder(spark)
+            .source("ord_en", orders, pk=["o_id"])
+            .source("cust_en", cust, pk=["c_ck"])
+            .source("nat_en", nat, pk=["n_nk"])
+            .query(q)
+            .target(str(tmp_path / "en"))
+            .num_buckets(2)
+            .shuffle_partitions(2)
+            .build()
+        )
+        assert app.maintenance_strategy == "IncrementalJoinProjectionMV"
+        app.bootstrap()
+        b1 = (
+            cust.filter(F.col("c_ck") % 3 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        b2 = (
+            nat.filter(F.col("n_nk") == 2)
+            .withColumn("n_name", F.lit("renamed"))
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        b3 = (
+            orders.filter(F.col("o_id") % 4 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"cust_en": b1}, batch_id=1)
+        app.refresh({"nat_en": b2}, batch_id=2)
+        app.refresh({"ord_en": b3}, batch_id=3)
+        app.refresh({"ord_en": b3}, batch_id=3)  # replay no-op
+
+        fo = orders.filter(F.col("o_id") % 4 != 0)
+        fc = cust.filter(F.col("c_ck") % 3 != 0)
+        fn = nat.withColumn(
+            "n_name",
+            F.when(F.col("n_nk") == 2, "renamed").otherwise(F.col("n_name")),
+        )
+        fo.createOrReplaceTempView("ord_en")
+        fc.createOrReplaceTempView("cust_en")
+        fn.createOrReplaceTempView("nat_en")
+        got = sorted(tuple(r) for r in app.read().collect())
+        exp = sorted(tuple(r) for r in spark.sql(q).collect())
+        assert got == exp

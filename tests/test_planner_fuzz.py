@@ -198,7 +198,9 @@ def _dim_churn(spark, rng, state, keyspace):
 
 
 def _gen_two_table_query(rng, fact, dim):
-    kind = rng.choice(["joinagg", "joinagg", "join", "semi", "notin", "setop", "unionall"])
+    kind = rng.choice(
+        ["joinagg", "joinagg", "join", "joinproj", "semi", "notin", "setop", "unionall"]
+    )
     where = rng.choice([None, "v > 30", "s <> 'c'"])
     wsql = f" WHERE {where}" if where else ""
     if kind == "joinagg":
@@ -213,6 +215,13 @@ def _gen_two_table_query(rng, fact, dim):
     if kind == "join":
         return (
             f"SELECT id, dk, v, attr FROM {fact} JOIN {dim} ON g = dk{wsql}"
+        )
+    if kind == "joinproj":
+        # enrichment view: only the fact PK selected; LEFT keeps
+        # unmatched fact rows with NULL dim payload
+        how = rng.choice(["JOIN", "LEFT JOIN"])
+        return (
+            f"SELECT id, g, v, attr, u FROM {fact} {how} {dim} ON g = dk{wsql}"
         )
     if kind == "semi":
         neg = rng.choice(["", "NOT "])

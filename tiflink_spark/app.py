@@ -48,6 +48,7 @@ from tiflink_spark.planner import (
     match_distinct_shape,
     match_global_agg_shape,
     match_join_agg_shape,
+    match_join_projection_shape,
     match_order_limit_shape,
     match_semijoin_shape,
     match_join_shape,
@@ -554,6 +555,54 @@ class MVApp:
                     join.right: self._mv.right_store,
                 }
                 return
+
+        # Lookup-enrichment view — the joined relation itself, keyed by
+        # the fact PK (orders carrying their customer's name): fact
+        # [LEFT] JOIN dims with every dim entering through its declared
+        # PK. Tried after the two-sided bare join (which also handles
+        # M:N edges); this route adds LEFT dims, snowflake chains,
+        # composite keys, and derived row-local expressions.
+        jp = match_join_projection_shape(
+            query, set(dfs), source_columns, {n: d[0].pk for n, d in dfs.items()}
+        )
+        if (
+            jp is not None
+            and dfs[jp.fact][0].pk
+            and (pk is None or list(pk) == list(dfs[jp.fact][0].pk))
+        ):
+            from tiflink_spark.mv import IncrementalJoinProjectionMV
+
+            self.maintenance_mode = "incremental"
+            self._fact_name, self._dim_name = None, None
+            self._join_names = self._change_filter = None
+            self._dict_refresh = True
+            self._ja_tables = {jp.fact, *(d.dim for d in jp.dims)}
+            self.mv_pk = list(dfs[jp.fact][0].pk)
+            self.ddl = create_table_ddl(
+                os.path.basename(target), self.mv_schema, self.mv_pk
+            )
+            self._mv = IncrementalJoinProjectionMV(
+                spark,
+                fact_name=jp.fact,
+                fact=dfs[jp.fact][1],
+                fact_pk=dfs[jp.fact][0].pk,
+                dims=list(jp.dims),
+                dim_dfs={d.dim: dfs[d.dim][1] for d in jp.dims},
+                group_keys=[],
+                measures=[],
+                fact_cols=list(jp.fact_cols),
+                work_dir=target,
+                where=jp.where,
+                num_buckets=num_buckets,
+                shuffle_partitions=shuffle_partitions,
+                key_exprs=list(jp.key_exprs),
+                out_cols=list(jp.out_cols),
+            )
+            self._stores = {
+                jp.fact: self._mv.fact_store,
+                **{d.dim: self._mv.dim_stores[d.dim] for d in jp.dims},
+            }
+            return
 
         # Bare multi-branch UNION ALL — the multi-source ingestion
         # view, stateless under changelogs: each branch's changes

@@ -1223,10 +1223,19 @@ class IncrementalJoinAggMV:
             )
             for d in self.dims
         }
+        self._make_sink(
+            work_dir, group_keys, measures, target_filter,
+            num_buckets, shuffle_partitions,
+        )
+
+    def _make_sink(
+        self, work_dir, group_keys, measures, target_filter,
+        num_buckets, shuffle_partitions,
+    ) -> None:
         # Inner aggregate MV over the joined relation; its fact store IS
         # the J store. Its bootstrap input is wired in bootstrap().
         self._agg = IncrementalAggMV(
-            spark,
+            self.spark,
             fact=None,
             fact_pk=self.fact_pk,
             group_key=list(group_keys),
@@ -1304,6 +1313,9 @@ class IncrementalJoinAggMV:
         self.fact_store.bootstrap(self.fact0, batch_id)
         for d in self.dims:
             self.dim_stores[d.dim].bootstrap(self.dim0[d.dim], batch_id)
+        self._sink_bootstrap(batch_id)
+
+    def _sink_bootstrap(self, batch_id) -> None:
         self._agg.fact_df0 = self._joined(
             self.fact_store.read(),
             {d.dim: self.dim_stores[d.dim].read() for d in self.dims},
@@ -1433,10 +1445,70 @@ class IncrementalJoinAggMV:
         # joins — is both expensive to recompute and fragile under
         # AQE+cache replanning. Bounded by batch size, never the join.
         j_changes = j_changes.localCheckpoint(eager=True)
+        return self._sink_refresh(j_changes, batch_id)
+
+    def _sink_refresh(self, j_changes: DataFrame, batch_id) -> bool:
         return self._agg.refresh(j_changes, batch_id)
 
     def read(self, version: int | None = None) -> DataFrame:
         return self._agg.read(version)
+
+
+class IncrementalJoinProjectionMV(IncrementalJoinAggMV):
+    """Incremental MV where the joined relation ITSELF is the view:
+
+        SELECT fact-cols, dim-cols[, row-local exprs]
+        FROM fact JOIN|LEFT JOIN dims ... [WHERE row-local]
+
+    keyed by the fact PK — the lookup-enrichment pattern (orders
+    carrying their customer's name). Every dim still enters through
+    its declared PK, so each fact row joins to ≤1 row per dim and the
+    fact PK keys the output; unlike the aggregate shape, LEFT-dim
+    columns are fine in the select list (NULL payload, never a NULL
+    key). All of the parent's machinery — dirty-join-key re-derivation,
+    hop-by-hop dim propagation, composite keys, the stateless WHERE
+    rule — is reused wholesale; the 'aggregate' is the identity, so the
+    J-changelog MERGEs straight into the target. Per-batch work is the
+    parent's J maintenance cost; state is fact + dim stores + target.
+
+    ``out_cols`` are the view's output names in select order — J
+    column names, including any derived-expression aliases the parent
+    computes via ``key_exprs``.
+    """
+
+    def __init__(self, *args, out_cols: list[str], **kwargs):
+        self._out_cols = list(out_cols)
+        super().__init__(*args, **kwargs)
+
+    def _make_sink(
+        self, work_dir, group_keys, measures, target_filter,
+        num_buckets, shuffle_partitions,
+    ) -> None:
+        self.target = KeyedParquetStore(
+            self.spark, os.path.join(work_dir, "mv"), self.fact_pk, num_buckets
+        )
+
+    def _project_out(self, df: DataFrame) -> DataFrame:
+        extra = [F.col(c) for c in (OP_COL, SEQ_COL) if c in df.columns]
+        return df.select(*self._out_cols, *extra)
+
+    def _sink_bootstrap(self, batch_id) -> None:
+        self.target.bootstrap(
+            self._project_out(
+                self._joined(
+                    self.fact_store.read(),
+                    {d.dim: self.dim_stores[d.dim].read() for d in self.dims},
+                )
+            ),
+            batch_id,
+        )
+
+    def _sink_refresh(self, j_changes: DataFrame, batch_id) -> bool:
+        self.target.merge(self._project_out(j_changes), batch_id)
+        return True
+
+    def read(self, version: int | None = None) -> DataFrame:
+        return self.target.read(version)
 
 
 class IncrementalAggMV:

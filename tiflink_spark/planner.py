@@ -2318,27 +2318,154 @@ _CLAUSE_KEYWORDS = frozenset(
 _QUAL_RE = re.compile(rf"\b({_IDENT})\s*\.\s*({_IDENT})")
 
 
-def match_join_agg_shape(
+@dataclass(frozen=True)
+class JoinProjectionShape:
+    """The lookup-enrichment view — the joined relation IS the output:
+
+        SELECT fact-cols, dim-cols[, row-local exprs AS alias]
+        FROM fact [LEFT] JOIN dims … [WHERE row-local]
+
+    keyed by the fact PK (which must appear in the select). Every dim
+    enters through its declared PK, so each fact row joins to ≤1 row
+    per dim; LEFT-dim columns are allowed (NULL payload, never a NULL
+    key). Routed to IncrementalJoinProjectionMV — the parent join-agg
+    machinery with an identity sink. ``out_cols`` are output names in
+    select order; ``key_exprs`` the derived (alias, expr) items."""
+
+    fact: str
+    out_cols: tuple[str, ...]
+    fact_cols: tuple[str, ...]
+    dims: tuple[DimJoin, ...]
+    where: str | None = None
+    key_exprs: tuple[tuple[str, str], ...] = ()
+
+
+_JOIN_PROJ_RE = re.compile(
+    rf"^\s*SELECT\s+(?P<select>.+?)\s+"
+    rf"FROM\s+(?P<t0>{_IDENT})(?:\s+(?:AS\s+)?(?P<a0>{_IDENT}))?\s+"
+    rf"(?P<joins>{_JOIN_CLAUSE}(?:\s+{_JOIN_CLAUSE})*)"
+    rf"(?:\s+WHERE\s+(?P<where>.+?))?"
+    rf"\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def match_join_projection_shape(
     query: str,
     source_names: set[str],
     source_columns: dict[str, list[str]],
     source_pks: dict[str, list[str]],
-) -> JoinAggShape | None:
-    """Match the fact-⋈-dims GROUP BY aggregate, or None for the fallback.
+) -> JoinProjectionShape | None:
+    """Match the bare fact-⋈-dims projection, or None.
 
-    The ON equations form a join graph; the match succeeds iff some
-    table (the fact) roots the graph as a tree in which every other
-    table enters through its own declared single-column PK (each fact
-    row then joins to ≤1 row per dim, so the joined relation stays
-    keyed by the fact PK — the invariant IncrementalJoinAggMV
-    maintains). Star (all dims reference the fact) and snowflake (a dim
-    references another dim) both orient. Qualified (``a.b``) and bare
-    column references both match; bare names present in more than one
-    table are rejected as ambiguous, mirroring SQL resolution.
-    """
-    m = _JOIN_AGG_RE.match(query)
+    The same join-tree orientation as the aggregate shape (every
+    non-fact table enters through its declared PK — composite keys
+    included), with a plain select list instead of keys+measures:
+    unambiguous bare/qualified columns from ANY side (LEFT dims
+    included) or row-local ``expr AS alias`` items. No GROUP BY, no
+    window, no aggregates."""
+    if re.search(r"(?is)\b(GROUP\s+BY|HAVING)\b", query):
+        return None
+    m = _JOIN_PROJ_RE.match(query)
     if m is None:
         return None
+    select = m.group("select")
+    if re.match(r"(?is)^DISTINCT\b", select) or re.search(
+        r"(?is)\bOVER\s*\(", select
+    ):
+        return None
+    tree = _orient_join_tree(m, source_names, source_columns, source_pks)
+    if tree is None:
+        return None
+    tables, quals, cols, ambiguous, resolve, fact, dims = tree
+    dequalify = _make_dequalifier(quals, cols)
+    allowed = set().union(*(set(cols[t]) for t in tables)) - ambiguous
+    out: list[tuple[str, str, str | None]] = []  # (name, expr, src table)
+    key_exprs: list[tuple[str, str]] = []
+    taken: dict[str, int] = {}
+    for t in tables:
+        for c in cols[t]:
+            taken[c] = taken.get(c, 0) + 1
+    for item in _split_select_list(select):
+        am = _KEY_ALIAS_RE.match(item)
+        if am is not None:
+            expr, alias = am.group("expr").strip(), am.group("alias")
+            dq = dequalify(expr)
+            if dq is None or not _row_local_expr_ok(dq, allowed):
+                return None
+            if alias.lower() in taken:
+                return None  # alias shadowing a carried J column
+            out.append((alias, dq, None))
+            key_exprs.append((alias, dq))
+            continue
+        r = resolve(item)
+        if r is None or r[1].lower() in ambiguous:
+            return None
+        out.append((r[1], r[1], r[0]))
+    names = [n for n, _, _ in out]
+    if len({n.lower() for n in names}) != len(names):
+        return None
+    # the fact PK must be selected — it keys the target
+    sel_lower = {n.lower() for n in names}
+    pk = source_pks.get(fact) or []
+    if not pk or any(p.lower() not in sel_lower for p in pk):
+        return None
+
+    where = m.group("where")
+    if where is not None:
+        if _NON_LOCAL_WHERE.search(where):
+            return None
+        where = dequalify(where)
+        if where is None or not _row_local_expr_ok(where, allowed):
+            return None
+        # a row-local predicate over a LEFT dim's columns is applied to
+        # J (post-join, SQL semantics) by the maintenance class — fine
+        where = where.strip()
+
+    # columns each table must carry into J
+    need: dict[str, set[str]] = {t: set() for t in tables}
+    for n, e, src in out:
+        if src is not None:
+            need[src].add(e)
+    for blob in [e for _, e, src in out if src is None] + (
+        [where] if where else []
+    ):
+        for ident in set(re.findall(_IDENT, re.sub(r"'[^']*'", " ", blob))):
+            for t in tables:
+                if ident.lower() in cols[t] and ident.lower() not in ambiguous:
+                    need[t].add(cols[t][ident.lower()])
+    for d in dims:
+        if d.parent != fact:
+            if any(c.lower() in ambiguous for c in d.ref_cols):
+                return None
+            need[d.parent].update(d.ref_cols)
+    dims = tuple(
+        DimJoin(
+            dim=d.dim,
+            dim_pk=d.dim_pk,
+            parent=d.parent,
+            parent_col=d.parent_col,
+            dim_cols=tuple(sorted(need[d.dim])),
+            how=d.how,
+        )
+        for d in dims
+    )
+    return JoinProjectionShape(
+        fact=fact,
+        out_cols=tuple(names),
+        fact_cols=tuple(sorted(need[fact])),
+        dims=dims,
+        where=where,
+        key_exprs=tuple(key_exprs),
+    )
+
+
+def _orient_join_tree(m, source_names, source_columns, source_pks):
+    """Shared FROM/JOIN parsing and orientation for the join matchers:
+    parse the join clauses of a matched query head, resolve every ON
+    equality, and orient the join graph at the table from which every
+    other table is reachable through its own declared PK. Returns
+    (tables, quals, cols, ambiguous, resolve, fact, dims) or None."""
     tables = [m.group("t0")]
     quals = {(m.group("a0") or m.group("t0")).lower(): m.group("t0")}
     # raw ([(lref, rref), ...], how, joined-table) per ON clause — a
@@ -2470,9 +2597,13 @@ def match_join_agg_shape(
             break
     if dims is None:
         return None  # an M:N edge somewhere — no single-side key
+    return tables, quals, cols, ambiguous, resolve, fact, dims
+
+
+def _make_dequalifier(quals, cols):
+    """'alias.col' → bare-name rewriter over validated qualifiers."""
 
     def dequalify(s: str) -> str | None:
-        """Strip validated 'alias.col' qualifiers down to bare names."""
         bad = False
 
         def sub(qm: re.Match) -> str:
@@ -2485,6 +2616,40 @@ def match_join_agg_shape(
 
         out = _QUAL_RE.sub(sub, s)
         return None if bad else out
+
+    return dequalify
+
+
+def match_join_agg_shape(
+    query: str,
+    source_names: set[str],
+    source_columns: dict[str, list[str]],
+    source_pks: dict[str, list[str]],
+) -> JoinAggShape | None:
+    """Match the fact-⋈-dims GROUP BY aggregate, or None for the fallback.
+
+    The ON equations form a join graph; the match succeeds iff some
+    table (the fact) roots the graph as a tree in which every other
+    table enters through its own declared single-column PK (each fact
+    row then joins to ≤1 row per dim, so the joined relation stays
+    keyed by the fact PK — the invariant IncrementalJoinAggMV
+    maintains). Star (all dims reference the fact) and snowflake (a dim
+    references another dim) both orient. Qualified (``a.b``) and bare
+    column references both match; bare names present in more than one
+    table are rejected as ambiguous, mirroring SQL resolution.
+    """
+    m = _JOIN_AGG_RE.match(query)
+    if m is None:
+        return None
+    tree = _orient_join_tree(m, source_names, source_columns, source_pks)
+    if tree is None:
+        return None
+    tables, quals, cols, ambiguous, resolve, fact, dims = tree
+    seen: dict[str, int] = {}
+    for t in tables:
+        for c in cols[t]:
+            seen[c] = seen.get(c, 0) + 1
+    dequalify = _make_dequalifier(quals, cols)
 
     # Group keys: leading select items pair with GROUP BY terms in
     # order. A key is a bare (possibly qualified) column — resolved per

@@ -1253,6 +1253,7 @@ _PRIORITY = [
     "mvapp_auto_comma_join",
     "mvapp_projection_streaming",
     "mvapp_auto_not_in",
+    "mvapp_auto_enrichment",
     "mvapp_semijoin_streaming",
     "mvapp_auto_corr_sum",
     "mvapp_auto_time_rollup",

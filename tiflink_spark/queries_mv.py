@@ -3745,3 +3745,87 @@ def mvapp_auto_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         return app.read().select("o_orderkey", "o_custkey").localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_enrichment",
+    f"""
+    WITH {_FINAL_ORDERS_SQL},
+    final_customer_en AS (
+        SELECT c_custkey, c_name, c_nationkey
+        FROM customer WHERE c_custkey % 10 <> 4
+    ),
+    final_nation_en AS (
+        SELECT n_nationkey,
+               CASE WHEN n_nationkey % 3 = 0 THEN n_name || '_R'
+                    ELSE n_name END AS n_name
+        FROM nation
+    )
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, n.n_name
+    FROM final_orders o
+    LEFT JOIN final_customer_en c ON o.o_custkey = c.c_custkey
+    LEFT JOIN final_nation_en n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_totalprice > 1000
+    """,
+    doc=(
+        "The lookup-enrichment view — orders carrying their customer's "
+        "and nation's names through a two-hop LEFT snowflake, keyed by "
+        "the order PK — auto-routed to IncrementalJoinProjectionMV: the "
+        "join-aggregate machinery (dirty-join-key re-derivation, "
+        "hop-by-hop propagation) with an identity sink, so the joined "
+        "relation itself MERGEs into the target. LEFT semantics under "
+        "churn: deleted customers NULL out their orders' name columns "
+        "instead of dropping the rows; nation renames rewrite rows two "
+        "hops away. The fn raises unless routed incrementally."
+    ),
+    tags=("mv", "incremental", "planner", "join"),
+)
+def mvapp_auto_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_en_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("ord_en", t["orders"], pk=["o_orderkey"])
+            .source("cust_en", t["customer"], pk=["c_custkey"])
+            .source("nat_en", t["nation"], pk=["n_nationkey"])
+            .query(
+                """SELECT o.o_orderkey, o.o_totalprice, c.c_name, n.n_name
+                   FROM ord_en o
+                   LEFT JOIN cust_en c ON o.o_custkey = c.c_custkey
+                   LEFT JOIN nat_en n ON c.c_nationkey = n.n_nationkey
+                   WHERE o.o_totalprice > 1000"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalJoinProjectionMV":
+            raise AssertionError(
+                f"planner routed the enrichment view to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        cust, nat = t["customer"], t["nation"]
+        b_cust = (
+            cust.filter(F.col("c_custkey") % 10 == 4)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        b_nat = (
+            nat.filter(F.col("n_nationkey") % 3 == 0)
+            .withColumn("n_name", F.concat(F.col("n_name"), F.lit("_R")))
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        batches = scripted_batches(t["orders"])
+        app.refresh({"ord_en": batches[0]}, batch_id=1)
+        app.refresh({"cust_en": b_cust}, batch_id=2)
+        app.refresh({"nat_en": b_nat}, batch_id=3)
+        app.refresh({"ord_en": batches[1]}, batch_id=4)
+        app.refresh({"ord_en": batches[2]}, batch_id=5)
+        return app.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
