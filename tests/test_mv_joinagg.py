@@ -1117,3 +1117,56 @@ class TestJoinProjection:
         got = sorted(tuple(r) for r in app.read().collect())
         exp = sorted(tuple(r) for r in spark.sql(q).collect())
         assert got == exp
+
+
+def test_mn_join_agg_cascades_with_held_key(spark, tmp_path):
+    """An M:N join (neither side joins through its PK) + aggregate has
+    no direct incremental route, but the NESTED spelling cascades —
+    inner IncrementalJoinMV (keyed by both PKs) feeding an outer
+    aggregate via store diffs — PROVIDED the inner select carries a
+    join-key column (the join MV prunes dirty keys through it)."""
+    from tiflink_spark.app import MVApp
+
+    a = spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(20)], "aid long, tag long, av double"
+    )
+    b = spark.createDataFrame(
+        [(j, j % 4, f"s{j % 3}") for j in range(10)],
+        "bid long, btag long, grp string",
+    )
+    q = """SELECT grp, count(*) AS n, sum(av) AS s FROM (
+             SELECT aid, bid, tag, av, grp FROM mna JOIN mnb ON tag = btag
+           ) j GROUP BY grp"""
+    app = (
+        MVApp.builder(spark)
+        .source("mna", a, pk=["aid"])
+        .source("mnb", b, pk=["bid"])
+        .query(q)
+        .target(str(tmp_path / "mn"))
+        .num_buckets(2)
+        .shuffle_partitions(2)
+        .build()
+    )
+    assert app.maintenance_strategy == "CascadeMV"
+    app.bootstrap()
+    ch = (
+        spark.createDataFrame([(3, 1, 100.0)], "aid long, tag long, av double")
+        .withColumn(OP_COL, F.lit(OP_UPDATE))
+        .withColumn(SEQ_COL, F.lit(0))
+    )
+    chb = (
+        spark.createDataFrame([(2, 0, "x")], "bid long, btag long, grp string")
+        .withColumn(OP_COL, F.lit(OP_DELETE))
+        .withColumn(SEQ_COL, F.lit(0))
+    )
+    app.refresh({"mna": ch}, batch_id=1)
+    app.refresh({"mnb": chb}, batch_id=2)
+    fa = a.filter(F.col("aid") != 3).unionByName(
+        spark.createDataFrame([(3, 1, 100.0)], "aid long, tag long, av double")
+    )
+    fb = b.filter(F.col("bid") != 2)
+    fa.createOrReplaceTempView("mna")
+    fb.createOrReplaceTempView("mnb")
+    got = sorted(tuple(r) for r in app.read().collect())
+    exp = sorted(tuple(r) for r in spark.sql(q).collect())
+    assert got == exp
