@@ -1254,6 +1254,7 @@ _PRIORITY = [
     "mvapp_projection_streaming",
     "mvapp_auto_not_in",
     "mvapp_auto_enrichment",
+    "text_dup_span_fraction",
     "mvapp_semijoin_streaming",
     "mvapp_auto_corr_sum",
     "mvapp_auto_time_rollup",

@@ -1304,3 +1304,60 @@ def quality_decile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("decile"),
         )
     )
+
+
+_SPAN_W = 8  # tokens per window — the exact-substring dedup grain
+
+
+@register(
+    "text_dup_span_fraction",
+    f"""
+    WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+               FROM documents),
+    spans AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+{_SPAN_W - 1}], ' ') AS span
+              FROM w, UNNEST(range(1, len(ws) - {_SPAN_W - 2})) AS t(i)
+              WHERE len(ws) >= {_SPAN_W}),
+    freq AS (SELECT span, count(*) AS ndocs FROM spans GROUP BY span)
+    SELECT s.doc_id,
+           count(*) AS n_spans,
+           round(sum(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS dup_frac
+    FROM spans s JOIN freq f ON s.span = f.span
+    GROUP BY s.doc_id
+    """,
+    doc=(
+        "Exact-substring duplication scoring (the Lee et al. 2022 "
+        "'Deduplicating Training Data' signal, rolling-window form): "
+        "every overlapping 8-token window is hashed corpus-wide, and a "
+        "document's dup_frac is the fraction of its distinct windows "
+        "that appear in at least one OTHER document — the retrain-"
+        "memorization risk metric that exact-doc and near-dup dedup "
+        "both miss (boilerplate headers, quoted paragraphs, licenses). "
+        "Spark side: one scan-local regex pass builds the overlapping "
+        "windows (no per-token explode), the corpus-wide window "
+        "frequency is one hash-keyed groupBy (map-side combined), and "
+        "the per-doc fraction is a second bounded aggregate — the same "
+        "shuffle class as the n-gram dedup family, scan-shaped at "
+        "100 TB. The suffix-array exactness of the paper trades to "
+        "fixed-width windows, the standard distributed approximation."
+    ),
+    tags=("llm", "text", "dedup"),
+)
+def text_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    spans = _doc_grams(t["documents"], n=_SPAN_W, distinct=True).withColumnRenamed(
+        "gram", "span"
+    )
+    freq = spans.groupBy("span").agg(F.count(F.lit(1)).alias("ndocs"))
+    return (
+        spans.join(freq, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.round(
+                F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("dup_frac"),
+        )
+    )
