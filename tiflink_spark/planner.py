@@ -2024,7 +2024,9 @@ def _hoist_on_predicates(query: str) -> str:
     f.k = d.pk WHERE d.type = 'X'`` for inner joins (ON and WHERE
     filters commute), which is the form the join matchers read. LEFT
     joins keep their ON untouched (the predicate's placement changes
-    which rows survive). Bails on an ON with no remaining equality."""
+    which rows survive). Bails on an ON with no remaining equality,
+    and on set operations (the hoisted conjunct must stay inside its
+    own branch's WHERE — attaching it elsewhere changes semantics)."""
     ons = [
         i
         for i in _scan_top_level(query, "ON")
@@ -2032,6 +2034,9 @@ def _hoist_on_predicates(query: str) -> str:
     ]
     if not ons:
         return query
+    for kw in ("UNION", "INTERSECT", "EXCEPT"):
+        if _scan_top_level(query, kw):
+            return query
     eq_re = re.compile(rf"(?s)^{_REF}\s*=\s*{_REF}$")
     hoisted: list[str] = []
     spans: list[tuple[int, int, str]] = []  # (start, end, new ON text)
@@ -2053,6 +2058,21 @@ def _hoist_on_predicates(query: str) -> str:
         for kw in _ON_BOUNDARY:
             for j in _scan_top_level(query[body_start:], kw):
                 stop = min(stop, body_start + j)
+        # a top-level comma ends the ON body too (mixed explicit-JOIN +
+        # comma-join FROM lists: ``JOIN u ON ... , c WHERE ...``)
+        depth, in_str = 0, False
+        for j, ch in enumerate(query[body_start:stop]):
+            if in_str:
+                in_str = ch != "'"
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                stop = body_start + j
+                break
         body = query[body_start:stop]
         conjs = _split_conjuncts(body)
         if conjs is None:
@@ -2078,6 +2098,17 @@ def _hoist_on_predicates(query: str) -> str:
     pred = " AND ".join(f"({p.strip()})" for p in hoisted)
     if wh:
         j = wh[0] + 5
+        # parenthesize an existing WHERE with a top-level OR so the
+        # prepended AND-conjunct doesn't rebind it (AND binds tighter)
+        bend = len(out.rstrip().rstrip(";"))
+        for kw in ("GROUP", "HAVING", "ORDER", "LIMIT"):
+            for k in _scan_top_level(out[j:], kw):
+                bend = min(bend, j + k)
+        bodytxt = out[j:bend]
+        if _has_top_level_or(bodytxt):
+            return (
+                f"{out[:j]} {pred} AND ({bodytxt.strip()}) {out[bend:]}"
+            ).rstrip()
         return f"{out[:j]} {pred} AND {out[j:].lstrip()}"
     # no WHERE yet: insert before the first trailing clause keyword
     stop = len(out.rstrip().rstrip(";"))
@@ -2364,7 +2395,7 @@ def match_join_projection_shape(
     unambiguous bare/qualified columns from ANY side (LEFT dims
     included) or row-local ``expr AS alias`` items. No GROUP BY, no
     window, no aggregates."""
-    if re.search(r"(?is)\b(GROUP\s+BY|HAVING)\b", query):
+    if _scan_top_level(query, "GROUP") or _scan_top_level(query, "HAVING"):
         return None
     m = _JOIN_PROJ_RE.match(query)
     if m is None:

@@ -1247,7 +1247,6 @@ _PRIORITY = [
     "mvapp_auto_group_order_limit",
     "mvapp_auto_join_top_groups",
     "mvapp_auto_dim_where",
-    "mvapp_auto_projection",
     "mvapp_auto_cte",
     "mvapp_auto_composite_key",
     "mvapp_auto_comma_join",
