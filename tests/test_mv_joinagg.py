@@ -118,6 +118,37 @@ class TestJoinAggMatcher:
     def test_rejects(self, query):
         assert match_join_agg_shape(query, set(COLS), COLS, PKS) is None
 
+    def test_qualified_ambiguous_keyword_column_falls_back(self):
+        # both tables carry a column named `date` (an _EXPR_KEYWORDS
+        # word). A qualified f.date reference must NOT dequalify to
+        # bare `date` — it would slip through the row-local sweep as a
+        # keyword without being carried into J, turning a valid query
+        # into a bootstrap AnalysisException. The matcher must return
+        # None (safe recompute fallback) instead.
+        cols = {
+            "fact": ["f_id", "f_dk", "f_val", "date"],
+            "dim": ["d_dk", "d_name", "date"],
+        }
+        pks = {"fact": ["f_id"], "dim": ["d_dk"]}
+        q = """SELECT d.d_name, sum(f.f_val) AS s
+               FROM fact f JOIN dim d ON f.f_dk = d.d_dk
+               WHERE f.date > DATE '1995-01-01' GROUP BY d.d_name"""
+        assert match_join_agg_shape(q, set(cols), cols, pks) is None
+        # unambiguous qualified keyword-named column still routes
+        cols2 = {
+            "fact": ["f_id", "f_dk", "f_val", "date"],
+            "dim": ["d_dk", "d_name"],
+        }
+        s = match_join_agg_shape(
+            """SELECT d.d_name, sum(f.f_val) AS s
+               FROM fact f JOIN dim d ON f.f_dk = d.d_dk
+               WHERE f.date > DATE '1995-01-01' GROUP BY d.d_name""",
+            set(cols2),
+            cols2,
+            pks,
+        )
+        assert s is not None and "date" in s.fact_cols
+
     def test_snowflake_chain(self):
         cols = {
             "lineitem": ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],

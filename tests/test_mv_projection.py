@@ -85,8 +85,26 @@ class TestNormalizeQuery:
         assert normalize_query(q) == q
 
     def test_groupby_ordinals(self):
+        # ordinals resolve to the item's EXPRESSION, never its alias:
+        # GROUP BY names resolve against source columns before select
+        # aliases, so the alias spelling is wrong when it shadows one
         q = "SELECT coalesce(a, 'X') AS k, b, count(*) AS n FROM t GROUP BY 1, 2"
-        assert "GROUP BY k, b" in normalize_query(q)
+        assert "GROUP BY coalesce(a, 'X'), b" in normalize_query(q)
+
+    def test_groupby_ordinal_alias_shadows_source_column(self):
+        # SELECT abs(x) AS x ... GROUP BY 1: emitting the alias would
+        # regroup by the RAW column x (wrong result); the expression
+        # form is always the positional grouping
+        q = "SELECT abs(x) AS x, count(*) AS n FROM t GROUP BY 1"
+        assert "GROUP BY abs(x)" in normalize_query(q)
+
+    def test_order_by_offset_fetch_kept(self):
+        # standalone OFFSET / FETCH FIRST restrict the row set — the
+        # bare-ORDER-BY strip must leave them intact
+        q = "SELECT a FROM t ORDER BY a OFFSET 5"
+        assert normalize_query(q) == q
+        q2 = "SELECT a FROM t ORDER BY a FETCH FIRST 3 ROWS ONLY"
+        assert normalize_query(q2) == q2
 
     def test_rollup_ordinals_untouched(self):
         q = "SELECT a, count(*) AS n FROM t GROUP BY ROLLUP(a)"

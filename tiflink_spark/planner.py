@@ -1514,6 +1514,12 @@ def _strip_bare_order_by(query: str) -> str:
         tail = query[i:]
         if _scan_top_level(tail, "LIMIT"):
             return query
+        # ORDER BY … OFFSET n (standalone OFFSET, Spark 3.4+) and the
+        # FETCH FIRST dialect restrict the ROW SET — stripping the tail
+        # would silently drop that restriction. Leave them intact (the
+        # recompute fallback evaluates them correctly).
+        if _scan_top_level(tail, "OFFSET") or _scan_top_level(tail, "FETCH"):
+            return query
         if re.fullmatch(r"(?is)ORDER\s+BY\s+[^;]+;?\s*", tail):
             return query[:i].rstrip()
     return query
@@ -1558,7 +1564,16 @@ def _resolve_groupby_ordinals(query: str) -> str:
                 return query
             item = items[n - 1]
             am = _KEY_ALIAS_RE.match(item)
-            out_terms.append(am.group("alias") if am is not None else item)
+            # Emit the item's EXPRESSION, never its alias: SQL (and
+            # Spark) resolve GROUP BY names against source columns
+            # before select aliases, so when an alias shadows a source
+            # column (SELECT abs(x) AS x … GROUP BY 1) the alias
+            # spelling would silently group by the raw column.
+            # GROUP BY <expr> is always valid and always means the
+            # positional grouping.
+            out_terms.append(
+                am.group("expr").strip() if am is not None else item
+            )
         else:
             out_terms.append(t)
     return query[:body_start] + ", ".join(out_terms) + " " + query[stop:].lstrip()
@@ -2409,7 +2424,7 @@ def match_join_projection_shape(
     if tree is None:
         return None
     tables, quals, cols, ambiguous, resolve, fact, dims = tree
-    dequalify = _make_dequalifier(quals, cols)
+    dequalify = _make_dequalifier(quals, cols, ambiguous)
     allowed = set().union(*(set(cols[t]) for t in tables)) - ambiguous
     out: list[tuple[str, str, str | None]] = []  # (name, expr, src table)
     key_exprs: list[tuple[str, str]] = []
@@ -2631,8 +2646,17 @@ def _orient_join_tree(m, source_names, source_columns, source_pks):
     return tables, quals, cols, ambiguous, resolve, fact, dims
 
 
-def _make_dequalifier(quals, cols):
-    """'alias.col' → bare-name rewriter over validated qualifiers."""
+def _make_dequalifier(quals, cols, ambiguous=frozenset()):
+    """'alias.col' → bare-name rewriter over validated qualifiers.
+
+    A qualified reference that resolves to an AMBIGUOUS bare name
+    (a column present in several joined tables) is refused (→ None →
+    the matcher falls back to recompute): the joined relation J stores
+    bare names, so dequalifying `f.date` to bare `date` would lose
+    provenance — and worse, a common-word name (date/year/…) then
+    slips through `_row_local_expr_ok` via `_EXPR_KEYWORDS` without
+    ever being carried into J's needed columns, turning a valid query
+    into a bootstrap AnalysisException instead of a safe fallback."""
 
     def dequalify(s: str) -> str | None:
         bad = False
@@ -2641,6 +2665,9 @@ def _make_dequalifier(quals, cols):
             nonlocal bad
             table = quals.get(qm.group(1).lower())
             if table is None or qm.group(2).lower() not in cols[table]:
+                bad = True
+                return qm.group(0)
+            if qm.group(2).lower() in ambiguous:
                 bad = True
                 return qm.group(0)
             return cols[table][qm.group(2).lower()]
@@ -2680,7 +2707,7 @@ def match_join_agg_shape(
     for t in tables:
         for c in cols[t]:
             seen[c] = seen.get(c, 0) + 1
-    dequalify = _make_dequalifier(quals, cols)
+    dequalify = _make_dequalifier(quals, cols, ambiguous)
 
     # Group keys: leading select items pair with GROUP BY terms in
     # order. A key is a bare (possibly qualified) column — resolved per

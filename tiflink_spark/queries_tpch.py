@@ -197,10 +197,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q9_product_profit",
     """
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    SELECT nation, o_year,
+           CAST(sum(amount_e4) AS DOUBLE) / 10000.0 AS sum_profit
     FROM (SELECT n_name AS nation, year(CAST(o_orderdate AS DATE)) AS o_year,
-                 CAST(l_extendedprice * (1 - l_discount)
-                      - 0.5 * p_retailprice * l_quantity AS DECIMAL(18,4)) AS amount
+                 CAST(floor((l_extendedprice * (1 - l_discount)
+                      - 0.5 * p_retailprice * l_quantity) * 10000.0 + 0.5)
+                      AS BIGINT) AS amount_e4
           FROM part, supplier, lineitem, orders, nation
           WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
             AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
@@ -208,7 +210,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY nation, o_year
     """,
     doc="TPC-H Q9 shape: product-line profit by supplier nation and year. "
-    "Adaptation: no partsupp, so cost = 0.5 * p_retailprice * qty.",
+    "Adaptation: no partsupp, so cost = 0.5 * p_retailprice * qty. "
+    "Cross-engine determinism: the per-row amount is snapped to integer "
+    "ten-thousandths via floor(x*10000+0.5) — floor of an identical IEEE "
+    "double is engine-invariant, unlike double→DECIMAL casts (Spark rounds "
+    "HALF_UP, DuckDB half-to-even, and it varies by DuckDB version). The "
+    "BIGINT sum is exact and order-independent; one double division at the "
+    "end is the same IEEE op on both engines.",
     tags=("tpch", "join", "agg"),
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,15 +235,18 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year(F.col("o_orderdate").cast("date")).alias("o_year"),
         )
         .agg(
-            F.round(
+            (
                 F.sum(
-                    # Decimal-domain sum: double-sum order differs between
-                    # engines and can straddle a .xx5 rounding boundary.
-                    (_rev() - 0.5 * F.col("p_retailprice") * F.col("l_quantity")).cast(
-                        "decimal(18,4)"
+                    F.floor(
+                        (
+                            _rev()
+                            - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+                        )
+                        * 10000.0
+                        + 0.5
                     )
-                ),
-                2,
+                ).cast("double")
+                / 10000.0
             ).alias("sum_profit")
         )
     )
