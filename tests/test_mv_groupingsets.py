@@ -1,0 +1,199 @@
+"""GROUPING SETS / ROLLUP / CUBE incremental maintenance.
+
+The reference maintains these by delegation to Flink's planner (Expand
+node before the aggregate, TiFlinkApp.java:270); here the planner
+decomposes them into one aggregate state per grouping set over a
+SHARED fact store (SURVEY §2.2 "expand to union of aggs"). These tests
+pin the matcher envelope, convergence under +I/-D/+U churn including
+group-key moves, crash-replay idempotence, and that the fact is stored
+once (not |sets| times).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiflink_spark.changelog import OP_COL, OP_DELETE, OP_INSERT, OP_UPDATE, SEQ_COL
+from tiflink_spark.planner import match_grouping_sets_shape
+
+COLS = {"orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]}
+
+
+class TestGroupingSetsMatcher:
+    def test_rollup(self):
+        s = match_grouping_sets_shape(
+            """SELECT o_orderstatus, o_custkey, count(*) AS n
+               FROM orders GROUP BY ROLLUP(o_orderstatus, o_custkey)""",
+            {"orders"},
+            COLS,
+        )
+        assert s is not None
+        assert s.sets == (
+            ("o_orderstatus", "o_custkey"),
+            ("o_orderstatus",),
+            (),
+        )
+
+    def test_cube(self):
+        s = match_grouping_sets_shape(
+            """SELECT o_orderstatus, o_custkey, count(*) AS n
+               FROM orders GROUP BY CUBE(o_orderstatus, o_custkey)""",
+            {"orders"},
+            COLS,
+        )
+        assert s is not None and len(s.sets) == 4
+        assert set(s.sets) == {
+            ("o_orderstatus", "o_custkey"),
+            ("o_orderstatus",),
+            ("o_custkey",),
+            (),
+        }
+
+    def test_grouping_sets_mixed_spelling(self):
+        # bare single column and empty set inside GROUPING SETS
+        s = match_grouping_sets_shape(
+            """SELECT o_orderstatus, o_custkey, sum(o_totalprice) AS t
+               FROM orders WHERE o_totalprice > 10
+               GROUP BY GROUPING SETS ((o_orderstatus, o_custkey), o_orderstatus, ())""",
+            {"orders"},
+            COLS,
+        )
+        assert s is not None and s.where == "o_totalprice > 10"
+        assert s.sets[1] == ("o_orderstatus",) and s.sets[2] == ()
+
+    @pytest.mark.parametrize(
+        "query",
+        [
+            # GROUPING() needs the grouping-id as data -> recompute
+            """SELECT o_orderstatus, GROUPING(o_orderstatus) AS g, count(*) AS n
+               FROM orders GROUP BY ROLLUP(o_orderstatus)""",
+            # HAVING over grouping sets -> recompute
+            """SELECT o_orderstatus, count(*) AS n FROM orders
+               GROUP BY ROLLUP(o_orderstatus) HAVING count(*) > 3""",
+            # expression key inside ROLLUP -> recompute
+            """SELECT o_custkey, count(*) AS n FROM orders
+               GROUP BY ROLLUP(o_custkey % 10)""",
+            # select list missing a grouping column
+            """SELECT o_orderstatus, count(*) AS n FROM orders
+               GROUP BY ROLLUP(o_orderstatus, o_custkey)""",
+            # plain GROUP BY is not this shape
+            """SELECT o_orderstatus, count(*) AS n FROM orders
+               GROUP BY o_orderstatus""",
+            # 5-column CUBE (32 sets) stays on recompute
+            """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderkey AS k2, count(*) AS n
+               FROM orders GROUP BY CUBE(o_orderkey, o_custkey, o_orderstatus, o_totalprice, k2)""",
+        ],
+    )
+    def test_rejects(self, query):
+        assert match_grouping_sets_shape(query, {"orders"}, COLS) is None
+
+
+def _mk_fact(spark, rows):
+    return spark.createDataFrame(rows, "id long, grp string, sub long, v double")
+
+
+def _changes(df, op):
+    return df.withColumn(OP_COL, F.lit(op)).withColumn(
+        SEQ_COL, F.monotonically_increasing_id()
+    )
+
+
+class TestGroupingSetsMV:
+    def _build(self, spark, work, fact):
+        from tiflink_spark.app import MVApp
+
+        return (
+            MVApp.builder(spark)
+            .source("f", fact, pk=["id"])
+            .query(
+                """SELECT grp, sub, count(*) AS n, sum(v) AS total
+                   FROM f GROUP BY ROLLUP(grp, sub)"""
+            )
+            .target(work)
+            .num_buckets(2)
+            .shuffle_partitions(2)
+            .build()
+        )
+
+    def _expected(self, spark, fact):
+        fact.createOrReplaceTempView("f_exp")
+        return spark.sql(
+            """SELECT grp, sub, count(*) AS n, sum(v) AS total
+               FROM f_exp GROUP BY ROLLUP(grp, sub)"""
+        )
+
+    def test_converges_and_shares_fact_store(self, spark):
+        work = tempfile.mkdtemp(prefix="gsmv_")
+        try:
+            fact = _mk_fact(
+                spark,
+                [(i, "ab"[i % 2], i % 3, float(i)) for i in range(40)],
+            )
+            app = self._build(spark, work, fact)
+            assert app.maintenance_strategy == "IncrementalGroupingSetsMV"
+            assert app.pk_is_unique is False
+            # one shared fact store object across all sub-MVs
+            stores = {id(sub.fact_store) for sub in app._mv.subs}
+            assert len(stores) == 1
+            app.bootstrap()
+
+            # churn: inserts, deletes, group-key move
+            ins = _mk_fact(spark, [(100 + i, "c", 7, 1.5) for i in range(5)])
+            app.refresh({"f": _changes(ins, OP_INSERT)}, batch_id=1)
+            dels = fact.filter(F.col("id") % 4 == 0)
+            app.refresh({"f": _changes(dels, OP_DELETE)}, batch_id=2)
+            move = (
+                fact.filter((F.col("id") % 4 == 1))
+                .withColumn("grp", F.lit("z"))
+                .withColumn("v", F.col("v") + 10.0)
+            )
+            app.refresh({"f": _changes(move, OP_UPDATE)}, batch_id=3)
+
+            final = (
+                fact.filter(F.col("id") % 4 != 0)
+                .withColumn(
+                    "grp",
+                    F.when(F.col("id") % 4 == 1, F.lit("z")).otherwise(F.col("grp")),
+                )
+                .withColumn(
+                    "v",
+                    F.when(F.col("id") % 4 == 1, F.col("v") + 10.0).otherwise(
+                        F.col("v")
+                    ),
+                )
+                .unionByName(ins)
+            )
+            got = app.read().select("grp", "sub", "n", F.round("total", 6).alias("t"))
+            exp = self._expected(spark, final).select(
+                "grp", "sub", "n", F.round("total", 6).alias("t")
+            )
+            assert got.exceptAll(exp).count() == 0
+            assert exp.exceptAll(got).count() == 0
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    def test_replay_idempotent(self, spark):
+        work = tempfile.mkdtemp(prefix="gsmv_rep_")
+        try:
+            fact = _mk_fact(
+                spark, [(i, "ab"[i % 2], i % 2, float(i)) for i in range(20)]
+            )
+            app = self._build(spark, work, fact)
+            app.bootstrap()
+            ins = _mk_fact(spark, [(200, "q", 1, 3.0)])
+            app.refresh({"f": _changes(ins, OP_INSERT)}, batch_id=1)
+            # crash-replay: the same batch id again must be a no-op on
+            # every sub-MV (shared fact store AND per-set states)
+            app.refresh({"f": _changes(ins, OP_INSERT)}, batch_id=1)
+            got = app.read().select("grp", "sub", "n", F.round("total", 6).alias("t"))
+            exp = self._expected(spark, fact.unionByName(ins)).select(
+                "grp", "sub", "n", F.round("total", 6).alias("t")
+            )
+            assert got.exceptAll(exp).count() == 0
+            assert exp.exceptAll(got).count() == 0
+        finally:
+            shutil.rmtree(work, ignore_errors=True)

@@ -47,6 +47,7 @@ from tiflink_spark.planner import (
     match_correlated_count_shape,
     match_distinct_shape,
     match_global_agg_shape,
+    match_grouping_sets_shape,
     match_join_agg_shape,
     match_join_projection_shape,
     match_order_limit_shape,
@@ -303,6 +304,40 @@ class MVApp:
             )
             # The incremental MV's own fact store IS the source store.
             self._stores = {shape.fact: self._mv.fact_store}
+            return
+
+        # GROUPING SETS / ROLLUP / CUBE — the multi-grain reporting
+        # aggregate, maintained by decomposition into one aggregate
+        # state per grouping set over a SHARED fact store (SURVEY §2.2
+        # "expand to union of aggs"; the reference gets these from
+        # Flink's Expand node, TiFlinkApp.java:270). The view is a bag
+        # union (subtotal rows carry NULL keys), so no PK declaration
+        # is accepted and pk_is_unique turns off (no cascades on top).
+        gs = match_grouping_sets_shape(query, set(dfs), source_columns)
+        if gs is not None and dfs[gs.fact][0].pk and pk is None:
+            from pyspark.sql import functions as F
+            from tiflink_spark.mv import IncrementalGroupingSetsMV
+
+            self.maintenance_mode = "incremental"
+            self._fact_name, self._dim_name = gs.fact, None
+            self._join_names = None
+            self._change_filter = gs.where
+            fact_df = dfs[gs.fact][1]
+            if gs.where is not None:
+                fact_df = fact_df.filter(F.expr(gs.where))
+            self.pk_is_unique = False
+            self._mv = IncrementalGroupingSetsMV(
+                spark,
+                fact_df,
+                dfs[gs.fact][0].pk,
+                list(gs.all_keys),
+                list(gs.sets),
+                list(gs.measures),
+                work_dir=target,
+                num_buckets=num_buckets,
+                shuffle_partitions=shuffle_partitions,
+            )
+            self._stores = {gs.fact: self._mv.fact_store}
             return
 
         # Global (no GROUP BY) aggregate — the dashboard-total MV.

@@ -1511,6 +1511,107 @@ class IncrementalJoinProjectionMV(IncrementalJoinAggMV):
         return self.target.read(version)
 
 
+class IncrementalGroupingSetsMV:
+    """GROUPING SETS / ROLLUP / CUBE maintained by decomposition.
+
+    SURVEY §2.2 prescribes "expand to union of aggs" — the same shape
+    Flink's planner produces with an Expand node before the aggregate
+    (the reference gets these by delegation, TiFlinkApp.java:270). One
+    :class:`IncrementalAggMV` per grouping set (the empty set runs as
+    the keep-alive global aggregate), all sharing ONE fact store:
+    KeyedParquetStore's batch-id idempotence makes the first sub-MV's
+    fact merge the real one and every later sub's a no-op that reads
+    the pre-batch snapshot for retraction — the crash-replay guard
+    doubling as the share guard.
+
+    Per-batch work = |sets| × (batch-size state merge) — the identical
+    multiplier Spark's own Expand applies to a batch GROUPING SETS
+    plan, but over the delta instead of the full table, and the fact
+    is stored once, not |sets| times (the 100 TB concern).
+
+    The view is the BAG union of per-set rows with typed NULLs for the
+    keys a set omits (subtotal rows), so it has no unique key —
+    callers must treat ``pk_is_unique`` as False (no cascades on top).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        fact: DataFrame,
+        fact_pk: list[str],
+        all_keys: list[str],
+        sets: list[tuple[str, ...]],
+        measures: list[Measure],
+        work_dir: str,
+        num_buckets: int | None = None,
+        shuffle_partitions: int | None = None,
+    ):
+        self.spark = spark
+        self.all_keys = list(all_keys)
+        self.sets = [tuple(s) for s in sets]
+        self.measures = measures
+        self._has_global = any(not s for s in self.sets)
+        # The empty grouping set aggregates globally via the hidden
+        # constant key; deriving it once onto the shared fact keeps
+        # every sub-MV reading the same row layout.
+        fact0 = fact.withColumn("__g", F.lit(0)) if self._has_global else fact
+        self._key_types = {
+            f.name: f.dataType for f in fact0.schema.fields if f.name in self.all_keys
+        }
+        self.subs: list[IncrementalAggMV] = []
+        shared_fact = KeyedParquetStore(
+            spark, os.path.join(work_dir, "fact"), fact_pk, num_buckets
+        )
+        for i, s in enumerate(self.sets):
+            sub = IncrementalAggMV(
+                spark,
+                fact0,
+                fact_pk,
+                list(s) if s else ["__g"],
+                list(measures),
+                work_dir=os.path.join(work_dir, f"set{i}"),
+                num_buckets=num_buckets,
+                shuffle_partitions=shuffle_partitions,
+                global_group=not s,
+            )
+            sub.fact_store = shared_fact  # one fact copy for all sets
+            self.subs.append(sub)
+        self.fact_store = shared_fact
+
+    def bootstrap(self, batch_id=0) -> None:
+        for sub in self.subs:
+            sub.bootstrap(batch_id)
+
+    def refresh(self, changes: DataFrame, batch_id) -> bool:
+        if changes is None:
+            return False
+        if self._has_global:
+            changes = changes.withColumn("__g", F.lit(0))
+        did = False
+        for sub in self.subs:
+            did = sub.refresh(changes, batch_id) or did
+        return did
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Bag union of per-set rows, NULL-extended to the full key
+        set — exactly the rows `GROUP BY GROUPING SETS (...)` emits."""
+        parts = []
+        for s, sub in zip(self.sets, self.subs):
+            rows = sub.read(version)
+            cols = []
+            for k in self.all_keys:
+                if k in s:
+                    cols.append(F.col(k))
+                else:
+                    cols.append(F.lit(None).cast(self._key_types[k]).alias(k))
+            cols += [F.col(m.alias) for m in self.measures]
+            parts.append(rows.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+
 class IncrementalAggMV:
     """Incremental MV for `dim ⟕ (SELECT k, aggs FROM fact GROUP BY k)`.
 

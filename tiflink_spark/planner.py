@@ -307,6 +307,29 @@ class AggShape:
 
 
 @dataclass(frozen=True)
+class GroupingSetsShape:
+    """``SELECT keys…, aggs… FROM t [WHERE row-local] GROUP BY
+    GROUPING SETS (…) | ROLLUP(…) | CUBE(…)`` — the multi-grain
+    reporting aggregate.
+
+    Maintained by DECOMPOSITION (SURVEY §2.2 "expand to union of
+    aggs"; the reference gets these free from Flink's planner via
+    Expand nodes, TiFlinkApp.java:270): one per-grouping-set aggregate
+    state over a SHARED fact store, the view being the union of the
+    per-set rows with NULL for the keys a set omits. ``sets`` is the
+    expanded list of grouping sets in emission order (ROLLUP/CUBE are
+    de-sugared here so the maintenance layer sees one canonical form);
+    duplicates are preserved — SQL's GROUPING SETS is a bag of sets.
+    """
+
+    fact: str
+    all_keys: tuple[str, ...]  # select-order grouping columns
+    sets: tuple[tuple[str, ...], ...]
+    measures: tuple[Measure, ...]
+    where: str | None = None
+
+
+@dataclass(frozen=True)
 class CorrelatedCountShape:
     """The reference's flagship shape (TiFlinkExample.java:10-16),
     generalized to any supported aggregate:
@@ -1469,6 +1492,120 @@ def match_agg_shape(
         where.strip() if where is not None else None,
         having,
         tuple(key_exprs),
+    )
+
+
+def _expand_grouping_body(body: str) -> list[tuple[str, ...]] | None:
+    """De-sugar a GROUP BY tail into explicit grouping sets.
+
+    Accepts ``ROLLUP(a, b)``, ``CUBE(a, b)`` (≤4 columns — 16 sets;
+    larger cubes stay on recompute) and ``GROUPING SETS ((a, b), a,
+    ())``. Returns the expanded list of column tuples in SQL emission
+    order, or None when the body is anything else (plain GROUP BY,
+    nested ROLLUP inside GROUPING SETS, expressions as keys)."""
+    body = body.strip().rstrip(";").strip()
+    rm = re.fullmatch(r"(?is)(ROLLUP|CUBE)\s*\((?P<cols>[^()]*)\)", body)
+    if rm is not None:
+        cols = [c.strip() for c in rm.group("cols").split(",") if c.strip()]
+        if not cols or any(not re.fullmatch(_IDENT, c) for c in cols):
+            return None
+        if rm.group(1).upper() == "ROLLUP":
+            return [tuple(cols[:i]) for i in range(len(cols), -1, -1)]
+        if len(cols) > 4:
+            return None
+        # CUBE: every subset, in Spark/DuckDB's emission order (bitmask
+        # over columns, most-significant = first column present)
+        out = []
+        n = len(cols)
+        for mask in range(2**n):
+            out.append(
+                tuple(c for i, c in enumerate(cols) if not (mask >> (n - 1 - i)) & 1)
+            )
+        return out
+    gm = re.fullmatch(r"(?is)GROUPING\s+SETS\s*\((?P<body>.*)\)", body)
+    if gm is None:
+        return None
+    sets: list[tuple[str, ...]] = []
+    for item in _split_select_list(gm.group("body")):
+        item = item.strip()
+        if re.fullmatch(_IDENT, item):
+            sets.append((item,))
+            continue
+        pm = re.fullmatch(r"\((?P<cols>[^()]*)\)", item)
+        if pm is None:
+            return None
+        cols = [c.strip() for c in pm.group("cols").split(",") if c.strip()]
+        if any(not re.fullmatch(_IDENT, c) for c in cols):
+            return None
+        sets.append(tuple(cols))
+    return sets or None
+
+
+def match_grouping_sets_shape(
+    query: str,
+    source_names: set[str],
+    source_columns: dict[str, list[str]] | None = None,
+) -> GroupingSetsShape | None:
+    """Match the single-table GROUPING SETS / ROLLUP / CUBE aggregate,
+    or None for the fallback.
+
+    Conservative envelope: one registered source, leading select items
+    are the bare grouping columns (select order must cover exactly the
+    union of grouping-set columns), remaining items are supported
+    aggregates, WHERE row-local, no HAVING, no GROUPING()/
+    GROUPING_ID() calls (those need the grouping-id as data — not
+    maintained yet, recompute handles them)."""
+    m = _SHAPE_RE.match(query)
+    if m is None or m.group("table") not in source_names:
+        return None
+    if m.group("having") is not None:
+        return None
+    where = m.group("where")
+    if where is not None and _NON_LOCAL_WHERE.search(where):
+        return None
+    if re.search(r"(?i)\bGROUPING(_ID)?\s*\(", m.group("select")):
+        return None
+    sets = _expand_grouping_body(m.group("keys"))
+    if sets is None:
+        return None
+    cols = None
+    if source_columns is not None and m.group("table") in source_columns:
+        cols = {c.lower() for c in source_columns[m.group("table")]}
+    if cols is None:
+        return None
+    set_cols: list[str] = []
+    for s in sets:
+        for c in s:
+            if c.lower() not in {x.lower() for x in set_cols}:
+                set_cols.append(c)
+    items = _split_select_list(m.group("select"))
+    if len(items) <= len(set_cols):
+        return None
+    keys = items[: len(set_cols)]
+    if any(not re.fullmatch(_IDENT, k) for k in keys):
+        return None
+    if {k.lower() for k in keys} != {c.lower() for c in set_cols}:
+        return None
+    if any(k.lower() not in cols for k in keys):
+        return None
+    if where is not None and not _row_local_expr_ok(where, cols):
+        return None
+    measures = _parse_measures(items[len(set_cols) :], cols)
+    if measures is None:
+        return None
+    if {mm.alias.lower() for mm in measures} & {k.lower() for k in keys}:
+        return None
+    # Canonicalize each set's column spelling to the select list's
+    key_by_lower = {k.lower(): k for k in keys}
+    canon_sets = tuple(
+        tuple(key_by_lower[c.lower()] for c in s) for s in sets
+    )
+    return GroupingSetsShape(
+        fact=m.group("table"),
+        all_keys=tuple(keys),
+        sets=canon_sets,
+        measures=tuple(measures),
+        where=where.strip() if where is not None else None,
     )
 
 

@@ -3829,3 +3829,88 @@ def mvapp_auto_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         return app.read().localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+_FINAL_ORDERS_GS_SQL = f"""
+    final_orders_gs AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0 AND o_orderkey < {BIG}
+                    THEN o_custkey % 100 + 1 ELSE o_custkey END AS o_custkey,
+               o_orderstatus, o_totalprice
+        FROM (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % 7 <> 0
+            UNION ALL
+            SELECT o_orderkey + {BIG}, o_custkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % 100 = 0
+        )
+    )
+"""
+
+
+@register(
+    "mvapp_auto_grouping_sets",
+    f"""
+    WITH {_FINAL_ORDERS_GS_SQL}
+    SELECT o_orderstatus, o_custkey, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM final_orders_gs
+    WHERE o_totalprice > 500
+    GROUP BY ROLLUP(o_orderstatus, o_custkey)
+    """,
+    doc=(
+        "ROLLUP (grouping-sets) MV auto-routed to "
+        "IncrementalGroupingSetsMV: one aggregate state per grouping "
+        "set over a SHARED fact store (stored once, not |sets| times — "
+        "the 100 TB concern), per-batch work = |sets| x batch-size "
+        "state merges, exactly the multiplier Spark's Expand node "
+        "applies to the batch plan but over the delta. The reference "
+        "gets these by delegation to Flink's planner "
+        "(TiFlinkApp.java:270); SURVEY §2.2 prescribes this "
+        "decomposition. The fn raises unless routed incrementally; the "
+        "scripted +I/-D/+U churn (incl. group-key moves) proves the "
+        "union-of-states converges to the batch GROUP BY ROLLUP answer, "
+        "subtotal rows included."
+    ),
+    tags=("mv", "incremental", "planner", "grouping-sets"),
+)
+def mvapp_auto_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_gs_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("orders_gs", t["orders"], pk=["o_orderkey"])
+            .query(
+                """SELECT o_orderstatus, o_custkey, count(*) AS n_orders,
+                          sum(o_totalprice) AS total_raw
+                   FROM orders_gs
+                   WHERE o_totalprice > 500
+                   GROUP BY ROLLUP(o_orderstatus, o_custkey)"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalGroupingSetsMV":
+            raise AssertionError(
+                f"planner routed ROLLUP to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        for i, b in enumerate(scripted_batches(t["orders"]), start=1):
+            app.refresh({"orders_gs": b}, batch_id=i)
+        return (
+            app.read()
+            .select(
+                "o_orderstatus",
+                "o_custkey",
+                "n_orders",
+                F.round("total_raw", 2).alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
