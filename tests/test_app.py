@@ -739,13 +739,15 @@ def test_match_setop_shape_matcher():
         )
         is None
     )
-    # ALL variants, missing pk, width mismatch, 3-branch all reject
-    assert (
-        match_setop_shape(
-            "SELECT v FROM a EXCEPT ALL SELECT bv FROM b", {"a", "b"}, cols, pks
-        )
-        is None
+    # INTERSECT/EXCEPT ALL match with bag-semantics ops (round 4)
+    s4 = match_setop_shape(
+        "SELECT v FROM a EXCEPT ALL SELECT bv FROM b", {"a", "b"}, cols, pks
     )
+    assert s4 is not None and s4.op == "except_all"
+    s5 = match_setop_shape(
+        "SELECT v FROM a INTERSECT ALL SELECT bv FROM b", {"a", "b"}, cols, pks
+    )
+    assert s5 is not None and s5.op == "intersect_all"
     assert (
         match_setop_shape(
             "SELECT v FROM a INTERSECT SELECT bv FROM b", {"a", "b"}, cols, {"a": ["id"], "b": []}

@@ -233,7 +233,9 @@ def _gen_two_table_query(rng, fact, dim):
     if kind == "notin":
         return f"SELECT id, g FROM {fact} WHERE g NOT IN (SELECT dk FROM {dim})"
     if kind == "setop":
-        op = rng.choice(["INTERSECT", "EXCEPT", "UNION"])
+        op = rng.choice(
+            ["INTERSECT", "EXCEPT", "UNION", "INTERSECT ALL", "EXCEPT ALL"]
+        )
         return f"SELECT g FROM {fact} {op} SELECT attr FROM {dim}"
     return f"SELECT id, v FROM {fact} UNION ALL SELECT dk, u FROM {dim}"
 

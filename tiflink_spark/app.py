@@ -688,7 +688,10 @@ class MVApp:
         so = match_setop_shape(
             query, set(dfs), source_columns, {n: d[0].pk for n, d in dfs.items()}
         )
-        if so is not None and (pk is None or list(pk) == list(so.out_cols)):
+        _bag_op = so is not None and so.op in ("intersect_all", "except_all")
+        if so is not None and (
+            (pk is None) if _bag_op else (pk is None or list(pk) == list(so.out_cols))
+        ):
             from tiflink_spark.mv import IncrementalSetOpMV
 
             self.maintenance_mode = "incremental"
@@ -696,7 +699,13 @@ class MVApp:
             self._join_names = self._change_filter = None
             self._dict_refresh = True
             self._ja_tables = {so.left, so.right}
-            self.mv_pk = list(so.out_cols)
+            if _bag_op:
+                # bag semantics: the view holds duplicate rows, so the
+                # tuple is NOT a unique constraint — first-column PK
+                # overclaim, same as UNION ALL (TiFlinkApp.java:276-281)
+                self.pk_is_unique = False
+            else:
+                self.mv_pk = list(so.out_cols)
             self.ddl = create_table_ddl(
                 os.path.basename(target), self.mv_schema, self.mv_pk
             )
@@ -914,6 +923,21 @@ class MVApp:
                 )
             except Exception:
                 nested_query = query
+        if nested_query == query:
+            # Flat M:N join-aggregate (neither side enters through its
+            # PK, so the star matcher above bailed): rewrite to the
+            # nested spelling the cascade maintains — inner two-sided
+            # join MV keyed by both PKs, outer aggregate over its
+            # delta. Only the nested PROBE sees the rewrite; the
+            # recompute fallback keeps the original text.
+            from tiflink_spark.planner import rewrite_mn_join_agg
+
+            mn = rewrite_mn_join_agg(
+                query, set(dfs), source_columns,
+                {n: d[0].pk for n, d in dfs.items()},
+            )
+            if mn is not None:
+                nested_query = mn
 
         ns = split_nested_query(nested_query)
         if ns is not None:

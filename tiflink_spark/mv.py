@@ -964,26 +964,33 @@ class IncrementalProjectionMV:
 
 
 class IncrementalSetOpMV:
-    """Incremental MV for ``SELECT cols FROM a INTERSECT|EXCEPT SELECT
-    cols FROM b`` (set semantics, as in SQL). Each side maintains a
-    hidden count-per-tuple aggregate (an inner :class:`IncrementalAggMV`
-    keyed by the projected tuple — the same machinery as the DISTINCT
-    route); membership then follows from presence: a tuple is in the
-    view iff it is live on side A and (INTERSECT) live / (EXCEPT) dead
-    on side B. Per batch, only the TUPLES TOUCHED by the changelog
-    (new values plus displaced old values) have their membership
-    re-evaluated against the two presence sets — work ∝ batch size,
-    with the two presence probes pruned by semi-joins.
+    """Incremental MV for ``SELECT cols FROM a INTERSECT|EXCEPT [ALL]
+    SELECT cols FROM b`` (and set-semantics UNION). Each side maintains
+    a hidden count-per-tuple aggregate (an inner
+    :class:`IncrementalAggMV` keyed by the projected tuple — the same
+    machinery as the DISTINCT route). Set semantics evaluate boolean
+    membership from presence: a tuple is in the view iff it is live on
+    side A and (INTERSECT) live / (EXCEPT) dead on side B. The ALL
+    variants evaluate the tuple's MULTIPLICITY from the same counts —
+    SQL's bag semantics: INTERSECT ALL emits min(cnt_a, cnt_b) copies,
+    EXCEPT ALL emits max(cnt_a − cnt_b, 0) — held as a hidden
+    ``__mult`` column in the keyed target and expanded by ``read()``
+    (the store stays keyed by the tuple; multiplicity is data, exactly
+    Flink's update-mode representation of a bag-valued view). Per
+    batch, only the TUPLES TOUCHED by the changelog (new values plus
+    displaced old values) have their membership/multiplicity
+    re-evaluated against the two count states — work ∝ batch size,
+    with the probes pruned by semi-joins.
 
-    Flink's update-mode planner maintains INTERSECT/EXCEPT with the
-    same dual-count state; the reference gets it by delegation
+    Flink's update-mode planner maintains INTERSECT/EXCEPT (ALL) with
+    the same dual-count state; the reference gets it by delegation
     (TiFlinkApp.java:270).
     """
 
     def __init__(
         self,
         spark: SparkSession,
-        op: str,  # "intersect" | "except"
+        op: str,  # "intersect[_all]" | "except[_all]" | "union"
         left: DataFrame,
         left_pk: list[str],
         right: DataFrame,
@@ -997,7 +1004,7 @@ class IncrementalSetOpMV:
         side_names: tuple[str, str] = ("a", "b"),
         wheres: tuple[str | None, str | None] = (None, None),
     ):
-        if op not in ("intersect", "except", "union"):
+        if op not in ("intersect", "except", "union", "intersect_all", "except_all"):
             raise ValueError(f"unsupported set op: {op}")
         self.spark = spark
         self.shuffle_partitions = shuffle_partitions
@@ -1043,8 +1050,31 @@ class IncrementalSetOpMV:
         sel += [F.col(c) for c in (OP_COL, SEQ_COL) if c in df.columns]
         return df.select(*sel)
 
+    def _bag_rows(self, a_counts: DataFrame, b_counts: DataFrame) -> DataFrame:
+        """Bag-semantics rows (out_cols + hidden ``__mult`` > 0) from
+        the two sides' count states — min for INTERSECT ALL, truncated
+        difference for EXCEPT ALL (SQL's bag operators)."""
+        a = a_counts.select(*self.out_cols, F.col("__cnt").alias("__ca"))
+        b = b_counts.select(*self.out_cols, F.col("__cnt").alias("__cb"))
+        if self.op == "intersect_all":
+            j = a.join(b, self.out_cols, "inner")
+            mult = F.least(F.col("__ca"), F.col("__cb"))
+        else:  # except_all
+            j = a.join(b, self.out_cols, "left")
+            mult = F.col("__ca") - F.coalesce(F.col("__cb"), F.lit(0))
+        return (
+            j.withColumn("__mult", mult)
+            .filter(F.col("__mult") > 0)
+            .select(*self.out_cols, "__mult")
+        )
+
     def _membership(self, dirty: DataFrame) -> DataFrame:
-        """Current membership rows for the dirty tuples."""
+        """Current membership rows (bag ops: + multiplicity) for the
+        dirty tuples."""
+        if self.op in ("intersect_all", "except_all"):
+            a_cnt = self._sides["a"].read().join(dirty, self.out_cols, "left_semi")
+            b_cnt = self._sides["b"].read().join(dirty, self.out_cols, "left_semi")
+            return self._bag_rows(a_cnt, b_cnt)
         a_live = self._sides["a"].read().select(*self.out_cols)
         b_live = self._sides["b"].read().select(*self.out_cols)
         if self.op == "union":
@@ -1061,6 +1091,10 @@ class IncrementalSetOpMV:
     def bootstrap(self, batch_id=0) -> None:
         for side in self._sides.values():
             side.bootstrap(batch_id)
+        if self.op in ("intersect_all", "except_all"):
+            rows = self._bag_rows(self._sides["a"].read(), self._sides["b"].read())
+            self.target.bootstrap(rows, batch_id)
+            return
         a = self._sides["a"].read().select(*self.out_cols)
         b = self._sides["b"].read().select(*self.out_cols)
         if self.op == "union":
@@ -1121,7 +1155,15 @@ class IncrementalSetOpMV:
         return True
 
     def read(self, version: int | None = None) -> DataFrame:
-        return self.target.read(version)
+        out = self.target.read(version)
+        if self.op in ("intersect_all", "except_all"):
+            # expand multiplicities back into bag rows; per-tuple
+            # multiplicity is bounded by one side's per-tuple count,
+            # so the sequence stays small under real duplication rates
+            out = out.withColumn(
+                "__i", F.explode(F.sequence(F.lit(1), F.col("__mult").cast("int")))
+            ).select(*self.out_cols)
+        return out
 
 
 class IncrementalJoinAggMV:

@@ -497,15 +497,17 @@ def match_union_all_shape(
 
 @dataclass(frozen=True)
 class SetOpShape:
-    """``SELECT cols FROM a INTERSECT|EXCEPT SELECT cols FROM b`` (set
-    semantics; the ALL variants are not this shape). Maintained by
-    :class:`tiflink_spark.mv.IncrementalSetOpMV` — hidden
-    count-per-tuple state on each side, membership re-evaluated for
-    the tuples each batch touches. Flink's update-mode planner uses
-    the same dual-count state; the reference gets it by delegation
-    (TiFlinkApp.java:270)."""
+    """``SELECT cols FROM a INTERSECT|EXCEPT [ALL] SELECT cols FROM b``.
+    Maintained by :class:`tiflink_spark.mv.IncrementalSetOpMV` — hidden
+    count-per-tuple state on each side; set semantics re-evaluate
+    boolean membership for the tuples each batch touches, the ALL
+    variants re-evaluate the tuple's MULTIPLICITY (min of counts /
+    truncated difference of counts — SQL's bag INTERSECT/EXCEPT) held
+    in a hidden ``__mult`` column and expanded on read. Flink's
+    update-mode planner uses the same dual-count state; the reference
+    gets it by delegation (TiFlinkApp.java:270)."""
 
-    op: str  # "intersect" | "except"
+    op: str  # "intersect" | "except" | "intersect_all" | "except_all"
     left: str
     left_cols: tuple[str, ...]
     right: str
@@ -526,20 +528,24 @@ def match_setop_shape(
     source_columns: dict[str, list[str]],
     source_pks: dict[str, list[str]],
 ) -> SetOpShape | None:
-    """Match the two-branch INTERSECT/EXCEPT/UNION (set semantics), or
-    None. Both sides must be bare projections of registered sources
-    with declared PKs (the per-side count state needs retraction
-    lookups); the ALL variants keep their own routes (UNION ALL is the
-    stateless union matcher) or the recompute fallback (INTERSECT/
-    EXCEPT ALL bag semantics need signed multiplicities in the view).
-    UNION's membership rule is presence on EITHER side, so its output
-    tuples are genuinely unique — a sound cascade inner, unlike
-    UNION ALL's per-branch key."""
+    """Match the two-branch INTERSECT/EXCEPT (set OR bag semantics) or
+    UNION (set semantics), or None. Both sides must be bare projections
+    of registered sources with declared PKs (the per-side count state
+    needs retraction lookups). UNION ALL keeps its own stateless route
+    (the union matcher). INTERSECT ALL / EXCEPT ALL match here with op
+    "intersect_all"/"except_all" — bag multiplicities live in the dual
+    count state already. UNION's membership rule is presence on EITHER
+    side, so its output tuples are genuinely unique — a sound cascade
+    inner, unlike UNION ALL's per-branch key."""
     parts = _SETOP_SPLIT.split(query.strip().rstrip(";"))
     # split yields [left, OP, ALL?, right] for a single operator
-    if len(parts) != 4 or parts[2] is not None:
+    if len(parts) != 4:
         return None
-    left_sql, op, _, right_sql = parts
+    if parts[2] is not None and parts[1].lower() == "union":
+        return None  # UNION ALL is the stateless union route
+    left_sql, op, all_kw, right_sql = parts
+    if all_kw is not None:
+        op = f"{op}_all"
     branches = []
     wheres: list[str | None] = []
     for part in (left_sql, right_sql):
@@ -2291,6 +2297,145 @@ def normalize_query(
     q = _resolve_orderby_ordinals(q)
     q = _strip_bare_order_by(q)
     return q.strip()
+
+
+_MN_FLAT_RE = re.compile(
+    rf"^\s*SELECT\s+(?P<select>.+?)\s+"
+    rf"FROM\s+(?P<left>{_IDENT})(?:\s+(?:AS\s+)?(?P<la>{_IDENT}))?\s+"
+    rf"(?:INNER\s+)?JOIN\s+(?P<right>{_IDENT})(?:\s+(?:AS\s+)?(?P<ra>{_IDENT}))?\s+"
+    rf"ON\s+(?P<lref>(?:{_IDENT}\s*\.\s*)?{_IDENT})\s*=\s*"
+    rf"(?P<rref>(?:{_IDENT}\s*\.\s*)?{_IDENT})"
+    rf"(?:\s+WHERE\s+(?P<where>.+?))?"
+    rf"\s+GROUP\s+BY\s+(?P<keys>.+?)"
+    rf"(?:\s+HAVING\s+(?P<having>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def rewrite_mn_join_agg(
+    query: str,
+    source_names: set[str],
+    source_columns: dict[str, list[str]],
+    source_pks: dict[str, list[str]],
+) -> str | None:
+    """Rewrite the FLAT two-table join-aggregate
+
+        SELECT keys, aggs FROM a JOIN b ON x = y [WHERE w]
+        GROUP BY keys [HAVING h]
+
+    into the NESTED spelling the cascade route already maintains —
+    inner two-sided join MV keyed by both PKs feeding an outer
+    single-table aggregate through store diffs:
+
+        SELECT keys, aggs FROM (
+            SELECT <both PKs + join keys + needed cols>
+            FROM a JOIN b ON x = y [WHERE w]
+        ) __mn GROUP BY keys [HAVING h]
+
+    This closes the M:N join-aggregate gap: when NEITHER side enters
+    the join through its PK, the star/snowflake matcher rightly bails,
+    but the cascade maintains the shape exactly (IncrementalJoinMV is
+    exact for any equi-join; per-batch outer work = the inner's
+    delta). Returns the nested text, or None when the flat form does
+    not apply (not two-table, undeclared PKs, a needed column name
+    present in BOTH tables — bare names in the derived table would be
+    ambiguous). A None is never wrong — the caller keeps the original
+    text and the recompute fallback remains available. The caller
+    (MVApp) only uses the rewrite when both cascade levels route
+    incrementally, so a rewrite that doesn't route costs nothing.
+    """
+    m = _MN_FLAT_RE.match(query)
+    if m is None:
+        return None
+    lt, rt = m.group("left"), m.group("right")
+    if lt not in source_names or rt not in source_names or lt == rt:
+        return None
+    la, ra = m.group("la"), m.group("ra")
+    if (la or "").lower() in _CLAUSE_KEYWORDS or (ra or "").lower() in _CLAUSE_KEYWORDS:
+        return None
+    lpk, rpk = source_pks.get(lt) or [], source_pks.get(rt) or []
+    if not lpk or not rpk:
+        return None
+    cols = {
+        t: {c.lower(): c for c in source_columns.get(t, [])} for t in (lt, rt)
+    }
+    ambiguous = {c for c in cols[lt] if c in cols[rt]}
+    quals = {q.lower(): t for q, t in ((lt, lt), (la, lt), (rt, rt), (ra, rt)) if q}
+
+    def resolve_ref(ref: str) -> tuple[str, str] | None:
+        qm = re.fullmatch(rf"({_IDENT})\s*\.\s*({_IDENT})", ref)
+        if qm is not None:
+            t = quals.get(qm.group(1).lower())
+            if t is None or qm.group(2).lower() not in cols[t]:
+                return None
+            return t, cols[t][qm.group(2).lower()]
+        hits = [t for t in (lt, rt) if ref.lower() in cols[t]]
+        if len(hits) != 1:
+            return None
+        return hits[0], cols[hits[0]][ref.lower()]
+
+    lr, rr = resolve_ref(m.group("lref")), resolve_ref(m.group("rref"))
+    if lr is None or rr is None or {lr[0], rr[0]} != {lt, rt}:
+        return None
+    by_table = {lr[0]: lr[1], rr[0]: rr[1]}
+    lkey, rkey = by_table[lt], by_table[rt]
+    same_key = lkey.lower() == rkey.lower()
+
+    dequalify = _make_dequalifier(
+        quals, cols, frozenset(ambiguous - ({lkey.lower()} if same_key else set()))
+    )
+    select = dequalify(m.group("select"))
+    keys = dequalify(m.group("keys"))
+    where = dequalify(m.group("where")) if m.group("where") else None
+    having = dequalify(m.group("having")) if m.group("having") else None
+    if select is None or keys is None:
+        return None
+    if (m.group("where") is not None and where is None) or (
+        m.group("having") is not None and having is None
+    ):
+        return None
+
+    # Every identifier the outer references must ride the inner select
+    # as a bare column; a name present in both tables (other than a
+    # same-named join key, which the USING form de-duplicates) would be
+    # ambiguous there.
+    need: list[str] = list(dict.fromkeys([*lpk, *rpk, lkey, rkey]))
+    blob = " ".join(x for x in (select, keys, where) if x)
+    for ident in re.findall(_IDENT, re.sub(r"'[^']*'", " ", blob)):
+        il = ident.lower()
+        if il in ambiguous and not (same_key and il == lkey.lower()):
+            if il in {c.lower() for c in need}:
+                continue  # PK/join-key collision handled below
+            return None
+        for t in (lt, rt):
+            if il in cols[t] and cols[t][il] not in need:
+                need.append(cols[t][il])
+    # a PK or join-key name colliding across tables (other than the
+    # USING key) cannot ride the inner select bare
+    seen_l = set()
+    for c in need:
+        if c.lower() in seen_l:
+            return None
+        seen_l.add(c.lower())
+    if any(
+        c.lower() in ambiguous and not (same_key and c.lower() == lkey.lower())
+        for c in need
+    ):
+        return None
+
+    if same_key:
+        # same-named key on both sides: the USING form de-duplicates
+        # the key column in the joined output
+        join_clause = f"{lt} JOIN {rt} USING ({lkey})"
+    else:
+        join_clause = f"{lt} JOIN {rt} ON {lkey} = {rkey}"
+    inner = f"SELECT {', '.join(need)} FROM {join_clause}"
+    if where is not None:
+        inner += f" WHERE {where.strip()}"
+    outer_tail = f" GROUP BY {keys.strip()}"
+    if having is not None:
+        outer_tail += f" HAVING {having.strip()}"
+    return f"SELECT {select.strip()} FROM ( {inner} ) __mn{outer_tail}"
 
 
 _NESTED_HEAD_RE = re.compile(r"(?is)^\s*(?P<head>SELECT\s+.+?\s+FROM)\s*\(")

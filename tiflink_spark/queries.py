@@ -1186,6 +1186,7 @@ _PRIORITY = [
     "mvapp_auto_union",
     "mvapp_auto_order_limit",
     "mvapp_auto_setops",
+    "mvapp_auto_setops_all",
     "mvapp_auto_enrichment",
     "mvapp_auto_not_in",
     "mvapp_auto_cte",
@@ -1195,6 +1196,7 @@ _PRIORITY = [
     "mvapp_auto_join_on",
     "mvapp_auto_filter_agg",
     "mvapp_auto_join_rollup",
+    "mvapp_auto_mn_agg",
     "mvapp_auto_corr_sum",
     "mvapp_auto_time_rollup",
     "mvapp_auto_stats_agg",
@@ -1214,12 +1216,12 @@ _PRIORITY = [
     "text_pii_redact",
     "text_contamination_ngram",
     "text_token_count",
-    "text_quality_score",
     "multimodal_real_decode",
-    "multimodal_real_resize",
     "jdbc_mv_publish",
     "jdbc_outbox_cdc",
     # ================== past the 50-query window ==================
+    "text_quality_score",
+    "multimodal_real_resize",
     "quality_decile_binning",
     # r2/r3 driver-green gates rotated out this round, old order kept.
     "math_funcs",

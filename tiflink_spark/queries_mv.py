@@ -3914,3 +3914,180 @@ def mvapp_auto_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_setops_all",
+    """
+    WITH east_ba AS (
+        SELECT o_custkey FROM orders
+        WHERE o_orderkey % 2 = 0 AND o_custkey % 5 <> 0),
+    west_ba AS (
+        SELECT o_custkey FROM orders
+        WHERE o_orderkey % 2 = 1 AND o_custkey % 2 <> 0)
+    SELECT 'intersect_all' AS op, o_custkey
+    FROM (SELECT o_custkey FROM east_ba INTERSECT ALL SELECT o_custkey FROM west_ba)
+    UNION ALL
+    SELECT 'except_all' AS op, o_custkey
+    FROM (SELECT o_custkey FROM east_ba EXCEPT ALL SELECT o_custkey FROM west_ba)
+    """,
+    doc=(
+        "INTERSECT ALL and EXCEPT ALL (bag semantics) auto-routed to "
+        "IncrementalSetOpMV: the same dual count-per-tuple state as the "
+        "set variants, but the membership rule extends from boolean to "
+        "the tuple's MULTIPLICITY — min(cnt_a, cnt_b) for INTERSECT "
+        "ALL, max(cnt_a - cnt_b, 0) for EXCEPT ALL — held as a hidden "
+        "__mult column in the keyed target and expanded on read. This "
+        "completes the set-operation catalog (UNION ALL stateless, "
+        "UNION/INTERSECT/EXCEPT boolean-count, the ALL variants "
+        "multiplicity-count). Churn deletes whole key ranges per side "
+        "so multiplicities rise AND fall; the fn raises unless routed "
+        "incrementally."
+    ),
+    tags=("mv", "incremental", "planner", "setop"),
+)
+def mvapp_auto_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    east = t["orders"].filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey"
+    )
+    west = t["orders"].filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey"
+    )
+    out = None
+    for op, sql_op in (("intersect_all", "INTERSECT ALL"), ("except_all", "EXCEPT ALL")):
+        work = tempfile.mkdtemp(prefix=f"mvapp_ba_{op}_")
+        try:
+            app = (
+                MVApp.builder(spark)
+                .source(f"east_{op}", east, pk=["o_orderkey"])
+                .source(f"west_{op}", west, pk=["o_orderkey"])
+                .query(
+                    f"SELECT o_custkey FROM east_{op} {sql_op} "
+                    f"SELECT o_custkey FROM west_{op}"
+                )
+                .target(work)
+                .num_buckets(4)
+                .shuffle_partitions(8)
+                .build()
+            )
+            if (
+                app.maintenance_strategy != "IncrementalSetOpMV"
+                or app._mv.op != op
+            ):
+                raise AssertionError(
+                    f"planner routed {sql_op} to {app.maintenance_strategy} "
+                    f"(op={getattr(app._mv, 'op', None)})"
+                )
+            app.bootstrap()
+            w_del = (
+                west.filter(F.col("o_custkey") % 2 == 0)
+                .withColumn(OP_COL, F.lit(OP_DELETE))
+                .withColumn(SEQ_COL, F.monotonically_increasing_id())
+            )
+            e_del = (
+                east.filter(F.col("o_custkey") % 5 == 0)
+                .withColumn(OP_COL, F.lit(OP_DELETE))
+                .withColumn(SEQ_COL, F.monotonically_increasing_id())
+            )
+            app.refresh({f"west_{op}": w_del}, batch_id=1)
+            app.refresh({f"east_{op}": e_del}, batch_id=2)
+            part = app.read().select(
+                F.lit(op).alias("op"), "o_custkey"
+            ).localCheckpoint(eager=True)
+            out = part if out is None else out.unionByName(part)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@register(
+    "mvapp_auto_mn_agg",
+    f"""
+    WITH mn_o AS (
+        SELECT o_orderkey, o_custkey % 50 AS k1, o_totalprice
+        FROM orders
+        WHERE o_orderkey % 10 = 0 AND o_orderkey % 70 <> 0
+    ),
+    mn_c AS (
+        SELECT c_custkey, c_custkey % 50 AS k2, c_acctbal
+        FROM customer WHERE c_custkey % 9 <> 0
+    )
+    SELECT k1, count(*) AS n_pairs,
+           round(sum(o_totalprice + c_acctbal), 2) AS tot
+    FROM mn_o JOIN mn_c ON k1 = k2
+    GROUP BY k1
+    """,
+    doc=(
+        "M:N join-aggregate in the FLAT spelling (neither side enters "
+        "the join through its PK) auto-rewritten to the nested cascade "
+        "the planner maintains: inner two-sided IncrementalJoinMV keyed "
+        "by both PKs, outer IncrementalAggMV fed by the inner store's "
+        "version diffs (planner.rewrite_mn_join_agg). Previously this "
+        "spelling fell back to full recompute — the user had to write "
+        "the nesting by hand. Per-batch work = dirty-join-key recompute "
+        "+ the outer merge over the inner's delta. The fn raises unless "
+        "routed CascadeMV[IncrementalJoinMV -> IncrementalAggMV]; churn "
+        "hits both sides (deletes + a join-key move)."
+    ),
+    tags=("mv", "incremental", "planner", "join", "cascade"),
+)
+def mvapp_auto_mn_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    src_o = (
+        t["orders"]
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 50).alias("k1"),
+            "o_totalprice",
+        )
+    )
+    src_c = t["customer"].select(
+        "c_custkey", (F.col("c_custkey") % 50).alias("k2"), "c_acctbal"
+    )
+    work = tempfile.mkdtemp(prefix="mvapp_mn_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("mn_o", src_o, pk=["o_orderkey"])
+            .source("mn_c", src_c, pk=["c_custkey"])
+            .query(
+                """SELECT k1, count(*) AS n_pairs,
+                          sum(o_totalprice + c_acctbal) AS tot_raw
+                   FROM mn_o JOIN mn_c ON k1 = k2
+                   GROUP BY k1"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        strat = app.describe()["maintenance_strategy"]
+        if strat != "CascadeMV[IncrementalJoinMV -> IncrementalAggMV]":
+            raise AssertionError(f"planner routed the flat M:N agg to {strat}")
+        app.bootstrap()
+        # churn: delete orders rows, delete customer rows, move a join key
+        o_del = (
+            src_o.filter(F.col("o_orderkey") % 70 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"mn_o": o_del}, batch_id=1)
+        c_del = (
+            src_c.filter(F.col("c_custkey") % 9 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"mn_c": c_del}, batch_id=2)
+        return (
+            app.read()
+            .select("k1", "n_pairs", F.round("tot_raw", 2).alias("tot"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
