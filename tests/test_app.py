@@ -1911,3 +1911,83 @@ def test_review_hardening_probes():
         )
         is None
     )
+
+
+def test_continuous_trigger_refresh(spark, tmp_path):
+    """The reference's ONLY refresh mode is a live continuously
+    refreshing view whose rate is the checkpoint interval
+    (TiFlinkExample.java:22-23, README.md "This interval determines
+    data refresh rate"). trigger_interval maps that contract onto
+    trigger(processingTime=...): a live stream picks up changelog
+    files as they arrive across MULTIPLE refresh cycles, and the MV
+    converges without drain-and-stop semantics."""
+    import time
+
+    src = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(40)], "id long, g long, v double"
+    )
+    app = (
+        MVApp.builder(spark)
+        .source("live_src", src, pk=["id"])
+        .query("SELECT g, count(*) AS n, sum(v) AS sv FROM live_src GROUP BY g")
+        .target(str(tmp_path / "mv_live"))
+        .num_buckets(2)
+        .shuffle_partitions(2)
+        .build()
+    )
+    assert app.maintenance_strategy == "IncrementalAggMV"
+    app.bootstrap()
+    chlog = tmp_path / "chlog_live"
+    b1 = (
+        spark.createDataFrame([(100, 1, 10.0), (101, 2, 20.0)], "id long, g long, v double")
+        .withColumn(OP_COL, F.lit(OP_INSERT))
+        .withColumn(SEQ_COL, F.monotonically_increasing_id())
+    )
+    b1.coalesce(1).write.mode("append").parquet(str(chlog))
+    app.start_streaming(
+        {"live_src": str(chlog)},
+        checkpoint_dir=str(tmp_path / "ckpt_live"),
+        trigger_interval="1 second",
+    )
+    try:
+        def wait_for(pred, timeout=60):
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                if pred():
+                    return True
+                time.sleep(1)
+            return False
+
+        # cycle 1: the pre-written file lands
+        assert wait_for(
+            lambda: {(r.g, r.n) for r in app.read().collect()}
+            >= {(1, 9), (2, 9)}
+        ), "first live refresh cycle did not land"
+        # cycle 2: a file written WHILE the stream is live lands too —
+        # proving continuous refresh, not a one-shot drain
+        b2 = (
+            src.filter(F.col("id") % 10 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        b2.coalesce(1).write.mode("append").parquet(str(chlog))
+        assert wait_for(
+            lambda: {(r.g, r.n) for r in app.read().collect()}
+            >= {(0, 4), (1, 9), (2, 9)}
+        ), "second live refresh cycle did not land"
+    finally:
+        app.stop_streaming()
+    # converged to the batch answer over the final state
+    final = src.filter(F.col("id") % 10 != 0).unionByName(
+        spark.createDataFrame(
+            [(100, 1, 10.0), (101, 2, 20.0)], "id long, g long, v double"
+        )
+    )
+    exp = {
+        (r.g, r.n, round(r.sv, 6))
+        for r in final.groupBy("g")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+        .collect()
+    }
+    got = {(r.g, r.n, round(r.sv, 6)) for r in app.read().collect()}
+    assert got == exp

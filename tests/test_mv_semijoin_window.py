@@ -258,3 +258,76 @@ class TestNullAwareNotIn:
         ).withColumn(SEQ_COL, F.lit(0))
         app.refresh({"f_ni": newnull}, batch_id=4)
         assert ids() == [1, 2, 3]  # NULL insert stays out while non-empty
+
+
+class TestWindowSkewGuard:
+    def test_hot_partition_warns_and_stays_exact(self, spark, tmp_path):
+        """One PARTITION BY key holding 50% of rows: the refresh must
+        raise the documented skew warning (a window partition is one
+        task's sort — salting would change OVER semantics) while the
+        result stays exactly the batch answer."""
+        import warnings as _w
+
+        from tiflink_spark.mv import IncrementalWindowMV
+
+        rows = [(k, 0 if k < 50 else k % 10 + 1, float(k)) for k in range(100)]
+        fact = spark.createDataFrame(rows, "k long, g long, v double")
+        items = [
+            "k",
+            "g",
+            "v",
+            "rank() OVER (PARTITION BY g ORDER BY v DESC) AS rnk",
+        ]
+        mv = IncrementalWindowMV(
+            spark,
+            fact=fact,
+            fact_pk=["k"],
+            group_key="g",
+            select_items=items,
+            work_dir=str(tmp_path / "w_skew"),
+            num_buckets=2,
+            shuffle_partitions=2,
+            skew_warn_rows=30,  # 50-row hot partition crosses it
+        )
+        mv.bootstrap()
+        ch = spark.createDataFrame(
+            [(200, 0, 999.0, OP_INSERT, 0)],
+            f"k long, g long, v double, {OP_COL} string, {SEQ_COL} long",
+        )
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            mv.refresh(ch, batch_id=1)
+        assert mv.last_skew_warning is not None
+        assert "g=0" in mv.last_skew_warning
+        assert any("re-sorts the whole partition" in str(w.message) for w in caught)
+        final = fact.unionByName(
+            spark.createDataFrame([(200, 0, 999.0)], "k long, g long, v double")
+        )
+        want = {tuple(r) for r in final.selectExpr(*items).collect()}
+        got = {tuple(r) for r in mv.read().collect()}
+        assert got == want
+
+    def test_cold_partitions_stay_silent(self, spark, tmp_path):
+        from tiflink_spark.mv import IncrementalWindowMV
+
+        fact = spark.createDataFrame(
+            [(k, k % 10, float(k)) for k in range(100)], "k long, g long, v double"
+        )
+        mv = IncrementalWindowMV(
+            spark,
+            fact=fact,
+            fact_pk=["k"],
+            group_key="g",
+            select_items=["k", "g", "rank() OVER (PARTITION BY g ORDER BY v) AS r"],
+            work_dir=str(tmp_path / "w_cold"),
+            num_buckets=2,
+            shuffle_partitions=2,
+            skew_warn_rows=30,
+        )
+        mv.bootstrap()
+        ch = spark.createDataFrame(
+            [(300, 3, 5.0, OP_INSERT, 0)],
+            f"k long, g long, v double, {OP_COL} string, {SEQ_COL} long",
+        )
+        mv.refresh(ch, batch_id=1)
+        assert mv.last_skew_warning is None

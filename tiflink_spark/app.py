@@ -1192,35 +1192,68 @@ class MVApp:
         return self._mv.refresh(changes, batch_id)
 
     def start_streaming(
-        self, changelog_dirs: dict[str, str], checkpoint_dir: str, available_now: bool = True
+        self,
+        changelog_dirs: dict[str, str],
+        checkpoint_dir: str,
+        available_now: bool = True,
+        trigger_interval: str | None = None,
     ):
         """CDC phase: consume changelog directories as file streams and
         MERGE each micro-batch (FlinkTikvConsumer.java:92-106 handoff;
         foreachBatch is the exactly-once txn boundary).
 
-        Streams run ONE AT A TIME: the keyed stores are single-writer
-        (store.py), and concurrent foreachBatch callbacks would race on
-        the version manifest. The reference serializes commits the same
-        way (maxConcurrentCheckpoints=1, TiFlinkApp.java:245)."""
+        ``trigger_interval`` (e.g. ``"1 second"``) switches from the
+        drain-and-stop ``availableNow`` mode to a LIVE continuously
+        refreshing view — ``trigger(processingTime=...)``. This is the
+        reference's only mode: its refresh rate IS the checkpoint
+        interval (``setCheckpointInterval``, TiFlinkExample.java:22-23;
+        README.md "This interval determines data refresh rate"). Live
+        streams return immediately; call :meth:`stop_streaming` (or
+        ``awaitTermination`` on the returned handles via
+        ``self._streams``) to end them.
+
+        Commit serialization: the keyed stores are single-writer, so
+        drain mode runs streams ONE AT A TIME, and live mode wraps
+        every foreachBatch in one shared lock — the engine-side analog
+        of the reference's commit-ordering coordinator
+        (maxConcurrentCheckpoints=1, TiFlinkApp.java:245; commit-in-
+        checkpoint-order, GrpcService.java:87-135)."""
+        import threading
+
+        live = trigger_interval is not None
+        commit_lock = threading.Lock()
+        self._streams = []
         for name, d in changelog_dirs.items():
             schema = self.spark.read.parquet(d).schema
 
             def make_batch_fn(table):
                 def fn(df, epoch_id):
-                    self.refresh({table: df}, batch_id=f"{table}-{epoch_id}")
+                    with commit_lock:
+                        self.refresh({table: df}, batch_id=f"{table}-{epoch_id}")
 
                 return fn
 
-            q = (
+            writer = (
                 self.spark.readStream.schema(schema)
                 .option("maxFilesPerTrigger", 1)
                 .parquet(d)
                 .writeStream.foreachBatch(make_batch_fn(name))
                 .option("checkpointLocation", os.path.join(checkpoint_dir, name))
-                .trigger(availableNow=available_now)
-                .start()
             )
-            q.awaitTermination()
+            if live:
+                q = writer.trigger(processingTime=trigger_interval).start()
+                self._streams.append(q)
+            else:
+                q = writer.trigger(availableNow=available_now).start()
+                q.awaitTermination()
+        return self
+
+    def stop_streaming(self) -> "MVApp":
+        """Stop any live (processingTime-triggered) streams started by
+        :meth:`start_streaming`."""
+        for q in getattr(self, "_streams", []):
+            q.stop()
+        self._streams = []
         return self
 
     def read(self, version: int | None = None) -> DataFrame:

@@ -653,6 +653,23 @@ class IncrementalWindowMV:
     ``select_items`` is the full select list (bare columns and
     ``... OVER ... AS alias`` items) applied verbatim via selectExpr —
     the window semantics are exactly Spark SQL's.
+
+    Skew bound: a window partition is ONE Spark task's sort — that is
+    inherent to OVER semantics (the whole partition must be seen in
+    order; salting would change results), so a hot PARTITION BY key
+    makes every batch that touches it re-sort that partition.
+    ``skew_warn_rows`` (default 5M — roughly one executor core's
+    comfortable sort at ~100 B/row) bounds the acceptable partition
+    size: any dirty partition above it raises a loud warning (recorded
+    in ``last_skew_warning`` and via ``warnings.warn``) per refresh.
+    The 100 TB remedy for peer-uniform functions (rank/dense_rank,
+    running SUM/COUNT under the default RANGE frame) is a two-pass
+    rank over the partition's DISTINCT ORDER-VALUE DOMAIN (the
+    quality_decile_binning trick — domain cardinality, not row count);
+    per-ROW functions (row_number/lag/lead) have no order-preserving
+    decomposition and genuinely need the repartition-by-range sort.
+    The probe costs one map-side-combined count over the already-
+    pruned dirty partitions.
     """
 
     def __init__(
@@ -665,6 +682,7 @@ class IncrementalWindowMV:
         work_dir: str,
         num_buckets: int | None = None,
         shuffle_partitions: int | None = None,
+        skew_warn_rows: int | None = 5_000_000,
     ):
         self.spark = spark
         self.shuffle_partitions = shuffle_partitions
@@ -672,6 +690,8 @@ class IncrementalWindowMV:
         self.fact_pk = list(fact_pk)
         self.group_key = group_key
         self.select_items = list(select_items)
+        self.skew_warn_rows = skew_warn_rows
+        self.last_skew_warning: str | None = None
         self.fact_store = KeyedParquetStore(
             spark, os.path.join(work_dir, "fact"), self.fact_pk, num_buckets
         )
@@ -708,13 +728,41 @@ class IncrementalWindowMV:
             d, rows[self.group_key].eqNullSafe(d["__dg"]), "left_semi"
         )
 
+    def _check_skew(self, pruned: DataFrame) -> None:
+        """Loud warning when a dirty partition exceeds the documented
+        sort bound (see class docstring). One map-side-combined count
+        over rows already pruned to the dirty partitions; the single
+        max row is a legitimate driver scalar."""
+        if self.skew_warn_rows is None:
+            return
+        top = (
+            pruned.groupBy(self.group_key)
+            .count()
+            .orderBy(F.desc("count"))
+            .head()
+        )
+        if top is not None and top["count"] > self.skew_warn_rows:
+            import warnings
+
+            self.last_skew_warning = (
+                f"window partition {self.group_key}="
+                f"{top[self.group_key]!r} holds {top['count']} rows "
+                f"(> skew_warn_rows={self.skew_warn_rows}): every batch "
+                f"touching it re-sorts the whole partition in one task. "
+                f"Consider a coarser PARTITION BY, or (peer-uniform "
+                f"functions) the distinct-order-domain two-pass rank."
+            )
+            warnings.warn(self.last_skew_warning, stacklevel=3)
+
     @_maintenance
     def refresh(self, changes: DataFrame | None, batch_id) -> bool:
         if changes is None or batch_id in self.target.committed_batches():
             return False
         dirty = self._dirty_groups(changes, batch_id).localCheckpoint(eager=True)
         self.fact_store.merge(changes, batch_id)
-        recomputed = self._windowed(self._prune(self.fact_store.read(), dirty))
+        pruned = self._prune(self.fact_store.read(), dirty)
+        self._check_skew(pruned)
+        recomputed = self._windowed(pruned)
         mv_dirty_old = self._prune(self.target.read(), dirty)
         mv_changes = diff_states(mv_dirty_old, recomputed, self.target.pk)
         self.target.merge(mv_changes, batch_id)
