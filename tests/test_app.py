@@ -1991,3 +1991,77 @@ def test_continuous_trigger_refresh(spark, tmp_path):
     }
     got = {(r.g, r.n, round(r.sv, 6)) for r in app.read().collect()}
     assert got == exp
+
+
+def test_column_names_override(spark, tmp_path):
+    """The reference builder's setColumnNames (README.md:56,
+    TiFlinkApp.java:88-99): maintenance runs on the query's own names,
+    the DDL and read() expose the overridden ones."""
+    src = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)], "id long, g long, v double"
+    )
+    app = (
+        MVApp.builder(spark)
+        .source("cn_src", src, pk=["id"])
+        .query("SELECT g, count(*) AS n, sum(v) AS sv FROM cn_src GROUP BY g")
+        .target(str(tmp_path / "mv_cn"))
+        .column_names(["grp", "cnt", "total"])
+        .num_buckets(2)
+        .shuffle_partitions(2)
+        .build()
+    )
+    assert app.maintenance_strategy == "IncrementalAggMV"  # rename is cosmetic
+    assert [f.name for f in app.mv_schema.fields] == ["grp", "cnt", "total"]
+    assert "PRIMARY KEY (`grp`)" in app.ddl
+    app.bootstrap()
+    ch = (
+        spark.createDataFrame([(100, 1, 50.0)], "id long, g long, v double")
+        .withColumn(OP_COL, F.lit(OP_INSERT))
+        .withColumn(SEQ_COL, F.lit(0))
+    )
+    app.refresh({"cn_src": ch}, batch_id=1)
+    out = app.read()
+    assert out.columns == ["grp", "cnt", "total"]
+    rows = {(r.grp, r.cnt) for r in out.collect()}
+    assert (1, 11) in rows
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="column_names"):
+        (
+            MVApp.builder(spark)
+            .source("cn_src2", src, pk=["id"])
+            .query("SELECT g, count(*) AS n FROM cn_src2 GROUP BY g")
+            .target(str(tmp_path / "mv_cn2"))
+            .column_names(["only_one"])
+            .build()
+        )
+
+
+def test_catalog_register_view(spark, tmp_path):
+    """A maintained MV registers as a catalog VIEW — queryable by name,
+    listed by list_views (TiFlinkCatalog.java:156-166)."""
+    from tiflink_spark.catalog import Catalog
+
+    src = spark.createDataFrame(
+        [(i, i % 4) for i in range(20)], "id long, g long"
+    )
+    app = (
+        MVApp.builder(spark)
+        .source("cv_src", src, pk=["id"])
+        .query("SELECT g, count(*) AS n FROM cv_src GROUP BY g")
+        .target(str(tmp_path / "mv_cv"))
+        .num_buckets(2)
+        .shuffle_partitions(2)
+        .build()
+    )
+    app.bootstrap()
+    cat = Catalog(spark)
+    cat.register_dataframe("cv_base", src, pk=["id"])
+    spec = cat.register_view("cv_counts", app)
+    assert spec.is_view and spec.pk == ["g"]
+    assert cat.list_views() == ["cv_counts"]
+    assert "cv_counts" not in cat.list_tables()
+    assert "cv_base" in cat.list_tables()
+    got = spark.sql("SELECT sum(n) AS total FROM cv_counts").head()["total"]
+    assert got == 20

@@ -1,0 +1,125 @@
+"""AST front-end (sqlast.py) — parser unit tests + regex-equivalence.
+
+The migration off the hand-rolled regex clause scanners ports one
+matcher at a time; the invariant that makes it safe is pinned here:
+for every query the fuzz generators produce (plus a hand-picked edge
+battery), the AST front-end and the regex front-end hand the SAME
+clause texts to the shared ``_match_*_core``, so both paths return
+identical shapes. No SparkSession needed — matching is pure text.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from tiflink_spark import sqlast
+from tiflink_spark.planner import (
+    AggShape,
+    ProjectionShape,
+    match_agg_shape,
+    match_projection_shape,
+)
+
+COLS = {"t": ["id", "g", "h", "v", "u", "s"]}
+PKS = {"t": ["id"]}
+
+
+class TestParser:
+    def test_basic_agg(self):
+        s = sqlast.parse_single_select(
+            "SELECT g, count(*) AS n FROM t WHERE v > 3 GROUP BY g HAVING n > 1"
+        )
+        assert s is not None
+        assert (s.select, s.table, s.where, s.group_by, s.having) == (
+            "g, count(*) AS n",
+            "t",
+            "v > 3",
+            "g",
+            "n > 1",
+        )
+        assert s.alias is None and s.tail is None
+
+    def test_verbatim_clause_texts(self):
+        # odd spacing and literals containing keywords survive verbatim
+        q = "SELECT g,  sum(v *  (1 - u)) AS x FROM t WHERE s <> 'GROUP BY' GROUP BY g"
+        s = sqlast.parse_single_select(q)
+        assert s.select == "g,  sum(v *  (1 - u)) AS x"
+        assert s.where == "s <> 'GROUP BY'"
+
+    def test_alias_forms(self):
+        assert sqlast.parse_single_select("SELECT id FROM t AS x").alias == "x"
+        assert sqlast.parse_single_select("SELECT id FROM t x").alias == "x"
+        assert sqlast.parse_single_select("SELECT id FROM t").alias is None
+
+    def test_tail_and_rejects(self):
+        assert sqlast.parse_single_select("SELECT id FROM t ORDER BY id").tail is not None
+        assert sqlast.parse_single_select("SELECT g FROM t UNION SELECT g FROM t").tail is not None
+        assert sqlast.parse_single_select("UPDATE t SET v = 1") is None
+        assert sqlast.parse_single_select("SELECT id FROM (SELECT 1) q") is None
+        # join is a tail/None, not silently a single table
+        s = sqlast.parse_single_select("SELECT id FROM t JOIN u ON a = b")
+        assert s is None or s.tail is not None
+
+    def test_nested_group_by_in_where_stays_in_where(self):
+        # the regex front-end's known weak spot: depth-aware parsing
+        # keeps a parenthesized subquery's GROUP BY inside WHERE
+        q = ("SELECT g, count(*) AS n FROM t "
+             "WHERE v > (1 + 2) GROUP BY g")
+        s = sqlast.parse_single_select(q)
+        assert s.where == "v > (1 + 2)" and s.group_by == "g"
+
+
+_EDGE_QUERIES = [
+    "SELECT g, count(*) AS n FROM t GROUP BY g",
+    "SELECT g, h, sum(v) AS sv, count(*) AS n FROM t GROUP BY g, h",
+    "SELECT g, sum(v * (1 - u)) AS x FROM t WHERE v > 3 GROUP BY g",
+    "SELECT g, count(*) AS n FROM t GROUP BY g HAVING count(*) > 2",
+    "SELECT upper(s) AS k, count(*) AS n FROM t GROUP BY upper(s)",
+    "SELECT upper(s) AS k, count(*) AS n FROM t GROUP BY k",
+    "SELECT g, count(*) AS n FROM t GROUP BY g ORDER BY n",  # tail -> None
+    "SELECT g FROM t GROUP BY g",  # no measures -> None
+    "SELECT id, g, v FROM t",
+    "SELECT id, g, round(v * 1.5, 2) AS v15 FROM t WHERE s <> 'c'",
+    "SELECT t.id, t.g FROM t",
+    "SELECT x.id, x.g FROM t x WHERE x.v > 5",
+    "SELECT id FROM t AS x",
+    "SELECT * FROM t",
+    "SELECT id, g FROM t WHERE s <> 'GROUP BY'",
+    "SELECT DISTINCT g FROM t",  # -> None on both paths
+    "SELECT id FROM t ORDER BY id LIMIT 5",  # -> None on both paths
+    "SELECT g, count(*) AS n FROM missing GROUP BY g",  # unknown table
+    "SELECT id, v FROM t UNION ALL SELECT id, v FROM t",
+]
+
+
+def _fuzz_corpus(n_per_seed=40):
+    import tests.test_planner_fuzz as fz
+
+    out = []
+    for seed in (3, 17, 29):
+        rng = random.Random(seed)
+        for _ in range(n_per_seed):
+            out.append(fz._gen_query(rng, "t"))
+    return out
+
+
+class TestFrontEndEquivalence:
+    @pytest.mark.parametrize("query", _EDGE_QUERIES)
+    def test_edges(self, query, monkeypatch):
+        self._check(query, monkeypatch)
+
+    def test_fuzz_corpus(self, monkeypatch):
+        for q in _fuzz_corpus():
+            self._check(q, monkeypatch)
+
+    def _check(self, query, monkeypatch):
+        monkeypatch.delenv("TIFLINK_AST_MATCHERS", raising=False)
+        rx_agg = match_agg_shape(query, {"t"}, COLS)
+        rx_proj = match_projection_shape(query, {"t"}, COLS, PKS)
+        monkeypatch.setenv("TIFLINK_AST_MATCHERS", "1")
+        ast_agg = match_agg_shape(query, {"t"}, COLS)
+        ast_proj = match_projection_shape(query, {"t"}, COLS, PKS)
+        assert rx_agg == ast_agg, f"agg divergence on: {query}"
+        assert rx_proj == ast_proj, f"projection divergence on: {query}"

@@ -110,6 +110,18 @@ class MVAppBuilder:
         self._ddl_hook = fn
         return self
 
+    def column_names(self, names: list[str]) -> "MVAppBuilder":
+        """Override the MV's OUTPUT column names — the reference
+        builder's ``setColumnNames`` (README.md:56,
+        TiFlinkApp.java:88-99). Maintenance runs on the query's own
+        names throughout (every store, every matcher); the rename is
+        the user-facing layer: the generated DDL advertises the new
+        names and ``read()`` returns them. A declared ``target(pk=...)``
+        keeps referring to the QUERY's column names; the DDL maps it
+        through the rename positionally."""
+        self._column_names = list(names)
+        return self
+
     def validate_pks(self, enabled: bool = True) -> "MVAppBuilder":
         """Assert at bootstrap that every source really is unique on its
         declared PK (one COUNT vs COUNT-DISTINCT aggregate per source —
@@ -136,6 +148,7 @@ class MVAppBuilder:
             self._shuffle_partitions,
             ddl_hook=getattr(self, "_ddl_hook", None),
             validate_pks=getattr(self, "_validate_pks", False),
+            column_names=getattr(self, "_column_names", None),
         )
 
 
@@ -195,6 +208,46 @@ class MVApp:
         return MVAppBuilder(spark)
 
     def __init__(
+        self, spark, sources, query, target, pk, num_buckets,
+        shuffle_partitions=None, ddl_hook=None, validate_pks=False,
+        column_names=None,
+    ):
+        # Output-name override (the reference builder's setColumnNames,
+        # README.md:56): planning/maintenance run on the query's own
+        # names; _finish_column_names applies the user-facing rename
+        # after whichever route's early return built the app.
+        self._column_names = None
+        self._plan(
+            spark, sources, query, target, pk, num_buckets,
+            shuffle_partitions, ddl_hook, validate_pks,
+        )
+        if column_names is not None:
+            self._finish_column_names(column_names, target)
+
+    def _finish_column_names(self, names, target):
+        orig = [f.name for f in self.mv_schema.fields]
+        if len(names) != len(orig):
+            raise ValueError(
+                f"column_names has {len(names)} names for {len(orig)} "
+                f"output columns {orig}"
+            )
+        self._orig_out_names = orig
+        self._column_names = list(names)
+        from pyspark.sql.types import StructField, StructType
+
+        self.mv_schema = StructType(
+            [StructField(n, f.dataType, f.nullable) for n, f in zip(names, self.mv_schema.fields)]
+        )
+        lower = [c.lower() for c in orig]
+        try:
+            renamed_pk = [names[lower.index(p.lower())] for p in self.mv_pk]
+        except ValueError:
+            # PK column not in the visible output (hidden engine key):
+            # advertise the rename positionally-unmapped DDL without it
+            renamed_pk = list(self.mv_pk)
+        self.ddl = create_table_ddl(os.path.basename(target), self.mv_schema, renamed_pk)
+
+    def _plan(
         self, spark, sources, query, target, pk, num_buckets,
         shuffle_partitions=None, ddl_hook=None, validate_pks=False,
     ):
@@ -1264,9 +1317,17 @@ class MVApp:
         DDL, positional consumers) is the resolved query's column
         order, so the read projects through it."""
         out = self._mv.read(version)
-        ordered = [f.name for f in self.mv_schema.fields]
+        # With a column_names override the stores/maintenance carry the
+        # query's own names; order by those, then rename for the user.
+        ordered = (
+            self._orig_out_names
+            if self._column_names is not None
+            else [f.name for f in self.mv_schema.fields]
+        )
         # Subset-select also drops engine-internal columns (e.g. the
         # hidden DISTINCT count) that never belong to the query schema.
         if set(ordered) <= set(out.columns) and ordered != list(out.columns):
             out = out.select(*ordered)
+        if self._column_names is not None:
+            out = out.toDF(*self._column_names)
         return out

@@ -27,6 +27,10 @@ class TableSpec:
     path: str | None  # parquet location; None for view-only registrations
     schema: StructType | None = None
     pk: list[str] = field(default_factory=list)
+    # True for a registered MV target — the catalog's "view" entries,
+    # mirroring TiFlinkCatalog.listViews (TiFlinkCatalog.java:156-166),
+    # which reflects source-side views alongside tables.
+    is_view: bool = False
 
 
 def default_pk(schema: StructType, declared: list[str] | None = None) -> list[str]:
@@ -108,8 +112,33 @@ class Catalog:
     def __contains__(self, name: str) -> bool:
         return name in self._tables
 
+    def register_view(
+        self, name: str, app, pk: list[str] | None = None
+    ) -> TableSpec:
+        """Register a maintained MV (an :class:`~tiflink_spark.app.MVApp`)
+        as a catalog VIEW: queryable by name like any table, listed by
+        :meth:`list_views` — the engine-side analog of
+        ``TiFlinkCatalog.listViews`` (TiFlinkCatalog.java:156-166).
+        Every MV target is itself a consumable table in the reference
+        (README.md:8-16); registering it closes that loop here."""
+        df = app.read()
+        out_names = {f.name for f in df.schema.fields}
+        if pk is None and set(app.mv_pk) <= out_names:
+            pk = list(app.mv_pk)  # hidden engine keys fall back to rule
+        spec = TableSpec(
+            name=name, path=None, schema=df.schema,
+            pk=default_pk(df.schema, pk), is_view=True,
+        )
+        self._tables[name] = spec
+        df.createOrReplaceTempView(name)
+        return spec
+
     def list_tables(self) -> list[str]:
-        return sorted(self._tables)
+        return sorted(n for n, s in self._tables.items() if not s.is_view)
+
+    def list_views(self) -> list[str]:
+        """Names of registered MV targets (TiFlinkCatalog.java:156-166)."""
+        return sorted(n for n, s in self._tables.items() if s.is_view)
 
     def table(self, name: str) -> DataFrame:
         from tiflink_spark.session import read_parquet_normalized

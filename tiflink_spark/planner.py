@@ -3,28 +3,59 @@
 The reference delegates incremental planning wholesale to Flink's
 update-mode StreamSQL planner (TiFlinkApp.java:270); SURVEY §4 assigns
 the same job to "our API layer for the supported query shapes". This is
-that layer: a conservative shape-matcher that recognizes the canonical
-single-table aggregate
+that layer, in two stages:
 
-    SELECT g1[, g2 ...], agg(col) AS alias[, ...]
-    FROM fact
-    GROUP BY g1[, g2 ...]
+1. **normalize_query** — semantics-preserving textual rewrites run
+   before any matching: single-CTE-pipeline inlining (→ the cascade's
+   nested form), comma-join → JOIN ON, RIGHT→LEFT join, INNER-ON filter
+   hoisting into WHERE, GROUP BY / ORDER BY ordinal resolution (always
+   to the item's EXPRESSION — aliases can shadow source columns), and
+   bare trailing ORDER BY removal (a keyed MV target is unordered; a
+   tail holding LIMIT/OFFSET/FETCH is left intact). The rewritten text
+   is also what the recompute fallback executes, so a rewrite is never
+   a correctness fork.
 
-with aggregates in COUNT(*) | COUNT(col) | COUNT(DISTINCT col) | SUM |
-AVG | MIN | MAX, and the reference's flagship correlated-COUNT shape
+2. **Shape matchers**, tried in MVApp's order, each mapping a canonical
+   SQL surface to a maintenance class in :mod:`tiflink_spark.mv`:
 
-    SELECT d.c1[, ...], (SELECT count(*) FROM fact f
-                         WHERE f.fk = d.dk) AS alias
-    FROM dim d
+   - match_agg_shape / match_global_agg_shape / match_distinct_shape /
+     match_correlated_count_shape → IncrementalAggMV (delta arithmetic
+     for COUNT/SUM/AVG, dirty-group recompute for MIN/MAX/DISTINCT/
+     stddev/median; computed group keys derived onto fact rows;
+     FILTER-clause aggregates rewritten to their CASE form; HAVING as
+     a target-side filter with hidden measures)
+   - match_grouping_sets_shape → IncrementalGroupingSetsMV (ROLLUP/
+     CUBE/GROUPING SETS de-sugared to one agg state per set over a
+     shared fact store)
+   - match_join_agg_shape → IncrementalJoinAggMV (star/snowflake join
+     trees where every dim enters through its declared — possibly
+     composite — PK; dirty-join-key re-derivation feeds the agg state)
+   - match_join_projection_shape → IncrementalJoinProjectionMV (the
+     lookup-enrichment view: same join machinery, identity sink)
+   - match_join_shape → IncrementalJoinMV (bare two-sided equi-join,
+     USING or ON form, keyed by both PKs)
+   - match_semijoin_shape → IncrementalSemiJoinMV (EXISTS / NOT EXISTS
+     / IN; null-aware NOT IN under its exactness conditions)
+   - match_setop_shape → IncrementalSetOpMV (INTERSECT/EXCEPT/UNION by
+     dual count-per-tuple state; the ALL variants by multiplicity =
+     min / truncated difference of the same counts)
+   - match_union_all_shape → IncrementalUnionMV (stateless branch tag)
+   - match_topn_shape / match_order_limit_shape → IncrementalTopKMV /
+     IncrementalGlobalTopKMV (dirty-group re-rank; rising-bound merge)
+   - match_window_shape → IncrementalWindowMV (dirty-PARTITION
+     recompute for OVER functions, skew-guarded)
+   - match_projection_shape → IncrementalProjectionMV (stateless Calc)
+   - split_nested_query / split_group_order_limit / rewrite_mn_join_agg
+     → CascadeMV (inner MV feeding an outer MV through store diffs;
+     top-group reporting and flat M:N join-aggregates are internally
+     rewritten into this nested form)
 
-(TiFlinkExample.java:10-16 — decorrelated to dim ⟕ COUNT-GROUP-BY-fk),
-routing both to :class:`tiflink_spark.mv.IncrementalAggMV` (per-batch
-work ∝ changed keys; the dim-joined form also takes dim changelogs).
-Anything else — other joins, subqueries, WHERE/HAVING, expressions over
-group keys — falls back to :class:`tiflink_spark.mv.RecomputeMV`, the
+Anything else falls back to :class:`tiflink_spark.mv.RecomputeMV`, the
 explicitly-marked recompute maintenance mode. A planner miss is never
-wrong, only slower: both strategies converge to the batch answer after
-every micro-batch (property-tested in tests/test_mv_convergence.py).
+wrong, only slower: every strategy converges to the batch answer after
+every micro-batch (property-tested in tests/test_mv_convergence.py and
+the randomized dispatch fuzzers in tests/test_planner_fuzz.py, which
+drive the WHOLE dispatch surface under churn with crash replays).
 
 The GROUP BY keys double as the MV's primary key: a GROUP BY's key set
 IS the query's derived unique constraint, which is exactly the PK
@@ -44,10 +75,24 @@ coalescing the NULLs.
 
 from __future__ import annotations
 
+import os as _os
 import re
 from dataclasses import dataclass
 
 from tiflink_spark.incremental import Measure
+
+
+def use_ast_matchers() -> bool:
+    """Feature flag for the tokenizer-based clause front-end
+    (:mod:`tiflink_spark.sqlast`). The regex front-ends remain the
+    default; set ``TIFLINK_AST_MATCHERS=1`` to route the ported
+    matchers (single-table aggregate, projection) through the AST
+    parse instead. Both paths share the same ``_match_*_core``
+    validation, and tests/test_sqlast.py pins front-end equivalence
+    over the fuzz corpus — the migration path off the hand-rolled
+    regex scanners (one matcher at a time, fuzz as the oracle)."""
+    return _os.environ.get("TIFLINK_AST_MATCHERS", "") == "1"
+
 
 _IDENT = r"[A-Za-z_]\w*"
 
@@ -1392,19 +1437,51 @@ def match_agg_shape(
     row-local expressions (e.g. ``SUM(a * (1 - b))``) — validated
     against the fact's schema; without it only bare identifiers match.
     """
-    m = _SHAPE_RE.match(query)
-    if m is None or m.group("table") not in source_names:
+    if use_ast_matchers():
+        from tiflink_spark import sqlast
+
+        parsed = sqlast.agg_clauses(query)
+    else:
+        m = _SHAPE_RE.match(query)
+        parsed = (
+            None
+            if m is None
+            else (
+                m.group("select"),
+                m.group("table"),
+                m.group("where"),
+                m.group("keys"),
+                m.group("having"),
+            )
+        )
+    if parsed is None:
         return None
-    where = m.group("where")
+    return _match_agg_core(*parsed, source_names, source_columns)
+
+
+def _match_agg_core(
+    select: str,
+    table: str,
+    where: str | None,
+    keys_text: str,
+    having: str | None,
+    source_names: set[str],
+    source_columns: dict[str, list[str]] | None,
+) -> AggShape | None:
+    """Shape validation shared by the regex and AST front-ends — both
+    hand it the raw clause texts; everything from here on is identical,
+    so the two paths cannot diverge past clause extraction."""
+    if table not in source_names:
+        return None
     if where is not None and _NON_LOCAL_WHERE.search(where):
         return None
-    key_terms = _split_select_list(m.group("keys"))
-    items = _split_select_list(m.group("select"))
+    key_terms = _split_select_list(keys_text)
+    items = _split_select_list(select)
     if len(items) <= len(key_terms):
         return None
     cols = None
-    if source_columns is not None and m.group("table") in source_columns:
-        cols = {c.lower() for c in source_columns[m.group("table")]}
+    if source_columns is not None and table in source_columns:
+        cols = {c.lower() for c in source_columns[table]}
 
     # Leading select items pair with GROUP BY terms in order. A term is
     # either the bare column itself, or (expression-key form) the
@@ -1468,7 +1545,6 @@ def match_agg_shape(
     # target-side filter) — not this shape.
     if {mm.alias.lower() for mm in measures} & {k.lower() for k in keys}:
         return None
-    having = m.group("having")
     hidden: list[Measure] = []
     if having is not None:
         # HAVING over the MV's output: aggregate calls rewrite to
@@ -1492,7 +1568,7 @@ def match_agg_shape(
         if any(i.lower() not in out_cols | _SQL_KEYWORDS for i in idents):
             return None
     return AggShape(
-        m.group("table"),
+        table,
         tuple(keys),
         tuple(measures) + tuple(hidden),
         where.strip() if where is not None else None,
@@ -1942,18 +2018,43 @@ def match_projection_shape(
     Anything with DISTINCT, GROUP BY, set ops, window functions,
     aggregates, subqueries, or a non-row-local WHERE bails to the
     other matchers / the recompute fallback."""
-    m = _PROJ_RE.match(query)
-    if m is None:
+    if use_ast_matchers():
+        from tiflink_spark import sqlast
+
+        parsed = sqlast.projection_clauses(query)
+    else:
+        m = _PROJ_RE.match(query)
+        parsed = (
+            None
+            if m is None
+            else (
+                m.group("select"),
+                m.group("table"),
+                m.group("alias"),
+                m.group("where"),
+            )
+        )
+    if parsed is None:
         return None
-    table = m.group("table")
-    alias = m.group("alias")
+    return _match_projection_core(*parsed, source_names, source_columns, source_pks)
+
+
+def _match_projection_core(
+    select: str,
+    table: str,
+    alias: str | None,
+    where: str | None,
+    source_names: set[str],
+    source_columns: dict[str, list[str]],
+    source_pks: dict[str, list[str]],
+) -> ProjectionShape | None:
+    """Shape validation shared by the regex and AST front-ends."""
     if table not in source_names:
         return None
     if alias is not None and alias.lower() in (
         _CLAUSE_KEYWORDS | _POST_ALIAS_KEYWORDS | {"union", "intersect", "except", "order", "limit"}
     ):
         return None
-    select = m.group("select")
     if re.match(r"(?is)^DISTINCT\b", select):
         return None
     if re.search(r"(?is)\bOVER\s*\(", select):
@@ -2012,7 +2113,6 @@ def match_projection_shape(
             return None
         pk_out.append(hit)
 
-    where = m.group("where")
     if where is not None:
         where = dequalify(where)
         if where is None or not _row_local_expr_ok(where, allowed):

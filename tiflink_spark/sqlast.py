@@ -1,0 +1,237 @@
+"""Minimal SQL tokenizer + single-SELECT clause parser.
+
+The maintenance planner's matchers (planner.py) historically extract
+clauses with hand-rolled regexes — the repo's largest wrong-answer
+surface as the shape catalog grows. This module is the replacement
+front-end: a proper tokenizer (string-literal and paren aware, with
+source offsets so clause texts are returned VERBATIM) and a clause
+parser for the single-SELECT statement form the matchers consume.
+
+Migration strategy (one matcher at a time, fuzz as the oracle): each
+ported matcher keeps its regex front-end as the default, gains an AST
+front-end here, and both feed the SAME ``_match_*_core`` validation in
+planner.py — so the two paths cannot diverge past clause extraction.
+``TIFLINK_AST_MATCHERS=1`` flips the ported matchers to this parser;
+tests/test_sqlast.py pins front-end equivalence over the planner fuzz
+corpus. Ported so far: the single-table aggregate and the projection
+matcher.
+
+No external parser dependency: sqlglot-class libraries are not in the
+runtime image, and the subset of SQL the matchers accept is small
+enough that a shared tokenizer removes the regex fragility (nested
+parens, literals containing keywords, alias/keyword collisions)
+without one.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+_TOKEN_RE = re.compile(
+    r"""(?P<ws>\s+)
+      | (?P<str>'(?:[^']|'')*')
+      | (?P<num>\d+(?:\.\d+)?)
+      | (?P<ident>[A-Za-z_]\w*)
+      | (?P<op><=|>=|<>|!=|\|\||::|[=<>+\-*/%.,()\[\];])
+    """,
+    re.VERBOSE,
+)
+
+# Keywords that START a new top-level clause after FROM <table> [alias].
+_CLAUSE_STARTS = frozenset(
+    "where group having order limit offset fetch union intersect except "
+    "window qualify join inner left right full cross on using".split()
+)
+
+
+@dataclass(frozen=True)
+class Token:
+    kind: str  # "str" | "num" | "ident" | "op"
+    text: str
+    start: int
+    end: int
+
+    def lower(self) -> str:
+        return self.text.lower()
+
+
+def tokenize(sql: str) -> list[Token] | None:
+    """Token stream with source offsets, or None on any character the
+    grammar doesn't know (the caller then bails to the regex path /
+    recompute — never guesses)."""
+    out: list[Token] = []
+    i = 0
+    while i < len(sql):
+        m = _TOKEN_RE.match(sql, i)
+        if m is None:
+            return None
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        out.append(Token(kind, m.group(), m.start(), m.end()))
+    return out
+
+
+def _slice(sql: str, toks: list[Token]) -> str:
+    """The VERBATIM source text spanning ``toks`` — matchers compare
+    and re-emit clause texts, so reconstruction must not re-space."""
+    return sql[toks[0].start : toks[-1].end]
+
+
+def _split_top_commas(toks: list[Token]) -> list[list[Token]]:
+    parts: list[list[Token]] = []
+    depth, start = 0, 0
+    for i, t in enumerate(toks):
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        elif t.text == "," and depth == 0:
+            parts.append(toks[start:i])
+            start = i + 1
+    parts.append(toks[start:])
+    return parts
+
+
+def _find_clause(toks: list[Token], *words: str) -> int | None:
+    """Index of the first depth-0 occurrence of the keyword sequence
+    ``words`` (e.g. "group", "by"), or None."""
+    depth = 0
+    for i, t in enumerate(toks):
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.kind == "ident" and t.lower() == words[0]:
+            if all(
+                i + j < len(toks)
+                and toks[i + j].kind == "ident"
+                and toks[i + j].lower() == w
+                for j, w in enumerate(words)
+            ):
+                return i
+    return None
+
+
+@dataclass(frozen=True)
+class SingleSelect:
+    """One SELECT over one named table — the clause texts verbatim."""
+
+    select: str
+    table: str
+    alias: str | None
+    where: str | None
+    group_by: str | None
+    having: str | None
+    # depth-0 text after the clauses this parser models (ORDER BY,
+    # LIMIT, a set operation, a second FROM relation…) — non-None means
+    # the statement is NOT the single-select form and matchers bail.
+    tail: str | None
+
+
+def parse_single_select(sql: str) -> SingleSelect | None:
+    """Parse ``SELECT items FROM table [alias] [WHERE e] [GROUP BY ks]
+    [HAVING h]`` with nothing after — None for anything else (set ops,
+    joins, derived tables, trailing ORDER BY/LIMIT), mirroring the
+    envelope of the planner's single-table matchers."""
+    sql = sql.strip().rstrip(";")
+    toks = tokenize(sql)
+    if not toks:
+        return None
+    if toks[0].kind != "ident" or toks[0].lower() != "select":
+        return None
+    body = toks[1:]
+    fi = _find_clause(body, "from")
+    if fi is None or fi == 0:
+        return None
+    select_toks = body[:fi]
+    rest = body[fi + 1 :]
+    if not rest or rest[0].kind != "ident":
+        return None
+    table = rest[0].text
+    if table.lower() in _CLAUSE_STARTS:
+        return None
+    rest = rest[1:]
+    alias = None
+    if rest and rest[0].kind == "ident" and rest[0].lower() == "as":
+        if len(rest) < 2 or rest[1].kind != "ident":
+            return None
+        alias, rest = rest[1].text, rest[2:]
+    elif rest and rest[0].kind == "ident" and rest[0].lower() not in _CLAUSE_STARTS:
+        alias, rest = rest[0].text, rest[1:]
+
+    def cut(upto: int | None) -> tuple[list[Token], list[Token]]:
+        if upto is None:
+            return rest, []
+        return rest[:upto], rest[upto:]
+
+    where = group_by = having = tail = None
+    wi = _find_clause(rest, "where")
+    if wi is not None:
+        if wi != 0:
+            return None
+        rest = rest[1:]
+        gi = _find_clause(rest, "group", "by")
+        hi = _find_clause(rest, "having")
+        stop = min(x for x in (gi, hi, len(rest)) if x is not None)
+        if stop == 0:
+            return None
+        where = _slice(sql, rest[:stop])
+        rest = rest[stop:]
+    gi = _find_clause(rest, "group", "by")
+    if gi is not None:
+        if gi != 0:
+            tail = _slice(sql, rest)
+            return SingleSelect(
+                _slice(sql, select_toks), table, alias, where, None, None, tail
+            )
+        rest = rest[2:]
+        hi = _find_clause(rest, "having")
+        stop = hi if hi is not None else len(rest)
+        if stop == 0:
+            return None
+        group_by = _slice(sql, rest[:stop])
+        rest = rest[stop:]
+    hi = _find_clause(rest, "having")
+    if hi is not None:
+        if hi != 0:
+            tail = _slice(sql, rest)
+            return SingleSelect(
+                _slice(sql, select_toks), table, alias, where, group_by, None, tail
+            )
+        rest = rest[1:]
+        if not rest:
+            return None
+        having = _slice(sql, rest)
+        rest = []
+    if rest:
+        tail = _slice(sql, rest)
+    return SingleSelect(
+        _slice(sql, select_toks), table, alias, where, group_by, having, tail
+    )
+
+
+# -- planner front-ends -----------------------------------------------------
+
+
+def agg_clauses(query: str):
+    """AST front-end for the single-table aggregate matcher: the
+    (select, table, where, group_by, having) clause texts, or None.
+    Mirrors planner._SHAPE_RE's envelope: GROUP BY required, no table
+    alias (the regex form never admitted one), nothing trailing."""
+    s = parse_single_select(query)
+    if s is None or s.tail is not None or s.group_by is None or s.alias is not None:
+        return None
+    return (s.select, s.table, s.where, s.group_by, s.having)
+
+
+def projection_clauses(query: str):
+    """AST front-end for the projection matcher: (select, table, alias,
+    where), or None. Mirrors planner._PROJ_RE's envelope: optional
+    alias, optional WHERE, no GROUP BY/HAVING, nothing trailing."""
+    s = parse_single_select(query)
+    if s is None or s.tail is not None or s.group_by is not None or s.having is not None:
+        return None
+    return (s.select, s.table, s.alias, s.where)
