@@ -331,3 +331,95 @@ class TestWindowSkewGuard:
         )
         mv.refresh(ch, batch_id=1)
         assert mv.last_skew_warning is None
+
+
+class TestWindowDomainStrategy:
+    """The skew-proof two-pass plan for peer-uniform window functions:
+    groupBy(g, o) pre-aggregate (hash-distributed over the pair — a
+    hot g cannot pin one task) -> window over the DOMAIN rows (sort
+    cost = distinct order values, not row count) -> null-safe join
+    back. Must equal Spark's own window semantics exactly."""
+
+    ITEMS = [
+        "k",
+        "g",
+        "v",
+        "rank() OVER (PARTITION BY g ORDER BY v) AS rnk",
+        "dense_rank() OVER (PARTITION BY g ORDER BY v) AS drnk",
+        "sum(v) OVER (PARTITION BY g ORDER BY v) AS rs",
+        "count(*) OVER (PARTITION BY g ORDER BY v) AS rc",
+        "avg(v) OVER (PARTITION BY g ORDER BY v) AS ra",
+    ]
+
+    def _canon(self, df):
+        return sorted(
+            tuple(round(x, 9) if isinstance(x, float) else x for x in r)
+            for r in df.collect()
+        )
+
+    def test_converges_under_churn_with_nulls(self, spark, tmp_path):
+        import random
+
+        from tiflink_spark.mv import IncrementalWindowMV
+
+        rng = random.Random(7)
+        state = {
+            k: (rng.choice([None, 0, 1, 2]), rng.choice([None, float(rng.randrange(8))]))
+            for k in range(60)
+        }
+        df = spark.createDataFrame(
+            [(k, g, v) for k, (g, v) in state.items()], "k long, g int, v double"
+        )
+        mv = IncrementalWindowMV(
+            spark,
+            fact=df,
+            fact_pk=["k"],
+            group_key="g",
+            select_items=self.ITEMS,
+            work_dir=str(tmp_path / "wdom"),
+            num_buckets=2,
+            shuffle_partitions=4,
+            strategy="domain",
+        )
+        mv.bootstrap()
+        for i in range(1, 4):
+            rows = []
+            for seq in range(10):
+                k = rng.randrange(80)
+                op = rng.choice([OP_INSERT, OP_UPDATE, OP_DELETE])
+                if op == OP_DELETE:
+                    rows.append((k, None, None, OP_DELETE, seq))
+                    state.pop(k, None)
+                else:
+                    g = rng.choice([None, 0, 1, 2])
+                    v = rng.choice([None, float(rng.randrange(8))])
+                    rows.append((k, g, v, op, seq))
+                    state[k] = (g, v)
+            ch = spark.createDataFrame(
+                rows, f"k long, g int, v double, {OP_COL} string, {SEQ_COL} long"
+            )
+            mv.refresh(ch, batch_id=i)
+        final = spark.createDataFrame(
+            [(k, g, v) for k, (g, v) in state.items()], "k long, g int, v double"
+        )
+        assert self._canon(mv.read()) == self._canon(final.selectExpr(*self.ITEMS))
+
+    def test_per_row_functions_rejected(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from tiflink_spark.mv import IncrementalWindowMV
+
+        df = spark.createDataFrame([(1, 1, 1.0)], "k long, g int, v double")
+        with _pytest.raises(ValueError, match="per-row"):
+            IncrementalWindowMV(
+                spark,
+                fact=df,
+                fact_pk=["k"],
+                group_key="g",
+                select_items=[
+                    "k",
+                    "row_number() OVER (PARTITION BY g ORDER BY v, k) AS rn",
+                ],
+                work_dir=str(tmp_path / "wrej"),
+                strategy="domain",
+            )

@@ -683,6 +683,7 @@ class IncrementalWindowMV:
         num_buckets: int | None = None,
         shuffle_partitions: int | None = None,
         skew_warn_rows: int | None = 5_000_000,
+        strategy: str = "sort",
     ):
         self.spark = spark
         self.shuffle_partitions = shuffle_partitions
@@ -692,6 +693,11 @@ class IncrementalWindowMV:
         self.select_items = list(select_items)
         self.skew_warn_rows = skew_warn_rows
         self.last_skew_warning: str | None = None
+        if strategy not in ("sort", "domain"):
+            raise ValueError(f"unknown window strategy: {strategy}")
+        self.strategy = strategy
+        if strategy == "domain":
+            self._init_domain_plan()
         self.fact_store = KeyedParquetStore(
             spark, os.path.join(work_dir, "fact"), self.fact_pk, num_buckets
         )
@@ -699,7 +705,119 @@ class IncrementalWindowMV:
             spark, os.path.join(work_dir, "mv"), self.fact_pk, num_buckets
         )
 
+    def _init_domain_plan(self) -> None:
+        """Validate and compile select_items for the two-pass DOMAIN
+        strategy — the skew-proof plan for PEER-UNIFORM window
+        functions (rank/dense_rank/percent_rank/cume_dist and running
+        SUM/COUNT/AVG/MIN/MAX under the default RANGE frame, whose
+        value is shared by all ORDER BY peers):
+
+          pass 1  groupBy(g, o) pre-aggregate — hash-distributed over
+                  (g, o), immune to a hot g (map-side combined)
+          pass 2  window over the DOMAIN rows (one row per distinct
+                  order value per partition) — the per-partition sort
+                  is |distinct o|, not |rows|
+          join    rows ⟗ domain values on null-safe (g, o)
+
+        Per-ROW functions (row_number/lag/lead) have no peer-uniform
+        decomposition and raise here — they genuinely need the sort."""
+        from tiflink_spark.planner import _WIN_ITEM_RE, _WIN_PEER_FNS
+
+        self._out_plan: list[tuple[str, str, str, str]] = []  # kind,...
+        order = direction = None
+        for item in self.select_items:
+            m = _WIN_ITEM_RE.match(item.strip())
+            if m is None:
+                self._out_plan.append(("col", item.strip(), "", ""))
+                continue
+            fn = m.group("fn").lower()
+            if fn not in _WIN_PEER_FNS:
+                raise ValueError(
+                    f"domain strategy requires peer-uniform window "
+                    f"functions; {fn}() is per-row"
+                )
+            if m.group("tie"):
+                raise ValueError(
+                    "domain strategy: trailing ORDER BY tie columns "
+                    "imply a per-row total order"
+                )
+            if m.group("g") != self.group_key:
+                raise ValueError("domain strategy: mixed PARTITION BY keys")
+            o, d = m.group("o"), (m.group("dir") or "ASC").upper()
+            if order is None:
+                order, direction = o, d
+            elif (o, d) != (order, direction):
+                raise ValueError("domain strategy: mixed ORDER BY specs")
+            self._out_plan.append(("win", m.group("alias"), fn, m.group("args").strip()))
+        if order is None:
+            raise ValueError("domain strategy: no window items found")
+        self._dom_order, self._dom_desc = order, direction == "DESC"
+
+    def _windowed_domain(self, rows: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        g, o = self.group_key, self._dom_order
+        wins = [(a, fn, arg) for k, a, fn, arg in self._out_plan if k == "win"]
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for a, fn, arg in wins:
+            e = F.lit(1) if arg in ("*", "") else F.expr(arg)
+            if fn in ("sum", "avg"):
+                aggs.append(F.sum(e).alias(f"__s_{a}"))
+            if fn in ("count", "avg"):
+                aggs.append(
+                    (F.count(F.lit(1)) if arg in ("*", "") else F.count(e)).alias(
+                        f"__c_{a}"
+                    )
+                )
+            if fn in ("min", "max"):
+                aggs.append(getattr(F, fn)(e).alias(f"__m_{a}"))
+        dom = rows.groupBy(g, o).agg(*aggs)
+        oc = F.col(o).desc() if self._dom_desc else F.col(o).asc()
+        ow = Window.partitionBy(g).orderBy(oc)
+        cum = ow.rowsBetween(Window.unboundedPreceding, 0)
+        prior = ow.rowsBetween(Window.unboundedPreceding, -1)
+        full = Window.partitionBy(g)
+        vals = [F.col(g).alias("__jg"), F.col(o).alias("__jo")]
+        for a, fn, arg in wins:
+            if fn == "rank":
+                v = (F.coalesce(F.sum("__n").over(prior), F.lit(0)) + 1).cast("int")
+            elif fn == "dense_rank":
+                v = F.row_number().over(ow)
+            elif fn == "percent_rank":
+                n_tot = F.sum("__n").over(full)
+                rk = F.coalesce(F.sum("__n").over(prior), F.lit(0)) + 1
+                v = F.when(
+                    n_tot > 1, (rk - 1).cast("double") / (n_tot - 1).cast("double")
+                ).otherwise(F.lit(0.0))
+            elif fn == "cume_dist":
+                v = F.sum("__n").over(cum).cast("double") / F.sum("__n").over(
+                    full
+                ).cast("double")
+            elif fn == "sum":
+                v = F.sum(f"__s_{a}").over(cum)
+            elif fn == "count":
+                v = F.sum(f"__c_{a}").over(cum)
+            elif fn == "avg":
+                v = F.sum(f"__s_{a}").over(cum) / F.sum(f"__c_{a}").over(cum).cast(
+                    "double"
+                )
+            else:  # min | max
+                v = getattr(F, fn)(f"__m_{a}").over(cum)
+            vals.append(v.alias(a))
+        dv = dom.select(*vals)
+        joined = rows.join(
+            dv,
+            rows[g].eqNullSafe(dv["__jg"]) & rows[o].eqNullSafe(dv["__jo"]),
+            "left",
+        )
+        out = []
+        for kind, a, _, _ in self._out_plan:
+            out.append(rows[a] if kind == "col" else dv[a])
+        return joined.select(*out)
+
     def _windowed(self, rows: DataFrame) -> DataFrame:
+        if self.strategy == "domain":
+            return self._windowed_domain(rows)
         return rows.selectExpr(*self.select_items)
 
     @_maintenance
@@ -749,8 +867,9 @@ class IncrementalWindowMV:
                 f"{top[self.group_key]!r} holds {top['count']} rows "
                 f"(> skew_warn_rows={self.skew_warn_rows}): every batch "
                 f"touching it re-sorts the whole partition in one task. "
-                f"Consider a coarser PARTITION BY, or (peer-uniform "
-                f"functions) the distinct-order-domain two-pass rank."
+                f"Consider a coarser PARTITION BY, or — when every "
+                f"window item is peer-uniform — strategy='domain' (the "
+                f"distinct-order-domain two-pass plan)."
             )
             warnings.warn(self.last_skew_warning, stacklevel=3)
 

@@ -1200,7 +1200,7 @@ _PRIORITY = [
     "mvapp_auto_corr_sum",
     "mvapp_auto_time_rollup",
     "mvapp_auto_stats_agg",
-    "mvapp_auto_median",
+    "mv_window_domain",
     "mvapp_auto_group_order_limit",
     "mvapp_auto_join_top_groups",
     "mvapp_auto_deep_chain",
@@ -1220,6 +1220,7 @@ _PRIORITY = [
     "jdbc_mv_publish",
     "jdbc_outbox_cdc",
     # ================== past the 50-query window ==================
+    "mvapp_auto_median",
     "text_quality_score",
     "multimodal_real_resize",
     "quality_decile_binning",
