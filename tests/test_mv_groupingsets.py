@@ -68,8 +68,8 @@ class TestGroupingSetsMatcher:
     @pytest.mark.parametrize(
         "query",
         [
-            # GROUPING() needs the grouping-id as data -> recompute
-            """SELECT o_orderstatus, GROUPING(o_orderstatus) AS g, count(*) AS n
+            # GROUPING_ID's bit order is engine-defined -> recompute
+            """SELECT o_orderstatus, GROUPING_ID() AS g, count(*) AS n
                FROM orders GROUP BY ROLLUP(o_orderstatus)""",
             # HAVING over grouping sets -> recompute
             """SELECT o_orderstatus, count(*) AS n FROM orders
@@ -197,3 +197,56 @@ class TestGroupingSetsMV:
             assert exp.exceptAll(got).count() == 0
         finally:
             shutil.rmtree(work, ignore_errors=True)
+
+
+class TestGroupingFlags:
+    def test_grouping_flag_items(self, spark, tmp_path):
+        """GROUPING(col) is constant per grouping set — emitted as
+        per-set tinyint literals, interleaved back into select order,
+        exactly equal to Spark's own CUBE output."""
+        from tiflink_spark.app import MVApp
+
+        src = spark.createDataFrame(
+            [(i, "ab"[i % 2], i % 3, float(i)) for i in range(30)],
+            "id long, g string, sub long, v double",
+        )
+        q = (
+            "SELECT g, sub, count(*) AS n, GROUPING(g) AS gg, "
+            "sum(v) AS sv, GROUPING(sub) AS gs "
+            "FROM gf_src GROUP BY CUBE(g, sub)"
+        )
+        app = (
+            MVApp.builder(spark)
+            .source("gf_src", src, pk=["id"])
+            .query(q)
+            .target(str(tmp_path / "gf"))
+            .num_buckets(2)
+            .shuffle_partitions(2)
+            .build()
+        )
+        assert app.maintenance_strategy == "IncrementalGroupingSetsMV"
+        app.bootstrap()
+        ins = spark.createDataFrame([(100, "c", 9, 2.0)], "id long, g string, sub long, v double")
+        app.refresh({"gf_src": _changes(ins, OP_INSERT)}, batch_id=1)
+        src.unionByName(ins).createOrReplaceTempView("gf_v")
+        exp = spark.sql(q.replace("FROM gf_src", "FROM gf_v"))
+        got = app.read()
+        assert got.columns == ["g", "sub", "n", "gg", "sv", "gs"]
+        assert got.exceptAll(exp).count() == 0
+        assert exp.exceptAll(got).count() == 0
+
+    def test_grouping_id_stays_on_recompute(self):
+        q = (
+            "SELECT g, GROUPING_ID() AS gid, count(*) AS n "
+            "FROM orders GROUP BY ROLLUP(g)"
+        )
+        assert (
+            match_grouping_sets_shape(q, {"orders"}, {"orders": ["g"]}) is None
+        )
+
+    def test_grouping_over_non_key_rejected(self):
+        q = (
+            "SELECT o_orderstatus, GROUPING(o_custkey) AS gc, count(*) AS n "
+            "FROM orders GROUP BY ROLLUP(o_orderstatus)"
+        )
+        assert match_grouping_sets_shape(q, {"orders"}, COLS) is None

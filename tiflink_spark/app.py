@@ -389,6 +389,8 @@ class MVApp:
                 work_dir=target,
                 num_buckets=num_buckets,
                 shuffle_partitions=shuffle_partitions,
+                grouping_items=list(gs.grouping_items),
+                tail_order=list(gs.tail_order),
             )
             self._stores = {gs.fact: self._mv.fact_store}
             return

@@ -1754,11 +1754,20 @@ class IncrementalGroupingSetsMV:
         work_dir: str,
         num_buckets: int | None = None,
         shuffle_partitions: int | None = None,
+        grouping_items: list[tuple[str, str]] | None = None,
+        tail_order: list[tuple[str, str]] | None = None,
     ):
         self.spark = spark
         self.all_keys = list(all_keys)
         self.sets = [tuple(s) for s in sets]
         self.measures = measures
+        # GROUPING(col) flags are CONSTANT per grouping set (1 when the
+        # column is aggregated away) — emitted as per-set literals at
+        # read time, tinyint to match Spark's grouping() return type.
+        self.grouping_items = list(grouping_items or [])
+        self.tail_order = list(tail_order) if tail_order else [
+            ("m", m.alias) for m in measures
+        ]
         self._has_global = any(not s for s in self.sets)
         # The empty grouping set aggregates globally via the hidden
         # constant key; deriving it once onto the shared fact keeps
@@ -1804,6 +1813,7 @@ class IncrementalGroupingSetsMV:
     def read(self, version: int | None = None) -> DataFrame:
         """Bag union of per-set rows, NULL-extended to the full key
         set — exactly the rows `GROUP BY GROUPING SETS (...)` emits."""
+        gcol = {a: c for a, c in self.grouping_items}
         parts = []
         for s, sub in zip(self.sets, self.subs):
             rows = sub.read(version)
@@ -1813,7 +1823,13 @@ class IncrementalGroupingSetsMV:
                     cols.append(F.col(k))
                 else:
                     cols.append(F.lit(None).cast(self._key_types[k]).alias(k))
-            cols += [F.col(m.alias) for m in self.measures]
+            for kind, a in self.tail_order:
+                if kind == "m":
+                    cols.append(F.col(a))
+                else:  # per-set constant GROUPING flag
+                    cols.append(
+                        F.lit(0 if gcol[a] in s else 1).cast("tinyint").alias(a)
+                    )
             parts.append(rows.select(*cols))
         out = parts[0]
         for p in parts[1:]:

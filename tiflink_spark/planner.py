@@ -372,6 +372,14 @@ class GroupingSetsShape:
     sets: tuple[tuple[str, ...], ...]
     measures: tuple[Measure, ...]
     where: str | None = None
+    # ``GROUPING(col) AS alias`` select items — constant per grouping
+    # set (1 when the column is aggregated away, else 0), so the
+    # maintenance layer emits them as per-set literals at read time.
+    grouping_items: tuple[tuple[str, str], ...] = ()  # (alias, col)
+    # Output order of the non-key select items: ("g", alias) for a
+    # grouping flag, ("m", alias) for a measure — read() interleaves
+    # them back into the query's select order.
+    tail_order: tuple[tuple[str, str], ...] = ()
 
 
 @dataclass(frozen=True)
@@ -1634,9 +1642,10 @@ def match_grouping_sets_shape(
     Conservative envelope: one registered source, leading select items
     are the bare grouping columns (select order must cover exactly the
     union of grouping-set columns), remaining items are supported
-    aggregates, WHERE row-local, no HAVING, no GROUPING()/
-    GROUPING_ID() calls (those need the grouping-id as data — not
-    maintained yet, recompute handles them)."""
+    aggregates or ``GROUPING(col) AS alias`` flags (constant per
+    grouping set — emitted as per-set literals), WHERE row-local, no
+    HAVING, no GROUPING_ID() (its bit order is engine-defined over the
+    de-sugared expansion; recompute handles it)."""
     m = _SHAPE_RE.match(query)
     if m is None or m.group("table") not in source_names:
         return None
@@ -1645,7 +1654,7 @@ def match_grouping_sets_shape(
     where = m.group("where")
     if where is not None and _NON_LOCAL_WHERE.search(where):
         return None
-    if re.search(r"(?i)\bGROUPING(_ID)?\s*\(", m.group("select")):
+    if re.search(r"(?i)\bGROUPING_ID\s*\(", m.group("select")):
         return None
     sets = _expand_grouping_body(m.group("keys"))
     if sets is None:
@@ -1672,13 +1681,41 @@ def match_grouping_sets_shape(
         return None
     if where is not None and not _row_local_expr_ok(where, cols):
         return None
-    measures = _parse_measures(items[len(set_cols) :], cols)
+    key_by_lower = {k.lower(): k for k in keys}
+    grouping_items: list[tuple[str, str]] = []
+    meas_items: list[str] = []
+    tail_order: list[tuple[str, str]] = []
+    g_re = re.compile(
+        rf"(?is)^GROUPING\s*\(\s*({_IDENT})\s*\)\s+AS\s+({_IDENT})$"
+    )
+    for item in items[len(set_cols) :]:
+        gm = g_re.match(item.strip())
+        if gm is not None:
+            col, alias = gm.group(1), gm.group(2)
+            if col.lower() not in key_by_lower:
+                return None  # GROUPING over a non-grouping column
+            grouping_items.append((alias, key_by_lower[col.lower()]))
+            tail_order.append(("g", alias))
+        else:
+            meas_items.append(item)
+            tail_order.append(("m", ""))
+    if not meas_items:
+        return None
+    measures = _parse_measures(meas_items, cols)
     if measures is None:
         return None
-    if {mm.alias.lower() for mm in measures} & {k.lower() for k in keys}:
+    mi = iter(measures)
+    tail_order = [
+        (k, a if k == "g" else next(mi).alias) for k, a in tail_order
+    ]
+    out_aliases = [mm.alias.lower() for mm in measures] + [
+        a.lower() for a, _ in grouping_items
+    ]
+    if len(set(out_aliases)) != len(out_aliases) or set(out_aliases) & {
+        k.lower() for k in keys
+    }:
         return None
     # Canonicalize each set's column spelling to the select list's
-    key_by_lower = {k.lower(): k for k in keys}
     canon_sets = tuple(
         tuple(key_by_lower[c.lower()] for c in s) for s in sets
     )
@@ -1688,6 +1725,8 @@ def match_grouping_sets_shape(
         sets=canon_sets,
         measures=tuple(measures),
         where=where.strip() if where is not None else None,
+        grouping_items=tuple(grouping_items),
+        tail_order=tuple(tail_order),
     )
 
 

@@ -3853,6 +3853,7 @@ _FINAL_ORDERS_GS_SQL = f"""
     f"""
     WITH {_FINAL_ORDERS_GS_SQL}
     SELECT o_orderstatus, o_custkey, count(*) AS n_orders,
+           CAST(GROUPING(o_custkey) AS INT) AS g_ck,
            round(sum(o_totalprice), 2) AS total_price
     FROM final_orders_gs
     WHERE o_totalprice > 500
@@ -3885,6 +3886,7 @@ def mvapp_auto_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .source("orders_gs", t["orders"], pk=["o_orderkey"])
             .query(
                 """SELECT o_orderstatus, o_custkey, count(*) AS n_orders,
+                          GROUPING(o_custkey) AS g_ck_raw,
                           sum(o_totalprice) AS total_raw
                    FROM orders_gs
                    WHERE o_totalprice > 500
@@ -3908,6 +3910,7 @@ def mvapp_auto_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "o_orderstatus",
                 "o_custkey",
                 "n_orders",
+                F.col("g_ck_raw").cast("int").alias("g_ck"),
                 F.round("total_raw", 2).alias("total_price"),
             )
             .localCheckpoint(eager=True)
