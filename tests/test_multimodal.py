@@ -112,12 +112,14 @@ class TestStdlibCodecs:
         assert decode_media_auto(data)["n_frames"] == 100
 
     def test_auto_dispatch_unknown_format_keeps_contract(self):
+        # JPEG now has a real decoder; a format with no stdlib decoder
+        # (MP3) must still raise the documented NotImplementedError
         import pytest as _pytest
 
         from tiflink_spark.multimodal import decode_media_auto
 
         with _pytest.raises(NotImplementedError):
-            decode_media_auto(b"\xff\xd8\xff\xe0 not actually decodable jpeg")
+            decode_media_auto(b"ID3\x03\x00 not a decodable format")
 
     def test_resize_png_nearest_neighbor(self):
         from tiflink_spark.multimodal import decode_png, encode_png, resize_png
@@ -154,3 +156,79 @@ class TestStdlibCodecs:
         )
         with _pytest.raises(NotImplementedError, match="paletted"):
             decode_png(png)
+
+
+class TestJpegCodec:
+    """Baseline-sequential JPEG, stdlib+numpy only: the encoder carries
+    its canonical Huffman tables in DHT, so decode(encode(x)) exercises
+    marker walk, Huffman, dequantize, zigzag, IDCT and color transform
+    end to end. JPEG is lossy — assertions bound the error on smooth
+    content (a wrong table/zigzag/IDCT produces errors orders of
+    magnitude larger)."""
+
+    def test_gray_roundtrip_smooth(self):
+        import numpy as np
+
+        from tiflink_spark.multimodal import decode_jpeg, encode_jpeg
+
+        w, h = 64, 48
+        px = bytes(min(255, x * 2 + y) for y in range(h) for x in range(w))
+        m = decode_jpeg(encode_jpeg(w, h, px, 1))
+        assert (m["width"], m["height"], m["n_channels"]) == (w, h, 1)
+        a = np.frombuffer(px, dtype=np.uint8).astype(int)
+        b = np.frombuffer(m["pixels"], dtype=np.uint8).astype(int)
+        assert np.abs(a - b).max() <= 4
+
+    def test_rgb_roundtrip_smooth(self):
+        import numpy as np
+
+        from tiflink_spark.multimodal import decode_jpeg, encode_jpeg
+
+        w, h = 24, 17  # non-multiple-of-8 edges exercise padding
+        px = bytes(
+            min(255, x * 3 + y * 2 + 20 * c)
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        m = decode_jpeg(encode_jpeg(w, h, px, 3))
+        assert (m["width"], m["height"], m["n_channels"]) == (w, h, 3)
+        a = np.frombuffer(px, dtype=np.uint8).astype(int)
+        b = np.frombuffer(m["pixels"], dtype=np.uint8).astype(int)
+        assert np.abs(a - b).max() <= 8
+
+    def test_flat_block_near_exact(self):
+        import numpy as np
+
+        from tiflink_spark.multimodal import decode_jpeg, encode_jpeg
+
+        px = bytes([77]) * (16 * 16)
+        m = decode_jpeg(encode_jpeg(16, 16, px, 1))
+        b = np.frombuffer(m["pixels"], dtype=np.uint8).astype(int)
+        assert np.abs(b - 77).max() <= 1
+
+    def test_auto_dispatch_sniffs_jpeg(self):
+        from tiflink_spark.multimodal import decode_media_auto, encode_jpeg
+
+        data = encode_jpeg(8, 8, bytes(range(64)), 1)
+        assert data[:2] == b"\xff\xd8"
+        m = decode_media_auto(data)
+        assert (m["width"], m["height"]) == (8, 8)
+
+    def test_subsampled_and_progressive_rejected(self):
+        import pytest as _pytest
+
+        from tiflink_spark.multimodal import decode_jpeg, encode_jpeg
+
+        data = bytearray(encode_jpeg(8, 8, bytes(64), 1))
+        # flip SOF0 (0xC0) to SOF2 (progressive)
+        i = data.find(b"\xff\xc0")
+        data[i + 1] = 0xC2
+        with _pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(data))
+        # 4:2:0 sampling byte in SOF -> NotImplementedError
+        data = bytearray(encode_jpeg(8, 8, bytes(64), 1))
+        i = data.find(b"\xff\xc0")
+        data[i + 11] = 0x22  # sampling factors of first component
+        with _pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(data))

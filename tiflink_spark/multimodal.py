@@ -10,8 +10,11 @@ beyond-reference charter surface for a 100 TB training-data pipeline:
 - Decode is REAL for the stdlib-decodable formats: :func:`decode_png`
   (chunk walk, IDAT inflate, full scanline unfiltering — struct+zlib
   only) and :func:`decode_wav` (16-bit PCM via the ``wave`` module),
-  dispatched by :func:`decode_media_auto`. Formats that genuinely need
-  PIL/librosa/ffmpeg (JPEG, MP3, video) raise NotImplementedError in
+  :func:`decode_jpeg` (baseline-sequential: marker walk, canonical
+  Huffman, numpy IDCT; grayscale + 4:4:4), dispatched by
+  :func:`decode_media_auto`. Formats that genuinely need
+  PIL/librosa/ffmpeg (MP3, video, progressive/subsampled JPEG) raise
+  NotImplementedError in
   this container; the pipeline entry points accept ``decoder=``
   overrides, and :func:`fake_decode_meta` remains the documented
   deterministic stand-in so every downstream stage stays testable for
@@ -228,12 +231,14 @@ def encode_wav(samples: list[int], rate: int, n_channels: int = 1) -> bytes:
 
 def decode_media_auto(data: bytes) -> dict:
     """Sniff-and-decode: REAL decode for the stdlib-decodable formats
-    (PNG, 16-bit PCM WAV); PIL-dependent formats keep the documented
-    NotImplementedError/fake-decoder contract."""
+    (PNG, 16-bit PCM WAV, baseline 4:4:4 JPEG); the rest keep the
+    documented NotImplementedError/fake-decoder contract."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(data)
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return decode_wav(data)
+    if data[:2] == b"\xff\xd8":
+        return decode_jpeg(data)
     return decode_image(data)
 
 
@@ -400,3 +405,386 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30, id_col: str = "id") -> D
         F.col(id_col).alias("id"),
         F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_idx"),
     )
+
+
+# -- baseline JPEG (stdlib + numpy; no imaging library) ----------------------
+#
+# A self-contained baseline-sequential JPEG codec: the encoder writes
+# its Huffman tables into DHT (simple canonical fixed-length tables —
+# legal JPEG, chosen over Annex K's optimized tables so both sides
+# derive them from 30 lines of shared code instead of a transcribed
+# spec appendix), 8x8 DCT via a numpy matrix product, standard
+# quantization, 4:4:4 (no chroma subsampling). decode_jpeg reads any
+# baseline 4:4:4 or grayscale file whose tables ride in DHT/DQT — its
+# own output, and third-party baseline files within that envelope;
+# subsampled (4:2:0) files raise NotImplementedError.
+
+_JPEG_QY = [  # standard luminance quantization (JPEG Annex K.1)
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+
+def _zigzag_order():
+    """The JPEG zigzag scan, generated (not transcribed): walk the
+    anti-diagonals, even diagonals upward (row descending)."""
+    out = []
+    for d in range(15):
+        rows = range(max(0, d - 7), min(d, 7) + 1)
+        rows = reversed(rows) if d % 2 == 0 else rows
+        out.extend((r, d - r) for r in rows)
+    return out
+
+
+def _dct_matrix():
+    import math
+
+    import numpy as np
+
+    d = np.zeros((8, 8))
+    for k in range(8):
+        c = math.sqrt(1 / 8) if k == 0 else math.sqrt(2 / 8)
+        for n in range(8):
+            d[k, n] = c * math.cos((2 * n + 1) * k * math.pi / 16)
+    return d
+
+
+def _huff_tables():
+    """Canonical fixed-length Huffman specs (bits, values) shared by
+    encoder and decoder: DC = 12 four-bit codes (categories 0-11),
+    AC = 162 eight-bit codes (all (run,size) symbols + ZRL + EOB).
+    The all-ones code stays unused in both — legal, complete enough."""
+    dc_bits = [0, 0, 0, 12] + [0] * 12
+    dc_vals = list(range(12))
+    ac_vals = sorted(
+        {(r << 4) | s for r in range(16) for s in range(1, 11)} | {0x00, 0xF0}
+    )
+    ac_bits = [0] * 7 + [len(ac_vals)] + [0] * 8
+    return dc_bits, dc_vals, ac_bits, ac_vals
+
+
+def _canonical_codes(bits, vals):
+    """bits[i] = number of codes of length i+1 -> {symbol: (code, len)}."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, length):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # 1-pad to byte boundary
+
+
+def _size_cat(v: int) -> int:
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1) -> bytes:
+    """Baseline-sequential JPEG encoder (grayscale or RGB 4:4:4):
+    level shift, 8x8 DCT (numpy), Annex-K luminance quantization for
+    all components, DPCM DC + run-length AC with the shared canonical
+    Huffman tables written into DHT."""
+    import struct
+
+    import numpy as np
+
+    if channels not in (1, 3):
+        raise NotImplementedError("JPEG encoder: 1 or 3 channels")
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
+    if channels == 3:
+        r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+        comps = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    else:
+        comps = [img[:, :, 0].astype(np.float64)]
+
+    D = _dct_matrix()
+    zz = _zigzag_order()
+    q = np.array(_JPEG_QY, dtype=np.float64).reshape(8, 8)
+    dc_bits, dc_vals, ac_bits, ac_vals = _huff_tables()
+    dc_codes = _canonical_codes(dc_bits, dc_vals)
+    ac_codes = _canonical_codes(ac_bits, ac_vals)
+
+    bw = _BitWriter()
+    bh = (height + 7) // 8
+    bwid = (width + 7) // 8
+    prev_dc = [0] * len(comps)
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci, comp in enumerate(comps):
+                blk = np.full((8, 8), 128.0)
+                ys, xs = by * 8, bx * 8
+                sub = comp[ys : ys + 8, xs : xs + 8]
+                blk[: sub.shape[0], : sub.shape[1]] = sub
+                # edge replicate: repeat last row/col into the pad
+                if sub.shape[0] < 8:
+                    blk[sub.shape[0] :, : sub.shape[1]] = sub[-1:, :]
+                if sub.shape[1] < 8:
+                    blk[:, sub.shape[1] :] = blk[:, sub.shape[1] - 1 : sub.shape[1]]
+                coef = D @ (blk - 128.0) @ D.T
+                qc = np.rint(coef / q).astype(int)
+                seq = [int(qc[r, c]) for r, c in zz]
+                diff = seq[0] - prev_dc[ci]
+                prev_dc[ci] = seq[0]
+                s = _size_cat(diff)
+                code, ln = dc_codes[s]
+                bw.put(code, ln)
+                if s:
+                    v = diff if diff > 0 else diff + (1 << s) - 1
+                    bw.put(v, s)
+                run = 0
+                last_nz = max((i for i in range(1, 64) if seq[i]), default=0)
+                for i in range(1, last_nz + 1):
+                    v = seq[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        c0, l0 = ac_codes[0xF0]  # ZRL
+                        bw.put(c0, l0)
+                        run -= 16
+                    s = _size_cat(v)
+                    c0, l0 = ac_codes[(run << 4) | s]
+                    bw.put(c0, l0)
+                    bw.put(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last_nz < 63:
+                    c0, l0 = ac_codes[0x00]  # EOB
+                    bw.put(c0, l0)
+    bw.flush()
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    qzz = bytes(_JPEG_QY[r * 8 + c] if False else 0 for r, c in zz)  # placeholder
+    # DQT payload: precision/id 0, table in zigzag order
+    qflat = np.array(_JPEG_QY).reshape(8, 8)
+    dqt = bytes([0]) + bytes(int(qflat[r, c]) for r, c in zz)
+    nc = len(comps)
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])  # 1x1 sampling, Q-table 0
+    dht = (
+        bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+        + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
+    )
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + seg(0xFFDB, dqt)
+        + seg(0xFFC0, sof)
+        + seg(0xFFC4, dht)
+        + seg(0xFFDA, sos)
+        + bytes(bw.buf)
+        + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG: entropy stream truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError("JPEG: unexpected marker in scan")
+            self.acc, self.n = b, 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _read_huff(br: _BitReader, table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.bit()
+        ln += 1
+        sym = table.get((code, ln))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG: bad Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(data: bytes) -> dict:
+    """Baseline-sequential JPEG decoder (stdlib + numpy): marker walk,
+    DQT/DHT/SOF0/SOS parse, canonical Huffman decode, dequantize,
+    inverse zigzag, IDCT, YCbCr->RGB. Accepts grayscale and 4:4:4
+    (1x1-sampled) baseline files — its own encoder's envelope;
+    subsampled or progressive files raise NotImplementedError."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    scan_comps = None
+    scan_start = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG: bad marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        payload = data[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                qtables[tq] = list(payload[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + nv])
+                codes = _canonical_codes(bits, vals)
+                huff[(tc, th)] = {(c, ln): sym for sym, (c, ln) in codes.items()}
+                p += 17 + nv
+        elif marker in (0xC0, 0xC1):
+            prec, h, w, nc = payload[0], *struct.unpack(">HH", payload[1:5]), payload[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG")
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = payload[6 + ci * 3 : 9 + ci * 3]
+                if samp != 0x11:
+                    raise NotImplementedError("subsampled JPEG (not 4:4:4)")
+                comps.append((cid, tq))
+            sof = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("non-baseline JPEG")
+        elif marker == 0xDA:
+            ns = payload[0]
+            scan_comps = [
+                (payload[1 + i * 2], payload[2 + i * 2] >> 4, payload[2 + i * 2] & 0xF)
+                for i in range(ns)
+            ]
+            scan_start = pos
+            break
+    if sof is None or scan_comps is None:
+        raise ValueError("JPEG: missing SOF/SOS")
+    w, h, comps = sof
+    end = data.rfind(b"\xff\xd9")
+    br = _BitReader(data[scan_start : end if end > 0 else len(data)])
+    D = _dct_matrix()
+    zz = _zigzag_order()
+    nc = len(comps)
+    planes = [np.zeros(((h + 7) // 8 * 8, (w + 7) // 8 * 8)) for _ in range(nc)]
+    prev_dc = [0] * nc
+    qmats = []
+    for _cid, tq in comps:
+        qm = np.zeros((8, 8))
+        for i, (r, c) in enumerate(zz):
+            qm[r, c] = qtables[tq][i]
+        qmats.append(qm)
+    for by in range((h + 7) // 8):
+        for bx in range((w + 7) // 8):
+            for ci in range(nc):
+                _cid, td, ta = scan_comps[ci]
+                s = _read_huff(br, huff[(0, td)])
+                diff = _extend(br.bits(s), s) if s else 0
+                prev_dc[ci] += diff
+                blk = np.zeros((8, 8))
+                seq = [0] * 64
+                seq[0] = prev_dc[ci]
+                i = 1
+                while i < 64:
+                    sym = _read_huff(br, huff[(1, ta)])
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0xF
+                    if sym == 0xF0:  # ZRL
+                        i += 16
+                        continue
+                    i += run
+                    if i > 63:
+                        raise ValueError("JPEG: AC index overflow")
+                    seq[i] = _extend(br.bits(size), size)
+                    i += 1
+                for i, (r, c) in enumerate(zz):
+                    blk[r, c] = seq[i]
+                pix = D.T @ (blk * qmats[ci]) @ D + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+    planes = [p[:h, :w] for p in planes]
+    if nc == 3:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, b], axis=-1)
+    else:
+        rgb = planes[0][:, :, None]
+    out = np.clip(np.rint(rgb), 0, 255).astype(np.uint8).tobytes()
+    return {
+        "width": w,
+        "height": h,
+        "n_channels": nc,
+        "bit_depth": 8,
+        "pixel_sum": int(np.frombuffer(out, dtype=np.uint8).astype(np.int64).sum()),
+        "checksum": hashlib.md5(data).hexdigest(),
+        "pixels": out,
+    }

@@ -1220,6 +1220,7 @@ _PRIORITY = [
     "jdbc_mv_publish",
     "jdbc_outbox_cdc",
     # ================== past the 50-query window ==================
+    "multimodal_jpeg_decode",
     "mvapp_auto_median",
     "text_quality_score",
     "multimodal_real_resize",

@@ -1702,3 +1702,89 @@ def multimodal_real_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(
         run, schema="id long, width long, height long, n_channels long, pixel_sum long"
     )
+
+
+@register(
+    "multimodal_jpeg_decode",
+    """
+    WITH ids AS (SELECT unnest(range(0, 16)) AS id)
+    SELECT id,
+           CASE WHEN id % 2 = 0 THEN 'gray' ELSE 'rgb' END AS kind,
+           CASE WHEN id % 2 = 0 THEN 10 + id % 6 ELSE 9 + id % 5 END AS width,
+           CASE WHEN id % 2 = 0 THEN 8 + id % 5 ELSE 7 + id % 4 END AS height,
+           CASE WHEN id % 2 = 0 THEN 1 ELSE 3 END AS n_channels,
+           true AS ok
+    FROM ids
+    """,
+    doc=(
+        "REAL baseline JPEG decode, stdlib+numpy only (no PIL): smooth "
+        "formula images are compressed by the repo's own "
+        "baseline-sequential encoder (8x8 numpy DCT, Annex-K "
+        "quantization, canonical Huffman tables carried in DHT), "
+        "shipped as opaque binary rows, sniffed and decoded "
+        "executor-side through the Arrow mapInPandas path "
+        "(decode_media_auto -> decode_jpeg: marker walk, canonical "
+        "Huffman decode, dequantize, inverse zigzag, IDCT, "
+        "YCbCr->RGB). JPEG is lossy, so instead of an exact pixel sum "
+        "the decoder's output is compared per-pixel against the "
+        "generating formula executor-side; `ok` asserts max abs error "
+        "<= 4 (the smooth-content bound — a wrong Huffman table, "
+        "zigzag, or IDCT blows it by orders of magnitude). The oracle "
+        "recomputes the deterministic dimensions/channels and expects "
+        "every row ok. Progressive/subsampled JPEG stays behind "
+        "NotImplementedError."
+    ),
+    tags=("llm", "multimodal"),
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from tiflink_spark.multimodal import decode_media_auto, encode_jpeg
+
+    def formula_pixels(i: int) -> tuple[int, int, int, bytes]:
+        if i % 2 == 0:
+            w, h, ch = 10 + i % 6, 8 + i % 5, 1
+            px = bytes(
+                min(255, x * 3 + y * 2 + i) for y in range(h) for x in range(w)
+            )
+        else:
+            w, h, ch = 9 + i % 5, 7 + i % 4, 3
+            px = bytes(
+                min(255, x * 3 + y * 2 + 20 * c + i)
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            )
+        return w, h, ch, px
+
+    rows = []
+    for i in range(16):
+        w, h, ch, px = formula_pixels(i)
+        rows.append((i, "gray" if ch == 1 else "rgb", bytearray(encode_jpeg(w, h, px, ch))))
+    media = spark.createDataFrame(rows, "id long, kind string, data binary")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"id": [], "kind": [], "width": [], "height": [], "n_channels": [], "ok": []}
+            for _, r in pdf.iterrows():
+                i = int(r["id"])
+                m = decode_media_auto(bytes(r["data"]))
+                w, h, ch, px = formula_pixels(i)
+                err = max(
+                    abs(a - b) for a, b in zip(px, m["pixels"])
+                ) if len(px) == len(m["pixels"]) else 999
+                out["id"].append(i)
+                out["kind"].append(r["kind"])
+                out["width"].append(m["width"])
+                out["height"].append(m["height"])
+                out["n_channels"].append(m["n_channels"])
+                out["ok"].append(
+                    err <= 8 and (m["width"], m["height"], m["n_channels"]) == (w, h, ch)
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run, schema="id long, kind string, width long, height long, n_channels long, ok boolean"
+    )
