@@ -232,3 +232,37 @@ class TestJpegCodec:
         data[i + 11] = 0x22  # sampling factors of first component
         with _pytest.raises(NotImplementedError):
             decode_jpeg(bytes(data))
+
+
+class TestAviCodec:
+    """Uncompressed-DIB AVI, stdlib-only and LOSSLESS: RIFF walk,
+    avih/strf parse, bottom-up BGR '00db' frames with 4-byte row
+    padding — frames round-trip byte-exact."""
+
+    def test_roundtrip_exact_with_padding(self):
+        from tiflink_spark.multimodal import decode_avi, encode_avi
+
+        w, h = 5, 3  # stride 15 -> 1 pad byte per row
+        frames = [
+            bytes((x + y * 2 + f * 3 + c) % 256 for y in range(h) for x in range(w) for c in range(3))
+            for f in range(4)
+        ]
+        m = decode_avi(encode_avi(w, h, frames, fps=12))
+        assert (m["width"], m["height"], m["n_frames"], m["fps"]) == (w, h, 4, 12)
+        assert m["frames"] == frames
+        assert m["frame_sums"] == [sum(f) for f in frames]
+
+    def test_auto_dispatch_and_compressed_rejected(self):
+        import pytest as _pytest
+
+        from tiflink_spark.multimodal import decode_avi, decode_media_auto, encode_avi
+
+        data = encode_avi(4, 2, [bytes(24)], fps=5)
+        m = decode_media_auto(data)
+        assert m["n_frames"] == 1
+        # compressed frame chunk ('00dc') -> NotImplementedError
+        broken = bytearray(data)
+        i = broken.find(b"00db")
+        broken[i : i + 4] = b"00dc"
+        with _pytest.raises(NotImplementedError):
+            decode_avi(bytes(broken))

@@ -7,18 +7,18 @@ beyond-reference charter surface for a 100 TB training-data pipeline:
 - Convention: a media table carries ``(id, kind, uri, data BINARY,
   meta)`` — bytes travel as opaque BinaryType, decode happens
   executor-side in Arrow batches, never on the driver.
-- Decode is REAL for the stdlib-decodable formats: :func:`decode_png`
+- Decode is REAL for the library-free formats: :func:`decode_png`
   (chunk walk, IDAT inflate, full scanline unfiltering — struct+zlib
-  only) and :func:`decode_wav` (16-bit PCM via the ``wave`` module),
+  only), :func:`decode_wav` (16-bit PCM via the ``wave`` module),
   :func:`decode_jpeg` (baseline-sequential: marker walk, canonical
-  Huffman, numpy IDCT; grayscale + 4:4:4), dispatched by
-  :func:`decode_media_auto`. Formats that genuinely need
-  PIL/librosa/ffmpeg (MP3, video, progressive/subsampled JPEG) raise
-  NotImplementedError in
-  this container; the pipeline entry points accept ``decoder=``
-  overrides, and :func:`fake_decode_meta` remains the documented
-  deterministic stand-in so every downstream stage stays testable for
-  those formats too.
+  Huffman, numpy IDCT; grayscale + 4:4:4), and :func:`decode_avi`
+  (uncompressed-DIB video: RIFF walk, frame extraction) — dispatched
+  by :func:`decode_media_auto`. Formats that genuinely need
+  librosa/ffmpeg (MP3, compressed video, progressive/subsampled JPEG)
+  raise NotImplementedError in this container; the pipeline entry
+  points accept ``decoder=`` overrides, and :func:`fake_decode_meta`
+  remains the documented deterministic stand-in so every downstream
+  stage stays testable for those formats too.
 - Partitioning stance at scale: media rows are large and skewed;
   repartition by byte-size budget (``target_batch_bytes``) before the
   decode stage so one Arrow batch never blows executor memory.
@@ -231,12 +231,15 @@ def encode_wav(samples: list[int], rate: int, n_channels: int = 1) -> bytes:
 
 def decode_media_auto(data: bytes) -> dict:
     """Sniff-and-decode: REAL decode for the stdlib-decodable formats
-    (PNG, 16-bit PCM WAV, baseline 4:4:4 JPEG); the rest keep the
-    documented NotImplementedError/fake-decoder contract."""
+    (PNG, 16-bit PCM WAV, baseline 4:4:4 JPEG, uncompressed-DIB AVI
+    video); the rest (MP3, compressed video) keep the documented
+    NotImplementedError/fake-decoder contract."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(data)
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return decode_wav(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return decode_avi(data)
     if data[:2] == b"\xff\xd8":
         return decode_jpeg(data)
     return decode_image(data)
@@ -787,4 +790,129 @@ def decode_jpeg(data: bytes) -> dict:
         "pixel_sum": int(np.frombuffer(out, dtype=np.uint8).astype(np.int64).sum()),
         "checksum": hashlib.md5(data).hexdigest(),
         "pixels": out,
+    }
+
+
+# -- uncompressed AVI video (stdlib struct only) -----------------------------
+
+
+def encode_avi(width: int, height: int, frames: list[bytes], fps: int = 10) -> bytes:
+    """Minimal RIFF/AVI writer for UNCOMPRESSED 24-bit DIB video: one
+    'vids/DIB ' stream, bottom-up BGR rows padded to 4 bytes (the BMP
+    convention), one '00db' chunk per frame, no index. Each frame is
+    top-down RGB24 bytes (h*w*3); the writer flips and swaps."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    pad = stride - width * 3
+
+    def dib(frame: bytes) -> bytes:
+        rows = []
+        for y in range(height - 1, -1, -1):  # bottom-up
+            row = bytearray()
+            base = y * width * 3
+            for x in range(width):
+                r, g, b = frame[base + x * 3 : base + x * 3 + 3]
+                row += bytes((b, g, r))  # RGB -> BGR
+            row += b"\x00" * pad
+            rows.append(bytes(row))
+        return b"".join(rows)
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        out = fourcc + struct.pack("<I", len(payload)) + payload
+        return out + (b"\x00" if len(payload) % 2 else b"")
+
+    def lst(fourcc: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + payload)
+
+    frame_bytes = stride * height
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, frame_bytes * fps, 0, 0x10, len(frames), 0, 1,
+        frame_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII4H",
+        0, 0, 0, 0, 1, fps, 0, len(frames), frame_bytes, 0, 0,
+        0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, 0, frame_bytes, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(data: bytes) -> dict:
+    """REAL video decode for uncompressed 24-bit DIB AVI, stdlib-only:
+    RIFF walk, avih/strf parse, '00db' frame extraction, bottom-up BGR
+    -> top-down RGB. Returns dimensions, fps, frame count, per-frame
+    pixel sums, and the frames themselves. Compressed video (any
+    biCompression != 0 or '00dc' codec chunks) raises
+    NotImplementedError — that genuinely needs ffmpeg."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+
+    width = height = None
+    fps = None
+    bitcount = compression = None
+    frames_raw: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal width, height, fps, bitcount, compression
+        pos = 0
+        while pos + 8 <= len(buf):
+            fourcc = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            payload = buf[pos + 8 : pos + 8 + size]
+            pos += 8 + size + (size % 2)
+            if fourcc == b"LIST":
+                walk(payload[4:])
+            elif fourcc == b"avih":
+                micro = struct.unpack("<I", payload[0:4])[0]
+                fps = round(1_000_000 / micro) if micro else 0
+                width = struct.unpack("<I", payload[32:36])[0]
+                height = struct.unpack("<I", payload[36:40])[0]
+            elif fourcc == b"strf" and len(payload) >= 40:
+                bitcount = struct.unpack("<H", payload[14:16])[0]
+                compression = struct.unpack("<I", payload[16:20])[0]
+            elif fourcc == b"00dc":
+                raise NotImplementedError("compressed AVI video needs ffmpeg")
+            elif fourcc == b"00db":
+                frames_raw.append(payload)
+
+    walk(data[12:])
+    if width is None or bitcount is None:
+        raise ValueError("AVI missing avih/strf")
+    if bitcount != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bit DIB AVI")
+    stride = (width * 3 + 3) & ~3
+    frames = []
+    sums = []
+    for raw in frames_raw:
+        out = bytearray(width * height * 3)
+        s = 0
+        for y in range(height):
+            src = (height - 1 - y) * stride  # bottom-up -> top-down
+            base = y * width * 3
+            for x in range(width):
+                b, g, r = raw[src + x * 3 : src + x * 3 + 3]
+                out[base + x * 3 : base + x * 3 + 3] = bytes((r, g, b))
+                s += r + g + b
+        frames.append(bytes(out))
+        sums.append(s)
+    return {
+        "width": width,
+        "height": height,
+        "n_channels": 3,
+        "fps": fps,
+        "n_frames": len(frames),
+        "frame_sums": sums,
+        "frames": frames,
+        "checksum": hashlib.md5(data).hexdigest(),
     }

@@ -1221,6 +1221,7 @@ _PRIORITY = [
     "jdbc_outbox_cdc",
     # ================== past the 50-query window ==================
     "multimodal_jpeg_decode",
+    "multimodal_video_framesample",
     "mvapp_auto_median",
     "text_quality_score",
     "multimodal_real_resize",
