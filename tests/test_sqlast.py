@@ -19,6 +19,8 @@ from tiflink_spark.planner import (
     AggShape,
     ProjectionShape,
     match_agg_shape,
+    match_distinct_shape,
+    match_global_agg_shape,
     match_projection_shape,
 )
 
@@ -87,7 +89,13 @@ _EDGE_QUERIES = [
     "SELECT id FROM t AS x",
     "SELECT * FROM t",
     "SELECT id, g FROM t WHERE s <> 'GROUP BY'",
-    "SELECT DISTINCT g FROM t",  # -> None on both paths
+    "SELECT DISTINCT g FROM t",
+    "SELECT DISTINCT g, h FROM t WHERE v > 2",
+    # the regex WHERE-swallows-LIMIT hazard: both paths must fall back
+    "SELECT DISTINCT g FROM t WHERE g > 0 LIMIT 5",
+    "SELECT count(*) AS n, sum(v) AS sv FROM t",
+    "SELECT count(*) AS n FROM t WHERE v > 3",
+    "SELECT count(*) AS n FROM t WHERE s <> 'c' LIMIT 2",  # -> None
     "SELECT id FROM t ORDER BY id LIMIT 5",  # -> None on both paths
     "SELECT g, count(*) AS n FROM missing GROUP BY g",  # unknown table
     "SELECT id, v FROM t UNION ALL SELECT id, v FROM t",
@@ -116,10 +124,18 @@ class TestFrontEndEquivalence:
 
     def _check(self, query, monkeypatch):
         monkeypatch.delenv("TIFLINK_AST_MATCHERS", raising=False)
-        rx_agg = match_agg_shape(query, {"t"}, COLS)
-        rx_proj = match_projection_shape(query, {"t"}, COLS, PKS)
+        rx = (
+            match_agg_shape(query, {"t"}, COLS),
+            match_projection_shape(query, {"t"}, COLS, PKS),
+            match_global_agg_shape(query, {"t"}, COLS),
+            match_distinct_shape(query, {"t"}, COLS),
+        )
         monkeypatch.setenv("TIFLINK_AST_MATCHERS", "1")
-        ast_agg = match_agg_shape(query, {"t"}, COLS)
-        ast_proj = match_projection_shape(query, {"t"}, COLS, PKS)
-        assert rx_agg == ast_agg, f"agg divergence on: {query}"
-        assert rx_proj == ast_proj, f"projection divergence on: {query}"
+        ast = (
+            match_agg_shape(query, {"t"}, COLS),
+            match_projection_shape(query, {"t"}, COLS, PKS),
+            match_global_agg_shape(query, {"t"}, COLS),
+            match_distinct_shape(query, {"t"}, COLS),
+        )
+        for name, r, a in zip(("agg", "projection", "global_agg", "distinct"), rx, ast):
+            assert r == a, f"{name} divergence on: {query}\n regex={r}\n ast={a}"

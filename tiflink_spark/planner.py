@@ -440,22 +440,56 @@ def match_distinct_shape(
     identifiers only (an expression output has no stable retraction
     key); WHERE must be row-local and deterministic, maintained by the
     stateless-filter changelog rule."""
-    m = _DISTINCT_RE.match(query)
-    if m is None or m.group("table") not in source_names:
+    if use_ast_matchers():
+        from tiflink_spark import sqlast
+
+        parsed = sqlast.distinct_clauses(query)
+    else:
+        m = _DISTINCT_RE.match(query)
+        parsed = (
+            None
+            if m is None
+            else (m.group("select"), m.group("table"), m.group("where"))
+        )
+    if parsed is None:
         return None
-    cols = [c.strip() for c in m.group("select").split(",")]
+    return _match_distinct_core(*parsed, source_names, source_columns)
+
+
+def _match_distinct_core(
+    select: str,
+    table: str,
+    where: str | None,
+    source_names: set[str],
+    source_columns: dict[str, list[str]] | None,
+) -> DistinctShape | None:
+    """Shape validation shared by the regex and AST front-ends."""
+    if table not in source_names:
+        return None
+    cols = [c.strip() for c in select.split(",")]
+    if any(not re.fullmatch(_IDENT, c) for c in cols):
+        return None
     if len({c.lower() for c in cols}) != len(cols):
         return None
     if source_columns is not None:
-        known = {c.lower() for c in source_columns.get(m.group("table"), [])}
+        known = {c.lower() for c in source_columns.get(table, [])}
         if any(c.lower() not in known for c in cols):
             return None
-    where = m.group("where")
     if where is not None:
+        # The regex's non-greedy WHERE runs to end-of-query, so a
+        # trailing clause (LIMIT/ORDER BY/GROUP BY…) would be swallowed
+        # into it — previously a hard AnalysisException at build time
+        # instead of a clean recompute fallback. Reject explicitly,
+        # like the global-aggregate matcher does.
+        if re.search(
+            r"(?i)\b(group\s+by|having|order\s+by|limit|offset|qualify|window)\b",
+            where,
+        ):
+            return None
         if _NON_LOCAL_WHERE.search(where):
             return None
         where = where.strip()
-    return DistinctShape(m.group("table"), tuple(cols), where)
+    return DistinctShape(table, tuple(cols), where)
 
 
 @dataclass(frozen=True)
@@ -1401,10 +1435,36 @@ def match_global_agg_shape(
     deterministic. The regex's optional WHERE is greedy across clause
     keywords, so any trailing GROUP BY / ORDER BY / LIMIT swallowed
     into it is rejected explicitly."""
-    m = _GLOBAL_AGG_RE.match(query)
-    if m is None or m.group("table") not in source_names:
+    if use_ast_matchers():
+        from tiflink_spark import sqlast
+
+        parsed = sqlast.global_agg_clauses(query)
+    else:
+        m = _GLOBAL_AGG_RE.match(query)
+        parsed = (
+            None
+            if m is None
+            else (m.group("select"), m.group("table"), m.group("where"))
+        )
+    if parsed is None:
         return None
-    where = m.group("where")
+    return _match_global_agg_core(*parsed, source_names, source_columns)
+
+
+def _match_global_agg_core(
+    select: str,
+    table: str,
+    where: str | None,
+    source_names: set[str],
+    source_columns: dict[str, list[str]] | None,
+) -> GlobalAggShape | None:
+    """Shape validation shared by the regex and AST front-ends. The
+    clause-keyword scan on WHERE lives here so both paths reject the
+    same texts (the regex front-end's greedy WHERE swallows trailing
+    clauses; the AST front-end never produces them, but a string
+    literal containing a keyword must fail identically on both)."""
+    if table not in source_names:
+        return None
     if where is not None:
         if re.search(
             r"(?i)\b(group\s+by|having|order\s+by|limit|qualify|window)\b", where
@@ -1413,17 +1473,17 @@ def match_global_agg_shape(
         if _NON_LOCAL_WHERE.search(where):
             return None
     cols = None
-    if source_columns is not None and m.group("table") in source_columns:
-        cols = {c.lower() for c in source_columns[m.group("table")]}
+    if source_columns is not None and table in source_columns:
+        cols = {c.lower() for c in source_columns[table]}
     if where is not None and (cols is None or not _row_local_expr_ok(where, cols)):
         return None
-    measures = _parse_measures(_split_select_list(m.group("select")), cols)
+    measures = _parse_measures(_split_select_list(select), cols)
     if not measures:
         return None
     if len({mm.alias.lower() for mm in measures}) != len(measures):
         return None
     return GlobalAggShape(
-        m.group("table"),
+        table,
         tuple(measures),
         where.strip() if where is not None else None,
     )

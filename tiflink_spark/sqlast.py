@@ -235,3 +235,39 @@ def projection_clauses(query: str):
     if s is None or s.tail is not None or s.group_by is not None or s.having is not None:
         return None
     return (s.select, s.table, s.alias, s.where)
+
+
+def global_agg_clauses(query: str):
+    """AST front-end for the no-GROUP-BY global aggregate: (select,
+    table, where), or None. Mirrors planner._GLOBAL_AGG_RE's envelope:
+    no alias, no GROUP BY/HAVING, nothing trailing (clause keywords
+    inside string literals are rejected by the shared core, keeping
+    regex-path equivalence during migration)."""
+    s = parse_single_select(query)
+    if (
+        s is None
+        or s.tail is not None
+        or s.group_by is not None
+        or s.having is not None
+        or s.alias is not None
+    ):
+        return None
+    return (s.select, s.table, s.where)
+
+
+def distinct_clauses(query: str):
+    """AST front-end for the single-table DISTINCT projection:
+    (select-without-DISTINCT, table, where), or None."""
+    s = parse_single_select(query)
+    if (
+        s is None
+        or s.tail is not None
+        or s.group_by is not None
+        or s.having is not None
+        or s.alias is not None
+    ):
+        return None
+    dm = re.match(r"(?is)^DISTINCT\s+(.*)$", s.select)
+    if dm is None:
+        return None
+    return (dm.group(1), s.table, s.where)
