@@ -423,3 +423,40 @@ class TestWindowDomainStrategy:
                 work_dir=str(tmp_path / "wrej"),
                 strategy="domain",
             )
+
+
+def test_mvapp_window_strategy_knob(spark, tmp_path):
+    """window_strategy('domain') reaches the auto-routed window MV via
+    the public builder, and converges identically to the sort path."""
+    from tiflink_spark.app import MVApp
+
+    src = spark.createDataFrame(
+        [(k, k % 3, float(k % 7)) for k in range(40)], "k long, g long, v double"
+    )
+    q = ("SELECT k, g, rank() OVER (PARTITION BY g ORDER BY v) AS rnk, "
+         "sum(v) OVER (PARTITION BY g ORDER BY v) AS rs FROM wsrc")
+    app = (
+        MVApp.builder(spark)
+        .source("wsrc", src, pk=["k"])
+        .query(q)
+        .target(str(tmp_path / "wknob"))
+        .window_strategy("domain")
+        .num_buckets(2)
+        .shuffle_partitions(2)
+        .build()
+    )
+    assert app.maintenance_strategy == "IncrementalWindowMV"
+    assert app._mv.strategy == "domain"
+    app.bootstrap()
+    ch = spark.createDataFrame(
+        [(100, 1, 3.5, OP_INSERT, 0)],
+        f"k long, g long, v double, {OP_COL} string, {SEQ_COL} long",
+    )
+    app.refresh({"wsrc": ch}, batch_id=1)
+    final = src.unionByName(
+        spark.createDataFrame([(100, 1, 3.5)], "k long, g long, v double")
+    )
+    final.createOrReplaceTempView("wsrc_f")
+    exp = {tuple(r) for r in spark.sql(q.replace("FROM wsrc", "FROM wsrc_f")).collect()}
+    got = {tuple(r) for r in app.read().collect()}
+    assert got == exp

@@ -110,6 +110,19 @@ class MVAppBuilder:
         self._ddl_hook = fn
         return self
 
+    def window_strategy(self, strategy: str) -> "MVAppBuilder":
+        """OVER-window maintenance strategy: "sort" (default; Spark's
+        repartition+sort per partition) or "domain" — the skew-proof
+        two-pass plan for PEER-UNIFORM window functions (rank/
+        dense_rank/percent_rank/cume_dist, running SUM/COUNT/AVG/MIN/
+        MAX): groupBy(partition, order-value) pre-aggregate + window
+        over the distinct-order-value domain + join back, so a hot
+        partition key cannot pin one task. Raises at build when the
+        query's window items are per-row (row_number/lag/lead) — those
+        genuinely need the sort."""
+        self._window_strategy = strategy
+        return self
+
     def column_names(self, names: list[str]) -> "MVAppBuilder":
         """Override the MV's OUTPUT column names — the reference
         builder's ``setColumnNames`` (README.md:56,
@@ -149,6 +162,7 @@ class MVAppBuilder:
             ddl_hook=getattr(self, "_ddl_hook", None),
             validate_pks=getattr(self, "_validate_pks", False),
             column_names=getattr(self, "_column_names", None),
+            window_strategy=getattr(self, "_window_strategy", "sort"),
         )
 
 
@@ -210,13 +224,14 @@ class MVApp:
     def __init__(
         self, spark, sources, query, target, pk, num_buckets,
         shuffle_partitions=None, ddl_hook=None, validate_pks=False,
-        column_names=None,
+        column_names=None, window_strategy="sort",
     ):
         # Output-name override (the reference builder's setColumnNames,
         # README.md:56): planning/maintenance run on the query's own
         # names; _finish_column_names applies the user-facing rename
         # after whichever route's early return built the app.
         self._column_names = None
+        self._window_strategy = window_strategy
         self._plan(
             spark, sources, query, target, pk, num_buckets,
             shuffle_partitions, ddl_hook, validate_pks,
@@ -870,6 +885,7 @@ class MVApp:
                     work_dir=target,
                     num_buckets=num_buckets,
                     shuffle_partitions=shuffle_partitions,
+                    strategy=getattr(self, "_window_strategy", "sort"),
                 )
                 self._stores = {ws.fact: self._mv.fact_store}
                 return
