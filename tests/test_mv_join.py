@@ -75,3 +75,117 @@ def test_join_mv_converges_on_two_sided_changelogs(spark, tmp_path):
     snapshot = {tuple(r) for r in mv.read().collect()}
     assert mv.refresh(lc, rc, batch_id=3) is False
     assert {tuple(r) for r in mv.read().collect()} == snapshot
+
+
+class TestThetaJoinMV:
+    """Non-equi (interval/theta) join maintenance: dirty-PK recompute
+    over both post-merge states, per-batch dirty side broadcast."""
+
+    def test_matcher_envelope(self):
+        from tiflink_spark.planner import match_theta_join_shape
+
+        cols = {
+            "ev": ["eid", "val"],
+            "bands": ["bid", "lo", "hi", "label"],
+        }
+        pks = {"ev": ["eid"], "bands": ["bid"]}
+        s = match_theta_join_shape(
+            "SELECT eid, val, bid, label FROM ev JOIN bands "
+            "ON val >= lo AND val < hi",
+            set(cols), cols, pks,
+        )
+        assert s is not None and (s.left, s.right) == ("ev", "bands")
+        assert s.predicate == "val >= lo AND val < hi"
+        # WHERE folds into the predicate
+        s2 = match_theta_join_shape(
+            "SELECT eid, val, bid, label FROM ev e JOIN bands b "
+            "ON e.val BETWEEN b.lo AND b.hi WHERE b.label <> 'X'",
+            set(cols), cols, pks,
+        )
+        assert s2 is not None and "AND (label <> 'X')" in s2.predicate
+        # rejects: missing PK in select, shared column names, no PKs,
+        # subquery predicate, third table in ON
+        assert match_theta_join_shape(
+            "SELECT val, bid FROM ev JOIN bands ON val >= lo",
+            set(cols), cols, pks,
+        ) is None
+        shared = {"ev": ["eid", "v"], "bands": ["bid", "v"]}
+        assert match_theta_join_shape(
+            "SELECT eid, bid FROM ev JOIN bands ON ev.v >= bands.v",
+            set(shared), shared, pks,
+        ) is None
+        assert match_theta_join_shape(
+            "SELECT eid, val, bid, label FROM ev JOIN bands "
+            "ON val >= (SELECT min(lo) FROM bands)",
+            set(cols), cols, pks,
+        ) is None
+        assert match_theta_join_shape(
+            "SELECT eid, val, bid, label FROM ev JOIN bands "
+            "ON val >= lo JOIN other ON 1 = 1",
+            set(cols), cols, pks,
+        ) is None
+
+    def test_converges_under_two_sided_churn(self, spark, tmp_path):
+        from tiflink_spark.app import MVApp
+
+        ev = spark.createDataFrame(
+            [(i, float(i % 40)) for i in range(50)], "eid long, val double"
+        )
+        bands = spark.createDataFrame(
+            [(1, 0.0, 12.0, "low"), (2, 10.0, 26.0, "mid"), (3, 24.0, 40.0, "high")],
+            "bid long, lo double, hi double, label string",
+        )
+        app = (
+            MVApp.builder(spark)
+            .source("tev", ev, pk=["eid"])
+            .source("tbands", bands, pk=["bid"])
+            .query(
+                "SELECT eid, val, bid, label FROM tev JOIN tbands "
+                "ON val >= lo AND val < hi"
+            )
+            .target(str(tmp_path / "theta"))
+            .num_buckets(2)
+            .shuffle_partitions(2)
+            .build()
+        )
+        assert app.maintenance_strategy == "IncrementalThetaJoinMV"
+        assert app.mv_pk == ["eid", "bid"]
+        app.bootstrap()
+        # value moves across bands; band deleted; band range shrinks;
+        # event inserted; replay
+        u = (
+            ev.filter("eid % 10 = 0")
+            .withColumn("val", F.col("val") + 15.0)
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"tev": u}, batch_id=1)
+        bd = (
+            bands.filter("bid = 2")
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"tbands": bd}, batch_id=2)
+        ins = (
+            spark.createDataFrame([(100, 5.0), (101, 33.0)], "eid long, val double")
+            .withColumn(OP_COL, F.lit(OP_INSERT))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"tev": ins}, batch_id=3)
+        app.refresh({"tev": ins}, batch_id=3)  # replay
+
+        fe = ev.withColumn(
+            "val",
+            F.when(F.col("eid") % 10 == 0, F.col("val") + 15.0).otherwise(F.col("val")),
+        ).unionByName(
+            spark.createDataFrame([(100, 5.0), (101, 33.0)], "eid long, val double")
+        )
+        fb = bands.filter("bid != 2")
+        exp = {
+            (r.eid, r.val, r.bid, r.label)
+            for r in fe.join(
+                F.broadcast(fb), on=F.expr("val >= lo AND val < hi")
+            ).select("eid", "val", "bid", "label").collect()
+        }
+        got = {(r.eid, r.val, r.bid, r.label) for r in app.read().collect()}
+        assert got == exp

@@ -54,6 +54,7 @@ from tiflink_spark.planner import (
     match_semijoin_shape,
     match_join_shape,
     match_setop_shape,
+    match_theta_join_shape,
     match_topn_shape,
     match_union_all_shape,
     match_window_shape,
@@ -658,6 +659,46 @@ class MVApp:
                 self._stores = {
                     join.left: self._mv.left_store,
                     join.right: self._mv.right_store,
+                }
+                return
+
+        # Two-sided NON-EQUI join view (interval bands, BETWEEN,
+        # inequalities, arbitrary theta) — dirty-PK recompute over both
+        # post-merge states: the change-bounded version of the inherent
+        # non-equi cost (Flink keeps both sides' full state and probes
+        # per record for the same reason, by delegation
+        # TiFlinkApp.java:270). Tried after the equi matchers.
+        tj = match_theta_join_shape(
+            query, set(dfs), source_columns, {n: d[0].pk for n, d in dfs.items()}
+        )
+        if tj is not None:
+            lspec, rspec = dfs[tj.left][0], dfs[tj.right][0]
+            target_pk = [*lspec.pk, *rspec.pk]
+            if pk is None or list(pk) == target_pk:
+                from tiflink_spark.mv import IncrementalThetaJoinMV
+
+                self.maintenance_mode = "incremental"
+                self._fact_name = self._dim_name = self._change_filter = None
+                self._join_names = (tj.left, tj.right)
+                self.mv_pk = target_pk
+                self.ddl = create_table_ddl(
+                    os.path.basename(target), self.mv_schema, self.mv_pk
+                )
+                self._mv = IncrementalThetaJoinMV(
+                    spark,
+                    left=dfs[tj.left][1],
+                    left_pk=lspec.pk,
+                    right=dfs[tj.right][1],
+                    right_pk=rspec.pk,
+                    predicate=tj.predicate,
+                    out_cols=list(tj.out_cols),
+                    work_dir=target,
+                    num_buckets=num_buckets,
+                    shuffle_partitions=shuffle_partitions,
+                )
+                self._stores = {
+                    tj.left: self._mv.left_store,
+                    tj.right: self._mv.right_store,
                 }
                 return
 

@@ -1010,6 +1010,91 @@ class JoinShape:
     where: str | None = None
 
 
+@dataclass(frozen=True)
+class ThetaJoinShape:
+    """Two-sided NON-EQUI join view: ``SELECT cols FROM a JOIN b ON
+    <row-local predicate>`` (BETWEEN/interval bands, inequalities,
+    arbitrary theta) [+ optional row-local WHERE, folded into the
+    predicate]. Routed to
+    :class:`tiflink_spark.mv.IncrementalThetaJoinMV` — dirty-PK
+    recompute over both post-merge states. Requires DISJOINT column
+    names across the two tables (the joined relation carries bare
+    names) and both declared PKs in the select list (the MV key)."""
+
+    left: str
+    right: str
+    predicate: str
+    out_cols: tuple[str, ...]
+
+
+_THETA_JOIN_RE = re.compile(
+    rf"^\s*SELECT\s+(?P<select>.+?)\s+"
+    rf"FROM\s+(?P<left>{_IDENT})(?:\s+(?:AS\s+)?(?P<la>{_IDENT}))?\s+"
+    rf"(?:INNER\s+)?JOIN\s+(?P<right>{_IDENT})(?:\s+(?:AS\s+)?(?P<ra>{_IDENT}))?\s+"
+    rf"ON\s+(?P<pred>.+?)"
+    rf"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def match_theta_join_shape(
+    query: str,
+    source_names: set[str],
+    source_columns: dict[str, list[str]],
+    source_pks: dict[str, list[str]],
+) -> ThetaJoinShape | None:
+    """Match the two-sided non-equi join view, or None. Tried AFTER the
+    equi-join matchers, so anything reaching here with a plain equality
+    already failed their stricter envelopes (routing it here would
+    still be correct, just less pruned)."""
+    m = _THETA_JOIN_RE.match(query)
+    if m is None:
+        return None
+    lt, rt = m.group("left"), m.group("right")
+    if lt not in source_names or rt not in source_names or lt == rt:
+        return None
+    la, ra = m.group("la"), m.group("ra")
+    if (la or "").lower() in _CLAUSE_KEYWORDS or (ra or "").lower() in _CLAUSE_KEYWORDS:
+        return None
+    lpk, rpk = source_pks.get(lt) or [], source_pks.get(rt) or []
+    if not lpk or not rpk:
+        return None
+    lcols = {c.lower(): c for c in source_columns.get(lt, [])}
+    rcols = {c.lower(): c for c in source_columns.get(rt, [])}
+    if not lcols or not rcols or (set(lcols) & set(rcols)):
+        return None  # disjoint names only — bare-name relation
+    allcols = {**lcols, **rcols}
+    quals = {q.lower(): t for q, t in ((lt, lt), (la, lt), (rt, rt), (ra, rt)) if q}
+    dequalify = _make_dequalifier(quals, {lt: lcols, rt: rcols}, frozenset())
+    pred = dequalify(m.group("pred"))
+    if pred is None or _NON_LOCAL_WHERE.search(pred):
+        return None
+    if re.search(r"(?is)\bJOIN\b", pred):
+        return None  # a third relation hides in the ON tail
+    if not _row_local_expr_ok(pred, set(allcols)):
+        return None
+    if m.group("where") is not None:
+        w = dequalify(m.group("where"))
+        if w is None or not _row_local_expr_ok(w, set(allcols)):
+            return None
+        pred = f"({pred.strip()}) AND ({w.strip()})"
+    out: list[str] = []
+    for item in _split_select_list(m.group("select")):
+        dq = dequalify(item)
+        if dq is None or not re.fullmatch(_IDENT, dq.strip()):
+            return None
+        c = dq.strip().lower()
+        if c not in allcols:
+            return None
+        out.append(allcols[c])
+    if len({c.lower() for c in out}) != len(out):
+        return None
+    sel = {c.lower() for c in out}
+    if any(p.lower() not in sel for p in (*lpk, *rpk)):
+        return None  # both PKs must survive projection (the MV key)
+    return ThetaJoinShape(lt, rt, pred.strip(), tuple(out))
+
+
 _JOIN_RE = re.compile(
     rf"^\s*SELECT\s+(?P<select>(?:{_IDENT}\s*,\s*)*{_IDENT})\s+"
     rf"FROM\s+(?P<left>{_IDENT})\s+JOIN\s+(?P<right>{_IDENT})\s+"

@@ -1218,8 +1218,9 @@ _PRIORITY = [
     "text_token_count",
     "multimodal_real_decode",
     "jdbc_mv_publish",
-    "jdbc_outbox_cdc",
+    "mvapp_auto_theta_join",
     # ================== past the 50-query window ==================
+    "jdbc_outbox_cdc",
     "multimodal_jpeg_decode",
     "multimodal_video_framesample",
     "mvapp_auto_median",

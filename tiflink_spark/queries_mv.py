@@ -4180,3 +4180,92 @@ def mv_window_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_theta_join",
+    """
+    WITH ev_t AS (
+        SELECT event_id, value FROM events
+        WHERE event_id % 20 = 0 AND event_id % 60 <> 0
+    ),
+    bands_t AS (
+        SELECT n_nationkey AS bid,
+               CAST(n_nationkey * 25 AS DOUBLE) AS lo,
+               CAST(n_nationkey * 25 + 40 AS DOUBLE) +
+                   CASE WHEN n_nationkey % 5 = 0 THEN 10.0 ELSE 0.0 END AS hi,
+               n_name AS label
+        FROM nation
+    )
+    SELECT event_id, round(value, 2) AS val, bid, label
+    FROM ev_t JOIN bands_t ON value >= lo AND value < hi
+    """,
+    doc=(
+        "Two-sided NON-EQUI (interval-band) join view auto-routed to "
+        "IncrementalThetaJoinMV: overlapping value bands mean each "
+        "event can join several bands — no equi key exists, so "
+        "maintenance is dirty-PK recompute over both post-merge states "
+        "(recomputed = dirtyL x R  U  (L - dirtyL) x dirtyR), the "
+        "change-bounded version of the inherent non-equi cost (Flink "
+        "keeps both sides' full state for its non-equi stream joins). "
+        "The per-batch dirty side is broadcast, so the nested-loop "
+        "streams distributed instead of planning a cartesian. Churn "
+        "deletes events AND widens band boundaries (rows enter the "
+        "view with no event-side change); the fn raises unless routed "
+        "incrementally, and replays a batch for idempotence."
+    ),
+    tags=("mv", "incremental", "planner", "join", "theta"),
+)
+def mvapp_auto_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    ev = t["events"].filter(F.col("event_id") % 20 == 0).select("event_id", "value")
+    bands = t["nation"].select(
+        F.col("n_nationkey").alias("bid"),
+        (F.col("n_nationkey") * 25).cast("double").alias("lo"),
+        ((F.col("n_nationkey") * 25 + 40).cast("double")).alias("hi"),
+        F.col("n_name").alias("label"),
+    )
+    work = tempfile.mkdtemp(prefix="mvapp_theta_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("ev_t", ev, pk=["event_id"])
+            .source("bands_t", bands, pk=["bid"])
+            .query(
+                """SELECT event_id, value, bid, label
+                   FROM ev_t JOIN bands_t ON value >= lo AND value < hi"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalThetaJoinMV":
+            raise AssertionError(
+                f"planner routed the interval join to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        e_del = (
+            ev.filter(F.col("event_id") % 60 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"ev_t": e_del}, batch_id=1)
+        # widen every 5th band: rows join it with NO event-side change
+        b_up = (
+            bands.filter(F.col("bid") % 5 == 0)
+            .withColumn("hi", F.col("hi") + 10.0)
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"bands_t": b_up}, batch_id=2)
+        app.refresh({"bands_t": b_up}, batch_id=2)  # crash replay: no-op
+        return (
+            app.read()
+            .select("event_id", F.round("value", 2).alias("val"), "bid", "label")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
