@@ -22,6 +22,7 @@ from tiflink_spark.planner import (
     match_distinct_shape,
     match_global_agg_shape,
     match_projection_shape,
+    match_window_shape,
 )
 
 COLS = {"t": ["id", "g", "h", "v", "u", "s"]}
@@ -99,6 +100,12 @@ _EDGE_QUERIES = [
     "SELECT id FROM t ORDER BY id LIMIT 5",  # -> None on both paths
     "SELECT g, count(*) AS n FROM missing GROUP BY g",  # unknown table
     "SELECT id, v FROM t UNION ALL SELECT id, v FROM t",
+    # window shapes (5th ported matcher)
+    "SELECT id, g, rank() OVER (PARTITION BY g ORDER BY v) AS r FROM t",
+    "SELECT id, g, v, sum(v) OVER (PARTITION BY g ORDER BY v) AS rs, "
+    "row_number() OVER (PARTITION BY g ORDER BY v DESC, id) AS rn "
+    "FROM t WHERE u > 1",
+    "SELECT id, g, rank() OVER (PARTITION BY g ORDER BY v) AS r FROM t LIMIT 3",
 ]
 
 
@@ -129,6 +136,7 @@ class TestFrontEndEquivalence:
             match_projection_shape(query, {"t"}, COLS, PKS),
             match_global_agg_shape(query, {"t"}, COLS),
             match_distinct_shape(query, {"t"}, COLS),
+            match_window_shape(query, {"t"}, COLS, PKS),
         )
         monkeypatch.setenv("TIFLINK_AST_MATCHERS", "1")
         ast = (
@@ -136,6 +144,9 @@ class TestFrontEndEquivalence:
             match_projection_shape(query, {"t"}, COLS, PKS),
             match_global_agg_shape(query, {"t"}, COLS),
             match_distinct_shape(query, {"t"}, COLS),
+            match_window_shape(query, {"t"}, COLS, PKS),
         )
-        for name, r, a in zip(("agg", "projection", "global_agg", "distinct"), rx, ast):
+        for name, r, a in zip(
+            ("agg", "projection", "global_agg", "distinct", "window"), rx, ast
+        ):
             assert r == a, f"{name} divergence on: {query}\n regex={r}\n ast={a}"

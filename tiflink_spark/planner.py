@@ -832,15 +832,37 @@ def match_window_shape(
     source_pks: dict[str, list[str]],
 ) -> WindowShape | None:
     """Match the partitioned OVER-window view, or None for the fallback."""
-    m = _WINDOW_Q_RE.match(query)
-    if m is None or m.group("table") not in source_names:
+    if use_ast_matchers():
+        from tiflink_spark import sqlast
+
+        parsed = sqlast.window_clauses(query)
+    else:
+        m = _WINDOW_Q_RE.match(query)
+        parsed = (
+            None
+            if m is None
+            else (m.group("select"), m.group("table"), m.group("where"))
+        )
+    if parsed is None:
         return None
-    table = m.group("table")
+    return _match_window_core(*parsed, source_names, source_columns, source_pks)
+
+
+def _match_window_core(
+    select: str,
+    table: str,
+    where: str | None,
+    source_names: set[str],
+    source_columns: dict[str, list[str]],
+    source_pks: dict[str, list[str]],
+) -> WindowShape | None:
+    """Shape validation shared by the regex and AST front-ends."""
+    if table not in source_names:
+        return None
     cols = {c.lower(): c for c in source_columns.get(table, [])}
     pk = source_pks.get(table) or []
     if not cols or not pk:
         return None
-    where = m.group("where")
     if where is not None:
         if re.search(
             r"(?i)\b(group\s+by|having|order\s+by|limit|qualify|window)\b", where
@@ -856,7 +878,7 @@ def match_window_shape(
     wins: list[tuple[str, str]] = []
     out: list[str] = []
     group_key: str | None = None
-    for item in _split_select_list(m.group("select")):
+    for item in _split_select_list(select):
         if re.fullmatch(_IDENT, item):
             if item.lower() not in cols:
                 return None

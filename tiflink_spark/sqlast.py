@@ -255,6 +255,22 @@ def global_agg_clauses(query: str):
     return (s.select, s.table, s.where)
 
 
+def window_clauses(query: str):
+    """AST front-end for the partitioned OVER-window matcher: (select,
+    table, where), or None. Mirrors planner._WINDOW_Q_RE's envelope:
+    no alias, no GROUP BY/HAVING, nothing trailing."""
+    s = parse_single_select(query)
+    if (
+        s is None
+        or s.tail is not None
+        or s.group_by is not None
+        or s.having is not None
+        or s.alias is not None
+    ):
+        return None
+    return (s.select, s.table, s.where)
+
+
 def distinct_clauses(query: str):
     """AST front-end for the single-table DISTINCT projection:
     (select-without-DISTINCT, table, where), or None."""
