@@ -189,3 +189,48 @@ class TestThetaJoinMV:
         }
         got = {(r.eid, r.val, r.bid, r.label) for r in app.read().collect()}
         assert got == exp
+
+
+def test_comma_spelled_interval_join_routes_to_theta(spark, tmp_path):
+    """The comma spelling of an interval join — ``FROM ev, bands WHERE
+    val >= lo AND val < hi`` — normalizes to the ON form and routes to
+    IncrementalThetaJoinMV."""
+    from tiflink_spark.app import MVApp
+
+    ev = spark.createDataFrame(
+        [(i, float(i % 30)) for i in range(30)], "eid long, val double"
+    )
+    bands = spark.createDataFrame(
+        [(1, 0.0, 15.0, "a"), (2, 15.0, 30.0, "b")],
+        "bid long, lo double, hi double, label string",
+    )
+    app = (
+        MVApp.builder(spark)
+        .source("cev", ev, pk=["eid"])
+        .source("cbands", bands, pk=["bid"])
+        .query(
+            "SELECT eid, val, bid, label FROM cev, cbands "
+            "WHERE val >= lo AND val < hi"
+        )
+        .target(str(tmp_path / "ctheta"))
+        .num_buckets(2)
+        .shuffle_partitions(2)
+        .build()
+    )
+    assert app.maintenance_strategy == "IncrementalThetaJoinMV"
+    app.bootstrap()
+    d = (
+        ev.filter("eid % 3 = 0")
+        .withColumn(OP_COL, F.lit(OP_DELETE))
+        .withColumn(SEQ_COL, F.monotonically_increasing_id())
+    )
+    app.refresh({"cev": d}, batch_id=1)
+    fe = ev.filter("eid % 3 != 0")
+    exp = {
+        (r.eid, r.bid)
+        for r in fe.join(F.broadcast(bands), on=F.expr("val >= lo AND val < hi"))
+        .select("eid", "bid")
+        .collect()
+    }
+    got = {(r.eid, r.bid) for r in app.read().collect()}
+    assert got == exp

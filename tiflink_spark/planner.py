@@ -2464,7 +2464,57 @@ def _rewrite_comma_joins(query: str, source_columns: dict[str, list[str]]) -> st
         if not attached:
             leftover.append(c.strip())
     if any(not v for v in on_for.values()):
-        return query  # some table pair has no join predicate
+        # No equality edge. For the EXACT two-table case, a non-equi
+        # conjunct that references BOTH tables is still a join
+        # predicate — ``FROM a, b WHERE a.x < b.y`` ≡ ``a JOIN b ON
+        # a.x < b.y`` under inner semantics — so attach those to the
+        # ON clause (the theta-join route's spelling) and keep
+        # single-table conjuncts in WHERE. Any conjunct whose
+        # identifiers cannot all be attributed bails the rewrite.
+        if len(items) != 2 or on_for[1]:
+            return query
+
+        def conj_tables(c: str) -> set[str] | None:
+            out: set[str] = set()
+            blanked = re.sub(r"'[^']*'", " ", c)
+            blanked = _QUAL_RE.sub(
+                lambda qm: (
+                    f" __q_{quals[qm.group(1).lower()]}__ "
+                    if qm.group(1).lower() in quals
+                    and qm.group(2).lower() in cols[quals[qm.group(1).lower()]]
+                    else " __bad__ "
+                ),
+                blanked,
+            )
+            fn_names = {f.lower() for f in re.findall(rf"({_IDENT})\s*\(", blanked)}
+            for ident in re.findall(_IDENT, blanked):
+                il = ident.lower()
+                if il == "__bad__":
+                    return None
+                qm = re.fullmatch(r"__q_(\w+)__", ident)
+                if qm is not None:
+                    out.add(qm.group(1))
+                    continue
+                if il in fn_names or il in _EXPR_KEYWORDS:
+                    continue
+                t = None
+                if seen.get(il, 0) == 1:
+                    t = next((x for x in tables if il in cols[x]), None)
+                if t is None:
+                    return None
+                out.add(t)
+            return out
+
+        new_on: list[str] = []
+        new_leftover: list[str] = []
+        for c in leftover:
+            ts = conj_tables(c)
+            if ts is None:
+                return query
+            (new_on if len(ts) == 2 else new_leftover).append(c)
+        if not new_on:
+            return query  # true cross join — leave it alone
+        on_for[1], leftover = new_on, new_leftover
     parts = []
     for i, (t, a) in enumerate(items):
         alias = f" {a}" if a else ""
