@@ -71,9 +71,11 @@ class TestGroupingSetsMatcher:
             # GROUPING_ID's bit order is engine-defined -> recompute
             """SELECT o_orderstatus, GROUPING_ID() AS g, count(*) AS n
                FROM orders GROUP BY ROLLUP(o_orderstatus)""",
-            # HAVING over grouping sets -> recompute
+            # HAVING referencing a grouping KEY -> recompute (subtotal
+            # sub-targets aggregate the key away; measure-only HAVING
+            # routes — see TestGroupingSetsHaving)
             """SELECT o_orderstatus, count(*) AS n FROM orders
-               GROUP BY ROLLUP(o_orderstatus) HAVING count(*) > 3""",
+               GROUP BY ROLLUP(o_orderstatus) HAVING o_orderstatus = 'F'""",
             # expression key inside ROLLUP -> recompute
             """SELECT o_custkey, count(*) AS n FROM orders
                GROUP BY ROLLUP(o_custkey % 10)""",
@@ -250,3 +252,51 @@ class TestGroupingFlags:
             "FROM orders GROUP BY ROLLUP(o_orderstatus)"
         )
         assert match_grouping_sets_shape(q, {"orders"}, COLS) is None
+
+
+class TestGroupingSetsHaving:
+    def test_measure_only_having_matches(self):
+        s = match_grouping_sets_shape(
+            """SELECT o_orderstatus, o_custkey, count(*) AS n
+               FROM orders GROUP BY ROLLUP(o_orderstatus, o_custkey)
+               HAVING count(*) >= 3 AND sum(o_totalprice) > 100""",
+            {"orders"},
+            COLS,
+        )
+        assert s is not None
+        assert s.having is not None and "__hav0" in s.having
+        assert len(s.hidden) == 1  # sum(o_totalprice) is hidden
+
+    def test_converges_with_having(self, spark):
+        from tiflink_spark.app import MVApp
+
+        work = tempfile.mkdtemp(prefix="gsh_t_")
+        try:
+            fact = _mk_fact(
+                spark, [(i, "ab"[i % 2], i % 3, float(i)) for i in range(40)]
+            )
+            q = ("SELECT grp, sub, count(*) AS n, sum(v) AS sv FROM hf "
+                 "GROUP BY ROLLUP(grp, sub) HAVING count(*) >= 7")
+            app = (
+                MVApp.builder(spark)
+                .source("hf", fact, pk=["id"])
+                .query(q)
+                .target(work)
+                .num_buckets(2)
+                .shuffle_partitions(2)
+                .build()
+            )
+            assert app.maintenance_strategy == "IncrementalGroupingSetsMV"
+            app.bootstrap()
+            # deletes push groups below the threshold -> rows leave
+            dels = fact.filter(F.col("id") % 3 == 0)
+            app.refresh({"hf": _changes(dels, OP_DELETE)}, batch_id=1)
+            final = fact.filter(F.col("id") % 3 != 0)
+            final.createOrReplaceTempView("hf_exp")
+            exp = spark.sql(q.replace("FROM hf ", "FROM hf_exp "))
+            got = app.read().select("grp", "sub", "n", F.round("sv", 6).alias("s"))
+            expn = exp.select("grp", "sub", "n", F.round("sv", 6).alias("s"))
+            assert got.exceptAll(expn).count() == 0
+            assert expn.exceptAll(got).count() == 0
+        finally:
+            shutil.rmtree(work, ignore_errors=True)

@@ -407,6 +407,8 @@ class MVApp:
                 shuffle_partitions=shuffle_partitions,
                 grouping_items=list(gs.grouping_items),
                 tail_order=list(gs.tail_order),
+                target_filter=gs.having,
+                hidden_measures=list(gs.hidden),
             )
             self._stores = {gs.fact: self._mv.fact_store}
             return

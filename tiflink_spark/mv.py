@@ -1915,11 +1915,17 @@ class IncrementalGroupingSetsMV:
         shuffle_partitions: int | None = None,
         grouping_items: list[tuple[str, str]] | None = None,
         tail_order: list[tuple[str, str]] | None = None,
+        target_filter: str | None = None,
+        hidden_measures: list[Measure] | None = None,
     ):
         self.spark = spark
         self.all_keys = list(all_keys)
         self.sets = [tuple(s) for s in sets]
+        # visible output measures; hidden ones (HAVING support) are
+        # maintained by every sub-MV but projected away by read()
         self.measures = measures
+        self._all_measures = list(measures) + list(hidden_measures or [])
+        self.target_filter = target_filter
         # GROUPING(col) flags are CONSTANT per grouping set (1 when the
         # column is aggregated away) — emitted as per-set literals at
         # read time, tinyint to match Spark's grouping() return type.
@@ -1945,11 +1951,12 @@ class IncrementalGroupingSetsMV:
                 fact0,
                 fact_pk,
                 list(s) if s else ["__g"],
-                list(measures),
+                list(self._all_measures),
                 work_dir=os.path.join(work_dir, f"set{i}"),
                 num_buckets=num_buckets,
                 shuffle_partitions=shuffle_partitions,
                 global_group=not s,
+                target_filter=target_filter,
             )
             sub.fact_store = shared_fact  # one fact copy for all sets
             self.subs.append(sub)

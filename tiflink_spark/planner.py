@@ -380,6 +380,10 @@ class GroupingSetsShape:
     # grouping flag, ("m", alias) for a measure — read() interleaves
     # them back into the query's select order.
     tail_order: tuple[tuple[str, str], ...] = ()
+    # Measure-only HAVING in alias form (applied as every per-set
+    # sub-MV's target filter), plus the hidden measures it needs.
+    having: str | None = None
+    hidden: tuple[Measure, ...] = ()
 
 
 @dataclass(frozen=True)
@@ -1810,13 +1814,15 @@ def match_grouping_sets_shape(
     are the bare grouping columns (select order must cover exactly the
     union of grouping-set columns), remaining items are supported
     aggregates or ``GROUPING(col) AS alias`` flags (constant per
-    grouping set — emitted as per-set literals), WHERE row-local, no
-    HAVING, no GROUPING_ID() (its bit order is engine-defined over the
-    de-sugared expansion; recompute handles it)."""
+    grouping set — emitted as per-set literals), WHERE row-local,
+    HAVING restricted to MEASURES only (aggregate calls rewrite to
+    possibly-hidden measure aliases and filter every per-set target
+    identically; a HAVING referencing a grouping KEY cannot be
+    evaluated on the sub-targets that aggregate that key away →
+    recompute), no GROUPING_ID() (its bit order is engine-defined over
+    the de-sugared expansion; recompute handles it)."""
     m = _SHAPE_RE.match(query)
     if m is None or m.group("table") not in source_names:
-        return None
-    if m.group("having") is not None:
         return None
     where = m.group("where")
     if where is not None and _NON_LOCAL_WHERE.search(where):
@@ -1882,6 +1888,27 @@ def match_grouping_sets_shape(
         k.lower() for k in keys
     }:
         return None
+    having = m.group("having")
+    hidden: list[Measure] = []
+    if having is not None:
+        # Measure-only HAVING: aggregate calls rewrite to (possibly
+        # hidden) measure aliases; the SAME alias-form filter then
+        # applies to every per-set target. Any remaining identifier
+        # that is not a measure/hidden alias — in particular a
+        # grouping KEY, which subtotal sub-targets don't carry —
+        # bails to recompute.
+        rw = _rewrite_having_aggs(having.strip(), list(measures), cols)
+        if rw is None:
+            return None
+        having, hidden = rw
+        if _NON_LOCAL_WHERE.search(having):
+            return None
+        ok_idents = {mm.alias.lower() for mm in measures} | {
+            mm.alias.lower() for mm in hidden
+        }
+        for ident in re.findall(_IDENT, re.sub(r"'[^']*'", " ", having)):
+            if ident.lower() not in ok_idents | _SQL_KEYWORDS:
+                return None
     # Canonicalize each set's column spelling to the select list's
     canon_sets = tuple(
         tuple(key_by_lower[c.lower()] for c in s) for s in sets
@@ -1894,6 +1921,8 @@ def match_grouping_sets_shape(
         where=where.strip() if where is not None else None,
         grouping_items=tuple(grouping_items),
         tail_order=tuple(tail_order),
+        having=having,
+        hidden=tuple(hidden),
     )
 
 
