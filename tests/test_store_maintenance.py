@@ -29,3 +29,30 @@ def test_compact_and_vacuum(spark, tmp_path):
     assert {(r.k, r.v) for r in store.read().collect()} == before
     # idempotence memory survives vacuum (manifest not pruned)
     assert store.merge(_changes(spark, [(1, "zz", OP_UPDATE, 0)]), batch_id=3) is False
+
+
+def test_grouping_sets_stores_reachable_by_maintenance(spark, tmp_path):
+    """compact()/vacuum() must reach every per-set sub-MV store of the
+    grouping-sets decomposition (1 shared fact + per-set state+target)."""
+    from tiflink_spark.app import MVApp
+
+    src = spark.createDataFrame(
+        [(i, i % 2, i % 3, float(i)) for i in range(20)],
+        "id long, g long, sub long, v double",
+    )
+    app = (
+        MVApp.builder(spark)
+        .source("gs_sa", src, pk=["id"])
+        .query("SELECT g, sub, count(*) AS n FROM gs_sa GROUP BY ROLLUP(g, sub)")
+        .target(str(tmp_path / "gs_sa"))
+        .num_buckets(2)
+        .shuffle_partitions(2)
+        .build()
+    )
+    app.bootstrap()
+    stores = app._all_stores()
+    assert len(stores) == 7  # shared fact + 3 sets x (state, target)
+    app.compact()
+    assert len(app.vacuum()) == 7
+    # still readable after maintenance
+    assert app.read().count() > 0

@@ -1181,6 +1181,9 @@ class MVApp:
 
         nested = [self._mv, getattr(self._mv, "_agg", None)]
         nested += list(getattr(self._mv, "_sides", {}).values())
+        # grouping-sets decomposition: one sub-MV per set (shared fact
+        # store dedupes by id; each sub's state/target is its own)
+        nested += list(getattr(self._mv, "subs", []))
         for mv in nested:
             if mv is None:
                 continue
