@@ -85,9 +85,28 @@ HAVINGS = [None, "n > 1", "count(*) > 1"]
 
 
 def _gen_query(rng, table):
-    kind = rng.choice(["agg", "agg", "proj", "distinct", "global", "topn"])
+    kind = rng.choice(
+        ["agg", "agg", "proj", "distinct", "global", "topn", "rollup"]
+    )
     where = rng.choice(WHERES)
     wsql = f" WHERE {where}" if where else ""
+    if kind == "rollup":
+        grouping = rng.choice(
+            [
+                "ROLLUP(g, h)",
+                "CUBE(g, h)",
+                "GROUPING SETS ((g, h), g, ())",
+            ]
+        )
+        ms = rng.sample(MEASURES[:5], rng.randrange(1, 3))
+        having = rng.choice([None, "count(*) >= 2"])
+        hsql = f" HAVING {having}" if having else ""
+        gflag = rng.random() < 0.4
+        gsel = ", GROUPING(h) AS gh" if gflag else ""
+        return (
+            f"SELECT g, h, {', '.join(ms)}{gsel} FROM {table}{wsql} "
+            f"GROUP BY {grouping}{hsql}"
+        )
     if kind == "agg":
         keys = rng.choice([["g"], ["g", "h"], ["s"]])
         ms = rng.sample(MEASURES, rng.randrange(1, 4))
@@ -151,12 +170,18 @@ def test_fuzzed_shapes_converge(spark, tmp_path, seed):
             # incremental SUM/AVG accumulate delta-by-delta, so they
             # differ from the one-pass batch value in the last ulp —
             # IEEE addition is not associative. Round floats well above
-            # that noise, exactly as the oracle gates do.
+            # that noise, exactly as the oracle gates do. Sort None-safe:
+            # ROLLUP/CUBE subtotal rows carry NULL keys.
             return sorted(
-                tuple(
-                    round(x, 6) if isinstance(x, float) else x for x in r
-                )
-                for r in rows
+                (
+                    tuple(
+                        round(x, 6) if isinstance(x, float) else x for x in r
+                    )
+                    for r in rows
+                ),
+                key=lambda t: tuple(
+                    (x is None, 0 if x is None else x) for x in t
+                ),
             )
 
         g = canon(map(tuple, got.collect()))
@@ -199,7 +224,8 @@ def _dim_churn(spark, rng, state, keyspace):
 
 def _gen_two_table_query(rng, fact, dim):
     kind = rng.choice(
-        ["joinagg", "joinagg", "join", "joinproj", "semi", "notin", "setop", "unionall"]
+        ["joinagg", "joinagg", "join", "joinproj", "semi", "notin", "setop",
+         "unionall", "theta"]
     )
     where = rng.choice([None, "v > 30", "s <> 'c'"])
     wsql = f" WHERE {where}" if where else ""
@@ -237,6 +263,13 @@ def _gen_two_table_query(rng, fact, dim):
             ["INTERSECT", "EXCEPT", "UNION", "INTERSECT ALL", "EXCEPT ALL"]
         )
         return f"SELECT g FROM {fact} {op} SELECT attr FROM {dim}"
+    if kind == "theta":
+        # non-equi join: both PKs selected, disjoint names; the WHERE
+        # folds into the predicate on the theta route
+        pred = rng.choice(["v > u * 8", "v BETWEEN u * 2 AND u * 9"])
+        return (
+            f"SELECT id, dk, g, attr FROM {fact} JOIN {dim} ON {pred}{wsql}"
+        )
     return f"SELECT id, v FROM {fact} UNION ALL SELECT dk, u FROM {dim}"
 
 
