@@ -21,6 +21,7 @@ from tiflink_spark.planner import (
     match_agg_shape,
     match_distinct_shape,
     match_global_agg_shape,
+    match_order_limit_shape,
     match_projection_shape,
     match_window_shape,
 )
@@ -57,7 +58,14 @@ class TestParser:
         assert sqlast.parse_single_select("SELECT id FROM t").alias is None
 
     def test_tail_and_rejects(self):
-        assert sqlast.parse_single_select("SELECT id FROM t ORDER BY id").tail is not None
+        # ORDER BY / LIMIT parse as first-class clauses now
+        s = sqlast.parse_single_select("SELECT id FROM t ORDER BY id")
+        assert s.tail is None and s.order_by == "id"
+        s2 = sqlast.parse_single_select("SELECT id FROM t ORDER BY v DESC, id LIMIT 5")
+        assert (s2.order_by, s2.limit, s2.tail) == ("v DESC, id", "5", None)
+        # standalone OFFSET / FETCH stay tail (row-set restrictions the
+        # matchers don't model)
+        assert sqlast.parse_single_select("SELECT id FROM t ORDER BY id OFFSET 2").tail is not None
         assert sqlast.parse_single_select("SELECT g FROM t UNION SELECT g FROM t").tail is not None
         assert sqlast.parse_single_select("UPDATE t SET v = 1") is None
         assert sqlast.parse_single_select("SELECT id FROM (SELECT 1) q") is None
@@ -106,6 +114,11 @@ _EDGE_QUERIES = [
     "row_number() OVER (PARTITION BY g ORDER BY v DESC, id) AS rn "
     "FROM t WHERE u > 1",
     "SELECT id, g, rank() OVER (PARTITION BY g ORDER BY v) AS r FROM t LIMIT 3",
+    # global ORDER BY + LIMIT (6th ported matcher)
+    "SELECT id, v FROM t ORDER BY v DESC, id LIMIT 5",
+    "SELECT id, g, v FROM t WHERE v > 10 ORDER BY v, id LIMIT 3",
+    "SELECT id FROM t ORDER BY v LIMIT 0",  # k < 1 -> None
+    "SELECT id FROM t ORDER BY v LIMIT 5 OFFSET 2",  # tail -> None
 ]
 
 
@@ -137,6 +150,7 @@ class TestFrontEndEquivalence:
             match_global_agg_shape(query, {"t"}, COLS),
             match_distinct_shape(query, {"t"}, COLS),
             match_window_shape(query, {"t"}, COLS, PKS),
+            match_order_limit_shape(query, {"t"}, COLS),
         )
         monkeypatch.setenv("TIFLINK_AST_MATCHERS", "1")
         ast = (
@@ -145,8 +159,11 @@ class TestFrontEndEquivalence:
             match_global_agg_shape(query, {"t"}, COLS),
             match_distinct_shape(query, {"t"}, COLS),
             match_window_shape(query, {"t"}, COLS, PKS),
+            match_order_limit_shape(query, {"t"}, COLS),
         )
         for name, r, a in zip(
-            ("agg", "projection", "global_agg", "distinct", "window"), rx, ast
+            ("agg", "projection", "global_agg", "distinct", "window", "order_limit"),
+            rx,
+            ast,
         ):
             assert r == a, f"{name} divergence on: {query}\n regex={r}\n ast={a}"

@@ -978,23 +978,67 @@ def match_order_limit_shape(
     source_columns: dict[str, list[str]] | None = None,
 ) -> OrderLimitShape | None:
     """Match the global ORDER BY + LIMIT view, or None."""
-    m = _ORDER_LIMIT_RE.match(query)
-    if m is None or m.group("table") not in source_names:
+    if use_ast_matchers():
+        from tiflink_spark import sqlast
+
+        p = sqlast.order_limit_clauses(query)
+        parsed = None
+        if p is not None:
+            select, table, where, order_body, k_text = p
+            ob = re.fullmatch(
+                rf"(?is)({_IDENT})(?:\s+(ASC|DESC))?((?:\s*,\s*{_IDENT})*)",
+                order_body.strip(),
+            )
+            if ob is not None:
+                parsed = (
+                    select, table, where,
+                    ob.group(1), ob.group(2), ob.group(3) or "", k_text,
+                )
+    else:
+        m = _ORDER_LIMIT_RE.match(query)
+        parsed = (
+            None
+            if m is None
+            else (
+                m.group("select"), m.group("table"), m.group("where"),
+                m.group("o"), m.group("dir"), m.group("tie") or "",
+                m.group("k"),
+            )
+        )
+    if parsed is None:
         return None
-    sel = [c.strip() for c in m.group("select").split(",")]
+    return _match_order_limit_core(*parsed, source_names, source_columns)
+
+
+def _match_order_limit_core(
+    select: str,
+    table: str,
+    where: str | None,
+    order_col: str,
+    direction: str | None,
+    tie_text: str,
+    k_text: str,
+    source_names: set[str],
+    source_columns: dict[str, list[str]] | None,
+) -> OrderLimitShape | None:
+    """Shape validation shared by the regex and AST front-ends."""
+    if table not in source_names:
+        return None
+    sel = [c.strip() for c in select.split(",")]
+    if any(not re.fullmatch(_IDENT, c) for c in sel):
+        return None
     if len({c.lower() for c in sel}) != len(sel):
         return None
     cols_known = None
     if source_columns is not None:
-        cols_known = {c.lower() for c in source_columns.get(m.group("table"), [])}
+        cols_known = {c.lower() for c in source_columns.get(table, [])}
         if any(c.lower() not in cols_known for c in sel):
             return None
-        if m.group("o").lower() not in cols_known:
+        if order_col.lower() not in cols_known:
             return None
-    k = int(m.group("k"))
+    k = int(k_text)
     if k < 1:
         return None
-    where = m.group("where")
     if where is not None:
         if _NON_LOCAL_WHERE.search(where):
             return None
@@ -1002,12 +1046,12 @@ def match_order_limit_shape(
             return None
         where = where.strip()
     return OrderLimitShape(
-        fact=m.group("table"),
-        order_col=m.group("o"),
-        descending=(m.group("dir") or "asc").lower() == "desc",
+        fact=table,
+        order_col=order_col,
+        descending=(direction or "asc").lower() == "desc",
         k=k,
         out_cols=tuple(sel),
-        tie=tuple(c.strip() for c in m.group("tie").split(",") if c.strip()),
+        tie=tuple(c.strip() for c in tie_text.split(",") if c.strip()),
         where=where,
     )
 

@@ -13,8 +13,8 @@ front-end here, and both feed the SAME ``_match_*_core`` validation in
 planner.py — so the two paths cannot diverge past clause extraction.
 ``TIFLINK_AST_MATCHERS=1`` flips the ported matchers to this parser;
 tests/test_sqlast.py pins front-end equivalence over the planner fuzz
-corpus. Ported so far: the single-table aggregate and the projection
-matcher.
+corpus. Ported so far (6): single-table aggregate, projection,
+global aggregate, DISTINCT, OVER-window, and global ORDER BY+LIMIT.
 
 No external parser dependency: sqlglot-class libraries are not in the
 runtime image, and the subset of SQL the matchers accept is small
@@ -125,10 +125,16 @@ class SingleSelect:
     where: str | None
     group_by: str | None
     having: str | None
-    # depth-0 text after the clauses this parser models (ORDER BY,
-    # LIMIT, a set operation, a second FROM relation…) — non-None means
-    # the statement is NOT the single-select form and matchers bail.
+    # depth-0 text after the clauses this parser models (a set
+    # operation, OFFSET/FETCH, a second FROM relation…) — non-None
+    # means the statement is NOT the single-select form and matchers
+    # bail.
     tail: str | None
+    # trailing ORDER BY body / LIMIT count, parsed as first-class
+    # clauses (the top-k matchers consume them; every other matcher
+    # must require both None)
+    order_by: str | None = None
+    limit: str | None = None
 
 
 def parse_single_select(sql: str) -> SingleSelect | None:
@@ -162,54 +168,77 @@ def parse_single_select(sql: str) -> SingleSelect | None:
     elif rest and rest[0].kind == "ident" and rest[0].lower() not in _CLAUSE_STARTS:
         alias, rest = rest[0].text, rest[1:]
 
-    def cut(upto: int | None) -> tuple[list[Token], list[Token]]:
-        if upto is None:
-            return rest, []
-        return rest[:upto], rest[upto:]
+    where = group_by = having = order_by = limit = tail = None
 
-    where = group_by = having = tail = None
-    wi = _find_clause(rest, "where")
-    if wi is not None:
-        if wi != 0:
-            return None
+    def next_clause_stop(toks: list[Token]) -> int:
+        stops = [
+            x
+            for x in (
+                _find_clause(toks, "group", "by"),
+                _find_clause(toks, "having"),
+                _find_clause(toks, "order", "by"),
+                _find_clause(toks, "limit"),
+            )
+            if x is not None
+        ]
+        return min(stops) if stops else len(toks)
+
+    if _find_clause(rest, "where") == 0:
         rest = rest[1:]
-        gi = _find_clause(rest, "group", "by")
-        hi = _find_clause(rest, "having")
-        stop = min(x for x in (gi, hi, len(rest)) if x is not None)
+        stop = next_clause_stop(rest)
         if stop == 0:
             return None
         where = _slice(sql, rest[:stop])
         rest = rest[stop:]
-    gi = _find_clause(rest, "group", "by")
-    if gi is not None:
-        if gi != 0:
-            tail = _slice(sql, rest)
-            return SingleSelect(
-                _slice(sql, select_toks), table, alias, where, None, None, tail
-            )
+    if _find_clause(rest, "group", "by") == 0:
         rest = rest[2:]
-        hi = _find_clause(rest, "having")
-        stop = hi if hi is not None else len(rest)
+        stop = next_clause_stop(rest)
         if stop == 0:
             return None
         group_by = _slice(sql, rest[:stop])
         rest = rest[stop:]
-    hi = _find_clause(rest, "having")
-    if hi is not None:
-        if hi != 0:
-            tail = _slice(sql, rest)
-            return SingleSelect(
-                _slice(sql, select_toks), table, alias, where, group_by, None, tail
-            )
+    if _find_clause(rest, "having") == 0:
         rest = rest[1:]
-        if not rest:
+        stop = next_clause_stop(rest)
+        if stop == 0:
             return None
-        having = _slice(sql, rest)
-        rest = []
+        having = _slice(sql, rest[:stop])
+        rest = rest[stop:]
+    if _find_clause(rest, "order", "by") == 0:
+        rest = rest[2:]
+        stops = [
+            x
+            for x in (
+                _find_clause(rest, "limit"),
+                # standalone OFFSET / FETCH FIRST end the body and stay
+                # tail — row-set restrictions the matchers don't model
+                _find_clause(rest, "offset"),
+                _find_clause(rest, "fetch"),
+            )
+            if x is not None
+        ]
+        stop = min(stops) if stops else len(rest)
+        if stop == 0:
+            return None
+        order_by = _slice(sql, rest[:stop])
+        rest = rest[stop:]
+    if _find_clause(rest, "limit") == 0:
+        if len(rest) < 2 or rest[1].kind != "num":
+            return None
+        limit = rest[1].text
+        rest = rest[2:]
     if rest:
         tail = _slice(sql, rest)
     return SingleSelect(
-        _slice(sql, select_toks), table, alias, where, group_by, having, tail
+        _slice(sql, select_toks),
+        table,
+        alias,
+        where,
+        group_by,
+        having,
+        tail,
+        order_by,
+        limit,
     )
 
 
@@ -222,7 +251,14 @@ def agg_clauses(query: str):
     Mirrors planner._SHAPE_RE's envelope: GROUP BY required, no table
     alias (the regex form never admitted one), nothing trailing."""
     s = parse_single_select(query)
-    if s is None or s.tail is not None or s.group_by is None or s.alias is not None:
+    if (
+        s is None
+        or s.tail is not None
+        or s.order_by is not None
+        or s.limit is not None
+        or s.group_by is None
+        or s.alias is not None
+    ):
         return None
     return (s.select, s.table, s.where, s.group_by, s.having)
 
@@ -232,7 +268,14 @@ def projection_clauses(query: str):
     where), or None. Mirrors planner._PROJ_RE's envelope: optional
     alias, optional WHERE, no GROUP BY/HAVING, nothing trailing."""
     s = parse_single_select(query)
-    if s is None or s.tail is not None or s.group_by is not None or s.having is not None:
+    if (
+        s is None
+        or s.tail is not None
+        or s.order_by is not None
+        or s.limit is not None
+        or s.group_by is not None
+        or s.having is not None
+    ):
         return None
     return (s.select, s.table, s.alias, s.where)
 
@@ -247,6 +290,8 @@ def global_agg_clauses(query: str):
     if (
         s is None
         or s.tail is not None
+        or s.order_by is not None
+        or s.limit is not None
         or s.group_by is not None
         or s.having is not None
         or s.alias is not None
@@ -263,6 +308,8 @@ def window_clauses(query: str):
     if (
         s is None
         or s.tail is not None
+        or s.order_by is not None
+        or s.limit is not None
         or s.group_by is not None
         or s.having is not None
         or s.alias is not None
@@ -278,6 +325,8 @@ def distinct_clauses(query: str):
     if (
         s is None
         or s.tail is not None
+        or s.order_by is not None
+        or s.limit is not None
         or s.group_by is not None
         or s.having is not None
         or s.alias is not None
@@ -287,3 +336,22 @@ def distinct_clauses(query: str):
     if dm is None:
         return None
     return (dm.group(1), s.table, s.where)
+
+
+def order_limit_clauses(query: str):
+    """AST front-end for the global ORDER BY + LIMIT view: (select,
+    table, where, order_body, limit_text), or None. Mirrors
+    planner._ORDER_LIMIT_RE's envelope: no alias, no GROUP BY/HAVING,
+    both ORDER BY and LIMIT present, nothing trailing."""
+    s = parse_single_select(query)
+    if (
+        s is None
+        or s.tail is not None
+        or s.group_by is not None
+        or s.having is not None
+        or s.alias is not None
+        or s.order_by is None
+        or s.limit is None
+    ):
+        return None
+    return (s.select, s.table, s.where, s.order_by, s.limit)
