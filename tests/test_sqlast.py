@@ -23,11 +23,17 @@ from tiflink_spark.planner import (
     match_global_agg_shape,
     match_order_limit_shape,
     match_projection_shape,
+    match_setop_shape,
+    match_union_all_shape,
     match_window_shape,
 )
 
 COLS = {"t": ["id", "g", "h", "v", "u", "s"]}
 PKS = {"t": ["id"]}
+# second table for the set-op matchers (INTERSECT/EXCEPT need distinct
+# branch tables)
+COLS2 = {**COLS, "u2": ["id", "g", "h", "v", "u", "s"]}
+PKS2 = {**PKS, "u2": ["id"]}
 
 
 class TestParser:
@@ -119,6 +125,19 @@ _EDGE_QUERIES = [
     "SELECT id, g, v FROM t WHERE v > 10 ORDER BY v, id LIMIT 3",
     "SELECT id FROM t ORDER BY v LIMIT 0",  # k < 1 -> None
     "SELECT id FROM t ORDER BY v LIMIT 5 OFFSET 2",  # tail -> None
+    # set-op family (7th/8th ported matchers)
+    "SELECT id, g FROM t UNION ALL SELECT id, g FROM u2",
+    "SELECT id, g FROM t WHERE v > 1 UNION ALL SELECT id, g FROM u2 WHERE v < 9",
+    "SELECT id, g FROM t UNION ALL SELECT id, g FROM t",  # dup table -> None
+    "SELECT id, g FROM t INTERSECT SELECT id, g FROM u2",
+    "SELECT id, g FROM t INTERSECT ALL SELECT id, g FROM u2",
+    "SELECT id, g FROM t EXCEPT ALL SELECT id, g FROM u2 WHERE v > 2",
+    "SELECT id, g FROM t UNION SELECT id, g FROM u2",
+    "SELECT g FROM t EXCEPT SELECT g FROM u2",  # no PK in cols: setop ok
+    "SELECT id FROM t UNION ALL SELECT id FROM u2 ORDER BY id",  # tail -> None
+    "SELECT id FROM t UNION ALL SELECT id FROM u2 UNION SELECT id FROM t",
+    "SELECT id, s FROM t WHERE s <> 'UNION ALL' ",  # literal keyword
+    "SELECT id, s FROM t WHERE s = 'a UNION ALL SELECT s FROM t'",
 ]
 
 
@@ -151,6 +170,8 @@ class TestFrontEndEquivalence:
             match_distinct_shape(query, {"t"}, COLS),
             match_window_shape(query, {"t"}, COLS, PKS),
             match_order_limit_shape(query, {"t"}, COLS),
+            match_union_all_shape(query, {"t", "u2"}, COLS2, PKS2),
+            match_setop_shape(query, {"t", "u2"}, COLS2, PKS2),
         )
         monkeypatch.setenv("TIFLINK_AST_MATCHERS", "1")
         ast = (
@@ -160,9 +181,20 @@ class TestFrontEndEquivalence:
             match_distinct_shape(query, {"t"}, COLS),
             match_window_shape(query, {"t"}, COLS, PKS),
             match_order_limit_shape(query, {"t"}, COLS),
+            match_union_all_shape(query, {"t", "u2"}, COLS2, PKS2),
+            match_setop_shape(query, {"t", "u2"}, COLS2, PKS2),
         )
         for name, r, a in zip(
-            ("agg", "projection", "global_agg", "distinct", "window", "order_limit"),
+            (
+                "agg",
+                "projection",
+                "global_agg",
+                "distinct",
+                "window",
+                "order_limit",
+                "union_all",
+                "setop",
+            ),
             rx,
             ast,
         ):

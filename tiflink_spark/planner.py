@@ -527,13 +527,12 @@ _UNION_BRANCH_RE = re.compile(
 
 
 def _branch_where(
-    bm: re.Match, source_columns: dict[str, list[str]]
+    table: str, where: str | None, source_columns: dict[str, list[str]]
 ) -> tuple[str | None, bool]:
-    """(validated where, ok) for a union/set-op branch match."""
-    where = bm.group("where")
+    """(validated where, ok) for a union/set-op branch."""
     if where is None:
         return None, True
-    cols = {c.lower() for c in source_columns.get(bm.group("table"), [])}
+    cols = {c.lower() for c in source_columns.get(table, [])}
     if _NON_LOCAL_WHERE.search(where) or not _row_local_expr_ok(where, cols):
         return None, False
     return where.strip(), True
@@ -546,21 +545,45 @@ def match_union_all_shape(
     source_pks: dict[str, list[str]],
 ) -> UnionAllShape | None:
     """Match the bare multi-branch UNION ALL, or None for the fallback."""
-    parts = re.split(r"(?i)\bUNION\s+ALL\b", query.strip().rstrip(";"))
-    if len(parts) < 2:
+    if use_ast_matchers():
+        from tiflink_spark import sqlast
+
+        parsed = sqlast.union_all_branches(query)
+    else:
+        parts = re.split(r"(?i)\bUNION\s+ALL\b", query.strip().rstrip(";"))
+        if len(parts) < 2:
+            return None
+        parsed = []
+        for part in parts:
+            bm = _UNION_BRANCH_RE.match(part)
+            if bm is None:
+                parsed = None
+                break
+            parsed.append((bm.group("select"), bm.group("table"), bm.group("where")))
+    if parsed is None:
         return None
+    return _match_union_all_core(parsed, source_names, source_columns, source_pks)
+
+
+def _match_union_all_core(
+    branch_clauses: list[tuple[str, str, str | None]],
+    source_names: set[str],
+    source_columns: dict[str, list[str]],
+    source_pks: dict[str, list[str]],
+) -> UnionAllShape | None:
+    """Shape validation shared by the regex and AST front-ends."""
     branches: list[tuple[str, tuple[str, ...]]] = []
     wheres: list[str | None] = []
-    for part in parts:
-        bm = _UNION_BRANCH_RE.match(part)
-        if bm is None or bm.group("table") not in source_names:
+    for select, table, bwhere in branch_clauses:
+        if table not in source_names:
             return None
-        table = bm.group("table")
-        cols = tuple(c.strip() for c in bm.group("select").split(","))
+        cols = tuple(c.strip() for c in select.split(","))
+        if any(not re.fullmatch(_IDENT, c) for c in cols):
+            return None
         known = {c.lower(): c for c in source_columns.get(table, [])}
         if any(c.lower() not in known for c in cols):
             return None
-        where, ok = _branch_where(bm, source_columns)
+        where, ok = _branch_where(table, bwhere, source_columns)
         if not ok:
             return None
         branches.append((table, tuple(known[c.lower()] for c in cols)))
@@ -628,29 +651,58 @@ def match_setop_shape(
     count state already. UNION's membership rule is presence on EITHER
     side, so its output tuples are genuinely unique — a sound cascade
     inner, unlike UNION ALL's per-branch key."""
-    parts = _SETOP_SPLIT.split(query.strip().rstrip(";"))
-    # split yields [left, OP, ALL?, right] for a single operator
-    if len(parts) != 4:
+    if use_ast_matchers():
+        from tiflink_spark import sqlast
+
+        ast = sqlast.setop_clauses(query)
+        parsed = None if ast is None else (ast[0].lower(), ast[1], ast[2])
+    else:
+        parts = _SETOP_SPLIT.split(query.strip().rstrip(";"))
+        # split yields [left, OP, ALL?, right] for a single operator
+        if len(parts) != 4:
+            return None
+        if parts[2] is not None and parts[1].lower() == "union":
+            return None  # UNION ALL is the stateless union route
+        left_sql, op, all_kw, right_sql = parts
+        if all_kw is not None:
+            op = f"{op}_all"
+        parsed = None
+        lm = _UNION_BRANCH_RE.match(left_sql)
+        rm = _UNION_BRANCH_RE.match(right_sql)
+        if lm is not None and rm is not None:
+            parsed = (
+                op.lower(),
+                (lm.group("select"), lm.group("table"), lm.group("where")),
+                (rm.group("select"), rm.group("table"), rm.group("where")),
+            )
+    if parsed is None:
         return None
-    if parts[2] is not None and parts[1].lower() == "union":
-        return None  # UNION ALL is the stateless union route
-    left_sql, op, all_kw, right_sql = parts
-    if all_kw is not None:
-        op = f"{op}_all"
+    return _match_setop_core(*parsed, source_names, source_columns, source_pks)
+
+
+def _match_setop_core(
+    op: str,
+    left_clause: tuple[str, str, str | None],
+    right_clause: tuple[str, str, str | None],
+    source_names: set[str],
+    source_columns: dict[str, list[str]],
+    source_pks: dict[str, list[str]],
+) -> SetOpShape | None:
+    """Shape validation shared by the regex and AST front-ends."""
     branches = []
     wheres: list[str | None] = []
-    for part in (left_sql, right_sql):
-        bm = _UNION_BRANCH_RE.match(part)
-        if bm is None or bm.group("table") not in source_names:
+    for select, table, bwhere in (left_clause, right_clause):
+        if table not in source_names:
             return None
-        table = bm.group("table")
         known = {c.lower(): c for c in source_columns.get(table, [])}
-        cols = tuple(c.strip() for c in bm.group("select").split(","))
+        cols = tuple(c.strip() for c in select.split(","))
+        if any(not re.fullmatch(_IDENT, c) for c in cols):
+            return None
         if any(c.lower() not in known for c in cols):
             return None
         if not source_pks.get(table):
             return None
-        where, ok = _branch_where(bm, source_columns)
+        where, ok = _branch_where(table, bwhere, source_columns)
         if not ok:
             return None
         branches.append((table, tuple(known[c.lower()] for c in cols)))

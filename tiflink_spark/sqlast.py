@@ -338,6 +338,115 @@ def distinct_clauses(query: str):
     return (dm.group(1), s.table, s.where)
 
 
+def setop_parts(query: str):
+    """Depth-0, literal-aware split of a set-operation statement:
+    ``[(None, branch1), (op, branch2), ...]`` where ``op`` is one of
+    ``union all | union | intersect all | intersect | except all |
+    except`` (lower-case). None when the query doesn't tokenize or has
+    no depth-0 set operator. Unlike the regex path's ``re.split``, a
+    set-op keyword inside a string literal or a parenthesized subquery
+    does NOT split here."""
+    sql = query.strip().rstrip(";")
+    toks = tokenize(sql)
+    if not toks:
+        return None
+    cuts: list[tuple[int, int, str]] = []  # (start_tok, end_tok, op)
+    depth = 0
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and t.kind == "ident"
+            and t.lower() in ("union", "intersect", "except")
+        ):
+            op = t.lower()
+            end = i + 1
+            if (
+                end < len(toks)
+                and toks[end].kind == "ident"
+                and toks[end].lower() == "all"
+            ):
+                op += " all"
+                end += 1
+            cuts.append((i, end, op))
+            i = end
+            continue
+        i += 1
+    if not cuts:
+        return None
+    parts: list[tuple[str | None, str]] = []
+    prev = 0
+    prev_op: str | None = None
+    for start, end, op in cuts:
+        if start == prev:
+            return None  # empty branch
+        parts.append((prev_op, _slice(sql, toks[prev:start])))
+        prev, prev_op = end, op
+    if prev >= len(toks):
+        return None
+    parts.append((prev_op, _slice(sql, toks[prev:])))
+    return parts
+
+
+def branch_clauses(branch: str):
+    """AST front-end for one union/set-op branch: ``SELECT cols FROM
+    table [WHERE e]`` → (select, table, where), or None. Mirrors
+    planner._UNION_BRANCH_RE's envelope: no alias, no GROUP BY /
+    HAVING / ORDER BY / LIMIT, nothing trailing."""
+    s = parse_single_select(branch)
+    if (
+        s is None
+        or s.tail is not None
+        or s.order_by is not None
+        or s.limit is not None
+        or s.group_by is not None
+        or s.having is not None
+        or s.alias is not None
+    ):
+        return None
+    return (s.select, s.table, s.where)
+
+
+def union_all_branches(query: str):
+    """AST front-end for the multi-branch UNION ALL matcher: the list
+    of (select, table, where) branch triples, or None (mixed operators
+    or any non-conforming branch bail — same totality as the regex
+    path, which also rejects the whole statement)."""
+    parts = setop_parts(query)
+    if parts is None or len(parts) < 2:
+        return None
+    if any(op != "union all" for op, _ in parts[1:]):
+        return None
+    branches = [branch_clauses(text) for _, text in parts]
+    if any(b is None for b in branches):
+        return None
+    return branches
+
+
+def setop_clauses(query: str):
+    """AST front-end for the two-branch INTERSECT/EXCEPT/UNION
+    matcher: (op, left_triple, right_triple), or None. ``op`` has the
+    regex path's spelling: "intersect" | "except" | "union" |
+    "intersect_all" | "except_all" ("union all" is the stateless union
+    route and returns None here)."""
+    parts = setop_parts(query)
+    if parts is None or len(parts) != 2:
+        return None
+    op = parts[1][0]
+    if op == "union all":
+        return None
+    left = branch_clauses(parts[0][1])
+    right = branch_clauses(parts[1][1])
+    if left is None or right is None:
+        return None
+    return (op.replace(" ", "_"), left, right)
+
+
 def order_limit_clauses(query: str):
     """AST front-end for the global ORDER BY + LIMIT view: (select,
     table, where, order_body, limit_text), or None. Mirrors
