@@ -24,6 +24,7 @@ from tiflink_spark.planner import (
     match_order_limit_shape,
     match_projection_shape,
     match_setop_shape,
+    match_topn_shape,
     match_union_all_shape,
     match_window_shape,
 )
@@ -138,6 +139,25 @@ _EDGE_QUERIES = [
     "SELECT id FROM t UNION ALL SELECT id FROM u2 UNION SELECT id FROM t",
     "SELECT id, s FROM t WHERE s <> 'UNION ALL' ",  # literal keyword
     "SELECT id, s FROM t WHERE s = 'a UNION ALL SELECT s FROM t'",
+    # per-group Top-N (9th ported matcher)
+    "SELECT g, id, v, rn FROM (SELECT *, ROW_NUMBER() OVER "
+    "(PARTITION BY g ORDER BY v DESC, id) AS rn FROM t) WHERE rn <= 3",
+    "SELECT g, id, v, rn FROM (SELECT *, ROW_NUMBER() OVER "
+    "(PARTITION BY g ORDER BY v) AS rn FROM t WHERE u > 1) x WHERE rn <= 5",
+    "SELECT g, id, rn FROM (SELECT *, ROW_NUMBER() OVER "
+    "(PARTITION BY g ORDER BY v ASC, id) AS rn FROM t) AS q WHERE rn <= 2",
+    # inner WHERE with nested parens / literal keyword
+    "SELECT g, id, v, rn FROM (SELECT *, ROW_NUMBER() OVER "
+    "(PARTITION BY g ORDER BY v, id) AS rn FROM t WHERE (v > 1 AND u < 9)) "
+    "WHERE rn <= 4",
+    "SELECT g, id, rn FROM (SELECT *, ROW_NUMBER() OVER "
+    "(PARTITION BY g ORDER BY v, id) AS rn FROM t WHERE s <> ')') WHERE rn <= 4",
+    # rank alias missing from outer select -> None
+    "SELECT g, id FROM (SELECT *, ROW_NUMBER() OVER "
+    "(PARTITION BY g ORDER BY v, id) AS rn FROM t) WHERE rn <= 3",
+    # k < 1 -> None
+    "SELECT g, id, rn FROM (SELECT *, ROW_NUMBER() OVER "
+    "(PARTITION BY g ORDER BY v, id) AS rn FROM t) WHERE rn <= 0",
 ]
 
 
@@ -172,6 +192,7 @@ class TestFrontEndEquivalence:
             match_order_limit_shape(query, {"t"}, COLS),
             match_union_all_shape(query, {"t", "u2"}, COLS2, PKS2),
             match_setop_shape(query, {"t", "u2"}, COLS2, PKS2),
+            match_topn_shape(query, {"t"}, COLS),
         )
         monkeypatch.setenv("TIFLINK_AST_MATCHERS", "1")
         ast = (
@@ -183,6 +204,7 @@ class TestFrontEndEquivalence:
             match_order_limit_shape(query, {"t"}, COLS),
             match_union_all_shape(query, {"t", "u2"}, COLS2, PKS2),
             match_setop_shape(query, {"t", "u2"}, COLS2, PKS2),
+            match_topn_shape(query, {"t"}, COLS),
         )
         for name, r, a in zip(
             (
@@ -194,6 +216,7 @@ class TestFrontEndEquivalence:
                 "order_limit",
                 "union_all",
                 "setop",
+                "topn",
             ),
             rx,
             ast,

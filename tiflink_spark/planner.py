@@ -769,41 +769,76 @@ def match_topn_shape(
     source_columns: dict[str, list[str]] | None = None,
 ) -> TopNShape | None:
     """Match the per-group Top-N pattern, or None for the fallback."""
-    m = _TOPN_RE.match(query)
-    if m is None or m.group("table") not in source_names:
+    if use_ast_matchers():
+        from tiflink_spark import sqlast
+
+        parsed = sqlast.topn_clauses(query)
+    else:
+        m = _TOPN_RE.match(query)
+        parsed = (
+            None
+            if m is None
+            else (
+                m.group("select"),
+                m.group("g"),
+                m.group("o"),
+                m.group("dir"),
+                tuple(c.strip() for c in m.group("tie").split(",") if c.strip()),
+                m.group("rn"),
+                m.group("table"),
+                m.group("where"),
+                m.group("ta"),
+                m.group("rncond"),
+                m.group("k"),
+            )
+        )
+    if parsed is None:
         return None
-    if m.group("rncond").lower() != m.group("rn").lower():
+    return _match_topn_core(*parsed, source_names, source_columns)
+
+
+def _match_topn_core(
+    select: str,
+    g: str,
+    o: str,
+    direction: str | None,
+    tie: tuple[str, ...],
+    rn: str,
+    table: str,
+    where: str | None,
+    ta: str | None,
+    rncond: str,
+    k_text: str,
+    source_names: set[str],
+    source_columns: dict[str, list[str]] | None,
+) -> TopNShape | None:
+    """Shape validation shared by the regex and AST front-ends."""
+    if table not in source_names:
         return None
-    if m.group("ta") and m.group("ta").lower() in _CLAUSE_KEYWORDS:
+    if rncond.lower() != rn.lower():
         return None
-    rn = m.group("rn")
-    sel = [c.strip() for c in m.group("select").split(",")]
+    if ta and ta.lower() in _CLAUSE_KEYWORDS:
+        return None
+    sel = [c.strip() for c in select.split(",")]
     sel_lower = {c.lower() for c in sel}
     # The MV is keyed (partition key, rank): both must appear in the
     # outer select or the advertised PK/DDL would reference columns
     # the view does not expose.
-    if m.group("g").lower() not in sel_lower or rn.lower() not in sel_lower:
+    if g.lower() not in sel_lower or rn.lower() not in sel_lower:
         return None
     cols_known = None
     if source_columns is not None:
-        cols_known = {c.lower() for c in source_columns.get(m.group("table"), [])}
+        cols_known = {c.lower() for c in source_columns.get(table, [])}
         if rn.lower() in cols_known:
             return None  # rank alias shadowing a real column is ambiguous
         for c in sel:
             if c.lower() != rn.lower() and c.lower() not in cols_known:
                 return None
-        if (
-            m.group("g").lower() not in cols_known
-            or m.group("o").lower() not in cols_known
-        ):
+        if g.lower() not in cols_known or o.lower() not in cols_known:
             return None
-    tie = tuple(
-        c.strip() for c in m.group("tie").split(",") if c.strip()
-    )
-    k = int(m.group("k"))
+    k = int(k_text)
     if k < 1:
         return None
-    where = m.group("where")
     if where is not None:
         if _NON_LOCAL_WHERE.search(where):
             return None
@@ -811,10 +846,10 @@ def match_topn_shape(
             return None
         where = where.strip()
     return TopNShape(
-        fact=m.group("table"),
-        group_key=m.group("g"),
-        order_col=m.group("o"),
-        descending=(m.group("dir") or "asc").lower() == "desc",
+        fact=table,
+        group_key=g,
+        order_col=o,
+        descending=(direction or "asc").lower() == "desc",
         rank_alias=rn,
         k=k,
         out_cols=tuple(c for c in sel),

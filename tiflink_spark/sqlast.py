@@ -13,8 +13,10 @@ front-end here, and both feed the SAME ``_match_*_core`` validation in
 planner.py — so the two paths cannot diverge past clause extraction.
 ``TIFLINK_AST_MATCHERS=1`` flips the ported matchers to this parser;
 tests/test_sqlast.py pins front-end equivalence over the planner fuzz
-corpus. Ported so far (6): single-table aggregate, projection,
-global aggregate, DISTINCT, OVER-window, and global ORDER BY+LIMIT.
+corpus. Ported so far (9): single-table aggregate, projection,
+global aggregate, DISTINCT, OVER-window, global ORDER BY+LIMIT,
+multi-branch UNION ALL, two-branch INTERSECT/EXCEPT/UNION, and the
+per-group Top-N nested form.
 
 No external parser dependency: sqlglot-class libraries are not in the
 runtime image, and the subset of SQL the matchers accept is small
@@ -336,6 +338,199 @@ def distinct_clauses(query: str):
     if dm is None:
         return None
     return (dm.group(1), s.table, s.where)
+
+
+def topn_clauses(query: str):
+    """AST front-end for the per-group Top-N matcher:
+
+        SELECT c1[, c2 ...] FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY g ORDER BY o [ASC|DESC][, tie...]) AS rn
+            FROM fact [WHERE w]
+        ) [t] WHERE rn <= k
+
+    → (select, g, o, dir, tie_cols, rn, table, where, table_alias,
+    rn_cond, k_text), or None. Mirrors planner._TOPN_RE's envelope —
+    the rigid Flink-style Top-N spelling, bare identifiers only."""
+    sql = query.strip().rstrip(";")
+    toks = tokenize(sql)
+    if not toks:
+        return None
+
+    def is_kw(j: int, *words: str) -> bool:
+        return all(
+            j + n < len(toks)
+            and toks[j + n].kind == "ident"
+            and toks[j + n].lower() == w
+            for n, w in enumerate(words)
+        )
+
+    if not is_kw(0, "select"):
+        return None
+    fi = _find_clause(toks[1:], "from")
+    if fi is None or fi == 0:
+        return None
+    sel_toks = toks[1 : 1 + fi]
+    if any(
+        len(p) != 1 or p[0].kind != "ident" for p in _split_top_commas(sel_toks)
+    ):
+        return None
+    select = _slice(sql, sel_toks)
+    i = 1 + fi + 1  # past FROM
+    if i >= len(toks) or toks[i].text != "(":
+        return None
+    depth, j = 0, i
+    while j < len(toks):
+        if toks[j].text == "(":
+            depth += 1
+        elif toks[j].text == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        j += 1
+    if j >= len(toks):
+        return None
+    inner = toks[i + 1 : j]
+    outer = toks[j + 1 :]
+
+    # inner: SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY o
+    # [dir][, tie...]) AS rn FROM table [WHERE w]
+    def it_kw(k0: int, *words: str) -> bool:
+        return all(
+            k0 + n < len(inner)
+            and inner[k0 + n].kind == "ident"
+            and inner[k0 + n].lower() == w
+            for n, w in enumerate(words)
+        )
+
+    p = 0
+    if not it_kw(p, "select"):
+        return None
+    p += 1
+    if p + 1 >= len(inner) or inner[p].text != "*" or inner[p + 1].text != ",":
+        return None
+    p += 2
+    if not it_kw(p, "row_number"):
+        return None
+    p += 1
+    if p + 1 >= len(inner) or inner[p].text != "(" or inner[p + 1].text != ")":
+        return None
+    p += 2
+    if not it_kw(p, "over"):
+        return None
+    p += 1
+    if p >= len(inner) or inner[p].text != "(":
+        return None
+    od, q = 0, p
+    while q < len(inner):
+        if inner[q].text == "(":
+            od += 1
+        elif inner[q].text == ")":
+            od -= 1
+            if od == 0:
+                break
+        q += 1
+    if q >= len(inner):
+        return None
+    spec = inner[p + 1 : q]
+    p = q + 1
+    # spec: PARTITION BY g ORDER BY o [ASC|DESC] (, ident)*
+    s = 0
+
+    def sp_kw(k0: int, *words: str) -> bool:
+        return all(
+            k0 + n < len(spec)
+            and spec[k0 + n].kind == "ident"
+            and spec[k0 + n].lower() == w
+            for n, w in enumerate(words)
+        )
+
+    if not sp_kw(s, "partition", "by"):
+        return None
+    s += 2
+    if s >= len(spec) or spec[s].kind != "ident":
+        return None
+    g = spec[s].text
+    s += 1
+    if not sp_kw(s, "order", "by"):
+        return None
+    s += 2
+    if s >= len(spec) or spec[s].kind != "ident":
+        return None
+    o = spec[s].text
+    s += 1
+    direction = None
+    if s < len(spec) and spec[s].kind == "ident" and spec[s].lower() in ("asc", "desc"):
+        direction = spec[s].text
+        s += 1
+    tie: list[str] = []
+    while s < len(spec):
+        if spec[s].text != "," or s + 1 >= len(spec) or spec[s + 1].kind != "ident":
+            return None
+        tie.append(spec[s + 1].text)
+        s += 2
+    # ... AS rn FROM table [WHERE w]
+    if not it_kw(p, "as"):
+        return None
+    p += 1
+    if p >= len(inner) or inner[p].kind != "ident":
+        return None
+    rn = inner[p].text
+    p += 1
+    if not it_kw(p, "from"):
+        return None
+    p += 1
+    if p >= len(inner) or inner[p].kind != "ident":
+        return None
+    table = inner[p].text
+    p += 1
+    where = None
+    if p < len(inner):
+        if not it_kw(p, "where") or p + 1 >= len(inner):
+            return None
+        where = _slice(sql, inner[p + 1 :])
+
+    # outer: [AS? alias] WHERE rncond <= k
+    w = 0
+    alias = None
+    if w < len(outer) and outer[w].kind == "ident" and outer[w].lower() == "as":
+        if w + 1 >= len(outer) or outer[w + 1].kind != "ident":
+            return None
+        alias = outer[w + 1].text
+        w += 2
+    elif (
+        w < len(outer)
+        and outer[w].kind == "ident"
+        and outer[w].lower() != "where"
+    ):
+        alias = outer[w].text
+        w += 1
+    if not (
+        w + 3 < len(outer)
+        and outer[w].kind == "ident"
+        and outer[w].lower() == "where"
+        and outer[w + 1].kind == "ident"
+        and outer[w + 2].text == "<="
+        and outer[w + 3].kind == "num"
+        and "." not in outer[w + 3].text
+        and w + 4 == len(outer)
+    ):
+        return None
+    rncond = outer[w + 1].text
+    k_text = outer[w + 3].text
+    return (
+        select,
+        g,
+        o,
+        direction,
+        tuple(tie),
+        rn,
+        table,
+        where,
+        alias,
+        rncond,
+        k_text,
+    )
 
 
 def setop_parts(query: str):
