@@ -21,6 +21,7 @@ from tiflink_spark.planner import (
     match_agg_shape,
     match_distinct_shape,
     match_global_agg_shape,
+    match_grouping_sets_shape,
     match_order_limit_shape,
     match_projection_shape,
     match_setop_shape,
@@ -158,6 +159,18 @@ _EDGE_QUERIES = [
     # k < 1 -> None
     "SELECT g, id, rn FROM (SELECT *, ROW_NUMBER() OVER "
     "(PARTITION BY g ORDER BY v, id) AS rn FROM t) WHERE rn <= 0",
+    # grouping sets (10th ported matcher — shares agg_clauses)
+    "SELECT g, h, count(*) AS n FROM t GROUP BY GROUPING SETS ((g, h), (g), ())",
+    "SELECT g, h, sum(v) AS sv, count(*) AS n FROM t WHERE v > 0 "
+    "GROUP BY ROLLUP (g, h)",
+    "SELECT g, h, count(*) AS n FROM t GROUP BY CUBE (g, h)",
+    "SELECT g, h, count(*) AS n, CAST(GROUPING(h) AS INT) AS gh "
+    "FROM t GROUP BY ROLLUP (g, h)",
+    "SELECT g, h, count(*) AS n FROM t GROUP BY ROLLUP (g, h) HAVING count(*) > 1",
+    "SELECT g, h, count(*) AS n FROM t GROUP BY ROLLUP (g, h) HAVING g = 'a'",
+    "SELECT g, h, grouping_id() AS gid, count(*) AS n FROM t "
+    "GROUP BY ROLLUP (g, h)",  # GROUPING_ID -> None
+    "SELECT g, h, count(*) AS n FROM t GROUP BY ROLLUP (g, h) LIMIT 3",  # None
 ]
 
 
@@ -193,6 +206,7 @@ class TestFrontEndEquivalence:
             match_union_all_shape(query, {"t", "u2"}, COLS2, PKS2),
             match_setop_shape(query, {"t", "u2"}, COLS2, PKS2),
             match_topn_shape(query, {"t"}, COLS),
+            match_grouping_sets_shape(query, {"t"}, COLS),
         )
         monkeypatch.setenv("TIFLINK_AST_MATCHERS", "1")
         ast = (
@@ -205,6 +219,7 @@ class TestFrontEndEquivalence:
             match_union_all_shape(query, {"t", "u2"}, COLS2, PKS2),
             match_setop_shape(query, {"t", "u2"}, COLS2, PKS2),
             match_topn_shape(query, {"t"}, COLS),
+            match_grouping_sets_shape(query, {"t"}, COLS),
         )
         for name, r, a in zip(
             (
@@ -217,6 +232,7 @@ class TestFrontEndEquivalence:
                 "union_all",
                 "setop",
                 "topn",
+                "grouping_sets",
             ),
             rx,
             ast,

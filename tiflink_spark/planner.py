@@ -1952,20 +1952,50 @@ def match_grouping_sets_shape(
     evaluated on the sub-targets that aggregate that key away →
     recompute), no GROUPING_ID() (its bit order is engine-defined over
     the de-sugared expansion; recompute handles it)."""
-    m = _SHAPE_RE.match(query)
-    if m is None or m.group("table") not in source_names:
+    if use_ast_matchers():
+        from tiflink_spark import sqlast
+
+        parsed = sqlast.agg_clauses(query)
+    else:
+        m = _SHAPE_RE.match(query)
+        parsed = (
+            None
+            if m is None
+            else (
+                m.group("select"),
+                m.group("table"),
+                m.group("where"),
+                m.group("keys"),
+                m.group("having"),
+            )
+        )
+    if parsed is None:
         return None
-    where = m.group("where")
+    return _match_grouping_sets_core(*parsed, source_names, source_columns)
+
+
+def _match_grouping_sets_core(
+    select: str,
+    table: str,
+    where: str | None,
+    keys_body: str,
+    having: str | None,
+    source_names: set[str],
+    source_columns: dict[str, list[str]] | None,
+) -> GroupingSetsShape | None:
+    """Shape validation shared by the regex and AST front-ends."""
+    if table not in source_names:
+        return None
     if where is not None and _NON_LOCAL_WHERE.search(where):
         return None
-    if re.search(r"(?i)\bGROUPING_ID\s*\(", m.group("select")):
+    if re.search(r"(?i)\bGROUPING_ID\s*\(", select):
         return None
-    sets = _expand_grouping_body(m.group("keys"))
+    sets = _expand_grouping_body(keys_body)
     if sets is None:
         return None
     cols = None
-    if source_columns is not None and m.group("table") in source_columns:
-        cols = {c.lower() for c in source_columns[m.group("table")]}
+    if source_columns is not None and table in source_columns:
+        cols = {c.lower() for c in source_columns[table]}
     if cols is None:
         return None
     set_cols: list[str] = []
@@ -1973,7 +2003,7 @@ def match_grouping_sets_shape(
         for c in s:
             if c.lower() not in {x.lower() for x in set_cols}:
                 set_cols.append(c)
-    items = _split_select_list(m.group("select"))
+    items = _split_select_list(select)
     if len(items) <= len(set_cols):
         return None
     keys = items[: len(set_cols)]
@@ -2019,7 +2049,6 @@ def match_grouping_sets_shape(
         k.lower() for k in keys
     }:
         return None
-    having = m.group("having")
     hidden: list[Measure] = []
     if having is not None:
         # Measure-only HAVING: aggregate calls rewrite to (possibly
@@ -2045,7 +2074,7 @@ def match_grouping_sets_shape(
         tuple(key_by_lower[c.lower()] for c in s) for s in sets
     )
     return GroupingSetsShape(
-        fact=m.group("table"),
+        fact=table,
         all_keys=tuple(keys),
         sets=canon_sets,
         measures=tuple(measures),
