@@ -24,10 +24,16 @@ from tiflink_spark.planner import (
     match_grouping_sets_shape,
     match_order_limit_shape,
     match_projection_shape,
+    match_correlated_count_shape,
+    match_semijoin_shape,
     match_setop_shape,
+    match_theta_join_shape,
     match_topn_shape,
     match_union_all_shape,
     match_window_shape,
+    match_join_agg_shape,
+    match_join_projection_shape,
+    match_join_shape,
 )
 
 COLS = {"t": ["id", "g", "h", "v", "u", "s"]}
@@ -237,4 +243,85 @@ class TestFrontEndEquivalence:
             rx,
             ast,
         ):
+            assert r == a, f"{name} divergence on: {query}\n regex={r}\n ast={a}"
+
+
+# -- join-family front-ends (theta, equi-join, projection, aggregate) -------
+
+FCOLS = {"f": ["id", "g", "h", "v", "w", "s"], "d": ["dk", "attr", "u"]}
+FPKS = {"f": ["id"], "d": ["dk"]}
+
+_JOIN_EDGES = [
+    "SELECT attr, sum(v) AS sv FROM f JOIN d ON g = dk GROUP BY attr",
+    "SELECT attr, sum(v) AS sv FROM f INNER JOIN d ON g = dk GROUP BY attr",
+    "SELECT id, g, v, attr FROM f LEFT JOIN d ON g = dk",
+    "SELECT id, g, v, attr FROM f LEFT OUTER JOIN d ON g = dk",
+    "SELECT x.id, x.v, y.attr FROM f x JOIN d y ON x.g = y.dk",
+    "SELECT x.id, x.v, y.attr FROM f AS x JOIN d AS y ON x.g = y.dk WHERE x.v > 2",
+    "SELECT id, dk, g, attr FROM f JOIN d ON v > u * 8",
+    "SELECT id, dk, g, attr FROM f INNER JOIN d ON v BETWEEN u * 2 AND u * 9",
+    "SELECT id, dk, g, attr FROM f JOIN d ON v > u WHERE s <> 'c'",
+    "SELECT id, g FROM f JOIN d USING (g)",  # key not dim pk: core decides
+    "SELECT attr, count(*) AS n FROM f JOIN d ON g = dk GROUP BY attr "
+    "HAVING count(*) > 1",
+    "SELECT attr, count(*) AS n FROM f JOIN d ON g = dk GROUP BY attr "
+    "ORDER BY n",  # tail -> None on both
+    "SELECT id, v, attr FROM f JOIN d ON g = dk LIMIT 5",  # tail -> None
+    "SELECT id, v, attr FROM f JOIN d ON g = dk UNION ALL "
+    "SELECT id, v, attr FROM f JOIN d ON g = dk",
+    "SELECT id, attr FROM f JOIN d ON f.g = d.dk AND f.h = d.attr",
+    "SELECT id, attr FROM f CROSS JOIN d",  # unmodelled -> None on both
+    "SELECT id, attr FROM f RIGHT JOIN d ON g = dk",  # -> None on both
+    # semijoin family (13th ported matcher)
+    "SELECT id, g FROM f WHERE EXISTS (SELECT 1 FROM d WHERE dk = g)",
+    "SELECT id, g FROM f WHERE NOT EXISTS (SELECT 1 FROM d WHERE dk = g)",
+    "SELECT id, g FROM f WHERE v > 30 AND EXISTS (SELECT 1 FROM d WHERE dk = g)",
+    "SELECT id, g FROM f x WHERE EXISTS (SELECT * FROM d y WHERE y.dk = x.g)",
+    "SELECT id, g FROM f WHERE s <> 'c' AND NOT EXISTS "
+    "(SELECT 1 FROM d WHERE dk = g)",
+    "SELECT id, g FROM f WHERE g IN (SELECT dk FROM d)",
+    "SELECT id, g FROM f WHERE g NOT IN (SELECT dk FROM d)",
+    "SELECT id, g FROM f WHERE v > 30 AND g IN (SELECT dk FROM d)",
+    "SELECT id, g FROM f WHERE v IN (1, 2) AND g IN (SELECT dk FROM d)",
+    "SELECT id, g FROM f WHERE EXISTS (SELECT 1 FROM d WHERE dk = g) LIMIT 3",
+    "SELECT id, g FROM f WHERE EXISTS (SELECT 1 FROM d WHERE dk = g) "
+    "AND v > 30",  # EXISTS not last -> None on both
+    # correlated scalar aggregate (12th ported matcher)
+    "SELECT dk, attr, (SELECT count(*) FROM f x WHERE x.g = y.dk) AS n FROM d y",
+    "SELECT dk, attr, (SELECT sum(v) FROM f x WHERE y.dk = x.g) AS sv FROM d y",
+    "SELECT dk, (SELECT max(x.v) FROM f x WHERE x.g = y.dk) AS mv FROM d y",
+    "SELECT attr, (SELECT count(*) FROM f x WHERE x.g = y.dk) AS n FROM d y",
+]
+
+
+class TestJoinFrontEndEquivalence:
+    @pytest.mark.parametrize("query", _JOIN_EDGES)
+    def test_edges(self, query, monkeypatch):
+        self._check(query, monkeypatch)
+
+    def test_fuzz_two_table_corpus(self, monkeypatch):
+        import tests.test_planner_fuzz as fz
+
+        for seed in (5, 23, 41):
+            rng = random.Random(seed)
+            for _ in range(40):
+                self._check(fz._gen_two_table_query(rng, "f", "d"), monkeypatch)
+
+    def _matchers(self, query):
+        return (
+            match_theta_join_shape(query, {"f", "d"}, FCOLS, FPKS),
+            match_join_shape(query, {"f", "d"}, FCOLS),
+            match_join_projection_shape(query, {"f", "d"}, FCOLS, FPKS),
+            match_join_agg_shape(query, {"f", "d"}, FCOLS, FPKS),
+            match_semijoin_shape(query, {"f", "d"}, FCOLS),
+            match_correlated_count_shape(query, {"f", "d"}, FPKS, FCOLS),
+        )
+
+    def _check(self, query, monkeypatch):
+        monkeypatch.delenv("TIFLINK_AST_MATCHERS", raising=False)
+        rx = self._matchers(query)
+        monkeypatch.setenv("TIFLINK_AST_MATCHERS", "1")
+        ast = self._matchers(query)
+        names = ("theta", "join", "join_proj", "join_agg", "semi", "corr")
+        for name, r, a in zip(names, rx, ast):
             assert r == a, f"{name} divergence on: {query}\n regex={r}\n ast={a}"

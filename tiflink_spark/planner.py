@@ -96,6 +96,14 @@ def use_ast_matchers() -> bool:
 
 _IDENT = r"[A-Za-z_]\w*"
 
+# A base-table alias capture must not swallow a join keyword: the
+# greedy optional alias otherwise eats LEFT/INNER and the join clause
+# still matches as a bare JOIN, so the keyword qual-guard rejects the
+# whole query — "fact LEFT JOIN dim" and "a INNER JOIN b" silently
+# fell back to recompute until the AST port surfaced it.
+_NKW = r"(?!(?:INNER|LEFT|RIGHT|FULL|CROSS|JOIN|NATURAL)\b)"
+
+
 _SHAPE_RE = re.compile(
     rf"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<table>{_IDENT})"
     rf"(?:\s+WHERE\s+(?P<where>.+?))?"
@@ -1186,7 +1194,7 @@ class ThetaJoinShape:
 
 _THETA_JOIN_RE = re.compile(
     rf"^\s*SELECT\s+(?P<select>.+?)\s+"
-    rf"FROM\s+(?P<left>{_IDENT})(?:\s+(?:AS\s+)?(?P<la>{_IDENT}))?\s+"
+    rf"FROM\s+(?P<left>{_IDENT})(?:\s+(?:AS\s+)?(?P<la>{_NKW}{_IDENT}))?\s+"
     rf"(?:INNER\s+)?JOIN\s+(?P<right>{_IDENT})(?:\s+(?:AS\s+)?(?P<ra>{_IDENT}))?\s+"
     rf"ON\s+(?P<pred>.+?)"
     rf"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
@@ -1204,13 +1212,47 @@ def match_theta_join_shape(
     equi-join matchers, so anything reaching here with a plain equality
     already failed their stricter envelopes (routing it here would
     still be correct, just less pruned)."""
-    m = _THETA_JOIN_RE.match(query)
-    if m is None:
+    if use_ast_matchers():
+        from tiflink_spark import sqlast
+
+        parsed = sqlast.theta_join_clauses(query)
+    else:
+        m = _THETA_JOIN_RE.match(query)
+        parsed = (
+            None
+            if m is None
+            else (
+                m.group("select"),
+                m.group("left"),
+                m.group("la"),
+                m.group("right"),
+                m.group("ra"),
+                m.group("pred"),
+                m.group("where"),
+            )
+        )
+    if parsed is None:
         return None
-    lt, rt = m.group("left"), m.group("right")
+    return _match_theta_join_core(
+        *parsed, source_names, source_columns, source_pks
+    )
+
+
+def _match_theta_join_core(
+    select: str,
+    lt: str,
+    la: str | None,
+    rt: str,
+    ra: str | None,
+    pred: str,
+    where: str | None,
+    source_names: set[str],
+    source_columns: dict[str, list[str]],
+    source_pks: dict[str, list[str]],
+) -> ThetaJoinShape | None:
+    """Shape validation shared by the regex and AST front-ends."""
     if lt not in source_names or rt not in source_names or lt == rt:
         return None
-    la, ra = m.group("la"), m.group("ra")
     if (la or "").lower() in _CLAUSE_KEYWORDS or (ra or "").lower() in _CLAUSE_KEYWORDS:
         return None
     lpk, rpk = source_pks.get(lt) or [], source_pks.get(rt) or []
@@ -1223,20 +1265,20 @@ def match_theta_join_shape(
     allcols = {**lcols, **rcols}
     quals = {q.lower(): t for q, t in ((lt, lt), (la, lt), (rt, rt), (ra, rt)) if q}
     dequalify = _make_dequalifier(quals, {lt: lcols, rt: rcols}, frozenset())
-    pred = dequalify(m.group("pred"))
+    pred = dequalify(pred)
     if pred is None or _NON_LOCAL_WHERE.search(pred):
         return None
     if re.search(r"(?is)\bJOIN\b", pred):
         return None  # a third relation hides in the ON tail
     if not _row_local_expr_ok(pred, set(allcols)):
         return None
-    if m.group("where") is not None:
-        w = dequalify(m.group("where"))
+    if where is not None:
+        w = dequalify(where)
         if w is None or not _row_local_expr_ok(w, set(allcols)):
             return None
         pred = f"({pred.strip()}) AND ({w.strip()})"
     out: list[str] = []
-    for item in _split_select_list(m.group("select")):
+    for item in _split_select_list(select):
         dq = dequalify(item)
         if dq is None or not re.fullmatch(_IDENT, dq.strip()):
             return None
@@ -1261,7 +1303,7 @@ _JOIN_RE = re.compile(
 
 _JOIN_ON_RE = re.compile(
     rf"^\s*SELECT\s+(?P<select>.+?)\s+"
-    rf"FROM\s+(?P<left>{_IDENT})(?:\s+(?:AS\s+)?(?P<la>{_IDENT}))?\s+"
+    rf"FROM\s+(?P<left>{_IDENT})(?:\s+(?:AS\s+)?(?P<la>{_NKW}{_IDENT}))?\s+"
     rf"(?:INNER\s+)?JOIN\s+(?P<right>{_IDENT})(?:\s+(?:AS\s+)?(?P<ra>{_IDENT}))?\s+"
     rf"ON\s+(?P<lref>(?:{_IDENT}\s*\.\s*)?{_IDENT})\s*=\s*"
     rf"(?P<rref>(?:{_IDENT}\s*\.\s*)?{_IDENT})"
@@ -1283,18 +1325,64 @@ def match_join_shape(
     per side; every output column must be unambiguous across the two
     tables (the MV stores bare names), and a join-key column must be in
     the select list (MV rows are located by it)."""
-    m = _JOIN_RE.match(query)
-    if m is not None:
-        left, right = m.group("left"), m.group("right")
+    if use_ast_matchers():
+        from tiflink_spark import sqlast
+
+        pu = sqlast.join_using_clauses(query)
+        po = None if pu is not None else sqlast.join_on_clauses(query)
+    else:
+        m = _JOIN_RE.match(query)
+        pu = (
+            None
+            if m is None
+            else (
+                m.group("select"),
+                m.group("left"),
+                m.group("right"),
+                m.group("key"),
+            )
+        )
+        po = None
+        if pu is None:
+            mo = _JOIN_ON_RE.match(query)
+            po = (
+                None
+                if mo is None
+                else (
+                    mo.group("select"),
+                    mo.group("left"),
+                    mo.group("la"),
+                    mo.group("right"),
+                    mo.group("ra"),
+                    mo.group("lref"),
+                    mo.group("rref"),
+                    mo.group("where"),
+                )
+            )
+    if pu is not None:
+        select, left, right, key = pu
         if left not in source_names or right not in source_names or left == right:
             return None
-        cols = tuple(c.strip() for c in m.group("select").split(","))
-        return JoinShape(left, right, m.group("key"), cols)
-
-    mo = _JOIN_ON_RE.match(query)
-    if mo is None or source_columns is None:
+        cols = tuple(c.strip() for c in select.split(","))
+        return JoinShape(left, right, key, cols)
+    if po is None or source_columns is None:
         return None
-    left, right = mo.group("left"), mo.group("right")
+    return _match_join_on_core(*po, source_names, source_columns)
+
+
+def _match_join_on_core(
+    select: str,
+    left: str,
+    la_text: str | None,
+    right: str,
+    ra_text: str | None,
+    lref: str,
+    rref: str,
+    where: str | None,
+    source_names: set[str],
+    source_columns: dict[str, list[str]],
+) -> JoinShape | None:
+    """ON-form shape validation shared by the regex and AST front-ends."""
     if (
         left not in source_names
         or right not in source_names
@@ -1303,8 +1391,8 @@ def match_join_shape(
         or right not in source_columns
     ):
         return None
-    la = (mo.group("la") or left).lower()
-    ra = (mo.group("ra") or right).lower()
+    la = (la_text or left).lower()
+    ra = (ra_text or right).lower()
     if la == ra or {la, ra} & _CLAUSE_KEYWORDS:
         return None
     cols = {
@@ -1329,14 +1417,14 @@ def match_join_shape(
                 return t, cols[t][name]
         return None
 
-    l, r = resolve(mo.group("lref")), resolve(mo.group("rref"))
+    l, r = resolve(lref), resolve(rref)
     if l is None or r is None or l[0] == r[0]:
         return None
     if l[0] == right:  # ON written right-side-first
         l, r = r, l
     left_key, right_key = l[1], r[1]
     out: list[str] = []
-    for item in _split_select_list(mo.group("select")):
+    for item in _split_select_list(select):
         ri = resolve(item)
         # every output column must be unambiguous as a bare name —
         # the MV relation stores bare names
@@ -1347,7 +1435,6 @@ def match_join_shape(
         return None
     if left_key not in out and right_key not in out:
         return None  # MV rows are pruned by a held join-key column
-    where = mo.group("where")
     if where is not None:
         if _NON_LOCAL_WHERE.search(where):
             return None
@@ -1425,21 +1512,64 @@ def match_correlated_count_shape(
     against ``source_columns`` when provided; a non-count aggregate
     without schema access falls back).
     """
-    m = _CORR_RE.match(query)
-    if m is None:
+    if use_ast_matchers():
+        from tiflink_spark import sqlast
+
+        parsed = sqlast.corr_count_clauses(query)
+    else:
+        m = _CORR_RE.match(query)
+        parsed = (
+            None
+            if m is None
+            else (
+                m.group("select"),
+                m.group("akind"),
+                m.group("acol"),
+                m.group("fact"),
+                m.group("fa"),
+                m.group("w1"),
+                m.group("c1"),
+                m.group("w2"),
+                m.group("c2"),
+                m.group("alias"),
+                m.group("dim"),
+                m.group("da"),
+            )
+        )
+    if parsed is None:
         return None
-    fact, dim = m.group("fact"), m.group("dim")
+    return _match_corr_count_core(*parsed, source_names, dim_pk, source_columns)
+
+
+def _match_corr_count_core(
+    select: str,
+    akind_text: str,
+    acol_text: str,
+    fact: str,
+    fa_text: str,
+    w1: str,
+    c1: str,
+    w2: str,
+    c2: str,
+    alias: str,
+    dim: str,
+    da_text: str,
+    source_names: set[str],
+    dim_pk: dict[str, list[str]],
+    source_columns: dict[str, list[str]] | None,
+) -> CorrelatedCountShape | None:
+    """Shape validation shared by the regex and AST front-ends."""
     if fact not in source_names or dim not in source_names or fact == dim:
         return None
-    fa, da = m.group("fa").lower(), m.group("da").lower()
-    sides = {m.group("w1").lower(): m.group("c1"), m.group("w2").lower(): m.group("c2")}
+    fa, da = fa_text.lower(), da_text.lower()
+    sides = {w1.lower(): c1, w2.lower(): c2}
     if set(sides) != {fa, da}:
         return None
     fact_key, dim_corr = sides[fa], sides[da]
     pk = dim_pk.get(dim) or []
     if len(pk) != 1 or pk[0].lower() != dim_corr.lower():
         return None
-    akind, acol = m.group("akind").lower(), m.group("acol").strip()
+    akind, acol = akind_text.lower(), acol_text.strip()
     if acol == "*":
         if akind != "count":
             return None
@@ -1458,12 +1588,12 @@ def match_correlated_count_shape(
         if acol.lower() not in known:
             return None
         agg_col = known[acol.lower()]
-    sel = [c.strip() for c in m.group("select").split(",")]
+    sel = [c.strip() for c in select.split(",")]
     if pk[0].lower() not in [c.lower() for c in sel]:
         return None
     dim_cols = tuple(c for c in sel if c.lower() != pk[0].lower())
     return CorrelatedCountShape(
-        dim, pk[0], dim_cols, fact, fact_key, m.group("alias"), akind, agg_col
+        dim, pk[0], dim_cols, fact, fact_key, alias, akind, agg_col
     )
 
 
@@ -1538,14 +1668,67 @@ def match_semijoin_shape(
     left_semi/left_anti: a NULL fact key never matches (excluded from
     EXISTS/IN, kept by NOT EXISTS).
     """
-    m = _SEMI_EXISTS_RE.match(query)
-    in_form = False
-    if m is None:
-        m = _SEMI_IN_RE.match(query)
-        in_form = m is not None
-        if m is None:
-            return None
-    fact, other = m.group("fact"), m.group("other")
+    if use_ast_matchers():
+        from tiflink_spark import sqlast
+
+        parsed = sqlast.semijoin_clauses(query)
+    else:
+        m = _SEMI_EXISTS_RE.match(query)
+        parsed = None
+        if m is not None:
+            parsed = (
+                False,
+                m.group("select"),
+                m.group("fact"),
+                m.group("fa"),
+                m.group("pre"),
+                m.group("neg") is not None,
+                m.group("other"),
+                m.group("oa"),
+                m.group("lref"),
+                m.group("rref"),
+                None,
+                None,
+            )
+        else:
+            m = _SEMI_IN_RE.match(query)
+            if m is not None:
+                parsed = (
+                    True,
+                    m.group("select"),
+                    m.group("fact"),
+                    m.group("fa"),
+                    m.group("pre"),
+                    m.group("neg") is not None,
+                    m.group("other"),
+                    None,
+                    None,
+                    None,
+                    m.group("fcol"),
+                    m.group("ocol"),
+                )
+    if parsed is None:
+        return None
+    return _match_semijoin_core(*parsed, source_names, source_columns)
+
+
+def _match_semijoin_core(
+    in_form: bool,
+    select: str,
+    fact: str,
+    fa_text: str | None,
+    pre: str | None,
+    neg: bool,
+    other: str,
+    oa_text: str | None,
+    lref: str | None,
+    rref: str | None,
+    fcol: str | None,
+    ocol: str | None,
+    source_names: set[str],
+    source_columns: dict[str, list[str]],
+) -> SemiJoinShape | None:
+    """Shape validation shared by the regex and AST front-ends."""
     if (
         fact not in source_names
         or other not in source_names
@@ -1557,7 +1740,7 @@ def match_semijoin_shape(
     fcols = {c.lower(): c for c in source_columns[fact]}
     ocols = {c.lower(): c for c in source_columns[other]}
     if in_form:
-        fk, ok = m.group("fcol").lower(), m.group("ocol").lower()
+        fk, ok = fcol.lower(), ocol.lower()
         if fk not in fcols or ok not in ocols:
             return None
         # NOT IN is null-AWARE: a NULL inner value empties the view, a
@@ -1568,11 +1751,11 @@ def match_semijoin_shape(
         fact_key, other_key, anti = (
             fcols[fk],
             ocols[ok],
-            m.group("neg") is not None,
+            neg,
         )
     else:
-        fa = (m.group("fa") or fact).lower()
-        oa = (m.group("oa") or other).lower()
+        fa = (fa_text or fact).lower()
+        oa = (oa_text or other).lower()
         if fa == oa or {fa, oa} & _CLAUSE_KEYWORDS:
             return None
         quals = {fa: fact, oa: other}
@@ -1594,19 +1777,18 @@ def match_semijoin_shape(
                     return t, cols[t][name]
             return None
 
-        l, r = resolve(m.group("lref")), resolve(m.group("rref"))
+        l, r = resolve(lref), resolve(rref)
         if l is None or r is None or {l[0], r[0]} != {fact, other}:
             return None
         fact_key = l[1] if l[0] == fact else r[1]
         other_key = l[1] if l[0] == other else r[1]
-        anti = m.group("neg") is not None
-    sel = tuple(c.strip() for c in m.group("select").split(","))
+        anti = neg
+    sel = tuple(c.strip() for c in select.split(","))
     if len({c.lower() for c in sel}) != len(sel):
         return None
     if any(c.lower() not in fcols for c in sel):
         return None
     sel = tuple(fcols[c.lower()] for c in sel)
-    pre = m.group("pre")
     if pre is not None:
         # the conjunct sees only the outer (fact) scope here — EXISTS
         # terms inside it would have been consumed by the main regex
@@ -2846,7 +3028,7 @@ def normalize_query(
 
 _MN_FLAT_RE = re.compile(
     rf"^\s*SELECT\s+(?P<select>.+?)\s+"
-    rf"FROM\s+(?P<left>{_IDENT})(?:\s+(?:AS\s+)?(?P<la>{_IDENT}))?\s+"
+    rf"FROM\s+(?P<left>{_IDENT})(?:\s+(?:AS\s+)?(?P<la>{_NKW}{_IDENT}))?\s+"
     rf"(?:INNER\s+)?JOIN\s+(?P<right>{_IDENT})(?:\s+(?:AS\s+)?(?P<ra>{_IDENT}))?\s+"
     rf"ON\s+(?P<lref>(?:{_IDENT}\s*\.\s*)?{_IDENT})\s*=\s*"
     rf"(?P<rref>(?:{_IDENT}\s*\.\s*)?{_IDENT})"
@@ -3166,7 +3348,7 @@ _JOIN_CLAUSE = (
 
 _JOIN_AGG_RE = re.compile(
     rf"^\s*SELECT\s+(?P<select>.+?)\s+"
-    rf"FROM\s+(?P<t0>{_IDENT})(?:\s+(?:AS\s+)?(?P<a0>{_IDENT}))?\s+"
+    rf"FROM\s+(?P<t0>{_IDENT})(?:\s+(?:AS\s+)?(?P<a0>{_NKW}{_IDENT}))?\s+"
     rf"(?P<joins>{_JOIN_CLAUSE}(?:\s+{_JOIN_CLAUSE})*)"
     rf"(?:\s+WHERE\s+(?P<where>.+?))?"
     rf"\s+GROUP\s+BY\s+(?P<keys>.+?)"
@@ -3215,7 +3397,7 @@ class JoinProjectionShape:
 
 _JOIN_PROJ_RE = re.compile(
     rf"^\s*SELECT\s+(?P<select>.+?)\s+"
-    rf"FROM\s+(?P<t0>{_IDENT})(?:\s+(?:AS\s+)?(?P<a0>{_IDENT}))?\s+"
+    rf"FROM\s+(?P<t0>{_IDENT})(?:\s+(?:AS\s+)?(?P<a0>{_NKW}{_IDENT}))?\s+"
     rf"(?P<joins>{_JOIN_CLAUSE}(?:\s+{_JOIN_CLAUSE})*)"
     rf"(?:\s+WHERE\s+(?P<where>.+?))?"
     rf"\s*;?\s*$",
@@ -3239,15 +3421,48 @@ def match_join_projection_shape(
     window, no aggregates."""
     if _scan_top_level(query, "GROUP") or _scan_top_level(query, "HAVING"):
         return None
-    m = _JOIN_PROJ_RE.match(query)
-    if m is None:
+    if use_ast_matchers():
+        parsed = _join_ast_clauses(query, need_group_by=False)
+    else:
+        m = _JOIN_PROJ_RE.match(query)
+        parsed = (
+            None
+            if m is None
+            else (
+                m.group("select"),
+                m.group("t0"),
+                m.group("a0"),
+                _join_structs_from_match(m),
+                m.group("where"),
+                None,
+                None,
+            )
+        )
+    if parsed is None:
         return None
-    select = m.group("select")
+    return _match_join_projection_core(
+        *parsed[:5], source_names, source_columns, source_pks
+    )
+
+
+def _match_join_projection_core(
+    select: str,
+    t0: str,
+    a0: str | None,
+    join_structs,
+    where: str | None,
+    source_names: set[str],
+    source_columns: dict[str, list[str]],
+    source_pks: dict[str, list[str]],
+) -> JoinProjectionShape | None:
+    """Shape validation shared by the regex and AST front-ends."""
     if re.match(r"(?is)^DISTINCT\b", select) or re.search(
         r"(?is)\bOVER\s*\(", select
     ):
         return None
-    tree = _orient_join_tree(m, source_names, source_columns, source_pks)
+    tree = _orient_join_tree(
+        t0, a0, join_structs, source_names, source_columns, source_pks
+    )
     if tree is None:
         return None
     tables, quals, cols, ambiguous, resolve, fact, dims = tree
@@ -3284,7 +3499,6 @@ def match_join_projection_shape(
     if not pk or any(p.lower() not in sel_lower for p in pk):
         return None
 
-    where = m.group("where")
     if where is not None:
         if _NON_LOCAL_WHERE.search(where):
             return None
@@ -3333,26 +3547,71 @@ def match_join_projection_shape(
     )
 
 
-def _orient_join_tree(m, source_names, source_columns, source_pks):
-    """Shared FROM/JOIN parsing and orientation for the join matchers:
-    parse the join clauses of a matched query head, resolve every ON
-    equality, and orient the join graph at the table from which every
-    other table is reachable through its own declared PK. Returns
-    (tables, quals, cols, ambiguous, resolve, fact, dims) or None."""
-    tables = [m.group("t0")]
-    quals = {(m.group("a0") or m.group("t0")).lower(): m.group("t0")}
+def _join_structs_from_match(m) -> list[tuple[str | None, str, str | None, str]]:
+    """(how, table, alias, on) tuples from a regex match's ``joins``
+    group — the structured form both front-ends hand to
+    :func:`_orient_join_tree`."""
+    return [
+        (jc.group("how"), jc.group("t"), jc.group("a"), jc.group("on"))
+        for jc in _JOIN_CLAUSE_RE.finditer(m.group("joins"))
+    ]
+
+
+_ON_EQ_CHAIN_RE = re.compile(
+    rf"(?is)^\s*{_ON_EQ}(?:\s+AND\s+{_ON_EQ})*\s*$"
+)
+
+
+def _join_ast_clauses(query: str, need_group_by: bool):
+    """AST front-end shared by the fact-⋈-dims projection and
+    aggregate matchers: (select, t0, a0, join_structs, where, keys,
+    having) or None. Mirrors _JOIN_PROJ_RE / _JOIN_AGG_RE's envelope —
+    INNER/LEFT joins only, each ON body an equality chain."""
+    from tiflink_spark import sqlast
+
+    s = sqlast.parse_join_select(query)
+    if s is None or s.tail is not None:
+        return None
+    if need_group_by:
+        if s.group_by is None:
+            return None
+    elif s.group_by is not None or s.having is not None:
+        return None
+    structs: list[tuple[str | None, str, str | None, str]] = []
+    for j in s.joins:
+        if j.how not in ("inner", "left") or j.on is None:
+            return None
+        if not _ON_EQ_CHAIN_RE.match(j.on):
+            return None
+        structs.append((j.how, j.table, j.alias, j.on))
+    return (s.select, s.table, s.alias, structs, s.where, s.group_by, s.having)
+
+
+def _orient_join_tree(
+    t0, a0, join_structs, source_names, source_columns, source_pks
+):
+    """Shared FROM/JOIN orientation for the join matchers: given the
+    base table and the (how, table, alias, on) join steps, resolve
+    every ON equality, and orient the join graph at the table from
+    which every other table is reachable through its own declared PK.
+    Returns (tables, quals, cols, ambiguous, resolve, fact, dims) or
+    None."""
+    tables = [t0]
+    quals = {(a0 or t0).lower(): t0}
     # raw ([(lref, rref), ...], how, joined-table) per ON clause — a
     # conjunction of equalities is one edge (the composite-PK form)
     edges: list[tuple[list[tuple[str, str]], str, str]] = []
-    for jc in _JOIN_CLAUSE_RE.finditer(m.group("joins")):
-        tables.append(jc.group("t"))
-        quals[(jc.group("a") or jc.group("t")).lower()] = jc.group("t")
-        how = "left" if (jc.group("how") or "").lower().startswith("left") else "inner"
+    for how_text, jt, ja, on in join_structs:
+        tables.append(jt)
+        quals[(ja or jt).lower()] = jt
+        how = "left" if (how_text or "").lower().startswith("left") else "inner"
         pairs = [
             (em.group("lref"), em.group("rref"))
-            for em in _ON_EQ_RE.finditer(jc.group("on"))
+            for em in _ON_EQ_RE.finditer(on)
         ]
-        edges.append((pairs, how, jc.group("t")))
+        if not pairs:
+            return None
+        edges.append((pairs, how, jt))
     if (
         len(set(tables)) != len(tables)
         or any(t not in source_names for t in tables)
@@ -3523,10 +3782,44 @@ def match_join_agg_shape(
     column references both match; bare names present in more than one
     table are rejected as ambiguous, mirroring SQL resolution.
     """
-    m = _JOIN_AGG_RE.match(query)
-    if m is None:
+    if use_ast_matchers():
+        parsed = _join_ast_clauses(query, need_group_by=True)
+    else:
+        m = _JOIN_AGG_RE.match(query)
+        parsed = (
+            None
+            if m is None
+            else (
+                m.group("select"),
+                m.group("t0"),
+                m.group("a0"),
+                _join_structs_from_match(m),
+                m.group("where"),
+                m.group("keys"),
+                m.group("having"),
+            )
+        )
+    if parsed is None:
         return None
-    tree = _orient_join_tree(m, source_names, source_columns, source_pks)
+    return _match_join_agg_core(*parsed, source_names, source_columns, source_pks)
+
+
+def _match_join_agg_core(
+    select: str,
+    t0: str,
+    a0: str | None,
+    join_structs,
+    where: str | None,
+    keys_body: str,
+    having: str | None,
+    source_names: set[str],
+    source_columns: dict[str, list[str]],
+    source_pks: dict[str, list[str]],
+) -> JoinAggShape | None:
+    """Shape validation shared by the regex and AST front-ends."""
+    tree = _orient_join_tree(
+        t0, a0, join_structs, source_names, source_columns, source_pks
+    )
     if tree is None:
         return None
     tables, quals, cols, ambiguous, resolve, fact, dims = tree
@@ -3541,8 +3834,8 @@ def match_join_agg_shape(
     # side — or an ``expr AS alias`` derived key (time-grain rollups),
     # whose GROUP BY term spells either the expression or the alias.
     left_dims = {d.dim for d in dims if d.how == "left"}
-    key_terms = _split_select_list(m.group("keys"))
-    items = _split_select_list(m.group("select"))
+    key_terms = _split_select_list(keys_body)
+    items = _split_select_list(select)
     if len(items) <= len(key_terms):
         return None
     allowed = set().union(*(set(cols[t]) for t in tables)) - ambiguous
@@ -3600,7 +3893,6 @@ def match_join_agg_shape(
     if len({n.lower() for n in out_names}) != len(out_names):
         return None  # alias collisions make the output ambiguous
 
-    where = m.group("where")
     if where is not None:
         if _NON_LOCAL_WHERE.search(where):
             return None
@@ -3611,7 +3903,6 @@ def match_join_agg_shape(
             return None
         where = where.strip()
 
-    having = m.group("having")
     if having is not None:
         # Same contract as the single-table shape: aggregate calls
         # rewrite to (hidden) measures of the joined relation's GROUP

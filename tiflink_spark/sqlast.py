@@ -340,6 +340,570 @@ def distinct_clauses(query: str):
     return (dm.group(1), s.table, s.where)
 
 
+@dataclass(frozen=True)
+class JoinClause:
+    """One JOIN step: how ∈ {"inner","left","right","full","cross"}
+    (the parser normalizes INNER-less JOIN to "inner" and drops OUTER),
+    plus either ``on`` (verbatim predicate text) or ``using`` (the
+    single identifier) — never both."""
+
+    how: str
+    table: str
+    alias: str | None
+    on: str | None
+    using: str | None
+
+
+@dataclass(frozen=True)
+class JoinSelect:
+    """``SELECT items FROM t0 [a0] (JOIN ...)+ [WHERE] [GROUP BY]
+    [HAVING]`` — clause texts verbatim. ``tail`` non-None marks trailing
+    text the parser doesn't model (set ops, ORDER BY/LIMIT/OFFSET...);
+    matchers must require it None."""
+
+    select: str
+    table: str
+    alias: str | None
+    joins: tuple[JoinClause, ...]
+    where: str | None
+    group_by: str | None
+    having: str | None
+    tail: str | None
+
+
+_JOIN_STARTS = frozenset("join inner left right full cross".split())
+_AFTER_ON_STOPS = frozenset(
+    "where group having order limit offset fetch union intersect except "
+    "window qualify".split()
+)
+
+
+def parse_join_select(sql: str) -> JoinSelect | None:
+    """Parse the explicit-JOIN statement form the join matchers
+    consume, or None for anything else (single table, comma joins,
+    derived tables, trailing clauses land in ``tail``)."""
+    sql = sql.strip().rstrip(";")
+    toks = tokenize(sql)
+    if not toks:
+        return None
+    if toks[0].kind != "ident" or toks[0].lower() != "select":
+        return None
+    body = toks[1:]
+    fi = _find_clause(body, "from")
+    if fi is None or fi == 0:
+        return None
+    select = _slice(sql, body[:fi])
+    rest = body[fi + 1 :]
+
+    def take_table(rest: list[Token], stops: frozenset[str]):
+        """(table, alias, rest') or None — table ident + optional
+        alias, stopping before any keyword in ``stops``."""
+        if not rest or rest[0].kind != "ident" or rest[0].lower() in stops:
+            return None
+        table = rest[0].text
+        rest = rest[1:]
+        alias = None
+        if rest and rest[0].kind == "ident" and rest[0].lower() == "as":
+            if len(rest) < 2 or rest[1].kind != "ident":
+                return None
+            alias, rest = rest[1].text, rest[2:]
+        elif rest and rest[0].kind == "ident" and rest[0].lower() not in stops:
+            alias, rest = rest[0].text, rest[1:]
+        return table, alias, rest
+
+    stops = _JOIN_STARTS | _AFTER_ON_STOPS | {"on", "using"}
+    t0 = take_table(rest, stops)
+    if t0 is None:
+        return None
+    table, alias, rest = t0
+
+    joins: list[JoinClause] = []
+    while rest and rest[0].kind == "ident" and rest[0].lower() in _JOIN_STARTS:
+        how = "inner"
+        if rest[0].lower() != "join":
+            w = rest[0].lower()
+            if w == "inner":
+                how = "inner"
+                rest = rest[1:]
+            elif w in ("left", "right", "full"):
+                how = w
+                rest = rest[1:]
+                if rest and rest[0].kind == "ident" and rest[0].lower() == "outer":
+                    rest = rest[1:]
+            elif w == "cross":
+                how = "cross"
+                rest = rest[1:]
+            else:
+                return None
+            if not rest or rest[0].kind != "ident" or rest[0].lower() != "join":
+                return None
+        rest = rest[1:]  # past JOIN
+        jt = take_table(rest, stops)
+        if jt is None:
+            return None
+        jtable, jalias, rest = jt
+        on = using = None
+        if how != "cross":
+            if not rest or rest[0].kind != "ident":
+                return None
+            if rest[0].lower() == "on":
+                rest = rest[1:]
+                # predicate runs to the next depth-0 join/clause keyword
+                depth, stop = 0, len(rest)
+                for i, t in enumerate(rest):
+                    if t.text == "(":
+                        depth += 1
+                    elif t.text == ")":
+                        depth -= 1
+                    elif (
+                        depth == 0
+                        and t.kind == "ident"
+                        and t.lower() in (_JOIN_STARTS | _AFTER_ON_STOPS)
+                    ):
+                        stop = i
+                        break
+                if stop == 0:
+                    return None
+                on = _slice(sql, rest[:stop])
+                rest = rest[stop:]
+            elif rest[0].lower() == "using":
+                if (
+                    len(rest) < 4
+                    or rest[1].text != "("
+                    or rest[2].kind != "ident"
+                    or rest[3].text != ")"
+                ):
+                    return None
+                using = rest[2].text
+                rest = rest[4:]
+            else:
+                return None
+        joins.append(JoinClause(how, jtable, jalias, on, using))
+    if not joins:
+        return None
+
+    where = group_by = having = tail = None
+
+    def next_stop(toks: list[Token]) -> int:
+        stops = [
+            x
+            for x in (
+                _find_clause(toks, "group", "by"),
+                _find_clause(toks, "having"),
+                _find_clause(toks, "order", "by"),
+                _find_clause(toks, "limit"),
+                _find_clause(toks, "offset"),
+                _find_clause(toks, "union"),
+                _find_clause(toks, "intersect"),
+                _find_clause(toks, "except"),
+            )
+            if x is not None
+        ]
+        return min(stops) if stops else len(toks)
+
+    if rest and _find_clause(rest, "where") == 0:
+        rest = rest[1:]
+        stop = next_stop(rest)
+        if stop == 0:
+            return None
+        where = _slice(sql, rest[:stop])
+        rest = rest[stop:]
+    if rest and _find_clause(rest, "group", "by") == 0:
+        rest = rest[2:]
+        stop = next_stop(rest)
+        if stop == 0:
+            return None
+        group_by = _slice(sql, rest[:stop])
+        rest = rest[stop:]
+    if rest and _find_clause(rest, "having") == 0:
+        rest = rest[1:]
+        stop = next_stop(rest)
+        if stop == 0:
+            return None
+        having = _slice(sql, rest[:stop])
+        rest = rest[stop:]
+    if rest:
+        tail = _slice(sql, rest)
+    return JoinSelect(
+        select, table, alias, tuple(joins), where, group_by, having, tail
+    )
+
+
+def theta_join_clauses(query: str):
+    """AST front-end for the two-sided non-equi join view: (select,
+    left, left_alias, right, right_alias, pred, where), or None.
+    Mirrors planner._THETA_JOIN_RE's envelope: exactly one INNER join
+    with an ON predicate, optional WHERE, nothing trailing."""
+    s = parse_join_select(query)
+    if (
+        s is None
+        or s.tail is not None
+        or s.group_by is not None
+        or s.having is not None
+        or len(s.joins) != 1
+    ):
+        return None
+    j = s.joins[0]
+    if j.how != "inner" or j.on is None:
+        return None
+    return (s.select, s.table, s.alias, j.table, j.alias, j.on, s.where)
+
+
+def join_using_clauses(query: str):
+    """AST front-end for the bare inner equi-join USING form: (select,
+    left, right, key), or None. Mirrors planner._JOIN_RE's envelope:
+    bare ident select list, no aliases, no WHERE, nothing trailing."""
+    s = parse_join_select(query)
+    if (
+        s is None
+        or s.tail is not None
+        or s.group_by is not None
+        or s.having is not None
+        or s.where is not None
+        or s.alias is not None
+        or len(s.joins) != 1
+    ):
+        return None
+    j = s.joins[0]
+    if j.how != "inner" or j.using is None or j.alias is not None:
+        return None
+    items = [c.strip() for c in s.select.split(",")]
+    if any(not re.fullmatch(r"[A-Za-z_]\w*", c) for c in items):
+        return None
+    return (s.select, s.table, j.table, j.using)
+
+
+def join_on_clauses(query: str):
+    """AST front-end for the inner equi-join ON form: (select, left,
+    left_alias, right, right_alias, lref, rref, where), or None.
+    Mirrors planner._JOIN_ON_RE's envelope: one INNER join whose ON is
+    a single [qual.]col = [qual.]col equality, optional WHERE, nothing
+    trailing."""
+    s = parse_join_select(query)
+    if (
+        s is None
+        or s.tail is not None
+        or s.group_by is not None
+        or s.having is not None
+        or len(s.joins) != 1
+    ):
+        return None
+    j = s.joins[0]
+    if j.how != "inner" or j.on is None:
+        return None
+    ref = r"(?:[A-Za-z_]\w*\s*\.\s*)?[A-Za-z_]\w*"
+    em = re.fullmatch(
+        rf"(?s)\s*({ref})\s*=\s*({ref})\s*", j.on
+    )
+    if em is None:
+        return None
+    return (
+        s.select,
+        s.table,
+        s.alias,
+        j.table,
+        j.alias,
+        em.group(1),
+        em.group(2),
+        s.where,
+    )
+
+
+def semijoin_clauses(query: str):
+    """AST front-end for the EXISTS / NOT EXISTS / IN / NOT IN
+    existence-filter view. Returns the 12-tuple
+
+        (in_form, select, fact, fa, pre, neg, other, oa,
+         lref, rref, fcol, ocol)
+
+    (EXISTS form: fcol/ocol None; IN form: fa/oa/lref/rref None), or
+    None. Mirrors planner._SEMI_EXISTS_RE / _SEMI_IN_RE: bare ident
+    select list, the subquery term LAST in WHERE, one optional leading
+    conjunct (``pre``)."""
+    s = parse_single_select(query)
+    if (
+        s is None
+        or s.tail is not None
+        or s.order_by is not None
+        or s.limit is not None
+        or s.group_by is not None
+        or s.having is not None
+        or s.where is None
+    ):
+        return None
+    if any(
+        not re.fullmatch(r"[A-Za-z_]\w*", c.strip()) for c in s.select.split(",")
+    ):
+        return None
+    wtoks = tokenize(s.where)
+    if not wtoks:
+        return None
+
+    def ident(j: int, toks=None) -> str | None:
+        toks = wtoks if toks is None else toks
+        return toks[j].text if 0 <= j < len(toks) and toks[j].kind == "ident" else None
+
+    # locate the LAST depth-0 EXISTS (mirrors the regex's non-greedy
+    # pre, which grows until the final EXISTS term)
+    depth, epos = 0, None
+    for i, t in enumerate(wtoks):
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.kind == "ident" and t.lower() == "exists":
+            epos = i
+    if epos is not None:
+        start = epos
+        neg = False
+        if start > 0 and (ident(start - 1) or "").lower() == "not":
+            neg, start = True, start - 1
+        pre = None
+        if start > 0:
+            # the term before [NOT] EXISTS must be a depth-0 AND with a
+            # non-empty conjunct in front of it
+            if (ident(start - 1) or "").lower() != "and" or start - 1 == 0:
+                return None
+            pre = s.where[wtoks[0].start : wtoks[start - 2].end]
+        # EXISTS ( SELECT 1|* FROM other [AS? oa] WHERE lref = rref )
+        j = epos + 1
+        if j >= len(wtoks) or wtoks[j].text != "(":
+            return None
+        j += 1
+        if (ident(j) or "").lower() != "select":
+            return None
+        j += 1
+        if j >= len(wtoks) or wtoks[j].text not in ("1", "*"):
+            return None
+        j += 1
+        if (ident(j) or "").lower() != "from":
+            return None
+        j += 1
+        other = ident(j)
+        if other is None:
+            return None
+        j += 1
+        oa = None
+        if (ident(j) or "").lower() == "as":
+            oa = ident(j + 1)
+            if oa is None:
+                return None
+            j += 2
+        elif ident(j) is not None and (ident(j) or "").lower() != "where":
+            oa = ident(j)
+            j += 1
+        if (ident(j) or "").lower() != "where":
+            return None
+        j += 1
+
+        def take_ref(j: int) -> tuple[str, int] | None:
+            if ident(j) is None:
+                return None
+            if (
+                j + 2 < len(wtoks)
+                and wtoks[j + 1].text == "."
+                and wtoks[j + 2].kind == "ident"
+            ):
+                return s.where[wtoks[j].start : wtoks[j + 2].end], j + 3
+            return wtoks[j].text, j + 1
+
+        tr = take_ref(j)
+        if tr is None:
+            return None
+        lref, j = tr
+        if j >= len(wtoks) or wtoks[j].text != "=":
+            return None
+        tr = take_ref(j + 1)
+        if tr is None:
+            return None
+        rref, j = tr
+        if j != len(wtoks) - 1 or wtoks[j].text != ")":
+            return None
+        return (
+            False,
+            s.select,
+            s.table,
+            s.alias,
+            pre,
+            neg,
+            other,
+            oa,
+            lref,
+            rref,
+            None,
+            None,
+        )
+
+    # IN form: WHERE must END with: fcol [NOT] IN ( SELECT ocol FROM other )
+    n = len(wtoks)
+    if n < 7 or wtoks[n - 1].text != ")":
+        return None
+    other = ident(n - 2)
+    if other is None or (ident(n - 3) or "").lower() != "from":
+        return None
+    ocol = ident(n - 4)
+    if ocol is None or (ident(n - 5) or "").lower() != "select":
+        return None
+    if wtoks[n - 6].text != "(":
+        return None
+    j = n - 7
+    if (ident(j) or "").lower() != "in":
+        return None
+    j -= 1
+    neg = False
+    if (ident(j) or "").lower() == "not":
+        neg, j = True, j - 1
+    fcol = ident(j)
+    if fcol is None or fcol.lower() in ("and", "or", "not", "in"):
+        return None
+    pre = None
+    if j > 0:
+        if (ident(j - 1) or "").lower() != "and" or j - 1 == 0:
+            return None
+        pre = s.where[wtoks[0].start : wtoks[j - 2].end]
+    return (
+        True,
+        s.select,
+        s.table,
+        s.alias,
+        pre,
+        neg,
+        other,
+        None,
+        None,
+        None,
+        fcol,
+        ocol,
+    )
+
+
+def corr_count_clauses(query: str):
+    """AST front-end for the correlated scalar-aggregate shape:
+
+        SELECT d1[, d2 ...], (SELECT agg(x|*) FROM fact fa
+            WHERE q1.c1 = q2.c2) AS alias FROM dim da
+
+    → (select, akind, acol, fact, fa, w1, c1, w2, c2, alias, dim, da)
+    or None. Mirrors planner._CORR_RE's envelope — bare ident outer
+    select items, mandatory table aliases, single equality."""
+    sql = query.strip().rstrip(";")
+    toks = tokenize(sql)
+    if not toks:
+        return None
+
+    def kw(j: int, *words: str) -> bool:
+        return all(
+            j + n < len(toks)
+            and toks[j + n].kind == "ident"
+            and toks[j + n].lower() == w
+            for n, w in enumerate(words)
+        )
+
+    if not kw(0, "select"):
+        return None
+    # outer select: idents "," ... "," "(" — find the depth-0 "(" that
+    # starts the scalar subquery
+    i = 1
+    sel_toks: list[Token] = []
+    while i < len(toks) and toks[i].kind == "ident":
+        sel_toks.append(toks[i])
+        if i + 1 < len(toks) and toks[i + 1].text == ",":
+            i += 2
+        else:
+            return None
+        if i < len(toks) and toks[i].text == "(":
+            break
+    if not sel_toks or i >= len(toks) or toks[i].text != "(":
+        return None
+    # verbatim text over the ident list (excluding the trailing comma)
+    select = sql[sel_toks[0].start : sel_toks[-1].end]
+    i += 1  # past "("
+    if not kw(i, "select"):
+        return None
+    i += 1
+    if i >= len(toks) or toks[i].kind != "ident":
+        return None
+    akind = toks[i].text
+    if akind.lower() not in ("count", "sum", "avg", "min", "max"):
+        return None
+    i += 1
+    if i >= len(toks) or toks[i].text != "(":
+        return None
+    i += 1
+    # acol: * | [qual .] ident
+    if i < len(toks) and toks[i].text == "*":
+        acol = "*"
+        i += 1
+    elif i < len(toks) and toks[i].kind == "ident":
+        if (
+            i + 2 < len(toks)
+            and toks[i + 1].text == "."
+            and toks[i + 2].kind == "ident"
+        ):
+            acol = sql[toks[i].start : toks[i + 2].end]
+            i += 3
+        else:
+            acol = toks[i].text
+            i += 1
+    else:
+        return None
+    if i >= len(toks) or toks[i].text != ")":
+        return None
+    i += 1
+    if not kw(i, "from"):
+        return None
+    i += 1
+    if i + 1 >= len(toks) or toks[i].kind != "ident" or toks[i + 1].kind != "ident":
+        return None
+    fact, fa = toks[i].text, toks[i + 1].text
+    if fa.lower() == "where":
+        return None
+    i += 2
+    if not kw(i, "where"):
+        return None
+    i += 1
+    # q1.c1 = q2.c2
+    if not (
+        i + 6 < len(toks)
+        and toks[i].kind == "ident"
+        and toks[i + 1].text == "."
+        and toks[i + 2].kind == "ident"
+        and toks[i + 3].text == "="
+        and toks[i + 4].kind == "ident"
+        and toks[i + 5].text == "."
+        and toks[i + 6].kind == "ident"
+    ):
+        return None
+    w1, c1, w2, c2 = (
+        toks[i].text,
+        toks[i + 2].text,
+        toks[i + 4].text,
+        toks[i + 6].text,
+    )
+    i += 7
+    if i >= len(toks) or toks[i].text != ")":
+        return None
+    i += 1
+    if not kw(i, "as"):
+        return None
+    i += 1
+    if i >= len(toks) or toks[i].kind != "ident":
+        return None
+    alias = toks[i].text
+    i += 1
+    if not kw(i, "from"):
+        return None
+    i += 1
+    if (
+        i + 1 != len(toks) - 1
+        or toks[i].kind != "ident"
+        or toks[i + 1].kind != "ident"
+    ):
+        return None
+    dim, da = toks[i].text, toks[i + 1].text
+    return (select, akind, acol, fact, fa, w1, c1, w2, c2, alias, dim, da)
+
+
 def topn_clauses(query: str):
     """AST front-end for the per-group Top-N matcher:
 
