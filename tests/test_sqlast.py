@@ -201,7 +201,7 @@ class TestFrontEndEquivalence:
             self._check(q, monkeypatch)
 
     def _check(self, query, monkeypatch):
-        monkeypatch.delenv("TIFLINK_AST_MATCHERS", raising=False)
+        monkeypatch.setenv("TIFLINK_AST_MATCHERS", "0")  # legacy regex side
         rx = (
             match_agg_shape(query, {"t"}, COLS),
             match_projection_shape(query, {"t"}, COLS, PKS),
@@ -318,7 +318,7 @@ class TestJoinFrontEndEquivalence:
         )
 
     def _check(self, query, monkeypatch):
-        monkeypatch.delenv("TIFLINK_AST_MATCHERS", raising=False)
+        monkeypatch.setenv("TIFLINK_AST_MATCHERS", "0")  # legacy regex side
         rx = self._matchers(query)
         monkeypatch.setenv("TIFLINK_AST_MATCHERS", "1")
         ast = self._matchers(query)

@@ -84,14 +84,15 @@ from tiflink_spark.incremental import Measure
 
 def use_ast_matchers() -> bool:
     """Feature flag for the tokenizer-based clause front-end
-    (:mod:`tiflink_spark.sqlast`). The regex front-ends remain the
-    default; set ``TIFLINK_AST_MATCHERS=1`` to route the ported
-    matchers (single-table aggregate, projection) through the AST
-    parse instead. Both paths share the same ``_match_*_core``
-    validation, and tests/test_sqlast.py pins front-end equivalence
-    over the fuzz corpus — the migration path off the hand-rolled
-    regex scanners (one matcher at a time, fuzz as the oracle)."""
-    return _os.environ.get("TIFLINK_AST_MATCHERS", "") == "1"
+    (:mod:`tiflink_spark.sqlast`). The AST front-end is the DEFAULT
+    (all 16 matchers route through the tokenizer parse); set
+    ``TIFLINK_AST_MATCHERS=0`` to fall back to the legacy hand-rolled
+    regex scanners for one deprecation round. Both paths share the
+    same ``_match_*_core`` validation, and tests/test_sqlast.py pins
+    front-end equivalence over the fuzz corpus, so the flip changes
+    clause *extraction* only — the regex path is retained solely as a
+    rollback lever and is slated for deletion."""
+    return _os.environ.get("TIFLINK_AST_MATCHERS", "1") != "0"
 
 
 _IDENT = r"[A-Za-z_]\w*"
@@ -384,12 +385,19 @@ class GroupingSetsShape:
     # set (1 when the column is aggregated away, else 0), so the
     # maintenance layer emits them as per-set literals at read time.
     grouping_items: tuple[tuple[str, str], ...] = ()  # (alias, col)
+    # ``GROUPING_ID(c1, …, ck) AS alias`` select items — also constant
+    # per grouping set: bit i (first argument = MSB, the SQL-standard /
+    # Spark / DuckDB convention) is 1 when that column is aggregated
+    # away. (alias, (cols…)); bare GROUPING_ID() captures all keys.
+    gid_items: tuple[tuple[str, tuple[str, ...]], ...] = ()
     # Output order of the non-key select items: ("g", alias) for a
-    # grouping flag, ("m", alias) for a measure — read() interleaves
-    # them back into the query's select order.
+    # grouping flag, ("gid", alias) for a grouping id, ("m", alias)
+    # for a measure — read() interleaves them back into the query's
+    # select order.
     tail_order: tuple[tuple[str, str], ...] = ()
-    # Measure-only HAVING in alias form (applied as every per-set
-    # sub-MV's target filter), plus the hidden measures it needs.
+    # HAVING in alias form over measures and/or grouping keys (keys a
+    # set omits are NULL-substituted per sub-MV at apply time), plus
+    # the hidden measures the aggregate rewrite needs.
     having: str | None = None
     hidden: tuple[Measure, ...] = ()
 
@@ -2126,14 +2134,14 @@ def match_grouping_sets_shape(
     Conservative envelope: one registered source, leading select items
     are the bare grouping columns (select order must cover exactly the
     union of grouping-set columns), remaining items are supported
-    aggregates or ``GROUPING(col) AS alias`` flags (constant per
-    grouping set — emitted as per-set literals), WHERE row-local,
-    HAVING restricted to MEASURES only (aggregate calls rewrite to
-    possibly-hidden measure aliases and filter every per-set target
-    identically; a HAVING referencing a grouping KEY cannot be
-    evaluated on the sub-targets that aggregate that key away →
-    recompute), no GROUPING_ID() (its bit order is engine-defined over
-    the de-sugared expansion; recompute handles it)."""
+    aggregates, ``GROUPING(col) AS alias`` flags, or
+    ``GROUPING_ID(cols…) AS alias`` (both constant per grouping set —
+    emitted as per-set literals; GROUPING_ID's bit order is first
+    argument = MSB, the SQL-standard/Spark/DuckDB convention), WHERE
+    row-local, HAVING over measures and/or grouping keys (aggregate
+    calls rewrite to possibly-hidden measure aliases; a referenced key
+    reads as NULL on the sub-targets that aggregate it away, applied
+    per sub-MV via NULL substitution)."""
     if use_ast_matchers():
         from tiflink_spark import sqlast
 
@@ -2170,8 +2178,6 @@ def _match_grouping_sets_core(
         return None
     if where is not None and _NON_LOCAL_WHERE.search(where):
         return None
-    if re.search(r"(?i)\bGROUPING_ID\s*\(", select):
-        return None
     sets = _expand_grouping_body(keys_body)
     if sets is None:
         return None
@@ -2199,10 +2205,19 @@ def _match_grouping_sets_core(
         return None
     key_by_lower = {k.lower(): k for k in keys}
     grouping_items: list[tuple[str, str]] = []
+    gid_items: list[tuple[str, tuple[str, ...]]] = []
     meas_items: list[str] = []
     tail_order: list[tuple[str, str]] = []
     g_re = re.compile(
         rf"(?is)^GROUPING\s*\(\s*({_IDENT})\s*\)\s+AS\s+({_IDENT})$"
+    )
+    # GROUPING_ID(c1, …, ck) — like GROUPING(), constant per grouping
+    # set: bit i (first argument = most significant, the SQL-standard /
+    # Spark / DuckDB convention) is 1 when that column is aggregated
+    # away. Bare GROUPING_ID() means all grouping columns in select
+    # order (Spark's no-arg form).
+    gid_re = re.compile(
+        rf"(?is)^GROUPING_ID\s*\(\s*(?P<args>(?:{_IDENT}(?:\s*,\s*{_IDENT})*)?)\s*\)\s+AS\s+(?P<alias>{_IDENT})$"
     )
     for item in items[len(set_cols) :]:
         gm = g_re.match(item.strip())
@@ -2212,9 +2227,25 @@ def _match_grouping_sets_core(
                 return None  # GROUPING over a non-grouping column
             grouping_items.append((alias, key_by_lower[col.lower()]))
             tail_order.append(("g", alias))
-        else:
-            meas_items.append(item)
-            tail_order.append(("m", ""))
+            continue
+        gim = gid_re.match(item.strip())
+        if gim is not None:
+            args = [a.strip() for a in gim.group("args").split(",") if a.strip()]
+            # Spark only accepts GROUPING_ID() or GROUPING_ID(<all
+            # grouping columns, in grouping order>) — a subset raises
+            # GROUPING_ID_COLUMN_MISMATCH — so the maintainable form is
+            # exactly that; anything else stays on the fallback (where
+            # Spark raises the same error the user would see).
+            grouping_order = tuple(key_by_lower[c.lower()] for c in set_cols)
+            if args and tuple(a.lower() for a in args) != tuple(
+                c.lower() for c in grouping_order
+            ):
+                return None
+            gid_items.append((gim.group("alias"), grouping_order))
+            tail_order.append(("gid", gim.group("alias")))
+            continue
+        meas_items.append(item)
+        tail_order.append(("m", ""))
     if not meas_items:
         return None
     measures = _parse_measures(meas_items, cols)
@@ -2222,22 +2253,25 @@ def _match_grouping_sets_core(
         return None
     mi = iter(measures)
     tail_order = [
-        (k, a if k == "g" else next(mi).alias) for k, a in tail_order
+        (k, next(mi).alias if k == "m" else a) for k, a in tail_order
     ]
-    out_aliases = [mm.alias.lower() for mm in measures] + [
-        a.lower() for a, _ in grouping_items
-    ]
+    out_aliases = (
+        [mm.alias.lower() for mm in measures]
+        + [a.lower() for a, _ in grouping_items]
+        + [a.lower() for a, _ in gid_items]
+    )
     if len(set(out_aliases)) != len(out_aliases) or set(out_aliases) & {
         k.lower() for k in keys
     }:
         return None
     hidden: list[Measure] = []
     if having is not None:
-        # Measure-only HAVING: aggregate calls rewrite to (possibly
-        # hidden) measure aliases; the SAME alias-form filter then
-        # applies to every per-set target. Any remaining identifier
-        # that is not a measure/hidden alias — in particular a
-        # grouping KEY, which subtotal sub-targets don't carry —
+        # HAVING over measures and/or grouping KEYS: aggregate calls
+        # rewrite to (possibly hidden) measure aliases. A key reference
+        # is evaluable per grouping set under SQL's rule that a key
+        # absent from the current set reads as NULL — the maintenance
+        # layer applies the filter per sub-MV with absent keys
+        # NULL-substituted (IncrementalGroupingSetsMV). Anything else
         # bails to recompute.
         rw = _rewrite_having_aggs(having.strip(), list(measures), cols)
         if rw is None:
@@ -2245,9 +2279,11 @@ def _match_grouping_sets_core(
         having, hidden = rw
         if _NON_LOCAL_WHERE.search(having):
             return None
-        ok_idents = {mm.alias.lower() for mm in measures} | {
-            mm.alias.lower() for mm in hidden
-        }
+        ok_idents = (
+            {mm.alias.lower() for mm in measures}
+            | {mm.alias.lower() for mm in hidden}
+            | set(key_by_lower)
+        )
         for ident in re.findall(_IDENT, re.sub(r"'[^']*'", " ", having)):
             if ident.lower() not in ok_idents | _SQL_KEYWORDS:
                 return None
@@ -2262,6 +2298,7 @@ def _match_grouping_sets_core(
         measures=tuple(measures),
         where=where.strip() if where is not None else None,
         grouping_items=tuple(grouping_items),
+        gid_items=tuple(gid_items),
         tail_order=tuple(tail_order),
         having=having,
         hidden=tuple(hidden),
@@ -2323,8 +2360,11 @@ def _strip_bare_order_by(query: str) -> str:
 
 def _resolve_groupby_ordinals(query: str) -> str:
     """Rewrite ``GROUP BY 1, 2`` ordinals to the select items they
-    denote (the alias when the item has one, else the item text) —
-    SQL's positional GROUP BY, which every matcher otherwise misses.
+    denote — always the item's *expression* (alias stripped), never
+    the alias: ``SELECT abs(x) AS x ... GROUP BY 1`` must become
+    ``GROUP BY abs(x)``, since resolving to the alias ``x`` would
+    re-bind to the base column and change the grouping. SQL's
+    positional GROUP BY, which every matcher otherwise misses.
     ROLLUP/CUBE/GROUPING SETS groupings are left untouched."""
     gbs = [
         i

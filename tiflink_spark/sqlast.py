@@ -7,16 +7,17 @@ front-end: a proper tokenizer (string-literal and paren aware, with
 source offsets so clause texts are returned VERBATIM) and a clause
 parser for the single-SELECT statement form the matchers consume.
 
-Migration strategy (one matcher at a time, fuzz as the oracle): each
-ported matcher keeps its regex front-end as the default, gains an AST
-front-end here, and both feed the SAME ``_match_*_core`` validation in
-planner.py — so the two paths cannot diverge past clause extraction.
-``TIFLINK_AST_MATCHERS=1`` flips the ported matchers to this parser;
-tests/test_sqlast.py pins front-end equivalence over the planner fuzz
-corpus. Ported so far (9): single-table aggregate, projection,
-global aggregate, DISTINCT, OVER-window, global ORDER BY+LIMIT,
-multi-branch UNION ALL, two-branch INTERSECT/EXCEPT/UNION, and the
-per-group Top-N nested form.
+Migration status: COMPLETE — all 16 matchers (single-table aggregate,
+projection, global aggregate, DISTINCT, OVER-window, global ORDER
+BY+LIMIT, multi-branch UNION ALL, two-branch INTERSECT/EXCEPT/UNION,
+per-group Top-N, grouping sets, theta join, join, join-projection,
+join-aggregate, semi/anti join, correlated count) route through this
+parser BY DEFAULT. Each AST front-end feeds the SAME ``_match_*_core``
+validation as the legacy regex scanner, so the two paths cannot
+diverge past clause extraction; tests/test_sqlast.py pins front-end
+equivalence over the planner fuzz corpus. ``TIFLINK_AST_MATCHERS=0``
+falls back to the regex scanners (a rollback lever kept for one
+deprecation round, then deleted).
 
 No external parser dependency: sqlglot-class libraries are not in the
 runtime image, and the subset of SQL the matchers accept is small
