@@ -68,14 +68,13 @@ class TestGroupingSetsMatcher:
     @pytest.mark.parametrize(
         "query",
         [
-            # GROUPING_ID's bit order is engine-defined -> recompute
-            """SELECT o_orderstatus, GROUPING_ID() AS g, count(*) AS n
-               FROM orders GROUP BY ROLLUP(o_orderstatus)""",
-            # HAVING referencing a grouping KEY -> recompute (subtotal
-            # sub-targets aggregate the key away; measure-only HAVING
-            # routes — see TestGroupingSetsHaving)
+            # GROUPING_ID over a SUBSET of the grouping columns ->
+            # fallback (Spark itself raises GROUPING_ID_COLUMN_MISMATCH)
+            """SELECT o_orderstatus, o_custkey, GROUPING_ID(o_custkey) AS g, count(*) AS n
+               FROM orders GROUP BY ROLLUP(o_orderstatus, o_custkey)""",
+            # HAVING referencing a non-key, non-measure column -> recompute
             """SELECT o_orderstatus, count(*) AS n FROM orders
-               GROUP BY ROLLUP(o_orderstatus) HAVING o_orderstatus = 'F'""",
+               GROUP BY ROLLUP(o_orderstatus) HAVING o_totalprice = 1""",
             # expression key inside ROLLUP -> recompute
             """SELECT o_custkey, count(*) AS n FROM orders
                GROUP BY ROLLUP(o_custkey % 10)""",
@@ -237,14 +236,49 @@ class TestGroupingFlags:
         assert got.exceptAll(exp).count() == 0
         assert exp.exceptAll(got).count() == 0
 
-    def test_grouping_id_stays_on_recompute(self):
+    def test_grouping_id_matches(self):
         q = (
             "SELECT g, GROUPING_ID() AS gid, count(*) AS n "
             "FROM orders GROUP BY ROLLUP(g)"
         )
-        assert (
-            match_grouping_sets_shape(q, {"orders"}, {"orders": ["g"]}) is None
+        s = match_grouping_sets_shape(q, {"orders"}, {"orders": ["g"]})
+        assert s is not None
+        assert s.gid_items == (("gid", ("g",)),)  # bare () = all keys
+
+    def test_grouping_id_items(self, spark, tmp_path):
+        """GROUPING_ID(cols…) is constant per grouping set — bit i
+        (first arg = MSB) set when that column is aggregated away;
+        emitted as per-set bigint literals equal to Spark's own."""
+        from tiflink_spark.app import MVApp
+
+        src = spark.createDataFrame(
+            [(i, "ab"[i % 2], i % 3, float(i)) for i in range(30)],
+            "id long, g string, sub long, v double",
         )
+        q = (
+            "SELECT g, sub, count(*) AS n, GROUPING_ID(g, sub) AS gid, "
+            "GROUPING_ID() AS gid0 "
+            "FROM gid_src GROUP BY CUBE(g, sub)"
+        )
+        app = (
+            MVApp.builder(spark)
+            .source("gid_src", src, pk=["id"])
+            .query(q)
+            .target(str(tmp_path / "gid"))
+            .num_buckets(2)
+            .shuffle_partitions(2)
+            .build()
+        )
+        assert app.maintenance_strategy == "IncrementalGroupingSetsMV"
+        app.bootstrap()
+        ins = spark.createDataFrame([(100, "c", 9, 2.0)], "id long, g string, sub long, v double")
+        app.refresh({"gid_src": _changes(ins, OP_INSERT)}, batch_id=1)
+        src.unionByName(ins).createOrReplaceTempView("gid_v")
+        exp = spark.sql(q.replace("FROM gid_src", "FROM gid_v"))
+        got = app.read()
+        assert got.columns == ["g", "sub", "n", "gid", "gid0"]
+        assert got.exceptAll(exp).count() == 0
+        assert exp.exceptAll(got).count() == 0
 
     def test_grouping_over_non_key_rejected(self):
         q = (
@@ -300,3 +334,57 @@ class TestGroupingSetsHaving:
             assert expn.exceptAll(got).count() == 0
         finally:
             shutil.rmtree(work, ignore_errors=True)
+
+
+class TestGroupingSetsKeyHaving:
+    def test_key_having_matches(self):
+        s = match_grouping_sets_shape(
+            """SELECT o_orderstatus, o_custkey, count(*) AS n
+               FROM orders GROUP BY ROLLUP(o_orderstatus, o_custkey)
+               HAVING o_orderstatus = 'F' AND count(*) >= 2""",
+            {"orders"},
+            COLS,
+        )
+        assert s is not None and "o_orderstatus" in s.having
+
+    def test_converges_with_key_having(self, spark, tmp_path):
+        """HAVING referencing a grouping KEY: per SQL, a key absent from
+        the current grouping set reads as NULL — `HAVING grp = 'a'`
+        drops every subtotal row; `HAVING grp = 'a' OR grp IS NULL`
+        keeps them. Both must equal Spark's own evaluation under churn."""
+        from tiflink_spark.app import MVApp
+
+        fact = _mk_fact(spark, [(i, "ab"[i % 2], i % 3, float(i)) for i in range(40)])
+        for tag, hav in (
+            ("strict", "HAVING grp = 'a' AND count(*) >= 2"),
+            ("nullkeep", "HAVING grp = 'a' OR grp IS NULL"),
+        ):
+            q = (
+                "SELECT grp, sub, count(*) AS n, sum(v) AS sv FROM khf "
+                f"GROUP BY ROLLUP(grp, sub) {hav}"
+            )
+            app = (
+                MVApp.builder(spark)
+                .source("khf", fact, pk=["id"])
+                .query(q)
+                .target(str(tmp_path / f"kh_{tag}"))
+                .num_buckets(2)
+                .shuffle_partitions(2)
+                .build()
+            )
+            assert app.maintenance_strategy == "IncrementalGroupingSetsMV", tag
+            app.bootstrap()
+            dels = fact.filter(F.col("id") % 5 == 0)
+            app.refresh({"khf": _changes(dels, OP_DELETE)}, batch_id=1)
+            ins = spark.createDataFrame(
+                [(200, "a", 7, 3.5), (201, "b", 8, 1.0)],
+                "id long, grp string, sub long, v double",
+            )
+            app.refresh({"khf": _changes(ins, OP_INSERT)}, batch_id=2)
+            final = fact.filter(F.col("id") % 5 != 0).unionByName(ins)
+            final.createOrReplaceTempView("khf_exp")
+            exp = spark.sql(q.replace("FROM khf ", "FROM khf_exp "))
+            got = app.read().select("grp", "sub", "n", F.round("sv", 6).alias("s"))
+            expn = exp.select("grp", "sub", "n", F.round("sv", 6).alias("s"))
+            assert got.exceptAll(expn).count() == 0, tag
+            assert expn.exceptAll(got).count() == 0, tag

@@ -406,6 +406,7 @@ class MVApp:
                 num_buckets=num_buckets,
                 shuffle_partitions=shuffle_partitions,
                 grouping_items=list(gs.grouping_items),
+                gid_items=list(gs.gid_items),
                 tail_order=list(gs.tail_order),
                 target_filter=gs.having,
                 hidden_measures=list(gs.hidden),

@@ -1879,6 +1879,20 @@ class IncrementalJoinProjectionMV(IncrementalJoinAggMV):
         return self.target.read(version)
 
 
+def _null_out_idents(expr: str, idents: set[str]) -> str:
+    """Replace word-boundary occurrences of ``idents`` with NULL,
+    skipping string literals — how a HAVING that references a grouping
+    key is specialized for the sub-MVs that aggregate that key away."""
+    import re as _re
+
+    parts = _re.split(r"('(?:[^']|'')*')", expr)
+    pat = _re.compile(
+        r"\b(" + "|".join(_re.escape(k) for k in sorted(idents)) + r")\b",
+        _re.IGNORECASE,
+    )
+    return "".join(p if i % 2 else pat.sub("NULL", p) for i, p in enumerate(parts))
+
+
 class IncrementalGroupingSetsMV:
     """GROUPING SETS / ROLLUP / CUBE maintained by decomposition.
 
@@ -1917,6 +1931,7 @@ class IncrementalGroupingSetsMV:
         tail_order: list[tuple[str, str]] | None = None,
         target_filter: str | None = None,
         hidden_measures: list[Measure] | None = None,
+        gid_items: list[tuple[str, tuple[str, ...]]] | None = None,
     ):
         self.spark = spark
         self.all_keys = list(all_keys)
@@ -1930,6 +1945,11 @@ class IncrementalGroupingSetsMV:
         # column is aggregated away) — emitted as per-set literals at
         # read time, tinyint to match Spark's grouping() return type.
         self.grouping_items = list(grouping_items or [])
+        # GROUPING_ID(cols…) — likewise a per-set constant: bit i
+        # (first column = MSB, the Spark/DuckDB/SQL-standard order) set
+        # when that column is aggregated away; bigint like Spark's
+        # grouping_id().
+        self.gid_items = list(gid_items or [])
         self.tail_order = list(tail_order) if tail_order else [
             ("m", m.alias) for m in measures
         ]
@@ -1946,6 +1966,17 @@ class IncrementalGroupingSetsMV:
             spark, os.path.join(work_dir, "fact"), fact_pk, num_buckets
         )
         for i, s in enumerate(self.sets):
+            # SQL rule: a grouping key absent from the current set reads
+            # as NULL inside HAVING (it IS null on the subtotal row), so
+            # each sub-MV applies the filter with its absent keys
+            # NULL-substituted — `HAVING g > 5` keeps per-g rows that
+            # qualify and drops every subtotal row (NULL > 5 ≡ false),
+            # while `HAVING cnt > 3 OR g IS NULL` keeps all subtotals.
+            tf = target_filter
+            if tf is not None:
+                absent = {k for k in self.all_keys if k not in s}
+                if absent:
+                    tf = _null_out_idents(tf, absent)
             sub = IncrementalAggMV(
                 spark,
                 fact0,
@@ -1956,7 +1987,7 @@ class IncrementalGroupingSetsMV:
                 num_buckets=num_buckets,
                 shuffle_partitions=shuffle_partitions,
                 global_group=not s,
-                target_filter=target_filter,
+                target_filter=tf,
             )
             sub.fact_store = shared_fact  # one fact copy for all sets
             self.subs.append(sub)
@@ -1980,6 +2011,7 @@ class IncrementalGroupingSetsMV:
         """Bag union of per-set rows, NULL-extended to the full key
         set — exactly the rows `GROUP BY GROUPING SETS (...)` emits."""
         gcol = {a: c for a, c in self.grouping_items}
+        gidcols = {a: cs for a, cs in self.gid_items}
         parts = []
         for s, sub in zip(self.sets, self.subs):
             rows = sub.read(version)
@@ -1992,6 +2024,14 @@ class IncrementalGroupingSetsMV:
             for kind, a in self.tail_order:
                 if kind == "m":
                     cols.append(F.col(a))
+                elif kind == "gid":  # per-set constant GROUPING_ID
+                    cs = gidcols[a]
+                    gid = sum(
+                        1 << (len(cs) - 1 - i)
+                        for i, c in enumerate(cs)
+                        if c not in s
+                    )
+                    cols.append(F.lit(gid).cast("bigint").alias(a))
                 else:  # per-set constant GROUPING flag
                     cols.append(
                         F.lit(0 if gcol[a] in s else 1).cast("tinyint").alias(a)
