@@ -35,8 +35,43 @@ HEADLINE = [
 ]
 
 
+def _contention_probe() -> dict:
+    """Detect co-runners BEFORE our own JVM starts: other live java
+    processes and the 1-minute load average. A contended box inflates
+    every query by a similar factor (BENCH_r04's phantom 35%
+    regression), so the record should carry the evidence."""
+    other_jvms = 0
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/comm") as f:
+                    if f.read().strip() == "java":
+                        other_jvms += 1
+            except OSError:
+                continue
+    except OSError:
+        pass
+    try:
+        load1 = float(open("/proc/loadavg").read().split()[0])
+    except (OSError, ValueError):
+        load1 = -1.0
+    ncpus = os.cpu_count() or 1
+    contended = other_jvms > 0 or (load1 >= 0 and load1 > 0.5 * ncpus)
+    if contended:
+        print(
+            f"WARNING: bench box looks contended (other java procs={other_jvms}, "
+            f"load1={load1:.1f}/{ncpus} cpus) — timings may be inflated; "
+            "prefer an idle re-run before recording a regression.",
+            file=sys.stderr,
+        )
+    return {"other_jvms": other_jvms, "load1": load1, "contended": contended}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    probe = _contention_probe()
     from tiflink_spark.queries import get_registry
     from tiflink_spark.session import get_spark
 
@@ -64,18 +99,27 @@ def main() -> None:
     # Steady-state timing: run each query once unmeasured (whole-stage
     # codegen compiles the generated classes on first execution — ~1-2s
     # of one-time JVM compiler work per distinct plan, pure noise at the
-    # target scale where a query runs for minutes), then measure the
-    # second run. Spark has no cross-action result caching — the
-    # measured run re-executes the full plan (scan/shuffle/agg); only
-    # the JIT/codegen classes and page cache are warm, exactly like the
-    # table warm-up above.
+    # target scale where a query runs for minutes), then measure THREE
+    # runs and report the MIN. Spark has no cross-action result caching
+    # — every measured run re-executes the full plan (scan/shuffle/agg);
+    # only the JIT/codegen classes and page cache are warm, exactly like
+    # the table warm-up above. Min-of-3 because a single-shot timing on
+    # a shared box records co-runner contention as a phantom plan
+    # regression (BENCH_r04: 10.57s contended vs 8.19s idle, identical
+    # plans); the min is the least-contended observation of the same
+    # deterministic plan. All runs are recorded alongside for audit.
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in names:
         registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        df = registry[name].fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df = registry[name].fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        all_runs[name] = runs
+        timings[name] = min(runs)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -87,6 +131,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs": all_runs,
+                "timing": "min_of_3",
+                "contention_probe": probe,
             }
         )
     )
