@@ -121,10 +121,12 @@ class KeyedStoreConnector(Connector):
 
     def write(self, df: DataFrame, opts: ConnectorOptions) -> None:
         """Each write publishes a NEW version (batch id derived from the
-        commit count — a fixed id would make every write after the first
-        a silent idempotent no-op)."""
+        committed version — a fixed id would make every write after the
+        first a silent idempotent no-op; the version is monotone even
+        across manifest compaction, unlike the commit-line count)."""
         store = self.open(df.sparkSession, opts)
-        store.bootstrap(df, batch_id=f"write-{len(store.committed_batches())}")
+        v = store.current_version()
+        store.bootstrap(df, batch_id=f"write-{0 if v is None else v + 1}")
 
 
 class CsvConnector(Connector):

@@ -43,6 +43,32 @@ from tiflink_spark.changelog import (
 
 COMMITS_FILE = "_mv_commits"
 BUCKET_COL = "__bucket"
+HWM_TYPE = "hwm"
+
+
+class _CommittedBatches(set):
+    """The store's idempotence set. Explicit batch ids from manifest
+    lines, plus a compacted integer high-water mark: after a manifest
+    truncation, every integer batch_id <= ``int_hwm`` is committed by
+    definition (the engine commits one manifest line per processed
+    batch, and Structured Streaming batch ids are monotone, so the
+    truncated prefix is exactly {0..hwm} minus nothing). Non-integer
+    batch ids (compaction markers, ad-hoc writes) are carried
+    explicitly — they are O(maintenance events), not O(batches)."""
+
+    def __init__(self, explicit: set, int_hwm: int | None):
+        super().__init__(explicit)
+        self.int_hwm = int_hwm
+
+    def __contains__(self, item) -> bool:  # type: ignore[override]
+        if set.__contains__(self, item):
+            return True
+        return (
+            self.int_hwm is not None
+            and isinstance(item, int)
+            and not isinstance(item, bool)
+            and item <= self.int_hwm
+        )
 
 # Auto-sizing target: one bucket holds ~this many rows, so a touched-
 # bucket rewrite stays a bounded quantum of work as the table grows
@@ -114,14 +140,34 @@ class KeyedParquetStore:
     def _commits_path(self) -> str:
         return os.path.join(self.path, COMMITS_FILE)
 
-    def _commits(self) -> list[dict]:
+    def _manifest_lines(self) -> tuple[list[dict], int | None, set]:
+        """Parse the manifest into (commit lines, integer-batch high-water
+        mark, non-integer batch ids truncated by past compactions)."""
+        commits: list[dict] = []
+        hwm: int | None = None
+        others: set = set()
         if not os.path.exists(self._commits_path):
-            return []
+            return commits, hwm, others
         with open(self._commits_path) as f:
-            return [json.loads(line) for line in f if line.strip()]
+            for line in f:
+                if not line.strip():
+                    continue
+                rec = json.loads(line)
+                if rec.get("type") == HWM_TYPE:
+                    h = rec.get("int_batch_hwm")
+                    if h is not None:
+                        hwm = h if hwm is None else max(hwm, h)
+                    others.update(rec.get("other_batches", []))
+                else:
+                    commits.append(rec)
+        return commits, hwm, others
+
+    def _commits(self) -> list[dict]:
+        return self._manifest_lines()[0]
 
     def committed_batches(self) -> set:
-        return {c["batch_id"] for c in self._commits()}
+        commits, hwm, others = self._manifest_lines()
+        return _CommittedBatches({c["batch_id"] for c in commits} | others, hwm)
 
     def current_version(self) -> int | None:
         commits = self._commits()
@@ -186,14 +232,28 @@ class KeyedParquetStore:
 
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Delete version data directories referenced only by manifest
-        entries older than the last ``keep_last`` versions. The manifest
-        itself is never pruned (it carries batch-id idempotence)."""
+        entries older than the last ``keep_last`` versions, and compact
+        the manifest itself to the same tail window.
+
+        Without compaction the manifest grows one JSON line per batch
+        and is re-read driver-side on every store open — at the
+        reference's 1s refresh cadence (TiFlinkExample.java:22-23)
+        that is ~86k lines/day/store. Truncation preserves batch-id
+        idempotence exactly: the truncated prefix is summarized by a
+        high-water-mark line (``int_batch_hwm`` = max integer batch id
+        dropped; non-integer ids carried explicitly), and
+        :meth:`committed_batches` treats any integer id <= hwm as
+        committed — sound because the engine commits one manifest line
+        per processed batch (empty deltas included) and streaming batch
+        ids are monotone, so the dropped prefix contains every id below
+        the mark. The rewrite is atomic (temp file + ``os.replace``)."""
         import shutil
 
-        commits = self._commits()
+        commits, prior_hwm, prior_others = self._manifest_lines()
         if len(commits) <= keep_last:
             return []
         keep = commits[-keep_last:]
+        dropped = commits[:-keep_last]
         live_dirs = {rel.split(f"/{BUCKET_COL}=")[0] for c in keep for rel in c["buckets"].values()}
         data_root = os.path.join(self.path, "data")
         removed = []
@@ -203,17 +263,54 @@ class KeyedParquetStore:
                 if rel not in live_dirs:
                     shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
                     removed.append(rel)
+
+        int_ids = [
+            c["batch_id"]
+            for c in dropped
+            if isinstance(c["batch_id"], int) and not isinstance(c["batch_id"], bool)
+        ]
+        hwm = max(int_ids + ([prior_hwm] if prior_hwm is not None else []), default=None)
+        others = prior_others | {
+            c["batch_id"]
+            for c in dropped
+            if not isinstance(c["batch_id"], int) or isinstance(c["batch_id"], bool)
+        }
+        tmp = self._commits_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "type": HWM_TYPE,
+                        "int_batch_hwm": hwm,
+                        "other_batches": sorted(others, key=str),
+                        "ts": time.time(),
+                    }
+                )
+                + "\n"
+            )
+            for c in keep:
+                f.write(json.dumps(c) + "\n")
+        os.replace(tmp, self._commits_path)
         return removed
 
     def version_before_batch(self, batch_id) -> int | None:
         """Version committed immediately before ``batch_id``'s commit —
-        the snapshot a replay of that batch must diff against."""
-        commits = self._commits()
+        the snapshot a replay of that batch must diff against. A batch
+        swallowed by a past manifest compaction (committed per the
+        high-water mark but its line truncated) raises loudly: its
+        pre-state was vacuumed with the manifest tail, so a replay-diff
+        against it would be silently wrong."""
+        commits, hwm, others = self._manifest_lines()
         prev = None
         for c in commits:
             if c["batch_id"] == batch_id:
                 return prev
             prev = c["version"]
+        if batch_id in _CommittedBatches(others, hwm):
+            raise KeyError(
+                f"batch {batch_id!r} predates the manifest compaction window; "
+                "its pre-state is no longer reconstructable"
+            )
         return prev
 
     # -- write --------------------------------------------------------------
