@@ -69,6 +69,22 @@ def test_diff_states_roundtrip(spark):
     assert applied == {(2, "B"), (3, "c"), (4, "d")}
 
 
+def test_diff_states_null_transitions(spark):
+    """value<->NULL transitions must emit updates: plain struct `!=`
+    yields NULL (not true) when a field flips to/from NULL — the exact
+    updates outer-join views produce (dim arrival filling a NULL
+    payload, retraction re-NULLing it)."""
+    old = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "s"), (4, None)], "k int, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "y"), (3, "s"), (4, None)], "k int, v string"
+    )
+    delta = diff_states(old, new, ["k"])
+    got = {(r.k, r.v, r[OP_COL]) for r in delta.collect()}
+    assert got == {(1, None, OP_UPDATE), (2, "y", OP_UPDATE)}
+
+
 def test_diff_states_pk_only_relation(spark):
     """Tables whose every column is the PK still diff correctly (the
     presence marker must not be NULL)."""

@@ -11,6 +11,12 @@ from tiflink_spark.mv import IncrementalJoinMV
 N_L, N_R, N_K = 40, 12, 8
 
 
+def _chg(df, op):
+    return df.withColumn(OP_COL, F.lit(op)).withColumn(
+        SEQ_COL, F.monotonically_increasing_id()
+    )
+
+
 def _rand_changes(rng, side):
     rows = []
     for seq in range(15):
@@ -234,3 +240,114 @@ def test_comma_spelled_interval_join_routes_to_theta(spark, tmp_path):
     }
     got = {(r.eid, r.bid) for r in app.read().collect()}
     assert got == exp
+
+
+class TestFullOuterJoinMV:
+    """FULL OUTER equi-join view: both sides preserved, a side's
+    arrival retracts the other's NULL-extended row (VERDICT r4 #6)."""
+
+    Q = """SELECT o_id, o_fk, o_val, c_id, c_name
+           FROM ords FULL OUTER JOIN custs ON o_fk = c_id"""
+
+    def _sources(self, spark):
+        ords = spark.createDataFrame(
+            [(1, 10, "a"), (2, 10, "b"), (3, 20, "c"), (4, None, "d")],
+            "o_id int, o_fk int, o_val string",
+        )
+        custs = spark.createDataFrame(
+            [(10, "ten"), (30, "thirty")], "c_id int, c_name string"
+        )
+        return ords, custs
+
+    def test_matcher(self, spark):
+        from tiflink_spark.planner import match_full_outer_shape
+
+        cols = {
+            "ords": ["o_id", "o_fk", "o_val"],
+            "custs": ["c_id", "c_name"],
+        }
+        pks = {"ords": ["o_id"], "custs": ["c_id"]}
+        s = match_full_outer_shape(self.Q, {"ords", "custs"}, cols, pks)
+        assert s is not None
+        assert (s.fact, s.dim, s.fact_fk, s.dim_key) == ("ords", "custs", "o_fk", "c_id")
+        # WHERE changes preserved-row semantics -> no route
+        assert (
+            match_full_outer_shape(
+                self.Q + " WHERE o_val = 'a'", {"ords", "custs"}, cols, pks
+            )
+            is None
+        )
+        # select list missing the dim key -> no route
+        q2 = """SELECT o_id, o_fk, o_val, c_name
+                FROM ords FULL OUTER JOIN custs ON o_fk = c_id"""
+        assert match_full_outer_shape(q2, {"ords", "custs"}, cols, pks) is None
+
+    def _expected(self, spark, ords, custs):
+        ords.createOrReplaceTempView("ords_exp")
+        custs.createOrReplaceTempView("custs_exp")
+        return spark.sql(self.Q.replace("ords", "ords_exp").replace("custs", "custs_exp"))
+
+    def _check(self, app, spark, ords, custs):
+        got = app.read()
+        exp = self._expected(spark, ords, custs)
+        assert got.exceptAll(exp).count() == 0
+        assert exp.exceptAll(got).count() == 0
+
+    def test_converges_two_sided_churn(self, spark, tmp_path):
+        from tiflink_spark.app import MVApp
+
+        ords, custs = self._sources(spark)
+        app = (
+            MVApp.builder(spark)
+            .source("ords", ords, pk=["o_id"])
+            .source("custs", custs, pk=["c_id"])
+            .query(self.Q)
+            .target(str(tmp_path / "fo"))
+            .num_buckets(2)
+            .shuffle_partitions(2)
+            .build()
+        )
+        assert app.maintenance_strategy == "IncrementalFullOuterJoinMV"
+        assert app.pk_is_unique is False
+        app.bootstrap()
+        self._check(app, spark, ords, custs)
+
+        # 1. dim arrival for key 20: c-only row joins, d-side NULL row
+        #    for 20's fact rows un-NULLs... and cust 30 stays dim-only
+        c_ins = spark.createDataFrame([(20, "twenty")], "c_id int, c_name string")
+        app.refresh({"custs": _chg(c_ins, OP_INSERT)}, batch_id=1)
+        custs1 = custs.unionByName(c_ins)
+        self._check(app, spark, ords, custs1)
+
+        # 2. fact arrival referencing dim-only key 30: retracts d:30
+        o_ins = spark.createDataFrame([(5, 30, "e")], "o_id int, o_fk int, o_val string")
+        app.refresh({"ords": _chg(o_ins, OP_INSERT)}, batch_id=2)
+        ords2 = ords.unionByName(o_ins)
+        self._check(app, spark, ords2, custs1)
+
+        # 3. last fact row on key 20 moves to 10: d:20 must REAPPEAR
+        o_mv = spark.createDataFrame([(3, 10, "c")], "o_id int, o_fk int, o_val string")
+        app.refresh({"ords": _chg(o_mv, OP_UPDATE)}, batch_id=3)
+        from pyspark.sql import functions as F
+        ords3 = ords2.withColumn(
+            "o_fk", F.when(F.col("o_id") == 3, 10).otherwise(F.col("o_fk"))
+        )
+        self._check(app, spark, ords3, custs1)
+
+        # 4. dim delete 10: its matched fact rows re-NULL, both sides churn
+        c_del = spark.createDataFrame([(10, "ten")], "c_id int, c_name string")
+        o_del = spark.createDataFrame([(4, None, "d")], "o_id int, o_fk int, o_val string")
+        app.refresh(
+            {"custs": _chg(c_del, OP_DELETE), "ords": _chg(o_del, OP_DELETE)},
+            batch_id=4,
+        )
+        ords4 = ords3.filter(F.col("o_id") != 4)
+        custs4 = custs1.filter(F.col("c_id") != 10)
+        self._check(app, spark, ords4, custs4)
+
+        # 5. crash replay of batch 4: no-op
+        app.refresh(
+            {"custs": _chg(c_del, OP_DELETE), "ords": _chg(o_del, OP_DELETE)},
+            batch_id=4,
+        )
+        self._check(app, spark, ords4, custs4)

@@ -54,6 +54,7 @@ from tiflink_spark.planner import (
     match_semijoin_shape,
     match_join_shape,
     match_setop_shape,
+    match_full_outer_shape,
     match_theta_join_shape,
     match_topn_shape,
     match_union_all_shape,
@@ -704,6 +705,45 @@ class MVApp:
                     tj.right: self._mv.right_store,
                 }
                 return
+
+        # FULL OUTER equi-join view — both sides preserved. Flink's
+        # update-mode planner maintains this natively (NULL-extension
+        # retracted when the other side arrives); here the route is
+        # dirty-key recompute + diff over a synthetic row identity,
+        # keyed by that identity because dim-only rows carry NULL fact
+        # PKs. The visible output has no unique column (pk_is_unique
+        # off, same overclaim as the union route).
+        fo = match_full_outer_shape(
+            query, set(dfs), source_columns, {n: d[0].pk for n, d in dfs.items()}
+        )
+        if fo is not None and pk is None:
+            from tiflink_spark.mv import IncrementalFullOuterJoinMV
+
+            self.maintenance_mode = "incremental"
+            self._fact_name = self._dim_name = self._change_filter = None
+            self._join_names = (fo.fact, fo.dim)
+            self.pk_is_unique = False
+            self.mv_pk = list(dfs[fo.fact][0].pk)
+            self.ddl = create_table_ddl(
+                os.path.basename(target), self.mv_schema, self.mv_pk
+            )
+            self._mv = IncrementalFullOuterJoinMV(
+                spark,
+                fact=dfs[fo.fact][1],
+                fact_pk=dfs[fo.fact][0].pk,
+                dim=dfs[fo.dim][1],
+                dim_key=fo.dim_key,
+                fact_fk=fo.fact_fk,
+                out_cols=list(fo.out_cols),
+                work_dir=target,
+                num_buckets=num_buckets,
+                shuffle_partitions=shuffle_partitions,
+            )
+            self._stores = {
+                fo.fact: self._mv.fact_store,
+                fo.dim: self._mv.dim_store,
+            }
+            return
 
         # Lookup-enrichment view — the joined relation itself, keyed by
         # the fact PK (orders carrying their customer's name): fact

@@ -133,10 +133,14 @@ def diff_states(old: DataFrame, new: DataFrame, pk: list[str]) -> DataFrame:
     j = o.join(n, pk, "full_outer")
     inserted = j.filter(F.col("__old").isNull() & F.col("__new").isNotNull())
     deleted = j.filter(F.col("__new").isNull() & F.col("__old").isNotNull())
+    # NULL-SAFE inequality: plain `!=` on structs yields NULL (not
+    # true) when a field transitions value<->NULL, silently dropping
+    # exactly the updates outer-join views produce (a dim arrival
+    # filling a NULL payload, or a retraction re-NULLing it).
     updated = j.filter(
         F.col("__old").isNotNull()
         & F.col("__new").isNotNull()
-        & (F.col("__old") != F.col("__new"))
+        & ~F.col("__old").eqNullSafe(F.col("__new"))
     )
 
     def unpack(df: DataFrame, src: str, op: str) -> DataFrame:

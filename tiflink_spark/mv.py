@@ -473,6 +473,203 @@ class IncrementalThetaJoinMV:
         return self.target.read(version)
 
 
+class IncrementalFullOuterJoinMV:
+    """Incremental MV for the two-sided PRESERVED equi-join
+
+        SELECT cols FROM fact FULL [OUTER] JOIN dim ON fact.fk = dim.k
+
+    with ``k`` the dim's declared PK (each fact row matches ≤1 dim
+    row). Flink's update-mode planner maintains FULL OUTER natively by
+    keeping both sides' state and retracting a side's NULL-extended row
+    when the other side arrives (the reference gets it by delegation,
+    TiFlinkApp.java:270). Same effect here via dirty-key recompute +
+    diff over a synthetic row identity:
+
+    - a row's identity is ``f:<fact-pk>`` whenever the fact side is
+      present (matched AND fact-only rows — a dim's arrival mutates the
+      row's dim payload, not its identity), else ``d:<dim-key>``
+      (dim-only rows). The target is keyed by this identity because
+      dim-only rows carry NULL fact PKs, which the keyed store —
+      correctly — refuses.
+    - per batch, the recomputed slice is the full-outer join of the
+      fact rows whose PK changed or whose fk touches a dirty join key
+      against the dim rows holding any key that slice references;
+      within that key set the slice contains EVERY referencing fact
+      row, so its dim-only rows are globally dim-only. Diffing against
+      the same-identity target rows makes arrivals retract the other
+      side's NULL-extension (``d:k`` deleted when fk=k first appears)
+      and departures re-extend it (the last fk=k delete re-inserts
+      ``d:k``; a dim delete re-NULLs its matched rows' payload).
+
+    Per-batch work ∝ changed keys × fanout. Requires the select list to
+    carry the fact PK, the fact fk, and the dim key (the identity and
+    the dirty-slice probes are driven off the target's own columns).
+    """
+
+    ROWID = "__rowid"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        fact: DataFrame,
+        fact_pk: list[str],
+        dim: DataFrame,
+        dim_key: str,
+        fact_fk: str,
+        out_cols: list[str],
+        work_dir: str,
+        num_buckets: int | None = None,
+        shuffle_partitions: int | None = None,
+    ):
+        self.spark = spark
+        self.shuffle_partitions = shuffle_partitions
+        self.fact0, self.dim0 = fact, dim
+        self.fact_pk = list(fact_pk)
+        self.dim_key = dim_key
+        self.fact_fk = fact_fk
+        self.out_cols = list(out_cols)
+        overlap = {c.lower() for c in fact.columns} & {c.lower() for c in dim.columns}
+        if overlap:
+            raise ValueError(
+                f"full-outer-join MV requires disjoint column names; shared: {sorted(overlap)}"
+            )
+        missing = {*self.fact_pk, fact_fk, dim_key} - set(out_cols)
+        if missing:
+            raise ValueError(
+                f"full-outer-join MV select list must carry {sorted(missing)}"
+            )
+        self.fact_store = KeyedParquetStore(
+            spark, os.path.join(work_dir, "fact"), self.fact_pk, num_buckets
+        )
+        self.dim_store = KeyedParquetStore(
+            spark, os.path.join(work_dir, "dim"), [dim_key], num_buckets
+        )
+        self.target = KeyedParquetStore(
+            spark, os.path.join(work_dir, "mv"), [self.ROWID], num_buckets
+        )
+
+    def _rowid(self):
+        return F.when(
+            F.col(self.fact_pk[0]).isNotNull(),
+            F.concat_ws(
+                "\x1f", F.lit("f"), *[F.col(c).cast("string") for c in self.fact_pk]
+            ),
+        ).otherwise(
+            F.concat_ws("\x1f", F.lit("d"), F.col(self.dim_key).cast("string"))
+        )
+
+    def _joined(self, f: DataFrame, d: DataFrame) -> DataFrame:
+        j = f.join(d, f[self.fact_fk] == d[self.dim_key], "full")
+        return j.select(*self.out_cols).withColumn(self.ROWID, self._rowid())
+
+    @_maintenance
+    def bootstrap(self, batch_id=0) -> None:
+        self.fact_store.bootstrap(self.fact0, batch_id)
+        self.dim_store.bootstrap(self.dim0, batch_id)
+        self.target.bootstrap(
+            self._joined(self.fact_store.read(), self.dim_store.read()), batch_id
+        )
+
+    @_maintenance
+    def refresh(
+        self,
+        fact_changes: DataFrame | None,
+        dim_changes: DataFrame | None,
+        batch_id,
+    ) -> bool:
+        if batch_id in self.target.committed_batches():
+            return False
+        if fact_changes is None and dim_changes is None:
+            return False
+        fpk, k, fk = self.fact_pk, self.dim_key, self.fact_fk
+
+        dirty_f = (
+            last_change_per_key(fact_changes, fpk)
+            .select(*fpk)
+            .localCheckpoint(eager=True)
+            if fact_changes is not None
+            else None
+        )
+        key_parts = []
+        if dim_changes is not None:
+            key_parts.append(last_change_per_key(dim_changes, [k]).select(k))
+        if dirty_f is not None:
+            # OLD fks of the dirty fact rows: an update that moves a row
+            # off key k may leave k fact-less — its d:k row must appear.
+            if batch_id in self.fact_store.committed_batches():
+                pre = self.fact_store.read(
+                    self.fact_store.version_before_batch(batch_id)
+                )
+            else:
+                pre = self.fact_store.read()
+            key_parts.append(
+                pre.join(dirty_f, fpk, "left_semi").select(F.col(fk).alias(k))
+            )
+
+        if fact_changes is not None:
+            self.fact_store.merge(fact_changes, batch_id)
+        if dim_changes is not None:
+            self.dim_store.merge(dim_changes, batch_id)
+        fact_now, dim_now = self.fact_store.read(), self.dim_store.read()
+
+        if dirty_f is not None:
+            key_parts.append(
+                fact_now.join(dirty_f, fpk, "left_semi").select(F.col(fk).alias(k))
+            )
+        dirty_keys = key_parts[0]
+        for p in key_parts[1:]:
+            dirty_keys = dirty_keys.unionByName(p)
+        dirty_keys = (
+            dirty_keys.filter(F.col(k).isNotNull())
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+        # fact slice: PK-dirty rows ∪ rows referencing a dirty key
+        l_slice = fact_now.join(
+            dirty_keys, fact_now[fk] == dirty_keys[k], "left_semi"
+        )
+        if dirty_f is not None:
+            l_slice = l_slice.unionByName(
+                fact_now.join(dirty_f, fpk, "left_semi")
+            ).dropDuplicates(fpk)
+        l_slice = l_slice.localCheckpoint(eager=True)
+        # every key the slice references (clean keys of PK-dirty rows
+        # included — their dim payload must re-join, not NULL-extend)
+        ref_keys = (
+            l_slice.select(F.col(fk).alias(k))
+            .filter(F.col(k).isNotNull())
+            .unionByName(dirty_keys)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        r_slice = dim_now.join(ref_keys, [k], "left_semi")
+        recomputed = self._joined(l_slice, r_slice)
+
+        # same-identity old rows: f-rows for the slice's (and deleted)
+        # PKs; d-rows for every referenced key
+        mv_now = self.target.read()
+        olds = [
+            mv_now.join(
+                l_slice.select(*fpk).unionByName(dirty_f.select(*fpk)).distinct()
+                if dirty_f is not None
+                else l_slice.select(*fpk).distinct(),
+                fpk,
+                "left_semi",
+            ),
+            mv_now.filter(F.col(fpk[0]).isNull()).join(ref_keys, [k], "left_semi"),
+        ]
+        mv_dirty_old = (
+            olds[0].unionByName(olds[1]).dropDuplicates([self.ROWID])
+        )
+        mv_changes = diff_states(mv_dirty_old, recomputed, [self.ROWID])
+        self.target.merge(mv_changes, batch_id)
+        return True
+
+    def read(self, version: int | None = None) -> DataFrame:
+        return self.target.read(version).drop(self.ROWID)
+
+
 class IncrementalSemiJoinMV:
     """Incremental MV for the correlated-existence filter
 

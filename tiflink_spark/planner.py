@@ -1302,6 +1302,111 @@ def _match_theta_join_core(
     return ThetaJoinShape(lt, rt, pred.strip(), tuple(out))
 
 
+@dataclass(frozen=True)
+class FullOuterJoinShape:
+    """Two-sided PRESERVED equi-join view: ``SELECT cols FROM fact
+    FULL [OUTER] JOIN dim ON fact.fk = dim.k`` with ``k`` the dim's
+    declared single-column PK. Routed to
+    :class:`tiflink_spark.mv.IncrementalFullOuterJoinMV` (dirty-key
+    recompute + diff over a synthetic row identity — a side's arrival
+    retracts the other's NULL-extended row). Requires DISJOINT column
+    names and the select list to carry fact PK + fk + dim key (the
+    identity/probe columns). No WHERE: a post-join filter changes
+    preserved-row semantics (it silently drops NULL-extended rows)."""
+
+    fact: str
+    dim: str
+    fact_fk: str
+    dim_key: str
+    out_cols: tuple[str, ...]
+
+
+def match_full_outer_shape(
+    query: str,
+    source_names: set[str],
+    source_columns: dict[str, list[str]],
+    source_pks: dict[str, list[str]],
+) -> FullOuterJoinShape | None:
+    """Match the single FULL OUTER equi-join view, or None. AST-only:
+    this matcher postdates the regex front-ends' deprecation, so under
+    ``TIFLINK_AST_MATCHERS=0`` it never routes (recompute fallback)."""
+    if not use_ast_matchers():
+        return None
+    from tiflink_spark import sqlast
+
+    parsed = sqlast.full_outer_join_clauses(query)
+    if parsed is None:
+        return None
+    select, lt, la_text, rt, ra_text, lref, rref = parsed
+    if (
+        lt not in source_names
+        or rt not in source_names
+        or lt == rt
+        or lt not in source_columns
+        or rt not in source_columns
+    ):
+        return None
+    la = (la_text or lt).lower()
+    ra = (ra_text or rt).lower()
+    if la == ra or {la, ra} & _CLAUSE_KEYWORDS:
+        return None
+    cols = {
+        lt: {c.lower(): c for c in source_columns[lt]},
+        rt: {c.lower(): c for c in source_columns[rt]},
+    }
+    if set(cols[lt]) & set(cols[rt]):
+        return None  # disjoint names only — bare-name relation
+    quals = {la: lt, ra: rt}
+
+    def resolve(ref: str) -> tuple[str, str] | None:
+        qm = _QUAL_RE.fullmatch(ref.strip())
+        if qm is not None:
+            t = quals.get(qm.group(1).lower())
+            if t is None or qm.group(2).lower() not in cols[t]:
+                return None
+            return t, cols[t][qm.group(2).lower()]
+        name = ref.strip().lower()
+        for t in (lt, rt):
+            if name in cols[t]:
+                return t, cols[t][name]
+        return None
+
+    l, r = resolve(lref), resolve(rref)
+    if l is None or r is None or l[0] == r[0]:
+        return None
+    refs = {l[0]: l[1], r[0]: r[1]}
+    # the DIM side enters through its declared single-column PK (each
+    # fact row matches ≤1 dim row — M:1); the other side is the fact
+    # and needs its own declared PK. A both-PK (1:1) join picks the
+    # right side as dim.
+    dim = None
+    for cand in (rt, lt):
+        cpk = source_pks.get(cand) or []
+        if len(cpk) == 1 and refs[cand].lower() == cpk[0].lower():
+            dim = cand
+            break
+    if dim is None:
+        return None
+    fact = lt if dim == rt else rt
+    if not (source_pks.get(fact) or []):
+        return None
+    fact_fk, dim_key = refs[fact], refs[dim]
+    out: list[str] = []
+    for item in _split_select_list(select):
+        if not re.fullmatch(rf"(?:{_IDENT}\s*\.\s*)?{_IDENT}", item.strip()):
+            return None  # bare/qualified column refs only
+        ri = resolve(item)
+        if ri is None:
+            return None
+        out.append(ri[1])
+    if len({c.lower() for c in out}) != len(out):
+        return None
+    need = {*(c.lower() for c in source_pks[fact]), fact_fk.lower(), dim_key.lower()}
+    if need - {c.lower() for c in out}:
+        return None
+    return FullOuterJoinShape(fact, dim, fact_fk, dim_key, tuple(out))
+
+
 _JOIN_RE = re.compile(
     rf"^\s*SELECT\s+(?P<select>(?:{_IDENT}\s*,\s*)*{_IDENT})\s+"
     rf"FROM\s+(?P<left>{_IDENT})\s+JOIN\s+(?P<right>{_IDENT})\s+"

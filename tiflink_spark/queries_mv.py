@@ -4269,3 +4269,117 @@ def mvapp_auto_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_full_outer",
+    """
+    WITH sup_t AS (
+        SELECT s_suppkey,
+               CASE WHEN s_suppkey % 9 = 0
+                    THEN (s_nationkey + 7) % 25 ELSE s_nationkey END AS fk,
+               CASE WHEN s_suppkey % 9 = 0
+                    THEN s_acctbal + 5.0 ELSE s_acctbal END AS bal
+        FROM supplier
+        WHERE s_suppkey % 3 = 0 AND s_suppkey % 12 <> 0
+    ),
+    nat_t AS (
+        SELECT n_nationkey, n_name FROM nation WHERE n_nationkey <> 3
+    )
+    SELECT s_suppkey,
+           fk,
+           CAST(round(bal * 100) AS BIGINT) AS bal_cents,
+           n_nationkey,
+           n_name
+    FROM sup_t FULL OUTER JOIN nat_t ON fk = n_nationkey
+    """,
+    doc=(
+        "FULL OUTER equi-join view auto-routed to "
+        "IncrementalFullOuterJoinMV — the last common join type off "
+        "recompute (VERDICT r4 #6). Both sides preserved under "
+        "two-sided churn: supplier deletes strand nations as dim-only "
+        "NULL-extended rows, a key-moving update makes a nation gain "
+        "its first supplier (retracting its dim-only row) while "
+        "another loses its last (re-inserting one), and a nation "
+        "delete re-NULLs its matched suppliers' payload. Flink's "
+        "update-mode planner maintains this natively by delegation "
+        "(TiFlinkApp.java:270); here it is dirty-key recompute + "
+        "diff over a synthetic row identity (f:<pk> / d:<key>), "
+        "keyed by that identity because dim-only rows carry NULL "
+        "fact PKs. The fn raises unless routed incrementally and "
+        "replays a batch for idempotence."
+    ),
+    tags=("mv", "incremental", "planner", "join", "full_outer"),
+)
+def mvapp_auto_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    sup = (
+        t["supplier"]
+        .filter(F.col("s_suppkey") % 3 == 0)
+        .select(
+            "s_suppkey",
+            F.col("s_nationkey").alias("fk"),
+            F.col("s_acctbal").alias("bal"),
+        )
+    )
+    nat = t["nation"].select("n_nationkey", "n_name")
+    work = tempfile.mkdtemp(prefix="mvapp_fo_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("sup_t", sup, pk=["s_suppkey"])
+            .source("nat_t", nat, pk=["n_nationkey"])
+            .query(
+                """SELECT s_suppkey, fk, bal, n_nationkey, n_name
+                   FROM sup_t FULL OUTER JOIN nat_t ON fk = n_nationkey"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalFullOuterJoinMV":
+            raise AssertionError(
+                f"planner routed the full outer join to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        # B1 -D: some nations lose their last supplier -> d-rows appear
+        s_del = (
+            sup.filter(F.col("s_suppkey") % 12 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"sup_t": s_del}, batch_id=1)
+        # B2 +U: key-moving updates — a nation may gain its FIRST
+        # supplier (its dim-only row retracts) or lose its last
+        s_upd = (
+            sup.filter((F.col("s_suppkey") % 9 == 0) & (F.col("s_suppkey") % 12 != 0))
+            .withColumn("fk", (F.col("fk") + 7) % 25)
+            .withColumn("bal", F.col("bal") + 5.0)
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"sup_t": s_upd}, batch_id=2)
+        app.refresh({"sup_t": s_upd}, batch_id=2)  # crash replay: no-op
+        # B3 dim -D: nation 3's matched suppliers re-NULL their payload
+        n_del = (
+            nat.filter(F.col("n_nationkey") == 3)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"nat_t": n_del}, batch_id=3)
+        return (
+            app.read()
+            .select(
+                "s_suppkey",
+                "fk",
+                F.round(F.col("bal") * 100).cast("bigint").alias("bal_cents"),
+                "n_nationkey",
+                "n_name",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

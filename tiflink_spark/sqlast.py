@@ -610,6 +610,33 @@ def join_on_clauses(query: str):
     )
 
 
+def full_outer_join_clauses(query: str):
+    """AST front-end for the two-sided preserved equi-join view:
+    (select, left, left_alias, right, right_alias, lref, rref), or
+    None. Envelope: exactly one FULL [OUTER] JOIN whose ON is a single
+    [qual.]col = [qual.]col equality, NO WHERE (a post-join filter
+    changes preserved-row semantics), nothing trailing. AST-only — this
+    matcher postdates the regex front-ends' deprecation."""
+    s = parse_join_select(query)
+    if (
+        s is None
+        or s.tail is not None
+        or s.group_by is not None
+        or s.having is not None
+        or s.where is not None
+        or len(s.joins) != 1
+    ):
+        return None
+    j = s.joins[0]
+    if j.how != "full" or j.on is None:
+        return None
+    ref = r"(?:[A-Za-z_]\w*\s*\.\s*)?[A-Za-z_]\w*"
+    em = re.fullmatch(rf"(?s)\s*({ref})\s*=\s*({ref})\s*", j.on)
+    if em is None:
+        return None
+    return (s.select, s.table, s.alias, j.table, j.alias, em.group(1), em.group(2))
+
+
 def semijoin_clauses(query: str):
     """AST front-end for the EXISTS / NOT EXISTS / IN / NOT IN
     existence-filter view. Returns the 12-tuple
