@@ -453,11 +453,14 @@ class TestProjectionConvergence:
         app3.bootstrap()
         assert app3.read().count() == 2
 
-    def test_union_inner_never_cascades(self, spark, tmp_path):
+    def test_union_inner_cascades_with_bag_semantics(self, spark, tmp_path):
         """A UNION ALL inner advertises an overclaimed PK (unique per
-        branch only); an outer trusting it would collapse cross-branch
-        duplicates under churn. The cascade must refuse and fall back
-        to recompute — and stay correct when a duplicated key churns."""
+        branch only); an outer keying by it would collapse cross-branch
+        duplicates under churn — the wrong-result scenario this test
+        red-fences. The cascade now routes by consuming the inner's
+        HIDDEN uniqueness carrier (the branch tag completes the true
+        compound key), so bag semantics flow through: the duplicated
+        key (2, 'y') counts once per branch, before and after churn."""
         from tiflink_spark.app import MVApp
 
         t1 = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
@@ -476,8 +479,15 @@ class TestProjectionConvergence:
             .shuffle_partitions(4)
             .build()
         )
-        assert app.maintenance_strategy == "RecomputeMV"
+        assert app.maintenance_strategy == "CascadeMV"
+        assert app._mv.inner.maintenance_strategy == "IncrementalUnionMV"
         app.bootstrap()
+        # bag check at rest: y once in t1, twice in t2 -> 3 (collapse
+        # on the overclaimed key k would count (2,'y') once -> 2)
+        got0 = sorted(tuple(r) for r in app.read().collect())
+        assert got0 == [("x", 1), ("y", 3)]
+        # churn ONE branch's copy of the duplicated key: the other
+        # branch's copy must survive (collapse would drop it)
         ch = (
             spark.createDataFrame([(2, "z")], "k long, v string")
             .withColumn(OP_COL, F.lit(OP_UPDATE))
@@ -486,3 +496,16 @@ class TestProjectionConvergence:
         app.refresh({"t1": ch}, batch_id=1)
         got = sorted(tuple(r) for r in app.read().collect())
         assert got == [("x", 1), ("y", 2), ("z", 1)]
+        # crash replay: no-op
+        app.refresh({"t1": ch}, batch_id=1)
+        got = sorted(tuple(r) for r in app.read().collect())
+        assert got == [("x", 1), ("y", 2), ("z", 1)]
+        # delete the OTHER branch's copy: y drops to 1 (from t2's (3,y))
+        d = (
+            spark.createDataFrame([(2, "y")], "k long, v string")
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.lit(0))
+        )
+        app.refresh({"t2": d}, batch_id=2)
+        got = sorted(tuple(r) for r in app.read().collect())
+        assert got == [("x", 1), ("y", 1), ("z", 1)]

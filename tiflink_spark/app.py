@@ -207,10 +207,15 @@ class CascadeMV:
         v_to = tgt.current_version()
         if v_to == v_from:
             return False
-        # Project through the inner query's schema: the store may carry
-        # engine-internal columns (hidden DISTINCT counts etc.) that the
-        # outer plan must never see.
-        cols = [f.name for f in self.inner.mv_schema.fields]
+        # Project through the inner query's schema PLUS the target's
+        # own key columns (a bag inner's hidden branch tag completes
+        # the true key the outer stores by); other engine-internal
+        # columns (hidden DISTINCT counts etc.) the outer must not see.
+        cols = list(
+            dict.fromkeys(
+                [f.name for f in self.inner.mv_schema.fields] + list(tgt.pk)
+            )
+        )
         delta = changes_between(tgt, v_from, v_to).select(*cols, OP_COL, SEQ_COL)
         return self.outer.refresh({self.alias: delta}, batch_id)
 
@@ -1103,24 +1108,36 @@ class MVApp:
                 num_buckets, shuffle_partitions,
             )
             outer_app = None
-            # The inner's advertised PK must be a TRUE unique key: the
-            # outer's stores address rows by it, so an overclaimed key
-            # (union-all's per-branch PK) would collapse distinct rows
-            # under churn — wrong results, not just slow ones.
-            if (
-                inner_app.maintenance_mode == "incremental"
-                and inner_app.pk_is_unique
-            ):
-                placeholder = spark.sql(inner_sql)
-                outer_app = MVApp(
-                    spark,
-                    {alias: (placeholder, inner_app.mv_pk)},
-                    outer_sql,
-                    os.path.join(target, "outer"),
-                    pk,
-                    num_buckets,
-                    shuffle_partitions,
-                )
+            # The outer's stores address rows by the inner's key, so it
+            # must be a TRUE unique key. Two ways to have one:
+            # - the inner's advertised PK is genuinely unique
+            #   (pk_is_unique), or
+            # - the inner is a BAG view that exposes its hidden
+            #   uniqueness carrier (union-all's branch tag) via
+            #   cascade_relation(): the outer consumes the relation
+            #   WITH the hidden column, keyed by the target store's
+            #   full compound PK, so cross-branch duplicates never
+            #   collapse — bag semantics flow through the cascade.
+            if inner_app.maintenance_mode == "incremental":
+                rel_fn = getattr(inner_app._mv, "cascade_relation", None)
+                if inner_app.pk_is_unique:
+                    placeholder = spark.sql(inner_sql)
+                    inner_key = inner_app.mv_pk
+                elif rel_fn is not None:
+                    placeholder = rel_fn()
+                    inner_key = list(inner_app._mv.target.pk)
+                else:
+                    placeholder = None
+                if placeholder is not None:
+                    outer_app = MVApp(
+                        spark,
+                        {alias: (placeholder, inner_key)},
+                        outer_sql,
+                        os.path.join(target, "outer"),
+                        pk,
+                        num_buckets,
+                        shuffle_partitions,
+                    )
             if (
                 outer_app is not None
                 and outer_app.maintenance_mode == "incremental"

@@ -1387,8 +1387,14 @@ class IncrementalUnionMV:
             self.SRC_COL, F.lit(table)
         )
 
-    @_maintenance
-    def bootstrap(self, batch_id=0) -> None:
+    def cascade_relation(self) -> DataFrame:
+        """The view WITH its hidden branch tag — the relation an outer
+        cascade level must consume: the tag completes the TRUE unique
+        key (__src, shared PK), so an outer MV keying its stores by it
+        never collapses cross-branch duplicates (the wrong-result
+        scenario the advertised single-column PK would cause). Lazy
+        plan over the original sources; same construction bootstrap
+        publishes."""
         parts = []
         for t, (df, _, _) in self.branches.items():
             if t in self.wheres:
@@ -1397,7 +1403,11 @@ class IncrementalUnionMV:
         full = parts[0]
         for p in parts[1:]:
             full = full.unionByName(p)
-        self.target.bootstrap(full, batch_id)
+        return full
+
+    @_maintenance
+    def bootstrap(self, batch_id=0) -> None:
+        self.target.bootstrap(self.cascade_relation(), batch_id)
 
     @_maintenance
     def refresh(self, changes: dict[str, DataFrame], batch_id) -> bool:

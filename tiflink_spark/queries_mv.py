@@ -4383,3 +4383,94 @@ def mvapp_auto_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_cascade_bag",
+    """
+    WITH b1 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 12 = 0 THEN 'X-MOVED'
+                    ELSE o_orderpriority END AS pri
+        FROM orders WHERE o_orderkey % 4 = 0
+    ),
+    b2 AS (
+        SELECT o_orderkey, o_orderpriority AS pri
+        FROM orders WHERE o_orderkey % 6 = 0 AND o_orderkey % 24 <> 0
+    ),
+    u AS (SELECT pri FROM b1 UNION ALL SELECT pri FROM b2)
+    SELECT pri, count(*) AS n FROM u GROUP BY pri
+    """,
+    doc=(
+        "Aggregate over a BAG-semantics inner (UNION ALL) maintained as "
+        "a cascade (VERDICT r4 #7): the union's advertised PK is unique "
+        "per branch only, so the outer level consumes the inner "
+        "relation WITH its hidden branch tag — the true compound key — "
+        "and keys its stores by it; cross-branch duplicate orderkeys "
+        "(every %12 key is in both branches) count once per branch, "
+        "never collapsing. Churn updates one branch's copy of the "
+        "duplicated keys (group move) and deletes the other's; a batch "
+        "replays for idempotence. The fn raises unless both levels "
+        "routed incrementally."
+    ),
+    tags=("mv", "incremental", "planner", "cascade", "union"),
+)
+def mvapp_auto_cascade_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    b1 = (
+        t["orders"]
+        .filter(F.col("o_orderkey") % 4 == 0)
+        .select("o_orderkey", F.col("o_orderpriority").alias("pri"))
+    )
+    b2 = (
+        t["orders"]
+        .filter(F.col("o_orderkey") % 6 == 0)
+        .select("o_orderkey", F.col("o_orderpriority").alias("pri"))
+    )
+    work = tempfile.mkdtemp(prefix="mvapp_cb_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("b1", b1, pk=["o_orderkey"])
+            .source("b2", b2, pk=["o_orderkey"])
+            .query(
+                """SELECT pri, count(*) AS n FROM (
+                     SELECT o_orderkey, pri FROM b1
+                     UNION ALL
+                     SELECT o_orderkey, pri FROM b2
+                   ) u GROUP BY pri"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "CascadeMV" or (
+            app._mv.inner.maintenance_strategy != "IncrementalUnionMV"
+        ):
+            raise AssertionError(
+                f"planner routed the bag cascade to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        # B1 +U: move one branch's copy of every duplicated key — the
+        # other branch's copy must keep counting under its old group
+        u1 = (
+            b1.filter(F.col("o_orderkey") % 12 == 0)
+            .withColumn("pri", F.lit("X-MOVED"))
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"b1": u1}, batch_id=1)
+        # B2 -D: delete the second branch's copy of a subset
+        d2 = (
+            b2.filter(F.col("o_orderkey") % 24 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"b2": d2}, batch_id=2)
+        app.refresh({"b2": d2}, batch_id=2)  # crash replay: no-op
+        return app.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
