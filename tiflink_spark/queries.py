@@ -1163,12 +1163,15 @@ def event_time_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the rotation policy — see the window comment inside the list.
 _PRIORITY = [
     # ============= the driver's ~50-query correctness window =============
-    # The driver checks a strict PREFIX of the registry (50 in r2 and
-    # r3). Round-4 rotation: ~12 sentinels (one per graded family, all
-    # r3-green, plus the FIXED q9 red) stay in; the other 38 slots go to
-    # gates that have never had a driver correctness row — the round-3
-    # verdict's top ask. Rotated-out gates hold r2/r3 green rows and
-    # stay locally oracle-checked (tools/check_oracle.py, full registry).
+    # The driver checks a strict PREFIX of the registry (50 in every
+    # round so far). Registration order IS the rotation policy.
+    # Round-6 rotation: 12 sentinels (one per graded family, all
+    # driver-green in r2-r5) stay in; the other 38 slots go to gates
+    # that have NEVER had a driver correctness row (the r5 verdict's
+    # top ask), led by the two unwitnessed round-5 routes. Rotated-out
+    # gates hold r2-r5 green rows and stay locally oracle-checked
+    # (tools/check_oracle.py, full registry).
+    # --- sentinels (12) ---
     "flagship_correlated_count",
     "q1_pricing_summary",
     "q9_product_profit",
@@ -1179,6 +1182,50 @@ _PRIORITY = [
     "streaming_rate_changelog",
     "txn_resolution",
     "jdbc_scan",
+    "streaming_tumble_agg",
+    "mvapp_auto_grouping_sets",
+    # --- first-time driver evidence (38) ---
+    "mvapp_auto_full_outer",
+    "mvapp_auto_cascade_bag",
+    "mvapp_auto_median",
+    "mvapp_auto_filtered",
+    "mvapp_auto_having",
+    "mvapp_auto_distinct",
+    "mvapp_auto_join",
+    "mvapp_auto_left_join_agg",
+    "mvapp_auto_dim_where",
+    "multimodal_jpeg_decode",
+    "multimodal_video_framesample",
+    "jdbc_outbox_cdc",
+    "mv_flagship_streaming",
+    "window_tumble",
+    "window_hop",
+    "window_session",
+    "streaming_dedup",
+    "streaming_stateful_counts",
+    "lateral_topn_per_group",
+    "range_join_price_bands",
+    "rollup_time_grains",
+    "salted_join_skew",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_repetition_score",
+    "text_tfidf_topterms",
+    "text_dup_span_fraction",
+    "dedup_connected_components",
+    "dedup_keep_canonical",
+    "pipeline_corpus_prep",
+    "mv_time_travel",
+    "approx_percentile_bounded",
+    "null_semantics",
+    "cast_funcs",
+    "window_range_frame",
+    "pandas_udaf_median",
+    "udtf_split_words",
+    "mv_topk_incremental",
+    # ================== past the 50-query window ==================
+    # r2-r5 driver-green gates rotated out; next-round rotation pulls
+    # from the top of this section first.
     "mvapp_auto_projection",
     "mvapp_auto_window",
     "mvapp_auto_star_agg",
@@ -1205,11 +1252,9 @@ _PRIORITY = [
     "mvapp_auto_join_top_groups",
     "mvapp_auto_deep_chain",
     "mvapp_auto_antijoin",
-    "mvapp_auto_grouping_sets",
     "mvapp_projection_streaming",
     "mvapp_semijoin_streaming",
     "mvapp_star_streaming",
-    "streaming_tumble_agg",
     "streaming_hop_agg",
     "streaming_session_agg",
     "streaming_interval_join",
@@ -1219,15 +1264,9 @@ _PRIORITY = [
     "multimodal_real_decode",
     "jdbc_mv_publish",
     "mvapp_auto_theta_join",
-    # ================== past the 50-query window ==================
-    "jdbc_outbox_cdc",
-    "multimodal_jpeg_decode",
-    "multimodal_video_framesample",
-    "mvapp_auto_median",
     "text_quality_score",
     "multimodal_real_resize",
     "quality_decile_binning",
-    # r2/r3 driver-green gates rotated out this round, old order kept.
     "math_funcs",
     "approx_count_distinct",
     "q2_min_cost_supplier",
@@ -1266,14 +1305,6 @@ _PRIORITY = [
     "mvapp_auto_incremental",
     "mvapp_auto_semijoin",
     "mvapp_auto_cascade",
-    "mvapp_auto_filtered",
-    "mvapp_auto_having",
-    "mvapp_auto_distinct",
-    "mvapp_auto_left_join_agg",
-    "mvapp_auto_dim_where",
-    "text_dup_span_fraction",
-    "mvapp_auto_join",
-    "mv_topk_incremental",
 ]
 
 # Tier 2: everything else, most-valuable module first; the queries.py
