@@ -388,3 +388,79 @@ class TestGroupingSetsKeyHaving:
             expn = exp.select("grp", "sub", "n", F.round("sv", 6).alias("s"))
             assert got.exceptAll(expn).count() == 0, tag
             assert expn.exceptAll(got).count() == 0, tag
+
+
+class TestGroupingSetsCascade:
+    """A nested aggregate over a rollup routes as CascadeMV through the
+    hidden per-set row identity (__set_row) — the bag view's true
+    unique key — and converges under cross-set churn and crash replay
+    at EVERY crash point, including the nastiest: only SOME per-set
+    sub-MVs committed the batch before the crash."""
+
+    Q = (
+        "SELECT coalesce(pri, '(all)') AS pg, sum(n) AS rows_g, "
+        "count(*) AS grains FROM "
+        "(SELECT pri, st, count(*) AS n FROM f_cg GROUP BY ROLLUP (pri, st)) r "
+        "GROUP BY coalesce(pri, '(all)')"
+    )
+
+    def _expect(self, spark, fact):
+        fact.createOrReplaceTempView("f_cg_now")
+        return {
+            tuple(r)
+            for r in spark.sql(self.Q.replace("FROM f_cg ", "FROM f_cg_now ")).collect()
+        }
+
+    def test_routes_converges_and_survives_partial_sub_crash(self, spark, tmp_path):
+        from tiflink_spark.app import MVApp
+
+        fact = spark.createDataFrame(
+            [(i, f"p{i % 3}", f"s{i % 2}") for i in range(24)],
+            "k int, pri string, st string",
+        )
+        app = (
+            MVApp.builder(spark)
+            .source("f_cg", fact, pk=["k"])
+            .query(self.Q)
+            .target(str(tmp_path / "cg"))
+            .num_buckets(2)
+            .shuffle_partitions(2)
+            .build()
+        )
+        assert app.maintenance_strategy == "CascadeMV"
+        assert app._mv.inner.maintenance_strategy == "IncrementalGroupingSetsMV"
+        app.bootstrap()
+        assert {tuple(r) for r in app.read().collect()} == self._expect(spark, fact)
+
+        # B1: a cross-set group move (new (pri) subtotal appears) + a
+        # delete — crash simulated after only the FIRST per-set sub-MV
+        # committed, then a full replay must converge, not double-apply.
+        b1 = spark.createDataFrame(
+            [(0, "pX", "s0", "+U", 0), (1, "p1", "s1", "-D", 1)],
+            "k int, pri string, st string, __op string, __seq long",
+        )
+        inner_mv = app._mv.inner._mv
+        # the shared fact carries the hidden global-set key
+        inner_mv.subs[0].refresh(b1.withColumn("__g", F.lit(0)), batch_id=1)
+        app.refresh({"f_cg": b1}, batch_id=1)
+        fact1 = spark.createDataFrame(
+            [(0, "pX", "s0")] + [(i, f"p{i % 3}", f"s{i % 2}") for i in range(2, 24)],
+            "k int, pri string, st string",
+        )
+        assert {tuple(r) for r in app.read().collect()} == self._expect(spark, fact1)
+        # fully-committed batch replays as a no-op
+        assert app.refresh({"f_cg": b1}, batch_id=1) is False
+
+        # B2: crash between the inner level and the outer level — the
+        # CascadeMV replay path recovers the delta from the version log.
+        b2 = spark.createDataFrame(
+            [(2, "pX", "s1", "+U", 0)], "k int, pri string, st string, __op string, __seq long"
+        )
+        app._mv.inner.refresh({"f_cg": b2}, batch_id=2)
+        app.refresh({"f_cg": b2}, batch_id=2)
+        fact2 = spark.createDataFrame(
+            [(0, "pX", "s0"), (2, "pX", "s1")]
+            + [(i, f"p{i % 3}", f"s{i % 2}") for i in range(3, 24)],
+            "k int, pri string, st string",
+        )
+        assert {tuple(r) for r in app.read().collect()} == self._expect(spark, fact2)

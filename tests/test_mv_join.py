@@ -269,7 +269,9 @@ class TestFullOuterJoinMV:
         pks = {"ords": ["o_id"], "custs": ["c_id"]}
         s = match_full_outer_shape(self.Q, {"ords", "custs"}, cols, pks)
         assert s is not None
-        assert (s.fact, s.dim, s.fact_fk, s.dim_key) == ("ords", "custs", "o_fk", "c_id")
+        assert (s.fact, s.dim, s.fact_fks, s.dim_keys) == (
+            "ords", "custs", ("o_fk",), ("c_id",)
+        )
         # WHERE changes preserved-row semantics -> no route
         assert (
             match_full_outer_shape(
@@ -351,3 +353,116 @@ class TestFullOuterJoinMV:
             batch_id=4,
         )
         self._check(app, spark, ords4, custs4)
+
+
+class TestFullOuterCompositeKeyMV:
+    """FULL OUTER against a COMPOSITE-PK dim: the ON is a conjunction
+    of equalities covering the dim's full declared key (VERDICT r5 #5).
+    WHERE remains an explicit refusal — a post-join filter silently
+    drops preserved NULL-extended rows."""
+
+    Q = """SELECT o_id, o_hi, o_lo, o_val, c_hi, c_lo, c_name
+           FROM ords FULL OUTER JOIN custs
+             ON o_hi = c_hi AND o_lo = c_lo"""
+
+    COLS = {
+        "ords": ["o_id", "o_hi", "o_lo", "o_val"],
+        "custs": ["c_hi", "c_lo", "c_name"],
+    }
+    PKS = {"ords": ["o_id"], "custs": ["c_hi", "c_lo"]}
+
+    def test_matcher(self, spark):
+        from tiflink_spark.planner import match_full_outer_shape
+
+        s = match_full_outer_shape(self.Q, {"ords", "custs"}, self.COLS, self.PKS)
+        assert s is not None
+        assert (s.fact, s.dim) == ("ords", "custs")
+        assert (s.fact_fks, s.dim_keys) == (("o_hi", "o_lo"), ("c_hi", "c_lo"))
+        # PARTIAL dim key (only one of two PK columns) -> no route
+        q_partial = """SELECT o_id, o_hi, o_val, c_hi, c_name
+                       FROM ords FULL OUTER JOIN custs ON o_hi = c_hi"""
+        assert (
+            match_full_outer_shape(q_partial, {"ords", "custs"}, self.COLS, self.PKS)
+            is None
+        )
+        # WHERE -> documented refusal
+        assert (
+            match_full_outer_shape(
+                self.Q + " WHERE o_val = 'a'", {"ords", "custs"}, self.COLS, self.PKS
+            )
+            is None
+        )
+        # non-equality conjunct -> no route
+        q_theta = self.Q.replace("AND o_lo = c_lo", "AND o_lo < c_lo")
+        assert (
+            match_full_outer_shape(q_theta, {"ords", "custs"}, self.COLS, self.PKS)
+            is None
+        )
+
+    def test_converges_two_sided_churn(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from tiflink_spark.app import MVApp
+
+        ords = spark.createDataFrame(
+            [(1, 1, 0, "a"), (2, 1, 0, "b"), (3, 2, 0, "c"), (4, None, 0, "d")],
+            "o_id int, o_hi int, o_lo int, o_val string",
+        )
+        custs = spark.createDataFrame(
+            [(1, 0, "ten"), (3, 0, "thirty")], "c_hi int, c_lo int, c_name string"
+        )
+        app = (
+            MVApp.builder(spark)
+            .source("ords", ords, pk=["o_id"])
+            .source("custs", custs, pk=["c_hi", "c_lo"])
+            .query(self.Q)
+            .target(str(tmp_path / "foc"))
+            .num_buckets(2)
+            .shuffle_partitions(2)
+            .build()
+        )
+        assert app.maintenance_strategy == "IncrementalFullOuterJoinMV"
+        app.bootstrap()
+
+        def check(ords_now, custs_now):
+            ords_now.createOrReplaceTempView("ords_e")
+            custs_now.createOrReplaceTempView("custs_e")
+            exp = spark.sql(
+                self.Q.replace("ords", "ords_e").replace("custs", "custs_e")
+            )
+            got = app.read()
+            assert got.exceptAll(exp).count() == 0
+            assert exp.exceptAll(got).count() == 0
+
+        check(ords, custs)
+        # dim arrival on (2,0): fact row 3 un-NULLs; (3,0) stays dim-only
+        c_ins = spark.createDataFrame([(2, 0, "twenty")], "c_hi int, c_lo int, c_name string")
+        app.refresh({"custs": _chg(c_ins, OP_INSERT)}, batch_id=1)
+        custs1 = custs.unionByName(c_ins)
+        check(ords, custs1)
+        # fact arrival referencing dim-only (3,0): retracts d:(3,0)
+        o_ins = spark.createDataFrame([(5, 3, 0, "e")], "o_id int, o_hi int, o_lo int, o_val string")
+        app.refresh({"ords": _chg(o_ins, OP_INSERT)}, batch_id=2)
+        ords2 = ords.unionByName(o_ins)
+        check(ords2, custs1)
+        # last fact row on (2,0) moves to (1,0): d:(2,0) must reappear
+        o_mv = spark.createDataFrame([(3, 1, 0, "c")], "o_id int, o_hi int, o_lo int, o_val string")
+        app.refresh({"ords": _chg(o_mv, OP_UPDATE)}, batch_id=3)
+        ords3 = ords2.withColumn(
+            "o_hi", F.when(F.col("o_id") == 3, 1).otherwise(F.col("o_hi"))
+        )
+        check(ords3, custs1)
+        # dim delete (1,0) + fact delete of the NULL-fk row, then replay
+        c_del = spark.createDataFrame([(1, 0, "ten")], "c_hi int, c_lo int, c_name string")
+        o_del = spark.createDataFrame([(4, None, 0, "d")], "o_id int, o_hi int, o_lo int, o_val string")
+        app.refresh(
+            {"custs": _chg(c_del, OP_DELETE), "ords": _chg(o_del, OP_DELETE)},
+            batch_id=4,
+        )
+        ords4 = ords3.filter(F.col("o_id") != 4)
+        custs4 = custs1.filter(~((F.col("c_hi") == 1) & (F.col("c_lo") == 0)))
+        check(ords4, custs4)
+        app.refresh(
+            {"custs": _chg(c_del, OP_DELETE), "ords": _chg(o_del, OP_DELETE)},
+            batch_id=4,
+        )
+        check(ords4, custs4)

@@ -196,8 +196,24 @@ class CascadeMV:
         from tiflink_spark.changelog import OP_COL, SEQ_COL
         from tiflink_spark.store import changes_between
 
-        tgt = self.inner._mv.target
-        if batch_id in tgt.committed_batches():
+        # A single-target inner cascades through its target store; a
+        # multi-store inner (grouping sets) exposes a store-shaped
+        # composite façade as `cascade_target`.
+        tgt = getattr(self.inner._mv, "cascade_target", None)
+        if tgt is None:
+            tgt = self.inner._mv.target
+        pre = getattr(tgt, "pre_batch_version", None)
+        if pre is not None:
+            # Composite target: the batch may have committed in SOME
+            # per-set stores before a crash. pre_batch_version returns
+            # the crash-aware baseline (pre-batch version for committed
+            # subs, current for the rest); the inner refresh must still
+            # run unless EVERY sub committed, or the uncommitted subs
+            # would never see the batch.
+            v_from, fully_committed = pre(batch_id)
+            if not fully_committed:
+                self.inner.refresh(changes, batch_id)
+        elif batch_id in tgt.committed_batches():
             # crash replay: the inner committed but (possibly) the outer
             # did not — recover this batch's delta from the version log
             v_from = tgt.version_before_batch(batch_id)
@@ -216,7 +232,10 @@ class CascadeMV:
                 [f.name for f in self.inner.mv_schema.fields] + list(tgt.pk)
             )
         )
-        delta = changes_between(tgt, v_from, v_to).select(*cols, OP_COL, SEQ_COL)
+        cb = getattr(tgt, "changes_between", None)
+        delta = (cb(v_from, v_to) if cb is not None else changes_between(tgt, v_from, v_to)).select(
+            *cols, OP_COL, SEQ_COL
+        )
         return self.outer.refresh({self.alias: delta}, batch_id)
 
     def read(self, version: int | None = None):
@@ -737,8 +756,8 @@ class MVApp:
                 fact=dfs[fo.fact][1],
                 fact_pk=dfs[fo.fact][0].pk,
                 dim=dfs[fo.dim][1],
-                dim_key=fo.dim_key,
-                fact_fk=fo.fact_fk,
+                dim_keys=list(fo.dim_keys),
+                fact_fks=list(fo.fact_fks),
                 out_cols=list(fo.out_cols),
                 work_dir=target,
                 num_buckets=num_buckets,
@@ -1125,7 +1144,10 @@ class MVApp:
                     inner_key = inner_app.mv_pk
                 elif rel_fn is not None:
                     placeholder = rel_fn()
-                    inner_key = list(inner_app._mv.target.pk)
+                    ctgt = getattr(inner_app._mv, "cascade_target", None)
+                    inner_key = list(
+                        ctgt.pk if ctgt is not None else inner_app._mv.target.pk
+                    )
                 else:
                     placeholder = None
                 if placeholder is not None:

@@ -476,10 +476,12 @@ class IncrementalThetaJoinMV:
 class IncrementalFullOuterJoinMV:
     """Incremental MV for the two-sided PRESERVED equi-join
 
-        SELECT cols FROM fact FULL [OUTER] JOIN dim ON fact.fk = dim.k
+        SELECT cols FROM fact FULL [OUTER] JOIN dim
+          ON fact.fk1 = dim.k1 [AND fact.fk2 = dim.k2 …]
 
-    with ``k`` the dim's declared PK (each fact row matches ≤1 dim
-    row). Flink's update-mode planner maintains FULL OUTER natively by
+    with (k1, …) exactly the dim's declared PK — single-column or
+    composite (each fact row matches ≤1 dim row). Flink's update-mode
+    planner maintains FULL OUTER natively by
     keeping both sides' state and retracting a side's NULL-extended row
     when the other side arrives (the reference gets it by delegation,
     TiFlinkApp.java:270). Same effect here via dirty-key recompute +
@@ -487,7 +489,7 @@ class IncrementalFullOuterJoinMV:
 
     - a row's identity is ``f:<fact-pk>`` whenever the fact side is
       present (matched AND fact-only rows — a dim's arrival mutates the
-      row's dim payload, not its identity), else ``d:<dim-key>``
+      row's dim payload, not its identity), else ``d:<dim-keys>``
       (dim-only rows). The target is keyed by this identity because
       dim-only rows carry NULL fact PKs, which the keyed store —
       correctly — refuses.
@@ -514,8 +516,8 @@ class IncrementalFullOuterJoinMV:
         fact: DataFrame,
         fact_pk: list[str],
         dim: DataFrame,
-        dim_key: str,
-        fact_fk: str,
+        dim_keys: str | list[str],
+        fact_fks: str | list[str],
         out_cols: list[str],
         work_dir: str,
         num_buckets: int | None = None,
@@ -525,15 +527,19 @@ class IncrementalFullOuterJoinMV:
         self.shuffle_partitions = shuffle_partitions
         self.fact0, self.dim0 = fact, dim
         self.fact_pk = list(fact_pk)
-        self.dim_key = dim_key
-        self.fact_fk = fact_fk
+        # positionally paired equi-join columns; single-column keys may
+        # be passed as bare strings
+        self.dim_keys = [dim_keys] if isinstance(dim_keys, str) else list(dim_keys)
+        self.fact_fks = [fact_fks] if isinstance(fact_fks, str) else list(fact_fks)
+        if len(self.dim_keys) != len(self.fact_fks):
+            raise ValueError("fact_fks and dim_keys must pair positionally")
         self.out_cols = list(out_cols)
         overlap = {c.lower() for c in fact.columns} & {c.lower() for c in dim.columns}
         if overlap:
             raise ValueError(
                 f"full-outer-join MV requires disjoint column names; shared: {sorted(overlap)}"
             )
-        missing = {*self.fact_pk, fact_fk, dim_key} - set(out_cols)
+        missing = {*self.fact_pk, *self.fact_fks, *self.dim_keys} - set(out_cols)
         if missing:
             raise ValueError(
                 f"full-outer-join MV select list must carry {sorted(missing)}"
@@ -542,7 +548,7 @@ class IncrementalFullOuterJoinMV:
             spark, os.path.join(work_dir, "fact"), self.fact_pk, num_buckets
         )
         self.dim_store = KeyedParquetStore(
-            spark, os.path.join(work_dir, "dim"), [dim_key], num_buckets
+            spark, os.path.join(work_dir, "dim"), self.dim_keys, num_buckets
         )
         self.target = KeyedParquetStore(
             spark, os.path.join(work_dir, "mv"), [self.ROWID], num_buckets
@@ -555,11 +561,17 @@ class IncrementalFullOuterJoinMV:
                 "\x1f", F.lit("f"), *[F.col(c).cast("string") for c in self.fact_pk]
             ),
         ).otherwise(
-            F.concat_ws("\x1f", F.lit("d"), F.col(self.dim_key).cast("string"))
+            F.concat_ws(
+                "\x1f", F.lit("d"), *[F.col(k).cast("string") for k in self.dim_keys]
+            )
         )
 
     def _joined(self, f: DataFrame, d: DataFrame) -> DataFrame:
-        j = f.join(d, f[self.fact_fk] == d[self.dim_key], "full")
+        cond = None
+        for fk, k in zip(self.fact_fks, self.dim_keys):
+            c = f[fk] == d[k]
+            cond = c if cond is None else (cond & c)
+        j = f.join(d, cond, "full")
         return j.select(*self.out_cols).withColumn(self.ROWID, self._rowid())
 
     @_maintenance
@@ -581,7 +593,16 @@ class IncrementalFullOuterJoinMV:
             return False
         if fact_changes is None and dim_changes is None:
             return False
-        fpk, k, fk = self.fact_pk, self.dim_key, self.fact_fk
+        fpk, ks, fks = self.fact_pk, self.dim_keys, self.fact_fks
+
+        def fk_as_keys(df: DataFrame) -> DataFrame:
+            # a fact row with ANY NULL join column can never match —
+            # it references no dim key (SQL null-unsafe equality)
+            out = df.select(*[F.col(fk).alias(k) for fk, k in zip(fks, ks)])
+            cond = F.lit(True)
+            for k in ks:
+                cond = cond & F.col(k).isNotNull()
+            return out.filter(cond)
 
         dirty_f = (
             last_change_per_key(fact_changes, fpk)
@@ -592,7 +613,7 @@ class IncrementalFullOuterJoinMV:
         )
         key_parts = []
         if dim_changes is not None:
-            key_parts.append(last_change_per_key(dim_changes, [k]).select(k))
+            key_parts.append(last_change_per_key(dim_changes, ks).select(*ks))
         if dirty_f is not None:
             # OLD fks of the dirty fact rows: an update that moves a row
             # off key k may leave k fact-less — its d:k row must appear.
@@ -602,9 +623,7 @@ class IncrementalFullOuterJoinMV:
                 )
             else:
                 pre = self.fact_store.read()
-            key_parts.append(
-                pre.join(dirty_f, fpk, "left_semi").select(F.col(fk).alias(k))
-            )
+            key_parts.append(fk_as_keys(pre.join(dirty_f, fpk, "left_semi")))
 
         if fact_changes is not None:
             self.fact_store.merge(fact_changes, batch_id)
@@ -613,22 +632,18 @@ class IncrementalFullOuterJoinMV:
         fact_now, dim_now = self.fact_store.read(), self.dim_store.read()
 
         if dirty_f is not None:
-            key_parts.append(
-                fact_now.join(dirty_f, fpk, "left_semi").select(F.col(fk).alias(k))
-            )
+            key_parts.append(fk_as_keys(fact_now.join(dirty_f, fpk, "left_semi")))
         dirty_keys = key_parts[0]
         for p in key_parts[1:]:
             dirty_keys = dirty_keys.unionByName(p)
-        dirty_keys = (
-            dirty_keys.filter(F.col(k).isNotNull())
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        dirty_keys = dirty_keys.distinct().localCheckpoint(eager=True)
 
         # fact slice: PK-dirty rows ∪ rows referencing a dirty key
-        l_slice = fact_now.join(
-            dirty_keys, fact_now[fk] == dirty_keys[k], "left_semi"
-        )
+        cond = None
+        for fk, k in zip(fks, ks):
+            c = fact_now[fk] == dirty_keys[k]
+            cond = c if cond is None else (cond & c)
+        l_slice = fact_now.join(dirty_keys, cond, "left_semi")
         if dirty_f is not None:
             l_slice = l_slice.unionByName(
                 fact_now.join(dirty_f, fpk, "left_semi")
@@ -637,13 +652,12 @@ class IncrementalFullOuterJoinMV:
         # every key the slice references (clean keys of PK-dirty rows
         # included — their dim payload must re-join, not NULL-extend)
         ref_keys = (
-            l_slice.select(F.col(fk).alias(k))
-            .filter(F.col(k).isNotNull())
+            fk_as_keys(l_slice)
             .unionByName(dirty_keys)
             .distinct()
             .localCheckpoint(eager=True)
         )
-        r_slice = dim_now.join(ref_keys, [k], "left_semi")
+        r_slice = dim_now.join(ref_keys, ks, "left_semi")
         recomputed = self._joined(l_slice, r_slice)
 
         # same-identity old rows: f-rows for the slice's (and deleted)
@@ -657,7 +671,7 @@ class IncrementalFullOuterJoinMV:
                 fpk,
                 "left_semi",
             ),
-            mv_now.filter(F.col(fpk[0]).isNull()).join(ref_keys, [k], "left_semi"),
+            mv_now.filter(F.col(fpk[0]).isNull()).join(ref_keys, ks, "left_semi"),
         ]
         mv_dirty_old = (
             olds[0].unionByName(olds[1]).dropDuplicates([self.ROWID])
@@ -2119,9 +2133,19 @@ class IncrementalGroupingSetsMV:
     is stored once, not |sets| times (the 100 TB concern).
 
     The view is the BAG union of per-set rows with typed NULLs for the
-    keys a set omits (subtotal rows), so it has no unique key —
-    callers must treat ``pk_is_unique`` as False (no cascades on top).
+    keys a set omits (subtotal rows), so it has no unique key — callers
+    must treat ``pk_is_unique`` as False. Cascades on top are still
+    sound through the hidden-carrier mechanism UNION ALL pioneered
+    (``cascade_relation``): the TRUE unique key of the bag is
+    (grouping set, that set's key values), exposed as one synthetic
+    non-NULL identity column ``__set_row`` (subtotal rows carry NULL
+    visible keys, which a keyed store must reject — same reasoning as
+    the FULL OUTER route's ``f:<pk>`` / ``d:<key>`` identity). The
+    composite per-set target stores are presented to CascadeMV as one
+    CDC source via :class:`_GroupingSetsCascadeTarget`.
     """
+
+    ROWID = "__set_row"
 
     def __init__(
         self,
@@ -2165,6 +2189,7 @@ class IncrementalGroupingSetsMV:
         # constant key; deriving it once onto the shared fact keeps
         # every sub-MV reading the same row layout.
         fact0 = fact.withColumn("__g", F.lit(0)) if self._has_global else fact
+        self._fact0 = fact0
         self._key_types = {
             f.name: f.dataType for f in fact0.schema.fields if f.name in self.all_keys
         }
@@ -2199,6 +2224,9 @@ class IncrementalGroupingSetsMV:
             sub.fact_store = shared_fact  # one fact copy for all sets
             self.subs.append(sub)
         self.fact_store = shared_fact
+        # Composite CDC source over the per-set target stores — what a
+        # CascadeMV consumes instead of a (non-existent) single target.
+        self.cascade_target = _GroupingSetsCascadeTarget(self)
 
     def bootstrap(self, batch_id=0) -> None:
         for sub in self.subs:
@@ -2214,38 +2242,162 @@ class IncrementalGroupingSetsMV:
             did = sub.refresh(changes, batch_id) or did
         return did
 
+    def _extend(
+        self,
+        i: int,
+        s: tuple[str, ...],
+        rows: DataFrame,
+        rowid: bool = False,
+        passthrough: tuple[str, ...] = (),
+    ) -> DataFrame:
+        """Per-set rows (sub-MV target schema: that set's keys + every
+        measure alias) → the full NULL-extended grouping-sets schema in
+        read() column order. ``rowid`` appends the synthetic per-set
+        identity ``__set_row`` = set index ⊕ null-safely-encoded key
+        values — the TRUE unique key of the bag view, which lets an
+        outer cascade level key its stores by one non-NULL column even
+        though subtotal rows carry NULL visible keys."""
+        gcol = {a: c for a, c in self.grouping_items}
+        gidcols = {a: cs for a, cs in self.gid_items}
+        cols = []
+        for k in self.all_keys:
+            if k in s:
+                cols.append(F.col(k))
+            else:
+                cols.append(F.lit(None).cast(self._key_types[k]).alias(k))
+        for kind, a in self.tail_order:
+            if kind == "m":
+                cols.append(F.col(a))
+            elif kind == "gid":  # per-set constant GROUPING_ID
+                cs = gidcols[a]
+                gid = sum(
+                    1 << (len(cs) - 1 - j)
+                    for j, c in enumerate(cs)
+                    if c not in s
+                )
+                cols.append(F.lit(gid).cast("bigint").alias(a))
+            else:  # per-set constant GROUPING flag
+                cols.append(
+                    F.lit(0 if gcol[a] in s else 1).cast("tinyint").alias(a)
+                )
+        if rowid:
+            parts = [F.lit(str(i))]
+            for k in s:
+                # The keyed sub-stores already reject NULL grouping keys,
+                # but encode null-safely anyway: concat_ws silently drops
+                # NULLs, which would alias distinct key tuples.
+                parts.append(
+                    F.when(F.col(k).isNull(), F.lit("\x00")).otherwise(
+                        F.col(k).cast("string")
+                    )
+                )
+            cols.append(F.concat_ws("\x1f", *parts).alias(self.ROWID))
+        for c in passthrough:
+            cols.append(F.col(c))
+        return rows.select(*cols)
+
+    def cascade_relation(self) -> DataFrame:
+        """The view WITH its hidden uniqueness carrier ``__set_row`` —
+        the relation an outer cascade level must consume (same contract
+        as IncrementalUnionMV.cascade_relation). Lazy plan over the
+        original fact: per set, the same aggregate the sub-MV's
+        bootstrap publishes (all measures incl. hidden HAVING ones,
+        then the per-set NULL-substituted filter), NULL-extended and
+        identity-tagged."""
+        parts = []
+        for i, (s, sub) in enumerate(zip(self.sets, self.subs)):
+            if s:
+                state = aggregate_state(self._fact0, list(s), self._all_measures)
+                rows = present_measures(state, self._all_measures)
+            else:
+                state = aggregate_global_state(
+                    self._fact0.drop("__g"), self._all_measures
+                )
+                rows = present_measures(state, self._all_measures)
+            if sub.target_filter is not None:
+                rows = rows.filter(F.expr(sub.target_filter))
+            parts.append(self._extend(i, s, rows, rowid=True))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def read(self, version: int | None = None) -> DataFrame:
         """Bag union of per-set rows, NULL-extended to the full key
         set — exactly the rows `GROUP BY GROUPING SETS (...)` emits."""
-        gcol = {a: c for a, c in self.grouping_items}
-        gidcols = {a: cs for a, cs in self.gid_items}
-        parts = []
-        for s, sub in zip(self.sets, self.subs):
-            rows = sub.read(version)
-            cols = []
-            for k in self.all_keys:
-                if k in s:
-                    cols.append(F.col(k))
-                else:
-                    cols.append(F.lit(None).cast(self._key_types[k]).alias(k))
-            for kind, a in self.tail_order:
-                if kind == "m":
-                    cols.append(F.col(a))
-                elif kind == "gid":  # per-set constant GROUPING_ID
-                    cs = gidcols[a]
-                    gid = sum(
-                        1 << (len(cs) - 1 - i)
-                        for i, c in enumerate(cs)
-                        if c not in s
-                    )
-                    cols.append(F.lit(gid).cast("bigint").alias(a))
-                else:  # per-set constant GROUPING flag
-                    cols.append(
-                        F.lit(0 if gcol[a] in s else 1).cast("tinyint").alias(a)
-                    )
-            parts.append(rows.select(*cols))
+        parts = [
+            self._extend(i, s, sub.read(version))
+            for i, (s, sub) in enumerate(zip(self.sets, self.subs))
+        ]
         out = parts[0]
         for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+
+class _GroupingSetsCascadeTarget:
+    """The grouping-sets MV's per-set target stores presented as ONE
+    versioned CDC source keyed by the synthetic row identity — the
+    store-shaped façade CascadeMV drives (committed_batches /
+    version_before_batch / current_version / changes_between). A
+    composite "version" is the tuple of per-set store versions; the
+    per-sub replay logic mirrors the store's own crash semantics: a
+    batch that committed in SOME subs before a crash diffs those subs
+    from their pre-batch version and the rest from current, so the
+    recovered delta is exactly the batch's effect everywhere."""
+
+    def __init__(self, mv: IncrementalGroupingSetsMV):
+        self._mv = mv
+
+    @property
+    def pk(self) -> list[str]:
+        return [IncrementalGroupingSetsMV.ROWID]
+
+    def current_version(self):
+        return tuple(sub.target.current_version() for sub in self._mv.subs)
+
+    def pre_batch_version(self, batch_id):
+        """Crash-aware diff baseline for one batch: (composite version,
+        fully_committed). Per sub: the pre-batch version if this batch
+        already committed there (crash replay), else the current
+        version (the inner refresh will apply the batch next). Diffing
+        each sub from this baseline to post-refresh current yields
+        exactly the batch's effect — never double-applied, never
+        dropped — whichever sub the crash interrupted."""
+        fully = True
+        vs = []
+        for sub in self._mv.subs:
+            if batch_id in sub.target.committed_batches():
+                vs.append(sub.target.version_before_batch(batch_id))
+            else:
+                fully = False
+                vs.append(sub.target.current_version())
+        return tuple(vs), fully
+
+    def changes_between(self, v_from, v_to) -> DataFrame:
+        from tiflink_spark.store import changes_between as _cb
+
+        mv = self._mv
+        parts = []
+        for i, (s, sub, vf, vt) in enumerate(
+            zip(mv.sets, mv.subs, v_from, v_to)
+        ):
+            if vf == vt:
+                continue
+            parts.append(
+                mv._extend(
+                    i, s, _cb(sub.target, vf, vt),
+                    rowid=True, passthrough=(OP_COL, SEQ_COL),
+                )
+            )
+        if not parts:
+            raise RuntimeError(
+                "changes_between called with identical composite versions"
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            # Rows from different sets never share a __set_row (the set
+            # index is embedded), so per-sub __seq ordering is complete.
             out = out.unionByName(p)
         return out
 

@@ -1305,19 +1305,21 @@ def _match_theta_join_core(
 @dataclass(frozen=True)
 class FullOuterJoinShape:
     """Two-sided PRESERVED equi-join view: ``SELECT cols FROM fact
-    FULL [OUTER] JOIN dim ON fact.fk = dim.k`` with ``k`` the dim's
-    declared single-column PK. Routed to
+    FULL [OUTER] JOIN dim ON fact.fk1 = dim.k1 [AND fact.fk2 = dim.k2
+    …]`` with (k1, …) exactly the dim's declared PK — single-column or
+    composite. Routed to
     :class:`tiflink_spark.mv.IncrementalFullOuterJoinMV` (dirty-key
     recompute + diff over a synthetic row identity — a side's arrival
     retracts the other's NULL-extended row). Requires DISJOINT column
-    names and the select list to carry fact PK + fk + dim key (the
-    identity/probe columns). No WHERE: a post-join filter changes
-    preserved-row semantics (it silently drops NULL-extended rows)."""
+    names and the select list to carry fact PK + every fk + every dim
+    key (the identity/probe columns). No WHERE: a post-join filter
+    changes preserved-row semantics (it silently drops NULL-extended
+    rows). ``fact_fks``/``dim_keys`` are positionally paired."""
 
     fact: str
     dim: str
-    fact_fk: str
-    dim_key: str
+    fact_fks: tuple[str, ...]
+    dim_keys: tuple[str, ...]
     out_cols: tuple[str, ...]
 
 
@@ -1337,7 +1339,7 @@ def match_full_outer_shape(
     parsed = sqlast.full_outer_join_clauses(query)
     if parsed is None:
         return None
-    select, lt, la_text, rt, ra_text, lref, rref = parsed
+    select, lt, la_text, rt, ra_text, pairs = parsed
     if (
         lt not in source_names
         or rt not in source_names
@@ -1371,18 +1373,26 @@ def match_full_outer_shape(
                 return t, cols[t][name]
         return None
 
-    l, r = resolve(lref), resolve(rref)
-    if l is None or r is None or l[0] == r[0]:
-        return None
-    refs = {l[0]: l[1], r[0]: r[1]}
-    # the DIM side enters through its declared single-column PK (each
-    # fact row matches ≤1 dim row — M:1); the other side is the fact
-    # and needs its own declared PK. A both-PK (1:1) join picks the
-    # right side as dim.
+    # every conjunct must be a cross-side equality; collect per-side refs
+    refs: dict[str, list[str]] = {lt: [], rt: []}
+    for lref, rref in pairs:
+        l, r = resolve(lref), resolve(rref)
+        if l is None or r is None or l[0] == r[0]:
+            return None
+        refs[l[0]].append(l[1])
+        refs[r[0]].append(r[1])
+    if len({c.lower() for c in refs[lt]}) != len(refs[lt]) or len(
+        {c.lower() for c in refs[rt]}
+    ) != len(refs[rt]):
+        return None  # repeated column on one side — not a plain key join
+    # the DIM side enters through its FULL declared PK — single-column
+    # or composite (each fact row matches ≤1 dim row — M:1); the other
+    # side is the fact and needs its own declared PK. A both-PK (1:1)
+    # join picks the right side as dim.
     dim = None
     for cand in (rt, lt):
-        cpk = source_pks.get(cand) or []
-        if len(cpk) == 1 and refs[cand].lower() == cpk[0].lower():
+        cpk = [c.lower() for c in (source_pks.get(cand) or [])]
+        if cpk and {c.lower() for c in refs[cand]} == set(cpk):
             dim = cand
             break
     if dim is None:
@@ -1390,7 +1400,16 @@ def match_full_outer_shape(
     fact = lt if dim == rt else rt
     if not (source_pks.get(fact) or []):
         return None
-    fact_fk, dim_key = refs[fact], refs[dim]
+    # positional pairing fact fk[i] <-> dim key[i], in conjunct order
+    fact_fks, dim_keys = [], []
+    for lref, rref in pairs:
+        l, r = resolve(lref), resolve(rref)
+        if l[0] == fact:
+            fact_fks.append(l[1])
+            dim_keys.append(r[1])
+        else:
+            fact_fks.append(r[1])
+            dim_keys.append(l[1])
     out: list[str] = []
     for item in _split_select_list(select):
         if not re.fullmatch(rf"(?:{_IDENT}\s*\.\s*)?{_IDENT}", item.strip()):
@@ -1401,10 +1420,14 @@ def match_full_outer_shape(
         out.append(ri[1])
     if len({c.lower() for c in out}) != len(out):
         return None
-    need = {*(c.lower() for c in source_pks[fact]), fact_fk.lower(), dim_key.lower()}
+    need = {
+        *(c.lower() for c in source_pks[fact]),
+        *(c.lower() for c in fact_fks),
+        *(c.lower() for c in dim_keys),
+    }
     if need - {c.lower() for c in out}:
         return None
-    return FullOuterJoinShape(fact, dim, fact_fk, dim_key, tuple(out))
+    return FullOuterJoinShape(fact, dim, tuple(fact_fks), tuple(dim_keys), tuple(out))
 
 
 _JOIN_RE = re.compile(

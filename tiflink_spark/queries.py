@@ -1222,8 +1222,9 @@ _PRIORITY = [
     "window_range_frame",
     "pandas_udaf_median",
     "udtf_split_words",
-    "mv_topk_incremental",
+    "mvapp_auto_cascade_gsets",
     # ================== past the 50-query window ==================
+    "mv_topk_incremental",
     # r2-r5 driver-green gates rotated out; next-round rotation pulls
     # from the top of this section first.
     "mvapp_auto_projection",

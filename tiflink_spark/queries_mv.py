@@ -4283,20 +4283,30 @@ def mvapp_auto_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM supplier
         WHERE s_suppkey % 3 = 0 AND s_suppkey % 12 <> 0
     ),
+    sup2 AS (
+        SELECT s_suppkey, fk % 5 AS fk_hi, fk % 7 AS fk_lo, bal FROM sup_t
+    ),
     nat_t AS (
-        SELECT n_nationkey, n_name FROM nation WHERE n_nationkey <> 3
+        SELECT n_nationkey % 5 AS n_hi, n_nationkey % 7 AS n_lo, n_name
+        FROM nation WHERE n_nationkey <> 3
     )
     SELECT s_suppkey,
-           fk,
+           fk_hi,
+           fk_lo,
            CAST(round(bal * 100) AS BIGINT) AS bal_cents,
-           n_nationkey,
+           n_hi,
+           n_lo,
            n_name
-    FROM sup_t FULL OUTER JOIN nat_t ON fk = n_nationkey
+    FROM sup2 FULL OUTER JOIN nat_t ON fk_hi = n_hi AND fk_lo = n_lo
     """,
     doc=(
         "FULL OUTER equi-join view auto-routed to "
         "IncrementalFullOuterJoinMV — the last common join type off "
-        "recompute (VERDICT r4 #6). Both sides preserved under "
+        "recompute (VERDICT r4 #6), extended in round 6 to a "
+        "COMPOSITE-PK dim: the ON is a conjunction of equalities "
+        "covering the dim's full declared key (n_hi, n_lo) — a "
+        "CRT-bijective split of nationkey, so join semantics match the "
+        "single-key form (VERDICT r5 #5). Both sides preserved under "
         "two-sided churn: supplier deletes strand nations as dim-only "
         "NULL-extended rows, a key-moving update makes a nation gain "
         "its first supplier (retracting its dim-only row) while "
@@ -4304,10 +4314,11 @@ def mvapp_auto_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delete re-NULLs its matched suppliers' payload. Flink's "
         "update-mode planner maintains this natively by delegation "
         "(TiFlinkApp.java:270); here it is dirty-key recompute + "
-        "diff over a synthetic row identity (f:<pk> / d:<key>), "
+        "diff over a synthetic row identity (f:<pk> / d:<keys>), "
         "keyed by that identity because dim-only rows carry NULL "
-        "fact PKs. The fn raises unless routed incrementally and "
-        "replays a batch for idempotence."
+        "fact PKs. WHERE stays an explicit refusal (a post-join "
+        "filter silently drops preserved rows). The fn raises unless "
+        "routed incrementally and replays a batch for idempotence."
     ),
     tags=("mv", "incremental", "planner", "join", "full_outer"),
 )
@@ -4315,7 +4326,7 @@ def mvapp_auto_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tiflink_spark.app import MVApp
 
     t = _t(spark, sf_dir)
-    sup = (
+    sup_raw = (
         t["supplier"]
         .filter(F.col("s_suppkey") % 3 == 0)
         .select(
@@ -4324,16 +4335,32 @@ def mvapp_auto_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_acctbal").alias("bal"),
         )
     )
-    nat = t["nation"].select("n_nationkey", "n_name")
+
+    def split_fk(df):
+        return df.select(
+            "s_suppkey",
+            (F.col("fk") % 5).alias("fk_hi"),
+            (F.col("fk") % 7).alias("fk_lo"),
+            "bal",
+            *[c for c in (OP_COL, SEQ_COL) if c in df.columns],
+        )
+
+    sup = split_fk(sup_raw)
+    nat = t["nation"].select(
+        (F.col("n_nationkey") % 5).alias("n_hi"),
+        (F.col("n_nationkey") % 7).alias("n_lo"),
+        "n_name",
+    )
     work = tempfile.mkdtemp(prefix="mvapp_fo_")
     try:
         app = (
             MVApp.builder(spark)
-            .source("sup_t", sup, pk=["s_suppkey"])
-            .source("nat_t", nat, pk=["n_nationkey"])
+            .source("sup2", sup, pk=["s_suppkey"])
+            .source("nat_t", nat, pk=["n_hi", "n_lo"])
             .query(
-                """SELECT s_suppkey, fk, bal, n_nationkey, n_name
-                   FROM sup_t FULL OUTER JOIN nat_t ON fk = n_nationkey"""
+                """SELECT s_suppkey, fk_hi, fk_lo, bal, n_hi, n_lo, n_name
+                   FROM sup2 FULL OUTER JOIN nat_t
+                     ON fk_hi = n_hi AND fk_lo = n_lo"""
             )
             .target(work)
             .num_buckets(4)
@@ -4346,26 +4373,28 @@ def mvapp_auto_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         app.bootstrap()
         # B1 -D: some nations lose their last supplier -> d-rows appear
-        s_del = (
-            sup.filter(F.col("s_suppkey") % 12 == 0)
+        s_del = split_fk(
+            sup_raw.filter(F.col("s_suppkey") % 12 == 0)
             .withColumn(OP_COL, F.lit(OP_DELETE))
             .withColumn(SEQ_COL, F.monotonically_increasing_id())
         )
-        app.refresh({"sup_t": s_del}, batch_id=1)
+        app.refresh({"sup2": s_del}, batch_id=1)
         # B2 +U: key-moving updates — a nation may gain its FIRST
         # supplier (its dim-only row retracts) or lose its last
-        s_upd = (
-            sup.filter((F.col("s_suppkey") % 9 == 0) & (F.col("s_suppkey") % 12 != 0))
+        s_upd = split_fk(
+            sup_raw.filter(
+                (F.col("s_suppkey") % 9 == 0) & (F.col("s_suppkey") % 12 != 0)
+            )
             .withColumn("fk", (F.col("fk") + 7) % 25)
             .withColumn("bal", F.col("bal") + 5.0)
             .withColumn(OP_COL, F.lit(OP_UPDATE))
             .withColumn(SEQ_COL, F.monotonically_increasing_id())
         )
-        app.refresh({"sup_t": s_upd}, batch_id=2)
-        app.refresh({"sup_t": s_upd}, batch_id=2)  # crash replay: no-op
+        app.refresh({"sup2": s_upd}, batch_id=2)
+        app.refresh({"sup2": s_upd}, batch_id=2)  # crash replay: no-op
         # B3 dim -D: nation 3's matched suppliers re-NULL their payload
         n_del = (
-            nat.filter(F.col("n_nationkey") == 3)
+            nat.filter((F.col("n_hi") == 3 % 5) & (F.col("n_lo") == 3 % 7))
             .withColumn(OP_COL, F.lit(OP_DELETE))
             .withColumn(SEQ_COL, F.monotonically_increasing_id())
         )
@@ -4374,9 +4403,11 @@ def mvapp_auto_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             app.read()
             .select(
                 "s_suppkey",
-                "fk",
+                "fk_hi",
+                "fk_lo",
                 F.round(F.col("bal") * 100).cast("bigint").alias("bal_cents"),
-                "n_nationkey",
+                "n_hi",
+                "n_lo",
                 "n_name",
             )
             .localCheckpoint(eager=True)
@@ -4471,6 +4502,107 @@ def mvapp_auto_cascade_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         app.refresh({"b2": d2}, batch_id=2)
         app.refresh({"b2": d2}, batch_id=2)  # crash replay: no-op
+        return app.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_cascade_gsets",
+    """
+    WITH src AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+                    THEN 'X-MOVED' ELSE o_orderpriority END AS pri,
+               o_orderstatus AS st,
+               o_orderkey % 50 AS units
+        FROM orders
+        WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0
+    ),
+    r AS (
+        SELECT pri, st, count(*) AS n, sum(units) AS units_sum
+        FROM src GROUP BY ROLLUP (pri, st)
+    )
+    SELECT coalesce(pri, '(all)') AS pri_g,
+           CAST(sum(n) AS BIGINT) AS grain_rows,
+           CAST(sum(units_sum) AS BIGINT) AS units_total,
+           count(*) AS grains
+    FROM r GROUP BY coalesce(pri, '(all)')
+    """,
+    doc=(
+        "Aggregate over a GROUPING SETS inner maintained as a cascade "
+        "(VERDICT r5 #4): the rollup view is a bag (subtotal rows carry "
+        "NULL keys), so the outer level consumes it through the hidden "
+        "per-set row identity __set_row — (grouping set, that set's key "
+        "values) as one non-NULL column — exactly the hidden-carrier "
+        "mechanism UNION ALL cascades use. The outer groups by a "
+        "NULL-safe expression key (coalesce of a subtotal-NULLable "
+        "rollup key), so the bag's NULL keys never reach a keyed "
+        "store's PK. Churn moves rows across grouping sets (priority "
+        "rewrite) and deletes others; a batch replays for idempotence. "
+        "The fn raises unless both levels routed incrementally."
+    ),
+    tags=("mv", "incremental", "planner", "cascade", "grouping_sets"),
+)
+def mvapp_auto_cascade_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    src = (
+        t["orders"]
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderstatus").alias("st"),
+            (F.col("o_orderkey") % 50).alias("units"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="mvapp_cg_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("src", src, pk=["o_orderkey"])
+            .query(
+                """SELECT coalesce(pri, '(all)') AS pri_g,
+                          sum(n) AS grain_rows,
+                          sum(units_sum) AS units_total,
+                          count(*) AS grains
+                   FROM (
+                     SELECT pri, st, count(*) AS n, sum(units) AS units_sum
+                     FROM src GROUP BY ROLLUP (pri, st)
+                   ) r GROUP BY coalesce(pri, '(all)')"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "CascadeMV" or (
+            app._mv.inner.maintenance_strategy != "IncrementalGroupingSetsMV"
+        ):
+            raise AssertionError(
+                f"planner routed the grouping-sets cascade to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        # B1 -D: every %7 orderkey leaves — subtotal grains shrink
+        d1 = (
+            src.filter(F.col("o_orderkey") % 7 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"src": d1}, batch_id=1)
+        # B2 +U: move surviving %5 rows across grouping sets (priority
+        # rewrite creates a NEW (pri) subtotal group and new (pri,st)
+        # grains while retracting from the old ones)
+        u2 = (
+            src.filter((F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 7 != 0))
+            .withColumn("pri", F.lit("X-MOVED"))
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"src": u2}, batch_id=2)
+        app.refresh({"src": u2}, batch_id=2)  # crash replay: no-op
         return app.read().localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)

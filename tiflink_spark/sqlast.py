@@ -612,11 +612,13 @@ def join_on_clauses(query: str):
 
 def full_outer_join_clauses(query: str):
     """AST front-end for the two-sided preserved equi-join view:
-    (select, left, left_alias, right, right_alias, lref, rref), or
-    None. Envelope: exactly one FULL [OUTER] JOIN whose ON is a single
-    [qual.]col = [qual.]col equality, NO WHERE (a post-join filter
-    changes preserved-row semantics), nothing trailing. AST-only — this
-    matcher postdates the regex front-ends' deprecation."""
+    (select, left, left_alias, right, right_alias, pairs) with
+    ``pairs`` the list of (lref, rref) equality conjuncts, or None.
+    Envelope: exactly one FULL [OUTER] JOIN whose ON is a conjunction
+    of [qual.]col = [qual.]col equalities (composite-key dims join on
+    several), NO WHERE (a post-join filter changes preserved-row
+    semantics), nothing trailing. AST-only — this matcher postdates
+    the regex front-ends' deprecation."""
     s = parse_join_select(query)
     if (
         s is None
@@ -631,10 +633,13 @@ def full_outer_join_clauses(query: str):
     if j.how != "full" or j.on is None:
         return None
     ref = r"(?:[A-Za-z_]\w*\s*\.\s*)?[A-Za-z_]\w*"
-    em = re.fullmatch(rf"(?s)\s*({ref})\s*=\s*({ref})\s*", j.on)
-    if em is None:
-        return None
-    return (s.select, s.table, s.alias, j.table, j.alias, em.group(1), em.group(2))
+    pairs = []
+    for conj in re.split(r"(?is)\bAND\b", j.on):
+        em = re.fullmatch(rf"(?s)\s*({ref})\s*=\s*({ref})\s*", conj)
+        if em is None:
+            return None  # any non-equality conjunct disqualifies
+        pairs.append((em.group(1), em.group(2)))
+    return (s.select, s.table, s.alias, j.table, j.alias, pairs)
 
 
 def semijoin_clauses(query: str):
