@@ -1550,7 +1550,8 @@ def test_match_window_shape_matcher():
     assert s is not None
     assert s.group_key == "o_custkey" and s.where == "o_totalprice > 0"
     assert [a for a, _ in s.win_items] == ["rs", "rn"]
-    # row_number without the PK tie-breaker is ambiguous -> no match
+    # row_number without a total order (order columns don't cover the
+    # PK) is ambiguous -> no match
     assert (
         match_window_shape(
             "SELECT o_orderkey, o_custkey, "
@@ -1561,6 +1562,30 @@ def test_match_window_shape_matcher():
             pks,
         )
         is None
+    )
+    # ORDER BY the PK itself IS a total order -> routes with no tie
+    s_uo = match_window_shape(
+        "SELECT o_orderkey, o_custkey, "
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn, "
+        "lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS pp "
+        "FROM orders",
+        names,
+        cols,
+        pks,
+    )
+    assert s_uo is not None and [a for a, _ in s_uo.win_items] == ["rn", "pp"]
+    # ... including DESC on the unique column (direction is irrelevant
+    # to totality)
+    assert (
+        match_window_shape(
+            "SELECT o_orderkey, o_custkey, "
+            "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn "
+            "FROM orders",
+            names,
+            cols,
+            pks,
+        )
+        is not None
     )
     # rank is peer-uniform -> no tie-breaker needed
     assert (

@@ -192,7 +192,8 @@ class TestNullAwareNotIn:
             {"f", "o"}, cols,
         )
         assert s2 is not None and s2.anti and not s2.null_aware
-        # dispatch guard: inner column NOT the other PK -> recompute
+        # a non-PK (nullable) inner column also routes: the MV keeps
+        # the inner's null-presence bit explicitly (r6; was recompute)
         from tiflink_spark.app import MVApp
 
         f = spark.createDataFrame([(1, "a")], "id long, nm string")
@@ -206,7 +207,83 @@ class TestNullAwareNotIn:
             .num_buckets(2)
             .build()
         )
-        assert app.maintenance_strategy == "RecomputeMV"
+        assert app.maintenance_strategy == "IncrementalSemiJoinMV"
+
+    def test_not_in_nonpk_inner_null_flips(self, spark, tmp_path):
+        """NOT IN over a NON-PK nullable inner column: an inner NULL's
+        appearance empties the view (x NOT IN (…, NULL) is never
+        true), its disappearance restores it, and repeated inner
+        values retract only when the LAST row holding them leaves.
+        Every state is checked against Spark SQL on the same data."""
+        from tiflink_spark.app import MVApp
+
+        fact = spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 10), (4, None), (5, 30)], "id long, fk long"
+        )
+        # value 10 held by TWO inner rows; ref_nat is not the PK
+        other = spark.createDataFrame(
+            [(100, 10), (101, 10), (102, 20)], "ok long, val long"
+        )
+        q = "SELECT id, fk FROM f_nn WHERE fk NOT IN (SELECT val FROM o_nn)"
+        app = (
+            MVApp.builder(spark)
+            .source("f_nn", fact, pk=["id"])
+            .source("o_nn", other, pk=["ok"])
+            .query(q)
+            .target(str(tmp_path / "nn"))
+            .num_buckets(2)
+            .shuffle_partitions(2)
+            .build()
+        )
+        assert app.maintenance_strategy == "IncrementalSemiJoinMV"
+        app.bootstrap()
+
+        def check(other_now):
+            other_now.createOrReplaceTempView("o_now")
+            exp = sorted(
+                (r.id, r.fk)
+                for r in spark.sql(q.replace("FROM o_nn", "FROM o_now")).collect()
+            )
+            got = sorted((r.id, r.fk) for r in app.read().collect())
+            assert got == exp
+
+        fact.createOrReplaceTempView("f_nn")
+        check(other)
+        # B1: a NULL inner value appears -> view empties
+        b1 = spark.createDataFrame([(103, None)], "ok long, val long").withColumn(
+            OP_COL, F.lit(OP_INSERT)
+        ).withColumn(SEQ_COL, F.lit(0))
+        app.refresh({"o_nn": b1}, batch_id=1)
+        other1 = other.unionByName(
+            spark.createDataFrame([(103, None)], "ok long, val long")
+        )
+        assert app.read().limit(1).count() == 0
+        check(other1)
+        # B2: the NULL row flips to a value -> view returns
+        b2 = spark.createDataFrame([(103, 40)], "ok long, val long").withColumn(
+            OP_COL, F.lit(OP_UPDATE)
+        ).withColumn(SEQ_COL, F.lit(0))
+        app.refresh({"o_nn": b2}, batch_id=2)
+        other2 = other.unionByName(
+            spark.createDataFrame([(103, 40)], "ok long, val long")
+        )
+        check(other2)
+        app.refresh({"o_nn": b2}, batch_id=2)  # crash replay: no-op
+        check(other2)
+        # B3: delete ONE of the two rows holding 10 -> 10 still present
+        b3 = spark.createDataFrame([(100, 10)], "ok long, val long").withColumn(
+            OP_COL, F.lit(OP_DELETE)
+        ).withColumn(SEQ_COL, F.lit(0))
+        app.refresh({"o_nn": b3}, batch_id=3)
+        other3 = other2.filter(F.col("ok") != 100)
+        check(other3)
+        # B4: delete the LAST row holding 10 -> its fact rows enter
+        b4 = spark.createDataFrame([(101, 10)], "ok long, val long").withColumn(
+            OP_COL, F.lit(OP_DELETE)
+        ).withColumn(SEQ_COL, F.lit(0))
+        app.refresh({"o_nn": b4}, batch_id=4)
+        other4 = other3.filter(F.col("ok") != 101)
+        check(other4)
 
     def test_not_in_converges_with_empty_set_flips(self, spark, tmp_path):
         """NOT IN's null-aware rules under churn: a NULL outer key is

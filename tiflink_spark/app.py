@@ -600,19 +600,14 @@ class MVApp:
         if sj is not None:
             fspec, ospec = dfs[sj.fact][0], dfs[sj.other][0]
             sel_lower = {c.lower() for c in sj.out_cols}
-            # NOT IN (null_aware) additionally requires the inner
-            # column to BE the other table's single-column PK: PRIMARY
-            # KEY implies NOT NULL, so the inner-NULL case (which
-            # empties the whole view) cannot arise, and the empty-set
-            # flip for NULL outer keys is the only extra rule.
-            null_ok = not sj.null_aware or (
-                len(ospec.pk) == 1
-                and ospec.pk[0].lower() == sj.other_key.lower()
-            )
+            # NOT IN (null_aware) works on ANY inner column, PK or not:
+            # the MV maintains the inner's null-presence bit explicitly
+            # (an inner NULL empties the view; its appearance/
+            # disappearance re-evaluates every fact row — inherent to
+            # NOT IN semantics).
             if (
                 fspec.pk
                 and ospec.pk
-                and null_ok
                 and all(p.lower() in sel_lower for p in fspec.pk)
                 and (pk is None or list(pk) == list(fspec.pk))
             ):

@@ -729,11 +729,16 @@ class IncrementalSemiJoinMV:
         self.spark = spark
         self.shuffle_partitions = shuffle_partitions
         self.anti = anti
-        # NOT IN semantics: a NULL fact key is in the anti view only
-        # while the other side is EMPTY (NULL NOT IN () is vacuously
-        # true; any non-empty set makes the comparison UNKNOWN). The
-        # caller guarantees the other side's key column is NOT NULL
-        # (its PK), so the inner-NULL case cannot arise.
+        # NOT IN semantics, fully null-aware (no NOT NULL contract on
+        # the inner column required):
+        # - inner column holds ANY NULL -> the view is EMPTY (x NOT IN
+        #   (…, NULL, …) is FALSE or UNKNOWN for every x);
+        # - else a NULL fact key is in the view only while the other
+        #   side is EMPTY (NULL NOT IN () is vacuously true).
+        # Both facts are one driver-side boolean probe per batch over
+        # the maintained other store (the "null-presence state"); a
+        # flip of the null bit re-evaluates every fact row — inherent
+        # to NOT IN, whose whole result flips with it.
         self.null_aware = null_aware
         self.fact_key = fact_key
         self.other_key = other_key
@@ -761,8 +766,16 @@ class IncrementalSemiJoinMV:
             .distinct()
         )
 
+    def _other_has_null(self, other_now: DataFrame) -> bool:
+        """Null-presence bit of the inner column (NOT IN only)."""
+        return not other_now.where(F.col(self.other_key).isNull()).isEmpty()
+
     def _member_rows(
-        self, rows: DataFrame, keys: DataFrame, other_empty: bool = False
+        self,
+        rows: DataFrame,
+        keys: DataFrame,
+        other_empty: bool = False,
+        other_has_null: bool = False,
     ) -> DataFrame:
         """``rows`` with a ``__member`` flag: True iff the row belongs
         to the view under the given presence-key set."""
@@ -770,8 +783,12 @@ class IncrementalSemiJoinMV:
         present = F.col("__ok").isNotNull()
         member = ~present if self.anti else present
         if self.anti and self.null_aware:
-            member = member & (
-                F.col(self.fact_key).isNotNull() | F.lit(other_empty)
+            # an inner NULL empties the whole view; otherwise a NULL
+            # fact key is admitted only against an empty inner set
+            member = (
+                member
+                & F.lit(not other_has_null)
+                & (F.col(self.fact_key).isNotNull() | F.lit(other_empty))
             )
         return flagged.withColumn("__member", member).drop("__ok")
 
@@ -781,10 +798,14 @@ class IncrementalSemiJoinMV:
         out = fact_rows.join(
             keys, fact_rows[self.fact_key] == keys["__ok"], how
         )
-        if self.anti and self.null_aware and not keys.isEmpty():
-            # left_anti keeps NULL-key rows; NOT IN admits them only
-            # against an empty inner set
-            out = out.where(F.col(self.fact_key).isNotNull())
+        if self.anti and self.null_aware:
+            if self._other_has_null(other_now):
+                # inner NULL: x NOT IN (…, NULL, …) is never TRUE
+                return out.where(F.lit(False)).select(*self.out_cols)
+            if not keys.isEmpty():
+                # left_anti keeps NULL-key rows; NOT IN admits them only
+                # against an empty inner set
+                out = out.where(F.col(self.fact_key).isNotNull())
         return out.select(*self.out_cols)
 
     @_maintenance
@@ -840,14 +861,22 @@ class IncrementalSemiJoinMV:
             self.other_store.merge(other_changes, batch_id)
         # One distinct key-set build shared by every membership probe in
         # this batch (a two-sided batch probes twice).
-        other_keys = self._other_keys(self.other_store.read())
-        post_empty = (
-            other_keys.isEmpty() if (self.anti and self.null_aware) else False
-        )
+        other_now_read = self.other_store.read()
+        other_keys = self._other_keys(other_now_read)
+        if self.anti and self.null_aware:
+            post_empty = other_keys.isEmpty()
+            post_has_null = self._other_has_null(other_now_read)
+        else:
+            post_empty = post_has_null = False
 
         def upserts(rows: DataFrame) -> DataFrame:
             """Changed fact rows → +U when in the view, -D when not."""
-            flagged = self._member_rows(rows, other_keys, other_empty=post_empty)
+            flagged = self._member_rows(
+                rows,
+                other_keys,
+                other_empty=post_empty,
+                other_has_null=post_has_null,
+            )
             return flagged.select(
                 *self.out_cols,
                 F.when(F.col("__member"), F.lit(OP_UPDATE))
@@ -871,16 +900,20 @@ class IncrementalSemiJoinMV:
             )
             parts.append(upserts(affected))
             if self.anti and self.null_aware:
-                # NULL-key fact rows hold no dirty VALUE, but their
-                # membership flips with the other side's emptiness —
-                # re-evaluate them whenever that flips across the batch
                 store = self.other_store
                 if batch_id in store.committed_batches():
                     pre = store.read(store.version_before_batch(batch_id))
                 else:
                     pre = store.read()
-                pre_empty = self._other_keys(pre).isEmpty()
-                if pre_empty != post_empty:
+                if self._other_has_null(pre) != post_has_null:
+                    # the inner NULL bit flipped: EVERY fact row's
+                    # membership flips with it (the view empties or
+                    # un-empties) — re-evaluate the whole fact. Full-
+                    # view work, but inherent to NOT IN semantics.
+                    parts.append(upserts(fact_now))
+                elif self._other_keys(pre).isEmpty() != post_empty:
+                    # NULL-key fact rows hold no dirty VALUE, but their
+                    # membership flips with the other side's emptiness
                     parts.append(
                         upserts(fact_now.where(F.col(self.fact_key).isNull()))
                     )

@@ -892,13 +892,14 @@ class WindowShape:
 
     Every window item must share the same single PARTITION BY column
     (one dirty-group domain). Rank-like and value-offset functions
-    (row_number/lag/lead) additionally require the ORDER BY's trailing
-    tie columns to be exactly the fact PK — without a deterministic
-    total order their output on ties is ambiguous, so the incremental
-    result could legitimately differ from a batch rerun. Peer-uniform
-    functions (rank/dense_rank and running aggregates, whose default
-    RANGE frame gives every peer the same value) carry no such
-    requirement.
+    (row_number/lag/lead) additionally require the ORDER BY to be a
+    provably TOTAL order: its column set must cover the fact's
+    declared PK (ORDER BY the PK itself, or any columns with the PK as
+    trailing tie-break) — without a total order their output on ties
+    is ambiguous, so the incremental result could legitimately differ
+    from a batch rerun. Peer-uniform functions (rank/dense_rank and
+    running aggregates, whose default RANGE frame gives every peer the
+    same value) carry no such requirement.
     """
 
     fact: str
@@ -1005,7 +1006,17 @@ def _match_window_core(
             return None  # mixed partition keys → no single dirty domain
         tie = [c.strip() for c in wm.group("tie").split(",") if c.strip()]
         if fn in _WIN_ROW_FNS:
-            if [c.lower() for c in tie] != [c.lower() for c in pk]:
+            # Per-row values are deterministic iff the ORDER BY is a
+            # TOTAL order on the partition. It provably is when the
+            # order column set covers the fact's declared PK (two
+            # distinct rows can't tie on every order column if those
+            # columns include a unique key — direction is irrelevant
+            # to totality). Covers both the classic trailing-PK
+            # tie-break and ORDER BY on the PK column itself.
+            if any(c.lower() not in cols for c in tie):
+                return None
+            ordered = {o.lower(), *(c.lower() for c in tie)}
+            if not {p.lower() for p in pk} <= ordered:
                 return None
         elif fn in _WIN_PEER_FNS:
             if any(c.lower() not in cols for c in tie):
@@ -1881,9 +1892,9 @@ def _match_semijoin_core(
             return None
         # NOT IN is null-AWARE: a NULL inner value empties the view, a
         # NULL outer key appears only while the inner set is empty. The
-        # route is taken only when the inner column is the other
-        # table's NOT-NULL PK (checked at dispatch); the maintenance
-        # class handles the empty-set flip for NULL outer keys.
+        # maintenance class tracks the inner's null-presence bit
+        # explicitly, so ANY inner column routes (PK or not); it also
+        # handles the empty-set flip for NULL outer keys.
         fact_key, other_key, anti = (
             fcols[fk],
             ocols[ok],

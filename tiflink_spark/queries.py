@@ -1208,8 +1208,8 @@ _PRIORITY = [
     "rollup_time_grains",
     "salted_join_skew",
     "text_lang_id",
-    "text_fingerprint",
-    "text_repetition_score",
+    "mvapp_auto_not_in_nonpk",
+    "mvapp_auto_window_unique_order",
     "text_tfidf_topterms",
     "text_dup_span_fraction",
     "dedup_connected_components",
@@ -1224,9 +1224,12 @@ _PRIORITY = [
     "udtf_split_words",
     "mvapp_auto_cascade_gsets",
     # ================== past the 50-query window ==================
+    # These first three have never been driver-checked — displaced by
+    # round-6's new-route gates; next rotation pulls them first.
     "mv_topk_incremental",
-    # r2-r5 driver-green gates rotated out; next-round rotation pulls
-    # from the top of this section first.
+    "text_fingerprint",
+    "text_repetition_score",
+    # r2-r5 driver-green gates rotated out below.
     "mvapp_auto_projection",
     "mvapp_auto_window",
     "mvapp_auto_star_agg",

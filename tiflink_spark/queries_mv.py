@@ -2827,6 +2827,75 @@ def mvapp_auto_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mvapp_auto_window_unique_order",
+    f"""
+    WITH {_FINAL_ORDERS_SQL}
+    SELECT o_orderkey, o_custkey, rn, round(prev_price, 2) AS prev_price
+    FROM (
+        SELECT o_orderkey, o_custkey,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn,
+               lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_price
+        FROM final_orders
+    )
+    """,
+    doc=(
+        "Per-ROW window functions (row_number + lag) whose ORDER BY is "
+        "the fact PK ITSELF — no trailing tie-break columns (VERDICT "
+        "r5 #6). The route's determinism requirement is a provably "
+        "TOTAL order on the partition: the order column set must cover "
+        "the declared PK, which ORDER BY the unique key column itself "
+        "satisfies directly (the previous matcher only accepted the "
+        "textual trailing-PK spelling and sent this shape to "
+        "recompute). Maintenance is the same dirty-PARTITION recompute "
+        "as mvapp_auto_window under the canonical 3-batch churn. The "
+        "fn raises unless routed incrementally."
+    ),
+    tags=("mv", "incremental", "planner", "window"),
+)
+def mvapp_auto_window_unique_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_wu_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("ord_u", t["orders"], pk=["o_orderkey"])
+            .query(
+                """SELECT o_orderkey, o_custkey,
+                          row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderkey) AS rn,
+                          lag(o_totalprice) OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderkey) AS prev_price
+                   FROM ord_u"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalWindowMV":
+            raise AssertionError(
+                f"planner routed the unique-order window view to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        for i, b in enumerate(scripted_batches(t["orders"]), start=1):
+            app.refresh({"ord_u": b}, batch_id=i)
+        return (
+            app.read()
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                "rn",
+                F.round("prev_price", 2).alias("prev_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "mvapp_auto_cascade",
     f"""
     WITH {_FINAL_ORDERS_SQL}
@@ -3743,6 +3812,99 @@ def mvapp_auto_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         app.refresh({"cust_sj": b2}, batch_id=2)
         app.refresh({"ord_sj": b3}, batch_id=3)
         return app.read().select("o_orderkey", "o_custkey").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_not_in_nonpk",
+    """
+    WITH ref_f AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 21 = 0 THEN 5 ELSE c_nationkey END AS ref_nat
+        FROM customer WHERE c_custkey % 7 = 0
+    ),
+    ref_final AS (SELECT c_custkey, ref_nat FROM ref_f WHERE ref_nat <> 3),
+    ord_n AS (SELECT o_orderkey, o_custkey % 30 AS o_nat FROM orders)
+    SELECT o_orderkey, o_nat FROM ord_n
+    WHERE o_nat NOT IN (SELECT ref_nat FROM ref_final)
+    """,
+    doc=(
+        "Null-aware NOT IN whose inner column is NOT the inner table's "
+        "PK — a plain nullable attribute with repeated values (VERDICT "
+        "r5 #7). The route maintains the inner's distinct-value set "
+        "AND its null-presence bit explicitly: churn makes an inner "
+        "NULL APPEAR (batch 1 — the view empties: x NOT IN (…, NULL) "
+        "is never true) and then DISAPPEAR (batch 2 — the view "
+        "returns), each flip re-evaluating every fact row, which is "
+        "inherent to NOT IN semantics; batch 3 deletes the last inner "
+        "rows holding one value, admitting its fact rows. A batch "
+        "replays for idempotence. The fn raises unless routed "
+        "incrementally."
+    ),
+    tags=("mv", "incremental", "planner", "semijoin"),
+)
+def mvapp_auto_not_in_nonpk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    ref0 = (
+        t["customer"]
+        .filter(F.col("c_custkey") % 7 == 0)
+        .select("c_custkey", F.col("c_nationkey").alias("ref_nat"))
+    )
+    ord_n = t["orders"].select(
+        "o_orderkey", (F.col("o_custkey") % 30).alias("o_nat")
+    )
+    work = tempfile.mkdtemp(prefix="mvapp_ninp_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("ref_t", ref0, pk=["c_custkey"])
+            .source("ord_n", ord_n, pk=["o_orderkey"])
+            .query(
+                """SELECT o_orderkey, o_nat FROM ord_n
+                   WHERE o_nat NOT IN (SELECT ref_nat FROM ref_t)"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalSemiJoinMV":
+            raise AssertionError(
+                f"planner routed non-PK NOT IN to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        flip = ref0.filter(F.col("c_custkey") % 21 == 0)
+        # B1 +U: an inner NULL appears -> the whole view empties
+        b1 = (
+            flip.withColumn("ref_nat", F.lit(None).cast("int"))
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"ref_t": b1}, batch_id=1)
+        if app.read().limit(1).count() != 0:
+            raise AssertionError("inner NULL must empty the NOT IN view")
+        # B2 +U: the NULL disappears (those rows now hold value 5)
+        b2 = (
+            flip.withColumn("ref_nat", F.lit(5).cast(dict(ref0.dtypes)["ref_nat"]))
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"ref_t": b2}, batch_id=2)
+        app.refresh({"ref_t": b2}, batch_id=2)  # crash replay: no-op
+        # B3 -D: drop every inner row holding value 3 -> its fact rows
+        # enter the view
+        b3 = (
+            ref0.filter(
+                (F.col("ref_nat") == 3) & (F.col("c_custkey") % 21 != 0)
+            )
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"ref_t": b3}, batch_id=3)
+        return app.read().select("o_orderkey", "o_nat").localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
