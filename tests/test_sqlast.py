@@ -1,11 +1,11 @@
-"""AST front-end (sqlast.py) — parser unit tests + regex-equivalence.
+"""AST front-end (sqlast.py) — parser unit tests + golden snapshots.
 
-The migration off the hand-rolled regex clause scanners ports one
-matcher at a time; the invariant that makes it safe is pinned here:
-for every query the fuzz generators produce (plus a hand-picked edge
-battery), the AST front-end and the regex front-end hand the SAME
-clause texts to the shared ``_match_*_core``, so both paths return
-identical shapes. No SparkSession needed — matching is pure text.
+While the hand-rolled regex clause scanners still existed, these tests
+proved the AST front-end equivalent to them query-by-query over the
+fuzz corpus plus a hand-picked edge battery. The regex path is deleted
+now; the same corpus pins the AST front-end against a committed golden
+fixture (tests/fixtures/matcher_golden.json) instead, so any matcher
+drift diffs loudly. No SparkSession needed — matching is pure text.
 """
 
 from __future__ import annotations
@@ -191,59 +191,72 @@ def _fuzz_corpus(n_per_seed=40):
     return out
 
 
-class TestFrontEndEquivalence:
+# Golden matcher-shape snapshots: captured from the AST front-end the
+# day the regex scanners were deleted (they had been proven equivalent
+# query-by-query over this exact corpus while both paths existed). Any
+# behavior drift in a matcher now diffs against this fixture. The
+# unique-order window relaxation (r6) predates the capture, so the
+# fixture pins it too. Regenerate deliberately with
+# tools/regen_matcher_golden.py when a matcher's envelope is widened on
+# purpose.
+_GOLDEN = None
+
+
+def _golden():
+    global _GOLDEN
+    if _GOLDEN is None:
+        import json
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "fixtures", "matcher_golden.json")
+        with open(path) as f:
+            _GOLDEN = json.load(f)
+    return _GOLDEN
+
+
+_SINGLE_NAMES = (
+    "agg",
+    "projection",
+    "global_agg",
+    "distinct",
+    "window",
+    "order_limit",
+    "union_all",
+    "setop",
+    "topn",
+    "grouping_sets",
+)
+
+
+def _single_shapes(query):
+    return (
+        match_agg_shape(query, {"t"}, COLS),
+        match_projection_shape(query, {"t"}, COLS, PKS),
+        match_global_agg_shape(query, {"t"}, COLS),
+        match_distinct_shape(query, {"t"}, COLS),
+        match_window_shape(query, {"t"}, COLS, PKS),
+        match_order_limit_shape(query, {"t"}, COLS),
+        match_union_all_shape(query, {"t", "u2"}, COLS2, PKS2),
+        match_setop_shape(query, {"t", "u2"}, COLS2, PKS2),
+        match_topn_shape(query, {"t"}, COLS),
+        match_grouping_sets_shape(query, {"t"}, COLS),
+    )
+
+
+class TestFrontEndGolden:
     @pytest.mark.parametrize("query", _EDGE_QUERIES)
-    def test_edges(self, query, monkeypatch):
-        self._check(query, monkeypatch)
+    def test_edges(self, query):
+        self._check(query)
 
-    def test_fuzz_corpus(self, monkeypatch):
+    def test_fuzz_corpus(self):
         for q in _fuzz_corpus():
-            self._check(q, monkeypatch)
+            self._check(q)
 
-    def _check(self, query, monkeypatch):
-        monkeypatch.setenv("TIFLINK_AST_MATCHERS", "0")  # legacy regex side
-        rx = (
-            match_agg_shape(query, {"t"}, COLS),
-            match_projection_shape(query, {"t"}, COLS, PKS),
-            match_global_agg_shape(query, {"t"}, COLS),
-            match_distinct_shape(query, {"t"}, COLS),
-            match_window_shape(query, {"t"}, COLS, PKS),
-            match_order_limit_shape(query, {"t"}, COLS),
-            match_union_all_shape(query, {"t", "u2"}, COLS2, PKS2),
-            match_setop_shape(query, {"t", "u2"}, COLS2, PKS2),
-            match_topn_shape(query, {"t"}, COLS),
-            match_grouping_sets_shape(query, {"t"}, COLS),
-        )
-        monkeypatch.setenv("TIFLINK_AST_MATCHERS", "1")
-        ast = (
-            match_agg_shape(query, {"t"}, COLS),
-            match_projection_shape(query, {"t"}, COLS, PKS),
-            match_global_agg_shape(query, {"t"}, COLS),
-            match_distinct_shape(query, {"t"}, COLS),
-            match_window_shape(query, {"t"}, COLS, PKS),
-            match_order_limit_shape(query, {"t"}, COLS),
-            match_union_all_shape(query, {"t", "u2"}, COLS2, PKS2),
-            match_setop_shape(query, {"t", "u2"}, COLS2, PKS2),
-            match_topn_shape(query, {"t"}, COLS),
-            match_grouping_sets_shape(query, {"t"}, COLS),
-        )
-        for name, r, a in zip(
-            (
-                "agg",
-                "projection",
-                "global_agg",
-                "distinct",
-                "window",
-                "order_limit",
-                "union_all",
-                "setop",
-                "topn",
-                "grouping_sets",
-            ),
-            rx,
-            ast,
-        ):
-            assert r == a, f"{name} divergence on: {query}\n regex={r}\n ast={a}"
+    def _check(self, query):
+        expected = _golden()["single"][query]
+        got = [repr(s) for s in _single_shapes(query)]
+        for name, e, g in zip(_SINGLE_NAMES, expected, got):
+            assert g == e, f"{name} drift on: {query}\n golden={e}\n now={g}"
 
 
 # -- join-family front-ends (theta, equi-join, projection, aggregate) -------
@@ -294,34 +307,33 @@ _JOIN_EDGES = [
 ]
 
 
-class TestJoinFrontEndEquivalence:
-    @pytest.mark.parametrize("query", _JOIN_EDGES)
-    def test_edges(self, query, monkeypatch):
-        self._check(query, monkeypatch)
+def _golden_join_shapes(query):
+    return (
+        match_theta_join_shape(query, {"f", "d"}, FCOLS, FPKS),
+        match_join_shape(query, {"f", "d"}, FCOLS),
+        match_join_projection_shape(query, {"f", "d"}, FCOLS, FPKS),
+        match_join_agg_shape(query, {"f", "d"}, FCOLS, FPKS),
+        match_semijoin_shape(query, {"f", "d"}, FCOLS),
+        match_correlated_count_shape(query, {"f", "d"}, FPKS, FCOLS),
+    )
 
-    def test_fuzz_two_table_corpus(self, monkeypatch):
+
+class TestJoinFrontEndGolden:
+    @pytest.mark.parametrize("query", _JOIN_EDGES)
+    def test_edges(self, query):
+        self._check(query)
+
+    def test_fuzz_two_table_corpus(self):
         import tests.test_planner_fuzz as fz
 
         for seed in (5, 23, 41):
             rng = random.Random(seed)
             for _ in range(40):
-                self._check(fz._gen_two_table_query(rng, "f", "d"), monkeypatch)
+                self._check(fz._gen_two_table_query(rng, "f", "d"))
 
-    def _matchers(self, query):
-        return (
-            match_theta_join_shape(query, {"f", "d"}, FCOLS, FPKS),
-            match_join_shape(query, {"f", "d"}, FCOLS),
-            match_join_projection_shape(query, {"f", "d"}, FCOLS, FPKS),
-            match_join_agg_shape(query, {"f", "d"}, FCOLS, FPKS),
-            match_semijoin_shape(query, {"f", "d"}, FCOLS),
-            match_correlated_count_shape(query, {"f", "d"}, FPKS, FCOLS),
-        )
-
-    def _check(self, query, monkeypatch):
-        monkeypatch.setenv("TIFLINK_AST_MATCHERS", "0")  # legacy regex side
-        rx = self._matchers(query)
-        monkeypatch.setenv("TIFLINK_AST_MATCHERS", "1")
-        ast = self._matchers(query)
+    def _check(self, query):
+        expected = _golden()["join"][query]
+        got = [repr(s) for s in _golden_join_shapes(query)]
         names = ("theta", "join", "join_proj", "join_agg", "semi", "corr")
-        for name, r, a in zip(names, rx, ast):
-            assert r == a, f"{name} divergence on: {query}\n regex={r}\n ast={a}"
+        for name, e, g in zip(names, expected, got):
+            assert g == e, f"{name} drift on: {query}\n golden={e}\n now={g}"

@@ -75,24 +75,10 @@ coalescing the NULLs.
 
 from __future__ import annotations
 
-import os as _os
 import re
 from dataclasses import dataclass
 
 from tiflink_spark.incremental import Measure
-
-
-def use_ast_matchers() -> bool:
-    """Feature flag for the tokenizer-based clause front-end
-    (:mod:`tiflink_spark.sqlast`). The AST front-end is the DEFAULT
-    (all 16 matchers route through the tokenizer parse); set
-    ``TIFLINK_AST_MATCHERS=0`` to fall back to the legacy hand-rolled
-    regex scanners for one deprecation round. Both paths share the
-    same ``_match_*_core`` validation, and tests/test_sqlast.py pins
-    front-end equivalence over the fuzz corpus, so the flip changes
-    clause *extraction* only — the regex path is retained solely as a
-    rollback lever and is slated for deletion."""
-    return _os.environ.get("TIFLINK_AST_MATCHERS", "1") != "0"
 
 
 _IDENT = r"[A-Za-z_]\w*"
@@ -104,14 +90,6 @@ _IDENT = r"[A-Za-z_]\w*"
 # fell back to recompute until the AST port surfaced it.
 _NKW = r"(?!(?:INNER|LEFT|RIGHT|FULL|CROSS|JOIN|NATURAL)\b)"
 
-
-_SHAPE_RE = re.compile(
-    rf"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<table>{_IDENT})"
-    rf"(?:\s+WHERE\s+(?P<where>.+?))?"
-    rf"\s+GROUP\s+BY\s+(?P<keys>.+?)"
-    rf"(?:\s+HAVING\s+(?P<having>.+?))?\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
 
 _KEY_ALIAS_RE = re.compile(
     rf"^(?P<expr>.+?)\s+AS\s+(?P<alias>{_IDENT})\s*$", re.IGNORECASE | re.DOTALL
@@ -443,14 +421,6 @@ class DistinctShape:
     where: str | None = None
 
 
-_DISTINCT_RE = re.compile(
-    rf"^\s*SELECT\s+DISTINCT\s+(?P<select>{_IDENT}(?:\s*,\s*{_IDENT})*)\s+"
-    rf"FROM\s+(?P<table>{_IDENT})"
-    rf"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
-
-
 def match_distinct_shape(
     query: str,
     source_names: set[str],
@@ -460,17 +430,9 @@ def match_distinct_shape(
     identifiers only (an expression output has no stable retraction
     key); WHERE must be row-local and deterministic, maintained by the
     stateless-filter changelog rule."""
-    if use_ast_matchers():
-        from tiflink_spark import sqlast
+    from tiflink_spark import sqlast
 
-        parsed = sqlast.distinct_clauses(query)
-    else:
-        m = _DISTINCT_RE.match(query)
-        parsed = (
-            None
-            if m is None
-            else (m.group("select"), m.group("table"), m.group("where"))
-        )
+    parsed = sqlast.distinct_clauses(query)
     if parsed is None:
         return None
     return _match_distinct_core(*parsed, source_names, source_columns)
@@ -483,7 +445,7 @@ def _match_distinct_core(
     source_names: set[str],
     source_columns: dict[str, list[str]] | None,
 ) -> DistinctShape | None:
-    """Shape validation shared by the regex and AST front-ends."""
+    """Shape validation on the AST front-end's extracted clauses."""
     if table not in source_names:
         return None
     cols = [c.strip() for c in select.split(",")]
@@ -535,13 +497,6 @@ class UnionAllShape:
     wheres: tuple[str | None, ...] = ()
 
 
-_UNION_BRANCH_RE = re.compile(
-    rf"^\s*SELECT\s+(?P<select>{_IDENT}(?:\s*,\s*{_IDENT})*)\s+"
-    rf"FROM\s+(?P<table>{_IDENT})(?:\s+WHERE\s+(?P<where>.+?))?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
-
-
 def _branch_where(
     table: str, where: str | None, source_columns: dict[str, list[str]]
 ) -> tuple[str | None, bool]:
@@ -561,21 +516,9 @@ def match_union_all_shape(
     source_pks: dict[str, list[str]],
 ) -> UnionAllShape | None:
     """Match the bare multi-branch UNION ALL, or None for the fallback."""
-    if use_ast_matchers():
-        from tiflink_spark import sqlast
+    from tiflink_spark import sqlast
 
-        parsed = sqlast.union_all_branches(query)
-    else:
-        parts = re.split(r"(?i)\bUNION\s+ALL\b", query.strip().rstrip(";"))
-        if len(parts) < 2:
-            return None
-        parsed = []
-        for part in parts:
-            bm = _UNION_BRANCH_RE.match(part)
-            if bm is None:
-                parsed = None
-                break
-            parsed.append((bm.group("select"), bm.group("table"), bm.group("where")))
+    parsed = sqlast.union_all_branches(query)
     if parsed is None:
         return None
     return _match_union_all_core(parsed, source_names, source_columns, source_pks)
@@ -587,7 +530,7 @@ def _match_union_all_core(
     source_columns: dict[str, list[str]],
     source_pks: dict[str, list[str]],
 ) -> UnionAllShape | None:
-    """Shape validation shared by the regex and AST front-ends."""
+    """Shape validation on the AST front-end's extracted clauses."""
     branches: list[tuple[str, tuple[str, ...]]] = []
     wheres: list[str | None] = []
     for select, table, bwhere in branch_clauses:
@@ -649,9 +592,6 @@ class SetOpShape:
     right_where: str | None = None
 
 
-_SETOP_SPLIT = re.compile(r"(?i)\b(INTERSECT|EXCEPT|UNION)\b(\s+ALL\b)?")
-
-
 def match_setop_shape(
     query: str,
     source_names: set[str],
@@ -667,30 +607,10 @@ def match_setop_shape(
     count state already. UNION's membership rule is presence on EITHER
     side, so its output tuples are genuinely unique — a sound cascade
     inner, unlike UNION ALL's per-branch key."""
-    if use_ast_matchers():
-        from tiflink_spark import sqlast
+    from tiflink_spark import sqlast
 
-        ast = sqlast.setop_clauses(query)
-        parsed = None if ast is None else (ast[0].lower(), ast[1], ast[2])
-    else:
-        parts = _SETOP_SPLIT.split(query.strip().rstrip(";"))
-        # split yields [left, OP, ALL?, right] for a single operator
-        if len(parts) != 4:
-            return None
-        if parts[2] is not None and parts[1].lower() == "union":
-            return None  # UNION ALL is the stateless union route
-        left_sql, op, all_kw, right_sql = parts
-        if all_kw is not None:
-            op = f"{op}_all"
-        parsed = None
-        lm = _UNION_BRANCH_RE.match(left_sql)
-        rm = _UNION_BRANCH_RE.match(right_sql)
-        if lm is not None and rm is not None:
-            parsed = (
-                op.lower(),
-                (lm.group("select"), lm.group("table"), lm.group("where")),
-                (rm.group("select"), rm.group("table"), rm.group("where")),
-            )
+    ast = sqlast.setop_clauses(query)
+    parsed = None if ast is None else (ast[0].lower(), ast[1], ast[2])
     if parsed is None:
         return None
     return _match_setop_core(*parsed, source_names, source_columns, source_pks)
@@ -704,7 +624,7 @@ def _match_setop_core(
     source_columns: dict[str, list[str]],
     source_pks: dict[str, list[str]],
 ) -> SetOpShape | None:
-    """Shape validation shared by the regex and AST front-ends."""
+    """Shape validation on the AST front-end's extracted clauses."""
     branches = []
     wheres: list[str | None] = []
     for select, table, bwhere in (left_clause, right_clause):
@@ -766,48 +686,15 @@ class TopNShape:
     where: str | None = None
 
 
-_TOPN_RE = re.compile(
-    rf"^\s*SELECT\s+(?P<select>{_IDENT}(?:\s*,\s*{_IDENT})*)\s+FROM\s+\(\s*"
-    rf"SELECT\s+\*\s*,\s*ROW_NUMBER\s*\(\s*\)\s+OVER\s*\(\s*"
-    rf"PARTITION\s+BY\s+(?P<g>{_IDENT})\s+"
-    rf"ORDER\s+BY\s+(?P<o>{_IDENT})(?:\s+(?P<dir>ASC|DESC))?"
-    rf"(?P<tie>(?:\s*,\s*{_IDENT})*)\s*\)\s+AS\s+(?P<rn>{_IDENT})\s+"
-    rf"FROM\s+(?P<table>{_IDENT})(?:\s+WHERE\s+(?P<where>.+?))?\s*\)"
-    rf"(?:\s+(?:AS\s+)?(?P<ta>{_IDENT}))?\s+"
-    rf"WHERE\s+(?P<rncond>{_IDENT})\s*<=\s*(?P<k>\d+)\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
-
-
 def match_topn_shape(
     query: str,
     source_names: set[str],
     source_columns: dict[str, list[str]] | None = None,
 ) -> TopNShape | None:
     """Match the per-group Top-N pattern, or None for the fallback."""
-    if use_ast_matchers():
-        from tiflink_spark import sqlast
+    from tiflink_spark import sqlast
 
-        parsed = sqlast.topn_clauses(query)
-    else:
-        m = _TOPN_RE.match(query)
-        parsed = (
-            None
-            if m is None
-            else (
-                m.group("select"),
-                m.group("g"),
-                m.group("o"),
-                m.group("dir"),
-                tuple(c.strip() for c in m.group("tie").split(",") if c.strip()),
-                m.group("rn"),
-                m.group("table"),
-                m.group("where"),
-                m.group("ta"),
-                m.group("rncond"),
-                m.group("k"),
-            )
-        )
+    parsed = sqlast.topn_clauses(query)
     if parsed is None:
         return None
     return _match_topn_core(*parsed, source_names, source_columns)
@@ -828,7 +715,7 @@ def _match_topn_core(
     source_names: set[str],
     source_columns: dict[str, list[str]] | None,
 ) -> TopNShape | None:
-    """Shape validation shared by the regex and AST front-ends."""
+    """Shape validation on the AST front-end's extracted clauses."""
     if table not in source_names:
         return None
     if rncond.lower() != rn.lower():
@@ -926,13 +813,6 @@ _WIN_ITEM_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
-_WINDOW_Q_RE = re.compile(
-    rf"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<table>{_IDENT})"
-    rf"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
-
-
 def match_window_shape(
     query: str,
     source_names: set[str],
@@ -940,17 +820,9 @@ def match_window_shape(
     source_pks: dict[str, list[str]],
 ) -> WindowShape | None:
     """Match the partitioned OVER-window view, or None for the fallback."""
-    if use_ast_matchers():
-        from tiflink_spark import sqlast
+    from tiflink_spark import sqlast
 
-        parsed = sqlast.window_clauses(query)
-    else:
-        m = _WINDOW_Q_RE.match(query)
-        parsed = (
-            None
-            if m is None
-            else (m.group("select"), m.group("table"), m.group("where"))
-        )
+    parsed = sqlast.window_clauses(query)
     if parsed is None:
         return None
     return _match_window_core(*parsed, source_names, source_columns, source_pks)
@@ -964,7 +836,7 @@ def _match_window_core(
     source_columns: dict[str, list[str]],
     source_pks: dict[str, list[str]],
 ) -> WindowShape | None:
-    """Shape validation shared by the regex and AST front-ends."""
+    """Shape validation on the AST front-end's extracted clauses."""
     if table not in source_names:
         return None
     cols = {c.lower(): c for c in source_columns.get(table, [])}
@@ -1076,49 +948,27 @@ class OrderLimitShape:
     where: str | None = None
 
 
-_ORDER_LIMIT_RE = re.compile(
-    rf"^\s*SELECT\s+(?P<select>{_IDENT}(?:\s*,\s*{_IDENT})*)\s+"
-    rf"FROM\s+(?P<table>{_IDENT})"
-    rf"(?:\s+WHERE\s+(?P<where>.+?))?"
-    rf"\s+ORDER\s+BY\s+(?P<o>{_IDENT})(?:\s+(?P<dir>ASC|DESC))?"
-    rf"(?P<tie>(?:\s*,\s*{_IDENT})*)\s+LIMIT\s+(?P<k>\d+)\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
-
-
 def match_order_limit_shape(
     query: str,
     source_names: set[str],
     source_columns: dict[str, list[str]] | None = None,
 ) -> OrderLimitShape | None:
     """Match the global ORDER BY + LIMIT view, or None."""
-    if use_ast_matchers():
-        from tiflink_spark import sqlast
+    from tiflink_spark import sqlast
 
-        p = sqlast.order_limit_clauses(query)
-        parsed = None
-        if p is not None:
-            select, table, where, order_body, k_text = p
-            ob = re.fullmatch(
-                rf"(?is)({_IDENT})(?:\s+(ASC|DESC))?((?:\s*,\s*{_IDENT})*)",
-                order_body.strip(),
-            )
-            if ob is not None:
-                parsed = (
-                    select, table, where,
-                    ob.group(1), ob.group(2), ob.group(3) or "", k_text,
-                )
-    else:
-        m = _ORDER_LIMIT_RE.match(query)
-        parsed = (
-            None
-            if m is None
-            else (
-                m.group("select"), m.group("table"), m.group("where"),
-                m.group("o"), m.group("dir"), m.group("tie") or "",
-                m.group("k"),
-            )
+    p = sqlast.order_limit_clauses(query)
+    parsed = None
+    if p is not None:
+        select, table, where, order_body, k_text = p
+        ob = re.fullmatch(
+            rf"(?is)({_IDENT})(?:\s+(ASC|DESC))?((?:\s*,\s*{_IDENT})*)",
+            order_body.strip(),
         )
+        if ob is not None:
+            parsed = (
+                select, table, where,
+                ob.group(1), ob.group(2), ob.group(3) or "", k_text,
+            )
     if parsed is None:
         return None
     return _match_order_limit_core(*parsed, source_names, source_columns)
@@ -1135,7 +985,7 @@ def _match_order_limit_core(
     source_names: set[str],
     source_columns: dict[str, list[str]] | None,
 ) -> OrderLimitShape | None:
-    """Shape validation shared by the regex and AST front-ends."""
+    """Shape validation on the AST front-end's extracted clauses."""
     if table not in source_names:
         return None
     sel = [c.strip() for c in select.split(",")]
@@ -1211,16 +1061,6 @@ class ThetaJoinShape:
     out_cols: tuple[str, ...]
 
 
-_THETA_JOIN_RE = re.compile(
-    rf"^\s*SELECT\s+(?P<select>.+?)\s+"
-    rf"FROM\s+(?P<left>{_IDENT})(?:\s+(?:AS\s+)?(?P<la>{_NKW}{_IDENT}))?\s+"
-    rf"(?:INNER\s+)?JOIN\s+(?P<right>{_IDENT})(?:\s+(?:AS\s+)?(?P<ra>{_IDENT}))?\s+"
-    rf"ON\s+(?P<pred>.+?)"
-    rf"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
-
-
 def match_theta_join_shape(
     query: str,
     source_names: set[str],
@@ -1231,25 +1071,9 @@ def match_theta_join_shape(
     equi-join matchers, so anything reaching here with a plain equality
     already failed their stricter envelopes (routing it here would
     still be correct, just less pruned)."""
-    if use_ast_matchers():
-        from tiflink_spark import sqlast
+    from tiflink_spark import sqlast
 
-        parsed = sqlast.theta_join_clauses(query)
-    else:
-        m = _THETA_JOIN_RE.match(query)
-        parsed = (
-            None
-            if m is None
-            else (
-                m.group("select"),
-                m.group("left"),
-                m.group("la"),
-                m.group("right"),
-                m.group("ra"),
-                m.group("pred"),
-                m.group("where"),
-            )
-        )
+    parsed = sqlast.theta_join_clauses(query)
     if parsed is None:
         return None
     return _match_theta_join_core(
@@ -1269,7 +1093,7 @@ def _match_theta_join_core(
     source_columns: dict[str, list[str]],
     source_pks: dict[str, list[str]],
 ) -> ThetaJoinShape | None:
-    """Shape validation shared by the regex and AST front-ends."""
+    """Shape validation on the AST front-end's extracted clauses."""
     if lt not in source_names or rt not in source_names or lt == rt:
         return None
     if (la or "").lower() in _CLAUSE_KEYWORDS or (ra or "").lower() in _CLAUSE_KEYWORDS:
@@ -1340,11 +1164,7 @@ def match_full_outer_shape(
     source_columns: dict[str, list[str]],
     source_pks: dict[str, list[str]],
 ) -> FullOuterJoinShape | None:
-    """Match the single FULL OUTER equi-join view, or None. AST-only:
-    this matcher postdates the regex front-ends' deprecation, so under
-    ``TIFLINK_AST_MATCHERS=0`` it never routes (recompute fallback)."""
-    if not use_ast_matchers():
-        return None
+    """Match the single FULL OUTER equi-join view, or None."""
     from tiflink_spark import sqlast
 
     parsed = sqlast.full_outer_join_clauses(query)
@@ -1441,24 +1261,6 @@ def match_full_outer_shape(
     return FullOuterJoinShape(fact, dim, tuple(fact_fks), tuple(dim_keys), tuple(out))
 
 
-_JOIN_RE = re.compile(
-    rf"^\s*SELECT\s+(?P<select>(?:{_IDENT}\s*,\s*)*{_IDENT})\s+"
-    rf"FROM\s+(?P<left>{_IDENT})\s+JOIN\s+(?P<right>{_IDENT})\s+"
-    rf"USING\s*\(\s*(?P<key>{_IDENT})\s*\)\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
-
-_JOIN_ON_RE = re.compile(
-    rf"^\s*SELECT\s+(?P<select>.+?)\s+"
-    rf"FROM\s+(?P<left>{_IDENT})(?:\s+(?:AS\s+)?(?P<la>{_NKW}{_IDENT}))?\s+"
-    rf"(?:INNER\s+)?JOIN\s+(?P<right>{_IDENT})(?:\s+(?:AS\s+)?(?P<ra>{_IDENT}))?\s+"
-    rf"ON\s+(?P<lref>(?:{_IDENT}\s*\.\s*)?{_IDENT})\s*=\s*"
-    rf"(?P<rref>(?:{_IDENT}\s*\.\s*)?{_IDENT})"
-    rf"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
-
-
 def match_join_shape(
     query: str,
     source_names: set[str],
@@ -1472,40 +1274,10 @@ def match_join_shape(
     per side; every output column must be unambiguous across the two
     tables (the MV stores bare names), and a join-key column must be in
     the select list (MV rows are located by it)."""
-    if use_ast_matchers():
-        from tiflink_spark import sqlast
+    from tiflink_spark import sqlast
 
-        pu = sqlast.join_using_clauses(query)
-        po = None if pu is not None else sqlast.join_on_clauses(query)
-    else:
-        m = _JOIN_RE.match(query)
-        pu = (
-            None
-            if m is None
-            else (
-                m.group("select"),
-                m.group("left"),
-                m.group("right"),
-                m.group("key"),
-            )
-        )
-        po = None
-        if pu is None:
-            mo = _JOIN_ON_RE.match(query)
-            po = (
-                None
-                if mo is None
-                else (
-                    mo.group("select"),
-                    mo.group("left"),
-                    mo.group("la"),
-                    mo.group("right"),
-                    mo.group("ra"),
-                    mo.group("lref"),
-                    mo.group("rref"),
-                    mo.group("where"),
-                )
-            )
+    pu = sqlast.join_using_clauses(query)
+    po = None if pu is not None else sqlast.join_on_clauses(query)
     if pu is not None:
         select, left, right, key = pu
         if left not in source_names or right not in source_names or left == right:
@@ -1613,18 +1385,6 @@ def _match_join_on_core(
 
 
 # SELECT d-col-list, (SELECT agg(x|*) FROM fact f WHERE f.fk = d.dk) AS a FROM dim d
-_CORR_RE = re.compile(
-    rf"^\s*SELECT\s+(?P<select>(?:{_IDENT}\s*,\s*)*{_IDENT})\s*,\s*"
-    rf"\(\s*SELECT\s+(?P<akind>count|sum|avg|min|max)\s*\(\s*"
-    rf"(?P<acol>\*|(?:{_IDENT}\s*\.\s*)?{_IDENT})\s*\)\s+"
-    rf"FROM\s+(?P<fact>{_IDENT})\s+(?P<fa>{_IDENT})\s+"
-    rf"WHERE\s+(?P<w1>{_IDENT})\s*\.\s*(?P<c1>{_IDENT})\s*=\s*"
-    rf"(?P<w2>{_IDENT})\s*\.\s*(?P<c2>{_IDENT})\s*\)\s+AS\s+(?P<alias>{_IDENT})\s+"
-    rf"FROM\s+(?P<dim>{_IDENT})\s+(?P<da>{_IDENT})\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
-
-
 def _split_select_list(select: str) -> list[str]:
     """Split a select list on top-level commas (commas inside parens —
     e.g. a future multi-arg function — stay within their item)."""
@@ -1659,30 +1419,9 @@ def match_correlated_count_shape(
     against ``source_columns`` when provided; a non-count aggregate
     without schema access falls back).
     """
-    if use_ast_matchers():
-        from tiflink_spark import sqlast
+    from tiflink_spark import sqlast
 
-        parsed = sqlast.corr_count_clauses(query)
-    else:
-        m = _CORR_RE.match(query)
-        parsed = (
-            None
-            if m is None
-            else (
-                m.group("select"),
-                m.group("akind"),
-                m.group("acol"),
-                m.group("fact"),
-                m.group("fa"),
-                m.group("w1"),
-                m.group("c1"),
-                m.group("w2"),
-                m.group("c2"),
-                m.group("alias"),
-                m.group("dim"),
-                m.group("da"),
-            )
-        )
+    parsed = sqlast.corr_count_clauses(query)
     if parsed is None:
         return None
     return _match_corr_count_core(*parsed, source_names, dim_pk, source_columns)
@@ -1705,7 +1444,7 @@ def _match_corr_count_core(
     dim_pk: dict[str, list[str]],
     source_columns: dict[str, list[str]] | None,
 ) -> CorrelatedCountShape | None:
-    """Shape validation shared by the regex and AST front-ends."""
+    """Shape validation on the AST front-end's extracted clauses."""
     if fact not in source_names or dim not in source_names or fact == dim:
         return None
     fa, da = fa_text.lower(), da_text.lower()
@@ -1780,26 +1519,6 @@ class SemiJoinShape:
     null_aware: bool = False
 
 
-_SEMI_EXISTS_RE = re.compile(
-    rf"^\s*SELECT\s+(?P<select>{_IDENT}(?:\s*,\s*{_IDENT})*)\s+"
-    rf"FROM\s+(?P<fact>{_IDENT})(?:\s+(?:AS\s+)?(?P<fa>{_IDENT}))?\s+"
-    rf"WHERE\s+(?:(?P<pre>.+?)\s+AND\s+)?(?P<neg>NOT\s+)?EXISTS\s*\(\s*"
-    rf"SELECT\s+(?:1|\*)\s+FROM\s+(?P<other>{_IDENT})(?:\s+(?:AS\s+)?(?P<oa>{_IDENT}))?\s+"
-    rf"WHERE\s+(?P<lref>(?:{_IDENT}\s*\.\s*)?{_IDENT})\s*=\s*"
-    rf"(?P<rref>(?:{_IDENT}\s*\.\s*)?{_IDENT})\s*\)\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
-
-_SEMI_IN_RE = re.compile(
-    rf"^\s*SELECT\s+(?P<select>{_IDENT}(?:\s*,\s*{_IDENT})*)\s+"
-    rf"FROM\s+(?P<fact>{_IDENT})(?:\s+(?:AS\s+)?(?P<fa>{_IDENT}))?\s+"
-    rf"WHERE\s+(?:(?P<pre>.+?)\s+AND\s+)?(?P<fcol>{_IDENT})\s+"
-    rf"(?P<neg>NOT\s+)?IN\s*\(\s*"
-    rf"SELECT\s+(?P<ocol>{_IDENT})\s+FROM\s+(?P<other>{_IDENT})\s*\)\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
-
-
 def match_semijoin_shape(
     query: str,
     source_names: set[str],
@@ -1815,45 +1534,9 @@ def match_semijoin_shape(
     left_semi/left_anti: a NULL fact key never matches (excluded from
     EXISTS/IN, kept by NOT EXISTS).
     """
-    if use_ast_matchers():
-        from tiflink_spark import sqlast
+    from tiflink_spark import sqlast
 
-        parsed = sqlast.semijoin_clauses(query)
-    else:
-        m = _SEMI_EXISTS_RE.match(query)
-        parsed = None
-        if m is not None:
-            parsed = (
-                False,
-                m.group("select"),
-                m.group("fact"),
-                m.group("fa"),
-                m.group("pre"),
-                m.group("neg") is not None,
-                m.group("other"),
-                m.group("oa"),
-                m.group("lref"),
-                m.group("rref"),
-                None,
-                None,
-            )
-        else:
-            m = _SEMI_IN_RE.match(query)
-            if m is not None:
-                parsed = (
-                    True,
-                    m.group("select"),
-                    m.group("fact"),
-                    m.group("fa"),
-                    m.group("pre"),
-                    m.group("neg") is not None,
-                    m.group("other"),
-                    None,
-                    None,
-                    None,
-                    m.group("fcol"),
-                    m.group("ocol"),
-                )
+    parsed = sqlast.semijoin_clauses(query)
     if parsed is None:
         return None
     return _match_semijoin_core(*parsed, source_names, source_columns)
@@ -1875,7 +1558,7 @@ def _match_semijoin_core(
     source_names: set[str],
     source_columns: dict[str, list[str]],
 ) -> SemiJoinShape | None:
-    """Shape validation shared by the regex and AST front-ends."""
+    """Shape validation on the AST front-end's extracted clauses."""
     if (
         fact not in source_names
         or other not in source_names
@@ -1987,13 +1670,6 @@ class GlobalAggShape:
     where: str | None = None
 
 
-_GLOBAL_AGG_RE = re.compile(
-    rf"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<table>{_IDENT})"
-    rf"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
-
-
 def match_global_agg_shape(
     query: str,
     source_names: set[str],
@@ -2006,17 +1682,9 @@ def match_global_agg_shape(
     deterministic. The regex's optional WHERE is greedy across clause
     keywords, so any trailing GROUP BY / ORDER BY / LIMIT swallowed
     into it is rejected explicitly."""
-    if use_ast_matchers():
-        from tiflink_spark import sqlast
+    from tiflink_spark import sqlast
 
-        parsed = sqlast.global_agg_clauses(query)
-    else:
-        m = _GLOBAL_AGG_RE.match(query)
-        parsed = (
-            None
-            if m is None
-            else (m.group("select"), m.group("table"), m.group("where"))
-        )
+    parsed = sqlast.global_agg_clauses(query)
     if parsed is None:
         return None
     return _match_global_agg_core(*parsed, source_names, source_columns)
@@ -2076,23 +1744,9 @@ def match_agg_shape(
     row-local expressions (e.g. ``SUM(a * (1 - b))``) — validated
     against the fact's schema; without it only bare identifiers match.
     """
-    if use_ast_matchers():
-        from tiflink_spark import sqlast
+    from tiflink_spark import sqlast
 
-        parsed = sqlast.agg_clauses(query)
-    else:
-        m = _SHAPE_RE.match(query)
-        parsed = (
-            None
-            if m is None
-            else (
-                m.group("select"),
-                m.group("table"),
-                m.group("where"),
-                m.group("keys"),
-                m.group("having"),
-            )
-        )
+    parsed = sqlast.agg_clauses(query)
     if parsed is None:
         return None
     return _match_agg_core(*parsed, source_names, source_columns)
@@ -2281,23 +1935,9 @@ def match_grouping_sets_shape(
     calls rewrite to possibly-hidden measure aliases; a referenced key
     reads as NULL on the sub-targets that aggregate it away, applied
     per sub-MV via NULL substitution)."""
-    if use_ast_matchers():
-        from tiflink_spark import sqlast
+    from tiflink_spark import sqlast
 
-        parsed = sqlast.agg_clauses(query)
-    else:
-        m = _SHAPE_RE.match(query)
-        parsed = (
-            None
-            if m is None
-            else (
-                m.group("select"),
-                m.group("table"),
-                m.group("where"),
-                m.group("keys"),
-                m.group("having"),
-            )
-        )
+    parsed = sqlast.agg_clauses(query)
     if parsed is None:
         return None
     return _match_grouping_sets_core(*parsed, source_names, source_columns)
@@ -2312,7 +1952,7 @@ def _match_grouping_sets_core(
     source_names: set[str],
     source_columns: dict[str, list[str]] | None,
 ) -> GroupingSetsShape | None:
-    """Shape validation shared by the regex and AST front-ends."""
+    """Shape validation on the AST front-end's extracted clauses."""
     if table not in source_names:
         return None
     if where is not None and _NON_LOCAL_WHERE.search(where):
@@ -2755,14 +2395,6 @@ class ProjectionShape:
     where: str | None = None
 
 
-_PROJ_RE = re.compile(
-    rf"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<table>{_IDENT})"
-    rf"(?:\s+(?:AS\s+)?(?P<alias>{_IDENT}))?"
-    rf"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
-
-
 def match_projection_shape(
     query: str,
     source_names: set[str],
@@ -2774,22 +2406,9 @@ def match_projection_shape(
     Anything with DISTINCT, GROUP BY, set ops, window functions,
     aggregates, subqueries, or a non-row-local WHERE bails to the
     other matchers / the recompute fallback."""
-    if use_ast_matchers():
-        from tiflink_spark import sqlast
+    from tiflink_spark import sqlast
 
-        parsed = sqlast.projection_clauses(query)
-    else:
-        m = _PROJ_RE.match(query)
-        parsed = (
-            None
-            if m is None
-            else (
-                m.group("select"),
-                m.group("table"),
-                m.group("alias"),
-                m.group("where"),
-            )
-        )
+    parsed = sqlast.projection_clauses(query)
     if parsed is None:
         return None
     return _match_projection_core(*parsed, source_names, source_columns, source_pks)
@@ -2804,7 +2423,7 @@ def _match_projection_core(
     source_columns: dict[str, list[str]],
     source_pks: dict[str, list[str]],
 ) -> ProjectionShape | None:
-    """Shape validation shared by the regex and AST front-ends."""
+    """Shape validation on the AST front-end's extracted clauses."""
     if table not in source_names:
         return None
     if alias is not None and alias.lower() in (
@@ -3520,22 +3139,6 @@ _REF = rf"(?:{_IDENT}\s*\.\s*)?{_IDENT}"
 
 _ON_EQ = rf"{_REF}\s*=\s*{_REF}"
 
-_JOIN_CLAUSE = (
-    rf"(?:(?:INNER|LEFT(?:\s+OUTER)?)\s+)?JOIN\s+{_IDENT}(?:\s+(?:AS\s+)?{_IDENT})?\s+"
-    rf"ON\s+{_ON_EQ}(?:\s+AND\s+{_ON_EQ})*"
-)
-
-_JOIN_AGG_RE = re.compile(
-    rf"^\s*SELECT\s+(?P<select>.+?)\s+"
-    rf"FROM\s+(?P<t0>{_IDENT})(?:\s+(?:AS\s+)?(?P<a0>{_NKW}{_IDENT}))?\s+"
-    rf"(?P<joins>{_JOIN_CLAUSE}(?:\s+{_JOIN_CLAUSE})*)"
-    rf"(?:\s+WHERE\s+(?P<where>.+?))?"
-    rf"\s+GROUP\s+BY\s+(?P<keys>.+?)"
-    rf"(?:\s+HAVING\s+(?P<having>.+?))?"
-    rf"\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
-
 _JOIN_CLAUSE_RE = re.compile(
     rf"(?:(?P<how>INNER|LEFT(?:\s+OUTER)?)\s+)?"
     rf"JOIN\s+(?P<t>{_IDENT})(?:\s+(?:AS\s+)?(?P<a>{_IDENT}))?\s+"
@@ -3574,16 +3177,6 @@ class JoinProjectionShape:
     key_exprs: tuple[tuple[str, str], ...] = ()
 
 
-_JOIN_PROJ_RE = re.compile(
-    rf"^\s*SELECT\s+(?P<select>.+?)\s+"
-    rf"FROM\s+(?P<t0>{_IDENT})(?:\s+(?:AS\s+)?(?P<a0>{_NKW}{_IDENT}))?\s+"
-    rf"(?P<joins>{_JOIN_CLAUSE}(?:\s+{_JOIN_CLAUSE})*)"
-    rf"(?:\s+WHERE\s+(?P<where>.+?))?"
-    rf"\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
-
-
 def match_join_projection_shape(
     query: str,
     source_names: set[str],
@@ -3600,23 +3193,7 @@ def match_join_projection_shape(
     window, no aggregates."""
     if _scan_top_level(query, "GROUP") or _scan_top_level(query, "HAVING"):
         return None
-    if use_ast_matchers():
-        parsed = _join_ast_clauses(query, need_group_by=False)
-    else:
-        m = _JOIN_PROJ_RE.match(query)
-        parsed = (
-            None
-            if m is None
-            else (
-                m.group("select"),
-                m.group("t0"),
-                m.group("a0"),
-                _join_structs_from_match(m),
-                m.group("where"),
-                None,
-                None,
-            )
-        )
+    parsed = _join_ast_clauses(query, need_group_by=False)
     if parsed is None:
         return None
     return _match_join_projection_core(
@@ -3634,7 +3211,7 @@ def _match_join_projection_core(
     source_columns: dict[str, list[str]],
     source_pks: dict[str, list[str]],
 ) -> JoinProjectionShape | None:
-    """Shape validation shared by the regex and AST front-ends."""
+    """Shape validation on the AST front-end's extracted clauses."""
     if re.match(r"(?is)^DISTINCT\b", select) or re.search(
         r"(?is)\bOVER\s*\(", select
     ):
@@ -3726,16 +3303,6 @@ def _match_join_projection_core(
     )
 
 
-def _join_structs_from_match(m) -> list[tuple[str | None, str, str | None, str]]:
-    """(how, table, alias, on) tuples from a regex match's ``joins``
-    group — the structured form both front-ends hand to
-    :func:`_orient_join_tree`."""
-    return [
-        (jc.group("how"), jc.group("t"), jc.group("a"), jc.group("on"))
-        for jc in _JOIN_CLAUSE_RE.finditer(m.group("joins"))
-    ]
-
-
 _ON_EQ_CHAIN_RE = re.compile(
     rf"(?is)^\s*{_ON_EQ}(?:\s+AND\s+{_ON_EQ})*\s*$"
 )
@@ -3744,7 +3311,7 @@ _ON_EQ_CHAIN_RE = re.compile(
 def _join_ast_clauses(query: str, need_group_by: bool):
     """AST front-end shared by the fact-⋈-dims projection and
     aggregate matchers: (select, t0, a0, join_structs, where, keys,
-    having) or None. Mirrors _JOIN_PROJ_RE / _JOIN_AGG_RE's envelope —
+    having) or None. Envelope (inherited from the deleted regex front-end) —
     INNER/LEFT joins only, each ON body an equality chain."""
     from tiflink_spark import sqlast
 
@@ -3961,23 +3528,7 @@ def match_join_agg_shape(
     column references both match; bare names present in more than one
     table are rejected as ambiguous, mirroring SQL resolution.
     """
-    if use_ast_matchers():
-        parsed = _join_ast_clauses(query, need_group_by=True)
-    else:
-        m = _JOIN_AGG_RE.match(query)
-        parsed = (
-            None
-            if m is None
-            else (
-                m.group("select"),
-                m.group("t0"),
-                m.group("a0"),
-                _join_structs_from_match(m),
-                m.group("where"),
-                m.group("keys"),
-                m.group("having"),
-            )
-        )
+    parsed = _join_ast_clauses(query, need_group_by=True)
     if parsed is None:
         return None
     return _match_join_agg_core(*parsed, source_names, source_columns, source_pks)
@@ -3995,7 +3546,7 @@ def _match_join_agg_core(
     source_columns: dict[str, list[str]],
     source_pks: dict[str, list[str]],
 ) -> JoinAggShape | None:
-    """Shape validation shared by the regex and AST front-ends."""
+    """Shape validation on the AST front-end's extracted clauses."""
     tree = _orient_join_tree(
         t0, a0, join_structs, source_names, source_columns, source_pks
     )

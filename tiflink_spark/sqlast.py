@@ -7,17 +7,17 @@ front-end: a proper tokenizer (string-literal and paren aware, with
 source offsets so clause texts are returned VERBATIM) and a clause
 parser for the single-SELECT statement form the matchers consume.
 
-Migration status: COMPLETE — all 16 matchers (single-table aggregate,
-projection, global aggregate, DISTINCT, OVER-window, global ORDER
-BY+LIMIT, multi-branch UNION ALL, two-branch INTERSECT/EXCEPT/UNION,
-per-group Top-N, grouping sets, theta join, join, join-projection,
-join-aggregate, semi/anti join, correlated count) route through this
-parser BY DEFAULT. Each AST front-end feeds the SAME ``_match_*_core``
-validation as the legacy regex scanner, so the two paths cannot
-diverge past clause extraction; tests/test_sqlast.py pins front-end
-equivalence over the planner fuzz corpus. ``TIFLINK_AST_MATCHERS=0``
-falls back to the regex scanners (a rollback lever kept for one
-deprecation round, then deleted).
+Migration status: DONE AND SEALED — all 17 matchers (single-table
+aggregate, projection, global aggregate, DISTINCT, OVER-window, global
+ORDER BY+LIMIT, multi-branch UNION ALL, two-branch INTERSECT/EXCEPT/
+UNION, per-group Top-N, grouping sets, theta join, join,
+join-projection, join-aggregate, semi/anti join, correlated count,
+full outer join) route through this parser; the legacy regex scanners
+and their ``TIFLINK_AST_MATCHERS`` rollback lever are DELETED. While
+both paths existed, tests/test_sqlast.py proved them equivalent
+query-by-query over the planner fuzz corpus; the same corpus now pins
+this parser against a committed golden fixture
+(tests/fixtures/matcher_golden.json).
 
 No external parser dependency: sqlglot-class libraries are not in the
 runtime image, and the subset of SQL the matchers accept is small
@@ -61,8 +61,8 @@ class Token:
 
 def tokenize(sql: str) -> list[Token] | None:
     """Token stream with source offsets, or None on any character the
-    grammar doesn't know (the caller then bails to the regex path /
-    recompute — never guesses)."""
+    grammar doesn't know (the caller then bails to recompute — never
+    guesses)."""
     out: list[Token] = []
     i = 0
     while i < len(sql):
@@ -251,7 +251,7 @@ def parse_single_select(sql: str) -> SingleSelect | None:
 def agg_clauses(query: str):
     """AST front-end for the single-table aggregate matcher: the
     (select, table, where, group_by, having) clause texts, or None.
-    Mirrors planner._SHAPE_RE's envelope: GROUP BY required, no table
+    Envelope (inherited from the deleted regex front-end): GROUP BY required, no table
     alias (the regex form never admitted one), nothing trailing."""
     s = parse_single_select(query)
     if (
@@ -268,7 +268,7 @@ def agg_clauses(query: str):
 
 def projection_clauses(query: str):
     """AST front-end for the projection matcher: (select, table, alias,
-    where), or None. Mirrors planner._PROJ_RE's envelope: optional
+    where), or None. Envelope (inherited from the deleted regex front-end): optional
     alias, optional WHERE, no GROUP BY/HAVING, nothing trailing."""
     s = parse_single_select(query)
     if (
@@ -285,7 +285,7 @@ def projection_clauses(query: str):
 
 def global_agg_clauses(query: str):
     """AST front-end for the no-GROUP-BY global aggregate: (select,
-    table, where), or None. Mirrors planner._GLOBAL_AGG_RE's envelope:
+    table, where), or None. Envelope (inherited from the deleted regex front-end):
     no alias, no GROUP BY/HAVING, nothing trailing (clause keywords
     inside string literals are rejected by the shared core, keeping
     regex-path equivalence during migration)."""
@@ -305,7 +305,7 @@ def global_agg_clauses(query: str):
 
 def window_clauses(query: str):
     """AST front-end for the partitioned OVER-window matcher: (select,
-    table, where), or None. Mirrors planner._WINDOW_Q_RE's envelope:
+    table, where), or None. Envelope (inherited from the deleted regex front-end):
     no alias, no GROUP BY/HAVING, nothing trailing."""
     s = parse_single_select(query)
     if (
@@ -533,7 +533,7 @@ def parse_join_select(sql: str) -> JoinSelect | None:
 def theta_join_clauses(query: str):
     """AST front-end for the two-sided non-equi join view: (select,
     left, left_alias, right, right_alias, pred, where), or None.
-    Mirrors planner._THETA_JOIN_RE's envelope: exactly one INNER join
+    Envelope (inherited from the deleted regex front-end): exactly one INNER join
     with an ON predicate, optional WHERE, nothing trailing."""
     s = parse_join_select(query)
     if (
@@ -552,7 +552,7 @@ def theta_join_clauses(query: str):
 
 def join_using_clauses(query: str):
     """AST front-end for the bare inner equi-join USING form: (select,
-    left, right, key), or None. Mirrors planner._JOIN_RE's envelope:
+    left, right, key), or None. Envelope (inherited from the deleted regex front-end):
     bare ident select list, no aliases, no WHERE, nothing trailing."""
     s = parse_join_select(query)
     if (
@@ -577,7 +577,7 @@ def join_using_clauses(query: str):
 def join_on_clauses(query: str):
     """AST front-end for the inner equi-join ON form: (select, left,
     left_alias, right, right_alias, lref, rref, where), or None.
-    Mirrors planner._JOIN_ON_RE's envelope: one INNER join whose ON is
+    Envelope (inherited from the deleted regex front-end): one INNER join whose ON is
     a single [qual.]col = [qual.]col equality, optional WHERE, nothing
     trailing."""
     s = parse_join_select(query)
@@ -650,7 +650,7 @@ def semijoin_clauses(query: str):
          lref, rref, fcol, ocol)
 
     (EXISTS form: fcol/ocol None; IN form: fa/oa/lref/rref None), or
-    None. Mirrors planner._SEMI_EXISTS_RE / _SEMI_IN_RE: bare ident
+    None. Envelope (inherited from the deleted regex front-end): bare ident
     select list, the subquery term LAST in WHERE, one optional leading
     conjunct (``pre``)."""
     s = parse_single_select(query)
@@ -817,7 +817,7 @@ def corr_count_clauses(query: str):
             WHERE q1.c1 = q2.c2) AS alias FROM dim da
 
     → (select, akind, acol, fact, fa, w1, c1, w2, c2, alias, dim, da)
-    or None. Mirrors planner._CORR_RE's envelope — bare ident outer
+    or None. Envelope (inherited from the deleted regex front-end) — bare ident outer
     select items, mandatory table aliases, single equality."""
     sql = query.strip().rstrip(";")
     toks = tokenize(sql)
@@ -947,7 +947,7 @@ def topn_clauses(query: str):
         ) [t] WHERE rn <= k
 
     → (select, g, o, dir, tie_cols, rn, table, where, table_alias,
-    rn_cond, k_text), or None. Mirrors planner._TOPN_RE's envelope —
+    rn_cond, k_text), or None. Envelope (inherited from the deleted regex front-end) —
     the rigid Flink-style Top-N spelling, bare identifiers only."""
     sql = query.strip().rstrip(";")
     toks = tokenize(sql)
@@ -1188,7 +1188,7 @@ def setop_parts(query: str):
 def branch_clauses(branch: str):
     """AST front-end for one union/set-op branch: ``SELECT cols FROM
     table [WHERE e]`` → (select, table, where), or None. Mirrors
-    planner._UNION_BRANCH_RE's envelope: no alias, no GROUP BY /
+    the legacy regex front-end's envelope: no alias, no GROUP BY /
     HAVING / ORDER BY / LIMIT, nothing trailing."""
     s = parse_single_select(branch)
     if (
@@ -1242,7 +1242,7 @@ def setop_clauses(query: str):
 def order_limit_clauses(query: str):
     """AST front-end for the global ORDER BY + LIMIT view: (select,
     table, where, order_body, limit_text), or None. Mirrors
-    planner._ORDER_LIMIT_RE's envelope: no alias, no GROUP BY/HAVING,
+    the legacy regex front-end's envelope: no alias, no GROUP BY/HAVING,
     both ORDER BY and LIMIT present, nothing trailing."""
     s = parse_single_select(query)
     if (
