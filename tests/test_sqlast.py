@@ -337,3 +337,65 @@ class TestJoinFrontEndGolden:
         names = ("theta", "join", "join_proj", "join_agg", "semi", "corr")
         for name, e, g in zip(names, expected, got):
             assert g == e, f"{name} drift on: {query}\n golden={e}\n now={g}"
+
+
+class TestStructuralRewriteFrontEnds:
+    """Token-based clause extraction for the planner's text rewrites
+    (nested derived table, comma join) — the last two regex-extracted
+    forms, ported after the matcher front-ends."""
+
+    def test_nested_from_subquery(self):
+        r = sqlast.nested_from_subquery(
+            "SELECT n, count(*) AS c FROM (SELECT k AS n FROM t) d GROUP BY n"
+        )
+        assert r == (
+            "SELECT k AS n FROM t",
+            "d",
+            "SELECT n, count(*) AS c FROM",
+            " GROUP BY n",
+        )
+        # a FROM ( inside a select-list subquery must NOT be taken as
+        # the derived table (the old regex head's weak spot)
+        r2 = sqlast.nested_from_subquery(
+            "SELECT (SELECT max(v) FROM (SELECT v FROM u) q) AS m "
+            "FROM (SELECT k FROM t) z"
+        )
+        assert r2 is not None and r2[0] == "SELECT k FROM t" and r2[1] == "z"
+        # a FROM ( inside a string literal likewise
+        r3 = sqlast.nested_from_subquery(
+            "SELECT s FROM (SELECT s FROM t WHERE s <> 'x FROM (y') w"
+        )
+        assert r3 is not None and r3[1] == "w"
+        # joined derived table / plain table / non-SELECT block: None
+        assert sqlast.nested_from_subquery(
+            "SELECT a FROM (SELECT a FROM t) x JOIN u ON x.a = u.a"
+        ) is None
+        assert sqlast.nested_from_subquery("SELECT a FROM t WHERE a > 1") is None
+        assert sqlast.nested_from_subquery("SELECT a FROM (VALUES (1)) v") is None
+
+    def test_comma_from_clauses(self):
+        r = sqlast.comma_from_clauses(
+            "SELECT a.x, b.y FROM ta a, tb b WHERE a.k = b.k AND a.v > 3 "
+            "GROUP BY a.x, b.y"
+        )
+        assert r == (
+            "SELECT a.x, b.y ",
+            [("ta", "a"), ("tb", "b")],
+            "a.k = b.k AND a.v > 3",
+            " GROUP BY a.x, b.y",
+        )
+        # a GROUP BY inside a WHERE subquery's parens must not tear the
+        # split (the old regex needed a balance-check bail for this)
+        r2 = sqlast.comma_from_clauses(
+            "SELECT x FROM ta, tb WHERE k = j AND v > "
+            "(SELECT avg(v) FROM ta GROUP BY k LIMIT 1)"
+        )
+        assert r2 is not None
+        assert r2[2] == "k = j AND v > (SELECT avg(v) FROM ta GROUP BY k LIMIT 1)"
+        assert r2[3] == ""
+        # single relation / explicit JOIN / no WHERE: None
+        assert sqlast.comma_from_clauses("SELECT x FROM ta WHERE v > 1") is None
+        assert sqlast.comma_from_clauses(
+            "SELECT x FROM ta JOIN tb ON k = j WHERE v > 1"
+        ) is None
+        assert sqlast.comma_from_clauses("SELECT x FROM ta, tb") is None

@@ -2539,17 +2539,6 @@ def _split_conjuncts(expr: str) -> list[str] | None:
     return [p for p in parts if p]
 
 
-_COMMA_FROM_RE = re.compile(
-    rf"(?is)^(?P<head>\s*SELECT\s+.+?\s+)"
-    rf"FROM\s+(?P<tables>{_IDENT}(?:\s+(?:AS\s+)?{_IDENT})?"
-    rf"(?:\s*,\s*{_IDENT}(?:\s+(?:AS\s+)?{_IDENT})?)+)\s+"
-    rf"WHERE\s+(?P<where>.+?)"
-    rf"(?P<rest>\s+(?:GROUP|HAVING|ORDER|LIMIT)\b.*)?\s*;?\s*$"
-)
-
-_FROM_ITEM_RE = re.compile(rf"(?is)^({_IDENT})(?:\s+(?:AS\s+)?({_IDENT}))?$")
-
-
 def _rewrite_comma_joins(query: str, source_columns: dict[str, list[str]]) -> str:
     """``FROM t1, t2[, t3 …] WHERE equi-conjuncts AND rest`` → explicit
     ``JOIN … ON`` form (the classic TPC-H spelling). Each top-level
@@ -2558,19 +2547,18 @@ def _rewrite_comma_joins(query: str, source_columns: dict[str, list[str]]) -> st
     remaining conjuncts stay in WHERE. Bails (returns the query
     unchanged) on a top-level OR, a clause pair that cannot be
     attributed, or a table pair left with no join predicate (a true
-    cross join)."""
-    m = _COMMA_FROM_RE.match(query)
-    if m is None:
+    cross join). Clause extraction is token-based
+    (sqlast.comma_from_clauses): boundaries are found at paren depth
+    0, so a GROUP BY inside a WHERE subquery never tears the split."""
+    from tiflink_spark import sqlast
+
+    p = sqlast.comma_from_clauses(query)
+    if p is None:
         return query
-    items = []
-    for raw in m.group("tables").split(","):
-        fm = _FROM_ITEM_RE.match(raw.strip())
-        if fm is None:
-            return query
-        t, a = fm.group(1), fm.group(2)
+    head, items, where_text, rest_text = p
+    for _, a in items:
         if a is not None and a.lower() in (_CLAUSE_KEYWORDS | _POST_ALIAS_KEYWORDS):
             return query
-        items.append((t, a))
     tables = [t for t, _ in items]
     if len(set(t.lower() for t in tables)) != len(tables):
         return query  # self-join — alias scoping beyond this rewrite
@@ -2600,22 +2588,7 @@ def _rewrite_comma_joins(query: str, source_columns: dict[str, list[str]]) -> st
                 return t
         return None
 
-    # The head regex can tear the WHERE at a GROUP/ORDER/LIMIT keyword
-    # that sits INSIDE a subquery's parens; an unbalanced where-slice
-    # means exactly that — bail rather than reason about fragments.
-    depth, in_str = 0, False
-    for ch in m.group("where"):
-        if in_str:
-            in_str = ch != "'"
-        elif ch == "'":
-            in_str = True
-        elif ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-    if depth != 0 or in_str:
-        return query
-    conjs = _split_conjuncts(m.group("where"))
+    conjs = _split_conjuncts(where_text)
     if conjs is None:
         return query
     order = {t: i for i, (t, _) in enumerate(items)}
@@ -2692,7 +2665,7 @@ def _rewrite_comma_joins(query: str, source_columns: dict[str, list[str]]) -> st
         else:
             parts.append(f"JOIN {t}{alias} ON {' AND '.join(on_for[i])}")
     where = f" WHERE {' AND '.join(leftover)}" if leftover else ""
-    return f"{m.group('head')}{' '.join(parts)}{where}{m.group('rest') or ''}"
+    return f"{head}{' '.join(parts)}{where}{rest_text}"
 
 
 _ON_BOUNDARY = (
@@ -2963,8 +2936,6 @@ def rewrite_mn_join_agg(
     return f"SELECT {select.strip()} FROM ( {inner} ) __mn{outer_tail}"
 
 
-_NESTED_HEAD_RE = re.compile(r"(?is)^\s*(?P<head>SELECT\s+.+?\s+FROM)\s*\(")
-
 _POST_ALIAS_KEYWORDS = frozenset(
     "where group having order limit union intersect except qualify window".split()
 )
@@ -2977,46 +2948,17 @@ def split_nested_query(query: str) -> tuple[str, str, str] | None:
     the store's version-diff changelog. Returns None when the query is
     not of this form (no derived table, the derived table is joined or
     comma-listed with others, or the parenthesized block is not a
-    SELECT)."""
-    m = _NESTED_HEAD_RE.match(query)
-    if m is None:
+    SELECT). Token-based (sqlast.nested_from_subquery): the FROM is
+    located at paren depth 0, so a ``FROM (`` inside a string literal
+    or a select-list subquery never misfires."""
+    from tiflink_spark import sqlast
+
+    p = sqlast.nested_from_subquery(query)
+    if p is None:
         return None
-    i = m.end() - 1  # the '('
-    depth = 0
-    in_str = False
-    j = i
-    for j in range(i, len(query)):
-        ch = query[j]
-        if in_str:
-            # '' is SQL's escaped quote; it toggles twice, netting out
-            if ch == "'":
-                in_str = False
-            continue
-        if ch == "'":
-            in_str = True
-        elif ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-            if depth == 0:
-                break
-    else:
-        return None
-    inner = query[i + 1 : j].strip()
-    if not re.match(r"(?is)^SELECT\b", inner):
-        return None
-    rest = query[j + 1 :].rstrip().rstrip(";")
-    alias = None
-    am = re.match(rf"(?is)^\s+(?:AS\s+)?(?P<a>{_IDENT})\b", rest)
-    if am is not None and am.group("a").lower() not in (
-        _CLAUSE_KEYWORDS | _POST_ALIAS_KEYWORDS
-    ):
-        alias = am.group("a")
-        rest = rest[am.end() :]
-    if re.match(r"(?is)^\s*(,|JOIN\b|INNER\b|LEFT\b|RIGHT\b|FULL\b|CROSS\b|NATURAL\b)", rest):
-        return None  # the derived table must be the only FROM relation
+    inner, alias, head, rest = p
     name = alias or "__inner_cascade"
-    return inner, name, f"{m.group('head')} {name}{rest}"
+    return inner, name, f"{head} {name}{rest}"
 
 
 _ORDER_TAIL_RE = re.compile(

@@ -1256,3 +1256,139 @@ def order_limit_clauses(query: str):
     ):
         return None
     return (s.select, s.table, s.where, s.order_by, s.limit)
+
+
+# -- structural front-ends for the planner's TEXT REWRITES -------------------
+# (normalize_query / split_nested_query consumers — clause extraction
+# only; the semantic attribution stays in planner.py)
+
+_JOIN_WORDS = frozenset("join inner left right full cross natural".split())
+
+
+def _depth0_clause(toks: list[Token], *words: str) -> int | None:
+    """Like _find_clause but over an arbitrary token window."""
+    return _find_clause(toks, *words)
+
+
+def nested_from_subquery(sql: str):
+    """Structural split of ``SELECT … FROM ( <inner SELECT> ) [alias]
+    <rest>`` into (inner_sql, alias_or_None, head_text, rest_text), or
+    None. Token-based: the FROM is found at paren depth 0 (a ``FROM (``
+    inside a string literal or a select-list subquery never misfires,
+    the weak spot of the old regex head), the inner block must itself
+    start with SELECT, and the derived table must be the ONLY relation
+    (a trailing comma or join keyword bails). ``head_text`` is the
+    verbatim ``SELECT … FROM`` prefix; ``rest_text`` the verbatim text
+    after the alias (leading space included when non-empty)."""
+    s = sql.strip().rstrip(";")
+    toks = tokenize(s)
+    if not toks or toks[0].kind != "ident" or toks[0].lower() != "select":
+        return None
+    fi = _find_clause(toks[1:], "from")
+    if fi is None or fi == 0:
+        return None
+    fi += 1  # index in toks
+    if fi + 1 >= len(toks) or toks[fi + 1].text != "(":
+        return None
+    depth, close = 0, None
+    for k in range(fi + 1, len(toks)):
+        if toks[k].text == "(":
+            depth += 1
+        elif toks[k].text == ")":
+            depth -= 1
+            if depth == 0:
+                close = k
+                break
+    if close is None or close == fi + 2:
+        return None
+    inner_toks = toks[fi + 2 : close]
+    if inner_toks[0].kind != "ident" or inner_toks[0].lower() != "select":
+        return None
+    inner = _slice(s, inner_toks)
+    rest_toks = toks[close + 1 :]
+    alias = None
+    if rest_toks and rest_toks[0].kind == "ident":
+        t0 = rest_toks[0]
+        if t0.lower() == "as":
+            if len(rest_toks) < 2 or rest_toks[1].kind != "ident":
+                return None
+            alias, rest_toks = rest_toks[1].text, rest_toks[2:]
+        elif t0.lower() not in _CLAUSE_STARTS and t0.lower() not in (
+            "qualify", "window", "fetch", "outer", "natural",
+        ):
+            alias, rest_toks = t0.text, rest_toks[1:]
+    if rest_toks and (
+        rest_toks[0].text == ","
+        or (rest_toks[0].kind == "ident" and rest_toks[0].lower() in _JOIN_WORDS)
+    ):
+        return None  # the derived table must be the only FROM relation
+    head = s[: toks[fi].end]
+    rest = (" " + s[rest_toks[0].start :]) if rest_toks else ""
+    return inner, alias, head, rest
+
+
+def comma_from_clauses(sql: str):
+    """Clause extraction for the comma-join rewrite: ``SELECT … FROM
+    t1 [a1], t2 [a2][, …] WHERE e [GROUP BY …|HAVING …|ORDER BY …|
+    LIMIT …]`` → (head_text, items, where_text, rest_text), or None.
+
+    ``head_text`` is the verbatim text up to (not including) FROM;
+    ``items`` is [(table, alias_or_None), …] (≥ 2 — a single relation
+    is not a comma join); ``where_text`` the verbatim depth-0 WHERE
+    body; ``rest_text`` the verbatim trailing clauses ('' if none,
+    leading space included otherwise). Token-based: clause boundaries
+    are found at paren depth 0, so a GROUP BY inside a WHERE
+    subquery's parens never tears the split (the old regex needed a
+    balance-check bail for exactly that)."""
+    s = sql.strip().rstrip(";")
+    toks = tokenize(s)
+    if not toks or toks[0].kind != "ident" or toks[0].lower() != "select":
+        return None
+    fi = _find_clause(toks[1:], "from")
+    if fi is None or fi == 0:
+        return None
+    fi += 1
+    after = toks[fi + 1 :]
+    wi = _find_clause(after, "where")
+    if wi is None or wi == 0:
+        return None
+    table_toks = after[:wi]
+    groups = _split_top_commas(table_toks)
+    if len(groups) < 2:
+        return None
+    items: list[tuple[str, str | None]] = []
+    for g in groups:
+        if len(g) == 1 and g[0].kind == "ident":
+            items.append((g[0].text, None))
+        elif len(g) == 2 and g[0].kind == "ident" and g[1].kind == "ident":
+            if g[1].lower() == "as":
+                return None
+            items.append((g[0].text, g[1].text))
+        elif (
+            len(g) == 3
+            and all(t.kind == "ident" for t in g)
+            and g[1].lower() == "as"
+        ):
+            items.append((g[0].text, g[2].text))
+        else:
+            return None
+    body = after[wi + 1 :]
+    if not body:
+        return None
+    stops = [
+        x
+        for x in (
+            _find_clause(body, "group", "by"),
+            _find_clause(body, "having"),
+            _find_clause(body, "order", "by"),
+            _find_clause(body, "limit"),
+        )
+        if x is not None
+    ]
+    stop = min(stops) if stops else len(body)
+    if stop == 0:
+        return None
+    where = _slice(s, body[:stop])
+    rest = (" " + s[body[stop].start :]) if stop < len(body) else ""
+    head = s[: toks[fi].start]
+    return head, items, where, rest
