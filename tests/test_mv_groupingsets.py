@@ -464,3 +464,95 @@ class TestGroupingSetsCascade:
             "k int, pri string, st string",
         )
         assert {tuple(r) for r in app.read().collect()} == self._expect(spark, fact2)
+
+
+class TestGroupingSetsExprKeys:
+    """Expression grouping keys (ROLLUP(date_trunc(...) AS mon, st)) —
+    derived onto fact rows via key_exprs, then maintained like stored
+    columns; previously a recompute-only shape."""
+
+    def test_matcher(self):
+        cols = {"t": ["id", "d", "st", "v"]}
+        s = match_grouping_sets_shape(
+            "SELECT date_trunc('month', d) AS mon, st, count(*) AS n "
+            "FROM t GROUP BY ROLLUP (date_trunc('month', d), st)",
+            {"t"}, cols,
+        )
+        assert s is not None
+        assert s.all_keys == ("mon", "st")
+        assert s.sets == (("mon", "st"), ("mon",), ())
+        assert s.key_exprs == (("mon", "date_trunc('month', d)"),)
+        # the ALIAS spelling inside the grouping body also resolves
+        s2 = match_grouping_sets_shape(
+            "SELECT date_trunc('month', d) AS mon, st, count(*) AS n "
+            "FROM t GROUP BY GROUPING SETS ((mon, st), (mon), ())",
+            {"t"}, cols,
+        )
+        assert s2 is not None and s2.sets == s.sets
+        # an alias with NO select expression to derive it -> no route
+        assert match_grouping_sets_shape(
+            "SELECT mon, st, count(*) AS n "
+            "FROM t GROUP BY GROUPING SETS ((mon, st), ())",
+            {"t"}, cols,
+        ) is None
+        # nested ROLLUP inside GROUPING SETS stays on recompute
+        assert match_grouping_sets_shape(
+            "SELECT d, st, count(*) AS n "
+            "FROM t GROUP BY GROUPING SETS (ROLLUP(d, st))",
+            {"t"}, cols,
+        ) is None
+        # CUBE over >4 terms stays on recompute (2^n set blow-up)
+        assert match_grouping_sets_shape(
+            "SELECT id, d, st, v, upper(st) AS u5, count(*) AS n "
+            "FROM t GROUP BY CUBE (id, d, st, v, upper(st))",
+            {"t"}, cols,
+        ) is None
+
+    def test_converges_across_key_moves(self, spark, tmp_path):
+        from tiflink_spark.app import MVApp
+
+        fact = spark.createDataFrame(
+            [(i, f"2024-0{1 + i % 3}-15", f"s{i % 2}", i % 7) for i in range(24)],
+            "k int, ds string, st string, v int",
+        ).selectExpr("k", "CAST(ds AS TIMESTAMP) AS d", "st", "v")
+        q = (
+            "SELECT date_trunc('month', d) AS mon, st, count(*) AS n, "
+            "sum(v) AS sv FROM f_ge GROUP BY ROLLUP (date_trunc('month', d), st)"
+        )
+        app = (
+            MVApp.builder(spark)
+            .source("f_ge", fact, pk=["k"])
+            .query(q)
+            .target(str(tmp_path / "ge"))
+            .num_buckets(2)
+            .shuffle_partitions(2)
+            .build()
+        )
+        assert app.maintenance_strategy == "IncrementalGroupingSetsMV"
+        app.bootstrap()
+
+        def check(fact_now):
+            fact_now.createOrReplaceTempView("f_ge_now")
+            exp = {
+                tuple(str(x) for x in r)
+                for r in spark.sql(q.replace("FROM f_ge ", "FROM f_ge_now ")).collect()
+            }
+            got = {tuple(str(x) for x in r) for r in app.read().collect()}
+            assert got == exp
+
+        check(fact)
+        # B1: move row 0 across months (the DERIVED key changes) and
+        # delete row 1 — then replay for idempotence
+        b1 = spark.createDataFrame(
+            [(0, "2024-03-20", "s0", 5, "+U", 0), (1, "2024-02-15", "s1", 1, "-D", 1)],
+            "k int, ds string, st string, v int, __op string, __seq long",
+        ).selectExpr(
+            "k", "CAST(ds AS TIMESTAMP) AS d", "st", "v", "__op", "__seq"
+        )
+        app.refresh({"f_ge": b1}, batch_id=1)
+        fact1 = fact.filter("k > 1").unionByName(
+            spark.createDataFrame([(0, "2024-03-20", "s0", 5)], "k int, ds string, st string, v int")
+            .selectExpr("k", "CAST(ds AS TIMESTAMP) AS d", "st", "v")
+        )
+        check(fact1)
+        assert app.refresh({"f_ge": b1}, batch_id=1) is False

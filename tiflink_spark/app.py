@@ -416,7 +416,14 @@ class MVApp:
             self._fact_name, self._dim_name = gs.fact, None
             self._join_names = None
             self._change_filter = gs.where
+            # Computed grouping keys (ROLLUP(date_trunc(...) AS mon))
+            # derive onto fact rows — bootstrap here, every changelog
+            # batch in refresh() — after which the sub-MVs see them as
+            # stored columns (same mechanism as the flat-agg route).
+            self._derive = list(gs.key_exprs)
             fact_df = dfs[gs.fact][1]
+            for alias, expr in self._derive:
+                fact_df = fact_df.withColumn(alias, F.expr(expr))
             if gs.where is not None:
                 fact_df = fact_df.filter(F.expr(gs.where))
             self.pk_is_unique = False

@@ -378,6 +378,12 @@ class GroupingSetsShape:
     # the hidden measures the aggregate rewrite needs.
     having: str | None = None
     hidden: tuple[Measure, ...] = ()
+    # Computed grouping keys — ``date_trunc('month', d) AS mon`` in the
+    # select list, referenced by expression or alias inside ROLLUP/
+    # CUBE/GROUPING SETS. Derived onto the fact rows (bootstrap AND
+    # every changelog batch) exactly like the flat-aggregate route's
+    # key_exprs; ``all_keys``/``sets`` then name the aliases.
+    key_exprs: tuple[tuple[str, str], ...] = ()  # (alias, expr)
 
 
 @dataclass(frozen=True)
@@ -1870,49 +1876,73 @@ def _match_agg_core(
     )
 
 
+def _paren_wrapped(text: str) -> str | None:
+    """The inner text when ``text`` is one balanced ``( … )`` block
+    (and nothing else), else None."""
+    text = text.strip()
+    if not text.startswith("("):
+        return None
+    end = _match_paren_end(text, 0)
+    if end is None or text[end + 1 :].strip():
+        return None
+    return text[1:end]
+
+
 def _expand_grouping_body(body: str) -> list[tuple[str, ...]] | None:
     """De-sugar a GROUP BY tail into explicit grouping sets.
 
-    Accepts ``ROLLUP(a, b)``, ``CUBE(a, b)`` (≤4 columns — 16 sets;
+    Accepts ``ROLLUP(a, b)``, ``CUBE(a, b)`` (≤4 terms — 16 sets;
     larger cubes stay on recompute) and ``GROUPING SETS ((a, b), a,
-    ())``. Returns the expanded list of column tuples in SQL emission
-    order, or None when the body is anything else (plain GROUP BY,
-    nested ROLLUP inside GROUPING SETS, expressions as keys)."""
+    ())``. Terms may be bare columns OR expressions (paren-aware
+    splitting; the core pairs expression terms with ``expr AS alias``
+    select items). Returns the expanded list of term-text tuples in
+    SQL emission order, or None for anything else (plain GROUP BY,
+    nested ROLLUP inside GROUPING SETS)."""
     body = body.strip().rstrip(";").strip()
-    rm = re.fullmatch(r"(?is)(ROLLUP|CUBE)\s*\((?P<cols>[^()]*)\)", body)
+    rm = re.match(r"(?is)^(ROLLUP|CUBE)\s*\(", body)
     if rm is not None:
-        cols = [c.strip() for c in rm.group("cols").split(",") if c.strip()]
-        if not cols or any(not re.fullmatch(_IDENT, c) for c in cols):
+        inner = _paren_wrapped(body[rm.end() - 1 :])
+        if inner is None:
+            return None
+        terms = [t.strip() for t in _split_select_list(inner) if t.strip()]
+        if not terms:
             return None
         if rm.group(1).upper() == "ROLLUP":
-            return [tuple(cols[:i]) for i in range(len(cols), -1, -1)]
-        if len(cols) > 4:
+            return [tuple(terms[:i]) for i in range(len(terms), -1, -1)]
+        if len(terms) > 4:
             return None
         # CUBE: every subset, in Spark/DuckDB's emission order (bitmask
-        # over columns, most-significant = first column present)
+        # over terms, most-significant = first term present)
         out = []
-        n = len(cols)
+        n = len(terms)
         for mask in range(2**n):
             out.append(
-                tuple(c for i, c in enumerate(cols) if not (mask >> (n - 1 - i)) & 1)
+                tuple(c for i, c in enumerate(terms) if not (mask >> (n - 1 - i)) & 1)
             )
         return out
-    gm = re.fullmatch(r"(?is)GROUPING\s+SETS\s*\((?P<body>.*)\)", body)
+    gm = re.match(r"(?is)^GROUPING\s+SETS\s*\(", body)
     if gm is None:
         return None
+    gbody = _paren_wrapped(body[gm.end() - 1 :])
+    if gbody is None:
+        return None
     sets: list[tuple[str, ...]] = []
-    for item in _split_select_list(gm.group("body")):
+    for item in _split_select_list(gbody):
         item = item.strip()
-        if re.fullmatch(_IDENT, item):
-            sets.append((item,))
+        if re.match(r"(?is)^(ROLLUP|CUBE|GROUPING\s+SETS)\s*\(", item):
+            return None  # nested de-sugaring forms stay on recompute
+        inner = _paren_wrapped(item)
+        # A parenthesized block is a SET LIST unless it reads as a
+        # single non-splittable expression — "(a, b)" is the set
+        # {a, b}; "(a + b)" is one expression term.
+        if inner is not None:
+            sets.append(
+                tuple(t.strip() for t in _split_select_list(inner) if t.strip())
+            )
             continue
-        pm = re.fullmatch(r"\((?P<cols>[^()]*)\)", item)
-        if pm is None:
+        if not item:
             return None
-        cols = [c.strip() for c in pm.group("cols").split(",") if c.strip()]
-        if any(not re.fullmatch(_IDENT, c) for c in cols):
-            return None
-        sets.append(tuple(cols))
+        sets.append((item,))
     return sets or None
 
 
@@ -1965,21 +1995,73 @@ def _match_grouping_sets_core(
         cols = {c.lower() for c in source_columns[table]}
     if cols is None:
         return None
-    set_cols: list[str] = []
+    # Distinct grouping TERMS in first-seen order (terms may be bare
+    # columns, aliases, or expressions — normalized-text identity).
+    set_terms: list[str] = []
     for s in sets:
-        for c in s:
-            if c.lower() not in {x.lower() for x in set_cols}:
-                set_cols.append(c)
+        for t in s:
+            if _norm_sql(t) not in {_norm_sql(x) for x in set_terms}:
+                set_terms.append(t)
     items = _split_select_list(select)
-    if len(items) <= len(set_cols):
+    if len(items) <= len(set_terms):
         return None
-    keys = items[: len(set_cols)]
-    if any(not re.fullmatch(_IDENT, k) for k in keys):
+    # Leading select items are the grouping keys: bare columns, or
+    # ``expr AS alias`` computed keys (derived onto fact rows by the
+    # maintenance layer, exactly like the flat-aggregate route).
+    keys: list[str] = []
+    key_exprs: list[tuple[str, str]] = []
+    for item in items[: len(set_terms)]:
+        am = _KEY_ALIAS_RE.match(item)
+        if am is None:
+            if not re.fullmatch(_IDENT, item) or item.lower() not in cols:
+                return None
+            keys.append(item)
+            continue
+        expr, alias = am.group("expr").strip(), am.group("alias")
+        if alias.lower() in cols:
+            return None  # derived alias shadowing a fact column
+        if re.fullmatch(_IDENT, expr):
+            if expr.lower() not in cols:
+                return None
+        else:
+            if _NON_LOCAL_WHERE.search(expr):
+                return None
+            bare = re.sub(r"'[^']*'", " ", expr)
+            fn_names = {f.lower() for f in re.findall(rf"({_IDENT})\s*\(", bare)}
+            idents = {i.lower() for i in re.findall(_IDENT, bare)}
+            if any(i not in cols | _EXPR_KEYWORDS | fn_names for i in idents):
+                return None
+        keys.append(alias)
+        key_exprs.append((alias, expr))
+    if len({k.lower() for k in keys}) != len(keys):
         return None
-    if {k.lower() for k in keys} != {c.lower() for c in set_cols}:
+    expr_by_alias = {a.lower(): _norm_sql(e) for a, e in key_exprs}
+
+    def _resolve_term(t: str) -> str | None:
+        tn = _norm_sql(t)
+        for k in keys:
+            if tn == k.lower():
+                return k  # bare column or alias spelling
+        for k in keys:
+            if expr_by_alias.get(k.lower()) == tn:
+                return k  # expression spelling of a computed key
         return None
-    if any(k.lower() not in cols for k in keys):
-        return None
+
+    resolved_sets: list[tuple[str, ...]] = []
+    used: set[str] = set()
+    for s in sets:
+        rs = []
+        for t in s:
+            k = _resolve_term(t)
+            if k is None:
+                return None
+            rs.append(k)
+            used.add(k.lower())
+        resolved_sets.append(tuple(rs))
+    if used != {k.lower() for k in keys}:
+        return None  # select keys must be exactly the grouping terms
+    sets = resolved_sets
+    set_cols = keys  # select order == key order now
     if where is not None and not _row_local_expr_ok(where, cols):
         return None
     key_by_lower = {k.lower(): k for k in keys}
@@ -2081,6 +2163,7 @@ def _match_grouping_sets_core(
         tail_order=tuple(tail_order),
         having=having,
         hidden=tuple(hidden),
+        key_exprs=tuple(key_exprs),
     )
 
 

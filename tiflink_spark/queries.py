@@ -1210,7 +1210,7 @@ _PRIORITY = [
     "text_lang_id",
     "mvapp_auto_not_in_nonpk",
     "mvapp_auto_window_unique_order",
-    "text_tfidf_topterms",
+    "mvapp_auto_gsets_expr_key",
     "text_dup_span_fraction",
     "dedup_connected_components",
     "dedup_keep_canonical",
@@ -1224,11 +1224,12 @@ _PRIORITY = [
     "udtf_split_words",
     "mvapp_auto_cascade_gsets",
     # ================== past the 50-query window ==================
-    # These first three have never been driver-checked — displaced by
+    # These first four have never been driver-checked — displaced by
     # round-6's new-route gates; next rotation pulls them first.
     "mv_topk_incremental",
     "text_fingerprint",
     "text_repetition_score",
+    "text_tfidf_topterms",
     # r2-r5 driver-green gates rotated out below.
     "mvapp_auto_projection",
     "mvapp_auto_window",

@@ -3817,6 +3817,98 @@ def mvapp_auto_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mvapp_auto_gsets_expr_key",
+    """
+    WITH src AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+                    THEN o_orderdate + INTERVAL 40 DAY
+                    ELSE o_orderdate END AS o_orderdate,
+               o_orderstatus AS st,
+               o_orderkey % 50 AS units
+        FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0
+    )
+    SELECT date_trunc('month', o_orderdate) AS mon, st,
+           count(*) AS n, CAST(sum(units) AS BIGINT) AS su
+    FROM src GROUP BY ROLLUP (date_trunc('month', o_orderdate), st)
+    """,
+    doc=(
+        "ROLLUP over an EXPRESSION grouping key — the time-grain "
+        "reporting rollup (per-month × status subtotals), previously a "
+        "recompute-only shape (VERDICT r5 missing #3). The computed "
+        "key (date_trunc AS mon) derives onto fact rows at bootstrap "
+        "AND on every changelog batch — the same key_exprs mechanism "
+        "the flat-aggregate route uses — after which the per-set "
+        "sub-MVs see it as a stored column. Churn deletes rows and "
+        "shifts surviving %5 orderdates by 40 days, moving rows "
+        "ACROSS months (retract from one month's grains, add to "
+        "another's, subtotals on both paths); a batch replays for "
+        "idempotence. The fn raises unless routed incrementally."
+    ),
+    tags=("mv", "incremental", "planner", "grouping_sets"),
+)
+def mvapp_auto_gsets_expr_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    src = (
+        t["orders"]
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_orderstatus").alias("st"),
+            (F.col("o_orderkey") % 50).alias("units"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="mvapp_gse_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("src", src, pk=["o_orderkey"])
+            .query(
+                """SELECT date_trunc('month', o_orderdate) AS mon, st,
+                          count(*) AS n, sum(units) AS su
+                   FROM src
+                   GROUP BY ROLLUP (date_trunc('month', o_orderdate), st)"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalGroupingSetsMV":
+            raise AssertionError(
+                f"planner routed the expr-key rollup to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        # B1 -D: every %7 orderkey leaves
+        d1 = (
+            src.filter(F.col("o_orderkey") % 7 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"src": d1}, batch_id=1)
+        # B2 +U: shift surviving %5 orderdates by 40 days — rows move
+        # ACROSS derived months (the computed key changes value)
+        u2 = (
+            src.filter((F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 7 != 0))
+            .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 40 DAYS"))
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"src": u2}, batch_id=2)
+        app.refresh({"src": u2}, batch_id=2)  # crash replay: no-op
+        return (
+            app.read()
+            .select("mon", "st", "n", F.col("su").cast("bigint").alias("su"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "mvapp_auto_not_in_nonpk",
     """
     WITH ref_f AS (
