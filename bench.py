@@ -123,6 +123,18 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Tracked trend (VERDICT r5 #9): dedup_minhash_lsh is the one
+    # headline query with a consistent upward drift across rounds
+    # (r3 1.72s → idle-r4 1.46s → r5 2.08s at sf0.1). Record the
+    # per-round history inline so the delta is visible in every BENCH
+    # artifact without cross-referencing old files; the sf1 probe
+    # (BENCH_sf1 notes) watches the same query for super-linearity.
+    trend = {
+        "dedup_minhash_lsh": {
+            "history_sf0.1": {"r3": 1.72, "r4_idle": 1.46, "r5": 2.08},
+            "now": timings.get("dedup_minhash_lsh"),
+        }
+    }
     print(
         json.dumps(
             {
@@ -134,6 +146,7 @@ def main() -> None:
                 "runs": all_runs,
                 "timing": "min_of_3",
                 "contention_probe": probe,
+                "tracked_trends": trend,
             }
         )
     )
