@@ -1548,8 +1548,22 @@ def test_match_window_shape_matcher():
         pks,
     )
     assert s is not None
-    assert s.group_key == "o_custkey" and s.where == "o_totalprice > 0"
+    assert s.group_keys == ("o_custkey",) and s.where == "o_totalprice > 0"
     assert [a for a, _ in s.win_items] == ["rs", "rn"]
+    # composite PARTITION BY routes; tie columns may carry directions
+    s_c = match_window_shape(
+        "SELECT o_orderkey, o_custkey, o_totalprice, "
+        "rank() OVER (PARTITION BY o_custkey, o_totalprice ORDER BY o_orderkey) AS r, "
+        "row_number() OVER (PARTITION BY o_totalprice, o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn "
+        "FROM orders",
+        names,
+        cols,
+        pks,
+    )
+    assert s_c is not None and {k.lower() for k in s_c.group_keys} == {
+        "o_custkey", "o_totalprice"
+    }
     # row_number without a total order (order columns don't cover the
     # PK) is ambiguous -> no match
     assert (

@@ -537,3 +537,58 @@ def test_mvapp_window_strategy_knob(spark, tmp_path):
     exp = {tuple(r) for r in spark.sql(q.replace("FROM wsrc", "FROM wsrc_f")).collect()}
     got = {tuple(r) for r in app.read().collect()}
     assert got == exp
+
+
+def test_window_composite_partition_converges(spark, tmp_path):
+    """PARTITION BY two columns: the dirty-group domain is the key
+    TUPLE (null-safe on every column), and only touched (g1, g2)
+    partitions recompute. Includes a NULL partition value and a
+    partition-moving update."""
+    from tiflink_spark.app import MVApp
+
+    fact = spark.createDataFrame(
+        [(1, 10, "a", 5.0), (2, 10, "a", 3.0), (3, 10, "b", 2.0),
+         (4, None, "a", 7.0), (5, 20, "a", 1.0), (6, 20, "b", 9.0)],
+        "id long, g1 int, g2 string, v double",
+    )
+    q = (
+        "SELECT id, g1, g2, v, "
+        "sum(v) OVER (PARTITION BY g1, g2 ORDER BY v) AS rs, "
+        "row_number() OVER (PARTITION BY g1, g2 ORDER BY v DESC, id) AS rn "
+        "FROM f_cw"
+    )
+    app = (
+        MVApp.builder(spark)
+        .source("f_cw", fact, pk=["id"])
+        .query(q)
+        .target(str(tmp_path / "cw"))
+        .num_buckets(2)
+        .shuffle_partitions(2)
+        .build()
+    )
+    assert app.maintenance_strategy == "IncrementalWindowMV"
+    app.bootstrap()
+
+    def check(fact_now):
+        fact_now.createOrReplaceTempView("f_cw_now")
+        exp = {tuple(r) for r in spark.sql(q.replace("FROM f_cw", "FROM f_cw_now")).collect()}
+        got = {tuple(r) for r in app.read().collect()}
+        assert got == exp
+
+    check(fact)
+    # move row 2 across partitions (10,a)->(20,b), insert into the NULL
+    # partition, delete row 5; replay for idempotence
+    b1 = spark.createDataFrame(
+        [(2, 20, "b", 3.0, "+U", 0), (7, None, "a", 4.0, "+I", 1),
+         (5, None, None, None, "-D", 2)],
+        "id long, g1 int, g2 string, v double, __op string, __seq long",
+    )
+    app.refresh({"f_cw": b1}, batch_id=1)
+    fact1 = spark.createDataFrame(
+        [(1, 10, "a", 5.0), (2, 20, "b", 3.0), (3, 10, "b", 2.0),
+         (4, None, "a", 7.0), (6, 20, "b", 9.0), (7, None, "a", 4.0)],
+        "id long, g1 int, g2 string, v double",
+    )
+    check(fact1)
+    assert app.refresh({"f_cw": b1}, batch_id=1) is False
+    check(fact1)

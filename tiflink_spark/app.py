@@ -990,7 +990,7 @@ class MVApp:
                     spark,
                     fact=fact_df,
                     fact_pk=spec.pk,
-                    group_key=ws.group_key,
+                    group_key=list(ws.group_keys),
                     select_items=items,
                     work_dir=target,
                     num_buckets=num_buckets,

@@ -1080,7 +1080,7 @@ class IncrementalWindowMV:
         spark: SparkSession,
         fact: DataFrame,
         fact_pk: list[str],
-        group_key: str,
+        group_key: str | list[str],
         select_items: list[str],
         work_dir: str,
         num_buckets: int | None = None,
@@ -1092,7 +1092,13 @@ class IncrementalWindowMV:
         self.shuffle_partitions = shuffle_partitions
         self.fact0 = fact
         self.fact_pk = list(fact_pk)
-        self.group_key = group_key
+        # Composite PARTITION BY keys are first-class in the sort
+        # strategy (the dirty-group domain is the key TUPLE); the
+        # domain strategy's two-pass plan needs a single key.
+        self.group_keys = (
+            [group_key] if isinstance(group_key, str) else list(group_key)
+        )
+        self.group_key = self.group_keys[0]
         self.select_items = list(select_items)
         self.skew_warn_rows = skew_warn_rows
         self.last_skew_warning: str | None = None
@@ -1116,7 +1122,8 @@ class IncrementalWindowMV:
         value is shared by all ORDER BY peers):
 
           pass 1  groupBy(g, o) pre-aggregate — hash-distributed over
-                  (g, o), immune to a hot g (map-side combined)
+                  (g, o), immune to a hot g (map-side combined);
+                  single-column PARTITION BY only
           pass 2  window over the DOMAIN rows (one row per distinct
                   order value per partition) — the per-partition sort
                   is |distinct o|, not |rows|
@@ -1126,6 +1133,10 @@ class IncrementalWindowMV:
         decomposition and raise here — they genuinely need the sort."""
         from tiflink_spark.planner import _WIN_ITEM_RE, _WIN_PEER_FNS
 
+        if len(self.group_keys) != 1:
+            raise ValueError(
+                "domain strategy requires a single PARTITION BY column"
+            )
         self._out_plan: list[tuple[str, str, str, str]] = []  # kind,...
         order = direction = None
         for item in self.select_items:
@@ -1144,7 +1155,7 @@ class IncrementalWindowMV:
                     "domain strategy: trailing ORDER BY tie columns "
                     "imply a per-row total order"
                 )
-            if m.group("g") != self.group_key:
+            if [c.strip() for c in m.group("g").split(",")] != [self.group_key]:
                 raise ValueError("domain strategy: mixed PARTITION BY keys")
             o, d = m.group("o"), (m.group("dir") or "ASC").upper()
             if order is None:
@@ -1237,17 +1248,21 @@ class IncrementalWindowMV:
             old = self.fact_store.read()
         changed_pks = last_change_per_key(changes, self.fact_pk).select(*self.fact_pk)
         old_groups = old.join(changed_pks, self.fact_pk, "left_semi").select(
-            self.group_key
+            *self.group_keys
         )
-        new_groups = changes.select(self.group_key)
+        new_groups = changes.select(*self.group_keys)
         return old_groups.unionByName(new_groups).distinct()
 
     def _prune(self, rows: DataFrame, dirty: DataFrame) -> DataFrame:
         """rows of the dirty partitions (null-safe group equality)."""
-        d = dirty.select(F.col(self.group_key).alias("__dg"))
-        return rows.join(
-            d, rows[self.group_key].eqNullSafe(d["__dg"]), "left_semi"
+        d = dirty.select(
+            *[F.col(k).alias(f"__dg{i}") for i, k in enumerate(self.group_keys)]
         )
+        cond = None
+        for i, k in enumerate(self.group_keys):
+            c = rows[k].eqNullSafe(d[f"__dg{i}"])
+            cond = c if cond is None else (cond & c)
+        return rows.join(d, cond, "left_semi")
 
     def _check_skew(self, pruned: DataFrame) -> None:
         """Loud warning when a dirty partition exceeds the documented
@@ -1257,7 +1272,7 @@ class IncrementalWindowMV:
         if self.skew_warn_rows is None:
             return
         top = (
-            pruned.groupBy(self.group_key)
+            pruned.groupBy(*self.group_keys)
             .count()
             .orderBy(F.desc("count"))
             .head()
@@ -1265,9 +1280,9 @@ class IncrementalWindowMV:
         if top is not None and top["count"] > self.skew_warn_rows:
             import warnings
 
+            keyvals = ", ".join(f"{k}={top[k]!r}" for k in self.group_keys)
             self.last_skew_warning = (
-                f"window partition {self.group_key}="
-                f"{top[self.group_key]!r} holds {top['count']} rows "
+                f"window partition ({keyvals}) holds {top['count']} rows "
                 f"(> skew_warn_rows={self.skew_warn_rows}): every batch "
                 f"touching it re-sorts the whole partition in one task. "
                 f"Consider a coarser PARTITION BY, or — when every "

@@ -796,7 +796,7 @@ class WindowShape:
     """
 
     fact: str
-    group_key: str
+    group_keys: tuple[str, ...]  # PARTITION BY columns (composite OK)
     plain_cols: tuple[str, ...]  # bare pass-through columns, select order
     # (alias, full window expression SQL without the AS) in select order
     win_items: tuple[tuple[str, str], ...]
@@ -813,11 +813,13 @@ _WIN_ROW_FNS = frozenset("row_number lag lead first_value last_value ntile".spli
 
 _WIN_ITEM_RE = re.compile(
     rf"^(?P<expr>(?P<fn>{_IDENT})\s*\(\s*(?P<args>(?:[^()]*))\s*\)\s+OVER\s*\(\s*"
-    rf"PARTITION\s+BY\s+(?P<g>{_IDENT})\s+"
+    rf"PARTITION\s+BY\s+(?P<g>{_IDENT}(?:\s*,\s*{_IDENT})*?)\s+"
     rf"ORDER\s+BY\s+(?P<o>{_IDENT})(?:\s+(?P<dir>ASC|DESC))?"
-    rf"(?P<tie>(?:\s*,\s*{_IDENT})*)\s*\))\s+AS\s+(?P<alias>{_IDENT})$",
+    rf"(?P<tie>(?:\s*,\s*{_IDENT}(?:\s+(?:ASC|DESC))?)*)\s*\))\s+AS\s+(?P<alias>{_IDENT})$",
     re.IGNORECASE | re.DOTALL,
 )
+
+_TIE_DIR_RE = re.compile(rf"(?is)^({_IDENT})(?:\s+(?:ASC|DESC))?$")
 
 def match_window_shape(
     query: str,
@@ -863,7 +865,7 @@ def _match_window_core(
     plain: list[str] = []
     wins: list[tuple[str, str]] = []
     out: list[str] = []
-    group_key: str | None = None
+    group_keys: tuple[str, ...] | None = None
     for item in _split_select_list(select):
         if re.fullmatch(_IDENT, item):
             if item.lower() not in cols:
@@ -875,14 +877,28 @@ def _match_window_core(
         if wm is None:
             return None
         fn = wm.group("fn").lower()
-        g, o = wm.group("g"), wm.group("o")
-        if g.lower() not in cols or o.lower() not in cols:
+        o = wm.group("o")
+        gcols = [c.strip() for c in wm.group("g").split(",")]
+        if any(c.lower() not in cols for c in gcols) or o.lower() not in cols:
             return None
-        if group_key is None:
-            group_key = cols[g.lower()]
-        elif cols[g.lower()] != group_key:
+        if len({c.lower() for c in gcols}) != len(gcols):
+            return None
+        gk = tuple(cols[c.lower()] for c in gcols)
+        if group_keys is None:
+            group_keys = gk
+        elif {c.lower() for c in gk} != {c.lower() for c in group_keys}:
             return None  # mixed partition keys → no single dirty domain
-        tie = [c.strip() for c in wm.group("tie").split(",") if c.strip()]
+        # tie columns may carry per-column ASC/DESC — direction is
+        # irrelevant to the totality check below
+        tie = []
+        for term in wm.group("tie").split(","):
+            term = term.strip()
+            if not term:
+                continue
+            tm = _TIE_DIR_RE.match(term)
+            if tm is None:
+                return None
+            tie.append(tm.group(1))
         if fn in _WIN_ROW_FNS:
             # Per-row values are deterministic iff the ORDER BY is a
             # TOTAL order on the partition. It provably is when the
@@ -916,18 +932,18 @@ def _match_window_core(
             return None  # alias shadowing a stored column is ambiguous
         wins.append((alias, wm.group("expr").strip()))
         out.append(alias)
-    if not wins or group_key is None:
+    if not wins or group_keys is None:
         return None
     if len({c.lower() for c in out}) != len(out):
         return None
     sel_lower = {c.lower() for c in plain}
     if any(p.lower() not in sel_lower for p in pk):
         return None  # the MV is keyed by the fact PK — it must be selected
-    if group_key.lower() not in sel_lower:
+    if any(k.lower() not in sel_lower for k in group_keys):
         return None  # dirty-partition pruning reads the group from MV rows
     return WindowShape(
         fact=table,
-        group_key=group_key,
+        group_keys=group_keys,
         plain_cols=tuple(plain),
         win_items=tuple(wins),
         out_cols=tuple(out),

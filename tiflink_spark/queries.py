@@ -1224,8 +1224,9 @@ _PRIORITY = [
     "udtf_split_words",
     "mvapp_auto_cascade_gsets",
     # ================== past the 50-query window ==================
-    # These first four have never been driver-checked — displaced by
-    # round-6's new-route gates; next rotation pulls them first.
+    # These first five have never been driver-checked (the window gate
+    # is round-6-new) — next rotation pulls them first.
+    "mvapp_auto_window_multi_partition",
     "mv_topk_incremental",
     "text_fingerprint",
     "text_repetition_score",

@@ -2896,6 +2896,79 @@ def mvapp_auto_window_unique_order(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "mvapp_auto_window_multi_partition",
+    f"""
+    WITH {_FINAL_ORDERS_SQL},
+    fo4 AS (
+        SELECT o_orderkey, o_custkey, o_orderkey % 4 AS b4, o_totalprice
+        FROM final_orders
+    )
+    SELECT o_orderkey, o_custkey, b4, rnk, rn
+    FROM (
+        SELECT o_orderkey, o_custkey, b4,
+               rank() OVER (PARTITION BY o_custkey, b4
+                            ORDER BY o_totalprice DESC) AS rnk,
+               row_number() OVER (PARTITION BY o_custkey, b4
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM fo4
+    )
+    """,
+    doc=(
+        "OVER-window with a COMPOSITE PARTITION BY — (customer, status) "
+        "ranks — routed to IncrementalWindowMV with the dirty-group "
+        "domain being the key TUPLE (null-safe equality on every "
+        "column); previously only single-column partitions routed. "
+        "Canonical 3-batch churn: the group-moving B3 updates dirty "
+        "both (custkey, status) partitions of each moved row. The fn "
+        "raises unless routed incrementally."
+    ),
+    tags=("mv", "incremental", "planner", "window"),
+)
+def mvapp_auto_window_multi_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    # b4 is stable under the script: B1's key shift (+BIG) preserves
+    # o_orderkey % 4 because BIG is divisible by 4.
+    src4 = t["orders"].select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_orderkey") % 4).alias("b4"), "o_totalprice",
+    )
+    work = tempfile.mkdtemp(prefix="mvapp_wmp_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("ord_mp", src4, pk=["o_orderkey"])
+            .query(
+                """SELECT o_orderkey, o_custkey, b4,
+                          rank() OVER (PARTITION BY o_custkey, b4
+                              ORDER BY o_totalprice DESC) AS rnk,
+                          row_number() OVER (PARTITION BY o_custkey, b4
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                   FROM ord_mp"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalWindowMV":
+            raise AssertionError(
+                f"planner routed the multi-partition window to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        for i, b in enumerate(scripted_batches(src4), start=1):
+            app.refresh({"ord_mp": b}, batch_id=i)
+        return (
+            app.read()
+            .select("o_orderkey", "o_custkey", "b4", "rnk", "rn")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "mvapp_auto_cascade",
     f"""
     WITH {_FINAL_ORDERS_SQL}
