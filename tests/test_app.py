@@ -1305,8 +1305,21 @@ def test_order_limit_routes_and_converges(spark, tmp_path):
         {"orders"},
         cols,
     )
-    assert s is not None and s.k == 5 and s.tie == ("o_orderkey",)
-    assert s.where == "o_totalprice > 10" and s.descending
+    assert s is not None and s.k == 5
+    assert s.order_spec == (("o_totalprice", True), ("o_orderkey", False))
+    assert s.where == "o_totalprice > 10"
+    # multi-column order with per-column directions, PK in the middle:
+    # still a total order -> routes (r6; previously tie had to be the
+    # literal trailing PK)
+    s2 = match_order_limit_shape(
+        """SELECT o_orderkey, o_custkey FROM orders
+           ORDER BY o_custkey DESC, o_orderkey DESC, o_totalprice ASC LIMIT 3""",
+        {"orders"},
+        cols,
+    )
+    assert s2 is not None and s2.order_spec == (
+        ("o_custkey", True), ("o_orderkey", True), ("o_totalprice", False)
+    )
     # missing deterministic tie column: matched shape, but the app must
     # reject it (tie != pk) — checked below via strategy fallback
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")

@@ -1001,15 +1001,15 @@ class MVApp:
                 return
 
         # Global ORDER BY + LIMIT (top-k without PARTITION BY) — keyed
-        # by the fact PK, which must be selected and must be the
-        # trailing ORDER BY columns (deterministic total order).
+        # by the fact PK, which must be selected; the ORDER BY column
+        # set must COVER the PK (provably total order, same rule as
+        # the per-row window route — ORDER BY the PK itself counts).
         ol = match_order_limit_shape(query, set(dfs), source_columns)
         if ol is not None:
             spec = dfs[ol.fact][0]
             sel_lower = {c.lower() for c in ol.out_cols}
-            tie_ok = spec.pk and [c.lower() for c in ol.tie] == [
-                c.lower() for c in spec.pk
-            ]
+            order_cols = {c.lower() for c, _ in ol.order_spec}
+            tie_ok = spec.pk and {p.lower() for p in spec.pk} <= order_cols
             if (
                 tie_ok
                 and all(p.lower() in sel_lower for p in spec.pk)
@@ -1034,11 +1034,10 @@ class MVApp:
                     spark,
                     fact=fact_df,
                     fact_pk=spec.pk,
-                    order_col=ol.order_col,
+                    order_spec=list(ol.order_spec),
                     out_cols=list(ol.out_cols),
                     k=ol.k,
                     work_dir=target,
-                    descending=ol.descending,
                     num_buckets=num_buckets,
                     shuffle_partitions=shuffle_partitions,
                 )

@@ -1331,22 +1331,30 @@ class IncrementalGlobalTopKMV:
         spark: SparkSession,
         fact: DataFrame,
         fact_pk: list[str],
-        order_col: str,
-        out_cols: list[str],
-        k: int,
-        work_dir: str,
+        order_col: str | None = None,
+        out_cols: list[str] | None = None,
+        k: int = 1,
+        work_dir: str = "",
         descending: bool = False,
         num_buckets: int | None = None,
         shuffle_partitions: int | None = None,
+        order_spec: list[tuple[str, bool]] | None = None,
     ):
         self.spark = spark
         self.shuffle_partitions = shuffle_partitions
         self.fact0 = fact
         self.fact_pk = list(fact_pk)
-        self.order_col = order_col
+        # Full multi-column ORDER BY as (column, descending) pairs; the
+        # single order_col/descending spelling remains for callers of
+        # the original signature.
+        if order_spec is not None:
+            self.order_spec = [(c, bool(d)) for c, d in order_spec]
+        else:
+            if order_col is None:
+                raise ValueError("order_col or order_spec is required")
+            self.order_spec = [(order_col, descending)]
         self.out_cols = list(out_cols)  # must include the fact PK
         self.k = k
-        self.descending = descending
         self.fact_store = KeyedParquetStore(
             spark, os.path.join(work_dir, "fact"), self.fact_pk, num_buckets
         )
@@ -1355,8 +1363,13 @@ class IncrementalGlobalTopKMV:
         )
 
     def _sort_cols(self):
-        ordc = F.col(self.order_col).desc() if self.descending else F.col(self.order_col)
-        return [ordc, *[F.col(c) for c in self.fact_pk]]
+        # trailing fact PK: a no-op when the user order already covers
+        # it (the dispatcher's totality rule), a deterministic
+        # tie-break for direct constructions that don't
+        ordc = [
+            F.col(c).desc() if d else F.col(c) for c, d in self.order_spec
+        ]
+        return [*ordc, *[F.col(c) for c in self.fact_pk]]
 
     def _topk(self, rows: DataFrame) -> DataFrame:
         # orderBy().limit() plans as TakeOrdered — per-partition heaps,

@@ -954,19 +954,19 @@ def _match_window_core(
 @dataclass(frozen=True)
 class OrderLimitShape:
     """The global top-k view: ``SELECT c1[, …] FROM fact [WHERE
-    row-local] ORDER BY o [ASC|DESC][, pk…] LIMIT k`` — keyed by the
-    fact PK (which must be selected, and must be the trailing ORDER BY
-    columns so the total order is deterministic). Routed to
-    :class:`tiflink_spark.mv.IncrementalGlobalTopKMV` (bound-aware
-    candidate merge; full TakeOrdered re-rank only when a current
-    member is touched)."""
+    row-local] ORDER BY c1 [ASC|DESC][, c2 [ASC|DESC] …] LIMIT k`` —
+    keyed by the fact PK, which must be selected, and the ORDER BY
+    column set must COVER the PK (provably total order — the same rule
+    the per-row window route applies; the dispatcher checks it).
+    Routed to :class:`tiflink_spark.mv.IncrementalGlobalTopKMV`
+    (bound-aware candidate merge; full TakeOrdered re-rank only when a
+    current member is touched)."""
 
     fact: str
-    order_col: str
-    descending: bool
+    # the full ORDER BY as (column, descending) pairs, in order
+    order_spec: tuple[tuple[str, bool], ...]
     k: int
     out_cols: tuple[str, ...]
-    tie: tuple[str, ...]
     where: str | None = None
 
 
@@ -982,15 +982,15 @@ def match_order_limit_shape(
     parsed = None
     if p is not None:
         select, table, where, order_body, k_text = p
-        ob = re.fullmatch(
-            rf"(?is)({_IDENT})(?:\s+(ASC|DESC))?((?:\s*,\s*{_IDENT})*)",
-            order_body.strip(),
-        )
-        if ob is not None:
-            parsed = (
-                select, table, where,
-                ob.group(1), ob.group(2), ob.group(3) or "", k_text,
-            )
+        spec: list[tuple[str, bool]] | None = []
+        for term in order_body.split(","):
+            tm = re.fullmatch(rf"(?is)\s*({_IDENT})(?:\s+(ASC|DESC))?\s*", term)
+            if tm is None:
+                spec = None
+                break
+            spec.append((tm.group(1), (tm.group(2) or "asc").lower() == "desc"))
+        if spec:
+            parsed = (select, table, where, spec, k_text)
     if parsed is None:
         return None
     return _match_order_limit_core(*parsed, source_names, source_columns)
@@ -1000,9 +1000,7 @@ def _match_order_limit_core(
     select: str,
     table: str,
     where: str | None,
-    order_col: str,
-    direction: str | None,
-    tie_text: str,
+    order_spec: list[tuple[str, bool]],
     k_text: str,
     source_names: set[str],
     source_columns: dict[str, list[str]] | None,
@@ -1020,8 +1018,10 @@ def _match_order_limit_core(
         cols_known = {c.lower() for c in source_columns.get(table, [])}
         if any(c.lower() not in cols_known for c in sel):
             return None
-        if order_col.lower() not in cols_known:
+        if any(c.lower() not in cols_known for c, _ in order_spec):
             return None
+    if len({c.lower() for c, _ in order_spec}) != len(order_spec):
+        return None  # repeated order column — ambiguous spelling
     k = int(k_text)
     if k < 1:
         return None
@@ -1033,11 +1033,9 @@ def _match_order_limit_core(
         where = where.strip()
     return OrderLimitShape(
         fact=table,
-        order_col=order_col,
-        descending=(direction or "asc").lower() == "desc",
+        order_spec=tuple(order_spec),
         k=k,
         out_cols=tuple(sel),
-        tie=tuple(c.strip() for c in tie_text.split(",") if c.strip()),
         where=where,
     )
 

@@ -2609,6 +2609,91 @@ def mvapp_auto_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@register(
+    "mvapp_auto_order_limit_multi",
+    f"""
+    WITH final_orders_olm AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0 AND o_orderkey < {BIG}
+                    THEN o_totalprice + 500000 ELSE o_totalprice END AS o_totalprice
+        FROM (
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders WHERE o_orderkey % 7 <> 0
+            UNION ALL
+            SELECT o_orderkey + {BIG}, o_custkey, o_totalprice
+            FROM orders WHERE o_orderkey % 100 = 0
+        )
+    )
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+    FROM final_orders_olm
+    ORDER BY o_custkey ASC, o_totalprice DESC, o_orderkey DESC LIMIT 25
+    """,
+    doc=(
+        "Global top-k whose ORDER BY is MULTI-COLUMN with mixed "
+        "per-column directions and the PK in a non-trailing position "
+        "(custkey ASC, price DESC, orderkey DESC) — routed because the "
+        "order column set covers the declared PK (provably total), the "
+        "generalization of the old literal trailing-PK rule (r6, the "
+        "same totality rule as the per-row window route). Same "
+        "3-batch churn as mvapp_auto_order_limit. The fn raises "
+        "unless routed incrementally."
+    ),
+    tags=("mv", "incremental", "planner", "topk"),
+)
+def mvapp_auto_order_limit_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_olm_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("orders_olm", t["orders"], pk=["o_orderkey"])
+            .query(
+                """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_olm
+                   ORDER BY o_custkey ASC, o_totalprice DESC, o_orderkey DESC
+                   LIMIT 25"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalGlobalTopKMV":
+            raise AssertionError(
+                f"planner routed multi-dir ORDER BY+LIMIT to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        ords = t["orders"]
+        b1 = (
+            ords.filter(F.col("o_orderkey") % 100 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + BIG)
+            .withColumn(OP_COL, F.lit(OP_INSERT))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        b2 = (
+            ords.filter(F.col("o_orderkey") % 7 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        b3 = (
+            ords.filter((F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 7 != 0))
+            .withColumn("o_totalprice", F.col("o_totalprice") + 500000)
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        for i, b in enumerate((b1, b2, b3), start=1):
+            app.refresh({"orders_olm": b}, batch_id=i)
+        app.refresh({"orders_olm": b3}, batch_id=3)  # crash replay: no-op
+        return (
+            app.read()
+            .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _semijoin_churn(spark: SparkSession, sf_dir: str, query: str, select_fn):
     """Shared lifecycle for the EXISTS/NOT EXISTS gates: build, assert
     the semi-join route, churn both sides, return the final MV state.
