@@ -2117,3 +2117,56 @@ def test_catalog_register_view(spark, tmp_path):
     assert "cv_base" in cat.list_tables()
     got = spark.sql("SELECT sum(n) AS total FROM cv_counts").head()["total"]
     assert got == 20
+
+
+def test_topn_unique_order_and_mid_tie_route(spark, tmp_path):
+    """Per-group Top-N determinism is the covering rule now: ORDER BY
+    the PK itself routes with no tie-break, and a non-PK tie column in
+    the MIDDLE of the spec is honored by the rank (the MV sorts the
+    FULL user spec, not order_col + PK)."""
+    fact = spark.createDataFrame(
+        [(1, "a", 5.0, 2), (2, "a", 5.0, 1), (3, "a", 3.0, 9), (4, "b", 7.0, 1)],
+        "id long, g string, v double, t int",
+    )
+    # ORDER BY v DESC, t, id — t is a mid-spec NON-PK tie
+    q = (
+        "SELECT g, id, v, t, rn FROM (SELECT *, ROW_NUMBER() OVER "
+        "(PARTITION BY g ORDER BY v DESC, t, id) AS rn FROM f_tn) x "
+        "WHERE rn <= 2"
+    )
+    app = (
+        MVApp.builder(spark)
+        .source("f_tn", fact, pk=["id"])
+        .query(q)
+        .target(str(tmp_path / "tn1"))
+        .num_buckets(2)
+        .shuffle_partitions(2)
+        .build()
+    )
+    assert app.maintenance_strategy == "IncrementalTopKMV"
+    app.bootstrap()
+    fact.createOrReplaceTempView("f_tn_v")
+    exp = {tuple(r) for r in spark.sql(q.replace("FROM f_tn)", "FROM f_tn_v)")).collect()}
+    assert {tuple(r) for r in app.read().collect()} == exp
+    # ties on v=5.0 must rank by t (id 2 before id 1), not by id
+    rows = {(r.id, r.rn) for r in app.read().collect() if r.g == "a"}
+    assert (2, 1) in rows and (1, 2) in rows
+
+    # ORDER BY the PK itself — no tie columns at all
+    q2 = (
+        "SELECT g, id, rn FROM (SELECT *, ROW_NUMBER() OVER "
+        "(PARTITION BY g ORDER BY id DESC) AS rn FROM f_tn) x WHERE rn <= 1"
+    )
+    app2 = (
+        MVApp.builder(spark)
+        .source("f_tn", fact, pk=["id"])
+        .query(q2)
+        .target(str(tmp_path / "tn2"))
+        .num_buckets(2)
+        .build()
+    )
+    assert app2.maintenance_strategy == "IncrementalTopKMV"
+    app2.bootstrap()
+    assert {(r.g, r.id, r.rn) for r in app2.read().collect()} == {
+        ("a", 3, 1), ("b", 4, 1)
+    }

@@ -920,9 +920,13 @@ class MVApp:
         tn = match_topn_shape(query, set(dfs), source_columns)
         if tn is not None:
             spec = dfs[tn.fact][0]
-            tie_ok = spec.pk and [c.lower() for c in tn.tie] == [
-                c.lower() for c in spec.pk
-            ]
+            # determinism rule: the rank window's ORDER BY column set
+            # must COVER the fact PK (provably total per partition) —
+            # ORDER BY the PK itself counts, same rule as the per-row
+            # window route. The MV ranks by the FULL user spec (+ a
+            # no-op trailing PK), so mid-spec tie columns are honored.
+            order_cols = {tn.order_col.lower(), *(c.lower() for c in tn.tie)}
+            tie_ok = spec.pk and {p.lower() for p in spec.pk} <= order_cols
             if tie_ok and (
                 pk is None or list(pk) == [tn.group_key, tn.rank_alias]
             ):
@@ -946,11 +950,11 @@ class MVApp:
                     fact=fact_df,
                     fact_pk=spec.pk,
                     group_key=tn.group_key,
-                    order_col=tn.order_col,
+                    order_spec=[(tn.order_col, tn.descending)]
+                    + [(c, False) for c in tn.tie],
                     out_cols=[c for c in tn.out_cols if c.lower() != tn.rank_alias.lower()],
                     k=tn.k,
                     work_dir=target,
-                    descending=tn.descending,
                     num_buckets=num_buckets,
                     shuffle_partitions=shuffle_partitions,
                     rank_col=tn.rank_alias,

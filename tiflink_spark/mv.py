@@ -958,24 +958,32 @@ class IncrementalTopKMV:
         fact: DataFrame,
         fact_pk: list[str],
         group_key: str,
-        order_col: str,
-        out_cols: list[str],
-        k: int,
-        work_dir: str,
+        order_col: str | None = None,
+        out_cols: list[str] | None = None,
+        k: int = 1,
+        work_dir: str = "",
         descending: bool = True,
         num_buckets: int | None = None,
         shuffle_partitions: int | None = None,
         rank_col: str = "rank",
+        order_spec: list[tuple[str, bool]] | None = None,
     ):
         self.spark = spark
         self.shuffle_partitions = shuffle_partitions
         self.fact0 = fact
         self.fact_pk = fact_pk
         self.group_key = group_key
-        self.order_col = order_col
+        # Full multi-column window ORDER BY as (column, descending)
+        # pairs; the single order_col/descending spelling remains for
+        # callers of the original signature.
+        if order_spec is not None:
+            self.order_spec = [(c, bool(d)) for c, d in order_spec]
+        else:
+            if order_col is None:
+                raise ValueError("order_col or order_spec is required")
+            self.order_spec = [(order_col, descending)]
         self.out_cols = out_cols
         self.k = k
-        self.descending = descending
         self.rank_col = rank_col
         self.fact_store = KeyedParquetStore(
             spark, os.path.join(work_dir, "fact"), fact_pk, num_buckets
@@ -987,8 +995,11 @@ class IncrementalTopKMV:
     def _topk(self, rows: DataFrame) -> DataFrame:
         from pyspark.sql import Window
 
-        ordc = F.col(self.order_col).desc() if self.descending else F.col(self.order_col)
-        w = Window.partitionBy(self.group_key).orderBy(ordc, *self.fact_pk)
+        # trailing fact PK: a no-op when the user order already covers
+        # it (the dispatcher's totality rule), a deterministic
+        # tie-break for direct constructions that don't
+        ordc = [F.col(c).desc() if d else F.col(c) for c, d in self.order_spec]
+        w = Window.partitionBy(self.group_key).orderBy(*ordc, *self.fact_pk)
         cols = list(dict.fromkeys([self.group_key, self.rank_col, *self.out_cols]))
         return (
             rows.withColumn(self.rank_col, F.row_number().over(w).cast("long"))
