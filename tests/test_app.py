@@ -1402,12 +1402,23 @@ def test_match_semijoin_shape_matcher():
         cols,
     )
     assert s is not None and not s.anti
-    assert (s.fact, s.fact_key, s.other, s.other_key) == (
+    assert (s.fact, s.fact_keys, s.other, s.other_keys) == (
         "customer",
-        "c_custkey",
+        ("c_custkey",),
         "orders",
-        "o_custkey",
+        ("o_custkey",),
     )
+    # composite correlation (conjunction of equalities) — r6
+    s_comp = match_semijoin_shape(
+        "SELECT c_custkey, c_name FROM customer c WHERE EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_totalprice = c.c_acctbal)",
+        names,
+        cols,
+    )
+    assert s_comp is not None
+    assert s_comp.fact_keys == ("c_custkey", "c_acctbal")
+    assert s_comp.other_keys == ("o_custkey", "o_totalprice")
     # NOT EXISTS with a leading row-local conjunct
     s = match_semijoin_shape(
         "SELECT c_custkey, c_acctbal FROM customer c WHERE c_acctbal > 0 AND NOT "
@@ -1424,11 +1435,10 @@ def test_match_semijoin_shape_matcher():
         cols,
     )
     assert s is not None and not s.anti
-    assert (s.fact_key, s.other_key) == ("c_custkey", "o_custkey")
-    # NOT IN now matches with null_aware=True; the dispatch layer
-    # refuses it unless the inner column is the other table's NOT-NULL
-    # PK (o_custkey is not orders' PK, so this query stays on
-    # recompute at dispatch — see TestNullAwareNotIn)
+    assert (s.fact_keys, s.other_keys) == (("c_custkey",), ("o_custkey",))
+    # NOT IN matches with null_aware=True; the maintenance class
+    # tracks the inner column's null-presence bit explicitly, so any
+    # inner column routes (see TestNullAwareNotIn)
     s_ni = match_semijoin_shape(
         "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
         "(SELECT o_custkey FROM orders)",

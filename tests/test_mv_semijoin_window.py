@@ -592,3 +592,62 @@ def test_window_composite_partition_converges(spark, tmp_path):
     check(fact1)
     assert app.refresh({"f_cw": b1}, batch_id=1) is False
     check(fact1)
+
+
+def test_exists_composite_key_converges(spark, tmp_path):
+    """EXISTS correlated on TWO columns (composite-key existence):
+    presence is the (k1, k2) tuple — a row matching on only one column
+    is NOT present — and other-side churn re-evaluates exactly the
+    fact rows holding a dirty tuple."""
+    from tiflink_spark.app import MVApp
+
+    fact = spark.createDataFrame(
+        [(1, 10, "x"), (2, 10, "y"), (3, 20, "x"), (4, None, "x"), (5, 30, "z")],
+        "id long, a long, b string",
+    )
+    other = spark.createDataFrame(
+        [(100, 10, "x"), (101, 20, "y")], "ok long, k1 long, k2 string"
+    )
+    q = (
+        "SELECT id, a, b FROM f_ce WHERE EXISTS "
+        "(SELECT 1 FROM o_ce WHERE o_ce.k1 = f_ce.a AND o_ce.k2 = f_ce.b)"
+    )
+    app = (
+        MVApp.builder(spark)
+        .source("f_ce", fact, pk=["id"])
+        .source("o_ce", other, pk=["ok"])
+        .query(q)
+        .target(str(tmp_path / "ce"))
+        .num_buckets(2)
+        .shuffle_partitions(2)
+        .build()
+    )
+    assert app.maintenance_strategy == "IncrementalSemiJoinMV"
+    app.bootstrap()
+
+    def ids():
+        return sorted(r.id for r in app.read().collect())
+
+    # only (10, x) matches: row 1 (row 2 is (10, y), row 3 is (20, x))
+    assert ids() == [1]
+    # other gains (20, x): row 3 enters
+    b1 = spark.createDataFrame([(102, 20, "x")], "ok long, k1 long, k2 string").withColumn(
+        OP_COL, F.lit(OP_INSERT)
+    ).withColumn(SEQ_COL, F.lit(0))
+    app.refresh({"o_ce": b1}, batch_id=1)
+    assert ids() == [1, 3]
+    # the (10, x) row's k2 moves to 'y': row 1 leaves, row 2 enters
+    b2 = spark.createDataFrame([(100, 10, "y")], "ok long, k1 long, k2 string").withColumn(
+        OP_COL, F.lit(OP_UPDATE)
+    ).withColumn(SEQ_COL, F.lit(0))
+    app.refresh({"o_ce": b2}, batch_id=2)
+    assert ids() == [2, 3]
+    app.refresh({"o_ce": b2}, batch_id=2)  # crash replay: no-op
+    assert ids() == [2, 3]
+    # fact-side: NULL-in-tuple never matches; a new matching row enters
+    b3 = spark.createDataFrame(
+        [(6, 20, "x", "+I", 0), (7, None, "y", "+I", 1)],
+        "id long, a long, b string, __op string, __seq long",
+    )
+    app.refresh({"f_ce": b3}, batch_id=3)
+    assert ids() == [2, 3, 6]

@@ -633,8 +633,8 @@ class MVApp:
                     fact_pk=fspec.pk,
                     other=dfs[sj.other][1],
                     other_pk=ospec.pk,
-                    fact_key=sj.fact_key,
-                    other_key=sj.other_key,
+                    fact_key=list(sj.fact_keys),
+                    other_key=list(sj.other_keys),
                     out_cols=list(sj.out_cols),
                     work_dir=target,
                     anti=sj.anti,

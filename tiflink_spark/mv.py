@@ -740,8 +740,19 @@ class IncrementalSemiJoinMV:
         # flip of the null bit re-evaluates every fact row — inherent
         # to NOT IN, whose whole result flips with it.
         self.null_aware = null_aware
-        self.fact_key = fact_key
-        self.other_key = other_key
+        # Composite correlation keys are first-class (EXISTS with a
+        # conjunction of equalities); positionally paired. NOT IN is
+        # single-column by syntax.
+        self.fact_keys = [fact_key] if isinstance(fact_key, str) else list(fact_key)
+        self.other_keys = (
+            [other_key] if isinstance(other_key, str) else list(other_key)
+        )
+        if len(self.fact_keys) != len(self.other_keys):
+            raise ValueError("fact_key and other_key must pair positionally")
+        if null_aware and len(self.fact_keys) != 1:
+            raise ValueError("null-aware NOT IN is single-column by syntax")
+        self.fact_key = self.fact_keys[0]
+        self.other_key = self.other_keys[0]
         self.out_cols = list(out_cols)
         # Row-local fact-side conjunct: filtered bootstrap + the
         # stateless changelog filter rule per fact batch.
@@ -759,12 +770,27 @@ class IncrementalSemiJoinMV:
         )
 
     def _other_keys(self, other_now: DataFrame) -> DataFrame:
-        """The current presence-key set (distinct, non-null)."""
-        return (
-            other_now.select(F.col(self.other_key).alias("__ok"))
-            .where(F.col("__ok").isNotNull())
-            .distinct()
+        """The current presence-key set (distinct, all-columns-non-null
+        — a tuple with any NULL can never equality-match)."""
+        out = other_now.select(
+            *[
+                F.col(k).alias(f"__ok{i}")
+                for i, k in enumerate(self.other_keys)
+            ]
         )
+        cond = F.lit(True)
+        for i in range(len(self.other_keys)):
+            cond = cond & F.col(f"__ok{i}").isNotNull()
+        return out.where(cond).distinct()
+
+    def _key_match(self, rows: DataFrame, keys: DataFrame):
+        """Null-unsafe equality of the fact's correlation tuple against
+        the presence-key frame (SQL equality: NULL matches nothing)."""
+        cond = None
+        for i, fk in enumerate(self.fact_keys):
+            c = rows[fk] == keys[f"__ok{i}"]
+            cond = c if cond is None else (cond & c)
+        return cond
 
     def _other_has_null(self, other_now: DataFrame) -> bool:
         """Null-presence bit of the inner column (NOT IN only)."""
@@ -779,8 +805,8 @@ class IncrementalSemiJoinMV:
     ) -> DataFrame:
         """``rows`` with a ``__member`` flag: True iff the row belongs
         to the view under the given presence-key set."""
-        flagged = rows.join(keys, rows[self.fact_key] == keys["__ok"], "left")
-        present = F.col("__ok").isNotNull()
+        flagged = rows.join(keys, self._key_match(rows, keys), "left")
+        present = F.col("__ok0").isNotNull()
         member = ~present if self.anti else present
         if self.anti and self.null_aware:
             # an inner NULL empties the whole view; otherwise a NULL
@@ -790,14 +816,14 @@ class IncrementalSemiJoinMV:
                 & F.lit(not other_has_null)
                 & (F.col(self.fact_key).isNotNull() | F.lit(other_empty))
             )
-        return flagged.withColumn("__member", member).drop("__ok")
+        return flagged.withColumn("__member", member).drop(
+            *[f"__ok{i}" for i in range(len(self.other_keys))]
+        )
 
     def _view(self, fact_rows: DataFrame, other_now: DataFrame) -> DataFrame:
         how = "left_anti" if self.anti else "left_semi"
         keys = self._other_keys(other_now)
-        out = fact_rows.join(
-            keys, fact_rows[self.fact_key] == keys["__ok"], how
-        )
+        out = fact_rows.join(keys, self._key_match(fact_rows, keys), how)
         if self.anti and self.null_aware:
             if self._other_has_null(other_now):
                 # inner NULL: x NOT IN (…, NULL, …) is never TRUE
@@ -825,15 +851,17 @@ class IncrementalSemiJoinMV:
         else:
             old = store.read()
         changed_pks = last_change_per_key(changes, store.pk).select(*store.pk)
+        dk = [
+            (k, f"__dk{i}") for i, k in enumerate(self.other_keys)
+        ]
         old_keys = old.join(changed_pks, store.pk, "left_semi").select(
-            F.col(self.other_key).alias("__dk")
+            *[F.col(k).alias(a) for k, a in dk]
         )
-        new_keys = changes.select(F.col(self.other_key).alias("__dk"))
-        return (
-            old_keys.unionByName(new_keys)
-            .where(F.col("__dk").isNotNull())
-            .distinct()
-        )
+        new_keys = changes.select(*[F.col(k).alias(a) for k, a in dk])
+        cond = F.lit(True)
+        for _, a in dk:
+            cond = cond & F.col(a).isNotNull()
+        return old_keys.unionByName(new_keys).where(cond).distinct()
 
     @_maintenance
     def refresh(
@@ -895,9 +923,11 @@ class IncrementalSemiJoinMV:
             parts.append(upserts(ups))
         if dirty_ok is not None:
             fact_now = self.fact_store.read()
-            affected = fact_now.join(
-                dirty_ok, fact_now[self.fact_key] == dirty_ok["__dk"], "left_semi"
-            )
+            dcond = None
+            for i, fk in enumerate(self.fact_keys):
+                c = fact_now[fk] == dirty_ok[f"__dk{i}"]
+                dcond = c if dcond is None else (dcond & c)
+            affected = fact_now.join(dirty_ok, dcond, "left_semi")
             parts.append(upserts(affected))
             if self.anti and self.null_aware:
                 store = self.other_store

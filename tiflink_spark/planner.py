@@ -1514,28 +1514,27 @@ class SemiJoinShape:
     and the equivalent ``fk IN (SELECT k FROM other)`` spelling — the
     semi/anti-join the reference maintains through Flink's update-mode
     planner (which compiles EXISTS to a streaming semi/anti join with
-    presence state per key). Routed to
+    presence state per key). The EXISTS correlation may be a
+    CONJUNCTION of equalities (composite-key existence);
+    ``fact_keys``/``other_keys`` pair positionally. Routed to
     :class:`tiflink_spark.mv.IncrementalSemiJoinMV`: fact-side changes
     re-evaluate membership for exactly the changed PKs; other-side
     changes dirty their key values and re-evaluate only the fact rows
-    holding those values. ``NOT IN`` matches with ``null_aware=True``:
-    its NULL semantics differ from a plain anti-join (a NULL outer key
-    belongs to the view only while the inner set is empty; a NULL inner
-    value would empty the view entirely, which the dispatch rules out
-    by requiring the inner column to be the other table's NOT-NULL PK).
+    holding those values. ``NOT IN`` matches with ``null_aware=True``
+    (single-column by syntax): its NULL semantics differ from a plain
+    anti-join — a NULL outer key belongs to the view only while the
+    inner set is empty, and an inner NULL empties the view (the
+    maintenance class tracks the null-presence bit explicitly).
     """
 
     fact: str
-    fact_key: str
+    fact_keys: tuple[str, ...]
     other: str
-    other_key: str
+    other_keys: tuple[str, ...]
     out_cols: tuple[str, ...]
     anti: bool
     where: str | None = None
-    # True for the NOT IN spelling: NULL outer keys belong to the view
-    # only while the inner set is empty (the maintenance class tracks
-    # the empty-set flip); requires the inner column to be the other
-    # table's NOT-NULL PK (enforced at dispatch).
+    # True for the NOT IN spelling (see above).
     null_aware: bool = False
 
 
@@ -1571,8 +1570,8 @@ def _match_semijoin_core(
     neg: bool,
     other: str,
     oa_text: str | None,
-    lref: str | None,
-    rref: str | None,
+    pairs: list[tuple[str, str]] | None,
+    _unused: None,
     fcol: str | None,
     ocol: str | None,
     source_names: set[str],
@@ -1598,9 +1597,9 @@ def _match_semijoin_core(
         # maintenance class tracks the inner's null-presence bit
         # explicitly, so ANY inner column routes (PK or not); it also
         # handles the empty-set flip for NULL outer keys.
-        fact_key, other_key, anti = (
-            fcols[fk],
-            ocols[ok],
+        fact_keys, other_keys, anti = (
+            (fcols[fk],),
+            (ocols[ok],),
             neg,
         )
     else:
@@ -1627,12 +1626,19 @@ def _match_semijoin_core(
                     return t, cols[t][name]
             return None
 
-        l, r = resolve(lref), resolve(rref)
-        if l is None or r is None or {l[0], r[0]} != {fact, other}:
-            return None
-        fact_key = l[1] if l[0] == fact else r[1]
-        other_key = l[1] if l[0] == other else r[1]
-        anti = neg
+        fact_keys_l: list[str] = []
+        other_keys_l: list[str] = []
+        for lref, rref in pairs:
+            l, r = resolve(lref), resolve(rref)
+            if l is None or r is None or {l[0], r[0]} != {fact, other}:
+                return None
+            fact_keys_l.append(l[1] if l[0] == fact else r[1])
+            other_keys_l.append(l[1] if l[0] == other else r[1])
+        if len({c.lower() for c in fact_keys_l}) != len(fact_keys_l) or len(
+            {c.lower() for c in other_keys_l}
+        ) != len(other_keys_l):
+            return None  # repeated column on one side
+        fact_keys, other_keys, anti = tuple(fact_keys_l), tuple(other_keys_l), neg
     sel = tuple(c.strip() for c in select.split(","))
     if len({c.lower() for c in sel}) != len(sel):
         return None
@@ -1653,9 +1659,9 @@ def _match_semijoin_core(
         pre = pre.strip()
     return SemiJoinShape(
         fact,
-        fact_key,
+        fact_keys,
         other,
-        other_key,
+        other_keys,
         sel,
         anti,
         pre,

@@ -1224,11 +1224,12 @@ _PRIORITY = [
     "udtf_split_words",
     "mvapp_auto_cascade_gsets",
     # ================== past the 50-query window ==================
-    # These first six have never been driver-checked (the window and
-    # order-limit gates are round-6-new) — next rotation pulls them
-    # first.
+    # These first seven have never been driver-checked (the window,
+    # order-limit, and EXISTS gates are round-6-new) — next rotation
+    # pulls them first.
     "mvapp_auto_window_multi_partition",
     "mvapp_auto_order_limit_multi",
+    "mvapp_auto_exists_composite",
     "mv_topk_incremental",
     "text_fingerprint",
     "text_repetition_score",

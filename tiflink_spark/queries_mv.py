@@ -4067,6 +4067,91 @@ def mvapp_auto_gsets_expr_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mvapp_auto_exists_composite",
+    """
+    WITH ref AS (
+        SELECT s_suppkey,
+               CASE WHEN s_suppkey % 9 = 0
+                    THEN (s_nationkey + 7) % 25 ELSE s_nationkey END AS rnat,
+               s_suppkey % 4 AS rb4
+        FROM supplier WHERE s_suppkey % 12 <> 0
+    ),
+    f AS (
+        SELECT o_orderkey, o_custkey % 25 AS nat, o_orderkey % 4 AS b4
+        FROM orders
+    )
+    SELECT o_orderkey, nat, b4 FROM f
+    WHERE EXISTS (SELECT 1 FROM ref WHERE ref.rnat = f.nat AND ref.rb4 = f.b4)
+    """,
+    doc=(
+        "EXISTS correlated on TWO columns — composite-key existence "
+        "(r6; previously only a single correlation equality routed). "
+        "Presence is the (nat, b4) TUPLE: a supplier matching on only "
+        "one column does not admit the order. Churn deletes reference "
+        "rows (tuples may lose their last holder) and moves others' "
+        "nat (+7 mod 25 — the tuple changes value, re-evaluating fact "
+        "rows on both the old and new tuple); a batch replays for "
+        "idempotence. The fn raises unless routed incrementally."
+    ),
+    tags=("mv", "incremental", "planner", "semijoin"),
+)
+def mvapp_auto_exists_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    ref0 = t["supplier"].select(
+        "s_suppkey",
+        F.col("s_nationkey").alias("rnat"),
+        (F.col("s_suppkey") % 4).alias("rb4"),
+    )
+    f = t["orders"].select(
+        "o_orderkey",
+        (F.col("o_custkey") % 25).alias("nat"),
+        (F.col("o_orderkey") % 4).alias("b4"),
+    )
+    work = tempfile.mkdtemp(prefix="mvapp_exc_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("ref", ref0, pk=["s_suppkey"])
+            .source("f", f, pk=["o_orderkey"])
+            .query(
+                """SELECT o_orderkey, nat, b4 FROM f
+                   WHERE EXISTS (SELECT 1 FROM ref
+                                 WHERE ref.rnat = f.nat AND ref.rb4 = f.b4)"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalSemiJoinMV":
+            raise AssertionError(
+                f"planner routed composite EXISTS to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        # B1 -D: some tuples lose their last supplier
+        d1 = (
+            ref0.filter(F.col("s_suppkey") % 12 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"ref": d1}, batch_id=1)
+        # B2 +U: tuple-moving updates (rnat shifts by 7 mod 25)
+        u2 = (
+            ref0.filter((F.col("s_suppkey") % 9 == 0) & (F.col("s_suppkey") % 12 != 0))
+            .withColumn("rnat", (F.col("rnat") + 7) % 25)
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"ref": u2}, batch_id=2)
+        app.refresh({"ref": u2}, batch_id=2)  # crash replay: no-op
+        return app.read().select("o_orderkey", "nat", "b4").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "mvapp_auto_not_in_nonpk",
     """
     WITH ref_f AS (

@@ -740,16 +740,25 @@ def semijoin_clauses(query: str):
                 return s.where[wtoks[j].start : wtoks[j + 2].end], j + 3
             return wtoks[j].text, j + 1
 
-        tr = take_ref(j)
-        if tr is None:
-            return None
-        lref, j = tr
-        if j >= len(wtoks) or wtoks[j].text != "=":
-            return None
-        tr = take_ref(j + 1)
-        if tr is None:
-            return None
-        rref, j = tr
+        # conjunction of correlation equalities: lref = rref [AND …] —
+        # composite-key EXISTS is the multi-pair form
+        pairs = []
+        while True:
+            tr = take_ref(j)
+            if tr is None:
+                return None
+            lref, j = tr
+            if j >= len(wtoks) or wtoks[j].text != "=":
+                return None
+            tr = take_ref(j + 1)
+            if tr is None:
+                return None
+            rref, j = tr
+            pairs.append((lref, rref))
+            if j < len(wtoks) and (ident(j) or "").lower() == "and":
+                j += 1
+                continue
+            break
         if j != len(wtoks) - 1 or wtoks[j].text != ")":
             return None
         return (
@@ -761,8 +770,8 @@ def semijoin_clauses(query: str):
             neg,
             other,
             oa,
-            lref,
-            rref,
+            pairs,
+            None,
             None,
             None,
         )
