@@ -466,3 +466,71 @@ class TestFullOuterCompositeKeyMV:
             batch_id=4,
         )
         check(ords4, custs4)
+
+
+def test_cascade_over_full_outer_inner(spark, tmp_path):
+    """Nested aggregate over a FULL OUTER join view routes as
+    CascadeMV: the bag view's true key is the synthetic row identity
+    (__rowid), which cascade_relation exposes — the same hidden-carrier
+    contract as UNION ALL and grouping-sets inners. Dim-only rows
+    appearing/retracting flow through the outer aggregate."""
+    from pyspark.sql import functions as F
+    from tiflink_spark.app import MVApp
+    from tiflink_spark.changelog import OP_COL, OP_DELETE, OP_INSERT, SEQ_COL
+
+    ords = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b"), (3, 20, "c"), (4, None, "d")],
+        "o_id int, o_fk int, o_val string",
+    )
+    custs = spark.createDataFrame([(10, "ten"), (30, "thirty")], "c_id int, c_name string")
+    q = """SELECT coalesce(c_name, '(none)') AS nm, count(*) AS n FROM (
+             SELECT o_id, o_fk, o_val, c_id, c_name
+             FROM ords FULL OUTER JOIN custs ON o_fk = c_id
+           ) j GROUP BY coalesce(c_name, '(none)')"""
+    app = (
+        MVApp.builder(spark)
+        .source("ords", ords, pk=["o_id"])
+        .source("custs", custs, pk=["c_id"])
+        .query(q)
+        .target(str(tmp_path / "focasc"))
+        .num_buckets(2)
+        .shuffle_partitions(2)
+        .build()
+    )
+    assert app.maintenance_strategy == "CascadeMV"
+    assert app._mv.inner.maintenance_strategy == "IncrementalFullOuterJoinMV"
+    app.bootstrap()
+
+    def check(o, c):
+        o.createOrReplaceTempView("ords_e")
+        c.createOrReplaceTempView("custs_e")
+        exp = sorted(
+            tuple(r)
+            for r in spark.sql(
+                q.replace("ords", "ords_e").replace("custs", "custs_e")
+            ).collect()
+        )
+        assert sorted(tuple(r) for r in app.read().collect()) == exp
+
+    check(ords, custs)
+    # cust 30 gains its first order: its dim-only row (identity d:30)
+    # retracts and a matched row (identity f:5) takes its place in the
+    # 'thirty' bucket — same count, different underlying identity, so
+    # this exercises the -D/+I pair flowing through the outer state
+    b1 = spark.createDataFrame([(5, 30, "e")], "o_id int, o_fk int, o_val string").withColumn(
+        OP_COL, F.lit(OP_INSERT)
+    ).withColumn(SEQ_COL, F.lit(0))
+    app.refresh({"ords": b1}, batch_id=1)
+    o2 = ords.unionByName(
+        spark.createDataFrame([(5, 30, "e")], "o_id int, o_fk int, o_val string")
+    )
+    check(o2, custs)
+    # cust 10 deleted: its two matched rows re-NULL into '(none)'
+    b2 = spark.createDataFrame([(10, "ten")], "c_id int, c_name string").withColumn(
+        OP_COL, F.lit(OP_DELETE)
+    ).withColumn(SEQ_COL, F.lit(0))
+    app.refresh({"custs": b2}, batch_id=2)
+    c2 = custs.filter("c_id != 10")
+    check(o2, c2)
+    assert app.refresh({"custs": b2}, batch_id=2) is False
+    check(o2, c2)

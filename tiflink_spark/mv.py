@@ -574,6 +574,16 @@ class IncrementalFullOuterJoinMV:
         j = f.join(d, cond, "full")
         return j.select(*self.out_cols).withColumn(self.ROWID, self._rowid())
 
+    def cascade_relation(self) -> DataFrame:
+        """The view WITH its synthetic row identity — the relation an
+        outer cascade level consumes (same contract as the UNION ALL
+        and grouping-sets bag views): the visible output has no unique
+        column (dim-only rows carry NULL fact PKs), but ``__rowid`` IS
+        the target store's true key, so an outer MV keying by it never
+        collapses rows. Lazy plan over the original sources — the same
+        construction bootstrap publishes."""
+        return self._joined(self.fact0, self.dim0)
+
     @_maintenance
     def bootstrap(self, batch_id=0) -> None:
         self.fact_store.bootstrap(self.fact0, batch_id)

@@ -1230,6 +1230,7 @@ _PRIORITY = [
     "mvapp_auto_window_multi_partition",
     "mvapp_auto_order_limit_multi",
     "mvapp_auto_exists_composite",
+    "mvapp_auto_cascade_full_outer",
     "mv_topk_incremental",
     "text_fingerprint",
     "text_repetition_score",

@@ -4914,6 +4914,105 @@ def mvapp_auto_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mvapp_auto_cascade_full_outer",
+    """
+    WITH sup_t AS (
+        SELECT s_suppkey,
+               CASE WHEN s_suppkey % 9 = 0
+                    THEN (s_nationkey + 7) % 25 ELSE s_nationkey END AS fk
+        FROM supplier
+        WHERE s_suppkey % 3 = 0 AND s_suppkey % 12 <> 0
+    ),
+    nat_t AS (
+        SELECT n_nationkey, n_name FROM nation WHERE n_nationkey <> 3
+    ),
+    j AS (
+        SELECT s_suppkey, fk, n_nationkey, n_name
+        FROM sup_t FULL OUTER JOIN nat_t ON fk = n_nationkey
+    )
+    SELECT coalesce(n_name, '(none)') AS nm,
+           count(*) AS n,
+           count(s_suppkey) AS n_sup
+    FROM j GROUP BY coalesce(n_name, '(none)')
+    """,
+    doc=(
+        "Aggregate over a FULL OUTER join inner maintained as a "
+        "cascade (r6): the join view is a bag (dim-only rows carry "
+        "NULL fact PKs), so the outer consumes it through the "
+        "synthetic row identity __rowid — the same hidden-carrier "
+        "contract as UNION ALL and grouping-sets inners. The outer "
+        "groups by a NULL-safe expression key (coalesce of the "
+        "preserved dim name). Churn: supplier deletes strand nations "
+        "as dim-only rows (their identity flips d:<key>), key-moving "
+        "updates make nations gain first/lose last suppliers, and a "
+        "nation delete re-NULLs its matched rows into the '(none)' "
+        "bucket; a batch replays for idempotence. The fn raises "
+        "unless both levels routed incrementally."
+    ),
+    tags=("mv", "incremental", "planner", "cascade", "full_outer"),
+)
+def mvapp_auto_cascade_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    sup = (
+        t["supplier"]
+        .filter(F.col("s_suppkey") % 3 == 0)
+        .select("s_suppkey", F.col("s_nationkey").alias("fk"))
+    )
+    nat = t["nation"].select("n_nationkey", "n_name")
+    work = tempfile.mkdtemp(prefix="mvapp_cfo_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("sup_t", sup, pk=["s_suppkey"])
+            .source("nat_t", nat, pk=["n_nationkey"])
+            .query(
+                """SELECT coalesce(n_name, '(none)') AS nm,
+                          count(*) AS n, count(s_suppkey) AS n_sup
+                   FROM (
+                     SELECT s_suppkey, fk, n_nationkey, n_name
+                     FROM sup_t FULL OUTER JOIN nat_t ON fk = n_nationkey
+                   ) j GROUP BY coalesce(n_name, '(none)')"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "CascadeMV" or (
+            app._mv.inner.maintenance_strategy != "IncrementalFullOuterJoinMV"
+        ):
+            raise AssertionError(
+                f"planner routed the full-outer cascade to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        s_del = (
+            sup.filter(F.col("s_suppkey") % 12 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"sup_t": s_del}, batch_id=1)
+        s_upd = (
+            sup.filter((F.col("s_suppkey") % 9 == 0) & (F.col("s_suppkey") % 12 != 0))
+            .withColumn("fk", (F.col("fk") + 7) % 25)
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"sup_t": s_upd}, batch_id=2)
+        app.refresh({"sup_t": s_upd}, batch_id=2)  # crash replay: no-op
+        n_del = (
+            nat.filter(F.col("n_nationkey") == 3)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"nat_t": n_del}, batch_id=3)
+        return app.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "mvapp_auto_cascade_bag",
     """
     WITH b1 AS (
