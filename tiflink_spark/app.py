@@ -913,10 +913,10 @@ class MVApp:
 
         # Per-group Top-N (the ROW_NUMBER <= k pattern Flink's
         # update-mode planner special-cases as its Top-N operator) —
-        # routed to dirty-group re-ranking. The window's trailing ORDER
-        # BY columns must be exactly the fact PK: that is the
-        # deterministic total order IncrementalTopKMV maintains, and
-        # without it rank slots on ties are ambiguous.
+        # routed to dirty-group re-ranking over the FULL user order
+        # spec. Determinism: the window's ORDER BY column set must
+        # cover the fact PK (provably total per partition); without a
+        # total order, rank slots on ties are ambiguous.
         tn = match_topn_shape(query, set(dfs), source_columns)
         if tn is not None:
             spec = dfs[tn.fact][0]

@@ -1362,8 +1362,10 @@ class IncrementalWindowMV:
 
 class IncrementalGlobalTopKMV:
     """Incremental MV for the GLOBAL ``SELECT cols FROM fact [WHERE …]
-    ORDER BY o [DESC], pk LIMIT k`` — the dashboard top-k without a
-    PARTITION BY, keyed by the fact PK.
+    ORDER BY c1 [ASC|DESC][, c2 …] LIMIT k`` — the dashboard top-k
+    without a PARTITION BY, keyed by the fact PK (the dispatcher
+    requires the order column set to cover it — a provably total
+    order).
 
     The bound argument makes maintenance cheap in the common case: the
     current k-th row's sort value is a lower bound that only MOVES UP
