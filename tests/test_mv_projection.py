@@ -142,11 +142,19 @@ class TestNormalizeQuery:
         assert normalize_query(q3, sc) == q3
         # without schemas the rewrite is skipped entirely
         assert normalize_query(q) == q
-        # a subquery whose body holds GROUP BY must not be torn apart
+        # a subquery whose body holds GROUP BY: the tokenizer's depth-0
+        # clause split keeps it intact INSIDE the WHERE, so the rewrite
+        # now proceeds (the old regex extraction tore at the inner
+        # GROUP BY and had to bail; this pinned that bail until r6)
         q4 = ("SELECT c_custkey FROM customer, orders "
               "WHERE c_custkey = o_custkey AND c_custkey IN "
               "(SELECT o_custkey FROM orders GROUP BY o_custkey)")
-        assert normalize_query(q4, sc) == q4
+        n4 = normalize_query(q4, sc)
+        assert "JOIN orders ON c_custkey = o_custkey" in n4
+        assert (
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders GROUP BY o_custkey)"
+            in n4
+        )
         # string literal containing a comma/keyword stays inert
         q5 = ("SELECT c_custkey, o_orderkey FROM customer, orders "
               "WHERE c_custkey = o_custkey AND c_name <> 'GROUP, BY'")
