@@ -161,11 +161,15 @@ class TestNormalizeQuery:
         n5 = normalize_query(q5, sc)
         assert "JOIN orders ON c_custkey = o_custkey" in n5
         assert "'GROUP, BY'" in n5
-        # a literal with interior whitespace+keyword WOULD tear the
-        # where-slice mid-string — the balance guard must bail
+        # a literal with interior whitespace+keyword used to tear the
+        # regex where-slice mid-string (balance-guard bail); the
+        # tokenizer treats the string as one token, so the rewrite now
+        # proceeds with the literal intact (r6)
         q6 = ("SELECT c_custkey FROM customer, orders "
               "WHERE c_custkey = o_custkey AND c_name <> 'a GROUP b'")
-        assert normalize_query(q6, sc) == q6
+        n6 = normalize_query(q6, sc)
+        assert "JOIN orders ON c_custkey = o_custkey" in n6
+        assert "WHERE c_name <> 'a GROUP b'" in n6
 
     def test_on_predicate_hoist(self):
         # constant/filter conjuncts leave an INNER ON for WHERE (the
