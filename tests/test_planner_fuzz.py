@@ -86,11 +86,21 @@ HAVINGS = [None, "n > 1", "count(*) > 1"]
 
 def _gen_query(rng, table):
     kind = rng.choice(
-        ["agg", "agg", "proj", "distinct", "global", "topn", "rollup"]
+        [
+            "agg", "agg", "proj", "distinct", "global", "topn", "rollup",
+            "window", "order_limit",
+        ]
     )
     where = rng.choice(WHERES)
     wsql = f" WHERE {where}" if where else ""
     if kind == "rollup":
+        if rng.random() < 0.3:
+            # expression grouping key (derived onto fact rows — r6)
+            ms = rng.sample(MEASURES[:5], rng.randrange(1, 3))
+            return (
+                f"SELECT upper(s) AS su, g, {', '.join(ms)} FROM {table}{wsql} "
+                f"GROUP BY ROLLUP (upper(s), g)"
+            )
         grouping = rng.choice(
             [
                 "ROLLUP(g, h)",
@@ -106,6 +116,29 @@ def _gen_query(rng, table):
         return (
             f"SELECT g, h, {', '.join(ms)}{gsel} FROM {table}{wsql} "
             f"GROUP BY {grouping}{hsql}"
+        )
+    if kind == "window":
+        # single and COMPOSITE partition keys; per-row items require a
+        # total order (covering the PK — trailing or the PK itself)
+        item = rng.choice(
+            [
+                "sum(v) OVER (PARTITION BY g, h ORDER BY v) AS rs",
+                "rank() OVER (PARTITION BY g, h ORDER BY v DESC) AS rnk",
+                "row_number() OVER (PARTITION BY g, h ORDER BY v DESC, id) AS rn",
+                "row_number() OVER (PARTITION BY g ORDER BY id) AS rn",
+                "lag(v) OVER (PARTITION BY h ORDER BY id DESC) AS pv",
+            ]
+        )
+        return f"SELECT id, g, h, v, {item} FROM {table}{wsql}"
+    if kind == "order_limit":
+        # multi-column order specs with per-column directions; the PK
+        # may sit anywhere as long as the set covers it
+        spec = rng.choice(
+            ["v DESC, id", "id", "id DESC", "g DESC, v, id", "s, id DESC, v"]
+        )
+        return (
+            f"SELECT id, g, v, s FROM {table}{wsql} "
+            f"ORDER BY {spec} LIMIT {rng.randrange(2, 6)}"
         )
     if kind == "agg":
         keys = rng.choice([["g"], ["g", "h"], ["s"]])
@@ -128,10 +161,11 @@ def _gen_query(rng, table):
     if kind == "global":
         ms = rng.sample(MEASURES[:5], 2)
         return f"SELECT {', '.join(ms)} FROM {table}{wsql}"
-    # topn
+    # topn — random rank order spec; always covers the PK (total order)
+    spec = rng.choice(["v DESC, id", "v DESC, w, id", "id", "id DESC"])
     return (
         f"SELECT g, id, v, rn FROM (SELECT *, ROW_NUMBER() OVER "
-        f"(PARTITION BY g ORDER BY v DESC, id) AS rn FROM {table}{wsql}) t "
+        f"(PARTITION BY g ORDER BY {spec}) AS rn FROM {table}{wsql}) t "
         f"WHERE rn <= 3"
     )
 
