@@ -1335,7 +1335,8 @@ def jdbc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_percentile_bounded",
     """
     SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+           CAST(round(CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(20,3)), 2)
+                AS DOUBLE) AS exact_p50,
            TRUE AS within_1pct
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -1361,7 +1362,14 @@ def approx_percentile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(exact.alias("__exact"), approx.alias("__approx"))
         .select(
             "l_returnflag",
-            F.round(F.col("__exact"), 2).alias("exact_p50"),
+            # Rounding happens in DECIMAL domain: the interpolated
+            # median of 2-decimal prices is an exact 3-decimal value
+            # whose double is a hair off .xx5, and Spark/DuckDB round
+            # such doubles to different cents. The decimal(20,3) cast
+            # settles the value identically on both engines first.
+            F.round(F.col("__exact").cast("decimal(20,3)"), 2)
+            .cast("double")
+            .alias("exact_p50"),
             (
                 F.abs(F.col("__approx") - F.col("__exact"))
                 / F.abs(F.col("__exact"))
