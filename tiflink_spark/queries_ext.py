@@ -214,8 +214,10 @@ def window_first_last_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "percentile_exact",
     """
     SELECT o_orderstatus,
-           round(quantile_cont(o_totalprice, 0.5), 2)  AS p50,
-           round(quantile_cont(o_totalprice, 0.95), 2) AS p95
+           CAST(round(CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(22,4)), 2)
+                AS DOUBLE) AS p50,
+           CAST(round(CAST(quantile_cont(o_totalprice, 0.95) AS DECIMAL(22,4)), 2)
+                AS DOUBLE) AS p95
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -227,9 +229,17 @@ def window_first_last_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
+    # DECIMAL-domain rounding: interpolated quantiles of 2-decimal
+    # prices land on exact 4-decimal values whose doubles sit a hair
+    # off the .xx5 midpoint, and Spark/DuckDB round them to different
+    # cents (see approx_percentile_bounded).
     return t["orders"].groupBy("o_orderstatus").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
-        F.round(F.percentile("o_totalprice", F.lit(0.95)), 2).alias("p95"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)).cast("decimal(22,4)"), 2)
+        .cast("double")
+        .alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)).cast("decimal(22,4)"), 2)
+        .cast("double")
+        .alias("p95"),
     )
 
 
@@ -702,8 +712,10 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pandas_udaf_median",
     """
     SELECT o_orderpriority,
-           round(median(o_totalprice), 2) AS median_price,
-           round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+           CAST(round(CAST(median(o_totalprice) AS DECIMAL(22,4)), 2)
+                AS DOUBLE) AS median_price,
+           CAST(round(CAST(quantile_cont(o_totalprice, 0.9) AS DECIMAL(22,4)), 2)
+                AS DOUBLE) AS p90_price
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -719,9 +731,15 @@ def pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tiflink_spark.functions import median_udaf, p90_udaf
 
     t = _t(spark, sf_dir)
+    # DECIMAL-domain rounding — same .xx5 cross-engine hazard as
+    # percentile_exact / approx_percentile_bounded.
     return t["orders"].groupBy("o_orderpriority").agg(
-        F.round(median_udaf("o_totalprice"), 2).alias("median_price"),
-        F.round(p90_udaf("o_totalprice"), 2).alias("p90_price"),
+        F.round(median_udaf("o_totalprice").cast("decimal(22,4)"), 2)
+        .cast("double")
+        .alias("median_price"),
+        F.round(p90_udaf("o_totalprice").cast("decimal(22,4)"), 2)
+        .cast("double")
+        .alias("p90_price"),
     )
 
 
