@@ -298,7 +298,8 @@ _MIX_RATE_SQL = (
 @register(
     "sample_mixture_weighted",
     f"""
-    SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     WHERE {_pct_expr("doc_id", "duck")} < {_MIX_RATE_SQL}
     GROUP BY source

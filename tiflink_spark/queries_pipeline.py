@@ -419,7 +419,7 @@ _PREP_CHUNK, _PREP_STRIDE = 32, 24
         FROM chunks)
     SELECT shard, count(*) AS n_chunks,
            count(DISTINCT doc_id) AS n_docs,
-           sum(n_words) AS total_words
+           CAST(sum(n_words) AS BIGINT) AS total_words
     FROM sharded GROUP BY shard
     """,
     doc=(

@@ -49,6 +49,22 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> tuple[bool, str]
     if scols != dcols:
         return False, f"columns spark={scols} duck={dcols}"
     s, d = canon(spark_pdf), canon(duck_pdf)
+    # Dtype-parity lint (the r6 driver red): the driver hashes VALUES
+    # WITH THEIR DTYPE, so Spark int64 vs DuckDB float64 (e.g. an
+    # un-cast sum(BIGINT) -> HUGEINT -> float64) hash-mismatches even
+    # when every value is equal. The float-coercion below would hide
+    # that, so fail loudly on int-vs-float divergence first.
+    for c in s.columns:
+        si = np.issubdtype(s[c].dtype, np.integer)
+        di = np.issubdtype(d[c].dtype, np.integer)
+        sf = np.issubdtype(s[c].dtype, np.floating)
+        df_ = np.issubdtype(d[c].dtype, np.floating)
+        if (si and df_) or (sf and di):
+            return False, (
+                f"col {c}: DTYPE-DIVERGENCE (driver-hash risk) "
+                f"spark={s[c].dtype} duck={d[c].dtype} — CAST the oracle "
+                "aggregate (DuckDB sum(INT)->HUGEINT lands as float64)"
+            )
     for c in s.columns:
         sv, dv = s[c], d[c]
         if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(dv.dtype, np.floating):
