@@ -272,10 +272,26 @@ class TestFullOuterJoinMV:
         assert (s.fact, s.dim, s.fact_fks, s.dim_keys) == (
             "ords", "custs", ("o_fk",), ("c_id",)
         )
-        # WHERE changes preserved-row semantics -> no route
+        # row-local WHERE over the OUTPUT routes (round 7: the
+        # stateless target-side filter) and is carried on the shape
+        sw = match_full_outer_shape(
+            self.Q + " WHERE o_val = 'a'", {"ords", "custs"}, cols, pks
+        )
+        assert sw is not None and sw.where == "o_val = 'a'"
+        # ...but a predicate off the select list still refuses
         assert (
             match_full_outer_shape(
-                self.Q + " WHERE o_val = 'a'", {"ords", "custs"}, cols, pks
+                self.Q.replace(", o_val", "") + " WHERE o_val = 'a'",
+                {"ords", "custs"},
+                cols,
+                pks,
+            )
+            is None
+        )
+        # ...as does a non-deterministic one
+        assert (
+            match_full_outer_shape(
+                self.Q + " WHERE rand() < 0.5", {"ords", "custs"}, cols, pks
             )
             is None
         )
@@ -355,6 +371,94 @@ class TestFullOuterJoinMV:
         self._check(app, spark, ords4, custs4)
 
 
+class TestFullOuterWhereMV:
+    """FULL OUTER + row-local WHERE (round 7): SQL's WHERE runs after
+    the join, so the route filters each recomputed slice before the
+    diff — rows flip in/out of the view as churn moves them across the
+    predicate, on both preserved sides, including via NULL-extension
+    (a dim delete re-NULLs c_id, flipping its fact rows w.r.t. a
+    predicate over c_id)."""
+
+    Q = """SELECT o_id, o_fk, o_amt, c_id, c_name
+           FROM ords FULL OUTER JOIN custs ON o_fk = c_id
+           WHERE coalesce(o_amt, 100) >= 50 AND coalesce(c_id, 99) <> 30"""
+
+    def _sources(self, spark):
+        ords = spark.createDataFrame(
+            [(1, 10, 80), (2, 10, 20), (3, 20, 60), (4, 30, 70), (5, None, 55)],
+            "o_id int, o_fk int, o_amt int",
+        )
+        custs = spark.createDataFrame(
+            [(10, "ten"), (30, "thirty"), (40, "forty")],
+            "c_id int, c_name string",
+        )
+        return ords, custs
+
+    def _check(self, app, spark, ords, custs):
+        ords.createOrReplaceTempView("ords_exp")
+        custs.createOrReplaceTempView("custs_exp")
+        exp = spark.sql(
+            self.Q.replace("ords", "ords_exp").replace("custs", "custs_exp")
+        )
+        got = app.read()
+        assert got.exceptAll(exp).count() == 0
+        assert exp.exceptAll(got).count() == 0
+
+    def test_converges_predicate_flips_both_sides(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from tiflink_spark.app import MVApp
+
+        ords, custs = self._sources(spark)
+        app = (
+            MVApp.builder(spark)
+            .source("ords", ords, pk=["o_id"])
+            .source("custs", custs, pk=["c_id"])
+            .query(self.Q)
+            .target(str(tmp_path / "fow"))
+            .num_buckets(2)
+            .shuffle_partitions(2)
+            .build()
+        )
+        assert app.maintenance_strategy == "IncrementalFullOuterJoinMV"
+        app.bootstrap()
+        # bootstrap already exercises every predicate arm: o2 fails the
+        # amount bar, o4 fails via its matched c_id=30, dim-only c:40
+        # passes both coalesces
+        self._check(app, spark, ords, custs)
+
+        # 1. amount-flip updates: o2 climbs over the bar, o1 drops under
+        o_upd = spark.createDataFrame(
+            [(1, 10, 10), (2, 10, 90)], "o_id int, o_fk int, o_amt int"
+        )
+        app.refresh({"ords": _chg(o_upd, OP_UPDATE)}, batch_id=1)
+        amt = F.when(F.col("o_id") == 1, 10).when(F.col("o_id") == 2, 90)
+        ords1 = ords.withColumn("o_amt", F.coalesce(amt, F.col("o_amt")))
+        self._check(app, spark, ords1, custs)
+
+        # 2. dim delete 30: o4 re-NULLs and flips INTO the view
+        #    (coalesce(c_id,99)<>30 now passes); d:30 itself was never
+        #    in the view and must not reappear
+        c_del = spark.createDataFrame([(30, "thirty")], "c_id int, c_name string")
+        app.refresh({"custs": _chg(c_del, OP_DELETE)}, batch_id=2)
+        custs2 = custs.filter(F.col("c_id") != 30)
+        self._check(app, spark, ords1, custs2)
+
+        # 3. last fact row on 20 leaves: d:20... there is no cust 20, so
+        #    nothing; but cust 10 losing BOTH facts leaves a passing
+        #    dim-only row. Delete o1+o2 (both on 10).
+        o_del = spark.createDataFrame(
+            [(1, 10, 10), (2, 10, 90)], "o_id int, o_fk int, o_amt int"
+        )
+        app.refresh({"ords": _chg(o_del, OP_DELETE)}, batch_id=3)
+        ords3 = ords1.filter(~F.col("o_id").isin(1, 2))
+        self._check(app, spark, ords3, custs2)
+
+        # 4. crash replay: no-op
+        app.refresh({"ords": _chg(o_del, OP_DELETE)}, batch_id=3)
+        self._check(app, spark, ords3, custs2)
+
+
 class TestFullOuterCompositeKeyMV:
     """FULL OUTER against a COMPOSITE-PK dim: the ON is a conjunction
     of equalities covering the dim's full declared key (VERDICT r5 #5).
@@ -385,13 +489,11 @@ class TestFullOuterCompositeKeyMV:
             match_full_outer_shape(q_partial, {"ords", "custs"}, self.COLS, self.PKS)
             is None
         )
-        # WHERE -> documented refusal
-        assert (
-            match_full_outer_shape(
-                self.Q + " WHERE o_val = 'a'", {"ords", "custs"}, self.COLS, self.PKS
-            )
-            is None
+        # row-local WHERE over the output routes (round 7)
+        sw = match_full_outer_shape(
+            self.Q + " WHERE o_val = 'a'", {"ords", "custs"}, self.COLS, self.PKS
         )
+        assert sw is not None and sw.where == "o_val = 'a'"
         # non-equality conjunct -> no route
         q_theta = self.Q.replace("AND o_lo = c_lo", "AND o_lo < c_lo")
         assert (

@@ -764,6 +764,7 @@ class MVApp:
                 work_dir=target,
                 num_buckets=num_buckets,
                 shuffle_partitions=shuffle_partitions,
+                where=fo.where,
             )
             self._stores = {
                 fo.fact: self._mv.fact_store,

@@ -506,6 +506,17 @@ class IncrementalFullOuterJoinMV:
     Per-batch work ∝ changed keys × fanout. Requires the select list to
     carry the fact PK, the fact fk, and the dim key (the identity and
     the dirty-slice probes are driven off the target's own columns).
+
+    ``where`` is an optional row-local predicate over the view's OUTPUT
+    columns. SQL evaluates WHERE after the join, so recompute is
+    filter(full-outer-join); the MV applies the same filter to every
+    recomputed slice before diffing — the target stores only passing
+    rows, so a row leaving the predicate retracts and one entering it
+    inserts, with no extra state. Exact for any deterministic row-local
+    predicate, including ones over NULL-extended columns, because the
+    filter sees exactly the joined rows recompute sees (the dirty-slice
+    bookkeeping runs on the UNfiltered stores, so which keys are
+    matched vs dim-only is decided before the filter, as in SQL).
     """
 
     ROWID = "__rowid"
@@ -522,9 +533,11 @@ class IncrementalFullOuterJoinMV:
         work_dir: str,
         num_buckets: int | None = None,
         shuffle_partitions: int | None = None,
+        where: str | None = None,
     ):
         self.spark = spark
         self.shuffle_partitions = shuffle_partitions
+        self.where = where
         self.fact0, self.dim0 = fact, dim
         self.fact_pk = list(fact_pk)
         # positionally paired equi-join columns; single-column keys may
@@ -571,8 +584,11 @@ class IncrementalFullOuterJoinMV:
         for fk, k in zip(self.fact_fks, self.dim_keys):
             c = f[fk] == d[k]
             cond = c if cond is None else (cond & c)
-        j = f.join(d, cond, "full")
-        return j.select(*self.out_cols).withColumn(self.ROWID, self._rowid())
+        j = f.join(d, cond, "full").select(*self.out_cols)
+        if self.where is not None:
+            # post-join, pre-diff: SQL's WHERE position exactly
+            j = j.filter(F.expr(self.where))
+        return j.withColumn(self.ROWID, self._rowid())
 
     def cascade_relation(self) -> DataFrame:
         """The view WITH its synthetic row identity — the relation an

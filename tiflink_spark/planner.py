@@ -1167,15 +1167,23 @@ class FullOuterJoinShape:
     recompute + diff over a synthetic row identity — a side's arrival
     retracts the other's NULL-extended row). Requires DISJOINT column
     names and the select list to carry fact PK + every fk + every dim
-    key (the identity/probe columns). No WHERE: a post-join filter
-    changes preserved-row semantics (it silently drops NULL-extended
-    rows). ``fact_fks``/``dim_keys`` are positionally paired."""
+    key (the identity/probe columns). ``where`` is an optional
+    row-local predicate over the view's OUTPUT columns: SQL evaluates
+    WHERE after the join, so recompute is filter(full-outer-join) and
+    the MV applies the same filter to every recomputed slice before
+    diffing — the stateless target-side filter the agg routes use
+    (rows entering the predicate insert, rows leaving it retract).
+    This is EXACT for any deterministic row-local predicate, including
+    ones referencing NULL-extended columns (the filter sees exactly
+    the joined rows recompute sees). ``fact_fks``/``dim_keys`` are
+    positionally paired."""
 
     fact: str
     dim: str
     fact_fks: tuple[str, ...]
     dim_keys: tuple[str, ...]
     out_cols: tuple[str, ...]
+    where: str | None = None
 
 
 def match_full_outer_shape(
@@ -1190,7 +1198,7 @@ def match_full_outer_shape(
     parsed = sqlast.full_outer_join_clauses(query)
     if parsed is None:
         return None
-    select, lt, la_text, rt, ra_text, pairs = parsed
+    select, lt, la_text, rt, ra_text, pairs, where = parsed
     if (
         lt not in source_names
         or rt not in source_names
@@ -1278,7 +1286,17 @@ def match_full_outer_shape(
     }
     if need - {c.lower() for c in out}:
         return None
-    return FullOuterJoinShape(fact, dim, tuple(fact_fks), tuple(dim_keys), tuple(out))
+    if where is not None:
+        # WHERE over the view's OUTPUT (bare refs only — after the
+        # projection the quals are gone), evaluated post-join like SQL:
+        # the stateless target-side filter. Row-local + deterministic
+        # only; anything else falls back to recompute.
+        where = where.strip()
+        if not _row_local_expr_ok(where, {c.lower() for c in out}):
+            return None
+    return FullOuterJoinShape(
+        fact, dim, tuple(fact_fks), tuple(dim_keys), tuple(out), where
+    )
 
 
 def match_join_shape(

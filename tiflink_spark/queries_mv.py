@@ -4813,9 +4813,10 @@ def mvapp_auto_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(TiFlinkApp.java:270); here it is dirty-key recompute + "
         "diff over a synthetic row identity (f:<pk> / d:<keys>), "
         "keyed by that identity because dim-only rows carry NULL "
-        "fact PKs. WHERE stays an explicit refusal (a post-join "
-        "filter silently drops preserved rows). The fn raises unless "
-        "routed incrementally and replays a batch for idempotence."
+        "fact PKs. A row-local WHERE routes too since round 7 (the "
+        "stateless target-side filter; see "
+        "mvapp_auto_full_outer_where). The fn raises unless routed "
+        "incrementally and replays a batch for idempotence."
     ),
     tags=("mv", "incremental", "planner", "join", "full_outer"),
 )
@@ -4905,6 +4906,131 @@ def mvapp_auto_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("bal") * 100).cast("bigint").alias("bal_cents"),
                 "n_hi",
                 "n_lo",
+                "n_name",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_full_outer_where",
+    """
+    WITH sup_t AS (
+        SELECT s_suppkey,
+               CASE WHEN s_suppkey % 9 = 0
+                    THEN (s_nationkey + 7) % 25 ELSE s_nationkey END AS fk,
+               CASE WHEN s_suppkey % 9 = 0
+                    THEN s_acctbal + 3000.0 ELSE s_acctbal END AS bal
+        FROM supplier
+        WHERE s_suppkey % 3 = 0 AND s_suppkey % 12 <> 0
+    ),
+    nat_t AS (
+        SELECT n_nationkey, n_name FROM nation WHERE n_nationkey <> 7
+    )
+    SELECT s_suppkey, fk,
+           CAST(round(bal * 100) AS BIGINT) AS bal_cents,
+           n_nationkey, n_name
+    FROM sup_t FULL OUTER JOIN nat_t ON fk = n_nationkey
+    WHERE coalesce(bal, 5000.0) > 2500.0 AND coalesce(n_nationkey, 99) <> 7
+    """,
+    doc=(
+        "FULL OUTER equi-join view WITH a row-local WHERE, auto-routed "
+        "to IncrementalFullOuterJoinMV — the round-6 verdict's #4 ask, "
+        "replacing the matcher's former blanket WHERE refusal. SQL "
+        "evaluates WHERE after the join, so it is the stateless "
+        "target-side filter, not a preserved-row change: the MV "
+        "filters each recomputed slice before diffing, and the target "
+        "stores only passing rows. Exact even for predicates over "
+        "NULL-extended columns — here both arms coalesce a NULL side "
+        "(bal NULL for dim-only rows passes via the 5000 default; "
+        "n_nationkey NULL for fact-only rows passes <>7) — because "
+        "the filter sees exactly the joined rows recompute sees. The "
+        "churn flips rows across the predicate on both preserved "
+        "sides: +3000 balance updates lift fact rows over the 2500 "
+        "bar, supplier deletes strand nations as (passing) dim-only "
+        "rows, and deleting nation 7 flips its matched suppliers INTO "
+        "the view (their n_nationkey re-NULLs, so <>7 starts passing). "
+        "Flink's update-mode planner maintains filtered outer joins "
+        "natively by delegation (TiFlinkApp.java:270). The fn raises "
+        "unless routed incrementally and replays a batch for "
+        "idempotence."
+    ),
+    tags=("mv", "incremental", "planner", "join", "full_outer", "filter"),
+)
+def mvapp_auto_full_outer_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    sup = (
+        t["supplier"]
+        .filter(F.col("s_suppkey") % 3 == 0)
+        .select(
+            "s_suppkey",
+            F.col("s_nationkey").alias("fk"),
+            F.col("s_acctbal").alias("bal"),
+        )
+    )
+    nat = t["nation"].select("n_nationkey", "n_name")
+    work = tempfile.mkdtemp(prefix="mvapp_fow_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("sup2", sup, pk=["s_suppkey"])
+            .source("nat_t", nat, pk=["n_nationkey"])
+            .query(
+                """SELECT s_suppkey, fk, bal, n_nationkey, n_name
+                   FROM sup2 FULL OUTER JOIN nat_t ON fk = n_nationkey
+                   WHERE coalesce(bal, 5000.0) > 2500.0
+                     AND coalesce(n_nationkey, 99) <> 7"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalFullOuterJoinMV":
+            raise AssertionError(
+                f"planner routed the filtered full outer join to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        # B1 -D: some nations lose their last supplier -> dim-only rows
+        # appear (and PASS the filter via coalesce(bal, 5000))
+        s_del = (
+            sup.filter(F.col("s_suppkey") % 12 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"sup2": s_del}, batch_id=1)
+        # B2 +U: key-moving + predicate-flipping updates (+3000 lifts
+        # rows over the 2500 bar; the fk move re-keys the join)
+        s_upd = (
+            sup.filter(
+                (F.col("s_suppkey") % 9 == 0) & (F.col("s_suppkey") % 12 != 0)
+            )
+            .withColumn("fk", (F.col("fk") + 7) % 25)
+            .withColumn("bal", F.col("bal") + 3000.0)
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"sup2": s_upd}, batch_id=2)
+        app.refresh({"sup2": s_upd}, batch_id=2)  # crash replay: no-op
+        # B3 dim -D: nation 7 leaves; its matched suppliers re-NULL and
+        # flip INTO the view (<>7 passes on the coalesced 99)
+        n_del = (
+            nat.filter(F.col("n_nationkey") == 7)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"nat_t": n_del}, batch_id=3)
+        return (
+            app.read()
+            .select(
+                "s_suppkey",
+                "fk",
+                F.round(F.col("bal") * 100).cast("bigint").alias("bal_cents"),
+                "n_nationkey",
                 "n_name",
             )
             .localCheckpoint(eager=True)

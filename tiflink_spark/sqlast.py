@@ -612,20 +612,21 @@ def join_on_clauses(query: str):
 
 def full_outer_join_clauses(query: str):
     """AST front-end for the two-sided preserved equi-join view:
-    (select, left, left_alias, right, right_alias, pairs) with
+    (select, left, left_alias, right, right_alias, pairs, where) with
     ``pairs`` the list of (lref, rref) equality conjuncts, or None.
     Envelope: exactly one FULL [OUTER] JOIN whose ON is a conjunction
     of [qual.]col = [qual.]col equalities (composite-key dims join on
-    several), NO WHERE (a post-join filter changes preserved-row
-    semantics), nothing trailing. AST-only — this matcher postdates
-    the regex front-ends' deprecation."""
+    several), an optional WHERE (validated row-local over the view's
+    OUTPUT by the matcher — SQL evaluates it AFTER the join, so it is
+    the stateless target-side filter, not a preserved-row change),
+    nothing trailing. AST-only — this matcher postdates the regex
+    front-ends' deprecation."""
     s = parse_join_select(query)
     if (
         s is None
         or s.tail is not None
         or s.group_by is not None
         or s.having is not None
-        or s.where is not None
         or len(s.joins) != 1
     ):
         return None
@@ -639,7 +640,7 @@ def full_outer_join_clauses(query: str):
         if em is None:
             return None  # any non-equality conjunct disqualifies
         pairs.append((em.group(1), em.group(2)))
-    return (s.select, s.table, s.alias, j.table, j.alias, pairs)
+    return (s.select, s.table, s.alias, j.table, j.alias, pairs, s.where)
 
 
 def semijoin_clauses(query: str):
