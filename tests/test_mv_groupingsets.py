@@ -65,13 +65,52 @@ class TestGroupingSetsMatcher:
         assert s is not None and s.where == "o_totalprice > 10"
         assert s.sets[1] == ("o_orderstatus",) and s.sets[2] == ()
 
+    def test_grouping_id_subset_and_reorder(self):
+        # round 7: any SUBSET of the grouping columns, in any order —
+        # per-set literals (first arg = MSB); Spark's own grouping_id()
+        # rejects this spelling, Flink/Calcite/DuckDB accept it
+        s = match_grouping_sets_shape(
+            """SELECT o_orderstatus, o_custkey,
+                      GROUPING_ID(o_custkey) AS g_sub,
+                      GROUPING_ID(o_custkey, o_orderstatus) AS g_rev,
+                      count(*) AS n
+               FROM orders GROUP BY ROLLUP(o_orderstatus, o_custkey)""",
+            {"orders"},
+            COLS,
+        )
+        assert s is not None
+        assert dict(s.gid_items) == {
+            "g_sub": ("o_custkey",),
+            "g_rev": ("o_custkey", "o_orderstatus"),
+        }
+        # a NON-grouping column inside GROUPING_ID still refuses
+        assert (
+            match_grouping_sets_shape(
+                """SELECT o_orderstatus, GROUPING_ID(o_totalprice) AS g, count(*) AS n
+                   FROM orders GROUP BY ROLLUP(o_orderstatus)""",
+                {"orders"},
+                COLS,
+            )
+            is None
+        )
+
+    def test_cube_cost_bound(self):
+        # round 7: the de-sugar cap is a |sets| COST bound (64), not a
+        # term-count syntax limit — CUBE(5) = 32 sets routes…
+        q5 = """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderkey AS k2, count(*) AS n
+                FROM orders GROUP BY CUBE(o_orderkey, o_custkey, o_orderstatus, o_totalprice, k2)"""
+        s = match_grouping_sets_shape(q5, {"orders"}, COLS)
+        assert s is not None and len(s.sets) == 32
+        # …CUBE(7) = 128 sets stays on recompute
+        cols7 = ", ".join(f"o_orderkey % {i} AS k{i}" for i in range(2, 9))
+        keys7 = ", ".join(f"k{i}" for i in range(2, 9))
+        q7 = f"""SELECT {cols7}, count(*) AS n
+                 FROM orders GROUP BY CUBE({keys7})"""
+        assert match_grouping_sets_shape(q7, {"orders"}, COLS) is None
+
     @pytest.mark.parametrize(
         "query",
         [
-            # GROUPING_ID over a SUBSET of the grouping columns ->
-            # fallback (Spark itself raises GROUPING_ID_COLUMN_MISMATCH)
-            """SELECT o_orderstatus, o_custkey, GROUPING_ID(o_custkey) AS g, count(*) AS n
-               FROM orders GROUP BY ROLLUP(o_orderstatus, o_custkey)""",
             # HAVING referencing a non-key, non-measure column -> recompute
             """SELECT o_orderstatus, count(*) AS n FROM orders
                GROUP BY ROLLUP(o_orderstatus) HAVING o_totalprice = 1""",
@@ -84,9 +123,6 @@ class TestGroupingSetsMatcher:
             # plain GROUP BY is not this shape
             """SELECT o_orderstatus, count(*) AS n FROM orders
                GROUP BY o_orderstatus""",
-            # 5-column CUBE (32 sets) stays on recompute
-            """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderkey AS k2, count(*) AS n
-               FROM orders GROUP BY CUBE(o_orderkey, o_custkey, o_orderstatus, o_totalprice, k2)""",
         ],
     )
     def test_rejects(self, query):
@@ -501,12 +537,14 @@ class TestGroupingSetsExprKeys:
             "FROM t GROUP BY GROUPING SETS (ROLLUP(d, st))",
             {"t"}, cols,
         ) is None
-        # CUBE over >4 terms stays on recompute (2^n set blow-up)
-        assert match_grouping_sets_shape(
+        # round 7: CUBE(5) = 32 sets is inside the |sets| cost bound —
+        # expression terms included
+        s5 = match_grouping_sets_shape(
             "SELECT id, d, st, v, upper(st) AS u5, count(*) AS n "
             "FROM t GROUP BY CUBE (id, d, st, v, upper(st))",
             {"t"}, cols,
-        ) is None
+        )
+        assert s5 is not None and len(s5.sets) == 32
 
     def test_converges_across_key_moves(self, spark, tmp_path):
         from tiflink_spark.app import MVApp

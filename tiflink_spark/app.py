@@ -59,6 +59,7 @@ from tiflink_spark.planner import (
     match_topn_shape,
     match_union_all_shape,
     match_window_shape,
+    spark_executable_query,
     split_group_order_limit,
     split_nested_query,
 )
@@ -341,7 +342,10 @@ class MVApp:
         self.query = query
 
         # Resolve the query against the catalog: schema + PK inference.
-        resolved = spark.sql(query)
+        # (spark_executable_query: subset-GROUPING_ID -> grouping()
+        # arithmetic; Spark's analyzer rejects the subset form the
+        # engine's SQL surface accepts.)
+        resolved = spark.sql(spark_executable_query(query))
         self.mv_schema = resolved.schema
         self.mv_pk = default_pk(self.mv_schema, pk)
         self.ddl = create_table_ddl(os.path.basename(target), self.mv_schema, self.mv_pk)
@@ -1211,7 +1215,7 @@ class MVApp:
         self._mv = RecomputeMV(
             spark,
             self._stores,
-            query,
+            spark_executable_query(query),
             os.path.join(target, "mv"),
             pk=self.mv_pk,
             num_buckets=num_buckets,

@@ -1926,16 +1926,59 @@ def _paren_wrapped(text: str) -> str | None:
     return text[1:end]
 
 
+# Per-set maintenance is delta-sized, so the de-sugar cap is a |sets|
+# cost bound, not a syntax limit: CUBE(6) = 64 sub-aggregates routes,
+# CUBE(7) = 128 falls back (see _expand_grouping_body's docstring).
+_MAX_GROUPING_SETS = 64
+
+_GID_CALL_RE = re.compile(
+    rf"(?is)\bGROUPING_ID\s*\(\s*(?P<args>{_IDENT}(?:\s*,\s*{_IDENT})*)\s*\)"
+)
+
+
+def spark_executable_query(query: str) -> str:
+    """Rewrite explicit-argument ``GROUPING_ID(a, b, …)`` calls into the
+    equivalent ``grouping()`` arithmetic (first argument = MSB):
+    ``CAST(grouping(a)*2 + grouping(b) AS BIGINT)``.
+
+    Spark's analyzer REJECTS any argument list that is not exactly the
+    grouping columns in grouping order (GROUPING_ID_COLUMN_MISMATCH),
+    but the engine's SQL surface follows Flink / Calcite / DuckDB,
+    where any subset in any order is legal. The grouping-sets route
+    emits per-set literals and never executes this text; schema
+    resolution and the RecomputeMV fallback do, so THEY get the
+    rewritten, Spark-executable form (identical semantics and BIGINT
+    type). Bare ``GROUPING_ID()`` is Spark-native and left untouched."""
+
+    def _sub(m: re.Match) -> str:
+        args = [a.strip() for a in m.group("args").split(",")]
+        k = len(args)
+        terms = " + ".join(
+            f"grouping({a})" if i == k - 1 else f"grouping({a}) * {1 << (k - 1 - i)}"
+            for i, a in enumerate(args)
+        )
+        return f"CAST({terms} AS BIGINT)"
+
+    return _GID_CALL_RE.sub(_sub, query)
+
+
 def _expand_grouping_body(body: str) -> list[tuple[str, ...]] | None:
     """De-sugar a GROUP BY tail into explicit grouping sets.
 
-    Accepts ``ROLLUP(a, b)``, ``CUBE(a, b)`` (≤4 terms — 16 sets;
-    larger cubes stay on recompute) and ``GROUPING SETS ((a, b), a,
-    ())``. Terms may be bare columns OR expressions (paren-aware
-    splitting; the core pairs expression terms with ``expr AS alias``
-    select items). Returns the expanded list of term-text tuples in
-    SQL emission order, or None for anything else (plain GROUP BY,
-    nested ROLLUP inside GROUPING SETS)."""
+    Accepts ``ROLLUP(a, b)``, ``CUBE(a, b)`` and ``GROUPING SETS
+    ((a, b), a, ())``. Terms may be bare columns OR expressions
+    (paren-aware splitting; the core pairs expression terms with
+    ``expr AS alias`` select items). Returns the expanded list of
+    term-text tuples in SQL emission order, or None for anything else
+    (plain GROUP BY, nested ROLLUP inside GROUPING SETS).
+
+    Cost bound: de-sugaring is capped at ``_MAX_GROUPING_SETS`` total
+    sets (CUBE(n) = 2^n, so n ≤ 6 routes; CUBE(7)+ stays on recompute).
+    The maintenance cost is one delta-sized aggregate state per set
+    over a SHARED fact store — per-batch work is |sets| × |delta|,
+    independent of table size, so 64 sets is a bounded, scale-safe
+    work quantum; past that the union view's width itself says the
+    user wants an OLAP cube engine pass, not per-commit maintenance."""
     body = body.strip().rstrip(";").strip()
     rm = re.match(r"(?is)^(ROLLUP|CUBE)\s*\(", body)
     if rm is not None:
@@ -1947,7 +1990,7 @@ def _expand_grouping_body(body: str) -> list[tuple[str, ...]] | None:
             return None
         if rm.group(1).upper() == "ROLLUP":
             return [tuple(terms[:i]) for i in range(len(terms), -1, -1)]
-        if len(terms) > 4:
+        if 2 ** len(terms) > _MAX_GROUPING_SETS:
             return None
         # CUBE: every subset, in Spark/DuckDB's emission order (bitmask
         # over terms, most-significant = first term present)
@@ -2130,17 +2173,20 @@ def _match_grouping_sets_core(
         gim = gid_re.match(item.strip())
         if gim is not None:
             args = [a.strip() for a in gim.group("args").split(",") if a.strip()]
-            # Spark only accepts GROUPING_ID() or GROUPING_ID(<all
-            # grouping columns, in grouping order>) — a subset raises
-            # GROUPING_ID_COLUMN_MISMATCH — so the maintainable form is
-            # exactly that; anything else stays on the fallback (where
-            # Spark raises the same error the user would see).
-            grouping_order = tuple(key_by_lower[c.lower()] for c in set_cols)
-            if args and tuple(a.lower() for a in args) != tuple(
-                c.lower() for c in grouping_order
-            ):
-                return None
-            gid_items.append((gim.group("alias"), grouping_order))
+            # Any SUBSET of the grouping columns, in any order (round 7;
+            # bare GROUPING_ID() = all keys in select order). The route
+            # emits per-set constant literals — first argument = most
+            # significant bit, the SQL-standard / DuckDB convention —
+            # so it accepts the subset form Spark's own grouping_id()
+            # rejects (GROUPING_ID_COLUMN_MISMATCH), matching Flink /
+            # Calcite / DuckDB semantics. Non-grouping columns refuse.
+            if args:
+                if any(a.lower() not in key_by_lower for a in args):
+                    return None
+                gid_cols = tuple(key_by_lower[a.lower()] for a in args)
+            else:
+                gid_cols = tuple(key_by_lower[c.lower()] for c in set_cols)
+            gid_items.append((gim.group("alias"), gid_cols))
             tail_order.append(("gid", gim.group("alias")))
             continue
         meas_items.append(item)

@@ -4416,6 +4416,189 @@ def mvapp_auto_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+_FINAL_ORDERS_C5_SQL = f"""
+    final_orders_c5 AS (
+        SELECT o_orderkey,
+               o_orderstatus, o_orderpriority,
+               CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0 AND o_orderkey < {BIG}
+                    THEN (o_custkey % 100 + 1) % 5 ELSE o_custkey % 5 END AS ck5,
+               CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0 AND o_orderkey < {BIG}
+                    THEN (o_custkey % 100 + 1) % 7 ELSE o_custkey % 7 END AS ck7,
+               o_orderkey % 3 AS mk3,
+               o_totalprice
+        FROM (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_totalprice
+            FROM orders WHERE o_orderkey % 7 <> 0
+            UNION ALL
+            SELECT o_orderkey + {BIG}, o_custkey, o_orderstatus, o_orderpriority, o_totalprice
+            FROM orders WHERE o_orderkey % 100 = 0
+        )
+    )
+"""
+
+
+@register(
+    "mvapp_auto_cube5",
+    f"""
+    WITH {_FINAL_ORDERS_C5_SQL}
+    SELECT o_orderstatus, o_orderpriority, ck5, ck7, mk3,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           CAST(GROUPING_ID(o_orderstatus, o_orderpriority, ck5, ck7, mk3)
+                AS BIGINT) AS gid
+    FROM final_orders_c5
+    WHERE o_totalprice > 500
+    GROUP BY CUBE(o_orderstatus, o_orderpriority, ck5, ck7, mk3)
+    """,
+    doc=(
+        "CUBE over FIVE columns (32 grouping sets) auto-routed to "
+        "IncrementalGroupingSetsMV — round 7 raised the de-sugar cap "
+        "from 4 terms to a |sets| COST bound (_MAX_GROUPING_SETS = 64: "
+        "per-batch work is |sets| x |delta| state merges over ONE "
+        "shared fact store, a bounded scale-safe quantum; CUBE(7)+ "
+        "stays on recompute). Bare GROUPING_ID() (Spark's no-arg form) "
+        "is emitted as a per-set constant literal; the DuckDB oracle "
+        "spells all five args (it has no bare form). Scripted "
+        "+I/-D/+U churn moves groups across ck5/ck7 simultaneously, "
+        "so subtotal rows at every one of the 32 grains retract and "
+        "re-insert. The fn raises unless routed incrementally."
+    ),
+    tags=("mv", "incremental", "planner", "grouping-sets", "cube"),
+)
+def mvapp_auto_cube5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+
+    def derive(df: DataFrame) -> DataFrame:
+        return df.select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            (F.col("o_custkey") % 5).alias("ck5"),
+            (F.col("o_custkey") % 7).alias("ck7"),
+            (F.col("o_orderkey") % 3).alias("mk3"),
+            "o_totalprice",
+            *[c for c in (OP_COL, SEQ_COL) if c in df.columns],
+        )
+
+    work = tempfile.mkdtemp(prefix="mvapp_c5_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("orders_c5", derive(t["orders"]), pk=["o_orderkey"])
+            .query(
+                """SELECT o_orderstatus, o_orderpriority, ck5, ck7, mk3,
+                          count(*) AS n_orders,
+                          sum(o_totalprice) AS total_raw,
+                          GROUPING_ID() AS gid
+                   FROM orders_c5
+                   WHERE o_totalprice > 500
+                   GROUP BY CUBE(o_orderstatus, o_orderpriority, ck5, ck7, mk3)"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalGroupingSetsMV":
+            raise AssertionError(
+                f"planner routed CUBE(5) to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        for i, b in enumerate(scripted_batches(t["orders"]), start=1):
+            app.refresh({"orders_c5": derive(b)}, batch_id=i)
+        return (
+            app.read()
+            .select(
+                "o_orderstatus",
+                "o_orderpriority",
+                "ck5",
+                "ck7",
+                "mk3",
+                "n_orders",
+                F.round("total_raw", 2).alias("total_price"),
+                "gid",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_gid_subset",
+    f"""
+    WITH {_FINAL_ORDERS_GS_SQL}
+    SELECT o_orderstatus, o_custkey, count(*) AS n_orders,
+           CAST(GROUPING_ID(o_custkey) AS BIGINT) AS gid_ck,
+           CAST(GROUPING_ID(o_custkey, o_orderstatus) AS BIGINT) AS gid_rev,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM final_orders_gs
+    WHERE o_totalprice > 500
+    GROUP BY GROUPING SETS ((o_orderstatus, o_custkey), (o_orderstatus), ())
+    """,
+    doc=(
+        "GROUPING_ID with SUBSET and REORDERED argument lists (round-7 "
+        "verdict #5): gid_ck takes one of the two grouping columns, "
+        "gid_rev takes both in reverse select order. The route emits "
+        "each as a per-set constant literal (first argument = most "
+        "significant bit, the SQL-standard / DuckDB / Calcite "
+        "convention), so it accepts the subset form Spark's own "
+        "grouping_id() REJECTS (GROUPING_ID_COLUMN_MISMATCH) — the "
+        "engine's SQL surface matches Flink's here, not Spark's "
+        "restriction. Scripted churn with group-key moves; the fn "
+        "raises unless routed incrementally."
+    ),
+    tags=("mv", "incremental", "planner", "grouping-sets"),
+)
+def mvapp_auto_gid_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_gid_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("orders_gid", t["orders"], pk=["o_orderkey"])
+            .query(
+                """SELECT o_orderstatus, o_custkey, count(*) AS n_orders,
+                          GROUPING_ID(o_custkey) AS gid_ck,
+                          GROUPING_ID(o_custkey, o_orderstatus) AS gid_rev,
+                          sum(o_totalprice) AS total_raw
+                   FROM orders_gid
+                   WHERE o_totalprice > 500
+                   GROUP BY GROUPING SETS ((o_orderstatus, o_custkey),
+                                           (o_orderstatus), ())"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalGroupingSetsMV":
+            raise AssertionError(
+                f"planner routed GROUPING_ID(subset) to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        for i, b in enumerate(scripted_batches(t["orders"]), start=1):
+            app.refresh({"orders_gid": b}, batch_id=i)
+        return (
+            app.read()
+            .select(
+                "o_orderstatus",
+                "o_custkey",
+                "n_orders",
+                "gid_ck",
+                "gid_rev",
+                F.round("total_raw", 2).alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @register(
     "mvapp_auto_setops_all",
     """
