@@ -1733,11 +1733,14 @@ def test_split_nested_query():
         "FROM t GROUP BY k) x"
     )
     assert r is not None and "CASE WHEN (v > 1)" in r[0]
-    # a joined derived table is not this shape
-    assert (
-        split_nested_query("SELECT a FROM (SELECT a FROM t) x JOIN u ON x.a = u.a")
-        is None
-    )
+    # round 7: a joined derived table SPLITS — the join tail goes to
+    # the outer level (the theta-over-equi cascade spelling)
+    r = split_nested_query("SELECT a FROM (SELECT a FROM t) x JOIN u ON x.a = u.a")
+    assert r is not None
+    assert r[0] == "SELECT a FROM t" and r[1] == "x"
+    assert r[2] == "SELECT a FROM x JOIN u ON x.a = u.a"
+    # comma-listed relations stay un-split
+    assert split_nested_query("SELECT a FROM (SELECT a FROM t) x, u") is None
     # plain FROM table is not nested
     assert split_nested_query("SELECT a FROM t WHERE a > 1") is None
     # parenthesized non-SELECT is not this shape

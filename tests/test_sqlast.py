@@ -366,9 +366,26 @@ class TestStructuralRewriteFrontEnds:
             "SELECT s FROM (SELECT s FROM t WHERE s <> 'x FROM (y') w"
         )
         assert r3 is not None and r3[1] == "w"
-        # joined derived table / plain table / non-SELECT block: None
-        assert sqlast.nested_from_subquery(
+        # round 7: a derived table FOLLOWED by an explicit JOIN splits
+        # (the theta-over-equi cascade spelling); the join tail stays
+        # verbatim in rest_text, and a join keyword is never mistaken
+        # for the alias
+        r4 = sqlast.nested_from_subquery(
             "SELECT a FROM (SELECT a FROM t) x JOIN u ON x.a = u.a"
+        )
+        assert r4 == (
+            "SELECT a FROM t",
+            "x",
+            "SELECT a FROM",
+            " JOIN u ON x.a = u.a",
+        )
+        r5 = sqlast.nested_from_subquery(
+            "SELECT a FROM (SELECT a FROM t) LEFT JOIN u ON a = u.a"
+        )
+        assert r5 is not None and r5[1] is None and r5[3].lstrip().upper().startswith("LEFT")
+        # comma-listed relations / plain table / non-SELECT block: None
+        assert sqlast.nested_from_subquery(
+            "SELECT a FROM (SELECT a FROM t) x, u"
         ) is None
         assert sqlast.nested_from_subquery("SELECT a FROM t WHERE a > 1") is None
         assert sqlast.nested_from_subquery("SELECT a FROM (VALUES (1)) v") is None

@@ -197,6 +197,21 @@ class CascadeMV:
         from tiflink_spark.changelog import OP_COL, SEQ_COL
         from tiflink_spark.store import changes_between
 
+        # Split the batch between the levels: tables the inner route
+        # maintains flow into it (their effect reaches the outer as the
+        # inner target's version diff); base tables the OUTER references
+        # directly (round 7 — e.g. the theta side of a theta-over-equi
+        # tree) flow straight to the outer alongside that diff. A table
+        # maintained at both levels goes to both — each keeps its own
+        # store, both see the same changelog.
+        inner_changes = {
+            k: v for k, v in changes.items()
+            if k in self.inner.maintained_tables()
+        }
+        outer_changes = {
+            k: v for k, v in changes.items()
+            if k in self.outer.maintained_tables() - {self.alias}
+        }
         # A single-target inner cascades through its target store; a
         # multi-store inner (grouping sets) exposes a store-shaped
         # composite façade as `cascade_target`.
@@ -212,32 +227,37 @@ class CascadeMV:
             # run unless EVERY sub committed, or the uncommitted subs
             # would never see the batch.
             v_from, fully_committed = pre(batch_id)
-            if not fully_committed:
-                self.inner.refresh(changes, batch_id)
+            if not fully_committed and inner_changes:
+                self.inner.refresh(inner_changes, batch_id)
         elif batch_id in tgt.committed_batches():
             # crash replay: the inner committed but (possibly) the outer
             # did not — recover this batch's delta from the version log
             v_from = tgt.version_before_batch(batch_id)
         else:
             v_from = tgt.current_version()
-            self.inner.refresh(changes, batch_id)
+            if inner_changes:
+                self.inner.refresh(inner_changes, batch_id)
         v_to = tgt.current_version()
-        if v_to == v_from:
-            return False
-        # Project through the inner query's schema PLUS the target's
-        # own key columns (a bag inner's hidden branch tag completes
-        # the true key the outer stores by); other engine-internal
-        # columns (hidden DISTINCT counts etc.) the outer must not see.
-        cols = list(
-            dict.fromkeys(
-                [f.name for f in self.inner.mv_schema.fields] + list(tgt.pk)
+        if v_to != v_from:
+            # Project through the inner query's schema PLUS the target's
+            # own key columns (a bag inner's hidden branch tag completes
+            # the true key the outer stores by); other engine-internal
+            # columns (hidden DISTINCT counts etc.) the outer must not see.
+            cols = list(
+                dict.fromkeys(
+                    [f.name for f in self.inner.mv_schema.fields] + list(tgt.pk)
+                )
             )
-        )
-        cb = getattr(tgt, "changes_between", None)
-        delta = (cb(v_from, v_to) if cb is not None else changes_between(tgt, v_from, v_to)).select(
-            *cols, OP_COL, SEQ_COL
-        )
-        return self.outer.refresh({self.alias: delta}, batch_id)
+            cb = getattr(tgt, "changes_between", None)
+            delta = (
+                cb(v_from, v_to)
+                if cb is not None
+                else changes_between(tgt, v_from, v_to)
+            ).select(*cols, OP_COL, SEQ_COL)
+            outer_changes = {self.alias: delta, **outer_changes}
+        if not outer_changes:
+            return False
+        return self.outer.refresh(outer_changes, batch_id)
 
     def read(self, version: int | None = None):
         return self.outer.read(version)
@@ -1161,9 +1181,24 @@ class MVApp:
                 else:
                     placeholder = None
                 if placeholder is not None:
+                    outer_sources = {alias: (placeholder, inner_key)}
+                    # The outer level may reference BASE tables besides
+                    # the derived one (round 7: one theta edge over an
+                    # otherwise-equi tree — inner equi-join MV, outer
+                    # theta join against the third table). Pass those
+                    # through; CascadeMV splits each batch's changes
+                    # between the levels. A false regex hit only adds
+                    # an unused source the outer's matchers ignore.
+                    import re as _re
+
+                    for n2, (spec2, df2) in dfs.items():
+                        if n2 != alias and _re.search(
+                            rf"(?is)\b{_re.escape(n2)}\b", outer_sql
+                        ):
+                            outer_sources[n2] = (df2, list(spec2.pk))
                     outer_app = MVApp(
                         spark,
-                        {alias: (placeholder, inner_key)},
+                        outer_sources,
                         outer_sql,
                         os.path.join(target, "outer"),
                         pk,
@@ -1186,6 +1221,9 @@ class MVApp:
                 )
                 self._mv = CascadeMV(inner_app, outer_app, alias)
                 self._stores = dict(inner_app._stores)
+                for n2, st2 in outer_app._stores.items():
+                    if n2 != alias:
+                        self._stores.setdefault(n2, st2)
                 return
             # A level fell back: remove the probe's directory skeletons,
             # but ONLY if they hold no data — a rebuild of a previously
@@ -1347,6 +1385,21 @@ class MVApp:
                 store.bootstrap(df, batch_id="src-init")
         self._mv.bootstrap(batch_id)
         return self
+
+    def maintained_tables(self) -> set[str]:
+        """Source tables whose changelogs this app's route consumes —
+        what :meth:`refresh` accepts without raising. CascadeMV uses
+        this to split a batch's changes between its two levels."""
+        if self.maintenance_mode == "incremental":
+            if self._join_names is not None:
+                return set(self._join_names)
+            if self._dict_refresh:
+                return set(self._ja_tables)
+            known = {self._fact_name}
+            if self._dim_name:
+                known.add(self._dim_name)
+            return known
+        return set(self._stores)
 
     def refresh(self, changes: dict[str, DataFrame], batch_id) -> bool:
         """Apply one changelog micro-batch (table name → __op/__seq rows)."""

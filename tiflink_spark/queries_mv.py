@@ -5511,3 +5511,145 @@ def mvapp_auto_cascade_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         return app.read().localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_theta_tree",
+    """
+    WITH sup_f AS (
+        SELECT s_suppkey,
+               CASE WHEN s_suppkey % 5 = 0
+                    THEN (s_nationkey + 11) % 25 ELSE s_nationkey END AS s_nationkey,
+               CASE WHEN s_suppkey % 5 = 0
+                    THEN s_acctbal + 2500.0 ELSE s_acctbal END AS s_acctbal
+        FROM supplier WHERE s_suppkey % 2 = 0),
+    nat_f AS (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey <> 7),
+    bands_f AS (
+        SELECT r_regionkey AS band_id,
+               r_regionkey * 2000.0 - 1000.0 AS lo,
+               CASE WHEN r_regionkey = 2
+                    THEN r_regionkey * 2000.0 + 2500.0
+                    ELSE r_regionkey * 2000.0 + 1000.0 END AS hi
+        FROM region WHERE r_regionkey <> 0),
+    j AS (SELECT s_suppkey, n_nationkey, s_acctbal, n_name
+          FROM sup_f JOIN nat_f ON s_nationkey = n_nationkey)
+    SELECT s_suppkey, n_nationkey,
+           CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents,
+           n_name, band_id,
+           CAST(round(lo) AS BIGINT) AS lo_i,
+           CAST(round(hi) AS BIGINT) AS hi_i
+    FROM j JOIN bands_f ON s_acctbal >= lo AND s_acctbal < hi
+    """,
+    doc=(
+        "ONE THETA EDGE inside an otherwise-equi join tree (round-7 "
+        "verdict #6), maintained via the cascade spelling: the inner "
+        "equi join (supplier enriched with its nation) is its own "
+        "incremental MV, and the outer BAND join (acctbal BETWEEN a "
+        "band's bounds — the non-equi edge) consumes the inner "
+        "target's version diff PLUS the band table's own changelog, "
+        "which CascadeMV now splits per level. This is how Flink's "
+        "planner shapes the same tree (equi hash-join feeding a "
+        "band-predicate join, each keeping its own state; the "
+        "reference gets it by delegation, TiFlinkApp.java:270). "
+        "Band-widening churn on the theta side (band 2's upper bound "
+        "grows to OVERLAP band 3, band 0 is dropped), balance/fk "
+        "updates on the inner fact side, and a dim delete on the "
+        "inner dim side all converge. The fn raises unless routed "
+        "CascadeMV with a theta outer, and replays a batch for "
+        "idempotence."
+    ),
+    tags=("mv", "incremental", "planner", "join", "theta", "cascade"),
+)
+def mvapp_auto_theta_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    sup = (
+        t["supplier"]
+        .filter(F.col("s_suppkey") % 2 == 0)
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+    )
+    nat = t["nation"].select("n_nationkey", "n_name")
+    bands = t["region"].select(
+        F.col("r_regionkey").alias("band_id"),
+        (F.col("r_regionkey") * 2000.0 - 1000.0).alias("lo"),
+        (F.col("r_regionkey") * 2000.0 + 1000.0).alias("hi"),
+    )
+    work = tempfile.mkdtemp(prefix="mvapp_tt_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("sup_t", sup, pk=["s_suppkey"])
+            .source("nat_t", nat, pk=["n_nationkey"])
+            .source("bands", bands, pk=["band_id"])
+            .query(
+                """SELECT s_suppkey, n_nationkey, s_acctbal, n_name,
+                          band_id, lo, hi
+                   FROM ( SELECT s_suppkey, s_nationkey, n_nationkey,
+                                 s_acctbal, n_name
+                          FROM sup_t JOIN nat_t
+                            ON s_nationkey = n_nationkey ) j
+                   JOIN bands ON s_acctbal >= lo AND s_acctbal < hi"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "CascadeMV" or (
+            app._mv.outer.maintenance_strategy != "IncrementalThetaJoinMV"
+        ):
+            raise AssertionError(
+                f"planner routed the theta tree to {app.maintenance_strategy}"
+                f"/{getattr(getattr(app._mv, 'outer', None), 'maintenance_strategy', '?')}"
+            )
+        app.bootstrap()
+        # B1 (inner fact): balance + fk churn — rows cross band edges
+        # AND re-key the inner equi join in one batch
+        s_upd = (
+            sup.filter(F.col("s_suppkey") % 5 == 0)
+            .withColumn("s_nationkey", (F.col("s_nationkey") + 11) % 25)
+            .withColumn("s_acctbal", F.col("s_acctbal") + 2500.0)
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"sup_t": s_upd}, batch_id=1)
+        # B2 (theta side, outer-only source): band 2 WIDENS to overlap
+        # band 3 (+U), band 0 drops (-D) — rows gain/lose band matches
+        # with no inner change at all
+        b_upd = (
+            bands.filter(F.col("band_id") == 2)
+            .withColumn("hi", F.col("hi") + 1500.0)
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        b_del = (
+            bands.filter(F.col("band_id") == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"bands": b_upd.unionByName(b_del)}, batch_id=2)
+        app.refresh({"bands": b_upd.unionByName(b_del)}, batch_id=2)  # replay
+        # B3 (inner dim): nation 7 leaves -> its suppliers leave the
+        # inner join, the outer retracts their band rows
+        n_del = (
+            nat.filter(F.col("n_nationkey") == 7)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"nat_t": n_del}, batch_id=3)
+        return (
+            app.read()
+            .select(
+                "s_suppkey",
+                "n_nationkey",
+                F.round(F.col("s_acctbal") * 100).cast("bigint").alias("bal_cents"),
+                "n_name",
+                "band_id",
+                F.round("lo").cast("bigint").alias("lo_i"),
+                F.round("hi").cast("bigint").alias("hi_i"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -1285,11 +1285,14 @@ def nested_from_subquery(sql: str):
     <rest>`` into (inner_sql, alias_or_None, head_text, rest_text), or
     None. Token-based: the FROM is found at paren depth 0 (a ``FROM (``
     inside a string literal or a select-list subquery never misfires,
-    the weak spot of the old regex head), the inner block must itself
-    start with SELECT, and the derived table must be the ONLY relation
-    (a trailing comma or join keyword bails). ``head_text`` is the
-    verbatim ``SELECT … FROM`` prefix; ``rest_text`` the verbatim text
-    after the alias (leading space included when non-empty)."""
+    the weak spot of the old regex head), and the inner block must
+    itself start with SELECT. The derived table may be FOLLOWED by
+    explicit JOIN clauses (round 7: the theta-over-equi cascade
+    spelling — the outer level's own matchers decide whether that
+    join tree routes); only the comma-list form bails. ``head_text``
+    is the verbatim ``SELECT … FROM`` prefix; ``rest_text`` the
+    verbatim text after the alias (leading space included when
+    non-empty)."""
     s = sql.strip().rstrip(";")
     toks = tokenize(s)
     if not toks or toks[0].kind != "ident" or toks[0].lower() != "select":
@@ -1323,15 +1326,14 @@ def nested_from_subquery(sql: str):
             if len(rest_toks) < 2 or rest_toks[1].kind != "ident":
                 return None
             alias, rest_toks = rest_toks[1].text, rest_toks[2:]
-        elif t0.lower() not in _CLAUSE_STARTS and t0.lower() not in (
-            "qualify", "window", "fetch", "outer", "natural",
+        elif (
+            t0.lower() not in _CLAUSE_STARTS
+            and t0.lower() not in ("qualify", "window", "fetch", "outer")
+            and t0.lower() not in _JOIN_WORDS
         ):
             alias, rest_toks = t0.text, rest_toks[1:]
-    if rest_toks and (
-        rest_toks[0].text == ","
-        or (rest_toks[0].kind == "ident" and rest_toks[0].lower() in _JOIN_WORDS)
-    ):
-        return None  # the derived table must be the only FROM relation
+    if rest_toks and rest_toks[0].text == ",":
+        return None  # comma-listed relations stay un-split
     head = s[: toks[fi].end]
     rest = (" " + s[rest_toks[0].start :]) if rest_toks else ""
     return inner, alias, head, rest
