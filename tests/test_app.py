@@ -2183,3 +2183,92 @@ def test_topn_unique_order_and_mid_tie_route(spark, tmp_path):
     assert {(r.g, r.id, r.rn) for r in app2.read().collect()} == {
         ("a", 3, 1), ("b", 4, 1)
     }
+
+
+def _flags_app(spark, tmp_path, drop_old=False, force_new=False, flt=5000):
+    src = spark.createDataFrame(
+        [(i, i % 3, float(i * 10)) for i in range(1, 21)],
+        "id int, grp int, v double",
+    )
+    b = (
+        MVApp.builder(spark)
+        .source("src_fl", src.filter(F.col("id") * 10 <= flt), pk=["id"])
+        .query("SELECT grp, count(*) AS n, sum(v) AS total FROM src_fl GROUP BY grp")
+        .target(str(tmp_path / "mv_flags"))
+        .num_buckets(2)
+        .shuffle_partitions(2)
+    )
+    if drop_old:
+        b = b.drop_old_table()
+    if force_new:
+        b = b.force_new_table()
+    return b.build()
+
+
+def test_target_lifecycle_flags(spark, tmp_path):
+    """drop_old_table / force_new_table builder parity
+    (TiFlinkApp.java:215-223 -> ensureTargetTable :104-115)."""
+    import pytest
+
+    app1 = _flags_app(spark, tmp_path)
+    app1.bootstrap()
+    rows1 = {(r.grp, r.n) for r in app1.read().collect()}
+
+    # default (CREATE TABLE IF NOT EXISTS analog): a second app over the
+    # same target ATTACHES — bootstrap is the idempotent replay no-op
+    app2 = _flags_app(spark, tmp_path)
+    assert app2.describe()["drop_old_table"] is False
+    app2.bootstrap()
+    assert {(r.grp, r.n) for r in app2.read().collect()} == rows1
+
+    # force_new_table: an existing committed target is an error…
+    app3 = _flags_app(spark, tmp_path, force_new=True)
+    with pytest.raises(ValueError, match="force_new_table"):
+        app3.bootstrap()
+
+    # …unless drop_old_table wipes it first: the re-bootstrap publishes
+    # from the CURRENT (smaller) source, not the previous run's state
+    app4 = _flags_app(spark, tmp_path, drop_old=True, force_new=True, flt=100)
+    app4.bootstrap()
+    rows4 = {(r.grp, r.n) for r in app4.read().collect()}
+    assert rows4 != rows1
+    assert sum(n for _, n in rows4) == 10  # ids 1..10 survive flt=100
+    d = app4.describe()
+    assert d["drop_old_table"] is True and d["force_new_table"] is True
+
+
+def test_describe_recent_batches(spark, tmp_path):
+    """Refresh-ops observability: per-batch wall-time and touched-work
+    counts ride the target's commit manifest (store._commit stats) and
+    surface through describe() — the coordinator-visibility analog
+    (GrpcService.java:87-135)."""
+    src = spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(1, 41)],
+        "id int, grp int, v double",
+    )
+    app = (
+        MVApp.builder(spark)
+        .source("src_rb", src, pk=["id"])
+        .query("SELECT grp, count(*) AS n, sum(v) AS total FROM src_rb GROUP BY grp")
+        .target(str(tmp_path / "mv_rb"))
+        .num_buckets(2)
+        .shuffle_partitions(2)
+        .build()
+    )
+    app.bootstrap()
+    ch = (
+        src.filter(F.col("id") % 10 == 0)
+        .withColumn("v", F.col("v") + 1.0)
+        .withColumn(OP_COL, F.lit(OP_UPDATE))
+        .withColumn(SEQ_COL, F.monotonically_increasing_id())
+    )
+    app.refresh({"src_rb": ch}, batch_id=1)
+    recent = app.describe()["recent_batches"]
+    assert recent, "describe() must expose the per-batch history"
+    last = recent[-1]
+    assert last["batch_id"] == 1
+    # ids 10/20/30/40 land in groups {0, 2} -> 2 target change rows,
+    # timed and counted
+    assert last["change_rows"] == 2
+    assert last["touched_buckets"] >= 1
+    assert last["merge_secs"] > 0

@@ -138,6 +138,30 @@ class MVAppBuilder:
         self._column_names = list(names)
         return self
 
+    def drop_old_table(self, enabled: bool = True) -> "MVAppBuilder":
+        """Wipe any existing target state before the first publish —
+        the reference builder's ``setDropOldTable``
+        (TiFlinkApp.java:215-218; ``jdbcHelper.dropTable`` in
+        ``ensureTargetTable``, TiFlinkApp.java:104-115). At
+        :meth:`MVApp.bootstrap` the entire target working directory
+        (MV target, fact/state stores, cascade levels) is removed, so
+        the bootstrap republishes from the CURRENT sources instead of
+        attaching to the previous run's state."""
+        self._drop_old_table = enabled
+        return self
+
+    def force_new_table(self, enabled: bool = True) -> "MVAppBuilder":
+        """Refuse to bootstrap over an existing target — the reference
+        builder's ``setForceNewTable`` (TiFlinkApp.java:220-223):
+        CREATE TABLE without IF NOT EXISTS, i.e. an already-present
+        table is an error unless ``drop_old_table`` removed it first.
+        This repo's DEFAULT is the reference's ``false`` spelling
+        (CREATE TABLE IF NOT EXISTS): bootstrap over a committed
+        target ATTACHES idempotently — the batch-id replay guard the
+        crash-recovery contract relies on."""
+        self._force_new_table = enabled
+        return self
+
     def validate_pks(self, enabled: bool = True) -> "MVAppBuilder":
         """Assert at bootstrap that every source really is unique on its
         declared PK (one COUNT vs COUNT-DISTINCT aggregate per source —
@@ -166,6 +190,8 @@ class MVAppBuilder:
             validate_pks=getattr(self, "_validate_pks", False),
             column_names=getattr(self, "_column_names", None),
             window_strategy=getattr(self, "_window_strategy", "sort"),
+            drop_old_table=getattr(self, "_drop_old_table", False),
+            force_new_table=getattr(self, "_force_new_table", False),
         )
 
 
@@ -272,6 +298,7 @@ class MVApp:
         self, spark, sources, query, target, pk, num_buckets,
         shuffle_partitions=None, ddl_hook=None, validate_pks=False,
         column_names=None, window_strategy="sort",
+        drop_old_table=False, force_new_table=False,
     ):
         # Output-name override (the reference builder's setColumnNames,
         # README.md:56): planning/maintenance run on the query's own
@@ -279,6 +306,10 @@ class MVApp:
         # after whichever route's early return built the app.
         self._column_names = None
         self._window_strategy = window_strategy
+        # Target lifecycle flags (TiFlinkApp.java:215-223); applied at
+        # bootstrap() — building an MVApp plans, it does not write.
+        self.drop_old_table = drop_old_table
+        self.force_new_table = force_new_table
         self._plan(
             spark, sources, query, target, pk, num_buckets,
             shuffle_partitions, ddl_hook, validate_pks,
@@ -1278,6 +1309,8 @@ class MVApp:
                 f"CascadeMV[{self._mv.inner.maintenance_strategy}"
                 f" -> {self._mv.outer.maintenance_strategy}]"
             )
+        if target is None and isinstance(self._mv, CascadeMV):
+            target = getattr(self._mv.outer._mv, "target", None)
         return {
             "query": self.query,
             "maintenance_mode": self.maintenance_mode,
@@ -1290,6 +1323,13 @@ class MVApp:
                 map(str, target.committed_batches())
             ) if target is not None else [],
             "sources": sorted(self._stores),
+            "drop_old_table": self.drop_old_table,
+            "force_new_table": self.force_new_table,
+            # per-batch refresh history off the target's commit manifest
+            # (wall-time + touched rows/buckets captured by store.merge)
+            "recent_batches": (
+                target.recent_commits() if target is not None else []
+            ),
         }
 
     def _all_stores(self) -> list[KeyedParquetStore]:
@@ -1343,7 +1383,35 @@ class MVApp:
             removed += store.vacuum(keep_last)
         return removed
 
+    def _target_committed(self) -> bool:
+        """True when ANY store under the target working dir holds a
+        commit manifest — the 'table already exists' probe for the
+        force_new_table / drop_old_table lifecycle flags."""
+        from tiflink_spark.store import COMMITS_FILE
+
+        if not os.path.isdir(self.target_path):
+            return False
+        for root, _dirs, files in os.walk(self.target_path):
+            if COMMITS_FILE in files:
+                return True
+        return False
+
     def bootstrap(self, batch_id=0) -> "MVApp":
+        # Target lifecycle (ensureTargetTable, TiFlinkApp.java:104-115):
+        # drop_old_table wipes the previous run's entire target state so
+        # this bootstrap republishes from the CURRENT sources;
+        # force_new_table then refuses a still-existing target (CREATE
+        # TABLE without IF NOT EXISTS). Default: attach idempotently.
+        if self.drop_old_table and os.path.isdir(self.target_path):
+            import shutil
+
+            shutil.rmtree(self.target_path, ignore_errors=True)
+        if self.force_new_table and self._target_committed():
+            raise ValueError(
+                f"target '{self.target_path}' already holds a committed MV "
+                "and force_new_table is set — drop_old_table(True) to "
+                "replace it, or leave force_new_table off to attach"
+            )
         # Opt-in source-PK audit: a falsely-declared PK (duplicate or
         # NULL keys) corrupts MERGE-by-PK maintenance silently; fail
         # loudly here instead. One aggregate pass per source.

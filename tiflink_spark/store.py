@@ -173,7 +173,38 @@ class KeyedParquetStore:
         commits = self._commits()
         return commits[-1]["version"] if commits else None
 
-    def _commit(self, batch_id, version: int, buckets: dict[int, str], schema_json: str) -> None:
+    def recent_commits(self, n: int = 8) -> list[dict]:
+        """The last ``n`` commits' observability records (newest last):
+        batch id, version, timestamp, and the merge stats captured at
+        commit time — what MVApp.describe() surfaces as the per-batch
+        refresh history (the coordinator-visibility analog,
+        GrpcService.java:87-135)."""
+        out = []
+        for c in self._commits()[-n:]:
+            rec = {
+                "batch_id": c["batch_id"],
+                "version": c["version"],
+                "ts": c.get("ts"),
+            }
+            if c.get("stats"):
+                rec.update(c["stats"])
+            out.append(rec)
+        return out
+
+    def _commit(
+        self,
+        batch_id,
+        version: int,
+        buckets: dict[int, str],
+        schema_json: str,
+        stats: dict | None = None,
+    ) -> None:
+        # ``stats`` is the refresh-ops observability record (round-7
+        # verdict #8 — the engine-side analog of the coordinator's txn
+        # visibility, GrpcService.java:87-135): per-batch merge
+        # wall-time and touched-work counts, free to capture because
+        # the bucket-discovery action already runs. Readers .get() it;
+        # absent on legacy lines and bootstraps.
         line = json.dumps(
             {
                 "batch_id": batch_id,
@@ -182,6 +213,7 @@ class KeyedParquetStore:
                 "schema": schema_json,
                 "num_buckets": self.num_buckets,
                 "ts": time.time(),
+                **({"stats": stats} if stats else {}),
             }
         )
         # Single append = atomic-enough commit point for one writer.
@@ -358,6 +390,7 @@ class KeyedParquetStore:
         """
         if batch_id in self.committed_batches():
             return False
+        t0 = time.monotonic()
         commits = self._commits()
         if not commits:
             raise RuntimeError("merge() before bootstrap()")
@@ -372,18 +405,29 @@ class KeyedParquetStore:
 
         # The changes lineage is often expensive (state diffs, dirty-group
         # recomputes); cache it across the two actions below (bucket
-        # discovery + write) so it executes once.
+        # discovery + write) so it executes once. The groupBy-count is
+        # the same single action the bucket-discovery distinct was, and
+        # its per-bucket counts feed the commit's stats record for free.
         changes = changes.withColumn(
             BUCKET_COL, _bucket_expr(self.pk, self.num_buckets)
         ).cache()
-        changed = sorted(
-            r[BUCKET_COL]
-            for r in changes.select(BUCKET_COL).distinct().collect()
-        )
+        per_bucket = changes.groupBy(BUCKET_COL).count().collect()
+        changed = sorted(r[BUCKET_COL] for r in per_bucket)
+        n_change_rows = sum(r["count"] for r in per_bucket)
         schema_json = commits[-1]["schema"]
         if not changed:
             changes.unpersist()
-            self._commit(batch_id, commits[-1]["version"] + 1, prev, schema_json)
+            self._commit(
+                batch_id,
+                commits[-1]["version"] + 1,
+                prev,
+                schema_json,
+                stats={
+                    "change_rows": 0,
+                    "touched_buckets": 0,
+                    "merge_secs": round(time.monotonic() - t0, 3),
+                },
+            )
             return True
 
         # Current state of ONLY the affected buckets.
@@ -412,7 +456,17 @@ class KeyedParquetStore:
                 # bucket emptied by deletes
                 buckets.pop(str(b), None)
         changes.unpersist()
-        self._commit(batch_id, version, buckets, schema_json)
+        self._commit(
+            batch_id,
+            version,
+            buckets,
+            schema_json,
+            stats={
+                "change_rows": n_change_rows,
+                "touched_buckets": len(changed),
+                "merge_secs": round(time.monotonic() - t0, 3),
+            },
+        )
         return True
 
 
