@@ -69,6 +69,139 @@ def _contention_probe() -> dict:
     return {"other_jvms": other_jvms, "load1": load1, "contended": contended}
 
 
+def _mv_refresh_block(spark, sf_dir: str) -> dict:
+    """Benchmark the engine's CORE path — incremental MV maintenance —
+    against its recompute baseline on the SAME queries (VERDICT r6 #3:
+    the refresh contract, TiFlinkExample.java:22-23 / README.md "this
+    interval determines data refresh rate", had convergence proofs but
+    no recorded latency). Three representative routes, each driven by
+    the same scripted ~1%-of-orders churn: bootstrap once (timed), then
+    three timed refresh batches; the recompute twin is the identical
+    builder with force_recompute(). Changelog inputs are materialized
+    (localCheckpoint) before timing so both variants pay zero lineage
+    cost — the timing is maintenance work only.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tiflink_spark.app import MVApp
+    from tiflink_spark.changelog import OP_COL, OP_DELETE, OP_UPDATE, SEQ_COL
+    from tiflink_spark.session import load_tables
+
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"]
+    batches = []
+    for op, mod in ((OP_UPDATE, 0), (OP_UPDATE, 1), (OP_DELETE, 2)):
+        b = orders.filter(F.col("o_orderkey") % 1000 == mod)
+        if op == OP_UPDATE:
+            b = b.withColumn("o_totalprice", F.col("o_totalprice") + 10.0)
+        batches.append(
+            b.withColumn(OP_COL, F.lit(op))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+            .localCheckpoint(eager=True)
+        )
+
+    def flagship(builder):
+        return builder.source("ord_b", orders, pk=["o_orderkey"]).source(
+            "cust_b", t["customer"], pk=["c_custkey"]
+        ).query(
+            """SELECT c_custkey, c_name,
+                      (SELECT count(*) FROM ord_b o
+                       WHERE o.o_custkey = c.c_custkey) AS order_cnt
+               FROM cust_b c"""
+        )
+
+    def star_agg(builder):
+        return builder.source("ord_b", orders, pk=["o_orderkey"]).source(
+            "cust_b", t["customer"], pk=["c_custkey"]
+        ).source("nat_b", t["nation"], pk=["n_nationkey"]).query(
+            """SELECT n.n_name, count(*) AS n_orders,
+                      sum(o.o_totalprice) AS total_raw
+               FROM ord_b o
+                 JOIN cust_b c ON o.o_custkey = c.c_custkey
+                 JOIN nat_b n ON c.c_nationkey = n.n_nationkey
+               GROUP BY n.n_name"""
+        )
+
+    def topn(builder):
+        return builder.source("ord_b", orders, pk=["o_orderkey"]).query(
+            """SELECT o_custkey, o_orderkey, rn FROM (
+                 SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                 FROM ord_b) t WHERE rn <= 2"""
+        )
+
+    def run(make, force_recompute: bool) -> dict:
+        work = tempfile.mkdtemp(prefix="bench_mv_")
+        try:
+            b = make(MVApp.builder(spark)).target(work).num_buckets(8).shuffle_partitions(8)
+            if force_recompute:
+                b = b.force_recompute()
+            app = b.build()
+            t0 = time.perf_counter()
+            app.bootstrap()
+            boot = round(time.perf_counter() - t0, 3)
+            refresh_secs = []
+            for i, ch in enumerate(batches, start=1):
+                t0 = time.perf_counter()
+                app.refresh({"ord_b": ch}, batch_id=i)
+                refresh_secs.append(round(time.perf_counter() - t0, 3))
+            return {
+                "strategy": app.maintenance_strategy,
+                "bootstrap_sec": boot,
+                "refresh_secs": refresh_secs,
+                "refresh_total": round(sum(refresh_secs), 3),
+            }
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    out: dict = {}
+    for name, make in (
+        ("flagship_correlated_count", flagship),
+        ("star_join_agg", star_agg),
+        ("topn_per_group", topn),
+    ):
+        inc = run(make, force_recompute=False)
+        rec = run(make, force_recompute=True)
+        out[name] = {
+            **inc,
+            "recompute": rec,
+            "refresh_speedup_vs_recompute": (
+                round(rec["refresh_total"] / inc["refresh_total"], 2)
+                if inc["refresh_total"] > 0
+                else None
+            ),
+        }
+    return out
+
+
+def _latest_idle_reference() -> dict | None:
+    """Embed the most recent committed idle-run record (BENCH_idle_*.json
+    at the repo root) so the driver's BENCH artifact carries both the
+    driver-run number and the idle close-of-round number side by side —
+    trend analysis then never chases a contention phantom (VERDICT r6
+    #9, the minhash lesson)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(here, "BENCH_idle_*.json")))
+    if not files:
+        return None
+    try:
+        with open(files[-1]) as f:
+            rec = json.load(f)
+        return {
+            "file": os.path.basename(files[-1]),
+            "value": rec.get("value"),
+            "queries": rec.get("queries"),
+        }
+    except (OSError, ValueError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     probe = _contention_probe()
@@ -135,6 +268,13 @@ def main() -> None:
             "now": timings.get("dedup_minhash_lsh"),
         }
     }
+    # The engine's core path: incremental refresh vs recompute on the
+    # same queries (skippable for quick headline-only probes).
+    mv_refresh = (
+        _mv_refresh_block(spark, sf_dir)
+        if os.environ.get("SPARK_GRAFT_SKIP_MV_REFRESH") != "1"
+        else None
+    )
     print(
         json.dumps(
             {
@@ -147,6 +287,8 @@ def main() -> None:
                 "timing": "min_of_3",
                 "contention_probe": probe,
                 "tracked_trends": trend,
+                "mv_refresh": mv_refresh,
+                "idle_reference": _latest_idle_reference(),
             }
         )
     )

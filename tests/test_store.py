@@ -135,3 +135,52 @@ def test_cosine_topk_nparts_derivation():
     assert cosine_topk_nparts(60_000) == 8
     assert cosine_topk_nparts(6_000_000) == 733
     assert cosine_topk_nparts(10**9) == 1024  # capped: ANN is the crossover
+
+
+def test_merge_on_read_delta_chain(spark, store):
+    """Merge-on-read (round 7): micro-batch merges append O(δ) delta
+    files (base buckets untouched) until the chain hits
+    MAX_PENDING_DELTAS, when the merge FOLDS — rewriting exactly the
+    touched buckets and clearing the chain. Reads, time travel,
+    changes_between, replay idempotence, and vacuum all reconcile the
+    chain exactly."""
+    from tiflink_spark.store import changes_between
+
+    store.bootstrap(
+        spark.createDataFrame([(i, "x") for i in range(1, 101)], "k int, v string")
+    )
+    base_buckets = dict(store._commits()[-1]["buckets"])
+    store.merge(_changes(spark, [(1, "A", OP_UPDATE, 0)]), batch_id=1)
+    store.merge(_changes(spark, [(101, "new", OP_INSERT, 0)]), batch_id=2)
+    store.merge(
+        _changes(spark, [(2, "B", OP_UPDATE, 0), (1, "A2", OP_UPDATE, 1)]),
+        batch_id=3,
+    )
+    store.merge(_changes(spark, [(3, None, OP_DELETE, 0)]), batch_id=4)
+    rc = store.recent_commits(5)
+    assert [r.get("mode") for r in rc[1:]] == ["delta", "delta", "delta", "delta"]
+    # 4 delta appends: the BASE bucket map is byte-identical (O(δ) writes)
+    assert dict(store._commits()[-1]["buckets"]) == base_buckets
+    cur = {r.k: r.v for r in store.read().collect()}
+    assert cur[1] == "A2" and cur[2] == "B" and 3 not in cur and cur[101] == "new"
+    assert len(cur) == 100
+    # time travel into the middle of the chain
+    v2 = {r.k: r.v for r in store.read(2).collect()}
+    assert v2[1] == "A" and v2[2] == "x" and v2[101] == "new" and len(v2) == 101
+    # CDC diff across delta-carrying versions
+    ops = {r.k: r[OP_COL] for r in changes_between(store, 2, 4).collect()}
+    assert ops.get(3) == OP_DELETE and ops.get(2) == OP_UPDATE
+    # 5th merge folds: chain cleared, only touched buckets rewritten
+    store.merge(_changes(spark, [(4, "D", OP_UPDATE, 0)]), batch_id=5)
+    last = store._commits()[-1]
+    assert store.recent_commits(1)[0]["mode"] == "fold"
+    assert not last.get("deltas")
+    assert {r.k: r.v for r in store.read().collect()}[4] == "D"
+    # replay of the folded batch: no-op
+    assert store.merge(_changes(spark, [(4, "ZZ", OP_UPDATE, 0)]), batch_id=5) is False
+    assert {r.k: r.v for r in store.read().collect()}[4] == "D"
+    # vacuum keeps the live chain of retained versions
+    store.merge(_changes(spark, [(5, "E", OP_UPDATE, 0)]), batch_id=6)
+    store.vacuum(keep_last=2)
+    cur = {r.k: r.v for r in store.read().collect()}
+    assert cur[5] == "E" and cur[4] == "D" and len(cur) == 100

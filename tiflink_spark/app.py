@@ -138,6 +138,16 @@ class MVAppBuilder:
         self._column_names = list(names)
         return self
 
+    def force_recompute(self, enabled: bool = True) -> "MVAppBuilder":
+        """Pin the view to the RecomputeMV fallback, skipping every
+        incremental probe. Two uses: A/B-measuring incremental
+        maintenance against its recompute baseline on the SAME query
+        (bench.py's mv_refresh block), and views whose churn profile
+        (full-table rewrites per batch) makes recompute the cheaper
+        plan."""
+        self._force_recompute = enabled
+        return self
+
     def drop_old_table(self, enabled: bool = True) -> "MVAppBuilder":
         """Wipe any existing target state before the first publish —
         the reference builder's ``setDropOldTable``
@@ -192,6 +202,7 @@ class MVAppBuilder:
             window_strategy=getattr(self, "_window_strategy", "sort"),
             drop_old_table=getattr(self, "_drop_old_table", False),
             force_new_table=getattr(self, "_force_new_table", False),
+            force_recompute=getattr(self, "_force_recompute", False),
         )
 
 
@@ -299,6 +310,7 @@ class MVApp:
         shuffle_partitions=None, ddl_hook=None, validate_pks=False,
         column_names=None, window_strategy="sort",
         drop_old_table=False, force_new_table=False,
+        force_recompute=False,
     ):
         # Output-name override (the reference builder's setColumnNames,
         # README.md:56): planning/maintenance run on the query's own
@@ -313,6 +325,7 @@ class MVApp:
         self._plan(
             spark, sources, query, target, pk, num_buckets,
             shuffle_partitions, ddl_hook, validate_pks,
+            force_recompute=force_recompute,
         )
         if column_names is not None:
             self._finish_column_names(column_names, target)
@@ -343,6 +356,7 @@ class MVApp:
     def _plan(
         self, spark, sources, query, target, pk, num_buckets,
         shuffle_partitions=None, ddl_hook=None, validate_pks=False,
+        force_recompute=False,
     ):
         self.spark = spark
         self.catalog = Catalog(spark)
@@ -400,6 +414,17 @@ class MVApp:
         self.mv_schema = resolved.schema
         self.mv_pk = default_pk(self.mv_schema, pk)
         self.ddl = create_table_ddl(os.path.basename(target), self.mv_schema, self.mv_pk)
+
+        # Explicit escape hatch (builder.force_recompute()): skip every
+        # incremental probe — for A/B-measuring incremental maintenance
+        # against the recompute baseline (bench.py's mv_refresh block)
+        # and for pinning a view to recompute when its churn profile
+        # makes that the cheaper plan (full-table rewrites per batch).
+        if force_recompute:
+            self._setup_recompute(
+                spark, dfs, query, target, num_buckets, shuffle_partitions
+            )
+            return
 
         # Maintenance-strategy planning (planner.py): the canonical
         # single-table aggregate shape gets true incremental maintenance
@@ -1268,6 +1293,14 @@ class MVApp:
 
                     shutil.rmtree(d, ignore_errors=True)
 
+        self._setup_recompute(spark, dfs, query, target, num_buckets, shuffle_partitions)
+
+    def _setup_recompute(
+        self, spark, dfs, query, target, num_buckets, shuffle_partitions
+    ) -> None:
+        """The fallback tail: full recompute per batch with a
+        change-bounded sink — reached when no incremental matcher
+        routed, or directly via the builder's force_recompute() knob."""
         self.maintenance_mode = "recompute"
         self._fact_name = self._dim_name = self._change_filter = self._join_names = None
         # Source-store bootstraps are deferred to bootstrap(): building

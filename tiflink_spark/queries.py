@@ -1165,12 +1165,17 @@ _PRIORITY = [
     # ============= the driver's ~50-query correctness window =============
     # The driver checks a strict PREFIX of the registry (50 in every
     # round so far). Registration order IS the rotation policy.
-    # Round-6 rotation: 12 sentinels (one per graded family, all
-    # driver-green in r2-r5) stay in; the other 38 slots go to gates
-    # that have NEVER had a driver correctness row (the r5 verdict's
-    # top ask), led by the two unwitnessed round-5 routes. Rotated-out
-    # gates hold r2-r5 green rows and stay locally oracle-checked
-    # (tools/check_oracle.py, full registry).
+    # Round-7 rotation: 12 sentinels (one per graded family, all
+    # driver-green in r2-r6) stay in; pipeline_corpus_prep re-enters to
+    # convert its r6 oracle-typing red into a green row (the CAST fix
+    # landed this round); the other 37 slots go to gates that have
+    # NEVER had a driver correctness row — the four r6 final-batch
+    # gates first, then sample_mixture_weighted (the re-cast oracle
+    # twin) and the rest of the never-checked pool — plus two of the
+    # four round-7-new gates (cube5, full-outer WHERE; gid_subset and
+    # theta_tree lead the next rotation). Rotated-out gates hold r2-r6
+    # green rows and stay locally oracle-checked (tools/check_oracle.py,
+    # full registry).
     # --- sentinels (12) ---
     "flagship_correlated_count",
     "q1_pricing_summary",
@@ -1184,7 +1189,67 @@ _PRIORITY = [
     "jdbc_scan",
     "streaming_tumble_agg",
     "mvapp_auto_grouping_sets",
-    # --- first-time driver evidence (38) ---
+    # --- the r6 red, re-oracled (1) ---
+    "pipeline_corpus_prep",
+    # --- first-time driver evidence (35 never-checked) ---
+    "mvapp_auto_window_multi_partition",
+    "mvapp_auto_order_limit_multi",
+    "mvapp_auto_exists_composite",
+    "mvapp_auto_cascade_full_outer",
+    "sample_mixture_weighted",
+    "interval_join_events",
+    "mv_topk_incremental",
+    "mv_flagship_recompute",
+    "percentile_exact",
+    "text_quality_score",
+    "quality_decile_binning",
+    "multimodal_real_resize",
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_feature_extract",
+    "multimodal_framesample",
+    "connector_csv_roundtrip",
+    "connector_json_roundtrip",
+    "text_fingerprint",
+    "text_repetition_score",
+    "text_tfidf_topterms",
+    "text_chunk_windows",
+    "dedup_incremental_batch",
+    "text_unigram_logprob",
+    "streaming_static_join",
+    "sessionize_events",
+    "date_spine_gap_fill",
+    "doc_chunking",
+    "contamination_check",
+    "stats_aggs",
+    "window_first_last_ntile",
+    "agg_max_by",
+    "pivot_status",
+    "asof_last_click",
+    "keyed_sink_roundtrip",
+    # --- round-7-new routes (2) ---
+    "mvapp_auto_cube5",
+    "mvapp_auto_full_outer_where",
+    # ================== past the 50-query window ==================
+    # Round-7-new gates without a driver row yet (local oracle green)
+    # and the never-checked remainder — the r8 rotation pulls these
+    # first.
+    "mvapp_auto_gid_subset",
+    "mvapp_auto_theta_tree",
+    "array_ops",
+    "string_funcs_ext",
+    "agg_string_concat",
+    "window_pct_rank",
+    "histogram_prices",
+    "map_funcs",
+    "pandas_udf_tokens",
+    "unpivot_measures",
+    "regex_funcs",
+    "partition_pruning_roundtrip",
+    "retention_cohorts",
+    "numeric_histogram",
+    "heavy_hitters_custkey",
+    # r2-r6 driver-green gates rotated out below.
     "mvapp_auto_full_outer",
     "mvapp_auto_cascade_bag",
     "mvapp_auto_median",
@@ -1214,7 +1279,6 @@ _PRIORITY = [
     "text_dup_span_fraction",
     "dedup_connected_components",
     "dedup_keep_canonical",
-    "pipeline_corpus_prep",
     "mv_time_travel",
     "approx_percentile_bounded",
     "null_semantics",
@@ -1223,19 +1287,6 @@ _PRIORITY = [
     "pandas_udaf_median",
     "udtf_split_words",
     "mvapp_auto_cascade_gsets",
-    # ================== past the 50-query window ==================
-    # These first seven have never been driver-checked (the window,
-    # order-limit, and EXISTS gates are round-6-new) — next rotation
-    # pulls them first.
-    "mvapp_auto_window_multi_partition",
-    "mvapp_auto_order_limit_multi",
-    "mvapp_auto_exists_composite",
-    "mvapp_auto_cascade_full_outer",
-    "mv_topk_incremental",
-    "text_fingerprint",
-    "text_repetition_score",
-    "text_tfidf_topterms",
-    # r2-r5 driver-green gates rotated out below.
     "mvapp_auto_projection",
     "mvapp_auto_window",
     "mvapp_auto_star_agg",
