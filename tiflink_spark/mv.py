@@ -2689,27 +2689,41 @@ class IncrementalAggMV:
         dimension. Dim churn work ∝ changed dim keys: upserted dims
         rebuild their MV row against the current agg state, deleted
         dims drop theirs."""
-        if batch_id in self.target.committed_batches():
+        # A batch is done when EVERY store it writes has committed it
+        # (state and target merge concurrently below, so a crash can
+        # leave either one committed first; each leg is idempotent and
+        # the version_before_batch guards make the replay exact).
+        if batch_id in self.target.committed_batches() and (
+            fact_changes is None
+            or batch_id in self.state_store.committed_batches()
+        ):
             return False
         parts: list[DataFrame] = []
 
         new_state = None
         if fact_changes is not None:
-            # Old rows for retraction come from the snapshot BEFORE this
-            # batch's fact commit — correct even when replaying after a
-            # crash mid-refresh (versioned store time travel).
-            if batch_id in self.fact_store.committed_batches():
-                prev_v = self.fact_store.version_before_batch(batch_id)
-                old_fact = self.fact_store.read(prev_v)
-            else:
-                old_fact = self.fact_store.read()
+            # Merge first, then read the retraction snapshot FROM BEFORE
+            # this batch's commit (versioned time travel — correct on
+            # crash replay too). Merging first lets the lookup use the
+            # commit's recorded batch_buckets: the old rows of the
+            # changed keys live only in the buckets those keys hash
+            # into, so the lookup scans O(touched buckets), not the
+            # table — at scale the difference between a bounded probe
+            # and a full-store scan per refresh.
+            self.fact_store.merge(fact_changes, batch_id)
+            prev_v = self.fact_store.version_before_batch(batch_id)
+            bks = self.fact_store.batch_buckets(batch_id)
+            old_fact = (
+                self.fact_store.read_buckets(bks, prev_v)
+                if bks is not None
+                else self.fact_store.read(prev_v)
+            )
             changed_keys = last_change_per_key(fact_changes, self.fact_store.pk).select(
                 *self.fact_store.pk
             )
             old_rows = old_fact.join(changed_keys, self.fact_store.pk, "left_semi")
 
             delta = compute_delta(fact_changes, old_rows, self.fact_store.pk)
-            self.fact_store.merge(fact_changes, batch_id)
 
             # Same replay guard for the agg state: if this batch already
             # committed there (crash between state commit and target
@@ -2746,7 +2760,13 @@ class IncrementalAggMV:
             state_changes = new_state.withColumn(OP_COL, vanish_op).withColumn(
                 SEQ_COL, F.monotonically_increasing_id()
             )
-            self.state_store.merge(state_changes, batch_id)
+            if dim_changes is not None:
+                # the dim branch below builds rows off the POST-batch
+                # agg state (state_store.read() binds at call time), so
+                # the state merge must commit first; the parallel
+                # state∥target overlap below is fact-only batches.
+                self.state_store.merge(state_changes, batch_id)
+                state_changes = None
 
             # Target rows for dirty groups.
             if self.dim is None:
@@ -2813,7 +2833,26 @@ class IncrementalAggMV:
             mv_changes = mv_changes.unionByName(
                 p.withColumn(SEQ_COL, F.lit(i).cast("long"))
             )
-        self.target.merge(mv_changes, batch_id)
+        # State and target are DISJOINT stores whose change lineages
+        # both hang off the cached new_state — merge them concurrently
+        # (per-batch refresh latency is the engine's product metric;
+        # this overlaps the two commit jobs instead of serializing
+        # them). Safe because each merge is idempotent by batch_id and
+        # the done-check above requires BOTH committed. Mixed
+        # fact+dim batches already committed the state serially above
+        # (the dim rows read the post-batch state).
+        if new_state is not None and state_changes is not None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fs = [
+                    pool.submit(self.state_store.merge, state_changes, batch_id),
+                    pool.submit(self.target.merge, mv_changes, batch_id),
+                ]
+                for f in fs:
+                    f.result()
+        else:
+            self.target.merge(mv_changes, batch_id)
         if new_state is not None:
             new_state.unpersist()
         return True

@@ -298,6 +298,52 @@ class KeyedParquetStore:
             return base
         return self._apply_deltas(base, deltas)
 
+    def batch_buckets(self, batch_id) -> list[int] | None:
+        """The buckets ``batch_id``'s change rows hash into, recorded at
+        merge time — None when unknown (legacy line, bootstrap, or a
+        batch outside the manifest window). The pruning handle for
+        :meth:`read_buckets` retraction lookups."""
+        for c in reversed(self._commits()):
+            if c["batch_id"] == batch_id:
+                return (c.get("stats") or {}).get("batch_buckets")
+        return None
+
+    def read_buckets(self, bucket_ids: list[int], version: int | None = None) -> DataFrame:
+        """Bucket-pruned read: only the given PK-hash buckets (and the
+        matching slice of any delta chain). The retraction fast path —
+        an old-row lookup for a batch's keys needs only the buckets
+        those keys hash into (batch_buckets), not the table. At scale
+        this is the difference between a per-batch O(touched buckets)
+        lookup and a full-table scan per refresh."""
+        commits = self._commits()
+        if not commits:
+            raise FileNotFoundError(f"store at {self.path} has no committed version")
+        if version is None:
+            commit = commits[-1]
+        else:
+            matches = [c for c in commits if c["version"] == version]
+            if not matches:
+                raise KeyError(f"version {version} not in manifest")
+            commit = matches[-1]
+        ids = {str(int(b)) for b in bucket_ids}
+        paths = sorted(
+            os.path.join(self.path, rel)
+            for b, rel in commit["buckets"].items()
+            if b in ids
+        )
+        if paths:
+            base = self.spark.read.parquet(*paths).drop(BUCKET_COL)
+        else:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(commit["schema"]))
+            base = self.spark.createDataFrame([], schema)
+        deltas = commit.get("deltas") or []
+        if not deltas:
+            return base
+        want = [int(b) for b in bucket_ids]
+        return self._apply_deltas(base, deltas, bucket_filter=want)
+
     def _read_base(self, commit: dict) -> DataFrame:
         paths = sorted(
             {os.path.join(self.path, rel) for rel in commit["buckets"].values()}
@@ -309,12 +355,19 @@ class KeyedParquetStore:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(*paths).drop(BUCKET_COL)
 
-    def _apply_deltas(self, base: DataFrame, deltas: list[str]) -> DataFrame:
+    def _apply_deltas(
+        self,
+        base: DataFrame,
+        deltas: list[str],
+        bucket_filter: list[int] | None = None,
+    ) -> DataFrame:
         """Reconcile the merge-on-read chain over ``base``: per PK the
         LATEST delta row wins (chain position, then ``__seq`` within a
         batch); a winning delete drops the key. One window + one
         anti-join — delta volume is bounded by MAX_PENDING_DELTAS
-        micro-batches, so the overhead is O(δ), not O(table)."""
+        micro-batches, so the overhead is O(δ), not O(table).
+        ``bucket_filter`` restricts the chain to the given buckets (the
+        read_buckets pruned path — pushed down to the delta parquet)."""
         from pyspark.sql import Window
 
         parts = [
@@ -326,6 +379,8 @@ class KeyedParquetStore:
         d = parts[0]
         for p in parts[1:]:
             d = d.unionByName(p)
+        if bucket_filter is not None:
+            d = d.filter(F.col(BUCKET_COL).isin(bucket_filter))
         w = Window.partitionBy(*self.pk).orderBy(
             F.col("__didx").desc(), F.col(SEQ_COL).desc()
         )
@@ -524,19 +579,24 @@ class KeyedParquetStore:
         ).write.mode("overwrite").parquet(out)
         n_change_rows, changed = _delta_stats(out)
 
-        def stats(mode: str, touched: int, pending: int) -> dict:
+        def stats(mode: str, touched: int, pending: int, bks: list[int]) -> dict:
             return {
                 "change_rows": n_change_rows,
                 "touched_buckets": touched,
                 "mode": mode,
                 "pending_deltas": pending,
                 "merge_secs": round(time.monotonic() - t0, 3),
+                # the buckets THIS batch's keys hash into — the pruning
+                # handle for post-merge retraction lookups
+                # (read_buckets): an old-row lookup for this batch's
+                # keys needs only these buckets, not the table.
+                "batch_buckets": bks,
             }
 
         if not changed:
             self._commit(
                 batch_id, version, prev, schema_json,
-                stats=stats("noop", 0, len(prev_deltas)),
+                stats=stats("noop", 0, len(prev_deltas), []),
                 deltas=prev_deltas or None,
                 delta_buckets=sorted(prev_dbuckets),
             )
@@ -548,7 +608,7 @@ class KeyedParquetStore:
             # Delta append: O(δ) write, base buckets untouched.
             self._commit(
                 batch_id, version, prev, schema_json,
-                stats=stats("delta", len(changed), len(chain)),
+                stats=stats("delta", len(changed), len(chain), list(changed)),
                 deltas=chain,
                 delta_buckets=sorted(chain_buckets),
             )
@@ -584,7 +644,7 @@ class KeyedParquetStore:
                 buckets.pop(str(b), None)
         self._commit(
             batch_id, version, buckets, schema_json,
-            stats=stats("fold", len(touched), 0),
+            stats=stats("fold", len(touched), 0, list(changed)),
         )
         return True
 
