@@ -1,0 +1,107 @@
+"""MATCH_RECOGNIZE subset: greedy backtracking NFA semantics."""
+
+import pytest
+
+from tiflink_spark.patterns import match_recognize
+
+
+def _rows(spark, vals):
+    # (k, seq, tag, v)
+    return spark.createDataFrame(vals, "k int, seq int, tag string, v double")
+
+
+def _collect(df):
+    return [tuple(r) for r in df.orderBy("k", "match_seq").collect()]
+
+
+def test_greedy_plus_with_backtracking(spark):
+    # B := v > 0, C := v > 10 — every C row also satisfies B, so the
+    # greedy B+ first swallows the would-be C row and must BACKTRACK
+    # to give it up (Flink's greedy semantics).
+    df = _rows(spark, [(1, 1, "a", 1.0), (1, 2, "b", 2.0), (1, 3, "b", 20.0)])
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern=[("A", "1"), ("B", "+"), ("C", "1")],
+        define={"A": "tag = 'a'", "B": "v > 0", "C": "v > 10"},
+        measures=[
+            ("b_count", "B", None, "count"),
+            ("c_v", "C", "v", "first"),
+        ],
+    )
+    assert _collect(out) == [(1, 1, 1, 20.0)]  # B kept one row, C got row 3
+
+
+def test_skip_past_last_row_never_overlaps(spark):
+    # a b a b: two disjoint A B matches; the second attempt starts
+    # AFTER the first match's last row.
+    df = _rows(
+        spark,
+        [(1, 1, "a", 0.0), (1, 2, "b", 0.0), (1, 3, "a", 0.0), (1, 4, "b", 0.0)],
+    )
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern=[("A", "1"), ("B", "1")],
+        define={"A": "tag = 'a'", "B": "tag = 'b'"},
+        measures=[("a_seq", "A", "seq", "first"), ("b_seq", "B", "seq", "last")],
+    )
+    assert _collect(out) == [(1, 1, 1, 2), (1, 2, 3, 4)]
+
+
+def test_failed_attempt_restarts_at_next_row(spark):
+    # a a b: the attempt at row 1 fails (a not followed by b) but the
+    # attempt at row 2 succeeds — failure advances one row, not past
+    # the failed prefix.
+    df = _rows(spark, [(1, 1, "a", 0.0), (1, 2, "a", 0.0), (1, 3, "b", 0.0)])
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern=[("A", "1"), ("B", "1")],
+        define={"A": "tag = 'a'", "B": "tag = 'b'"},
+        measures=[("a_seq", "A", "seq", "first")],
+    )
+    assert _collect(out) == [(1, 1, 2)]
+
+
+def test_undefined_var_matches_all_and_null_pred_is_false(spark):
+    # W has no DEFINE -> matches every row (Flink's rule); a NULL
+    # predicate value reads as no-match like SQL WHERE.
+    df = _rows(spark, [(1, 1, None, 1.0), (1, 2, "x", 1.0)])
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern=[("W", "1"), ("X", "1")],
+        define={"X": "tag = 'x'"},  # row 1: NULL = 'x' -> NULL -> False
+        measures=[("w_seq", "W", "seq", "first"), ("x_seq", "X", "seq", "first")],
+    )
+    assert _collect(out) == [(1, 1, 1, 2)]
+
+
+def test_partitions_are_independent(spark):
+    df = _rows(spark, [(1, 1, "a", 0.0), (2, 1, "a", 0.0), (2, 2, "b", 0.0)])
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern=[("A", "1"), ("B", "1")],
+        define={"A": "tag = 'a'", "B": "tag = 'b'"},
+        measures=[("b_seq", "B", "seq", "first")],
+    )
+    assert _collect(out) == [(2, 1, 2)]  # k=1 has no b -> no match
+
+
+def test_rejects_bad_specs(spark):
+    df = _rows(spark, [(1, 1, "a", 0.0)])
+    with pytest.raises(ValueError, match="pattern must be"):
+        match_recognize(df, ["k"], ["seq"], [("A", "*")], {}, [])
+    with pytest.raises(ValueError, match="not in pattern"):
+        match_recognize(df, ["k"], ["seq"], [("A", "1")], {"B": "1=1"}, [])
+    with pytest.raises(ValueError, match="needs a field"):
+        match_recognize(
+            df, ["k"], ["seq"], [("A", "1")], {}, [("m", "A", None, "sum")]
+        )

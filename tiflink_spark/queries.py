@@ -1236,6 +1236,7 @@ _PRIORITY = [
     # first.
     "mvapp_auto_gid_subset",
     "mvapp_auto_theta_tree",
+    "pattern_funnel_detect",
     "array_ops",
     "string_funcs_ext",
     "agg_string_concat",

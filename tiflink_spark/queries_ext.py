@@ -1880,3 +1880,88 @@ def multimodal_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema="id long, frame_idx long, frame_sum long")
+
+
+# ---------------------------------------------------------------------------
+# Row-pattern matching (MATCH_RECOGNIZE subset, patterns.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pattern_funnel_detect",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+    clicks AS (
+        SELECT user_id, rn, value,
+               rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        FROM e WHERE event_type = 'click'),
+    cruns AS (
+        SELECT user_id, grp, min(rn) AS c_start, max(rn) AS c_end,
+               count(*) AS n_clicks,
+               CAST(round(sum(value) * 100) AS BIGINT) AS clicks_cents
+        FROM clicks GROUP BY user_id, grp),
+    matches AS (
+        SELECT v.user_id, v.event_id AS v_event, r.n_clicks, r.clicks_cents,
+               p.event_id AS p_event, v.rn
+        FROM cruns r
+        JOIN e v ON v.user_id = r.user_id AND v.rn = r.c_start - 1
+                AND v.event_type = 'view'
+        JOIN e p ON p.user_id = r.user_id AND p.rn = r.c_end + 1
+                AND p.event_type = 'purchase')
+    SELECT user_id,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY rn)
+                AS BIGINT) AS match_seq,
+           v_event, n_clicks, clicks_cents, p_event
+    FROM matches
+    """,
+    doc=(
+        "MATCH_RECOGNIZE subset (patterns.match_recognize): detect the "
+        "view -> click+ -> purchase funnel per user in event order — "
+        "Flink SQL's CEP entry point, which the reference's query "
+        "surface includes by delegation (TiFlinkApp.java:270; Spark "
+        "has no MATCH_RECOGNIZE). DEFINE predicates evaluate JVM-side "
+        "as boolean columns; an Arrow-batched per-partition NFA "
+        "(greedy +, backtracking, AFTER MATCH SKIP PAST LAST ROW) "
+        "emits one row per match with FIRST/LAST/COUNT/SUM measures. "
+        "Scales like any keyed aggregation — shuffle on user_id, "
+        "per-partition scan, no global collect. The oracle implements "
+        "the same semantics independently via the gaps-and-islands "
+        "construction (consecutive click runs bounded by a view and a "
+        "purchase), so a green row cross-checks the NFA against plain "
+        "SQL."
+    ),
+    tags=("pattern", "cep", "funnel"),
+)
+def pattern_funnel_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.patterns import match_recognize
+
+    t = _t(spark, sf_dir)
+    out = match_recognize(
+        t["events"],
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern=[("V", "1"), ("C", "+"), ("P", "1")],
+        define={
+            "V": "event_type = 'view'",
+            "C": "event_type = 'click'",
+            "P": "event_type = 'purchase'",
+        },
+        measures=[
+            ("v_event", "V", "event_id", "first"),
+            ("n_clicks", "C", None, "count"),
+            ("clicks_value", "C", "value", "sum"),
+            ("p_event", "P", "event_id", "last"),
+        ],
+    )
+    return out.select(
+        "user_id",
+        "match_seq",
+        "v_event",
+        "n_clicks",
+        F.round(F.col("clicks_value") * 100).cast("bigint").alias("clicks_cents"),
+        "p_event",
+    )
