@@ -105,3 +105,60 @@ def test_rejects_bad_specs(spark):
         match_recognize(
             df, ["k"], ["seq"], [("A", "1")], {}, [("m", "A", None, "sum")]
         )
+
+
+def test_streaming_match_spans_micro_batch_boundary(spark, tmp_path):
+    """A single V C+ P match whose rows are SPLIT across two trigger
+    files: the first trigger ends mid-candidate (V C), the second
+    completes it (C P). Only carried state can produce the match with
+    n_clicks=2 — per-batch matching alone would lose it."""
+    import os
+
+    from tiflink_spark.patterns import match_recognize_stream
+
+    f1 = spark.createDataFrame(
+        [(1, 1, "view", 1.0), (1, 2, "click", 2.0)],
+        "k long, seq long, tag string, v double",
+    )
+    f2 = spark.createDataFrame(
+        [(1, 3, "click", 3.0), (1, 4, "purchase", 4.0)],
+        "k long, seq long, tag string, v double",
+    )
+    sdir = tmp_path / "stream"
+    sdir.mkdir()
+    for i, df in enumerate((f1, f2), start=1):
+        tmp = str(tmp_path / f"w{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = str(sdir / f"chunk{i}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema("k long, seq long, tag string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(sdir))
+    )
+    out = match_recognize_stream(
+        stream,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern=[("V", "1"), ("C", "+"), ("P", "1")],
+        define={"V": "tag = 'view'", "C": "tag = 'click'", "P": "tag = 'purchase'"},
+        measures=[
+            ("n_clicks", "C", None, "count"),
+            ("clicks_v", "C", "v", "sum"),
+            ("p_seq", "P", "seq", "last"),
+        ],
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pattern_span_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [tuple(r) for r in spark.table("pattern_span_sink").collect()]
+    assert rows == [(1, 1, 2, 5.0, 4)]

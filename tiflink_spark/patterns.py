@@ -37,6 +37,62 @@ from pyspark.sql.types import LongType, StructField, StructType
 _HOWS = ("first", "last", "count", "sum", "min", "max")
 
 
+def _attempt(pos: int, si: int, flags: dict, steps: list, n: int):
+    """Match ``steps[si:]`` at ``pos`` → (spans | None, eof_seen).
+
+    ``eof_seen`` is True when the greedy exploration ran out of ROWS at
+    or before reaching this outcome — the streaming signal that more
+    data could change (or create) the match, so a stateful consumer
+    must hold the candidate instead of deciding. Batch callers ignore
+    it (end of data is final there)."""
+    if si == len(steps):
+        return [], False
+    var, quant = steps[si]
+    col = flags[var]
+    if pos >= n:
+        return None, True
+    if not col[pos]:
+        return None, False
+    if quant == "1":
+        rest, eof = _attempt(pos + 1, si + 1, flags, steps, n)
+        if rest is None:
+            return None, eof
+        return [(var, pos, pos + 1)] + rest, eof
+    # '+': greedy, longest first, with backtracking
+    k = pos
+    while k < n and col[k]:
+        k += 1
+    eof_any = k == n  # the run itself could grow with more rows
+    for end in range(k, pos, -1):
+        rest, eof = _attempt(end, si + 1, flags, steps, n)
+        eof_any = eof_any or eof
+        if rest is not None:
+            return [(var, pos, end)] + rest, eof_any
+    return None, eof_any
+
+
+def _scan(flags: dict, steps: list, n: int, streaming: bool):
+    """Left-to-right non-overlapping scan (AFTER MATCH SKIP PAST LAST
+    ROW) → (matches, pending_start). In streaming mode the scan STOPS
+    at the first position whose attempt saw end-of-data (even if a
+    complete-but-provisional match exists — a greedier assignment may
+    materialize with the next batch); ``pending_start`` is where the
+    next batch must resume. Batch mode always runs to the end
+    (pending_start == n)."""
+    matches, i, pending = [], 0, n
+    while i < n:
+        spans, eof = _attempt(i, 0, flags, steps, n)
+        if streaming and eof:
+            pending = i
+            break
+        if spans is not None:
+            matches.append(spans)
+            i = spans[-1][2]
+        else:
+            i += 1
+    return matches, pending
+
+
 def match_recognize(
     df: DataFrame,
     partition_by: list[str],
@@ -99,62 +155,156 @@ def match_recognize(
         import pandas as pd
 
         pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
-        n = len(pdf)
         flags = {v: pdf[f"__m_{v}"].to_numpy() for v in pat_vars}
-
-        def attempt(pos: int, si: int):
-            """Match steps[si:] at pos → list of (var, start, end) spans
-            or None. '+' is greedy with backtracking."""
-            if si == len(steps):
-                return []
-            var, quant = steps[si]
-            col = flags[var]
-            if quant == "1":
-                if pos < n and col[pos]:
-                    rest = attempt(pos + 1, si + 1)
-                    if rest is not None:
-                        return [(var, pos, pos + 1)] + rest
-                return None
-            k = pos
-            while k < n and col[k]:
-                k += 1
-            for end in range(k, pos, -1):  # longest first = greedy
-                rest = attempt(end, si + 1)
-                if rest is not None:
-                    return [(var, pos, end)] + rest
-            return None
-
-        records = []
-        i, seq = 0, 0
-        while i < n:
-            spans = attempt(i, 0)
-            if spans is None:
-                i += 1
-                continue
-            seq += 1
-            rec = {c: pdf.at[0, c] for c in part_cols}
-            rec["match_seq"] = seq
-            by_var: dict[str, list[tuple[int, int]]] = {}
-            for var, s, e in spans:
-                by_var.setdefault(var, []).append((s, e))
-            for alias, var, field, how in meas:
-                idxs = [j for s, e in by_var.get(var, []) for j in range(s, e)]
-                if how == "count":
-                    rec[alias] = len(idxs)
-                elif not idxs:
-                    rec[alias] = None
-                elif how == "first":
-                    rec[alias] = pdf.at[idxs[0], field]
-                elif how == "last":
-                    rec[alias] = pdf.at[idxs[-1], field]
-                else:
-                    vals = pdf.loc[idxs, field]
-                    rec[alias] = getattr(vals, how)()
-            records.append(rec)
-            i = spans[-1][2]  # AFTER MATCH SKIP PAST LAST ROW
+        matches, _ = _scan(flags, steps, len(pdf), streaming=False)
+        records = _measure_rows(pdf, matches, part_cols, meas, seq0=0)
         cols = [f.name for f in out_fields]
         if not records:
             return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
         return pd.DataFrame.from_records(records, columns=cols)
 
     return work.groupBy(*part_cols).applyInPandas(run, schema=out_schema)
+
+
+def _measure_rows(pdf, matches, part_cols, meas, seq0: int) -> list[dict]:
+    """One output record per match: partition keys + match_seq +
+    MEASURES evaluated over each variable's matched rows."""
+    records = []
+    for mi, spans in enumerate(matches, start=1):
+        rec = {c: pdf.at[0, c] for c in part_cols}
+        rec["match_seq"] = seq0 + mi
+        by_var: dict[str, list[tuple[int, int]]] = {}
+        for var, s, e in spans:
+            by_var.setdefault(var, []).append((s, e))
+        for alias, var, field, how in meas:
+            idxs = [j for s, e in by_var.get(var, []) for j in range(s, e)]
+            if how == "count":
+                rec[alias] = len(idxs)
+            elif not idxs:
+                rec[alias] = None
+            elif how == "first":
+                rec[alias] = pdf.at[idxs[0], field]
+            elif how == "last":
+                rec[alias] = pdf.at[idxs[-1], field]
+            else:
+                rec[alias] = getattr(pdf.loc[idxs, field], how)()
+        records.append(rec)
+    return records
+
+
+def match_recognize_stream(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    pattern: list[tuple[str, str]],
+    define: dict[str, str],
+    measures: list[tuple[str, str, str | None, str]],
+) -> DataFrame:
+    """Streaming MATCH_RECOGNIZE: the same subset as
+    :func:`match_recognize`, maintained per micro-batch with
+    ``applyInPandasWithState`` — Flink's streaming CEP analog (the
+    reference's engine is stream-first; pattern state rides Flink's
+    checkpoints there, TiFlinkApp.java:270).
+
+    Matches may SPAN micro-batch boundaries: per partition the state
+    carries (match ordinal, pending row suffix), where the pending
+    suffix starts at the first position whose greedy attempt ran out
+    of ROWS — everything before it is decided (emitted or permanently
+    failed; adding data can never revive a mid-pattern mismatch, only
+    an end-of-data one). A complete-but-provisional match at the data
+    edge is held too: a greedier assignment may materialize with the
+    next batch (Flink's greedy rule). Emission is append-mode — one
+    row per COMPLETED match, exactly once across triggers.
+
+    Contract: ``order_by`` columns must be primitive and globally
+    ordered across triggers for each partition (the per-batch file/CDC
+    order of any keyed changelog); the pending suffix is pickled into
+    the state row, so it stays micro-batch-bounded by construction.
+    """
+    import base64
+    import pickle
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    pat_vars = [v for v, _ in pattern]
+    if not pattern or any(q not in ("1", "+") for _, q in pattern):
+        raise ValueError("pattern must be [(var, '1'|'+'), ...]")
+    for alias, var, field, how in measures:
+        if var not in pat_vars or how not in _HOWS:
+            raise ValueError(f"bad measure {alias}")
+        if how != "count" and field is None:
+            raise ValueError(f"measure {alias}: {how} needs a field")
+
+    work = df
+    for var in pat_vars:
+        pred = define.get(var)
+        col = (
+            F.coalesce(F.expr(pred).cast("boolean"), F.lit(False))
+            if pred is not None
+            else F.lit(True)
+        )
+        work = work.withColumn(f"__m_{var}", col)
+
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_fields = [in_fields[c] for c in partition_by]
+    out_fields.append(StructField("match_seq", LongType(), False))
+    for alias, var, field, how in measures:
+        if how == "count":
+            out_fields.append(StructField(alias, LongType(), False))
+        else:
+            out_fields.append(StructField(alias, in_fields[field].dataType, True))
+    out_schema = StructType(out_fields)
+
+    steps = list(pattern)
+    meas = list(measures)
+    part_cols = list(partition_by)
+    order_cols = list(order_by)
+    carry_cols = list(
+        dict.fromkeys(
+            [*part_cols, *order_cols]
+            + [f for _, _, f, _ in meas if f is not None]
+            + [f"__m_{v}" for v in pat_vars]
+        )
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            seq0, blob = state.get
+            prior = pickle.loads(base64.b64decode(blob)) if blob else None
+        else:
+            seq0, prior = 0, None
+        parts = ([] if prior is None or prior.empty else [prior]) + [
+            p[carry_cols] for p in pdfs
+        ]
+        pdf = pd.concat(parts, ignore_index=True) if parts else None
+        cols = [f.name for f in out_fields]
+        if pdf is None or pdf.empty:
+            yield pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+            return
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        flags = {v: pdf[f"__m_{v}"].to_numpy() for v in pat_vars}
+        matches, pending = _scan(flags, steps, len(pdf), streaming=True)
+        records = _measure_rows(pdf, matches, part_cols, meas, seq0=seq0)
+        suffix = pdf.iloc[pending:].reset_index(drop=True)
+        state.update(
+            (
+                seq0 + len(matches),
+                base64.b64encode(pickle.dumps(suffix)).decode("ascii")
+                if len(suffix)
+                else "",
+            )
+        )
+        if records:
+            yield pd.DataFrame.from_records(records, columns=cols)
+        else:
+            yield pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+
+    return work.select(*carry_cols).groupBy(*part_cols).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="seq long, pending string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1237,6 +1237,7 @@ _PRIORITY = [
     "mvapp_auto_gid_subset",
     "mvapp_auto_theta_tree",
     "pattern_funnel_detect",
+    "streaming_pattern_funnel",
     "array_ops",
     "string_funcs_ext",
     "agg_string_concat",

@@ -18,7 +18,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tiflink_spark.changelog import SEQ_COL
@@ -641,3 +641,136 @@ def streaming_rate_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         return store.read().localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "streaming_pattern_funnel",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+    clicks AS (
+        SELECT user_id, rn, value,
+               rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        FROM e WHERE event_type = 'click'),
+    cruns AS (
+        SELECT user_id, grp, min(rn) AS c_start, max(rn) AS c_end,
+               count(*) AS n_clicks,
+               CAST(round(sum(value) * 100) AS BIGINT) AS clicks_cents
+        FROM clicks GROUP BY user_id, grp),
+    matches AS (
+        SELECT v.user_id, v.event_id AS v_event, r.n_clicks, r.clicks_cents,
+               p.event_id AS p_event, v.rn
+        FROM cruns r
+        JOIN e v ON v.user_id = r.user_id AND v.rn = r.c_start - 1
+                AND v.event_type = 'view'
+        JOIN e p ON p.user_id = r.user_id AND p.rn = r.c_end + 1
+                AND p.event_type = 'purchase')
+    SELECT user_id,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY rn)
+                AS BIGINT) AS match_seq,
+           v_event, n_clicks, clicks_cents, p_event
+    FROM matches
+    """,
+    doc=(
+        "STREAMING MATCH_RECOGNIZE (patterns.match_recognize_stream): "
+        "the view -> click+ -> purchase funnel detected over a LIVE "
+        "file stream drained in three time-ordered micro-batches "
+        "(maxFilesPerTrigger=1), with per-user pattern state carried "
+        "across triggers via applyInPandasWithState — Flink's "
+        "streaming CEP, the reference's stream-first operating mode "
+        "(TiFlinkApp.java:270). Matches that SPAN micro-batch "
+        "boundaries are the point: the state holds the pending row "
+        "suffix (from the first position whose greedy attempt ran out "
+        "of rows — a mid-pattern mismatch is permanent, an end-of-data "
+        "one is not) plus the match ordinal, so emission is "
+        "append-mode exactly-once per completed match. The drained "
+        "result equals the batch answer, so the SAME independent "
+        "gaps-and-islands SQL oracle checks it."
+    ),
+    tags=("streaming", "pattern", "cep", "stateful"),
+)
+def streaming_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.patterns import match_recognize_stream
+    from tiflink_spark.session import load_tables
+
+    events = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    stream_dir = tempfile.mkdtemp(prefix="pattern_stream_")
+    try:
+        # three files in global (ts, event_id) order — each trigger
+        # consumes one, so pattern candidates straddle the boundaries
+        w = Window.orderBy("ts", "event_id")
+        chunked = events.withColumn("__c", F.ntile(3).over(w))
+        for i in (1, 2, 3):
+            tmp = os.path.join(stream_dir, f"_w{i}")
+            (
+                chunked.filter(F.col("__c") == i)
+                .drop("__c")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = next(
+                f for f in os.listdir(tmp)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            dst = os.path.join(stream_dir, f"chunk{i}.parquet")
+            os.rename(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        schema = spark.read.parquet(os.path.join(stream_dir, "chunk1.parquet")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        out = match_recognize_stream(
+            stream,
+            partition_by=["user_id"],
+            order_by=["ts", "event_id"],
+            pattern=[("V", "1"), ("C", "+"), ("P", "1")],
+            define={
+                "V": "event_type = 'view'",
+                "C": "event_type = 'click'",
+                "P": "event_type = 'purchase'",
+            },
+            measures=[
+                ("v_event", "V", "event_id", "first"),
+                ("n_clicks", "C", None, "count"),
+                ("clicks_value", "C", "value", "sum"),
+                ("p_event", "P", "event_id", "last"),
+            ],
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                out.writeStream.format("memory")
+                .queryName("streaming_pattern_sink")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return (
+                spark.table("streaming_pattern_sink")
+                .select(
+                    "user_id",
+                    "match_seq",
+                    "v_event",
+                    "n_clicks",
+                    F.round(F.col("clicks_value") * 100)
+                    .cast("bigint")
+                    .alias("clicks_cents"),
+                    "p_event",
+                )
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
