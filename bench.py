@@ -218,7 +218,10 @@ def _latest_idle_reference() -> dict | None:
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    files = sorted(glob.glob(os.path.join(here, "BENCH_idle_*.json")))
+    # newest by mtime — lexicographic would rank r7 above r10
+    files = sorted(
+        glob.glob(os.path.join(here, "BENCH_idle_*.json")), key=os.path.getmtime
+    )
     if not files:
         return None
     try:

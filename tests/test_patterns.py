@@ -162,3 +162,58 @@ def test_streaming_match_spans_micro_batch_boundary(spark, tmp_path):
     q.awaitTermination()
     rows = [tuple(r) for r in spark.table("pattern_span_sink").collect()]
     assert rows == [(1, 1, 2, 5.0, 4)]
+
+
+def test_streaming_pending_state_is_bounded(spark, tmp_path):
+    """max_pending_rows evicts a candidate that buffers too long (the
+    WITHIN analog): the stuck view+clicks candidate from file1 is
+    abandoned once the suffix exceeds the bound, and the resolvable
+    match in file2 still emits correctly."""
+    import os
+
+    from tiflink_spark.patterns import match_recognize_stream
+
+    f1 = spark.createDataFrame(
+        [(1, 1, "view", 1.0), (1, 2, "click", 1.0), (1, 3, "click", 1.0),
+         (1, 4, "click", 1.0)],
+        "k long, seq long, tag string, v double",
+    )
+    f2 = spark.createDataFrame(
+        [(1, 5, "view", 1.0), (1, 6, "click", 2.0), (1, 7, "purchase", 1.0)],
+        "k long, seq long, tag string, v double",
+    )
+    sdir = tmp_path / "stream"
+    sdir.mkdir()
+    for i, df in enumerate((f1, f2), start=1):
+        tmp = str(tmp_path / f"w{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = str(sdir / f"chunk{i}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema("k long, seq long, tag string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(sdir))
+    )
+    out = match_recognize_stream(
+        stream,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern=[("V", "1"), ("C", "+"), ("P", "1")],
+        define={"V": "tag = 'view'", "C": "tag = 'click'", "P": "tag = 'purchase'"},
+        measures=[("n_clicks", "C", None, "count"), ("p_seq", "P", "seq", "last")],
+        max_pending_rows=2,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pattern_evict_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [tuple(r) for r in spark.table("pattern_evict_sink").collect()]
+    assert rows == [(1, 1, 1, 7)]

@@ -241,14 +241,16 @@ class CascadeMV:
         # tree) flow straight to the outer alongside that diff. A table
         # maintained at both levels goes to both — each keeps its own
         # store, both see the same changelog.
-        inner_changes = {
-            k: v for k, v in changes.items()
-            if k in self.inner.maintained_tables()
-        }
-        outer_changes = {
-            k: v for k, v in changes.items()
-            if k in self.outer.maintained_tables() - {self.alias}
-        }
+        inner_tabs = self.inner.maintained_tables()
+        outer_tabs = self.outer.maintained_tables() - {self.alias}
+        unknown = set(changes) - inner_tabs - outer_tabs
+        if unknown:
+            raise ValueError(
+                f"cascade MV maintains only {sorted(inner_tabs | outer_tabs)}; "
+                f"got changes for {sorted(unknown)}"
+            )
+        inner_changes = {k: v for k, v in changes.items() if k in inner_tabs}
+        outer_changes = {k: v for k, v in changes.items() if k in outer_tabs}
         # A single-target inner cascades through its target store; a
         # multi-store inner (grouping sets) exposes a store-shaped
         # composite façade as `cascade_target`.

@@ -37,6 +37,71 @@ from pyspark.sql.types import LongType, StructField, StructType
 _HOWS = ("first", "last", "count", "sum", "min", "max")
 
 
+def _validate(pattern, define, measures) -> list[str]:
+    """Shared spec validation for the batch AND streaming entry points
+    (one implementation — the two cannot drift)."""
+    pat_vars = [v for v, _ in pattern]
+    if not pattern or any(q not in ("1", "+") for _, q in pattern):
+        raise ValueError("pattern must be [(var, '1'|'+'), ...]")
+    unknown = set(define) - set(pat_vars)
+    if unknown:
+        raise ValueError(f"DEFINE for variables not in pattern: {sorted(unknown)}")
+    for alias, var, field, how in measures:
+        if var not in pat_vars:
+            raise ValueError(f"measure {alias}: unknown variable {var}")
+        if how not in _HOWS:
+            raise ValueError(f"measure {alias}: how must be one of {_HOWS}")
+        if how != "count" and field is None:
+            raise ValueError(f"measure {alias}: {how} needs a field")
+    return pat_vars
+
+
+def _flag_columns(df: DataFrame, pat_vars: list[str], define: dict) -> DataFrame:
+    """Stage 1 (JVM): one boolean column per pattern variable — the
+    DEFINE predicates run in whole-stage codegen; NULL reads as
+    no-match, like SQL WHERE. Undefined variables match every row
+    (Flink's rule)."""
+    work = df
+    for var in pat_vars:
+        pred = define.get(var)
+        col = (
+            F.coalesce(F.expr(pred).cast("boolean"), F.lit(False))
+            if pred is not None
+            else F.lit(True)
+        )
+        work = work.withColumn(f"__m_{var}", col)
+    return work
+
+
+def _output_fields(df: DataFrame, partition_by, measures) -> list[StructField]:
+    """Partition keys + match_seq + typed measures. SUM widens like SQL
+    (integral → BIGINT, fractional → DOUBLE) so a long click-run can
+    never overflow a narrow source column."""
+    from pyspark.sql.types import (
+        ByteType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        ShortType,
+    )
+
+    in_fields = {f.name: f for f in df.schema.fields}
+    out = [in_fields[c] for c in partition_by]
+    out.append(StructField("match_seq", LongType(), False))
+    for alias, _var, field, how in measures:
+        if how == "count":
+            out.append(StructField(alias, LongType(), False))
+            continue
+        dt = in_fields[field].dataType
+        if how == "sum":
+            if isinstance(dt, (ByteType, ShortType, IntegerType)):
+                dt = LongType()
+            elif isinstance(dt, FloatType):
+                dt = DoubleType()
+        out.append(StructField(alias, dt, True))
+    return out
+
+
 def _attempt(pos: int, si: int, flags: dict, steps: list, n: int):
     """Match ``steps[si:]`` at ``pos`` → (spans | None, eof_seen).
 
@@ -109,41 +174,9 @@ def match_recognize(
     first/last/min/max/sum (field required) or count (field ignored).
     Output schema: partition keys, ``match_seq`` (long), measures.
     """
-    pat_vars = [v for v, _ in pattern]
-    if not pattern or any(q not in ("1", "+") for _, q in pattern):
-        raise ValueError("pattern must be [(var, '1'|'+'), ...]")
-    unknown = set(define) - set(pat_vars)
-    if unknown:
-        raise ValueError(f"DEFINE for variables not in pattern: {sorted(unknown)}")
-    for alias, var, field, how in measures:
-        if var not in pat_vars:
-            raise ValueError(f"measure {alias}: unknown variable {var}")
-        if how not in _HOWS:
-            raise ValueError(f"measure {alias}: how must be one of {_HOWS}")
-        if how != "count" and field is None:
-            raise ValueError(f"measure {alias}: {how} needs a field")
-
-    # Stage 1 (JVM): one boolean column per pattern variable. NULL
-    # predicates read as no-match, like SQL WHERE.
-    work = df
-    for var in pat_vars:
-        pred = define.get(var)
-        col = (
-            F.coalesce(F.expr(pred).cast("boolean"), F.lit(False))
-            if pred is not None
-            else F.lit(True)
-        )
-        work = work.withColumn(f"__m_{var}", col)
-
-    in_fields = {f.name: f for f in df.schema.fields}
-    out_fields = [in_fields[c] for c in partition_by]
-    out_fields.append(StructField("match_seq", LongType(), False))
-    for alias, var, field, how in measures:
-        if how == "count":
-            out_fields.append(StructField(alias, LongType(), False))
-        else:
-            src = in_fields[field]
-            out_fields.append(StructField(alias, src.dataType, True))
+    pat_vars = _validate(pattern, define, measures)
+    work = _flag_columns(df, pat_vars, define)
+    out_fields = _output_fields(df, partition_by, measures)
     out_schema = StructType(out_fields)
 
     steps = list(pattern)
@@ -199,6 +232,7 @@ def match_recognize_stream(
     pattern: list[tuple[str, str]],
     define: dict[str, str],
     measures: list[tuple[str, str, str | None, str]],
+    max_pending_rows: int = 10_000,
 ) -> DataFrame:
     """Streaming MATCH_RECOGNIZE: the same subset as
     :func:`match_recognize`, maintained per micro-batch with
@@ -216,43 +250,24 @@ def match_recognize_stream(
     next batch (Flink's greedy rule). Emission is append-mode — one
     row per COMPLETED match, exactly once across triggers.
 
-    Contract: ``order_by`` columns must be primitive and globally
+    Contract: ``order_by`` columns must be sortable and globally
     ordered across triggers for each partition (the per-batch file/CDC
-    order of any keyed changelog); the pending suffix is pickled into
-    the state row, so it stays micro-batch-bounded by construction.
+    order of any keyed changelog). ``max_pending_rows`` bounds the
+    per-partition state: a candidate that has buffered more than this
+    many rows without resolving is EVICTED — its start position is
+    abandoned and the scan resumes just past it, emitting any matches
+    that were only blocked by ordering. This is the analog of Flink's
+    WITHIN clause (unbounded lookback is a leak, not a feature); set
+    it generously above the longest legitimate match.
     """
     import base64
     import pickle
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    pat_vars = [v for v, _ in pattern]
-    if not pattern or any(q not in ("1", "+") for _, q in pattern):
-        raise ValueError("pattern must be [(var, '1'|'+'), ...]")
-    for alias, var, field, how in measures:
-        if var not in pat_vars or how not in _HOWS:
-            raise ValueError(f"bad measure {alias}")
-        if how != "count" and field is None:
-            raise ValueError(f"measure {alias}: {how} needs a field")
-
-    work = df
-    for var in pat_vars:
-        pred = define.get(var)
-        col = (
-            F.coalesce(F.expr(pred).cast("boolean"), F.lit(False))
-            if pred is not None
-            else F.lit(True)
-        )
-        work = work.withColumn(f"__m_{var}", col)
-
-    in_fields = {f.name: f for f in df.schema.fields}
-    out_fields = [in_fields[c] for c in partition_by]
-    out_fields.append(StructField("match_seq", LongType(), False))
-    for alias, var, field, how in measures:
-        if how == "count":
-            out_fields.append(StructField(alias, LongType(), False))
-        else:
-            out_fields.append(StructField(alias, in_fields[field].dataType, True))
+    pat_vars = _validate(pattern, define, measures)
+    work = _flag_columns(df, pat_vars, define)
+    out_fields = _output_fields(df, partition_by, measures)
     out_schema = StructType(out_fields)
 
     steps = list(pattern)
@@ -285,7 +300,20 @@ def match_recognize_stream(
             return
         pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
         flags = {v: pdf[f"__m_{v}"].to_numpy() for v in pat_vars}
-        matches, pending = _scan(flags, steps, len(pdf), streaming=True)
+        n = len(pdf)
+        matches, pending = _scan(flags, steps, n, streaming=True)
+        # State bound (the WITHIN analog): evict the oldest blocked
+        # candidate while the suffix exceeds max_pending_rows — rescan
+        # just past its start; matches that were only queued behind it
+        # emit now, in order.
+        while n - pending > max_pending_rows:
+            sub = {v: a[pending + 1 :] for v, a in flags.items()}
+            more, p2 = _scan(sub, steps, n - pending - 1, streaming=True)
+            matches.extend(
+                [(var, s + pending + 1, e + pending + 1) for var, s, e in spans]
+                for spans in more
+            )
+            pending = pending + 1 + p2
         records = _measure_rows(pdf, matches, part_cols, meas, seq0=seq0)
         suffix = pdf.iloc[pending:].reset_index(drop=True)
         state.update(

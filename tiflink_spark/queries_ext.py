@@ -1887,9 +1887,10 @@ def multimodal_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "pattern_funnel_detect",
-    """
+# Shared between the batch gate (below) and the streaming gate in
+# queries_streaming — ONE oracle and ONE pattern spec, so the two
+# entry points are provably checked against identical semantics.
+FUNNEL_ORACLE_SQL = """
     WITH e AS (
         SELECT user_id, event_id, event_type, value,
                row_number() OVER (PARTITION BY user_id
@@ -1917,7 +1918,25 @@ def multimodal_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS match_seq,
            v_event, n_clicks, clicks_cents, p_event
     FROM matches
-    """,
+    """
+
+FUNNEL_PATTERN = [("V", "1"), ("C", "+"), ("P", "1")]
+FUNNEL_DEFINE = {
+    "V": "event_type = 'view'",
+    "C": "event_type = 'click'",
+    "P": "event_type = 'purchase'",
+}
+FUNNEL_MEASURES = [
+    ("v_event", "V", "event_id", "first"),
+    ("n_clicks", "C", None, "count"),
+    ("clicks_value", "C", "value", "sum"),
+    ("p_event", "P", "event_id", "last"),
+]
+
+
+@register(
+    "pattern_funnel_detect",
+    FUNNEL_ORACLE_SQL,
     doc=(
         "MATCH_RECOGNIZE subset (patterns.match_recognize): detect the "
         "view -> click+ -> purchase funnel per user in event order — "
@@ -1944,18 +1963,9 @@ def pattern_funnel_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["events"],
         partition_by=["user_id"],
         order_by=["ts", "event_id"],
-        pattern=[("V", "1"), ("C", "+"), ("P", "1")],
-        define={
-            "V": "event_type = 'view'",
-            "C": "event_type = 'click'",
-            "P": "event_type = 'purchase'",
-        },
-        measures=[
-            ("v_event", "V", "event_id", "first"),
-            ("n_clicks", "C", None, "count"),
-            ("clicks_value", "C", "value", "sum"),
-            ("p_event", "P", "event_id", "last"),
-        ],
+        pattern=FUNNEL_PATTERN,
+        define=FUNNEL_DEFINE,
+        measures=FUNNEL_MEASURES,
     )
     return out.select(
         "user_id",

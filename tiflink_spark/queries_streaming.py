@@ -25,6 +25,14 @@ from tiflink_spark.changelog import SEQ_COL
 from tiflink_spark.incremental import Measure
 from tiflink_spark.mv import IncrementalAggMV
 from tiflink_spark.queries import _t, register
+# one oracle + one pattern spec for BOTH funnel gates (batch gate in
+# queries_ext) — the two entry points cannot drift apart
+from tiflink_spark.queries_ext import (
+    FUNNEL_DEFINE as _FUNNEL_DEFINE,
+    FUNNEL_MEASURES as _FUNNEL_MEASURES,
+    FUNNEL_ORACLE_SQL as _FUNNEL_ORACLE_SQL,
+    FUNNEL_PATTERN as _FUNNEL_PATTERN,
+)
 
 # ---------------------------------------------------------------------------
 # Time windows (batch semantics of the streaming operators)
@@ -645,35 +653,7 @@ def streaming_rate_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_pattern_funnel",
-    """
-    WITH e AS (
-        SELECT user_id, event_id, event_type, value,
-               row_number() OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id) AS rn
-        FROM events),
-    clicks AS (
-        SELECT user_id, rn, value,
-               rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
-        FROM e WHERE event_type = 'click'),
-    cruns AS (
-        SELECT user_id, grp, min(rn) AS c_start, max(rn) AS c_end,
-               count(*) AS n_clicks,
-               CAST(round(sum(value) * 100) AS BIGINT) AS clicks_cents
-        FROM clicks GROUP BY user_id, grp),
-    matches AS (
-        SELECT v.user_id, v.event_id AS v_event, r.n_clicks, r.clicks_cents,
-               p.event_id AS p_event, v.rn
-        FROM cruns r
-        JOIN e v ON v.user_id = r.user_id AND v.rn = r.c_start - 1
-                AND v.event_type = 'view'
-        JOIN e p ON p.user_id = r.user_id AND p.rn = r.c_end + 1
-                AND p.event_type = 'purchase')
-    SELECT user_id,
-           CAST(row_number() OVER (PARTITION BY user_id ORDER BY rn)
-                AS BIGINT) AS match_seq,
-           v_event, n_clicks, clicks_cents, p_event
-    FROM matches
-    """,
+    _FUNNEL_ORACLE_SQL,
     doc=(
         "STREAMING MATCH_RECOGNIZE (patterns.match_recognize_stream): "
         "the view -> click+ -> purchase funnel detected over a LIVE "
@@ -732,18 +712,9 @@ def streaming_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream,
             partition_by=["user_id"],
             order_by=["ts", "event_id"],
-            pattern=[("V", "1"), ("C", "+"), ("P", "1")],
-            define={
-                "V": "event_type = 'view'",
-                "C": "event_type = 'click'",
-                "P": "event_type = 'purchase'",
-            },
-            measures=[
-                ("v_event", "V", "event_id", "first"),
-                ("n_clicks", "C", None, "count"),
-                ("clicks_value", "C", "value", "sum"),
-                ("p_event", "P", "event_id", "last"),
-            ],
+            pattern=_FUNNEL_PATTERN,
+            define=_FUNNEL_DEFINE,
+            measures=_FUNNEL_MEASURES,
         )
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
