@@ -1238,6 +1238,7 @@ _PRIORITY = [
     "mvapp_auto_theta_tree",
     "pattern_funnel_detect",
     "streaming_pattern_funnel",
+    "mvapp_auto_agg_enriched",
     "array_ops",
     "string_funcs_ext",
     "agg_string_concat",

@@ -5653,3 +5653,92 @@ def mvapp_auto_theta_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_agg_enriched",
+    f"""
+    WITH {_FINAL_ORDERS_GS_SQL},
+    agg AS (
+        SELECT o_custkey, count(*) AS n_orders
+        FROM final_orders_gs GROUP BY o_custkey),
+    cust_f AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 0
+                    THEN concat('R-', CAST(c_custkey AS VARCHAR))
+                    ELSE c_name END AS c_name,
+               c_nationkey
+        FROM customer WHERE c_custkey % 97 <> 0)
+    SELECT o_custkey, n_orders, c_name, c_nationkey
+    FROM agg JOIN cust_f ON o_custkey = c_custkey
+    """,
+    doc=(
+        "DECORATED AGGREGATE — the reporting MV shape: a per-customer "
+        "order count enriched with the customer dimension, spelled as "
+        "a derived-table aggregate joined to the dim. Routes through "
+        "the round-7 cascade pass-through (inner IncrementalAggMV "
+        "feeding an outer IncrementalJoinProjectionMV via the store's "
+        "version diff, with the dim's own changelog going straight to "
+        "the outer level). Churn hits BOTH levels: scripted order "
+        "+I/-D/+U (group-moving custkey rewrites) through the inner, "
+        "and dim renames + deletes through the outer (a deleted "
+        "customer drops its row — inner-join semantics — a renamed "
+        "one rewrites in place). The fn raises unless routed "
+        "CascadeMV[agg -> join-projection] and replays a batch for "
+        "idempotence."
+    ),
+    tags=("mv", "incremental", "planner", "cascade", "join"),
+)
+def mvapp_auto_agg_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    orders = t["orders"].select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    cust = t["customer"].select("c_custkey", "c_name", "c_nationkey")
+    work = tempfile.mkdtemp(prefix="mvapp_ae_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("ord_e", orders, pk=["o_orderkey"])
+            .source("cust_e", cust, pk=["c_custkey"])
+            .query(
+                """SELECT o_custkey, n_orders, c_name, c_nationkey
+                   FROM ( SELECT o_custkey, count(*) AS n_orders
+                          FROM ord_e GROUP BY o_custkey ) a
+                   JOIN cust_e ON o_custkey = c_custkey"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "CascadeMV" or (
+            app._mv.outer.maintenance_strategy != "IncrementalJoinProjectionMV"
+        ):
+            raise AssertionError(
+                f"planner routed the decorated aggregate to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        for i, b in enumerate(scripted_batches(orders), start=1):
+            app.refresh({"ord_e": b}, batch_id=i)
+        # B4: dim churn straight to the OUTER level — renames rewrite
+        # rows in place, deletes drop them (inner-join semantics)
+        # keys divisible by both 10 and 97 get a rename AND a delete in
+        # this one batch — explicit seq literals order them (delete
+        # last wins, matching the oracle's WHERE-then-CASE)
+        c_ren = (
+            cust.filter(F.col("c_custkey") % 10 == 0)
+            .withColumn("c_name", F.concat(F.lit("R-"), F.col("c_custkey").cast("string")))
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .withColumn(SEQ_COL, F.lit(0).cast("long"))
+        )
+        c_del = (
+            cust.filter(F.col("c_custkey") % 97 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.lit(1).cast("long"))
+        )
+        app.refresh({"cust_e": c_ren.unionByName(c_del)}, batch_id=4)
+        app.refresh({"cust_e": c_ren.unionByName(c_del)}, batch_id=4)  # replay
+        return app.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
