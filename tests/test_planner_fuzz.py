@@ -94,7 +94,16 @@ def _gen_query(rng, table):
     where = rng.choice(WHERES)
     wsql = f" WHERE {where}" if where else ""
     if kind == "rollup":
-        if rng.random() < 0.3:
+        roll = rng.random()
+        if roll < 0.15:
+            # CUBE past the old 4-term cap (r7: |sets| cost bound) —
+            # 32 sub-aggregates, expression terms included
+            return (
+                f"SELECT g, h, s, id % 3 AS i3, w > 25 AS wb, count(*) AS n "
+                f"FROM {table}{wsql} "
+                f"GROUP BY CUBE (g, h, s, id % 3, w > 25)"
+            )
+        if roll < 0.3:
             # expression grouping key (derived onto fact rows — r6)
             ms = rng.sample(MEASURES[:5], rng.randrange(1, 3))
             return (
@@ -111,8 +120,18 @@ def _gen_query(rng, table):
         ms = rng.sample(MEASURES[:5], rng.randrange(1, 3))
         having = rng.choice([None, "count(*) >= 2"])
         hsql = f" HAVING {having}" if having else ""
-        gflag = rng.random() < 0.4
-        gsel = ", GROUPING(h) AS gh" if gflag else ""
+        # GROUPING flag, or an r7 GROUPING_ID over a SUBSET / reordered
+        # args (the expected-side query goes through
+        # spark_executable_query — Spark's own grouping_id rejects the
+        # subset spelling)
+        gsel = rng.choice(
+            [
+                "",
+                ", GROUPING(h) AS gh",
+                ", GROUPING_ID(h) AS gidh",
+                ", GROUPING_ID(h, g) AS gidr",
+            ]
+        )
         return (
             f"SELECT g, h, {', '.join(ms)}{gsel} FROM {table}{wsql} "
             f"GROUP BY {grouping}{hsql}"
@@ -197,7 +216,11 @@ def test_fuzzed_shapes_converge(spark, tmp_path, seed):
             if rng.random() < 0.3:  # crash replay mid-script
                 app.refresh({table: ch}, batch_id=b)
         _fact_df(spark, state).createOrReplaceTempView(table)
-        exp = spark.sql(q)
+        # subset-GROUPING_ID spellings (r7) need the grouping()
+        # arithmetic rewrite on the Spark-batch expected side
+        from tiflink_spark.planner import spark_executable_query
+
+        exp = spark.sql(spark_executable_query(q))
         got = app.read()
 
         def canon(rows):
@@ -259,10 +282,36 @@ def _dim_churn(spark, rng, state, keyspace):
 def _gen_two_table_query(rng, fact, dim):
     kind = rng.choice(
         ["joinagg", "joinagg", "join", "joinproj", "semi", "notin", "setop",
-         "unionall", "theta"]
+         "unionall", "theta", "fullouter", "theta_tree", "agg_enriched"]
     )
     where = rng.choice([None, "v > 30", "s <> 'c'"])
     wsql = f" WHERE {where}" if where else ""
+    if kind == "fullouter":
+        # r7: both sides preserved, optional row-local WHERE over the
+        # OUTPUT (coalesce arms exercise NULL-extended columns)
+        fow = rng.choice(
+            [None, "coalesce(v, 35.0) > 30", "coalesce(attr, 9) <> 2"]
+        )
+        fow_sql = f" WHERE {fow}" if fow else ""
+        return (
+            f"SELECT id, g, v, dk, attr FROM {fact} "
+            f"FULL OUTER JOIN {dim} ON g = dk{fow_sql}"
+        )
+    if kind == "theta_tree":
+        # r7: theta edge over a routable derived table (cascade split)
+        pred = rng.choice(["v15 > u * 8", "v15 BETWEEN u * 2 AND u * 9"])
+        return (
+            f"SELECT id, v15, dk, attr FROM "
+            f"(SELECT id, round(v * 1.5, 2) AS v15 FROM {fact}{wsql}) j "
+            f"JOIN {dim} ON {pred}"
+        )
+    if kind == "agg_enriched":
+        # r7: decorated aggregate — agg inner, dim-join outer
+        return (
+            f"SELECT g, n, attr, u FROM "
+            f"(SELECT g, count(*) AS n FROM {fact}{wsql} GROUP BY g) a "
+            f"JOIN {dim} ON g = dk"
+        )
     if kind == "joinagg":
         ms = rng.sample(
             ["count(*) AS n", "sum(v) AS sv", "min(v) AS mv", "sum(v * u) AS svu"],
@@ -346,9 +395,17 @@ def test_fuzzed_two_table_shapes_converge(spark, tmp_path, seed):
         got = app.read()
 
         def canon(rows):
+            # None-safe sort: FULL OUTER rows carry NULL-extended keys
             return sorted(
-                tuple(round(x, 6) if isinstance(x, float) else x for x in r)
-                for r in rows
+                (
+                    tuple(
+                        round(x, 6) if isinstance(x, float) else x for x in r
+                    )
+                    for r in rows
+                ),
+                key=lambda t: tuple(
+                    (x is None, 0 if x is None else x) for x in t
+                ),
             )
 
         g = canon(map(tuple, got.collect()))
