@@ -217,3 +217,75 @@ def test_streaming_pending_state_is_bounded(spark, tmp_path):
     q.awaitTermination()
     rows = [tuple(r) for r in spark.table("pattern_evict_sink").collect()]
     assert rows == [(1, 1, 1, 7)]
+
+
+def test_within_discards_wide_matches(spark):
+    """WITHIN (Flink parity): a match whose first->last order span
+    exceeds the bound is discarded; a tighter later match still
+    emits."""
+    from tiflink_spark.patterns import match_recognize
+
+    df = _rows(
+        spark,
+        # wide candidate: a@1 ... b@50 (span 49); tight one: a@60 b@61
+        [(1, 1, "a", 0.0), (1, 50, "b", 0.0), (1, 60, "a", 0.0), (1, 61, "b", 0.0)],
+    )
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern=[("A", "1"), ("B", "1")],
+        define={"A": "tag = 'a'", "B": "tag = 'b'"},
+        measures=[("a_seq", "A", "seq", "first"), ("b_seq", "B", "seq", "last")],
+        within=10,
+    )
+    assert _collect(out) == [(1, 1, 60, 61)]
+
+
+def test_streaming_within_finalizes_stale_candidates(spark, tmp_path):
+    """Streaming WITHIN: a blocked candidate older than the bound
+    FINALIZES — its held provisional match emits (timeout rule) even
+    though a greedier continuation was still theoretically possible."""
+    import os
+
+    from tiflink_spark.patterns import match_recognize_stream
+
+    # file1: a@1 b@2 — A B+ held (the b-run touches the data edge);
+    # file2: far-future unrelated row pushes the candidate past WITHIN
+    f1 = _rows(spark, [(1, 1, "a", 0.0), (1, 2, "b", 0.0)])
+    f2 = _rows(spark, [(1, 100, "x", 0.0)])
+    sdir = tmp_path / "stream"
+    sdir.mkdir()
+    for i, df in enumerate((f1, f2), start=1):
+        tmp = str(tmp_path / f"w{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = str(sdir / f"chunk{i}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema("k int, seq int, tag string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(sdir))
+    )
+    out = match_recognize_stream(
+        stream,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern=[("A", "1"), ("B", "+")],
+        define={"A": "tag = 'a'", "B": "tag = 'b'"},
+        measures=[("n_b", "B", None, "count")],
+        within=10,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pattern_within_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [tuple(r) for r in spark.table("pattern_within_sink").collect()]
+    assert rows == [(1, 1, 1)]

@@ -136,26 +136,59 @@ def _attempt(pos: int, si: int, flags: dict, steps: list, n: int):
     return None, eof_any
 
 
-def _scan(flags: dict, steps: list, n: int, streaming: bool):
+def _scan(
+    flags: dict,
+    steps: list,
+    n: int,
+    streaming: bool,
+    ovals=None,
+    within=None,
+    max_rows: int | None = None,
+):
     """Left-to-right non-overlapping scan (AFTER MATCH SKIP PAST LAST
     ROW) → (matches, pending_start). In streaming mode the scan STOPS
     at the first position whose attempt saw end-of-data (even if a
     complete-but-provisional match exists — a greedier assignment may
     materialize with the next batch); ``pending_start`` is where the
     next batch must resume. Batch mode always runs to the end
-    (pending_start == n)."""
-    matches, i, pending = [], 0, n
+    (pending_start == n).
+
+    ``within`` (with ``ovals``, the first order column's values) is
+    Flink's WITHIN: a match whose first→last order span exceeds it is
+    discarded (scan resumes one row later). In streaming mode it also
+    FINALIZES stale blocked candidates: once the newest row is more
+    than ``within`` past a candidate's start, no future data can
+    produce a within-bound greedier match, so a held provisional match
+    emits now (the pattern-timeout behavior) and a partial one is
+    abandoned. ``max_rows`` is the row-count state bound: a blocked
+    candidate buffering more rows than this is abandoned outright."""
+    matches, i = [], 0
+
+    def span_of(spans):
+        return ovals[spans[-1][2] - 1] - ovals[spans[0][1]]
+
     while i < n:
         spans, eof = _attempt(i, 0, flags, steps, n)
         if streaming and eof:
-            pending = i
-            break
-        if spans is not None:
-            matches.append(spans)
-            i = spans[-1][2]
-        else:
+            stale = within is not None and (ovals[n - 1] - ovals[i]) > within
+            too_big = max_rows is not None and (n - i) > max_rows
+            if not (stale or too_big):
+                return matches, i  # hold as pending
+            if stale and spans is not None and span_of(spans) <= within:
+                matches.append(spans)  # timed out: finalize the held match
+                i = spans[-1][2]
+                continue
+            i += 1  # abandon this start
+            continue
+        if spans is None:
             i += 1
-    return matches, pending
+            continue
+        if within is not None and span_of(spans) > within:
+            i += 1  # match too wide — discarded, rows stay available
+            continue
+        matches.append(spans)
+        i = spans[-1][2]
+    return matches, n
 
 
 def match_recognize(
@@ -165,13 +198,18 @@ def match_recognize(
     pattern: list[tuple[str, str]],
     define: dict[str, str],
     measures: list[tuple[str, str, str | None, str]],
+    within=None,
 ) -> DataFrame:
     """One output row per (non-overlapping, greedy) pattern match.
 
     ``pattern``: [(var, quant)] with quant in {"1", "+"};
     ``define``: var -> row-local SQL predicate (missing var = always);
     ``measures``: [(alias, var, field_or_None, how)] with how in
-    first/last/min/max/sum (field required) or count (field ignored).
+    first/last/min/max/sum (field required) or count (field ignored);
+    ``within``: Flink's WITHIN — the maximum first→last span of a
+    match over the FIRST order_by column (a number for numeric order
+    columns, a pandas/numpy timedelta for timestamps); wider matches
+    are discarded.
     Output schema: partition keys, ``match_seq`` (long), measures.
     """
     pat_vars = _validate(pattern, define, measures)
@@ -189,7 +227,10 @@ def match_recognize(
 
         pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
         flags = {v: pdf[f"__m_{v}"].to_numpy() for v in pat_vars}
-        matches, _ = _scan(flags, steps, len(pdf), streaming=False)
+        ovals = pdf[order_cols[0]].to_numpy() if within is not None else None
+        matches, _ = _scan(
+            flags, steps, len(pdf), streaming=False, ovals=ovals, within=within
+        )
         records = _measure_rows(pdf, matches, part_cols, meas, seq0=0)
         cols = [f.name for f in out_fields]
         if not records:
@@ -233,6 +274,7 @@ def match_recognize_stream(
     define: dict[str, str],
     measures: list[tuple[str, str, str | None, str]],
     max_pending_rows: int = 10_000,
+    within=None,
 ) -> DataFrame:
     """Streaming MATCH_RECOGNIZE: the same subset as
     :func:`match_recognize`, maintained per micro-batch with
@@ -256,9 +298,13 @@ def match_recognize_stream(
     per-partition state: a candidate that has buffered more than this
     many rows without resolving is EVICTED — its start position is
     abandoned and the scan resumes just past it, emitting any matches
-    that were only blocked by ordering. This is the analog of Flink's
-    WITHIN clause (unbounded lookback is a leak, not a feature); set
-    it generously above the longest legitimate match.
+    that were only blocked by ordering. ``within`` is Flink's WITHIN
+    proper, over the FIRST order column: matches wider than it are
+    discarded, and a blocked candidate whose start is more than
+    ``within`` behind the newest row FINALIZES — its held provisional
+    match (if any) emits, a partial one is abandoned — which is the
+    pattern-timeout rule AND a tighter state bound than the row count
+    (unbounded lookback is a leak, not a feature).
     """
     import base64
     import pickle
@@ -301,19 +347,16 @@ def match_recognize_stream(
         pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
         flags = {v: pdf[f"__m_{v}"].to_numpy() for v in pat_vars}
         n = len(pdf)
-        matches, pending = _scan(flags, steps, n, streaming=True)
-        # State bound (the WITHIN analog): evict the oldest blocked
-        # candidate while the suffix exceeds max_pending_rows — rescan
-        # just past its start; matches that were only queued behind it
-        # emit now, in order.
-        while n - pending > max_pending_rows:
-            sub = {v: a[pending + 1 :] for v, a in flags.items()}
-            more, p2 = _scan(sub, steps, n - pending - 1, streaming=True)
-            matches.extend(
-                [(var, s + pending + 1, e + pending + 1) for var, s, e in spans]
-                for spans in more
-            )
-            pending = pending + 1 + p2
+        ovals = pdf[order_cols[0]].to_numpy() if within is not None else None
+        matches, pending = _scan(
+            flags,
+            steps,
+            n,
+            streaming=True,
+            ovals=ovals,
+            within=within,
+            max_rows=max_pending_rows,
+        )
         records = _measure_rows(pdf, matches, part_cols, meas, seq0=seq0)
         suffix = pdf.iloc[pending:].reset_index(drop=True)
         state.update(
