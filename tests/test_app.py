@@ -2272,3 +2272,36 @@ def test_describe_recent_batches(spark, tmp_path):
     assert last["change_rows"] == 2
     assert last["touched_buckets"] >= 1
     assert last["merge_secs"] > 0
+
+
+def test_rewrite_theta_tree():
+    from tiflink_spark.planner import rewrite_theta_tree
+
+    cols = {
+        "a": ["aid", "ak", "av"],
+        "b": ["bid", "bk", "bv"],
+        "c": ["cid", "lo", "hi"],
+    }
+    pks = {"a": ["aid"], "b": ["bid"], "c": ["cid"]}
+    q = ("SELECT aid, bid, av, cid, lo FROM a JOIN b ON ak = bk "
+         "JOIN c ON av >= lo AND av < hi WHERE bv > 3")
+    out = rewrite_theta_tree(q, {"a", "b", "c"}, cols, pks)
+    assert out is not None
+    # inner carries both PKs, the equi keys, and the theta/WHERE inputs
+    assert out.startswith("SELECT aid, bid, av, cid, lo FROM ( SELECT ")
+    inner = out[out.index("( SELECT") + 2 : out.index(" ) __tt")]
+    for c in ("aid", "ak", "av", "bid", "bk", "bv"):
+        assert c in inner
+    assert "JOIN c ON av >= lo AND av < hi WHERE bv > 3" in out
+    # second edge referencing an UNKNOWN column -> no rewrite
+    assert rewrite_theta_tree(
+        q.replace("av >= lo", "zz >= lo"), {"a", "b", "c"}, cols, pks
+    ) is None
+    # overlapping column names across tables -> no rewrite (bare-name
+    # relation would be ambiguous)
+    cols2 = dict(cols, c=["cid", "av", "hi"])
+    assert rewrite_theta_tree(q, {"a", "b", "c"}, cols2, pks) is None
+    # first edge not a pure equality conjunction -> no rewrite
+    assert rewrite_theta_tree(
+        q.replace("ak = bk", "ak < bk"), {"a", "b", "c"}, cols, pks
+    ) is None

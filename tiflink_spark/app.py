@@ -1205,6 +1205,18 @@ class MVApp:
             )
             if mn is not None:
                 nested_query = mn
+        if nested_query == query:
+            # Flat three-table tree with ONE theta edge: rewrite to the
+            # nested spelling (inner equi-join MV -> outer theta MV via
+            # the cascade's base-table pass-through, round 7).
+            from tiflink_spark.planner import rewrite_theta_tree
+
+            tt = rewrite_theta_tree(
+                query, set(dfs), source_columns,
+                {n: d[0].pk for n, d in dfs.items()},
+            )
+            if tt is not None:
+                nested_query = tt
 
         ns = split_nested_query(nested_query)
         if ns is not None:

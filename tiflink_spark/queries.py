@@ -1239,6 +1239,7 @@ _PRIORITY = [
     "pattern_funnel_detect",
     "streaming_pattern_funnel",
     "mvapp_auto_agg_enriched",
+    "mvapp_auto_theta_tree_flat",
     "array_ops",
     "string_funcs_ext",
     "agg_string_concat",

@@ -5513,9 +5513,9 @@ def mvapp_auto_cascade_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
-@register(
-    "mvapp_auto_theta_tree",
-    """
+# One oracle for both theta-tree spellings (nested below, flat in
+# mvapp_auto_theta_tree_flat) — identical semantics, provably so.
+_THETA_TREE_ORACLE_SQL = """
     WITH sup_f AS (
         SELECT s_suppkey,
                CASE WHEN s_suppkey % 5 = 0
@@ -5539,28 +5539,14 @@ def mvapp_auto_cascade_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(round(lo) AS BIGINT) AS lo_i,
            CAST(round(hi) AS BIGINT) AS hi_i
     FROM j JOIN bands_f ON s_acctbal >= lo AND s_acctbal < hi
-    """,
-    doc=(
-        "ONE THETA EDGE inside an otherwise-equi join tree (round-7 "
-        "verdict #6), maintained via the cascade spelling: the inner "
-        "equi join (supplier enriched with its nation) is its own "
-        "incremental MV, and the outer BAND join (acctbal BETWEEN a "
-        "band's bounds — the non-equi edge) consumes the inner "
-        "target's version diff PLUS the band table's own changelog, "
-        "which CascadeMV now splits per level. This is how Flink's "
-        "planner shapes the same tree (equi hash-join feeding a "
-        "band-predicate join, each keeping its own state; the "
-        "reference gets it by delegation, TiFlinkApp.java:270). "
-        "Band-widening churn on the theta side (band 2's upper bound "
-        "grows to OVERLAP band 3, band 0 is dropped), balance/fk "
-        "updates on the inner fact side, and a dim delete on the "
-        "inner dim side all converge. The fn raises unless routed "
-        "CascadeMV with a theta outer, and replays a batch for "
-        "idempotence."
-    ),
-    tags=("mv", "incremental", "planner", "join", "theta", "cascade"),
-)
-def mvapp_auto_theta_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _run_theta_tree(spark, sf_dir, query: str) -> DataFrame:
+    """Shared body for the two theta-tree gates: build the MVApp over
+    supplier/nation/band sources with ``query``, assert the CascadeMV
+    + theta-outer routing, run the band-widening churn script, return
+    the final state."""
     from tiflink_spark.app import MVApp
 
     t = _t(spark, sf_dir)
@@ -5582,15 +5568,7 @@ def mvapp_auto_theta_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
             .source("sup_t", sup, pk=["s_suppkey"])
             .source("nat_t", nat, pk=["n_nationkey"])
             .source("bands", bands, pk=["band_id"])
-            .query(
-                """SELECT s_suppkey, n_nationkey, s_acctbal, n_name,
-                          band_id, lo, hi
-                   FROM ( SELECT s_suppkey, s_nationkey, n_nationkey,
-                                 s_acctbal, n_name
-                          FROM sup_t JOIN nat_t
-                            ON s_nationkey = n_nationkey ) j
-                   JOIN bands ON s_acctbal >= lo AND s_acctbal < hi"""
-            )
+            .query(query)
             .target(work)
             .num_buckets(4)
             .shuffle_partitions(8)
@@ -5604,8 +5582,6 @@ def mvapp_auto_theta_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"/{getattr(getattr(app._mv, 'outer', None), 'maintenance_strategy', '?')}"
             )
         app.bootstrap()
-        # B1 (inner fact): balance + fk churn — rows cross band edges
-        # AND re-key the inner equi join in one batch
         s_upd = (
             sup.filter(F.col("s_suppkey") % 5 == 0)
             .withColumn("s_nationkey", (F.col("s_nationkey") + 11) % 25)
@@ -5614,9 +5590,6 @@ def mvapp_auto_theta_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn(SEQ_COL, F.monotonically_increasing_id())
         )
         app.refresh({"sup_t": s_upd}, batch_id=1)
-        # B2 (theta side, outer-only source): band 2 WIDENS to overlap
-        # band 3 (+U), band 0 drops (-D) — rows gain/lose band matches
-        # with no inner change at all
         b_upd = (
             bands.filter(F.col("band_id") == 2)
             .withColumn("hi", F.col("hi") + 1500.0)
@@ -5630,8 +5603,6 @@ def mvapp_auto_theta_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         app.refresh({"bands": b_upd.unionByName(b_del)}, batch_id=2)
         app.refresh({"bands": b_upd.unionByName(b_del)}, batch_id=2)  # replay
-        # B3 (inner dim): nation 7 leaves -> its suppliers leave the
-        # inner join, the outer retracts their band rows
         n_del = (
             nat.filter(F.col("n_nationkey") == 7)
             .withColumn(OP_COL, F.lit(OP_DELETE))
@@ -5653,6 +5624,72 @@ def mvapp_auto_theta_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_theta_tree",
+    _THETA_TREE_ORACLE_SQL,
+    doc=(
+        "ONE THETA EDGE inside an otherwise-equi join tree (round-7 "
+        "verdict #6), maintained via the cascade spelling: the inner "
+        "equi join (supplier enriched with its nation) is its own "
+        "incremental MV, and the outer BAND join (acctbal BETWEEN a "
+        "band's bounds — the non-equi edge) consumes the inner "
+        "target's version diff PLUS the band table's own changelog, "
+        "which CascadeMV now splits per level. This is how Flink's "
+        "planner shapes the same tree (equi hash-join feeding a "
+        "band-predicate join, each keeping its own state; the "
+        "reference gets it by delegation, TiFlinkApp.java:270). "
+        "Band-widening churn on the theta side (band 2's upper bound "
+        "grows to OVERLAP band 3, band 0 is dropped), balance/fk "
+        "updates on the inner fact side, and a dim delete on the "
+        "inner dim side all converge. The fn raises unless routed "
+        "CascadeMV with a theta outer, and replays a batch for "
+        "idempotence."
+    ),
+    tags=("mv", "incremental", "planner", "join", "theta", "cascade"),
+)
+def mvapp_auto_theta_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_theta_tree(
+        spark,
+        sf_dir,
+        """SELECT s_suppkey, n_nationkey, s_acctbal, n_name,
+                  band_id, lo, hi
+           FROM ( SELECT s_suppkey, s_nationkey, n_nationkey,
+                         s_acctbal, n_name
+                  FROM sup_t JOIN nat_t
+                    ON s_nationkey = n_nationkey ) j
+           JOIN bands ON s_acctbal >= lo AND s_acctbal < hi""",
+    )
+
+
+@register(
+    "mvapp_auto_theta_tree_flat",
+    _THETA_TREE_ORACLE_SQL,
+    doc=(
+        "The SAME theta-over-equi tree as mvapp_auto_theta_tree, but in "
+        "the FLAT spelling users actually write — "
+        "FROM sup JOIN nation ON <equi> JOIN bands ON <band predicate> "
+        "— auto-rewritten to the nested cascade form by "
+        "planner.rewrite_theta_tree (round 7): inner equi-join MV keyed "
+        "by both PKs feeding an outer theta MV, the band table's "
+        "changelog going straight to the outer level. Same oracle, same "
+        "band-widening churn script, same raises-unless-routed check; a "
+        "green row proves the rewrite is semantics-preserving end to "
+        "end."
+    ),
+    tags=("mv", "incremental", "planner", "join", "theta", "cascade"),
+)
+def mvapp_auto_theta_tree_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_theta_tree(
+        spark,
+        sf_dir,
+        """SELECT s_suppkey, n_nationkey, s_acctbal, n_name,
+                  band_id, lo, hi
+           FROM sup_t JOIN nat_t ON s_nationkey = n_nationkey
+           JOIN bands ON s_acctbal >= lo AND s_acctbal < hi""",
+    )
+
 
 
 @register(
