@@ -313,6 +313,22 @@ def main() -> None:
         if os.environ.get("SPARK_GRAFT_SKIP_MV_REFRESH") != "1"
         else None
     )
+    # The driver captures only the last ~2kB of output and parses the
+    # final JSON line (BENCH_r07 had "parsed": null because the single
+    # combined line outgrew that window). So: the full detail record —
+    # runs, mv_refresh, contention, trends — goes on its OWN earlier
+    # line, and the compact headline (well under 2kB) is the LAST line.
+    detail = {
+        "metric": "headline_detail",
+        "runs": all_runs,
+        "timing": "min_of_3",
+        "contention_probe": probe,
+        "tracked_trends": trend,
+        "mv_refresh": mv_refresh,
+        "idle_reference": _latest_idle_reference(),
+    }
+    print(json.dumps(detail))
+    sys.stdout.flush()
     print(
         json.dumps(
             {
@@ -321,12 +337,6 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "runs": all_runs,
-                "timing": "min_of_3",
-                "contention_probe": probe,
-                "tracked_trends": trend,
-                "mv_refresh": mv_refresh,
-                "idle_reference": _latest_idle_reference(),
             }
         )
     )
