@@ -98,13 +98,111 @@ def test_partitions_are_independent(spark):
 def test_rejects_bad_specs(spark):
     df = _rows(spark, [(1, 1, "a", 0.0)])
     with pytest.raises(ValueError, match="pattern must be"):
-        match_recognize(df, ["k"], ["seq"], [("A", "*")], {}, [])
+        match_recognize(df, ["k"], ["seq"], [], {}, [])
+    with pytest.raises(ValueError, match="zero rows"):
+        match_recognize(df, ["k"], ["seq"], [("A", "*"), ("B", "?")], {}, [])
+    with pytest.raises(ValueError, match="unsupported quantifier"):
+        match_recognize(df, ["k"], ["seq"], [("A", "+?")], {}, [])
+    with pytest.raises(ValueError, match="max < min"):
+        match_recognize(df, ["k"], ["seq"], [("A", "{3,2}")], {}, [])
     with pytest.raises(ValueError, match="not in pattern"):
         match_recognize(df, ["k"], ["seq"], [("A", "1")], {"B": "1=1"}, [])
     with pytest.raises(ValueError, match="needs a field"):
         match_recognize(
             df, ["k"], ["seq"], [("A", "1")], {}, [("m", "A", None, "sum")]
         )
+
+
+def test_optional_and_star_quantifiers(spark):
+    # A B? C over "a c" (B absent) and "a b c" (B present): both match;
+    # A B* C over "a b b c": the star swallows the whole b-run.
+    df = _rows(
+        spark,
+        [(1, 1, "a", 0.0), (1, 2, "c", 0.0),
+         (2, 1, "a", 0.0), (2, 2, "b", 0.0), (2, 3, "c", 0.0),
+         (3, 1, "a", 0.0), (3, 2, "b", 0.0), (3, 3, "b", 0.0), (3, 4, "c", 0.0)],
+    )
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern=[("A", "1"), ("B", "*"), ("C", "1")],
+        define={"A": "tag = 'a'", "B": "tag = 'b'", "C": "tag = 'c'"},
+        measures=[("n_b", "B", None, "count"), ("c_seq", "C", "seq", "first")],
+    )
+    assert _collect(out) == [(1, 1, 0, 2), (2, 1, 1, 3), (3, 1, 2, 4)]
+
+
+def test_range_quantifier_bounds_and_backtracks(spark):
+    # B{2,3} C: four b-rows then c — the greedy range takes 3 (its max,
+    # not the whole run), leaving b@4 unconsumed, so C fails at b@4 and
+    # the start fails; with B{2,4} the same rows match (range takes 4).
+    rows = [(1, 1, "a", 0.0)] + [(1, s, "b", 0.0) for s in (2, 3, 4, 5)] + [
+        (1, 6, "c", 0.0)
+    ]
+    df = _rows(spark, rows)
+
+    def run(quant):
+        return _collect(
+            match_recognize(
+                df,
+                partition_by=["k"],
+                order_by=["seq"],
+                pattern=[("A", "1"), ("B", quant), ("C", "1")],
+                define={"A": "tag = 'a'", "B": "tag = 'b'", "C": "tag = 'c'"},
+                measures=[("n_b", "B", None, "count")],
+            )
+        )
+
+    assert run("{2,3}") == []  # b@5 blocks C; range can't stretch to 4
+    assert run("{2,4}") == [(1, 1, 4)]
+    assert run("{2,}") == [(1, 1, 4)]
+
+
+def test_alternation_union_match_and_leftmost_attribution(spark):
+    # (A|B)+ C: the run mixes a- and b-rows; measures attribute each
+    # row to the FIRST alternative whose DEFINE holds (v>1 rows satisfy
+    # both A and B -> credited to A, the leftmost).
+    df = _rows(
+        spark,
+        [(1, 1, "x", 2.0), (1, 2, "x", 0.5), (1, 3, "x", 3.0), (1, 4, "c", -1.0)],
+    )
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern=[("A|B", "+"), ("C", "1")],
+        define={"A": "v > 1", "B": "v > 0", "C": "tag = 'c'"},
+        measures=[
+            ("n_a", "A", None, "count"),
+            ("n_b", "B", None, "count"),
+            ("c_seq", "C", "seq", "first"),
+        ],
+    )
+    assert _collect(out) == [(1, 1, 2, 1, 4)]
+
+
+def test_batch_within_uses_window_bound_assignment(spark):
+    """ADVICE r7 (high): WITHIN must bound the greedy search itself,
+    not post-filter the unconstrained assignment — the narrower
+    within-bound match emits. A+ B+ with A true everywhere, B at rows
+    1 and 3, order values 4/9/26/28, within=10: the window around
+    row0 holds rows {0,1}, so A(0) B(1) matches; around row2 it holds
+    {2,3}, so A(2) B(3) matches — two matches, not one."""
+    df = _rows(
+        spark,
+        [(1, 4, "b", 0.0), (1, 9, "b", 0.0), (1, 26, "x", 0.0), (1, 28, "b", 0.0)],
+    )
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern=[("A", "+"), ("B", "+")],
+        define={"B": "tag = 'b'"},  # A undefined -> true on every row
+        measures=[("a_first", "A", "seq", "first"), ("b_last", "B", "seq", "last")],
+        within=10,
+    )
+    assert _collect(out) == [(1, 1, 4, 9), (1, 2, 26, 28)]
 
 
 def test_streaming_match_spans_micro_batch_boundary(spark, tmp_path):
@@ -289,3 +387,64 @@ def test_streaming_within_finalizes_stale_candidates(spark, tmp_path):
     q.awaitTermination()
     rows = [tuple(r) for r in spark.table("pattern_within_sink").collect()]
     assert rows == [(1, 1, 1)]
+
+
+def test_scan_batch_equals_drained_stream_fuzz():
+    """ADVICE r7 (high): the streaming scan's held/decided split plus an
+    end-of-stream finalize must reproduce the batch answer EXACTLY, for
+    every quantifier shape and WITHIN setting, at every chunking of the
+    row stream. Pure-Python fuzz over _scan — no Spark session."""
+    import random
+
+    import numpy as np
+
+    from tiflink_spark.patterns import _runtime_steps, _scan, _validate
+
+    def drain(flags_full, steps, ovals_full, within, chunk_sizes):
+        emitted, b0, pos = [], 0, 0
+        for size in chunk_sizes:
+            pos += size
+            fl = {v: arr[b0:pos] for v, arr in flags_full.items()}
+            ov = ovals_full[b0:pos] if within is not None else None
+            rt = _runtime_steps(steps, fl)
+            ms, pending = _scan(rt, pos - b0, streaming=True, ovals=ov, within=within)
+            emitted += [[(nm, s + b0, e + b0) for nm, s, e in m] for m in ms]
+            b0 += pending
+        # end of stream: the residual pending buffer is decided with
+        # batch (end-of-data-is-final) semantics
+        fl = {v: arr[b0:pos] for v, arr in flags_full.items()}
+        ov = ovals_full[b0:pos] if within is not None else None
+        rt = _runtime_steps(steps, fl)
+        ms, _ = _scan(rt, pos - b0, streaming=False, ovals=ov, within=within)
+        emitted += [[(nm, s + b0, e + b0) for nm, s, e in m] for m in ms]
+        return emitted
+
+    rng = random.Random(7)
+    specs = [
+        [("A", "+"), ("B", "+")],
+        [("A", "1"), ("B", "*"), ("C", "1")],
+        [("A|B", "+"), ("C", "1")],
+        [("A", "{1,2}"), ("B", "?"), ("C", "1")],
+        [("A", "{2,}"), ("B", "1")],
+    ]
+    for _ in range(300):
+        pattern = rng.choice(specs)
+        _, steps = _validate(pattern, {}, [])
+        n = rng.randint(1, 14)
+        flags = {
+            v: np.array([rng.random() < 0.55 for _ in range(n)]) for v in "ABC"
+        }
+        ovals = np.cumsum([rng.randint(1, 6) for _ in range(n)])
+        within = rng.choice([None, 4, 9, 18])
+        rt = _runtime_steps(steps, flags)
+        batch, _ = _scan(rt, n, streaming=False, ovals=ovals, within=within)
+        # random chunking of the same rows
+        sizes, left = [], n
+        while left > 0:
+            c = rng.randint(1, left)
+            sizes.append(c)
+            left -= c
+        assert drain(flags, steps, ovals, within, sizes) == batch, (
+            pattern, within, sizes,
+            [list(f.astype(int)) for f in flags.values()], list(ovals),
+        )

@@ -15,14 +15,26 @@ widely-used subset as a Spark-first two-stage operator:
    any keyed aggregation (shuffle on the partition key).
 
 Supported subset (documented, checked):
-- PATTERN: a sequence of variables, each with quantifier ``1`` or
-  ``+`` (greedy, with backtracking — ``B+ C`` gives back rows when C
-  needs them, Flink's default greedy semantics);
+- PATTERN: a sequence of steps, each a variable or an alternation
+  ``"A|B"`` (leftmost preference for measure attribution — which
+  alternative labels a row never changes matchability because DEFINEs
+  are row-local), with quantifier ``1``, ``?``, ``+``, ``*``,
+  ``{n,m}`` or ``{n,}`` (all greedy, with backtracking — ``B+ C``
+  gives back rows when C needs them, Flink's default greedy
+  semantics). A pattern that could match zero rows total is rejected
+  (Flink's rule).
 - DEFINE: row-local predicates over the CURRENT row's columns (no
   LAST()/FIRST() navigation — the Flink forms that need run state);
-  an undefined variable matches every row (Flink's rule);
+  an undefined variable matches every row (Flink's rule); reluctant
+  quantifiers (``+?``) are not supported.
 - AFTER MATCH SKIP PAST LAST ROW (the default), so matches never
   overlap and the scan is a single left-to-right pass;
+- WITHIN: the matcher itself runs inside the window — a match is the
+  greedy assignment over the rows whose order value lies within
+  ``within`` of the start row, so batch and drained-stream results
+  agree by construction (not a post-filter over the unconstrained
+  greedy assignment, which could discard a start whose narrower
+  within-bound assignment matches);
 - MEASURES: FIRST/LAST column of a variable's rows, COUNT/SUM/MIN/MAX
   over them; plus the partition keys and ``match_seq`` (1-based match
   ordinal within the partition, the MATCH_NUMBER() analog).
@@ -30,19 +42,60 @@ Supported subset (documented, checked):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 _HOWS = ("first", "last", "count", "sum", "min", "max")
 
+_RANGE_RE = re.compile(r"^\{(\d+),(\d*)\}$")
 
-def _validate(pattern, define, measures) -> list[str]:
+
+def _parse_quant(quant: str) -> tuple[int, int | None]:
+    """Quantifier string → (lo, hi); hi=None is unbounded."""
+    if quant == "1":
+        return 1, 1
+    if quant == "?":
+        return 0, 1
+    if quant == "+":
+        return 1, None
+    if quant == "*":
+        return 0, None
+    m = _RANGE_RE.match(quant)
+    if m:
+        lo = int(m.group(1))
+        hi = int(m.group(2)) if m.group(2) else None
+        if hi is not None and hi < lo:
+            raise ValueError(f"quantifier {quant}: max < min")
+        if (hi or lo) == 0:
+            raise ValueError(f"quantifier {quant}: matches nothing")
+        return lo, hi
+    raise ValueError(
+        f"unsupported quantifier {quant!r} (supported: 1 ? + * {{n,m}} {{n,}})"
+    )
+
+
+def _validate(pattern, define, measures) -> tuple[list[str], list[tuple]]:
     """Shared spec validation for the batch AND streaming entry points
-    (one implementation — the two cannot drift)."""
-    pat_vars = [v for v, _ in pattern]
-    if not pattern or any(q not in ("1", "+") for _, q in pattern):
-        raise ValueError("pattern must be [(var, '1'|'+'), ...]")
+    (one implementation — the two cannot drift). Returns the distinct
+    variable names and the parsed steps [(names, lo, hi)]."""
+    if not pattern:
+        raise ValueError("pattern must be [(var_or_alternation, quant), ...]")
+    steps: list[tuple] = []
+    pat_vars: list[str] = []
+    for spec, quant in pattern:
+        names = tuple(v.strip() for v in spec.split("|"))
+        if any(not v for v in names):
+            raise ValueError(f"bad pattern variable spec {spec!r}")
+        lo, hi = _parse_quant(quant)
+        steps.append((names, lo, hi))
+        for v in names:
+            if v not in pat_vars:
+                pat_vars.append(v)
+    if sum(lo for _, lo, _ in steps) == 0:
+        raise ValueError("pattern could match zero rows (every step optional)")
     unknown = set(define) - set(pat_vars)
     if unknown:
         raise ValueError(f"DEFINE for variables not in pattern: {sorted(unknown)}")
@@ -53,7 +106,7 @@ def _validate(pattern, define, measures) -> list[str]:
             raise ValueError(f"measure {alias}: how must be one of {_HOWS}")
         if how != "count" and field is None:
             raise ValueError(f"measure {alias}: {how} needs a field")
-    return pat_vars
+    return pat_vars, steps
 
 
 def _flag_columns(df: DataFrame, pat_vars: list[str], define: dict) -> DataFrame:
@@ -102,42 +155,63 @@ def _output_fields(df: DataFrame, partition_by, measures) -> list[StructField]:
     return out
 
 
-def _attempt(pos: int, si: int, flags: dict, steps: list, n: int):
-    """Match ``steps[si:]`` at ``pos`` → (spans | None, eof_seen).
+def _runtime_steps(steps: list[tuple], flags: dict) -> list[tuple]:
+    """Bind each parsed step to its union flag array (alternation: a
+    row matches the step when ANY alternative's DEFINE holds)."""
+    import numpy as np
 
-    ``eof_seen`` is True when the greedy exploration ran out of ROWS at
-    or before reaching this outcome — the streaming signal that more
-    data could change (or create) the match, so a stateful consumer
-    must hold the candidate instead of deciding. Batch callers ignore
-    it (end of data is final there)."""
+    rt = []
+    for names, lo, hi in steps:
+        col = (
+            flags[names[0]]
+            if len(names) == 1
+            else np.logical_or.reduce([flags[v] for v in names])
+        )
+        rt.append((names, lo, hi, col))
+    return rt
+
+
+def _attempt(pos: int, si: int, steps: list, n: int, limit: int):
+    """Match ``steps[si:]`` at ``pos`` using rows [pos, limit) →
+    (spans | None, end, eof_seen).
+
+    ``limit`` is the exclusive row bound for THIS match attempt: ``n``
+    normally, or the WITHIN window edge (the first row whose order
+    value exceeds start+within). Running the greedy search inside the
+    limit — rather than post-filtering an unconstrained assignment —
+    is what makes batch WITHIN agree with the drained-stream result:
+    both emit the narrower within-bound assignment.
+
+    ``eof_seen`` is True when the exploration was stopped by the edge
+    of the DATA (limit == n) while the quantifier could still consume
+    or require more rows — the streaming signal that more data could
+    change (or create) the match, so a stateful consumer must hold the
+    candidate. A stop at a WITHIN edge short of the data (limit < n)
+    is final: later rows are ordered past the window and can never
+    join this match. Batch callers ignore it (end of data is final
+    there)."""
     if si == len(steps):
-        return [], False
-    var, quant = steps[si]
-    col = flags[var]
-    if pos >= n:
-        return None, True
-    if not col[pos]:
-        return None, False
-    if quant == "1":
-        rest, eof = _attempt(pos + 1, si + 1, flags, steps, n)
-        if rest is None:
-            return None, eof
-        return [(var, pos, pos + 1)] + rest, eof
-    # '+': greedy, longest first, with backtracking
+        return [], pos, False
+    names, lo, hi, col = steps[si]
+    cap = limit if hi is None else min(limit, pos + hi)
     k = pos
-    while k < n and col[k]:
+    while k < cap and col[k]:
         k += 1
-    eof_any = k == n  # the run itself could grow with more rows
-    for end in range(k, pos, -1):
-        rest, eof = _attempt(end, si + 1, flags, steps, n)
+    # the run stopped at the data edge while still allowed to grow
+    eof_any = k == limit == n and (hi is None or k - pos < hi)
+    lo_end = pos + lo
+    if lo_end > k:
+        return None, pos, eof_any
+    for end in range(k, lo_end - 1, -1):
+        rest, rend, eof = _attempt(end, si + 1, steps, n, limit)
         eof_any = eof_any or eof
         if rest is not None:
-            return [(var, pos, end)] + rest, eof_any
-    return None, eof_any
+            span = [(names, pos, end)] if end > pos else []
+            return span + rest, rend, eof_any
+    return None, pos, eof_any
 
 
 def _scan(
-    flags: dict,
     steps: list,
     n: int,
     streaming: bool,
@@ -153,41 +227,43 @@ def _scan(
     next batch must resume. Batch mode always runs to the end
     (pending_start == n).
 
-    ``within`` (with ``ovals``, the first order column's values) is
-    Flink's WITHIN: a match whose first→last order span exceeds it is
-    discarded (scan resumes one row later). In streaming mode it also
-    FINALIZES stale blocked candidates: once the newest row is more
-    than ``within`` past a candidate's start, no future data can
-    produce a within-bound greedier match, so a held provisional match
-    emits now (the pattern-timeout behavior) and a partial one is
-    abandoned. ``max_rows`` is the row-count state bound: a blocked
-    candidate buffering more rows than this is abandoned outright."""
+    With ``within`` set (and ``ovals``, the first order column's
+    values) each attempt runs inside its window limit, so a candidate
+    whose window has closed (rows exist past start+within) is decided
+    FINALLY here — emitted if it matches inside the window, abandoned
+    otherwise — identically in batch and streaming; only a candidate
+    whose window is still open at the data edge is held as pending.
+    ``max_rows`` is the row-count state bound: a blocked candidate
+    buffering more rows than this EVICTS — its held within-bound match
+    (if complete on the rows at hand) emits, mirroring the
+    window-close rule, and a partial one is abandoned."""
+    import numpy as np
+
     matches, i = [], 0
-
-    def span_of(spans):
-        return ovals[spans[-1][2] - 1] - ovals[spans[0][1]]
-
     while i < n:
-        spans, eof = _attempt(i, 0, flags, steps, n)
+        if within is None:
+            limit = n
+        else:
+            limit = int(np.searchsorted(ovals, ovals[i] + within, side="right"))
+        spans, end, eof = _attempt(i, 0, steps, n, limit)
         if streaming and eof:
-            stale = within is not None and (ovals[n - 1] - ovals[i]) > within
             too_big = max_rows is not None and (n - i) > max_rows
-            if not (stale or too_big):
+            if not too_big:
                 return matches, i  # hold as pending
-            if stale and spans is not None and span_of(spans) <= within:
-                matches.append(spans)  # timed out: finalize the held match
-                i = spans[-1][2]
-                continue
-            i += 1  # abandon this start
+            # evicted: a complete provisional match emits (the same
+            # rule the window-close path applies — dropping it would
+            # lose a match batch semantics emits)
+            if spans is not None:
+                matches.append(spans)
+                i = end
+            else:
+                i += 1
             continue
         if spans is None:
             i += 1
             continue
-        if within is not None and span_of(spans) > within:
-            i += 1  # match too wide — discarded, rows stay available
-            continue
         matches.append(spans)
-        i = spans[-1][2]
+        i = end
     return matches, n
 
 
@@ -202,22 +278,22 @@ def match_recognize(
 ) -> DataFrame:
     """One output row per (non-overlapping, greedy) pattern match.
 
-    ``pattern``: [(var, quant)] with quant in {"1", "+"};
+    ``pattern``: [(var_or_alternation, quant)] — var spec is ``"A"``
+    or ``"A|B"``; quant in {"1", "?", "+", "*", "{n,m}", "{n,}"};
     ``define``: var -> row-local SQL predicate (missing var = always);
     ``measures``: [(alias, var, field_or_None, how)] with how in
     first/last/min/max/sum (field required) or count (field ignored);
     ``within``: Flink's WITHIN — the maximum first→last span of a
     match over the FIRST order_by column (a number for numeric order
-    columns, a pandas/numpy timedelta for timestamps); wider matches
-    are discarded.
+    columns, a pandas/numpy timedelta for timestamps); the greedy
+    search itself runs inside the window.
     Output schema: partition keys, ``match_seq`` (long), measures.
     """
-    pat_vars = _validate(pattern, define, measures)
+    pat_vars, steps = _validate(pattern, define, measures)
     work = _flag_columns(df, pat_vars, define)
     out_fields = _output_fields(df, partition_by, measures)
     out_schema = StructType(out_fields)
 
-    steps = list(pattern)
     meas = list(measures)
     part_cols = list(partition_by)
     order_cols = list(order_by)
@@ -227,11 +303,12 @@ def match_recognize(
 
         pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
         flags = {v: pdf[f"__m_{v}"].to_numpy() for v in pat_vars}
+        rt_steps = _runtime_steps(steps, flags)
         ovals = pdf[order_cols[0]].to_numpy() if within is not None else None
         matches, _ = _scan(
-            flags, steps, len(pdf), streaming=False, ovals=ovals, within=within
+            rt_steps, len(pdf), streaming=False, ovals=ovals, within=within
         )
-        records = _measure_rows(pdf, matches, part_cols, meas, seq0=0)
+        records = _measure_rows(pdf, matches, part_cols, meas, flags, seq0=0)
         cols = [f.name for f in out_fields]
         if not records:
             return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
@@ -240,18 +317,27 @@ def match_recognize(
     return work.groupBy(*part_cols).applyInPandas(run, schema=out_schema)
 
 
-def _measure_rows(pdf, matches, part_cols, meas, seq0: int) -> list[dict]:
+def _measure_rows(pdf, matches, part_cols, meas, flags, seq0: int) -> list[dict]:
     """One output record per match: partition keys + match_seq +
-    MEASURES evaluated over each variable's matched rows."""
+    MEASURES evaluated over each variable's matched rows. Alternation
+    rows are attributed to the FIRST alternative whose DEFINE holds
+    (leftmost preference — Flink's alternative order)."""
     records = []
     for mi, spans in enumerate(matches, start=1):
         rec = {c: pdf.at[0, c] for c in part_cols}
         rec["match_seq"] = seq0 + mi
-        by_var: dict[str, list[tuple[int, int]]] = {}
-        for var, s, e in spans:
-            by_var.setdefault(var, []).append((s, e))
+        by_var: dict[str, list[int]] = {}
+        for names, s, e in spans:
+            if len(names) == 1:
+                by_var.setdefault(names[0], []).extend(range(s, e))
+            else:
+                for j in range(s, e):
+                    for v in names:
+                        if flags[v][j]:
+                            by_var.setdefault(v, []).append(j)
+                            break
         for alias, var, field, how in meas:
-            idxs = [j for s, e in by_var.get(var, []) for j in range(s, e)]
+            idxs = by_var.get(var, [])
             if how == "count":
                 rec[alias] = len(idxs)
             elif not idxs:
@@ -264,6 +350,31 @@ def _measure_rows(pdf, matches, part_cols, meas, seq0: int) -> list[dict]:
                 rec[alias] = getattr(pdf.loc[idxs, field], how)()
         records.append(rec)
     return records
+
+
+def _encode_suffix(suffix) -> str:
+    """Pending-suffix state as base64 Arrow IPC bytes — a stable,
+    versioned wire format, so checkpoint recovery survives pandas /
+    Python upgrades (a pickled DataFrame would couple the checkpoint
+    to the exact library versions of the workers that wrote it)."""
+    import base64
+
+    import pyarrow as pa
+
+    table = pa.Table.from_pandas(suffix, preserve_index=False)
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, table.schema) as writer:
+        writer.write_table(table)
+    return base64.b64encode(sink.getvalue().to_pybytes()).decode("ascii")
+
+
+def _decode_suffix(blob: str):
+    import base64
+
+    import pyarrow as pa
+
+    with pa.ipc.open_stream(base64.b64decode(blob)) as reader:
+        return reader.read_all().to_pandas()
 
 
 def match_recognize_stream(
@@ -296,27 +407,23 @@ def match_recognize_stream(
     ordered across triggers for each partition (the per-batch file/CDC
     order of any keyed changelog). ``max_pending_rows`` bounds the
     per-partition state: a candidate that has buffered more than this
-    many rows without resolving is EVICTED — its start position is
-    abandoned and the scan resumes just past it, emitting any matches
-    that were only blocked by ordering. ``within`` is Flink's WITHIN
-    proper, over the FIRST order column: matches wider than it are
-    discarded, and a blocked candidate whose start is more than
-    ``within`` behind the newest row FINALIZES — its held provisional
-    match (if any) emits, a partial one is abandoned — which is the
-    pattern-timeout rule AND a tighter state bound than the row count
-    (unbounded lookback is a leak, not a feature).
+    many rows without resolving is EVICTED — its held within-bound
+    match (if complete on the rows at hand) emits and the scan resumes
+    past it; a partial candidate is abandoned one row forward.
+    ``within`` is Flink's WITHIN proper, over the FIRST order column:
+    the greedy search runs inside each candidate's window, and a
+    candidate whose window has closed (the newest row is past
+    start+within) is decided finally — so the drained stream equals
+    the batch answer by construction, and state lookback is bounded by
+    the window (unbounded lookback is a leak, not a feature).
     """
-    import base64
-    import pickle
-
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    pat_vars = _validate(pattern, define, measures)
+    pat_vars, steps = _validate(pattern, define, measures)
     work = _flag_columns(df, pat_vars, define)
     out_fields = _output_fields(df, partition_by, measures)
     out_schema = StructType(out_fields)
 
-    steps = list(pattern)
     meas = list(measures)
     part_cols = list(partition_by)
     order_cols = list(order_by)
@@ -333,7 +440,7 @@ def match_recognize_stream(
 
         if state.exists:
             seq0, blob = state.get
-            prior = pickle.loads(base64.b64decode(blob)) if blob else None
+            prior = _decode_suffix(blob) if blob else None
         else:
             seq0, prior = 0, None
         parts = ([] if prior is None or prior.empty else [prior]) + [
@@ -346,25 +453,23 @@ def match_recognize_stream(
             return
         pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
         flags = {v: pdf[f"__m_{v}"].to_numpy() for v in pat_vars}
+        rt_steps = _runtime_steps(steps, flags)
         n = len(pdf)
         ovals = pdf[order_cols[0]].to_numpy() if within is not None else None
         matches, pending = _scan(
-            flags,
-            steps,
+            rt_steps,
             n,
             streaming=True,
             ovals=ovals,
             within=within,
             max_rows=max_pending_rows,
         )
-        records = _measure_rows(pdf, matches, part_cols, meas, seq0=seq0)
+        records = _measure_rows(pdf, matches, part_cols, meas, flags, seq0=seq0)
         suffix = pdf.iloc[pending:].reset_index(drop=True)
         state.update(
             (
                 seq0 + len(matches),
-                base64.b64encode(pickle.dumps(suffix)).decode("ascii")
-                if len(suffix)
-                else "",
+                _encode_suffix(suffix) if len(suffix) else "",
             )
         )
         if records:
