@@ -180,7 +180,7 @@ def aggregate_global_state(
 def merge_delta_state(
     old_state: DataFrame,
     delta: DataFrame,
-    new_base: DataFrame,
+    new_base,
     group_keys: list[str],
     measures: list[Measure],
 ) -> DataFrame:
@@ -188,7 +188,10 @@ def merge_delta_state(
 
     Invertible measures: old ⊕ weighted-delta. Non-invertible: the
     dirty groups are recomputed from ``new_base`` (pruned to those
-    groups with a semi-join before the shuffle).
+    groups with a semi-join before the shuffle). ``new_base`` may be a
+    zero-arg callable returning the DataFrame — it is only invoked when
+    a non-invertible measure exists, so invertible-only MVs skip the
+    (driver-side) cost of constructing the post-batch base read.
 
     Returns state rows for dirty groups only; ``__rows == 0`` means the
     group vanished (caller deletes / emits zero, per query shape).
@@ -235,6 +238,8 @@ def merge_delta_state(
         return inv_state
 
     # Non-invertible: recompute dirty groups from the new base.
+    if callable(new_base):
+        new_base = new_base()
     pruned = new_base.join(dirty_keys, group_keys, "left_semi")
     recomputed = aggregate_state(pruned, group_keys, measures)
     # Groups that vanished entirely produce no recomputed row — keep the

@@ -54,7 +54,7 @@ from tiflink_spark.store import KeyedParquetStore
 
 
 @contextmanager
-def _shuffle_scope(spark: SparkSession, n: int | None):
+def _shuffle_scope(spark: SparkSession, n: int | None, adaptive_off: bool = False):
     """Pin ``spark.sql.shuffle.partitions`` while maintenance jobs run.
 
     MV maintenance work is proportional to the *changed* keys, which is
@@ -64,24 +64,70 @@ def _shuffle_scope(spark: SparkSession, n: int | None):
     analog of the reference's explicit job parallelism knob
     (TiFlinkApp.java:243-246, parallelism 3 in the example): size it to
     expected delta volume, not source volume.
+
+    ``adaptive_off`` additionally disables AQE for the scope: AQE
+    materializes every query stage as its own job to replan at runtime
+    — the right trade for a 100 TB scan, pure scheduling overhead for a
+    delta-sized refresh (measured: 19-27 jobs per flagship refresh
+    batch with AQE on vs the plan's natural handful off — AQE round-
+    trips, not data, were the refresh-latency floor). Refresh runs with
+    it off (parallelism comes from the tuned shuffle sizing, the
+    reference's fixed-parallelism analog, TiFlinkApp.java:243-246);
+    bootstrap — real full-table work — keeps it on.
+
+    The scope snapshots/restores even when ``n`` is None so refresh
+    bodies can re-tune the sizing mid-batch (``_tune_delta_shuffle``)
+    without leaking it into the session.
     """
-    if n is None:
-        yield
-        return
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    if n is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    if adaptive_off:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+# Target rows per maintenance task. Once a batch's true change-row count
+# is known (driver-side, from the merge commit's stats), the rest of the
+# refresh runs with ceil(rows / this) shuffle partitions (floor 1,
+# ceiling = the configured maintenance sizing): a 150-row micro-batch
+# then runs its windows/joins as single tasks — measured 2x per-batch
+# latency at the gate scale, where per-task scheduling overhead was the
+# floor — while a 10M-row backfill batch still fans out.
+DELTA_ROWS_PER_TASK = 32_768
+
+
+def _tune_delta_shuffle(spark: SparkSession, configured: int | None, rows: int | None):
+    """Re-pin shuffle sizing to the batch's measured delta volume for
+    the remainder of the refresh (the enclosing _shuffle_scope restores
+    the session value afterwards)."""
+    if rows is None:
+        return
+    need = max(1, -(-rows // DELTA_ROWS_PER_TASK))
+    if configured is not None:
+        need = min(need, configured)
+    spark.conf.set("spark.sql.shuffle.partitions", str(need))
 
 
 def _maintenance(fn):
-    """Run a bootstrap/refresh method under the MV's shuffle sizing."""
+    """Run a bootstrap/refresh method under the MV's shuffle sizing;
+    refresh methods additionally run with AQE off (see _shuffle_scope —
+    per-stage replan jobs are the latency floor at delta scale)."""
+
+    adaptive_off = fn.__name__ == "refresh"
 
     @functools.wraps(fn)
     def wrapper(self, *args, **kwargs):
-        with _shuffle_scope(self.spark, getattr(self, "shuffle_partitions", None)):
+        with _shuffle_scope(
+            self.spark,
+            getattr(self, "shuffle_partitions", None),
+            adaptive_off=adaptive_off,
+        ):
             return fn(self, *args, **kwargs)
 
     return wrapper
@@ -1071,11 +1117,17 @@ class IncrementalTopKMV:
     def _dirty_groups(self, changes: DataFrame, batch_id) -> DataFrame:
         """Groups touched by the batch: the new rows' groups plus the
         groups of the displaced old row versions (a group-changing
-        update dirties both)."""
-        if batch_id in self.fact_store.committed_batches():
-            old = self.fact_store.read(self.fact_store.version_before_batch(batch_id))
-        else:
-            old = self.fact_store.read()
+        update dirties both). Called AFTER the batch's fact merge, so
+        the displaced-row lookup reads the pre-batch version BUCKET-
+        PRUNED to the batch's keys (batch_buckets) — O(touched
+        buckets), not a table scan."""
+        prev_v = self.fact_store.version_before_batch(batch_id)
+        bks = self.fact_store.batch_buckets(batch_id)
+        old = (
+            self.fact_store.read_buckets(bks, prev_v)
+            if bks is not None
+            else self.fact_store.read(prev_v)
+        )
         changed_pks = last_change_per_key(changes, self.fact_pk).select(*self.fact_pk)
         old_groups = old.join(changed_pks, self.fact_pk, "left_semi").select(self.group_key)
         new_groups = changes.select(self.group_key).where(F.col(self.group_key).isNotNull())
@@ -1085,8 +1137,16 @@ class IncrementalTopKMV:
     def refresh(self, changes: DataFrame | None, batch_id) -> bool:
         if changes is None or batch_id in self.target.committed_batches():
             return False
-        dirty = self._dirty_groups(changes, batch_id).cache()
         self.fact_store.merge(changes, batch_id)
+        mat = self.fact_store.batch_delta(batch_id)
+        if mat is not None:
+            changes = mat  # the changelog lineage ran once, in the merge
+        _tune_delta_shuffle(
+            self.spark,
+            self.shuffle_partitions,
+            self.fact_store.batch_change_rows(batch_id),
+        )
+        dirty = self._dirty_groups(changes, batch_id).cache()
         sub = self.fact_store.read().join(dirty, self.group_key, "left_semi")
         recomputed = self._topk(sub)
         mv_dirty_old = self.target.read().join(dirty, self.group_key, "left_semi")
@@ -1308,11 +1368,16 @@ class IncrementalWindowMV:
 
     def _dirty_groups(self, changes: DataFrame, batch_id) -> DataFrame:
         """Partitions touched by the batch, NULL group included (SQL
-        windows treat NULL as a regular partition)."""
-        if batch_id in self.fact_store.committed_batches():
-            old = self.fact_store.read(self.fact_store.version_before_batch(batch_id))
-        else:
-            old = self.fact_store.read()
+        windows treat NULL as a regular partition). Called AFTER the
+        batch's fact merge: the displaced-row lookup reads the
+        pre-batch version bucket-pruned to the batch's keys."""
+        prev_v = self.fact_store.version_before_batch(batch_id)
+        bks = self.fact_store.batch_buckets(batch_id)
+        old = (
+            self.fact_store.read_buckets(bks, prev_v)
+            if bks is not None
+            else self.fact_store.read(prev_v)
+        )
         changed_pks = last_change_per_key(changes, self.fact_pk).select(*self.fact_pk)
         old_groups = old.join(changed_pks, self.fact_pk, "left_semi").select(
             *self.group_keys
@@ -1362,14 +1427,26 @@ class IncrementalWindowMV:
     def refresh(self, changes: DataFrame | None, batch_id) -> bool:
         if changes is None or batch_id in self.target.committed_batches():
             return False
-        dirty = self._dirty_groups(changes, batch_id).localCheckpoint(eager=True)
         self.fact_store.merge(changes, batch_id)
+        mat = self.fact_store.batch_delta(batch_id)
+        if mat is not None:
+            changes = mat  # the changelog lineage ran once, in the merge
+        _tune_delta_shuffle(
+            self.spark,
+            self.shuffle_partitions,
+            self.fact_store.batch_change_rows(batch_id),
+        )
+        # cache (not an eager checkpoint): both consumers execute inside
+        # the target-merge job; the pre-batch reads are manifest-pinned
+        # at construction, so laziness is safe post-merge.
+        dirty = self._dirty_groups(changes, batch_id).cache()
         pruned = self._prune(self.fact_store.read(), dirty)
         self._check_skew(pruned)
         recomputed = self._windowed(pruned)
         mv_dirty_old = self._prune(self.target.read(), dirty)
         mv_changes = diff_states(mv_dirty_old, recomputed, self.target.pk)
         self.target.merge(mv_changes, batch_id)
+        dirty.unpersist()
         return True
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -2089,11 +2166,47 @@ class IncrementalJoinAggMV:
         if not changes:
             return False
         fact_changes = changes.get(self.fact_name)
-        if fact_changes is not None:
-            self.fact_store.merge(fact_changes, batch_id)
-        for name, ch in changes.items():
-            if name != self.fact_name:
-                self.dim_stores[name].merge(ch, batch_id)
+        # Source stores are disjoint single-writer directories — merge
+        # them CONCURRENTLY (threaded job submission; Spark schedules
+        # the write jobs in parallel). The old per-store Python loop
+        # serialized one blocking job per source, a fixed latency floor
+        # of ~0.3-0.5s × |changed tables| per refresh regardless of δ.
+        merges = [
+            (
+                name,
+                self.fact_store if name == self.fact_name else self.dim_stores[name],
+                ch,
+            )
+            for name, ch in changes.items()
+        ]
+        if len(merges) == 1:
+            merges[0][1].merge(merges[0][2], batch_id)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(merges)) as pool:
+                for f in [pool.submit(s.merge, ch, batch_id) for _, s, ch in merges]:
+                    f.result()
+        # Re-bind every changed table to its merge's materialized delta:
+        # the changelog lineages executed once, inside the merge writes;
+        # the dels/ups split and J re-derivation below scan those
+        # micro-batch-sized parquets instead of re-running them.
+        for name, store, _ in merges:
+            mat = store.batch_delta(batch_id)
+            if mat is not None:
+                changes[name] = mat
+        fact_changes = changes.get(self.fact_name)
+        if not any(name != self.fact_name for name, _, _ in merges):
+            # Fact-only batch: every downstream shuffle is bounded by
+            # the measured fact delta — size to it. Dim churn is NOT
+            # tuned here (one dim key can fan out to many fact rows, so
+            # the J derivation keeps the configured sizing); the inner
+            # aggregate re-tunes on the actual J delta row count.
+            _tune_delta_shuffle(
+                self.spark,
+                self.shuffle_partitions,
+                self.fact_store.batch_change_rows(batch_id),
+            )
         dim_now = {d.dim: self.dim_stores[d.dim].read() for d in self.dims}
 
         parts: list[DataFrame] = []
@@ -2157,13 +2270,13 @@ class IncrementalJoinAggMV:
             from tiflink_spark.changelog import apply_filter
 
             j_changes = apply_filter(j_changes, self.where)
-        # Materialize the delta-sized J-changelog once: the inner agg
-        # consumes it several times (delta computation, J-store merge,
-        # state diff), and the multi-join derivation lineage — which
-        # references the post-merge stores on both sides of its pruning
-        # joins — is both expensive to recompute and fragile under
-        # AQE+cache replanning. Bounded by batch size, never the join.
-        j_changes = j_changes.localCheckpoint(eager=True)
+        # The J-changelog stays LAZY here: the inner MV's J-store merge
+        # is its single point of execution (one write job runs the
+        # multi-join derivation), and every later consumer — delta
+        # computation, state diff — re-binds to the written delta
+        # parquet via batch_delta(). The old eager localCheckpoint here
+        # was a whole extra blocking job per refresh that materialized
+        # the same rows the merge was about to write anyway.
         return self._sink_refresh(j_changes, batch_id)
 
     def _sink_refresh(self, j_changes: DataFrame, batch_id) -> bool:
@@ -2699,6 +2812,10 @@ class IncrementalAggMV:
         ):
             return False
         parts: list[DataFrame] = []
+        from concurrent.futures import ThreadPoolExecutor
+
+        state_pool = None
+        state_merge_future = None
 
         new_state = None
         if fact_changes is not None:
@@ -2709,8 +2826,40 @@ class IncrementalAggMV:
             # changed keys live only in the buckets those keys hash
             # into, so the lookup scans O(touched buckets), not the
             # table — at scale the difference between a bounded probe
-            # and a full-store scan per refresh.
-            self.fact_store.merge(fact_changes, batch_id)
+            # and a full-store scan per refresh. The merge runs in a
+            # worker thread; the state-store replay check + old-state
+            # read construction — independent of the fact store —
+            # overlap it instead of queueing behind it.
+            with ThreadPoolExecutor(max_workers=1) as fact_pool:
+                fact_merge_future = fact_pool.submit(
+                    self.fact_store.merge, fact_changes, batch_id
+                )
+                if batch_id in self.state_store.committed_batches():
+                    # crash between state commit and target commit: diff
+                    # against the PRE-batch state or the delta would be
+                    # applied twice.
+                    old_state = self.state_store.read(
+                        self.state_store.version_before_batch(batch_id)
+                    )
+                else:
+                    old_state = self.state_store.read()
+                fact_merge_future.result()
+            # Re-bind to the merge's materialized delta: the raw
+            # changelog lineage (often a multi-join derivation) executed
+            # exactly once, inside the merge write; the retraction
+            # lookup, delta aggregate, and state merge below then scan a
+            # micro-batch-sized parquet instead of re-running it.
+            mat = self.fact_store.batch_delta(batch_id)
+            if mat is not None:
+                fact_changes = mat
+            # Size the rest of the batch's shuffles to the measured
+            # delta (dirty-group recompute volume is ∝ δ × group width;
+            # DELTA_ROWS_PER_TASK keeps those tasks small too).
+            _tune_delta_shuffle(
+                self.spark,
+                self.shuffle_partitions,
+                self.fact_store.batch_change_rows(batch_id),
+            )
             prev_v = self.fact_store.version_before_batch(batch_id)
             bks = self.fact_store.batch_buckets(batch_id)
             old_fact = (
@@ -2725,23 +2874,12 @@ class IncrementalAggMV:
 
             delta = compute_delta(fact_changes, old_rows, self.fact_store.pk)
 
-            # Same replay guard for the agg state: if this batch already
-            # committed there (crash between state commit and target
-            # commit), diff against the PRE-batch state or the delta
-            # would be applied twice.
-            if batch_id in self.state_store.committed_batches():
-                old_state = self.state_store.read(
-                    self.state_store.version_before_batch(batch_id)
-                )
-            else:
-                old_state = self.state_store.read()
-
             # new_state feeds both the state-store MERGE and the target
             # MERGE; cache it so the delta lineage executes once.
             new_state = merge_delta_state(
                 old_state,
                 delta,
-                self.fact_store.read(),
+                self.fact_store.read,  # lazy: only non-invertible measures pay it
                 self.group_keys,
                 self.measures,
             ).cache()
@@ -2763,10 +2901,20 @@ class IncrementalAggMV:
             if dim_changes is not None:
                 # the dim branch below builds rows off the POST-batch
                 # agg state (state_store.read() binds at call time), so
-                # the state merge must commit first; the parallel
-                # state∥target overlap below is fact-only batches.
+                # the state merge must commit first; the state∥target
+                # overlap below is fact-only batches.
                 self.state_store.merge(state_changes, batch_id)
                 state_changes = None
+            else:
+                # Submit the state merge NOW: the target-row
+                # construction below (driver-side plan building + the
+                # target write) overlaps its job instead of queueing
+                # behind it. Disjoint stores; idempotent by batch_id;
+                # the done-check above requires BOTH committed.
+                state_pool = ThreadPoolExecutor(max_workers=1)
+                state_merge_future = state_pool.submit(
+                    self.state_store.merge, state_changes, batch_id
+                )
 
             # Target rows for dirty groups.
             if self.dim is None:
@@ -2804,6 +2952,9 @@ class IncrementalAggMV:
             if self.dim_store is None:
                 raise ValueError("dim_changes on an MV without a dimension")
             self.dim_store.merge(dim_changes, batch_id)
+            mat_dim = self.dim_store.batch_delta(batch_id)
+            if mat_dim is not None:
+                dim_changes = mat_dim
             dim_now = self.dim_store.read()
             dirty_dk = last_change_per_key(dim_changes, [self.dim_key]).select(self.dim_key)
             # upserted/renamed dims: rebuild their rows from current state
@@ -2833,26 +2984,17 @@ class IncrementalAggMV:
             mv_changes = mv_changes.unionByName(
                 p.withColumn(SEQ_COL, F.lit(i).cast("long"))
             )
-        # State and target are DISJOINT stores whose change lineages
-        # both hang off the cached new_state — merge them concurrently
-        # (per-batch refresh latency is the engine's product metric;
-        # this overlaps the two commit jobs instead of serializing
-        # them). Safe because each merge is idempotent by batch_id and
-        # the done-check above requires BOTH committed. Mixed
-        # fact+dim batches already committed the state serially above
+        # The state merge (fact-only batches) has been running since it
+        # was submitted above — the target merge overlaps its tail.
+        # Mixed fact+dim batches already committed the state serially
         # (the dim rows read the post-batch state).
-        if new_state is not None and state_changes is not None:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=2) as pool:
-                fs = [
-                    pool.submit(self.state_store.merge, state_changes, batch_id),
-                    pool.submit(self.target.merge, mv_changes, batch_id),
-                ]
-                for f in fs:
-                    f.result()
-        else:
+        try:
             self.target.merge(mv_changes, batch_id)
+            if state_merge_future is not None:
+                state_merge_future.result()
+        finally:
+            if state_pool is not None:
+                state_pool.shutdown(wait=True)
         if new_state is not None:
             new_state.unpersist()
         return True

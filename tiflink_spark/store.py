@@ -105,11 +105,12 @@ def _bucket_expr(pk: list[str], num_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in pk]), F.lit(num_buckets))
 
 
-def _delta_stats(out_dir: str) -> tuple[int, list[int]]:
-    """Row count and distinct bucket ids of a just-written delta file,
-    read DRIVER-SIDE from the parquet footers/pages (pyarrow) — no
-    Spark job. Deltas are micro-batch-sized (≤ ROWS_PER_BUCKET by the
-    fold rule), so the single-column scan is milliseconds."""
+def _delta_stats(out_dir: str) -> tuple[int, list[int], int]:
+    """(row count, distinct bucket ids, file count) of a just-written
+    delta file, read DRIVER-SIDE from the parquet footers/pages
+    (pyarrow) — no Spark job. Deltas are micro-batch-sized (≤
+    ROWS_PER_BUCKET by the fold rule), so the single-column scan is
+    milliseconds."""
     import pyarrow.dataset as pads
 
     files = [
@@ -118,15 +119,15 @@ def _delta_stats(out_dir: str) -> tuple[int, list[int]]:
         if f.endswith(".parquet") or (f.startswith("part-") and not f.endswith(".crc"))
     ]
     if not files:
-        return 0, []
+        return 0, [], 0
     dataset = pads.dataset(files, format="parquet")
     n = dataset.count_rows()
     if n == 0:
-        return 0, []
+        return 0, [], len(files)
     buckets = set()
     for batch in dataset.to_batches(columns=[BUCKET_COL]):
         buckets.update(batch.column(0).unique().to_pylist())
-    return n, sorted(int(b) for b in buckets)
+    return n, sorted(int(b) for b in buckets), len(files)
 
 
 def _assert_pk_not_null(df: DataFrame, pk: list[str]) -> DataFrame:
@@ -163,6 +164,7 @@ class KeyedParquetStore:
         self.spark = spark
         self.path = path
         self.pk = list(pk)
+        self._mcache: tuple | None = None
         os.makedirs(path, exist_ok=True)
         committed = self._commits()
         if committed:
@@ -179,12 +181,24 @@ class KeyedParquetStore:
 
     def _manifest_lines(self) -> tuple[list[dict], int | None, set]:
         """Parse the manifest into (commit lines, integer-batch high-water
-        mark, non-integer batch ids truncated by past compactions)."""
+        mark, non-integer batch ids truncated by past compactions).
+
+        Cached on the file's (mtime_ns, size): a refresh batch consults
+        the manifest many times (idempotence check, version lookup,
+        batch buckets, delta read-back) and re-parsing a long manifest
+        per call is measurable driver overhead at the reference's 1s
+        refresh cadence. Appends and the vacuum rewrite both change the
+        stat key, so the cache can never serve a stale parse."""
         commits: list[dict] = []
         hwm: int | None = None
         others: set = set()
-        if not os.path.exists(self._commits_path):
+        try:
+            st = os.stat(self._commits_path)
+        except OSError:
             return commits, hwm, others
+        key = (st.st_mtime_ns, st.st_size)
+        if self._mcache is not None and self._mcache[0] == key:
+            return self._mcache[1]
         with open(self._commits_path) as f:
             for line in f:
                 if not line.strip():
@@ -197,6 +211,7 @@ class KeyedParquetStore:
                     others.update(rec.get("other_batches", []))
                 else:
                     commits.append(rec)
+        self._mcache = (key, (commits, hwm, others))
         return commits, hwm, others
 
     def _commits(self) -> list[dict]:
@@ -308,6 +323,37 @@ class KeyedParquetStore:
                 return (c.get("stats") or {}).get("batch_buckets")
         return None
 
+    def batch_change_rows(self, batch_id) -> int | None:
+        """Change-row count of ``batch_id``'s merge (from the commit
+        stats) — the driver-side handle maintenance uses to size the
+        rest of the batch's shuffles to the actual delta volume."""
+        for c in reversed(self._commits()):
+            if c["batch_id"] == batch_id:
+                return (c.get("stats") or {}).get("change_rows")
+        return None
+
+    def batch_delta(self, batch_id) -> DataFrame | None:
+        """The materialized change rows of ``batch_id``'s merge — the
+        delta parquet that merge's single write action produced —
+        re-read as a DataFrame (bucket column dropped). Downstream
+        consumers of the same batch (retraction lookup, state merge,
+        target diff) should prefer this over re-executing the raw
+        changelog lineage: the — often expensive — lineage then runs
+        exactly once, inside the merge, and everything after it scans
+        a micro-batch-sized parquet. None when unavailable (bootstrap,
+        empty batch, legacy manifest line, or the file was vacuumed) —
+        callers fall back to the original changes lineage."""
+        for c in reversed(self._commits()):
+            if c["batch_id"] == batch_id:
+                rel = (c.get("stats") or {}).get("delta_rel")
+                if not rel:
+                    return None
+                out = os.path.join(self.path, rel)
+                if not os.path.isdir(out):
+                    return None
+                return self.spark.read.parquet(out).drop(BUCKET_COL)
+        return None
+
     def read_buckets(self, bucket_ids: list[int], version: int | None = None) -> DataFrame:
         """Bucket-pruned read: only the given PK-hash buckets (and the
         matching slice of any delta chain). The retraction fast path —
@@ -331,12 +377,12 @@ class KeyedParquetStore:
             for b, rel in commit["buckets"].items()
             if b in ids
         )
-        if paths:
-            base = self.spark.read.parquet(*paths).drop(BUCKET_COL)
-        else:
-            from pyspark.sql.types import StructType
+        from pyspark.sql.types import StructType
 
-            schema = StructType.fromJson(json.loads(commit["schema"]))
+        schema = StructType.fromJson(json.loads(commit["schema"]))
+        if paths:
+            base = self.spark.read.schema(schema).parquet(*paths)
+        else:
             base = self.spark.createDataFrame([], schema)
         deltas = commit.get("deltas") or []
         if not deltas:
@@ -348,12 +394,18 @@ class KeyedParquetStore:
         paths = sorted(
             {os.path.join(self.path, rel) for rel in commit["buckets"].values()}
         )
-        if not paths:  # every row deleted — empty state with the stored schema
-            from pyspark.sql.types import StructType
+        from pyspark.sql.types import StructType
 
-            schema = StructType.fromJson(json.loads(commit["schema"]))
+        schema = StructType.fromJson(json.loads(commit["schema"]))
+        if not paths:  # every row deleted — empty state with the stored schema
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(*paths).drop(BUCKET_COL)
+        # Schema pinned from the commit line: bucket files carry exactly
+        # the committed schema (the partition column lives in the
+        # directory name), and skipping inference saves a driver-side
+        # footer read per store read — a refresh touches several stores
+        # several times, so this is a measurable slice of per-batch
+        # latency at the reference's 1s cadence.
+        return self.spark.read.schema(schema).parquet(*paths)
 
     def _apply_deltas(
         self,
@@ -370,15 +422,18 @@ class KeyedParquetStore:
         read_buckets pruned path — pushed down to the delta parquet)."""
         from pyspark.sql import Window
 
-        parts = [
-            self.spark.read.parquet(os.path.join(self.path, rel)).withColumn(
-                "__didx", F.lit(i)
-            )
-            for i, rel in enumerate(deltas)
-        ]
-        d = parts[0]
-        for p in parts[1:]:
-            d = d.unionByName(p)
+        # ONE multi-path read for the whole chain (k separate reads
+        # paid k footer inferences + a k-leg union plan). Chain order is
+        # recovered from the file path: delta rels are data/v{N} with N
+        # the commit version, monotone along the chain — so the version
+        # number IS the chain index. (Fold dirs are v{N}f and never
+        # appear in a chain.)
+        d = self.spark.read.parquet(
+            *[os.path.join(self.path, rel) for rel in deltas]
+        ).withColumn(
+            "__didx",
+            F.regexp_extract(F.input_file_name(), r"data/v(\d+)/", 1).cast("long"),
+        )
         if bucket_filter is not None:
             d = d.filter(F.col(BUCKET_COL).isin(bucket_filter))
         w = Window.partitionBy(*self.pk).orderBy(
@@ -572,12 +627,18 @@ class KeyedParquetStore:
         # two-action shape (bucket-discovery collect + write) paid the
         # whole lineage and a job round-trip twice per merge — at
         # micro-batch deltas that fixed cost dominated refresh latency.
+        # The repartition on the bucket column bounds the delta's FILE
+        # count to the touched buckets instead of the changes lineage's
+        # native partitioning (which writes one tiny file per upstream
+        # task — chain reads then pay per-file open cost); it shuffles
+        # only δ rows and, unlike coalesce, leaves the upstream stages'
+        # parallelism intact.
         rel = f"data/v{version}"
         out = os.path.join(self.path, rel)
         changes.withColumn(
             BUCKET_COL, _bucket_expr(self.pk, self.num_buckets)
-        ).write.mode("overwrite").parquet(out)
-        n_change_rows, changed = _delta_stats(out)
+        ).repartition(BUCKET_COL).write.mode("overwrite").parquet(out)
+        n_change_rows, changed, n_files = _delta_stats(out)
 
         def stats(mode: str, touched: int, pending: int, bks: list[int]) -> dict:
             return {
@@ -591,6 +652,10 @@ class KeyedParquetStore:
                 # (read_buckets): an old-row lookup for this batch's
                 # keys needs only these buckets, not the table.
                 "batch_buckets": bks,
+                # the materialized change rows (delta read-back handle
+                # for batch_delta) and their file count (chain-read
+                # overhead observability)
+                **({"delta_rel": rel, "delta_files": n_files} if n_change_rows else {}),
             }
 
         if not changed:
