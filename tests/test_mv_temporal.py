@@ -1,0 +1,228 @@
+"""Temporal (versioned dim) join MV — FOR SYSTEM_TIME AS OF f.ts.
+
+The engine's analog of Flink SQL's event-time temporal join (in the
+reference's surface by delegation, TiFlinkApp.java:270): facts join the
+dim VERSION valid as of the fact's own event time, so a late fact row
+lands on an old dim version even after the dim has moved on.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiflink_spark.app import MVApp
+from tiflink_spark.changelog import OP_COL, OP_DELETE, OP_UPDATE, SEQ_COL
+
+
+def _t(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+_PROF_SCHEMA = "uid int, tier string, updated_at timestamp"
+_EV_SCHEMA = "eid int, uid int, ts timestamp, v double"
+
+
+def _ch(spark, rows, schema, op=OP_UPDATE):
+    return (
+        spark.createDataFrame(rows, schema)
+        .withColumn(OP_COL, F.lit(op))
+        .withColumn(SEQ_COL, F.monotonically_increasing_id())
+    )
+
+
+def _build(spark, tmp_path, ev, prof):
+    return (
+        MVApp.builder(spark)
+        .source("ev_t", ev, pk=["eid"])
+        .source("prof_t", prof, pk=["uid"], event_time="updated_at")
+        .query(
+            """SELECT e.eid, e.uid, e.ts, d.tier
+               FROM ev_t e JOIN prof_t FOR SYSTEM_TIME AS OF e.ts AS d
+                 ON e.uid = d.uid"""
+        )
+        .target(str(tmp_path / "mv"))
+        .num_buckets(4)
+        .shuffle_partitions(4)
+        .build()
+    )
+
+
+def test_temporal_join_versioned_lookups_converge(spark, tmp_path):
+    prof = spark.createDataFrame(
+        [(1, "bronze", _t("2024-01-01")), (2, "silver", _t("2024-01-01"))],
+        _PROF_SCHEMA,
+    )
+    ev = spark.createDataFrame(
+        [(10, 1, _t("2024-02-01"), 1.0), (11, 2, _t("2024-02-01"), 2.0)],
+        _EV_SCHEMA,
+    )
+    app = _build(spark, tmp_path, ev, prof)
+    assert app.maintenance_strategy == "IncrementalTemporalJoinMV"
+    app.bootstrap()
+    assert {(r.eid, r.tier) for r in app.read().collect()} == {
+        (10, "bronze"),
+        (11, "silver"),
+    }
+
+    # dim version change: uid 1 becomes gold FROM 2024-03-01 — the
+    # existing 2024-02-01 event must KEEP bronze (versioned lookup)
+    app.refresh(
+        {"prof_t": _ch(spark, [(1, "gold", _t("2024-03-01"))], _PROF_SCHEMA)},
+        batch_id=1,
+    )
+    assert {(r.eid, r.tier) for r in app.read().collect()} == {
+        (10, "bronze"),
+        (11, "silver"),
+    }
+
+    # the same fact key space re-arrives across dim versions: a LATE
+    # event at 2024-02-15 joins bronze, a post-change event joins gold
+    app.refresh(
+        {
+            "ev_t": _ch(
+                spark,
+                [(20, 1, _t("2024-02-15"), 3.0), (21, 1, _t("2024-03-15"), 4.0)],
+                _EV_SCHEMA,
+            )
+        },
+        batch_id=2,
+    )
+    assert {(r.eid, r.tier) for r in app.read().collect()} == {
+        (10, "bronze"),
+        (11, "silver"),
+        (20, "bronze"),
+        (21, "gold"),
+    }
+
+    # dim DELETE closes uid 2's interval at 2024-04-01: events before it
+    # keep silver, an event after it finds no version (inner join)
+    app.refresh(
+        {
+            "prof_t": _ch(
+                spark, [(2, "silver", _t("2024-04-01"))], _PROF_SCHEMA, op=OP_DELETE
+            )
+        },
+        batch_id=3,
+    )
+    app.refresh(
+        {
+            "ev_t": _ch(
+                spark,
+                [(30, 2, _t("2024-03-20"), 5.0), (31, 2, _t("2024-05-01"), 6.0)],
+                _EV_SCHEMA,
+            )
+        },
+        batch_id=4,
+    )
+    assert {(r.eid, r.tier) for r in app.read().collect()} == {
+        (10, "bronze"),
+        (11, "silver"),
+        (20, "bronze"),
+        (21, "gold"),
+        (30, "silver"),
+    }
+
+    # an event BEFORE the dim's bootstrap valid_from matches nothing
+    app.refresh(
+        {"ev_t": _ch(spark, [(40, 1, _t("2023-12-01"), 7.0)], _EV_SCHEMA)},
+        batch_id=5,
+    )
+    out = {(r.eid, r.tier) for r in app.read().collect()}
+    assert (40, "bronze") not in out and all(e != 40 for e, _ in out)
+
+    # fact churn against a MID-HISTORY version: update event 21 to a
+    # pre-change time — its lookup must move gold -> bronze
+    app.refresh(
+        {"ev_t": _ch(spark, [(21, 1, _t("2024-02-20"), 4.5)], _EV_SCHEMA)},
+        batch_id=6,
+    )
+    assert {(r.eid, r.tier) for r in app.read().collect()} == {
+        (10, "bronze"),
+        (11, "silver"),
+        (20, "bronze"),
+        (21, "bronze"),
+        (30, "silver"),
+    }
+
+    # convergence: the MV equals the batch as-of join over final states
+    hist = app._mv.hist_store.read()
+    fact = app._mv.fact_store.read()
+    expect = (
+        fact.join(
+            hist,
+            (fact["uid"] == hist["uid"])
+            & (fact["ts"] >= hist["__valid_from"])
+            & (hist["__valid_to"].isNull() | (fact["ts"] < hist["__valid_to"])),
+            "inner",
+        )
+        .select(fact["eid"], fact["uid"], fact["ts"], hist["tier"])
+    )
+    got = {tuple(r) for r in app.read().collect()}
+    assert {tuple(r) for r in expect.collect()} == got
+
+
+def test_temporal_join_multi_change_batch_builds_version_chain(spark, tmp_path):
+    """Several versions of one key in ONE batch: each opens an interval
+    closed by the key's next change; a trailing delete closes the last."""
+    prof = spark.createDataFrame([(1, "v0", _t("2024-01-01"))], _PROF_SCHEMA)
+    ev = spark.createDataFrame([(1, 1, _t("2024-01-10"), 0.0)], _EV_SCHEMA)
+    app = _build(spark, tmp_path, ev, prof)
+    app.bootstrap()
+    batch = (
+        spark.createDataFrame(
+            [(1, "v1", _t("2024-02-01")), (1, "v2", _t("2024-03-01"))], _PROF_SCHEMA
+        )
+        .withColumn(OP_COL, F.lit(OP_UPDATE))
+        .unionByName(
+            spark.createDataFrame(
+                [(1, "v2", _t("2024-04-01"))], _PROF_SCHEMA
+            ).withColumn(OP_COL, F.lit(OP_DELETE))
+        )
+        .withColumn(SEQ_COL, F.monotonically_increasing_id())
+    )
+    app.refresh({"prof_t": batch}, batch_id=1)
+    probes = [
+        (100, _t("2024-01-15"), "v0"),
+        (101, _t("2024-02-15"), "v1"),
+        (102, _t("2024-03-15"), "v2"),
+        (103, _t("2024-04-15"), None),  # after the delete: no version
+    ]
+    app.refresh(
+        {
+            "ev_t": _ch(
+                spark, [(e, 1, ts, 0.0) for e, ts, _ in probes], _EV_SCHEMA
+            )
+        },
+        batch_id=2,
+    )
+    got = {r.eid: r.tier for r in app.read().filter(F.col("eid") >= 100).collect()}
+    assert got == {e: tier for e, _, tier in probes if tier is not None}
+
+
+def test_temporal_join_rejects_out_of_order_dim_change(spark, tmp_path):
+    prof = spark.createDataFrame([(1, "v0", _t("2024-06-01"))], _PROF_SCHEMA)
+    ev = spark.createDataFrame([(1, 1, _t("2024-07-01"), 0.0)], _EV_SCHEMA)
+    app = _build(spark, tmp_path, ev, prof)
+    app.bootstrap()
+    stale = _ch(spark, [(1, "old", _t("2024-01-01"))], _PROF_SCHEMA)
+    with pytest.raises(Exception, match="event-time ordered"):
+        app.refresh({"prof_t": stale}, batch_id=1)
+
+
+def test_temporal_join_requires_event_time_declaration(spark, tmp_path):
+    prof = spark.createDataFrame([(1, "v0", _t("2024-01-01"))], _PROF_SCHEMA)
+    ev = spark.createDataFrame([(1, 1, _t("2024-02-01"), 0.0)], _EV_SCHEMA)
+    with pytest.raises(ValueError, match="event_time"):
+        (
+            MVApp.builder(spark)
+            .source("ev_t", ev, pk=["eid"])
+            .source("prof_t", prof, pk=["uid"])  # no event_time
+            .query(
+                """SELECT e.eid, d.tier
+                   FROM ev_t e JOIN prof_t FOR SYSTEM_TIME AS OF e.ts AS d
+                     ON e.uid = d.uid"""
+            )
+            .target(str(tmp_path / "mv2"))
+            .build()
+        )

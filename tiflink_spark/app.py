@@ -28,6 +28,7 @@ Lifecycle parity with the reference:
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -78,8 +79,18 @@ class MVAppBuilder:
         self._shuffle_partitions: int | None = None
         self._ddl_hook = None
 
-    def source(self, name: str, path_or_df, pk: list[str] | None = None) -> "MVAppBuilder":
-        self._sources[name] = (path_or_df, pk)
+    def source(
+        self,
+        name: str,
+        path_or_df,
+        pk: list[str] | None = None,
+        event_time: str | None = None,
+    ) -> "MVAppBuilder":
+        """Register a source. ``event_time`` names the column at which
+        a change to this table takes effect — required on a dim joined
+        with ``FOR SYSTEM_TIME AS OF`` (the versioned-table time
+        attribute, Flink's temporal-join contract)."""
+        self._sources[name] = (path_or_df, pk, event_time)
         return self
 
     def query(self, sql: str) -> "MVAppBuilder":
@@ -375,7 +386,10 @@ class MVApp:
         self._derive: list[tuple[str, str]] = []
 
         dfs: dict[str, tuple] = {}
-        for name, (src, spk) in sources.items():
+        self._source_event_time: dict[str, str | None] = {}
+        for name, value in sources.items():
+            src, spk, *more = value
+            self._source_event_time[name] = more[0] if more else None
             if isinstance(src, str):
                 from tiflink_spark.session import read_parquet_normalized
 
@@ -387,6 +401,16 @@ class MVApp:
             dfs[name] = (spec, df)
         # kept for bootstrap-time PK validation (validate_pks)
         self._source_frames = {n: (d[0].pk, d[1]) for n, d in dfs.items()}
+
+        # FOR SYSTEM_TIME AS OF (temporal/versioned dim join) routes
+        # through its own planner branch BEFORE normalization and the
+        # Spark resolve probe — Spark SQL cannot parse the syntax, so
+        # there is no recompute fallback to degrade to.
+        if re.search(r"(?i)\bSYSTEM_TIME\b", query):
+            self._plan_temporal(
+                spark, dfs, query, target, pk, num_buckets, shuffle_partitions
+            )
+            return
 
         # Whether the advertised MV PK is a TRUE unique constraint of
         # the result. Every incremental route derives a real key (group
@@ -1309,6 +1333,88 @@ class MVApp:
 
         self._setup_recompute(spark, dfs, query, target, num_buckets, shuffle_partitions)
 
+    def _plan_temporal(
+        self, spark, dfs, query, target, pk, num_buckets, shuffle_partitions
+    ):
+        """Route a ``FOR SYSTEM_TIME AS OF`` query (event-time temporal
+        dim join) to IncrementalTemporalJoinMV, or raise: Spark SQL has
+        no temporal-join syntax, so — uniquely among the routes — there
+        is no recompute fallback to degrade to."""
+        from tiflink_spark.mv import IncrementalTemporalJoinMV
+        from tiflink_spark.planner import match_temporal_join_shape
+
+        source_columns = {
+            n: [f.name for f in d[1].schema.fields] for n, d in dfs.items()
+        }
+        source_pks = {n: list(d[0].pk or []) for n, d in dfs.items()}
+        shape = match_temporal_join_shape(
+            query, set(dfs), source_columns, source_pks
+        )
+        if shape is None:
+            raise ValueError(
+                "FOR SYSTEM_TIME AS OF query doesn't fit the temporal-join "
+                "envelope (one INNER temporal join, single-equality ON over "
+                "the dim's single-column PK, AS OF a fact column, plain "
+                "column select including the whole fact PK) — and no "
+                "recompute fallback exists: Spark SQL cannot execute the "
+                "syntax"
+            )
+        dim_time = self._source_event_time.get(shape.dim)
+        if dim_time is None:
+            raise ValueError(
+                f"temporal dim '{shape.dim}' needs event_time declared on "
+                "its source (builder.source(name, df, pk=[...], "
+                "event_time='col')) — the column at which each dim version "
+                "takes effect (Flink's versioned-table time attribute)"
+            )
+        fact_pk = source_pks[shape.fact]
+        if pk is not None and [c.lower() for c in pk] != [
+            c.lower() for c in fact_pk
+        ]:
+            raise ValueError(
+                f"temporal-join MV is keyed by the fact PK {fact_pk}; "
+                f"declared target pk {list(pk)} disagrees"
+            )
+        # schema/DDL from the executable twin: the AS OF restriction
+        # only drops rows, never changes the output schema
+        plain = re.sub(
+            r"(?is)\bFOR\s+SYSTEM_TIME\s+AS\s+OF\s+[A-Za-z_]\w*"
+            r"(\s*\.\s*[A-Za-z_]\w*)?",
+            " ",
+            query,
+        )
+        self.mv_schema = spark.sql(plain).schema
+        self.mv_pk = list(fact_pk)
+        self.pk_is_unique = True
+        self.ddl = create_table_ddl(
+            os.path.basename(target), self.mv_schema, self.mv_pk
+        )
+        self.maintenance_mode = "incremental"
+        self._join_names = None
+        self._dict_refresh = True
+        self._ja_tables = {shape.fact, shape.dim}
+        self._fact_name, self._dim_name = shape.fact, None
+        self._change_filter = None
+        self._mv = IncrementalTemporalJoinMV(
+            spark,
+            fact_name=shape.fact,
+            fact=dfs[shape.fact][1],
+            fact_pk=fact_pk,
+            dim_name=shape.dim,
+            dim=dfs[shape.dim][1],
+            dim_pk=shape.dim_pk,
+            dim_time_col=dim_time,
+            fk=shape.fk,
+            time_col=shape.time_col,
+            out_cols=list(shape.out_cols),
+            out_src=list(shape.out_src),
+            fact_cols=list(shape.fact_cols),
+            dim_cols=list(shape.dim_cols),
+            work_dir=target,
+            num_buckets=num_buckets,
+            shuffle_partitions=shuffle_partitions,
+        )
+
     def _setup_recompute(
         self, spark, dfs, query, target, num_buckets, shuffle_partitions
     ) -> None:
@@ -1403,7 +1509,7 @@ class MVApp:
             if mv is None:
                 continue
             for attr in ("fact_store", "state_store", "dim_store",
-                         "left_store", "right_store", "target"):
+                         "hist_store", "left_store", "right_store", "target"):
                 try:
                     add(getattr(mv, attr, None))
                 except AssertionError:

@@ -1124,7 +1124,10 @@ class IncrementalTopKMV:
         prev_v = self.fact_store.version_before_batch(batch_id)
         bks = self.fact_store.batch_buckets(batch_id)
         old = (
-            self.fact_store.read_buckets(bks, prev_v)
+            self.fact_store.read_buckets(
+                bks, prev_v,
+                key_filter=self.fact_store.batch_key_values(batch_id),
+            )
             if bks is not None
             else self.fact_store.read(prev_v)
         )
@@ -1374,7 +1377,10 @@ class IncrementalWindowMV:
         prev_v = self.fact_store.version_before_batch(batch_id)
         bks = self.fact_store.batch_buckets(batch_id)
         old = (
-            self.fact_store.read_buckets(bks, prev_v)
+            self.fact_store.read_buckets(
+                bks, prev_v,
+                key_filter=self.fact_store.batch_key_values(batch_id),
+            )
             if bks is not None
             else self.fact_store.read(prev_v)
         )
@@ -2343,6 +2349,291 @@ class IncrementalJoinProjectionMV(IncrementalJoinAggMV):
         return self.target.read(version)
 
 
+class IncrementalTemporalJoinMV:
+    """Event-time temporal (versioned dim) join MV — the
+    ``FOR SYSTEM_TIME AS OF f.ts`` enrichment view:
+
+        SELECT fact-cols, dim-cols
+        FROM fact f JOIN dim FOR SYSTEM_TIME AS OF f.ts AS d
+          ON f.fk = d.pk
+
+    keyed by the fact PK. Flink SQL's versioned-table join is in the
+    reference's surface by delegation (TiFlinkApp.java:270); Spark has
+    no temporal join, so the engine maintains the dim's HISTORY itself,
+    SCD-2 style: one history row per (pk, version) with
+    ``[__valid_from, __valid_to)`` validity, where a dim change row
+    takes effect at its own event-time column value. Facts join the
+    version whose interval contains the fact's event time — a late
+    fact row joins the dim AS OF its own time, not current dim state,
+    and the same fact key re-arriving across dim versions lands on
+    different versions.
+
+    Maintenance:
+    - dim batch: per changed key, the open interval closes at the
+      batch's first change time (out-of-order dim times fail loudly —
+      the watermark-ordering contract of Flink's event-time temporal
+      join), each non-delete change opens a new version valid until the
+      key's next change in the batch, and the fact rows referencing the
+      changed keys re-derive against the post-batch history (work ∝
+      fan-out of changed dim keys, never the fact table).
+    - fact batch: changed fact rows re-derive against current history
+      (work ∝ δ); an upsert whose event time matches no version leaves
+      the view (inner-join semantics), like the join-agg route's
+      unmatched rule.
+
+    History grows with dim churn (one row per version — the state any
+    versioned join must keep; Flink keeps the same rows in operator
+    state); reads of it are always pruned by key semi-joins.
+    """
+
+    VSEQ, VFROM, VTO = "__vseq", "__valid_from", "__valid_to"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        fact_name: str,
+        fact: DataFrame,
+        fact_pk: list[str],
+        dim_name: str,
+        dim: DataFrame,
+        dim_pk: str,
+        dim_time_col: str,
+        fk: str,
+        time_col: str,
+        out_cols: list[str],
+        out_src: list[str],
+        fact_cols: list[str],
+        dim_cols: list[str],
+        work_dir: str,
+        num_buckets: int | None = None,
+        shuffle_partitions: int | None = None,
+    ):
+        self.spark = spark
+        self.shuffle_partitions = shuffle_partitions
+        self.fact_name, self.dim_name = fact_name, dim_name
+        self.fact_pk = list(fact_pk)
+        self.dim_pk = dim_pk
+        self.dim_time_col = dim_time_col
+        self.fk, self.time_col = fk, time_col
+        self.out = list(zip(out_cols, out_src))
+        # columns each side must carry (fact: pk + fk + ts + outputs;
+        # dim history payload: dim outputs minus the pk, whose value
+        # rides __valid_from-keyed rows already)
+        self._fact_side = list(
+            dict.fromkeys([*self.fact_pk, fk, time_col, *fact_cols])
+        )
+        self._dim_payload = [
+            c for c in dict.fromkeys(dim_cols) if c not in (dim_pk, dim_time_col)
+        ]
+        self.fact0 = fact.select(*self._fact_side)
+        self.dim0 = dim
+        self.fact_store = KeyedParquetStore(
+            spark, os.path.join(work_dir, "fact"), self.fact_pk, num_buckets
+        )
+        self.hist_store = KeyedParquetStore(
+            spark, os.path.join(work_dir, "dim_history"), [dim_pk, self.VSEQ], num_buckets
+        )
+        self.target = KeyedParquetStore(
+            spark, os.path.join(work_dir, "mv"), self.fact_pk, num_buckets
+        )
+
+    def _asof(self, fact_rows: DataFrame, hist: DataFrame) -> DataFrame:
+        """fact rows ⟕ the dim version valid AS OF each row's event
+        time (left join + ``__matched``; exactly one interval can
+        contain a given time). The history side is pre-pruned to the
+        referencing keys present in the rows."""
+        keys = fact_rows.select(F.col(self.fk).alias("__k")).where(
+            F.col("__k").isNotNull()
+        ).distinct()
+        h = hist.join(keys, hist[self.dim_pk] == keys["__k"], "left_semi").select(
+            F.col(self.dim_pk).alias("__hpk"),
+            F.col(self.VFROM),
+            F.col(self.VTO),
+            *[F.col(c) for c in self._dim_payload],
+        )
+        f = fact_rows
+        cond = (
+            (f[self.fk] == h["__hpk"])
+            & (f[self.time_col] >= h[self.VFROM])
+            & (h[self.VTO].isNull() | (f[self.time_col] < h[self.VTO]))
+        )
+        joined = f.join(h, cond, "left")
+        cols = []
+        for name, src in self.out:
+            cols.append(f[name] if src == "fact" else joined[name])
+        return joined.select(*cols, h["__hpk"].isNotNull().alias("__matched"))
+
+    @_maintenance
+    def bootstrap(self, batch_id=0) -> None:
+        self.fact_store.bootstrap(self.fact0, batch_id)
+        ts_type = dict(self.dim0.dtypes)[self.dim_time_col]
+        hist0 = self.dim0.select(
+            F.col(self.dim_pk),
+            F.lit(0).cast("long").alias(self.VSEQ),
+            F.col(self.dim_time_col).alias(self.VFROM),
+            F.lit(None).cast(ts_type).alias(self.VTO),
+            *[F.col(c) for c in self._dim_payload],
+        )
+        self.hist_store.bootstrap(hist0, batch_id)
+        rows = self._asof(self.fact_store.read(), self.hist_store.read())
+        self.target.bootstrap(
+            rows.filter(F.col("__matched")).drop("__matched"), batch_id
+        )
+
+    def _hist_changes(self, dim_changes: DataFrame, batch_id) -> DataFrame:
+        """History maintenance rows for one dim changelog batch, derived
+        from the PRE-batch history (version_before_batch on replay)."""
+        from pyspark.sql import Window
+
+        if batch_id in self.hist_store.committed_batches():
+            pre = self.hist_store.read(self.hist_store.version_before_batch(batch_id))
+        else:
+            pre = self.hist_store.read()
+        t = F.col(self.dim_time_col)
+        ch = dim_changes.withColumn(
+            self.dim_time_col,
+            F.when(t.isNotNull(), t).otherwise(
+                F.raise_error(
+                    F.lit(
+                        f"temporal dim change without event time "
+                        f"({self.dim_time_col} IS NULL)"
+                    )
+                )
+            ),
+        )
+        w = Window.partitionBy(self.dim_pk).orderBy(
+            F.col(self.dim_time_col), F.col(SEQ_COL)
+        )
+        seqd = ch.withColumn("__nxt", F.lead(self.dim_time_col).over(w)).withColumn(
+            "__rn", F.row_number().over(w)
+        )
+        dirty = dim_changes.select(self.dim_pk).distinct()
+        mins = dim_changes.groupBy(self.dim_pk).agg(
+            F.min(self.dim_time_col).alias("__min_t")
+        )
+        open_rows = pre.filter(F.col(self.VTO).isNull()).join(
+            dirty, [self.dim_pk], "left_semi"
+        )
+        # close the open interval at the batch's first change time; an
+        # earlier-than-open change is an ordering violation (Flink's
+        # event-time temporal join requires watermark-ordered versions)
+        closed = open_rows.join(mins, [self.dim_pk]).withColumn(
+            self.VTO,
+            F.when(F.col("__min_t") >= F.col(self.VFROM), F.col("__min_t")).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "temporal dim change precedes the key's open "
+                        "version (__valid_from) — versions must be "
+                        "event-time ordered"
+                    )
+                )
+            ),
+        ).drop("__min_t")
+        maxv = pre.groupBy(self.dim_pk).agg(F.max(self.VSEQ).alias("__maxv")).join(
+            dirty, [self.dim_pk], "left_semi"
+        )
+        new_rows = (
+            seqd.filter(F.col(OP_COL) != OP_DELETE)
+            .join(maxv, [self.dim_pk], "left")
+            .select(
+                F.col(self.dim_pk),
+                (F.coalesce(F.col("__maxv"), F.lit(-1).cast("long")) + F.col("__rn"))
+                .cast("long")
+                .alias(self.VSEQ),
+                F.col(self.dim_time_col).alias(self.VFROM),
+                F.col("__nxt").alias(self.VTO),
+                *[F.col(c) for c in self._dim_payload],
+            )
+        )
+        out_cols = [self.dim_pk, self.VSEQ, self.VFROM, self.VTO, *self._dim_payload]
+        return (
+            closed.select(*out_cols)
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .withColumn(SEQ_COL, F.lit(0).cast("long"))
+            .unionByName(
+                new_rows.withColumn(OP_COL, F.lit(OP_UPDATE)).withColumn(
+                    SEQ_COL, F.lit(1).cast("long")
+                )
+            )
+        )
+
+    @_maintenance
+    def refresh(self, changes: dict[str, DataFrame], batch_id) -> bool:
+        changes = {k: v for k, v in changes.items() if v is not None}
+        if batch_id in self.target.committed_batches():
+            return False
+        unknown = set(changes) - {self.fact_name, self.dim_name}
+        if unknown:
+            raise ValueError(f"unknown tables in changes: {sorted(unknown)}")
+        if not changes:
+            return False
+        parts: list[DataFrame] = []
+
+        dim_changes = changes.get(self.dim_name)
+        if dim_changes is not None:
+            self.hist_store.merge(self._hist_changes(dim_changes, batch_id), batch_id)
+            # fact rows referencing the changed keys re-derive against
+            # the post-batch history (a version split moves their AS OF
+            # lookup; a closing delete drops them)
+            dirty_fk = (
+                last_change_per_key(dim_changes, [self.dim_pk])
+                .select(F.col(self.dim_pk).alias(self.fk))
+                .distinct()
+            )
+            affected = self.fact_store.read().join(dirty_fk, [self.fk], "left_semi")
+            parts.append(
+                self._asof(affected, self.hist_store.read()).withColumn(
+                    OP_COL,
+                    F.when(F.col("__matched"), F.lit(OP_UPDATE)).otherwise(
+                        F.lit(OP_DELETE)
+                    ),
+                ).drop("__matched")
+            )
+
+        fact_changes = changes.get(self.fact_name)
+        if fact_changes is not None:
+            self.fact_store.merge(
+                fact_changes.select(*self._fact_side, OP_COL, SEQ_COL), batch_id
+            )
+            mat = self.fact_store.batch_delta(batch_id)
+            if mat is not None:
+                fact_changes = mat
+            _tune_delta_shuffle(
+                self.spark,
+                self.shuffle_partitions,
+                self.fact_store.batch_change_rows(batch_id),
+            )
+            hist = self.hist_store.read()
+            final = last_change_per_key(fact_changes, self.fact_pk)
+            bare = [c for c in final.columns if c not in (OP_COL, SEQ_COL)]
+            dels = final.filter(F.col(OP_COL) == OP_DELETE).select(*bare)
+            ups = final.filter(F.col(OP_COL) != OP_DELETE).select(*bare)
+            parts.append(
+                self._asof(dels, hist)
+                .drop("__matched")
+                .withColumn(OP_COL, F.lit(OP_DELETE))
+            )
+            parts.append(
+                self._asof(ups, hist).withColumn(
+                    OP_COL,
+                    F.when(F.col("__matched"), F.lit(OP_UPDATE)).otherwise(
+                        F.lit(OP_DELETE)
+                    ),
+                ).drop("__matched")
+            )
+
+        mv_changes = parts[0].withColumn(SEQ_COL, F.lit(0).cast("long"))
+        for i, p in enumerate(parts[1:], start=1):
+            mv_changes = mv_changes.unionByName(
+                p.withColumn(SEQ_COL, F.lit(i).cast("long"))
+            )
+        self.target.merge(mv_changes, batch_id)
+        return True
+
+    def read(self, version: int | None = None) -> DataFrame:
+        return self.target.read(version)
+
+
 def _null_out_idents(expr: str, idents: set[str]) -> str:
     """Replace word-boundary occurrences of ``idents`` with NULL,
     skipping string literals — how a HAVING that references a grouping
@@ -2863,7 +3154,10 @@ class IncrementalAggMV:
             prev_v = self.fact_store.version_before_batch(batch_id)
             bks = self.fact_store.batch_buckets(batch_id)
             old_fact = (
-                self.fact_store.read_buckets(bks, prev_v)
+                self.fact_store.read_buckets(
+                    bks, prev_v,
+                    key_filter=self.fact_store.batch_key_values(batch_id),
+                )
                 if bks is not None
                 else self.fact_store.read(prev_v)
             )
@@ -2875,14 +3169,19 @@ class IncrementalAggMV:
             delta = compute_delta(fact_changes, old_rows, self.fact_store.pk)
 
             # new_state feeds both the state-store MERGE and the target
-            # MERGE; cache it so the delta lineage executes once.
+            # MERGE, which run in CONCURRENT threads below — an eager
+            # localCheckpoint executes the delta lineage exactly once.
+            # (A cache() races: both write jobs start before either
+            # fills it, so the retraction lookup's touched-bucket scan —
+            # the expensive leg at scale — ran twice, in parallel,
+            # fighting for the same I/O.)
             new_state = merge_delta_state(
                 old_state,
                 delta,
                 self.fact_store.read,  # lazy: only non-invertible measures pay it
                 self.group_keys,
                 self.measures,
-            ).cache()
+            ).localCheckpoint(eager=True)
 
             # State store: vanished groups (__rows == 0) are deleted —
             # except under the global shape, whose single row stays
@@ -2995,8 +3294,6 @@ class IncrementalAggMV:
         finally:
             if state_pool is not None:
                 state_pool.shutdown(wait=True)
-        if new_state is not None:
-            new_state.unpersist()
         return True
 
     def read(self, version: int | None = None) -> DataFrame:

@@ -3007,6 +3007,8 @@ def rewrite_theta_tree(
     j1, j2 = s.joins
     if j1.how != "inner" or j2.how != "inner" or j1.on is None or j2.on is None:
         return None
+    if j1.system_time is not None or j2.system_time is not None:
+        return None
     t0, t1, t2 = s.table, j1.table, j2.table
     names = [t0, t1, t2]
     if len(set(names)) != 3 or any(
@@ -3541,6 +3543,8 @@ def _join_ast_clauses(query: str, need_group_by: bool):
             return None
         if not _ON_EQ_CHAIN_RE.match(j.on):
             return None
+        if j.system_time is not None:
+            return None  # temporal joins route via TemporalJoinShape only
         structs.append((j.how, j.table, j.alias, j.on))
     return (s.select, s.table, s.alias, structs, s.where, s.group_by, s.having)
 
@@ -3916,4 +3920,136 @@ def _match_join_agg_core(
         where=where,
         having=having,
         key_exprs=tuple(key_exprs),
+    )
+
+
+@dataclass(frozen=True)
+class TemporalJoinShape:
+    """The ``FOR SYSTEM_TIME AS OF`` enrichment view — Flink SQL's
+    event-time temporal (versioned dim) join, in the reference's
+    surface by delegation (TiFlinkApp.java:270):
+
+        SELECT fact-cols, dim-cols
+        FROM fact f JOIN dim FOR SYSTEM_TIME AS OF f.ts AS d
+          ON f.fk = d.pk
+
+    keyed by the fact PK (must appear in the select). Routed to
+    IncrementalTemporalJoinMV. ``out_src`` labels each output column
+    'fact' or 'dim'."""
+
+    fact: str
+    dim: str
+    fk: str
+    dim_pk: str
+    time_col: str
+    out_cols: tuple[str, ...]
+    out_src: tuple[str, ...]
+    fact_cols: tuple[str, ...]
+    dim_cols: tuple[str, ...]
+
+
+def match_temporal_join_shape(
+    query: str,
+    source_names: set[str],
+    source_columns: dict[str, list[str]],
+    source_pks: dict[str, list[str]],
+) -> TemporalJoinShape | None:
+    """Match the one-dim temporal enrichment envelope, or None:
+    exactly one INNER temporal join, single-equality ON over the dim's
+    single-column PK, AS OF operand a fact column, select list of
+    plain (optionally qualified) unambiguous columns including the
+    whole fact PK; no WHERE/GROUP BY/HAVING/tail."""
+    from tiflink_spark import sqlast
+
+    s = sqlast.parse_join_select(query)
+    if (
+        s is None
+        or s.tail is not None
+        or s.where is not None
+        or s.group_by is not None
+        or s.having is not None
+        or len(s.joins) != 1
+    ):
+        return None
+    j = s.joins[0]
+    if j.system_time is None or j.how != "inner" or j.on is None:
+        return None
+    fact, dim = s.table, j.table
+    if fact not in source_names or dim not in source_names or fact == dim:
+        return None
+    dim_pk = source_pks.get(dim) or []
+    fact_pk = source_pks.get(fact) or []
+    if len(dim_pk) != 1 or not fact_pk:
+        return None
+    fcols = {c.lower(): c for c in source_columns[fact]}
+    dcols = {c.lower(): c for c in source_columns[dim]}
+    quals = {fact.lower(): "fact", dim.lower(): "dim"}
+    if s.alias:
+        quals[s.alias.lower()] = "fact"
+    if j.alias:
+        quals[j.alias.lower()] = "dim"
+
+    def resolve(ref: str):
+        """'q.c' or 'c' → (side, canonical name) or None (unknown or
+        ambiguous)."""
+        m = re.fullmatch(rf"\s*(?:({_IDENT})\s*\.\s*)?({_IDENT})\s*", ref)
+        if m is None:
+            return None
+        q, c = m.group(1), m.group(2).lower()
+        if q is not None:
+            side = quals.get(q.lower())
+            if side is None:
+                return None
+            cols = fcols if side == "fact" else dcols
+            return (side, cols[c]) if c in cols else None
+        inf, ind = c in fcols, c in dcols
+        if inf and ind:
+            return None
+        if inf:
+            return "fact", fcols[c]
+        if ind:
+            return "dim", dcols[c]
+        return None
+
+    st = resolve(j.system_time)
+    if st is None or st[0] != "fact":
+        return None
+    time_col = st[1]
+
+    m = re.fullmatch(
+        rf"\s*({_IDENT}(?:\s*\.\s*{_IDENT})?)\s*=\s*({_IDENT}(?:\s*\.\s*{_IDENT})?)\s*",
+        j.on,
+    )
+    if m is None:
+        return None
+    l, r = resolve(m.group(1)), resolve(m.group(2))
+    if l is None or r is None or {l[0], r[0]} != {"fact", "dim"}:
+        return None
+    fk = l[1] if l[0] == "fact" else r[1]
+    dpk = l[1] if l[0] == "dim" else r[1]
+    if dpk.lower() != dim_pk[0].lower():
+        return None
+
+    out_cols, out_src = [], []
+    for item in _split_select_list(s.select):
+        rr = resolve(item)
+        if rr is None:
+            return None
+        out_cols.append(rr[1])
+        out_src.append(rr[0])
+    if len({c.lower() for c in out_cols}) != len(out_cols) or not out_cols:
+        return None
+    sel = {c.lower() for c, sr in zip(out_cols, out_src) if sr == "fact"}
+    if any(p.lower() not in sel for p in fact_pk):
+        return None
+    return TemporalJoinShape(
+        fact=fact,
+        dim=dim,
+        fk=fk,
+        dim_pk=dim_pk[0],
+        time_col=time_col,
+        out_cols=tuple(out_cols),
+        out_src=tuple(out_src),
+        fact_cols=tuple(c for c, sr in zip(out_cols, out_src) if sr == "fact"),
+        dim_cols=tuple(c for c, sr in zip(out_cols, out_src) if sr == "dim"),
     )

@@ -5779,3 +5779,145 @@ def mvapp_auto_agg_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         return app.read().localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_temporal_join",
+    """
+    WITH profile_changes AS (
+        SELECT user_id, TIMESTAMP '2023-01-01' AS valid_from,
+               user_id % 5 AS tier, 0 AS is_del
+        FROM (SELECT DISTINCT user_id FROM events)
+        UNION ALL
+        SELECT user_id, TIMESTAMP '2024-01-11', user_id % 5 + 10, 0
+        FROM (SELECT DISTINCT user_id FROM events) WHERE user_id % 3 = 0
+        UNION ALL
+        SELECT user_id, TIMESTAMP '2024-01-21', NULL, 1
+        FROM (SELECT DISTINCT user_id FROM events) WHERE user_id % 7 = 0
+    ),
+    versions AS (
+        SELECT user_id, tier, is_del, valid_from,
+               LEAD(valid_from) OVER (
+                   PARTITION BY user_id ORDER BY valid_from) AS valid_to
+        FROM profile_changes
+    ),
+    final_events AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_id % 12 = 0 THEN value + 1 ELSE value END AS value
+        FROM events
+    )
+    SELECT e.event_id, e.user_id, e.ts, e.value, v.tier
+    FROM final_events e JOIN versions v
+      ON e.user_id = v.user_id
+     AND v.is_del = 0
+     AND e.ts >= v.valid_from
+     AND (v.valid_to IS NULL OR e.ts < v.valid_to)
+    """,
+    doc=(
+        "Temporal/versioned dim join (FOR SYSTEM_TIME AS OF f.ts — "
+        "Flink SQL's event-time temporal join, in the reference's "
+        "surface by delegation, TiFlinkApp.java:270), auto-routed to "
+        "IncrementalTemporalJoinMV: the dim's history is maintained "
+        "SCD-2 style and every fact row joins the dim VERSION valid as "
+        "of its own event time. Churned on both sides: a tier change "
+        "mid-range, a dim DELETE later, and fact batches whose rows "
+        "STRADDLE the version boundaries — the same user re-arrives "
+        "across dim versions (late rows land on old versions), plus "
+        "in-place fact updates. The fn raises unless the planner "
+        "routed the temporal syntax; the oracle reconstructs the "
+        "version intervals with a LEAD window and replays the as-of "
+        "join in pure SQL."
+    ),
+    tags=("mv", "incremental", "planner", "temporal", "join"),
+)
+def mvapp_auto_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    events = t["events"]
+    profile0 = (
+        events.select("user_id")
+        .distinct()
+        .select(
+            F.col("user_id"),
+            (F.col("user_id") % 5).alias("tier"),
+            F.lit("2023-01-01").cast("timestamp").alias("updated_at"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="mvapp_tj_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("events_tj", events, pk=["event_id"])
+            .source("profile_tj", profile0, pk=["user_id"], event_time="updated_at")
+            .query(
+                """SELECT e.event_id, e.user_id, e.ts, e.value, d.tier
+                   FROM events_tj e
+                   JOIN profile_tj FOR SYSTEM_TIME AS OF e.ts AS d
+                     ON e.user_id = d.user_id"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalTemporalJoinMV":
+            raise AssertionError(
+                f"planner routed the temporal join to "
+                f"{app.maintenance_strategy}, not IncrementalTemporalJoinMV"
+            )
+        app.bootstrap()
+        # B1: dim version change at 2024-01-11 (mid events range) —
+        # users %3 move to tier+10 FROM that instant; earlier events
+        # must keep the old tier.
+        app.refresh(
+            {
+                "profile_tj": profile0.filter(F.col("user_id") % 3 == 0)
+                .withColumn("tier", F.col("user_id") % 5 + 10)
+                .withColumn(
+                    "updated_at", F.lit("2024-01-11").cast("timestamp")
+                )
+                .withColumn(OP_COL, F.lit(OP_UPDATE))
+                .withColumn(SEQ_COL, F.monotonically_increasing_id())
+            },
+            batch_id=1,
+        )
+        # B2: fact churn straddling the version boundary — late rows
+        # (ts < 2024-01-11) of the SAME users land on the old version.
+        app.refresh(
+            {
+                "events_tj": events.filter(F.col("event_id") % 3 == 1)
+                .withColumn(OP_COL, F.lit(OP_INSERT))
+                .withColumn(SEQ_COL, F.monotonically_increasing_id())
+            },
+            batch_id=2,
+        )
+        # B3: dim DELETE at 2024-01-21 — users %7 have no version from
+        # then on; their later events leave the view.
+        app.refresh(
+            {
+                "profile_tj": profile0.filter(F.col("user_id") % 7 == 0)
+                .withColumn(
+                    "updated_at", F.lit("2024-01-21").cast("timestamp")
+                )
+                .withColumn(OP_COL, F.lit(OP_DELETE))
+                .withColumn(SEQ_COL, F.monotonically_increasing_id())
+            },
+            batch_id=3,
+        )
+        # B4: the remaining fact rows + in-place updates of bootstrap
+        # rows (event_id %12 ⊂ %3==0) — their as-of lookups re-derive.
+        b4 = (
+            events.filter(F.col("event_id") % 3 == 2)
+            .withColumn(OP_COL, F.lit(OP_INSERT))
+            .unionByName(
+                events.filter(F.col("event_id") % 12 == 0)
+                .withColumn("value", F.col("value") + 1)
+                .withColumn(OP_COL, F.lit(OP_UPDATE))
+            )
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"events_tj": b4}, batch_id=4)
+        return app.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -346,13 +346,18 @@ class JoinClause:
     """One JOIN step: how ∈ {"inner","left","right","full","cross"}
     (the parser normalizes INNER-less JOIN to "inner" and drops OUTER),
     plus either ``on`` (verbatim predicate text) or ``using`` (the
-    single identifier) — never both."""
+    single identifier) — never both. ``system_time`` carries the
+    ``FOR SYSTEM_TIME AS OF <expr>`` operand of a temporal (versioned
+    dim) join — Flink SQL's event-time temporal join spelling, in the
+    reference's surface by delegation (TiFlinkApp.java:270); None for
+    ordinary joins."""
 
     how: str
     table: str
     alias: str | None
     on: str | None
     using: str | None
+    system_time: str | None = None
 
 
 @dataclass(frozen=True)
@@ -412,11 +417,27 @@ def parse_join_select(sql: str) -> JoinSelect | None:
             alias, rest = rest[0].text, rest[1:]
         return table, alias, rest
 
-    stops = _JOIN_STARTS | _AFTER_ON_STOPS | {"on", "using"}
+    stops = _JOIN_STARTS | _AFTER_ON_STOPS | {"on", "using", "for"}
     t0 = take_table(rest, stops)
     if t0 is None:
         return None
     table, alias, rest = t0
+
+    def take_system_time(rest: list[Token]):
+        """(system_time_text, rest') past a ``FOR SYSTEM_TIME AS OF
+        <ident[.ident]>`` clause, or (None, rest) when absent."""
+        kws = ("for", "system_time", "as", "of")
+        if len(rest) < 5 or any(
+            rest[i].kind != "ident" or rest[i].lower() != k for i, k in enumerate(kws)
+        ):
+            return None, rest
+        j = 4
+        if rest[j].kind != "ident":
+            return None, rest
+        end = j + 1
+        if len(rest) > end + 1 and rest[end].text == "." and rest[end + 1].kind == "ident":
+            end += 2
+        return _slice(sql, rest[j:end]), rest[end:]
 
     joins: list[JoinClause] = []
     while rest and rest[0].kind == "ident" and rest[0].lower() in _JOIN_STARTS:
@@ -443,6 +464,16 @@ def parse_join_select(sql: str) -> JoinSelect | None:
         if jt is None:
             return None
         jtable, jalias, rest = jt
+        # Flink spelling puts the clause between table and alias:
+        # JOIN dim FOR SYSTEM_TIME AS OF f.ts [AS] d ON ...
+        system_time, rest = take_system_time(rest)
+        if system_time is not None and jalias is None:
+            if rest and rest[0].kind == "ident" and rest[0].lower() == "as":
+                if len(rest) < 2 or rest[1].kind != "ident":
+                    return None
+                jalias, rest = rest[1].text, rest[2:]
+            elif rest and rest[0].kind == "ident" and rest[0].lower() not in stops:
+                jalias, rest = rest[0].text, rest[1:]
         on = using = None
         if how != "cross":
             if not rest or rest[0].kind != "ident":
@@ -479,7 +510,7 @@ def parse_join_select(sql: str) -> JoinSelect | None:
                 rest = rest[4:]
             else:
                 return None
-        joins.append(JoinClause(how, jtable, jalias, on, using))
+        joins.append(JoinClause(how, jtable, jalias, on, using, system_time))
     if not joins:
         return None
 
@@ -545,7 +576,7 @@ def theta_join_clauses(query: str):
     ):
         return None
     j = s.joins[0]
-    if j.how != "inner" or j.on is None:
+    if j.how != "inner" or j.on is None or j.system_time is not None:
         return None
     return (s.select, s.table, s.alias, j.table, j.alias, j.on, s.where)
 
@@ -566,7 +597,12 @@ def join_using_clauses(query: str):
     ):
         return None
     j = s.joins[0]
-    if j.how != "inner" or j.using is None or j.alias is not None:
+    if (
+        j.how != "inner"
+        or j.using is None
+        or j.alias is not None
+        or j.system_time is not None
+    ):
         return None
     items = [c.strip() for c in s.select.split(",")]
     if any(not re.fullmatch(r"[A-Za-z_]\w*", c) for c in items):
@@ -590,7 +626,7 @@ def join_on_clauses(query: str):
     ):
         return None
     j = s.joins[0]
-    if j.how != "inner" or j.on is None:
+    if j.how != "inner" or j.on is None or j.system_time is not None:
         return None
     ref = r"(?:[A-Za-z_]\w*\s*\.\s*)?[A-Za-z_]\w*"
     em = re.fullmatch(
@@ -631,7 +667,7 @@ def full_outer_join_clauses(query: str):
     ):
         return None
     j = s.joins[0]
-    if j.how != "full" or j.on is None:
+    if j.how != "full" or j.on is None or j.system_time is not None:
         return None
     ref = r"(?:[A-Za-z_]\w*\s*\.\s*)?[A-Za-z_]\w*"
     pairs = []

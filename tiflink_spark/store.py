@@ -354,13 +354,67 @@ class KeyedParquetStore:
                 return self.spark.read.parquet(out).drop(BUCKET_COL)
         return None
 
-    def read_buckets(self, bucket_ids: list[int], version: int | None = None) -> DataFrame:
+    def batch_key_values(self, batch_id, max_values: int = 200_000):
+        """The distinct first-PK-column values of ``batch_id``'s change
+        rows, read DRIVER-SIDE from the batch's delta parquet (pyarrow,
+        no Spark job) — the IN-list :meth:`read_buckets` pushes into
+        the parquet scan for the retraction lookup. None when the delta
+        is unavailable or the key set exceeds ``max_values`` (a huge IN
+        list costs more than it prunes)."""
+        import pyarrow.dataset as pads
+
+        for c in reversed(self._commits()):
+            if c["batch_id"] == batch_id:
+                rel = (c.get("stats") or {}).get("delta_rel")
+                if not rel:
+                    return None
+                if (c.get("stats") or {}).get("change_rows", 0) > max_values:
+                    return None
+                out = os.path.join(self.path, rel)
+                if not os.path.isdir(out):
+                    return None
+                files = [
+                    os.path.join(out, f)
+                    for f in os.listdir(out)
+                    if f.endswith(".parquet")
+                    or (f.startswith("part-") and not f.endswith(".crc"))
+                ]
+                if not files:
+                    return None
+                col = self.pk[0]
+                vals = set()
+                try:
+                    for batch in pads.dataset(files, format="parquet").to_batches(
+                        columns=[col]
+                    ):
+                        vals.update(batch.column(0).to_pylist())
+                except (OSError, KeyError):
+                    return None
+                if len(vals) > max_values:
+                    return None
+                return col, sorted(vals)
+        return None
+
+    def read_buckets(
+        self,
+        bucket_ids: list[int],
+        version: int | None = None,
+        key_filter: tuple[str, list] | None = None,
+    ) -> DataFrame:
         """Bucket-pruned read: only the given PK-hash buckets (and the
         matching slice of any delta chain). The retraction fast path —
         an old-row lookup for a batch's keys needs only the buckets
         those keys hash into (batch_buckets), not the table. At scale
         this is the difference between a per-batch O(touched buckets)
-        lookup and a full-table scan per refresh."""
+        lookup and a full-table scan per refresh.
+
+        ``key_filter`` = (column, values) additionally pushes an IN
+        predicate into the scan — with PK-sorted buckets the parquet
+        row-group stats skip everything outside the changed keys, so
+        the lookup reads O(churn) row groups even when the keys hash
+        into every bucket (hash-spread churn wider than the bucket
+        count otherwise reads the whole table). Callers must still
+        join exactly (the filter is a superset by first PK column)."""
         commits = self._commits()
         if not commits:
             raise FileNotFoundError(f"store at {self.path} has no committed version")
@@ -384,11 +438,16 @@ class KeyedParquetStore:
             base = self.spark.read.schema(schema).parquet(*paths)
         else:
             base = self.spark.createDataFrame([], schema)
+        if key_filter is not None:
+            col, vals = key_filter
+            base = base.filter(F.col(col).isin(vals))
         deltas = commit.get("deltas") or []
         if not deltas:
             return base
         want = [int(b) for b in bucket_ids]
-        return self._apply_deltas(base, deltas, bucket_filter=want)
+        return self._apply_deltas(
+            base, deltas, bucket_filter=want, key_filter=key_filter
+        )
 
     def _read_base(self, commit: dict) -> DataFrame:
         paths = sorted(
@@ -412,6 +471,7 @@ class KeyedParquetStore:
         base: DataFrame,
         deltas: list[str],
         bucket_filter: list[int] | None = None,
+        key_filter: tuple[str, list] | None = None,
     ) -> DataFrame:
         """Reconcile the merge-on-read chain over ``base``: per PK the
         LATEST delta row wins (chain position, then ``__seq`` within a
@@ -436,6 +496,8 @@ class KeyedParquetStore:
         )
         if bucket_filter is not None:
             d = d.filter(F.col(BUCKET_COL).isin(bucket_filter))
+        if key_filter is not None:
+            d = d.filter(F.col(key_filter[0]).isin(key_filter[1]))
         w = Window.partitionBy(*self.pk).orderBy(
             F.col("__didx").desc(), F.col(SEQ_COL).desc()
         )
@@ -551,11 +613,17 @@ class KeyedParquetStore:
     # -- write --------------------------------------------------------------
 
     def _write_buckets(self, df: DataFrame, version: int) -> str:
-        """Write df (with BUCKET_COL) partitioned by bucket under v{version}."""
+        """Write df (with BUCKET_COL) partitioned by bucket under
+        v{version}. Rows are sorted by PK within each bucket so parquet
+        row-group min/max stats prune PK-IN lookups (the retraction
+        fast path): without the sort, a scattered key set defeats
+        row-group pruning and an old-row lookup degrades to reading
+        every touched bucket in full."""
         rel = f"data/v{version}"
         out = os.path.join(self.path, rel)
         (
             df.repartition(BUCKET_COL)
+            .sortWithinPartitions(*self.pk)
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(out)
