@@ -102,7 +102,18 @@ def test_rejects_bad_specs(spark):
     with pytest.raises(ValueError, match="zero rows"):
         match_recognize(df, ["k"], ["seq"], [("A", "*"), ("B", "?")], {}, [])
     with pytest.raises(ValueError, match="unsupported quantifier"):
-        match_recognize(df, ["k"], ["seq"], [("A", "+?")], {}, [])
+        match_recognize(df, ["k"], ["seq"], [("A", "++")], {}, [])
+    with pytest.raises(ValueError, match="zero rows"):
+        # reluctant spellings parse: *? is still zero-matchable
+        match_recognize(df, ["k"], ["seq"], [("A", "*?"), ("B", "??")], {}, [])
+    with pytest.raises(ValueError, match="AFTER MATCH SKIP"):
+        match_recognize(
+            df, ["k"], ["seq"], [("A", "1")], {}, [], after_match="to somewhere"
+        )
+    with pytest.raises(ValueError, match="unknown variable"):
+        match_recognize(
+            df, ["k"], ["seq"], [("A", "1")], {}, [], after_match="to last B"
+        )
     with pytest.raises(ValueError, match="max < min"):
         match_recognize(df, ["k"], ["seq"], [("A", "{3,2}")], {}, [])
     with pytest.raises(ValueError, match="not in pattern"):
@@ -400,14 +411,17 @@ def test_scan_batch_equals_drained_stream_fuzz():
 
     from tiflink_spark.patterns import _runtime_steps, _scan, _validate
 
-    def drain(flags_full, steps, ovals_full, within, chunk_sizes):
+    def drain(flags_full, steps, ovals_full, within, chunk_sizes, skip):
         emitted, b0, pos = [], 0, 0
         for size in chunk_sizes:
             pos += size
             fl = {v: arr[b0:pos] for v, arr in flags_full.items()}
             ov = ovals_full[b0:pos] if within is not None else None
             rt = _runtime_steps(steps, fl)
-            ms, pending = _scan(rt, pos - b0, streaming=True, ovals=ov, within=within)
+            ms, pending = _scan(
+                rt, pos - b0, streaming=True, ovals=ov, within=within,
+                skip=skip, flags=fl,
+            )
             emitted += [[(nm, s + b0, e + b0) for nm, s, e in m] for m in ms]
             b0 += pending
         # end of stream: the residual pending buffer is decided with
@@ -415,7 +429,10 @@ def test_scan_batch_equals_drained_stream_fuzz():
         fl = {v: arr[b0:pos] for v, arr in flags_full.items()}
         ov = ovals_full[b0:pos] if within is not None else None
         rt = _runtime_steps(steps, fl)
-        ms, _ = _scan(rt, pos - b0, streaming=False, ovals=ov, within=within)
+        ms, _ = _scan(
+            rt, pos - b0, streaming=False, ovals=ov, within=within,
+            skip=skip, flags=fl,
+        )
         emitted += [[(nm, s + b0, e + b0) for nm, s, e in m] for m in ms]
         return emitted
 
@@ -426,10 +443,27 @@ def test_scan_batch_equals_drained_stream_fuzz():
         [("A|B", "+"), ("C", "1")],
         [("A", "{1,2}"), ("B", "?"), ("C", "1")],
         [("A", "{2,}"), ("B", "1")],
+        # reluctant shapes (round 8): fewest-rows preference must agree
+        # between the batch scan and the drained stream too
+        [("A", "1"), ("B", "+?"), ("C", "1")],
+        [("A", "+?"), ("B", "+")],
+        [("A", "1"), ("B", "*?"), ("C", "1")],
+        [("A", "{1,3}?"), ("B", "1")],
     ]
-    for _ in range(300):
+    # skip policies safe under random flags: 'to last B' with B a
+    # non-first step never resumes at the match's own start row
+    skips = [("past", None), ("next", None), ("last", "B")]
+    for _ in range(600):
         pattern = rng.choice(specs)
         _, steps = _validate(pattern, {}, [])
+        skip = rng.choice(skips)
+        if skip[1] is not None and not any(
+            skip[1] in names and si > 0 and lo >= 1
+            for si, (names, lo, *_rest) in enumerate(steps)
+        ):
+            # skip-to a var that can go unbound (or sit at the match
+            # start) is the standard's runtime error, not a fuzz case
+            skip = ("past", None)
         n = rng.randint(1, 14)
         flags = {
             v: np.array([rng.random() < 0.55 for _ in range(n)]) for v in "ABC"
@@ -437,14 +471,178 @@ def test_scan_batch_equals_drained_stream_fuzz():
         ovals = np.cumsum([rng.randint(1, 6) for _ in range(n)])
         within = rng.choice([None, 4, 9, 18])
         rt = _runtime_steps(steps, flags)
-        batch, _ = _scan(rt, n, streaming=False, ovals=ovals, within=within)
+        batch, _ = _scan(
+            rt, n, streaming=False, ovals=ovals, within=within,
+            skip=skip, flags=flags,
+        )
         # random chunking of the same rows
         sizes, left = [], n
         while left > 0:
             c = rng.randint(1, left)
             sizes.append(c)
             left -= c
-        assert drain(flags, steps, ovals, within, sizes) == batch, (
-            pattern, within, sizes,
+        assert drain(flags, steps, ovals, within, sizes, skip) == batch, (
+            pattern, within, sizes, skip,
             [list(f.astype(int)) for f in flags.values()], list(ovals),
         )
+
+
+def test_reluctant_plus_takes_fewest_rows(spark):
+    # B+ greedy swallows the whole b-run; B+? reluctant stops at the
+    # first C it can hand over to (Flink's reluctant quantifier).
+    rows = [(1, 1, "a", 0.0), (1, 2, "b", 0.0), (1, 3, "b", 0.0),
+            (1, 4, "b", 0.0), (1, 5, "c", 0.0)]
+    base = dict(
+        partition_by=["k"],
+        order_by=["seq"],
+        define={"A": "tag = 'a'", "B": "tag = 'b' OR tag = 'c'",
+                "C": "tag = 'c' OR tag = 'b'"},
+        measures=[("b_n", "B", None, "count"), ("c_seq", "C", "seq", "first")],
+    )
+    df = _rows(spark, rows)
+    greedy = match_recognize(
+        df, pattern=[("A", "1"), ("B", "+"), ("C", "1")], **base
+    )
+    # greedy: B takes rows 2-4 (and must backtrack off row 5 for C)
+    assert _collect(greedy) == [(1, 1, 3, 5)]
+    reluctant = match_recognize(
+        df, pattern=[("A", "1"), ("B", "+?"), ("C", "1")], **base
+    )
+    # reluctant: B takes ONE row, C gets row 3 (also a 'b' — C's
+    # define admits it), and the scan resumes at row 4 for no match
+    assert _collect(reluctant) == [(1, 1, 1, 3)]
+
+
+def test_reluctant_optional_prefers_absent(spark):
+    # A B?? C over "a b c": greedy B? takes the b; reluctant B?? tries
+    # zero first — but C can't match the b row, so it backtracks INTO
+    # taking B (reluctance is a preference, not a refusal).
+    df = _rows(spark, [(1, 1, "a", 0.0), (1, 2, "b", 0.0), (1, 3, "c", 0.0)])
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern=[("A", "1"), ("B", "??"), ("C", "1")],
+        define={"A": "tag = 'a'", "B": "tag = 'b'", "C": "tag = 'c'"},
+        measures=[("b_n", "B", None, "count")],
+    )
+    assert _collect(out) == [(1, 1, 1)]
+    # and where C could ALSO take the b row, reluctant B?? leaves it:
+    out2 = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern=[("A", "1"), ("B", "??"), ("C", "1")],
+        define={"A": "tag = 'a'", "B": "tag = 'b'", "C": "tag IN ('b','c')"},
+        measures=[("b_n", "B", None, "count"), ("c_seq", "C", "seq", "first")],
+    )
+    assert _collect(out2) == [(1, 1, 0, 2)]
+
+
+def test_prev_next_navigation_compiles_to_lag_lead(spark):
+    # The canonical V-shape: DOWN AS v < PREV(v), UP AS v > PREV(v).
+    # Row 1 has no PREV -> NULL -> False (SQL WHERE semantics).
+    df = _rows(
+        spark,
+        [(1, 1, "x", 10.0), (1, 2, "x", 8.0), (1, 3, "x", 5.0),
+         (1, 4, "x", 7.0), (1, 5, "x", 9.0), (1, 6, "x", 9.0)],
+    )
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern=[("D", "+"), ("U", "+")],
+        define={"D": "v < PREV(v)", "U": "v > PREV(v)"},
+        measures=[
+            ("bottom", "D", "v", "min"),
+            ("peak", "U", "v", "last"),
+            ("n_down", "D", None, "count"),
+            ("n_up", "U", None, "count"),
+        ],
+    )
+    assert _collect(out) == [(1, 1, 5.0, 9.0, 2, 2)]
+    # qualified spelling PREV(B.v) and an explicit offset work too
+    out2 = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern=[("B", "{2,2}")],
+        define={"B": "v < PREV(B.v, 2) + 100"},
+        measures=[("n", "B", None, "count")],
+    )
+    # rows 3..6 have a PREV(...,2); first match takes rows 3,4
+    assert _collect(out2)[0][-1] == 2
+
+
+def test_prev_refused_in_streaming(spark, tmp_path):
+    from tiflink_spark.patterns import match_recognize_stream
+
+    df = spark.readStream.format("rate").load()
+    with pytest.raises(NotImplementedError, match="batch-only"):
+        match_recognize_stream(
+            df,
+            partition_by=["value"],
+            order_by=["timestamp"],
+            pattern=[("A", "1")],
+            define={"A": "value > PREV(value)"},
+            measures=[("n", "A", None, "count")],
+        )
+
+
+def test_skip_to_next_row_overlaps(spark):
+    # a a a b with A+ B: skip-past emits one match (rows 1-4); skip to
+    # next row emits the match at every start: 3 overlapping matches.
+    df = _rows(
+        spark,
+        [(1, 1, "a", 0.0), (1, 2, "a", 0.0), (1, 3, "a", 0.0), (1, 4, "b", 0.0)],
+    )
+    kw = dict(
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern=[("A", "+"), ("B", "1")],
+        define={"A": "tag = 'a'", "B": "tag = 'b'"},
+        measures=[("a_first", "A", "seq", "first"), ("a_n", "A", None, "count")],
+    )
+    past = match_recognize(df, **kw)
+    assert _collect(past) == [(1, 1, 1, 3)]
+    nxt = match_recognize(df, after_match="to next row", **kw)
+    assert _collect(nxt) == [(1, 1, 1, 3), (1, 2, 2, 2), (1, 3, 3, 1)]
+
+
+def test_skip_to_last_var_resumes_at_that_row(spark):
+    # a b b b with A B (A undefined = every row): skip-past gives the
+    # disjoint matches (1,2) and (3,4); skip to LAST B re-examines each
+    # match's b row as the next start, so the matches CHAIN through the
+    # b-run: (1,2) -> resume AT 2 -> (2,3) -> resume AT 3 -> (3,4).
+    df = _rows(
+        spark,
+        [(1, 1, "a", 0.0), (1, 2, "b", 0.0), (1, 3, "b", 0.0), (1, 4, "b", 0.0)],
+    )
+    kw = dict(
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern=[("A", "1"), ("B", "1")],
+        define={"B": "tag = 'b'"},  # A undefined: every row
+        measures=[("a_seq", "A", "seq", "first"), ("b_seq", "B", "seq", "first")],
+    )
+    past = match_recognize(df, **kw)
+    assert _collect(past) == [(1, 1, 1, 2), (1, 2, 3, 4)]
+    out = match_recognize(df, after_match="to last B", **kw)
+    assert _collect(out) == [(1, 1, 1, 2), (1, 2, 2, 3), (1, 3, 3, 4)]
+
+
+def test_skip_to_first_var_loop_raises(spark):
+    # skip to FIRST A resumes at the match's own start row -> the
+    # standard's runtime error, surfaced eagerly.
+    df = _rows(spark, [(1, 1, "a", 0.0), (1, 2, "b", 0.0)])
+    out = match_recognize(
+        df,
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern=[("A", "1"), ("B", "1")],
+        define={"A": "tag = 'a'", "B": "tag = 'b'"},
+        after_match="to first A",
+        measures=[("a_seq", "A", "seq", "first")],
+    )
+    with pytest.raises(Exception, match="loop forever"):
+        out.collect()

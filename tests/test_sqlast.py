@@ -416,3 +416,26 @@ class TestStructuralRewriteFrontEnds:
             "SELECT x FROM ta JOIN tb ON k = j WHERE v > 1"
         ) is None
         assert sqlast.comma_from_clauses("SELECT x FROM ta, tb") is None
+
+    def test_relation_names(self):
+        rn = sqlast.relation_names
+        assert rn("SELECT a FROM t1 JOIN t2 ON t1.x = t2.x") == {"t1", "t2"}
+        # column-position and string-literal occurrences are NOT
+        # relations (the cascade pass-through regex false-positive,
+        # ADVICE r7): t2 is a column, t3/t4 live inside a literal
+        assert rn("SELECT t2 FROM t1 WHERE c = 't3 from t4'") == {"t1"}
+        assert rn("SELECT * FROM a x, b y WHERE x.k = y.k") == {"a", "b"}
+        assert rn(
+            "SELECT * FROM (SELECT * FROM base1) d JOIN dim ON d.k = dim.k"
+        ) == {"base1", "dim"}
+        assert rn(
+            "SELECT x FROM t WHERE EXISTS (SELECT 1 FROM u WHERE u.k = t.k)"
+        ) == {"t", "u"}
+        assert rn("SELECT a FROM t1 UNION ALL SELECT a FROM t2") == {"t1", "t2"}
+        # aliases are never collected
+        assert rn("SELECT a, b AS t9 FROM t1 AS z") == {"t1"}
+        # names come back lowercased (source-name compare is ci)
+        assert rn("SELECT a FROM Ord_B o JOIN Cust_B c ON o.k = c.k") == {
+            "ord_b",
+            "cust_b",
+        }

@@ -1281,14 +1281,30 @@ class MVApp:
                     # otherwise-equi tree — inner equi-join MV, outer
                     # theta join against the third table). Pass those
                     # through; CascadeMV splits each batch's changes
-                    # between the levels. A false regex hit only adds
-                    # an unused source the outer's matchers ignore.
-                    import re as _re
+                    # between the levels. Attachment is decided from
+                    # the PARSED relation positions (sqlast token
+                    # stream), not a regex over raw SQL — a source
+                    # name appearing as a column or inside a string
+                    # literal must not attach an unused store that
+                    # would then be bootstrapped and merged every
+                    # batch and silently absorb misdirected
+                    # changelogs. Tokenizer bail (None) falls back to
+                    # the conservative word-boundary scan.
+                    from tiflink_spark.sqlast import relation_names
 
+                    rels = relation_names(outer_sql)
+                    if rels is None:
+                        import re as _re
+
+                        rels = {
+                            n2.lower()
+                            for n2 in dfs
+                            if _re.search(
+                                rf"(?is)\b{_re.escape(n2)}\b", outer_sql
+                            )
+                        }
                     for n2, (spec2, df2) in dfs.items():
-                        if n2 != alias and _re.search(
-                            rf"(?is)\b{_re.escape(n2)}\b", outer_sql
-                        ):
+                        if n2 != alias and n2.lower() in rels:
                             outer_sources[n2] = (df2, list(spec2.pk))
                     outer_app = MVApp(
                         spark,

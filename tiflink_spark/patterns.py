@@ -19,16 +19,33 @@ Supported subset (documented, checked):
   ``"A|B"`` (leftmost preference for measure attribution — which
   alternative labels a row never changes matchability because DEFINEs
   are row-local), with quantifier ``1``, ``?``, ``+``, ``*``,
-  ``{n,m}`` or ``{n,}`` (all greedy, with backtracking — ``B+ C``
-  gives back rows when C needs them, Flink's default greedy
-  semantics). A pattern that could match zero rows total is rejected
-  (Flink's rule).
-- DEFINE: row-local predicates over the CURRENT row's columns (no
-  LAST()/FIRST() navigation — the Flink forms that need run state);
-  an undefined variable matches every row (Flink's rule); reluctant
-  quantifiers (``+?``) are not supported.
-- AFTER MATCH SKIP PAST LAST ROW (the default), so matches never
-  overlap and the scan is a single left-to-right pass;
+  ``{n,m}`` or ``{n,}`` — greedy by default, with backtracking
+  (``B+ C`` gives back rows when C needs them, Flink's default greedy
+  semantics); a trailing ``?`` (``+?``, ``*?``, ``{n,m}?``, ``??``)
+  makes the step RELUCTANT — it consumes the fewest rows that let the
+  rest of the pattern match (Flink's reluctant quantifiers). A
+  pattern that could match zero rows total is rejected (Flink's
+  rule).
+- DEFINE: predicates over the CURRENT row's columns, plus physical
+  offset navigation ``PREV(col[, k])`` / ``NEXT(col[, k])`` (also
+  spelled ``PREV(B.price)`` — the qualifier is dropped: matches are
+  contiguous runs, so Flink's PREV/NEXT over the match's row sequence
+  IS the previous/next row of the ordered partition). Navigation
+  compiles to JVM-side ``lag``/``lead`` window columns, so the
+  predicate path stays whole-stage codegen; it is BATCH-only (the
+  streaming entry point refuses it: per-micro-batch JVM evaluation
+  cannot see across the trigger boundary, and re-evaluating the
+  predicate in Python would silently swap SQL engines). No
+  LAST()/FIRST() run-state navigation — those need the in-flight
+  match assignment and are refused, not approximated. An undefined
+  variable matches every row (Flink's rule).
+- AFTER MATCH SKIP PAST LAST ROW (the default: matches never
+  overlap, single left-to-right pass), SKIP TO NEXT ROW (overlapping
+  matches — resume at start+1), SKIP TO FIRST/LAST ``var`` (resume
+  at that variable's first/last matched row; a resumption at the
+  match's own start row would loop forever and raises, Flink's
+  runtime rule, as does skipping to a variable the match never
+  bound);
 - WITHIN: the matcher itself runs inside the window — a match is the
   greedy assignment over the rows whose order value lies within
   ``within`` of the start row, so batch and drained-stream results
@@ -53,16 +70,21 @@ _HOWS = ("first", "last", "count", "sum", "min", "max")
 _RANGE_RE = re.compile(r"^\{(\d+),(\d*)\}$")
 
 
-def _parse_quant(quant: str) -> tuple[int, int | None]:
-    """Quantifier string → (lo, hi); hi=None is unbounded."""
+def _parse_quant(quant: str) -> tuple[int, int | None, bool]:
+    """Quantifier string → (lo, hi, greedy); hi=None is unbounded. A
+    trailing ``?`` on ?/+/*/{n,m} marks the step reluctant."""
+    greedy = True
+    if quant != "?" and quant.endswith("?"):
+        greedy = False
+        quant = quant[:-1]
     if quant == "1":
-        return 1, 1
+        return 1, 1, greedy
     if quant == "?":
-        return 0, 1
+        return 0, 1, greedy
     if quant == "+":
-        return 1, None
+        return 1, None, greedy
     if quant == "*":
-        return 0, None
+        return 0, None, greedy
     m = _RANGE_RE.match(quant)
     if m:
         lo = int(m.group(1))
@@ -71,16 +93,43 @@ def _parse_quant(quant: str) -> tuple[int, int | None]:
             raise ValueError(f"quantifier {quant}: max < min")
         if (hi or lo) == 0:
             raise ValueError(f"quantifier {quant}: matches nothing")
-        return lo, hi
+        return lo, hi, greedy
     raise ValueError(
-        f"unsupported quantifier {quant!r} (supported: 1 ? + * {{n,m}} {{n,}})"
+        f"unsupported quantifier {quant!r} "
+        "(supported: 1 ? + * {n,m} {n,} and reluctant ?? +? *? {n,m}?)"
     )
+
+
+_SKIP_RE = re.compile(
+    r"^\s*(past last row|to next row|to (first|last) ([A-Za-z_]\w*))\s*$",
+    re.IGNORECASE,
+)
+
+
+def _parse_skip(after_match: str, pat_vars: list[str]):
+    """AFTER MATCH SKIP clause → ('past'|'next'|'first'|'last', var)."""
+    m = _SKIP_RE.match(after_match)
+    if m is None:
+        raise ValueError(
+            f"unsupported AFTER MATCH SKIP {after_match!r} (supported: "
+            "'past last row', 'to next row', 'to first <var>', "
+            "'to last <var>')"
+        )
+    low = m.group(1).lower()
+    if low == "past last row":
+        return "past", None
+    if low == "to next row":
+        return "next", None
+    var = m.group(3)
+    if var not in pat_vars:
+        raise ValueError(f"AFTER MATCH SKIP TO unknown variable {var!r}")
+    return m.group(2).lower(), var
 
 
 def _validate(pattern, define, measures) -> tuple[list[str], list[tuple]]:
     """Shared spec validation for the batch AND streaming entry points
     (one implementation — the two cannot drift). Returns the distinct
-    variable names and the parsed steps [(names, lo, hi)]."""
+    variable names and the parsed steps [(names, lo, hi, greedy)]."""
     if not pattern:
         raise ValueError("pattern must be [(var_or_alternation, quant), ...]")
     steps: list[tuple] = []
@@ -89,12 +138,12 @@ def _validate(pattern, define, measures) -> tuple[list[str], list[tuple]]:
         names = tuple(v.strip() for v in spec.split("|"))
         if any(not v for v in names):
             raise ValueError(f"bad pattern variable spec {spec!r}")
-        lo, hi = _parse_quant(quant)
-        steps.append((names, lo, hi))
+        lo, hi, greedy = _parse_quant(quant)
+        steps.append((names, lo, hi, greedy))
         for v in names:
             if v not in pat_vars:
                 pat_vars.append(v)
-    if sum(lo for _, lo, _ in steps) == 0:
+    if sum(lo for _, lo, _, _ in steps) == 0:
         raise ValueError("pattern could match zero rows (every step optional)")
     unknown = set(define) - set(pat_vars)
     if unknown:
@@ -109,12 +158,71 @@ def _validate(pattern, define, measures) -> tuple[list[str], list[tuple]]:
     return pat_vars, steps
 
 
-def _flag_columns(df: DataFrame, pat_vars: list[str], define: dict) -> DataFrame:
+_NAV_RE = re.compile(
+    r"\b(PREV|NEXT)\s*\(\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*"
+    r"(?:,\s*(\d+)\s*)?\)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_nav(define: dict) -> tuple[dict, dict]:
+    """PREV/NEXT calls in DEFINE → physical offset columns.
+
+    Matches are contiguous row runs (every quantifier consumes
+    adjacent rows), so Flink's PREV/NEXT over the match's row sequence
+    is exactly the previous/next row of the ordered partition — a
+    ``lag``/``lead`` window column, computed once JVM-side. Returns
+    (rewritten define, {nav_col: (fn, src_col, k)}); a variable
+    qualifier (``PREV(B.price)``) is dropped per the contiguity
+    argument."""
+    nav_cols: dict[str, tuple[str, str, int]] = {}
+
+    def sub(m: re.Match) -> str:
+        fn = m.group(1).lower()
+        col = m.group(2).split(".")[-1]
+        k = int(m.group(3) or 1)
+        name = f"__nav_{fn}_{col}_{k}"
+        nav_cols[name] = (fn, col, k)
+        return name
+
+    out = {
+        var: _NAV_RE.sub(sub, pred) if pred is not None else pred
+        for var, pred in define.items()
+    }
+    return out, nav_cols
+
+
+def _flag_columns(
+    df: DataFrame,
+    pat_vars: list[str],
+    define: dict,
+    partition_by: list[str] | None = None,
+    order_by: list[str] | None = None,
+) -> DataFrame:
     """Stage 1 (JVM): one boolean column per pattern variable — the
     DEFINE predicates run in whole-stage codegen; NULL reads as
     no-match, like SQL WHERE. Undefined variables match every row
-    (Flink's rule)."""
+    (Flink's rule). With partition/order context (batch), PREV/NEXT
+    navigation compiles to lag/lead columns first; without it
+    (streaming), navigation raises — see the module doc."""
+    define, nav_cols = _rewrite_nav(define)
     work = df
+    if nav_cols:
+        if partition_by is None:
+            raise NotImplementedError(
+                "PREV/NEXT navigation in DEFINE is batch-only: the "
+                "streaming path evaluates predicates JVM-side per "
+                "micro-batch and cannot see across the trigger "
+                "boundary (and re-evaluating in Python would swap SQL "
+                "engines mid-operator). Precompute the offset column "
+                "upstream or use batch match_recognize."
+            )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*partition_by).orderBy(*order_by)
+        for name, (fn, col, k) in nav_cols.items():
+            off = F.lag(col, k) if fn == "prev" else F.lead(col, k)
+            work = work.withColumn(name, off.over(w))
     for var in pat_vars:
         pred = define.get(var)
         col = (
@@ -123,7 +231,7 @@ def _flag_columns(df: DataFrame, pat_vars: list[str], define: dict) -> DataFrame
             else F.lit(True)
         )
         work = work.withColumn(f"__m_{var}", col)
-    return work
+    return work.drop(*nav_cols)
 
 
 def _output_fields(df: DataFrame, partition_by, measures) -> list[StructField]:
@@ -161,13 +269,13 @@ def _runtime_steps(steps: list[tuple], flags: dict) -> list[tuple]:
     import numpy as np
 
     rt = []
-    for names, lo, hi in steps:
+    for names, lo, hi, greedy in steps:
         col = (
             flags[names[0]]
             if len(names) == 1
             else np.logical_or.reduce([flags[v] for v in names])
         )
-        rt.append((names, lo, hi, col))
+        rt.append((names, lo, hi, col, greedy))
     return rt
 
 
@@ -189,26 +297,81 @@ def _attempt(pos: int, si: int, steps: list, n: int, limit: int):
     candidate. A stop at a WITHIN edge short of the data (limit < n)
     is final: later rows are ordered past the window and can never
     join this match. Batch callers ignore it (end of data is final
-    there)."""
+    there).
+
+    Greedy steps try the longest run first and shrink; reluctant steps
+    try ``lo`` rows first and grow. The data-edge signal differs with
+    the direction: a greedy step that completed a match while its run
+    was stopped by the data edge must still report eof (more rows can
+    lengthen the preferred assignment), while a RELUCTANT step's
+    completed match is final — growth can never improve a
+    fewest-rows preference — so its run-edge stop only surfaces on
+    failure (more rows could turn the failure into a match)."""
     if si == len(steps):
         return [], pos, False
-    names, lo, hi, col = steps[si]
+    names, lo, hi, col, greedy = steps[si]
     cap = limit if hi is None else min(limit, pos + hi)
     k = pos
     while k < cap and col[k]:
         k += 1
     # the run stopped at the data edge while still allowed to grow
-    eof_any = k == limit == n and (hi is None or k - pos < hi)
+    eof_run = k == limit == n and (hi is None or k - pos < hi)
     lo_end = pos + lo
     if lo_end > k:
-        return None, pos, eof_any
-    for end in range(k, lo_end - 1, -1):
+        return None, pos, eof_run
+    ends = range(k, lo_end - 1, -1) if greedy else range(lo_end, k + 1)
+    eof_any = eof_run if greedy else False
+    for end in ends:
         rest, rend, eof = _attempt(end, si + 1, steps, n, limit)
         eof_any = eof_any or eof
         if rest is not None:
             span = [(names, pos, end)] if end > pos else []
             return span + rest, rend, eof_any
-    return None, pos, eof_any
+    return None, pos, eof_any or eof_run
+
+
+def _var_rows(spans, flags) -> dict[str, list[int]]:
+    """Match spans → {var: matched row indexes}. Alternation rows are
+    attributed to the FIRST alternative whose DEFINE holds (leftmost
+    preference — Flink's alternative order). Shared by MEASURES and
+    AFTER MATCH SKIP TO, so the two can never disagree about which
+    rows a variable owns."""
+    by_var: dict[str, list[int]] = {}
+    for names, s, e in spans:
+        if len(names) == 1:
+            by_var.setdefault(names[0], []).extend(range(s, e))
+        else:
+            for j in range(s, e):
+                for v in names:
+                    if flags[v][j]:
+                        by_var.setdefault(v, []).append(j)
+                        break
+    return by_var
+
+
+def _skip_target(skip, start: int, end: int, spans, flags) -> int:
+    """Next scan position after a match per the AFTER MATCH SKIP
+    policy. Raises on the standard's runtime errors: skipping to the
+    match's own start row (infinite loop) and skipping to a variable
+    the match never bound."""
+    mode, var = skip
+    if mode == "past":
+        return end
+    if mode == "next":
+        return start + 1
+    rows = _var_rows(spans, flags).get(var)
+    if not rows:
+        raise ValueError(
+            f"AFTER MATCH SKIP TO {mode.upper()} {var}: the match "
+            f"bound no rows to {var}"
+        )
+    tgt = rows[0] if mode == "first" else rows[-1]
+    if tgt == start:
+        raise ValueError(
+            f"AFTER MATCH SKIP TO {mode.upper()} {var} resumes at the "
+            "match's own start row and would loop forever"
+        )
+    return tgt
 
 
 def _scan(
@@ -218,6 +381,8 @@ def _scan(
     ovals=None,
     within=None,
     max_rows: int | None = None,
+    skip=("past", None),
+    flags=None,
 ):
     """Left-to-right non-overlapping scan (AFTER MATCH SKIP PAST LAST
     ROW) → (matches, pending_start). In streaming mode the scan STOPS
@@ -255,7 +420,7 @@ def _scan(
             # lose a match batch semantics emits)
             if spans is not None:
                 matches.append(spans)
-                i = end
+                i = _skip_target(skip, i, end, spans, flags)
             else:
                 i += 1
             continue
@@ -263,7 +428,7 @@ def _scan(
             i += 1
             continue
         matches.append(spans)
-        i = end
+        i = _skip_target(skip, i, end, spans, flags)
     return matches, n
 
 
@@ -275,22 +440,28 @@ def match_recognize(
     define: dict[str, str],
     measures: list[tuple[str, str, str | None, str]],
     within=None,
+    after_match: str = "past last row",
 ) -> DataFrame:
-    """One output row per (non-overlapping, greedy) pattern match.
+    """One output row per pattern match.
 
     ``pattern``: [(var_or_alternation, quant)] — var spec is ``"A"``
-    or ``"A|B"``; quant in {"1", "?", "+", "*", "{n,m}", "{n,}"};
-    ``define``: var -> row-local SQL predicate (missing var = always);
+    or ``"A|B"``; quant in {"1", "?", "+", "*", "{n,m}", "{n,}"},
+    optionally reluctant with a trailing "?";
+    ``define``: var -> row-local SQL predicate (missing var = always),
+    with PREV/NEXT physical navigation (compiled to lag/lead);
     ``measures``: [(alias, var, field_or_None, how)] with how in
     first/last/min/max/sum (field required) or count (field ignored);
     ``within``: Flink's WITHIN — the maximum first→last span of a
     match over the FIRST order_by column (a number for numeric order
     columns, a pandas/numpy timedelta for timestamps); the greedy
     search itself runs inside the window.
+    ``after_match``: 'past last row' (default, non-overlapping),
+    'to next row', 'to first <var>', 'to last <var>'.
     Output schema: partition keys, ``match_seq`` (long), measures.
     """
     pat_vars, steps = _validate(pattern, define, measures)
-    work = _flag_columns(df, pat_vars, define)
+    skip = _parse_skip(after_match, pat_vars)
+    work = _flag_columns(df, pat_vars, define, list(partition_by), list(order_by))
     out_fields = _output_fields(df, partition_by, measures)
     out_schema = StructType(out_fields)
 
@@ -306,7 +477,8 @@ def match_recognize(
         rt_steps = _runtime_steps(steps, flags)
         ovals = pdf[order_cols[0]].to_numpy() if within is not None else None
         matches, _ = _scan(
-            rt_steps, len(pdf), streaming=False, ovals=ovals, within=within
+            rt_steps, len(pdf), streaming=False, ovals=ovals, within=within,
+            skip=skip, flags=flags,
         )
         records = _measure_rows(pdf, matches, part_cols, meas, flags, seq0=0)
         cols = [f.name for f in out_fields]
@@ -326,16 +498,7 @@ def _measure_rows(pdf, matches, part_cols, meas, flags, seq0: int) -> list[dict]
     for mi, spans in enumerate(matches, start=1):
         rec = {c: pdf.at[0, c] for c in part_cols}
         rec["match_seq"] = seq0 + mi
-        by_var: dict[str, list[int]] = {}
-        for names, s, e in spans:
-            if len(names) == 1:
-                by_var.setdefault(names[0], []).extend(range(s, e))
-            else:
-                for j in range(s, e):
-                    for v in names:
-                        if flags[v][j]:
-                            by_var.setdefault(v, []).append(j)
-                            break
+        by_var = _var_rows(spans, flags)
         for alias, var, field, how in meas:
             idxs = by_var.get(var, [])
             if how == "count":
@@ -386,6 +549,7 @@ def match_recognize_stream(
     measures: list[tuple[str, str, str | None, str]],
     max_pending_rows: int = 10_000,
     within=None,
+    after_match: str = "past last row",
 ) -> DataFrame:
     """Streaming MATCH_RECOGNIZE: the same subset as
     :func:`match_recognize`, maintained per micro-batch with
@@ -420,6 +584,9 @@ def match_recognize_stream(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     pat_vars, steps = _validate(pattern, define, measures)
+    skip = _parse_skip(after_match, pat_vars)
+    # no partition/order context: PREV/NEXT navigation raises (the
+    # documented batch-only contract — see the module doc)
     work = _flag_columns(df, pat_vars, define)
     out_fields = _output_fields(df, partition_by, measures)
     out_schema = StructType(out_fields)
@@ -463,6 +630,8 @@ def match_recognize_stream(
             ovals=ovals,
             within=within,
             max_rows=max_pending_rows,
+            skip=skip,
+            flags=flags,
         )
         records = _measure_rows(pdf, matches, part_cols, meas, flags, seq0=seq0)
         suffix = pdf.iloc[pending:].reset_index(drop=True)

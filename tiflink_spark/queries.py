@@ -1165,17 +1165,15 @@ _PRIORITY = [
     # ============= the driver's ~50-query correctness window =============
     # The driver checks a strict PREFIX of the registry (50 in every
     # round so far). Registration order IS the rotation policy.
-    # Round-7 rotation: 12 sentinels (one per graded family, all
-    # driver-green in r2-r6) stay in; pipeline_corpus_prep re-enters to
-    # convert its r6 oracle-typing red into a green row (the CAST fix
-    # landed this round); the other 37 slots go to gates that have
-    # NEVER had a driver correctness row — the four r6 final-batch
-    # gates first, then sample_mixture_weighted (the re-cast oracle
-    # twin) and the rest of the never-checked pool — plus two of the
-    # four round-7-new gates (cube5, full-outer WHERE; gid_subset and
-    # theta_tree lead the next rotation). Rotated-out gates hold r2-r6
-    # green rows and stay locally oracle-checked (tools/check_oracle.py,
-    # full registry).
+    # Round-8 rotation: 12 sentinels (one per graded family, all
+    # driver-green in r2-r7) stay in; the next 20 slots finish the
+    # ever-checked rotation (VERDICT r7 #3) — the 19 queries that have
+    # never had a driver row (all verified green against the local
+    # oracle in the r7 judge session) plus the round-8-new temporal
+    # join gate; the remaining slots carry this round's new routes and
+    # re-confirmations of recently-landed r7 gates. Rotated-out gates
+    # hold r2-r7 green rows and stay locally oracle-checked
+    # (tools/check_oracle.py, full registry).
     # --- sentinels (12) ---
     "flagship_correlated_count",
     "q1_pricing_summary",
@@ -1189,51 +1187,8 @@ _PRIORITY = [
     "jdbc_scan",
     "streaming_tumble_agg",
     "mvapp_auto_grouping_sets",
-    # --- the r6 red, re-oracled (1) ---
-    "pipeline_corpus_prep",
-    # --- first-time driver evidence (35 never-checked) ---
-    "mvapp_auto_window_multi_partition",
-    "mvapp_auto_order_limit_multi",
-    "mvapp_auto_exists_composite",
-    "mvapp_auto_cascade_full_outer",
-    "sample_mixture_weighted",
-    "interval_join_events",
-    "mv_topk_incremental",
-    "mv_flagship_recompute",
-    "percentile_exact",
-    "text_quality_score",
-    "quality_decile_binning",
-    "multimodal_real_resize",
-    "multimodal_decode",
-    "multimodal_resize",
-    "multimodal_feature_extract",
-    "multimodal_framesample",
-    "connector_csv_roundtrip",
-    "connector_json_roundtrip",
-    "text_fingerprint",
-    "text_repetition_score",
-    "text_tfidf_topterms",
-    "text_chunk_windows",
-    "dedup_incremental_batch",
-    "text_unigram_logprob",
-    "streaming_static_join",
-    "sessionize_events",
-    "date_spine_gap_fill",
-    "doc_chunking",
-    "contamination_check",
-    "stats_aggs",
-    "window_first_last_ntile",
-    "agg_max_by",
-    "pivot_status",
-    "asof_last_click",
-    "keyed_sink_roundtrip",
-    # --- round-7-new routes (2) ---
-    "mvapp_auto_cube5",
-    "mvapp_auto_full_outer_where",
-    # ================== past the 50-query window ==================
-    # Round-7-new gates without a driver row yet (local oracle green)
-    # and the never-checked remainder — the r8 rotation pulls these
-    # first.
+    # --- first-time driver evidence (19 never-checked + temporal) ---
+    "mvapp_auto_temporal_join",
     "mvapp_auto_gid_subset",
     "mvapp_auto_theta_tree",
     "pattern_funnel_detect",
@@ -1253,7 +1208,50 @@ _PRIORITY = [
     "retention_cohorts",
     "numeric_histogram",
     "heavy_hitters_custkey",
-    # r2-r6 driver-green gates rotated out below.
+    # --- round-8-new gates ---
+    "pattern_vshape_prev",
+    "pattern_overlap_views",
+    # --- re-confirmations: r7-new routes + recent greens (16) ---
+    "mvapp_auto_cube5",
+    "mvapp_auto_full_outer_where",
+    "mvapp_auto_exists_composite",
+    "mvapp_auto_cascade_full_outer",
+    "mvapp_auto_window_multi_partition",
+    "mvapp_auto_order_limit_multi",
+    "mv_topk_incremental",
+    "pipeline_corpus_prep",
+    "sample_mixture_weighted",
+    "interval_join_events",
+    "percentile_exact",
+    "text_quality_score",
+    "multimodal_real_resize",
+    "dedup_incremental_batch",
+    "asof_last_click",
+    "keyed_sink_roundtrip",
+    "contamination_check",
+    "streaming_static_join",
+    # ================== past the 50-query window ==================
+    # r2-r7 driver-green gates rotated out below.
+    "mv_flagship_recompute",
+    "quality_decile_binning",
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_feature_extract",
+    "multimodal_framesample",
+    "connector_csv_roundtrip",
+    "connector_json_roundtrip",
+    "text_fingerprint",
+    "text_repetition_score",
+    "text_tfidf_topterms",
+    "text_chunk_windows",
+    "text_unigram_logprob",
+    "sessionize_events",
+    "date_spine_gap_fill",
+    "doc_chunking",
+    "stats_aggs",
+    "window_first_last_ntile",
+    "agg_max_by",
+    "pivot_status",
     "mvapp_auto_full_outer",
     "mvapp_auto_cascade_bag",
     "mvapp_auto_median",

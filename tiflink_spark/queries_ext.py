@@ -1975,3 +1975,143 @@ def pattern_funnel_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("clicks_value") * 100).cast("bigint").alias("clicks_cents"),
         "p_event",
     )
+
+
+_VSHAPE_ORACLE_SQL = """
+    WITH ordered AS (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               lag(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pv
+        FROM events),
+    dirs AS (
+        SELECT user_id, value, rn,
+               CASE WHEN value < pv THEN 'D'
+                    WHEN value > pv THEN 'U'
+                    ELSE 'F' END AS dir
+        FROM ordered),
+    runs AS (
+        SELECT user_id, value, rn, dir,
+               rn - row_number() OVER (PARTITION BY user_id, dir
+                                       ORDER BY rn) AS grp
+        FROM dirs),
+    bounds AS (
+        SELECT user_id, dir, grp, min(rn) AS srn, max(rn) AS ern,
+               CAST(count(*) AS BIGINT) AS n,
+               min(value) AS minv, max(value) AS maxv
+        FROM runs GROUP BY user_id, dir, grp)
+    SELECT d.user_id,
+           CAST(row_number() OVER (PARTITION BY d.user_id ORDER BY d.srn)
+                AS BIGINT) AS match_seq,
+           d.minv AS bottom, u.maxv AS peak,
+           d.n AS n_down, u.n AS n_up
+    FROM bounds d
+    JOIN bounds u ON u.user_id = d.user_id AND u.dir = 'U'
+                 AND d.dir = 'D' AND u.srn = d.ern + 1
+    """
+
+
+@register(
+    "pattern_vshape_prev",
+    _VSHAPE_ORACLE_SQL,
+    doc=(
+        "MATCH_RECOGNIZE with PREV() navigation in DEFINE — the "
+        "canonical V-shape query (price falls, then rises), the form "
+        "every Flink/Oracle MATCH_RECOGNIZE tutorial opens with: "
+        "PATTERN (D+ U+) DEFINE D AS value < PREV(value), U AS value "
+        "> PREV(value). Matches are contiguous row runs, so PREV over "
+        "the match sequence IS the previous row of the ordered "
+        "partition — the rewrite compiles it to a JVM-side lag() "
+        "window column and the DEFINE predicates stay whole-stage "
+        "codegen (patterns._rewrite_nav; zero Python in the predicate "
+        "path). Greedy D+ consumes the maximal descending run, U+ the "
+        "maximal ascending run (backtracking into a down-run can "
+        "never help U — those rows fail U's define), so the oracle is "
+        "the independent gaps-and-islands construction: adjacent "
+        "(down-run, up-run) pairs. Measures avoid cross-engine float "
+        "arithmetic: min/max over untouched doubles, counts as "
+        "BIGINT."
+    ),
+    tags=("pattern", "cep", "navigation"),
+)
+def pattern_vshape_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.patterns import match_recognize
+
+    t = _t(spark, sf_dir)
+    return match_recognize(
+        t["events"],
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern=[("D", "+"), ("U", "+")],
+        define={"D": "value < PREV(value)", "U": "value > PREV(value)"},
+        measures=[
+            ("bottom", "D", "value", "min"),
+            ("peak", "U", "value", "max"),
+            ("n_down", "D", None, "count"),
+            ("n_up", "U", None, "count"),
+        ],
+    ).select("user_id", "match_seq", "bottom", "peak", "n_down", "n_up")
+
+
+_OVERLAP_ORACLE_SQL = """
+    WITH ordered AS (
+        SELECT user_id, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+    views AS (
+        SELECT o.user_id, o.rn, o.event_id AS v_event,
+               (SELECT min(i.rn) FROM ordered i
+                WHERE i.user_id = o.user_id AND i.rn > o.rn
+                  AND i.event_type <> 'click') AS jrn
+        FROM ordered o WHERE o.event_type = 'view')
+    SELECT v.user_id,
+           CAST(row_number() OVER (PARTITION BY v.user_id ORDER BY v.rn)
+                AS BIGINT) AS match_seq,
+           v.v_event, p.event_id AS p_event,
+           CAST(v.jrn - v.rn - 1 AS BIGINT) AS n_clicks
+    FROM views v
+    JOIN ordered p ON p.user_id = v.user_id AND p.rn = v.jrn
+                  AND p.event_type = 'purchase'
+    """
+
+
+@register(
+    "pattern_overlap_views",
+    _OVERLAP_ORACLE_SQL,
+    doc=(
+        "MATCH_RECOGNIZE with AFTER MATCH SKIP TO NEXT ROW and a "
+        "RELUCTANT quantifier: every view whose next non-click event "
+        "is a purchase (clicks-only path to conversion), with matches "
+        "allowed to OVERLAP — a view inside another match's click run "
+        "still reports its own conversion, which SKIP PAST LAST ROW "
+        "would swallow. PATTERN (V C*? P): the reluctant star takes "
+        "the fewest clicks that reach a purchase. The oracle derives "
+        "each view's first following non-click row independently "
+        "(correlated min over the ordered partition) and keeps it iff "
+        "it is a purchase — the same semantics with no NFA."
+    ),
+    tags=("pattern", "cep", "overlap"),
+)
+def pattern_overlap_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.patterns import match_recognize
+
+    t = _t(spark, sf_dir)
+    return match_recognize(
+        t["events"],
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern=[("V", "1"), ("C", "*?"), ("P", "1")],
+        define={
+            "V": "event_type = 'view'",
+            "C": "event_type = 'click'",
+            "P": "event_type = 'purchase'",
+        },
+        measures=[
+            ("v_event", "V", "event_id", "first"),
+            ("p_event", "P", "event_id", "last"),
+            ("n_clicks", "C", None, "count"),
+        ],
+        after_match="to next row",
+    ).select("user_id", "match_seq", "v_event", "p_event", "n_clicks")

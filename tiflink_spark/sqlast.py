@@ -1440,3 +1440,76 @@ def comma_from_clauses(sql: str):
     rest = (" " + s[body[stop].start :]) if stop < len(body) else ""
     head = s[: toks[fi].start]
     return head, items, where, rest
+
+
+def relation_names(sql: str) -> set[str] | None:
+    """Lowercased BASE-relation names referenced anywhere in ``sql``
+    (any nesting depth), or None when the tokenizer bails.
+
+    A relation position is the identifier immediately after FROM or
+    JOIN, plus the comma-separated continuations of a FROM list. A
+    ``(`` in relation position is a derived table — its body's own
+    FROM/JOIN tokens are collected by the same linear scan, so nothing
+    is lost by skipping the paren itself. Aliases, column references,
+    and identifiers inside string literals are never collected (the
+    token stream types string literals as "str"), which is the point:
+    the cascade outer-level source pass-through (app.py) used to decide
+    base-table attachment with a word-boundary regex over raw SQL, and
+    a source name appearing as a column name or inside a literal
+    false-positived into an unused attached store.
+    """
+    toks = tokenize(sql.strip().rstrip(";"))
+    if toks is None:
+        return None
+    names: set[str] = set()
+    n = len(toks)
+
+    def collect_at(j: int) -> None:
+        # j points at the candidate relation token.
+        if j < n and toks[j].kind == "ident":
+            names.add(toks[j].lower())
+
+    i = 0
+    while i < n:
+        t = toks[i]
+        if t.kind != "ident":
+            i += 1
+            continue
+        low = t.lower()
+        if low == "join":
+            collect_at(i + 1)
+            i += 2
+            continue
+        if low != "from":
+            i += 1
+            continue
+        # FROM: first relation, then depth-0-relative comma
+        # continuations until a clause keyword ends the list.
+        collect_at(i + 1)
+        j = i + 1
+        depth = 0
+        while j < n:
+            tj = toks[j]
+            if tj.text == "(":
+                depth += 1
+            elif tj.text == ")":
+                if depth == 0:
+                    break  # closing a subquery that contained this FROM
+                depth -= 1
+            elif depth == 0 and tj.text == ",":
+                collect_at(j + 1)
+            elif (
+                depth == 0
+                and tj.kind == "ident"
+                and tj.lower()
+                in (
+                    "where", "group", "having", "order", "limit",
+                    "union", "intersect", "except", "join", "inner",
+                    "left", "right", "full", "cross", "semi", "anti",
+                    "on", "using", "window",
+                )
+            ):
+                break
+            j += 1
+        i += 1
+    return names
