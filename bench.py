@@ -157,7 +157,7 @@ def _mv_refresh_block(spark, sf_dir: str) -> dict:
                FROM ord_b GROUP BY o_custkey"""
         )
 
-    def run(make, force_recompute: bool) -> dict:
+    def run_once(make, force_recompute: bool) -> dict:
         work = tempfile.mkdtemp(prefix="bench_mv_")
         try:
             b = make(MVApp.builder(spark)).target(work).num_buckets(8).shuffle_partitions(8)
@@ -187,6 +187,20 @@ def _mv_refresh_block(spark, sf_dir: str) -> dict:
             }
         finally:
             shutil.rmtree(work, ignore_errors=True)
+
+    def run(make, force_recompute: bool) -> dict:
+        # Min-of-2 rounds, same rationale as the headline's min-of-3:
+        # a single-shot per-batch timing on a shared box records
+        # co-runner contention as a phantom maintenance regression
+        # (observed: the same scripted batch swinging 2.4s -> 12.6s
+        # between back-to-back runs at load <5/32). Round 2 also runs
+        # with the route's codegen classes warm — the steady state a
+        # 1s-cadence refresh loop actually lives in. Both rounds'
+        # totals are recorded for audit.
+        rounds = [run_once(make, force_recompute) for _ in range(2)]
+        best = min(rounds, key=lambda r: r["refresh_total"])
+        best["round_totals"] = [r["refresh_total"] for r in rounds]
+        return best
 
     out: dict = {}
     for name, make in (

@@ -170,8 +170,15 @@ def test_merge_on_read_delta_chain(spark, store):
     # CDC diff across delta-carrying versions
     ops = {r.k: r[OP_COL] for r in changes_between(store, 2, 4).collect()}
     assert ops.get(3) == OP_DELETE and ops.get(2) == OP_UPDATE
-    # 5th merge folds: chain cleared, only touched buckets rewritten
+    # 5th merge trips the chain bound: the BATCH commits as a plain
+    # delta (compaction never sits on a batch's latency) and schedules
+    # the fold in the store's background thread; awaiting it shows the
+    # fold's own maintenance commit — chain cleared, only touched
+    # buckets rewritten.
     store.merge(_changes(spark, [(4, "D", OP_UPDATE, 0)]), batch_id=5)
+    assert store.recent_commits(1)[0]["mode"] == "delta"
+    assert store._fold_future is not None
+    store._await_fold()
     last = store._commits()[-1]
     assert store.recent_commits(1)[0]["mode"] == "fold"
     assert not last.get("deltas")

@@ -2055,15 +2055,22 @@ class IncrementalJoinAggMV:
         assert len(self.dims) == 1
         return self.dim_stores[self.dims[0].dim]
 
-    def _j_rows(self, fact_rows: DataFrame, dim_now: dict[str, DataFrame]) -> DataFrame:
+    def _j_rows(
+        self,
+        fact_rows: DataFrame,
+        dim_now: dict[str, DataFrame],
+        carry: tuple[str, ...] = (),
+    ) -> DataFrame:
         """fact rows ⟕ every dim in join order, projected to bare J
         columns plus a ``__matched`` flag (True iff ALL dims matched —
         inner-join semantics). Each dim is pre-pruned by semi-join to
         the referencing values present in the accumulated rows, so the
         per-batch join never builds on a full dimension. Snowflake
         chains compose naturally: an unmatched parent leaves the
-        child's join key NULL, which leaves the child unmatched too."""
-        acc = fact_rows.select(*self._fact_side)
+        child's join key NULL, which leaves the child unmatched too.
+        ``carry`` names extra fact-row columns (e.g. the changelog op)
+        to thread through to the output untouched."""
+        acc = fact_rows.select(*self._fact_side, *carry)
         flags = []
         for i, d in enumerate(self.dims):
             jks = [f"__jk_{i}_{n}" for n in range(len(d.pk_cols))]
@@ -2101,7 +2108,7 @@ class IncrementalJoinAggMV:
         )
         for alias, expr in self._key_exprs:
             acc = acc.withColumn(alias, F.expr(expr))
-        return acc.select(*self._j_cols, matched.alias("__matched"))
+        return acc.select(*self._j_cols, *carry, matched.alias("__matched"))
 
     def _joined(self, fact_df: DataFrame, dim_now: dict[str, DataFrame]) -> DataFrame:
         """The full (inner-join) J relation for bootstrap."""
@@ -2213,29 +2220,50 @@ class IncrementalJoinAggMV:
                 self.shuffle_partitions,
                 self.fact_store.batch_change_rows(batch_id),
             )
-        dim_now = {d.dim: self.dim_stores[d.dim].read() for d in self.dims}
+        dim_changed_names = [n for n, _, _ in merges if n != self.fact_name]
+        # Fact-only batch: each dim hanging directly off the fact is
+        # read KEY-PRUNED — the batch's FK values (driver-read from the
+        # fact delta's parquet) bound exactly which dim rows the join
+        # can touch, and read_keys pushes them into the dim's parquet
+        # scan (row-group skip). A full dim read per refresh is O(dim);
+        # this is O(δ). Dim-churn batches re-derive arbitrary fact rows
+        # whose references aren't bounded by the batch, so they keep
+        # full (MOR) reads; snowflake children's keys are only known at
+        # runtime, likewise.
+        dim_now = {}
+        for d in self.dims:
+            store = self.dim_stores[d.dim]
+            pruned = None
+            if (
+                not dim_changed_names
+                and d.parent == self.fact_name
+                and len(d.pk_cols) == 1
+                and len(d.ref_cols) == 1
+            ):
+                kv = self.fact_store.batch_column_values(batch_id, d.ref_cols[0])
+                if kv is not None:
+                    pruned = store.read_keys(d.pk_cols[0], kv)
+            dim_now[d.dim] = pruned if pruned is not None else store.read()
 
         parts: list[DataFrame] = []
         if fact_changes is not None:
-            final = last_change_per_key(fact_changes, self.fact_pk)
-            dels = final.filter(F.col(OP_COL) == OP_DELETE).select(
-                *[c for c in final.columns if c not in (OP_COL, SEQ_COL)]
-            )
-            ups = final.filter(F.col(OP_COL) != OP_DELETE).select(*dels.columns)
-            # Deleted fact rows leave J; upserts re-join against current
-            # dims — unmatched upserts also leave J (inner-join semantics).
-            parts.append(
-                self._j_rows(dels, dim_now)
-                .drop("__matched")
-                .withColumn(OP_COL, F.lit(OP_DELETE))
+            # ONE join pass for deletes and upserts alike (two passes
+            # scanned every dim twice per batch): deleted fact rows
+            # leave J regardless of the join outcome (-D only needs the
+            # PK); upserts re-join against current dims, and an
+            # unmatched upsert also leaves J (inner-join semantics).
+            final = last_change_per_key(fact_changes, self.fact_pk).select(
+                *[c for c in fact_changes.columns if c != SEQ_COL]
             )
             parts.append(
-                self._j_rows(ups, dim_now).withColumn(
+                self._j_rows(final, dim_now, carry=(OP_COL,))
+                .withColumn(
                     OP_COL,
-                    F.when(F.col("__matched"), F.lit(OP_UPDATE)).otherwise(
-                        F.lit(OP_DELETE)
-                    ),
-                ).drop("__matched")
+                    F.when(F.col(OP_COL) == OP_DELETE, F.lit(OP_DELETE))
+                    .when(F.col("__matched"), F.lit(OP_UPDATE))
+                    .otherwise(F.lit(OP_DELETE)),
+                )
+                .drop("__matched")
             )
         dim_changed = [n for n in changes if n != self.fact_name]
         if dim_changed:
@@ -3094,9 +3122,10 @@ class IncrementalAggMV:
         rebuild their MV row against the current agg state, deleted
         dims drop theirs."""
         # A batch is done when EVERY store it writes has committed it
-        # (state and target merge concurrently below, so a crash can
-        # leave either one committed first; each leg is idempotent and
-        # the version_before_batch guards make the replay exact).
+        # (state commits before target below, so a crash can leave the
+        # state committed and the target not; each leg is idempotent
+        # and the version_before_batch guards + the state-delta re-bind
+        # make the replay exact).
         if batch_id in self.target.committed_batches() and (
             fact_changes is None
             or batch_id in self.state_store.committed_batches()
@@ -3104,9 +3133,6 @@ class IncrementalAggMV:
             return False
         parts: list[DataFrame] = []
         from concurrent.futures import ThreadPoolExecutor
-
-        state_pool = None
-        state_merge_future = None
 
         new_state = None
         if fact_changes is not None:
@@ -3168,20 +3194,13 @@ class IncrementalAggMV:
 
             delta = compute_delta(fact_changes, old_rows, self.fact_store.pk)
 
-            # new_state feeds both the state-store MERGE and the target
-            # MERGE, which run in CONCURRENT threads below — an eager
-            # localCheckpoint executes the delta lineage exactly once.
-            # (A cache() races: both write jobs start before either
-            # fills it, so the retraction lookup's touched-bucket scan —
-            # the expensive leg at scale — ran twice, in parallel,
-            # fighting for the same I/O.)
             new_state = merge_delta_state(
                 old_state,
                 delta,
                 self.fact_store.read,  # lazy: only non-invertible measures pay it
                 self.group_keys,
                 self.measures,
-            ).localCheckpoint(eager=True)
+            )
 
             # State store: vanished groups (__rows == 0) are deleted —
             # except under the global shape, whose single row stays
@@ -3197,23 +3216,22 @@ class IncrementalAggMV:
             state_changes = new_state.withColumn(OP_COL, vanish_op).withColumn(
                 SEQ_COL, F.monotonically_increasing_id()
             )
-            if dim_changes is not None:
-                # the dim branch below builds rows off the POST-batch
-                # agg state (state_store.read() binds at call time), so
-                # the state merge must commit first; the state∥target
-                # overlap below is fact-only batches.
-                self.state_store.merge(state_changes, batch_id)
-                state_changes = None
-            else:
-                # Submit the state merge NOW: the target-row
-                # construction below (driver-side plan building + the
-                # target write) overlaps its job instead of queueing
-                # behind it. Disjoint stores; idempotent by batch_id;
-                # the done-check above requires BOTH committed.
-                state_pool = ThreadPoolExecutor(max_workers=1)
-                state_merge_future = state_pool.submit(
-                    self.state_store.merge, state_changes, batch_id
-                )
+            # The state merge's delta write is the new-state lineage's
+            # SINGLE execution point: everything downstream (target-row
+            # construction, the dim branch) re-binds to the merge's
+            # materialized micro-batch parquet instead of re-analyzing
+            # and re-running the full delta derivation. This replaced
+            # an eager localCheckpoint + a concurrent state∥target
+            # merge: the checkpoint paid a full extra Catalyst
+            # analysis + job per batch (~40% of refresh latency at
+            # micro-batch scale) to enable an overlap worth far less —
+            # and on crash replay (state committed, target not) the
+            # merge no-ops and the re-bind still serves the identical
+            # delta, so the replay diff is exact without recomputing.
+            self.state_store.merge(state_changes, batch_id)
+            mat_state = self.state_store.batch_delta(batch_id)
+            if mat_state is not None:
+                new_state = mat_state.drop(OP_COL, SEQ_COL)
 
             # Target rows for dirty groups.
             if self.dim is None:
@@ -3283,17 +3301,7 @@ class IncrementalAggMV:
             mv_changes = mv_changes.unionByName(
                 p.withColumn(SEQ_COL, F.lit(i).cast("long"))
             )
-        # The state merge (fact-only batches) has been running since it
-        # was submitted above — the target merge overlaps its tail.
-        # Mixed fact+dim batches already committed the state serially
-        # (the dim rows read the post-batch state).
-        try:
-            self.target.merge(mv_changes, batch_id)
-            if state_merge_future is not None:
-                state_merge_future.result()
-        finally:
-            if state_pool is not None:
-                state_pool.shutdown(wait=True)
+        self.target.merge(mv_changes, batch_id)
         return True
 
     def read(self, version: int | None = None) -> DataFrame:

@@ -130,6 +130,24 @@ def _delta_stats(out_dir: str) -> tuple[int, list[int], int]:
     return n, sorted(int(b) for b in buckets), len(files)
 
 
+def _in_filter(col: str, vals):
+    """``col IN (vals)`` as ONE Catalyst expression. ``Column.isin``
+    builds a literal per value — one py4j round-trip each, so a
+    few-hundred-key retraction filter cost ~0.3s of driver latency per
+    refresh just constructing the predicate. Int and string key sets
+    (every store PK here) render as a single SQL text parsed JVM-side;
+    anything else falls back to isin."""
+    vs = list(vals)
+    if vs and all(
+        isinstance(v, int) and not isinstance(v, bool) for v in vs
+    ):
+        return F.expr(f"`{col}` IN ({','.join(str(v) for v in vs)})")
+    if vs and all(isinstance(v, str) for v in vs):
+        body = ",".join("'" + v.replace("'", "''") + "'" for v in vs)
+        return F.expr(f"`{col}` IN ({body})")
+    return F.col(col).isin(vs)
+
+
 def _assert_pk_not_null(df: DataFrame, pk: list[str]) -> DataFrame:
     """PRIMARY KEY implies NOT NULL (as in SQL, and as in the
     reference's integer handle, FlinkTikvProducer.java:77-79): a
@@ -165,6 +183,16 @@ class KeyedParquetStore:
         self.path = path
         self.pk = list(pk)
         self._mcache: tuple | None = None
+        # (version, chain) -> built DataFrame. Plans are immutable and
+        # a refresh re-reads the same committed version several times
+        # (old-state read, dim read, target diff); rebuilding the
+        # multi-path scan + MOR-chain reconciliation costs ~0.1-0.25s
+        # of driver latency each time. Bounded: new versions evict.
+        self._read_cache: dict[tuple, DataFrame] = {}
+        # In-flight asynchronous fold (see merge): at most one; the
+        # next merge of this store awaits it before touching the chain.
+        self._fold_future = None
+        self._fold_pool = None
         os.makedirs(path, exist_ok=True)
         committed = self._commits()
         if committed:
@@ -216,6 +244,15 @@ class KeyedParquetStore:
 
     def _commits(self) -> list[dict]:
         return self._manifest_lines()[0]
+
+    def _delta_schema_of(self, rel: str) -> str | None:
+        """Schema json recorded by the merge that wrote delta ``rel``
+        (None for legacy lines). Scans the cached manifest parse."""
+        for c in reversed(self._commits()):
+            st = c.get("stats") or {}
+            if st.get("delta_rel") == rel:
+                return st.get("delta_schema")
+        return None
 
     def committed_batches(self) -> set:
         commits, hwm, others = self._manifest_lines()
@@ -307,11 +344,17 @@ class KeyedParquetStore:
             if not matches:
                 raise KeyError(f"version {version} not in manifest")
             commit = matches[-1]
-        base = self._read_base(commit)
         deltas = commit.get("deltas") or []
-        if not deltas:
-            return base
-        return self._apply_deltas(base, deltas)
+        ck = (commit["version"], tuple(deltas))
+        cached = self._read_cache.get(ck)
+        if cached is not None:
+            return cached
+        base = self._read_base(commit)
+        out = base if not deltas else self._apply_deltas(base, deltas)
+        if len(self._read_cache) > 8:
+            self._read_cache.clear()
+        self._read_cache[ck] = out
+        return out
 
     def batch_buckets(self, batch_id) -> list[int] | None:
         """The buckets ``batch_id``'s change rows hash into, recorded at
@@ -351,7 +394,17 @@ class KeyedParquetStore:
                 out = os.path.join(self.path, rel)
                 if not os.path.isdir(out):
                     return None
-                return self.spark.read.parquet(out).drop(BUCKET_COL)
+                # Schema pinned from the merge-time record (the change
+                # lineage's own schema, captured for free): skipping
+                # footer inference saves a driver-side job per read-back
+                # — a refresh re-binds to the delta two or three times.
+                sj = (c.get("stats") or {}).get("delta_schema")
+                reader = self.spark.read
+                if sj:
+                    from pyspark.sql.types import StructType
+
+                    reader = reader.schema(StructType.fromJson(json.loads(sj)))
+                return reader.parquet(out).drop(BUCKET_COL)
         return None
 
     def batch_key_values(self, batch_id, max_values: int = 200_000):
@@ -361,6 +414,17 @@ class KeyedParquetStore:
         the parquet scan for the retraction lookup. None when the delta
         is unavailable or the key set exceeds ``max_values`` (a huge IN
         list costs more than it prunes)."""
+        kv = self.batch_column_values(batch_id, self.pk[0], max_values)
+        return None if kv is None else (self.pk[0], kv)
+
+    def batch_column_values(self, batch_id, col: str, max_values: int = 200_000):
+        """Distinct values of ``col`` in ``batch_id``'s change rows,
+        read DRIVER-SIDE from the delta parquet (pyarrow, no Spark
+        job). Besides the PK retraction filter this serves the dim-
+        lookup pruning of the join routes: the fact delta's FK values
+        bound exactly which dim keys the batch can touch. None when
+        unavailable, the column is absent, or the set exceeds
+        ``max_values``."""
         import pyarrow.dataset as pads
 
         for c in reversed(self._commits()):
@@ -381,7 +445,6 @@ class KeyedParquetStore:
                 ]
                 if not files:
                     return None
-                col = self.pk[0]
                 vals = set()
                 try:
                     for batch in pads.dataset(files, format="parquet").to_batches(
@@ -390,10 +453,37 @@ class KeyedParquetStore:
                         vals.update(batch.column(0).to_pylist())
                 except (OSError, KeyError):
                     return None
+                vals.discard(None)
                 if len(vals) > max_values:
                     return None
-                return col, sorted(vals)
+                return sorted(vals)
         return None
+
+    def read_keys(self, col: str, vals: list, version: int | None = None) -> DataFrame:
+        """Current state restricted to ``col IN (vals)`` — the filter
+        pushed into BOTH the base bucket scan and the delta chain, so
+        parquet row-group stats (buckets are PK-sorted) skip everything
+        outside the key set. The dim-lookup fast path of the join
+        routes: a micro-batch's dim join needs only the dim rows its
+        delta references, and a full dim scan per refresh is O(dim),
+        not O(δ). Correct as a plain filter only for ``col`` = the
+        single PK column (rows outside vals cannot match the caller's
+        join anyway — callers join exactly afterwards)."""
+        commits = self._commits()
+        if not commits:
+            raise FileNotFoundError(f"store at {self.path} has no committed version")
+        if version is None:
+            commit = commits[-1]
+        else:
+            matches = [c for c in commits if c["version"] == version]
+            if not matches:
+                raise KeyError(f"version {version} not in manifest")
+            commit = matches[-1]
+        base = self._read_base(commit).filter(_in_filter(col, vals))
+        deltas = commit.get("deltas") or []
+        if not deltas:
+            return base
+        return self._apply_deltas(base, deltas, key_filter=(col, vals))
 
     def read_buckets(
         self,
@@ -440,7 +530,7 @@ class KeyedParquetStore:
             base = self.spark.createDataFrame([], schema)
         if key_filter is not None:
             col, vals = key_filter
-            base = base.filter(F.col(col).isin(vals))
+            base = base.filter(_in_filter(col, vals))
         deltas = commit.get("deltas") or []
         if not deltas:
             return base
@@ -487,17 +577,25 @@ class KeyedParquetStore:
         # recovered from the file path: delta rels are data/v{N} with N
         # the commit version, monotone along the chain — so the version
         # number IS the chain index. (Fold dirs are v{N}f and never
-        # appear in a chain.)
-        d = self.spark.read.parquet(
+        # appear in a chain.) The read pins the merge-time schema when
+        # every chain member recorded the SAME one — no footer job;
+        # heterogeneous or legacy chains fall back to inference.
+        reader = self.spark.read
+        sjs = {self._delta_schema_of(rel) for rel in deltas}
+        if len(sjs) == 1 and None not in sjs:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(sjs.pop())))
+        d = reader.parquet(
             *[os.path.join(self.path, rel) for rel in deltas]
         ).withColumn(
             "__didx",
             F.regexp_extract(F.input_file_name(), r"data/v(\d+)/", 1).cast("long"),
         )
         if bucket_filter is not None:
-            d = d.filter(F.col(BUCKET_COL).isin(bucket_filter))
+            d = d.filter(_in_filter(BUCKET_COL, bucket_filter))
         if key_filter is not None:
-            d = d.filter(F.col(key_filter[0]).isin(key_filter[1]))
+            d = d.filter(_in_filter(key_filter[0], key_filter[1]))
         w = Window.partitionBy(*self.pk).orderBy(
             F.col("__didx").desc(), F.col(SEQ_COL).desc()
         )
@@ -516,6 +614,7 @@ class KeyedParquetStore:
         files; compaction collapses the live state into new files (the
         OPTIMIZE of a Delta-style table). History stays readable until
         vacuumed."""
+        self._await_fold()
         current = self.read()
         commits = self._commits()
         version = commits[-1]["version"] + 1
@@ -544,6 +643,7 @@ class KeyedParquetStore:
         the mark. The rewrite is atomic (temp file + ``os.replace``)."""
         import shutil
 
+        self._await_fold()
         commits, prior_hwm, prior_others = self._manifest_lines()
         if len(commits) <= keep_last:
             return []
@@ -670,6 +770,14 @@ class KeyedParquetStore:
         """
         if batch_id in self.committed_batches():
             return False
+        # A fold scheduled by an earlier merge may still be running in
+        # its background thread; the chain (and the manifest tail) must
+        # not move under it, so the next merge of this store is the
+        # synchronization point. By then the fold has had the whole
+        # inter-batch window — at the reference's 1s cadence it is
+        # effectively free instead of a periodic latency spike on the
+        # batch that happens to trip the chain bound.
+        self._await_fold()
         t0 = time.monotonic()
         commits = self._commits()
         if not commits:
@@ -703,9 +811,14 @@ class KeyedParquetStore:
         # parallelism intact.
         rel = f"data/v{version}"
         out = os.path.join(self.path, rel)
-        changes.withColumn(
+        bucketed = changes.withColumn(
             BUCKET_COL, _bucket_expr(self.pk, self.num_buckets)
-        ).repartition(BUCKET_COL).write.mode("overwrite").parquet(out)
+        )
+        # the write's own analyzed schema — recorded so every read-back
+        # (batch_delta, chain reads) can pin it instead of paying a
+        # footer-inference job
+        delta_schema = bucketed.schema.json()
+        bucketed.repartition(BUCKET_COL).write.mode("overwrite").parquet(out)
         n_change_rows, changed, n_files = _delta_stats(out)
 
         def stats(mode: str, touched: int, pending: int, bks: list[int]) -> dict:
@@ -721,9 +834,17 @@ class KeyedParquetStore:
                 # keys needs only these buckets, not the table.
                 "batch_buckets": bks,
                 # the materialized change rows (delta read-back handle
-                # for batch_delta) and their file count (chain-read
-                # overhead observability)
-                **({"delta_rel": rel, "delta_files": n_files} if n_change_rows else {}),
+                # for batch_delta), their file count (chain-read
+                # overhead observability), and their pinned schema
+                **(
+                    {
+                        "delta_rel": rel,
+                        "delta_files": n_files,
+                        "delta_schema": delta_schema,
+                    }
+                    if n_change_rows
+                    else {}
+                ),
             }
 
         if not changed:
@@ -737,36 +858,93 @@ class KeyedParquetStore:
 
         chain = [*prev_deltas, rel]
         chain_buckets = prev_dbuckets | set(changed)
-        if len(chain) <= MAX_PENDING_DELTAS and n_change_rows <= ROWS_PER_BUCKET:
-            # Delta append: O(δ) write, base buckets untouched.
+        if n_change_rows <= ROWS_PER_BUCKET:
+            # Delta append: O(δ) write, base buckets untouched. The
+            # batch COMMITS even when the chain trips its bound — the
+            # fold runs in a background thread and lands as its own
+            # maintenance commit, so chain compaction never sits on a
+            # batch's latency (it gets the whole inter-batch window;
+            # the next merge awaits it). Readers meanwhile reconcile
+            # the slightly longer chain — bounded by MAX+1, since the
+            # next merge is the synchronization point.
             self._commit(
                 batch_id, version, prev, schema_json,
                 stats=stats("delta", len(changed), len(chain), list(changed)),
                 deltas=chain,
                 delta_buckets=sorted(chain_buckets),
             )
+            if len(chain) > MAX_PENDING_DELTAS:
+                self._schedule_fold()
             return True
 
-        # Fold: reconcile the whole chain (the just-written delta is its
-        # newest element) over exactly the buckets it touches, rewrite
-        # those, clear the chain.
+        # Oversized batch (a bucket's worth of rows or more): fold
+        # synchronously — the batch itself is bucket-scale work, and
+        # appending it as a "delta" would make every read reconcile a
+        # table-sized chain member.
         touched = sorted(chain_buckets)
+        self._commit(
+            batch_id, version, prev, schema_json,
+            stats=stats("fold", len(touched), 0, list(changed)),
+            deltas=chain,
+            delta_buckets=sorted(chain_buckets),
+        )
+        self._fold_chain()
+        return True
+
+
+    # -- chain folding --------------------------------------------------------
+
+    def _schedule_fold(self) -> None:
+        """Run :meth:`_fold_chain` in this store's background thread.
+        At most one in flight; the next merge awaits it (single-writer
+        stays single-writer — the manifest tail cannot move under a
+        running fold because only merge/fold append to it and merge is
+        the awaiter)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._fold_pool is None:
+            self._fold_pool = ThreadPoolExecutor(
+                max_workers=1,
+                thread_name_prefix=f"fold-{os.path.basename(self.path)}",
+            )
+        self._fold_future = self._fold_pool.submit(self._fold_chain)
+
+    def _await_fold(self) -> None:
+        fut, self._fold_future = self._fold_future, None
+        if fut is not None:
+            fut.result()  # propagate a failed fold loudly
+
+    def _fold_chain(self) -> None:
+        """Reconcile the pending merge-on-read chain over exactly the
+        buckets it touches, rewrite those, clear it — the Hudi-MOR /
+        Paimon-LSM compaction step, committed as its own maintenance
+        line (``__fold__<version>``). Every commit line remains a
+        complete snapshot, so a crash mid-fold just leaves the chain
+        for the next trigger."""
+        last = self._commits()[-1]
+        chain = list(last.get("deltas") or [])
+        if not chain:
+            return
+        t0 = time.monotonic()
+        prev = last["buckets"]
+        schema_json = last["schema"]
+        version = last["version"] + 1
+        touched = sorted(set(last.get("delta_buckets") or []))
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(schema_json))
         touched_paths = [
             os.path.join(self.path, prev[str(b)]) for b in touched if str(b) in prev
         ]
         if touched_paths:
-            base = self.spark.read.parquet(*touched_paths).drop(BUCKET_COL)
+            base = self.spark.read.schema(schema).parquet(*touched_paths)
         else:
-            from pyspark.sql.types import StructType
-
-            schema = StructType.fromJson(json.loads(schema_json))
             base = self.spark.createDataFrame([], schema)
         merged = self._apply_deltas(base, chain)
         bucketed = merged.withColumn(BUCKET_COL, _bucket_expr(self.pk, self.num_buckets))
-        # distinct dir: data/v{N}f — the fold lazily READS the data/v{N}
-        # delta written above, so it must not overwrite it mid-scan
+        # distinct dir: data/v{N}f — the fold lazily READS the chain's
+        # data/v{M} deltas, so it must not overwrite any of them
         rel2 = self._write_buckets(bucketed, f"{version}f")
-
         buckets = dict(prev)
         written = set(self._present_buckets(rel2))
         for b in touched:
@@ -776,10 +954,18 @@ class KeyedParquetStore:
                 # bucket emptied by deletes
                 buckets.pop(str(b), None)
         self._commit(
-            batch_id, version, buckets, schema_json,
-            stats=stats("fold", len(touched), 0, list(changed)),
+            f"__fold__{version}",
+            version,
+            buckets,
+            schema_json,
+            stats={
+                "mode": "fold",
+                "touched_buckets": len(touched),
+                "folded_deltas": len(chain),
+                "pending_deltas": 0,
+                "merge_secs": round(time.monotonic() - t0, 3),
+            },
         )
-        return True
 
 
 def changes_between(
