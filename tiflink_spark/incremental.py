@@ -91,9 +91,14 @@ def compute_delta(changes: DataFrame, old_rows: DataFrame, pk: list[str]) -> Dat
     """
     value_cols = [c for c in old_rows.columns]
     final = last_change_per_key(changes, pk)
-    # retract: any final op on a key that exists in the base
+    # retract: any final op on a key that exists in the base. The key
+    # set is δ-bounded — BROADCAST it explicitly: the MOR-chain lineage
+    # under old_rows has no size stats, so without the hint Catalyst
+    # falls back to a sort-merge join that shuffles the whole base side
+    # through the delta-tuned (tiny) partition count — measured as the
+    # O(table) leak that made refresh SLOWER than recompute at sf10.
     retracts = (
-        old_rows.join(final.select(*pk), pk, "left_semi")
+        old_rows.join(F.broadcast(final.select(*pk)), pk, "left_semi")
         .select(*value_cols)
         .withColumn("__w", F.lit(-1))
     )
@@ -213,8 +218,11 @@ def merge_delta_state(
             )
     d = delta.groupBy(*group_keys).agg(*aggs)
 
+    # dirty keys are δ-bounded: broadcast them so the O(groups) state
+    # scan and the O(table) recompute base below stay map-side instead
+    # of shuffling through the delta-tuned partition count
     dirty_keys = d.select(*group_keys)
-    old_dirty = old_state.join(dirty_keys, group_keys, "left_semi")
+    old_dirty = old_state.join(F.broadcast(dirty_keys), group_keys, "left_semi")
     j = d.join(old_dirty, group_keys, "left")
 
     out_cols = [*[F.col(c) for c in group_keys]]
@@ -240,7 +248,7 @@ def merge_delta_state(
     # Non-invertible: recompute dirty groups from the new base.
     if callable(new_base):
         new_base = new_base()
-    pruned = new_base.join(dirty_keys, group_keys, "left_semi")
+    pruned = new_base.join(F.broadcast(dirty_keys), group_keys, "left_semi")
     recomputed = aggregate_state(pruned, group_keys, measures)
     # Groups that vanished entirely produce no recomputed row — keep the
     # invertible row (with __rows 0) so callers can see the vanish.

@@ -299,7 +299,7 @@ class IncrementalJoinMV:
         else:
             old = store.read()
         changed_pks = last_change_per_key(changes, store.pk).select(*store.pk)
-        old_keys = old.join(changed_pks, store.pk, "left_semi").select(
+        old_keys = old.join(F.broadcast(changed_pks), store.pk, "left_semi").select(
             F.col(side_key).alias("__jk")
         )
         new_keys = changes.select(F.col(side_key).alias("__jk")).where(
@@ -341,15 +341,15 @@ class IncrementalJoinMV:
 
         left_now, right_now = self.left_store.read(), self.right_store.read()
         sub_a = left_now.join(
-            dirty_k, left_now[self.left_key] == dirty_k["__jk"], "left_semi"
+            F.broadcast(dirty_k), left_now[self.left_key] == dirty_k["__jk"], "left_semi"
         )
         sub_b = right_now.join(
-            dirty_k, right_now[self.right_key] == dirty_k["__jk"], "left_semi"
+            F.broadcast(dirty_k), right_now[self.right_key] == dirty_k["__jk"], "left_semi"
         )
         recomputed = self._join(sub_a, sub_b)
         mv_now = self.target.read()
         mv_dirty_old = mv_now.join(
-            dirty_k, mv_now[self._mv_key] == dirty_k["__jk"], "left_semi"
+            F.broadcast(dirty_k), mv_now[self._mv_key] == dirty_k["__jk"], "left_semi"
         )
         mv_changes = diff_states(mv_dirty_old, recomputed, self.target.pk)
         self.target.merge(mv_changes, batch_id)
@@ -482,18 +482,18 @@ class IncrementalThetaJoinMV:
         if dirty_l is not None:
             parts.append(
                 self._join(
-                    left_now.join(dirty_l, lpk, "left_semi"), right_now, hint="left"
+                    left_now.join(F.broadcast(dirty_l), lpk, "left_semi"), right_now, hint="left"
                 )
             )
         if dirty_r is not None:
             l_rest = (
-                left_now.join(dirty_l, lpk, "left_anti")
+                left_now.join(F.broadcast(dirty_l), lpk, "left_anti")
                 if dirty_l is not None
                 else left_now
             )
             parts.append(
                 self._join(
-                    l_rest, right_now.join(dirty_r, rpk, "left_semi"), hint="right"
+                    l_rest, right_now.join(F.broadcast(dirty_r), rpk, "left_semi"), hint="right"
                 )
             )
         recomputed = parts[0]
@@ -503,9 +503,9 @@ class IncrementalThetaJoinMV:
         mv_now = self.target.read()
         olds = []
         if dirty_l is not None:
-            olds.append(mv_now.join(dirty_l, lpk, "left_semi"))
+            olds.append(mv_now.join(F.broadcast(dirty_l), lpk, "left_semi"))
         if dirty_r is not None:
-            olds.append(mv_now.join(dirty_r, rpk, "left_semi"))
+            olds.append(mv_now.join(F.broadcast(dirty_r), rpk, "left_semi"))
         mv_dirty_old = olds[0]
         for o in olds[1:]:
             mv_dirty_old = mv_dirty_old.unionByName(o)
@@ -695,7 +695,7 @@ class IncrementalFullOuterJoinMV:
                 )
             else:
                 pre = self.fact_store.read()
-            key_parts.append(fk_as_keys(pre.join(dirty_f, fpk, "left_semi")))
+            key_parts.append(fk_as_keys(pre.join(F.broadcast(dirty_f), fpk, "left_semi")))
 
         if fact_changes is not None:
             self.fact_store.merge(fact_changes, batch_id)
@@ -704,7 +704,7 @@ class IncrementalFullOuterJoinMV:
         fact_now, dim_now = self.fact_store.read(), self.dim_store.read()
 
         if dirty_f is not None:
-            key_parts.append(fk_as_keys(fact_now.join(dirty_f, fpk, "left_semi")))
+            key_parts.append(fk_as_keys(fact_now.join(F.broadcast(dirty_f), fpk, "left_semi")))
         dirty_keys = key_parts[0]
         for p in key_parts[1:]:
             dirty_keys = dirty_keys.unionByName(p)
@@ -715,10 +715,10 @@ class IncrementalFullOuterJoinMV:
         for fk, k in zip(fks, ks):
             c = fact_now[fk] == dirty_keys[k]
             cond = c if cond is None else (cond & c)
-        l_slice = fact_now.join(dirty_keys, cond, "left_semi")
+        l_slice = fact_now.join(F.broadcast(dirty_keys), cond, "left_semi")
         if dirty_f is not None:
             l_slice = l_slice.unionByName(
-                fact_now.join(dirty_f, fpk, "left_semi")
+                fact_now.join(F.broadcast(dirty_f), fpk, "left_semi")
             ).dropDuplicates(fpk)
         l_slice = l_slice.localCheckpoint(eager=True)
         # every key the slice references (clean keys of PK-dirty rows
@@ -729,7 +729,7 @@ class IncrementalFullOuterJoinMV:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        r_slice = dim_now.join(ref_keys, ks, "left_semi")
+        r_slice = dim_now.join(F.broadcast(ref_keys), ks, "left_semi")
         recomputed = self._joined(l_slice, r_slice)
 
         # same-identity old rows: f-rows for the slice's (and deleted)
@@ -926,7 +926,7 @@ class IncrementalSemiJoinMV:
         dk = [
             (k, f"__dk{i}") for i, k in enumerate(self.other_keys)
         ]
-        old_keys = old.join(changed_pks, store.pk, "left_semi").select(
+        old_keys = old.join(F.broadcast(changed_pks), store.pk, "left_semi").select(
             *[F.col(k).alias(a) for k, a in dk]
         )
         new_keys = changes.select(*[F.col(k).alias(a) for k, a in dk])
@@ -2034,8 +2034,16 @@ class IncrementalJoinAggMV:
         self, work_dir, group_keys, measures, target_filter,
         num_buckets, shuffle_partitions,
     ) -> None:
-        # Inner aggregate MV over the joined relation; its fact store IS
-        # the J store. Its bootstrap input is wired in bootstrap().
+        # Inner aggregate MV over the joined relation. The J relation
+        # is VIRTUAL (external_fact): J = fact ⋈ dims is fully
+        # derivable from this route's versioned source stores, so
+        # materializing it again would pay a whole store write per
+        # batch plus the classic materialized-join storage (the
+        # duplicated fact×dim width on disk — at 100 TB, a second copy
+        # of the fact table). Instead refresh() hands the inner MV the
+        # pre-batch old-J rows (bucket-pruned fact read ⋈ pre-batch
+        # dims) and a lazy post-batch J view for non-invertible
+        # dirty-group recompute.
         self._agg = IncrementalAggMV(
             self.spark,
             fact=None,
@@ -2046,6 +2054,7 @@ class IncrementalJoinAggMV:
             num_buckets=num_buckets,
             shuffle_partitions=shuffle_partitions,
             target_filter=target_filter,
+            external_fact=True,
         )
         self.target = self._agg.target
 
@@ -2060,6 +2069,7 @@ class IncrementalJoinAggMV:
         fact_rows: DataFrame,
         dim_now: dict[str, DataFrame],
         carry: tuple[str, ...] = (),
+        bounded: bool = False,
     ) -> DataFrame:
         """fact rows ⟕ every dim in join order, projected to bare J
         columns plus a ``__matched`` flag (True iff ALL dims matched —
@@ -2069,7 +2079,15 @@ class IncrementalJoinAggMV:
         chains compose naturally: an unmatched parent leaves the
         child's join key NULL, which leaves the child unmatched too.
         ``carry`` names extra fact-row columns (e.g. the changelog op)
-        to thread through to the output untouched."""
+        to thread through to the output untouched. ``bounded=True``
+        marks ``fact_rows`` as δ-scale (a refresh batch): the pruning
+        key sets and pruned dim slices then carry explicit BROADCAST
+        hints — the MOR-chain lineages under the dims have no size
+        stats, so without the hint Catalyst sort-merges and shuffles
+        every dim through the delta-tuned partition count. Bootstrap
+        (full-fact) calls must NOT set it: there the 'pruned' dim is
+        the whole dimension."""
+        hint = F.broadcast if bounded else (lambda df: df)
         acc = fact_rows.select(*self._fact_side, *carry)
         flags = []
         for i, d in enumerate(self.dims):
@@ -2090,7 +2108,7 @@ class IncrementalJoinAggMV:
                 lambda a, b: a & b,
                 [dim_df[pc] == keys[jk] for pc, jk in zip(d.pk_cols, jks)],
             )
-            pruned = dim_df.join(keys, semi_cond, "left_semi").select(
+            pruned = dim_df.join(hint(keys), semi_cond, "left_semi").select(
                 *[F.col(pc).alias(jk) for pc, jk in zip(d.pk_cols, jks)],
                 *[F.col(c) for c in self._dim_carry[d.dim]],
             )
@@ -2098,7 +2116,7 @@ class IncrementalJoinAggMV:
                 lambda a, b: a & b,
                 [F.col(rc) == F.col(jk) for rc, jk in zip(d.ref_cols, jks)],
             )
-            acc = acc.join(pruned, join_cond, "left")
+            acc = acc.join(hint(pruned), join_cond, "left")
             # LEFT dims never drop the fact row — only inner dims gate
             # membership; their unmatched rows keep NULL dim columns.
             if d.how != "left":
@@ -2149,15 +2167,17 @@ class IncrementalJoinAggMV:
                 ]
             ).distinct()
             if edge.parent == self.fact_name:
+                # dirty-key sets are δ-bounded at every hop — broadcast
+                # so the fact/dim scans stay map-side
                 return (
                     self.fact_store.read()
-                    .join(ref_vals, list(edge.ref_cols), "left_semi")
+                    .join(F.broadcast(ref_vals), list(edge.ref_cols), "left_semi")
                     .select(*self.fact_pk)
                 )
             parent_edge = self._by_name[edge.parent]
             cur_keys = (
                 dim_now[edge.parent]
-                .join(ref_vals, list(edge.ref_cols), "left_semi")
+                .join(F.broadcast(ref_vals), list(edge.ref_cols), "left_semi")
                 .select(*parent_edge.pk_cols)
             )
             cur_name, cur_pk_cols = edge.parent, parent_edge.pk_cols
@@ -2256,7 +2276,7 @@ class IncrementalJoinAggMV:
                 *[c for c in fact_changes.columns if c != SEQ_COL]
             )
             parts.append(
-                self._j_rows(final, dim_now, carry=(OP_COL,))
+                self._j_rows(final, dim_now, carry=(OP_COL,), bounded=True)
                 .withColumn(
                     OP_COL,
                     F.when(F.col(OP_COL) == OP_DELETE, F.lit(OP_DELETE))
@@ -2304,17 +2324,81 @@ class IncrementalJoinAggMV:
             from tiflink_spark.changelog import apply_filter
 
             j_changes = apply_filter(j_changes, self.where)
-        # The J-changelog stays LAZY here: the inner MV's J-store merge
-        # is its single point of execution (one write job runs the
-        # multi-join derivation), and every later consumer — delta
-        # computation, state diff — re-binds to the written delta
-        # parquet via batch_delta(). The old eager localCheckpoint here
-        # was a whole extra blocking job per refresh that materialized
-        # the same rows the merge was about to write anyway.
-        return self._sink_refresh(j_changes, batch_id)
+        # Old-J rows for retraction, derived from the versioned source
+        # stores (J itself is never materialized): the pre-batch J row
+        # of every key this batch touches = pre-batch fact rows
+        # (bucket-pruned lookup for fact-changed keys; current rows for
+        # dim-churn-affected keys — dim churn doesn't move fact rows)
+        # ⋈ PRE-batch dim state, inner-matched and WHERE-filtered —
+        # exactly the rows that were in J before this batch.
+        def pre_read(store):
+            if batch_id in store.committed_batches():
+                return store.read(store.version_before_batch(batch_id))
+            return store.read()
 
-    def _sink_refresh(self, j_changes: DataFrame, batch_id) -> bool:
-        return self._agg.refresh(j_changes, batch_id)
+        dim_pre = {d.dim: pre_read(self.dim_stores[d.dim]) for d in self.dims}
+        old_fact_parts = []
+        if fact_changes is not None:
+            prev_v = self.fact_store.version_before_batch(batch_id)
+            bks = self.fact_store.batch_buckets(batch_id)
+            old_fact = (
+                self.fact_store.read_buckets(
+                    bks, prev_v,
+                    key_filter=self.fact_store.batch_key_values(batch_id),
+                )
+                if bks is not None
+                else self.fact_store.read(prev_v)
+            )
+            fck = last_change_per_key(fact_changes, self.fact_pk).select(*self.fact_pk)
+            old_fact_parts.append(
+                old_fact.join(F.broadcast(fck), self.fact_pk, "left_semi")
+            )
+        if dim_changed:
+            # dim churn doesn't move fact rows, so the affected keys'
+            # old rows ARE their current rows — except keys the same
+            # batch also fact-changed: those must take the pre-batch
+            # leg above (their current row is already the NEW value)
+            aff_old = affected
+            if fact_changes is not None:
+                aff_old = affected.join(
+                    F.broadcast(fck), self.fact_pk, "left_anti"
+                )
+            old_fact_parts.append(aff_old)
+        old_fact_rows = old_fact_parts[0]
+        for p in old_fact_parts[1:]:
+            old_fact_rows = old_fact_rows.unionByName(
+                p.select(*old_fact_rows.columns)
+            )
+        old_fact_rows = old_fact_rows.dropDuplicates(self.fact_pk)
+        old_j = (
+            self._j_rows(old_fact_rows, dim_pre, bounded=True)
+            .filter(F.col("__matched"))
+            .drop("__matched")
+        )
+        if self.where is not None:
+            old_j = old_j.filter(F.expr(self.where))
+
+        def new_base():
+            # post-batch J view — only non-invertible measures pay it
+            return self._joined(
+                self.fact_store.read(),
+                {d.dim: self.dim_stores[d.dim].read() for d in self.dims},
+            )
+
+        # The J-changelog stays LAZY here: the inner MV's STATE merge
+        # is its single point of execution (one write job runs the
+        # multi-join derivation and the old-J retraction together);
+        # the target diff re-binds to the written state delta.
+        return self._sink_refresh(
+            j_changes, batch_id, old_rows=old_j, new_base=new_base
+        )
+
+    def _sink_refresh(
+        self, j_changes: DataFrame, batch_id, old_rows=None, new_base=None
+    ) -> bool:
+        return self._agg.refresh(
+            j_changes, batch_id, old_rows=old_rows, new_base=new_base
+        )
 
     def read(self, version: int | None = None) -> DataFrame:
         return self._agg.read(version)
@@ -2369,7 +2453,11 @@ class IncrementalJoinProjectionMV(IncrementalJoinAggMV):
             batch_id,
         )
 
-    def _sink_refresh(self, j_changes: DataFrame, batch_id) -> bool:
+    def _sink_refresh(
+        self, j_changes: DataFrame, batch_id, old_rows=None, new_base=None
+    ) -> bool:
+        # identity 'aggregate': the J-changelog merges straight into
+        # the target; retraction is by PK, so old rows aren't needed
         self.target.merge(self._project_out(j_changes), batch_id)
         return True
 
@@ -3024,6 +3112,7 @@ class IncrementalAggMV:
         shuffle_partitions: int | None = None,
         target_filter: str | None = None,
         global_group: bool = False,
+        external_fact: bool = False,
     ):
         self.spark = spark
         self.shuffle_partitions = shuffle_partitions
@@ -3053,8 +3142,21 @@ class IncrementalAggMV:
         self.dim = dim
         self.dim_key = dim_key
         self.dim_cols = dim_cols or []
-        self.fact_store = KeyedParquetStore(
-            spark, os.path.join(work_dir, "fact"), fact_pk, num_buckets
+        self.fact_pk = list(fact_pk)
+        # external_fact: the fact relation is VIRTUAL — owned and
+        # versioned by the caller (the join routes: J = fact ⋈ dims is
+        # fully derivable from their source stores). No fact store is
+        # created or written; the caller passes pre-batch old rows and
+        # a recompute base to refresh() instead. This removes a whole
+        # store write per batch AND the materialized-join storage
+        # (at scale: the duplicated fact×dim width on disk).
+        self.external_fact = external_fact
+        self.fact_store = (
+            None
+            if external_fact
+            else KeyedParquetStore(
+                spark, os.path.join(work_dir, "fact"), fact_pk, num_buckets
+            )
         )
         self.state_store = KeyedParquetStore(
             spark, os.path.join(work_dir, "state"), self.group_keys, num_buckets
@@ -3092,18 +3194,22 @@ class IncrementalAggMV:
 
     @_maintenance
     def bootstrap(self, batch_id=0) -> None:
-        self.fact_store.bootstrap(self.fact_df0, batch_id)
+        if self.fact_store is not None:
+            self.fact_store.bootstrap(self.fact_df0, batch_id)
+            fact_now = self.fact_store.read()
+        else:
+            fact_now = self.fact_df0  # virtual fact: the caller's view
         if self.dim_store is not None:
             self.dim_store.bootstrap(self.dim, batch_id)
         if self.global_group:
             # one state row even over an empty bootstrap table
             state = aggregate_global_state(
-                self.fact_store.read().drop(self.group_key),
+                fact_now.drop(self.group_key),
                 self.measures,
                 self.group_key,
             )
         else:
-            state = aggregate_state(self.fact_store.read(), self.group_keys, self.measures)
+            state = aggregate_state(fact_now, self.group_keys, self.measures)
         self.state_store.bootstrap(state, batch_id)
         rows = self._mv_rows_for_state(self.state_store.read())
         if self.target_filter is not None:
@@ -3116,11 +3222,21 @@ class IncrementalAggMV:
         fact_changes: DataFrame | None,
         batch_id,
         dim_changes: DataFrame | None = None,
+        old_rows: DataFrame | None = None,
+        new_base=None,
     ) -> bool:
         """One changelog micro-batch against the fact table and/or the
         dimension. Dim churn work ∝ changed dim keys: upserted dims
         rebuild their MV row against the current agg state, deleted
-        dims drop theirs."""
+        dims drop theirs.
+
+        ``external_fact`` mode (virtual fact — the join routes): the
+        caller passes ``old_rows`` (the PRE-batch fact rows for this
+        batch's changed keys, derived from its own versioned stores)
+        and ``new_base`` (zero-arg callable → the post-batch fact
+        relation, for non-invertible dirty-group recompute); no fact
+        store is written or read here, and ``fact_changes`` executes
+        exactly once, inside the state merge's delta write."""
         # A batch is done when EVERY store it writes has committed it
         # (state commits before target below, so a crash can leave the
         # state committed and the target not; each leg is idempotent
@@ -3147,57 +3263,78 @@ class IncrementalAggMV:
             # worker thread; the state-store replay check + old-state
             # read construction — independent of the fact store —
             # overlap it instead of queueing behind it.
-            with ThreadPoolExecutor(max_workers=1) as fact_pool:
-                fact_merge_future = fact_pool.submit(
-                    self.fact_store.merge, fact_changes, batch_id
+            if self.fact_store is not None:
+                with ThreadPoolExecutor(max_workers=1) as fact_pool:
+                    fact_merge_future = fact_pool.submit(
+                        self.fact_store.merge, fact_changes, batch_id
+                    )
+                    if batch_id in self.state_store.committed_batches():
+                        # crash between state commit and target commit:
+                        # diff against the PRE-batch state or the delta
+                        # would be applied twice.
+                        old_state = self.state_store.read(
+                            self.state_store.version_before_batch(batch_id)
+                        )
+                    else:
+                        old_state = self.state_store.read()
+                    fact_merge_future.result()
+                # Re-bind to the merge's materialized delta: the raw
+                # changelog lineage (often a multi-join derivation)
+                # executed exactly once, inside the merge write; the
+                # retraction lookup, delta aggregate, and state merge
+                # below then scan a micro-batch-sized parquet instead
+                # of re-running it.
+                mat = self.fact_store.batch_delta(batch_id)
+                if mat is not None:
+                    fact_changes = mat
+                # Size the rest of the batch's shuffles to the measured
+                # delta (dirty-group recompute volume is ∝ δ × group
+                # width; DELTA_ROWS_PER_TASK keeps those tasks small).
+                _tune_delta_shuffle(
+                    self.spark,
+                    self.shuffle_partitions,
+                    self.fact_store.batch_change_rows(batch_id),
                 )
+                prev_v = self.fact_store.version_before_batch(batch_id)
+                bks = self.fact_store.batch_buckets(batch_id)
+                old_fact = (
+                    self.fact_store.read_buckets(
+                        bks, prev_v,
+                        key_filter=self.fact_store.batch_key_values(batch_id),
+                    )
+                    if bks is not None
+                    else self.fact_store.read(prev_v)
+                )
+                changed_keys = last_change_per_key(
+                    fact_changes, self.fact_pk
+                ).select(*self.fact_pk)
+                # δ-bounded key set: broadcast, or the bucket scan
+                # shuffles
+                old_rows = old_fact.join(
+                    F.broadcast(changed_keys), self.fact_pk, "left_semi"
+                )
+                new_base = self.fact_store.read
+            else:
+                # virtual fact: old rows and the recompute base come
+                # from the caller (the join route derives them from its
+                # own versioned stores)
+                if old_rows is None or new_base is None:
+                    raise ValueError(
+                        "external_fact refresh needs old_rows and new_base"
+                    )
                 if batch_id in self.state_store.committed_batches():
-                    # crash between state commit and target commit: diff
-                    # against the PRE-batch state or the delta would be
-                    # applied twice.
                     old_state = self.state_store.read(
                         self.state_store.version_before_batch(batch_id)
                     )
                 else:
                     old_state = self.state_store.read()
-                fact_merge_future.result()
-            # Re-bind to the merge's materialized delta: the raw
-            # changelog lineage (often a multi-join derivation) executed
-            # exactly once, inside the merge write; the retraction
-            # lookup, delta aggregate, and state merge below then scan a
-            # micro-batch-sized parquet instead of re-running it.
-            mat = self.fact_store.batch_delta(batch_id)
-            if mat is not None:
-                fact_changes = mat
-            # Size the rest of the batch's shuffles to the measured
-            # delta (dirty-group recompute volume is ∝ δ × group width;
-            # DELTA_ROWS_PER_TASK keeps those tasks small too).
-            _tune_delta_shuffle(
-                self.spark,
-                self.shuffle_partitions,
-                self.fact_store.batch_change_rows(batch_id),
-            )
-            prev_v = self.fact_store.version_before_batch(batch_id)
-            bks = self.fact_store.batch_buckets(batch_id)
-            old_fact = (
-                self.fact_store.read_buckets(
-                    bks, prev_v,
-                    key_filter=self.fact_store.batch_key_values(batch_id),
-                )
-                if bks is not None
-                else self.fact_store.read(prev_v)
-            )
-            changed_keys = last_change_per_key(fact_changes, self.fact_store.pk).select(
-                *self.fact_store.pk
-            )
-            old_rows = old_fact.join(changed_keys, self.fact_store.pk, "left_semi")
 
-            delta = compute_delta(fact_changes, old_rows, self.fact_store.pk)
+            delta = compute_delta(fact_changes, old_rows, self.fact_pk)
 
             new_state = merge_delta_state(
                 old_state,
                 delta,
-                self.fact_store.read,  # lazy: only non-invertible measures pay it
+                new_base,  # lazy: only non-invertible measures pay it
                 self.group_keys,
                 self.measures,
             )
@@ -3254,7 +3391,11 @@ class IncrementalAggMV:
                     parts.append(upserts.unionByName(deletes))
             else:
                 dirty_dim = self.dim_store.read().join(
-                    new_state.select(F.col(self.group_key).alias(self.dim_key)).distinct(),
+                    F.broadcast(
+                        new_state.select(
+                            F.col(self.group_key).alias(self.dim_key)
+                        ).distinct()
+                    ),
                     [self.dim_key],
                     "left_semi",
                 )
@@ -3274,16 +3415,26 @@ class IncrementalAggMV:
                 dim_changes = mat_dim
             dim_now = self.dim_store.read()
             dirty_dk = last_change_per_key(dim_changes, [self.dim_key]).select(self.dim_key)
-            # upserted/renamed dims: rebuild their rows from current state
-            live_dim = dim_now.join(dirty_dk, [self.dim_key], "left_semi")
+            # upserted/renamed dims: rebuild their rows from current
+            # state (dirty keys δ-bounded → broadcast; the dim scan
+            # stays map-side)
+            live_dim = dim_now.join(F.broadcast(dirty_dk), [self.dim_key], "left_semi")
             parts.append(
                 self._mv_rows_for_state(self.state_store.read(), live_dim).withColumn(
                     OP_COL, F.lit(OP_UPDATE)
                 )
             )
-            # deleted dims: drop their MV rows (typed via existing target rows)
-            deleted = dirty_dk.join(dim_now, [self.dim_key], "left_anti")
-            gone_rows = self.target.read().join(deleted, [self.dim_key], "left_semi")
+            # deleted dims: drop their MV rows (typed via existing
+            # target rows). Anti-join against the already-pruned
+            # live_dim keys, not the full dim — broadcastable build
+            # side (a broadcast anti against dim_now would ship the
+            # whole dimension).
+            deleted = dirty_dk.join(
+                F.broadcast(live_dim.select(self.dim_key)), [self.dim_key], "left_anti"
+            )
+            gone_rows = self.target.read().join(
+                F.broadcast(deleted), [self.dim_key], "left_semi"
+            )
             parts.append(gone_rows.withColumn(OP_COL, F.lit(OP_DELETE)))
 
         if not parts:

@@ -130,19 +130,37 @@ def _delta_stats(out_dir: str) -> tuple[int, list[int], int]:
     return n, sorted(int(b) for b in buckets), len(files)
 
 
+# Above this many keys, a literal IN list is replaced by a min/max
+# range: Catalyst's analysis walks an In expression's children per
+# rule, so a 15k-literal IN costs SECONDS of driver-side JVM time per
+# query (measured: ~10s/batch of pure planning gap at sf10, across the
+# retraction + dim-lookup filters). The range is a SUPERSET filter
+# with O(1) literals — callers join exactly afterwards (the documented
+# contract), and parquet row-group min/max stats prune on a range at
+# least as well as on a scattered IN.
+MAX_IN_LIST = 1000
+
+
 def _in_filter(col: str, vals):
-    """``col IN (vals)`` as ONE Catalyst expression. ``Column.isin``
-    builds a literal per value — one py4j round-trip each, so a
-    few-hundred-key retraction filter cost ~0.3s of driver latency per
-    refresh just constructing the predicate. Int and string key sets
-    (every store PK here) render as a single SQL text parsed JVM-side;
-    anything else falls back to isin."""
+    """``col IN (vals)`` (small sets) or ``col BETWEEN min AND max``
+    (large sets) as ONE Catalyst expression. ``Column.isin`` builds a
+    literal per value — one py4j round-trip each, so a few-hundred-key
+    retraction filter cost ~0.3s of driver latency per refresh just
+    constructing the predicate. Int and string key sets (every store
+    PK here) render as a single SQL text parsed JVM-side; anything
+    else falls back to isin."""
     vs = list(vals)
-    if vs and all(
-        isinstance(v, int) and not isinstance(v, bool) for v in vs
-    ):
+    ints = vs and all(isinstance(v, int) and not isinstance(v, bool) for v in vs)
+    strs = not ints and vs and all(isinstance(v, str) for v in vs)
+    if len(vs) > MAX_IN_LIST and (ints or strs):
+        lo, hi = min(vs), max(vs)
+        if ints:
+            return F.expr(f"`{col}` BETWEEN {lo} AND {hi}")
+        q = lambda s: "'" + s.replace("'", "''") + "'"  # noqa: E731
+        return F.expr(f"`{col}` BETWEEN {q(lo)} AND {q(hi)}")
+    if ints:
         return F.expr(f"`{col}` IN ({','.join(str(v) for v in vs)})")
-    if vs and all(isinstance(v, str) for v in vs):
+    if strs:
         body = ",".join("'" + v.replace("'", "''") + "'" for v in vs)
         return F.expr(f"`{col}` IN ({body})")
     return F.col(col).isin(vs)
@@ -602,8 +620,12 @@ class KeyedParquetStore:
         last = d.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
         cols = base.columns
         live = last.filter(F.col(OP_COL) != OP_DELETE).select(*cols)
+        # the chain's key set is bounded by MAX_PENDING_DELTAS
+        # micro-batches — broadcast it so the base scan never shuffles
+        # (the reconciliation is then a map-side anti join over the
+        # bucket files, whatever partition count the batch is tuned to)
         return base.join(
-            last.select(*self.pk).distinct(), self.pk, "left_anti"
+            F.broadcast(last.select(*self.pk).distinct()), self.pk, "left_anti"
         ).unionByName(live)
 
     # -- maintenance ---------------------------------------------------------
