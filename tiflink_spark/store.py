@@ -942,7 +942,20 @@ class KeyedParquetStore:
         Paimon-LSM compaction step, committed as its own maintenance
         line (``__fold__<version>``). Every commit line remains a
         complete snapshot, so a crash mid-fold just leaves the chain
-        for the next trigger."""
+        for the next trigger. A store whose directory disappears
+        mid-fold (an ephemeral gate/test tearing down its work dir
+        after reading its result) abandons silently — best-effort
+        maintenance, nothing to maintain; every other failure
+        propagates at the next merge's _await_fold."""
+        try:
+            self._fold_chain_inner()
+        except Exception:
+            # the manifest is the store's identity; a Spark write can
+            # recreate data/ dirs under a deleted path, but never this
+            if os.path.isfile(self._commits_path):
+                raise
+
+    def _fold_chain_inner(self) -> None:
         last = self._commits()[-1]
         chain = list(last.get("deltas") or [])
         if not chain:
