@@ -191,3 +191,49 @@ def test_merge_on_read_delta_chain(spark, store):
     store.vacuum(keep_last=2)
     cur = {r.k: r.v for r in store.read().collect()}
     assert cur[5] == "E" and cur[4] == "D" and len(cur) == 100
+
+
+def test_in_filter_falls_back_to_range_above_threshold(spark):
+    """Catalyst walks an In expression's literals per analysis rule, so
+    giant IN lists cost seconds of pure planning (the sf10 driver-gap
+    leak). Above MAX_IN_LIST the filter must become a min/max range —
+    a superset with O(1) literals (callers join exactly afterwards)."""
+    from tiflink_spark.store import MAX_IN_LIST, _in_filter
+
+    small = str(_in_filter("k", [3, 1, 2]))
+    assert "IN" in small and "BETWEEN" not in small
+    big = str(_in_filter("k", list(range(MAX_IN_LIST + 1))))
+    assert "BETWEEN" in big
+    big_s = str(_in_filter("k", [f"v{i}" for i in range(MAX_IN_LIST + 1)]))
+    assert "BETWEEN" in big_s
+    # semantics: the range filter keeps every listed key
+    df = spark.range(0, 3000).withColumnRenamed("id", "k")
+    keys = list(range(0, 3000, 2))
+    got = df.filter(_in_filter("k", keys)).count()
+    assert got >= len(keys)  # superset contract
+
+
+def test_batch_column_values_reads_fk_values(spark, store):
+    """The join routes prune dim lookups by the fact delta's FK values,
+    read driver-side from the delta parquet — any column, not just the
+    PK."""
+    store.bootstrap(
+        spark.createDataFrame([(i, i % 7, "x") for i in range(50)],
+                              "k int, fk int, v string")
+    )
+    store.merge(
+        _changes_fk(spark, [(1, 3, "A"), (2, 5, "B")]), batch_id=1
+    )
+    assert store.batch_column_values(1, "fk") == [3, 5]
+    assert store.batch_column_values(1, "nope") is None
+    kv = store.batch_key_values(1)
+    assert kv == ("k", [1, 2])
+
+
+def _changes_fk(spark, rows):
+    from tiflink_spark.changelog import OP_UPDATE
+
+    return spark.createDataFrame(
+        [(k, fk, v, OP_UPDATE, i) for i, (k, fk, v) in enumerate(rows)],
+        f"k int, fk int, v string, {OP_COL} string, {SEQ_COL} long",
+    )

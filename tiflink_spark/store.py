@@ -469,7 +469,11 @@ class KeyedParquetStore:
                         columns=[col]
                     ):
                         vals.update(batch.column(0).to_pylist())
-                except (OSError, KeyError):
+                except Exception:
+                    # absent column (pyarrow raises its own error
+                    # types), unreadable file — the contract is "None
+                    # when unavailable"; callers fall back to the
+                    # unpruned read
                     return None
                 vals.discard(None)
                 if len(vals) > max_values:
