@@ -2913,10 +2913,17 @@ class IncrementalGroupingSetsMV:
             return False
         if self._has_global:
             changes = changes.withColumn("__g", F.lit(0))
-        # materialize the changelog once — every sub re-reads it
-        changes = changes.localCheckpoint(eager=True)
         with _shuffle_scope(self.spark, self._sub_shuffle):
+            # The shared fact merge is the changelog's single execution
+            # point; every sub then re-binds to its materialized delta
+            # parquet (each sub's own merge no-ops on the batch-id
+            # guard and re-binds the same way). The old eager
+            # localCheckpoint here was a whole extra analysis + job per
+            # batch materializing the same rows the merge writes.
             self.fact_store.merge(changes, batch_id)
+            mat = self.fact_store.batch_delta(batch_id)
+            if mat is not None:
+                changes = mat
             results = self._run_subs(lambda sub: sub.refresh(changes, batch_id))
         return any(results)
 
