@@ -213,6 +213,28 @@ def test_in_filter_falls_back_to_range_above_threshold(spark):
     assert got >= len(keys)  # superset contract
 
 
+def test_in_filter_escapes_backslash_and_quote_keys(spark):
+    """Spark SQL unescapes backslash sequences inside string literals,
+    so an unescaped backslash key (e.g. 'a\\\\b') silently vanished from
+    the rendered IN predicate — missed retractions downstream (ADVICE
+    r8 high). Keys with backslashes, quotes, and newlines must all
+    match exactly."""
+    from tiflink_spark.store import MAX_IN_LIST, _in_filter
+
+    nasty = ["a\\b", "it's", "line1\nline2", "tab\there", "\\", "plain"]
+    df = spark.createDataFrame([(k,) for k in nasty + ["other"]], "k string")
+    got = {r.k for r in df.filter(_in_filter("k", nasty)).collect()}
+    assert got == set(nasty)
+    # isin agrees (ground truth)
+    ref = {r.k for r in df.filter(df.k.isin(nasty)).collect()}
+    assert got == ref
+    # the BETWEEN fallback quotes its endpoints the same way
+    big = [f"v{i}" for i in range(MAX_IN_LIST)] + ["a\\a", "z\\z"]
+    df2 = spark.createDataFrame([(k,) for k in ["a\\a", "z\\z", "m"]], "k string")
+    got2 = {r.k for r in df2.filter(_in_filter("k", big)).collect()}
+    assert {"a\\a", "z\\z"} <= got2  # superset contract holds with escapes
+
+
 def test_batch_column_values_reads_fk_values(spark, store):
     """The join routes prune dim lookups by the fact delta's FK values,
     read driver-side from the delta parquet — any column, not just the

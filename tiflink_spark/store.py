@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -140,6 +141,36 @@ def _delta_stats(out_dir: str) -> tuple[int, list[int], int]:
 # least as well as on a scattered IN.
 MAX_IN_LIST = 1000
 
+# Broadcast-safety bound for the merge-on-read reconciliation's distinct
+# key set: at ~16 bytes/key this is ~8 MB serialized — inside Spark's
+# default 10 MB autoBroadcastJoinThreshold. A chain whose recorded
+# change-row total exceeds this (an oversized batch's pre-fold delta)
+# joins unhinted instead, degrading to a shuffle rather than a
+# driver-side collect that OOMs at scale.
+BROADCAST_KEYS_MAX = 500_000
+
+# One shared executor for every store's background folds (was one
+# single-thread pool PER STORE, never shut down — a long-lived process
+# opening many ephemeral stores leaked a thread each). The per-store
+# single-writer invariant does not live here: it is enforced by
+# merge() awaiting the store's own in-flight fold future before
+# touching the chain, so a shared pool is safe and bounds the process
+# to a fixed thread count however many stores exist.
+_FOLD_POOL = None
+_FOLD_POOL_LOCK = threading.Lock()
+
+
+def _shared_fold_pool():
+    from concurrent.futures import ThreadPoolExecutor
+
+    global _FOLD_POOL
+    with _FOLD_POOL_LOCK:
+        if _FOLD_POOL is None:
+            _FOLD_POOL = ThreadPoolExecutor(
+                max_workers=8, thread_name_prefix="store-fold"
+            )
+        return _FOLD_POOL
+
 
 def _in_filter(col: str, vals):
     """``col IN (vals)`` (small sets) or ``col BETWEEN min AND max``
@@ -152,16 +183,21 @@ def _in_filter(col: str, vals):
     vs = list(vals)
     ints = vs and all(isinstance(v, int) and not isinstance(v, bool) for v in vs)
     strs = not ints and vs and all(isinstance(v, str) for v in vs)
+    # Spark's SQL parser unescapes backslash sequences inside string
+    # literals (escapedStringLiterals=false by default), so a raw
+    # backslash must itself be escaped BEFORE quote-doubling —
+    # otherwise a key like "a\\b" silently drops out of the predicate
+    # and a retraction/dim lookup misses rows (wrong MV state).
+    q = lambda s: "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"  # noqa: E731
     if len(vs) > MAX_IN_LIST and (ints or strs):
         lo, hi = min(vs), max(vs)
         if ints:
             return F.expr(f"`{col}` BETWEEN {lo} AND {hi}")
-        q = lambda s: "'" + s.replace("'", "''") + "'"  # noqa: E731
         return F.expr(f"`{col}` BETWEEN {q(lo)} AND {q(hi)}")
     if ints:
         return F.expr(f"`{col}` IN ({','.join(str(v) for v in vs)})")
     if strs:
-        body = ",".join("'" + v.replace("'", "''") + "'" for v in vs)
+        body = ",".join(q(v) for v in vs)
         return F.expr(f"`{col}` IN ({body})")
     return F.col(col).isin(vs)
 
@@ -210,7 +246,6 @@ class KeyedParquetStore:
         # In-flight asynchronous fold (see merge): at most one; the
         # next merge of this store awaits it before touching the chain.
         self._fold_future = None
-        self._fold_pool = None
         os.makedirs(path, exist_ok=True)
         committed = self._commits()
         if committed:
@@ -246,17 +281,31 @@ class KeyedParquetStore:
         if self._mcache is not None and self._mcache[0] == key:
             return self._mcache[1]
         with open(self._commits_path) as f:
-            for line in f:
-                if not line.strip():
-                    continue
+            lines = f.readlines()
+        for i, line in enumerate(lines):
+            if not line.strip():
+                continue
+            try:
                 rec = json.loads(line)
-                if rec.get("type") == HWM_TYPE:
-                    h = rec.get("int_batch_hwm")
-                    if h is not None:
-                        hwm = h if hwm is None else max(hwm, h)
-                    others.update(rec.get("other_batches", []))
-                else:
-                    commits.append(rec)
+            except json.JSONDecodeError:
+                # A TORN tail is expected: the background fold appends
+                # its (multi-KB) commit line from another thread while
+                # readers re-stat/re-parse — a reader can catch the
+                # write mid-flight. The pre-append manifest is a
+                # consistent snapshot, so ignore an unparseable LAST
+                # line (and don't cache: the completed write changes
+                # (mtime,size), forcing a clean re-parse). A torn line
+                # anywhere else is real corruption — raise.
+                if i == len(lines) - 1:
+                    return commits, hwm, others
+                raise
+            if rec.get("type") == HWM_TYPE:
+                h = rec.get("int_batch_hwm")
+                if h is not None:
+                    hwm = h if hwm is None else max(hwm, h)
+                others.update(rec.get("other_batches", []))
+            else:
+                commits.append(rec)
         self._mcache = (key, (commits, hwm, others))
         return commits, hwm, others
 
@@ -270,6 +319,15 @@ class KeyedParquetStore:
             st = c.get("stats") or {}
             if st.get("delta_rel") == rel:
                 return st.get("delta_schema")
+        return None
+
+    def _delta_rows_of(self, rel: str) -> int | None:
+        """Change-row count recorded for delta ``rel`` (None when the
+        commit line predates the stats format)."""
+        for c in reversed(self._commits()):
+            st = c.get("stats") or {}
+            if st.get("delta_rel") == rel:
+                return st.get("change_rows")
         return None
 
     def committed_batches(self) -> set:
@@ -624,13 +682,24 @@ class KeyedParquetStore:
         last = d.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
         cols = base.columns
         live = last.filter(F.col(OP_COL) != OP_DELETE).select(*cols)
-        # the chain's key set is bounded by MAX_PENDING_DELTAS
+        # The chain's key set is USUALLY bounded by MAX_PENDING_DELTAS
         # micro-batches — broadcast it so the base scan never shuffles
         # (the reconciliation is then a map-side anti join over the
-        # bucket files, whatever partition count the batch is tuned to)
-        return base.join(
-            F.broadcast(last.select(*self.pk).distinct()), self.pk, "left_anti"
-        ).unionByName(live)
+        # bucket files, whatever partition count the batch is tuned to).
+        # But an oversized batch (> ROWS_PER_BUCKET change rows) commits
+        # a table-scale delta before its fold completes, and a reader —
+        # the fold itself, or anyone after a crash mid-fold — would then
+        # broadcast (= collect to the driver) a table-scale key set and
+        # OOM instead of degrading to a shuffle join. Gate the hint on
+        # the chain's RECORDED row counts (manifest stats carry
+        # change_rows per delta); unknown counts (legacy lines) are
+        # treated as unbounded.
+        keys = last.select(*self.pk).distinct()
+        counts = [self._delta_rows_of(rel) for rel in deltas]
+        bounded = all(c is not None for c in counts) and sum(counts) <= BROADCAST_KEYS_MAX
+        if bounded:
+            keys = F.broadcast(keys)
+        return base.join(keys, self.pk, "left_anti").unionByName(live)
 
     # -- maintenance ---------------------------------------------------------
 
@@ -921,19 +990,12 @@ class KeyedParquetStore:
     # -- chain folding --------------------------------------------------------
 
     def _schedule_fold(self) -> None:
-        """Run :meth:`_fold_chain` in this store's background thread.
-        At most one in flight; the next merge awaits it (single-writer
-        stays single-writer — the manifest tail cannot move under a
-        running fold because only merge/fold append to it and merge is
-        the awaiter)."""
-        from concurrent.futures import ThreadPoolExecutor
-
-        if self._fold_pool is None:
-            self._fold_pool = ThreadPoolExecutor(
-                max_workers=1,
-                thread_name_prefix=f"fold-{os.path.basename(self.path)}",
-            )
-        self._fold_future = self._fold_pool.submit(self._fold_chain)
+        """Run :meth:`_fold_chain` on the shared background pool.
+        At most one in flight per store; the next merge awaits it
+        (single-writer stays single-writer — the manifest tail cannot
+        move under a running fold because only merge/fold append to it
+        and merge is the awaiter)."""
+        self._fold_future = _shared_fold_pool().submit(self._fold_chain)
 
     def _await_fold(self) -> None:
         fut, self._fold_future = self._fold_future, None

@@ -34,11 +34,31 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
+_NONSCALAR = (list, dict, set, tuple, np.ndarray)
+
+
+def _nonscalar_cols(df: pd.DataFrame) -> list[str]:
+    """Columns whose cells the driver's canonicalizer cannot hash/sort.
+
+    The driver sorts RAW cell values with pandas; list/dict/array cells
+    crash its ``sort_values`` → ``factorize`` path (the r8 ``array_ops``
+    red). Any query emitting such a column must serialize it
+    (``array_join`` / ``to_json``) on BOTH the Spark and oracle sides.
+    """
+    bad = []
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+            col = df[c].dropna()
+            if len(col) and col.map(lambda v: isinstance(v, _NONSCALAR)).any():
+                bad.append(c)
+    return bad
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    # Harness parity: the driver sorts on RAW cell values (no
+    # pre-stringification), so do the same here — divergence hid the
+    # array_ops class of failure until the driver saw it.
+    df = df[sorted(df.columns)].copy()
     return df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
 
 
@@ -48,6 +68,12 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> tuple[bool, str]
     scols, dcols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
     if scols != dcols:
         return False, f"columns spark={scols} duck={dcols}"
+    bad = sorted(set(_nonscalar_cols(spark_pdf)) | set(_nonscalar_cols(duck_pdf)))
+    if bad:
+        return False, (
+            f"NON-SCALAR output columns {bad} (driver-hash crash risk) — "
+            "serialize arrays/maps/structs with array_join/to_json on both sides"
+        )
     s, d = canon(spark_pdf), canon(duck_pdf)
     # Dtype-parity lint (the r6 driver red): the driver hashes VALUES
     # WITH THEIR DTYPE, so Spark int64 vs DuckDB float64 (e.g. an
