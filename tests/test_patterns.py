@@ -646,3 +646,234 @@ def test_skip_to_first_var_loop_raises(spark):
     )
     with pytest.raises(Exception, match="loop forever"):
         out.collect()
+
+
+# --- FIRST/LAST run-state navigation (round 9) -----------------------------
+
+
+def _prices(spark, vals):
+    return spark.createDataFrame(
+        [(1, i, float(v)) for i, v in enumerate(vals)], "k int, seq int, price double"
+    )
+
+
+def test_last_universal_nav_v_shape(spark):
+    """LAST(price, 1) is the previous row OF THE MATCH — at the first
+    row of a DOWN run it sees the STRT row (unlike a bare PREV at a
+    partition edge, which sees across match boundaries). Canonical
+    Flink idiom: DOWN AS price < LAST(price, 1)."""
+    df = _prices(spark, [10, 8, 6, 7, 9, 12, 5, 4, 6])
+    out = match_recognize(
+        df, ["k"], ["seq"],
+        pattern=[("STRT", "1"), ("DOWN", "+"), ("UP", "+")],
+        define={"DOWN": "price < LAST(price, 1)", "UP": "price > LAST(price, 1)"},
+        measures=[
+            ("bottom", "DOWN", "price", "last"),
+            ("top", "UP", "price", "last"),
+            ("n_down", "DOWN", None, "count"),
+            ("n_up", "UP", None, "count"),
+        ],
+    )
+    assert _collect(out) == [(1, 1, 6.0, 12.0, 2, 3), (1, 2, 4.0, 6.0, 1, 1)]
+
+
+def test_last_qualified_and_running_inclusion(spark):
+    """LAST(DOWN.price) inside UP's DEFINE reads the last row the
+    running assignment bound to DOWN; LAST(V.price) inside V's OWN
+    define includes the current tentative row (SQL RUNNING semantics),
+    so `price <= LAST(V.price)` is a tautology while
+    `price < LAST(V.price, 1)` reads the previous V row."""
+    df = _prices(spark, [10, 7, 5, 11, 2])
+    out = match_recognize(
+        df, ["k"], ["seq"],
+        pattern=[("STRT", "1"), ("DOWN", "+"), ("UP", "1")],
+        define={"DOWN": "price < LAST(price, 1)", "UP": "price > LAST(DOWN.price) + 5"},
+        measures=[
+            ("bottom", "DOWN", "price", "last"),
+            ("up_p", "UP", "price", "first"),
+        ],
+    )
+    # DOWN takes 7,5; UP needs > 10 — 11 qualifies
+    assert _collect(out) == [(1, 1, 5.0, 11.0)]
+    taut = match_recognize(
+        df, ["k"], ["seq"],
+        pattern=[("V", "+")],
+        define={"V": "price <= LAST(V.price)"},  # current row included
+        measures=[("n", "V", None, "count")],
+    )
+    assert _collect(taut) == [(1, 1, 5)]  # one maximal match, all rows
+
+
+def test_first_navigation_above_start(spark):
+    """U AS price > FIRST(price): strictly-above-the-match-start runs —
+    NOT expressible as a fixed-offset lag (the distance to the match
+    start varies per row)."""
+    df = _prices(spark, [5, 7, 6, 4, 9, 10, 3])
+    out = match_recognize(
+        df, ["k"], ["seq"],
+        pattern=[("S", "1"), ("U", "+")],
+        define={"U": "price > FIRST(price)"},
+        measures=[("s", "S", "seq", "first"), ("n", "U", None, "count")],
+    )
+    # start 5 (seq0): 7,6 above 5, 4 stops -> n=2; start 4 (seq3):
+    # 9,10 above, 3 stops -> n=2; remaining row 3: no following rows
+    assert _collect(out) == [(1, 1, 0, 2), (1, 2, 3, 2)]
+
+
+def test_runstate_null_reads_as_no_match(spark):
+    """NULL in a run-state comparison = no-match (SQL WHERE), both for
+    a NULL cell and an out-of-range navigation offset."""
+    df = spark.createDataFrame(
+        [(1, 0, 5.0), (1, 1, None), (1, 2, 7.0)], "k int, seq int, price double"
+    )
+    out = match_recognize(
+        df, ["k"], ["seq"],
+        pattern=[("S", "1"), ("U", "+")],
+        define={"U": "price > FIRST(price)"},
+        measures=[("s", "S", "seq", "first"), ("n", "U", None, "count")],
+    )
+    # start at 5.0: next row NULL -> U fails; start at NULL: 7 > NULL
+    # -> false; no matches from seq1. Only... no match at all (U+ needs
+    # one row).
+    assert _collect(out) == []
+    out2 = match_recognize(
+        df, ["k"], ["seq"],
+        pattern=[("A", "+")],
+        define={"A": "price > LAST(price, 5)"},  # offset beyond the match
+        measures=[("n", "A", None, "count")],
+    )
+    assert _collect(out2) == []
+
+
+def test_runstate_refusals(spark):
+    df = _prices(spark, [1, 2, 3])
+    import pytest as _pt
+
+    # run-state var inside an alternation step: attribution would be
+    # circular (the JVM flag for a run-state var is always-true)
+    with _pt.raises(ValueError, match="alternation"):
+        match_recognize(
+            df, ["k"], ["seq"],
+            pattern=[("A|B", "+")],
+            define={"B": "price > FIRST(price)"},
+            measures=[("n", "A", None, "count")],
+        )
+    # outside the documented comparison grammar: refuse, don't guess
+    with _pt.raises(NotImplementedError):
+        match_recognize(
+            df, ["k"], ["seq"],
+            pattern=[("A", "+")],
+            define={"A": "substr(cast(price as string), 1, 1) = LAST(price)"},
+            measures=[("n", "A", None, "count")],
+        )
+
+
+def test_runstate_streaming_equals_batch(spark, tmp_path):
+    """FIRST/LAST works in the STREAMING entry point (unlike PREV/NEXT
+    it never looks outside the match's own buffered rows): drained
+    stream == batch on a multi-V-shape series split across triggers."""
+    import os
+
+    from tiflink_spark.patterns import match_recognize_stream
+
+    vals = [10, 8, 6, 7, 9, 12, 5, 4, 6, 11, 3, 2, 8]
+    rows = [(1, i, float(v)) for i, v in enumerate(vals)]
+    src = tmp_path / "src"
+    os.makedirs(src)
+    # three files -> three micro-batches (maxFilesPerTrigger=1); ONE
+    # part-file per chunk, or triggers deliver rows out of order and
+    # violate the stream's order contract
+    for fi, chunk in enumerate([rows[:4], rows[4:9], rows[9:]]):
+        spark.createDataFrame(chunk, "k int, seq int, price double").coalesce(
+            1
+        ).write.parquet(str(src / f"f{fi}"))
+    kwargs = dict(
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern=[("STRT", "1"), ("DOWN", "+"), ("UP", "+")],
+        define={"DOWN": "price < LAST(price, 1)", "UP": "price > LAST(price, 1)"},
+        measures=[
+            ("bottom", "DOWN", "price", "last"),
+            ("top", "UP", "price", "last"),
+        ],
+    )
+    batch = _collect(
+        match_recognize(spark.createDataFrame(rows, "k int, seq int, price double"), **kwargs)
+    )
+    stream = (
+        spark.readStream.schema("k int, seq int, price double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out = match_recognize_stream(stream, **kwargs)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rs_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = [tuple(r) for r in spark.sql(
+        "SELECT * FROM rs_stream ORDER BY k, match_seq"
+    ).collect()]
+    # the stream can't see end-of-data, so its last pending candidate
+    # never finalizes — batch minus a possible tail match
+    assert got == batch[: len(got)] and len(batch) - len(got) <= 1
+
+
+def test_runstate_scan_batch_equals_drained_stream_fuzz():
+    """The decided/held split must stay exact under run-state DEFINEs:
+    random price series, random chunkings, FIRST/LAST predicates —
+    drained stream == batch, every time."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    from tiflink_spark.patterns import (
+        _bind_runstate,
+        _prepare_runstate,
+        _runtime_steps,
+        _scan,
+        _validate,
+    )
+
+    def run_scan(vals, steps, rs_compiled, rs_cols, streaming):
+        pdf = pd.DataFrame({"price": vals})
+        flags = {v: np.ones(len(vals), dtype=bool) for v in "SU"}
+        rs = _bind_runstate(rs_compiled, rs_cols, pdf, flags)
+        rt = _runtime_steps(steps, flags, rs)
+        return _scan(rt, len(vals), streaming=streaming, skip=("past", None), flags=flags)
+
+    rng = random.Random(11)
+    defines = [
+        {"U": "price > FIRST(price)"},
+        {"U": "price < LAST(price, 1)"},
+        {"U": "price > LAST(S.price)"},
+    ]
+    pattern = [("S", "1"), ("U", "+")]
+    for _ in range(300):
+        define = rng.choice(defines)
+        _, steps = _validate(pattern, define, [])
+        rs_compiled, rs_cols = _prepare_runstate(define, steps)
+        n = rng.randint(1, 12)
+        vals = [float(rng.randint(0, 6)) for _ in range(n)]
+        batch, _ = run_scan(vals, steps, rs_compiled, rs_cols, streaming=False)
+        # drained stream over a random chunking
+        emitted, b0 = [], 0
+        sizes, left = [], n
+        while left:
+            c = rng.randint(1, left)
+            sizes.append(c)
+            left -= c
+        pos = 0
+        for size in sizes:
+            pos += size
+            ms, pending = run_scan(vals[b0:pos], steps, rs_compiled, rs_cols, True)
+            emitted += [[(nm, s + b0, e + b0) for nm, s, e in m] for m in ms]
+            b0 += pending
+        ms, _ = run_scan(vals[b0:pos], steps, rs_compiled, rs_cols, False)
+        emitted += [[(nm, s + b0, e + b0) for nm, s, e in m] for m in ms]
+        assert emitted == batch, (define, vals, sizes)

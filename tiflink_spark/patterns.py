@@ -35,10 +35,21 @@ Supported subset (documented, checked):
   predicate path stays whole-stage codegen; it is BATCH-only (the
   streaming entry point refuses it: per-micro-batch JVM evaluation
   cannot see across the trigger boundary, and re-evaluating the
-  predicate in Python would silently swap SQL engines). No
-  LAST()/FIRST() run-state navigation — those need the in-flight
-  match assignment and are refused, not approximated. An undefined
-  variable matches every row (Flink's rule).
+  predicate in Python would silently swap SQL engines). Plus LOGICAL
+  run-state navigation ``FIRST(V.col[, k])`` / ``LAST(V.col[, k])``
+  (and the unqualified universal forms over the match's own row
+  prefix): these need the in-flight match assignment, so a DEFINE
+  containing them is compiled — a restricted comparison/arithmetic/
+  boolean grammar — and evaluated per candidate row inside the
+  matcher against the RUNNING assignment (the current row included,
+  so ``LAST(DOWN.price, 1)`` is the previous DOWN row, Flink's
+  documented idiom). NULL anywhere in a comparison reads as no-match,
+  like SQL WHERE. A run-state variable may not appear in an
+  alternation step (row attribution would be circular); unlike
+  PREV/NEXT, FIRST/LAST works in BOTH the batch and streaming entry
+  points — it only ever looks at the match's own buffered rows, never
+  across the trigger boundary. An undefined variable matches every
+  row (Flink's rule).
 - AFTER MATCH SKIP PAST LAST ROW (the default: matches never
   overlap, single left-to-right pass), SKIP TO NEXT ROW (overlapping
   matches — resume at start+1), SKIP TO FIRST/LAST ``var`` (resume
@@ -192,20 +203,275 @@ def _rewrite_nav(define: dict) -> tuple[dict, dict]:
     return out, nav_cols
 
 
+# -- FIRST/LAST run-state navigation ---------------------------------------
+
+_RUNSTATE_RE = re.compile(
+    r"\b(FIRST|LAST)\s*\(\s*([A-Za-z_]\w*)(?:\s*\.\s*([A-Za-z_]\w*))?\s*"
+    r"(?:,\s*(\d+)\s*)?\)",
+    re.IGNORECASE,
+)
+
+
+def _has_runstate(pred: str | None) -> bool:
+    return bool(pred) and _RUNSTATE_RE.search(pred) is not None
+
+
+def _compile_runstate(pred: str) -> tuple:
+    """Compile a DEFINE predicate containing FIRST/LAST run-state
+    navigation into a Python code object evaluated per candidate row
+    against the in-flight match assignment (SQL/Flink RUNNING
+    semantics — the current tentative row is included).
+
+    Supported grammar (the standard's DEFINE comparisons): column
+    refs, numeric/string literals, FIRST/LAST(V.col[, k]) and the
+    unqualified universal forms, PREV/NEXT (pre-rewritten to physical
+    nav columns upstream), + - * / %, comparisons, AND/OR/NOT,
+    parentheses. Anything else raises NotImplementedError — a partial
+    SQL engine in Python would silently diverge from Spark SQL, so
+    the contract is a refusal, not an approximation. NULL (or NaN) in
+    any comparison reads as no-match (SQL WHERE three-valued logic).
+
+    Returns (code, referenced_columns) — the column set feeds the
+    streaming entry point's carry list."""
+    import ast
+
+    navs: list[tuple] = []
+
+    def sub(m: re.Match) -> str:
+        kind = m.group(1).lower()
+        a, b = m.group(2), m.group(3)
+        var, col = (None, a) if b is None else (a, b)
+        off = int(m.group(4) or 0)
+        navs.append((kind, var, col, off))
+        return f"_nav({len(navs) - 1})"
+
+    s = _RUNSTATE_RE.sub(sub, pred)
+    s = s.replace("<>", "!=")
+    s = re.sub(r"(?<![<>!=])=(?!=)", "==", s)
+    s = re.sub(r"\bAND\b", " and ", s, flags=re.I)
+    s = re.sub(r"\bOR\b", " or ", s, flags=re.I)
+    s = re.sub(r"\bNOT\b", " not ", s, flags=re.I)
+    s = re.sub(r"\bNULL\b", " None ", s, flags=re.I)
+    try:
+        tree = ast.parse(s, mode="eval")
+    except SyntaxError as e:
+        raise NotImplementedError(
+            f"DEFINE with FIRST/LAST supports only comparison/arithmetic/"
+            f"boolean predicates; could not compile {pred!r}: {e}"
+        ) from None
+
+    cols: set[str] = set()
+
+    class Xform(ast.NodeTransformer):
+        def visit_Name(self, node):
+            if node.id in ("_nav", "None", "True", "False"):
+                return node
+            cols.add(node.id)
+            return ast.Call(
+                func=ast.Name(id="_col", ctx=ast.Load()),
+                args=[ast.Constant(node.id)],
+                keywords=[],
+            )
+
+        def visit_Call(self, node):
+            if isinstance(node.func, ast.Name) and node.func.id == "_nav":
+                return node
+            raise NotImplementedError(
+                f"unsupported function call in FIRST/LAST DEFINE: {pred!r}"
+            )
+
+        def visit_Compare(self, node):
+            self.generic_visit(node)
+            ops = {
+                ast.Lt: "lt", ast.LtE: "le", ast.Gt: "gt", ast.GtE: "ge",
+                ast.Eq: "eq", ast.NotEq: "ne",
+            }
+            parts, left = [], node.left
+            for op, right in zip(node.ops, node.comparators):
+                if type(op) not in ops:
+                    raise NotImplementedError(f"unsupported comparison in {pred!r}")
+                parts.append(
+                    ast.Call(
+                        func=ast.Name(id="_cmp", ctx=ast.Load()),
+                        args=[ast.Constant(ops[type(op)]), left, right],
+                        keywords=[],
+                    )
+                )
+                left = right
+            return parts[0] if len(parts) == 1 else ast.BoolOp(
+                op=ast.And(), values=parts
+            )
+
+        def visit_BinOp(self, node):
+            self.generic_visit(node)
+            ops = {
+                ast.Add: "add", ast.Sub: "sub", ast.Mult: "mul",
+                ast.Div: "div", ast.Mod: "mod",
+            }
+            if type(node.op) not in ops:
+                raise NotImplementedError(f"unsupported operator in {pred!r}")
+            return ast.Call(
+                func=ast.Name(id="_arith", ctx=ast.Load()),
+                args=[ast.Constant(ops[type(node.op)]), node.left, node.right],
+                keywords=[],
+            )
+
+        def visit_BoolOp(self, node):
+            self.generic_visit(node)
+            node.values = [
+                ast.Call(func=ast.Name(id="_t", ctx=ast.Load()), args=[v], keywords=[])
+                for v in node.values
+            ]
+            return node
+
+        def visit_UnaryOp(self, node):
+            self.generic_visit(node)
+            if isinstance(node.op, ast.Not):
+                node.operand = ast.Call(
+                    func=ast.Name(id="_t", ctx=ast.Load()),
+                    args=[node.operand], keywords=[],
+                )
+                return node
+            if isinstance(node.op, ast.USub):
+                return node
+            raise NotImplementedError(f"unsupported unary operator in {pred!r}")
+
+        def visit_Attribute(self, node):
+            raise NotImplementedError(f"unsupported attribute access in {pred!r}")
+
+        def visit_Subscript(self, node):
+            raise NotImplementedError(f"unsupported subscript in {pred!r}")
+
+    tree = ast.fix_missing_locations(Xform().visit(tree))
+    code = compile(tree, "<match_recognize DEFINE>", "eval")
+    return code, navs, sorted(cols)
+
+
+def _is_null(v) -> bool:
+    return v is None or (isinstance(v, float) and v != v)
+
+
+class _RunStateEval:
+    """Per-partition evaluator of one variable's compiled run-state
+    predicate. Called by the matcher for each candidate row with the
+    running assignment (prior steps' spans + the current step's
+    partial run, current row included)."""
+
+    def __init__(self, code, navs, values, flags):
+        self._code, self._navs = code, navs
+        self._values, self._flags = values, flags
+        self._k = self._start = 0
+        self._by_var: dict = {}
+
+        def _col(name):
+            v = self._values[name][self._k]
+            return None if _is_null(v) else v
+
+        def _nav(i):
+            kind, var, col, off = self._navs[i]
+            if var is None:  # universal: the match's own row prefix
+                idx = self._k - off if kind == "last" else self._start + off
+                if idx < self._start or idx > self._k:
+                    return None
+            else:
+                rows = self._by_var.get(var)
+                if not rows or off >= len(rows):
+                    return None
+                idx = rows[-1 - off] if kind == "last" else rows[off]
+            v = self._values[col][idx]
+            return None if _is_null(v) else v
+
+        def _cmp(op, a, b):
+            if _is_null(a) or _is_null(b):
+                return False
+            import operator as _op
+
+            return bool(getattr(_op, op)(a, b))
+
+        def _arith(op, a, b):
+            if _is_null(a) or _is_null(b):
+                return None
+            import operator as _op
+
+            fn = {"add": _op.add, "sub": _op.sub, "mul": _op.mul,
+                  "div": _op.truediv, "mod": _op.mod}[op]
+            return fn(a, b)
+
+        def _t(v):
+            return bool(v) if v is not None and not _is_null(v) else False
+
+        self._env = {
+            "__builtins__": {},
+            "_col": _col, "_nav": _nav, "_cmp": _cmp,
+            "_arith": _arith, "_t": _t,
+        }
+
+    def __call__(self, k, acc, cur_names, cur_start, mstart) -> bool:
+        spans = acc + [(cur_names, cur_start, k + 1)]
+        self._by_var = _var_rows(spans, self._flags)
+        self._k, self._start = k, mstart
+        try:
+            return bool(eval(self._code, self._env))  # noqa: S307 — compiled above
+        except (TypeError, ZeroDivisionError):
+            return False
+
+
+def _prepare_runstate(define_rw: dict, steps: list[tuple]) -> tuple[dict, set]:
+    """Compile every FIRST/LAST-bearing DEFINE (on the PREV/NEXT-
+    rewritten text, so nav placeholders read as plain columns) →
+    ({var: (code, navs, cols)}, all referenced value columns). A
+    run-state variable inside an alternation step is refused: the
+    matcher attributes alternation rows by the JVM flag columns, and a
+    run-state variable's flag is always-true — attribution would be
+    circular."""
+    rs_compiled = {
+        v: _compile_runstate(p) for v, p in define_rw.items() if _has_runstate(p)
+    }
+    for names, _lo, _hi, _greedy in steps:
+        if len(names) > 1 and any(v in rs_compiled for v in names):
+            raise ValueError(
+                "FIRST/LAST run-state navigation on an alternation step "
+                f"is unsupported (step {'|'.join(names)})"
+            )
+    value_cols: set = set()
+    for code, navs, cols in rs_compiled.values():
+        value_cols.update(cols)
+        value_cols.update(c for _, _, c, _ in navs)
+    return rs_compiled, value_cols
+
+
+def _bind_runstate(rs_compiled: dict, value_cols: set, pdf, flags) -> dict:
+    """Bind the compiled run-state predicates to one partition's rows."""
+    if not rs_compiled:
+        return {}
+    values = {c: pdf[c].to_numpy() for c in value_cols}
+    return {
+        v: _RunStateEval(code, navs, values, flags)
+        for v, (code, navs, _cols) in rs_compiled.items()
+    }
+
+
 def _flag_columns(
     df: DataFrame,
     pat_vars: list[str],
     define: dict,
+    nav_cols: dict,
     partition_by: list[str] | None = None,
     order_by: list[str] | None = None,
+    runstate_vars: frozenset | set = frozenset(),
+    keep_cols: set | None = None,
 ) -> DataFrame:
     """Stage 1 (JVM): one boolean column per pattern variable — the
     DEFINE predicates run in whole-stage codegen; NULL reads as
     no-match, like SQL WHERE. Undefined variables match every row
-    (Flink's rule). With partition/order context (batch), PREV/NEXT
-    navigation compiles to lag/lead columns first; without it
-    (streaming), navigation raises — see the module doc."""
-    define, nav_cols = _rewrite_nav(define)
+    (Flink's rule). ``define`` arrives PREV/NEXT-pre-rewritten (see
+    _rewrite_nav); with partition/order context (batch) the nav
+    columns compile to lag/lead, without it (streaming) navigation
+    raises — see the module doc. Variables in ``runstate_vars``
+    (FIRST/LAST predicates) get an always-true JVM flag — their whole
+    predicate evaluates in the matcher against the running
+    assignment; ``keep_cols`` (the columns those predicates read,
+    nav columns included) survive the final drop."""
     work = df
     if nav_cols:
         if partition_by is None:
@@ -225,13 +491,15 @@ def _flag_columns(
             work = work.withColumn(name, off.over(w))
     for var in pat_vars:
         pred = define.get(var)
-        col = (
-            F.coalesce(F.expr(pred).cast("boolean"), F.lit(False))
-            if pred is not None
-            else F.lit(True)
-        )
+        if var in runstate_vars:
+            col = F.lit(True)
+        elif pred is not None:
+            col = F.coalesce(F.expr(pred).cast("boolean"), F.lit(False))
+        else:
+            col = F.lit(True)
         work = work.withColumn(f"__m_{var}", col)
-    return work.drop(*nav_cols)
+    drop = [c for c in nav_cols if c not in (keep_cols or set())]
+    return work.drop(*drop)
 
 
 def _output_fields(df: DataFrame, partition_by, measures) -> list[StructField]:
@@ -263,9 +531,10 @@ def _output_fields(df: DataFrame, partition_by, measures) -> list[StructField]:
     return out
 
 
-def _runtime_steps(steps: list[tuple], flags: dict) -> list[tuple]:
+def _runtime_steps(steps: list[tuple], flags: dict, rs_evals=None) -> list[tuple]:
     """Bind each parsed step to its union flag array (alternation: a
-    row matches the step when ANY alternative's DEFINE holds)."""
+    row matches the step when ANY alternative's DEFINE holds) and, for
+    run-state variables, to their per-candidate evaluator."""
     import numpy as np
 
     rt = []
@@ -275,13 +544,18 @@ def _runtime_steps(steps: list[tuple], flags: dict) -> list[tuple]:
             if len(names) == 1
             else np.logical_or.reduce([flags[v] for v in names])
         )
-        rt.append((names, lo, hi, col, greedy))
+        rs = (rs_evals or {}).get(names[0]) if len(names) == 1 else None
+        rt.append((names, lo, hi, col, greedy, rs))
     return rt
 
 
-def _attempt(pos: int, si: int, steps: list, n: int, limit: int):
+def _attempt(pos: int, si: int, steps: list, n: int, limit: int,
+             acc: list | None = None, mstart: int | None = None):
     """Match ``steps[si:]`` at ``pos`` using rows [pos, limit) →
-    (spans | None, end, eof_seen).
+    (spans | None, end, eof_seen). ``acc`` carries the spans assigned
+    by earlier steps of THIS attempt and ``mstart`` the match's start
+    row — the running assignment FIRST/LAST run-state predicates
+    evaluate against (both default for navigation-free patterns).
 
     ``limit`` is the exclusive row bound for THIS match attempt: ``n``
     normally, or the WITHIN window edge (the first row whose order
@@ -307,12 +581,18 @@ def _attempt(pos: int, si: int, steps: list, n: int, limit: int):
     completed match is final — growth can never improve a
     fewest-rows preference — so its run-edge stop only surfaces on
     failure (more rows could turn the failure into a match)."""
+    if acc is None:
+        acc = []
+    if mstart is None:
+        mstart = pos
     if si == len(steps):
         return [], pos, False
-    names, lo, hi, col, greedy = steps[si]
+    names, lo, hi, col, greedy, rs = steps[si]
     cap = limit if hi is None else min(limit, pos + hi)
     k = pos
-    while k < cap and col[k]:
+    while k < cap and col[k] and (
+        rs is None or rs(k, acc, names, pos, mstart)
+    ):
         k += 1
     # the run stopped at the data edge while still allowed to grow
     eof_run = k == limit == n and (hi is None or k - pos < hi)
@@ -322,7 +602,8 @@ def _attempt(pos: int, si: int, steps: list, n: int, limit: int):
     ends = range(k, lo_end - 1, -1) if greedy else range(lo_end, k + 1)
     eof_any = eof_run if greedy else False
     for end in ends:
-        rest, rend, eof = _attempt(end, si + 1, steps, n, limit)
+        nxt = acc + ([(names, pos, end)] if end > pos else [])
+        rest, rend, eof = _attempt(end, si + 1, steps, n, limit, nxt, mstart)
         eof_any = eof_any or eof
         if rest is not None:
             span = [(names, pos, end)] if end > pos else []
@@ -461,7 +742,12 @@ def match_recognize(
     """
     pat_vars, steps = _validate(pattern, define, measures)
     skip = _parse_skip(after_match, pat_vars)
-    work = _flag_columns(df, pat_vars, define, list(partition_by), list(order_by))
+    define_rw, nav_cols = _rewrite_nav(define)
+    rs_compiled, rs_value_cols = _prepare_runstate(define_rw, steps)
+    work = _flag_columns(
+        df, pat_vars, define_rw, nav_cols, list(partition_by), list(order_by),
+        runstate_vars=set(rs_compiled), keep_cols=rs_value_cols,
+    )
     out_fields = _output_fields(df, partition_by, measures)
     out_schema = StructType(out_fields)
 
@@ -474,7 +760,8 @@ def match_recognize(
 
         pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
         flags = {v: pdf[f"__m_{v}"].to_numpy() for v in pat_vars}
-        rt_steps = _runtime_steps(steps, flags)
+        rs_evals = _bind_runstate(rs_compiled, rs_value_cols, pdf, flags)
+        rt_steps = _runtime_steps(steps, flags, rs_evals)
         ovals = pdf[order_cols[0]].to_numpy() if within is not None else None
         matches, _ = _scan(
             rt_steps, len(pdf), streaming=False, ovals=ovals, within=within,
@@ -585,9 +872,16 @@ def match_recognize_stream(
 
     pat_vars, steps = _validate(pattern, define, measures)
     skip = _parse_skip(after_match, pat_vars)
+    define_rw, nav_cols = _rewrite_nav(define)
+    rs_compiled, rs_value_cols = _prepare_runstate(define_rw, steps)
     # no partition/order context: PREV/NEXT navigation raises (the
-    # documented batch-only contract — see the module doc)
-    work = _flag_columns(df, pat_vars, define)
+    # documented batch-only contract — see the module doc). FIRST/LAST
+    # run-state navigation is FINE here: it evaluates in the matcher
+    # over the match's own buffered rows, which the pending-suffix
+    # state carries across triggers.
+    work = _flag_columns(
+        df, pat_vars, define_rw, nav_cols, runstate_vars=set(rs_compiled)
+    )
     out_fields = _output_fields(df, partition_by, measures)
     out_schema = StructType(out_fields)
 
@@ -598,6 +892,7 @@ def match_recognize_stream(
         dict.fromkeys(
             [*part_cols, *order_cols]
             + [f for _, _, f, _ in meas if f is not None]
+            + sorted(rs_value_cols)
             + [f"__m_{v}" for v in pat_vars]
         )
     )
@@ -620,7 +915,8 @@ def match_recognize_stream(
             return
         pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
         flags = {v: pdf[f"__m_{v}"].to_numpy() for v in pat_vars}
-        rt_steps = _runtime_steps(steps, flags)
+        rs_evals = _bind_runstate(rs_compiled, rs_value_cols, pdf, flags)
+        rt_steps = _runtime_steps(steps, flags, rs_evals)
         n = len(pdf)
         ovals = pdf[order_cols[0]].to_numpy() if within is not None else None
         matches, pending = _scan(

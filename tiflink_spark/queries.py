@@ -1209,6 +1209,8 @@ _PRIORITY = [
     "retention_cohorts",
     "numeric_histogram",
     "heavy_hitters_custkey",
+    # --- round-9-new gates ---
+    "pattern_runstate_first",
     # --- round-8-new gates ---
     "pattern_vshape_prev",
     "pattern_overlap_views",
@@ -1228,8 +1230,8 @@ _PRIORITY = [
     "multimodal_real_resize",
     "dedup_incremental_batch",
     "asof_last_click",
-    "keyed_sink_roundtrip",
     # ================== past the 50-query window ==================
+    "keyed_sink_roundtrip",
     # r2-r8 driver-green gates rotated out below.
     "contamination_check",
     "streaming_static_join",

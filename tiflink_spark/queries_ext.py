@@ -2124,3 +2124,74 @@ def pattern_overlap_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         after_match="to next row",
     ).select("user_id", "match_seq", "v_event", "p_event", "n_clicks")
+
+
+_RUNSTATE_ORACLE_SQL = """
+    WITH ordered AS (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+    runs AS (
+        SELECT o.user_id, o.rn, o.value AS start_v,
+               (SELECT min(i.rn) FROM ordered i
+                WHERE i.user_id = o.user_id AND i.rn > o.rn
+                  AND i.value <= o.value) AS brk,
+               (SELECT max(i.rn) FROM ordered i
+                WHERE i.user_id = o.user_id) AS mx
+        FROM ordered o),
+    matches AS (
+        SELECT user_id, rn, start_v,
+               CAST(COALESCE(brk, mx + 1) - rn - 1 AS BIGINT) AS n_up
+        FROM runs WHERE COALESCE(brk, mx + 1) - rn - 1 >= 1)
+    SELECT ma.user_id,
+           CAST(row_number() OVER (PARTITION BY ma.user_id ORDER BY ma.rn)
+                AS BIGINT) AS match_seq,
+           ma.start_v,
+           (SELECT max(i.value) FROM ordered i
+            WHERE i.user_id = ma.user_id
+              AND i.rn > ma.rn AND i.rn <= ma.rn + ma.n_up) AS peak,
+           ma.n_up
+    FROM matches ma
+    """
+
+
+@register(
+    "pattern_runstate_first",
+    _RUNSTATE_ORACLE_SQL,
+    doc=(
+        "MATCH_RECOGNIZE with FIRST() RUN-STATE navigation in DEFINE "
+        "(round 9; the r8 documented refusal, patterns.py): rallies — "
+        "for every row, the maximal contiguous run of following rows "
+        "strictly above the MATCH'S OWN start value: PATTERN (S U+) "
+        "AFTER MATCH SKIP TO NEXT ROW, U AS value > FIRST(value). "
+        "FIRST/LAST need the in-flight match assignment, so such a "
+        "DEFINE compiles (restricted comparison grammar, "
+        "patterns._compile_runstate) and evaluates per candidate row "
+        "inside the Arrow-batched matcher — unlike PREV/NEXT it cannot "
+        "be a lag() column: the offset to the match start varies per "
+        "row. The oracle derives each row's run independently: the "
+        "first following row at-or-below the start value bounds the "
+        "run (correlated min over the ordered partition) — the same "
+        "semantics with no NFA. Measures avoid cross-engine float "
+        "arithmetic: untouched doubles + BIGINT counts."
+    ),
+    tags=("pattern", "cep", "navigation", "runstate"),
+)
+def pattern_runstate_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.patterns import match_recognize
+
+    t = _t(spark, sf_dir)
+    return match_recognize(
+        t["events"],
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern=[("S", "1"), ("U", "+")],
+        define={"U": "value > FIRST(value)"},
+        measures=[
+            ("start_v", "S", "value", "first"),
+            ("peak", "U", "value", "max"),
+            ("n_up", "U", None, "count"),
+        ],
+        after_match="to next row",
+    ).select("user_id", "match_seq", "start_v", "peak", "n_up")
