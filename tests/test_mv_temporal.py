@@ -226,3 +226,135 @@ def test_temporal_join_requires_event_time_declaration(spark, tmp_path):
             .target(str(tmp_path / "mv2"))
             .build()
         )
+
+
+def test_temporal_join_composite_dim_pk_converges(spark, tmp_path):
+    """Composite dim PK (round 9): the ON conjunction covers both PK
+    columns (in crossed order, qualifying the matcher's any-order
+    alignment); versioned lookups behave exactly like the single-column
+    route."""
+    prof = spark.createDataFrame(
+        [
+            (1, "eu", "bronze", _t("2024-01-01")),
+            (1, "us", "silver", _t("2024-01-01")),
+        ],
+        "uid int, region string, tier string, updated_at timestamp",
+    )
+    ev = spark.createDataFrame(
+        [
+            (10, 1, "eu", _t("2024-02-01"), 1.0),
+            (11, 1, "us", _t("2024-02-01"), 2.0),
+        ],
+        "eid int, uid int, reg string, ts timestamp, v double",
+    )
+    app = (
+        MVApp.builder(spark)
+        .source("ev_c", ev, pk=["eid"])
+        .source("prof_c", prof, pk=["uid", "region"], event_time="updated_at")
+        .query(
+            """SELECT e.eid, e.uid, e.reg, e.ts, d.tier
+               FROM ev_c e JOIN prof_c FOR SYSTEM_TIME AS OF e.ts AS d
+                 ON d.region = e.reg AND e.uid = d.uid"""
+        )
+        .target(str(tmp_path / "mvc"))
+        .num_buckets(2)
+        .shuffle_partitions(2)
+        .build()
+    )
+    assert app.maintenance_strategy == "IncrementalTemporalJoinMV"
+    app.bootstrap()
+    assert {(r.eid, r.tier) for r in app.read().collect()} == {
+        (10, "bronze"),
+        (11, "silver"),
+    }
+    # version change on ONE composite key: (1, eu) -> gold from 03-01;
+    # (1, us) untouched
+    app.refresh(
+        {
+            "prof_c": _ch(
+                spark,
+                [(1, "eu", "gold", _t("2024-03-01"))],
+                "uid int, region string, tier string, updated_at timestamp",
+            )
+        },
+        batch_id=1,
+    )
+    app.refresh(
+        {
+            "ev_c": _ch(
+                spark,
+                [
+                    (20, 1, "eu", _t("2024-02-15"), 3.0),  # late: bronze
+                    (21, 1, "eu", _t("2024-03-15"), 4.0),  # post: gold
+                    (22, 1, "us", _t("2024-03-15"), 5.0),  # other key: silver
+                ],
+                "eid int, uid int, reg string, ts timestamp, v double",
+            )
+        },
+        batch_id=2,
+    )
+    assert {(r.eid, r.tier) for r in app.read().collect()} == {
+        (10, "bronze"),
+        (11, "silver"),
+        (20, "bronze"),
+        (21, "gold"),
+        (22, "silver"),
+    }
+    # convergence against the batch as-of join over final states
+    hist = app._mv.hist_store.read()
+    fact = app._mv.fact_store.read()
+    expect = fact.join(
+        hist,
+        (fact["uid"] == hist["uid"])
+        & (fact["reg"] == hist["region"])
+        & (fact["ts"] >= hist["__valid_from"])
+        & (hist["__valid_to"].isNull() | (fact["ts"] < hist["__valid_to"])),
+        "inner",
+    ).select(fact["eid"], fact["uid"], fact["reg"], fact["ts"], hist["tier"])
+    assert {tuple(r) for r in expect.collect()} == {
+        tuple(r) for r in app.read().collect()
+    }
+
+
+def test_temporal_join_selecting_dim_pk_and_time_col(spark, tmp_path):
+    """Selecting the dim's PK or its event-time column through the
+    temporal join: the PK rides the history alias, the time column is
+    the matched version's __valid_from."""
+    prof = spark.createDataFrame(
+        [(1, "bronze", _t("2024-01-01"))], _PROF_SCHEMA
+    )
+    ev = spark.createDataFrame([(10, 1, _t("2024-02-01"), 1.0)], _EV_SCHEMA)
+    app = (
+        MVApp.builder(spark)
+        .source("ev_s", ev, pk=["eid"])
+        .source("prof_s", prof, pk=["uid"], event_time="updated_at")
+        .query(
+            """SELECT e.eid, e.ts, d.tier, d.updated_at
+               FROM ev_s e JOIN prof_s FOR SYSTEM_TIME AS OF e.ts AS d
+                 ON e.uid = d.uid"""
+        )
+        .target(str(tmp_path / "mvs"))
+        .num_buckets(2)
+        .shuffle_partitions(2)
+        .build()
+    )
+    app.bootstrap()
+    rows = app.read().collect()
+    assert [(r.eid, r.tier, r.updated_at) for r in rows] == [
+        (10, "bronze", _t("2024-01-01"))
+    ]
+    # after a version change, a post-change fact reports the NEW
+    # version's effective time
+    app.refresh(
+        {"prof_s": _ch(spark, [(1, "gold", _t("2024-03-01"))], _PROF_SCHEMA)},
+        batch_id=1,
+    )
+    app.refresh(
+        {"ev_s": _ch(spark, [(11, 1, _t("2024-04-01"), 2.0)], _EV_SCHEMA)},
+        batch_id=2,
+    )
+    got = {(r.eid, r.tier, r.updated_at) for r in app.read().collect()}
+    assert got == {
+        (10, "bronze", _t("2024-01-01")),
+        (11, "gold", _t("2024-03-01")),
+    }

@@ -1369,8 +1369,8 @@ class MVApp:
         if shape is None:
             raise ValueError(
                 "FOR SYSTEM_TIME AS OF query doesn't fit the temporal-join "
-                "envelope (one INNER temporal join, single-equality ON over "
-                "the dim's single-column PK, AS OF a fact column, plain "
+                "envelope (one INNER temporal join, conjunctive-equality ON "
+                "covering the dim's PK exactly, AS OF a fact column, plain "
                 "column select including the whole fact PK) — and no "
                 "recompute fallback exists: Spark SQL cannot execute the "
                 "syntax"

@@ -2513,9 +2513,9 @@ class IncrementalTemporalJoinMV:
         fact_pk: list[str],
         dim_name: str,
         dim: DataFrame,
-        dim_pk: str,
+        dim_pk: str | list[str],
         dim_time_col: str,
-        fk: str,
+        fk: str | list[str],
         time_col: str,
         out_cols: list[str],
         out_src: list[str],
@@ -2529,18 +2529,25 @@ class IncrementalTemporalJoinMV:
         self.shuffle_partitions = shuffle_partitions
         self.fact_name, self.dim_name = fact_name, dim_name
         self.fact_pk = list(fact_pk)
-        self.dim_pk = dim_pk
+        # composite dim PKs: fk[i] on the fact side pairs with
+        # dim_pk[i] on the dim side (the planner aligns them)
+        self.dim_pk = [dim_pk] if isinstance(dim_pk, str) else list(dim_pk)
         self.dim_time_col = dim_time_col
-        self.fk, self.time_col = fk, time_col
+        self.fk = [fk] if isinstance(fk, str) else list(fk)
+        if len(self.fk) != len(self.dim_pk):
+            raise ValueError("temporal join: fk and dim_pk arity disagree")
+        self.time_col = time_col
         self.out = list(zip(out_cols, out_src))
         # columns each side must carry (fact: pk + fk + ts + outputs;
         # dim history payload: dim outputs minus the pk, whose value
         # rides __valid_from-keyed rows already)
         self._fact_side = list(
-            dict.fromkeys([*self.fact_pk, fk, time_col, *fact_cols])
+            dict.fromkeys([*self.fact_pk, *self.fk, time_col, *fact_cols])
         )
         self._dim_payload = [
-            c for c in dict.fromkeys(dim_cols) if c not in (dim_pk, dim_time_col)
+            c
+            for c in dict.fromkeys(dim_cols)
+            if c not in (*self.dim_pk, dim_time_col)
         ]
         self.fact0 = fact.select(*self._fact_side)
         self.dim0 = dim
@@ -2548,7 +2555,10 @@ class IncrementalTemporalJoinMV:
             spark, os.path.join(work_dir, "fact"), self.fact_pk, num_buckets
         )
         self.hist_store = KeyedParquetStore(
-            spark, os.path.join(work_dir, "dim_history"), [dim_pk, self.VSEQ], num_buckets
+            spark,
+            os.path.join(work_dir, "dim_history"),
+            [*self.dim_pk, self.VSEQ],
+            num_buckets,
         )
         self.target = KeyedParquetStore(
             spark, os.path.join(work_dir, "mv"), self.fact_pk, num_buckets
@@ -2559,33 +2569,71 @@ class IncrementalTemporalJoinMV:
         time (left join + ``__matched``; exactly one interval can
         contain a given time). The history side is pre-pruned to the
         referencing keys present in the rows."""
-        keys = fact_rows.select(F.col(self.fk).alias("__k")).where(
-            F.col("__k").isNotNull()
-        ).distinct()
-        h = hist.join(keys, hist[self.dim_pk] == keys["__k"], "left_semi").select(
-            F.col(self.dim_pk).alias("__hpk"),
+        import functools
+        import operator
+
+        keys = (
+            fact_rows.select(
+                *[F.col(k).alias(f"__k{i}") for i, k in enumerate(self.fk)]
+            )
+            .where(
+                functools.reduce(
+                    operator.and_,
+                    [F.col(f"__k{i}").isNotNull() for i in range(len(self.fk))],
+                )
+            )
+            .distinct()
+        )
+        h = hist.join(
+            keys,
+            functools.reduce(
+                operator.and_,
+                [
+                    hist[p] == keys[f"__k{i}"]
+                    for i, p in enumerate(self.dim_pk)
+                ],
+            ),
+            "left_semi",
+        ).select(
+            *[
+                F.col(p).alias(f"__hpk{i}")
+                for i, p in enumerate(self.dim_pk)
+            ],
             F.col(self.VFROM),
             F.col(self.VTO),
             *[F.col(c) for c in self._dim_payload],
         )
         f = fact_rows
-        cond = (
-            (f[self.fk] == h["__hpk"])
-            & (f[self.time_col] >= h[self.VFROM])
-            & (h[self.VTO].isNull() | (f[self.time_col] < h[self.VTO]))
+        cond = functools.reduce(
+            operator.and_,
+            [f[k] == h[f"__hpk{i}"] for i, k in enumerate(self.fk)],
+        ) & (f[self.time_col] >= h[self.VFROM]) & (
+            h[self.VTO].isNull() | (f[self.time_col] < h[self.VTO])
         )
         joined = f.join(h, cond, "left")
+        dim_by_low = {p.lower(): i for i, p in enumerate(self.dim_pk)}
         cols = []
         for name, src in self.out:
-            cols.append(f[name] if src == "fact" else joined[name])
-        return joined.select(*cols, h["__hpk"].isNotNull().alias("__matched"))
+            if src == "fact":
+                cols.append(f[name])
+            elif name.lower() in dim_by_low:
+                # a selected dim PK column rides the __hpk alias (and
+                # equals the fact FK on matched rows)
+                cols.append(h[f"__hpk{dim_by_low[name.lower()]}"].alias(name))
+            elif name == self.dim_time_col:
+                cols.append(h[self.VFROM].alias(name))
+            else:
+                cols.append(joined[name])
+        return joined.select(
+            *cols, h["__hpk0"].isNotNull().alias("__matched")
+        )
 
     @_maintenance
     def bootstrap(self, batch_id=0) -> None:
         self.fact_store.bootstrap(self.fact0, batch_id)
         ts_type = dict(self.dim0.dtypes)[self.dim_time_col]
         hist0 = self.dim0.select(
-            F.col(self.dim_pk),
+            *[F.col(p) for p in self.dim_pk],
             F.lit(0).cast("long").alias(self.VSEQ),
             F.col(self.dim_time_col).alias(self.VFROM),
             F.lit(None).cast(ts_type).alias(self.VTO),
@@ -2618,23 +2666,23 @@ class IncrementalTemporalJoinMV:
                 )
             ),
         )
-        w = Window.partitionBy(self.dim_pk).orderBy(
+        w = Window.partitionBy(*self.dim_pk).orderBy(
             F.col(self.dim_time_col), F.col(SEQ_COL)
         )
         seqd = ch.withColumn("__nxt", F.lead(self.dim_time_col).over(w)).withColumn(
             "__rn", F.row_number().over(w)
         )
-        dirty = dim_changes.select(self.dim_pk).distinct()
-        mins = dim_changes.groupBy(self.dim_pk).agg(
+        dirty = dim_changes.select(*self.dim_pk).distinct()
+        mins = dim_changes.groupBy(*self.dim_pk).agg(
             F.min(self.dim_time_col).alias("__min_t")
         )
         open_rows = pre.filter(F.col(self.VTO).isNull()).join(
-            dirty, [self.dim_pk], "left_semi"
+            dirty, self.dim_pk, "left_semi"
         )
         # close the open interval at the batch's first change time; an
         # earlier-than-open change is an ordering violation (Flink's
         # event-time temporal join requires watermark-ordered versions)
-        closed = open_rows.join(mins, [self.dim_pk]).withColumn(
+        closed = open_rows.join(mins, self.dim_pk).withColumn(
             self.VTO,
             F.when(F.col("__min_t") >= F.col(self.VFROM), F.col("__min_t")).otherwise(
                 F.raise_error(
@@ -2646,14 +2694,14 @@ class IncrementalTemporalJoinMV:
                 )
             ),
         ).drop("__min_t")
-        maxv = pre.groupBy(self.dim_pk).agg(F.max(self.VSEQ).alias("__maxv")).join(
-            dirty, [self.dim_pk], "left_semi"
+        maxv = pre.groupBy(*self.dim_pk).agg(F.max(self.VSEQ).alias("__maxv")).join(
+            dirty, self.dim_pk, "left_semi"
         )
         new_rows = (
             seqd.filter(F.col(OP_COL) != OP_DELETE)
-            .join(maxv, [self.dim_pk], "left")
+            .join(maxv, self.dim_pk, "left")
             .select(
-                F.col(self.dim_pk),
+                *[F.col(p) for p in self.dim_pk],
                 (F.coalesce(F.col("__maxv"), F.lit(-1).cast("long")) + F.col("__rn"))
                 .cast("long")
                 .alias(self.VSEQ),
@@ -2662,7 +2710,7 @@ class IncrementalTemporalJoinMV:
                 *[F.col(c) for c in self._dim_payload],
             )
         )
-        out_cols = [self.dim_pk, self.VSEQ, self.VFROM, self.VTO, *self._dim_payload]
+        out_cols = [*self.dim_pk, self.VSEQ, self.VFROM, self.VTO, *self._dim_payload]
         return (
             closed.select(*out_cols)
             .withColumn(OP_COL, F.lit(OP_UPDATE))
@@ -2692,12 +2740,20 @@ class IncrementalTemporalJoinMV:
             # fact rows referencing the changed keys re-derive against
             # the post-batch history (a version split moves their AS OF
             # lookup; a closing delete drops them)
+            # two-step rename (dim pk -> fact fk names) so a crossed
+            # composite mapping (fk=(b,a) over pk=(a,b)) can't collide
             dirty_fk = (
-                last_change_per_key(dim_changes, [self.dim_pk])
-                .select(F.col(self.dim_pk).alias(self.fk))
+                last_change_per_key(dim_changes, self.dim_pk)
+                .select(
+                    *[
+                        F.col(p).alias(f"__dfk{i}")
+                        for i, p in enumerate(self.dim_pk)
+                    ]
+                )
+                .toDF(*self.fk)
                 .distinct()
             )
-            affected = self.fact_store.read().join(dirty_fk, [self.fk], "left_semi")
+            affected = self.fact_store.read().join(dirty_fk, self.fk, "left_semi")
             parts.append(
                 self._asof(affected, self.hist_store.read()).withColumn(
                     OP_COL,

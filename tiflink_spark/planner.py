@@ -3935,12 +3935,13 @@ class TemporalJoinShape:
 
     keyed by the fact PK (must appear in the select). Routed to
     IncrementalTemporalJoinMV. ``out_src`` labels each output column
-    'fact' or 'dim'."""
+    'fact' or 'dim'. ``fk``/``dim_pk`` are aligned tuples — composite
+    dim PKs join on the full conjunction."""
 
     fact: str
     dim: str
-    fk: str
-    dim_pk: str
+    fk: tuple[str, ...]
+    dim_pk: tuple[str, ...]
     time_col: str
     out_cols: tuple[str, ...]
     out_src: tuple[str, ...]
@@ -3955,10 +3956,11 @@ def match_temporal_join_shape(
     source_pks: dict[str, list[str]],
 ) -> TemporalJoinShape | None:
     """Match the one-dim temporal enrichment envelope, or None:
-    exactly one INNER temporal join, single-equality ON over the dim's
-    single-column PK, AS OF operand a fact column, select list of
-    plain (optionally qualified) unambiguous columns including the
-    whole fact PK; no WHERE/GROUP BY/HAVING/tail."""
+    exactly one INNER temporal join, conjunctive-equality ON covering
+    the dim's (possibly composite) PK exactly, AS OF operand a fact
+    column, select list of plain (optionally qualified) unambiguous
+    columns including the whole fact PK; no WHERE/GROUP BY/HAVING/
+    tail."""
     from tiflink_spark import sqlast
 
     s = sqlast.parse_join_select(query)
@@ -3979,7 +3981,7 @@ def match_temporal_join_shape(
         return None
     dim_pk = source_pks.get(dim) or []
     fact_pk = source_pks.get(fact) or []
-    if len(dim_pk) != 1 or not fact_pk:
+    if not dim_pk or not fact_pk:
         return None
     fcols = {c.lower(): c for c in source_columns[fact]}
     dcols = {c.lower(): c for c in source_columns[dim]}
@@ -4016,19 +4018,30 @@ def match_temporal_join_shape(
         return None
     time_col = st[1]
 
-    m = re.fullmatch(
-        rf"\s*({_IDENT}(?:\s*\.\s*{_IDENT})?)\s*=\s*({_IDENT}(?:\s*\.\s*{_IDENT})?)\s*",
-        j.on,
-    )
-    if m is None:
+    # ON: a conjunction of simple equalities covering the dim's PK
+    # exactly (composite PKs join on every column, any order)
+    pairs: dict[str, str] = {}  # dim pk col (canonical) -> fact fk col
+    for conj in re.split(r"(?i)\bAND\b", j.on):
+        m = re.fullmatch(
+            rf"\s*\(?\s*({_IDENT}(?:\s*\.\s*{_IDENT})?)\s*=\s*"
+            rf"({_IDENT}(?:\s*\.\s*{_IDENT})?)\s*\)?\s*",
+            conj,
+        )
+        if m is None:
+            return None
+        l, r = resolve(m.group(1)), resolve(m.group(2))
+        if l is None or r is None or {l[0], r[0]} != {"fact", "dim"}:
+            return None
+        fk_c = l[1] if l[0] == "fact" else r[1]
+        dpk_c = l[1] if l[0] == "dim" else r[1]
+        if dpk_c.lower() in (p.lower() for p in pairs):
+            return None  # duplicate equality on the same dim column
+        pairs[dpk_c] = fk_c
+    if {p.lower() for p in pairs} != {p.lower() for p in dim_pk}:
         return None
-    l, r = resolve(m.group(1)), resolve(m.group(2))
-    if l is None or r is None or {l[0], r[0]} != {"fact", "dim"}:
-        return None
-    fk = l[1] if l[0] == "fact" else r[1]
-    dpk = l[1] if l[0] == "dim" else r[1]
-    if dpk.lower() != dim_pk[0].lower():
-        return None
+    by_low = {p.lower(): (p, f) for p, f in pairs.items()}
+    dpk_list = [by_low[p.lower()][0] for p in dim_pk]
+    fk = [by_low[p.lower()][1] for p in dim_pk]
 
     out_cols, out_src = [], []
     for item in _split_select_list(s.select):
@@ -4045,8 +4058,8 @@ def match_temporal_join_shape(
     return TemporalJoinShape(
         fact=fact,
         dim=dim,
-        fk=fk,
-        dim_pk=dim_pk[0],
+        fk=tuple(fk),
+        dim_pk=tuple(dpk_list),
         time_col=time_col,
         out_cols=tuple(out_cols),
         out_src=tuple(out_src),

@@ -1211,6 +1211,7 @@ _PRIORITY = [
     "heavy_hitters_custkey",
     # --- round-9-new gates ---
     "pattern_runstate_first",
+    "mvapp_temporal_streaming",
     # --- round-8-new gates ---
     "pattern_vshape_prev",
     "pattern_overlap_views",
@@ -1229,8 +1230,8 @@ _PRIORITY = [
     "text_quality_score",
     "multimodal_real_resize",
     "dedup_incremental_batch",
-    "asof_last_click",
     # ================== past the 50-query window ==================
+    "asof_last_click",
     "keyed_sink_roundtrip",
     # r2-r8 driver-green gates rotated out below.
     "contamination_check",

@@ -5921,3 +5921,104 @@ def mvapp_auto_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return app.read().localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_temporal_streaming",
+    """
+    WITH prof AS (
+        SELECT DISTINCT user_id,
+               CASE WHEN user_id % 3 = 0 THEN 'basic' ELSE 'plus' END AS tier
+        FROM events),
+    fact AS (
+        SELECT event_id, user_id, ts FROM events
+        UNION ALL
+        SELECT event_id + 20000000, user_id, ts FROM events
+        WHERE event_id % 7 = 0)
+    SELECT f.event_id, f.user_id,
+           CASE WHEN f.user_id % 10 = 3 AND f.ts >= TIMESTAMP '2024-01-04'
+                THEN 'gold' ELSE p.tier END AS tier
+    FROM fact f JOIN prof p ON f.user_id = p.user_id
+    """,
+    doc=(
+        "END-TO-END streaming TEMPORAL join MV (round 9; the r8 gate "
+        "was scripted-batch only): a versioned user-profile dim and an "
+        "event fact stream, both consumed via spark.readStream file "
+        "sources through MVApp.start_streaming and applied with "
+        "writeStream.foreachBatch -> IncrementalTemporalJoinMV.refresh "
+        "— the reference's real streaming lifecycle "
+        "(TiFlinkApp.java:70-116). The dim stream upgrades every "
+        "user_id%10==3 profile to gold EFFECTIVE 2024-01-04 (a new "
+        "SCD-2 version), the fact stream inserts event copies spread "
+        "across the whole period — so late events must keep the OLD "
+        "tier and post-change events pick up gold, whatever order the "
+        "two streams' micro-batches land in. The oracle is the "
+        "closed-form CASE over the final two-version history."
+    ),
+    tags=("mv", "streaming", "planner", "temporal"),
+)
+def mvapp_temporal_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    ev = t["events"]
+    prof = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn(
+            "tier",
+            F.when(F.col("user_id") % 3 == 0, F.lit("basic")).otherwise(
+                F.lit("plus")
+            ),
+        )
+        .withColumn("updated_at", F.lit("2024-01-01").cast("timestamp"))
+    )
+    work = tempfile.mkdtemp(prefix="mvapp_tjstream_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("ev_ts", ev, pk=["event_id"])
+            .source("prof_ts", prof, pk=["user_id"], event_time="updated_at")
+            .query(
+                """SELECT e.event_id, e.user_id, d.tier
+                   FROM ev_ts e JOIN prof_ts FOR SYSTEM_TIME AS OF e.ts AS d
+                     ON e.user_id = d.user_id"""
+            )
+            .target(os.path.join(work, "mv"))
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalTemporalJoinMV":
+            raise AssertionError(
+                f"planner routed the temporal join to {app.maintenance_strategy}"
+            )
+        b_dim = (
+            prof.filter(F.col("user_id") % 10 == 3)
+            .withColumn("tier", F.lit("gold"))
+            .withColumn("updated_at", F.lit("2024-01-04").cast("timestamp"))
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        b_fact = (
+            ev.filter(F.col("event_id") % 7 == 0)
+            .withColumn("event_id", F.col("event_id") + BIG)
+            .withColumn(OP_COL, F.lit(OP_INSERT))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        dirs = {}
+        for name, b in (("ev_ts", b_fact), ("prof_ts", b_dim)):
+            d = os.path.join(work, f"chlog_{name}")
+            b.coalesce(1).write.mode("overwrite").parquet(d)
+            dirs[name] = d
+        app.bootstrap()
+        app.start_streaming(dirs, checkpoint_dir=os.path.join(work, "ckpt"))
+        return (
+            app.read()
+            .select("event_id", "user_id", "tier")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
