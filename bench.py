@@ -220,6 +220,24 @@ def _mv_refresh_block(spark, sf_dir: str) -> dict:
                 else None
             ),
         }
+    # cost_advisor record (round 9): the measured strategy advisor's
+    # build-time decision for the star shape at THIS scale — the
+    # planner's answer to "incremental loses to recompute below the
+    # crossover" (one timed full query; see MVAppBuilder.cost_advisor)
+    work = tempfile.mkdtemp(prefix="bench_adv_")
+    try:
+        adv = (
+            star_agg(MVApp.builder(spark))
+            .target(work)
+            .num_buckets(8)
+            .shuffle_partitions(8)
+            .cost_advisor()
+            .build()
+        )
+        out["star_join_agg"]["advisor"] = adv.describe()["advisor"]
+        out["star_join_agg"]["advisor_strategy"] = adv.maintenance_strategy
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return out
 
 

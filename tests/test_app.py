@@ -2305,3 +2305,67 @@ def test_rewrite_theta_tree():
     assert rewrite_theta_tree(
         q.replace("ak = bk", "ak < bk"), {"a", "b", "c"}, cols, pks
     ) is None
+
+
+def test_cost_advisor_routes_join_agg_by_measured_time(spark, tmp_path):
+    """cost_advisor (round 9): a join-agg view whose full query executes
+    under the threshold re-routes to RecomputeMV — with the measured
+    time and decision recorded in describe()['advisor']. A zero
+    threshold keeps the incremental route; without the builder knob the
+    record is None and the route is un-advised."""
+    from pyspark.sql import functions as F
+
+    orders = spark.createDataFrame(
+        [(i, i % 7, float(i)) for i in range(200)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    cust = spark.createDataFrame(
+        [(i, i % 3) for i in range(7)], "c_custkey long, c_nationkey long"
+    )
+    nat = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(3)], "n_nationkey long, n_name string"
+    )
+
+    def build(**kw):
+        b = (
+            MVApp.builder(spark)
+            .source("ord_a", orders, pk=["o_orderkey"])
+            .source("cust_a", cust, pk=["c_custkey"])
+            .source("nat_a", nat, pk=["n_nationkey"])
+            .query(
+                """SELECT n.n_name, count(*) AS n_orders
+                   FROM ord_a o
+                     JOIN cust_a c ON o.o_custkey = c.c_custkey
+                     JOIN nat_a n ON c.c_nationkey = n.n_nationkey
+                   GROUP BY n.n_name"""
+            )
+            .target(str(tmp_path / f"adv{len(list(tmp_path.iterdir()))}"))
+            .num_buckets(2)
+            .shuffle_partitions(2)
+        )
+        if kw:
+            b = b.cost_advisor(**kw)
+        return b.build()
+
+    fast = build(full_query_secs=3600.0)  # tiny data always under
+    assert fast.maintenance_strategy == "RecomputeMV"
+    adv = fast.describe()["advisor"]
+    assert adv["decision"] == "recompute" and adv["full_query_secs"] >= 0
+    # and the advised app still converges
+    fast.bootstrap()
+    ch = (
+        orders.limit(5)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+        .withColumn(OP_COL, F.lit(OP_UPDATE))
+        .withColumn(SEQ_COL, F.monotonically_increasing_id())
+    )
+    fast.refresh({"ord_a": ch}, batch_id=1)
+    assert fast.read().count() == 3
+
+    slow = build(full_query_secs=0.0)  # nothing completes in 0s
+    assert slow.maintenance_strategy == "IncrementalJoinAggMV"
+    assert slow.describe()["advisor"]["decision"] == "incremental"
+
+    plain = build()
+    assert plain.maintenance_strategy == "IncrementalJoinAggMV"
+    assert plain.describe()["advisor"] is None

@@ -67,6 +67,13 @@ from tiflink_spark.planner import (
 from tiflink_spark.store import KeyedParquetStore
 from tiflink_spark.types import create_table_ddl
 
+# cost_advisor default: a join-agg view whose FULL query executes within
+# this many seconds refreshes cheaper by recompute than by the
+# incremental path's multi-merge floor (calibration in
+# MVAppBuilder.cost_advisor — every measured point through sf10 / ~11s
+# full-query favored recompute for the star shape).
+ADVISOR_FULL_QUERY_SECS = 15.0
+
 
 class MVAppBuilder:
     def __init__(self, spark: SparkSession):
@@ -159,6 +166,34 @@ class MVAppBuilder:
         self._force_recompute = enabled
         return self
 
+    def cost_advisor(
+        self, enabled: bool = True, full_query_secs: float | None = None
+    ) -> "MVAppBuilder":
+        """Measured strategy advisor for JOIN-AGGREGATE views: when the
+        planner routes to IncrementalJoinAggMV, time ONE full execution
+        of the query at build; if it completes within ``full_query_secs``
+        (default ADVISOR_FULL_QUERY_SECS), re-route the view to
+        RecomputeMV — per-batch recompute is then predictably cheaper
+        than the incremental path's multi-merge floor.
+
+        Calibration (measured, 32-core local, BENCH r8/r9): the star
+        join-agg's per-batch recompute is ~0.7x its full-query time,
+        while the incremental path's floor is a fixed 2-4s of store
+        merges plus a retraction scan that uniform churn degrades to
+        O(table) — recompute won at every point measured through sf10
+        (full query ~11s; speedups 0.67-0.87). The default threshold
+        (15s) therefore routes everything up to ~sf10-scale to
+        recompute and trusts O(δ) beyond, where a full join is
+        minutes, not seconds. The decision (and the measured time) is
+        recorded in describe()['advisor'] — the planner's charter
+        applied to cost: a miss is never wrong, only slower.
+
+        Opt-in: the probe costs one full query execution at build, and
+        pinned-strategy tests/gates expect the un-advised route."""
+        self._cost_advisor = enabled
+        self._advisor_threshold = full_query_secs
+        return self
+
     def drop_old_table(self, enabled: bool = True) -> "MVAppBuilder":
         """Wipe any existing target state before the first publish —
         the reference builder's ``setDropOldTable``
@@ -214,6 +249,8 @@ class MVAppBuilder:
             drop_old_table=getattr(self, "_drop_old_table", False),
             force_new_table=getattr(self, "_force_new_table", False),
             force_recompute=getattr(self, "_force_recompute", False),
+            cost_advisor=getattr(self, "_cost_advisor", False),
+            advisor_threshold=getattr(self, "_advisor_threshold", None),
         )
 
 
@@ -323,7 +360,7 @@ class MVApp:
         shuffle_partitions=None, ddl_hook=None, validate_pks=False,
         column_names=None, window_strategy="sort",
         drop_old_table=False, force_new_table=False,
-        force_recompute=False,
+        force_recompute=False, cost_advisor=False, advisor_threshold=None,
     ):
         # Output-name override (the reference builder's setColumnNames,
         # README.md:56): planning/maintenance run on the query's own
@@ -335,11 +372,44 @@ class MVApp:
         # bootstrap() — building an MVApp plans, it does not write.
         self.drop_old_table = drop_old_table
         self.force_new_table = force_new_table
+        self.advisor = None
         self._plan(
             spark, sources, query, target, pk, num_buckets,
             shuffle_partitions, ddl_hook, validate_pks,
             force_recompute=force_recompute,
         )
+        if (
+            cost_advisor
+            and not force_recompute
+            and self.maintenance_strategy == "IncrementalJoinAggMV"
+        ):
+            # Measured advisor (see MVAppBuilder.cost_advisor): one
+            # timed full execution of the (already-normalized) query;
+            # below the threshold, per-batch recompute is predictably
+            # cheaper than the incremental path's merge floor, so
+            # re-plan onto RecomputeMV.
+            import time as _time
+
+            thr = (
+                advisor_threshold
+                if advisor_threshold is not None
+                else ADVISOR_FULL_QUERY_SECS
+            )
+            t0 = _time.perf_counter()
+            spark.sql(spark_executable_query(self.query)).count()
+            t_full = _time.perf_counter() - t0
+            decision = "recompute" if t_full <= thr else "incremental"
+            self.advisor = {
+                "full_query_secs": round(t_full, 3),
+                "threshold_secs": thr,
+                "decision": decision,
+            }
+            if decision == "recompute":
+                self._plan(
+                    spark, sources, query, target, pk, num_buckets,
+                    shuffle_partitions, ddl_hook, validate_pks,
+                    force_recompute=True,
+                )
         if column_names is not None:
             self._finish_column_names(column_names, target)
 
@@ -1484,6 +1554,9 @@ class MVApp:
             "query": self.query,
             "maintenance_mode": self.maintenance_mode,
             "maintenance_strategy": strategy,
+            # cost_advisor record (None unless the builder enabled it
+            # and the planner hit an advised shape)
+            "advisor": self.advisor,
             "mv_pk": list(self.mv_pk),
             "mv_columns": [f.name for f in self.mv_schema.fields],
             "ddl": self.ddl,

@@ -75,21 +75,37 @@ def _shuffle_scope(spark: SparkSession, n: int | None, adaptive_off: bool = Fals
     reference's fixed-parallelism analog, TiFlinkApp.java:243-246);
     bootstrap — real full-table work — keeps it on.
 
+    ``adaptive_off`` scopes also disable WHOLE-STAGE CODEGEN (and the
+    codegen expression factory): every refresh batch embeds that
+    batch's key literals (retraction filters, bucket paths) in the
+    plan, so the generated source is NEVER reused across batches —
+    each batch pays Janino compilation for every stage to then execute
+    a few hundred rows interpreted-speed anyway. Measured (flagship,
+    sf0.1, warm route): 3.0s/batch with codegen on vs 2.1s off — ~30%
+    of refresh latency was compiler time. Bootstrap keeps codegen on:
+    a full-table scan amortizes compilation exactly as intended.
+
     The scope snapshots/restores even when ``n`` is None so refresh
     bodies can re-tune the sizing mid-batch (``_tune_delta_shuffle``)
     without leaking it into the session.
     """
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_wsc = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    prev_fac = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
     if n is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(n))
     if adaptive_off:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.codegen.wholeStage", prev_wsc)
+        spark.conf.set("spark.sql.codegen.factoryMode", prev_fac)
 
 
 # Target rows per maintenance task. Once a batch's true change-row count
@@ -101,17 +117,28 @@ def _shuffle_scope(spark: SparkSession, n: int | None, adaptive_off: bool = Fals
 # floor — while a 10M-row backfill batch still fans out.
 DELTA_ROWS_PER_TASK = 32_768
 
+# Above this measured delta size a refresh batch re-enables whole-stage
+# codegen (see _tune_delta_shuffle): interpreted execution of a
+# backfill-scale batch costs more than the per-batch compile it saves.
+CODEGEN_DELTA_ROWS = 1_000_000
+
 
 def _tune_delta_shuffle(spark: SparkSession, configured: int | None, rows: int | None):
     """Re-pin shuffle sizing to the batch's measured delta volume for
     the remainder of the refresh (the enclosing _shuffle_scope restores
-    the session value afterwards)."""
+    the session value afterwards). A backfill-scale delta also turns
+    whole-stage codegen back ON for the rest of the batch — the
+    refresh scope disables it because micro-batches never amortize
+    Janino compilation, but a million-row batch does."""
     if rows is None:
         return
     need = max(1, -(-rows // DELTA_ROWS_PER_TASK))
     if configured is not None:
         need = min(need, configured)
     spark.conf.set("spark.sql.shuffle.partitions", str(need))
+    if rows > CODEGEN_DELTA_ROWS:
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
 
 
 def _maintenance(fn):
@@ -3315,6 +3342,8 @@ class IncrementalAggMV:
         from concurrent.futures import ThreadPoolExecutor
 
         new_state = None
+        concurrent = False
+        state_changes = None
         if fact_changes is not None:
             # Merge first, then read the retraction snapshot FROM BEFORE
             # this batch's commit (versioned time travel — correct on
@@ -3417,32 +3446,43 @@ class IncrementalAggMV:
             state_changes = new_state.withColumn(OP_COL, vanish_op).withColumn(
                 SEQ_COL, F.monotonically_increasing_id()
             )
-            # The state merge's delta write is the new-state lineage's
-            # SINGLE execution point: everything downstream (target-row
-            # construction, the dim branch) re-binds to the merge's
-            # materialized micro-batch parquet instead of re-analyzing
-            # and re-running the full delta derivation. This replaced
-            # an eager localCheckpoint + a concurrent state∥target
-            # merge: the checkpoint paid a full extra Catalyst
-            # analysis + job per batch (~40% of refresh latency at
-            # micro-batch scale) to enable an overlap worth far less —
-            # and on crash replay (state committed, target not) the
-            # merge no-ops and the re-bind still serves the identical
-            # delta, so the replay diff is exact without recomputing.
-            self.state_store.merge(state_changes, batch_id)
-            mat_state = self.state_store.batch_delta(batch_id)
-            if mat_state is not None:
-                new_state = mat_state.drop(OP_COL, SEQ_COL)
-            if self.fact_store is None:
-                # external_fact batches (the join route, incl. dim
-                # churn) never hit the fact-delta tune above — size the
-                # target legs to the MEASURED state delta instead, now
-                # that the state merge recorded it.
-                _tune_delta_shuffle(
-                    self.spark,
-                    self.shuffle_partitions,
-                    self.state_store.batch_change_rows(batch_id),
-                )
+            # Fact-only own-store batches overlap the state and target
+            # merges (see the tail of this method): the target legs
+            # below then derive from the UNMATERIALIZED new-state
+            # lineage — executed a second time, concurrently, instead
+            # of waiting for the state delta to land. Deterministic by
+            # construction: same plan, same committed inputs, and the
+            # delta-tuned single-partition shuffle makes even float
+            # aggregation order stable, so the two executions agree.
+            # Every other shape keeps the serial form, where the state
+            # merge's delta write is the lineage's single execution
+            # point and everything downstream re-binds to the merged
+            # micro-batch parquet. (An eager localCheckpoint variant
+            # of the overlap was measured and rejected in r8: the
+            # checkpoint itself cost ~40% of refresh latency.) Crash
+            # replay is exact in BOTH orders — each leg is idempotent
+            # by batch_id and the top-of-method check requires every
+            # involved store to have committed.
+            concurrent = (
+                dim_changes is None
+                and self.fact_store is not None
+                and os.environ.get("TIFLINK_SERIAL_STATE_TARGET") != "1"
+            )
+            if not concurrent:
+                self.state_store.merge(state_changes, batch_id)
+                mat_state = self.state_store.batch_delta(batch_id)
+                if mat_state is not None:
+                    new_state = mat_state.drop(OP_COL, SEQ_COL)
+                if self.fact_store is None:
+                    # external_fact batches (the join route, incl. dim
+                    # churn) never hit the fact-delta tune above — size
+                    # the target legs to the MEASURED state delta
+                    # instead, now that the state merge recorded it.
+                    _tune_delta_shuffle(
+                        self.spark,
+                        self.shuffle_partitions,
+                        self.state_store.batch_change_rows(batch_id),
+                    )
 
             # Target rows for dirty groups.
             if self.dim is None:
@@ -3526,7 +3566,17 @@ class IncrementalAggMV:
             mv_changes = mv_changes.unionByName(
                 p.withColumn(SEQ_COL, F.lit(i).cast("long"))
             )
-        self.target.merge(mv_changes, batch_id)
+        if concurrent:
+            # state ∥ target: two δ-sized write jobs over the same
+            # deterministic lineage run side by side — per-batch wall
+            # drops by ~the smaller merge (see the comment above the
+            # serial branch)
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                st = pool.submit(self.state_store.merge, state_changes, batch_id)
+                self.target.merge(mv_changes, batch_id)
+                st.result()
+        else:
+            self.target.merge(mv_changes, batch_id)
         return True
 
     def read(self, version: int | None = None) -> DataFrame:

@@ -1188,7 +1188,9 @@ _PRIORITY = [
     "jdbc_scan",
     "streaming_tumble_agg",
     "mvapp_auto_grouping_sets",
-    # --- first-time driver evidence (19 never-checked + temporal) ---
+    # --- r8-new routes re-confirmed + the r9 red-to-green slot ---
+    # (these 20 got their first driver rows in r8; array_ops is the r8
+    # ERR converted this round — outputs now serialize driver-hashable)
     "mvapp_auto_temporal_join",
     "mvapp_auto_gid_subset",
     "mvapp_auto_theta_tree",
@@ -1209,13 +1211,14 @@ _PRIORITY = [
     "retention_cohorts",
     "numeric_histogram",
     "heavy_hitters_custkey",
-    # --- round-9-new gates ---
+    # --- round-9-new gates (FIRST/LAST run-state CEP; streaming
+    #     temporal join through readStream->foreachBatch) ---
     "pattern_runstate_first",
     "mvapp_temporal_streaming",
-    # --- round-8-new gates ---
+    # --- round-8-new gates (re-confirmation) ---
     "pattern_vshape_prev",
     "pattern_overlap_views",
-    # --- re-confirmations: r7/r8 routes + recent greens (16) ---
+    # --- re-confirmations: r7/r8 routes + recent greens (14) ---
     "mvapp_auto_cube5",
     "mvapp_auto_full_outer_where",
     "mvapp_auto_exists_composite",
