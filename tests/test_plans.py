@@ -200,3 +200,66 @@ def test_decile_binning_avoids_global_sort_of_docs(spark):
         spec = wm.group(1)
         if "doc_id#" in spec:
             assert spec.startswith("n_words#"), spec
+
+
+def test_refresh_codegen_scales_with_store_size(spark, tmp_path, monkeypatch):
+    """Refresh runs interpreted (codegen off) only while the route's
+    source stores are below table scale — a pruning-hostile batch can
+    scan the store whole, and an interpreted table-scale scan costs
+    far more than the per-batch Janino compile it saves (round 9: an
+    sf10 uniform flagship batch went 5s -> 26s). Nested scopes (a
+    cascade's inner route) must not flip the outer's choice."""
+    from pyspark.sql import functions as F
+
+    from tiflink_spark import mv as mv_mod
+    from tiflink_spark.app import MVApp
+    from tiflink_spark.changelog import OP_COL, OP_UPDATE, SEQ_COL
+
+    orders = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(100)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    seen = {}
+    orig_scope = mv_mod._shuffle_scope
+
+    def spy(spark_, n, adaptive_off=False, big_scan=False):
+        if adaptive_off:
+            seen["big_scan"] = seen.get("big_scan", False) or big_scan
+            seen["codegen_during"] = spark_.conf.get("spark.sql.codegen.wholeStage")
+        return orig_scope(spark_, n, adaptive_off=adaptive_off, big_scan=big_scan)
+
+    monkeypatch.setattr(mv_mod, "_shuffle_scope", spy)
+
+    def build(tag):
+        return (
+            MVApp.builder(spark)
+            .source("ord_cg", orders, pk=["o_orderkey"])
+            .query("SELECT o_custkey, count(*) AS n FROM ord_cg GROUP BY o_custkey")
+            .target(str(tmp_path / tag))
+            .num_buckets(2)
+            .shuffle_partitions(2)
+            .build()
+        )
+
+    ch = (
+        orders.limit(3)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+        .withColumn(OP_COL, F.lit(OP_UPDATE))
+        .withColumn(SEQ_COL, F.monotonically_increasing_id())
+    )
+    # small store: interpreted refresh
+    app = build("small")
+    app.bootstrap()
+    app.refresh({"ord_cg": ch}, batch_id=1)
+    assert seen.pop("big_scan") is False
+    # table-scale store (simulated by shrinking the bound): codegen on
+    monkeypatch.setattr(mv_mod, "CODEGEN_TABLE_ROWS", 10)
+    app2 = build("big")
+    app2.bootstrap()
+    seen.clear()
+    app2.refresh({"ord_cg": ch}, batch_id=1)
+    assert seen["big_scan"] is True
+    # and the session conf is restored either way
+    assert spark.conf.get("spark.sql.codegen.wholeStage") in ("true", None)
+    # bootstrap_rows recorded the store's scale signal
+    assert app2._mv.fact_store.bootstrap_rows() == 100

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import functools
 import os
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,8 +54,16 @@ from tiflink_spark.incremental import (
 from tiflink_spark.store import KeyedParquetStore
 
 
+_SCOPE_DEPTH = threading.local()
+
+
 @contextmanager
-def _shuffle_scope(spark: SparkSession, n: int | None, adaptive_off: bool = False):
+def _shuffle_scope(
+    spark: SparkSession,
+    n: int | None,
+    adaptive_off: bool = False,
+    big_scan: bool = False,
+):
     """Pin ``spark.sql.shuffle.partitions`` while maintenance jobs run.
 
     MV maintenance work is proportional to the *changed* keys, which is
@@ -76,36 +85,52 @@ def _shuffle_scope(spark: SparkSession, n: int | None, adaptive_off: bool = Fals
     bootstrap — real full-table work — keeps it on.
 
     ``adaptive_off`` scopes also disable WHOLE-STAGE CODEGEN (and the
-    codegen expression factory): every refresh batch embeds that
-    batch's key literals (retraction filters, bucket paths) in the
-    plan, so the generated source is NEVER reused across batches —
-    each batch pays Janino compilation for every stage to then execute
-    a few hundred rows interpreted-speed anyway. Measured (flagship,
-    sf0.1, warm route): 3.0s/batch with codegen on vs 2.1s off — ~30%
-    of refresh latency was compiler time. Bootstrap keeps codegen on:
-    a full-table scan amortizes compilation exactly as intended.
+    codegen expression factory) — UNLESS ``big_scan`` is set: every
+    refresh batch embeds that batch's key literals (retraction
+    filters, bucket paths) in the plan, so the generated source is
+    NEVER reused across batches — each batch pays Janino compilation
+    for every stage to then execute a few hundred rows
+    interpreted-speed anyway. Measured (flagship, sf0.1, warm route):
+    3.0s/batch with codegen on vs 2.1s off — ~30% of refresh latency
+    was compiler time. But a route whose backing store is TABLE-SCALE
+    can degrade to an O(table) scan inside a refresh (uniform churn
+    defeats the retraction lookup's range pruning), and an interpreted
+    15M-row scan costs far more than the compile it saved (measured:
+    a 5s sf10 batch became 26s) — so the _maintenance wrapper passes
+    ``big_scan`` when any of the route's source-scale stores exceeds
+    CODEGEN_TABLE_ROWS, keeping codegen on. Bootstrap keeps codegen
+    on always: a full-table scan amortizes compilation as intended.
+    Only the OUTERMOST scope decides AQE/codegen (a cascade's inner
+    route must not flip the outer's choice mid-batch); nesting depth
+    is thread-local, matching the per-thread refresh entry points.
 
     The scope snapshots/restores even when ``n`` is None so refresh
     bodies can re-tune the sizing mid-batch (``_tune_delta_shuffle``)
     without leaking it into the session.
     """
+    depth = getattr(_SCOPE_DEPTH, "d", 0)
+    _SCOPE_DEPTH.d = depth + 1
+    outermost = depth == 0
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     prev_wsc = spark.conf.get("spark.sql.codegen.wholeStage", "true")
     prev_fac = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
     if n is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    if adaptive_off:
+    if adaptive_off and outermost:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        spark.conf.set("spark.sql.codegen.wholeStage", "false")
-        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        if not big_scan:
+            spark.conf.set("spark.sql.codegen.wholeStage", "false")
+            spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try:
         yield
     finally:
+        _SCOPE_DEPTH.d = depth
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-        spark.conf.set("spark.sql.codegen.wholeStage", prev_wsc)
-        spark.conf.set("spark.sql.codegen.factoryMode", prev_fac)
+        if adaptive_off and outermost:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+            spark.conf.set("spark.sql.codegen.wholeStage", prev_wsc)
+            spark.conf.set("spark.sql.codegen.factoryMode", prev_fac)
 
 
 # Target rows per maintenance task. Once a batch's true change-row count
@@ -141,10 +166,33 @@ def _tune_delta_shuffle(spark: SparkSession, configured: int | None, rows: int |
         spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
 
 
+# Stores whose bootstrap row count exceeds this keep whole-stage
+# codegen ON during refresh: a pruning-hostile batch can scan them
+# whole, and an interpreted table-scale scan costs more than the
+# per-batch compile it saves (see _shuffle_scope).
+CODEGEN_TABLE_ROWS = 2_000_000
+
+# source-scale store attributes a route may carry (the target/state
+# stores are churn-sized and never the big-scan risk)
+_SCALE_STORE_ATTRS = ("fact_store", "left_store", "right_store", "other_store",
+                      "hist_store", "dim_store")
+
+
+def _route_is_big(self) -> bool:
+    for attr in _SCALE_STORE_ATTRS:
+        st = getattr(self, attr, None)
+        rows = st.bootstrap_rows() if st is not None else None
+        if rows is not None and rows > CODEGEN_TABLE_ROWS:
+            return True
+    return False
+
+
 def _maintenance(fn):
     """Run a bootstrap/refresh method under the MV's shuffle sizing;
     refresh methods additionally run with AQE off (see _shuffle_scope —
-    per-stage replan jobs are the latency floor at delta scale)."""
+    per-stage replan jobs are the latency floor at delta scale) and,
+    for routes whose source stores are below table scale, with
+    whole-stage codegen off."""
 
     adaptive_off = fn.__name__ == "refresh"
 
@@ -154,6 +202,7 @@ def _maintenance(fn):
             self.spark,
             getattr(self, "shuffle_partitions", None),
             adaptive_off=adaptive_off,
+            big_scan=adaptive_off and _route_is_big(self),
         ):
             return fn(self, *args, **kwargs)
 

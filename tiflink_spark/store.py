@@ -716,7 +716,13 @@ class KeyedParquetStore:
         bucketed = current.withColumn(BUCKET_COL, _bucket_expr(self.pk, self.num_buckets))
         rel = self._write_buckets(bucketed, version)
         buckets = {b: f"{rel}/{BUCKET_COL}={b}" for b in self._present_buckets(rel)}
-        self._commit(f"{batch_id}-{version}", version, buckets, commits[-1]["schema"])
+        n_rows = self._dir_rows(rel)
+        self._commit(
+            f"{batch_id}-{version}", version, buckets, commits[-1]["schema"],
+            stats={"mode": "compact", "table_rows": n_rows}
+            if n_rows is not None
+            else None,
+        )
         return version
 
     def vacuum(self, keep_last: int = 1) -> list[str]:
@@ -836,8 +842,49 @@ class KeyedParquetStore:
         bucketed = df.withColumn(BUCKET_COL, _bucket_expr(self.pk, self.num_buckets))
         rel = self._write_buckets(bucketed, version)
         buckets = {b: f"{rel}/{BUCKET_COL}={b}" for b in self._present_buckets(rel)}
-        self._commit(batch_id, version, buckets, df.schema.json())
+        n_rows = self._dir_rows(rel)
+        self._commit(
+            batch_id, version, buckets, df.schema.json(),
+            stats={"mode": "bootstrap", "table_rows": n_rows}
+            if n_rows is not None
+            else None,
+        )
         return True
+
+    def _dir_rows(self, rel: str) -> int | None:
+        """Total row count of a written version dir, read DRIVER-SIDE
+        from parquet footers (no Spark job — metadata only). Files are
+        collected explicitly: pyarrow's dataset discovery skips
+        underscore-prefixed paths, which would silently drop every
+        ``__bucket=N`` partition dir."""
+        try:
+            import pyarrow.dataset as pads
+
+            files = []
+            for root, _dirs, names in os.walk(os.path.join(self.path, rel)):
+                files.extend(
+                    os.path.join(root, f)
+                    for f in names
+                    if f.endswith(".parquet")
+                    or (f.startswith("part-") and not f.endswith(".crc"))
+                )
+            if not files:
+                return 0
+            return pads.dataset(files, format="parquet").count_rows()
+        except Exception:
+            return None
+
+    def bootstrap_rows(self) -> int | None:
+        """The table-scale signal recorded at bootstrap (and refreshed
+        by compact): parquet-footer row count, no job. mv._maintenance
+        uses it to decide whether a refresh can afford interpreted
+        (codegen-off) execution — a pruning-hostile batch can scan the
+        store whole. None for manifests predating the stat."""
+        for c in reversed(self._commits()):
+            st = c.get("stats") or {}
+            if st.get("table_rows") is not None:
+                return st["table_rows"]
+        return None
 
     def _present_buckets(self, rel: str) -> list[int]:
         base = os.path.join(self.path, rel)
