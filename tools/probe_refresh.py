@@ -141,7 +141,7 @@ def main() -> None:
     spark = get_spark("probe_refresh")
     t = load_tables(spark, sf_dir)
     n_orders = t["orders"].count()
-    replicas = max(1, round(n_orders / 150_000 / 10))  # sf0.1 = 150k orders
+    replicas = max(1, round(n_orders / 150_000))  # sf0.1 = 150k orders/replica
     out: dict = {"sf_dir": sf_dir, "orders_rows": n_orders}
     for churn in churns:
         batches = make_batches(t, churn, replicas)
