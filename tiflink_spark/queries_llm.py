@@ -689,14 +689,19 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # IVF (inverted-file) ANN: the cluster-routed scale path. Real deployments
 # train centroids with k-means; here centroid CHOICE is a deterministic
-# sample (vec_id % _IVF_STRIDE == 0) so the Spark plan and the DuckDB
-# oracle agree bit-for-bit, while the PLAN is the real IVF shape: assign
-# every vector to its nearest centroid once (map-side agg under a
-# broadcast of the centroid set), route each query to its _IVF_PROBE
-# nearest centroids, and search only those clusters — a join keyed on
-# cluster id instead of an all-pairs scan. At 100 TB the cluster-id join
-# is the whole point: per-query work is bounded by probed-cluster volume.
+# sample (vec_id % _IVF_STRIDE == 0, lowest _IVF_MAX_C ids) so the Spark
+# plan and the DuckDB oracle agree bit-for-bit, while the PLAN is the
+# real IVF shape: assign every vector to its nearest centroid once
+# (map-side agg under a broadcast of the centroid set), route each query
+# to its _IVF_PROBE nearest centroids, and search only those clusters —
+# a join keyed on cluster id instead of an all-pairs scan. At 100 TB the
+# cluster-id join is the whole point: per-query work is bounded by
+# probed-cluster volume. The CAP is load-bearing: proper IVF keeps C
+# fixed (trained k), and a C that grows with N makes the assignment step
+# O(N*C) = O(N^2/stride) — the r9 sf10 probe measured exactly that
+# (813s, scaling exponent 1.4/decade) before the cap.
 _IVF_STRIDE = 100
+_IVF_MAX_C = 64
 _IVF_PROBE = 2
 _IVF_TOPK = 5
 
@@ -705,7 +710,8 @@ _IVF_TOPK = 5
     "embedding_ann_ivf",
     f"""
     WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-               FROM embeddings WHERE vec_id % {_IVF_STRIDE} = 0),
+               FROM embeddings WHERE vec_id % {_IVF_STRIDE} = 0
+               ORDER BY vec_id LIMIT {_IVF_MAX_C}),
     v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     assign AS (
       SELECT vec_id, e, cid FROM (
@@ -744,8 +750,11 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    cent = emb.filter(F.col("vec_id") % _IVF_STRIDE == 0).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    cent = (
+        emb.filter(F.col("vec_id") % _IVF_STRIDE == 0)
+        .orderBy("vec_id")
+        .limit(_IVF_MAX_C)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
     )
 
     def dot(a, b):
