@@ -358,3 +358,50 @@ def test_temporal_join_selecting_dim_pk_and_time_col(spark, tmp_path):
         (10, "bronze", _t("2024-01-01")),
         (11, "gold", _t("2024-03-01")),
     }
+
+
+def test_temporal_join_proctime_routes_to_enrichment(spark, tmp_path):
+    """FOR SYSTEM_TIME AS OF PROCTIME() (Flink's processing-time
+    temporal join) = join the dim's CURRENT state: for a maintained MV
+    that is the lookup-enrichment route — no versioned history, dim
+    churn re-derives the matching fact rows."""
+    prof = spark.createDataFrame(
+        [(1, "bronze", _t("2024-01-01")), (2, "silver", _t("2024-01-01"))],
+        _PROF_SCHEMA,
+    )
+    ev = spark.createDataFrame(
+        [(10, 1, _t("2024-02-01"), 1.0), (11, 2, _t("2024-02-01"), 2.0)],
+        _EV_SCHEMA,
+    )
+    app = (
+        MVApp.builder(spark)
+        .source("ev_p", ev, pk=["eid"])
+        .source("prof_p", prof, pk=["uid"])
+        .query(
+            """SELECT e.eid, e.v, d.tier
+               FROM ev_p e JOIN prof_p FOR SYSTEM_TIME AS OF PROCTIME() AS d
+                 ON e.uid = d.uid"""
+        )
+        .target(str(tmp_path / "mvp"))
+        .num_buckets(2)
+        .shuffle_partitions(2)
+        .build()
+    )
+    # enrichment, not the versioned-history route
+    assert app.maintenance_strategy != "IncrementalTemporalJoinMV"
+    assert app.maintenance_mode == "incremental"
+    app.bootstrap()
+    assert {(r.eid, r.tier) for r in app.read().collect()} == {
+        (10, "bronze"),
+        (11, "silver"),
+    }
+    # processing-time semantics: a dim change updates EXISTING fact
+    # rows (no versioning — current state wins)
+    app.refresh(
+        {"prof_p": _ch(spark, [(1, "gold", _t("2024-03-01"))], _PROF_SCHEMA)},
+        batch_id=1,
+    )
+    assert {(r.eid, r.tier) for r in app.read().collect()} == {
+        (10, "gold"),
+        (11, "silver"),
+    }

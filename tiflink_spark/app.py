@@ -477,10 +477,24 @@ class MVApp:
         # Spark resolve probe — Spark SQL cannot parse the syntax, so
         # there is no recompute fallback to degrade to.
         if re.search(r"(?i)\bSYSTEM_TIME\b", query):
-            self._plan_temporal(
-                spark, dfs, query, target, pk, num_buckets, shuffle_partitions
+            # Flink's PROCESSING-TIME form — FOR SYSTEM_TIME AS OF
+            # PROCTIME() — joins the dim's CURRENT state: for a
+            # maintained MV that is exactly the lookup-enrichment
+            # route (dim churn re-derives the matching fact rows), so
+            # strip the clause and fall through to normal planning.
+            # Only the event-time form needs versioned dim history.
+            plain_pt, n_pt = re.subn(
+                r"(?is)\bFOR\s+SYSTEM_TIME\s+AS\s+OF\s+PROCTIME\s*\(\s*\)",
+                " ",
+                query,
             )
-            return
+            if n_pt:
+                query = plain_pt
+            else:
+                self._plan_temporal(
+                    spark, dfs, query, target, pk, num_buckets, shuffle_partitions
+                )
+                return
 
         # Whether the advertised MV PK is a TRUE unique constraint of
         # the result. Every incremental route derives a real key (group

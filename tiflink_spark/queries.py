@@ -1215,10 +1215,11 @@ _PRIORITY = [
     #     temporal join through readStream->foreachBatch) ---
     "pattern_runstate_first",
     "mvapp_temporal_streaming",
+    "mvapp_temporal_proctime",
     # --- round-8-new gates (re-confirmation) ---
     "pattern_vshape_prev",
     "pattern_overlap_views",
-    # --- re-confirmations: r7/r8 routes + recent greens (14) ---
+    # --- re-confirmations: r7/r8 routes + recent greens (13) ---
     "mvapp_auto_cube5",
     "mvapp_auto_full_outer_where",
     "mvapp_auto_exists_composite",
@@ -1232,8 +1233,8 @@ _PRIORITY = [
     "percentile_exact",
     "text_quality_score",
     "multimodal_real_resize",
-    "dedup_incremental_batch",
     # ================== past the 50-query window ==================
+    "dedup_incremental_batch",
     "asof_last_click",
     "keyed_sink_roundtrip",
     # r2-r8 driver-green gates rotated out below.

@@ -6022,3 +6022,83 @@ def mvapp_temporal_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_temporal_proctime",
+    """
+    WITH prof AS (
+        SELECT DISTINCT user_id,
+               CASE WHEN user_id % 10 = 3 THEN 'gold'
+                    WHEN user_id % 3 = 0 THEN 'basic'
+                    ELSE 'plus' END AS tier
+        FROM events)
+    SELECT e.event_id, e.value, p.tier
+    FROM events e JOIN prof p ON e.user_id = p.user_id
+    """,
+    doc=(
+        "PROCESSING-TIME temporal join (round 9): FOR SYSTEM_TIME AS "
+        "OF PROCTIME() joins the dim's CURRENT state — Flink's other "
+        "temporal mode. For a maintained MV that is exactly the "
+        "lookup-enrichment route (no versioned history; a dim change "
+        "re-derives the matching fact rows), so the planner strips the "
+        "clause and routes to IncrementalJoinProjectionMV — asserted. "
+        "The gate churns the dim AFTER bootstrap (user_id%10==3 "
+        "upgraded to gold) and the oracle is the join over the FINAL "
+        "dim state: processing-time semantics means current state "
+        "wins, old fact rows included (contrast "
+        "mvapp_auto_temporal_join, where they keep their version)."
+    ),
+    tags=("mv", "planner", "temporal", "proctime"),
+)
+def mvapp_temporal_proctime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    ev = t["events"]
+    prof = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn(
+            "tier",
+            F.when(F.col("user_id") % 3 == 0, F.lit("basic")).otherwise(
+                F.lit("plus")
+            ),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="mvapp_tjpt_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("ev_pt", ev, pk=["event_id"])
+            .source("prof_pt", prof, pk=["user_id"])
+            .query(
+                """SELECT e.event_id, e.value, d.tier
+                   FROM ev_pt e
+                   JOIN prof_pt FOR SYSTEM_TIME AS OF PROCTIME() AS d
+                     ON e.user_id = d.user_id"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalJoinProjectionMV":
+            raise AssertionError(
+                f"proctime temporal routed to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        b = (
+            prof.filter(F.col("user_id") % 10 == 3)
+            .withColumn("tier", F.lit("gold"))
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"prof_pt": b}, batch_id=1)
+        return (
+            app.read()
+            .select("event_id", "value", "tier")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
