@@ -179,9 +179,19 @@ _SCALE_STORE_ATTRS = ("fact_store", "left_store", "right_store", "other_store",
 
 
 def _route_is_big(self) -> bool:
+    stores = []
     for attr in _SCALE_STORE_ATTRS:
-        st = getattr(self, attr, None)
-        rows = st.bootstrap_rows() if st is not None else None
+        try:
+            st = getattr(self, attr, None)
+        except Exception:
+            # e.g. IncrementalJoinAggMV.dim_store is a property that
+            # asserts single-dim; multi-dim routes carry dim_stores
+            continue
+        if st is not None:
+            stores.append(st)
+    stores.extend((getattr(self, "dim_stores", None) or {}).values())
+    for st in stores:
+        rows = st.bootstrap_rows()
         if rows is not None and rows > CODEGEN_TABLE_ROWS:
             return True
     return False
