@@ -54,7 +54,15 @@ from tiflink_spark.incremental import (
 from tiflink_spark.store import KeyedParquetStore
 
 
-_SCOPE_DEPTH = threading.local()
+# Session confs are PROCESS-GLOBAL, but refreshes run concurrently
+# (grouping-sets sub-MVs fan out on threads; the agg route overlaps
+# state∥target merges), so the AQE/codegen save/restore is guarded by
+# a refcount: only the first entrant saves-and-applies and only the
+# last restores. A per-thread depth would let two concurrent
+# "outermost" scopes race the restore and LEAK codegen=false into the
+# session (observed: one suite-order-dependent test failure).
+_SCOPE_LOCK = threading.Lock()
+_SCOPE_STATE: dict = {"count": 0, "saved": None}
 
 
 @contextmanager
@@ -100,37 +108,45 @@ def _shuffle_scope(
     ``big_scan`` when any of the route's source-scale stores exceeds
     CODEGEN_TABLE_ROWS, keeping codegen on. Bootstrap keeps codegen
     on always: a full-table scan amortizes compilation as intended.
-    Only the OUTERMOST scope decides AQE/codegen (a cascade's inner
-    route must not flip the outer's choice mid-batch); nesting depth
-    is thread-local, matching the per-thread refresh entry points.
+    Only the FIRST live scope decides AQE/codegen and only the last
+    restores (process-wide refcount under a lock): a cascade's inner
+    route must not flip the outer's choice mid-batch, and concurrent
+    refreshes (grouping-sets sub-MVs on threads) must not race the
+    save/restore — a per-thread depth leaked codegen=false into the
+    session when two "outermost" scopes overlapped.
 
     The scope snapshots/restores even when ``n`` is None so refresh
     bodies can re-tune the sizing mid-batch (``_tune_delta_shuffle``)
     without leaking it into the session.
     """
-    depth = getattr(_SCOPE_DEPTH, "d", 0)
-    _SCOPE_DEPTH.d = depth + 1
-    outermost = depth == 0
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    prev_wsc = spark.conf.get("spark.sql.codegen.wholeStage", "true")
-    prev_fac = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    with _SCOPE_LOCK:
+        _SCOPE_STATE["count"] += 1
+        if _SCOPE_STATE["count"] == 1:
+            _SCOPE_STATE["saved"] = (
+                spark.conf.get("spark.sql.adaptive.enabled"),
+                spark.conf.get("spark.sql.codegen.wholeStage", "true"),
+                spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK"),
+            )
+            if adaptive_off:
+                spark.conf.set("spark.sql.adaptive.enabled", "false")
+                if not big_scan:
+                    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+                    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     if n is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    if adaptive_off and outermost:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        if not big_scan:
-            spark.conf.set("spark.sql.codegen.wholeStage", "false")
-            spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try:
         yield
     finally:
-        _SCOPE_DEPTH.d = depth
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-        if adaptive_off and outermost:
-            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-            spark.conf.set("spark.sql.codegen.wholeStage", prev_wsc)
-            spark.conf.set("spark.sql.codegen.factoryMode", prev_fac)
+        with _SCOPE_LOCK:
+            _SCOPE_STATE["count"] -= 1
+            if _SCOPE_STATE["count"] == 0:
+                aqe, wsc, fac = _SCOPE_STATE["saved"]
+                _SCOPE_STATE["saved"] = None
+                spark.conf.set("spark.sql.adaptive.enabled", aqe)
+                spark.conf.set("spark.sql.codegen.wholeStage", wsc)
+                spark.conf.set("spark.sql.codegen.factoryMode", fac)
 
 
 # Target rows per maintenance task. Once a batch's true change-row count
