@@ -2369,3 +2369,69 @@ def test_cost_advisor_routes_join_agg_by_measured_time(spark, tmp_path):
     plain = build()
     assert plain.maintenance_strategy == "IncrementalJoinAggMV"
     assert plain.describe()["advisor"] is None
+
+
+def test_temporal_shape_rejects_duplicate_fact_fk():
+    """ADVICE r9 (low): two dim PK columns equated to the SAME fact
+    column would build a dirty-FK frame with duplicate column names and
+    crash the refresh mid-batch — the matcher must return None so the
+    build raises the envelope error instead."""
+    from tiflink_spark.planner import match_temporal_join_shape
+
+    cols = {"f": ["id", "x", "ts"], "d": ["a", "b", "name"]}
+    pks = {"f": ["id"], "d": ["a", "b"]}
+    dup = match_temporal_join_shape(
+        """SELECT f.id, f.x, d.name
+           FROM f JOIN d FOR SYSTEM_TIME AS OF f.ts
+             ON d.a = f.x AND d.b = f.x""",
+        {"f", "d"}, cols, pks,
+    )
+    assert dup is None
+    # sanity: distinct fact columns still match
+    cols2 = {"f": ["id", "x", "y", "ts"], "d": ["a", "b", "name"]}
+    ok = match_temporal_join_shape(
+        """SELECT f.id, f.x, d.name
+           FROM f JOIN d FOR SYSTEM_TIME AS OF f.ts
+             ON d.a = f.x AND d.b = f.y""",
+        {"f", "d"}, cols2, pks,
+    )
+    assert ok is not None and tuple(ok.fk) == ("x", "y")
+
+
+def test_cost_advisor_probe_aborts_at_threshold_and_covers_agg(spark, tmp_path):
+    """ADVICE r9 + VERDICT #2: the advisor probe fully materializes via
+    the noop sink, is cancelled AT the threshold (never an unbounded
+    full query), records the abort, and also arbitrates plain-agg
+    routes (group-median class), not just join-agg."""
+    orders = spark.createDataFrame(
+        [(i, i % 7, float(i)) for i in range(300)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+
+    def build(thr, sub):
+        return (
+            MVApp.builder(spark)
+            .source("ord_b", orders, pk=["o_orderkey"])
+            .query(
+                """SELECT o_custkey, median(o_totalprice) AS med,
+                          count(*) AS n
+                   FROM ord_b GROUP BY o_custkey"""
+            )
+            .target(str(tmp_path / sub))
+            .num_buckets(2)
+            .shuffle_partitions(2)
+            .cost_advisor(full_query_secs=thr)
+            .build()
+        )
+
+    fast = build(3600.0, "fast")
+    assert fast.maintenance_strategy == "RecomputeMV"
+    adv = fast.describe()["advisor"]
+    assert adv["decision"] == "recompute" and adv["aborted"] is False
+    assert adv["strategy"] == "IncrementalAggMV"
+
+    slow = build(0.0, "slow")  # probe cancelled immediately
+    assert slow.maintenance_strategy == "IncrementalAggMV"
+    adv = slow.describe()["advisor"]
+    assert adv["decision"] == "incremental"
+    assert adv["aborted"] is True and adv["full_query_secs"] is None

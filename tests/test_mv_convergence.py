@@ -416,3 +416,44 @@ def test_global_agg_converges_on_random_changelogs(spark, tmp_path, seed):
     assert len(final) == 1
     assert final[0]["n"] == 0 and final[0]["sv"] is None and final[0]["mn"] is None
     assert final[0]["n_big"] == 0
+
+
+def test_measures_order_insensitive_gates_float_sums(spark):
+    """ADVICE r9 (medium): the concurrent state∥target overlap executes
+    the new-state lineage twice; float SUM/AVG/STDDEV can diverge by
+    ulps between the runs (reduce combine order follows shuffle-fetch
+    arrival), so those shapes must keep the serial form."""
+    from tiflink_spark.incremental import measures_order_insensitive
+
+    df = spark.createDataFrame([(1, 1.0, 2)], "k int, d double, i long")
+    ok = measures_order_insensitive
+    assert ok([Measure("count", None, "n")], df)
+    assert ok([Measure("min", "d", "mn"), Measure("max", "d", "mx")], df)
+    assert ok([Measure("median", "d", "md")], df)
+    assert ok([Measure("count_distinct", "d", "nd")], df)
+    assert ok([Measure("sum", "i", "s")], df)  # integral sums are exact
+    assert not ok([Measure("sum", "d", "s")], df)
+    assert not ok([Measure("avg", "d", "a")], df)
+    assert not ok([Measure("sum_distinct", "d", "sd")], df)
+    assert not ok([Measure("stddev_samp", "i", "st")], df)  # float arith
+    # expression-typed: int*2 stays integral, and 1.0 is a DECIMAL
+    # literal in Spark SQL (still exact) — only a genuine double cast
+    # flips the gate
+    assert ok([Measure("sum", "i * 2", "s2")], df)
+    assert ok([Measure("sum", "i * 1.0", "s3")], df)
+    assert not ok([Measure("sum", "cast(i as double)", "s4")], df)
+
+
+def test_concurrent_overlap_gate_cached_on_mv(spark, tmp_path):
+    fact = spark.createDataFrame([(1, 1, 1.0)], "pk long, g long, v double")
+    float_mv = IncrementalAggMV(
+        spark, fact=fact, fact_pk=["pk"], group_key="g",
+        measures=[Measure("sum", "v", "s")], work_dir=str(tmp_path / "f"),
+    )
+    assert float_mv._concurrent_ok is False
+    count_mv = IncrementalAggMV(
+        spark, fact=fact, fact_pk=["pk"], group_key="g",
+        measures=[Measure("count", None, "n"), Measure("max", "v", "mx")],
+        work_dir=str(tmp_path / "c"),
+    )
+    assert count_mv._concurrent_ok is True

@@ -877,3 +877,34 @@ def test_runstate_scan_batch_equals_drained_stream_fuzz():
         ms, _ = run_scan(vals[b0:pos], steps, rs_compiled, rs_cols, False)
         emitted += [[(nm, s + b0, e + b0) for nm, s, e in m] for m in ms]
         assert emitted == batch, (define, vals, sizes)
+
+
+def test_runstate_string_literal_with_keywords(spark):
+    """ADVICE r9 (low): quoted literals are opaque to the run-state
+    compiler's keyword/operator rewrites — a tag like 'BUY AND HOLD'
+    (embedded AND) or 'SELL=NOW' (embedded =) must compare verbatim."""
+    df = spark.createDataFrame(
+        [
+            (1, 0, 5.0, "BUY AND HOLD"),
+            (1, 1, 7.0, "BUY AND HOLD"),
+            (1, 2, 9.0, "SELL=NOW"),
+        ],
+        "k int, seq int, price double, tag string",
+    )
+    out = match_recognize(
+        df, ["k"], ["seq"],
+        pattern=[("S", "1"), ("U", "+")],
+        define={"U": "price > FIRST(price) AND tag = 'BUY AND HOLD'"},
+        measures=[("n", "U", None, "count")],
+    )
+    # U admits seq1 only (seq2's tag differs); without literal masking
+    # the predicate is corrupted to tag == 'BUY and HOLD' -> no match
+    assert _collect(out) == [(1, 1, 1)]
+
+    out2 = match_recognize(
+        df, ["k"], ["seq"],
+        pattern=[("A", "+")],
+        define={"A": "tag = 'SELL=NOW' AND price >= FIRST(price)"},
+        measures=[("n", "A", None, "count")],
+    )
+    assert _collect(out2) == [(1, 1, 1)]

@@ -263,3 +263,29 @@ def test_refresh_codegen_scales_with_store_size(spark, tmp_path, monkeypatch):
     assert spark.conf.get("spark.sql.codegen.wholeStage") in ("true", None)
     # bootstrap_rows recorded the store's scale signal
     assert app2._mv.fact_store.bootstrap_rows() == 100
+
+
+def test_shuffle_scope_strictest_requirement(spark):
+    """ADVICE r9 (low): AQE/codegen follow the STRICTEST requirement
+    across live scopes — a big-scan refresh entering under a live
+    small-route scope keeps codegen ON (first-entrant-wins forced it
+    to run interpreted table-scale scans), and codegen comes back on
+    while a bootstrap-like scope overlaps a refresh scope."""
+    import tiflink_spark.mv as mv_mod
+
+    wsc0 = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    with mv_mod._shuffle_scope(spark, 2, adaptive_off=True):
+        assert spark.conf.get("spark.sql.codegen.wholeStage") == "false"
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        with mv_mod._shuffle_scope(spark, 2, adaptive_off=True, big_scan=True):
+            assert spark.conf.get("spark.sql.codegen.wholeStage") == wsc0
+            assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        # big scope gone -> small-refresh requirement reapplies
+        assert spark.conf.get("spark.sql.codegen.wholeStage") == "false"
+        with mv_mod._shuffle_scope(spark, None):  # bootstrap-like
+            assert spark.conf.get("spark.sql.codegen.wholeStage") == wsc0
+            assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert spark.conf.get("spark.sql.codegen.wholeStage") == "false"
+    assert spark.conf.get("spark.sql.codegen.wholeStage") == wsc0
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe0

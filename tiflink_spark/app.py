@@ -74,6 +74,60 @@ from tiflink_spark.types import create_table_ddl
 # full-query favored recompute for the star shape).
 ADVISOR_FULL_QUERY_SECS = 15.0
 
+# Maintenance strategies the advisor arbitrates: the agg-shaped routes
+# whose per-batch floor (state+target merges, retraction lookups) can
+# exceed a small table's full recompute. Pure-join/projection routes
+# have no such floor and are never advised.
+_ADVISED_STRATEGIES = (
+    "IncrementalJoinAggMV",
+    "IncrementalAggMV",
+    "IncrementalGroupingSetsMV",
+)
+
+
+def _timed_full_execution(spark, df, threshold_secs: float):
+    """Time ONE full materialization of ``df`` for the cost advisor,
+    aborted at the threshold.
+
+    Full materialization = a noop-sink write: ``count()`` lets Catalyst
+    prune un-referenced aggregate/measure expressions and join outputs,
+    under-measuring the true cost and biasing the advisor toward
+    recompute. The probe runs in its own job group and is CANCELLED
+    once ``threshold_secs`` elapses — past the threshold the decision
+    is already "incremental", and at 100 TB an un-aborted probe is an
+    unbounded full scan just to produce a number nobody needs.
+
+    Returns (elapsed_secs, aborted)."""
+    import threading as _threading
+    import time as _time
+
+    group = f"tiflink-advisor-{id(df):x}"
+    done = _threading.Event()
+    err: list = []
+
+    def run():
+        try:
+            spark.sparkContext.setJobGroup(
+                group, "cost-advisor full-query probe", interruptOnCancel=True
+            )
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as e:  # expected CancellationException on abort
+            err.append(e)
+        finally:
+            done.set()
+
+    t0 = _time.perf_counter()
+    th = _threading.Thread(target=run, daemon=True, name="tiflink-advisor")
+    th.start()
+    if not done.wait(threshold_secs):
+        spark.sparkContext.cancelJobGroup(group)
+        done.wait(30)
+        return _time.perf_counter() - t0, True
+    elapsed = _time.perf_counter() - t0
+    if err:
+        raise err[0]
+    return elapsed, False
+
 
 class MVAppBuilder:
     def __init__(self, spark: SparkSession):
@@ -169,12 +223,18 @@ class MVAppBuilder:
     def cost_advisor(
         self, enabled: bool = True, full_query_secs: float | None = None
     ) -> "MVAppBuilder":
-        """Measured strategy advisor for JOIN-AGGREGATE views: when the
-        planner routes to IncrementalJoinAggMV, time ONE full execution
-        of the query at build; if it completes within ``full_query_secs``
-        (default ADVISOR_FULL_QUERY_SECS), re-route the view to
-        RecomputeMV — per-batch recompute is then predictably cheaper
-        than the incremental path's multi-merge floor.
+        """Measured strategy advisor for AGGREGATE-shaped views: when
+        the planner routes to an agg strategy (_ADVISED_STRATEGIES:
+        join-agg, plain agg incl. median-class measures, grouping
+        sets), time ONE full materialization of the query at build
+        (noop sink — count() lets Catalyst prune the measures); if it
+        completes within ``full_query_secs`` (default
+        ADVISOR_FULL_QUERY_SECS), re-route the view to RecomputeMV —
+        per-batch recompute is then predictably cheaper than the
+        incremental path's multi-merge floor. The probe is CANCELLED
+        at the threshold (job-group cancel): past it the decision is
+        already "incremental", and at 100 TB an un-aborted probe is an
+        unbounded full scan.
 
         Calibration (measured, 32-core local, BENCH r8/r9): the star
         join-agg's per-batch recompute is ~0.7x its full-query time,
@@ -381,27 +441,32 @@ class MVApp:
         if (
             cost_advisor
             and not force_recompute
-            and self.maintenance_strategy == "IncrementalJoinAggMV"
+            and self.maintenance_strategy in _ADVISED_STRATEGIES
         ):
             # Measured advisor (see MVAppBuilder.cost_advisor): one
-            # timed full execution of the (already-normalized) query;
-            # below the threshold, per-batch recompute is predictably
-            # cheaper than the incremental path's merge floor, so
-            # re-plan onto RecomputeMV.
-            import time as _time
-
+            # timed full materialization of the (already-normalized)
+            # query, aborted at the threshold; below it, per-batch
+            # recompute is predictably cheaper than the incremental
+            # path's merge floor, so re-plan onto RecomputeMV.
             thr = (
                 advisor_threshold
                 if advisor_threshold is not None
                 else ADVISOR_FULL_QUERY_SECS
             )
-            t0 = _time.perf_counter()
-            spark.sql(spark_executable_query(self.query)).count()
-            t_full = _time.perf_counter() - t0
-            decision = "recompute" if t_full <= thr else "incremental"
+            t_full, aborted = _timed_full_execution(
+                spark, spark.sql(spark_executable_query(self.query)), thr
+            )
+            decision = (
+                "recompute" if not aborted and t_full <= thr else "incremental"
+            )
             self.advisor = {
-                "full_query_secs": round(t_full, 3),
+                # None when aborted: the probe was cancelled AT the
+                # threshold, so the true full-query time is unknown
+                # (only that it exceeds thr)
+                "full_query_secs": None if aborted else round(t_full, 3),
                 "threshold_secs": thr,
+                "aborted": aborted,
+                "strategy": self.maintenance_strategy,
                 "decision": decision,
             }
             if decision == "recompute":

@@ -162,6 +162,42 @@ def _state_aggs(measures: list[Measure]) -> list:
     return aggs
 
 
+# Measures whose value is bit-identical across two executions of the
+# same lineage regardless of reduce-side combine order: counts are
+# integral, min/max pick an existing value, exact median sorts.
+_ORDER_INSENSITIVE_KINDS = frozenset(
+    {"count", "count_distinct", "min", "max", "median"}
+)
+_FLOAT_TYPES = ("double", "float")
+
+
+def measures_order_insensitive(measures: list[Measure], sample: DataFrame) -> bool:
+    """True when every measure is safe to execute TWICE from the same
+    unmaterialized lineage and compare bit-for-bit (the concurrent
+    state∥target overlap does exactly that).
+
+    Float summation is the hazard: reduce-side combine order follows
+    nondeterministic shuffle-fetch arrival, so SUM/AVG/STDDEV over
+    double/float columns can diverge by ulps between the two runs —
+    enough to flip an exact-equality hash gate. Integral and decimal
+    sums are exact in any order; count/min/max/median are
+    order-insensitive for every type. ``sample`` supplies the schema
+    the measure expressions are typed against (no job runs)."""
+    exprs = []
+    for i, m in enumerate(measures):
+        if m.kind in _ORDER_INSENSITIVE_KINDS:
+            continue
+        if m.kind in ("stddev_samp", "var_samp"):
+            # float arithmetic inside Spark's single-pass estimator
+            # regardless of the input type
+            return False
+        exprs.append((i, _mexpr(m).alias(f"__m{i}")))
+    if not exprs:
+        return True
+    dtypes = dict(sample.select(*[e for _, e in exprs]).dtypes)
+    return not any(dtypes[f"__m{i}"] in _FLOAT_TYPES for i, _ in exprs)
+
+
 def aggregate_state(df: DataFrame, group_keys: list[str], measures: list[Measure]) -> DataFrame:
     """Full aggregate of a base table into the internal state schema
     (used at bootstrap and for dirty-group recompute)."""

@@ -48,6 +48,7 @@ from tiflink_spark.incremental import (
     Measure,
     aggregate_state,
     compute_delta,
+    measures_order_insensitive,
     merge_delta_state,
     present_measures,
 )
@@ -62,7 +63,32 @@ from tiflink_spark.store import KeyedParquetStore
 # "outermost" scopes race the restore and LEAK codegen=false into the
 # session (observed: one suite-order-dependent test failure).
 _SCOPE_LOCK = threading.Lock()
-_SCOPE_STATE: dict = {"count": 0, "saved": None}
+# n_off: live scopes wanting AQE off (refresh scopes); n_keep_codegen:
+# live scopes REQUIRING codegen on (big-scan refreshes and bootstraps).
+# The strictest requirement across live scopes wins — first-entrant-
+# wins let a small-route scope force a concurrent big-scan refresh to
+# run interpreted table-scale scans (measured 5s→26s).
+_SCOPE_STATE: dict = {"count": 0, "saved": None, "n_off": 0, "n_keep_codegen": 0}
+
+
+def _apply_scope_confs(spark: SparkSession) -> None:
+    """Apply the strictest requirement across live scopes (holding
+    _SCOPE_LOCK): AQE off if ANY refresh scope is live; codegen off
+    only when some refresh scope wants it off and NO live scope (big
+    scan or bootstrap) needs it on."""
+    saved_aqe, saved_wsc, saved_fac = _SCOPE_STATE["saved"]
+    if _SCOPE_STATE["n_off"] > 0:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        if _SCOPE_STATE["n_keep_codegen"] == 0:
+            spark.conf.set("spark.sql.codegen.wholeStage", "false")
+            spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        else:
+            spark.conf.set("spark.sql.codegen.wholeStage", saved_wsc)
+            spark.conf.set("spark.sql.codegen.factoryMode", saved_fac)
+    else:
+        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
+        spark.conf.set("spark.sql.codegen.wholeStage", saved_wsc)
+        spark.conf.set("spark.sql.codegen.factoryMode", saved_fac)
 
 
 @contextmanager
@@ -108,18 +134,22 @@ def _shuffle_scope(
     ``big_scan`` when any of the route's source-scale stores exceeds
     CODEGEN_TABLE_ROWS, keeping codegen on. Bootstrap keeps codegen
     on always: a full-table scan amortizes compilation as intended.
-    Only the FIRST live scope decides AQE/codegen and only the last
-    restores (process-wide refcount under a lock): a cascade's inner
-    route must not flip the outer's choice mid-batch, and concurrent
-    refreshes (grouping-sets sub-MVs on threads) must not race the
-    save/restore — a per-thread depth leaked codegen=false into the
-    session when two "outermost" scopes overlapped.
+    AQE/codegen follow the STRICTEST requirement across all live
+    scopes (process-wide counters under a lock): AQE is off while any
+    refresh scope is live, but codegen stays ON while any live scope
+    needs it (a big-scan refresh, or a bootstrap) — first-entrant-wins
+    let a small-route scope force a concurrently-entering big-scan
+    refresh to run interpreted table-scale scans. Only the first
+    entrant snapshots the session values and only the last restores
+    them — a per-thread depth leaked codegen=false into the session
+    when two "outermost" scopes overlapped.
 
     The scope snapshots/restores even when ``n`` is None so refresh
     bodies can re-tune the sizing mid-batch (``_tune_delta_shuffle``)
     without leaking it into the session.
     """
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    keep_codegen = big_scan or not adaptive_off
     with _SCOPE_LOCK:
         _SCOPE_STATE["count"] += 1
         if _SCOPE_STATE["count"] == 1:
@@ -128,11 +158,9 @@ def _shuffle_scope(
                 spark.conf.get("spark.sql.codegen.wholeStage", "true"),
                 spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK"),
             )
-            if adaptive_off:
-                spark.conf.set("spark.sql.adaptive.enabled", "false")
-                if not big_scan:
-                    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-                    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        _SCOPE_STATE["n_off"] += 1 if adaptive_off else 0
+        _SCOPE_STATE["n_keep_codegen"] += 1 if keep_codegen else 0
+        _apply_scope_confs(spark)
     if n is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
@@ -141,12 +169,16 @@ def _shuffle_scope(
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         with _SCOPE_LOCK:
             _SCOPE_STATE["count"] -= 1
+            _SCOPE_STATE["n_off"] -= 1 if adaptive_off else 0
+            _SCOPE_STATE["n_keep_codegen"] -= 1 if keep_codegen else 0
             if _SCOPE_STATE["count"] == 0:
                 aqe, wsc, fac = _SCOPE_STATE["saved"]
                 _SCOPE_STATE["saved"] = None
                 spark.conf.set("spark.sql.adaptive.enabled", aqe)
                 spark.conf.set("spark.sql.codegen.wholeStage", wsc)
                 spark.conf.set("spark.sql.codegen.factoryMode", fac)
+            else:
+                _apply_scope_confs(spark)
 
 
 # Target rows per maintenance task. Once a batch's true change-row count
@@ -3336,6 +3368,18 @@ class IncrementalAggMV:
         self.target = KeyedParquetStore(
             spark, os.path.join(work_dir, "mv"), mv_pk, num_buckets
         )
+        # Cached once against the fact schema: whether every measure is
+        # order-insensitive (bit-identical across two executions of the
+        # same lineage) — the gate for the concurrent state∥target
+        # overlap, which runs the new-state lineage twice. Float
+        # SUM/AVG/STDDEV can diverge by ulps between the runs (reduce
+        # combine order follows shuffle-fetch arrival), silently
+        # desyncing state from target until the group is next dirtied.
+        # external_fact routes pass fact=None — concurrent is already
+        # gated on fact_store there, so the measure check is moot.
+        self._concurrent_ok = fact is not None and measures_order_insensitive(
+            measures, fact
+        )
 
     # -- MV row construction -----------------------------------------------
 
@@ -3525,10 +3569,12 @@ class IncrementalAggMV:
             # merges (see the tail of this method): the target legs
             # below then derive from the UNMATERIALIZED new-state
             # lineage — executed a second time, concurrently, instead
-            # of waiting for the state delta to land. Deterministic by
-            # construction: same plan, same committed inputs, and the
-            # delta-tuned single-partition shuffle makes even float
-            # aggregation order stable, so the two executions agree.
+            # of waiting for the state delta to land. Safe only for
+            # order-insensitive measures (counts, integral/decimal
+            # sums, min/max, exact median): float SUM/AVG/STDDEV can
+            # diverge by ulps between the two executions because
+            # reduce-side combine order follows shuffle-fetch arrival
+            # — those shapes keep the serial form (``_concurrent_ok``).
             # Every other shape keeps the serial form, where the state
             # merge's delta write is the lineage's single execution
             # point and everything downstream re-binds to the merged
@@ -3542,6 +3588,11 @@ class IncrementalAggMV:
                 dim_changes is None
                 and self.fact_store is not None
                 and os.environ.get("TIFLINK_SERIAL_STATE_TARGET") != "1"
+                # float SUM/AVG/STDDEV measures may differ by ulps
+                # between the two executions — those shapes keep the
+                # serial form, whose state delta write is the single
+                # execution point (see _concurrent_ok in __init__)
+                and self._concurrent_ok
             )
             if not concurrent:
                 self.state_store.merge(state_changes, batch_id)

@@ -236,6 +236,17 @@ def _compile_runstate(pred: str) -> tuple:
     import ast
 
     navs: list[tuple] = []
+    lits: list[str] = []
+
+    def mask_lit(m: re.Match) -> str:
+        # Quoted literals are opaque to every rewrite below — a DEFINE
+        # like sym = 'BUY AND HOLD' must not have its AND (or '=', or
+        # NULL) rewritten. SQL doubles the quote char to escape it.
+        raw = m.group(0)
+        inner = raw[1:-1]
+        inner = inner.replace("''" if raw[0] == "'" else '""', raw[0])
+        lits.append(inner)
+        return f" __strlit{len(lits) - 1}__ "
 
     def sub(m: re.Match) -> str:
         kind = m.group(1).lower()
@@ -245,13 +256,16 @@ def _compile_runstate(pred: str) -> tuple:
         navs.append((kind, var, col, off))
         return f"_nav({len(navs) - 1})"
 
-    s = _RUNSTATE_RE.sub(sub, pred)
+    s = re.sub(r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"", mask_lit, pred)
+    s = _RUNSTATE_RE.sub(sub, s)
     s = s.replace("<>", "!=")
     s = re.sub(r"(?<![<>!=])=(?!=)", "==", s)
     s = re.sub(r"\bAND\b", " and ", s, flags=re.I)
     s = re.sub(r"\bOR\b", " or ", s, flags=re.I)
     s = re.sub(r"\bNOT\b", " not ", s, flags=re.I)
     s = re.sub(r"\bNULL\b", " None ", s, flags=re.I)
+    # restore literals as Python string constants (repr quotes them)
+    s = re.sub(r"__strlit(\d+)__", lambda m: repr(lits[int(m.group(1))]), s)
     try:
         tree = ast.parse(s, mode="eval")
     except SyntaxError as e:

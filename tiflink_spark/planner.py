@@ -4039,6 +4039,12 @@ def match_temporal_join_shape(
         pairs[dpk_c] = fk_c
     if {p.lower() for p in pairs} != {p.lower() for p in dim_pk}:
         return None
+    # Two dim PK columns equated to the SAME fact column would build a
+    # dirty-FK frame with duplicate column names and crash the refresh
+    # with an ambiguous-column error mid-batch — reject at match time
+    # so the build raises the envelope error instead.
+    if len({f.lower() for f in pairs.values()}) != len(pairs):
+        return None
     by_low = {p.lower(): (p, f) for p, f in pairs.items()}
     dpk_list = [by_low[p.lower()][0] for p in dim_pk]
     fk = [by_low[p.lower()][1] for p in dim_pk]
