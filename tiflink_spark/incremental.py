@@ -80,7 +80,13 @@ class Measure:
             raise ValueError(f"{self.kind} needs a column")
 
 
-def compute_delta(changes: DataFrame, old_rows: DataFrame, pk: list[str]) -> DataFrame:
+def compute_delta(
+    changes: DataFrame,
+    old_rows: DataFrame,
+    pk: list[str],
+    final: DataFrame | None = None,
+    old_rows_pruned: bool = False,
+) -> DataFrame:
     """Upsert changelog + displaced old rows → retraction delta (__w ±1).
 
     ``old_rows`` must be the pre-batch base rows for (at least) the
@@ -88,24 +94,33 @@ def compute_delta(changes: DataFrame, old_rows: DataFrame, pk: list[str]) -> Dat
     +I/+U adds the new one. The changelog contract has no UPDATE_BEFORE
     (TikvDynamicSource.java:47-53) — the old value comes from state,
     exactly as the reference's sink reads TiKV by key.
+
+    ``final`` is the caller's precomputed ``last_change_per_key``
+    result when it already built one (the agg refresh derives its
+    changed-key set from the same frame) — reusing it drops a window
+    computation and a broadcast job per lineage execution from the
+    per-batch floor. ``old_rows_pruned=True`` asserts the caller
+    already restricted ``old_rows`` to the changed keys (the agg
+    refresh builds it as exactly that semi-join), skipping the
+    defensive re-prune — one broadcast job per execution.
     """
     value_cols = [c for c in old_rows.columns]
-    final = last_change_per_key(changes, pk)
+    if final is None:
+        final = last_change_per_key(changes, pk)
     # retract: any final op on a key that exists in the base. The key
     # set is δ-bounded — BROADCAST it explicitly: the MOR-chain lineage
     # under old_rows has no size stats, so without the hint Catalyst
     # falls back to a sort-merge join that shuffles the whole base side
     # through the delta-tuned (tiny) partition count — measured as the
     # O(table) leak that made refresh SLOWER than recompute at sf10.
-    retracts = (
-        old_rows.join(F.broadcast(final.select(*pk)), pk, "left_semi")
-        .select(*value_cols)
-        .withColumn("__w", F.lit(-1))
+    retract_src = (
+        old_rows
+        if old_rows_pruned
+        else old_rows.join(F.broadcast(final.select(*pk)), pk, "left_semi")
     )
-    adds = (
-        final.filter(F.col(OP_COL) != OP_DELETE)
-        .select(*value_cols)
-        .withColumn("__w", F.lit(1))
+    retracts = retract_src.select(*value_cols, F.lit(-1).alias("__w"))
+    adds = final.filter(F.col(OP_COL) != OP_DELETE).select(
+        *value_cols, F.lit(1).alias("__w")
     )
     return retracts.unionByName(adds)
 
@@ -224,6 +239,7 @@ def merge_delta_state(
     new_base,
     group_keys: list[str],
     measures: list[Measure],
+    dirty_keys: DataFrame | None = None,
 ) -> DataFrame:
     """New state for every dirty group.
 
@@ -236,6 +252,14 @@ def merge_delta_state(
 
     Returns state rows for dirty groups only; ``__rows == 0`` means the
     group vanished (caller deletes / emits zero, per query shape).
+
+    ``dirty_keys`` is an optional caller-supplied frame of exactly the
+    delta's distinct group keys, built from a CHEAPER lineage than the
+    delta aggregate (the agg refresh derives it straight from the
+    changed rows' old∪new group memberships): broadcasting it skips
+    re-executing the delta aggregation just to materialize the key
+    set. A superset of the delta's keys is also correct — extra groups
+    only widen the state prune, and the left joins drop them.
     """
     has_noninv = any(m.kind in NON_INVERTIBLE for m in measures)
 
@@ -257,7 +281,8 @@ def merge_delta_state(
     # dirty keys are δ-bounded: broadcast them so the O(groups) state
     # scan and the O(table) recompute base below stay map-side instead
     # of shuffling through the delta-tuned partition count
-    dirty_keys = d.select(*group_keys)
+    if dirty_keys is None:
+        dirty_keys = d.select(*group_keys)
     old_dirty = old_state.join(F.broadcast(dirty_keys), group_keys, "left_semi")
     j = d.join(old_dirty, group_keys, "left")
 

@@ -3463,6 +3463,7 @@ class IncrementalAggMV:
         new_state = None
         concurrent = False
         state_changes = None
+        state_pool = state_future = None
         if fact_changes is not None:
             # Merge first, then read the retraction snapshot FROM BEFORE
             # this batch's commit (versioned time travel — correct on
@@ -3517,14 +3518,33 @@ class IncrementalAggMV:
                     if bks is not None
                     else self.fact_store.read(prev_v)
                 )
-                changed_keys = last_change_per_key(
-                    fact_changes, self.fact_pk
-                ).select(*self.fact_pk)
+                final = last_change_per_key(fact_changes, self.fact_pk)
                 # δ-bounded key set: broadcast, or the bucket scan
                 # shuffles
                 old_rows = old_fact.join(
-                    F.broadcast(changed_keys), self.fact_pk, "left_semi"
+                    F.broadcast(final.select(*self.fact_pk)),
+                    self.fact_pk,
+                    "left_semi",
                 )
+                # Materialize the (δ-bounded) displaced-row set ONCE:
+                # every downstream consumer — the retraction delta in
+                # BOTH the state and target executions, and the dirty
+                # group-key broadcasts — otherwise re-runs this bucket
+                # chain read per job (measured 3-5 executions/batch).
+                # Gated on the recorded delta size so a backfill-scale
+                # batch never pins a table-scale frame in executor
+                # memory. LAZY: the materialization rides inside the
+                # first action that needs it (the overlapped state or
+                # target merge) instead of blocking the driver here for
+                # its own job — concurrent first-users may compute it
+                # twice before the blocks land (same cost as no
+                # checkpoint), every later use reads the blocks.
+                # (new_state itself stays unmaterialized — an eager
+                # checkpoint THERE cost ~40% of refresh latency, r8
+                # measurement.)
+                n_delta = self.fact_store.batch_change_rows(batch_id)
+                if n_delta is not None and n_delta <= CODEGEN_DELTA_ROWS:
+                    old_rows = old_rows.localCheckpoint(eager=False)
                 new_base = self.fact_store.read
             else:
                 # virtual fact: old rows and the recompute base come
@@ -3540,8 +3560,36 @@ class IncrementalAggMV:
                     )
                 else:
                     old_state = self.state_store.read()
+                final = last_change_per_key(fact_changes, self.fact_pk)
 
-            delta = compute_delta(fact_changes, old_rows, self.fact_pk)
+            delta = compute_delta(
+                fact_changes,
+                old_rows,
+                self.fact_pk,
+                final=final,
+                # own-fact path built old_rows as exactly the changed-key
+                # semi-join above, so the defensive re-prune is skipped;
+                # external (join-route) frames keep it — their old-J
+                # derivation has WHERE/match legs whose key set is not
+                # locally provable to be ⊆ the changelog's keys
+                old_rows_pruned=self.fact_store is not None,
+            )
+
+            # The delta's distinct group keys, from the CHEAPEST exact
+            # lineage: the changed rows' old ∪ new group memberships.
+            # Identical to the delta aggregate's key set (retracts are
+            # the old rows, adds are the final non-delete rows), but
+            # materializing this frame skips the delta aggregation —
+            # it feeds the state prune AND the dim lookup below, each
+            # of which would otherwise re-execute the heavy delta plan
+            # just to broadcast its keys.
+            dirty_gk = (
+                old_rows.select(*self.group_keys)
+                .unionByName(
+                    final.filter(F.col(OP_COL) != OP_DELETE).select(*self.group_keys)
+                )
+                .distinct()
+            )
 
             new_state = merge_delta_state(
                 old_state,
@@ -3549,6 +3597,7 @@ class IncrementalAggMV:
                 new_base,  # lazy: only non-invertible measures pay it
                 self.group_keys,
                 self.measures,
+                dirty_keys=dirty_gk,
             )
 
             # State store: vanished groups (__rows == 0) are deleted —
@@ -3562,8 +3611,8 @@ class IncrementalAggMV:
                     F.lit(OP_UPDATE)
                 )
             )
-            state_changes = new_state.withColumn(OP_COL, vanish_op).withColumn(
-                SEQ_COL, F.monotonically_increasing_id()
+            state_changes = new_state.withColumns(
+                {OP_COL: vanish_op, SEQ_COL: F.monotonically_increasing_id()}
             )
             # Fact-only own-store batches overlap the state and target
             # merges (see the tail of this method): the target legs
@@ -3594,11 +3643,22 @@ class IncrementalAggMV:
                 # execution point (see _concurrent_ok in __init__)
                 and self._concurrent_ok
             )
-            if not concurrent:
+            state_rebound = False
+            if concurrent:
+                # Submit the state merge BEFORE constructing the target
+                # legs: the ~0.15s of driver-side target-plan
+                # construction below then overlaps the state write job
+                # instead of delaying it.
+                state_pool = ThreadPoolExecutor(max_workers=1)
+                state_future = state_pool.submit(
+                    self.state_store.merge, state_changes, batch_id
+                )
+            else:
                 self.state_store.merge(state_changes, batch_id)
                 mat_state = self.state_store.batch_delta(batch_id)
                 if mat_state is not None:
                     new_state = mat_state.drop(OP_COL, SEQ_COL)
+                    state_rebound = True
                 if self.fact_store is None:
                     # external_fact batches (the join route, incl. dim
                     # churn) never hit the fact-delta tune above — size
@@ -3630,14 +3690,21 @@ class IncrementalAggMV:
                     )
                     parts.append(upserts.unionByName(deletes))
             else:
+                # Dirty-dim probe keys: after a serial state merge the
+                # materialized state delta is the cheapest source; on
+                # the concurrent path new_state is still the heavy
+                # unmaterialized lineage, and dirty_gk (same exact key
+                # set, O(δ) plan) avoids executing it a third time
+                # just to fill this broadcast.
+                probe = (
+                    new_state.select(
+                        F.col(self.group_key).alias(self.dim_key)
+                    ).distinct()
+                    if state_rebound
+                    else dirty_gk.select(F.col(self.group_key).alias(self.dim_key))
+                )
                 dirty_dim = self.dim_store.read().join(
-                    F.broadcast(
-                        new_state.select(
-                            F.col(self.group_key).alias(self.dim_key)
-                        ).distinct()
-                    ),
-                    [self.dim_key],
-                    "left_semi",
+                    F.broadcast(probe), [self.dim_key], "left_semi"
                 )
                 live_state = new_state.filter(F.col("__rows") > 0)
                 parts.append(
@@ -3692,15 +3759,17 @@ class IncrementalAggMV:
             mv_changes = mv_changes.unionByName(
                 p.withColumn(SEQ_COL, F.lit(i).cast("long"))
             )
-        if concurrent:
+        if state_future is not None:
             # state ∥ target: two δ-sized write jobs over the same
             # deterministic lineage run side by side — per-batch wall
             # drops by ~the smaller merge (see the comment above the
-            # serial branch)
-            with ThreadPoolExecutor(max_workers=1) as pool:
-                st = pool.submit(self.state_store.merge, state_changes, batch_id)
+            # serial branch). The state merge was submitted before the
+            # target legs were constructed.
+            try:
                 self.target.merge(mv_changes, batch_id)
-                st.result()
+                state_future.result()
+            finally:
+                state_pool.shutdown(wait=True)
         else:
             self.target.merge(mv_changes, batch_id)
         return True

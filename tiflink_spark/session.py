@@ -72,6 +72,13 @@ def get_spark(app_name: str = "tiflink_spark", *, extra_conf: dict | None = None
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # PySpark 4's per-op call-site capture (error debugging aid)
+        # costs ~3 py4j round trips + a Python stack walk on EVERY
+        # DataFrame method — measured ~0.2s/batch of pure driver
+        # latency on the refresh hot path (~60 wrapped ops/batch at
+        # 3.3ms each). An embedded engine builds plans continuously;
+        # turn it off in production sessions.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

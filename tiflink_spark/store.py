@@ -694,6 +694,12 @@ class KeyedParquetStore:
         # the chain's RECORDED row counts (manifest stats carry
         # change_rows per delta); unknown counts (legacy lines) are
         # treated as unbounded.
+        # (A literal NOT-IN fast path replacing this anti-join was
+        # measured and REJECTED here: embedding the chain's key values
+        # as In-literals made every downstream action's Catalyst
+        # analysis walk the list — +0.8s/batch at a few hundred keys,
+        # the same pathology MAX_IN_LIST guards against. The broadcast
+        # job is cheaper than literal-laden plans.)
         keys = last.select(*self.pk).distinct()
         counts = [self._delta_rows_of(rel) for rel in deltas]
         bounded = all(c is not None for c in counts) and sum(counts) <= BROADCAST_KEYS_MAX
