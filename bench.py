@@ -262,6 +262,7 @@ def _latest_idle_reference() -> dict | None:
         return {
             "file": os.path.basename(files[-1]),
             "value": rec.get("value"),
+            "sf": rec.get("sf"),
             "queries": rec.get("queries"),
             # the committed sf1 probe rides along when present — the
             # scale point where incremental refresh decisively beats
@@ -270,6 +271,112 @@ def _latest_idle_reference() -> dict | None:
         }
     except (OSError, ValueError):
         return None
+
+
+_AB_RUNNER = r'''
+import json, os, sys, time
+repo, sf_dir, names = sys.argv[1], sys.argv[2], json.loads(sys.argv[3])
+sys.path.insert(0, repo)
+from tiflink_spark.queries import get_registry
+from tiflink_spark.session import get_spark, load_tables
+spark = get_spark("bench_ab")
+registry = get_registry()
+names = [n for n in names if n in registry]
+for df in load_tables(spark, sf_dir).values():
+    df.write.format("noop").mode("overwrite").save()
+spark.range(1000).mapInPandas(lambda b: b, schema="id long").write.format(
+    "noop").mode("overwrite").save()
+out = {}
+for n in names:
+    registry[n].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    t0 = time.perf_counter()
+    registry[n].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    out[n] = round(time.perf_counter() - t0, 3)
+print("ABRESULT " + json.dumps({"queries": out, "total": round(sum(out.values()), 3)}))
+spark.stop()
+'''
+
+
+def _ab_check(total: float, idle_ref: dict | None, sf_dir: str) -> dict | None:
+    """Snapshot A/B on drift (VERDICT r9 #7): when this run's headline
+    moves >10% vs the committed idle reference, re-run the PREVIOUS
+    round's snapshot code on the SAME box right now — one warm run per
+    query per side, snapshot first then HEAD minutes apart — and record
+    both. Replaces uniformity arguments with the measurement that
+    settles code-regression vs box-drift."""
+    if not idle_ref or not idle_ref.get("value"):
+        return None
+    # only comparable at the reference's own scale factor — a sf0.01
+    # probe drifting vs a sf0.1 record is not drift
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    ref_sf = idle_ref.get("sf")
+    if ref_sf is not None and str(ref_sf) != sf:
+        return None
+    ref = float(idle_ref["value"])
+    drift = total / ref - 1.0
+    if abs(drift) <= 0.10:
+        return None
+    import subprocess
+    import tempfile
+
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def _run(repo: str) -> dict:
+        script = os.path.join(tempfile.mkdtemp(prefix="bench_ab_"), "runner.py")
+        with open(script, "w") as f:
+            f.write(_AB_RUNNER)
+        try:
+            p = subprocess.run(
+                [sys.executable, script, repo, sf_dir, json.dumps(HEADLINE)],
+                capture_output=True, text=True, timeout=900,
+            )
+            for line in reversed(p.stdout.splitlines()):
+                if line.startswith("ABRESULT "):
+                    return json.loads(line[len("ABRESULT "):])
+            return {"error": (p.stderr or p.stdout)[-400:]}
+        except Exception as e:  # timeout, spawn failure — record, don't crash
+            return {"error": f"{type(e).__name__}: {e}"[:400]}
+
+    # previous round's snapshot = newest end-of-round commit
+    try:
+        subj = subprocess.run(
+            ["git", "-C", here, "log", "--format=%H %s", "-50"],
+            capture_output=True, text=True, timeout=60,
+        ).stdout
+        commit = next(
+            (
+                l.split()[0]
+                for l in subj.splitlines()
+                if l.split(" ", 1)[1].startswith("round ")
+            ),
+            None,
+        )
+    except Exception:
+        commit = None
+    if commit is None:
+        return {"triggered": True, "drift": round(drift, 3), "error": "no snapshot commit"}
+    wt = tempfile.mkdtemp(prefix="bench_ab_wt_")
+    os.rmdir(wt)
+    try:
+        subprocess.run(
+            ["git", "-C", here, "worktree", "add", "--detach", wt, commit],
+            capture_output=True, timeout=120, check=True,
+        )
+        snap = _run(wt)  # snapshot first,
+        head = _run(here)  # HEAD second — same box, minutes apart
+    finally:
+        subprocess.run(
+            ["git", "-C", here, "worktree", "remove", "--force", wt],
+            capture_output=True, timeout=120,
+        )
+    return {
+        "triggered": True,
+        "drift_vs_idle_ref": round(drift, 3),
+        "snapshot_commit": commit[:12],
+        "snapshot": snap,
+        "head": head,
+        "timing": "warm_single_run_each",
+    }
 
 
 def main() -> None:
@@ -350,6 +457,7 @@ def main() -> None:
     # combined line outgrew that window). So: the full detail record —
     # runs, mv_refresh, contention, trends — goes on its OWN earlier
     # line, and the compact headline (well under 2kB) is the LAST line.
+    idle_ref = _latest_idle_reference()
     detail = {
         "metric": "headline_detail",
         "runs": all_runs,
@@ -357,7 +465,15 @@ def main() -> None:
         "contention_probe": probe,
         "tracked_trends": trend,
         "mv_refresh": mv_refresh,
-        "idle_reference": _latest_idle_reference(),
+        "idle_reference": idle_ref,
+        # drift >10% vs the idle record triggers an on-the-spot A/B of
+        # the previous round's snapshot on this same box (None = within
+        # band, no A/B needed)
+        "ab_check": (
+            _ab_check(total, idle_ref, sf_dir)
+            if os.environ.get("SPARK_GRAFT_SKIP_AB") != "1"
+            else None
+        ),
     }
     print(json.dumps(detail))
     sys.stdout.flush()

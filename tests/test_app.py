@@ -2435,3 +2435,72 @@ def test_cost_advisor_probe_aborts_at_threshold_and_covers_agg(spark, tmp_path):
     adv = slow.describe()["advisor"]
     assert adv["decision"] == "incremental"
     assert adv["aborted"] is True and adv["full_query_secs"] is None
+
+
+def test_refresh_confs_isolated_from_user_session(spark, tmp_path, monkeypatch):
+    """VERDICT r9 #4: maintenance jobs run on a conf-isolated session
+    clone — a concurrent user query on the ORIGINAL session never sees
+    the refresh scope's AQE/codegen/shuffle tuning. The spy samples
+    both sessions' confs mid-refresh (inside a store merge, where the
+    scope is active)."""
+    import tiflink_spark.store as store_mod
+    from tiflink_spark.session import maintenance_session
+
+    user_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    user_wsc = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    user_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+
+    seen = {}
+    orig = store_mod.KeyedParquetStore.merge
+
+    def spy(self, changes, batch_id):
+        ms = maintenance_session(spark)
+        seen["user"] = (
+            spark.conf.get("spark.sql.adaptive.enabled"),
+            spark.conf.get("spark.sql.codegen.wholeStage", "true"),
+            spark.conf.get("spark.sql.shuffle.partitions"),
+        )
+        seen["maint_aqe"] = ms.conf.get("spark.sql.adaptive.enabled")
+        # a user query EXECUTED mid-refresh on the user session works
+        # and runs under the user's own conf
+        seen["user_query_rows"] = spark.range(5).count()
+        return orig(self, changes, batch_id)
+
+    monkeypatch.setattr(store_mod.KeyedParquetStore, "merge", spy)
+
+    orders = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(50)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    app = (
+        MVApp.builder(spark)
+        .source("ord_iso", orders, pk=["o_orderkey"])
+        .query(
+            "SELECT o_custkey, count(*) AS n FROM ord_iso GROUP BY o_custkey"
+        )
+        .target(str(tmp_path / "iso"))
+        .num_buckets(2)
+        .shuffle_partitions(2)
+        .build()
+    )
+    app.bootstrap()
+    ch = (
+        orders.limit(3)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+        .withColumn(OP_COL, F.lit(OP_UPDATE))
+        .withColumn(SEQ_COL, F.monotonically_increasing_id())
+    )
+    app.refresh({"ord_iso": ch}, batch_id=1)
+
+    # mid-refresh: user session untouched, maintenance session tuned
+    assert seen["user"] == (user_aqe, user_wsc, user_shuffle)
+    assert seen["maint_aqe"] == "false"
+    assert seen["user_query_rows"] == 5
+    # after: both sessions back to their baselines
+    assert spark.conf.get("spark.sql.adaptive.enabled") == user_aqe
+    ms = maintenance_session(spark)
+    assert ms.conf.get("spark.sql.adaptive.enabled") == "true"
+    # the MV is correct and its read() is homed on the user session
+    out = app.read()
+    assert out.sparkSession is spark
+    assert out.count() == 5

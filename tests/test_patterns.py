@@ -574,17 +574,31 @@ def test_prev_next_navigation_compiles_to_lag_lead(spark):
     assert _collect(out2)[0][-1] == 2
 
 
-def test_prev_refused_in_streaming(spark, tmp_path):
+def test_prev_streaming_contract(spark, tmp_path):
+    """Streaming PREV/NEXT (round 10): supported via the run-state
+    grammar — plain comparison predicates construct; a nav predicate
+    OUTSIDE that grammar (function calls etc., which batch can run
+    JVM-side) still refuses loudly rather than approximating."""
     from tiflink_spark.patterns import match_recognize_stream
 
     df = spark.readStream.format("rate").load()
-    with pytest.raises(NotImplementedError, match="batch-only"):
+    # in-grammar: constructs (execution is covered by the nav tests)
+    match_recognize_stream(
+        df,
+        partition_by=["value"],
+        order_by=["timestamp"],
+        pattern=[("A", "1")],
+        define={"A": "value > PREV(value)"},
+        measures=[("n", "A", None, "count")],
+    )
+    # outside the restricted grammar: refuse, don't guess
+    with pytest.raises(NotImplementedError):
         match_recognize_stream(
             df,
             partition_by=["value"],
             order_by=["timestamp"],
             pattern=[("A", "1")],
-            define={"A": "value > PREV(value)"},
+            define={"A": "abs(value) > PREV(value)"},
             measures=[("n", "A", None, "count")],
         )
 
@@ -908,3 +922,212 @@ def test_runstate_string_literal_with_keywords(spark):
         measures=[("n", "A", None, "count")],
     )
     assert _collect(out2) == [(1, 1, 1)]
+
+
+def test_nav_streaming_equals_batch(spark, tmp_path):
+    """VERDICT r9 #6: PREV/NEXT navigation in the STREAMING entry —
+    nav-bearing DEFINEs compile through the run-state grammar and the
+    nav columns are computed over the cross-batch pending buffer
+    (k_prev context tail + k_next hold-back). Drained stream == batch
+    on a multi-V-shape series split across triggers at boundaries that
+    force PREV to navigate into a previous trigger's rows."""
+    import os
+
+    from tiflink_spark.patterns import match_recognize_stream
+
+    vals = [10, 8, 6, 7, 9, 12, 5, 4, 6, 11, 3, 2, 8, 9, 1]
+    rows = [(1, i, float(v)) for i, v in enumerate(vals)]
+    src = tmp_path / "src"
+    os.makedirs(src)
+    for fi, chunk in enumerate([rows[:3], rows[3:5], rows[5:9], rows[9:]]):
+        spark.createDataFrame(chunk, "k int, seq int, price double").coalesce(
+            1
+        ).write.parquet(str(src / f"f{fi}"))
+    kwargs = dict(
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern=[("STRT", "1"), ("DOWN", "+"), ("UP", "+")],
+        define={"DOWN": "price < PREV(price)", "UP": "price > PREV(price)"},
+        measures=[
+            ("bottom", "DOWN", "price", "last"),
+            ("top", "UP", "price", "last"),
+        ],
+    )
+    batch = _collect(
+        match_recognize(
+            spark.createDataFrame(rows, "k int, seq int, price double"), **kwargs
+        )
+    )
+    stream = (
+        spark.readStream.schema("k int, seq int, price double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out = match_recognize_stream(stream, **kwargs)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("nav_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = [tuple(r) for r in spark.sql(
+        "SELECT * FROM nav_stream ORDER BY k, match_seq"
+    ).collect()]
+    # the stream can't see end-of-data -> a possible held tail match
+    assert len(batch) >= 2  # the case must exercise multiple matches
+    assert got == batch[: len(got)] and len(batch) - len(got) <= 1
+
+
+def test_nav_streaming_next_and_mixed(spark, tmp_path):
+    """NEXT in streaming: the hold-back must keep every decision exact
+    even when the deciding row arrives a trigger later; mixed
+    PREV + FIRST run-state in one DEFINE compiles and agrees with
+    batch."""
+    import os
+
+    from tiflink_spark.patterns import match_recognize_stream
+
+    vals = [1, 5, 2, 6, 3, 7, 1, 8, 2, 0, 9]
+    rows = [(1, i, float(v)) for i, v in enumerate(vals)]
+    src = tmp_path / "src"
+    os.makedirs(src)
+    for fi, chunk in enumerate([rows[:2], rows[2:3], rows[3:7], rows[7:]]):
+        spark.createDataFrame(chunk, "k int, seq int, price double").coalesce(
+            1
+        ).write.parquet(str(src / f"f{fi}"))
+    # A = a row followed by a strictly higher row (NEXT), B = the peak
+    kwargs = dict(
+        partition_by=["k"],
+        order_by=["seq"],
+        pattern=[("A", "+"), ("B", "1")],
+        define={"A": "price < NEXT(price)", "B": "price > FIRST(A.price)"},
+        measures=[("n", "A", None, "count"), ("peak", "B", "price", "last")],
+    )
+    batch = _collect(
+        match_recognize(
+            spark.createDataFrame(rows, "k int, seq int, price double"), **kwargs
+        )
+    )
+    stream = (
+        spark.readStream.schema("k int, seq int, price double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out = match_recognize_stream(stream, **kwargs)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("nav_next_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = [tuple(r) for r in spark.sql(
+        "SELECT * FROM nav_next_stream ORDER BY k, match_seq"
+    ).collect()]
+    assert len(batch) >= 2
+    # NEXT hold-back: up to one tail match may stay pending
+    assert got == batch[: len(got)] and len(batch) - len(got) <= 1
+
+
+def test_nav_scan_batch_equals_drained_stream_fuzz():
+    """The ctx-tail + NEXT-hold-back arithmetic must keep the
+    decided/held split exact under PREV/NEXT DEFINEs: random series,
+    random chunkings — drained stream == batch, every time. Mirrors
+    match_recognize_stream's update() slicing over the same engine
+    primitives (_rewrite_nav → _prepare_runstate(force) → shift →
+    _scan(start, n_eff))."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    from tiflink_spark.patterns import (
+        _bind_runstate,
+        _prepare_runstate,
+        _rewrite_nav,
+        _runtime_steps,
+        _scan,
+        _validate,
+    )
+
+    pattern = [("S", "1"), ("U", "+")]
+    cases = [
+        ({"U": "price > PREV(price)"}, 1, 0),
+        ({"U": "price < PREV(price, 2)"}, 2, 0),
+        ({"U": "price < NEXT(price)"}, 0, 1),
+        ({"U": "price > PREV(price) AND price < NEXT(price)"}, 1, 1),
+        ({"U": "price >= FIRST(price) AND price != PREV(price)"}, 1, 0),
+    ]
+
+    def prep(define):
+        _, steps = _validate(pattern, define, [])
+        define_rw, nav_cols = _rewrite_nav(define)
+        nav_vars = {
+            v
+            for v, p in define_rw.items()
+            if p is not None and any(nm in p for nm in nav_cols)
+        }
+        rs_compiled, rs_cols = _prepare_runstate(
+            define_rw, steps, force=frozenset(nav_vars)
+        )
+        return steps, nav_cols, rs_compiled, rs_cols
+
+    def run_scan(vals, prep_out, streaming, start=0, n_eff=None):
+        steps, nav_cols, rs_compiled, rs_cols = prep_out
+        pdf = pd.DataFrame({"price": [float(v) for v in vals]})
+        for name, (fn, col, k) in nav_cols.items():
+            pdf[name] = pdf[col].shift(k if fn == "prev" else -k)
+        flags = {v: np.ones(len(vals), dtype=bool) for v in "SU"}
+        rs = _bind_runstate(rs_compiled, rs_cols, pdf, flags)
+        rt = _runtime_steps(steps, flags, rs)
+        n = len(vals) if n_eff is None else n_eff
+        return _scan(
+            rt, n, streaming=streaming, skip=("past", None), flags=flags,
+            start=start,
+        )
+
+    rng = random.Random(23)
+    for trial in range(300):
+        define, k_prev, k_next = rng.choice(cases)
+        prep_out = prep(define)
+        n = rng.randint(1, 14)
+        vals = [rng.randint(0, 6) for _ in range(n)]
+        batch, _ = run_scan(vals, prep_out, streaming=False)
+
+        # drained stream: buffer = ctx tail + pending + new rows
+        emitted = []
+        buf_start, ctx = 0, 0  # buf_start: absolute index of buffer head
+        sizes, left = [], n
+        while left:
+            c = rng.randint(1, left)
+            sizes.append(c)
+            left -= c
+        pos = 0
+        for size in sizes:
+            pos += size
+            buf = vals[buf_start:pos]
+            bn = len(buf)
+            n_eff = max(ctx, bn - k_next)
+            ms, pending = run_scan(
+                buf, prep_out, streaming=True, start=ctx, n_eff=n_eff
+            )
+            emitted += [
+                [(nm, s + buf_start, e + buf_start) for nm, s, e in m]
+                for m in ms
+            ]
+            cut = max(0, pending - k_prev)
+            ctx = pending - cut
+            buf_start += cut
+        # final drain: batch-mode pass over the remaining buffer (end
+        # of data IS final there — NEXT beyond the end reads NULL)
+        buf = vals[buf_start:]
+        ms, _ = run_scan(buf, prep_out, streaming=False, start=ctx)
+        emitted += [
+            [(nm, s + buf_start, e + buf_start) for nm, s, e in m] for m in ms
+        ]
+        assert emitted == batch, (trial, define, vals, sizes)

@@ -1926,4 +1926,9 @@ class MVApp:
             out = out.select(*ordered)
         if self._column_names is not None:
             out = out.toDF(*self._column_names)
-        return out
+        # Stores home their frames on the maintenance session; hand the
+        # user a frame on THEIR session so their conf governs execution
+        # (and a concurrently-running refresh's tuning never does).
+        from tiflink_spark.session import rehome
+
+        return rehome(out, self.spark)

@@ -63,23 +63,33 @@ from tiflink_spark.store import KeyedParquetStore
 # "outermost" scopes race the restore and LEAK codegen=false into the
 # session (observed: one suite-order-dependent test failure).
 _SCOPE_LOCK = threading.Lock()
-# n_off: live scopes wanting AQE off (refresh scopes); n_keep_codegen:
-# live scopes REQUIRING codegen on (big-scan refreshes and bootstraps).
-# The strictest requirement across live scopes wins — first-entrant-
-# wins let a small-route scope force a concurrent big-scan refresh to
-# run interpreted table-scale scans (measured 5s→26s).
-_SCOPE_STATE: dict = {"count": 0, "saved": None, "n_off": 0, "n_keep_codegen": 0}
 
 
-def _apply_scope_confs(spark: SparkSession) -> None:
+def _scope_state(spark: SparkSession) -> dict:
+    """Per-SESSION scope state (attached to the session object):
+    n_off counts live scopes wanting AQE off (refresh scopes);
+    n_keep_codegen counts live scopes REQUIRING codegen on (big-scan
+    refreshes and bootstraps). The strictest requirement across live
+    scopes wins — first-entrant-wins let a small-route scope force a
+    concurrent big-scan refresh to run interpreted table-scale scans
+    (measured 5s→26s). Keyed per session because maintenance runs on
+    a conf-isolated session clone (session.maintenance_session)."""
+    st = getattr(spark, "_tiflink_scope_state", None)
+    if st is None:
+        st = {"count": 0, "saved": None, "n_off": 0, "n_keep_codegen": 0}
+        spark._tiflink_scope_state = st
+    return st
+
+
+def _apply_scope_confs(spark: SparkSession, st: dict) -> None:
     """Apply the strictest requirement across live scopes (holding
     _SCOPE_LOCK): AQE off if ANY refresh scope is live; codegen off
     only when some refresh scope wants it off and NO live scope (big
     scan or bootstrap) needs it on."""
-    saved_aqe, saved_wsc, saved_fac = _SCOPE_STATE["saved"]
-    if _SCOPE_STATE["n_off"] > 0:
+    saved_aqe, saved_wsc, saved_fac = st["saved"]
+    if st["n_off"] > 0:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        if _SCOPE_STATE["n_keep_codegen"] == 0:
+        if st["n_keep_codegen"] == 0:
             spark.conf.set("spark.sql.codegen.wholeStage", "false")
             spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
         else:
@@ -151,16 +161,17 @@ def _shuffle_scope(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     keep_codegen = big_scan or not adaptive_off
     with _SCOPE_LOCK:
-        _SCOPE_STATE["count"] += 1
-        if _SCOPE_STATE["count"] == 1:
-            _SCOPE_STATE["saved"] = (
+        st = _scope_state(spark)
+        st["count"] += 1
+        if st["count"] == 1:
+            st["saved"] = (
                 spark.conf.get("spark.sql.adaptive.enabled"),
                 spark.conf.get("spark.sql.codegen.wholeStage", "true"),
                 spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK"),
             )
-        _SCOPE_STATE["n_off"] += 1 if adaptive_off else 0
-        _SCOPE_STATE["n_keep_codegen"] += 1 if keep_codegen else 0
-        _apply_scope_confs(spark)
+        st["n_off"] += 1 if adaptive_off else 0
+        st["n_keep_codegen"] += 1 if keep_codegen else 0
+        _apply_scope_confs(spark, st)
     if n is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
@@ -168,17 +179,18 @@ def _shuffle_scope(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         with _SCOPE_LOCK:
-            _SCOPE_STATE["count"] -= 1
-            _SCOPE_STATE["n_off"] -= 1 if adaptive_off else 0
-            _SCOPE_STATE["n_keep_codegen"] -= 1 if keep_codegen else 0
-            if _SCOPE_STATE["count"] == 0:
-                aqe, wsc, fac = _SCOPE_STATE["saved"]
-                _SCOPE_STATE["saved"] = None
+            st = _scope_state(spark)
+            st["count"] -= 1
+            st["n_off"] -= 1 if adaptive_off else 0
+            st["n_keep_codegen"] -= 1 if keep_codegen else 0
+            if st["count"] == 0:
+                aqe, wsc, fac = st["saved"]
+                st["saved"] = None
                 spark.conf.set("spark.sql.adaptive.enabled", aqe)
                 spark.conf.set("spark.sql.codegen.wholeStage", wsc)
                 spark.conf.set("spark.sql.codegen.factoryMode", fac)
             else:
-                _apply_scope_confs(spark)
+                _apply_scope_confs(spark, st)
 
 
 # Target rows per maintenance task. Once a batch's true change-row count
@@ -202,9 +214,14 @@ def _tune_delta_shuffle(spark: SparkSession, configured: int | None, rows: int |
     the session value afterwards). A backfill-scale delta also turns
     whole-stage codegen back ON for the rest of the batch — the
     refresh scope disables it because micro-batches never amortize
-    Janino compilation, but a million-row batch does."""
+    Janino compilation, but a million-row batch does. Tunes the
+    MAINTENANCE session whichever session the route handle carries —
+    user-session conf is never touched mid-batch."""
     if rows is None:
         return
+    from tiflink_spark.session import maintenance_session
+
+    spark = maintenance_session(spark)
     need = max(1, -(-rows // DELTA_ROWS_PER_TASK))
     if configured is not None:
         need = min(need, configured)
@@ -256,8 +273,13 @@ def _maintenance(fn):
 
     @functools.wraps(fn)
     def wrapper(self, *args, **kwargs):
+        from tiflink_spark.session import maintenance_session
+
+        # The scope flips confs on the MAINTENANCE session (the one
+        # the stores home every read and write to) — a concurrent user
+        # query on the original session keeps its own conf.
         with _shuffle_scope(
-            self.spark,
+            maintenance_session(self.spark),
             getattr(self, "shuffle_partitions", None),
             adaptive_off=adaptive_off,
             big_scan=adaptive_off and _route_is_big(self),
@@ -296,9 +318,16 @@ class RecomputeMV:
         self.target_path = target_path
 
     def _run_query(self) -> DataFrame:
+        from tiflink_spark.session import maintenance_session
+
+        # Store reads are homed on the maintenance session, so the
+        # temp views land there — resolve the query on the same
+        # session (the user session's views still hold the BOOTSTRAP
+        # inputs, not current store state).
+        ms = maintenance_session(self.spark)
         for name, store in self.sources.items():
             store.read().createOrReplaceTempView(name)
-        return self.spark.sql(self.query)
+        return ms.sql(self.query)
 
     @_maintenance
     def bootstrap(self, batch_id=0) -> None:
@@ -2283,13 +2312,19 @@ class IncrementalJoinAggMV:
         )
         self._agg.bootstrap(batch_id)
 
-    def _affected_fact_pks(
+    def _affected_fact_rows(
         self, dim_name: str, dirty_keys: DataFrame, dim_now: dict[str, DataFrame]
     ) -> DataFrame:
-        """Fact PKs reachable from dirty keys of ``dim_name``: walk the
+        """Fact ROWS reachable from dirty keys of ``dim_name``: walk the
         join tree rootward — a dirty dim key dirties the parent rows
         whose referencing column holds it, hop by hop to the fact. Each
-        hop is one semi-join pruned to the dirty key set."""
+        hop is one semi-join pruned to the dirty key set; the FINAL hop
+        returns the pruned fact rows themselves. (An earlier shape
+        returned fact PKs and re-joined them against a second full fact
+        read — at sf10 dim churn that meant two chained table scans and
+        an UN-HINTED 150k-key semi-join that shuffled the whole fact,
+        executed once per downstream action; measured as the 0.81×
+        dim-churn loss, VERDICT r9.)"""
         cur_name, cur_keys = dim_name, dirty_keys
         cur_pk_cols = self._by_name[dim_name].pk_cols
         while True:
@@ -2303,10 +2338,8 @@ class IncrementalJoinAggMV:
             if edge.parent == self.fact_name:
                 # dirty-key sets are δ-bounded at every hop — broadcast
                 # so the fact/dim scans stay map-side
-                return (
-                    self.fact_store.read()
-                    .join(F.broadcast(ref_vals), list(edge.ref_cols), "left_semi")
-                    .select(*self.fact_pk)
+                return self.fact_store.read().join(
+                    F.broadcast(ref_vals), list(edge.ref_cols), "left_semi"
                 )
             parent_edge = self._by_name[edge.parent]
             cur_keys = (
@@ -2423,7 +2456,7 @@ class IncrementalJoinAggMV:
         dim_changed = [n for n in changes if n != self.fact_name]
         if dim_changed:
             aff_parts = [
-                self._affected_fact_pks(
+                self._affected_fact_rows(
                     name,
                     last_change_per_key(
                         changes[name], list(self._by_name[name].pk_cols)
@@ -2432,12 +2465,13 @@ class IncrementalJoinAggMV:
                 )
                 for name in dim_changed
             ]
-            aff = aff_parts[0]
+            affected = aff_parts[0]
             for p in aff_parts[1:]:
-                aff = aff.unionByName(p)
-            affected = self.fact_store.read().join(
-                aff.distinct(), self.fact_pk, "left_semi"
-            )
+                affected = affected.unionByName(p)
+            if len(aff_parts) > 1:
+                # the same fact row can be reached from several churned
+                # dims; the dedup shuffles only the affected rows
+                affected = affected.dropDuplicates(self.fact_pk)
             # Touched dim keys re-derive every J row they reach: renamed
             # dims rewrite their rows (+U), deleted dims drop them (-D).
             parts.append(
@@ -3095,7 +3129,9 @@ class IncrementalGroupingSetsMV:
             return list(pool.map(fn, self.subs))
 
     def bootstrap(self, batch_id=0) -> None:
-        with _shuffle_scope(self.spark, self._sub_shuffle):
+        from tiflink_spark.session import maintenance_session
+
+        with _shuffle_scope(maintenance_session(self.spark), self._sub_shuffle):
             self.fact_store.bootstrap(self._fact0, batch_id)
             self._run_subs(lambda sub: sub.bootstrap(batch_id))
 
@@ -3104,7 +3140,9 @@ class IncrementalGroupingSetsMV:
             return False
         if self._has_global:
             changes = changes.withColumn("__g", F.lit(0))
-        with _shuffle_scope(self.spark, self._sub_shuffle):
+        from tiflink_spark.session import maintenance_session
+
+        with _shuffle_scope(maintenance_session(self.spark), self._sub_shuffle):
             # The shared fact merge is the changelog's single execution
             # point; every sub then re-binds to its materialized delta
             # parquet (each sub's own merge no-ops on the batch-id

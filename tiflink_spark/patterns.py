@@ -30,12 +30,20 @@ Supported subset (documented, checked):
   offset navigation ``PREV(col[, k])`` / ``NEXT(col[, k])`` (also
   spelled ``PREV(B.price)`` — the qualifier is dropped: matches are
   contiguous runs, so Flink's PREV/NEXT over the match's row sequence
-  IS the previous/next row of the ordered partition). Navigation
-  compiles to JVM-side ``lag``/``lead`` window columns, so the
-  predicate path stays whole-stage codegen; it is BATCH-only (the
-  streaming entry point refuses it: per-micro-batch JVM evaluation
-  cannot see across the trigger boundary, and re-evaluating the
-  predicate in Python would silently swap SQL engines). Plus LOGICAL
+  IS the previous/next row of the ordered partition). In BATCH,
+  navigation compiles to JVM-side ``lag``/``lead`` window columns, so
+  the predicate path stays whole-stage codegen. In STREAMING (since
+  round 10), a nav-bearing DEFINE compiles through the run-state
+  grammar instead (so it is restricted to comparison/arithmetic/
+  boolean predicates there) and the nav columns are computed by
+  pandas shift over the cross-batch pending buffer: a k_prev-row
+  context tail is retained before the pending suffix so PREV can
+  navigate into already-decided rows, and the last k_next rows of
+  each buffer are held back from matching until their forward values
+  arrive with the next trigger (the order contract guarantees later
+  rows only append). Unbounded lookahead at a true stream edge stays
+  held — the same contract as a complete-but-provisional edge match.
+  Plus LOGICAL
   run-state navigation ``FIRST(V.col[, k])`` / ``LAST(V.col[, k])``
   (and the unqualified universal forms over the match's own row
   prefix): these need the in-flight match assignment, so a DEFINE
@@ -430,22 +438,31 @@ class _RunStateEval:
             return False
 
 
-def _prepare_runstate(define_rw: dict, steps: list[tuple]) -> tuple[dict, set]:
+def _prepare_runstate(
+    define_rw: dict, steps: list[tuple], force: frozenset | set = frozenset()
+) -> tuple[dict, set]:
     """Compile every FIRST/LAST-bearing DEFINE (on the PREV/NEXT-
     rewritten text, so nav placeholders read as plain columns) →
     ({var: (code, navs, cols)}, all referenced value columns). A
     run-state variable inside an alternation step is refused: the
     matcher attributes alternation rows by the JVM flag columns, and a
     run-state variable's flag is always-true — attribution would be
-    circular."""
+    circular. ``force`` names variables that must compile through this
+    path even without FIRST/LAST — the streaming entry routes
+    PREV/NEXT-bearing DEFINEs here (their physical nav columns are
+    computed over the cross-batch buffer in the matcher, where lag/lead
+    cannot reach)."""
     rs_compiled = {
-        v: _compile_runstate(p) for v, p in define_rw.items() if _has_runstate(p)
+        v: _compile_runstate(p)
+        for v, p in define_rw.items()
+        if _has_runstate(p) or v in force
     }
     for names, _lo, _hi, _greedy in steps:
         if len(names) > 1 and any(v in rs_compiled for v in names):
             raise ValueError(
-                "FIRST/LAST run-state navigation on an alternation step "
-                f"is unsupported (step {'|'.join(names)})"
+                "matcher-evaluated navigation (FIRST/LAST run-state, or "
+                "streaming PREV/NEXT) on an alternation step is "
+                f"unsupported (step {'|'.join(names)})"
             )
     value_cols: set = set()
     for code, navs, cols in rs_compiled.values():
@@ -678,6 +695,7 @@ def _scan(
     max_rows: int | None = None,
     skip=("past", None),
     flags=None,
+    start: int = 0,
 ):
     """Left-to-right non-overlapping scan (AFTER MATCH SKIP PAST LAST
     ROW) → (matches, pending_start). In streaming mode the scan STOPS
@@ -699,12 +717,20 @@ def _scan(
     window-close rule, and a partial one is abandoned."""
     import numpy as np
 
-    matches, i = [], 0
+    # ``start`` > 0: the leading rows are cross-batch CONTEXT retained
+    # only so PREV can navigate before the pending suffix — they were
+    # decided in an earlier trigger and must not start a match again.
+    matches, i = [], start
     while i < n:
         if within is None:
             limit = n
         else:
-            limit = int(np.searchsorted(ovals, ovals[i] + within, side="right"))
+            # clamp: ovals may be longer than n when the caller holds a
+            # NEXT-navigation tail out of matching (streaming) — the
+            # window edge must never re-admit held rows
+            limit = min(
+                int(np.searchsorted(ovals, ovals[i] + within, side="right")), n
+            )
         spans, end, eof = _attempt(i, 0, steps, n, limit)
         if streaming and eof:
             too_big = max_rows is not None and (n - i) > max_rows
@@ -887,14 +913,39 @@ def match_recognize_stream(
     pat_vars, steps = _validate(pattern, define, measures)
     skip = _parse_skip(after_match, pat_vars)
     define_rw, nav_cols = _rewrite_nav(define)
-    rs_compiled, rs_value_cols = _prepare_runstate(define_rw, steps)
-    # no partition/order context: PREV/NEXT navigation raises (the
-    # documented batch-only contract — see the module doc). FIRST/LAST
-    # run-state navigation is FINE here: it evaluates in the matcher
-    # over the match's own buffered rows, which the pending-suffix
-    # state carries across triggers.
+    # PREV/NEXT in streaming: lag/lead cannot see across the trigger
+    # boundary, but the pending-suffix state ALREADY buffers the rows a
+    # bounded physical lookback needs — so nav-bearing DEFINEs compile
+    # through the run-state path (restricted comparison grammar,
+    # evaluated in the matcher) and the nav columns are computed by
+    # pandas shift over the cross-batch buffer. Two state extensions
+    # make the boundary exact: a k_prev-row CONTEXT tail is retained
+    # before the pending suffix (PREV at a match start navigates into
+    # already-decided rows), and the last k_next rows of every buffer
+    # are HELD back from matching (their NEXT values arrive with the
+    # next trigger; the order contract guarantees later rows only
+    # append). Unbounded lookahead at a true stream edge stays held —
+    # the same contract as a complete-but-provisional edge match.
+    nav_vars = {
+        v
+        for v, p in define_rw.items()
+        if p is not None and any(name in p for name in nav_cols)
+    }
+    k_prev = max(
+        [k for (fn, _c, k) in nav_cols.values() if fn == "prev"], default=0
+    )
+    k_next = max(
+        [k for (fn, _c, k) in nav_cols.values() if fn == "next"], default=0
+    )
+    rs_compiled, rs_value_cols = _prepare_runstate(
+        define_rw, steps, force=frozenset(nav_vars)
+    )
+    nav_src_cols = sorted({c for (_fn, c, _k) in nav_cols.values()})
+    # JVM stage: nav/run-state vars get always-true flags (their real
+    # predicate runs in the matcher); pass NO nav columns so the
+    # lag/lead (batch-only) path is never entered.
     work = _flag_columns(
-        df, pat_vars, define_rw, nav_cols, runstate_vars=set(rs_compiled)
+        df, pat_vars, define_rw, {}, runstate_vars=set(rs_compiled)
     )
     out_fields = _output_fields(df, partition_by, measures)
     out_schema = StructType(out_fields)
@@ -906,7 +957,8 @@ def match_recognize_stream(
         dict.fromkeys(
             [*part_cols, *order_cols]
             + [f for _, _, f, _ in meas if f is not None]
-            + sorted(rs_value_cols)
+            + sorted(rs_value_cols - set(nav_cols))
+            + nav_src_cols
             + [f"__m_{v}" for v in pat_vars]
         )
     )
@@ -915,10 +967,10 @@ def match_recognize_stream(
         import pandas as pd
 
         if state.exists:
-            seq0, blob = state.get
+            seq0, blob, ctx0 = state.get
             prior = _decode_suffix(blob) if blob else None
         else:
-            seq0, prior = 0, None
+            seq0, prior, ctx0 = 0, None, 0
         parts = ([] if prior is None or prior.empty else [prior]) + [
             p[carry_cols] for p in pdfs
         ]
@@ -927,28 +979,44 @@ def match_recognize_stream(
         if pdf is None or pdf.empty:
             yield pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
             return
+        # The prior suffix (incl. its context head) precedes every new
+        # row under the order contract; the stable sort keeps it first.
         pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        # physical nav columns over the CROSS-BATCH buffer (lag/lead
+        # cannot span triggers; shift over the reassembled buffer can)
+        for name, (fn, col, k) in nav_cols.items():
+            pdf[name] = pdf[col].shift(k if fn == "prev" else -k)
         flags = {v: pdf[f"__m_{v}"].to_numpy() for v in pat_vars}
         rs_evals = _bind_runstate(rs_compiled, rs_value_cols, pdf, flags)
         rt_steps = _runtime_steps(steps, flags, rs_evals)
         n = len(pdf)
+        # NEXT hold-back: the last k_next rows' forward values arrive
+        # with the next trigger — matching stops short of them so no
+        # decision ever reads a not-yet-final NaN.
+        n_eff = max(int(ctx0), n - k_next)
         ovals = pdf[order_cols[0]].to_numpy() if within is not None else None
         matches, pending = _scan(
             rt_steps,
-            n,
+            n_eff,
             streaming=True,
             ovals=ovals,
             within=within,
             max_rows=max_pending_rows,
             skip=skip,
             flags=flags,
+            start=int(ctx0),
         )
         records = _measure_rows(pdf, matches, part_cols, meas, flags, seq0=seq0)
-        suffix = pdf.iloc[pending:].reset_index(drop=True)
+        # retain a k_prev-row context head before the pending suffix so
+        # PREV at the next trigger's first candidate can navigate into
+        # already-decided rows
+        cut = max(0, pending - k_prev)
+        suffix = pdf.iloc[cut:][carry_cols].reset_index(drop=True)
         state.update(
             (
                 seq0 + len(matches),
                 _encode_suffix(suffix) if len(suffix) else "",
+                pending - cut,
             )
         )
         if records:
@@ -959,7 +1027,7 @@ def match_recognize_stream(
     return work.select(*carry_cols).groupBy(*part_cols).applyInPandasWithState(
         update,
         outputStructType=out_schema,
-        stateStructType="seq long, pending string",
+        stateStructType="seq long, pending string, ctx long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

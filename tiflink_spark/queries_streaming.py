@@ -745,3 +745,142 @@ def streaming_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     finally:
         shutil.rmtree(stream_dir, ignore_errors=True)
+
+
+_NAV_ORACLE_SQL = """
+    WITH ordered AS (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               lag(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pv
+        FROM events),
+    f AS (
+        SELECT user_id, rn, value,
+               CASE WHEN pv IS NOT NULL AND value < pv THEN 1 ELSE 0 END AS d
+        FROM ordered),
+    starts AS (
+        SELECT user_id, rn, value, d,
+               CASE WHEN d = 1 AND COALESCE(lag(d) OVER (
+                      PARTITION BY user_id ORDER BY rn), 0) = 0
+                    THEN 1 ELSE 0 END AS is_start
+        FROM f),
+    g AS (
+        SELECT user_id, rn, value, d,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        FROM starts),
+    isl AS (
+        SELECT user_id, grp, min(rn) AS s_rn, max(rn) AS e_rn,
+               CAST(count(*) AS BIGINT) AS n_down
+        FROM g WHERE d = 1 GROUP BY user_id, grp)
+    SELECT i.user_id,
+           CAST(row_number() OVER (PARTITION BY i.user_id ORDER BY i.s_rn)
+                AS BIGINT) AS match_seq,
+           (SELECT value FROM g o WHERE o.user_id = i.user_id
+              AND o.rn = i.s_rn - 1) AS start_v,
+           (SELECT value FROM g o WHERE o.user_id = i.user_id
+              AND o.rn = i.e_rn) AS bottom,
+           i.n_down
+    FROM isl i
+    """
+
+
+@register(
+    "streaming_pattern_nav",
+    _NAV_ORACLE_SQL,
+    doc=(
+        "STREAMING MATCH_RECOGNIZE with PREV() PHYSICAL navigation in "
+        "DEFINE (round 10; the r9 documented refusal, patterns.py): "
+        "maximal strictly-descending runs — PATTERN (S D+), D AS "
+        "value < PREV(value) — detected over a LIVE file stream "
+        "drained in four time-ordered micro-batches. lag/lead cannot "
+        "see across a trigger boundary, so nav-bearing DEFINEs compile "
+        "through the run-state grammar and the nav columns are "
+        "computed by pandas shift over the cross-batch pending buffer; "
+        "a k_prev-row context tail retained before the pending suffix "
+        "lets PREV at a match start navigate into a previous trigger's "
+        "already-decided rows. A per-user high-value sentinel row "
+        "appended to the final chunk terminates every run so the "
+        "drained result is complete (sentinels produce no matches and "
+        "change none — the oracle runs on the raw table). The oracle "
+        "is independent gaps-and-islands SQL: islands of "
+        "value<lag(value) rows; measures avoid cross-engine float "
+        "arithmetic (untouched doubles + BIGINT counts)."
+    ),
+    tags=("streaming", "pattern", "cep", "navigation"),
+)
+def streaming_pattern_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.patterns import match_recognize_stream
+    from tiflink_spark.session import load_tables
+
+    events = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "ts", "event_id", "value"
+    )
+    # per-user sentinel: highest value, after every real row — breaks
+    # any in-flight descending run so edge-held candidates resolve
+    sentinels = events.groupBy("user_id").agg(
+        (F.max("ts") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+        (F.max("event_id") + F.lit(10_000_000)).alias("event_id"),
+        F.lit(1e18).alias("value"),
+    ).select("user_id", "ts", "event_id", "value")
+    data = events.unionByName(sentinels)
+
+    stream_dir = tempfile.mkdtemp(prefix="pattern_nav_stream_")
+    try:
+        w = Window.orderBy("ts", "event_id")
+        chunked = data.withColumn("__c", F.ntile(4).over(w))
+        for i in (1, 2, 3, 4):
+            tmp = os.path.join(stream_dir, f"_w{i}")
+            (
+                chunked.filter(F.col("__c") == i)
+                .drop("__c")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = next(
+                f for f in os.listdir(tmp)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            dst = os.path.join(stream_dir, f"chunk{i}.parquet")
+            os.rename(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        schema = spark.read.parquet(os.path.join(stream_dir, "chunk1.parquet")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        out = match_recognize_stream(
+            stream,
+            partition_by=["user_id"],
+            order_by=["ts", "event_id"],
+            pattern=[("S", "1"), ("D", "+")],
+            define={"D": "value < PREV(value)"},
+            measures=[
+                ("start_v", "S", "value", "first"),
+                ("bottom", "D", "value", "last"),
+                ("n_down", "D", None, "count"),
+            ],
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                out.writeStream.format("memory")
+                .queryName("streaming_pattern_nav_sink")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return (
+                spark.table("streaming_pattern_nav_sink")
+                .select("user_id", "match_seq", "start_v", "bottom", "n_down")
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)

@@ -17,9 +17,67 @@ for cluster scale first:
 from __future__ import annotations
 
 import os
+import threading
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# user session -> its cached maintenance session (see
+# maintenance_session). Weak keys: a stopped/discarded user session
+# must not be pinned alive by its clone entry.
+_MAINT_SESSIONS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_MAINT_LOCK = threading.Lock()
+
+
+def maintenance_session(spark: SparkSession) -> SparkSession:
+    """The engine's MAINTENANCE session for a user session: same
+    SparkContext, isolated SQLConf/temp views (cloned at first use, so
+    the user's tuning is inherited once). MV maintenance jobs flip
+    AQE/codegen/shuffle sizing per batch (_shuffle_scope); running them
+    on a clone means a concurrent USER query on the original session
+    never silently executes interpreted or with AQE off — at 100×
+    scale an embedded engine shares its session with ad-hoc queries.
+
+    One clone per user session (cached): every store and refresh scope
+    of every MV on that session shares it, so the concurrent-scope
+    refcounting keeps working unchanged. Idempotent on a maintenance
+    session (returns it as-is)."""
+    if getattr(spark, "_tiflink_maint", False):
+        return spark
+    with _MAINT_LOCK:
+        m = _MAINT_SESSIONS.get(spark)
+        if m is None:
+            try:
+                # private[sql] in Scala is public in bytecode; clone
+                # inherits runtime conf AND temp views at this instant
+                jm = spark._jsparkSession.cloneSession()
+                m = SparkSession(spark.sparkContext, jm)
+            except Exception:
+                m = spark.newSession()  # fresh conf from context defaults
+            m._tiflink_maint = True
+            _MAINT_SESSIONS[spark] = m
+        return m
+
+
+def rehome(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Re-bind a DataFrame's logical plan onto another session sharing
+    the same SparkContext. Actions execute under the session the frame
+    is homed to — this is how changelog inputs built on the user
+    session run their store writes under the maintenance session's
+    conf, and how MV reads handed back to the user run under theirs.
+    Falls back to the original frame if the classic Dataset bridge is
+    unavailable (plan semantics are identical either way; only the
+    governing conf differs)."""
+    if df.sparkSession is spark:
+        return df
+    try:
+        jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            spark._jsparkSession, df._jdf.queryExecution().logical()
+        )
+        return DataFrame(jdf, spark)
+    except Exception:
+        return df
 
 TABLES = (
     "region",

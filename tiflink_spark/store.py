@@ -233,7 +233,14 @@ class KeyedParquetStore:
     def __init__(
         self, spark: SparkSession, path: str, pk: list[str], num_buckets: int | None = None
     ):
-        self.spark = spark
+        from tiflink_spark.session import maintenance_session
+
+        # Stores live on the MAINTENANCE session (a conf-isolated clone
+        # sharing the SparkContext): every chain read is constructed
+        # there and every merge write is rehomed there, so per-batch
+        # AQE/codegen/shuffle tuning never leaks into concurrent user
+        # queries on the original session.
+        self.spark = maintenance_session(spark)
         self.path = path
         self.pk = list(pk)
         self._mcache: tuple | None = None
@@ -841,6 +848,9 @@ class KeyedParquetStore:
         """Publish the initial full state (MV bootstrap, TiFlinkApp.java:105-116)."""
         if batch_id in self.committed_batches():
             return False
+        from tiflink_spark.session import rehome
+
+        df = rehome(df, self.spark)  # write runs under the store's session
         if self.num_buckets is None:
             self.num_buckets = auto_num_buckets(df.count())
         version = (self.current_version() or 0) + 1 if self._commits() else 0
@@ -933,6 +943,11 @@ class KeyedParquetStore:
         missing = {OP_COL, SEQ_COL, *self.pk} - set(changes.columns)
         if missing:
             raise ValueError(f"changelog batch missing columns {sorted(missing)}")
+        from tiflink_spark.session import rehome
+
+        # Run the delta write under the store's (maintenance) session
+        # conf, wherever the changelog lineage was built.
+        changes = rehome(changes, self.spark)
         # Contract guards ride the lineage (fail the job on an op
         # outside +I/+U/-D, or a NULL PK — an unaddressable row —
         # instead of silently corrupting the view).
