@@ -405,3 +405,208 @@ def test_temporal_join_proctime_routes_to_enrichment(spark, tmp_path):
         (10, "gold"),
         (11, "silver"),
     }
+
+
+def _build_reorder(spark, tmp_path, ev, prof):
+    return (
+        MVApp.builder(spark)
+        .source("ev_t", ev, pk=["eid"])
+        .source("prof_t", prof, pk=["uid"], event_time="updated_at")
+        .query(
+            """SELECT e.eid, e.uid, e.ts, d.tier
+               FROM ev_t e JOIN prof_t FOR SYSTEM_TIME AS OF e.ts AS d
+                 ON e.uid = d.uid"""
+        )
+        .target(str(tmp_path / "mv"))
+        .num_buckets(4)
+        .shuffle_partitions(4)
+        .late_dim("reorder")
+        .build()
+    )
+
+
+def test_temporal_late_dim_reorder_splices_versions(spark, tmp_path):
+    """VERDICT r9 #8: late_dim='reorder' — an out-of-order dim version
+    arriving in a LATER batch is spliced retroactively: the containing
+    validity interval splits, and existing events move onto the
+    corrected version."""
+    prof = spark.createDataFrame(
+        [(1, "bronze", _t("2024-01-01")), (2, "silver", _t("2024-01-01"))],
+        _PROF_SCHEMA,
+    )
+    ev = spark.createDataFrame(
+        [
+            (10, 1, _t("2024-02-01"), 1.0),
+            (11, 1, _t("2024-04-01"), 2.0),
+            (12, 2, _t("2024-03-01"), 3.0),
+        ],
+        _EV_SCHEMA,
+    )
+    app = _build_reorder(spark, tmp_path, ev, prof)
+    assert app.maintenance_strategy == "IncrementalTemporalJoinMV"
+    app.bootstrap()
+    # in-order change first: uid 1 -> gold FROM 2024-05-01
+    app.refresh(
+        {"prof_t": _ch(spark, [(1, "gold", _t("2024-05-01"))], _PROF_SCHEMA)},
+        batch_id=1,
+    )
+    assert {(r.eid, r.tier) for r in app.read().collect()} == {
+        (10, "bronze"),
+        (11, "bronze"),
+        (12, "silver"),
+    }
+    # LATE change: uid 1 was actually 'iron' from 2024-03-01 — the
+    # bronze interval [2024-01-01, 2024-05-01) splits; event 11
+    # (2024-04-01) retroactively moves to iron, event 10 stays bronze
+    app.refresh(
+        {"prof_t": _ch(spark, [(1, "iron", _t("2024-03-01"))], _PROF_SCHEMA)},
+        batch_id=2,
+    )
+    assert {(r.eid, r.tier) for r in app.read().collect()} == {
+        (10, "bronze"),
+        (11, "iron"),
+        (12, "silver"),
+    }
+    # replay is exact
+    app.refresh(
+        {"prof_t": _ch(spark, [(1, "iron", _t("2024-03-01"))], _PROF_SCHEMA)},
+        batch_id=2,
+    )
+    assert {(r.eid, r.tier) for r in app.read().collect()} == {
+        (10, "bronze"),
+        (11, "iron"),
+        (12, "silver"),
+    }
+    # a late DELETE: uid 2 was gone from 2024-02-15 — event 12 leaves
+    app.refresh(
+        {
+            "prof_t": _ch(
+                spark, [(2, None, _t("2024-02-15"))], _PROF_SCHEMA, op=OP_DELETE
+            )
+        },
+        batch_id=3,
+    )
+    assert {(r.eid, r.tier) for r in app.read().collect()} == {
+        (10, "bronze"),
+        (11, "iron"),
+    }
+    # and new facts land on the spliced versions
+    app.refresh(
+        {
+            "ev_t": _ch(
+                spark,
+                [(13, 1, _t("2024-03-15"), 4.0), (14, 1, _t("2024-06-01"), 5.0)],
+                _EV_SCHEMA,
+                op=OP_UPDATE,
+            )
+        },
+        batch_id=4,
+    )
+    assert {(r.eid, r.tier) for r in app.read().collect()} == {
+        (10, "bronze"),
+        (11, "iron"),
+        (13, "iron"),
+        (14, "gold"),
+    }
+
+
+def test_temporal_late_dim_default_still_raises(spark, tmp_path):
+    prof = spark.createDataFrame([(1, "bronze", _t("2024-03-01"))], _PROF_SCHEMA)
+    ev = spark.createDataFrame([(10, 1, _t("2024-04-01"), 1.0)], _EV_SCHEMA)
+    app = _build(spark, tmp_path, ev, prof)
+    app.bootstrap()
+    with pytest.raises(Exception, match="event-time ordered"):
+        app.refresh(
+            {"prof_t": _ch(spark, [(1, "iron", _t("2024-01-01"))], _PROF_SCHEMA)},
+            batch_id=1,
+        )
+
+
+def test_temporal_late_dim_reorder_convergence_fuzz(spark, tmp_path):
+    """Random dim-change sequences — arbitrary event times including
+    LATE and colliding ones, upserts and deletes — plus fact churn,
+    under late_dim='reorder'. After every batch the MV must equal a
+    pure-Python as-of resolution over all events seen so far (latest
+    event at-or-before each fact row's ts; delete or no event ⇒ the
+    row leaves the view)."""
+    import random
+
+    rng = random.Random(77)
+    uids = [1, 2, 3]
+    times = [_t(f"2024-0{m}-01") for m in (1, 2, 3, 4, 5)]
+    tiers = ["a", "b", "c", "d"]
+
+    prof = spark.createDataFrame(
+        [(u, "base", _t("2024-01-01")) for u in uids], _PROF_SCHEMA
+    )
+    facts = [
+        (100 + i, rng.choice(uids), rng.choice(times), float(i))
+        for i in range(8)
+    ]
+    ev = spark.createDataFrame(facts, _EV_SCHEMA)
+    app = _build_reorder(spark, tmp_path, ev, prof)
+    app.bootstrap()
+
+    # tracked truth: (uid, time) -> (op, tier); bootstrap rows first
+    events: dict = {(u, _t("2024-01-01")): (OP_UPDATE, "base") for u in uids}
+    live_facts = {e[0]: e for e in facts}
+
+    def expected():
+        out = set()
+        for eid, (  # noqa: B007
+            _e,
+            uid,
+            ts,
+            _v,
+        ) in live_facts.items():
+            cand = [
+                (tm, op, tier)
+                for (u, tm), (op, tier) in events.items()
+                if u == uid and tm <= ts
+            ]
+            if not cand:
+                continue
+            tm, op, tier = max(cand, key=lambda c: c[0])
+            if op != OP_DELETE:
+                out.add((eid, tier))
+        return out
+
+    next_eid = 200
+    for batch in range(1, 7):
+        if rng.random() < 0.6:
+            # dim batch: 1-3 changes at random (possibly late) times
+            rows, seq = [], 0
+            for _ in range(rng.randint(1, 3)):
+                u, tm = rng.choice(uids), rng.choice(times)
+                if rng.random() < 0.25:
+                    rows.append((u, None, tm, OP_DELETE, seq))
+                    events[(u, tm)] = (OP_DELETE, None)
+                else:
+                    tier = rng.choice(tiers)
+                    rows.append((u, tier, tm, OP_UPDATE, seq))
+                    events[(u, tm)] = (OP_UPDATE, tier)
+                seq += 1
+            ch = spark.createDataFrame(
+                rows, f"uid int, tier string, updated_at timestamp, {OP_COL} string, {SEQ_COL} long"
+            )
+            app.refresh({"prof_t": ch}, batch_id=batch)
+        else:
+            # fact batch: inserts + an occasional delete
+            rows, seq = [], 0
+            for _ in range(rng.randint(1, 3)):
+                if live_facts and rng.random() < 0.3:
+                    eid = rng.choice(sorted(live_facts))
+                    e = live_facts.pop(eid)
+                    rows.append((*e, OP_DELETE, seq))
+                else:
+                    e = (next_eid, rng.choice(uids), rng.choice(times), 1.0)
+                    next_eid += 1
+                    live_facts[e[0]] = e
+                    rows.append((*e, OP_UPDATE, seq))
+                seq += 1
+            ch = spark.createDataFrame(
+                rows, f"eid int, uid int, ts timestamp, v double, {OP_COL} string, {SEQ_COL} long"
+            )
+            app.refresh({"ev_t": ch}, batch_id=batch)
+        got = {(r.eid, r.tier) for r in app.read().collect()}
+        assert got == expected(), f"batch {batch}: {got} != {expected()}"

@@ -220,6 +220,22 @@ class MVAppBuilder:
         self._force_recompute = enabled
         return self
 
+    def late_dim(self, mode: str = "reorder") -> "MVAppBuilder":
+        """Temporal-join late-dim policy. The default contract is
+        "raise": a dim change whose event time precedes the key's open
+        version fails loudly (Flink's event-time temporal join requires
+        watermark-ordered versions). "reorder" instead SPLICES the late
+        version retroactively — the dirty keys' version chains are
+        rebuilt in event-time order, re-splitting affected validity
+        intervals, and the standard post-dim-batch fact re-derivation
+        moves earlier events onto the corrected versions (the history
+        store's version rows support splits natively). Costs
+        O(versions of dirty keys) per dim batch instead of O(δ)."""
+        if mode not in ("raise", "reorder"):
+            raise ValueError(f"late_dim must be 'raise' or 'reorder', got {mode!r}")
+        self._builder_late_dim = mode
+        return self
+
     def cost_advisor(
         self, enabled: bool = True, full_query_secs: float | None = None
     ) -> "MVAppBuilder":
@@ -311,6 +327,7 @@ class MVAppBuilder:
             force_recompute=getattr(self, "_force_recompute", False),
             cost_advisor=getattr(self, "_cost_advisor", False),
             advisor_threshold=getattr(self, "_advisor_threshold", None),
+            late_dim=getattr(self, "_builder_late_dim", "raise"),
         )
 
 
@@ -421,7 +438,12 @@ class MVApp:
         column_names=None, window_strategy="sort",
         drop_old_table=False, force_new_table=False,
         force_recompute=False, cost_advisor=False, advisor_threshold=None,
+        late_dim="raise",
     ):
+        # temporal-join late-dim policy (see IncrementalTemporalJoinMV:
+        # "raise" fails loudly on out-of-order dim versions, "reorder"
+        # splices them retroactively)
+        self._late_dim = late_dim
         # Output-name override (the reference builder's setColumnNames,
         # README.md:56): planning/maintenance run on the query's own
         # names; _finish_column_names applies the user-facing rename
@@ -1578,6 +1600,7 @@ class MVApp:
             work_dir=target,
             num_buckets=num_buckets,
             shuffle_partitions=shuffle_partitions,
+            late_dim=getattr(self, "_late_dim", "raise"),
         )
 
     def _setup_recompute(

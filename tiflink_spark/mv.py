@@ -2692,9 +2692,20 @@ class IncrementalTemporalJoinMV:
         work_dir: str,
         num_buckets: int | None = None,
         shuffle_partitions: int | None = None,
+        late_dim: str = "raise",
     ):
         self.spark = spark
         self.shuffle_partitions = shuffle_partitions
+        if late_dim not in ("raise", "reorder"):
+            raise ValueError(f"late_dim must be 'raise' or 'reorder', got {late_dim!r}")
+        # "raise": out-of-order dim versions fail loudly (the default —
+        # Flink's watermark-ordering contract). "reorder": a late dim
+        # version is SPLICED retroactively — the dirty keys' version
+        # chains are rebuilt from (existing versions ∪ batch changes)
+        # ordered by event time, re-splitting the affected validity
+        # intervals; the fact re-derivation that follows every dim
+        # batch then moves earlier events onto the corrected versions.
+        self.late_dim = late_dim
         self.fact_name, self.dim_name = fact_name, dim_name
         self.fact_pk = list(fact_pk)
         # composite dim PKs: fk[i] on the fact side pairs with
@@ -2890,6 +2901,117 @@ class IncrementalTemporalJoinMV:
             )
         )
 
+    def _hist_changes_reorder(self, dim_changes: DataFrame, batch_id) -> DataFrame:
+        """``late_dim="reorder"``: rebuild the dirty keys' version
+        chains from scratch — (existing version events ∪ batch change
+        events) ordered by event time, validity intervals re-derived
+        with one LEAD window, versions renumbered 0..m-1. A LATE change
+        (earlier than the key's open version) thereby splits the
+        interval that contained it retroactively; the fact
+        re-derivation after the history merge moves the affected
+        events' AS OF lookups onto the corrected versions. Work is
+        O(versions of dirty keys) — strictly more than the in-order
+        fast path's O(δ), which is why the loud default stays "raise".
+        Batch events at a time an existing version already occupies
+        REPLACE it (the in-order path's zero-width-interval close has
+        the same lookup semantics); a delete event closes the previous
+        interval and opens nothing. Derived from the PRE-batch history
+        (version_before_batch) so crash replay is exact."""
+        from pyspark.sql import Window
+
+        if batch_id in self.hist_store.committed_batches():
+            pre = self.hist_store.read(self.hist_store.version_before_batch(batch_id))
+        else:
+            pre = self.hist_store.read()
+        t = F.col(self.dim_time_col)
+        ch = dim_changes.withColumn(
+            self.dim_time_col,
+            F.when(t.isNotNull(), t).otherwise(
+                F.raise_error(
+                    F.lit(
+                        f"temporal dim change without event time "
+                        f"({self.dim_time_col} IS NULL)"
+                    )
+                )
+            ),
+        )
+        dirty = ch.select(*self.dim_pk).distinct()
+        old = pre.join(F.broadcast(dirty), self.dim_pk, "left_semi")
+        # version rows and batch rows as one EVENT stream per key;
+        # batch rows outrank existing versions at the same instant
+        ev_old = old.select(
+            *self.dim_pk,
+            F.col(self.VFROM).alias(self.dim_time_col),
+            *[F.col(c) for c in self._dim_payload],
+            F.lit(OP_UPDATE).alias(OP_COL),
+            F.lit(0).alias("__prio"),
+            F.col(self.VSEQ).cast("long").alias("__tb"),
+        )
+        # Past DELETE events leave no version row — only a GAP: a
+        # closed interval whose end time no other version of the key
+        # starts at. Reconstruct them, or the rebuild would resurrect
+        # the key past its deletion.
+        w_k = Window.partitionBy(*self.dim_pk)
+        ev_del_old = (
+            old.withColumn("__froms", F.collect_set(F.col(self.VFROM)).over(w_k))
+            .filter(
+                F.col(self.VTO).isNotNull()
+                & ~F.array_contains(F.col("__froms"), F.col(self.VTO))
+            )
+            .select(
+                *self.dim_pk,
+                F.col(self.VTO).alias(self.dim_time_col),
+                *[F.col(c) for c in self._dim_payload],
+                F.lit(OP_DELETE).alias(OP_COL),
+                F.lit(0).alias("__prio"),
+                F.col(self.VSEQ).cast("long").alias("__tb"),
+            )
+        )
+        ev_new = ch.select(
+            *self.dim_pk,
+            F.col(self.dim_time_col),
+            *[F.col(c) for c in self._dim_payload],
+            F.col(OP_COL),
+            F.lit(1).alias("__prio"),
+            F.col(SEQ_COL).cast("long").alias("__tb"),
+        )
+        ev = ev_old.unionByName(ev_del_old).unionByName(ev_new)
+        w_t = Window.partitionBy(*self.dim_pk, self.dim_time_col).orderBy(
+            F.desc("__prio"), F.desc("__tb")
+        )
+        ev1 = (
+            ev.withColumn("__r", F.row_number().over(w_t))
+            .filter(F.col("__r") == 1)
+            .drop("__r", "__prio", "__tb")
+        )
+        w = Window.partitionBy(*self.dim_pk).orderBy(self.dim_time_col)
+        seqd = ev1.withColumn("__nxt", F.lead(self.dim_time_col).over(w))
+        rows = seqd.filter(F.col(OP_COL) != OP_DELETE)
+        w_emit = Window.partitionBy(*self.dim_pk).orderBy(self.dim_time_col)
+        rebuilt = rows.select(
+            *self.dim_pk,
+            (F.row_number().over(w_emit) - 1).cast("long").alias(self.VSEQ),
+            F.col(self.dim_time_col).alias(self.VFROM),
+            F.col("__nxt").alias(self.VTO),
+            *[F.col(c) for c in self._dim_payload],
+        )
+        out_cols = [*self.dim_pk, self.VSEQ, self.VFROM, self.VTO, *self._dim_payload]
+        upserts = rebuilt.select(*out_cols).withColumn(
+            OP_COL, F.lit(OP_UPDATE)
+        ).withColumn(SEQ_COL, F.lit(1).cast("long"))
+        # old version rows whose (pk, seq) the rebuilt chain no longer
+        # occupies (delete-heavy batches can shrink the chain) — drop
+        # them, or a stale tail version would shadow lookups
+        gone = old.join(
+            rebuilt.select(*self.dim_pk, self.VSEQ),
+            [*self.dim_pk, self.VSEQ],
+            "left_anti",
+        )
+        deletes = gone.select(*out_cols).withColumn(
+            OP_COL, F.lit(OP_DELETE)
+        ).withColumn(SEQ_COL, F.lit(0).cast("long"))
+        return deletes.unionByName(upserts)
+
     @_maintenance
     def refresh(self, changes: dict[str, DataFrame], batch_id) -> bool:
         changes = {k: v for k, v in changes.items() if v is not None}
@@ -2904,7 +3026,12 @@ class IncrementalTemporalJoinMV:
 
         dim_changes = changes.get(self.dim_name)
         if dim_changes is not None:
-            self.hist_store.merge(self._hist_changes(dim_changes, batch_id), batch_id)
+            hist_changes = (
+                self._hist_changes_reorder(dim_changes, batch_id)
+                if self.late_dim == "reorder"
+                else self._hist_changes(dim_changes, batch_id)
+            )
+            self.hist_store.merge(hist_changes, batch_id)
             # fact rows referencing the changed keys re-derive against
             # the post-batch history (a version split moves their AS OF
             # lookup; a closing delete drops them)

@@ -6102,3 +6102,133 @@ def mvapp_temporal_proctime(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_temporal_late_dim",
+    """
+    WITH profile_changes AS (
+        SELECT user_id, TIMESTAMP '2023-01-01' AS valid_from,
+               user_id % 5 AS tier, 0 AS is_del
+        FROM (SELECT DISTINCT user_id FROM events)
+        UNION ALL
+        SELECT user_id, TIMESTAMP '2024-01-16', user_id % 5 + 10, 0
+        FROM (SELECT DISTINCT user_id FROM events) WHERE user_id % 3 = 0
+        UNION ALL
+        SELECT user_id, TIMESTAMP '2024-01-06', user_id % 5 + 20, 0
+        FROM (SELECT DISTINCT user_id FROM events) WHERE user_id % 2 = 0
+        UNION ALL
+        SELECT user_id, TIMESTAMP '2024-01-11', NULL, 1
+        FROM (SELECT DISTINCT user_id FROM events) WHERE user_id % 7 = 0
+    ),
+    versions AS (
+        SELECT user_id, tier, is_del, valid_from,
+               LEAD(valid_from) OVER (
+                   PARTITION BY user_id ORDER BY valid_from) AS valid_to
+        FROM profile_changes
+    )
+    SELECT e.event_id, e.user_id, e.ts, e.value, v.tier
+    FROM events e JOIN versions v
+      ON e.user_id = v.user_id
+     AND v.is_del = 0
+     AND e.ts >= v.valid_from
+     AND (v.valid_to IS NULL OR e.ts < v.valid_to)
+    """,
+    doc=(
+        "Temporal join with LATE dim versions (round 10; r9 #8): "
+        "late_dim='reorder' — dim changes arrive OUT OF EVENT-TIME "
+        "ORDER across batches (a 2024-01-16 version lands first, then "
+        "a 2024-01-06 version and a 2024-01-11 DELETE arrive late) and "
+        "are spliced retroactively: the dirty keys' version chains are "
+        "rebuilt in event-time order (including delete events "
+        "reconstructed from interval GAPS), validity intervals "
+        "re-split, and the post-dim-batch fact re-derivation moves "
+        "affected events onto the corrected versions. Flink's "
+        "event-time temporal join would instead buffer under the "
+        "watermark — this is the engine's bounded-history equivalent "
+        "for sources that cannot guarantee ordering. The oracle "
+        "reconstructs the FINAL version set order-independently with "
+        "a LEAD window and replays the as-of join in pure SQL."
+    ),
+    tags=("mv", "incremental", "planner", "temporal", "join", "late"),
+)
+def mvapp_temporal_late_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    events = t["events"]
+    users = events.select("user_id").distinct()
+    profile0 = users.select(
+        F.col("user_id"),
+        (F.col("user_id") % 5).alias("tier"),
+        F.lit("2023-01-01").cast("timestamp").alias("updated_at"),
+    )
+    work = tempfile.mkdtemp(prefix="mvapp_tld_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("events_tl", events.filter(F.col("event_id") % 3 != 1), pk=["event_id"])
+            .source("profile_tl", profile0, pk=["user_id"], event_time="updated_at")
+            .query(
+                """SELECT e.event_id, e.user_id, e.ts, e.value, d.tier
+                   FROM events_tl e
+                   JOIN profile_tl FOR SYSTEM_TIME AS OF e.ts AS d
+                     ON e.user_id = d.user_id"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .late_dim("reorder")
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalTemporalJoinMV":
+            raise AssertionError(
+                f"planner routed to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        # B1 (in order): users %3 -> tier+10 FROM 2024-01-16
+        app.refresh(
+            {
+                "profile_tl": profile0.filter(F.col("user_id") % 3 == 0)
+                .withColumn("tier", F.col("user_id") % 5 + 10)
+                .withColumn("updated_at", F.lit("2024-01-16").cast("timestamp"))
+                .withColumn(OP_COL, F.lit(OP_UPDATE))
+                .withColumn(SEQ_COL, F.monotonically_increasing_id())
+            },
+            batch_id=1,
+        )
+        # B2 (LATE for users %6 — their open version starts 01-16):
+        # users %2 -> tier+20 FROM 2024-01-06, arriving after B1
+        app.refresh(
+            {
+                "profile_tl": profile0.filter(F.col("user_id") % 2 == 0)
+                .withColumn("tier", F.col("user_id") % 5 + 20)
+                .withColumn("updated_at", F.lit("2024-01-06").cast("timestamp"))
+                .withColumn(OP_COL, F.lit(OP_UPDATE))
+                .withColumn(SEQ_COL, F.monotonically_increasing_id())
+            },
+            batch_id=2,
+        )
+        # B3 (late DELETE): users %7 gone FROM 2024-01-11 — splices a
+        # gap INSIDE already-rebuilt chains
+        app.refresh(
+            {
+                "profile_tl": profile0.filter(F.col("user_id") % 7 == 0)
+                .withColumn("updated_at", F.lit("2024-01-11").cast("timestamp"))
+                .withColumn(OP_COL, F.lit(OP_DELETE))
+                .withColumn(SEQ_COL, F.monotonically_increasing_id())
+            },
+            batch_id=3,
+        )
+        # B4: held-out fact rows straddle every spliced boundary
+        app.refresh(
+            {
+                "events_tl": events.filter(F.col("event_id") % 3 == 1)
+                .withColumn(OP_COL, F.lit(OP_INSERT))
+                .withColumn(SEQ_COL, F.monotonically_increasing_id())
+            },
+            batch_id=4,
+        )
+        return app.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
