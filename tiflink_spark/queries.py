@@ -1165,16 +1165,17 @@ _PRIORITY = [
     # ============= the driver's ~50-query correctness window =============
     # The driver checks a strict PREFIX of the registry (50 in every
     # round so far). Registration order IS the rotation policy.
-    # Round-9 rotation: 12 sentinels (one per graded family, all
-    # driver-green in r2-r8) stay in; `array_ops` holds the
-    # red-to-green conversion slot (r8 ERR was the driver's
-    # canonicalizer crashing on raw ARRAY cells — outputs are now
-    # serialized); then this round's new gates; then re-confirmations
-    # of recent greens. Exactly 50 entries precede the window marker
-    # (r8 shipped 52 — two silently fell outside; pinned by
-    # tests/test_registry.py::test_priority_window_is_exactly_50).
-    # Rotated-out gates hold r2-r8 green rows and stay locally
-    # oracle-checked (tools/check_oracle.py, full registry).
+    # Round-10 rotation: 12 sentinels (one per graded family) stay in;
+    # then this round's new gates (streaming PREV/NEXT CEP, temporal
+    # late-dim reorder); then the r9-new gates' first re-confirmation;
+    # then gates covering code CHANGED this round (temporal route,
+    # pattern engine, grouping-sets scopes, join/cascade routes under
+    # the new session isolation); then nine r3-r7-era greens whose
+    # driver rows were 4-6 rounds stale (VERDICT r9 #9); then batch
+    # re-confirmations. Exactly 50 entries precede the window marker
+    # (pinned by tests/test_registry.py). Rotated-out gates hold
+    # r2-r9 green rows and stay locally oracle-checked
+    # (tools/check_oracle.py, full registry).
     # --- sentinels (12) ---
     "flagship_correlated_count",
     "q1_pricing_summary",
@@ -1188,52 +1189,63 @@ _PRIORITY = [
     "jdbc_scan",
     "streaming_tumble_agg",
     "mvapp_auto_grouping_sets",
-    # --- r8-new routes re-confirmed + the r9 red-to-green slot ---
-    # (these 20 got their first driver rows in r8; array_ops is the r8
-    # ERR converted this round — outputs now serialize driver-hashable)
+    # --- round-10-new gates ---
+    "streaming_pattern_nav",
+    "mvapp_temporal_late_dim",
+    # --- round-9-new gates (first re-confirmation) ---
+    "pattern_runstate_first",
+    "mvapp_temporal_streaming",
+    "mvapp_temporal_proctime",
+    # --- code changed this round: temporal / pattern / grouping-sets /
+    #     join routes under session isolation + refresh-floor work ---
     "mvapp_auto_temporal_join",
     "mvapp_auto_gid_subset",
+    "mvapp_auto_cube5",
     "mvapp_auto_theta_tree",
+    "mvapp_auto_theta_tree_flat",
+    "mvapp_auto_agg_enriched",
     "pattern_funnel_detect",
     "streaming_pattern_funnel",
-    "mvapp_auto_agg_enriched",
-    "mvapp_auto_theta_tree_flat",
-    "array_ops",
+    "pattern_vshape_prev",
+    "pattern_overlap_views",
+    "mv_topk_incremental",
+    "mvapp_auto_window_multi_partition",
+    "mvapp_auto_full_outer_where",
+    "mvapp_auto_exists_composite",
+    "mvapp_auto_cascade_full_outer",
+    "mvapp_auto_order_limit_multi",
+    "interval_join_events",
+    # --- stale-green rotate-ins (last driver rows r3-r7) ---
+    "mvapp_auto_projection",
+    "mvapp_auto_cascade_bag",
+    "mvapp_auto_setops_all",
+    "mvapp_auto_not_in_nonpk",
+    "mv_time_travel",
+    "jdbc_mv_publish",
+    "approx_percentile_bounded",
+    "date_spine_gap_fill",
+    "dedup_exact",
+    # --- batch re-confirmations (r8/r9 greens) ---
     "string_funcs_ext",
     "agg_string_concat",
     "window_pct_rank",
     "histogram_prices",
     "map_funcs",
     "pandas_udf_tokens",
-    "unpivot_measures",
     "regex_funcs",
+    # ================== past the 50-query window ==================
+    # r10 rotate-outs (green r8/r9; locally oracle-checked)
+    "array_ops",
+    "unpivot_measures",
     "partition_pruning_roundtrip",
     "retention_cohorts",
     "numeric_histogram",
     "heavy_hitters_custkey",
-    # --- round-9-new gates (FIRST/LAST run-state CEP; streaming
-    #     temporal join through readStream->foreachBatch) ---
-    "pattern_runstate_first",
-    "mvapp_temporal_streaming",
-    "mvapp_temporal_proctime",
-    # --- round-8-new gates (re-confirmation) ---
-    "pattern_vshape_prev",
-    "pattern_overlap_views",
-    # --- re-confirmations: r7/r8 routes + recent greens (13) ---
-    "mvapp_auto_cube5",
-    "mvapp_auto_full_outer_where",
-    "mvapp_auto_exists_composite",
-    "mvapp_auto_cascade_full_outer",
-    "mvapp_auto_window_multi_partition",
-    "mvapp_auto_order_limit_multi",
-    "mv_topk_incremental",
     "pipeline_corpus_prep",
     "sample_mixture_weighted",
-    "interval_join_events",
     "percentile_exact",
     "text_quality_score",
     "multimodal_real_resize",
-    # ================== past the 50-query window ==================
     "dedup_incremental_batch",
     "asof_last_click",
     "keyed_sink_roundtrip",
@@ -1254,14 +1266,12 @@ _PRIORITY = [
     "text_chunk_windows",
     "text_unigram_logprob",
     "sessionize_events",
-    "date_spine_gap_fill",
     "doc_chunking",
     "stats_aggs",
     "window_first_last_ntile",
     "agg_max_by",
     "pivot_status",
     "mvapp_auto_full_outer",
-    "mvapp_auto_cascade_bag",
     "mvapp_auto_median",
     "mvapp_auto_filtered",
     "mvapp_auto_having",
@@ -1283,28 +1293,23 @@ _PRIORITY = [
     "rollup_time_grains",
     "salted_join_skew",
     "text_lang_id",
-    "mvapp_auto_not_in_nonpk",
     "mvapp_auto_window_unique_order",
     "mvapp_auto_gsets_expr_key",
     "text_dup_span_fraction",
     "dedup_connected_components",
     "dedup_keep_canonical",
-    "mv_time_travel",
-    "approx_percentile_bounded",
     "null_semantics",
     "cast_funcs",
     "window_range_frame",
     "pandas_udaf_median",
     "udtf_split_words",
     "mvapp_auto_cascade_gsets",
-    "mvapp_auto_projection",
     "mvapp_auto_window",
     "mvapp_auto_star_agg",
     "mvapp_auto_topn",
     "mvapp_auto_union",
     "mvapp_auto_order_limit",
     "mvapp_auto_setops",
-    "mvapp_auto_setops_all",
     "mvapp_auto_enrichment",
     "mvapp_auto_not_in",
     "mvapp_auto_cte",
@@ -1333,7 +1338,6 @@ _PRIORITY = [
     "text_contamination_ngram",
     "text_token_count",
     "multimodal_real_decode",
-    "jdbc_mv_publish",
     "mvapp_auto_theta_join",
     "math_funcs",
     "approx_count_distinct",
@@ -1357,7 +1361,6 @@ _PRIORITY = [
     "q20_potential_promotion",
     "q21_waiting_supplier",
     "q22_sales_opportunity",
-    "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_simhash_neardup",
     "dedup_embedding_neardup",

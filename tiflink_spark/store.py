@@ -673,19 +673,29 @@ class KeyedParquetStore:
             from pyspark.sql.types import StructType
 
             reader = reader.schema(StructType.fromJson(json.loads(sjs.pop())))
-        d = reader.parquet(
-            *[os.path.join(self.path, rel) for rel in deltas]
-        ).withColumn(
-            "__didx",
-            F.regexp_extract(F.input_file_name(), r"data/v(\d+)/", 1).cast("long"),
-        )
+        d = reader.parquet(*[os.path.join(self.path, rel) for rel in deltas])
+        # chain position: recovered from the file path — but a
+        # SINGLE-delta chain (the steady state between folds) needs no
+        # position column at all, which trims both the driver-side
+        # construction (this method runs several times per refresh
+        # batch) and a sort key from the window below.
+        if len(deltas) > 1:
+            d = d.withColumn(
+                "__didx",
+                F.regexp_extract(F.input_file_name(), r"data/v(\d+)/", 1).cast(
+                    "long"
+                ),
+            )
         if bucket_filter is not None:
             d = d.filter(_in_filter(BUCKET_COL, bucket_filter))
         if key_filter is not None:
             d = d.filter(_in_filter(key_filter[0], key_filter[1]))
-        w = Window.partitionBy(*self.pk).orderBy(
-            F.col("__didx").desc(), F.col(SEQ_COL).desc()
+        order = (
+            [F.col("__didx").desc(), F.col(SEQ_COL).desc()]
+            if len(deltas) > 1
+            else [F.col(SEQ_COL).desc()]
         )
+        w = Window.partitionBy(*self.pk).orderBy(*order)
         last = d.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
         cols = base.columns
         live = last.filter(F.col(OP_COL) != OP_DELETE).select(*cols)
