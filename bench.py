@@ -224,20 +224,30 @@ def _mv_refresh_block(spark, sf_dir: str) -> dict:
     # build-time decision for the star shape at THIS scale — the
     # planner's answer to "incremental loses to recompute below the
     # crossover" (one timed full query; see MVAppBuilder.cost_advisor)
-    work = tempfile.mkdtemp(prefix="bench_adv_")
-    try:
-        adv = (
-            star_agg(MVApp.builder(spark))
-            .target(work)
-            .num_buckets(8)
-            .shuffle_partitions(8)
-            .cost_advisor()
-            .build()
-        )
-        out["star_join_agg"]["advisor"] = adv.describe()["advisor"]
-        out["star_join_agg"]["advisor_strategy"] = adv.maintenance_strategy
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    # VERDICT r9 #2(c): record the advisor's decision for EVERY bench
+    # route (it arbitrates all agg-shaped strategies now, the probe is
+    # threshold-bounded, and the decision is what a user of
+    # cost_advisor() would get at this scale).
+    for name, make in (
+        ("flagship_correlated_count", flagship),
+        ("star_join_agg", star_agg),
+        ("topn_per_group", topn),
+        ("group_median", group_median),
+    ):
+        work = tempfile.mkdtemp(prefix="bench_adv_")
+        try:
+            adv = (
+                make(MVApp.builder(spark))
+                .target(work)
+                .num_buckets(8)
+                .shuffle_partitions(8)
+                .cost_advisor()
+                .build()
+            )
+            out[name]["advisor"] = adv.describe()["advisor"]
+            out[name]["advisor_strategy"] = adv.maintenance_strategy
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
     return out
 
 

@@ -1131,3 +1131,101 @@ def test_nav_scan_batch_equals_drained_stream_fuzz():
             [(nm, s + buf_start, e + buf_start) for nm, s, e in m] for m in ms
         ]
         assert emitted == batch, (trial, define, vals, sizes)
+
+
+def test_nav_scan_stream_fuzz_within_and_skip():
+    """The nav ctx/hold-back arithmetic composed with WITHIN windows
+    and AFTER MATCH SKIP TO NEXT ROW: random series, random chunkings,
+    random window widths — drained stream == batch. (The WITHIN edge
+    is clamped to the hold-back bound inside _scan; this sweeps that
+    interaction.)"""
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    from tiflink_spark.patterns import (
+        _bind_runstate,
+        _prepare_runstate,
+        _rewrite_nav,
+        _runtime_steps,
+        _scan,
+        _validate,
+    )
+
+    pattern = [("S", "1"), ("U", "+")]
+    cases = [
+        ({"U": "price > PREV(price)"}, 1, 0),
+        ({"U": "price < NEXT(price)"}, 0, 1),
+        ({"U": "price >= PREV(price) AND price <= NEXT(price)"}, 1, 1),
+    ]
+
+    def prep(define):
+        _, steps = _validate(pattern, define, [])
+        define_rw, nav_cols = _rewrite_nav(define)
+        nav_vars = {
+            v
+            for v, p in define_rw.items()
+            if p is not None and any(nm in p for nm in nav_cols)
+        }
+        rs_compiled, rs_cols = _prepare_runstate(
+            define_rw, steps, force=frozenset(nav_vars)
+        )
+        return steps, nav_cols, rs_compiled, rs_cols
+
+    def run_scan(vals, base, prep_out, streaming, skip, within,
+                 start=0, n_eff=None):
+        steps, nav_cols, rs_compiled, rs_cols = prep_out
+        pdf = pd.DataFrame({"price": [float(v) for v in vals]})
+        for name, (fn, col, k) in nav_cols.items():
+            pdf[name] = pdf[col].shift(k if fn == "prev" else -k)
+        flags = {v: np.ones(len(vals), dtype=bool) for v in "SU"}
+        rs = _bind_runstate(rs_compiled, rs_cols, pdf, flags)
+        rt = _runtime_steps(steps, flags, rs)
+        n = len(vals) if n_eff is None else n_eff
+        ovals = np.arange(base, base + len(vals)) if within is not None else None
+        return _scan(
+            rt, n, streaming=streaming, ovals=ovals, within=within,
+            skip=skip, flags=flags, start=start,
+        )
+
+    rng = random.Random(31)
+    for trial in range(300):
+        define, k_prev, k_next = rng.choice(cases)
+        prep_out = prep(define)
+        skip = rng.choice([("past", None), ("next", None)])
+        within = rng.choice([None, rng.randint(2, 6)])
+        n = rng.randint(1, 14)
+        vals = [rng.randint(0, 6) for _ in range(n)]
+        batch, _ = run_scan(vals, 0, prep_out, False, skip, within)
+
+        emitted = []
+        buf_start, ctx = 0, 0
+        sizes, left = [], n
+        while left:
+            c = rng.randint(1, left)
+            sizes.append(c)
+            left -= c
+        pos = 0
+        for size in sizes:
+            pos += size
+            buf = vals[buf_start:pos]
+            bn = len(buf)
+            n_eff = max(ctx, bn - k_next)
+            ms, pending = run_scan(
+                buf, buf_start, prep_out, True, skip, within,
+                start=ctx, n_eff=n_eff,
+            )
+            emitted += [
+                [(nm, s + buf_start, e + buf_start) for nm, s, e in m]
+                for m in ms
+            ]
+            cut = max(0, pending - k_prev)
+            ctx = pending - cut
+            buf_start += cut
+        buf = vals[buf_start:]
+        ms, _ = run_scan(buf, buf_start, prep_out, False, skip, within, start=ctx)
+        emitted += [
+            [(nm, s + buf_start, e + buf_start) for nm, s, e in m] for m in ms
+        ]
+        assert emitted == batch, (trial, define, skip, within, vals, sizes)

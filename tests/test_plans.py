@@ -289,3 +289,54 @@ def test_shuffle_scope_strictest_requirement(spark):
         assert spark.conf.get("spark.sql.codegen.wholeStage") == "false"
     assert spark.conf.get("spark.sql.codegen.wholeStage") == wsc0
     assert spark.conf.get("spark.sql.adaptive.enabled") == aqe0
+
+
+def test_dim_churn_affected_rows_stay_broadcast_pruned(spark, tmp_path):
+    """Round-10 dim-churn fix pinned: the affected-fact derivation must
+    be ONE pass over the fact store with a BROADCAST semi-join on the
+    dirty FK values — no SortMergeJoin (the old PK-rejoin shape
+    shuffled the whole fact per action; sf10 dim churn measured 0.81x
+    vs recompute before, 1.53x after)."""
+    from pyspark.sql import functions as F
+
+    from tiflink_spark.app import MVApp
+
+    orders = spark.createDataFrame(
+        [(i, i % 7, float(i)) for i in range(100)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    cust = spark.createDataFrame(
+        [(i, i % 3) for i in range(7)], "c_custkey long, c_nationkey long"
+    )
+    nat = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(3)], "n_nationkey long, n_name string"
+    )
+    app = (
+        MVApp.builder(spark)
+        .source("ord_p", orders, pk=["o_orderkey"])
+        .source("cust_p", cust, pk=["c_custkey"])
+        .source("nat_p", nat, pk=["n_nationkey"])
+        .query(
+            """SELECT n.n_name, count(*) AS n_orders
+               FROM ord_p o
+                 JOIN cust_p c ON o.o_custkey = c.c_custkey
+                 JOIN nat_p n ON c.c_nationkey = n.n_nationkey
+               GROUP BY n.n_name"""
+        )
+        .target(str(tmp_path / "churn_pin"))
+        .num_buckets(2)
+        .shuffle_partitions(2)
+        .build()
+    )
+    assert app.maintenance_strategy == "IncrementalJoinAggMV"
+    app.bootstrap()
+    mv = app._mv
+    dirty = spark.createDataFrame([(1,), (2,)], "c_custkey long")
+    dim_now = {d.dim: mv.dim_stores[d.dim].read() for d in mv.dims}
+    rows = mv._affected_fact_rows("cust_p", dirty, dim_now)
+    plan = rows._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:3000]
+    # and it IS the full fact row set for those keys
+    got = {r.o_orderkey for r in rows.collect()}
+    assert got == {i for i in range(100) if i % 7 in (1, 2)}
