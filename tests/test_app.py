@@ -2301,10 +2301,151 @@ def test_rewrite_theta_tree():
     # relation would be ambiguous)
     cols2 = dict(cols, c=["cid", "av", "hi"])
     assert rewrite_theta_tree(q, {"a", "b", "c"}, cols2, pks) is None
-    # first edge not a pure equality conjunction -> no rewrite
-    assert rewrite_theta_tree(
+    # first edge theta (round 10): rewrites too — the inner becomes a
+    # 2-table theta pair the flat theta route maintains
+    out_t1 = rewrite_theta_tree(
         q.replace("ak = bk", "ak < bk"), {"a", "b", "c"}, cols, pks
-    ) is None
+    )
+    assert out_t1 is not None and "JOIN b ON ak < bk )" in out_t1
+
+
+def test_rewrite_theta_tree_multi_edge():
+    """Round 10: N-table trees with SEVERAL theta edges peel the last
+    edge into the outer level; the inner text keeps the remaining tree
+    (the inner MVApp re-applies the rewrite, cascading recursively)."""
+    from tiflink_spark.planner import rewrite_theta_tree
+
+    cols = {
+        "a": ["aid", "ak", "av"],
+        "b": ["bid", "bk", "bv"],
+        "c": ["cid", "lo", "hi"],
+        "d": ["did", "dlo", "dhi"],
+    }
+    pks = {"a": ["aid"], "b": ["bid"], "c": ["cid"], "d": ["did"]}
+    q4 = (
+        "SELECT aid, bid, av, cid, did FROM a JOIN b ON ak = bk "
+        "JOIN c ON av >= lo AND av < hi "
+        "JOIN d ON av >= dlo AND av < dhi"
+    )
+    out = rewrite_theta_tree(q4, {"a", "b", "c", "d"}, cols, pks)
+    assert out is not None
+    # last edge peeled; the inner keeps the 3-table theta tree intact
+    assert "JOIN d ON av >= dlo AND av < dhi" in out
+    inner = out[out.index("( SELECT") + 2 : out.index(" ) __tt")]
+    assert "JOIN c ON av >= lo AND av < hi" in inner
+    # inner carries all three inner PKs plus every referenced column
+    for c in ("aid", "bid", "cid", "av", "lo", "hi"):
+        assert c in inner
+    assert "dlo" not in inner and "did" not in inner
+    # duplicate table name -> no rewrite
+    assert (
+        rewrite_theta_tree(
+            q4.replace("JOIN d ON", "JOIN c ON").replace("dlo", "lo").replace("dhi", "hi"),
+            {"a", "b", "c", "d"}, cols, pks,
+        )
+        is None
+    )
+    # a table missing its PK declaration -> no rewrite
+    pks2 = dict(pks, d=[])
+    assert rewrite_theta_tree(q4, {"a", "b", "c", "d"}, cols, pks2) is None
+
+
+def test_mvapp_multi_theta_nested_cascade(spark, tmp_path):
+    """Round 10: a FLAT 4-table tree with TWO theta edges routes as a
+    nested cascade — CascadeMV(inner=CascadeMV(equi join -> theta),
+    outer=theta) — and converges through churn on every level,
+    including changelogs for the outer-most base table (the
+    maintained-tables split must not misroute them into the inner
+    cascade) and a replayed batch."""
+    a = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(40)],
+        "aid long, ak long, av double",
+    )
+    b = spark.createDataFrame(
+        [(j, j, f"b{j}") for j in range(5)], "bid long, bk long, bv string"
+    )
+    c = spark.createDataFrame(
+        [(k, k * 10.0, k * 10.0 + 15.0) for k in range(4)],
+        "cid long, lo double, hi double",
+    )
+    d = spark.createDataFrame(
+        [(m, m * 2, m * 2 + 3) for m in range(3)],
+        "did long, dlo long, dhi long",
+    )
+    app = (
+        MVApp.builder(spark)
+        .source("a", a, pk=["aid"])
+        .source("b", b, pk=["bid"])
+        .source("c", c, pk=["cid"])
+        .source("d", d, pk=["did"])
+        .query(
+            "SELECT aid, bid, av, bv, cid, did FROM a JOIN b ON ak = bk "
+            "JOIN c ON av >= lo AND av < hi "
+            "JOIN d ON ak >= dlo AND ak < dhi"
+        )
+        .target(str(tmp_path / "mtheta"))
+        .num_buckets(2)
+        .shuffle_partitions(4)
+        .build()
+    )
+    assert app.maintenance_strategy == "CascadeMV"
+    assert app._mv.outer.maintenance_strategy == "IncrementalThetaJoinMV"
+    assert app._mv.inner.maintenance_strategy == "CascadeMV"
+    assert app._mv.inner._mv.inner.maintenance_strategy == "IncrementalJoinMV"
+    # the maintained set is the true union across all levels
+    assert app.maintained_tables() == {"a", "b", "c", "d"}
+
+    def expect(a_df, c_df, d_df):
+        return (
+            a_df.join(b, a_df.ak == b.bk)
+            .join(c_df, (F.col("av") >= c_df.lo) & (F.col("av") < c_df.hi))
+            .join(d_df, (F.col("ak") >= d_df.dlo) & (F.col("ak") < d_df.dhi))
+            .select("aid", "bid", "av", "bv", "cid", "did")
+        )
+
+    def assert_matches(exp):
+        got = app.read().select("aid", "bid", "av", "bv", "cid", "did")
+        assert got.exceptAll(exp).count() == 0
+        assert exp.exceptAll(got).count() == 0
+
+    app.bootstrap()
+    assert_matches(expect(a, c, d))
+
+    # fact churn through the innermost level: band-crossing av moves
+    a_upd = (
+        a.filter(F.col("aid") % 4 == 0)
+        .withColumn("av", F.col("av") + 12.0)
+        .withColumn(OP_COL, F.lit(OP_UPDATE))
+        .withColumn(SEQ_COL, F.monotonically_increasing_id())
+    )
+    app.refresh({"a": a_upd}, batch_id=1)
+    a2 = a.withColumn(
+        "av",
+        F.when(F.col("aid") % 4 == 0, F.col("av") + 12.0).otherwise(
+            F.col("av")
+        ),
+    )
+    assert_matches(expect(a2, c, d))
+
+    # one batch hitting BOTH theta levels (middle band widen + outer
+    # band delete), then replayed for idempotence
+    c_upd = (
+        c.filter(F.col("cid") == 2)
+        .withColumn("hi", F.col("hi") + 10.0)
+        .withColumn(OP_COL, F.lit(OP_UPDATE))
+        .withColumn(SEQ_COL, F.monotonically_increasing_id())
+    )
+    d_del = (
+        d.filter(F.col("did") == 1)
+        .withColumn(OP_COL, F.lit(OP_DELETE))
+        .withColumn(SEQ_COL, F.monotonically_increasing_id())
+    )
+    app.refresh({"c": c_upd, "d": d_del}, batch_id=2)
+    app.refresh({"c": c_upd, "d": d_del}, batch_id=2)  # replay
+    c2 = c.withColumn(
+        "hi", F.when(F.col("cid") == 2, F.col("hi") + 10.0).otherwise(F.col("hi"))
+    )
+    assert_matches(expect(a2, c2, d.filter(F.col("did") != 1)))
 
 
 def test_cost_advisor_routes_join_agg_by_measured_time(spark, tmp_path):

@@ -1495,7 +1495,15 @@ class MVApp:
                 self._fact_name = self._dim_name = None
                 self._join_names = self._change_filter = None
                 self._dict_refresh = True
-                self._ja_tables = set(sources)
+                # The TRUE set the two levels maintain — not
+                # set(sources): a nested cascade (multi-theta tree,
+                # round 10) reports its own union here, and the parent
+                # CascadeMV splits batches by exactly this set. An
+                # over-claim would misroute an outer-only base table's
+                # changelog into the inner cascade, which raises.
+                self._ja_tables = inner_app.maintained_tables() | (
+                    outer_app.maintained_tables() - {alias}
+                )
                 self.mv_pk = list(outer_app.mv_pk)
                 self.ddl = create_table_ddl(
                     os.path.basename(target), self.mv_schema, self.mv_pk

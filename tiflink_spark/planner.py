@@ -2970,27 +2970,32 @@ def rewrite_theta_tree(
     source_columns: dict[str, list[str]],
     source_pks: dict[str, list[str]],
 ) -> str | None:
-    """Rewrite the FLAT three-table tree with one theta edge
+    """Rewrite the FLAT N-table join tree with theta (non-equi) edges
 
-        SELECT cols FROM t0 JOIN t1 ON <equi> JOIN t2 ON <theta>
+        SELECT cols FROM t0 JOIN t1 ON <p1> … JOIN tN ON <pN>
         [WHERE row-local]
 
-    into the NESTED spelling the cascade maintains (round 7):
+    into the NESTED spelling the cascade maintains, peeling the LAST
+    edge into the outer level:
 
         SELECT cols FROM (
-            SELECT <needed t0/t1 cols> FROM t0 JOIN t1 ON <equi>
-        ) __tt JOIN t2 ON <theta> [WHERE ...]
+            SELECT <needed t0..tN-1 cols> FROM t0 JOIN t1 ON <p1> …
+        ) __tt JOIN tN ON <pN> [WHERE ...]
 
-    — inner equi-join MV feeding an outer theta-join MV, the theta
-    side's changelog going straight to the outer level. Conservative
-    bare-name envelope: three distinct registered tables with DISJOINT
-    column names and declared PKs, no aliases, first ON a pure
-    equality conjunction within t0∪t1, second ON row-local (the
-    non-equi edge), select list bare idents, WHERE row-local. Returns
-    the nested text or None; a None is never wrong — the caller keeps
-    the original text and the recompute fallback stands. The caller
-    only uses the rewrite when both cascade levels route
-    incrementally, so a rewrite that doesn't route costs nothing."""
+    — the inner tree is its own MVApp (which re-applies this rewrite
+    when edges remain, so a tree with SEVERAL theta edges decomposes
+    into a cascade chain, round 10; round 7 handled exactly one theta
+    edge over an equi pair), the outer side's changelog going straight
+    to the outer level. Each edge may be equi or theta: a 2-table
+    theta inner matches the flat theta route, an equi inner matches
+    the join-tree routes. Conservative bare-name envelope: distinct
+    registered tables with DISJOINT column names and declared PKs, no
+    aliases, every ON row-local over the tables joined so far, select
+    list bare idents, WHERE row-local. Returns the nested text or
+    None; a None is never wrong — the caller keeps the original text
+    and the recompute fallback stands. The caller only uses the
+    rewrite when both cascade levels route incrementally, so a rewrite
+    that doesn't route costs nothing."""
     from tiflink_spark import sqlast
 
     s = sqlast.parse_join_select(query)
@@ -2999,73 +3004,84 @@ def rewrite_theta_tree(
         or s.tail is not None
         or s.group_by is not None
         or s.having is not None
-        or len(s.joins) != 2
+        or len(s.joins) < 2
         or s.alias is not None
         or any(j.alias is not None for j in s.joins)
     ):
         return None
-    j1, j2 = s.joins
-    if j1.how != "inner" or j2.how != "inner" or j1.on is None or j2.on is None:
+    joins = list(s.joins)
+    if any(
+        j.how != "inner" or j.on is None or j.system_time is not None
+        for j in joins
+    ):
         return None
-    if j1.system_time is not None or j2.system_time is not None:
-        return None
-    t0, t1, t2 = s.table, j1.table, j2.table
-    names = [t0, t1, t2]
-    if len(set(names)) != 3 or any(
+    names = [s.table] + [j.table for j in joins]
+    if len(set(names)) != len(names) or any(
         t not in source_names or t not in source_columns for t in names
     ):
         return None
     cols = {t: {c.lower(): c for c in source_columns[t]} for t in names}
     low = {t: set(cols[t]) for t in names}
-    if (low[t0] & low[t1]) or (low[t0] & low[t2]) or (low[t1] & low[t2]):
-        return None  # disjoint bare-name relation only
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            if low[a] & low[b]:
+                return None  # disjoint bare-name relation only
     pks = {t: source_pks.get(t) or [] for t in names}
     if not all(pks[t] for t in names):
         return None
-    inner_low = low[t0] | low[t1]
-    # first edge: pure equality conjunction within t0 ∪ t1
-    equi_idents: set[str] = set()
-    for conj in re.split(r"(?is)\bAND\b", j1.on):
-        em = re.fullmatch(rf"(?s)\s*({_IDENT})\s*=\s*({_IDENT})\s*", conj)
-        if em is None:
+    # every edge: row-local over the tables joined so far (equi edges
+    # and theta edges alike — a pure-equality tree would have matched
+    # the flat matchers earlier, but the cascade spelling is still
+    # correct, just less pruned)
+    scope = set(low[names[0]])
+    for j in joins:
+        scope |= low[j.table]
+        if re.search(r"(?is)\bJOIN\b", j.on) or not _row_local_expr_ok(
+            j.on, scope
+        ):
             return None
-        a, b = em.group(1).lower(), em.group(2).lower()
-        if a not in inner_low or b not in inner_low:
-            return None
-        equi_idents |= {a, b}
-    # second edge: the theta predicate — row-local over all three
-    # tables' columns; a pure-equality spelling would have matched the
-    # flat matchers earlier, but routing it through the cascade is
-    # still correct, just less pruned
-    all_low = inner_low | low[t2]
-    if re.search(r"(?is)\bJOIN\b", j2.on) or not _row_local_expr_ok(j2.on, all_low):
-        return None
+    all_low = scope
+    inner_tables = names[:-1]
+    last = joins[-1]
+    inner_low = all_low - low[names[-1]]
     sel_items = [i.strip() for i in _split_select_list(s.select)]
     if any(not re.fullmatch(_IDENT, i) for i in sel_items):
         return None
     if s.where is not None and not _row_local_expr_ok(s.where, all_low):
         return None
-    # columns the derived table must carry: selected t0/t1 columns,
-    # the equi keys, anything the theta/WHERE reference on the inner
-    # side, and both inner PKs (the cascade keys the alias by them)
-    bare = re.sub(r"'[^']*'", " ", j2.on + " " + (s.where or ""))
+    # columns the derived table must carry: selected inner columns,
+    # every inner edge's inputs, anything the last edge / WHERE
+    # reference on the inner side, and all inner PKs (the cascade keys
+    # the alias by them)
+    bare = re.sub(
+        r"'[^']*'",
+        " ",
+        " ".join(j.on for j in joins[:-1])
+        + " "
+        + last.on
+        + " "
+        + (s.where or ""),
+    )
     fn_names = {f.lower() for f in re.findall(rf"({_IDENT})\s*\(", bare)}
     used = {i.lower() for i in re.findall(_IDENT, bare)} - _EXPR_KEYWORDS - fn_names
-    need = ({i.lower() for i in sel_items} | equi_idents | used) & inner_low
-    need |= {c.lower() for t in (t0, t1) for c in pks[t]}
+    need = ({i.lower() for i in sel_items} | used) & inner_low
+    need |= {c.lower() for t in inner_tables for c in pks[t]}
     inner_sel = [
         cols[t][c]
-        for t in (t0, t1)
+        for t in inner_tables
         for c in (x.lower() for x in source_columns[t])
         if c in need
     ]
+    inner_joins = " ".join(
+        f"JOIN {j.table} ON {j.on.strip()}" for j in joins[:-1]
+    )
     inner_sql = (
-        f"SELECT {', '.join(inner_sel)} FROM {t0} JOIN {t1} ON {j1.on.strip()}"
+        f"SELECT {', '.join(inner_sel)} FROM {names[0]} {inner_joins}"
     )
     outer_where = f" WHERE {s.where.strip()}" if s.where is not None else ""
     return (
         f"SELECT {s.select.strip()} FROM ( {inner_sql} ) __tt "
-        f"JOIN {t2} ON {j2.on.strip()}{outer_where}"
+        f"JOIN {names[-1]} ON {last.on.strip()}{outer_where}"
     )
 
 

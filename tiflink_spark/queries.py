@@ -1192,6 +1192,7 @@ _PRIORITY = [
     # --- round-10-new gates ---
     "streaming_pattern_nav",
     "mvapp_temporal_late_dim",
+    "mvapp_auto_theta_multi",
     # --- round-9-new gates (first re-confirmation) ---
     "pattern_runstate_first",
     "mvapp_temporal_streaming",
@@ -1232,9 +1233,9 @@ _PRIORITY = [
     "histogram_prices",
     "map_funcs",
     "pandas_udf_tokens",
-    "regex_funcs",
     # ================== past the 50-query window ==================
     # r10 rotate-outs (green r8/r9; locally oracle-checked)
+    "regex_funcs",
     "array_ops",
     "unpivot_measures",
     "partition_pruning_roundtrip",

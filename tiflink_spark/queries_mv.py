@@ -5691,6 +5691,160 @@ def mvapp_auto_theta_tree_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mvapp_auto_theta_multi",
+    """
+    WITH sup_f AS (
+        SELECT s_suppkey,
+               CASE WHEN s_suppkey % 5 = 0
+                    THEN (s_nationkey + 11) % 25 ELSE s_nationkey END AS s_nationkey,
+               CASE WHEN s_suppkey % 5 = 0
+                    THEN s_acctbal + 2500.0 ELSE s_acctbal END AS s_acctbal
+        FROM supplier WHERE s_suppkey % 2 = 0),
+    nat_f AS (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey <> 7),
+    bands_f AS (
+        SELECT r_regionkey AS band_id,
+               r_regionkey * 2000.0 - 1000.0 AS lo,
+               CASE WHEN r_regionkey = 2
+                    THEN r_regionkey * 2000.0 + 2500.0
+                    ELSE r_regionkey * 2000.0 + 1000.0 END AS hi
+        FROM region),
+    nbands_f AS (
+        SELECT r_regionkey AS nb_id,
+               r_regionkey * 5 AS nb_lo,
+               r_regionkey * 5 + 5 AS nb_hi
+        FROM region WHERE r_regionkey <> 0)
+    SELECT s_suppkey, n_nationkey,
+           CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents,
+           n_name, band_id,
+           CAST(round(lo) AS BIGINT) AS lo_i,
+           CAST(round(hi) AS BIGINT) AS hi_i,
+           nb_id
+    FROM sup_f
+    JOIN nat_f ON s_nationkey = n_nationkey
+    JOIN bands_f ON s_acctbal >= lo AND s_acctbal < hi
+    JOIN nbands_f ON n_nationkey >= nb_lo AND n_nationkey < nb_hi
+    """,
+    doc=(
+        "MULTIPLE THETA EDGES in one flat join tree (round 10; the "
+        "round-9 verdict's recompute-only tail): supplier enriched "
+        "with its nation (equi), banded by account balance (theta 1), "
+        "then banded again by nation key (theta 2) — four tables, two "
+        "non-equi edges, written FLAT the way users write it. "
+        "planner.rewrite_theta_tree peels the LAST edge into a "
+        "cascade outer and recurses on the rest, so the plan is "
+        "CascadeMV(inner=CascadeMV(equi join -> theta), outer=theta) "
+        "— a cascade CHAIN, each theta level consuming the level "
+        "below's version diff plus its own band table's changelog "
+        "(Flink shapes the same tree as chained non-equi joins by "
+        "delegation, TiFlinkApp.java:270). Churn hits every level: "
+        "nation-moving + balance-moving supplier updates through the "
+        "equi inner, a band widen on theta level 1 and a band DELETE "
+        "on theta level 2 in the SAME batch (then replayed for "
+        "idempotence), and a nation delete. The fn raises unless "
+        "routed as the nested cascade chain."
+    ),
+    tags=("mv", "incremental", "planner", "join", "theta", "cascade"),
+)
+def mvapp_auto_theta_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    sup = (
+        t["supplier"]
+        .filter(F.col("s_suppkey") % 2 == 0)
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+    )
+    nat = t["nation"].select("n_nationkey", "n_name")
+    bands = t["region"].select(
+        F.col("r_regionkey").alias("band_id"),
+        (F.col("r_regionkey") * 2000.0 - 1000.0).alias("lo"),
+        (F.col("r_regionkey") * 2000.0 + 1000.0).alias("hi"),
+    )
+    nbands = t["region"].select(
+        F.col("r_regionkey").alias("nb_id"),
+        (F.col("r_regionkey") * 5).alias("nb_lo"),
+        (F.col("r_regionkey") * 5 + 5).alias("nb_hi"),
+    )
+    work = tempfile.mkdtemp(prefix="mvapp_tm_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("sup_t", sup, pk=["s_suppkey"])
+            .source("nat_t", nat, pk=["n_nationkey"])
+            .source("bands", bands, pk=["band_id"])
+            .source("nbands", nbands, pk=["nb_id"])
+            .query(
+                """SELECT s_suppkey, n_nationkey, s_acctbal, n_name,
+                          band_id, lo, hi, nb_id
+                   FROM sup_t JOIN nat_t ON s_nationkey = n_nationkey
+                   JOIN bands ON s_acctbal >= lo AND s_acctbal < hi
+                   JOIN nbands ON n_nationkey >= nb_lo AND n_nationkey < nb_hi"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        inner = getattr(app._mv, "inner", None)
+        if (
+            app.maintenance_strategy != "CascadeMV"
+            or app._mv.outer.maintenance_strategy != "IncrementalThetaJoinMV"
+            or inner is None
+            or inner.maintenance_strategy != "CascadeMV"
+            or inner._mv.outer.maintenance_strategy != "IncrementalThetaJoinMV"
+        ):
+            raise AssertionError(
+                "planner must route the multi-theta tree as a nested "
+                f"cascade chain; got {app.maintenance_strategy}/"
+                f"{getattr(inner, 'maintenance_strategy', '?')}"
+            )
+        app.bootstrap()
+        s_upd = (
+            sup.filter(F.col("s_suppkey") % 5 == 0)
+            .withColumn("s_nationkey", (F.col("s_nationkey") + 11) % 25)
+            .withColumn("s_acctbal", F.col("s_acctbal") + 2500.0)
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"sup_t": s_upd}, batch_id=1)
+        b_upd = (
+            bands.filter(F.col("band_id") == 2)
+            .withColumn("hi", F.col("hi") + 1500.0)
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        nb_del = (
+            nbands.filter(F.col("nb_id") == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"bands": b_upd, "nbands": nb_del}, batch_id=2)
+        app.refresh({"bands": b_upd, "nbands": nb_del}, batch_id=2)  # replay
+        n_del = (
+            nat.filter(F.col("n_nationkey") == 7)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"nat_t": n_del}, batch_id=3)
+        return (
+            app.read()
+            .select(
+                "s_suppkey",
+                "n_nationkey",
+                F.round(F.col("s_acctbal") * 100).cast("bigint").alias("bal_cents"),
+                "n_name",
+                "band_id",
+                F.round("lo").cast("bigint").alias("lo_i"),
+                F.round("hi").cast("bigint").alias("hi_i"),
+                "nb_id",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 
 @register(
     "mvapp_auto_agg_enriched",
