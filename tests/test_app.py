@@ -1,5 +1,6 @@
 """MVApp end-to-end: builder -> bootstrap -> streaming changelog -> read."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from tiflink_spark.app import MVApp
@@ -2446,6 +2447,86 @@ def test_mvapp_multi_theta_nested_cascade(spark, tmp_path):
         "hi", F.when(F.col("cid") == 2, F.col("hi") + 10.0).otherwise(F.col("hi"))
     )
     assert_matches(expect(a2, c2, d.filter(F.col("did") != 1)))
+
+
+@pytest.mark.parametrize("op", ["INTERSECT ALL", "EXCEPT ALL"])
+def test_mvapp_bag_setop_cascade(spark, tmp_path, op):
+    """Round 10: an aggregate over a BAG set-op inner (INTERSECT ALL /
+    EXCEPT ALL) maintains as a cascade. The bag view has no tuple key
+    (duplicates are the semantics), so the inner exposes a hidden
+    per-copy index — copies deterministically numbered 1..multiplicity
+    — and the store façade turns each tuple's multiplicity transition
+    m0→m1 into tail-copy +I/-D changelogs. Churn hits one side, the
+    other, then BOTH in one batch (the case that catches diff-plan
+    bugs), with a replay for idempotence."""
+    a0 = [(i, i % 4) for i in range(20)]
+    b0 = [(j, j % 3) for j in range(9)]
+    a = spark.createDataFrame(a0, "id long, g long")
+    b = spark.createDataFrame(b0, "bid long, attr long")
+    q = (
+        f"SELECT g, count(*) AS n FROM "
+        f"( SELECT g FROM ta {op} SELECT attr FROM tb ) x GROUP BY g"
+    )
+    app = (
+        MVApp.builder(spark)
+        .source("ta", a, pk=["id"])
+        .source("tb", b, pk=["bid"])
+        .query(q)
+        .target(str(tmp_path / "bagsetop"))
+        .num_buckets(2)
+        .shuffle_partitions(4)
+        .build()
+    )
+    assert app.maintenance_strategy == "CascadeMV"
+    assert app._mv.inner.maintenance_strategy == "IncrementalSetOpMV"
+    astate, bstate = dict(a0), dict(b0)
+
+    def check():
+        spark.createDataFrame(
+            list(astate.items()), "id long, g long"
+        ).createOrReplaceTempView("ta")
+        spark.createDataFrame(
+            list(bstate.items()), "bid long, attr long"
+        ).createOrReplaceTempView("tb")
+        exp = sorted(map(tuple, spark.sql(q).collect()))
+        got = sorted(map(tuple, app.read().collect()))
+        assert got == exp, f"{op}: {got} != {exp}"
+
+    def ch(rows, schema):
+        return spark.createDataFrame(rows, schema).withColumn(
+            SEQ_COL, F.monotonically_increasing_id()
+        )
+
+    app.bootstrap()
+    check()
+    app.refresh(
+        {"ta": ch(
+            [(2, 3, OP_UPDATE), (5, 0, OP_UPDATE), (7, 1, OP_DELETE), (100, 2, OP_INSERT)],
+            "id long, g long, __op string",
+        )},
+        batch_id=1,
+    )
+    astate[2] = 3; astate[5] = 0; del astate[7]; astate[100] = 2
+    check()
+    b_batch = ch(
+        [(1, 2, OP_UPDATE), (4, 0, OP_DELETE), (50, 1, OP_INSERT)],
+        "bid long, attr long, __op string",
+    )
+    app.refresh({"tb": b_batch}, batch_id=2)
+    app.refresh({"tb": b_batch}, batch_id=2)  # replay
+    bstate[1] = 2; del bstate[4]; bstate[50] = 1
+    check()
+    # both sides in ONE batch — the multiplicity diff must pair each
+    # tuple's old and new counts across the same version step
+    app.refresh(
+        {
+            "ta": ch([(3, 0, OP_UPDATE), (11, 2, OP_UPDATE)], "id long, g long, __op string"),
+            "tb": ch([(2, 1, OP_UPDATE)], "bid long, attr long, __op string"),
+        },
+        batch_id=3,
+    )
+    astate[3] = 0; astate[11] = 2; bstate[2] = 1
+    check()
 
 
 def test_cost_advisor_routes_join_agg_by_measured_time(spark, tmp_path):

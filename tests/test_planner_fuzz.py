@@ -414,3 +414,133 @@ def test_fuzzed_two_table_shapes_converge(spark, tmp_path, seed):
             f"seed={seed} case={case} strategy={app.maintenance_strategy}\n"
             f"query={q}\n got={g[:6]}\n exp={e[:6]}"
         )
+
+
+def _band_rows(rng, n, width, domain):
+    """Interval table: id -> (lo, hi) bands over ``domain``; bands may
+    overlap and gap (theta joins are many-to-many by construction)."""
+    return {
+        k: (lo := round(rng.uniform(0, domain), 2), round(lo + rng.uniform(1, width), 2))
+        for k in rng.sample(range(50), n)
+    }
+
+
+def _band_df(spark, state, pfx):
+    return spark.createDataFrame(
+        [(k, lo, hi) for k, (lo, hi) in state.items()],
+        f"{pfx}id long, {pfx}lo double, {pfx}hi double",
+    )
+
+
+def _band_churn(spark, rng, state, width, domain, pfx):
+    rows = []
+    for _ in range(rng.randrange(1, 4)):
+        k = rng.randrange(50)
+        if k in state and rng.random() < 0.4:
+            del state[k]
+            rows.append((k, 0.0, 0.0, OP_DELETE))
+        else:
+            lo = round(rng.uniform(0, domain), 2)
+            v = (lo, round(lo + rng.uniform(1, width), 2))
+            op = OP_UPDATE if k in state else OP_INSERT
+            state[k] = v
+            rows.append((k, *v, op))
+    return spark.createDataFrame(
+        rows, f"{pfx}id long, {pfx}lo double, {pfx}hi double, __op string"
+    ).withColumn(SEQ_COL, F.monotonically_increasing_id())
+
+
+@pytest.mark.parametrize("seed", [29])
+def test_fuzzed_multi_theta_trees_converge(spark, tmp_path, seed):
+    """Round 10: flat N-table trees with MULTIPLE theta edges (and a
+    theta-first variant with no equi edge at all) route through the
+    recursive cascade-chain rewrite and converge under churn on every
+    table, including replays. The planner must route these as nested
+    CascadeMV chains — a recompute fallback here would hide a rewrite
+    regression, so the routing itself is asserted."""
+    from tiflink_spark.app import MVApp, CascadeMV
+
+    rng = random.Random(seed)
+    KEYSPACE, DIMSPACE = 40, 8
+    for case in range(3):
+        fstate = _fact_rows(rng, 25, KEYSPACE)
+        dstate = _dim_rows(rng, 4, DIMSPACE)
+        cstate = _band_rows(rng, 4, 40, 100)   # bands over fact.v (0..100)
+        estate = _band_rows(rng, 3, 4, 8)      # bands over fact.g (0..4)
+        fact, dim = f"mf_{seed}_{case}", f"md_{seed}_{case}"
+        cb, eb = f"mc_{seed}_{case}", f"me_{seed}_{case}"
+        shape = rng.choice(["equi_theta_theta", "theta_theta", "equi_theta_theta_where"])
+        if shape == "theta_theta":
+            q = (
+                f"SELECT id, g, v, cid, eid FROM {fact} "
+                f"JOIN {cb} ON v >= clo AND v < chi "
+                f"JOIN {eb} ON g >= elo AND g < ehi"
+            )
+            srcs = {fact: None, cb: None, eb: None}
+        else:
+            wsql = " WHERE v > 10" if shape.endswith("_where") else ""
+            q = (
+                f"SELECT id, g, v, attr, cid, eid FROM {fact} "
+                f"JOIN {dim} ON g = dk "
+                f"JOIN {cb} ON v >= clo AND v < chi "
+                f"JOIN {eb} ON u >= elo AND u < ehi{wsql}"
+            )
+            srcs = {fact: None, dim: None, cb: None, eb: None}
+        b = MVApp.builder(spark).source(fact, _fact_df(spark, fstate), pk=["id"])
+        if dim in srcs:
+            b = b.source(dim, _dim_df(spark, dstate), pk=["dk"])
+        b = b.source(cb, _band_df(spark, cstate, "c"), pk=["cid"])
+        b = b.source(eb, _band_df(spark, estate, "e"), pk=["eid"])
+        app = (
+            b.query(q)
+            .target(str(tmp_path / f"mt_{seed}_{case}"))
+            .num_buckets(2)
+            .shuffle_partitions(2)
+            .build()
+        )
+        assert isinstance(app._mv, CascadeMV), (
+            f"seed={seed} case={case} shape={shape}: expected a cascade "
+            f"chain, got {app.maintenance_strategy}\nquery={q}"
+        )
+        app.bootstrap()
+        for bi in range(1, rng.randrange(2, 4) + 1):
+            changes = {}
+            if rng.random() < 0.8:
+                changes[fact] = _churn(spark, rng, fstate, KEYSPACE)
+            if dim in srcs and rng.random() < 0.5:
+                changes[dim] = _dim_churn(spark, rng, dstate, DIMSPACE)
+            if rng.random() < 0.5 or not changes:
+                changes[cb] = _band_churn(spark, rng, cstate, 40, 100, "c")
+            if rng.random() < 0.4:
+                changes[eb] = _band_churn(spark, rng, estate, 4, 8, "e")
+            app.refresh(changes, batch_id=bi)
+            if rng.random() < 0.3:
+                app.refresh(changes, batch_id=bi)  # replay idempotence
+        _fact_df(spark, fstate).createOrReplaceTempView(fact)
+        if dim in srcs:
+            _dim_df(spark, dstate).createOrReplaceTempView(dim)
+        _band_df(spark, cstate, "c").createOrReplaceTempView(cb)
+        _band_df(spark, estate, "e").createOrReplaceTempView(eb)
+        exp = spark.sql(q)
+        got = app.read()
+
+        def canon(rows):
+            return sorted(
+                (
+                    tuple(
+                        round(x, 6) if isinstance(x, float) else x for x in r
+                    )
+                    for r in rows
+                ),
+                key=lambda t: tuple(
+                    (x is None, 0 if x is None else x) for x in t
+                ),
+            )
+
+        g = canon(map(tuple, got.collect()))
+        e = canon(map(tuple, exp.collect()))
+        assert g == e, (
+            f"seed={seed} case={case} shape={shape} "
+            f"strategy={app.maintenance_strategy}\nquery={q}\n"
+            f" got={g[:6]}\n exp={e[:6]}"
+        )

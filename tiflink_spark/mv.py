@@ -38,6 +38,7 @@ from tiflink_spark.catalog import Catalog, default_pk
 from tiflink_spark.changelog import (
     OP_COL,
     OP_DELETE,
+    OP_INSERT,
     OP_UPDATE,
     SEQ_COL,
     diff_states,
@@ -1946,10 +1947,12 @@ class IncrementalSetOpMV:
         # Each side's rows projected to the OUTPUT tuple names; the
         # source PK rides along (renamed __pk_i) for retraction lookups.
         self._sides = {}
+        self._side_src = {}
         for tag, df in (("a", left), ("b", right)):
+            self._side_src[tag] = self._project(tag, df)
             self._sides[tag] = IncrementalAggMV(
                 spark,
-                fact=self._project(tag, df),
+                fact=self._side_src[tag],
                 fact_pk=[f"__pk_{i}" for i in range(len(self._side_pks[tag]))],
                 group_key=list(out_cols),
                 measures=[Measure("count", None, "__cnt")],
@@ -1960,6 +1963,11 @@ class IncrementalSetOpMV:
         self.target = KeyedParquetStore(
             spark, os.path.join(work_dir, "mv"), list(out_cols), num_buckets
         )
+        if self.op in ("intersect_all", "except_all"):
+            # bag ops can feed a cascade: the store-shaped façade turns
+            # per-tuple multiplicity transitions into per-copy +I/-D
+            # changelogs keyed by (tuple, __copy) — see cascade_relation
+            self.cascade_target = _SetOpBagCascadeTarget(self)
 
     def _project(self, tag: str, df: DataFrame) -> DataFrame:
         """Side rows (or a side's source-schema changelog) → the shared
@@ -2087,6 +2095,120 @@ class IncrementalSetOpMV:
                 "__i", F.explode(F.sequence(F.lit(1), F.col("__mult").cast("int")))
             ).select(*self.out_cols)
         return out
+
+    COPY_COL = "__copy"
+
+    def cascade_relation(self) -> DataFrame:
+        """The bag view WITH a hidden per-copy index (round 10): an
+        INTERSECT ALL / EXCEPT ALL view holds duplicate tuples, so the
+        tuple alone is no key — but copies are DETERMINISTICALLY
+        numbered 1..multiplicity, so (tuple, __copy) is a TRUE unique
+        key an outer cascade level can store by. Multiplicity
+        transitions only ever add or remove the TAIL indices (m0→m1
+        adds copies m0+1..m1 or deletes m1+1..m0 — see
+        _SetOpBagCascadeTarget.changes_between), so the outer's state
+        stays consistent with this bootstrap numbering. Lazy plan over
+        the original (already WHERE-filtered) sources; same rows
+        bootstrap publishes, exactly as IncrementalUnionMV's
+        cascade_relation contract."""
+        if self.op not in ("intersect_all", "except_all"):
+            raise RuntimeError(
+                "cascade_relation is only defined for bag set ops; "
+                "set-semantics views have a true tuple key already"
+            )
+        counts = {
+            tag: src.groupBy(*self.out_cols).agg(
+                F.count(F.lit(1)).alias("__cnt")
+            )
+            for tag, src in self._side_src.items()
+        }
+        return (
+            self._bag_rows(counts["a"], counts["b"])
+            .withColumn(
+                self.COPY_COL,
+                F.explode(F.sequence(F.lit(1), F.col("__mult").cast("int"))),
+            )
+            .select(*self.out_cols, self.COPY_COL)
+        )
+
+
+class _SetOpBagCascadeTarget:
+    """IncrementalSetOpMV's multiplicity-keyed target presented as a
+    per-copy CDC source — the store-shaped façade CascadeMV drives
+    (committed_batches / version_before_batch / current_version /
+    changes_between / pk). The real store keys (tuple → __mult); the
+    façade advertises (tuple, __copy) and converts each tuple's
+    multiplicity transition m0→m1 into tail-index copy changelogs:
+    +I for copies m0+1..m1, -D for copies m1+1..m0 — matching the
+    deterministic 1..mult numbering cascade_relation bootstrapped."""
+
+    def __init__(self, mv: IncrementalSetOpMV):
+        self._mv = mv
+
+    @property
+    def pk(self) -> list[str]:
+        return [*self._mv.out_cols, IncrementalSetOpMV.COPY_COL]
+
+    def current_version(self):
+        return self._mv.target.current_version()
+
+    def committed_batches(self):
+        return self._mv.target.committed_batches()
+
+    def version_before_batch(self, batch_id):
+        return self._mv.target.version_before_batch(batch_id)
+
+    def changes_between(self, v_from, v_to) -> DataFrame:
+        from tiflink_spark.store import changes_between as _cb
+
+        mv = self._mv
+        out = mv.out_cols
+        # only the tuples the raw store diff touched — delta-bounded
+        touched = _cb(mv.target, v_from, v_to).select(*out).distinct()
+        old = (
+            mv.target.read(v_from)
+            .join(touched, out, "left_semi")
+            .select(*out, F.col("__mult").alias("__m0"))
+        )
+        new = (
+            mv.target.read(v_to)
+            .join(touched, out, "left_semi")
+            .select(*out, F.col("__mult").alias("__m1"))
+        )
+        j = old.join(new, out, "full_outer").select(
+            *out,
+            F.coalesce(F.col("__m0"), F.lit(0)).cast("int").alias("__m0"),
+            F.coalesce(F.col("__m1"), F.lit(0)).cast("int").alias("__m1"),
+        )
+        copy = IncrementalSetOpMV.COPY_COL
+        # ONE pass for both directions — tail copies min+1..max, +I when
+        # the multiplicity grew, -D when it shrank. (A union of two
+        # separately-filtered explode branches over the same full-outer
+        # join was measured to MISCOMPILE here: the unioned plan
+        # resolved one branch's m1 as 0 for a tuple both sides held,
+        # while either branch alone — and the bare join — computed
+        # correctly. Single-reference plans are verified sound; keep
+        # this single-pass shape.)
+        lo = F.least(F.col("__m0"), F.col("__m1"))
+        hi = F.greatest(F.col("__m0"), F.col("__m1"))
+        return (
+            j.filter(F.col("__m0") != F.col("__m1"))
+            .withColumn(copy, F.explode(F.sequence(lo + 1, hi)))
+            .withColumn(
+                OP_COL,
+                F.when(
+                    F.col("__m1") > F.col("__m0"), F.lit(OP_INSERT)
+                ).otherwise(F.lit(OP_DELETE)),
+            )
+            .select(*out, copy, OP_COL)
+            # each (tuple, copy) appears at most once per diff, so the
+            # sequence column only needs to exist, not order anything
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+            # delta-bounded (touched tuples only): materialize lazily so
+            # the outer level's several actions re-read blocks instead
+            # of re-running the 3-chain-read full-outer plan each time
+            .localCheckpoint(eager=False)
+        )
 
 
 class IncrementalJoinAggMV:

@@ -3051,21 +3051,47 @@ def rewrite_theta_tree(
         return None
     # columns the derived table must carry: selected inner columns,
     # every inner edge's inputs, anything the last edge / WHERE
-    # reference on the inner side, and all inner PKs (the cascade keys
+    # reference on the inner side, and the inner PKs (the cascade keys
     # the alias by them)
-    bare = re.sub(
-        r"'[^']*'",
-        " ",
-        " ".join(j.on for j in joins[:-1])
-        + " "
-        + last.on
-        + " "
-        + (s.where or ""),
-    )
-    fn_names = {f.lower() for f in re.findall(rf"({_IDENT})\s*\(", bare)}
-    used = {i.lower() for i in re.findall(_IDENT, bare)} - _EXPR_KEYWORDS - fn_names
-    need = ({i.lower() for i in sel_items} | used) & inner_low
+    def _idents(text: str) -> set[str]:
+        bare = re.sub(r"'[^']*'", " ", text)
+        fns = {f.lower() for f in re.findall(rf"({_IDENT})\s*\(", bare)}
+        return {i.lower() for i in re.findall(_IDENT, bare)} - _EXPR_KEYWORDS - fns
+
+    outer_used = _idents(last.on + " " + (s.where or ""))
+    inner_used = _idents(" ".join(j.on for j in joins[:-1]))
+    need = ({i.lower() for i in sel_items} | outer_used | inner_used) & inner_low
     need |= {c.lower() for t in inner_tables for c in pks[t]}
+    # A dim an inner edge enters through EXACTLY its PK (a pure-equality
+    # conjunction whose dim-side columns are the PK set) is uniquely
+    # addressed by the left side already — forcing its PK (and nothing
+    # else references it) into the derived output would push the inner
+    # onto the two-sided route keyed by BOTH PKs, and that composite key
+    # must then survive every projection above it; a user select that
+    # drops the dim PK would force the whole tree to recompute. Drop
+    # such PKs from `need` unless the select / the peeled edge / WHERE /
+    # another edge genuinely references them (round 10 — found by the
+    # multi-theta fuzz).
+    acc2 = set(low[names[0]])
+    for j in joins[:-1]:
+        t = j.table
+        edge_scope = acc2 | low[t]
+        eq_idents: set[str] = set()
+        pure = True
+        for conj in re.split(r"(?is)\bAND\b", j.on):
+            em = re.fullmatch(rf"(?s)\s*({_IDENT})\s*=\s*({_IDENT})\s*", conj)
+            if em is None or {em.group(1).lower(), em.group(2).lower()} - edge_scope:
+                pure = False
+                break
+            eq_idents |= {em.group(1).lower(), em.group(2).lower()}
+        if pure:
+            t_side = eq_idents & low[t]
+            t_pk = {c.lower() for c in pks[t]}
+            if t_side == t_pk:
+                others = inner_used - _idents(j.on)
+                keep = {i.lower() for i in sel_items} | outer_used | others
+                need -= t_pk - keep
+        acc2 = edge_scope
     inner_sel = [
         cols[t][c]
         for t in inner_tables

@@ -1193,6 +1193,7 @@ _PRIORITY = [
     "streaming_pattern_nav",
     "mvapp_temporal_late_dim",
     "mvapp_auto_theta_multi",
+    "mvapp_auto_cascade_bag_setop",
     # --- round-9-new gates (first re-confirmation) ---
     "pattern_runstate_first",
     "mvapp_temporal_streaming",
@@ -1231,10 +1232,10 @@ _PRIORITY = [
     "agg_string_concat",
     "window_pct_rank",
     "histogram_prices",
-    "map_funcs",
     "pandas_udf_tokens",
     # ================== past the 50-query window ==================
     # r10 rotate-outs (green r8/r9; locally oracle-checked)
+    "map_funcs",
     "regex_funcs",
     "array_ops",
     "unpivot_measures",

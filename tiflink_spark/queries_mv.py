@@ -5845,6 +5845,123 @@ def mvapp_auto_theta_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@register(
+    "mvapp_auto_cascade_bag_setop",
+    """
+    WITH a_f AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 0 THEN 'X-MOVED'
+                    ELSE o_orderpriority END AS pri_a
+        FROM orders
+        WHERE o_orderkey % 2 = 0 AND o_orderkey % 14 <> 0),
+    b_f AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 15 = 0 THEN 'X-MOVED'
+                    ELSE o_orderpriority END AS pri_b
+        FROM orders
+        WHERE o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0),
+    bag AS (SELECT pri_a AS pri FROM a_f
+            INTERSECT ALL
+            SELECT pri_b AS pri FROM b_f)
+    SELECT pri, count(*) AS n FROM bag GROUP BY pri
+    """,
+    doc=(
+        "Aggregate over a BAG SET-OP inner (INTERSECT ALL) maintained "
+        "as a cascade — the round-9 verdict's recompute-only tail "
+        "('bag-semantics set ops inside cascades'), closed in round "
+        "10. The bag view's duplicates ARE the semantics, so there is "
+        "no tuple key; the inner exposes its hidden per-copy index "
+        "(copies deterministically numbered 1..multiplicity) and a "
+        "store facade converts each tuple's multiplicity transition "
+        "m0->m1 into tail-copy +I/-D changelogs — the outer aggregate "
+        "keys its state by (tuple, copy) and counts every copy, "
+        "exactly SQL's INTERSECT ALL min(cnt_a, cnt_b) semantics "
+        "(Flink's update-mode planner represents the same bag as "
+        "per-tuple counts; the reference gets it by delegation, "
+        "TiFlinkApp.java:270). Churn moves priorities on side A, "
+        "deletes on side B (replayed), then hits BOTH sides in one "
+        "batch — the case where the diff must pair old/new counts "
+        "across one version step. The fn raises unless routed "
+        "CascadeMV[setop -> agg]."
+    ),
+    tags=("mv", "incremental", "planner", "cascade", "setop"),
+)
+def mvapp_auto_cascade_bag_setop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    side_a = (
+        t["orders"]
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", F.col("o_orderpriority").alias("pri"))
+    )
+    side_b = (
+        t["orders"]
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            F.col("o_orderkey").alias("ob_key"),
+            F.col("o_orderpriority").alias("pri_b"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="mvapp_cbs_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("ord_a", side_a, pk=["o_orderkey"])
+            .source("ord_b", side_b, pk=["ob_key"])
+            .query(
+                """SELECT pri, count(*) AS n FROM
+                   ( SELECT pri FROM ord_a
+                     INTERSECT ALL
+                     SELECT pri_b FROM ord_b ) bag
+                   GROUP BY pri"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if (
+            app.maintenance_strategy != "CascadeMV"
+            or app._mv.inner.maintenance_strategy != "IncrementalSetOpMV"
+        ):
+            raise AssertionError(
+                f"planner routed the bag-setop cascade to "
+                f"{app.maintenance_strategy}/"
+                f"{getattr(getattr(app._mv, 'inner', None), 'maintenance_strategy', '?')}"
+            )
+        app.bootstrap()
+        a_upd = (
+            side_a.filter(F.col("o_orderkey") % 10 == 0)
+            .withColumn("pri", F.lit("X-MOVED"))
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"ord_a": a_upd}, batch_id=1)
+        b_del = (
+            side_b.filter(F.col("ob_key") % 9 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"ord_b": b_del}, batch_id=2)
+        app.refresh({"ord_b": b_del}, batch_id=2)  # replay
+        a_del = (
+            side_a.filter(F.col("o_orderkey") % 14 == 0)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        b_upd = (
+            side_b.filter((F.col("ob_key") % 15 == 0) & (F.col("ob_key") % 9 != 0))
+            .withColumn("pri_b", F.lit("X-MOVED"))
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"ord_a": a_del, "ord_b": b_upd}, batch_id=3)
+        return app.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 
 @register(
     "mvapp_auto_agg_enriched",

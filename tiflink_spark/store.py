@@ -43,6 +43,15 @@ from tiflink_spark.changelog import (
 
 COMMITS_FILE = "_mv_commits"
 BUCKET_COL = "__bucket"
+# Chain-position column written INTO each delta parquet at merge time
+# (the commit version as a literal). Chain reconciliation orders by it;
+# the file-path regexp over input_file_name() it replaces is UNRELIABLE
+# whenever Catalyst fuses two chain reads into one stage (Spark's
+# documented input_file_name limitation: undefined with multiple file
+# sources per stage) — a plan joining two versioned reads of the same
+# store then misattributes rows to the wrong delta and reconciles a
+# WRONG winner. Legacy chains (pre-column files) keep the path regexp.
+CHAIN_COL = "__cv"
 HWM_TYPE = "hwm"
 
 # Merge-on-read delta chain bound. A micro-batch MERGE appends the
@@ -487,7 +496,7 @@ class KeyedParquetStore:
                     from pyspark.sql.types import StructType
 
                     reader = reader.schema(StructType.fromJson(json.loads(sj)))
-                return reader.parquet(out).drop(BUCKET_COL)
+                return reader.parquet(out).drop(BUCKET_COL, CHAIN_COL)
         return None
 
     def batch_key_values(self, batch_id, max_values: int = 200_000):
@@ -669,23 +678,32 @@ class KeyedParquetStore:
         # heterogeneous or legacy chains fall back to inference.
         reader = self.spark.read
         sjs = {self._delta_schema_of(rel) for rel in deltas}
-        if len(sjs) == 1 and None not in sjs:
+        uniform = len(sjs) == 1 and None not in sjs
+        if uniform:
             from pyspark.sql.types import StructType
 
-            reader = reader.schema(StructType.fromJson(json.loads(sjs.pop())))
+            reader = reader.schema(StructType.fromJson(json.loads(next(iter(sjs)))))
         d = reader.parquet(*[os.path.join(self.path, rel) for rel in deltas])
-        # chain position: recovered from the file path — but a
+        # chain position: the CHAIN_COL literal each merge writes into
+        # its delta (data-borne, safe under any plan shape) — a
         # SINGLE-delta chain (the steady state between folds) needs no
         # position column at all, which trims both the driver-side
         # construction (this method runs several times per refresh
-        # batch) and a sort key from the window below.
+        # batch) and a sort key from the window below. Legacy chains
+        # whose files predate the column recover it from the file path
+        # — correct ONLY while the plan keeps one file source per
+        # stage (input_file_name's documented limitation); every fold
+        # or compact retires such chains.
         if len(deltas) > 1:
-            d = d.withColumn(
-                "__didx",
-                F.regexp_extract(F.input_file_name(), r"data/v(\d+)/", 1).cast(
-                    "long"
-                ),
-            )
+            if uniform and CHAIN_COL in d.columns:
+                d = d.withColumn("__didx", F.col(CHAIN_COL))
+            else:
+                d = d.withColumn(
+                    "__didx",
+                    F.regexp_extract(
+                        F.input_file_name(), r"data/v(\d+)/", 1
+                    ).cast("long"),
+                )
         if bucket_filter is not None:
             d = d.filter(_in_filter(BUCKET_COL, bucket_filter))
         if key_filter is not None:
@@ -986,7 +1004,7 @@ class KeyedParquetStore:
         out = os.path.join(self.path, rel)
         bucketed = changes.withColumn(
             BUCKET_COL, _bucket_expr(self.pk, self.num_buckets)
-        )
+        ).withColumn(CHAIN_COL, F.lit(version))
         # the write's own analyzed schema — recorded so every read-back
         # (batch_delta, chain reads) can pin it instead of paying a
         # footer-inference job
