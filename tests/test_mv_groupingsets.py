@@ -594,3 +594,266 @@ class TestGroupingSetsExprKeys:
         )
         check(fact1)
         assert app.refresh({"f_ge": b1}, batch_id=1) is False
+
+
+class TestHavingGroupingCalls:
+    """GROUPING()/GROUPING_ID() referenced in HAVING (round 10): both
+    are CONSTANT per grouping set, so the planner extracts them to
+    placeholders and the maintenance layer substitutes each set's
+    literal before applying the filter — the r9 recompute-only tail
+    item 'key-referencing GROUPING()/HAVING inside subtotal sub-MVs'."""
+
+    def test_matcher_extracts_calls(self):
+        s = match_grouping_sets_shape(
+            """SELECT o_orderstatus, o_custkey, count(*) AS n
+               FROM orders GROUP BY ROLLUP(o_orderstatus, o_custkey)
+               HAVING GROUPING(o_custkey) = 1 OR count(*) > 5""",
+            {"orders"},
+            COLS,
+        )
+        assert s is not None
+        assert s.having_gcalls == (("__ghav0", ("o_custkey",)),)
+        assert "__ghav0" in s.having and "GROUPING" not in s.having.upper()
+
+    def test_matcher_bare_grouping_id_means_all_keys(self):
+        s = match_grouping_sets_shape(
+            """SELECT o_orderstatus, o_custkey, count(*) AS n
+               FROM orders GROUP BY ROLLUP(o_orderstatus, o_custkey)
+               HAVING GROUPING_ID() < 3""",
+            {"orders"},
+            COLS,
+        )
+        assert s is not None
+        assert s.having_gcalls == (("__ghav0", ("o_orderstatus", "o_custkey")),)
+
+    def test_matcher_refuses_non_grouping_column(self):
+        # SQL itself rejects GROUPING over a non-grouping column
+        assert (
+            match_grouping_sets_shape(
+                """SELECT o_orderstatus, o_custkey, count(*) AS n
+                   FROM orders GROUP BY ROLLUP(o_orderstatus, o_custkey)
+                   HAVING GROUPING(o_totalprice) = 1""",
+                {"orders"},
+                COLS,
+            )
+            is None
+        )
+
+    def test_matcher_leaves_string_literals(self):
+        s = match_grouping_sets_shape(
+            """SELECT o_orderstatus, count(*) AS n
+               FROM orders GROUP BY ROLLUP(o_orderstatus)
+               HAVING GROUPING(o_orderstatus) = 1 OR o_orderstatus = 'GROUPING(x)'""",
+            {"orders"},
+            COLS,
+        )
+        assert s is not None
+        assert "'GROUPING(x)'" in s.having  # literal untouched
+
+    @pytest.mark.parametrize(
+        "hav",
+        [
+            "HAVING GROUPING(sub) = 1 OR count(*) > 3",
+            "HAVING GROUPING_ID() < 3",
+            # reference the select-item ALIAS instead of the call
+            "HAVING gp = 1 OR count(*) > 3",
+        ],
+    )
+    def test_converges_under_churn(self, spark, tmp_path, hav):
+        from tiflink_spark.app import MVApp
+
+        fact = _mk_fact(
+            spark, [(i, "ab"[i % 2], i % 3, float(i)) for i in range(40)]
+        )
+        q = (
+            "SELECT grp, sub, GROUPING(sub) AS gp, count(*) AS n "
+            f"FROM hgf GROUP BY ROLLUP(grp, sub) {hav}"
+        )
+        app = (
+            MVApp.builder(spark)
+            .source("hgf", fact, pk=["id"])
+            .query(q)
+            .target(str(tmp_path / "hg"))
+            .num_buckets(2)
+            .shuffle_partitions(2)
+            .build()
+        )
+        assert app.maintenance_strategy == "IncrementalGroupingSetsMV"
+        app.bootstrap()
+        dels = fact.filter(F.col("id") % 5 == 0)
+        app.refresh({"hgf": _changes(dels, OP_DELETE)}, batch_id=1)
+        move = (
+            fact.filter(F.col("id") % 5 == 1)
+            .withColumn("grp", F.lit("z"))
+        )
+        app.refresh({"hgf": _changes(move, OP_UPDATE)}, batch_id=2)
+        final = (
+            fact.filter(F.col("id") % 5 != 0)
+            .withColumn(
+                "grp",
+                F.when(F.col("id") % 5 == 1, F.lit("z")).otherwise(F.col("grp")),
+            )
+        )
+        final.createOrReplaceTempView("hgf_exp")
+        from tiflink_spark.planner import spark_executable_query
+
+        exp = spark.sql(spark_executable_query(q.replace("FROM hgf ", "FROM hgf_exp ")))
+        got = app.read()
+        assert got.exceptAll(exp).count() == 0
+        assert exp.exceptAll(got).count() == 0
+
+
+class TestGroupingOuterCascade:
+    """ROLLUP over a JOIN routes as CascadeMV[join -> grouping-sets]
+    (round 10): the grouping-sets route as a cascade OUTER. Before this
+    round the build crashed on the outer's missing single target."""
+
+    def test_rollup_over_join_converges(self, spark, tmp_path):
+        from tiflink_spark.app import MVApp
+
+        fact = spark.createDataFrame(
+            [(i, i % 7, "ab"[i % 2], float(i)) for i in range(60)],
+            "id long, dk long, st string, v double",
+        )
+        dim = spark.createDataFrame(
+            [(i, "grp%d" % (i % 3)) for i in range(7)], "dk long, dg string"
+        )
+        q = """SELECT dg, st, count(*) AS n
+               FROM f JOIN d ON f.dk = d.dk
+               GROUP BY ROLLUP(dg, st)"""
+        app = (
+            MVApp.builder(spark)
+            .source("f", fact, pk=["id"])
+            .source("d", dim, pk=["dk"])
+            .query(q)
+            .target(str(tmp_path / "gc"))
+            .num_buckets(2)
+            .shuffle_partitions(2)
+            .build()
+        )
+        assert app.maintenance_strategy.startswith("CascadeMV")
+        app.bootstrap()
+        # fact churn, dim churn (group move), fact delete
+        ins = spark.createDataFrame(
+            [(100 + i, i % 7, "c", 1.0) for i in range(5)],
+            "id long, dk long, st string, v double",
+        )
+        app.refresh({"f": _changes(ins, OP_INSERT)}, batch_id=1)
+        dmove = dim.filter(F.col("dk") % 2 == 0).withColumn("dg", F.lit("moved"))
+        app.refresh({"d": _changes(dmove, OP_UPDATE)}, batch_id=2)
+        dels = fact.filter(F.col("id") % 4 == 0)
+        app.refresh({"f": _changes(dels, OP_DELETE)}, batch_id=3)
+
+        ffin = fact.filter(F.col("id") % 4 != 0).unionByName(ins)
+        dfin = dim.withColumn(
+            "dg", F.when(F.col("dk") % 2 == 0, F.lit("moved")).otherwise(F.col("dg"))
+        )
+        ffin.createOrReplaceTempView("f_exp")
+        dfin.createOrReplaceTempView("d_exp")
+        exp = spark.sql(
+            q.replace("FROM f JOIN d", "FROM f_exp f JOIN d_exp d")
+        )
+        got = app.read()
+        assert got.exceptAll(exp).count() == 0
+        assert exp.exceptAll(got).count() == 0
+
+
+class TestBagRecompute:
+    """Recompute fallback for keyless grouping outputs (round 10): a
+    grouping-body query past every incremental matcher (CUBE(7)+, or
+    force_recompute here) diffs as a BAG keyed by a hidden null-safe
+    row encoding + copy index — previously the first-output-column PK
+    default crashed the keyed store on subtotal NULLs."""
+
+    def _app(self, spark, tmp_path, fact, dim):
+        from tiflink_spark.app import MVApp
+
+        return (
+            MVApp.builder(spark)
+            .source("f", fact, pk=["id"])
+            .source("d", dim, pk=["dk"])
+            .query(
+                """SELECT dg, st, count(*) AS n
+                   FROM f JOIN d ON f.dk = d.dk
+                   GROUP BY ROLLUP(dg, st)"""
+            )
+            .target(str(tmp_path / "bagmv"))
+            .num_buckets(2)
+            .shuffle_partitions(2)
+            .force_recompute()
+            .build()
+        )
+
+    def test_bag_diff_converges_and_replays(self, spark, tmp_path):
+        fact = spark.createDataFrame(
+            [(i, i % 5, "ab"[i % 2], float(i)) for i in range(40)],
+            "id long, dk long, st string, v double",
+        )
+        dim = spark.createDataFrame(
+            [(i, "g%d" % (i % 2)) for i in range(5)], "dk long, dg string"
+        )
+        app = self._app(spark, tmp_path, fact, dim)
+        assert app.maintenance_strategy == "RecomputeMV"
+        assert app._mv._bag is True
+        assert app.pk_is_unique is False
+        app.bootstrap()
+        assert app._mv.target.pk == ["__row_id", "__copy"]
+        # hidden key columns never reach the reader
+        assert app.read().columns == ["dg", "st", "n"]
+
+        dels = fact.filter(F.col("id") % 3 == 0)
+        app.refresh({"f": _changes(dels, OP_DELETE)}, batch_id=1)
+        dmove = dim.filter(F.col("dk") == 0).withColumn("dg", F.lit("zz"))
+        app.refresh({"d": _changes(dmove, OP_UPDATE)}, batch_id=2)
+        # crash-replay: same batch id is a no-op
+        assert app.refresh({"d": _changes(dmove, OP_UPDATE)}, batch_id=2) is False
+
+        ffin = fact.filter(F.col("id") % 3 != 0)
+        dfin = dim.withColumn(
+            "dg", F.when(F.col("dk") == 0, F.lit("zz")).otherwise(F.col("dg"))
+        )
+        ffin.createOrReplaceTempView("bf_exp")
+        dfin.createOrReplaceTempView("bd_exp")
+        exp = spark.sql(
+            """SELECT dg, st, count(*) AS n
+               FROM bf_exp f JOIN bd_exp d ON f.dk = d.dk
+               GROUP BY ROLLUP(dg, st)"""
+        )
+        got = app.read()
+        assert got.exceptAll(exp).count() == 0
+        assert exp.exceptAll(got).count() == 0
+
+    def test_cube7_routes_to_bag_not_crash(self, spark, tmp_path):
+        from tiflink_spark.app import MVApp
+
+        fact = spark.createDataFrame(
+            [
+                (i, i % 2, i % 3, i % 2, i % 3, i % 2, i % 3, i % 5)
+                for i in range(30)
+            ],
+            "id long, a int, b int, c int, dd int, e int, g int, h int",
+        )
+        app = (
+            MVApp.builder(spark)
+            .source("f", fact, pk=["id"])
+            .query(
+                """SELECT a, b, c, dd, e, g, h, count(*) AS n
+                   FROM f GROUP BY CUBE(a, b, c, dd, e, g, h)"""
+            )
+            .target(str(tmp_path / "cube7"))
+            .num_buckets(2)
+            .shuffle_partitions(2)
+            .build()
+        )
+        # 2^7 = 128 sets > the 64-set cost bound -> recompute, as a bag
+        assert app.maintenance_strategy == "RecomputeMV"
+        assert app._mv._bag is True
+        app.bootstrap()
+        fact.createOrReplaceTempView("c7_exp")
+        exp = spark.sql(
+            """SELECT a, b, c, dd, e, g, h, count(*) AS n
+               FROM c7_exp GROUP BY CUBE(a, b, c, dd, e, g, h)"""
+        )
+        got = app.read()
+        assert got.exceptAll(exp).count() == 0
+        assert exp.exceptAll(got).count() == 0

@@ -349,7 +349,10 @@ class CascadeMV:
 
     def __init__(self, inner: "MVApp", outer: "MVApp", alias: str):
         self.inner, self.outer, self.alias = inner, outer, alias
-        self.target = outer._mv.target
+        # A grouping-sets outer has no single target store (one keyed
+        # store per grouping set) — describe()/introspection tolerate
+        # None; reads and versioning go through outer.read().
+        self.target = getattr(outer._mv, "target", None)
 
     def bootstrap(self, batch_id=0) -> None:
         self.inner.bootstrap(batch_id)
@@ -610,6 +613,7 @@ class MVApp:
         resolved = spark.sql(spark_executable_query(query))
         self.mv_schema = resolved.schema
         self.mv_pk = default_pk(self.mv_schema, pk)
+        self._declared_pk = pk
         self.ddl = create_table_ddl(os.path.basename(target), self.mv_schema, self.mv_pk)
 
         # Explicit escape hatch (builder.force_recompute()): skip every
@@ -719,6 +723,7 @@ class MVApp:
                 tail_order=list(gs.tail_order),
                 target_filter=gs.having,
                 hidden_measures=list(gs.hidden),
+                having_gcalls=list(gs.having_gcalls),
             )
             self._stores = {gs.fact: self._mv.fact_store}
             return
@@ -1630,6 +1635,21 @@ class MVApp:
             self._recompute_inits.append((store, df))
             self._stores[name] = store
 
+        # A grouping-body query (ROLLUP/CUBE/GROUPING SETS) that fell
+        # through the incremental matcher — multi-table rollup, CUBE(7)+,
+        # a non-maintainable HAVING — emits subtotal rows with NULL
+        # grouping keys, which the first-output-column PK default
+        # (TiFlinkApp.java:276-281) would crash on at store load. Such
+        # views diff as BAGS: multiplicity transitions keyed by a hidden
+        # null-safe row encoding + copy index (same shape as the setop
+        # cascade façade's (tuple, __copy) contract).
+        import re as _re
+
+        bag = getattr(self, "_declared_pk", None) is None and bool(
+            _re.search(r"(?is)\b(ROLLUP|CUBE|GROUPING\s+SETS)\s*\(", query)
+        )
+        if bag:
+            self.pk_is_unique = False
         self._mv = RecomputeMV(
             spark,
             self._stores,
@@ -1638,6 +1658,7 @@ class MVApp:
             pk=self.mv_pk,
             num_buckets=num_buckets,
             shuffle_partitions=shuffle_partitions,
+            bag=bag,
         )
 
     # -- lifecycle -----------------------------------------------------------

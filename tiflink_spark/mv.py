@@ -297,7 +297,20 @@ class RecomputeMV:
     source state. The query may reference the source names as temp
     views. PK of the MV defaults to the first output column
     (TiFlinkApp.java:276-281) unless declared.
+
+    ``bag=True`` (round 10) keys the target by a hidden null-safe row
+    encoding + copy index instead — for outputs with NO usable key at
+    all: a grouping-body query past the incremental matcher (multi-table
+    ROLLUP, CUBE(7)+) emits subtotal rows whose grouping keys are NULL,
+    so even the first-column default crashes the keyed store. The view
+    is maintained as a BAG: per-batch diff compares old/new tuple
+    multiplicities and emits tail-copy +I/-D transitions, the same
+    (tuple, __copy) contract the set-op cascade façade proved out
+    (_SetOpBagCascadeTarget.changes_between).
     """
+
+    BAG_ID = "__row_id"
+    BAG_COPY = "__copy"
 
     def __init__(
         self,
@@ -308,6 +321,7 @@ class RecomputeMV:
         pk: list[str] | None = None,
         num_buckets: int | None = None,
         shuffle_partitions: int | None = None,
+        bag: bool = False,
     ):
         self.spark = spark
         self.shuffle_partitions = shuffle_partitions
@@ -315,6 +329,8 @@ class RecomputeMV:
         self.query = query
         self._declared_pk = pk
         self._num_buckets = num_buckets
+        self._bag = bag
+        self._out_cols: list[str] | None = None
         self.target: KeyedParquetStore | None = None
         self.target_path = target_path
 
@@ -330,12 +346,95 @@ class RecomputeMV:
             store.read().createOrReplaceTempView(name)
         return ms.sql(self.query)
 
+    def _bag_counts(self, result: DataFrame) -> DataFrame:
+        """Distinct tuples + multiplicity ``__m``, each encoded
+        null-safely into one non-NULL string key ``__row_id`` (NULL →
+        \\x00 sentinel, same reasoning as the grouping-sets route's
+        ``__set_row``)."""
+        out = list(result.columns)
+        counts = result.groupBy(*out).agg(F.count(F.lit(1)).alias("__m"))
+        parts = [
+            F.when(F.col(c).isNull(), F.lit("\x00")).otherwise(
+                F.col(c).cast("string")
+            )
+            for c in out
+        ]
+        return counts.withColumn(self.BAG_ID, F.concat_ws("\x1f", *parts))
+
+    def _bag_rows(self, result: DataFrame) -> DataFrame:
+        """Tuple multiplicities → copy-indexed keyed rows: explode
+        copies 1..multiplicity so (``__row_id``, ``__copy``) is a true
+        unique key."""
+        out = list(result.columns)
+        return (
+            self._bag_counts(result)
+            .withColumn(
+                self.BAG_COPY,
+                F.explode(F.sequence(F.lit(1), F.col("__m").cast("int"))),
+            )
+            .select(*out, self.BAG_ID, self.BAG_COPY)
+        )
+
     @_maintenance
     def bootstrap(self, batch_id=0) -> None:
         result = self._run_query()
+        if self._bag:
+            self._out_cols = list(result.columns)
+            self.target = KeyedParquetStore(
+                self.spark,
+                self.target_path,
+                [self.BAG_ID, self.BAG_COPY],
+                self._num_buckets,
+            )
+            self.target.bootstrap(self._bag_rows(result), batch_id)
+            return
         pk = default_pk(result.schema, self._declared_pk)
         self.target = KeyedParquetStore(self.spark, self.target_path, pk, self._num_buckets)
         self.target.bootstrap(result, batch_id)
+
+    def _bag_diff(self, old: DataFrame, new: DataFrame) -> DataFrame:
+        """Multiplicity-transition changelog: old vs new tuple counts,
+        joined on the row encoding, tail copies lo+1..hi emitted +I
+        when the count grew and -D when it shrank — the single-pass
+        shape _SetOpBagCascadeTarget.changes_between uses (a union of
+        two filtered explode branches over one full-outer join was
+        measured to miscompile there; keep this form)."""
+        out = list(self._out_cols or [])
+        old_m = old.groupBy(self.BAG_ID).agg(
+            F.count(F.lit(1)).alias("__m0"),
+            *[F.first(F.col(c)).alias(f"__o{i}") for i, c in enumerate(out)],
+        )
+        new_m = self._bag_counts(new).select(
+            F.col(self.BAG_ID),
+            F.col("__m").cast("int").alias("__m1"),
+            *[F.col(c).alias(f"__n{i}") for i, c in enumerate(out)],
+        )
+        j = old_m.join(new_m, self.BAG_ID, "full_outer").select(
+            F.col(self.BAG_ID),
+            # identical values on both sides by construction (the
+            # encoding is injective per schema) — coalesce picks
+            # whichever side exists
+            *[
+                F.coalesce(F.col(f"__n{i}"), F.col(f"__o{i}")).alias(c)
+                for i, c in enumerate(out)
+            ],
+            F.coalesce(F.col("__m0"), F.lit(0)).cast("int").alias("__m0"),
+            F.coalesce(F.col("__m1"), F.lit(0)).cast("int").alias("__m1"),
+        )
+        lo = F.least(F.col("__m0"), F.col("__m1"))
+        hi = F.greatest(F.col("__m0"), F.col("__m1"))
+        return (
+            j.filter(F.col("__m0") != F.col("__m1"))
+            .withColumn(self.BAG_COPY, F.explode(F.sequence(lo + 1, hi)))
+            .withColumn(
+                OP_COL,
+                F.when(
+                    F.col("__m1") > F.col("__m0"), F.lit(OP_INSERT)
+                ).otherwise(F.lit(OP_DELETE)),
+            )
+            .select(*out, self.BAG_ID, self.BAG_COPY, OP_COL)
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
 
     @_maintenance
     def refresh(self, changes: dict[str, DataFrame], batch_id) -> bool:
@@ -352,13 +451,20 @@ class RecomputeMV:
             self.sources[name].merge(delta, batch_id)
         old = self.target.read()
         new = self._run_query()
-        mv_changes = diff_states(old, new, self.target.pk)
+        if self._bag:
+            self._out_cols = list(new.columns)
+            mv_changes = self._bag_diff(old, new)
+        else:
+            mv_changes = diff_states(old, new, self.target.pk)
         self.target.merge(mv_changes, batch_id)
         return True
 
     def read(self, version: int | None = None) -> DataFrame:
         assert self.target is not None
-        return self.target.read(version)
+        out = self.target.read(version)
+        if self._bag:
+            return out.drop(self.BAG_ID, self.BAG_COPY)
+        return out
 
 
 class IncrementalJoinMV:
@@ -3238,6 +3344,28 @@ def _null_out_idents(expr: str, idents: set[str]) -> str:
     return "".join(p if i % 2 else pat.sub("NULL", p) for i, p in enumerate(parts))
 
 
+def _subst_int_idents(expr: str, values: dict[str, int]) -> str:
+    """Replace word-boundary occurrences of the identifiers in
+    ``values`` with their integer literals, skipping string literals —
+    how GROUPING()/GROUPING_ID() placeholders (and grouping-flag
+    select aliases) referenced in a HAVING clause are specialized to
+    each grouping set's constant."""
+    import re as _re
+
+    if not values:
+        return expr
+    by_lower = {k.lower(): str(v) for k, v in values.items()}
+    parts = _re.split(r"('(?:[^']|'')*')", expr)
+    pat = _re.compile(
+        r"\b(" + "|".join(_re.escape(k) for k in sorted(by_lower)) + r")\b",
+        _re.IGNORECASE,
+    )
+    return "".join(
+        p if i % 2 else pat.sub(lambda m: by_lower[m.group(1).lower()], p)
+        for i, p in enumerate(parts)
+    )
+
+
 class IncrementalGroupingSetsMV:
     """GROUPING SETS / ROLLUP / CUBE maintained by decomposition.
 
@@ -3287,6 +3415,7 @@ class IncrementalGroupingSetsMV:
         target_filter: str | None = None,
         hidden_measures: list[Measure] | None = None,
         gid_items: list[tuple[str, tuple[str, ...]]] | None = None,
+        having_gcalls: list[tuple[str, tuple[str, ...]]] | None = None,
     ):
         self.spark = spark
         self.all_keys = list(all_keys)
@@ -3305,6 +3434,10 @@ class IncrementalGroupingSetsMV:
         # when that column is aggregated away; bigint like Spark's
         # grouping_id().
         self.gid_items = list(gid_items or [])
+        # GROUPING()/GROUPING_ID() calls extracted FROM the HAVING
+        # clause as (placeholder, cols) — substituted per set with the
+        # grouping-id literal before the filter is applied (round 10).
+        self.having_gcalls = list(having_gcalls or [])
         self.tail_order = list(tail_order) if tail_order else [
             ("m", m.alias) for m in measures
         ]
@@ -3330,6 +3463,26 @@ class IncrementalGroupingSetsMV:
             # while `HAVING cnt > 3 OR g IS NULL` keeps all subtotals.
             tf = target_filter
             if tf is not None:
+                # GROUPING()/GROUPING_ID() placeholders and the
+                # select-list grouping/gid aliases are per-set
+                # constants — substitute the literals first, then
+                # NULL-out the absent keys.
+                consts: dict[str, int] = {}
+                for ph, cs in self.having_gcalls:
+                    consts[ph] = sum(
+                        1 << (len(cs) - 1 - j)
+                        for j, c in enumerate(cs)
+                        if c not in s
+                    )
+                for a, c in self.grouping_items:
+                    consts[a] = 0 if c in s else 1
+                for a, cs in self.gid_items:
+                    consts[a] = sum(
+                        1 << (len(cs) - 1 - j)
+                        for j, c in enumerate(cs)
+                        if c not in s
+                    )
+                tf = _subst_int_idents(tf, consts)
                 absent = {k for k in self.all_keys if k not in s}
                 if absent:
                     tf = _null_out_idents(tf, absent)

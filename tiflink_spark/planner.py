@@ -313,6 +313,59 @@ def _rewrite_having_aggs(
     return "".join(out), hidden
 
 
+def _extract_having_gcalls(
+    having: str,
+    key_by_lower: dict[str, str],
+    select_key_order: list[str],
+) -> tuple[str, list[tuple[str, tuple[str, ...]]]] | None:
+    """Rewrite ``GROUPING(col)`` / ``GROUPING_ID(cols…)`` calls inside
+    a HAVING clause to placeholder identifiers (``__ghav{i}``).
+
+    Both are CONSTANT per grouping set (standard SQL: the flag/id
+    depends only on which keys the current set aggregates away), so
+    ``HAVING GROUPING(p) = 1 OR cnt > 5`` is maintainable — the
+    maintenance layer substitutes each placeholder with the set's
+    literal value before applying the filter per sub-MV
+    (IncrementalGroupingSetsMV). Returns (rewritten text,
+    [(placeholder, cols)]) where the value is the grouping-id of
+    ``cols`` (GROUPING(c) ≡ GROUPING_ID(c), a single bit); bare
+    GROUPING_ID() means all grouping columns in select order (Spark's
+    no-arg form). A call over a non-grouping column — which SQL itself
+    rejects — or a malformed arg list returns None (→ recompute).
+    Matches inside string literals are left untouched."""
+    calls: list[tuple[str, tuple[str, ...]]] = []
+    bad = False
+    pat = re.compile(
+        rf"(?is)\bGROUPING(?P<id>_ID)?\s*\(\s*"
+        rf"(?P<args>(?:{_IDENT}(?:\s*,\s*{_IDENT})*)?)\s*\)"
+    )
+
+    def _sub(m: re.Match) -> str:
+        nonlocal bad
+        args = [a.strip() for a in m.group("args").split(",") if a.strip()]
+        if m.group("id") is None and len(args) != 1:
+            bad = True  # GROUPING() takes exactly one column
+            return m.group(0)
+        if args:
+            if any(a.lower() not in key_by_lower for a in args):
+                bad = True
+                return m.group(0)
+            cols = tuple(key_by_lower[a.lower()] for a in args)
+        else:
+            cols = tuple(key_by_lower[c.lower()] for c in select_key_order)
+        ph = f"__ghav{len(calls)}"
+        calls.append((ph, cols))
+        return ph
+
+    parts = re.split(r"('(?:[^']|'')*')", having)
+    out = "".join(
+        p if i % 2 else pat.sub(_sub, p) for i, p in enumerate(parts)
+    )
+    if bad:
+        return None
+    return out, calls
+
+
 @dataclass(frozen=True)
 class AggShape:
     """A query matched to the incremental-aggregate maintenance shape.
@@ -384,6 +437,13 @@ class GroupingSetsShape:
     # every changelog batch) exactly like the flat-aggregate route's
     # key_exprs; ``all_keys``/``sets`` then name the aliases.
     key_exprs: tuple[tuple[str, str], ...] = ()  # (alias, expr)
+    # ``GROUPING(col)`` / ``GROUPING_ID(cols…)`` calls INSIDE the
+    # HAVING clause (round 10) — per-set constants like the select-item
+    # forms, extracted to placeholder identifiers (``__ghav{i}``) the
+    # maintenance layer substitutes with each set's literal value
+    # before applying the filter. (placeholder, (cols…)): the value is
+    # the grouping-id of those columns (GROUPING(c) ≡ GROUPING_ID(c)).
+    having_gcalls: tuple[tuple[str, tuple[str, ...]], ...] = ()
 
 
 @dataclass(frozen=True)
@@ -2210,15 +2270,25 @@ def _match_grouping_sets_core(
     }:
         return None
     hidden: list[Measure] = []
+    hav_gcalls: list[tuple[str, tuple[str, ...]]] = []
     if having is not None:
         # HAVING over measures and/or grouping KEYS: aggregate calls
         # rewrite to (possibly hidden) measure aliases. A key reference
         # is evaluable per grouping set under SQL's rule that a key
         # absent from the current set reads as NULL — the maintenance
         # layer applies the filter per sub-MV with absent keys
-        # NULL-substituted (IncrementalGroupingSetsMV). Anything else
-        # bails to recompute.
-        rw = _rewrite_having_aggs(having.strip(), list(measures), cols)
+        # NULL-substituted (IncrementalGroupingSetsMV). GROUPING()/
+        # GROUPING_ID() calls (and references to their select-item
+        # aliases) are per-set CONSTANTS — extracted to placeholders
+        # the maintenance layer substitutes with each set's literal
+        # value (round 10). Anything else bails to recompute.
+        gext = _extract_having_gcalls(
+            having.strip(), key_by_lower, list(set_cols)
+        )
+        if gext is None:
+            return None
+        having, hav_gcalls = gext
+        rw = _rewrite_having_aggs(having, list(measures), cols)
         if rw is None:
             return None
         having, hidden = rw
@@ -2228,6 +2298,9 @@ def _match_grouping_sets_core(
             {mm.alias.lower() for mm in measures}
             | {mm.alias.lower() for mm in hidden}
             | set(key_by_lower)
+            | {ph.lower() for ph, _ in hav_gcalls}
+            | {a.lower() for a, _ in grouping_items}
+            | {a.lower() for a, _ in gid_items}
         )
         for ident in re.findall(_IDENT, re.sub(r"'[^']*'", " ", having)):
             if ident.lower() not in ok_idents | _SQL_KEYWORDS:
@@ -2248,6 +2321,7 @@ def _match_grouping_sets_core(
         having=having,
         hidden=tuple(hidden),
         key_exprs=tuple(key_exprs),
+        having_gcalls=tuple(hav_gcalls),
     )
 
 

@@ -1194,6 +1194,9 @@ _PRIORITY = [
     "mvapp_temporal_late_dim",
     "mvapp_auto_theta_multi",
     "mvapp_auto_cascade_bag_setop",
+    "mvapp_auto_gs_having_grouping",
+    "mvapp_auto_rollup_over_join",
+    "mvapp_rollup_bag_recompute",
     # --- round-9-new gates (first re-confirmation) ---
     "pattern_runstate_first",
     "mvapp_temporal_streaming",
@@ -1228,13 +1231,13 @@ _PRIORITY = [
     "date_spine_gap_fill",
     "dedup_exact",
     # --- batch re-confirmations (r8/r9 greens) ---
-    "string_funcs_ext",
-    "agg_string_concat",
-    "window_pct_rank",
     "histogram_prices",
     "pandas_udf_tokens",
     # ================== past the 50-query window ==================
     # r10 rotate-outs (green r8/r9; locally oracle-checked)
+    "string_funcs_ext",
+    "agg_string_concat",
+    "window_pct_rank",
     "map_funcs",
     "regex_funcs",
     "array_ops",

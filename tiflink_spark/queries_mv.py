@@ -6503,3 +6503,247 @@ def mvapp_temporal_late_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         return app.read().localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+_FINAL_CUST_RJ_SQL = """
+    final_customer_rj AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 3 THEN (c_nationkey + 7) % 25
+                    ELSE c_nationkey END AS c_nationkey
+        FROM customer WHERE c_custkey % 10 <> 4
+    )
+"""
+
+
+@register(
+    "mvapp_auto_gs_having_grouping",
+    f"""
+    WITH {_FINAL_ORDERS_GS_SQL}
+    SELECT o_orderstatus, o_custkey, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM final_orders_gs
+    GROUP BY ROLLUP(o_orderstatus, o_custkey)
+    HAVING GROUPING(o_custkey) = 1 OR count(*) > 3
+    """,
+    doc=(
+        "GROUPING() referenced inside HAVING over a ROLLUP — the r9 "
+        "recompute-only tail item, now routed to "
+        "IncrementalGroupingSetsMV (round 10): GROUPING()/GROUPING_ID() "
+        "are CONSTANT per grouping set, so the planner extracts each "
+        "call to a placeholder (GroupingSetsShape.having_gcalls) and "
+        "the maintenance layer substitutes the set's literal before "
+        "applying the per-sub-MV filter (absent keys NULL-substituted "
+        "as before). 'GROUPING(o_custkey) = 1 OR count(*) > 3' keeps "
+        "every subtotal row but prunes detail groups of <= 3 orders — "
+        "a filter no single sub-MV could express without the per-set "
+        "constant. Scripted +I/-D/+U churn incl. group-key moves; the "
+        "fn raises unless routed incrementally."
+    ),
+    tags=("mv", "incremental", "planner", "grouping-sets", "having"),
+)
+def mvapp_auto_gs_having_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_gshg_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("orders_hg", t["orders"], pk=["o_orderkey"])
+            .query(
+                """SELECT o_orderstatus, o_custkey, count(*) AS n_orders,
+                          sum(o_totalprice) AS total_raw
+                   FROM orders_hg
+                   GROUP BY ROLLUP(o_orderstatus, o_custkey)
+                   HAVING GROUPING(o_custkey) = 1 OR count(*) > 3"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalGroupingSetsMV":
+            raise AssertionError(
+                f"planner routed HAVING-GROUPING rollup to {app.maintenance_strategy}"
+            )
+        if not app._mv.having_gcalls:
+            raise AssertionError("having_gcalls not extracted")
+        app.bootstrap()
+        for i, b in enumerate(scripted_batches(t["orders"]), start=1):
+            app.refresh({"orders_hg": b}, batch_id=i)
+        return (
+            app.read()
+            .select(
+                "o_orderstatus",
+                "o_custkey",
+                "n_orders",
+                F.round("total_raw", 2).alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_rollup_over_join",
+    f"""
+    WITH {_FINAL_ORDERS_GS_SQL},
+    {_FINAL_CUST_RJ_SQL}
+    SELECT c_nationkey, o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM final_orders_gs o JOIN final_customer_rj c ON o.o_custkey = c.c_custkey
+    GROUP BY ROLLUP(c_nationkey, o_orderstatus)
+    """,
+    doc=(
+        "ROLLUP over a JOIN — maintained INCREMENTALLY as "
+        "CascadeMV[IncrementalJoinMV -> IncrementalGroupingSetsMV] "
+        "(round 10): the cascade splitter derives the join as the inner "
+        "level and the grouping-sets aggregate consumes its target "
+        "diff as a changelog. Before this round the build CRASHED on "
+        "the grouping-sets outer's missing single target store "
+        "(CascadeMV.__init__), so a user could not even declare the "
+        "view. Churn on BOTH sides: scripted orders batches (+I/-D and "
+        "a join-key-changing +U) interleaved with a customer batch "
+        "(nationkey moves + deletes) — every grain's subtotal rows "
+        "retract and re-insert. The fn raises unless routed as a "
+        "cascade."
+    ),
+    tags=("mv", "incremental", "planner", "grouping-sets", "cascade", "join"),
+)
+def mvapp_auto_rollup_over_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_rj_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("orders_rj", t["orders"], pk=["o_orderkey"])
+            .source("cust_rj", t["customer"], pk=["c_custkey"])
+            .query(
+                """SELECT c_nationkey, o_orderstatus, count(*) AS n_orders,
+                          sum(o_totalprice) AS total_raw
+                   FROM orders_rj JOIN cust_rj ON o_custkey = c_custkey
+                   GROUP BY ROLLUP(c_nationkey, o_orderstatus)"""
+            )
+            .target(work)
+            .num_buckets(2)
+            .shuffle_partitions(4)
+            .build()
+        )
+        if not app.maintenance_strategy.startswith("CascadeMV"):
+            raise AssertionError(
+                f"planner routed rollup-over-join to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        batches = scripted_batches(t["orders"])
+        b_cust = (
+            t["customer"].filter(F.col("c_custkey") % 10 == 3)
+            .withColumn("c_nationkey", (F.col("c_nationkey") + 7) % 25)
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .unionByName(
+                t["customer"].filter(F.col("c_custkey") % 10 == 4).withColumn(
+                    OP_COL, F.lit(OP_DELETE)
+                )
+            )
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"orders_rj": batches[0]}, batch_id=1)
+        app.refresh({"cust_rj": b_cust}, batch_id=2)
+        app.refresh({"orders_rj": batches[1]}, batch_id=3)
+        app.refresh({"orders_rj": batches[2]}, batch_id=4)
+        return (
+            app.read()
+            .select(
+                "c_nationkey",
+                "o_orderstatus",
+                "n_orders",
+                F.round("total_raw", 2).alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_rollup_bag_recompute",
+    f"""
+    WITH {_FINAL_ORDERS_GS_SQL},
+    {_FINAL_CUST_RJ_SQL}
+    SELECT c_nationkey, o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM final_orders_gs o JOIN final_customer_rj c ON o.o_custkey = c.c_custkey
+    GROUP BY ROLLUP(c_nationkey, o_orderstatus)
+    """,
+    doc=(
+        "The BAG-diff recompute fallback for keyless grouping outputs "
+        "(round 10): the same rollup-over-join pinned to recompute "
+        "(force_recompute — the route CUBE(7)+ and non-maintainable "
+        "HAVINGs take). Subtotal rows carry NULL grouping keys, so the "
+        "first-output-column PK default (TiFlinkApp.java:276-281) "
+        "CRASHED the keyed store before this round; the view now diffs "
+        "as a bag — old/new tuple multiplicities keyed by a hidden "
+        "null-safe row encoding + copy index, tail-copy +I/-D "
+        "transitions in the single-pass shape the set-op cascade "
+        "façade proved out. Same churn script as the cascade gate; the "
+        "fn raises unless the bag mode engaged."
+    ),
+    tags=("mv", "recompute", "grouping-sets", "bag"),
+)
+def mvapp_rollup_bag_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_rbag_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("orders_rb", t["orders"], pk=["o_orderkey"])
+            .source("cust_rb", t["customer"], pk=["c_custkey"])
+            .query(
+                """SELECT c_nationkey, o_orderstatus, count(*) AS n_orders,
+                          sum(o_totalprice) AS total_raw
+                   FROM orders_rb JOIN cust_rb ON o_custkey = c_custkey
+                   GROUP BY ROLLUP(c_nationkey, o_orderstatus)"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .force_recompute()
+            .build()
+        )
+        if app.maintenance_strategy != "RecomputeMV" or not app._mv._bag:
+            raise AssertionError(
+                f"expected bag RecomputeMV, got {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        batches = scripted_batches(t["orders"])
+        b_cust = (
+            t["customer"].filter(F.col("c_custkey") % 10 == 3)
+            .withColumn("c_nationkey", (F.col("c_nationkey") + 7) % 25)
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .unionByName(
+                t["customer"].filter(F.col("c_custkey") % 10 == 4).withColumn(
+                    OP_COL, F.lit(OP_DELETE)
+                )
+            )
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"orders_rb": batches[0]}, batch_id=1)
+        app.refresh({"cust_rb": b_cust}, batch_id=2)
+        app.refresh({"orders_rb": batches[1]}, batch_id=3)
+        app.refresh({"orders_rb": batches[2]}, batch_id=4)
+        return (
+            app.read()
+            .select(
+                "c_nationkey",
+                "o_orderstatus",
+                "n_orders",
+                F.round("total_raw", 2).alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
