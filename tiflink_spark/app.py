@@ -53,6 +53,7 @@ from tiflink_spark.planner import (
     match_join_projection_shape,
     match_order_limit_shape,
     match_semijoin_shape,
+    match_corr_semijoin_shape,
     match_join_shape,
     match_setop_shape,
     match_full_outer_shape,
@@ -928,6 +929,76 @@ class MVApp:
                 self._stores = {
                     sj.fact: self._mv.fact_store,
                     sj.other: self._mv.other_store,
+                }
+                return
+
+        # Filtered / CORRELATED IN-subquery (round 10): the inner
+        # SELECT carries its own WHERE. Row-local inner conjuncts keep
+        # the presence-state class with the filter applied to the inner
+        # store; correlated comparison terms (the r9 'NOT IN with
+        # correlated non-equality predicates' recompute tail) switch to
+        # exact per-outer-row membership (IncrementalCorrSemiJoinMV —
+        # no global key state exists when S(c) varies per row).
+        cs = match_corr_semijoin_shape(query, set(dfs), source_columns)
+        if cs is not None:
+            fspec, ospec = dfs[cs.fact][0], dfs[cs.other][0]
+            sel_lower = {c.lower() for c in cs.out_cols}
+            if (
+                fspec.pk
+                and ospec.pk
+                and all(p.lower() in sel_lower for p in fspec.pk)
+                and (pk is None or list(pk) == list(fspec.pk))
+            ):
+                self.maintenance_mode = "incremental"
+                self._fact_name = self._dim_name = self._change_filter = None
+                self._join_names = (cs.fact, cs.other)
+                self.mv_pk = list(fspec.pk)
+                self.ddl = create_table_ddl(
+                    os.path.basename(target), self.mv_schema, self.mv_pk
+                )
+                if cs.corr:
+                    from tiflink_spark.mv import IncrementalCorrSemiJoinMV
+
+                    self._mv = IncrementalCorrSemiJoinMV(
+                        spark,
+                        fact=dfs[cs.fact][1],
+                        fact_pk=fspec.pk,
+                        other=dfs[cs.other][1],
+                        other_pk=ospec.pk,
+                        fact_key=cs.fact_key,
+                        other_key=cs.other_key,
+                        corr=list(cs.corr),
+                        out_cols=list(cs.out_cols),
+                        work_dir=target,
+                        anti=cs.anti,
+                        num_buckets=num_buckets,
+                        shuffle_partitions=shuffle_partitions,
+                        where=cs.where,
+                        inner_where=cs.inner_where,
+                    )
+                else:
+                    from tiflink_spark.mv import IncrementalSemiJoinMV
+
+                    self._mv = IncrementalSemiJoinMV(
+                        spark,
+                        fact=dfs[cs.fact][1],
+                        fact_pk=fspec.pk,
+                        other=dfs[cs.other][1],
+                        other_pk=ospec.pk,
+                        fact_key=cs.fact_key,
+                        other_key=cs.other_key,
+                        out_cols=list(cs.out_cols),
+                        work_dir=target,
+                        anti=cs.anti,
+                        num_buckets=num_buckets,
+                        shuffle_partitions=shuffle_partitions,
+                        where=cs.where,
+                        null_aware=cs.anti,
+                        other_where=cs.inner_where,
+                    )
+                self._stores = {
+                    cs.fact: self._mv.fact_store,
+                    cs.other: self._mv.other_store,
                 }
                 return
 

@@ -1067,6 +1067,7 @@ class IncrementalSemiJoinMV:
         shuffle_partitions: int | None = None,
         where: str | None = None,
         null_aware: bool = False,
+        other_where: str | None = None,
     ):
         self.spark = spark
         self.shuffle_partitions = shuffle_partitions
@@ -1100,7 +1101,15 @@ class IncrementalSemiJoinMV:
         # stateless changelog filter rule per fact batch.
         self.where = where
         self.fact0 = fact.filter(F.expr(where)) if where is not None else fact
-        self.other0 = other
+        # Row-local INNER filter — the uncorrelated
+        # ``IN (SELECT k FROM other WHERE local)`` form (round 10):
+        # the other store holds only passing rows (filtered bootstrap;
+        # incoming inner batches run the same stateless changelog
+        # filter rule, +I/+U failing it demoting to -D).
+        self.other_where = other_where
+        self.other0 = (
+            other.filter(F.expr(other_where)) if other_where is not None else other
+        )
         self.fact_store = KeyedParquetStore(
             spark, os.path.join(work_dir, "fact"), fact_pk, num_buckets
         )
@@ -1220,6 +1229,10 @@ class IncrementalSemiJoinMV:
             from tiflink_spark.changelog import apply_filter
 
             fact_changes = apply_filter(fact_changes, self.where)
+        if other_changes is not None and self.other_where is not None:
+            from tiflink_spark.changelog import apply_filter
+
+            other_changes = apply_filter(other_changes, self.other_where)
         dirty_ok = (
             self._dirty_other_keys(other_changes, batch_id)
             if other_changes is not None
@@ -1291,6 +1304,268 @@ class IncrementalSemiJoinMV:
                     )
         # Later parts supersede earlier ones per fact PK (the other-side
         # part sees the post-batch fact state, so it is freshest).
+        mv_changes = parts[0].withColumn(SEQ_COL, F.lit(0).cast("long"))
+        for i, p in enumerate(parts[1:], start=1):
+            mv_changes = mv_changes.unionByName(
+                p.withColumn(SEQ_COL, F.lit(i).cast("long"))
+            )
+        self.target.merge(mv_changes, batch_id)
+        return True
+
+    def read(self, version: int | None = None) -> DataFrame:
+        return self.target.read(version)
+
+
+class IncrementalCorrSemiJoinMV:
+    """Incremental MV for the CORRELATED-inner IN / NOT IN filter
+
+        SELECT fact-cols FROM fact c
+        WHERE [row-local AND] fcol [NOT] IN (
+            SELECT ocol FROM other o
+            WHERE [inner-local AND] o.x <op> c.y [AND ...])
+
+    — the r9 recompute-only tail 'NOT IN with correlated non-equality
+    predicates' (round 10). The inner set S(c) varies PER OUTER ROW
+    through the theta terms, so there is no global presence-key state
+    (the machinery IncrementalSemiJoinMV keeps); membership is
+    evaluated EXACTLY for each dirty outer row from three per-row bits
+    computed in one aggregate over the theta join:
+
+        has_match(c) = ∃o: local(o) ∧ θ(o,c) ∧ o.ocol = c.fcol
+        has_null(c)  = ∃o: local(o) ∧ θ(o,c) ∧ o.ocol IS NULL
+        nonempty(c)  = ∃o: local(o) ∧ θ(o,c)
+
+        IN:     member = has_match
+        NOT IN: member = ¬has_match ∧ ¬has_null
+                         ∧ (c.fcol IS NOT NULL ∨ ¬nonempty)
+
+    — exactly SQL's three-valued IN, row by row. Dirtying:
+
+    - fact changes re-evaluate exactly the changed PKs;
+    - other changes dirty the fact rows in theta range of the changed
+      rows' old OR new versions (one theta semi-join with the
+      batch-sized side broadcast) — an inner row outside every θ range
+      affects nobody, and NULL theta values satisfy no comparison.
+
+    Cost model matches IncrementalThetaJoinMV: |dirty|×|other| (and
+    |fact|×|δ_other| for the affected-set probe) predicate evaluations
+    per batch — the change-bounded version of the inherent per-row
+    membership cost (Flink's planner de-correlates this shape to the
+    same theta anti-join over full state). Banded θ predicates let
+    Catalyst pick broadcast/range strategies; a matcher miss or an
+    oversized batch belongs on recompute.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        fact: DataFrame,
+        fact_pk: list[str],
+        other: DataFrame,
+        other_pk: list[str],
+        fact_key: str,
+        other_key: str,
+        corr: list[tuple[str, str, str]],
+        out_cols: list[str],
+        work_dir: str,
+        anti: bool = False,
+        num_buckets: int | None = None,
+        shuffle_partitions: int | None = None,
+        where: str | None = None,
+        inner_where: str | None = None,
+    ):
+        if not corr:
+            raise ValueError(
+                "no correlated terms — route the uncorrelated filtered "
+                "subquery through IncrementalSemiJoinMV(other_where=...)"
+            )
+        self.spark = spark
+        self.shuffle_partitions = shuffle_partitions
+        self.anti = anti
+        self.fact_key = fact_key
+        self.other_key = other_key
+        self.corr = [tuple(t) for t in corr]
+        self.out_cols = list(out_cols)
+        self.where = where
+        self.inner_where = inner_where
+        self.fact0 = fact.filter(F.expr(where)) if where is not None else fact
+        self.other0 = other
+        self.fact_store = KeyedParquetStore(
+            spark, os.path.join(work_dir, "fact"), fact_pk, num_buckets
+        )
+        self.other_store = KeyedParquetStore(
+            spark, os.path.join(work_dir, "other"), other_pk, num_buckets
+        )
+        self.target = KeyedParquetStore(
+            spark, os.path.join(work_dir, "mv"), list(fact_pk), num_buckets
+        )
+
+    def _inner_eval(self, other_now: DataFrame) -> DataFrame:
+        """The inner relation reduced to evaluation form: local filter
+        applied, the IN column as ``__i_okey`` and each theta term's
+        inner-side EXPRESSION pre-computed as ``__ie{k}`` (keeps the
+        theta join unambiguous), plus a match indicator for the left
+        join."""
+        o = other_now
+        if self.inner_where is not None:
+            o = o.filter(F.expr(self.inner_where))
+        return o.select(
+            F.col(self.other_key).alias("__i_okey"),
+            *[
+                F.expr(ie).alias(f"__ie{k}")
+                for k, (ie, _, _) in enumerate(self.corr)
+            ],
+        ).withColumn("__i__present", F.lit(1))
+
+    def _theta_cond(self, iprefix: str = "__ie"):
+        cond = None
+        for k, (_, op, oe) in enumerate(self.corr):
+            l, r = F.col(f"{iprefix}{k}"), F.expr(oe)
+            c = {
+                "=": l == r,
+                "<": l < r,
+                "<=": l <= r,
+                ">": l > r,
+                ">=": l >= r,
+            }.get(op)
+            if c is None:  # <> / !=
+                c = l != r
+            cond = c if cond is None else cond & c
+        return cond
+
+    def _member_rows(
+        self, rows: DataFrame, other_eval: DataFrame, hint: bool
+    ) -> DataFrame:
+        """``rows`` (fact slice) + ``__member``. ``hint=True``
+        broadcasts the rows side (batch-sized dirty slice) for a
+        BroadcastNestedLoopJoin whose inner side streams distributed;
+        un-hinted (bootstrap) bounds both sides' partition counts so
+        the non-equi join's task product stays ~1k (same mitigation as
+        IncrementalThetaJoinMV._join)."""
+        pk = self.target.pk
+        left = rows
+        right = other_eval
+        if hint:
+            left = F.broadcast(left)
+        else:
+            left, right = left.coalesce(32), right.coalesce(32)
+        j = left.join(right, self._theta_cond(), "left")
+        ikey = "__i_okey"
+        bits = j.groupBy(*pk).agg(
+            F.max(
+                F.when(F.col(ikey) == F.col(self.fact_key), 1).otherwise(0)
+            ).alias("__b_match"),
+            F.max(
+                F.when(
+                    F.col("__i__present").isNotNull() & F.col(ikey).isNull(), 1
+                ).otherwise(0)
+            ).alias("__b_null"),
+            F.max(
+                F.when(F.col("__i__present").isNotNull(), 1).otherwise(0)
+            ).alias("__b_any"),
+        )
+        out = rows.join(F.broadcast(bits), pk, "left")
+        match = F.coalesce(F.col("__b_match"), F.lit(0)) == 1
+        has_null = F.coalesce(F.col("__b_null"), F.lit(0)) == 1
+        nonempty = F.coalesce(F.col("__b_any"), F.lit(0)) == 1
+        if self.anti:
+            member = (
+                (~match)
+                & (~has_null)
+                & (F.col(self.fact_key).isNotNull() | ~nonempty)
+            )
+        else:
+            member = match
+        return out.withColumn("__member", member).drop(
+            "__b_match", "__b_null", "__b_any"
+        )
+
+    def _view(self, fact_rows: DataFrame, other_now: DataFrame) -> DataFrame:
+        flagged = self._member_rows(
+            fact_rows, self._inner_eval(other_now), hint=False
+        )
+        return flagged.filter(F.col("__member")).select(*self.out_cols)
+
+    @_maintenance
+    def bootstrap(self, batch_id=0) -> None:
+        self.fact_store.bootstrap(self.fact0, batch_id)
+        self.other_store.bootstrap(self.other0, batch_id)
+        self.target.bootstrap(
+            self._view(self.fact_store.read(), self.other_store.read()), batch_id
+        )
+
+    def _dirty_theta_vals(self, changes: DataFrame, batch_id) -> DataFrame:
+        """Theta-column tuples of the changed inner rows' old AND new
+        versions (each passed through the local filter — a version
+        outside it was never in any S(c)), distinct and prefixed."""
+        store = self.other_store
+        if batch_id in store.committed_batches():
+            old = store.read(store.version_before_batch(batch_id))
+        else:
+            old = store.read()
+        changed_pks = last_change_per_key(changes, store.pk).select(*store.pk)
+        old_rows = old.join(F.broadcast(changed_pks), store.pk, "left_semi")
+        new_rows = changes.filter(F.col(OP_COL) != OP_DELETE).select(*old.columns)
+        both = old_rows.unionByName(new_rows)
+        if self.inner_where is not None:
+            both = both.filter(F.expr(self.inner_where))
+        return both.select(
+            *[
+                F.expr(ie).alias(f"__d{k}")
+                for k, (ie, _, _) in enumerate(self.corr)
+            ]
+        ).distinct()
+
+    @_maintenance
+    def refresh(
+        self,
+        fact_changes: DataFrame | None,
+        other_changes: DataFrame | None,
+        batch_id,
+    ) -> bool:
+        if batch_id in self.target.committed_batches():
+            return False
+        if fact_changes is None and other_changes is None:
+            return False
+        if fact_changes is not None and self.where is not None:
+            from tiflink_spark.changelog import apply_filter
+
+            fact_changes = apply_filter(fact_changes, self.where)
+        dirty_vals = (
+            self._dirty_theta_vals(other_changes, batch_id)
+            if other_changes is not None
+            else None
+        )
+        if fact_changes is not None:
+            self.fact_store.merge(fact_changes, batch_id)
+        if other_changes is not None:
+            self.other_store.merge(other_changes, batch_id)
+        other_eval = self._inner_eval(self.other_store.read())
+
+        def upserts(rows: DataFrame) -> DataFrame:
+            flagged = self._member_rows(rows, other_eval, hint=True)
+            return flagged.select(
+                *self.out_cols,
+                F.when(F.col("__member"), F.lit(OP_UPDATE))
+                .otherwise(F.lit(OP_DELETE))
+                .alias(OP_COL),
+            )
+
+        parts: list[DataFrame] = []
+        if fact_changes is not None:
+            final = last_change_per_key(fact_changes, self.fact_store.pk)
+            dels = final.filter(F.col(OP_COL) == OP_DELETE)
+            parts.append(
+                dels.select(*self.out_cols).withColumn(OP_COL, F.lit(OP_DELETE))
+            )
+            ups = final.filter(F.col(OP_COL) != OP_DELETE).drop(OP_COL, SEQ_COL)
+            parts.append(upserts(ups))
+        if dirty_vals is not None:
+            fact_now = self.fact_store.read()
+            affected = fact_now.join(
+                F.broadcast(dirty_vals), self._theta_cond("__d"), "left_semi"
+            )
+            parts.append(upserts(affected))
         mv_changes = parts[0].withColumn(SEQ_COL, F.lit(0).cast("long"))
         for i, p in enumerate(parts[1:], start=1):
             mv_changes = mv_changes.unionByName(

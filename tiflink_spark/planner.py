@@ -1759,6 +1759,213 @@ def _has_top_level_or(expr: str) -> bool:
 
 
 @dataclass(frozen=True)
+class CorrSemiJoinShape:
+    """The IN / NOT IN subquery with an INNER WHERE (round 10):
+
+        SELECT fact-cols FROM fact [c]
+        WHERE [row-local AND] fcol [NOT] IN (
+            SELECT ocol FROM other [o]
+            WHERE [inner-local] [AND o.x <op> c.y ...])
+
+    ``corr`` holds the correlated comparison terms as
+    ``(inner_col, op, outer_col)`` with the op normalized to point
+    inner-side-first; ``inner_where`` is the row-local remainder over
+    the inner table's columns (inner-alias qualifiers stripped).
+    ``corr`` may be empty — a purely filtered, uncorrelated subquery —
+    in which case the router reuses IncrementalSemiJoinMV with the
+    filter applied to the inner store; a non-empty ``corr`` routes to
+    IncrementalCorrSemiJoinMV (per-outer-row membership, the r9
+    recompute-only tail 'NOT IN with correlated non-equality
+    predicates')."""
+
+    fact: str
+    fact_key: str
+    other: str
+    other_key: str
+    out_cols: tuple[str, ...]
+    anti: bool
+    where: str | None = None
+    inner_where: str | None = None
+    # (inner_expr, op, outer_expr) — each side a row-local
+    # deterministic expression over ONE table's columns (alias
+    # qualifiers stripped), op normalized inner-side-first
+    corr: tuple[tuple[str, str, str], ...] = ()
+
+
+_CORR_OP_FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "=", "<>": "<>", "!=": "!="}
+
+
+def _split_single_comparison(expr: str) -> tuple[str, str, str] | None:
+    """``expr`` split at its single depth-0 comparison operator
+    (string-aware), or None when there are zero or several."""
+    ops: list[tuple[int, str]] = []
+    depth, in_str, i = 0, False, 0
+    while i < len(expr):
+        ch = expr[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            two = expr[i : i + 2]
+            if two in ("<=", ">=", "<>", "!="):
+                ops.append((i, two))
+                i += 2
+                continue
+            if ch in "<>=":
+                ops.append((i, ch))
+        i += 1
+    if len(ops) != 1:
+        return None
+    p, op = ops[0]
+    return expr[:p], op, expr[p + len(op) :]
+
+
+def match_corr_semijoin_shape(
+    query: str,
+    source_names: set[str],
+    source_columns: dict[str, list[str]],
+) -> CorrSemiJoinShape | None:
+    """Match the filtered / correlated IN-subquery view, or None."""
+    from tiflink_spark import sqlast
+
+    parsed = sqlast.in_subquery_clauses(query)
+    if parsed is None:
+        return None
+    select, fact, fa, pre, neg, fcol, other, oa, ocol, inner = parsed
+    if (
+        fact not in source_names
+        or other not in source_names
+        or fact == other
+        or fact not in source_columns
+        or other not in source_columns
+    ):
+        return None
+    fcols = {c.lower(): c for c in source_columns[fact]}
+    ocols = {c.lower(): c for c in source_columns[other]}
+    if fcol.lower() not in fcols or ocol.lower() not in ocols:
+        return None
+    sel = tuple(c.strip() for c in select.split(","))
+    if len({c.lower() for c in sel}) != len(sel):
+        return None
+    if any(c.lower() not in fcols for c in sel):
+        return None
+    sel = tuple(fcols[c.lower()] for c in sel)
+    if pre is not None:
+        if _NON_LOCAL_WHERE.search(pre) or not _row_local_expr_ok(pre, set(fcols)):
+            return None
+        if _has_top_level_or(pre):
+            return None
+        pre = pre.strip()
+    fa_l = (fa or fact).lower()
+    oa_l = (oa or other).lower()
+    if fa_l == oa_l or {fa_l, oa_l} & _CLAUSE_KEYWORDS:
+        return None
+
+    strip_oa = re.compile(rf"(?i)\b{re.escape(oa_l)}\s*\.\s*")
+    strip_fa = re.compile(rf"(?i)\b{re.escape(fa_l)}\s*\.\s*")
+    _qual_ref = re.compile(rf"({_IDENT})\s*\.\s*({_IDENT})")
+
+    def side_scope(side: str) -> tuple[str, str] | None:
+        """Classify one comparison side: ("i"|"f"|"any", stripped
+        text). A side mixing both tables' columns, referencing an
+        unknown qualifier/identifier, or failing the row-local
+        deterministic check returns None."""
+        lits = re.split(r"('(?:[^']|'')*')", side)
+        blanked = "".join(" " * len(p) if i % 2 else p for i, p in enumerate(lits))
+        scopes: set[str] = set()
+        for qm in _qual_ref.finditer(blanked):
+            q, c = qm.group(1).lower(), qm.group(2).lower()
+            if q == oa_l and c in ocols:
+                scopes.add("i")
+            elif q == fa_l and c in fcols:
+                scopes.add("f")
+            else:
+                return None
+        # bare idents, with qualified spans masked out first
+        bare = _qual_ref.sub(" ", blanked)
+        fn_names = {f.lower() for f in re.findall(rf"({_IDENT})\s*\(", bare)}
+        for ident in re.findall(_IDENT, bare):
+            il = ident.lower()
+            if il in fn_names or il in _EXPR_KEYWORDS:
+                continue
+            if il in ocols:  # SQL scoping: inner shadows outer
+                scopes.add("i")
+            elif il in fcols:
+                scopes.add("f")
+            else:
+                return None
+        if {"i", "f"} <= scopes:
+            return None
+        scope = "i" if "i" in scopes else ("f" if "f" in scopes else "any")
+        pat = strip_oa if scope == "i" else strip_fa
+        stripped = "".join(
+            p if i % 2 else pat.sub("", p) for i, p in enumerate(lits)
+        ).strip()
+        cols = set(ocols) if scope == "i" else (set(fcols) if scope == "f" else set())
+        if _NON_LOCAL_WHERE.search(stripped) or not _row_local_expr_ok(
+            stripped, cols
+        ):
+            return None
+        return scope, stripped
+
+    conjs = _split_conjuncts(inner)
+    if conjs is None:
+        # a top-level OR: the whole inner is ONE term — acceptable only
+        # as a purely row-local inner filter
+        conjs = [inner.strip()]
+    local_parts: list[str] = []
+    corr: list[tuple[str, str, str]] = []
+    for c in conjs:
+        sp = _split_single_comparison(c)
+        if sp is not None:
+            ls, rs = side_scope(sp[0]), side_scope(sp[2])
+            if (
+                ls is not None
+                and rs is not None
+                and {ls[0], rs[0]} == {"i", "f"}
+            ):
+                op = sp[1]
+                if ls[0] == "i":
+                    corr.append((ls[1], op, rs[1]))
+                else:
+                    corr.append((rs[1], _CORR_OP_FLIP[op], ls[1]))
+                continue
+            # inner-only / literal comparisons fall through to the
+            # local check; anything unresolvable fails there
+        # row-local over the INNER columns only (qualifiers stripped,
+        # string literals preserved by splitting around them first)
+        lits = re.split(r"('(?:[^']|'')*')", c)
+        stripped = "".join(
+            p if i % 2 else strip_oa.sub("", p) for i, p in enumerate(lits)
+        )
+        if _NON_LOCAL_WHERE.search(stripped) or not _row_local_expr_ok(
+            stripped, set(ocols)
+        ):
+            return None
+        local_parts.append(stripped.strip())
+    inner_where = " AND ".join(f"({p})" for p in local_parts) if local_parts else None
+    return CorrSemiJoinShape(
+        fact,
+        fcols[fcol.lower()],
+        other,
+        ocols[ocol.lower()],
+        sel,
+        neg,
+        pre,
+        inner_where,
+        tuple(corr),
+    )
+
+
+@dataclass(frozen=True)
 class GlobalAggShape:
     """The global (no GROUP BY) aggregate over one table:
 

@@ -1197,6 +1197,8 @@ _PRIORITY = [
     "mvapp_auto_gs_having_grouping",
     "mvapp_auto_rollup_over_join",
     "mvapp_rollup_bag_recompute",
+    "mvapp_auto_not_in_correlated",
+    "mvapp_auto_in_filtered_subquery",
     # --- round-9-new gates (first re-confirmation) ---
     "pattern_runstate_first",
     "mvapp_temporal_streaming",
@@ -1230,11 +1232,10 @@ _PRIORITY = [
     "approx_percentile_bounded",
     "date_spine_gap_fill",
     "dedup_exact",
-    # --- batch re-confirmations (r8/r9 greens) ---
-    "histogram_prices",
-    "pandas_udf_tokens",
     # ================== past the 50-query window ==================
     # r10 rotate-outs (green r8/r9; locally oracle-checked)
+    "histogram_prices",
+    "pandas_udf_tokens",
     "string_funcs_ext",
     "agg_string_concat",
     "window_pct_rank",

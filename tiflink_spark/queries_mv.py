@@ -6747,3 +6747,149 @@ def mvapp_rollup_bag_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_not_in_correlated",
+    f"""
+    WITH {_FINAL_ORDERS_GS_SQL},
+    final_customer_ni AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 10 = 3 THEN c_acctbal + 500
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer WHERE c_custkey % 10 <> 4
+    )
+    SELECT c_custkey, c_name, c_acctbal FROM final_customer_ni c
+    WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM final_orders_gs o
+        WHERE o.o_totalprice > c.c_acctbal * 100)
+    """,
+    doc=(
+        "NOT IN with a CORRELATED NON-EQUALITY predicate — the r9 "
+        "recompute-only tail, now routed to IncrementalCorrSemiJoinMV "
+        "(round 10). The inner set S(c) varies per customer through "
+        "o_totalprice > c_acctbal, so there is no global presence-key "
+        "state; membership is evaluated exactly per dirty row from "
+        "three bits (has_match/has_null/nonempty) over ONE theta join "
+        "with the dirty side broadcast, reproducing SQL's three-valued "
+        "NOT IN row by row. Fact churn re-evaluates changed PKs; inner "
+        "churn re-evaluates only rows in theta range of the changed "
+        "rows' old/new versions. Scripted orders churn (+I/-D and a "
+        "custkey-remapping +U) interleaved with customer acctbal moves "
+        "and deletes; the fn raises unless routed incrementally."
+    ),
+    tags=("mv", "incremental", "planner", "semijoin", "correlated"),
+)
+def mvapp_auto_not_in_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_nic_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("ord_ni", t["orders"], pk=["o_orderkey"])
+            .source("cust_ni", t["customer"], pk=["c_custkey"])
+            .query(
+                """SELECT c_custkey, c_name, c_acctbal FROM cust_ni c
+                   WHERE c_custkey NOT IN (
+                       SELECT o_custkey FROM ord_ni o
+                       WHERE o.o_totalprice > c.c_acctbal * 100)"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalCorrSemiJoinMV":
+            raise AssertionError(
+                f"planner routed correlated NOT IN to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        batches = scripted_batches(t["orders"])
+        b_cust = (
+            t["customer"].filter(F.col("c_custkey") % 10 == 3)
+            .withColumn("c_acctbal", F.col("c_acctbal") + 500)
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .unionByName(
+                t["customer"].filter(F.col("c_custkey") % 10 == 4).withColumn(
+                    OP_COL, F.lit(OP_DELETE)
+                )
+            )
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"ord_ni": batches[0]}, batch_id=1)
+        app.refresh({"cust_ni": b_cust}, batch_id=2)
+        app.refresh({"ord_ni": batches[1]}, batch_id=3)
+        app.refresh({"ord_ni": batches[2]}, batch_id=4)
+        return app.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_in_filtered_subquery",
+    f"""
+    WITH {_FINAL_ORDERS_GS_SQL},
+    final_customer_if AS (
+        SELECT c_custkey, c_name FROM customer WHERE c_custkey % 10 <> 4
+    )
+    SELECT c_custkey, c_name FROM final_customer_if
+    WHERE c_custkey IN (
+        SELECT o_custkey FROM final_orders_gs WHERE o_orderstatus = 'O')
+    """,
+    doc=(
+        "IN over a FILTERED (uncorrelated) subquery — the inner WHERE "
+        "is row-local, so the presence-state route keeps working with "
+        "the filter applied to the inner store "
+        "(IncrementalSemiJoinMV.other_where, round 10): filtered "
+        "bootstrap, and inner changelog batches run the stateless "
+        "changelog filter rule (+I/+U rows failing the predicate "
+        "demote to -D, retracting the key's presence). Scripted orders "
+        "churn moves custkeys across the status filter; customer "
+        "deletes shrink the outer side. The fn raises unless routed to "
+        "the presence-state class."
+    ),
+    tags=("mv", "incremental", "planner", "semijoin"),
+)
+def mvapp_auto_in_filtered_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_if_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("ord_if", t["orders"], pk=["o_orderkey"])
+            .source("cust_if", t["customer"], pk=["c_custkey"])
+            .query(
+                """SELECT c_custkey, c_name FROM cust_if
+                   WHERE c_custkey IN (
+                       SELECT o_custkey FROM ord_if
+                       WHERE o_orderstatus = 'O')"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalSemiJoinMV":
+            raise AssertionError(
+                f"planner routed filtered IN to {app.maintenance_strategy}"
+            )
+        if app._mv.other_where is None:
+            raise AssertionError("inner filter not pushed to the other store")
+        app.bootstrap()
+        batches = scripted_batches(t["orders"])
+        b_cust = (
+            t["customer"].filter(F.col("c_custkey") % 10 == 4)
+            .withColumn(OP_COL, F.lit(OP_DELETE))
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"ord_if": batches[0]}, batch_id=1)
+        app.refresh({"cust_if": b_cust}, batch_id=2)
+        app.refresh({"ord_if": batches[1]}, batch_id=3)
+        app.refresh({"ord_if": batches[2]}, batch_id=4)
+        return app.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

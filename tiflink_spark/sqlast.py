@@ -856,6 +856,116 @@ def semijoin_clauses(query: str):
     )
 
 
+def in_subquery_clauses(query: str):
+    """AST front-end for the IN / NOT IN subquery WITH an inner WHERE:
+
+        SELECT cols FROM fact [AS? fa]
+        WHERE [pre AND] fcol [NOT] IN (
+            SELECT ocol FROM other [AS? oa] WHERE <inner>)
+
+    Returns ``(select, fact, fa, pre, neg, fcol, other, oa, ocol,
+    inner)`` or None. The plain no-inner-WHERE spelling stays on
+    :func:`semijoin_clauses`; this front-end REQUIRES the inner WHERE
+    (round 10 — the correlated/filtered-subquery form)."""
+    s = parse_single_select(query)
+    if (
+        s is None
+        or s.tail is not None
+        or s.order_by is not None
+        or s.limit is not None
+        or s.group_by is not None
+        or s.having is not None
+        or s.where is None
+    ):
+        return None
+    if any(
+        not re.fullmatch(r"[A-Za-z_]\w*", c.strip()) for c in s.select.split(",")
+    ):
+        return None
+    wtoks = tokenize(s.where)
+    if not wtoks:
+        return None
+
+    def ident(j: int) -> str | None:
+        return (
+            wtoks[j].text
+            if 0 <= j < len(wtoks) and wtoks[j].kind == "ident"
+            else None
+        )
+
+    # locate the LAST depth-0 IN (the subquery term must be the final
+    # conjunct, mirroring semijoin_clauses' envelope)
+    depth, ipos = 0, None
+    for i, t in enumerate(wtoks):
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.kind == "ident" and t.lower() == "in":
+            ipos = i
+    if ipos is None:
+        return None
+    j = ipos - 1
+    neg = False
+    if (ident(j) or "").lower() == "not":
+        neg, j = True, j - 1
+    fcol = ident(j)
+    if fcol is None or fcol.lower() in ("and", "or", "not", "in"):
+        return None
+    pre = None
+    if j > 0:
+        if (ident(j - 1) or "").lower() != "and" or j - 1 == 0:
+            return None
+        pre = s.where[wtoks[0].start : wtoks[j - 2].end]
+    # after IN: ( SELECT ocol FROM other [AS? oa] WHERE inner )
+    k = ipos + 1
+    if k >= len(wtoks) or wtoks[k].text != "(":
+        return None
+    k += 1
+    if (ident(k) or "").lower() != "select":
+        return None
+    k += 1
+    ocol = ident(k)
+    if ocol is None or ocol.lower() in ("distinct",):
+        return None
+    k += 1
+    if (ident(k) or "").lower() != "from":
+        return None
+    k += 1
+    other = ident(k)
+    if other is None:
+        return None
+    k += 1
+    oa = None
+    if (ident(k) or "").lower() == "as":
+        oa = ident(k + 1)
+        if oa is None:
+            return None
+        k += 2
+    elif ident(k) is not None and (ident(k) or "").lower() != "where":
+        oa = ident(k)
+        k += 1
+    if (ident(k) or "").lower() != "where":
+        return None
+    k += 1
+    # the inner WHERE body runs to the ")" closing IN's "(", which must
+    # be the last token; parens inside the body must balance
+    if wtoks[-1].text != ")" or k >= len(wtoks) - 1:
+        return None
+    depth = 0
+    for t in wtoks[k:-1]:
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+            if depth < 0:
+                return None
+    if depth != 0:
+        return None
+    inner = s.where[wtoks[k].start : wtoks[-2].end]
+    return (s.select, s.table, s.alias, pre, neg, fcol, other, oa, ocol, inner)
+
+
 def corr_count_clauses(query: str):
     """AST front-end for the correlated scalar-aggregate shape:
 
