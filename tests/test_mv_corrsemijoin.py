@@ -364,3 +364,116 @@ class TestCorrExprTheta:
         got = app.read()
         assert got.exceptAll(exp).count() == 0
         assert exp.exceptAll(got).count() == 0
+
+
+class TestThetaExists:
+    def test_matcher_theta_exists(self):
+        from tiflink_spark.planner import match_corr_exists_shape
+
+        s = match_corr_exists_shape(
+            """SELECT c_id, c_key, c_bal FROM cust c WHERE NOT EXISTS
+               (SELECT 1 FROM ord o
+                WHERE o.o_key = c.c_key AND o.o_price > c.c_bal * 2)""",
+            {"cust", "ord"},
+            COLS,
+        )
+        assert s is not None and s.exists_form is True and s.anti is True
+        assert s.fact_key is None and s.other_key is None
+        assert set(s.corr) == {
+            ("o_key", "=", "c_key"),
+            ("o_price", ">", "c_bal * 2"),
+        }
+
+    def test_matcher_refuses_uncorrelated_exists(self):
+        from tiflink_spark.planner import match_corr_exists_shape
+
+        # constant-per-row EXISTS (inner-local only) is degenerate
+        assert (
+            match_corr_exists_shape(
+                """SELECT c_id, c_key, c_bal FROM cust WHERE EXISTS
+                   (SELECT 1 FROM ord WHERE o_price > 50)""",
+                {"cust", "ord"},
+                COLS,
+            )
+            is None
+        )
+
+    @pytest.mark.parametrize(
+        "tag,q",
+        [
+            (
+                "exists_theta",
+                """SELECT id, fkey, bal FROM f WHERE EXISTS
+                   (SELECT 1 FROM o WHERE o.price > f.bal)""",
+            ),
+            (
+                "not_exists_eq_theta",
+                """SELECT id, fkey, bal FROM f WHERE NOT EXISTS
+                   (SELECT 1 FROM o
+                    WHERE o.okey = f.fkey AND o.price > f.bal)""",
+            ),
+        ],
+    )
+    def test_converges(self, spark, tmp_path, tag, q):
+        from tiflink_spark.app import MVApp
+
+        fact = _mk(spark, TestCorrSemiJoinMV.FACT, "id long, fkey int, bal double")
+        other = _mk(spark, TestCorrSemiJoinMV.OTHER, "oid long, okey int, price double")
+        app = (
+            MVApp.builder(spark)
+            .source("f", fact, pk=["id"])
+            .source("o", other, pk=["oid"])
+            .query(q)
+            .target(str(tmp_path / tag))
+            .num_buckets(2)
+            .shuffle_partitions(2)
+            .build()
+        )
+        assert app.maintenance_strategy == "IncrementalCorrSemiJoinMV", tag
+        assert app._mv.exists_mode is True
+        app.bootstrap()
+        b1 = _ch(
+            other.filter(F.col("oid") == 105).withColumn("price", F.lit(90.0)),
+            OP_UPDATE,
+        )
+        b2 = _ch(
+            fact.filter(F.col("id") == 4).withColumn("bal", F.lit(500.0)),
+            OP_UPDATE,
+        )
+        b3 = _ch(other.filter(F.col("oid").isin(101, 104)), OP_DELETE)
+        cur_f, cur_o = fact, other
+        for i, (tbl, b) in enumerate([("o", b1), ("f", b2), ("o", b3)], 1):
+            app.refresh({tbl: b}, batch_id=i)
+            key = "oid" if tbl == "o" else "id"
+            adds = b.filter(F.col(OP_COL) != OP_DELETE).drop(OP_COL, SEQ_COL)
+            if tbl == "o":
+                cur_o = cur_o.join(b.select(key).distinct(), key, "left_anti").unionByName(adds)
+            else:
+                cur_f = cur_f.join(b.select(key).distinct(), key, "left_anti").unionByName(adds)
+            cur_f.createOrReplaceTempView("f")
+            cur_o.createOrReplaceTempView("o")
+            exp = spark.sql(q)
+            got = app.read()
+            assert got.exceptAll(exp).count() == 0, f"{tag} batch {i}"
+            assert exp.exceptAll(got).count() == 0, f"{tag} batch {i}"
+
+    def test_pure_equality_exists_keeps_presence_route(self, spark, tmp_path):
+        from tiflink_spark.app import MVApp
+
+        fact = _mk(spark, TestCorrSemiJoinMV.FACT, "id long, fkey int, bal double")
+        other = _mk(spark, TestCorrSemiJoinMV.OTHER, "oid long, okey int, price double")
+        app = (
+            MVApp.builder(spark)
+            .source("f", fact, pk=["id"])
+            .source("o", other, pk=["oid"])
+            .query(
+                """SELECT id, fkey, bal FROM f WHERE EXISTS
+                   (SELECT 1 FROM o WHERE o.okey = f.fkey)"""
+            )
+            .target(str(tmp_path / "eqonly"))
+            .num_buckets(2)
+            .shuffle_partitions(2)
+            .build()
+        )
+        # the cheaper presence-state route must keep claiming this
+        assert app.maintenance_strategy == "IncrementalSemiJoinMV"

@@ -54,6 +54,7 @@ from tiflink_spark.planner import (
     match_order_limit_shape,
     match_semijoin_shape,
     match_corr_semijoin_shape,
+    match_corr_exists_shape,
     match_join_shape,
     match_setop_shape,
     match_full_outer_shape,
@@ -999,6 +1000,55 @@ class MVApp:
                 self._stores = {
                     cs.fact: self._mv.fact_store,
                     cs.other: self._mv.other_store,
+                }
+                return
+
+        # Theta-EXISTS (round 10): [NOT] EXISTS whose correlation mixes
+        # equalities with non-equality comparisons (or has none) — past
+        # the pure-equality presence-state matcher above. Membership is
+        # bare per-row non-emptiness, evaluated exactly per dirty row;
+        # equality conjuncts ride as '=' theta terms so Catalyst can
+        # still hash-join on them with the theta residual attached.
+        ce = match_corr_exists_shape(query, set(dfs), source_columns)
+        if ce is not None:
+            fspec, ospec = dfs[ce.fact][0], dfs[ce.other][0]
+            sel_lower = {c.lower() for c in ce.out_cols}
+            if (
+                fspec.pk
+                and ospec.pk
+                and all(p.lower() in sel_lower for p in fspec.pk)
+                and (pk is None or list(pk) == list(fspec.pk))
+            ):
+                from tiflink_spark.mv import IncrementalCorrSemiJoinMV
+
+                self.maintenance_mode = "incremental"
+                self._fact_name = self._dim_name = self._change_filter = None
+                self._join_names = (ce.fact, ce.other)
+                self.mv_pk = list(fspec.pk)
+                self.ddl = create_table_ddl(
+                    os.path.basename(target), self.mv_schema, self.mv_pk
+                )
+                self._mv = IncrementalCorrSemiJoinMV(
+                    spark,
+                    fact=dfs[ce.fact][1],
+                    fact_pk=fspec.pk,
+                    other=dfs[ce.other][1],
+                    other_pk=ospec.pk,
+                    fact_key=None,
+                    other_key=None,
+                    corr=list(ce.corr),
+                    out_cols=list(ce.out_cols),
+                    work_dir=target,
+                    anti=ce.anti,
+                    num_buckets=num_buckets,
+                    shuffle_partitions=shuffle_partitions,
+                    where=ce.where,
+                    inner_where=ce.inner_where,
+                    exists_mode=True,
+                )
+                self._stores = {
+                    ce.fact: self._mv.fact_store,
+                    ce.other: self._mv.other_store,
                 }
                 return
 

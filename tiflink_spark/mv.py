@@ -1363,8 +1363,8 @@ class IncrementalCorrSemiJoinMV:
         fact_pk: list[str],
         other: DataFrame,
         other_pk: list[str],
-        fact_key: str,
-        other_key: str,
+        fact_key: str | None,
+        other_key: str | None,
         corr: list[tuple[str, str, str]],
         out_cols: list[str],
         work_dir: str,
@@ -1373,12 +1373,20 @@ class IncrementalCorrSemiJoinMV:
         shuffle_partitions: int | None = None,
         where: str | None = None,
         inner_where: str | None = None,
+        exists_mode: bool = False,
     ):
         if not corr:
             raise ValueError(
                 "no correlated terms — route the uncorrelated filtered "
                 "subquery through IncrementalSemiJoinMV(other_where=...)"
             )
+        if exists_mode and (fact_key is not None or other_key is not None):
+            raise ValueError("exists_mode carries no IN key columns")
+        if not exists_mode and (fact_key is None or other_key is None):
+            raise ValueError("the IN form requires fact_key and other_key")
+        # EXISTS form (round 10): membership is bare per-row
+        # non-emptiness of S(c) — no match/null bits, no key columns.
+        self.exists_mode = exists_mode
         self.spark = spark
         self.shuffle_partitions = shuffle_partitions
         self.anti = anti
@@ -1409,8 +1417,12 @@ class IncrementalCorrSemiJoinMV:
         o = other_now
         if self.inner_where is not None:
             o = o.filter(F.expr(self.inner_where))
+        key_cols = (
+            [] if self.other_key is None
+            else [F.col(self.other_key).alias("__i_okey")]
+        )
         return o.select(
-            F.col(self.other_key).alias("__i_okey"),
+            *key_cols,
             *[
                 F.expr(ie).alias(f"__ie{k}")
                 for k, (ie, _, _) in enumerate(self.corr)
@@ -1450,24 +1462,32 @@ class IncrementalCorrSemiJoinMV:
         else:
             left, right = left.coalesce(32), right.coalesce(32)
         j = left.join(right, self._theta_cond(), "left")
-        ikey = "__i_okey"
-        bits = j.groupBy(*pk).agg(
-            F.max(
-                F.when(F.col(ikey) == F.col(self.fact_key), 1).otherwise(0)
-            ).alias("__b_match"),
-            F.max(
-                F.when(
-                    F.col("__i__present").isNotNull() & F.col(ikey).isNull(), 1
-                ).otherwise(0)
-            ).alias("__b_null"),
-            F.max(
-                F.when(F.col("__i__present").isNotNull(), 1).otherwise(0)
-            ).alias("__b_any"),
-        )
+        any_bit = F.max(
+            F.when(F.col("__i__present").isNotNull(), 1).otherwise(0)
+        ).alias("__b_any")
+        if self.exists_mode:
+            bits = j.groupBy(*pk).agg(any_bit)
+        else:
+            ikey = "__i_okey"
+            bits = j.groupBy(*pk).agg(
+                F.max(
+                    F.when(F.col(ikey) == F.col(self.fact_key), 1).otherwise(0)
+                ).alias("__b_match"),
+                F.max(
+                    F.when(
+                        F.col("__i__present").isNotNull() & F.col(ikey).isNull(),
+                        1,
+                    ).otherwise(0)
+                ).alias("__b_null"),
+                any_bit,
+            )
         out = rows.join(F.broadcast(bits), pk, "left")
+        nonempty = F.coalesce(F.col("__b_any"), F.lit(0)) == 1
+        if self.exists_mode:
+            member = ~nonempty if self.anti else nonempty
+            return out.withColumn("__member", member).drop("__b_any")
         match = F.coalesce(F.col("__b_match"), F.lit(0)) == 1
         has_null = F.coalesce(F.col("__b_null"), F.lit(0)) == 1
-        nonempty = F.coalesce(F.col("__b_any"), F.lit(0)) == 1
         if self.anti:
             member = (
                 (~match)

@@ -1779,9 +1779,11 @@ class CorrSemiJoinShape:
     predicates')."""
 
     fact: str
-    fact_key: str
+    # IN form: the outer / inner comparison columns. EXISTS form: None
+    # (membership is bare per-row non-emptiness, exists_form=True).
+    fact_key: str | None
     other: str
-    other_key: str
+    other_key: str | None
     out_cols: tuple[str, ...]
     anti: bool
     where: str | None = None
@@ -1790,6 +1792,7 @@ class CorrSemiJoinShape:
     # deterministic expression over ONE table's columns (alias
     # qualifiers stripped), op normalized inner-side-first
     corr: tuple[tuple[str, str, str], ...] = ()
+    exists_form: bool = False
 
 
 _CORR_OP_FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "=", "<>": "<>", "!=": "!="}
@@ -1828,56 +1831,29 @@ def _split_single_comparison(expr: str) -> tuple[str, str, str] | None:
     return expr[:p], op, expr[p + len(op) :]
 
 
-def match_corr_semijoin_shape(
-    query: str,
-    source_names: set[str],
-    source_columns: dict[str, list[str]],
-) -> CorrSemiJoinShape | None:
-    """Match the filtered / correlated IN-subquery view, or None."""
-    from tiflink_spark import sqlast
+def _classify_inner_conjuncts(
+    inner: str,
+    fa_l: str,
+    oa_l: str,
+    fcols: dict[str, str],
+    ocols: dict[str, str],
+) -> tuple[str | None, tuple[tuple[str, str, str], ...]] | None:
+    """Split an IN/EXISTS subquery's inner WHERE into a row-local
+    inner filter plus correlated comparison terms.
 
-    parsed = sqlast.in_subquery_clauses(query)
-    if parsed is None:
-        return None
-    select, fact, fa, pre, neg, fcol, other, oa, ocol, inner = parsed
-    if (
-        fact not in source_names
-        or other not in source_names
-        or fact == other
-        or fact not in source_columns
-        or other not in source_columns
-    ):
-        return None
-    fcols = {c.lower(): c for c in source_columns[fact]}
-    ocols = {c.lower(): c for c in source_columns[other]}
-    if fcol.lower() not in fcols or ocol.lower() not in ocols:
-        return None
-    sel = tuple(c.strip() for c in select.split(","))
-    if len({c.lower() for c in sel}) != len(sel):
-        return None
-    if any(c.lower() not in fcols for c in sel):
-        return None
-    sel = tuple(fcols[c.lower()] for c in sel)
-    if pre is not None:
-        if _NON_LOCAL_WHERE.search(pre) or not _row_local_expr_ok(pre, set(fcols)):
-            return None
-        if _has_top_level_or(pre):
-            return None
-        pre = pre.strip()
-    fa_l = (fa or fact).lower()
-    oa_l = (oa or other).lower()
-    if fa_l == oa_l or {fa_l, oa_l} & _CLAUSE_KEYWORDS:
-        return None
-
+    Each conjunct is either a single depth-0 comparison whose two sides
+    each resolve to ONE table's columns (→ a correlated
+    ``(inner_expr, op, outer_expr)`` term, op normalized
+    inner-side-first), or a row-local deterministic expression over the
+    INNER columns (→ filter). A mixed-scope comparison side, an
+    outer-only term, an unknown identifier, or a nondeterministic call
+    returns None — the caller bails to recompute, never guesses.
+    Returns (inner_where | None, corr)."""
     strip_oa = re.compile(rf"(?i)\b{re.escape(oa_l)}\s*\.\s*")
     strip_fa = re.compile(rf"(?i)\b{re.escape(fa_l)}\s*\.\s*")
     _qual_ref = re.compile(rf"({_IDENT})\s*\.\s*({_IDENT})")
 
     def side_scope(side: str) -> tuple[str, str] | None:
-        """Classify one comparison side: ("i"|"f"|"any", stripped
-        text). A side mixing both tables' columns, referencing an
-        unknown qualifier/identifier, or failing the row-local
-        deterministic check returns None."""
         lits = re.split(r"('(?:[^']|'')*')", side)
         blanked = "".join(" " * len(p) if i % 2 else p for i, p in enumerate(lits))
         scopes: set[str] = set()
@@ -1952,6 +1928,53 @@ def match_corr_semijoin_shape(
             return None
         local_parts.append(stripped.strip())
     inner_where = " AND ".join(f"({p})" for p in local_parts) if local_parts else None
+    return inner_where, tuple(corr)
+
+
+def match_corr_semijoin_shape(
+    query: str,
+    source_names: set[str],
+    source_columns: dict[str, list[str]],
+) -> CorrSemiJoinShape | None:
+    """Match the filtered / correlated IN-subquery view, or None."""
+    from tiflink_spark import sqlast
+
+    parsed = sqlast.in_subquery_clauses(query)
+    if parsed is None:
+        return None
+    select, fact, fa, pre, neg, fcol, other, oa, ocol, inner = parsed
+    if (
+        fact not in source_names
+        or other not in source_names
+        or fact == other
+        or fact not in source_columns
+        or other not in source_columns
+    ):
+        return None
+    fcols = {c.lower(): c for c in source_columns[fact]}
+    ocols = {c.lower(): c for c in source_columns[other]}
+    if fcol.lower() not in fcols or ocol.lower() not in ocols:
+        return None
+    sel = tuple(c.strip() for c in select.split(","))
+    if len({c.lower() for c in sel}) != len(sel):
+        return None
+    if any(c.lower() not in fcols for c in sel):
+        return None
+    sel = tuple(fcols[c.lower()] for c in sel)
+    if pre is not None:
+        if _NON_LOCAL_WHERE.search(pre) or not _row_local_expr_ok(pre, set(fcols)):
+            return None
+        if _has_top_level_or(pre):
+            return None
+        pre = pre.strip()
+    fa_l = (fa or fact).lower()
+    oa_l = (oa or other).lower()
+    if fa_l == oa_l or {fa_l, oa_l} & _CLAUSE_KEYWORDS:
+        return None
+    cls = _classify_inner_conjuncts(inner, fa_l, oa_l, fcols, ocols)
+    if cls is None:
+        return None
+    inner_where, corr = cls
     return CorrSemiJoinShape(
         fact,
         fcols[fcol.lower()],
@@ -1962,6 +1985,79 @@ def match_corr_semijoin_shape(
         pre,
         inner_where,
         tuple(corr),
+    )
+
+
+def match_corr_exists_shape(
+    query: str,
+    source_names: set[str],
+    source_columns: dict[str, list[str]],
+) -> CorrSemiJoinShape | None:
+    """Match the theta-EXISTS view (round 10) — [NOT] EXISTS whose
+    correlation mixes equalities with NON-equality comparisons (or has
+    no equality at all), the form the pure-equality presence-state
+    matcher (match_semijoin_shape) refuses:
+
+        SELECT fact-cols FROM fact c
+        WHERE [row-local AND] [NOT] EXISTS (
+            SELECT 1 FROM other o
+            WHERE [inner-local AND] o.x <op> c.y [AND ...])
+
+    Membership is bare per-row non-emptiness of S(c), so the shape
+    carries ``exists_form=True`` and no key columns; at least one
+    correlated term is required (an UNcorrelated EXISTS is constant
+    across rows — degenerate, refused). Equality conjuncts ride along
+    as '=' corr terms, letting Catalyst hash-join on them with the
+    theta terms as the join residual."""
+    from tiflink_spark import sqlast
+
+    parsed = sqlast.exists_subquery_clauses(query)
+    if parsed is None:
+        return None
+    select, fact, fa, pre, neg, other, oa, inner = parsed
+    if (
+        fact not in source_names
+        or other not in source_names
+        or fact == other
+        or fact not in source_columns
+        or other not in source_columns
+    ):
+        return None
+    fcols = {c.lower(): c for c in source_columns[fact]}
+    ocols = {c.lower(): c for c in source_columns[other]}
+    sel = tuple(c.strip() for c in select.split(","))
+    if len({c.lower() for c in sel}) != len(sel):
+        return None
+    if any(c.lower() not in fcols for c in sel):
+        return None
+    sel = tuple(fcols[c.lower()] for c in sel)
+    if pre is not None:
+        if _NON_LOCAL_WHERE.search(pre) or not _row_local_expr_ok(pre, set(fcols)):
+            return None
+        if _has_top_level_or(pre):
+            return None
+        pre = pre.strip()
+    fa_l = (fa or fact).lower()
+    oa_l = (oa or other).lower()
+    if fa_l == oa_l or {fa_l, oa_l} & _CLAUSE_KEYWORDS:
+        return None
+    cls = _classify_inner_conjuncts(inner, fa_l, oa_l, fcols, ocols)
+    if cls is None:
+        return None
+    inner_where, corr = cls
+    if not corr:
+        return None  # uncorrelated EXISTS: constant per row — refuse
+    return CorrSemiJoinShape(
+        fact,
+        None,
+        other,
+        None,
+        sel,
+        neg,
+        pre,
+        inner_where,
+        tuple(corr),
+        exists_form=True,
     )
 
 

@@ -1199,6 +1199,7 @@ _PRIORITY = [
     "mvapp_rollup_bag_recompute",
     "mvapp_auto_not_in_correlated",
     "mvapp_auto_in_filtered_subquery",
+    "mvapp_auto_exists_theta",
     # --- round-9-new gates (first re-confirmation) ---
     "pattern_runstate_first",
     "mvapp_temporal_streaming",
@@ -1221,7 +1222,6 @@ _PRIORITY = [
     "mvapp_auto_exists_composite",
     "mvapp_auto_cascade_full_outer",
     "mvapp_auto_order_limit_multi",
-    "interval_join_events",
     # --- stale-green rotate-ins (last driver rows r3-r7) ---
     "mvapp_auto_projection",
     "mvapp_auto_cascade_bag",
@@ -1234,6 +1234,7 @@ _PRIORITY = [
     "dedup_exact",
     # ================== past the 50-query window ==================
     # r10 rotate-outs (green r8/r9; locally oracle-checked)
+    "interval_join_events",
     "histogram_prices",
     "pandas_udf_tokens",
     "string_funcs_ext",

@@ -6893,3 +6893,85 @@ def mvapp_auto_in_filtered_subquery(spark: SparkSession, sf_dir: str) -> DataFra
         return app.read().localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_exists_theta",
+    f"""
+    WITH {_FINAL_ORDERS_GS_SQL},
+    final_customer_et AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 10 = 3 THEN c_acctbal + 500
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer WHERE c_custkey % 10 <> 4
+    )
+    SELECT c_custkey, c_name, c_acctbal FROM final_customer_et c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM final_orders_gs o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_totalprice > c.c_acctbal * 60)
+    """,
+    doc=(
+        "Theta-EXISTS — NOT EXISTS whose correlation MIXES an equality "
+        "with a non-equality comparison (round 10), the form the "
+        "pure-equality presence-state matcher refuses. Routed to "
+        "IncrementalCorrSemiJoinMV in exists mode: membership is bare "
+        "per-row non-emptiness of S(c), evaluated exactly for dirty "
+        "rows from one aggregate over the theta join; the equality "
+        "conjunct rides as an '=' term so Catalyst hash-joins on it "
+        "with the price band as join residual. Fact churn re-evaluates "
+        "changed PKs; inner churn re-evaluates only rows in theta "
+        "range of the changed rows' old/new versions. Same scripted "
+        "churn as the correlated NOT IN gate; the fn raises unless "
+        "routed to the exists-mode class."
+    ),
+    tags=("mv", "incremental", "planner", "semijoin", "correlated", "exists"),
+)
+def mvapp_auto_exists_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_et_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("ord_et", t["orders"], pk=["o_orderkey"])
+            .source("cust_et", t["customer"], pk=["c_custkey"])
+            .query(
+                """SELECT c_custkey, c_name, c_acctbal FROM cust_et c
+                   WHERE NOT EXISTS (
+                       SELECT 1 FROM ord_et o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > c.c_acctbal * 60)"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalCorrSemiJoinMV" or not getattr(
+            app._mv, "exists_mode", False
+        ):
+            raise AssertionError(
+                f"planner routed theta-EXISTS to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        batches = scripted_batches(t["orders"])
+        b_cust = (
+            t["customer"].filter(F.col("c_custkey") % 10 == 3)
+            .withColumn("c_acctbal", F.col("c_acctbal") + 500)
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .unionByName(
+                t["customer"].filter(F.col("c_custkey") % 10 == 4).withColumn(
+                    OP_COL, F.lit(OP_DELETE)
+                )
+            )
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"ord_et": batches[0]}, batch_id=1)
+        app.refresh({"cust_et": b_cust}, batch_id=2)
+        app.refresh({"ord_et": batches[1]}, batch_id=3)
+        app.refresh({"ord_et": batches[2]}, batch_id=4)
+        return app.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

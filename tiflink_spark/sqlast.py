@@ -966,6 +966,107 @@ def in_subquery_clauses(query: str):
     return (s.select, s.table, s.alias, pre, neg, fcol, other, oa, ocol, inner)
 
 
+def exists_subquery_clauses(query: str):
+    """AST front-end for the general [NOT] EXISTS subquery — ANY inner
+    WHERE text (round 10; the equality-only form stays on
+    :func:`semijoin_clauses`):
+
+        SELECT cols FROM fact [AS? fa]
+        WHERE [pre AND] [NOT] EXISTS (
+            SELECT 1|* FROM other [AS? oa] WHERE <inner>)
+
+    Returns ``(select, fact, fa, pre, neg, other, oa, inner)`` or
+    None."""
+    s = parse_single_select(query)
+    if (
+        s is None
+        or s.tail is not None
+        or s.order_by is not None
+        or s.limit is not None
+        or s.group_by is not None
+        or s.having is not None
+        or s.where is None
+    ):
+        return None
+    if any(
+        not re.fullmatch(r"[A-Za-z_]\w*", c.strip()) for c in s.select.split(",")
+    ):
+        return None
+    wtoks = tokenize(s.where)
+    if not wtoks:
+        return None
+
+    def ident(j: int) -> str | None:
+        return (
+            wtoks[j].text
+            if 0 <= j < len(wtoks) and wtoks[j].kind == "ident"
+            else None
+        )
+
+    depth, epos = 0, None
+    for i, t in enumerate(wtoks):
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.kind == "ident" and t.lower() == "exists":
+            epos = i
+    if epos is None:
+        return None
+    start = epos
+    neg = False
+    if start > 0 and (ident(start - 1) or "").lower() == "not":
+        neg, start = True, start - 1
+    pre = None
+    if start > 0:
+        if (ident(start - 1) or "").lower() != "and" or start - 1 == 0:
+            return None
+        pre = s.where[wtoks[0].start : wtoks[start - 2].end]
+    k = epos + 1
+    if k >= len(wtoks) or wtoks[k].text != "(":
+        return None
+    k += 1
+    if (ident(k) or "").lower() != "select":
+        return None
+    k += 1
+    if k >= len(wtoks) or wtoks[k].text not in ("1", "*"):
+        return None
+    k += 1
+    if (ident(k) or "").lower() != "from":
+        return None
+    k += 1
+    other = ident(k)
+    if other is None:
+        return None
+    k += 1
+    oa = None
+    if (ident(k) or "").lower() == "as":
+        oa = ident(k + 1)
+        if oa is None:
+            return None
+        k += 2
+    elif ident(k) is not None and (ident(k) or "").lower() != "where":
+        oa = ident(k)
+        k += 1
+    if (ident(k) or "").lower() != "where":
+        return None
+    k += 1
+    if wtoks[-1].text != ")" or k >= len(wtoks) - 1:
+        return None
+    depth = 0
+    for t in wtoks[k:-1]:
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+            if depth < 0:
+                return None
+    if depth != 0:
+        return None
+    inner = s.where[wtoks[k].start : wtoks[-2].end]
+    return (s.select, s.table, s.alias, pre, neg, other, oa, inner)
+
+
 def corr_count_clauses(query: str):
     """AST front-end for the correlated scalar-aggregate shape:
 
