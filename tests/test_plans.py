@@ -340,3 +340,60 @@ def test_dim_churn_affected_rows_stay_broadcast_pruned(spark, tmp_path):
     # and it IS the full fact row set for those keys
     got = {r.o_orderkey for r in rows.collect()}
     assert got == {i for i in range(100) if i % 7 in (1, 2)}
+
+
+def test_corr_semijoin_membership_join_shapes(spark, tmp_path):
+    """The correlated-subquery membership probe (round 10) must plan
+    the scale-safe join forms: pure theta terms → a
+    BroadcastNestedLoopJoin with the batch-sized dirty side broadcast
+    (never a CartesianProduct whose task count is the partition
+    product); an equality+theta mix → a hash join ON the equality with
+    the band as join residual."""
+    from tiflink_spark.app import MVApp
+
+    fact = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(20)], "id long, fkey int, bal double"
+    )
+    other = spark.createDataFrame(
+        [(100 + i, i % 5, float(i * 3)) for i in range(20)],
+        "oid long, okey int, price double",
+    )
+
+    def member_plan(tag, q):
+        app = (
+            MVApp.builder(spark)
+            .source("f", fact, pk=["id"])
+            .source("o", other, pk=["oid"])
+            .query(q)
+            .target(str(tmp_path / tag))
+            .num_buckets(2)
+            .shuffle_partitions(2)
+            .build()
+        )
+        assert app.maintenance_strategy == "IncrementalCorrSemiJoinMV", tag
+        app.bootstrap()
+        mv = app._mv
+        flagged = mv._member_rows(
+            mv.fact_store.read(),
+            mv._inner_eval(mv.other_store.read()),
+            hint=True,
+        )
+        return flagged._jdf.queryExecution().executedPlan().toString()
+
+    theta = member_plan(
+        "theta",
+        """SELECT id, fkey, bal FROM f WHERE fkey NOT IN
+           (SELECT okey FROM o WHERE o.price > f.bal)""",
+    )
+    assert "CartesianProduct" not in theta
+    assert "BroadcastNestedLoopJoin" in theta
+
+    mixed = member_plan(
+        "mixed",
+        """SELECT id, fkey, bal FROM f WHERE EXISTS
+           (SELECT 1 FROM o WHERE o.okey = f.fkey AND o.price > f.bal)""",
+    )
+    assert "CartesianProduct" not in mixed
+    # the equality conjunct gives Catalyst a hash-join key; the theta
+    # term rides as the join residual
+    assert "BroadcastHashJoin" in mixed or "SortMergeJoin" in mixed, mixed[:2000]
