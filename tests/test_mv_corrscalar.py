@@ -1,0 +1,244 @@
+"""Theta-correlated SCALAR aggregate subqueries (round 10).
+
+The reference's flagship shape (TiFlinkExample.java:10-16) widened
+past its single fk = pk equality: with theta terms the per-row
+aggregate set S(d) cannot decorrelate to a keyed GROUP BY, so
+IncrementalCorrScalarAggMV evaluates the aggregate exactly per dirty
+dim row over one theta join. Spark's own optimizer REFUSES to execute
+these queries (non-equality correlated predicates), so the expected
+values come from DuckDB — the engine exceeds Spark SQL's surface here,
+matching Flink/Calcite/DuckDB semantics.
+
+Also pins the round-10 flagship NULL-FK fix: a NULL fact FK matches no
+dim row, and previously crashed the fk-keyed aggregate state store.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tiflink_spark.changelog import OP_COL, OP_DELETE, OP_UPDATE, SEQ_COL
+from tiflink_spark.planner import match_corr_scalar_shape
+from tiflink_spark.sqlast import scalar_subquery_clauses
+
+COLS = {
+    "c": ["id", "dkey", "bal"],
+    "o": ["oid", "okey", "price"],
+}
+PKS = {"c": ["id"], "o": ["oid"]}
+
+
+class TestScalarSubqueryAst:
+    def test_parses_general_inner(self):
+        r = scalar_subquery_clauses(
+            """SELECT id, bal, (SELECT sum(o.price) FROM o
+               WHERE o.okey = c.dkey AND o.price > c.bal) AS s FROM c"""
+        )
+        assert r is not None
+        select, akind, acol, fact, fa, inner, alias, dim, da = r
+        assert (fact, dim, akind, alias) == ("o", "c", "sum", "s")
+        assert "o.price > c.bal" in inner
+
+    def test_aliases_optional(self):
+        r = scalar_subquery_clauses(
+            "SELECT id, (SELECT count(*) FROM o WHERE o.price > c.bal) AS n FROM c"
+        )
+        assert r is not None and r[4] is None and r[8] is None
+
+
+class TestCorrScalarMatcher:
+    def test_theta_count(self):
+        s = match_corr_scalar_shape(
+            "SELECT id, dkey, bal, (SELECT count(*) FROM o WHERE o.price > c.bal) AS n FROM c",
+            {"c", "o"},
+            PKS,
+            COLS,
+        )
+        assert s is not None
+        assert s.akind == "count" and s.acol is None
+        assert s.corr == (("price", ">", "bal"),)
+
+    def test_agg_col_resolves(self):
+        s = match_corr_scalar_shape(
+            """SELECT id, dkey, bal, (SELECT min(o.price) FROM o
+               WHERE o.okey = c.dkey AND o.price > c.bal) AS m FROM c""",
+            {"c", "o"},
+            PKS,
+            COLS,
+        )
+        assert s is not None and s.acol == "price" and s.akind == "min"
+        assert set(s.corr) == {("okey", "=", "dkey"), ("price", ">", "bal")}
+
+    def test_uncorrelated_refuses(self):
+        assert (
+            match_corr_scalar_shape(
+                "SELECT id, dkey, bal, (SELECT count(*) FROM o WHERE price > 5) AS n FROM c",
+                {"c", "o"},
+                PKS,
+                COLS,
+            )
+            is None
+        )
+
+    def test_alias_colliding_with_select_refuses(self):
+        assert (
+            match_corr_scalar_shape(
+                "SELECT id, dkey, bal, (SELECT count(*) FROM o WHERE o.price > c.bal) AS bal FROM c",
+                {"c", "o"},
+                PKS,
+                COLS,
+            )
+            is None
+        )
+
+
+def _duck(q, cur_d, cur_f):
+    con = duckdb.connect()
+    con.register("c", cur_d.toPandas())
+    con.register("o", cur_f.toPandas())
+    return con.execute(q).df()
+
+
+def _same(got_df, exp_pd):
+    cols = list(got_df.columns)
+    g = got_df.toPandas()[cols].sort_values(cols).reset_index(drop=True).astype(str)
+    e = exp_pd[cols].sort_values(cols).reset_index(drop=True).astype(str)
+    return g.equals(e)
+
+
+def _ch(df, op):
+    return df.withColumn(OP_COL, F.lit(op)).withColumn(
+        SEQ_COL, F.monotonically_increasing_id()
+    )
+
+
+DIM = [(1, 10, 100.0), (2, 20, 50.0), (3, None, 75.0), (4, 40, 10.0), (5, 50, 200.0)]
+FACT = [(101, 10, 120.0), (102, 20, 30.0), (103, None, 90.0), (104, 10, 5.0), (105, 99, 500.0)]
+
+
+class TestCorrScalarMV:
+    @pytest.mark.parametrize(
+        "tag,q",
+        [
+            (
+                "cnt",
+                "SELECT id, dkey, bal, (SELECT count(*) FROM o WHERE o.price > c.bal) AS n FROM c",
+            ),
+            (
+                "sum_eq_theta",
+                """SELECT id, dkey, bal, (SELECT sum(o.price) FROM o
+                   WHERE o.okey = c.dkey AND o.price > c.bal * 0.1) AS s FROM c""",
+            ),
+            (
+                "min",
+                "SELECT id, dkey, bal, (SELECT min(price) FROM o WHERE o.price > c.bal) AS m FROM c",
+            ),
+        ],
+    )
+    def test_converges_vs_duckdb(self, spark, tmp_path, tag, q):
+        from tiflink_spark.app import MVApp
+
+        dim = spark.createDataFrame(DIM, "id long, dkey int, bal double")
+        fact = spark.createDataFrame(FACT, "oid long, okey int, price double")
+        app = (
+            MVApp.builder(spark)
+            .source("c", dim, pk=["id"])
+            .source("o", fact, pk=["oid"])
+            .query(q)
+            .target(str(tmp_path / tag))
+            .num_buckets(2)
+            .shuffle_partitions(2)
+            .build()
+        )
+        assert app.maintenance_strategy == "IncrementalCorrScalarAggMV", tag
+        app.bootstrap()
+        assert _same(app.read(), _duck(q, dim, fact)), f"{tag} bootstrap"
+        b1 = _ch(
+            fact.filter(F.col("oid") == 105).withColumn("price", F.lit(60.0)),
+            OP_UPDATE,
+        )
+        b2 = _ch(
+            dim.filter(F.col("id") == 5).withColumn("bal", F.lit(10.0)), OP_UPDATE
+        )
+        b3 = _ch(fact.filter(F.col("oid").isin(101, 103)), OP_DELETE)
+        b4 = _ch(dim.filter(F.col("id") == 2), OP_DELETE)
+        cur_d, cur_f = dim, fact
+        for i, (tbl, b) in enumerate(
+            [("o", b1), ("c", b2), ("o", b3), ("c", b4)], 1
+        ):
+            app.refresh({tbl: b}, batch_id=i)
+            key = "oid" if tbl == "o" else "id"
+            adds = b.filter(F.col(OP_COL) != OP_DELETE).drop(OP_COL, SEQ_COL)
+            if tbl == "o":
+                cur_f = cur_f.join(b.select(key).distinct(), key, "left_anti").unionByName(adds)
+            else:
+                cur_d = cur_d.join(b.select(key).distinct(), key, "left_anti").unionByName(adds)
+            assert _same(app.read(), _duck(q, cur_d, cur_f)), f"{tag} batch {i}"
+
+    def test_replay_idempotent(self, spark, tmp_path):
+        from tiflink_spark.app import MVApp
+
+        dim = spark.createDataFrame(DIM, "id long, dkey int, bal double")
+        fact = spark.createDataFrame(FACT, "oid long, okey int, price double")
+        q = "SELECT id, dkey, bal, (SELECT count(*) FROM o WHERE o.price > c.bal) AS n FROM c"
+        app = (
+            MVApp.builder(spark)
+            .source("c", dim, pk=["id"])
+            .source("o", fact, pk=["oid"])
+            .query(q)
+            .target(str(tmp_path / "rep"))
+            .num_buckets(2)
+            .shuffle_partitions(2)
+            .build()
+        )
+        app.bootstrap()
+        b = _ch(
+            fact.filter(F.col("oid") == 101).withColumn("price", F.lit(1.0)),
+            OP_UPDATE,
+        )
+        assert app.refresh({"o": b}, batch_id=1) is True
+        assert app.refresh({"o": b}, batch_id=1) is False
+        assert _same(
+            app.read(),
+            _duck(
+                q,
+                dim,
+                fact.filter(F.col("oid") != 101).unionByName(
+                    b.drop(OP_COL, SEQ_COL)
+                ),
+            ),
+        )
+
+
+class TestFlagshipNullFk:
+    def test_null_fact_fk_no_longer_crashes(self, spark, tmp_path):
+        """A NULL fact FK equality-matches no dim row; before round 10
+        it crashed the fk-keyed aggregate state store at bootstrap."""
+        from tiflink_spark.app import MVApp
+
+        dim = spark.createDataFrame(DIM, "id long, dkey int, bal double")
+        fact = spark.createDataFrame(FACT, "oid long, okey int, price double")
+        q = "SELECT id, dkey, bal, (SELECT count(*) FROM o o2 WHERE o2.okey = c2.id) AS n FROM c c2"
+        app = (
+            MVApp.builder(spark)
+            .source("c", dim, pk=["id"])
+            .source("o", fact, pk=["oid"])
+            .query(q)
+            .target(str(tmp_path / "nullfk"))
+            .num_buckets(2)
+            .shuffle_partitions(2)
+            .build()
+        )
+        assert app.maintenance_strategy == "IncrementalAggMV"
+        app.bootstrap()
+        assert _same(app.read(), _duck(q, dim, fact))
+        # a row UPDATING its fk to NULL retracts from its old group
+        b = _ch(
+            fact.filter(F.col("oid") == 101).withColumn("okey", F.lit(None).cast("int")),
+            OP_UPDATE,
+        )
+        app.refresh({"o": b}, batch_id=1)
+        cur_f = fact.filter(F.col("oid") != 101).unionByName(b.drop(OP_COL, SEQ_COL))
+        assert _same(app.read(), _duck(q, dim, cur_f))

@@ -55,6 +55,7 @@ from tiflink_spark.planner import (
     match_semijoin_shape,
     match_corr_semijoin_shape,
     match_corr_exists_shape,
+    match_corr_scalar_shape,
     match_join_shape,
     match_setop_shape,
     match_full_outer_shape,
@@ -857,14 +858,24 @@ class MVApp:
             and (pk is None or list(pk) == [corr.dim_key])
         ):
             self.maintenance_mode = "incremental"
+            from pyspark.sql import functions as F
+
             self._fact_name, self._dim_name = corr.fact, corr.dim
-            self._change_filter = self._join_names = None
+            self._join_names = None
+            # A NULL fact FK equality-matches no dim row, so it can
+            # never contribute to any group — and it would crash the
+            # fk-keyed aggregate state store. Drop such rows at
+            # bootstrap AND per batch (the stateless changelog filter
+            # demotes a row UPDATING to NULL fk to -D, retracting its
+            # old group contribution). Round 10 — found by the scalar
+            # theta battery's NULL-key frames.
+            self._change_filter = f"{corr.fact_key} IS NOT NULL"
             self.mv_pk = [corr.dim_key]
             # PK refined to the dim key (the derived unique constraint).
             self.ddl = create_table_ddl(os.path.basename(target), self.mv_schema, self.mv_pk)
             self._mv = IncrementalAggMV(
                 spark,
-                dfs[corr.fact][1],
+                dfs[corr.fact][1].filter(F.expr(self._change_filter)),
                 dfs[corr.fact][0].pk,
                 corr.fact_key,
                 [Measure(corr.agg_kind, corr.agg_col, corr.alias)],
@@ -878,6 +889,51 @@ class MVApp:
             self._stores = {
                 corr.fact: self._mv.fact_store,
                 corr.dim: self._mv.dim_store,
+            }
+            return
+
+        # Theta-correlated SCALAR aggregate (round 10): the flagship
+        # shape widened past its single fk = pk equality. Per-row sets
+        # cannot decorrelate to a keyed GROUP BY, so the aggregate is
+        # evaluated exactly per dirty dim row over one theta join
+        # (IncrementalCorrScalarAggMV); fact churn re-evaluates only
+        # dim rows in theta range of the changed rows' old/new values.
+        cagg = match_corr_scalar_shape(
+            query, set(dfs), {n: d[0].pk for n, d in dfs.items()}, source_columns
+        )
+        if (
+            cagg is not None
+            and dfs[cagg.fact][0].pk
+            and (pk is None or list(pk) == [cagg.dim_pk])
+        ):
+            from tiflink_spark.mv import IncrementalCorrScalarAggMV
+
+            self.maintenance_mode = "incremental"
+            self._fact_name = self._dim_name = self._change_filter = None
+            self._join_names = (cagg.fact, cagg.dim)
+            self.mv_pk = [cagg.dim_pk]
+            self.ddl = create_table_ddl(
+                os.path.basename(target), self.mv_schema, self.mv_pk
+            )
+            self._mv = IncrementalCorrScalarAggMV(
+                spark,
+                dim=dfs[cagg.dim][1],
+                dim_pk=dfs[cagg.dim][0].pk,
+                fact=dfs[cagg.fact][1],
+                fact_pk=dfs[cagg.fact][0].pk,
+                akind=cagg.akind,
+                acol=cagg.acol,
+                alias=cagg.alias,
+                corr=list(cagg.corr),
+                out_cols=list(cagg.out_cols),
+                work_dir=target,
+                num_buckets=num_buckets,
+                shuffle_partitions=shuffle_partitions,
+                inner_where=cagg.inner_where,
+            )
+            self._stores = {
+                cagg.fact: self._mv.fact_store,
+                cagg.dim: self._mv.dim_store,
             }
             return
 

@@ -1598,6 +1598,222 @@ class IncrementalCorrSemiJoinMV:
         return self.target.read(version)
 
 
+class IncrementalCorrScalarAggMV:
+    """Incremental MV for the theta-correlated SCALAR aggregate
+
+        SELECT d-cols, (SELECT agg(x|*) FROM fact f
+                        WHERE [local AND] f.x <op> d.y ...) AS a
+        FROM dim d
+
+    — the flagship correlated-aggregate shape (TiFlinkExample.java:
+    10-16) widened past its single fk = pk equality (round 10). With
+    theta terms the per-row set S(d) cannot decorrelate to a keyed
+    GROUP BY (IncrementalAggMV's trick via CorrelatedCountShape), so
+    the aggregate is evaluated EXACTLY per dirty dim row over one
+    theta join: dirty rows broadcast against the (locally filtered)
+    fact store, grouped by the dim PK. SQL scalar-subquery semantics
+    hold row by row: COUNT of an empty set is 0, SUM/AVG/MIN/MAX are
+    NULL, and NULL aggregate inputs are ignored.
+
+    Dirtying mirrors IncrementalCorrSemiJoinMV: dim changes re-evaluate
+    exactly the changed PKs; fact changes re-evaluate only dim rows in
+    theta range of the changed rows' old/new versions (one theta
+    semi-join, the batch side broadcast). Same cost model as the theta
+    join family — |dirty|×|fact| predicate evaluations, broadcast
+    nested loop with the batch tiny side, hash join when an equality
+    term is present.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        dim: DataFrame,
+        dim_pk: list[str],
+        fact: DataFrame,
+        fact_pk: list[str],
+        akind: str,
+        acol: str | None,
+        alias: str,
+        corr: list[tuple[str, str, str]],
+        out_cols: list[str],
+        work_dir: str,
+        num_buckets: int | None = None,
+        shuffle_partitions: int | None = None,
+        inner_where: str | None = None,
+    ):
+        if not corr:
+            raise ValueError("at least one correlated term required")
+        if akind not in ("count", "sum", "avg", "min", "max"):
+            raise ValueError(f"unsupported aggregate {akind!r}")
+        if acol is None and akind != "count":
+            raise ValueError("bare * is COUNT-only")
+        self.spark = spark
+        self.shuffle_partitions = shuffle_partitions
+        self.akind = akind
+        self.acol = acol
+        self.alias = alias
+        self.corr = [tuple(t) for t in corr]
+        self.out_cols = list(out_cols)
+        self.inner_where = inner_where
+        self.dim0, self.fact0 = dim, fact
+        self.dim_store = KeyedParquetStore(
+            spark, os.path.join(work_dir, "dim"), dim_pk, num_buckets
+        )
+        self.fact_store = KeyedParquetStore(
+            spark, os.path.join(work_dir, "fact"), fact_pk, num_buckets
+        )
+        self.target = KeyedParquetStore(
+            spark, os.path.join(work_dir, "mv"), list(dim_pk), num_buckets
+        )
+
+    def _fact_eval(self, fact_now: DataFrame) -> DataFrame:
+        o = fact_now
+        if self.inner_where is not None:
+            o = o.filter(F.expr(self.inner_where))
+        cols = [
+            F.expr(ie).alias(f"__ie{k}") for k, (ie, _, _) in enumerate(self.corr)
+        ]
+        if self.acol is not None:
+            cols.append(F.col(self.acol).alias("__aval"))
+        return o.select(*cols).withColumn("__i__present", F.lit(1))
+
+    def _theta_cond(self, iprefix: str = "__ie"):
+        cond = None
+        for k, (_, op, oe) in enumerate(self.corr):
+            l, r = F.col(f"{iprefix}{k}"), F.expr(oe)
+            c = {
+                "=": l == r,
+                "<": l < r,
+                "<=": l <= r,
+                ">": l > r,
+                ">=": l >= r,
+            }.get(op)
+            if c is None:  # <> / !=
+                c = l != r
+            cond = c if cond is None else cond & c
+        return cond
+
+    def _valued_rows(
+        self, rows: DataFrame, fact_eval: DataFrame, hint: bool
+    ) -> DataFrame:
+        """``rows`` (dim slice) + the scalar aggregate column."""
+        pk = self.target.pk
+        left = rows
+        right = fact_eval
+        if hint:
+            left = F.broadcast(left)
+        else:
+            left, right = left.coalesce(32), right.coalesce(32)
+        j = left.join(right, self._theta_cond(), "left")
+        present = F.col("__i__present").isNotNull()
+        if self.akind == "count" and self.acol is None:
+            agg = F.sum(F.when(present, 1).otherwise(0)).cast("long")
+        elif self.akind == "count":
+            agg = F.count(F.col("__aval"))
+        else:
+            agg = getattr(F, self.akind)(F.col("__aval"))
+        vals = j.groupBy(*pk).agg(agg.alias("__v"))
+        out = rows.join(F.broadcast(vals), pk, "left")
+        v = F.col("__v")
+        if self.akind == "count":
+            v = F.coalesce(v, F.lit(0).cast("long"))
+        return out.withColumn(self.alias, v).drop("__v")
+
+    def _view(self, dim_rows: DataFrame, fact_now: DataFrame) -> DataFrame:
+        return self._valued_rows(
+            dim_rows, self._fact_eval(fact_now), hint=False
+        ).select(*self.out_cols, self.alias)
+
+    @_maintenance
+    def bootstrap(self, batch_id=0) -> None:
+        self.dim_store.bootstrap(self.dim0, batch_id)
+        self.fact_store.bootstrap(self.fact0, batch_id)
+        self.target.bootstrap(
+            self._view(self.dim_store.read(), self.fact_store.read()), batch_id
+        )
+
+    def _dirty_theta_vals(self, changes: DataFrame, batch_id) -> DataFrame:
+        store = self.fact_store
+        if batch_id in store.committed_batches():
+            old = store.read(store.version_before_batch(batch_id))
+        else:
+            old = store.read()
+        changed_pks = last_change_per_key(changes, store.pk).select(*store.pk)
+        old_rows = old.join(F.broadcast(changed_pks), store.pk, "left_semi")
+        new_rows = changes.filter(F.col(OP_COL) != OP_DELETE).select(*old.columns)
+        both = old_rows.unionByName(new_rows)
+        if self.inner_where is not None:
+            both = both.filter(F.expr(self.inner_where))
+        return both.select(
+            *[
+                F.expr(ie).alias(f"__d{k}")
+                for k, (ie, _, _) in enumerate(self.corr)
+            ]
+        ).distinct()
+
+    @_maintenance
+    def refresh(
+        self,
+        fact_changes: DataFrame | None,
+        dim_changes: DataFrame | None,
+        batch_id,
+    ) -> bool:
+        if batch_id in self.target.committed_batches():
+            return False
+        if fact_changes is None and dim_changes is None:
+            return False
+        dirty_vals = (
+            self._dirty_theta_vals(fact_changes, batch_id)
+            if fact_changes is not None
+            else None
+        )
+        if dim_changes is not None:
+            self.dim_store.merge(dim_changes, batch_id)
+        if fact_changes is not None:
+            self.fact_store.merge(fact_changes, batch_id)
+        fact_eval = self._fact_eval(self.fact_store.read())
+
+        def upserts(rows: DataFrame) -> DataFrame:
+            return self._valued_rows(rows, fact_eval, hint=True).select(
+                *self.out_cols, self.alias, F.lit(OP_UPDATE).alias(OP_COL)
+            )
+
+        parts: list[DataFrame] = []
+        if dim_changes is not None:
+            # deletes ride through the same valuation join (their value
+            # is discarded by the store delete) so every part shares
+            # one column set and one set of types
+            final = last_change_per_key(dim_changes, self.dim_store.pk)
+            valued = self._valued_rows(
+                final.drop(SEQ_COL), fact_eval, hint=True
+            )
+            parts.append(
+                valued.select(
+                    *self.out_cols,
+                    self.alias,
+                    F.when(F.col(OP_COL) == OP_DELETE, F.lit(OP_DELETE))
+                    .otherwise(F.lit(OP_UPDATE))
+                    .alias(OP_COL),
+                )
+            )
+        if dirty_vals is not None:
+            dim_now = self.dim_store.read()
+            affected = dim_now.join(
+                F.broadcast(dirty_vals), self._theta_cond("__d"), "left_semi"
+            )
+            parts.append(upserts(affected))
+        mv_changes = parts[0].withColumn(SEQ_COL, F.lit(0).cast("long"))
+        for i, p in enumerate(parts[1:], start=1):
+            mv_changes = mv_changes.unionByName(
+                p.withColumn(SEQ_COL, F.lit(i).cast("long"))
+            )
+        self.target.merge(mv_changes, batch_id)
+        return True
+
+    def read(self, version: int | None = None) -> DataFrame:
+        return self.target.read(version)
+
+
 class IncrementalTopKMV:
     """Incremental MV for per-group top-k:
 

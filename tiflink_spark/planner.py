@@ -2062,6 +2062,110 @@ def match_corr_exists_shape(
 
 
 @dataclass(frozen=True)
+class CorrScalarAggShape:
+    """The correlated SCALAR-aggregate subquery with a general inner
+    WHERE (round 10) — the flagship shape widened past its single
+    fk = pk equality:
+
+        SELECT d1[, d2 ...],
+               (SELECT agg(x|*) FROM fact f
+                WHERE [inner-local AND] f.x <op> d.y [AND ...]) AS a
+        FROM dim d
+
+    With theta terms the per-row aggregate set S(d) cannot decorrelate
+    to a GROUP BY (the flagship route's trick); maintenance evaluates
+    the aggregate EXACTLY per dirty dim row over one theta join
+    (IncrementalCorrScalarAggMV). ``corr`` terms are
+    (fact_expr, op, dim_expr), fact-side-first."""
+
+    dim: str
+    dim_pk: str
+    fact: str
+    akind: str  # count | sum | avg | min | max
+    acol: str | None  # None = count(*)
+    alias: str
+    out_cols: tuple[str, ...]  # bare dim select columns
+    inner_where: str | None = None
+    corr: tuple[tuple[str, str, str], ...] = ()
+
+
+def match_corr_scalar_shape(
+    query: str,
+    source_names: set[str],
+    dim_pk: dict[str, list[str]],
+    source_columns: dict[str, list[str]],
+) -> CorrScalarAggShape | None:
+    """Match the theta-correlated scalar-aggregate view, or None. The
+    single-equality spelling stays on match_correlated_count_shape
+    (routed first — decorrelation to a keyed GROUP BY is cheaper);
+    this matcher requires at least one correlated term, of any
+    comparison kind, plus optional row-local inner conjuncts."""
+    from tiflink_spark import sqlast
+
+    parsed = sqlast.scalar_subquery_clauses(query)
+    if parsed is None:
+        return None
+    select, akind, acol, fact, fa, inner, alias, dim, da = parsed
+    if fact not in source_names or dim not in source_names or fact == dim:
+        return None
+    if fact not in source_columns or dim not in source_columns:
+        return None
+    fcols = {c.lower(): c for c in source_columns[fact]}
+    dcols = {c.lower(): c for c in source_columns[dim]}
+    pk = dim_pk.get(dim) or []
+    if len(pk) != 1:
+        return None
+    sel = tuple(c.strip() for c in select.split(","))
+    if len({c.lower() for c in sel}) != len(sel):
+        return None
+    if any(c.lower() not in dcols for c in sel):
+        return None
+    sel = tuple(dcols[c.lower()] for c in sel)
+    if pk[0].lower() not in {c.lower() for c in sel}:
+        return None
+    if alias.lower() in {c.lower() for c in sel}:
+        return None
+    akind = akind.lower()
+    if acol == "*":
+        if akind != "count":
+            return None
+        acol_res = None
+    else:
+        a = acol.strip()
+        qm = _QUAL_RE.fullmatch(a)
+        if qm is not None:
+            if qm.group(1).lower() != (fa or fact).lower():
+                return None
+            a = qm.group(2)
+        if a.lower() not in fcols:
+            return None
+        acol_res = fcols[a.lower()]
+    fa_l = (fa or fact).lower()
+    da_l = (da or dim).lower()
+    if fa_l == da_l or {fa_l, da_l} & _CLAUSE_KEYWORDS:
+        return None
+    # classifier convention: "inner" = the subquery's table (fact),
+    # "outer" = the per-row scope (dim)
+    cls = _classify_inner_conjuncts(inner, da_l, fa_l, dcols, fcols)
+    if cls is None:
+        return None
+    inner_where, corr = cls
+    if not corr:
+        return None  # uncorrelated scalar subquery: constant — refuse
+    return CorrScalarAggShape(
+        dim,
+        dim_pk[dim][0],
+        fact,
+        akind,
+        acol_res,
+        alias,
+        sel,
+        inner_where,
+        tuple(corr),
+    )
+
+
+@dataclass(frozen=True)
 class GlobalAggShape:
     """The global (no GROUP BY) aggregate over one table:
 

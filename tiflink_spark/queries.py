@@ -1200,6 +1200,7 @@ _PRIORITY = [
     "mvapp_auto_not_in_correlated",
     "mvapp_auto_in_filtered_subquery",
     "mvapp_auto_exists_theta",
+    "mvapp_auto_corr_scalar_theta",
     # --- round-9-new gates (first re-confirmation) ---
     "pattern_runstate_first",
     "mvapp_temporal_streaming",
@@ -1221,7 +1222,6 @@ _PRIORITY = [
     "mvapp_auto_full_outer_where",
     "mvapp_auto_exists_composite",
     "mvapp_auto_cascade_full_outer",
-    "mvapp_auto_order_limit_multi",
     # --- stale-green rotate-ins (last driver rows r3-r7) ---
     "mvapp_auto_projection",
     "mvapp_auto_cascade_bag",
@@ -1234,6 +1234,7 @@ _PRIORITY = [
     "dedup_exact",
     # ================== past the 50-query window ==================
     # r10 rotate-outs (green r8/r9; locally oracle-checked)
+    "mvapp_auto_order_limit_multi",
     "interval_join_events",
     "histogram_prices",
     "pandas_udf_tokens",

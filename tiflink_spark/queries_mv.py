@@ -6975,3 +6975,85 @@ def mvapp_auto_exists_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         return app.read().localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "mvapp_auto_corr_scalar_theta",
+    f"""
+    WITH {_FINAL_ORDERS_GS_SQL},
+    final_customer_cs AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 10 = 3 THEN c_acctbal + 500
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer WHERE c_custkey % 10 <> 4
+    )
+    SELECT c_custkey, c_name, c_acctbal,
+           (SELECT count(*) FROM final_orders_gs o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > c.c_acctbal * 10) AS n_big
+    FROM final_customer_cs c
+    """,
+    doc=(
+        "Theta-correlated SCALAR aggregate — the reference's flagship "
+        "shape (TiFlinkExample.java:10-16) widened past its single "
+        "fk = pk equality (round 10): the per-customer COUNT now also "
+        "depends on o_totalprice > c_acctbal * 10, so the aggregate "
+        "set varies per row and CANNOT decorrelate to a keyed GROUP "
+        "BY. Spark's own optimizer refuses to execute this query "
+        "(non-equality correlated predicates); the engine exceeds "
+        "Spark SQL's surface here, matching Flink/Calcite/DuckDB. "
+        "IncrementalCorrScalarAggMV evaluates the aggregate exactly "
+        "per dirty customer over one theta join (equality conjunct "
+        "hash-joined, band as residual); orders churn re-evaluates "
+        "only customers in theta range of the changed rows' old/new "
+        "values. The fn raises unless routed to the scalar theta "
+        "class."
+    ),
+    tags=("mv", "incremental", "planner", "correlated", "scalar"),
+)
+def mvapp_auto_corr_scalar_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tiflink_spark.app import MVApp
+
+    t = _t(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mvapp_cst_")
+    try:
+        app = (
+            MVApp.builder(spark)
+            .source("ord_cs", t["orders"], pk=["o_orderkey"])
+            .source("cust_cs", t["customer"], pk=["c_custkey"])
+            .query(
+                """SELECT c_custkey, c_name, c_acctbal,
+                          (SELECT count(*) FROM ord_cs o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_totalprice > c.c_acctbal * 10) AS n_big
+                   FROM cust_cs c"""
+            )
+            .target(work)
+            .num_buckets(4)
+            .shuffle_partitions(8)
+            .build()
+        )
+        if app.maintenance_strategy != "IncrementalCorrScalarAggMV":
+            raise AssertionError(
+                f"planner routed theta scalar agg to {app.maintenance_strategy}"
+            )
+        app.bootstrap()
+        batches = scripted_batches(t["orders"])
+        b_cust = (
+            t["customer"].filter(F.col("c_custkey") % 10 == 3)
+            .withColumn("c_acctbal", F.col("c_acctbal") + 500)
+            .withColumn(OP_COL, F.lit(OP_UPDATE))
+            .unionByName(
+                t["customer"].filter(F.col("c_custkey") % 10 == 4).withColumn(
+                    OP_COL, F.lit(OP_DELETE)
+                )
+            )
+            .withColumn(SEQ_COL, F.monotonically_increasing_id())
+        )
+        app.refresh({"ord_cs": batches[0]}, batch_id=1)
+        app.refresh({"cust_cs": b_cust}, batch_id=2)
+        app.refresh({"ord_cs": batches[1]}, batch_id=3)
+        app.refresh({"ord_cs": batches[2]}, batch_id=4)
+        return app.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

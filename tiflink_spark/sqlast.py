@@ -1194,6 +1194,143 @@ def corr_count_clauses(query: str):
     return (select, akind, acol, fact, fa, w1, c1, w2, c2, alias, dim, da)
 
 
+def scalar_subquery_clauses(query: str):
+    """AST front-end for the correlated scalar-aggregate shape with a
+    GENERAL inner WHERE (round 10; the single-equality flagship form
+    stays on :func:`corr_count_clauses`):
+
+        SELECT d1[, d2 ...], (SELECT agg(x|*) FROM fact fa
+            WHERE <inner>) AS alias FROM dim [AS? da]
+
+    → (select, akind, acol, fact, fa, inner, alias, dim, da) or None.
+    Bare-ident outer select items; both table aliases optional (the
+    table name itself qualifies when absent)."""
+    sql = query.strip().rstrip(";")
+    toks = tokenize(sql)
+    if not toks:
+        return None
+
+    def kw(j: int, *words: str) -> bool:
+        return all(
+            j + n < len(toks)
+            and toks[j + n].kind == "ident"
+            and toks[j + n].lower() == w
+            for n, w in enumerate(words)
+        )
+
+    if not kw(0, "select"):
+        return None
+    i = 1
+    sel_toks: list[Token] = []
+    while i < len(toks) and toks[i].kind == "ident":
+        sel_toks.append(toks[i])
+        if i + 1 < len(toks) and toks[i + 1].text == ",":
+            i += 2
+        else:
+            return None
+        if i < len(toks) and toks[i].text == "(":
+            break
+    if not sel_toks or i >= len(toks) or toks[i].text != "(":
+        return None
+    select = sql[sel_toks[0].start : sel_toks[-1].end]
+    i += 1  # past "("
+    if not kw(i, "select"):
+        return None
+    i += 1
+    if i >= len(toks) or toks[i].kind != "ident":
+        return None
+    akind = toks[i].text
+    if akind.lower() not in ("count", "sum", "avg", "min", "max"):
+        return None
+    i += 1
+    if i >= len(toks) or toks[i].text != "(":
+        return None
+    i += 1
+    if i < len(toks) and toks[i].text == "*":
+        acol = "*"
+        i += 1
+    elif i < len(toks) and toks[i].kind == "ident":
+        if (
+            i + 2 < len(toks)
+            and toks[i + 1].text == "."
+            and toks[i + 2].kind == "ident"
+        ):
+            acol = sql[toks[i].start : toks[i + 2].end]
+            i += 3
+        else:
+            acol = toks[i].text
+            i += 1
+    else:
+        return None
+    if i >= len(toks) or toks[i].text != ")":
+        return None
+    i += 1
+    if not kw(i, "from"):
+        return None
+    i += 1
+    if i >= len(toks) or toks[i].kind != "ident":
+        return None
+    fact = toks[i].text
+    i += 1
+    fa = None
+    if kw(i, "as"):
+        if i + 1 >= len(toks) or toks[i + 1].kind != "ident":
+            return None
+        fa = toks[i + 1].text
+        i += 2
+    elif (
+        i < len(toks)
+        and toks[i].kind == "ident"
+        and toks[i].lower() != "where"
+    ):
+        fa = toks[i].text
+        i += 1
+    if not kw(i, "where"):
+        return None
+    i += 1
+    # inner WHERE: everything until the ")" that closes the subquery
+    depth = 0
+    start = i
+    while i < len(toks):
+        if toks[i].text == "(":
+            depth += 1
+        elif toks[i].text == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        i += 1
+    if i >= len(toks) or i == start:
+        return None
+    inner = sql[toks[start].start : toks[i - 1].end]
+    i += 1  # past the closing ")"
+    if not kw(i, "as"):
+        return None
+    i += 1
+    if i >= len(toks) or toks[i].kind != "ident":
+        return None
+    alias = toks[i].text
+    i += 1
+    if not kw(i, "from"):
+        return None
+    i += 1
+    if i >= len(toks) or toks[i].kind != "ident":
+        return None
+    dim = toks[i].text
+    i += 1
+    da = None
+    if kw(i, "as"):
+        if i + 1 >= len(toks) or toks[i + 1].kind != "ident":
+            return None
+        da = toks[i + 1].text
+        i += 2
+    elif i < len(toks) and toks[i].kind == "ident":
+        da = toks[i].text
+        i += 1
+    if i != len(toks):
+        return None
+    return (select, akind, acol, fact, fa, inner, alias, dim, da)
+
+
 def topn_clauses(query: str):
     """AST front-end for the per-group Top-N matcher:
 
