@@ -242,3 +242,43 @@ class TestFlagshipNullFk:
         app.refresh({"o": b}, batch_id=1)
         cur_f = fact.filter(F.col("oid") != 101).unionByName(b.drop(OP_COL, SEQ_COL))
         assert _same(app.read(), _duck(q, dim, cur_f))
+
+
+class TestCorrStreamingLifecycle:
+    def test_theta_scalar_via_readstream(self, spark, tmp_path):
+        """The corr routes plug into the real readStream→foreachBatch
+        CDC lifecycle exactly like every other two-sided route (the
+        (fact, other) dispatch): drain a parquet changelog stream and
+        land on the DuckDB answer."""
+        from tiflink_spark.app import MVApp
+
+        dim = spark.createDataFrame(DIM, "id long, dkey int, bal double")
+        fact = spark.createDataFrame(FACT, "oid long, okey int, price double")
+        q = "SELECT id, dkey, bal, (SELECT count(*) FROM o WHERE o.price > c.bal) AS n FROM c"
+        app = (
+            MVApp.builder(spark)
+            .source("c", dim, pk=["id"])
+            .source("o", fact, pk=["oid"])
+            .query(q)
+            .target(str(tmp_path / "stream"))
+            .num_buckets(2)
+            .shuffle_partitions(2)
+            .build()
+        )
+        assert app.maintenance_strategy == "IncrementalCorrScalarAggMV"
+        app.bootstrap()
+        changes = _ch(
+            fact.filter(F.col("oid").isin(101, 105)).withColumn(
+                "price", F.col("price") / 10
+            ),
+            OP_UPDATE,
+        )
+        chlog = tmp_path / "chlog"
+        changes.coalesce(1).write.parquet(str(chlog))
+        app.start_streaming(
+            {"o": str(chlog)}, checkpoint_dir=str(tmp_path / "ckpt")
+        )
+        cur_f = fact.join(
+            changes.select("oid").distinct(), "oid", "left_anti"
+        ).unionByName(changes.drop(OP_COL, SEQ_COL))
+        assert _same(app.read(), _duck(q, dim, cur_f))
