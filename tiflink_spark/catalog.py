@@ -54,6 +54,15 @@ class Catalog:
         self.spark = spark
         self._tables: dict[str, TableSpec] = {}
 
+    def _bind_view(self, name: str, df: DataFrame) -> None:
+        from tiflink_spark.session import TABLES, invalidate_table_views
+
+        df.createOrReplaceTempView(name)
+        if name in TABLES:
+            # The name shadows a standard testdata table: make the next
+            # load_tables() re-register rather than trust its skip cache.
+            invalidate_table_views(self.spark)
+
     def register_parquet(self, name: str, path: str, pk: list[str] | None = None) -> TableSpec:
         from tiflink_spark.session import read_parquet_normalized
 
@@ -62,7 +71,7 @@ class Catalog:
         df = read_parquet_normalized(self.spark, path)
         spec = TableSpec(name=name, path=path, schema=df.schema, pk=default_pk(df.schema, pk))
         self._tables[name] = spec
-        df.createOrReplaceTempView(name)
+        self._bind_view(name, df)
         return spec
 
     def register_jdbc(
@@ -97,13 +106,13 @@ class Catalog:
             pk = [by_lower[c.lower()] for c in reflected if c.lower() in by_lower] or None
         spec = TableSpec(name=name, path=None, schema=df.schema, pk=default_pk(df.schema, pk))
         self._tables[name] = spec
-        df.createOrReplaceTempView(name)
+        self._bind_view(name, df)
         return spec
 
     def register_dataframe(self, name: str, df: DataFrame, pk: list[str] | None = None) -> TableSpec:
         spec = TableSpec(name=name, path=None, schema=df.schema, pk=default_pk(df.schema, pk))
         self._tables[name] = spec
-        df.createOrReplaceTempView(name)
+        self._bind_view(name, df)
         return spec
 
     def get(self, name: str) -> TableSpec:
@@ -130,7 +139,7 @@ class Catalog:
             pk=default_pk(df.schema, pk), is_view=True,
         )
         self._tables[name] = spec
-        df.createOrReplaceTempView(name)
+        self._bind_view(name, df)
         return spec
 
     def list_tables(self) -> list[str]:

@@ -35,6 +35,43 @@ def _words(col):
     return F.split(F.trim(col), _WS)
 
 
+def _scan_fanout(spark: SparkSession, path: str, *, rows_per_task: int = 600) -> int | None:
+    """Repartition width for CPU-heavy per-row work directly above a
+    parquet scan, or None when the scan is already parallel enough.
+
+    Spark cannot split a parquet ROW GROUP across tasks, so a
+    single-row-group file (the testdata layout) pins the whole
+    scan-stage pipeline — regex shingling, md5 — to ONE core no matter
+    the cluster size (guide §2.5 input skew: "one huge unsplittable
+    file"). A small round-robin repartition of the raw rows fixes that
+    for pennies (the doc text is tiny relative to the work per row).
+
+    Scale-adaptive by construction: the target is derived from the
+    footer row count and capped at the session's parallelism, and the
+    fan-out is skipped when the file's own layout (row groups x split
+    size) already yields at least half the target — which is every
+    properly-written table at real scale, where this helper degrades to
+    a footer read. Non-file inputs (directories, non-parquet) return
+    None."""
+    try:
+        import pyarrow.parquet as _pq
+
+        m = _pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    target = min(
+        spark.sparkContext.defaultParallelism, max(1, m.num_rows // rows_per_task)
+    )
+    if target <= 1:
+        return None
+    total = sum(m.row_group(i).total_byte_size for i in range(m.num_row_groups))
+    n_splits = max(1, -(-total // (128 * 1024 * 1024)))
+    effective = min(m.num_row_groups, n_splits)
+    if effective * 2 >= target:
+        return None
+    return target
+
+
 def _doc_grams(docs: DataFrame, n: int = 3, *, distinct: bool = True) -> DataFrame:
     """Word n-gram shingles per doc: (doc_id, gram).
 
@@ -164,17 +201,45 @@ _MINHASH_BANDS = 4  # 4 bands x 4 rows
 
 
 def _minhash_sig(grams: DataFrame) -> DataFrame:
-    """(doc_id, h0..h15) via one-permutation hashing with min-densification."""
-    h = F.md5(F.col("gram").cast("binary"))
-    hashed = grams.select("doc_id", h.alias("h"))
-    bin_ = F.expr(f"instr('{_HEX_DIGITS}', substr(h, 1, 1)) - 1")
-    aggs = [
-        F.min(F.when(bin_ == s, F.col("h"))).alias(f"h{s}") for s in range(_MINHASH_K)
-    ] + [F.min("h").alias("g")]
-    sig = hashed.groupBy("doc_id").agg(*aggs)
-    return sig.select(
+    """(doc_id, h0..h15) via one-permutation hashing with min-densification.
+
+    The per-bin min is taken over the md5's FIRST 15 HEX CHARS parsed as
+    a 60-bit LONG instead of the 32-char hex string. Two wins (guide
+    §2.3/§3.1-adjacent: narrower types, hash- not sort-aggregation):
+
+    - min(LONG) has a mutable fixed-width buffer, so Spark plans a
+      HashAggregate; min(STRING) forces Sort + SortAggregate — a full
+      sort of the exploded gram set (measured: sig stage 1.87s -> 1.36s
+      at sf0.1).
+    - the agg exchange ships 17 longs (~136 B/doc) instead of 17 hex
+      strings (~1.2 kB/doc).
+
+    Equivalence: lexicographic order on fixed-width lowercase hex equals
+    numeric order on the value, so the 60-bit-prefix min picks the same
+    gram as the full-md5 min unless two DISTINCT grams collide in their
+    first 60 md5 bits AND both are bin-minima of docs sharing a band —
+    a birthday bound of ~N²/2^61. Downstream only ever consumes the
+    mins through band-key EQUALITY (injective xxhash64 of the 4-tuple),
+    the same argument the band key already relies on. Verified: output
+    pairs bit-identical to the full-md5 form at sf0.001/0.01/0.1; the
+    DuckDB oracle keeps the full-md5 reference shape.
+    """
+    # Expressions are built as SQL strings (one py4j parse each) rather
+    # than Column-object chains: the 17-agg chain costs ~170 ms of
+    # driver-side py4j round trips per plan build otherwise (measured
+    # r10; the bench times plan construction too).
+    hashed = grams.selectExpr(
         "doc_id",
-        *[F.coalesce(F.col(f"h{s}"), F.col("g")).alias(f"h{s}") for s in range(_MINHASH_K)],
+        "cast(conv(substring(md5(cast(gram AS binary)), 1, 15), 16, 10) AS bigint) AS h",
+    )
+    # first hex digit == top 4 bits of the 60-bit prefix
+    aggs = [
+        F.expr(f"min(CASE WHEN shiftright(h, 56) = {s} THEN h END) AS h{s}")
+        for s in range(_MINHASH_K)
+    ] + [F.expr("min(h) AS g")]
+    sig = hashed.groupBy("doc_id").agg(*aggs)
+    return sig.selectExpr(
+        "doc_id", *[f"coalesce(h{s}, g) AS h{s}" for s in range(_MINHASH_K)]
     )
 
 
@@ -224,35 +289,55 @@ def _band_keys_sql() -> str:
     tags=("llm", "dedup"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    import os as _os
 
     t = _t(spark, sf_dir)
+    docs = t["documents"]
+    # Single-row-group testdata pins the shingle+md5 pipeline to one
+    # core; fan the raw docs out first (no-op at real scale — see
+    # _scan_fanout). Measured sf0.1: 1.04s -> 0.79s.
+    fan = _scan_fanout(spark, _os.path.join(sf_dir, "documents.parquet"))
+    if fan:
+        docs = docs.repartition(fan)
     # MIN is duplicate-insensitive -> skip the shingle-dedup shuffle.
-    sig = _minhash_sig(_doc_grams(t["documents"], distinct=False))
+    sig = _minhash_sig(_doc_grams(docs, distinct=False))
     rows = _MINHASH_K // _MINHASH_BANDS
     # Band key = xxhash64 over the band's signature rows (+ band index):
-    # an 8-byte long instead of a 32-char md5 hex string, so the
-    # band-count window and the bucket self-join shuffle 4x fewer key
-    # bytes. Any injective keying of the row tuple yields the same
-    # buckets as the oracle's md5-of-concat (64-bit collision odds at
-    # 4·N band keys are ~N²/2^63 — negligible at any tested sf).
+    # an 8-byte long instead of a 32-char md5 hex string, so the bucket
+    # grouping shuffles 4x fewer key bytes. Any injective keying of the
+    # row tuple yields the same buckets as the oracle's md5-of-concat
+    # (64-bit collision odds at 4·N band keys are ~N²/2^63 — negligible
+    # at any tested sf).
     band_cols = [
-        F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)], F.lit(b))
+        "xxhash64(" + ", ".join(f"h{b * rows + r}" for r in range(rows)) + f", {b})"
         for b in range(_MINHASH_BANDS)
     ]
-    bands = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
-    wcap = Window.partitionBy("band_key")
-    bands = (
-        bands.withColumn("__bsz", F.count(F.lit(1)).over(wcap))
-        .filter(F.col("__bsz") <= 200)
-        .drop("__bsz")
+    bands = sig.selectExpr(
+        "doc_id", f"explode(array({', '.join(band_cols)})) AS band_key"
     )
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band_key")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band_key")
+    # Bucket pair expansion in ONE pass over the band rows: group each
+    # band bucket to a doc list, drop oversized buckets (the same
+    # count(*) <= 200 skew guard the oracle's QUALIFY window applies),
+    # then emit every a<b pair from the sorted per-bucket id set. The
+    # previous shape — count window + bucket SELF-JOIN — planned the
+    # whole signature pipeline (scan, gram explode, md5, 17-way min agg)
+    # TWICE, once per join side, plus a band-key sort for the window
+    # (guide §2.4: remove shuffles outright / don't compute things
+    # twice). Bucket size is capped at 200, so the per-group pair HOF is
+    # bounded (≤19,900 pairs) regardless of scale.
+    buckets = (
+        bands.groupBy("band_key")
+        .agg(F.expr("collect_list(doc_id) AS ids"))
+        .filter("size(ids) <= 200")
+        .selectExpr("array_sort(array_distinct(ids)) AS ids")
+    )
     return (
-        a.join(b, ["band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.selectExpr(
+            "explode(flatten(transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids)), y -> "
+            "named_struct('doc_a', x, 'doc_b', y))))) AS p"
+        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -492,8 +577,16 @@ def cosine_topk_nparts(n_rows: int, rows_per_part: int = 8192) -> int:
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     emb = t["embeddings"]
-    # count() on a parquet scan is metadata-only — no full read.
-    nparts = cosine_topk_nparts(emb.count())
+    # Row count straight from the parquet footer (pyarrow, ~1 ms): even
+    # a metadata-only count() costs a Spark job (~40 ms of scheduling)
+    # on every plan build, and the bench times plan construction too.
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    nparts = cosine_topk_nparts(
+        _pq.ParquetFile(_os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    )
     data = emb.select("vec_id", "embedding").withColumn(
         "pid", F.pmod(F.xxhash64("vec_id"), F.lit(nparts)).cast("int")
     )

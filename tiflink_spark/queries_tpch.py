@@ -519,27 +519,32 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "subquery", "agg"),
 )
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One lineitem pass instead of two (guide §2.4): the HAVING
+    # subquery's per-order sum IS the output's sum_qty — o_orderkey is a
+    # grouping key of the outer aggregate and every other key is
+    # functionally dependent on it through the joins, so the final
+    # GROUP BY collapses nothing. Reusing the aggregate drops the second
+    # lineitem scan, the semi join, and the re-aggregation. Bit-exact:
+    # l_quantity is integral (1..50), so the double sums are exact in
+    # any summation order.
     t = _t(spark, sf_dir)
     big = (
         t["lineitem"]
         .groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("q"))
         .filter(F.col("q") > 250)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
     )
     return (
-        t["lineitem"]
-        .join(big, F.col("l_orderkey") == F.col("big_orderkey"), "left_semi")
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy(
+        .select(
             "c_name",
             "c_custkey",
             "o_orderkey",
             F.col("o_orderdate").cast("date").cast("timestamp").alias("orderdate"),
             "o_totalprice",
+            F.round(F.col("q"), 2).alias("sum_qty"),
         )
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
     )
 
 

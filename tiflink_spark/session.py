@@ -151,6 +151,22 @@ def get_spark(app_name: str = "tiflink_spark", *, extra_conf: dict | None = None
 # serving it the dead session's DataFrames fails obscurely.
 _TABLE_CACHE: dict[tuple[int, str, str, bool], dict[str, DataFrame]] = {}
 
+# (session id, app id) -> the sf_dir whose tables currently own the
+# standard view names on that session. Re-registering 10 unchanged temp
+# views costs ~5 ms of py4j each (~55 ms per load_tables call — measured
+# r10, ~20% of some sub-second query timings), so registration is skipped
+# while the owner is unchanged. Anything that rebinds one of the TABLES
+# names to a different frame must call invalidate_table_views().
+_VIEW_OWNER: dict[tuple[int, str], str] = {}
+
+
+def invalidate_table_views(spark: SparkSession) -> None:
+    """Forget which sf_dir owns the standard table view names on this
+    session, forcing the next load_tables() to re-register them. Called
+    by any code path that binds a TABLES name to a different DataFrame
+    (e.g. Catalog registrations)."""
+    _VIEW_OWNER.pop((id(spark), spark.sparkContext.applicationId), None)
+
 
 def load_tables(
     spark: SparkSession,
@@ -166,12 +182,15 @@ def load_tables(
     surface can name them.
     """
     key = (id(spark), spark.sparkContext.applicationId, sf_dir, register_views)
+    skey = (id(spark), spark.sparkContext.applicationId)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
-        if register_views:
-            # Cheap re-register: another sf_dir may have claimed the names.
+        if register_views and _VIEW_OWNER.get(skey) != sf_dir:
+            # Re-register only when another sf_dir (or a Catalog
+            # registration) has claimed the names since we last did.
             for name, df in cached.items():
                 df.createOrReplaceTempView(name)
+            _VIEW_OWNER[skey] = sf_dir
         return dict(cached)
     # Testdata timestamps have shipped in two physical forms:
     #   - timestamp[ns] parquet (rejected by the vectorized reader) — read
@@ -201,6 +220,8 @@ def load_tables(
         out[name] = df
         if register_views:
             df.createOrReplaceTempView(name)
+    if register_views:
+        _VIEW_OWNER[skey] = sf_dir
     _TABLE_CACHE[key] = dict(out)
     return out
 
