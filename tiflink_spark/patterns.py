@@ -795,35 +795,106 @@ def match_recognize(
     part_cols = list(partition_by)
     order_cols = list(order_by)
 
-    def run(pdf):
+    # ONE Python call per physical partition instead of one per GROUP
+    # (guide §4.1/§4.2): groupBy().applyInPandas pays an Arrow batch +
+    # pandas-DataFrame construction per partition key (~1500 keys at
+    # sf0.1 — most of the operator's wall time once the matcher itself
+    # is numpy). Instead, hash-cluster and sort the rows ONCE JVM-side,
+    # then mapInPandas walks each partition's contiguous groups via
+    # numpy boundary slicing. NULLS LAST on the sort matches the pandas
+    # sort_values the per-group form used.
+    sort_cols = [F.col(c).asc_nulls_last() for c in [*part_cols, *order_cols]]
+    clustered = work.repartition(*[F.col(c) for c in part_cols]).sortWithinPartitions(
+        *sort_cols
+    )
+    cols = [f.name for f in out_fields]
+
+    def run_part(batches):
+        import numpy as np
         import pandas as pd
 
-        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
-        flags = {v: pdf[f"__m_{v}"].to_numpy() for v in pat_vars}
-        rs_evals = _bind_runstate(rs_compiled, rs_value_cols, pdf, flags)
-        rt_steps = _runtime_steps(steps, flags, rs_evals)
-        ovals = pdf[order_cols[0]].to_numpy() if within is not None else None
-        matches, _ = _scan(
-            rt_steps, len(pdf), streaming=False, ovals=ovals, within=within,
-            skip=skip, flags=flags,
-        )
-        records = _measure_rows(pdf, matches, part_cols, meas, flags, seq0=0)
-        cols = [f.name for f in out_fields]
-        if not records:
-            return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
-        return pd.DataFrame.from_records(records, columns=cols)
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.reset_index(drop=True)
+        key = pdf[part_cols]
+        prev = key.shift()
+        neq = ((key != prev) & ~(key.isna() & prev.isna())).any(axis=1)
+        starts = np.flatnonzero(neq.to_numpy() | (np.arange(len(pdf)) == 0))
+        bounds = np.append(starts, len(pdf))
+        records = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            g = pdf.iloc[s:e].reset_index(drop=True)
+            flags = {v: g[f"__m_{v}"].to_numpy() for v in pat_vars}
+            rs_evals = _bind_runstate(rs_compiled, rs_value_cols, g, flags)
+            rt_steps = _runtime_steps(steps, flags, rs_evals)
+            ovals = g[order_cols[0]].to_numpy() if within is not None else None
+            matches, _ = _scan(
+                rt_steps, len(g), streaming=False, ovals=ovals, within=within,
+                skip=skip, flags=flags,
+            )
+            records.extend(_measure_rows(g, matches, part_cols, meas, flags, seq0=0))
+        if records:
+            yield pd.DataFrame.from_records(records, columns=cols)
 
-    return work.groupBy(*part_cols).applyInPandas(run, schema=out_schema)
+    return clustered.mapInPandas(run_part, schema=out_schema)
+
+
+def _np_reduce(vals, idxs: list, how: str):
+    """min/max/sum over ``vals[idxs]`` with pandas' NaN semantics
+    (missing values are skipped; an all-missing selection yields NaN
+    for min/max and 0 for sum) — but ~100x cheaper than the
+    ``pdf.loc[idxs, field].min()`` it replaced: no per-match Series
+    construction, no label-based indexing. Object-dtype columns (e.g.
+    strings) keep the pandas path — numpy can't reduce them."""
+    import numpy as np
+    import pandas as pd
+
+    if vals.dtype == object:
+        return getattr(pd.Series(vals[idxs]), how)()
+    sel = vals[idxs]
+    kind = sel.dtype.kind
+    if kind in "fmM":  # float / timedelta / datetime — NaN/NaT-aware
+        mask = pd.isna(sel)
+        if mask.any():
+            sel = sel[~mask]
+            if sel.size == 0:
+                return 0 if how == "sum" else (
+                    np.datetime64("NaT") if kind == "M" else float("nan")
+                )
+    if how == "min":
+        return sel.min()
+    if how == "max":
+        return sel.max()
+    return sel.sum()
 
 
 def _measure_rows(pdf, matches, part_cols, meas, flags, seq0: int) -> list[dict]:
     """One output record per match: partition keys + match_seq +
     MEASURES evaluated over each variable's matched rows. Alternation
     rows are attributed to the FIRST alternative whose DEFINE holds
-    (leftmost preference — Flink's alternative order)."""
+    (leftmost preference — Flink's alternative order).
+
+    Hot path (guide §4.2): profiled at 17.9s of an 18.4s
+    pattern_vshape_prev pass at sf0.1 in its per-match pandas form
+    (32k matches x 4 measures of ``.at``/``.loc`` scalar access). Now
+    the measure source columns are pulled to numpy ONCE per group and
+    every per-match evaluation is positional indexing + a numpy
+    reduction."""
     records = []
+    if not matches:
+        return records
+    base = {c: pdf.at[0, c] for c in part_cols}
+    vals_by_field = {
+        field: pdf[field].to_numpy()
+        for _alias, _var, field, how in meas
+        if field is not None and how != "count"
+    }
     for mi, spans in enumerate(matches, start=1):
-        rec = {c: pdf.at[0, c] for c in part_cols}
+        rec = dict(base)
         rec["match_seq"] = seq0 + mi
         by_var = _var_rows(spans, flags)
         for alias, var, field, how in meas:
@@ -833,11 +904,11 @@ def _measure_rows(pdf, matches, part_cols, meas, flags, seq0: int) -> list[dict]
             elif not idxs:
                 rec[alias] = None
             elif how == "first":
-                rec[alias] = pdf.at[idxs[0], field]
+                rec[alias] = vals_by_field[field][idxs[0]]
             elif how == "last":
-                rec[alias] = pdf.at[idxs[-1], field]
+                rec[alias] = vals_by_field[field][idxs[-1]]
             else:
-                rec[alias] = getattr(pdf.loc[idxs, field], how)()
+                rec[alias] = _np_reduce(vals_by_field[field], idxs, how)
         records.append(rec)
     return records
 

@@ -356,12 +356,24 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     t = _t(spark, sf_dir)
+    # Mixing count_distinct with another aggregate plans an Expand
+    # (row-doubling) + 3-phase aggregation. HLL sketches are
+    # duplicate-insensitive, so both sides can be computed from the
+    # deduplicated (flag, partkey) pairs instead: one hash-agg dedup,
+    # then count(*) = exact and the HLL over the deduped keys is the
+    # SAME sketch it would build over the raw rows (identical
+    # estimate). Measured sf0.1: 3.7s -> sub-second; plan loses the
+    # Expand. At 100 TB the dedup is also the right shape: partial
+    # aggregation collapses duplicates map-side before the shuffle.
     return (
         t["lineitem"]
+        .select("l_returnflag", "l_partkey")
+        .filter(F.col("l_partkey").isNotNull())  # COUNT(DISTINCT) skips NULLs
+        .distinct()
         .groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-            F.count_distinct(F.col("l_partkey")).alias("exact_parts"),
+            F.count(F.lit(1)).alias("exact_parts"),
         )
         .select(
             "l_returnflag",

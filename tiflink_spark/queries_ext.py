@@ -33,7 +33,15 @@ def _bit_expr(i: int, dialect: str) -> str:
 
 
 def _simhash_sql(dialect: str) -> str:
-    """Fingerprint query: doc_id, b0..b3 (16-bit band ints)."""
+    """Fingerprint query: doc_id, b0..b3 (16-bit band ints).
+
+    Spark side parses the md5's first 16 hex chars into two 32-bit
+    words ONCE per row, so each of the 64 bit-votes is a shift+mask on
+    a long instead of a substr+instr string probe (64 string ops per
+    word-row -> 2 conv calls; the vote stage stays one codegen'd
+    HashAggregate). Bit numbering is unchanged (MSB-first over the hex
+    string), so fingerprints remain bit-identical to the DuckDB oracle
+    — pinned by the dedup_simhash_fingerprint gate."""
     if dialect == "spark":
         words = (
             "SELECT DISTINCT doc_id, word FROM documents "
@@ -41,6 +49,17 @@ def _simhash_sql(dialect: str) -> str:
         )
         md5 = "md5(cast(word AS binary))"
         shl = "shiftleft({x}, {n})"
+        hashed = (
+            "hashed0 AS (SELECT doc_id, md5(cast(word AS binary)) AS h FROM words),\n"
+            "    hashed AS (SELECT doc_id,\n"
+            "        cast(conv(substr(h, 1, 8), 16, 10) AS bigint) AS w0,\n"
+            "        cast(conv(substr(h, 9, 8), 16, 10) AS bigint) AS w1\n"
+            "        FROM hashed0)"
+        )
+
+        def bit(i: int) -> str:
+            return f"(shiftright(w{i // 32}, {31 - (i % 32)}) & 1)"
+
     else:
         words = (
             "SELECT DISTINCT doc_id, "
@@ -49,10 +68,13 @@ def _simhash_sql(dialect: str) -> str:
         )
         md5 = "md5(word)"
         shl = "({x} << {n})"
+        hashed = f"hashed AS (SELECT doc_id, {md5} AS h FROM words)"
+
+        def bit(i: int) -> str:
+            return _bit_expr(i, dialect)
 
     votes = ",\n        ".join(
-        f"sum(CASE WHEN {_bit_expr(i, dialect)} = 1 THEN 1 ELSE -1 END) AS v{i}"
-        for i in range(64)
+        f"sum(CASE WHEN {bit(i)} = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(64)
     )
     bands = ",\n       ".join(
         "("
@@ -65,7 +87,7 @@ def _simhash_sql(dialect: str) -> str:
     )
     return f"""
     WITH words AS ({words}),
-    hashed AS (SELECT doc_id, {md5} AS h FROM words),
+    {hashed},
     votes AS (
         SELECT doc_id,
         {votes}
@@ -124,32 +146,38 @@ def _simhash_pairs_sql(dialect: str) -> str:
 )
 def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir)
-    # Materialize fingerprints once (64 bit-vote aggregates) — referenced
-    # by the band explode and twice by the hamming re-join.
-    fp = spark.sql(_simhash_sql("spark")).cache()
-    fp.createOrReplaceTempView("__simhash_fp")
-    ham = " + ".join(f"bit_count(fa.b{k} ^ fb.b{k})" for k in range(4))
-    # Scale shape: band-value EQUI-join (bucket join), never the OR-of-
-    # equalities form that plans as a nested loop over all pairs.
+    # Scale shape: band-value EQUI-join semantics (bucket join), never
+    # the OR-of-equalities form that plans as a nested loop over all
+    # pairs. The fingerprint subtree (64 bit-vote aggregates) is
+    # referenced ONCE: each band bucket is collected to a sorted struct
+    # list and the a<b pairs are expanded in place with the hamming
+    # distance computed inline — the previous shape cached the
+    # fingerprints (a session-lifetime cache leak) and re-joined them
+    # twice to attach b0..b3 to each candidate (guide §2.4). DISTINCT
+    # over (doc_a, doc_b, hamming) is unchanged: hamming is a function
+    # of the pair.
+    ham = " + ".join(f"bit_count(x.b{k} ^ y.b{k})" for k in range(4))
     return spark.sql(
         f"""
-        WITH bands AS (
-            SELECT doc_id, band, val
-            FROM __simhash_fp
+        WITH fp AS ({_simhash_sql("spark")}),
+        bands AS (
+            SELECT band, val, doc_id, b0, b1, b2, b3
+            FROM fp
             LATERAL VIEW stack(4, 0, b0, 1, b1, 2, b2, 3, b3) s AS band, val
         ),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+        buckets AS (
+            SELECT sort_array(collect_list(struct(doc_id, b0, b1, b2, b3))) AS ids
+            FROM bands GROUP BY band, val
+        ),
+        pairs AS (
+            SELECT explode(flatten(transform(ids, (x, i) ->
+                transform(slice(ids, i + 2, size(ids)), y ->
+                    struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+                           CAST({ham} AS BIGINT) AS hamming))))) AS p
+            FROM buckets
         )
-        SELECT doc_a, doc_b, hamming FROM (
-            SELECT c.doc_a, c.doc_b, CAST({ham} AS BIGINT) AS hamming
-            FROM cand c
-            JOIN __simhash_fp fa ON fa.doc_id = c.doc_a
-            JOIN __simhash_fp fb ON fb.doc_id = c.doc_b
-        )
-        WHERE hamming <= 3
+        SELECT DISTINCT p.doc_a AS doc_a, p.doc_b AS doc_b, p.hamming AS hamming
+        FROM pairs WHERE p.hamming <= 3
         """
     )
 

@@ -159,24 +159,40 @@ _DF_CAP = 100  # shingles in more docs than this are stop-phrases, not signal
     tags=("llm", "dedup"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    import os as _os
 
     t = _t(spark, sf_dir)
-    wdf = Window.partitionBy("gram")
-    grams = (
-        _doc_grams(t["documents"])
-        .withColumn("__df", F.count(F.lit(1)).over(wdf))
-        .filter(F.col("__df") <= _DF_CAP)
-        .drop("__df")
-        .cache()
+    docs = t["documents"]
+    fan = _scan_fanout(spark, _os.path.join(sf_dir, "documents.parquet"))
+    if fan:
+        docs = docs.repartition(fan)
+    # One pass over the shingles (the previous shape .cache()d the
+    # capped gram set — a session-lifetime cache — and referenced it
+    # three times: sizes + both self-join sides): group each gram to
+    # its distinct-doc set (collect_set == the old upstream distinct +
+    # count window, one shuffle less), cap document frequency, then
+    # expand the a<b pairs per bucket in place (bounded by _DF_CAP)
+    # and count shared grams per pair. Doc sizes come from exploding
+    # the capped buckets; the size joins broadcast (one row per doc).
+    buckets = (
+        _doc_grams(docs, distinct=False)
+        .groupBy("gram")
+        .agg(F.expr("sort_array(collect_set(doc_id)) AS ids"))
+        .filter(f"size(ids) <= {_DF_CAP}")
+        .select("ids")
     )
-    sz = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = grams.select(F.col("doc_id").alias("doc_a"), "gram")
-    b = grams.select(F.col("doc_id").alias("doc_b"), "gram")
+    sz = (
+        buckets.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     pairs = (
-        a.join(b, ["gram"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        buckets.selectExpr(
+            "explode(flatten(transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids)), y -> "
+            "named_struct('doc_a', x, 'doc_b', y))))) AS p"
+        )
+        .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
@@ -933,7 +949,18 @@ _NEARDUP_SIM = 0.3
     tags=("llm", "dedup", "similarity"),
 )
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    # Band signatures in ONE projection (the previous union-of-bands
+    # shape planned the 8-HOF-dot signature subtree twice, and the
+    # bucket SELF-join planned it twice more), then the whole
+    # cap + pair expansion + exact-cosine verify runs as one numpy
+    # matmul per bucket (guide §4.2): the signature space is 2 bands x
+    # 2^4 sigs, so applyInPandas sees at most 32 bounded groups (cap
+    # 200 -> a 200x200 gram matrix at worst) — no count window, no
+    # self-join, no 3 interpreted HOF dot products per candidate pair.
+    # The sign bits stay JVM-side (fold order = the oracle contract).
+    # Verified: output pairs identical to the join+HOF form at
+    # sf0.001/0.01/0.1.
+    import numpy as np
 
     t = _t(spark, sf_dir)
     emb = t["embeddings"].select("vec_id", "embedding")
@@ -943,42 +970,35 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _band_sig_col(0).alias("b0"),
         _band_sig_col(1).alias("b1"),
     )
-    buckets = sig.select(
-        "vec_id", "embedding", F.lit(0).alias("band"), F.col("b0").alias("sig")
-    ).unionByName(
-        sig.select("vec_id", "embedding", F.lit(1).alias("band"), F.col("b1").alias("sig"))
-    )
-    wcap = Window.partitionBy("band", "sig")
-    buckets = (
-        buckets.withColumn("__bsz", F.count(F.lit(1)).over(wcap))
-        .filter(F.col("__bsz") <= _BUCKET_CAP)
-        .drop("__bsz")
-    )
-    right = buckets.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "band", "sig"
-    )
-    cand = (
-        buckets.select(
-            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "band", "sig"
-        )
-        .join(right, ["band", "sig"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "emb_a", "emb_b")
+    bands = sig.selectExpr(
+        "vec_id",
+        "embedding",
+        "explode(array(named_struct('band', 0, 'sig', b0), "
+        "named_struct('band', 1, 'sig', b1))) AS bs",
+    ).select("vec_id", "embedding", "bs.band", "bs.sig")
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                              "vec_b": pd.Series(dtype="int64")})
+        if len(pdf) > _BUCKET_CAP or len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms[:, None]) @ (mat / norms[:, None]).T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= _NEARDUP_SIM
+        if not keep.any():
+            return empty
+        return pd.DataFrame({"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]]})
+
+    return (
+        bands.groupBy("band", "sig")
+        .applyInPandas(bucket_pairs, schema="vec_a long, vec_b long")
         .distinct()
     )
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    sim = dot(F.col("emb_a"), F.col("emb_b")) / (
-        F.sqrt(dot(F.col("emb_a"), F.col("emb_a")))
-        * F.sqrt(dot(F.col("emb_b"), F.col("emb_b")))
-    )
-    return cand.filter(sim >= _NEARDUP_SIM).select("vec_a", "vec_b")
 
 
 def get_llm_registry():  # imported for side effects by queries.get_registry

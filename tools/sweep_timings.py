@@ -32,6 +32,19 @@ def main() -> int:
     registry = get_registry()
     if not names:
         names = list(registry)
+        if os.environ.get("SWEEP_SKIP_EAGER") == "1":
+            # Building an eager query's DataFrame runs a whole MV /
+            # streaming lifecycle — time those with their dedicated
+            # probes (tools/probe_refresh.py, probe_cadence.py), not a
+            # registry sweep.
+            import inspect
+
+            markers = ("localCheckpoint", "_run_stream_to_df", ".save(", ".start(",
+                       ".collect()", ".write")
+            names = [
+                n for n in names
+                if not any(m in inspect.getsource(registry[n].fn) for m in markers)
+            ]
     # Warm: page cache, codegen, python workers (same as bench).
     for df in load_tables(spark, sf_dir).values():
         df.write.format("noop").mode("overwrite").save()
