@@ -397,3 +397,50 @@ def test_corr_semijoin_membership_join_shapes(spark, tmp_path):
     # the equality conjunct gives Catalyst a hash-join key; the theta
     # term rides as the join residual
     assert "BroadcastHashJoin" in mixed or "SortMergeJoin" in mixed, mixed[:2000]
+
+
+def test_llm_one_pass_shapes_read_input_once(spark):
+    """Round-10 one-pass restructures pinned: each of these operators
+    previously planned its scan/signature subtree two to four times
+    (band-bucket self-joins, count windows, doc-frequency re-joins).
+    The optimized forms read their input parquet exactly once."""
+    for name in (
+        "dedup_minhash_lsh",
+        "embedding_ann_lsh",
+        "dedup_embedding_neardup",
+        "text_dup_span_fraction",
+    ):
+        plan = _plan(spark, name)
+        assert plan.count("Scan parquet") == 1, (name, plan[:3000])
+
+
+def test_cast_funcs_regex_guard_matches_plain_try_cast(spark):
+    """cast_funcs pre-guards TRY_CAST with a numeric RLIKE (the ANSI
+    failure path throws/catches a JVM exception per failing row). The
+    guard must be output-invisible: same value/NULL as a bare TRY_CAST
+    on whitespace, signs, fractions, overflow digits, junk, and NULL."""
+    from pyspark.sql import functions as F
+
+    vals = [
+        "7", " 42 ", "+5", "-0", "007", "abc", "", "  ", "4 2", "1.5",
+        "0x1f", "9223372036854775807", "9223372036854775808",
+        "-9223372036854775808", "-9223372036854775809",
+        "99999999999999999999", None,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    # the exact guard expression cast_funcs uses, retargeted at column s
+    import inspect
+
+    from tiflink_spark.queries_ext import cast_funcs
+
+    src = inspect.getsource(cast_funcs)
+    assert "RLIKE" in src and "TRY_CAST" in src
+    guarded = F.expr(
+        "CASE WHEN s RLIKE '^\\\\s*[+-]?[0-9]+\\\\s*$' "
+        "THEN TRY_CAST(s AS BIGINT) END"
+    )
+    rows = df.select(
+        "s", guarded.alias("g"), F.expr("TRY_CAST(s AS BIGINT)").alias("p")
+    ).collect()
+    mismatch = [(r.s, r.g, r.p) for r in rows if r.g != r.p]
+    assert not mismatch, mismatch

