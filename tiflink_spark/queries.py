@@ -1124,18 +1124,25 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
         """
     )
+    # One partsupp_x evaluation instead of two: the correlated scalar
+    # min planned as a SECOND full lineitem scan + DISTINCT aggregation
+    # joined back per part. All ps rows of a part survive the p_size
+    # join together, so min-per-part over the part-filtered rows equals
+    # the correlated min — a window min after the (broadcast) part join
+    # computes it in the same pass (guide §2.4 "don't compute twice";
+    # plan: 2 lineitem scans -> 1).
     return spark.sql(
         """
         SELECT s_name, n_name, p_partkey, ps_supplycost
-        FROM part, supplier, partsupp_x ps, nation
-        WHERE p_partkey = ps.ps_partkey
-          AND s_suppkey = ps.ps_suppkey
-          AND s_nationkey = n_nationkey
-          AND p_size = 15
-          AND ps_supplycost = (
-              SELECT min(ps2.ps_supplycost)
-              FROM partsupp_x ps2
-              WHERE ps2.ps_partkey = p_partkey)
+        FROM (
+            SELECT p_partkey, ps_suppkey, ps_supplycost,
+                   min(ps_supplycost) OVER (PARTITION BY p_partkey) AS min_cost
+            FROM partsupp_x ps JOIN part
+              ON p_partkey = ps.ps_partkey AND p_size = 15
+        ) q
+        JOIN supplier ON s_suppkey = q.ps_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE ps_supplycost = min_cost
         """
     )
 

@@ -109,8 +109,29 @@ def _simhash_sql(dialect: str) -> str:
     tags=("llm", "dedup", "simhash"),
 )
 def dedup_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir)
-    return spark.sql(_simhash_sql("spark"))
+    return _simhash_fp_df(spark, sf_dir)
+
+
+def _simhash_fp_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark-dialect fingerprint query, with the documents scan
+    fanned out when the file layout pins it to too few cores (guide
+    §2.5 — the explode+md5 pipeline above a single-row-group parquet
+    otherwise runs one task; same gate as minhash's _scan_fanout, a
+    pure footer read at real scale). The SQL template is unchanged, so
+    fingerprints stay bit-identical to the DuckDB oracle."""
+    import os as _os
+
+    from tiflink_spark.queries_llm import _scan_fanout
+
+    t = _t(spark, sf_dir)
+    sql = _simhash_sql("spark")
+    fan = _scan_fanout(spark, _os.path.join(sf_dir, "documents.parquet"))
+    if fan:
+        t["documents"].repartition(fan).createOrReplaceTempView(
+            "__documents_fanned"
+        )
+        sql = sql.replace("FROM documents", "FROM __documents_fanned")
+    return spark.sql(sql)
 
 
 def _simhash_pairs_sql(dialect: str) -> str:
@@ -145,40 +166,91 @@ def _simhash_pairs_sql(dialect: str) -> str:
     tags=("llm", "dedup", "simhash"),
 )
 def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir)
-    # Scale shape: band-value EQUI-join semantics (bucket join), never
-    # the OR-of-equalities form that plans as a nested loop over all
-    # pairs. The fingerprint subtree (64 bit-vote aggregates) is
-    # referenced ONCE: each band bucket is collected to a sorted struct
-    # list and the a<b pairs are expanded in place with the hamming
-    # distance computed inline — the previous shape cached the
-    # fingerprints (a session-lifetime cache leak) and re-joined them
-    # twice to attach b0..b3 to each candidate (guide §2.4). DISTINCT
-    # over (doc_a, doc_b, hamming) is unchanged: hamming is a function
-    # of the pair.
-    ham = " + ".join(f"bit_count(x.b{k} ^ y.b{k})" for k in range(4))
-    return spark.sql(
-        f"""
-        WITH fp AS ({_simhash_sql("spark")}),
-        bands AS (
-            SELECT band, val, doc_id, b0, b1, b2, b3
-            FROM fp
-            LATERAL VIEW stack(4, 0, b0, 1, b1, 2, b2, 3, b3) s AS band, val
-        ),
-        buckets AS (
-            SELECT sort_array(collect_list(struct(doc_id, b0, b1, b2, b3))) AS ids
-            FROM bands GROUP BY band, val
-        ),
-        pairs AS (
-            SELECT explode(flatten(transform(ids, (x, i) ->
-                transform(slice(ids, i + 2, size(ids)), y ->
-                    struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
-                           CAST({ham} AS BIGINT) AS hamming))))) AS p
-            FROM buckets
+    import numpy as np
+    import pandas as pd
+
+    # Scale shape: band-value EQUI-bucketing semantics, never the
+    # OR-of-equalities form that plans as a nested loop over all pairs.
+    # The fingerprint subtree (64 bit-vote aggregates) is referenced
+    # ONCE; band buckets are hash-clustered + sorted JVM-side and ONE
+    # mapInPandas pass expands each bucket's a<b pairs as a numpy
+    # XOR+popcount (guide §4.2) — measured 1.4s of the query's 2.3s
+    # went to the previous interpreted HOF struct expansion (~1.9M
+    # candidate structs at sf0.1, one hot 1473-doc bucket). Pairs only
+    # (a handful of rows) cross back to the JVM. The oracle's DISTINCT
+    # across bands is realized shuffle-free: each pair is emitted only
+    # from its FIRST matching band (every row carries all 4 band
+    # values), so the global distinct exchange (0.46s) disappears;
+    # hamming is a function of the pair, so the row set is identical.
+    fp = _simhash_fp_df(spark, sf_dir)
+    bands = fp.selectExpr(
+        "doc_id", "b0", "b1", "b2", "b3",
+        "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band, val)",
+    )
+    # bounded partition count: the band rows are 4x the doc count (tiny
+    # relative to the pair work), and every shuffle partition pays a
+    # Python-worker task roundtrip — 200 default partitions cost ~1s of
+    # near-empty task overhead for ~20k rows at sf0.1
+    par = spark.sparkContext.defaultParallelism
+    clustered = bands.repartition(par, "band", "val").sortWithinPartitions(
+        "band", "val", "doc_id"
+    )
+
+    def _popcnt16(x):
+        x = x - ((x >> 1) & 0x5555)
+        x = (x & 0x3333) + ((x >> 2) & 0x3333)
+        x = (x + (x >> 4)) & 0x0F0F
+        return (x + (x >> 8)) & 0x1F
+
+    def pairs(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        if len(pdf) == 0:
+            return
+        # bucket boundaries in the clustered order (val < 2^16, band < 4)
+        key = pdf["band"].to_numpy(dtype=np.int64) * 65536 + pdf["val"].to_numpy(
+            dtype=np.int64
         )
-        SELECT DISTINCT p.doc_a AS doc_a, p.doc_b AS doc_b, p.hamming AS hamming
-        FROM pairs WHERE p.hamming <= 3
-        """
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        bounds = np.append(starts, len(pdf))
+        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        band = pdf["band"].to_numpy(dtype=np.int64)
+        b = [pdf[f"b{k}"].to_numpy(dtype=np.int64) for k in range(4)]
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            n = e - s
+            if n < 2:
+                continue
+            i, j = np.triu_indices(n, 1)
+            xors = [b[k][s:e][i] ^ b[k][s:e][j] for k in range(4)]
+            ham = np.zeros(len(i), dtype=np.int64)
+            for k in range(4):
+                ham += _popcnt16(xors[k])
+            keep = ham <= 3
+            # emit a pair only from its FIRST matching band — the
+            # replacement for a global DISTINCT across bands (a pair in
+            # band k's bucket whose fingerprints already agree on an
+            # earlier band m < k is band m's to emit)
+            for m in range(int(band[s])):
+                keep &= xors[m] != 0
+            if keep.any():
+                gi = ids[s:e]  # sorted ascending -> doc_a < doc_b
+                out_a.append(gi[i[keep]])
+                out_b.append(gi[j[keep]])
+                out_h.append(ham[keep])
+        if out_a:
+            yield pd.DataFrame(
+                {
+                    "doc_a": np.concatenate(out_a),
+                    "doc_b": np.concatenate(out_b),
+                    "hamming": np.concatenate(out_h),
+                }
+            )
+
+    return clustered.mapInPandas(
+        pairs, schema="doc_a long, doc_b long, hamming long"
     )
 
 

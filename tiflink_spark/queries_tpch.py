@@ -113,19 +113,36 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
-    n1 = t["nation"].select(
+    # The pair predicate implies supp_nation IN (N1,N2) AND cust_nation
+    # IN (N1,N2) — a disjunctive implication Catalyst does not derive on
+    # its own, so the original shape broadcast ALL 150k orders and
+    # probed them with ALL of lineitem before the nation filter dropped
+    # ~99% of rows at the top of the plan. Pre-filtering the two nation
+    # dims (guide §3.2 "reduce the big side before joining") shrinks
+    # supplier/customer to ~8% each and orders to ~8%, so every build
+    # side is ~12x smaller and most lineitem rows are dropped at their
+    # FIRST join. The residual pair filter is unchanged, join strategy
+    # stays planner-chosen (broadcast locally; SMJ at scale).
+    both = ["NATION_1", "NATION_2"]
+    n1 = t["nation"].filter(F.col("n_name").isin(both)).select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
-    n2 = t["nation"].select(
+    n2 = t["nation"].filter(F.col("n_name").isin(both)).select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     )
+    sup_f = t["supplier"].join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key")
+    ).select("s_suppkey", "supp_nation")
+    cust_f = t["customer"].join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key")
+    ).select("c_custkey", "cust_nation")
+    ord_f = t["orders"].join(
+        cust_f, F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "cust_nation")
     joined = (
         t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
-        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .join(ord_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(sup_f, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
