@@ -137,6 +137,14 @@ def get_spark(app_name: str = "tiflink_spark", *, extra_conf: dict | None = None
         # 3.3ms each). An embedded engine builds plans continuously;
         # turn it off in production sessions.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # FileOutputCommitter v2 commits task output on task commit
+        # instead of a serial job-commit rename pass — measured ~45 ms
+        # off EVERY parquet write job (the MV store path writes one
+        # delta file per refresh, so lifecycle queries pay this floor
+        # 10-16x per run). Visibility of store state is gated by the
+        # store's own manifest line, not the _SUCCESS marker, so the
+        # weaker job-abort atomicity of v2 is immaterial here.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
