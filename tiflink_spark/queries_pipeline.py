@@ -232,11 +232,16 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     docs = t["documents"]
     pct = F.expr(_pct_expr("doc_id", "spark"))
-    bench_ids = docs.filter(pct < 10).select("doc_id")
-    grams = _doc_grams(docs)
-    bgrams = grams.join(bench_ids, "doc_id").select("gram").distinct()
-    cg = grams.join(bench_ids, "doc_id", "left_anti")
-    hit = bgrams.withColumn("__hit", F.lit(1))
+    # The bench membership is a DETERMINISTIC row-local expression of
+    # doc_id, so both sides are plain filters on the corpus — no
+    # bench_ids join, no left_anti, and each side's gram explode runs
+    # over only ITS docs. The previous shape planned the full
+    # gram-explode subtree TWICE (both sides of the membership joins),
+    # ~0.9s of the query's 0.96s at sf0.1 (guide §2.4): 200% of the
+    # shingling work vs 10% + 90% here.
+    bgrams = _doc_grams(docs.filter(pct < 10)).select("gram").distinct()
+    cg = _doc_grams(docs.filter(pct >= 10))
+    hit = F.broadcast(bgrams.withColumn("__hit", F.lit(1)))
     return (
         cg.join(hit, "gram", "left")
         .groupBy("doc_id")
@@ -448,14 +453,24 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_chars") >= _PREP_MIN_CHARS)
         .select("doc_id", "text")
     )
-    rep = (
-        _doc_grams(survivors, n=3, distinct=False)
-        .groupBy("doc_id")
-        .agg(
-            (1 - F.countDistinct("gram") / F.count(F.lit(1))).alias("rep_ratio")
-        )
+    # The repetition ratio is a PER-DOC function of the doc's own gram
+    # multiset — computed row-locally from the gram array (the same
+    # regex pass _doc_grams uses) instead of explode + groupBy + a
+    # join back onto survivors, which planned the whole survivors
+    # subtree (documents scan ⋈ canon) twice (guide §2.4). A doc with
+    # no grams (< n words) had no rep row and was dropped by the inner
+    # join; here its ratio is NULL and the filter drops it the same.
+    # count/countDistinct over the exploded rows ≡ size/array_distinct
+    # of the array, so the double division is bit-identical.
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    pat = r"(?<![^ ])(?=(" + " ".join(["[^ ]+"] * 3) + r"))"
+    garr = F.regexp_extract_all(norm, F.lit(pat), 1)
+    # ANSI mode: guard the zero-gram case (CASE short-circuits, so the
+    # division never sees size 0; NULL ratio ≡ the old dropped row)
+    rep_ratio = F.when(
+        F.size(garr) > 0, 1 - F.size(F.array_distinct(garr)) / F.size(garr)
     )
-    clean = survivors.join(rep, "doc_id").filter(
+    clean = survivors.withColumn("rep_ratio", rep_ratio).filter(
         F.col("rep_ratio") <= _PREP_MAX_REP
     )
     ws = _words(F.col("text"))
