@@ -1490,11 +1490,31 @@ def jdbc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "approx"),
 )
 def approx_percentile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from tiflink_spark.queries_llm import _scan_fanout
+
     t = _t(spark, sf_dir)
     exact = F.expr("percentile(l_extendedprice, 0.5)")
     approx = F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+    li = t["lineitem"]
+    # percentile/approx_percentile are typed-imperative aggregates (no
+    # codegen partial agg); a single-row-group input pins their whole
+    # per-row update loop to one core (guide §2.5). Hash-repartition on
+    # a deterministic PK hash (NOT round-robin — that pays a local
+    # sort-before-repartition pass, §2.5) when the scan layout is
+    # under-parallel; no-op at real scale. Exact percentile is
+    # multiset-determined, so the result is partition-independent; the
+    # approx sketch's merge order changes, which only the 1%-bound
+    # boolean observes (verified unchanged at sf0.001/0.01/0.1).
+    fan = _scan_fanout(spark, _os.path.join(sf_dir, "lineitem.parquet"))
+    if fan:
+        li = li.select("l_returnflag", "l_extendedprice",
+                       F.pmod(F.xxhash64("l_orderkey", "l_linenumber"),
+                              F.lit(64 * fan)).alias("__k")
+                       ).repartition(fan, "__k")
     return (
-        t["lineitem"]
+        li
         .groupBy("l_returnflag")
         .agg(exact.alias("__exact"), approx.alias("__approx"))
         .select(

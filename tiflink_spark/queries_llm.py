@@ -195,6 +195,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
+    # NOTE (r10): a window-based variant (diagonal (x,x) rows + two
+    # max-over-partition windows instead of the two size joins) was
+    # tried and REJECTED: the two full sorts over the pair set cost
+    # more than the joins they replace (A/B 1.69s -> 2.90s at sf0.1).
     sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
@@ -895,36 +899,47 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     t = _t(spark, sf_dir)
-    emb = t["embeddings"].select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
-    cent = (
-        emb.filter(F.col("vec_id") % _IVF_STRIDE == 0)
-        .orderBy("vec_id")
-        .limit(_IVF_MAX_C)
-        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
-    )
 
     def dot(a, b):
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
         )
 
-    def cos(a, b):
-        return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    # cos(a,b) = dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))). The norm
+    # factors depend on ONE side only, so they are projected once per
+    # vector / per centroid instead of re-folded per (vector x centroid)
+    # pair — the N*C assignment stage pays 1 interpreted fold per pair
+    # instead of 3 (guide §1.2 "per-task work"). Same expression tree,
+    # same operand order => bit-identical doubles, so every row_number
+    # ordering below is unchanged.
+    emb = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    emb = emb.withColumn("en", F.sqrt(dot(F.col("e"), F.col("e"))))
+    cent = (
+        emb.filter(F.col("vec_id") % _IVF_STRIDE == 0)
+        .orderBy("vec_id")
+        .limit(_IVF_MAX_C)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"),
+                F.col("en").alias("cn"))
+    )
+
+    def cos_pre(a, b, na, nb):
+        return dot(a, b) / (na * nb)
 
     # Assignment: every (vector x centroid) pair exists only inside the
     # broadcast-join partition, and max_by combines map-side — the shuffle
     # carries ONE row per vector. Tie-break (sim DESC, cid ASC) is encoded
     # as lexicographic max over struct(sim, -cid).
-    csim = cos(F.col("e"), F.col("ce"))
+    csim = cos_pre(F.col("e"), F.col("ce"), F.col("en"), F.col("cn"))
     assign = (
         emb.join(F.broadcast(cent))
-        .select("vec_id", "e", "cid", csim.alias("csim"))
+        .select("vec_id", "e", "en", "cid", csim.alias("csim"))
         .groupBy("vec_id")
         .agg(
             F.max_by("cid", F.struct(F.col("csim"), (-F.col("cid")).alias("nc"))).alias("cid"),
             F.first("e").alias("e"),
+            F.first("en").alias("en"),
         )
     )
     # Query routing: Q is tiny relative to N by construction; a window
@@ -932,18 +947,24 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qw = Window.partitionBy("qid").orderBy(F.desc("csim"), "cid")
     probes = (
         emb.filter(F.col("vec_id") % _QUERY_STRIDE == 0)
-        .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
+        .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+                F.col("en").alias("qn"))
         .join(F.broadcast(cent))
-        .select("qid", "qe", "cid", cos(F.col("qe"), F.col("ce")).alias("csim"))
+        .select("qid", "qe", "qn", "cid",
+                cos_pre(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")).alias("csim"))
         .withColumn("rn", F.row_number().over(qw))
         .filter(F.col("rn") <= _IVF_PROBE)
-        .select("qid", "qe", "cid")
+        .select("qid", "qe", "qn", "cid")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), "nid")
     return (
         probes.join(assign, "cid")
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", F.col("vec_id").alias("nid"), cos(F.col("qe"), F.col("e")).alias("sim"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            cos_pre(F.col("qe"), F.col("e"), F.col("qn"), F.col("en")).alias("sim"),
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _IVF_TOPK)
         .select("qid", "nid", "rank")

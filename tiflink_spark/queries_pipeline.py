@@ -303,14 +303,29 @@ _CC_MAX_ITERS = 50
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True)
-    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    edges = fwd.union(rev).localCheckpoint(eager=True)
+    # Both edge directions in ONE pass over the minhash output (inline
+    # of a 2-struct array), checkpointed directly off the minhash
+    # lineage — the previous pairs-checkpoint + union-of-two-selects
+    # planned a second materialization job for the same rows.
+    edges = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .selectExpr(
+            "inline(array(struct(doc_a AS src, doc_b AS dst), "
+            "struct(doc_b AS src, doc_a AS dst)))"
+        )
+        .localCheckpoint(eager=True)
+    )
+    # Initial label == node, so iteration 1's neighbor-min needs no
+    # labels join at all: it is min(src) per dst group (edges are
+    # symmetric, so every node appears as a dst). This folds the
+    # labels-init checkpoint and the first join+groupBy round into one
+    # aggregation; LSH buckets emit cliques, so most components are
+    # already at their fixpoint here and the loop below runs once to
+    # certify it.
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
+        edges.groupBy(F.col("dst").alias("node"))
+        .agg(F.min("src").alias("nl"))
+        .select("node", F.least(F.col("node"), F.col("nl")).alias("label"))
         .localCheckpoint(eager=True)
     )
     # Labels only decrease, so sum(label) strictly decreases until the
