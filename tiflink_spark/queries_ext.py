@@ -202,6 +202,16 @@ def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         x = (x + (x >> 4)) & 0x0F0F
         return (x + (x >> 8)) & 0x1F
 
+    # 16-bit popcount lookup table, built once per Python worker (~3 ms
+    # vectorized). For a hot bucket (n=1473 -> 1.08M pairs at sf0.1) the
+    # uint16-gather + table path measured 0.037s vs 0.53s for int64
+    # gathers + arithmetic popcount (the int64 fancy-indexing alone was
+    # 0.25s — 4x the memory traffic of uint16); tiny buckets keep the
+    # arithmetic path, which has no table-gather fixed cost.
+    _POP16 = np.unpackbits(
+        np.arange(65536, dtype=">u2").view(np.uint8)
+    ).reshape(65536, 16).sum(1).astype(np.uint8)
+
     def pairs(batches):
         chunks = list(batches)
         if not chunks:
@@ -218,16 +228,23 @@ def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         band = pdf["band"].to_numpy(dtype=np.int64)
         b = [pdf[f"b{k}"].to_numpy(dtype=np.int64) for k in range(4)]
+        b16 = [a.astype(np.uint16) for a in b]
         out_a, out_b, out_h = [], [], []
         for s, e in zip(bounds[:-1], bounds[1:]):
             n = e - s
             if n < 2:
                 continue
             i, j = np.triu_indices(n, 1)
-            xors = [b[k][s:e][i] ^ b[k][s:e][j] for k in range(4)]
-            ham = np.zeros(len(i), dtype=np.int64)
-            for k in range(4):
-                ham += _popcnt16(xors[k])
+            if n >= 256:
+                xors = [b16[k][s:e][i] ^ b16[k][s:e][j] for k in range(4)]
+                ham = _POP16[xors[0]].astype(np.int64)
+                for k in range(1, 4):
+                    ham += _POP16[xors[k]]
+            else:
+                xors = [b[k][s:e][i] ^ b[k][s:e][j] for k in range(4)]
+                ham = np.zeros(len(i), dtype=np.int64)
+                for k in range(4):
+                    ham += _popcnt16(xors[k])
             keep = ham <= 3
             # emit a pair only from its FIRST matching band — the
             # replacement for a global DISTINCT across bands (a pair in
