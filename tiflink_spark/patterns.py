@@ -384,6 +384,12 @@ class _RunStateEval:
         self._values, self._flags = values, flags
         self._k = self._start = 0
         self._by_var: dict = {}
+        # Var-qualified FIRST/LAST(V.col) needs the running assignment
+        # (_var_rows per candidate row — O(match length) each). The
+        # unqualified forms only read _k/_start, so predicates without a
+        # var-qualified nav skip that rebuild entirely (profiled ~20% of
+        # the matcher on FIRST(value)-style DEFINEs).
+        self._needs_by_var = any(var is not None for _k_, var, _c, _o in navs)
 
         def _col(name):
             v = self._values[name][self._k]
@@ -427,13 +433,21 @@ class _RunStateEval:
             "_col": _col, "_nav": _nav, "_cmp": _cmp,
             "_arith": _arith, "_t": _t,
         }
+        # Bind the eval-mode code object as a zero-arg function once:
+        # each candidate-row evaluation is then a plain call instead of
+        # an eval() (which rebuilds the frame/scope machinery per call
+        # — ~1µs x one call per candidate row).
+        import types
+
+        self._fn = types.FunctionType(code, self._env)
 
     def __call__(self, k, acc, cur_names, cur_start, mstart) -> bool:
-        spans = acc + [(cur_names, cur_start, k + 1)]
-        self._by_var = _var_rows(spans, self._flags)
+        if self._needs_by_var:
+            spans = acc + [(cur_names, cur_start, k + 1)]
+            self._by_var = _var_rows(spans, self._flags)
         self._k, self._start = k, mstart
         try:
-            return bool(eval(self._code, self._env))  # noqa: S307 — compiled above
+            return bool(self._fn())
         except (TypeError, ZeroDivisionError):
             return False
 
@@ -784,8 +798,21 @@ def match_recognize(
     skip = _parse_skip(after_match, pat_vars)
     define_rw, nav_cols = _rewrite_nav(define)
     rs_compiled, rs_value_cols = _prepare_runstate(define_rw, steps)
+    # Hash-cluster BEFORE the flag/nav stage: the lag/lead windows and
+    # the matcher both need ClusteredDistribution(partition_by), so one
+    # explicit exchange serves both (repartitioning after the windows
+    # planned a SECOND exchange of the same rows). The partition COUNT
+    # is pinned to the parallelism: without it AQE coalesces this
+    # exchange by BYTES (~100k rows -> 3 partitions at sf0.1) and the
+    # CPU-bound Python matcher then runs on 3 of 32 cores — measured
+    # 0.9s of a 1.2s pattern_runstate_first. An explicit count is
+    # exempt from AQE coalescing, and at real scale defaultParallelism
+    # is the cluster's core count, so this stays scale-adaptive
+    # (guide §2.5, §4.1).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    pre = df.repartition(par, *[F.col(c) for c in partition_by])
     work = _flag_columns(
-        df, pat_vars, define_rw, nav_cols, list(partition_by), list(order_by),
+        pre, pat_vars, define_rw, nav_cols, list(partition_by), list(order_by),
         runstate_vars=set(rs_compiled), keep_cols=rs_value_cols,
     )
     out_fields = _output_fields(df, partition_by, measures)
@@ -803,10 +830,11 @@ def match_recognize(
     # then mapInPandas walks each partition's contiguous groups via
     # numpy boundary slicing. NULLS LAST on the sort matches the pandas
     # sort_values the per-group form used.
+    #
+    # (The single exchange above already clustered the rows; only the
+    # in-partition sort remains here.)
     sort_cols = [F.col(c).asc_nulls_last() for c in [*part_cols, *order_cols]]
-    clustered = work.repartition(*[F.col(c) for c in part_cols]).sortWithinPartitions(
-        *sort_cols
-    )
+    clustered = work.sortWithinPartitions(*sort_cols)
     cols = [f.name for f in out_fields]
 
     def run_part(batches):
