@@ -134,6 +134,21 @@ def _simhash_fp_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(sql)
 
 
+def _pop16_table():
+    """Popcount of every 16-bit value as a uint8 numpy array — the
+    lookup table the neardup pair expansion uses for hamming weights on
+    large band buckets (equivalence with the arithmetic popcount path
+    is unit-pinned)."""
+    import numpy as np
+
+    return (
+        np.unpackbits(np.arange(65536, dtype=">u2").view(np.uint8))
+        .reshape(65536, 16)
+        .sum(1)
+        .astype(np.uint8)
+    )
+
+
 def _simhash_pairs_sql(dialect: str) -> str:
     """DuckDB dialect only: the OR-of-band-equalities join is fine for the
     oracle at sf0.01 (DuckDB handles it), and its semantics define the
@@ -208,9 +223,7 @@ def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gathers + arithmetic popcount (the int64 fancy-indexing alone was
     # 0.25s — 4x the memory traffic of uint16); tiny buckets keep the
     # arithmetic path, which has no table-gather fixed cost.
-    _POP16 = np.unpackbits(
-        np.arange(65536, dtype=">u2").view(np.uint8)
-    ).reshape(65536, 16).sum(1).astype(np.uint8)
+    _POP16 = _pop16_table()
 
     def pairs(batches):
         chunks = list(batches)
