@@ -431,15 +431,20 @@ def main() -> None:
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     for name in names:
+        # guide §1.3: label every job so a Spark UI / event-log reading
+        # of a bench run attributes stages to the query being timed
+        spark.sparkContext.setJobDescription(f"bench warm: {name}")
         registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs = []
-        for _ in range(3):
+        for i in range(3):
+            spark.sparkContext.setJobDescription(f"bench run {i + 1}/3: {name}")
             t0 = time.perf_counter()
             df = registry[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))
         all_runs[name] = runs
         timings[name] = min(runs)
+    spark.sparkContext.setJobDescription(None)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
