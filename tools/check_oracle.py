@@ -109,6 +109,12 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> tuple[bool, str]
             dv2 = dv.map(lambda v: None if v is None or (isinstance(v, float) and np.isnan(v)) else str(v))
             if not sv2.equals(dv2):
                 neq = (sv2.fillna("\0") != dv2.fillna("\0"))
+                if not neq.any():
+                    # Series.equals is False on dtype alone (e.g. an
+                    # empty int32 vs int64 column at a tiny SF), but
+                    # every VALUE matches — same int-width tolerance
+                    # the non-empty path gives via str() comparison.
+                    continue
                 bad = neq.idxmax()
                 return False, f"col {c}: value mismatch at row {bad}: {sv2[bad]!r} vs {dv2[bad]!r}"
     return True, "ok"
