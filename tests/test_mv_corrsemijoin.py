@@ -477,3 +477,114 @@ class TestThetaExists:
         )
         # the cheaper presence-state route must keep claiming this
         assert app.maintenance_strategy == "IncrementalSemiJoinMV"
+
+
+class TestSingleInequalityDecomposition:
+    """The pure single-inequality θ shape evaluates membership from
+    inner-side extremes (one linear aggregate + an equi join) instead
+    of the |rows|×|other| pair join — pinned after the pair-join form
+    degenerated to a 300s broadcast-build timeout at sf0.1 under wide
+    churn. These tests hold the decomposition bit-equal to the pair
+    join on NULL-heavy frames (NULL keys, NULL θ values, both sides)
+    for every op × mode, and pin the no-nested-loop plan shape."""
+
+    # fkey NULL / bal NULL / bal extremes; okey NULL / price NULL / dup keys
+    FACT = [
+        (1, 10, 100.0), (2, 20, 50.0), (3, None, 75.0),
+        (4, 40, None), (5, 50, 200.0), (6, 99, -1.0),
+    ]
+    OTHER = [
+        (101, 10, 120.0), (102, 20, 30.0), (103, None, 90.0),
+        (104, 40, 5.0), (105, 99, 500.0), (106, 10, None),
+        (107, None, None), (108, 20, 80.0),
+    ]
+
+    def _mv(self, spark, tmp_path, op, *, anti, exists_mode, tag):
+        from tiflink_spark.mv import IncrementalCorrSemiJoinMV
+
+        fact = _mk(spark, self.FACT, "id long, fkey int, bal double")
+        other = _mk(spark, self.OTHER, "oid long, okey int, price double")
+        kw = (
+            dict(fact_key=None, other_key=None, exists_mode=True)
+            if exists_mode
+            else dict(fact_key="fkey", other_key="okey")
+        )
+        mv = IncrementalCorrSemiJoinMV(
+            spark, fact, ["id"], other, ["oid"],
+            corr=[("price", op, "bal")],
+            out_cols=["id", "fkey", "bal"],
+            work_dir=str(tmp_path / tag),
+            anti=anti, num_buckets=2, shuffle_partitions=2, **kw,
+        )
+        return mv, fact, other
+
+    @pytest.mark.parametrize("op", ["<", "<=", ">", ">="])
+    @pytest.mark.parametrize(
+        "anti,exists_mode", [(False, False), (True, False), (False, True), (True, True)]
+    )
+    def test_matches_pair_join_on_null_heavy_frames(
+        self, spark, tmp_path, monkeypatch, op, anti, exists_mode
+    ):
+        tag = f"{op}{anti}{exists_mode}"
+        mv, fact, other = self._mv(
+            spark, tmp_path, op, anti=anti, exists_mode=exists_mode, tag=tag
+        )
+        oeval = mv._inner_eval(other)
+        fast = mv._member_rows(fact, oeval, hint=True)
+        assert mv._ineq_1d() is not None
+        monkeypatch.setattr(mv, "_ineq_1d", lambda: None)  # force the pair join
+        slow = mv._member_rows(fact, oeval, hint=True)
+        cols = ["id", "fkey", "bal", "__member"]
+        got = {tuple(r) for r in fast.select(*cols).collect()}
+        exp = {tuple(r) for r in slow.select(*cols).collect()}
+        assert got == exp, f"{tag}: {sorted(got ^ exp)}"
+
+    def test_empty_inner_side(self, spark, tmp_path, monkeypatch):
+        mv, fact, other = self._mv(
+            spark, tmp_path, ">", anti=True, exists_mode=False, tag="empty"
+        )
+        oeval = mv._inner_eval(other.filter(F.lit(False)))
+        fast = mv._member_rows(fact, oeval, hint=True)
+        # NOT IN over an empty set keeps every row (nonempty bit 0)
+        assert fast.filter(~F.col("__member")).count() == 0
+        monkeypatch.setattr(mv, "_ineq_1d", lambda: None)
+        slow = mv._member_rows(fact, oeval, hint=True)
+        assert (
+            {tuple(r) for r in fast.select("id", "__member").collect()}
+            == {tuple(r) for r in slow.select("id", "__member").collect()}
+        )
+
+    def test_member_plan_joins_extremes_not_pairs(self, spark, tmp_path):
+        import io
+        from contextlib import redirect_stdout
+
+        mv, fact, other = self._mv(
+            spark, tmp_path, ">", anti=True, exists_mode=False, tag="plan"
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            mv._member_rows(fact, mv._inner_eval(other), hint=True).explain(
+                "formatted"
+            )
+        plan = buf.getvalue()
+        # the per-key extremes attach through an EQUI join ...
+        assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
+        # ... and the only nested loop is the single-row global-stats
+        # cross attach — NOT a |rows|x|other| pair join
+        assert plan.count("BroadcastNestedLoopJoin") == 2, plan  # tree + details
+        assert "BroadcastNestedLoopJoin Cross BuildRight" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_mixed_equality_keeps_pair_join_path(self, spark, tmp_path):
+        from tiflink_spark.mv import IncrementalCorrSemiJoinMV
+
+        fact = _mk(spark, self.FACT, "id long, fkey int, bal double")
+        other = _mk(spark, self.OTHER, "oid long, okey int, price double")
+        mv = IncrementalCorrSemiJoinMV(
+            spark, fact, ["id"], other, ["oid"],
+            fact_key="fkey", other_key="okey",
+            corr=[("okey", "=", "fkey"), ("price", ">", "bal")],
+            out_cols=["id"], work_dir=str(tmp_path / "mixed"),
+            anti=False, num_buckets=2, shuffle_partitions=2,
+        )
+        assert mv._ineq_1d() is None

@@ -1347,13 +1347,18 @@ class IncrementalCorrSemiJoinMV:
       batch-sized side broadcast) — an inner row outside every θ range
       affects nobody, and NULL theta values satisfy no comparison.
 
-    Cost model matches IncrementalThetaJoinMV: |dirty|×|other| (and
-    |fact|×|δ_other| for the affected-set probe) predicate evaluations
-    per batch — the change-bounded version of the inherent per-row
-    membership cost (Flink's planner de-correlates this shape to the
-    same theta anti-join over full state). Banded θ predicates let
-    Catalyst pick broadcast/range strategies; a matcher miss or an
-    oversized batch belongs on recompute.
+    Cost model: with any '=' term in θ, Catalyst hash-joins on the
+    equality (inequalities as residual) — |dirty|×|S(c)| work. The
+    PURE single-inequality shape instead decomposes exactly (monotone
+    op: ∃o∈G: ie OP expr ⟺ extreme(G.ie) OP expr), so membership is
+    one LINEAR aggregate over the inner side + an equi join and the
+    affected-set probe is one scalar extreme (_member_rows_1d; the
+    pair-join form was |dirty|×|other| and degenerated to a 300s
+    broadcast-build timeout under wide churn at sf0.1). Remaining
+    pair-join shapes (multi-inequality, <>) keep the change-bounded
+    theta join — the inherent per-row membership cost (Flink's planner
+    de-correlates this shape to the same theta anti-join over full
+    state); a matcher miss or an oversized batch belongs on recompute.
     """
 
     def __init__(
@@ -1445,6 +1450,96 @@ class IncrementalCorrSemiJoinMV:
             cond = c if cond is None else cond & c
         return cond
 
+    def _ineq_1d(self) -> tuple[str, str] | None:
+        """(op, outer_expr) when corr is EXACTLY ONE monotone
+        inequality — the shape whose membership bits decompose into
+        extremes of the inner side (see _member_rows_1d) — else None.
+        With any '=' term Catalyst already plans the theta join as a
+        hash join on the equality (inequalities ride as residual), so
+        only the pure-inequality case needs the rewrite."""
+        if len(self.corr) != 1:
+            return None
+        _, op, oe = self.corr[0]
+        return (op, oe) if op in ("<", "<=", ">", ">=") else None
+
+    @staticmethod
+    def _extreme_cmp(extreme, op: str, oe: str):
+        """``extreme OP outer_expr`` with NULL collapsed to False —
+        matching the pair join, where a NULL on either side satisfies
+        no comparison and an empty inner set yields bit 0."""
+        r = F.expr(oe)
+        c = {"<": extreme < r, "<=": extreme <= r,
+             ">": extreme > r, ">=": extreme >= r}[op]
+        return F.coalesce(c, F.lit(False))
+
+    def _member_rows_1d(
+        self, rows: DataFrame, other_eval: DataFrame, op: str, oe: str
+    ) -> DataFrame:
+        """Single-inequality membership WITHOUT the |rows|x|other| pair
+        join: for a monotone op, ``∃o∈G: o.ie OP c.expr`` over any inner
+        group G is ``extreme(G.ie) OP c.expr`` (max for >/>=, min for
+        </<= — max/min ignore NULL ie exactly as the theta cond does).
+        So the three bits reduce to one linear aggregate over the inner
+        side + one equi join:
+
+            nonempty(c) = extreme(all ie)            OP c.expr
+            has_null(c) = extreme(ie | okey IS NULL) OP c.expr
+            has_match(c)= extreme(ie | okey=c.fcol)  OP c.expr
+
+        The pair-join form degenerated to |fact|x|other| interpreted
+        predicate evaluations under wide churn (sf0.1: 2e9 pairs, a
+        300s broadcast-build timeout); this is exact and linear."""
+        agg = F.max if op in (">", ">=") else F.min
+        ie = F.col("__ie0")
+        if self.exists_mode:
+            stats = other_eval.agg(agg(ie).alias("__s_any"))
+            out = rows.crossJoin(F.broadcast(stats))
+            nonempty = self._extreme_cmp(F.col("__s_any"), op, oe)
+            member = ~nonempty if self.anti else nonempty
+            return out.withColumn("__member", member).drop("__s_any")
+        # ONE pass over the inner side: per-key extremes (the NULL-key
+        # group rides along — it never equi-matches fact_key), then the
+        # global/null-group extremes fold over the keyed frame (max of
+        # per-group maxes = global max; same for min).
+        keyed = other_eval.groupBy("__i_okey").agg(agg(ie).alias("__s_key"))
+        stats = keyed.agg(
+            agg(F.col("__s_key")).alias("__s_any"),
+            agg(
+                F.when(F.col("__i_okey").isNull(), F.col("__s_key"))
+            ).alias("__s_null"),
+        )
+        # Scale-gated broadcast: refresh runs with AQE off, so without
+        # the hint Catalyst sort-merges the (stat-less MOR-chain) keyed
+        # frame through the delta-tuned partition count — measured 2.5x
+        # lifecycle cost at tiny SF. Keyed extremes are <= |distinct
+        # keys| narrow rows; hint only while the store's recorded row
+        # count says they surely fit, shuffle join at table scale.
+        n = self.other_store.bootstrap_rows()
+        k = (
+            F.broadcast(keyed)
+            if n is not None and n <= CODEGEN_DELTA_ROWS
+            else keyed
+        )
+        out = (
+            rows.join(k, F.col(self.fact_key) == F.col("__i_okey"), "left")
+            .drop("__i_okey")
+            .crossJoin(F.broadcast(stats))
+        )
+        match = self._extreme_cmp(F.col("__s_key"), op, oe)
+        has_null = self._extreme_cmp(F.col("__s_null"), op, oe)
+        nonempty = self._extreme_cmp(F.col("__s_any"), op, oe)
+        if self.anti:
+            member = (
+                (~match)
+                & (~has_null)
+                & (F.col(self.fact_key).isNotNull() | ~nonempty)
+            )
+        else:
+            member = match
+        return out.withColumn("__member", member).drop(
+            "__s_key", "__s_null", "__s_any"
+        )
+
     def _member_rows(
         self, rows: DataFrame, other_eval: DataFrame, hint: bool
     ) -> DataFrame:
@@ -1454,6 +1549,9 @@ class IncrementalCorrSemiJoinMV:
         un-hinted (bootstrap) bounds both sides' partition counts so
         the non-equi join's task product stays ~1k (same mitigation as
         IncrementalThetaJoinMV._join)."""
+        ineq = self._ineq_1d()
+        if ineq is not None:
+            return self._member_rows_1d(rows, other_eval, *ineq)
         pk = self.target.pk
         left = rows
         right = other_eval
@@ -1582,9 +1680,25 @@ class IncrementalCorrSemiJoinMV:
             parts.append(upserts(ups))
         if dirty_vals is not None:
             fact_now = self.fact_store.read()
-            affected = fact_now.join(
-                F.broadcast(dirty_vals), self._theta_cond("__d"), "left_semi"
-            )
+            ineq = self._ineq_1d()
+            if ineq is not None:
+                # Same decomposition as _member_rows_1d: ∃d: d0 OP expr
+                # over the dirty-value set ⟺ extreme(d0) OP expr, so
+                # the |fact|x|δ| theta semi-join collapses to one scalar
+                # probe (empty δ → NULL extreme → no row affected, as
+                # with the empty semi-join build side).
+                op, oe = ineq
+                agg = F.max if op in (">", ">=") else F.min
+                dstat = dirty_vals.agg(agg(F.col("__d0")).alias("__d_x"))
+                affected = (
+                    fact_now.crossJoin(F.broadcast(dstat))
+                    .filter(self._extreme_cmp(F.col("__d_x"), op, oe))
+                    .drop("__d_x")
+                )
+            else:
+                affected = fact_now.join(
+                    F.broadcast(dirty_vals), self._theta_cond("__d"), "left_semi"
+                )
             parts.append(upserts(affected))
         mv_changes = parts[0].withColumn(SEQ_COL, F.lit(0).cast("long"))
         for i, p in enumerate(parts[1:], start=1):
