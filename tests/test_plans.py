@@ -414,6 +414,18 @@ def test_llm_one_pass_shapes_read_input_once(spark):
         assert plan.count("Scan parquet") == 1, (name, plan[:3000])
 
 
+def test_token_stat_shapes_explode_once(spark):
+    """text_tfidf_topterms / text_unigram_logprob compute per-token
+    counts via a count() window over the token partition instead of
+    aggregating a vocabulary and joining it back — the join-back form
+    planned the explode/doc-term subtree 2-3x (once per join side plus
+    the corpus-total branch) and broadcast a vocabulary-sized relation.
+    Pinned: exactly one Generate (explode) node in each plan."""
+    for name in ("text_tfidf_topterms", "text_unigram_logprob"):
+        plan = _plan(spark, name)
+        assert plan.count("Generate") == 1, (name, plan[:3000])
+
+
 def test_cast_funcs_regex_guard_matches_plain_try_cast(spark):
     """cast_funcs pre-guards TRY_CAST with a numeric RLIKE (the ANSI
     failure path throws/catches a JVM exception per failing row). The

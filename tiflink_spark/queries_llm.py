@@ -1327,25 +1327,28 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "log-probability under the corpus's own unigram distribution — "
         "the classic cheap perplexity proxy for quality filtering "
         "(low avg_logprob = rare-token soup, boilerplate, or noise). "
-        "Two shuffle-on-token passes at scale: one aggregate builds the "
-        "vocabulary (|V| rows, far smaller than the corpus), one join "
-        "scores exploded tokens against it (hot stop-words are "
-        "pre-aggregated counts, AQE skew-split covers the join), then a "
-        "per-doc aggregate. The 1-row corpus total is a broadcast; no "
-        "driver-side state."
+        "ONE explode pass at scale: per-token counts come from a "
+        "count() window over the token partition of the exploded rows "
+        "(the join-back-a-vocab-aggregate spelling planned the explode "
+        "subtree three times — toks, vocab, corpus total — and at real "
+        "vocabulary sizes its broadcast side outgrows the 8 GB relation "
+        "cap, degrading to the SAME shuffle-by-token this window pays, "
+        "plus two redundant corpus passes). The corpus total is the sum "
+        "of per-doc word-array sizes straight off the documents scan — "
+        "no explode, integer-exact equal to the vocabulary sum."
     ),
     tags=("llm", "text"),
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     t = _t(spark, sf_dir)
-    toks = t["documents"].select(
-        "doc_id", F.explode(_words(F.lower(F.col("text")))).alias("tok")
-    )
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = vocab.agg(F.sum("cnt").alias("total"))
+    words = _words(F.lower(F.col("text")))
+    toks = t["documents"].select("doc_id", F.explode(words).alias("tok"))
+    cnts = toks.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("tok")))
+    tot = t["documents"].agg(F.sum(F.size(words)).alias("total"))
     return (
-        toks.join(vocab, "tok")
-        .crossJoin(F.broadcast(tot))
+        cnts.crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -1380,9 +1383,13 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(term frequency DESC, document frequency ASC, term ASC) — an "
         "integer-only ordering, so ranks are bit-identical across "
         "engines while the familiar TF-IDF score (tf x ln(N/df)) rides "
-        "along as a value column. Scale: one shuffle per aggregation "
-        "level (doc-term, term, doc window); the 1-row corpus size is "
-        "a broadcast."
+        "along as a value column. Scale: document frequency is a "
+        "count() window over the token partition of the doc-term "
+        "aggregate (tf rows are unique per (doc, term), so the count "
+        "IS the distinct-doc count) — the aggregate-and-join-back "
+        "spelling planned the whole doc-term subtree twice, once per "
+        "join side, and broadcast a vocabulary-sized relation; the "
+        "1-row corpus size stays a broadcast."
     ),
     tags=("llm", "text"),
 )
@@ -1394,13 +1401,12 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(_words(F.lower(F.col("text")))).alias("tok")
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
     nd = t["documents"].agg(F.count(F.lit(1)).alias("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tf"), F.asc("df"), F.asc("tok")
     )
     return (
-        tf.join(df, "tok")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tok")))
         .crossJoin(F.broadcast(nd))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
