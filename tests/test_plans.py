@@ -426,6 +426,13 @@ def test_token_stat_shapes_explode_once(spark):
         assert plan.count("Generate") == 1, (name, plan[:3000])
 
 
+def test_q17_single_lineitem_scan(spark):
+    """q17's correlated avg evaluates as a window after the part join —
+    the decorrelated aggregate+join form scanned lineitem twice."""
+    plan = _plan(spark, "q17_small_quantity")
+    assert plan.count("Scan parquet") == 2, plan[:3000]  # lineitem + part
+
+
 def test_cast_funcs_regex_guard_matches_plain_try_cast(spark):
     """cast_funcs pre-guards TRY_CAST with a numeric RLIKE (the ANSI
     failure path throws/catches a JVM exception per failing row). The

@@ -503,19 +503,30 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
                         FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
     """,
     doc="TPC-H Q17: correlated scalar AVG subquery against the same fact "
-    "table — Catalyst decorrelates to a per-partkey aggregate + join.",
+    "table — evaluated as a window avg after the part join (one lineitem "
+    "scan) instead of Catalyst's decorrelated aggregate + join (two).",
     tags=("tpch", "subquery", "agg"),
 )
 def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
-        FROM lineitem JOIN part ON p_partkey = l_partkey
-        WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
-          AND l_quantity < (SELECT 0.5 * avg(l_quantity)
-                            FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
-        """
+    # The correlated avg is over ALL lineitem rows of the part, and the
+    # part filters keep every lineitem row of a qualifying part in the
+    # join output, so avg() OVER (PARTITION BY l_partkey) after the
+    # broadcast join sees exactly the subquery's row set (guide §2.4 —
+    # the decorrelated form scanned lineitem twice and aggregated avgs
+    # for EVERY part, qualifying or not). l_quantity is integral, so
+    # the avg's sum is exact in any order — filter decisions are
+    # bit-identical to the subquery form (verified sf0.01/sf0.1).
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir)
+    p = t["part"].filter((F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL"))
+    w = Window.partitionBy("l_partkey")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(p.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
+        .withColumn("__avg", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("__avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
 
 
