@@ -433,6 +433,13 @@ def test_q17_single_lineitem_scan(spark):
     assert plan.count("Scan parquet") == 2, plan[:3000]  # lineitem + part
 
 
+def test_q15_single_lineitem_scan(spark):
+    """q15's scalar max evaluates as a window over the one revenue
+    aggregate — the CTE-subquery form re-scanned lineitem for it."""
+    plan = _plan(spark, "q15_top_supplier")
+    assert plan.count("Scan parquet") == 2, plan[:3000]  # lineitem + supplier
+
+
 def test_cast_funcs_regex_guard_matches_plain_try_cast(spark):
     """cast_funcs pre-guards TRY_CAST with a numeric RLIKE (the ANSI
     failure path throws/catches a JVM exception per failing row). The

@@ -441,26 +441,39 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE s_suppkey = supplier_no
       AND total_revenue = (SELECT max(total_revenue) FROM revenue)
     """,
-    doc="TPC-H Q15: supplier(s) hitting the max quarterly revenue — CTE "
-    "reused by the scalar MAX subquery; rounded before MAX so the winner "
-    "is cross-engine deterministic.",
+    doc="TPC-H Q15: supplier(s) hitting the max quarterly revenue — the "
+    "scalar MAX evaluates as a window over the ONE revenue aggregate "
+    "(the CTE-subquery spelling re-scanned lineitem for the max side); "
+    "rounded before MAX so the winner is cross-engine deterministic.",
     tags=("tpch", "subquery", "agg"),
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir)
-    return spark.sql(
-        """
-        WITH revenue AS (
-          SELECT l_suppkey AS supplier_no,
-                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
-          FROM lineitem
-          WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
-            AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
-          GROUP BY l_suppkey)
-        SELECT s_suppkey, s_name, total_revenue
-        FROM supplier JOIN revenue ON s_suppkey = supplier_no
-        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
-        """
+    # The scalar max subquery re-planned the whole revenue CTE (second
+    # full lineitem scan + aggregate; exchange reuse does not fire
+    # across a scalar-subquery boundary). max() OVER () on the revenue
+    # frame is a global gather of one-row-per-supplier aggregates —
+    # bounded cardinality — and computes the rounded revenues ONCE, so
+    # the equality filter compares a value against a max taken over the
+    # same evaluation instead of across two executions (guide §2.4).
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01").cast("date"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    top = rev.withColumn(
+        "__mx", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("__mx"))
+    return (
+        t["supplier"]
+        .join(top, F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
     )
 
 
