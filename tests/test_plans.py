@@ -426,6 +426,23 @@ def test_token_stat_shapes_explode_once(spark):
         assert plan.count("Generate") == 1, (name, plan[:3000])
 
 
+def test_unigram_window_over_partials_not_instances(spark):
+    """text_unigram_logprob's per-token corpus counts must come from a
+    window over the per-(doc, token) PARTIAL counts, never a count()
+    window over the raw exploded instances: a window partition cannot
+    be skew-split, and a hot stop word (~5% of a real corpus) would
+    land every occurrence in ONE task — the partial aggregate bounds
+    the hot partition to one row per document (guide §2.5)."""
+    plan = _plan(spark, "text_unigram_logprob")
+    lines = plan.splitlines()
+    wi = min(i for i, l in enumerate(lines) if "Window" in l)
+    gi = min(i for i, l in enumerate(lines) if "Generate" in l)
+    assert wi < gi, plan[:3000]  # window sits above the explode...
+    assert any(
+        "HashAggregate" in l or "SortAggregate" in l for l in lines[wi:gi]
+    ), plan[:3000]  # ...with the (doc, tok) aggregate in between
+
+
 def test_q17_single_lineitem_scan(spark):
     """q17's correlated avg evaluates as a window after the part join —
     the decorrelated aggregate+join form scanned lineitem twice."""
@@ -433,11 +450,19 @@ def test_q17_single_lineitem_scan(spark):
     assert plan.count("Scan parquet") == 2, plan[:3000]  # lineitem + part
 
 
-def test_q15_single_lineitem_scan(spark):
-    """q15's scalar max evaluates as a window over the one revenue
-    aggregate — the CTE-subquery form re-scanned lineitem for it."""
-    plan = _plan(spark, "q15_top_supplier")
-    assert plan.count("Scan parquet") == 2, plan[:3000]  # lineitem + supplier
+def test_q15_single_lineitem_scan_no_global_window(spark):
+    """q15's scalar max evaluates as a parallel agg(max) cross-attached
+    by broadcast — no single-partition Window gather (at 100 TB the
+    per-supplier frame is ~1e9 rows on one core) — and the max side's
+    copy of the revenue subtree dedupes to a ReusedExchange at runtime,
+    so lineitem is still scanned once."""
+    df = get_registry()["q15_top_supplier"].fn(spark, SF_DIR)
+    assert "Window" not in _plan(spark, "q15_top_supplier")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final, plan[:4000]
+    assert final.count("Scan parquet") == 2, plan[:4000]  # lineitem + supplier
 
 
 def test_cast_funcs_regex_guard_matches_plain_try_cast(spark):

@@ -442,34 +442,45 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND total_revenue = (SELECT max(total_revenue) FROM revenue)
     """,
     doc="TPC-H Q15: supplier(s) hitting the max quarterly revenue — the "
-    "scalar MAX evaluates as a window over the ONE revenue aggregate "
-    "(the CTE-subquery spelling re-scanned lineitem for the max side); "
-    "rounded before MAX so the winner is cross-engine deterministic.",
+    "scalar MAX evaluates as a parallel agg(max) over the ONE revenue "
+    "aggregate, cross-attached by broadcast (the CTE-subquery spelling "
+    "re-scanned lineitem for the max side; a max() OVER () window "
+    "gathered every per-supplier row into ONE task); rounded before MAX "
+    "so the winner is cross-engine deterministic.",
     tags=("tpch", "subquery", "agg"),
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The scalar max subquery re-planned the whole revenue CTE (second
     # full lineitem scan + aggregate; exchange reuse does not fire
-    # across a scalar-subquery boundary). max() OVER () on the revenue
-    # frame is a global gather of one-row-per-supplier aggregates —
-    # bounded cardinality — and computes the rounded revenues ONCE, so
-    # the equality filter compares a value against a max taken over the
-    # same evaluation instead of across two executions (guide §2.4).
-    from pyspark.sql import Window
-
+    # across a scalar-subquery boundary). agg(max) over the revenue
+    # frame is a partial+final aggregate — no single-partition window
+    # gather (at TPC-H 100 TB the per-supplier frame is ~1e9 rows) —
+    # and ReuseExchange dedupes the shared revenue subtree, so lineitem
+    # is still scanned once (guide §2.4/§2.5; pinned in test_plans).
+    # The rounded revenues are computed once per side of one exchange,
+    # so the equality filter compares values from a single evaluation.
     t = _t(spark, sf_dir)
+    # The explicit IS NOT NULL matches the constraint the supplier equi
+    # join infers and pushes into ITS copy of the scan — without it the
+    # two revenue subtrees differ by that one pushed filter and
+    # ReuseExchange cannot dedupe them. A NULL-suppkey group could never
+    # reach the output (the equi join drops it); it could only shift the
+    # max — and the driver's lineitem generator never emits NULL
+    # l_suppkey (verified across all SFs), so results are unchanged.
     li = t["lineitem"].filter(
         (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
         & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01").cast("date"))
+        & F.col("l_suppkey").isNotNull()
     )
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
             "total_revenue"
         )
     )
-    top = rev.withColumn(
-        "__mx", F.max("total_revenue").over(Window.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("__mx"))
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    top = rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx")).drop(
+        "__mx"
+    )
     return (
         t["supplier"]
         .join(top, F.col("s_suppkey") == F.col("supplier_no"))
