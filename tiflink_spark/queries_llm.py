@@ -1327,15 +1327,19 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "log-probability under the corpus's own unigram distribution — "
         "the classic cheap perplexity proxy for quality filtering "
         "(low avg_logprob = rare-token soup, boilerplate, or noise). "
-        "ONE explode pass at scale: per-token counts come from a "
-        "count() window over the token partition of the exploded rows "
-        "(the join-back-a-vocab-aggregate spelling planned the explode "
-        "subtree three times — toks, vocab, corpus total — and at real "
-        "vocabulary sizes its broadcast side outgrows the 8 GB relation "
-        "cap, degrading to the SAME shuffle-by-token this window pays, "
-        "plus two redundant corpus passes). The corpus total is the sum "
-        "of per-doc word-array sizes straight off the documents scan — "
-        "no explode, integer-exact equal to the vocabulary sum."
+        "ONE explode pass at scale: the exploded instances collapse "
+        "FIRST into per-(doc, token) partial counts (a hash aggregate — "
+        "map-side partials absorb hot tokens), and the corpus-wide "
+        "token count is a sum() window over the token partition of that "
+        "bounded frame: the hot partition holds at most one row per "
+        "document, never every raw occurrence of a stop word (a count() "
+        "window over the raw instances put ~5% of a real corpus into "
+        "ONE un-splittable window task — Zipf skew, guide §2.5; the "
+        "join-back-a-vocab-aggregate spelling before that planned the "
+        "explode subtree three times and broadcast a vocabulary-sized "
+        "relation). The corpus total is the sum of per-doc word-array "
+        "sizes straight off the documents scan — no explode, "
+        "integer-exact equal to the vocabulary sum."
     ),
     tags=("llm", "text"),
 )
@@ -1345,15 +1349,21 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     words = _words(F.lower(F.col("text")))
     toks = t["documents"].select("doc_id", F.explode(words).alias("tok"))
-    cnts = toks.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("tok")))
+    # per-(doc, token) occurrence counts: partial aggregation collapses
+    # a hot token's instances per map task, so no single shuffle
+    # partition ever carries the raw Zipf mass
+    dt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    cnts = dt.withColumn("cnt", F.sum("tf").over(Window.partitionBy("tok")))
     tot = t["documents"].agg(F.sum(F.size(words)).alias("total"))
     return (
         cnts.crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("tf").alias("n_tokens"),
             F.round(
-                F.sum(F.log(F.col("cnt") / F.col("total"))) / F.count(F.lit(1)), 4
+                F.sum(F.col("tf") * F.log(F.col("cnt") / F.col("total")))
+                / F.sum("tf"),
+                4,
             ).alias("avg_logprob"),
         )
     )
