@@ -273,6 +273,7 @@ def test_streaming_match_spans_micro_batch_boundary(spark, tmp_path):
     assert rows == [(1, 1, 2, 5.0, 4)]
 
 
+@pytest.mark.slow
 def test_streaming_pending_state_is_bounded(spark, tmp_path):
     """max_pending_rows evicts a candidate that buffers too long (the
     WITHIN analog): the stuck view+clicks candidate from file1 is
@@ -351,6 +352,7 @@ def test_within_discards_wide_matches(spark):
     assert _collect(out) == [(1, 1, 60, 61)]
 
 
+@pytest.mark.slow
 def test_streaming_within_finalizes_stale_candidates(spark, tmp_path):
     """Streaming WITHIN: a blocked candidate older than the bound
     FINALIZES — its held provisional match emits (timeout rule) even
@@ -782,6 +784,7 @@ def test_runstate_refusals(spark):
         )
 
 
+@pytest.mark.slow
 def test_runstate_streaming_equals_batch(spark, tmp_path):
     """FIRST/LAST works in the STREAMING entry point (unlike PREV/NEXT
     it never looks outside the match's own buffered rows): drained
@@ -924,6 +927,7 @@ def test_runstate_string_literal_with_keywords(spark):
     assert _collect(out2) == [(1, 1, 1)]
 
 
+@pytest.mark.slow
 def test_nav_streaming_equals_batch(spark, tmp_path):
     """VERDICT r9 #6: PREV/NEXT navigation in the STREAMING entry —
     nav-bearing DEFINEs compile through the run-state grammar and the
@@ -981,6 +985,7 @@ def test_nav_streaming_equals_batch(spark, tmp_path):
     assert got == batch[: len(got)] and len(batch) - len(got) <= 1
 
 
+@pytest.mark.slow
 def test_nav_streaming_next_and_mixed(spark, tmp_path):
     """NEXT in streaming: the hold-back must keep every decision exact
     even when the deciding row arrives a trigger later; mixed
@@ -1229,3 +1234,49 @@ def test_nav_scan_stream_fuzz_within_and_skip():
             [(nm, s + buf_start, e + buf_start) for nm, s, e in m] for m in ms
         ]
         assert emitted == batch, (trial, define, skip, within, vals, sizes)
+
+
+def test_batch_matcher_group_spans_arrow_batches(spark):
+    """run_part streams the partition's Arrow batches group by group,
+    carrying an unfinished group across batch boundaries (the whole-
+    partition pd.concat it replaced held ~table/cores bytes in one
+    Python worker). With maxRecordsPerBatch=7, a 40-row group spans
+    6 Arrow batches and several groups share batches — the output must
+    be identical to the default batching."""
+    rows = []
+    # group 1: one long a b+ run spanning many 7-row Arrow batches
+    rows.append((1, 0, "a", 1.0))
+    rows += [(1, i, "b", 1.0) for i in range(1, 40)]
+    # groups 2..6: small groups, several per Arrow batch, with a
+    # failing group (no leading 'a') interleaved
+    for k in range(2, 7):
+        tag0 = "a" if k != 4 else "b"
+        rows += [(k, 0, tag0, 1.0), (k, 1, "b", 1.0), (k, 2, "b", 1.0)]
+
+    def run(df):
+        return match_recognize(
+            df,
+            partition_by=["k"],
+            order_by=["seq"],
+            pattern=[("A", "1"), ("B", "+")],
+            define={"A": "tag = 'a'", "B": "tag = 'b'"},
+            measures=[
+                ("n_b", "B", None, "count"),
+                ("first_b", "B", "seq", "first"),
+                ("last_b", "B", "seq", "last"),
+            ],
+        )
+
+    df = _rows(spark, rows)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "7")
+        tiny = _collect(run(df))
+    finally:
+        spark.conf.set(key, old)
+    assert tiny == _collect(run(df))
+    # group 1's single match swallowed all 39 b-rows despite the carry
+    assert (1, 1, 39, 1, 39) in tiny
+    # the failing group emitted nothing
+    assert not any(r[0] == 4 for r in tiny)

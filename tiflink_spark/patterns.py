@@ -838,24 +838,25 @@ def match_recognize(
     cols = [f.name for f in out_fields]
 
     def run_part(batches):
+        # Stream the partition's Arrow batches group by group (groups
+        # are contiguous after the JVM-side sort) instead of
+        # concatenating the whole physical partition into one pandas
+        # frame: with the exchange pinned at defaultParallelism a
+        # partition is ~table/cores bytes, and materializing it in one
+        # Python worker is a §5 spill/OOM risk at scale. Peak pandas
+        # allocation here is bounded by ONE Arrow batch + the largest
+        # single GROUP (carried across batch boundaries when a group
+        # spans them), not the partition.
         import numpy as np
         import pandas as pd
 
-        chunks = list(batches)
-        if not chunks:
-            return
-        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
-        if len(pdf) == 0:
-            return
-        pdf = pdf.reset_index(drop=True)
-        key = pdf[part_cols]
-        prev = key.shift()
-        neq = ((key != prev) & ~(key.isna() & prev.isna())).any(axis=1)
-        starts = np.flatnonzero(neq.to_numpy() | (np.arange(len(pdf)) == 0))
-        bounds = np.append(starts, len(pdf))
-        records = []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            g = pdf.iloc[s:e].reset_index(drop=True)
+        def emit(group_chunks, records):
+            g = (
+                group_chunks[0]
+                if len(group_chunks) == 1
+                else pd.concat(group_chunks, ignore_index=True)
+            )
+            g = g.reset_index(drop=True)
             flags = {v: g[f"__m_{v}"].to_numpy() for v in pat_vars}
             rs_evals = _bind_runstate(rs_compiled, rs_value_cols, g, flags)
             rt_steps = _runtime_steps(steps, flags, rs_evals)
@@ -864,9 +865,53 @@ def match_recognize(
                 rt_steps, len(g), streaming=False, ovals=ovals, within=within,
                 skip=skip, flags=flags,
             )
-            records.extend(_measure_rows(g, matches, part_cols, meas, flags, seq0=0))
-        if records:
-            yield pd.DataFrame.from_records(records, columns=cols)
+            records.extend(
+                _measure_rows(g, matches, part_cols, meas, flags, seq0=0)
+            )
+
+        def same_key(a, b):
+            return all(
+                (pd.isna(x) and pd.isna(y)) or x == y for x, y in zip(a, b)
+            )
+
+        carry: list = []  # chunks of the current (possibly unfinished) group
+        carry_key = None
+        for chunk in batches:
+            if len(chunk) == 0:
+                continue
+            records: list = []
+            key = chunk[part_cols]
+            prev = key.shift()
+            neq = ((key != prev) & ~(key.isna() & prev.isna())).any(axis=1)
+            starts = np.flatnonzero(neq.to_numpy())
+            starts = starts[starts > 0]  # internal group starts only
+            if carry and not same_key(
+                tuple(chunk[c].iloc[0] for c in part_cols), carry_key
+            ):
+                # the carried group ended exactly at the batch boundary
+                emit(carry, records)
+                carry = []
+            bounds = np.concatenate(([0], starts, [len(chunk)]))
+            # every segment but the last ends at a boundary — complete
+            for s, e in zip(bounds[:-2], bounds[1:-1]):
+                seg = chunk.iloc[int(s):int(e)]
+                if carry:
+                    emit([*carry, seg], records)
+                    carry = []
+                else:
+                    emit([seg], records)
+            # trailing segment may continue in the next Arrow batch;
+            # copy it so the rest of this batch can be freed
+            tail_start = int(bounds[-2])
+            carry.append(chunk if tail_start == 0 else chunk.iloc[tail_start:].copy())
+            carry_key = tuple(carry[-1][c].iloc[0] for c in part_cols)
+            if records:
+                yield pd.DataFrame.from_records(records, columns=cols)
+        if carry:
+            records = []
+            emit(carry, records)
+            if records:
+                yield pd.DataFrame.from_records(records, columns=cols)
 
     return clustered.mapInPandas(run_part, schema=out_schema)
 
