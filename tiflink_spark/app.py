@@ -334,6 +334,73 @@ class MVAppBuilder:
         )
 
 
+class _SharedMirrorStore:
+    """The outer cascade level's mirror of the derived table, aliased
+    to the INNER level's target store instead of a second physical
+    copy. The inner refresh commits every batch into its target before
+    the outer level runs, so the outer's own bootstrap and per-batch
+    merge of the alias were pure write amplification: one bootstrap
+    write that additionally RE-RAN the whole inner query (the
+    placeholder frame), plus one delta write per batch per cascade
+    level (measured 0.2–1.3s each at sf0.1 — guide §1.2, remove whole
+    jobs). Reads delegate to the shared store with a projection to the
+    columns the outer was planned against (the inner target may hold
+    engine-internal hidden columns the outer must not see); writes are
+    explicit no-ops — the inner level is the single writer. Every
+    route already treats ``batch_id in committed_batches()`` as the
+    crash-replay signal and reads its pre-batch state via
+    ``version_before_batch`` — exactly the semantics a shared,
+    already-committed store needs, so the routes run their (tested)
+    replay discipline on every batch."""
+
+    def __init__(self, store, cols: list):
+        self._store = store
+        self._cols = list(cols)
+
+    def __getattr__(self, name):
+        return getattr(self._store, name)
+
+    def _project(self, df):
+        from tiflink_spark.changelog import OP_COL, SEQ_COL
+
+        by_lower = {c.lower(): c for c in df.columns}
+        want = [
+            by_lower[c.lower()] for c in self._cols if c.lower() in by_lower
+        ]
+        have = {w.lower() for w in want}
+        tail = [
+            c
+            for c in df.columns
+            if c in (OP_COL, SEQ_COL) and c.lower() not in have
+        ]
+        if len(want) + len(tail) == len(df.columns):
+            return df
+        return df.select(*want, *tail)
+
+    def read(self, version=None):
+        return self._project(self._store.read(version))
+
+    def read_keys(self, col, vals, version=None):
+        return self._project(self._store.read_keys(col, vals, version))
+
+    def read_buckets(self, bucket_ids, version=None, key_filter=None):
+        return self._project(
+            self._store.read_buckets(
+                bucket_ids, version=version, key_filter=key_filter
+            )
+        )
+
+    def batch_delta(self, batch_id):
+        d = self._store.batch_delta(batch_id)
+        return None if d is None else self._project(d)
+
+    def bootstrap(self, df, batch_id=0) -> bool:
+        return False  # the inner level bootstrapped the shared target
+
+    def merge(self, changes, batch_id) -> bool:
+        return False  # the inner level's refresh committed this batch
+
+
 class CascadeMV:
     """Two-level maintenance for ``SELECT … FROM ( <inner> ) …``: the
     inner query is maintained as its own MV, and the outer query
@@ -1690,6 +1757,38 @@ class MVApp:
                 self.ddl = create_table_ddl(
                     os.path.basename(target), self.mv_schema, self.mv_pk
                 )
+                # Share the inner TARGET as the outer's alias mirror:
+                # the mirror held an exact copy the inner refresh had
+                # already committed (see _SharedMirrorStore). Guarded
+                # three ways: the outer route must declare it merges
+                # source changelogs verbatim (_mirrors_sources_verbatim
+                # — grouping sets enrich with a hidden __g, semijoins
+                # pre-filter with WHERE, projections rename: those keep
+                # the physical mirror), the shared side must be a plain
+                # single store (not a composite grouping-sets façade),
+                # and the keys must match.
+                from tiflink_spark.store import KeyedParquetStore
+
+                shared_tgt = getattr(inner_app._mv, "cascade_target", None)
+                if shared_tgt is None:
+                    shared_tgt = getattr(inner_app._mv, "target", None)
+                old_mirror = outer_app._stores.get(alias)
+                if (
+                    getattr(outer_app._mv, "_mirrors_sources_verbatim", False)
+                    and isinstance(shared_tgt, KeyedParquetStore)
+                    and old_mirror is not None
+                    and [c.lower() for c in old_mirror.pk]
+                    == [c.lower() for c in shared_tgt.pk]
+                ):
+                    shared = _SharedMirrorStore(shared_tgt, placeholder.columns)
+                    for k2, v2 in list(vars(outer_app._mv).items()):
+                        if v2 is old_mirror:
+                            setattr(outer_app._mv, k2, shared)
+                        elif isinstance(v2, dict):
+                            for dk2, dv2 in list(v2.items()):
+                                if dv2 is old_mirror:
+                                    v2[dk2] = shared
+                    outer_app._stores[alias] = shared
                 self._mv = CascadeMV(inner_app, outer_app, alias)
                 self._stores = dict(inner_app._stores)
                 for n2, st2 in outer_app._stores.items():

@@ -481,6 +481,16 @@ class IncrementalJoinMV:
     join); AQE skew-split applies to the pruned join too.
     """
 
+    # The alias-mirror sharing contract (app._SharedMirrorStore): this
+    # route merges every source changelog into its mirror store
+    # VERBATIM — no filter/enrichment/rename before the merge — so a
+    # cascade outer of this class may alias a source mirror to the
+    # inner level's target store. Routes that transform changes before
+    # merging (grouping sets' hidden __g key, semijoin's WHERE
+    # pre-filter, projection renames) must NOT set this.
+    _mirrors_sources_verbatim = True
+
+
     def __init__(
         self,
         spark: SparkSession,
@@ -656,6 +666,16 @@ class IncrementalThetaJoinMV:
     matcher miss or an oversized batch belongs on recompute — this
     route exists for the steady trickle-churn regime.
     """
+
+    # The alias-mirror sharing contract (app._SharedMirrorStore): this
+    # route merges every source changelog into its mirror store
+    # VERBATIM — no filter/enrichment/rename before the merge — so a
+    # cascade outer of this class may alias a source mirror to the
+    # inner level's target store. Routes that transform changes before
+    # merging (grouping sets' hidden __g key, semijoin's WHERE
+    # pre-filter, projection renames) must NOT set this.
+    _mirrors_sources_verbatim = True
+
 
     def __init__(
         self,
@@ -1738,6 +1758,16 @@ class IncrementalCorrScalarAggMV:
     term is present.
     """
 
+    # The alias-mirror sharing contract (app._SharedMirrorStore): this
+    # route merges every source changelog into its mirror store
+    # VERBATIM — no filter/enrichment/rename before the merge — so a
+    # cascade outer of this class may alias a source mirror to the
+    # inner level's target store. Routes that transform changes before
+    # merging (grouping sets' hidden __g key, semijoin's WHERE
+    # pre-filter, projection renames) must NOT set this.
+    _mirrors_sources_verbatim = True
+
+
     def __init__(
         self,
         spark: SparkSession,
@@ -1807,10 +1837,151 @@ class IncrementalCorrScalarAggMV:
             cond = c if cond is None else cond & c
         return cond
 
+    def _ineq_1d(self) -> tuple[str, str] | None:
+        """(op, outer_expr) when corr is EXACTLY ONE monotone inequality
+        AND the aggregate reassociates safely — the shape whose scalar
+        aggregate decomposes into prefix aggregates over the ie-sorted
+        value domain (see _valued_rows_1d) — else None. With any '='
+        term Catalyst hash-joins on the equality, so only the pure-
+        inequality case (the |dirty|x|fact| pair join, quadratic under
+        wide churn — the scalar-agg sibling of the r10 NOT-IN fix)
+        needs the rewrite."""
+        if len(self.corr) != 1:
+            return None
+        _, op, oe = self.corr[0]
+        if op not in ("<", "<=", ">", ">="):
+            return None
+        if self.acol is not None and self.akind in ("sum", "avg"):
+            # min/max reassociate exactly for any orderable type;
+            # sum/avg of partials are exact for integrals and inside
+            # the engine's accepted float class for float/double —
+            # but NOT decimals (Spark's decimal sum/avg carry widened
+            # precision the partial-sum division would not reproduce).
+            dt = dict(self.fact0.dtypes).get(self.acol, "")
+            if dt not in (
+                "tinyint", "smallint", "int", "bigint", "float", "double"
+            ):
+                return None
+        return (op, oe)
+
+    def _valued_rows_1d(
+        self, rows: DataFrame, fact_eval: DataFrame, op: str, oe: str,
+        hint: bool,
+    ) -> DataFrame:
+        """Single-inequality scalar aggregate WITHOUT the |rows|x|fact|
+        pair join: agg over S(d) = {f : f.ie OP d.oe} is a PREFIX
+        aggregate of the ie-sorted fact value domain (the sorted-array
+        + binary-search form, vectorized):
+
+        1. ONE hash aggregate collapses the fact side to per-distinct-
+           ie partials (count/count(a)/sum/min/max — partial agg, so
+           hot values never skew a shuffle);
+        2. running totals over that domain UNIONed with the distinct
+           probe values — one window over |distinct ie| + |probes|
+           rows ordered by value, ASC for </<= and DESC for >/>=, with
+           ties broken so an equal fact value lands inside the prefix
+           exactly for the inclusive ops (the same single-partition-
+           over-the-VALUE-DOMAIN shape quality_decile_binning pins);
+        3. one equi join attaches each probe's prefix aggregate back.
+
+        NULL semantics are the pair join's, case by case: NULL ie rows
+        belong to no S (filtered before the partials); a NULL probe
+        expression matches nothing (null-unsafe equi join miss → COUNT
+        0, SUM/AVG/MIN/MAX NULL); an empty prefix leaves the running
+        totals NULL (COUNT coalesced to 0); NULL aggregate inputs are
+        skipped by count(a)/sum/min/max partials exactly as the direct
+        aggregate skips them. The pair-join form was |dirty|x|fact|
+        interpreted predicate evaluations under wide churn — the same
+        quadratic class whose membership sibling timed out at sf0.1
+        before the r10 decomposition."""
+        from pyspark.sql import Window
+
+        inclusive = op in ("<=", ">=")
+        desc = op in (">", ">=")
+        fe = fact_eval.filter(F.col("__ie0").isNotNull())
+        aggs = [F.count(F.lit(1)).alias("__pc")]
+        if self.acol is not None:
+            aggs += [
+                F.count("__aval").alias("__pca"),
+                F.sum("__aval").alias("__ps"),
+                F.min("__aval").alias("__pmn"),
+                F.max("__aval").alias("__pmx"),
+            ]
+        partials = fe.groupBy(F.col("__ie0").alias("__val")).agg(*aggs)
+        probes = (
+            rows.select(F.expr(oe).alias("__val"))
+            .where(F.col("__val").isNotNull())
+            .distinct()
+        )
+        # an equal fact value sorts INTO the prefix for <=/>= and
+        # AFTER the probe for the strict ops
+        src_f, src_p = (0, 1) if inclusive else (1, 0)
+        part_fields = [
+            (f2.name, f2.dataType)
+            for f2 in partials.schema.fields
+            if f2.name != "__val"
+        ]
+        uf = partials.select(
+            "__val", F.lit(src_f).alias("__src"),
+            *[F.col(n) for n, _ in part_fields],
+        )
+        up = probes.select(
+            "__val", F.lit(src_p).alias("__src"),
+            *[F.lit(None).cast(t).alias(n) for n, t in part_fields],
+        )
+        order = [
+            F.col("__val").desc() if desc else F.col("__val").asc(),
+            F.col("__src").asc(),
+        ]
+        w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+        run_cols = [F.sum("__pc").over(w).alias("__rc")]
+        if self.acol is not None:
+            run_cols += [
+                F.sum("__pca").over(w).alias("__rca"),
+                F.sum("__ps").over(w).alias("__rs"),
+                F.min("__pmn").over(w).alias("__rmn"),
+                F.max("__pmx").over(w).alias("__rmx"),
+            ]
+        pr = (
+            uf.unionByName(up)
+            .select("__val", "__src", *run_cols)
+            .filter(F.col("__src") == F.lit(src_p))
+        )
+        if self.akind == "count" and self.acol is None:
+            v = F.coalesce(F.col("__rc"), F.lit(0)).cast("long")
+        elif self.akind == "count":
+            v = F.coalesce(F.col("__rca"), F.lit(0)).cast("long")
+        elif self.akind == "sum":
+            v = F.col("__rs")
+        elif self.akind == "min":
+            v = F.col("__rmn")
+        elif self.akind == "max":
+            v = F.col("__rmx")
+        else:  # avg — exact long (or reassociated float) sum / count
+            v = F.col("__rs") / F.col("__rca")
+        vals = pr.select("__val", v.alias("__v"))
+        # Scale-gated broadcast, same rationale as _member_rows_1d:
+        # refresh runs with AQE off, so the hint matters; the probe
+        # map is bounded by the batch's dirty rows when hinted, and
+        # only surely-small dims broadcast on the unhinted paths.
+        n = self.dim_store.bootstrap_rows()
+        if hint or (n is not None and n <= CODEGEN_DELTA_ROWS):
+            vals = F.broadcast(vals)
+        out = rows.join(vals, F.expr(oe) == F.col("__val"), "left").drop(
+            "__val"
+        )
+        vv = F.col("__v")
+        if self.akind == "count":
+            vv = F.coalesce(vv, F.lit(0).cast("long"))
+        return out.withColumn(self.alias, vv).drop("__v")
+
     def _valued_rows(
         self, rows: DataFrame, fact_eval: DataFrame, hint: bool
     ) -> DataFrame:
         """``rows`` (dim slice) + the scalar aggregate column."""
+        ineq = self._ineq_1d()
+        if ineq is not None:
+            return self._valued_rows_1d(rows, fact_eval, *ineq, hint=hint)
         pk = self.target.pk
         left = rows
         right = fact_eval
@@ -1912,9 +2083,31 @@ class IncrementalCorrScalarAggMV:
             )
         if dirty_vals is not None:
             dim_now = self.dim_store.read()
-            affected = dim_now.join(
-                F.broadcast(dirty_vals), self._theta_cond("__d"), "left_semi"
-            )
+            ineq = self._ineq_1d()
+            if ineq is not None:
+                # Same decomposition as the membership sibling: ∃d: d0
+                # OP expr over the dirty-value set ⟺ extreme(d0) OP
+                # expr, so the |dim|x|δ| theta semi-join collapses to
+                # one scalar probe (empty/all-NULL δ → NULL extreme →
+                # no row affected, as with an empty semi-join build).
+                op, oe = ineq
+                agg2 = F.max if op in (">", ">=") else F.min
+                dstat = dirty_vals.agg(agg2(F.col("__d0")).alias("__d_x"))
+                cmp2 = {
+                    "<": F.col("__d_x") < F.expr(oe),
+                    "<=": F.col("__d_x") <= F.expr(oe),
+                    ">": F.col("__d_x") > F.expr(oe),
+                    ">=": F.col("__d_x") >= F.expr(oe),
+                }[op]
+                affected = (
+                    dim_now.crossJoin(F.broadcast(dstat))
+                    .filter(F.coalesce(cmp2, F.lit(False)))
+                    .drop("__d_x")
+                )
+            else:
+                affected = dim_now.join(
+                    F.broadcast(dirty_vals), self._theta_cond("__d"), "left_semi"
+                )
             parts.append(upserts(affected))
         mv_changes = parts[0].withColumn(SEQ_COL, F.lit(0).cast("long"))
         for i, p in enumerate(parts[1:], start=1):
@@ -1948,6 +2141,16 @@ class IncrementalTopKMV:
     MV rows are keyed (group, rank) — rank slots. A shrinking group
     leaves orphaned high-rank slots, which the diff emits as -D.
     """
+
+    # The alias-mirror sharing contract (app._SharedMirrorStore): this
+    # route merges every source changelog into its mirror store
+    # VERBATIM — no filter/enrichment/rename before the merge — so a
+    # cascade outer of this class may alias a source mirror to the
+    # inner level's target store. Routes that transform changes before
+    # merging (grouping sets' hidden __g key, semijoin's WHERE
+    # pre-filter, projection renames) must NOT set this.
+    _mirrors_sources_verbatim = True
+
 
     def __init__(
         self,
@@ -2099,6 +2302,16 @@ class IncrementalWindowMV:
     The probe costs one map-side-combined count over the already-
     pruned dirty partitions.
     """
+
+    # The alias-mirror sharing contract (app._SharedMirrorStore): this
+    # route merges every source changelog into its mirror store
+    # VERBATIM — no filter/enrichment/rename before the merge — so a
+    # cascade outer of this class may alias a source mirror to the
+    # inner level's target store. Routes that transform changes before
+    # merging (grouping sets' hidden __g key, semijoin's WHERE
+    # pre-filter, projection renames) must NOT set this.
+    _mirrors_sources_verbatim = True
+
 
     def __init__(
         self,
@@ -2372,6 +2585,16 @@ class IncrementalGlobalTopKMV:
     Rank operator pays to refill its state after retraction. The
     member-touched probe is a driver scalar bounded by k rows.
     """
+
+    # The alias-mirror sharing contract (app._SharedMirrorStore): this
+    # route merges every source changelog into its mirror store
+    # VERBATIM — no filter/enrichment/rename before the merge — so a
+    # cascade outer of this class may alias a source mirror to the
+    # inner level's target store. Routes that transform changes before
+    # merging (grouping sets' hidden __g key, semijoin's WHERE
+    # pre-filter, projection renames) must NOT set this.
+    _mirrors_sources_verbatim = True
+
 
     def __init__(
         self,
