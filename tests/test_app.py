@@ -772,6 +772,7 @@ def test_match_setop_shape_matcher():
     )
 
 
+@pytest.mark.slow
 def test_planner_routes_setops_to_incremental(spark, tmp_path):
     """INTERSECT/EXCEPT route to dual-count incremental maintenance and
     converge as side churn moves tuples in and out of membership."""
@@ -1979,6 +1980,7 @@ def test_review_hardening_probes():
     )
 
 
+@pytest.mark.slow
 def test_continuous_trigger_refresh(spark, tmp_path):
     """The reference's ONLY refresh mode is a live continuously
     refreshing view whose rate is the checkpoint interval
@@ -2351,6 +2353,7 @@ def test_rewrite_theta_tree_multi_edge():
     assert rewrite_theta_tree(q4, {"a", "b", "c", "d"}, cols, pks2) is None
 
 
+@pytest.mark.slow
 def test_mvapp_multi_theta_nested_cascade(spark, tmp_path):
     """Round 10: a FLAT 4-table tree with TWO theta edges routes as a
     nested cascade — CascadeMV(inner=CascadeMV(equi join -> theta),
@@ -2449,6 +2452,7 @@ def test_mvapp_multi_theta_nested_cascade(spark, tmp_path):
     assert_matches(expect(a2, c2, d.filter(F.col("did") != 1)))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("op", ["INTERSECT ALL", "EXCEPT ALL"])
 def test_mvapp_bag_setop_cascade(spark, tmp_path, op):
     """Round 10: an aggregate over a BAG set-op inner (INTERSECT ALL /

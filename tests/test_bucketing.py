@@ -6,10 +6,13 @@ from pyspark.sql import functions as F
 from tiflink_spark.bucketing import bucketed_join, salted_join, write_bucketed_table
 
 
+import pytest
+
 def _physical_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+@pytest.mark.slow
 def test_bucketed_join_has_no_exchange(spark):
     a = spark.createDataFrame([(i, f"a{i}") for i in range(1000)], "k int, va string")
     b = spark.createDataFrame([(i, f"b{i}") for i in range(0, 1000, 2)], "k int, vb string")

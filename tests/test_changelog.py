@@ -1,5 +1,6 @@
 """Unit tests for the changelog contract: MERGE-by-PK and state diff."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from tiflink_spark.changelog import (
@@ -130,6 +131,7 @@ def test_resolve_transactions_commit_rollback_inflight(spark):
     assert [(r.k, r.v, r.commit_ts) for r in got] == [(1, "a", 11)]
 
 
+@pytest.mark.slow
 def test_merge_changes_matches_dict_model_hypothesis(spark):
     """Property: merge_changes over any op sequence == a python dict
     replayed in __seq order (last write wins, -D removes)."""
@@ -172,6 +174,7 @@ def test_merge_changes_matches_dict_model_hypothesis(spark):
     run()
 
 
+@pytest.mark.slow
 def test_op_contract_guard(spark, tmp_path):
     """An op outside {+I,+U,-D} must FAIL the merge, not silently
     upsert (-U / UPDATE_BEFORE would double-count): the guard rides the

@@ -44,6 +44,7 @@ def test_unknown_connector():
         get_connector("nope")
 
 
+@pytest.mark.slow
 def test_multimodal_decode_plumbing(spark):
     from tiflink_spark.multimodal import decode_media, frame_sample_plan
 

@@ -54,7 +54,11 @@ def _expected_mv(state):
     }
 
 
-@pytest.mark.parametrize("seed", [7, 42, 1234])
+@pytest.mark.parametrize(
+    "seed",
+    [7, pytest.param(42, marks=pytest.mark.slow),
+     pytest.param(1234, marks=pytest.mark.slow)],
+)
 def test_incremental_equals_batch_on_random_changelogs(spark, tmp_path, seed):
     rng = random.Random(seed)
     batches, final_state = _random_batches(rng)
@@ -286,7 +290,9 @@ def test_crash_between_fact_and_mv_commit_recovers(spark, tmp_path):
     assert got == {(1, 3, 40.0)}
 
 
-@pytest.mark.parametrize("seed", [7, 1234])
+@pytest.mark.parametrize(
+    "seed", [pytest.param(7, marks=pytest.mark.slow), 1234]
+)
 def test_topk_mv_converges_on_random_changelogs(spark, tmp_path, seed):
     """Top-k is non-invertible: deletes inside the top-k must promote
     successors, group-moves must re-rank both groups, and shrunk groups
@@ -349,7 +355,9 @@ def test_topk_mv_converges_on_random_changelogs(spark, tmp_path, seed):
     assert got == expected_topk(tracked)
 
 
-@pytest.mark.parametrize("seed", [7, 1234])
+@pytest.mark.parametrize(
+    "seed", [7, pytest.param(1234, marks=pytest.mark.slow)]
+)
 def test_global_agg_converges_on_random_changelogs(spark, tmp_path, seed):
     """The no-GROUP-BY route (hidden constant key, keep-alive vanish
     rule): after every random batch the single MV row equals the batch

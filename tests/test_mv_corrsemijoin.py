@@ -168,11 +168,12 @@ class TestCorrSemiJoinMV:
     @pytest.mark.parametrize(
         "tag,q,strategy",
         [
-            (
+            pytest.param(
                 "not_in_corr",
                 """SELECT id, fkey, bal FROM f WHERE fkey NOT IN
                    (SELECT okey FROM o WHERE o.price > f.bal)""",
                 "IncrementalCorrSemiJoinMV",
+                marks=pytest.mark.slow,
             ),
             (
                 "in_corr",
@@ -180,17 +181,19 @@ class TestCorrSemiJoinMV:
                    (SELECT okey FROM o WHERE o.price > f.bal)""",
                 "IncrementalCorrSemiJoinMV",
             ),
-            (
+            pytest.param(
                 "not_in_filtered",
                 """SELECT id, fkey, bal FROM f WHERE fkey NOT IN
                    (SELECT okey FROM o WHERE price > 50)""",
                 "IncrementalSemiJoinMV",
+                marks=pytest.mark.slow,
             ),
-            (
+            pytest.param(
                 "in_mixed",
                 """SELECT id, fkey, bal FROM f WHERE fkey IN
                    (SELECT okey FROM o WHERE price > 20 AND o.price > f.bal)""",
                 "IncrementalCorrSemiJoinMV",
+                marks=pytest.mark.slow,
             ),
         ],
     )
@@ -406,11 +409,12 @@ class TestThetaExists:
                 """SELECT id, fkey, bal FROM f WHERE EXISTS
                    (SELECT 1 FROM o WHERE o.price > f.bal)""",
             ),
-            (
+            pytest.param(
                 "not_exists_eq_theta",
                 """SELECT id, fkey, bal FROM f WHERE NOT EXISTS
                    (SELECT 1 FROM o
                     WHERE o.okey = f.fkey AND o.price > f.bal)""",
+                marks=pytest.mark.slow,
             ),
         ],
     )

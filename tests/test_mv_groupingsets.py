@@ -383,6 +383,7 @@ class TestGroupingSetsKeyHaving:
         )
         assert s is not None and "o_orderstatus" in s.having
 
+    @pytest.mark.slow
     def test_converges_with_key_having(self, spark, tmp_path):
         """HAVING referencing a grouping KEY: per SQL, a key absent from
         the current grouping set reads as NULL — `HAVING grp = 'a'`
@@ -708,6 +709,7 @@ class TestGroupingOuterCascade:
     (round 10): the grouping-sets route as a cascade OUTER. Before this
     round the build crashed on the outer's missing single target."""
 
+    @pytest.mark.slow
     def test_rollup_over_join_converges(self, spark, tmp_path):
         from tiflink_spark.app import MVApp
 

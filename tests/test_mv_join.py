@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 from tiflink_spark.changelog import OP_COL, OP_DELETE, OP_INSERT, OP_UPDATE, SEQ_COL
 from tiflink_spark.mv import IncrementalJoinMV
 
+import pytest
+
 N_L, N_R, N_K = 40, 12, 8
 
 
@@ -37,6 +39,7 @@ def _rand_changes(rng, side):
     return rows
 
 
+@pytest.mark.slow
 def test_join_mv_converges_on_two_sided_changelogs(spark, tmp_path):
     rng = random.Random(4242)
     left0 = spark.createDataFrame(
@@ -311,6 +314,7 @@ class TestFullOuterJoinMV:
         assert got.exceptAll(exp).count() == 0
         assert exp.exceptAll(got).count() == 0
 
+    @pytest.mark.slow
     def test_converges_two_sided_churn(self, spark, tmp_path):
         from tiflink_spark.app import MVApp
 
@@ -404,6 +408,7 @@ class TestFullOuterWhereMV:
         assert got.exceptAll(exp).count() == 0
         assert exp.exceptAll(got).count() == 0
 
+    @pytest.mark.slow
     def test_converges_predicate_flips_both_sides(self, spark, tmp_path):
         from pyspark.sql import functions as F
 
@@ -501,6 +506,7 @@ class TestFullOuterCompositeKeyMV:
             is None
         )
 
+    @pytest.mark.slow
     def test_converges_two_sided_churn(self, spark, tmp_path):
         from pyspark.sql import functions as F
         from tiflink_spark.app import MVApp

@@ -359,6 +359,7 @@ BIG = 20_000_000
 
 
 class TestJoinAggConvergence:
+    @pytest.mark.slow
     def test_routed_and_converges_two_sided(self, joinagg_app, spark):
         app, t = joinagg_app
         assert app.maintenance_mode == "incremental"
@@ -513,6 +514,7 @@ class TestLeftJoinAggConvergence:
 
 
 class TestSnowflakeConvergence:
+    @pytest.mark.slow
     def test_three_table_chain_converges(self, spark, tables):
         """orders → customer → nation: a true snowflake chain (the leaf
         dim is two hops from the fact), churned on ALL THREE tables.
@@ -643,6 +645,7 @@ class TestJoinAggRandomizedConvergence:
     reference's consistency machinery exists to guarantee
     (README.md:18-22, roll-forward FlinkTikvProducer.java:211-230)."""
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("seed", [7, 23])
     def test_two_sided_random_churn_with_crash_replay(self, spark, tmp_path, seed):
         import random

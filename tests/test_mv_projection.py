@@ -362,6 +362,7 @@ class TestProjectionConvergence:
         got = {r["o_custkey"]: (r["n"], r["total"]) for r in app.read().collect()}
         assert got == expect
 
+    @pytest.mark.slow
     def test_multi_cte_pipeline_cascades(self, spark, tmp_path):
         """WITH filter, WITH agg, SELECT filtered-agg — a 3-level
         pipeline: projection inner, aggregate middle, projection outer,
@@ -465,6 +466,7 @@ class TestProjectionConvergence:
         app3.bootstrap()
         assert app3.read().count() == 2
 
+    @pytest.mark.slow
     def test_union_inner_cascades_with_bag_semantics(self, spark, tmp_path):
         """A UNION ALL inner advertises an overclaimed PK (unique per
         branch only); an outer keying by it would collapse cross-branch

@@ -16,6 +16,7 @@ from tiflink_spark.changelog import OP_COL, OP_DELETE, OP_INSERT, OP_UPDATE, SEQ
 
 
 class TestSemiJoinRandomizedConvergence:
+    @pytest.mark.slow
     @pytest.mark.parametrize("anti", [False, True])
     def test_two_sided_random_churn_with_crash_replay(self, spark, tmp_path, anti):
         import random
@@ -112,6 +113,7 @@ class TestSemiJoinRandomizedConvergence:
 
 
 class TestWindowRandomizedConvergence:
+    @pytest.mark.slow
     def test_random_churn_with_crash_replay(self, spark, tmp_path):
         import random
 
@@ -209,6 +211,7 @@ class TestNullAwareNotIn:
         )
         assert app.maintenance_strategy == "IncrementalSemiJoinMV"
 
+    @pytest.mark.slow
     def test_not_in_nonpk_inner_null_flips(self, spark, tmp_path):
         """NOT IN over a NON-PK nullable inner column: an inner NULL's
         appearance empties the view (x NOT IN (…, NULL) is never
@@ -502,6 +505,7 @@ class TestWindowDomainStrategy:
             )
 
 
+@pytest.mark.slow
 def test_mvapp_window_strategy_knob(spark, tmp_path):
     """window_strategy('domain') reaches the auto-routed window MV via
     the public builder, and converges identically to the sort path."""

@@ -316,6 +316,7 @@ def test_temporal_join_composite_dim_pk_converges(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_temporal_join_selecting_dim_pk_and_time_col(spark, tmp_path):
     """Selecting the dim's PK or its event-time column through the
     temporal join: the PK rides the history alias, the time column is

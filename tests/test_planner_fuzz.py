@@ -189,7 +189,12 @@ def _gen_query(rng, table):
     )
 
 
-@pytest.mark.parametrize("seed", [11, 23, 37, 51])
+@pytest.mark.parametrize(
+    "seed",
+    [pytest.param(11, marks=pytest.mark.slow),
+     pytest.param(23, marks=pytest.mark.slow),
+     pytest.param(37, marks=pytest.mark.slow), 51],
+)
 def test_fuzzed_shapes_converge(spark, tmp_path, seed):
     from tiflink_spark.app import MVApp
 
@@ -356,7 +361,11 @@ def _gen_two_table_query(rng, fact, dim):
     return f"SELECT id, v FROM {fact} UNION ALL SELECT dk, u FROM {dim}"
 
 
-@pytest.mark.parametrize("seed", [7, 19, 43])
+@pytest.mark.parametrize(
+    "seed",
+    [7, pytest.param(19, marks=pytest.mark.slow),
+     pytest.param(43, marks=pytest.mark.slow)],
+)
 def test_fuzzed_two_table_shapes_converge(spark, tmp_path, seed):
     from tiflink_spark.app import MVApp
 
@@ -450,6 +459,7 @@ def _band_churn(spark, rng, state, width, domain, pfx):
     ).withColumn(SEQ_COL, F.monotonically_increasing_id())
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [29])
 def test_fuzzed_multi_theta_trees_converge(spark, tmp_path, seed):
     """Round 10: flat N-table trees with MULTIPLE theta edges (and a

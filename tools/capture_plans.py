@@ -1,4 +1,4 @@
-"""Capture .explain("formatted") for headline queries into plans/r10/.
+"""Capture .explain("formatted") for headline queries into plans/r<N>/.
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
   suffix: 'before' or 'after' (file name becomes <query>_<suffix>.txt)
@@ -28,7 +28,7 @@ def main() -> int:
     names = sys.argv[2:] or HEADLINE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "plans", "r10")
+                           "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r11"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture_plans")
     registry = get_registry()
