@@ -307,13 +307,28 @@ spark.stop()
 '''
 
 
-def _ab_check(total: float, idle_ref: dict | None, sf_dir: str) -> dict | None:
+def _ab_check(
+    total: float,
+    idle_ref: dict | None,
+    sf_dir: str,
+    timings: dict[str, float] | None = None,
+) -> dict | None:
     """Snapshot A/B on drift (VERDICT r9 #7): when this run's headline
     moves >10% vs the committed idle reference, re-run the PREVIOUS
     round's snapshot code on the SAME box right now — one warm run per
     query per side, snapshot first then HEAD minutes apart — and record
     both. Replaces uniformity arguments with the measurement that
-    settles code-regression vs box-drift."""
+    settles code-regression vs box-drift.
+
+    Round 11 (additions-only): the queries that look REGRESSED vs the
+    idle reference additionally get an INTERLEAVED verdict — a HEAD run
+    BEFORE the snapshot run plus the HEAD run after it bracket the
+    snapshot in time, so a slow box window inflates all three sides
+    alike and min(head_pre, head_post) vs snapshot separates code
+    regression from box drift per query (r10's 0.92-geomean PERF file
+    was pure contention; the old whole-list single-order A/B could not
+    say so per query). The timed min-of-3 protocol and the final JSON
+    line are untouched."""
     if not idle_ref or not idle_ref.get("value"):
         return None
     # only comparable at the reference's own scale factor — a sf0.01
@@ -331,13 +346,14 @@ def _ab_check(total: float, idle_ref: dict | None, sf_dir: str) -> dict | None:
 
     here = os.path.dirname(os.path.abspath(__file__))
 
-    def _run(repo: str) -> dict:
+    def _run(repo: str, names: list[str] | None = None) -> dict:
         script = os.path.join(tempfile.mkdtemp(prefix="bench_ab_"), "runner.py")
         with open(script, "w") as f:
             f.write(_AB_RUNNER)
         try:
             p = subprocess.run(
-                [sys.executable, script, repo, sf_dir, json.dumps(HEADLINE)],
+                [sys.executable, script, repo, sf_dir,
+                 json.dumps(names or HEADLINE)],
                 capture_output=True, text=True, timeout=900,
             )
             for line in reversed(p.stdout.splitlines()):
@@ -365,15 +381,51 @@ def _ab_check(total: float, idle_ref: dict | None, sf_dir: str) -> dict | None:
         commit = None
     if commit is None:
         return {"triggered": True, "drift": round(drift, 3), "error": "no snapshot commit"}
+    # regressed-looking queries (this run vs the idle reference's own
+    # per-query numbers) get the bracketed per-query verdict
+    ref_q = idle_ref.get("queries") or {}
+    regressed = sorted(
+        q
+        for q, now in (timings or {}).items()
+        if ref_q.get(q) and now > ref_q[q] * 1.15
+    )
     wt = tempfile.mkdtemp(prefix="bench_ab_wt_")
     os.rmdir(wt)
+    verdicts = None
+    head_pre = None
     try:
         subprocess.run(
             ["git", "-C", here, "worktree", "add", "--detach", wt, commit],
             capture_output=True, timeout=120, check=True,
         )
-        snap = _run(wt)  # snapshot first,
-        head = _run(here)  # HEAD second — same box, minutes apart
+        if regressed:
+            # HEAD before the snapshot — regressed queries only (the
+            # post-snapshot HEAD run still covers the whole list)
+            head_pre = _run(here, regressed)
+        snap = _run(wt)  # snapshot,
+        head = _run(here)  # HEAD after — same box, minutes apart
+        if regressed and "queries" in (head_pre or {}) and "queries" in snap:
+            verdicts = {}
+            for q in regressed:
+                hp = (head_pre.get("queries") or {}).get(q)
+                hf = (head.get("queries") or {}).get(q)
+                sp = (snap.get("queries") or {}).get(q)
+                if hp is None or hf is None or sp is None:
+                    verdicts[q] = {"verdict": "unmeasured"}
+                    continue
+                best_head = min(hp, hf)
+                verdicts[q] = {
+                    "head_pre": hp,
+                    "snapshot": sp,
+                    "head_post": hf,
+                    # bracketed: the snapshot ran BETWEEN the two HEAD
+                    # runs, so a slow window inflates all three sides
+                    "verdict": (
+                        "code_regression"
+                        if best_head > sp * 1.10
+                        else "box_noise"
+                    ),
+                }
     finally:
         subprocess.run(
             ["git", "-C", here, "worktree", "remove", "--force", wt],
@@ -383,9 +435,16 @@ def _ab_check(total: float, idle_ref: dict | None, sf_dir: str) -> dict | None:
         "triggered": True,
         "drift_vs_idle_ref": round(drift, 3),
         "snapshot_commit": commit[:12],
+        **({"head_pre": head_pre} if head_pre is not None else {}),
         "snapshot": snap,
         "head": head,
-        "timing": "warm_single_run_each",
+        **(
+            {"regressed_query_verdicts": verdicts}
+            if verdicts is not None
+            else {}
+        ),
+        "timing": "warm_single_run_each"
+        + ("_bracketed" if regressed else ""),
     }
 
 
@@ -485,7 +544,7 @@ def main() -> None:
         # the previous round's snapshot on this same box (None = within
         # band, no A/B needed)
         "ab_check": (
-            _ab_check(total, idle_ref, sf_dir)
+            _ab_check(total, idle_ref, sf_dir, timings)
             if os.environ.get("SPARK_GRAFT_SKIP_AB") != "1"
             else None
         ),
